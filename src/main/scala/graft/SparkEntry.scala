@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.TextOps.all ++
+      operators.Dedup.all ++ operators.Similarity.all ++ plans.GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

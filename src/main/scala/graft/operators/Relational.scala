@@ -381,7 +381,7 @@ object Relational {
       |      FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
     T.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -418,7 +418,7 @@ object Relational {
       |      FROM events) t
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
     T.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64):
+  * brute-force cosine top-k as the exact baseline, and two scale paths —
+  * random-hyperplane LSH bucketing and an IVF-style partition search
+  * keyed on the `label` cluster column.
+  *
+  * Scale design: the query set is broadcast (it is small by definition);
+  * the corpus side is never shuffled for brute force — score+rank is a
+  * map + per-query top-k (TakeOrdered shape). The LSH/IVF variants
+  * turn the full scan into a bucket equi-join, which is the 100 TB path:
+  * candidates shrink by ~bucket-count×, and the bucket keys are uniform
+  * hashes so the join has no skew.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for engine-stable arithmetic. */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Cosine similarity of two double-array columns (sequential fold —
+    * deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id")
+  }
+
+  /** Deterministic random hyperplanes: `tables` signature tables of
+    * `bits` hyperplanes each, dim-dimensional, fixed seed. */
+  private def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+    val rnd = new Random(20260812L)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Signature bucket key for one LSH table: sign-bit string of the
+    * vector's dot products with that table's hyperplanes. */
+  private def bucketKey(v: Column, tablePlanes: Seq[Array[Double]]): Column = {
+    val bits = tablePlanes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(aggregate(zip_with(v, planeCol, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN via multi-table hyperplane LSH: candidates = union over tables of
+    * same-bucket vectors, then exact cosine re-rank, top-k per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val cBuckets = c.select(col("neighbor_id"), col("cv"),
+      explode(array(ps.zipWithIndex.map { case (tp, i) =>
+        concat_ws("#", lit(i), bucketKey(col("cv"), tp))
+      }: _*)).as("bucket"))
+    val qBuckets = q.select(col("query_id"), col("qv"),
+      explode(array(ps.zipWithIndex.map { case (tp, i) =>
+        concat_ws("#", lit(i), bucketKey(col("qv"), tp))
+      }: _*)).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cBuckets.join(broadcast(qBuckets), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id")
+  }
+
+  /** IVF-style search: coarse quantizer = per-label centroid (the corpus
+    * ships a cluster id); probe the nProbe nearest centroids, scan only
+    * their partitions. NOTE: the synthetic corpus's labels are random, not
+    * similarity clusters, so recall here is ~nProbe/K — on real data the
+    * partition key would come from k-means and this is the 100 TB path
+    * (scan nProbe/K of the corpus instead of all of it). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("label"),
+      asDouble(col("embedding")).as("cv"))
+    val dim = 64
+    val centroids = c
+      .select(col("label"), posexplode(col("cv")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("x"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p("x")).as("centroid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qv", "label")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(probed), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  private def queriesOf(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir).filter(col("vec_id") < 8)
+
+  /** Brute-force exact cosine top-5 for 8 query vectors. Scores are
+    * computed in double on both engines; ranks (not raw floats) are
+    * compared, with neighbor_id tie-breaks. */
+  val e01 = Q("e01_cosine_topk",
+    """SELECT query_id, n_rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+      |               e.vec_id) AS n_rank
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+      |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
+    bruteForceTopK(T.embeddings(s, dir), queriesOf(s, dir), 5)
+      .orderBy("query_id", "n_rank")
+  }
+
+  /** Multi-table hyperplane-LSH ANN (approximate → rows-only driver check;
+    * recall vs e01 pinned by SimilaritySpec). */
+  val e02 = Q.noOracle("e02_ann_lsh") { (s, dir) =>
+    lshTopK(T.embeddings(s, dir), queriesOf(s, dir), 5)
+      .orderBy("query_id", "n_rank")
+  }
+
+  /** IVF-style partition-probed ANN over the label clusters. */
+  val e03 = Q.noOracle("e03_ann_ivf") { (s, dir) =>
+    ivfTopK(T.embeddings(s, dir), queriesOf(s, dir), 5)
+      .orderBy("query_id", "n_rank")
+  }
+
+  /** Corpus-wide near-duplicate pairs above a cosine threshold: bucket by
+    * LSH signature, generate pairs within buckets (no broadcast, no
+    * quadratic scan — the 100 TB shape), verify with exact cosine. */
+  def nearDupPairs(corpus: DataFrame, minCosine: Double,
+      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = planes(tables, bits, dim)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val buckets = c.select(col("vec_id"), col("cv"),
+      explode(array(ps.zipWithIndex.map { case (tp, i) =>
+        concat_ws("#", lit(i), bucketKey(col("cv"), tp))
+      }: _*)).as("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    buckets
+      .select(explode(expr(
+        """filter(flatten(transform(xs, a -> transform(xs, b -> struct(a, b)))),
+           p -> p.a.vec_id < p.b.vec_id)""")).as("p"))
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+        col("p.a.cv").as("cva"), col("p.b.cv").as("cvb"))
+      .distinct()
+      .withColumn("score", cosine(col("cva"), col("cvb")))
+      .filter(col("score") >= minCosine)
+      .select("vec_a", "vec_b")
+  }
+
+  /** Embedding near-duplicate pairs (cosine ≥ 0.45 — calibrated to the
+    * synthetic corpus, whose max pairwise cosine is ~0.51). */
+  val e04 = Q.noOracle("e04_embed_neardup") { (s, dir) =>
+    nearDupPairs(T.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04)
+}

@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed forest root-propagation — the batch form of the reference's
+  * incremental trace assembly (connected components over the message
+  * graph, ton-index-worker/tondb-scanner/src/TraceAssembler.cpp:285-412).
+  *
+  * Because every transaction has exactly one in-edge, the message graph is
+  * a forest: connected component id == root id, and root propagation by
+  * pointer doubling converges in O(log depth) self-joins instead of
+  * O(depth). Each iteration halves the pointer distance to the root; with
+  * `localCheckpoint` truncating lineage, the plan stays constant-size.
+  * At 100 TB this is shuffle-bound on the (id, anc) join — both sides are
+  * hash-partitioned on the join key each round, and AQE handles the
+  * shrinking frontier.
+  */
+object GraphOps {
+
+  /** nodes: (id, parent) with parent null for roots (or absent ids treated
+    * as roots). Returns (id, root). */
+  def forestRoots(nodes: DataFrame, maxIters: Int = 30): DataFrame = {
+    // anc = current known ancestor (self for roots); done = anc is a root
+    var cur = nodes
+      .select(col("id"), coalesce(col("parent"), col("id")).as("anc"))
+      .localCheckpoint()
+    val roots = cur.filter(col("id") === col("anc"))
+      .select(col("id").as("root_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val jumped = cur.alias("a")
+        .join(cur.select(col("id").as("anc"), col("anc").as("anc2")).alias("b"),
+          Seq("anc"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.anc2"), col("anc")).as("anc"))
+        .localCheckpoint()
+      val changed = jumped.alias("n")
+        .join(cur.select(col("id"), col("anc").as("prev")).alias("o"), Seq("id"))
+        .filter(col("anc") =!= col("prev")).count()
+      cur = jumped
+      iter += 1
+      converged = changed == 0
+    }
+    require(converged, s"forestRoots did not converge in $maxIters iterations")
+    cur.select(col("id"), col("anc").as("root"))
+  }
+
+  /** G1-analog query on the events table: each user's events form a chain
+    * (edge to the previous event of the same user); the trace id of an
+    * event is its chain root. The oracle states the same semantics
+    * directly (first event per user) — the fixpoint must agree. */
+  val g01 = Q("g01_forest_trace_ids",
+    """SELECT event_id, min(event_id) OVER (PARTITION BY user_id) AS trace_id
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = T.events(s, dir)
+      .withColumn("parent", lag(col("event_id"), 1).over(w))
+      .select(col("event_id").as("id"), col("parent"))
+    forestRoots(edges)
+      .select(col("id").as("event_id"), col("root").as("trace_id"))
+      .orderBy("event_id")
+  }
+
+  /** Trace metadata aggregation over assembled components (A4-A6:
+    * nodes_, start/end bounds — TraceAssembler.cpp:329-391). */
+  val g02 = Q("g02_trace_meta",
+    """SELECT min(event_id) AS trace_id, count(*) AS nodes,
+      |  min(event_id) AS start_id, max(event_id) AS end_id,
+      |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+      |FROM events GROUP BY user_id ORDER BY trace_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = T.events(s, dir)
+      .withColumn("parent", lag(col("event_id"), 1).over(w))
+      .select(col("event_id").as("id"), col("parent"), col("ts"))
+    forestRoots(edges.select("id", "parent"))
+      .join(edges.select(col("id"), col("ts")), Seq("id"))
+      .groupBy(col("root").as("trace_id"))
+      .agg(count(lit(1)).as("nodes"), min("id").as("start_id"),
+        max("id").as("end_id"),
+        // µs, not raw ns: DuckDB truncates TIMESTAMP_NS to µs on read
+        min(expr("ts div 1000")).as("start_us"),
+        max(expr("ts div 1000")).as("end_us"))
+      .orderBy("trace_id")
+  }
+
+  val all: Seq[Q] = Seq(g01, g02)
+}
