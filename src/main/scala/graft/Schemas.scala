@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructTypes for the blockchain data model (SURVEY.md §1;
+  * reference DDL ton-index-worker/ton-index-postgres/src/migrate.cpp:115-676
+  * and ORM mirror indexer/indexer/core/database.py:123-987).
+  *
+  * Schemas are fixed constants — never inferred — matching the reference's
+  * versioned-migration discipline (§1.3). Types follow §1.2: hashes are
+  * 44-char base64 strings, addresses raw `wc:HEX64` strings, token amounts
+  * Decimal(38,0) (covers VarUInteger16 ≤ 2^120), clocks are long `lt` +
+  * int unix `utime`, >38-digit fields (e.g. approvals_mask) are strings.
+  */
+object Schemas {
+
+  private def f(n: String, t: DataType, nullable: Boolean = true) =
+    StructField(n, t, nullable)
+
+  val amount: DataType = DecimalType(38, 0)
+  val extraCurrencies: DataType = MapType(StringType, StringType)
+
+  /** traces — migrate.cpp:515-531, database.py:188-203. */
+  val traces: StructType = StructType(Seq(
+    f("trace_id", StringType, nullable = false),
+    f("external_hash", StringType), f("external_hash_norm", StringType),
+    f("mc_seqno_start", IntegerType), f("mc_seqno_end", IntegerType),
+    f("start_lt", LongType), f("end_lt", LongType),
+    f("start_utime", IntegerType), f("end_utime", IntegerType),
+    f("state", StringType), // complete | pending | broken
+    f("pending_edges_", LongType), f("edges_", LongType), f("nodes_", LongType),
+    f("classification_state", StringType))) // unclassified | failed | ok | broken
+
+  /** trace_edges — migrate.cpp (trace_edges), TraceAssembler edge types. */
+  val traceEdges: StructType = StructType(Seq(
+    f("trace_id", StringType),
+    f("msg_hash", StringType, nullable = false),
+    f("left_tx", StringType), f("right_tx", StringType),
+    f("edge_type", StringType), // ord | sys | ext | logs
+    f("incomplete", BooleanType), f("broken", BooleanType)))
+
+  /** transactions — migrate.cpp:161-232, database.py:610-711 (all phases). */
+  val transactions: StructType = StructType(Seq(
+    f("hash", StringType, nullable = false),
+    f("account", StringType), f("lt", LongType), f("now", IntegerType),
+    f("mc_block_seqno", IntegerType), f("trace_id", StringType),
+    f("block_workchain", IntegerType), f("block_shard", LongType),
+    f("block_seqno", IntegerType),
+    f("prev_trans_hash", StringType), f("prev_trans_lt", LongType),
+    f("orig_status", StringType), f("end_status", StringType),
+    f("total_fees", LongType),
+    f("account_state_hash_before", StringType),
+    f("account_state_hash_after", StringType),
+    f("descr", StringType), // ord|storage|tick_tock|split_*|merge_*
+    f("aborted", BooleanType), f("destroyed", BooleanType),
+    f("credit_first", BooleanType), f("is_tock", BooleanType),
+    f("installed", BooleanType),
+    f("storage_fees_collected", LongType), f("storage_fees_due", LongType),
+    f("storage_status_change", StringType),
+    f("credit_due_fees_collected", LongType), f("credit", LongType),
+    f("compute_skipped", BooleanType), f("skipped_reason", StringType),
+    f("compute_success", BooleanType), f("compute_msg_state_used", BooleanType),
+    f("compute_account_activated", BooleanType),
+    f("compute_gas_fees", LongType), f("compute_gas_used", LongType),
+    f("compute_gas_limit", LongType), f("compute_gas_credit", LongType),
+    f("compute_mode", IntegerType), f("compute_exit_code", IntegerType),
+    f("compute_exit_arg", IntegerType), f("compute_vm_steps", LongType),
+    f("compute_vm_init_state_hash", StringType),
+    f("compute_vm_final_state_hash", StringType),
+    f("action_success", BooleanType), f("action_valid", BooleanType),
+    f("action_no_funds", BooleanType), f("action_status_change", StringType),
+    f("action_total_fwd_fees", LongType), f("action_total_action_fees", LongType),
+    f("action_result_code", IntegerType), f("action_result_arg", IntegerType),
+    f("action_tot_actions", IntegerType), f("action_spec_actions", IntegerType),
+    f("action_skipped_actions", IntegerType), f("action_msgs_created", IntegerType),
+    f("action_action_list_hash", StringType),
+    f("action_tot_msg_size_cells", LongType), f("action_tot_msg_size_bits", LongType),
+    f("bounce", StringType), // negfunds | nofunds | ok
+    f("bounce_msg_size_cells", LongType), f("bounce_msg_size_bits", LongType),
+    f("bounce_req_fwd_fees", LongType), f("bounce_msg_fees", LongType),
+    f("bounce_fwd_fees", LongType),
+    f("split_info_cur_shard_pfx_len", IntegerType),
+    f("split_info_acc_split_depth", IntegerType),
+    f("split_info_this_addr", StringType), f("split_info_sibling_addr", StringType),
+    f("emulated", BooleanType)))
+
+  /** messages — migrate.cpp:236-261, database.py:725-773. Same message
+    * appears twice: out of sender, in of receiver; dedup key = msg_hash. */
+  val messages: StructType = StructType(Seq(
+    f("msg_hash", StringType, nullable = false),
+    f("tx_hash", StringType, nullable = false),
+    f("tx_lt", LongType, nullable = false),
+    f("direction", StringType, nullable = false), // in | out
+    f("msg_hash_norm", StringType),
+    f("trace_id", StringType),
+    f("source", StringType), f("destination", StringType), // null ⇒ external/log
+    f("value", LongType), f("value_extra_currencies", extraCurrencies),
+    f("fwd_fee", LongType), f("ihr_fee", LongType), f("import_fee", LongType),
+    f("created_lt", LongType), f("created_at", LongType),
+    f("opcode", LongType), // signed int32 semantics, rendered 0x%08x
+    f("ihr_disabled", BooleanType), f("bounce", BooleanType),
+    f("bounced", BooleanType),
+    f("body_hash", StringType), f("init_state_hash", StringType)))
+
+  /** message_contents — database.py:786-790 (base64 BOC blobs). */
+  val messageContents: StructType = StructType(Seq(
+    f("hash", StringType, nullable = false),
+    f("body", StringType)))
+
+  /** blocks — migrate.cpp:115-150. */
+  val blocks: StructType = StructType(Seq(
+    f("workchain", IntegerType, nullable = false),
+    f("shard", LongType, nullable = false),
+    f("seqno", IntegerType, nullable = false),
+    f("root_hash", StringType), f("file_hash", StringType),
+    f("mc_block_workchain", IntegerType), f("mc_block_shard", LongType),
+    f("mc_block_seqno", IntegerType),
+    f("global_id", IntegerType), f("version", IntegerType),
+    f("after_merge", BooleanType), f("before_split", BooleanType),
+    f("after_split", BooleanType), f("want_merge", BooleanType),
+    f("want_split", BooleanType), f("key_block", BooleanType),
+    f("vert_seqno_incr", BooleanType), f("flags", IntegerType),
+    f("gen_utime", LongType), f("start_lt", LongType), f("end_lt", LongType),
+    f("validator_list_hash_short", IntegerType), f("gen_catchain_seqno", IntegerType),
+    f("min_ref_mc_seqno", IntegerType), f("prev_key_block_seqno", IntegerType),
+    f("vert_seqno", IntegerType), f("master_ref_seqno", IntegerType),
+    f("rand_seed", StringType), f("created_by", StringType),
+    f("tx_count", IntegerType), f("prev_blocks", StringType))) // json array
+
+  /** latest_account_states — migrate.cpp:284-301 (upsert-by-max-lt). */
+  val latestAccountStates: StructType = StructType(Seq(
+    f("account", StringType, nullable = false),
+    f("account_friendly", StringType),
+    f("hash", StringType), f("balance", LongType),
+    f("balance_extra_currencies", extraCurrencies),
+    f("account_status", StringType), // uninit | frozen | active | nonexist
+    f("timestamp", IntegerType),
+    f("last_trans_hash", StringType), f("last_trans_lt", LongType),
+    f("frozen_hash", StringType), f("data_hash", StringType),
+    f("code_hash", StringType),
+    f("data_boc", StringType), f("code_boc", StringType)))
+
+  /** actions — migrate.cpp:534-586 + database.py:275-569 (nested details
+    * modeled for the core action families of FIXTURES.md A.6). */
+  val tonTransferDetails: StructType = StructType(Seq(
+    f("content", StringType), f("encrypted", BooleanType)))
+
+  val jettonTransferDetails: StructType = StructType(Seq(
+    f("response_destination", StringType), f("forward_amount", amount),
+    f("query_id", StringType), f("custom_payload", StringType),
+    f("forward_payload", StringType), f("comment", StringType),
+    f("is_encrypted_comment", BooleanType)))
+
+  val nftTransferDetails: StructType = StructType(Seq(
+    f("is_purchase", BooleanType), f("price", amount),
+    f("query_id", StringType), f("custom_payload", StringType),
+    f("forward_payload", StringType), f("forward_amount", amount),
+    f("response_destination", StringType), f("nft_item_index", StringType),
+    f("marketplace", StringType), f("real_prev_owner", StringType)))
+
+  val dexTransferDetails: StructType = StructType(Seq(
+    f("amount", amount), f("asset", StringType), f("source", StringType),
+    f("destination", StringType), f("source_jetton_wallet", StringType),
+    f("destination_jetton_wallet", StringType)))
+
+  val peerSwapDetails: StructType = StructType(Seq(
+    f("asset_in", StringType), f("amount_in", amount),
+    f("asset_out", StringType), f("amount_out", amount)))
+
+  val jettonSwapDetails: StructType = StructType(Seq(
+    f("dex", StringType), f("sender", StringType),
+    f("dex_incoming_transfer", dexTransferDetails),
+    f("dex_outgoing_transfer", dexTransferDetails),
+    f("peer_swaps", ArrayType(peerSwapDetails)),
+    f("min_out_amount", amount)))
+
+  val stakingDetails: StructType = StructType(Seq(
+    f("provider", StringType), f("ts_nft", StringType),
+    f("tokens_burnt", amount), f("tokens_minted", amount)))
+
+  val actions: StructType = StructType(Seq(
+    f("trace_id", StringType, nullable = false),
+    f("action_id", StringType, nullable = false),
+    f("type", StringType),
+    f("tx_hashes", ArrayType(StringType)),
+    f("value", amount), f("amount", amount),
+    f("start_lt", LongType), f("end_lt", LongType),
+    f("start_utime", LongType), f("end_utime", LongType),
+    f("source", StringType), f("source_secondary", StringType),
+    f("destination", StringType), f("destination_secondary", StringType),
+    f("asset", StringType), f("asset_secondary", StringType),
+    f("asset2", StringType), f("asset2_secondary", StringType),
+    f("opcode", LongType), f("success", BooleanType),
+    f("parent_action_id", StringType),
+    f("ancestor_type", ArrayType(StringType)),
+    f("value_extra_currencies", extraCurrencies),
+    f("trace_end_lt", LongType), f("trace_end_utime", LongType),
+    f("trace_external_hash", StringType), f("trace_mc_seqno_end", IntegerType),
+    f("ton_transfer_data", tonTransferDetails),
+    f("jetton_transfer_data", jettonTransferDetails),
+    f("nft_transfer_data", nftTransferDetails),
+    f("jetton_swap_data", jettonSwapDetails),
+    f("staking_data", stakingDetails)))
+
+  /** action_accounts — migrate.cpp:589-599: exploded (account × action)
+    * fact whose PK is the pagination sort key. */
+  val actionAccounts: StructType = StructType(Seq(
+    f("action_id", StringType, nullable = false),
+    f("trace_id", StringType, nullable = false),
+    f("account", StringType, nullable = false),
+    f("trace_end_lt", LongType), f("action_end_lt", LongType),
+    f("trace_end_utime", LongType), f("action_end_utime", LongType)))
+
+  /** jetton_wallets / jetton_masters / nft_items / nft_collections —
+    * migrate.cpp:310-435. TVM-derived: source inputs per SURVEY §1.35. */
+  val jettonWallets: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("balance", amount),
+    f("owner", StringType), f("jetton", StringType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType),
+    f("mintless_is_claimed", BooleanType), f("mintless_amount", amount)))
+
+  val jettonMasters: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("total_supply", amount),
+    f("mintable", BooleanType), f("admin_address", StringType),
+    f("jetton_content", StringType), f("jetton_wallet_code_hash", StringType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  val nftItems: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("init", BooleanType),
+    f("index", StringType), f("collection_address", StringType),
+    f("owner_address", StringType), f("content", StringType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  val nftCollections: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("next_item_index", StringType),
+    f("owner_address", StringType), f("collection_content", StringType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+}

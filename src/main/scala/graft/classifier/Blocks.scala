@@ -1,0 +1,147 @@
+package graft.classifier
+
+/** Block tree — the classifier's working representation (reference:
+  * indexer/indexer/events/blocks/core.py). Each block wraps ≥1 tree nodes;
+  * matchers rewrite the tree by merging children into typed blocks.
+  */
+sealed trait Block {
+  def btype: String
+  def nodes: Seq[TxNode] // transactions this block spans
+  def children: Seq[Block]
+  def failed: Boolean
+  def withChildren(cs: Seq[Block]): Block
+
+  def txHashes: Seq[String] = nodes.map(_.tx.hash).distinct
+  def minLt: Long = nodes.map(_.tx.lt).min
+  def maxLt: Long = nodes.map(_.tx.lt).max
+  def minUtime: Long = nodes.map(_.tx.now.toLong).min
+  def maxUtime: Long = nodes.map(_.tx.now.toLong).max
+  /** Earliest in-message hash — seed for the deterministic action id. */
+  def anchorMsgHash: String = {
+    val n = nodes.minBy(n => (n.tx.lt, n.tx.account))
+    n.inMsg.map(_.msgHash).getOrElse(n.tx.hash)
+  }
+  def bfs: Seq[Block] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Block](this)
+    var i = 0
+    while (i < buf.length) { buf ++= buf(i).children; i += 1 }
+    buf.toSeq
+  }
+}
+
+/** Synthetic root holding a trace's root blocks. */
+case class RootBlock(children: Seq[Block]) extends Block {
+  val btype = "root"
+  val nodes: Seq[TxNode] = children.flatMap(_.nodes)
+  val failed = false
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+/** G3b seed blocks (reference: blocks/basic_blocks.py:28-121). */
+case class TickTockBlock(node: TxNode, children: Seq[Block]) extends Block {
+  val btype = "tick_tock"
+  val nodes = Seq(node)
+  val failed = false
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+case class TonTransferBlock(node: TxNode, failed: Boolean,
+    comment: Option[String], encrypted: Boolean,
+    children: Seq[Block]) extends Block {
+  val btype = "ton_transfer"
+  val nodes = Seq(node)
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+case class CallContractBlock(node: TxNode, failed: Boolean,
+    children: Seq[Block]) extends Block {
+  val btype = "call_contract"
+  val nodes = Seq(node)
+  def opcode: Option[Long] = node.inMsg.flatMap(_.opcode)
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+case class ContractDeployBlock(node: TxNode) extends Block {
+  val btype = "contract_deploy"
+  val nodes = Seq(node)
+  val children: Seq[Block] = Nil
+  val failed = false
+  def withChildren(cs: Seq[Block]): Block = this
+}
+
+/** Typed protocol blocks produced by matchers (G6/G7). */
+case class JettonTransferBlock(
+    sender: Option[String], senderWallet: String,
+    receiver: Option[String], receiverWallet: Option[String],
+    amount: BigDecimal, comment: Option[String],
+    failed: Boolean, nodes: Seq[TxNode],
+    children: Seq[Block]) extends Block {
+  val btype = "jetton_transfer"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+case class JettonBurnBlock(
+    owner: Option[String], ownerWallet: String, amount: BigDecimal,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "jetton_burn"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+case class NftTransferBlock(
+    oldOwner: Option[String], newOwner: Option[String], nftItem: String,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "nft_transfer"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+/** Terminal fallback (G9, block_tree_serializer.py:1564-1587). */
+case class UnknownBlock(nodes: Seq[TxNode]) extends Block {
+  val btype = "unknown"
+  val children: Seq[Block] = Nil
+  val failed = false
+  def withChildren(cs: Seq[Block]): Block = this
+}
+
+object Seeder {
+
+  /** G3b: one seed block per tree node, with the reference's failure
+    * heuristics (basic_blocks.py:56-64,88-89) and ContractDeploy children
+    * on uninit→active transitions (:69-71,91-93). */
+  def seed(node: TxNode): Block = {
+    val tx = node.tx
+    val in = node.inMsg
+    val children = node.children.map(seed) ++ deployChild(node)
+    if (tx.descr == "tick_tock") {
+      TickTockBlock(node, children)
+    } else {
+      val op = in.flatMap(_.opcode)
+      val isTransfer = in.nonEmpty &&
+        (op.isEmpty || op.contains(Opcodes.TextComment) ||
+          Opcodes.matches(op, Opcodes.EncryptedComment)) &&
+        in.exists(m => m.source.nonEmpty && m.destination.nonEmpty)
+      if (isTransfer) {
+        val bounced = in.exists(_.bounced)
+        // bounced ⇒ failed; but uninit destination / no_gas ⇒ not failed
+        val failed = (tx.aborted || bounced) &&
+          !(tx.endStatus != "active" && tx.origStatus != "active") &&
+          !tx.computeExitCode.exists(_ == -14)
+        val encrypted = Opcodes.matches(op, Opcodes.EncryptedComment)
+        TonTransferBlock(node, failed, comment = None, encrypted, children)
+      } else {
+        val hasValue = in.exists(_.value > 0)
+        // failed call with no value attached ⇒ not failed (basic_blocks.py:88-89)
+        val failed = tx.aborted && hasValue
+        CallContractBlock(node, failed, children)
+      }
+    }
+  }
+
+  private def deployChild(node: TxNode): Seq[Block] = {
+    val tx = node.tx
+    if (tx.endStatus == "active" && tx.origStatus != "active"
+        && tx.origStatus != "frozen") Seq(ContractDeployBlock(node))
+    else Nil
+  }
+
+  def seedTrace(roots: Seq[TxNode]): RootBlock = RootBlock(roots.map(seed))
+}

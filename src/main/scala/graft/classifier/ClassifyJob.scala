@@ -1,0 +1,85 @@
+package graft.classifier
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark integration of the classifier (SURVEY §3.3 Spark shape):
+  * traces ⋈ transactions ⋈ messages → groupByKey(trace_id) →
+  * flatMapGroups(classify) → actions. The reference's Redis interface
+  * repository becomes a pre-joined per-trace map (no IO inside matchers).
+  *
+  * Scale: one shuffle on trace_id; per-group work is bounded by the
+  * 4000-node big-trace cutoff, so no group can straggle unboundedly.
+  */
+/** Flattened tx⟕msg row for the trace-group encoder (must be visible to
+  * Catalyst codegen — do not make private). */
+case class ClassifyInputRow(
+      trace_id: String, hash: String, account: String, lt: Long, now: Int,
+      orig_status: String, end_status: String, aborted: Boolean,
+      compute_exit_code: Option[Int], action_result_code: Option[Int],
+      total_fees: Long, descr: String,
+      msg_hash: Option[String], direction: Option[String],
+      source: Option[String], destination: Option[String],
+      value: Option[Long], opcode: Option[Long],
+    bounce: Option[Boolean], bounced: Option[Boolean],
+    created_lt: Option[Long])
+
+object ClassifyJob {
+
+  /** transactions(+trace_id) ⟕ messages → actions DataFrame. */
+  def run(spark: SparkSession, txs: DataFrame, messages: DataFrame): Dataset[ActionRow] = {
+    import spark.implicits._
+    val joined = txs.select(
+        col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
+        coalesce(col("orig_status"), lit("active")).as("orig_status"),
+        coalesce(col("end_status"), lit("active")).as("end_status"),
+        coalesce(col("aborted"), lit(false)).as("aborted"),
+        col("compute_exit_code"), col("action_result_code"),
+        coalesce(col("total_fees"), lit(0L)).as("total_fees"),
+        coalesce(col("descr"), lit("ord")).as("descr"))
+      .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
+        col("direction"), col("source"), col("destination"), col("value"),
+        col("opcode"), col("bounce"), col("bounced"), col("created_lt")),
+        Seq("hash"), "left")
+      .as[ClassifyInputRow]
+
+    joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
+      val buf = rows.toSeq
+      val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
+        val r = rs.head
+        TxLite(h, r.account, r.lt, r.now, r.orig_status, r.end_status,
+          r.aborted, r.compute_exit_code, r.action_result_code,
+          r.total_fees, r.descr)
+      }.toSeq
+      val msgsByTx: Map[String, Seq[MsgLite]] = buf
+        .filter(_.msg_hash.isDefined)
+        .groupBy(_.hash)
+        .map { case (h, rs) =>
+          h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
+            r.source, r.destination, r.value.getOrElse(0L), r.opcode,
+            r.bounce.getOrElse(false), r.bounced.getOrElse(false),
+            r.created_lt, None))
+        }
+      Classifier.classify(traceId, txsOf, msgsByTx).iterator
+    }
+  }
+
+  /** Exploded action_accounts from an actions Dataset (denormalized
+    * pagination fact, SURVEY §1.4). */
+  def actionAccounts(spark: SparkSession, actions: Dataset[ActionRow]): DataFrame = {
+    import spark.implicits._
+    val traceEnds = actions.groupBy("trace_id")
+      .agg(max("end_lt").as("trace_end_lt"), max("end_utime").as("trace_end_utime"))
+    actions.toDF()
+      .select(col("action_id"), col("trace_id"),
+        explode(array_distinct(concat(
+          coalesce(array(col("source")), array()),
+          coalesce(array(col("destination")), array()))))
+          .as("account"),
+        col("end_lt").as("action_end_lt"), col("end_utime").as("action_end_utime"))
+      .filter(col("account").isNotNull)
+      .join(traceEnds, Seq("trace_id"))
+      .select("action_id", "trace_id", "account", "trace_end_lt",
+        "action_end_lt", "trace_end_utime", "action_end_utime")
+  }
+}

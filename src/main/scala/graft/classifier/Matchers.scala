@@ -1,0 +1,219 @@
+package graft.classifier
+
+/** Matcher combinator DSL (G5 — reference grammar:
+  * indexer/indexer/events/blocks/basic_matchers.py:12-250). A matcher
+  * tests a block and optionally consumes a pattern of its descendants;
+  * on success the engine replaces the matched sub-forest with one typed
+  * block (G7 tree rewrite, core.py:182-268).
+  *
+  * Pure library code executed inside flatMapGroups — deliberately NOT a
+  * Catalyst concern (per-trace data is small; the reference caps traces
+  * at 4000 nodes).
+  */
+object Matching {
+
+  /** A pattern over one block: returns the list of blocks it consumed
+    * (itself + matched descendants), or None. */
+  trait Pattern { self =>
+    def apply(b: Block): Option[Seq[Block]]
+
+    def or(other: Pattern): Pattern = (b: Block) =>
+      self(b).orElse(other(b))
+  }
+
+  /** Matches a CallContractBlock with the given opcode. */
+  def contract(opcode: Long, child: Option[Pattern] = None,
+      optional: Boolean = false): Pattern = { (b: Block) =>
+    b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, opcode) =>
+        child match {
+          case None => Some(Seq(b))
+          case Some(p) =>
+            val hit = c.children.iterator.map(p.apply).collectFirst {
+              case Some(consumed) => consumed
+            }
+            hit match {
+              case Some(consumed) => Some(b +: consumed)
+              case None => if (childOptional(p)) Some(Seq(b)) else None
+            }
+        }
+      case _ => None
+    }
+  }
+
+  /** Matches any block of a given btype (post-rewrite matching —
+    * BlockTypeMatcher). */
+  def blockType(t: String): Pattern = (b: Block) =>
+    if (b.btype == t) Some(Seq(b)) else None
+
+  /** Generic predicate matcher. */
+  def generic(pred: Block => Boolean): Pattern = (b: Block) =>
+    if (pred(b)) Some(Seq(b)) else None
+
+  /** Optional wrapper: marks a child pattern as non-mandatory. */
+  final case class OptionalPattern(inner: Pattern) extends Pattern {
+    def apply(b: Block): Option[Seq[Block]] = inner(b)
+  }
+  def optional(p: Pattern): Pattern = OptionalPattern(p)
+  private def childOptional(p: Pattern): Boolean = p.isInstanceOf[OptionalPattern]
+
+  /** Match a sequence of child patterns against a block's children:
+    * every non-optional pattern must match a distinct child (in order of
+    * the children). Returns consumed blocks. */
+  def matchChildren(b: Block, patterns: Seq[Pattern]): Option[Seq[Block]] = {
+    var remaining = b.children
+    val consumed = scala.collection.mutable.ArrayBuffer[Block]()
+    for (p <- patterns) {
+      remaining.iterator.map(c => (c, p(c))).collectFirst {
+        case (c, Some(got)) => (c, got)
+      } match {
+        case Some((c, got)) =>
+          consumed ++= got
+          remaining = remaining.filterNot(_ eq c)
+        case None =>
+          if (!childOptional(p)) return None
+      }
+    }
+    Some(consumed.toSeq)
+  }
+
+  /** A rewriting matcher: when `build` returns a typed block for some node
+    * in the tree, the consumed blocks are removed and replaced by it. */
+  trait BlockMatcher {
+    /** Try to build a typed block rooted at `b`; return (newBlock,
+      * consumedBlocks) on success. Consumed must include `b`. */
+    def tryBuild(b: Block): Option[(Block, Seq[Block])]
+  }
+
+  /** One rewrite sweep (registry order matters — later matchers see
+    * earlier matchers' output blocks, event_processing.py:313-329). */
+  def rewrite(root: RootBlock, matchers: Seq[BlockMatcher]): RootBlock = {
+    var current: RootBlock = root
+    for (m <- matchers) {
+      var changed = true
+      while (changed) {
+        changed = false
+        current.bfs.drop(1).iterator
+          .map(b => (b, m.tryBuild(b))).collectFirst {
+            case (b, Some((nb, consumed))) => (b, nb, consumed)
+          } match {
+          case Some((at, built, consumed)) =>
+            current = replace(current, at, built, consumed.toSet)
+            changed = true
+          case None =>
+        }
+      }
+    }
+    current
+  }
+
+  /** Replace `at` with `built`; drop all other consumed blocks; surviving
+    * children of consumed blocks are adopted by `built` (compact_connections
+    * semantics, core.py:232-268). */
+  private def replace(root: RootBlock, at: Block, built: Block,
+      consumed: Set[Block]): RootBlock = {
+    def orphansOf(b: Block): Seq[Block] =
+      b.children.flatMap { c =>
+        if (consumed.contains(c)) orphansOf(c)
+        else Seq(rebuild(c))
+      }
+    def rebuild(b: Block): Block = b.withChildren(orphansOf(b))
+    def walk(b: Block): Seq[Block] =
+      if (b eq at) Seq(built.withChildren(built.children ++ orphansOf(at)))
+      else if (consumed.contains(b)) b.children.flatMap(walk)
+      else Seq(b.withChildren(b.children.flatMap(walk)))
+    RootBlock(root.children.flatMap(walk))
+  }
+}
+
+/** Protocol matchers (G6) on the opcode level. TL-B body decoding (F5)
+  * refines amounts/owners when bodies are present; the opcode-chain
+  * topology is what identifies the protocol (reference anatomy:
+  * indexer/indexer/events/blocks/jettons.py:41-109). */
+object ProtocolMatchers {
+  import Matching._
+
+  /** jetton transfer: 0x0f8a7ea5 → internal_transfer 0x178d4519 →
+    * optional notify 0x7362d09c, optional excesses 0xd53276db. */
+  object JettonTransferMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) =>
+        val internalP = contract(Opcodes.JettonInternalTransfer)
+        val internal = c.children.collectFirst {
+          case ic: CallContractBlock
+            if Opcodes.matches(ic.opcode, Opcodes.JettonInternalTransfer) => ic
+        }
+        internal match {
+          case Some(ic) =>
+            val extras = ic.children.filter {
+              case cc: CallContractBlock =>
+                Opcodes.matches(cc.opcode, Opcodes.JettonNotify) ||
+                  Opcodes.matches(cc.opcode, Opcodes.Excesses)
+              case _ => false
+            }
+            val consumed = Seq(c, ic) ++ extras
+            val senderWallet = c.nodes.head.tx.account
+            val receiverWallet = Some(ic.nodes.head.tx.account)
+            val sender = c.nodes.head.inMsg.flatMap(_.source)
+            val notify = extras.collectFirst {
+              case cc: CallContractBlock
+                if Opcodes.matches(cc.opcode, Opcodes.JettonNotify) => cc
+            }
+            val receiver = notify.flatMap(_.nodes.head.inMsg.flatMap(_.destination))
+            val failed = consumed.exists(_.failed)
+            val nodes = consumed.flatMap(_.nodes)
+            Some((JettonTransferBlock(sender, senderWallet, receiver,
+              receiverWallet, BigDecimal(0), None, failed, nodes, Nil), consumed))
+          case None => None
+        }
+      case _ => None
+    }
+  }
+
+  /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de. */
+  object JettonBurnMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonBurn) =>
+        val notif = c.children.collect {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.JettonBurnNotification) => cc
+        }
+        val consumed = c +: notif
+        Some((JettonBurnBlock(
+          c.nodes.head.inMsg.flatMap(_.source),
+          c.nodes.head.tx.account, BigDecimal(0),
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+      case _ => None
+    }
+  }
+
+  /** NFT transfer: 0x5fcc3d14 → optional ownership_assigned 0x05138d91,
+    * optional excesses. */
+  object NftTransferMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.NftTransfer) =>
+        val extras = c.children.filter {
+          case cc: CallContractBlock =>
+            Opcodes.matches(cc.opcode, Opcodes.NftOwnershipAssigned) ||
+              Opcodes.matches(cc.opcode, Opcodes.Excesses)
+          case _ => false
+        }
+        val consumed = c +: extras
+        val newOwner = extras.collectFirst {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.NftOwnershipAssigned) =>
+            cc.nodes.head.inMsg.flatMap(_.destination)
+        }.flatten
+        Some((NftTransferBlock(
+          c.nodes.head.inMsg.flatMap(_.source), newOwner,
+          c.nodes.head.tx.account,
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+      case _ => None
+    }
+  }
+
+  /** Registry — order matters (jetton before swap-level matchers, which
+    * would consume jetton_transfer blocks in later rounds). */
+  val registry: Seq[BlockMatcher] =
+    Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher)
+}

@@ -1,0 +1,146 @@
+package graft.classifier
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+
+/** Flat Action row (subset of Schemas.actions used by round-1 matchers). */
+case class ActionRow(
+    trace_id: String,
+    action_id: String,
+    `type`: String,
+    tx_hashes: Seq[String],
+    value: Option[BigDecimal],
+    start_lt: Long, end_lt: Long,
+    start_utime: Long, end_utime: Long,
+    source: Option[String], destination: Option[String],
+    asset: Option[String],
+    opcode: Option[Long],
+    success: Boolean,
+    parent_action_id: Option[String],
+    ancestor_type: Seq[String])
+
+case class ActionAccountRow(
+    action_id: String, trace_id: String, account: String,
+    trace_end_lt: Long, action_end_lt: Long,
+    trace_end_utime: Long, action_end_utime: Long)
+
+/** G8/G9: block tree → typed Action rows with parent links + ancestor
+  * suppression metadata, plus the fallback ladder (reference:
+  * indexer/indexer/events/block_tree_serializer.py:1292-1587,
+  * trace_processor.py:29-77).
+  */
+object Serializer {
+
+  /** action_id = base64(sha256(anchor_msg_hash ∥ btype))
+    * (_calc_action_id, block_tree_serializer.py:99-108). */
+  def actionId(anchorMsgHash: String, btype: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(anchorMsgHash.getBytes(StandardCharsets.UTF_8))
+    md.update(btype.getBytes(StandardCharsets.UTF_8))
+    Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** Leaf action types a v1 client understands (v1_ops — children of these
+    * are still emitted but carry ancestor_type for suppression, P8). */
+  private val emittedTypes: Set[String] = Set(
+    "ton_transfer", "call_contract", "contract_deploy", "tick_tock",
+    "jetton_transfer", "jetton_burn", "nft_transfer", "unknown")
+
+  def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
+    val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
+    def walk(b: Block, parent: Option[ActionRow], ancestors: List[String]): Unit = {
+      if (b.btype == "root") { b.children.foreach(walk(_, parent, ancestors)); return }
+      val emit = emittedTypes.contains(b.btype)
+      val row = if (emit) {
+        val r = toRow(traceId, b, parent, ancestors)
+        out += r
+        Some(r)
+      } else None
+      val nextAnc = if (emit) b.btype :: ancestors else ancestors
+      b.children.foreach(walk(_, row.orElse(parent), nextAnc))
+    }
+    walk(root, None, Nil)
+    out.toSeq
+  }
+
+  private def toRow(traceId: String, b: Block, parent: Option[ActionRow],
+      ancestors: List[String]): ActionRow = {
+    val anchor = b.anchorMsgHash
+    val (src, dst, asset, value) = b match {
+      case t: TonTransferBlock =>
+        val m = t.node.inMsg
+        (m.flatMap(_.source), m.flatMap(_.destination), None,
+          m.map(mm => BigDecimal(mm.value)))
+      case c: CallContractBlock =>
+        val m = c.node.inMsg
+        (m.flatMap(_.source), m.flatMap(_.destination), None,
+          m.map(mm => BigDecimal(mm.value)))
+      case j: JettonTransferBlock =>
+        (j.sender, j.receiver, Some(j.senderWallet), Some(j.amount))
+      case j: JettonBurnBlock =>
+        (j.owner, None, Some(j.ownerWallet), Some(j.amount))
+      case n: NftTransferBlock =>
+        (n.oldOwner, n.newOwner, Some(n.nftItem), None)
+      case d: ContractDeployBlock =>
+        (None, Some(d.node.tx.account), None, None)
+      case _ => (None, None, None, None)
+    }
+    val opcode = b match {
+      case c: CallContractBlock => c.opcode
+      case _ => b.nodes.headOption.flatMap(_.inMsg).flatMap(_.opcode)
+    }
+    ActionRow(traceId, actionId(anchor, b.btype), b.btype,
+      b.txHashes, value, b.minLt, b.maxLt, b.minUtime, b.maxUtime,
+      src, dst, asset, opcode, success = !b.failed,
+      parent.map(_.action_id), ancestors.reverse)
+  }
+
+  /** Exploded (account × action) rows (action_accounts, migrate.cpp:589-599). */
+  def actionAccounts(actions: Seq[ActionRow], traceEndLt: Long,
+      traceEndUtime: Long, accountsOf: String => Seq[String]): Seq[ActionAccountRow] =
+    for {
+      a <- actions
+      acct <- (accountsOf(a.action_id) ++ a.source ++ a.destination).distinct
+    } yield ActionAccountRow(a.action_id, a.trace_id, acct,
+      traceEndLt, a.end_lt, traceEndUtime, a.end_utime)
+}
+
+/** End-to-end per-trace classification with the G9 fallback ladder. */
+object Classifier {
+
+  val BigTraceCutoff = 4000 // event_classifier.py:405 — semantic, keep
+
+  /** txs+msgs of one trace → actions. Ladder: full matcher sweep; on
+    * failure, basic (seed-only) actions; terminally one `unknown` action. */
+  def classify(traceId: String, txs: Seq[TxLite],
+      msgsByTx: Map[String, Seq[MsgLite]]): Seq[ActionRow] = {
+    val allMsgs = msgsByTx.values.flatten.toSeq
+    if (txs.size > BigTraceCutoff)
+      return Seq(unknownAction(traceId, txs))
+    try {
+      val forest = TxTree.build(txs, allMsgs, msgsByTx)
+      val seeded = Seeder.seedTrace(forest)
+      val rewritten = Matching.rewrite(seeded, ProtocolMatchers.registry)
+      val actions = Serializer.serialize(traceId, rewritten)
+      if (actions.nonEmpty) actions else Seq(unknownAction(traceId, txs))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        try {
+          val forest = TxTree.build(txs, allMsgs, msgsByTx)
+          Serializer.serialize(traceId, Seeder.seedTrace(forest))
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq(unknownAction(traceId, txs))
+        }
+    }
+  }
+
+  /** Single unknown action spanning the whole trace
+    * (create_unknown_action, block_tree_serializer.py:1564-1587). */
+  def unknownAction(traceId: String, txs: Seq[TxLite]): ActionRow =
+    ActionRow(traceId, Serializer.actionId(traceId, "unknown"), "unknown",
+      txs.map(_.hash), None,
+      txs.map(_.lt).min, txs.map(_.lt).max,
+      txs.map(_.now.toLong).min, txs.map(_.now.toLong).max,
+      None, None, None, None, success = false, None, Nil)
+}

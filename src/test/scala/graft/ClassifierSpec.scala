@@ -1,0 +1,115 @@
+package graft
+
+import graft.classifier._
+
+class ClassifierSpec extends SparkSpec {
+
+  private def tx(hash: String, account: String, lt: Long,
+      orig: String = "active", end: String = "active",
+      aborted: Boolean = false, descr: String = "ord"): TxLite =
+    TxLite(hash, account, lt, lt.toInt, orig, end, aborted, None, None, 0L, descr)
+
+  private def in(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, bounced: Boolean = false): MsgLite =
+    MsgLite(h, "in", Option(src), Option(dst), value, op, bounce = false,
+      bounced = bounced, Some(1L), None)
+
+  private def out(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100): MsgLite =
+    MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(2L), None)
+
+  test("plain ton transfer classifies as ton_transfer") {
+    val actions = Classifier.classify("tr1",
+      Seq(tx("T1", "0:B", 10)),
+      Map("T1" -> Seq(in("m1", "0:A", "0:B", None))))
+    assert(actions.map(_.`type`) == Seq("ton_transfer"))
+    assert(actions.head.success)
+    assert(actions.head.source.contains("0:A"))
+    assert(actions.head.value.contains(BigDecimal(100)))
+  }
+
+  test("jetton transfer opcode chain merges into one jetton_transfer action") {
+    // owner -> (0x0f8a7ea5) walletA -> (0x178d4519) walletB -> notify owner2 + excesses
+    val txs = Seq(
+      tx("TW1", "0:WALLET_A", 10),
+      tx("TW2", "0:WALLET_B", 20),
+      tx("TN", "0:OWNER_B", 30),
+      tx("TE", "0:OWNER_A", 40))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:OWNER_A", "0:WALLET_A", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WALLET_A", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WALLET_A", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WALLET_B", "0:OWNER_B", Some(Opcodes.JettonNotify)),
+        out("m4", "0:WALLET_B", "0:OWNER_A", Some(Opcodes.Excesses))),
+      "TN" -> Seq(in("m3", "0:WALLET_B", "0:OWNER_B", Some(Opcodes.JettonNotify))),
+      "TE" -> Seq(in("m4", "0:WALLET_B", "0:OWNER_A", Some(Opcodes.Excesses))))
+    val actions = Classifier.classify("tr2", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_transfer"))
+    val a = actions.head
+    assert(a.source.contains("0:OWNER_A"))
+    assert(a.destination.contains("0:OWNER_B"))
+    assert(a.asset.contains("0:WALLET_A"))
+    assert(a.tx_hashes.toSet == Set("TW1", "TW2", "TN", "TE"))
+    assert(a.success)
+  }
+
+  test("contract deploy is attached as a child action with ancestor metadata") {
+    val actions = Classifier.classify("tr3",
+      Seq(tx("T1", "0:NEW", 10, orig = "uninit", end = "active")),
+      Map("T1" -> Seq(in("m1", "0:A", "0:NEW", Some(0x12345678L)))))
+    val types = actions.map(_.`type`).sorted
+    assert(types == Seq("call_contract", "contract_deploy"))
+    val deploy = actions.find(_.`type` == "contract_deploy").get
+    val call = actions.find(_.`type` == "call_contract").get
+    assert(deploy.parent_action_id.contains(call.action_id))
+    assert(deploy.ancestor_type == Seq("call_contract"))
+  }
+
+  test("bounced transfer to active account is failed; to uninit is not") {
+    val bounced = Classifier.classify("tr4",
+      Seq(tx("T1", "0:B", 10, aborted = true)),
+      Map("T1" -> Seq(in("m1", "0:A", "0:B", None, bounced = true))))
+    assert(!bounced.head.success)
+    val toUninit = Classifier.classify("tr5",
+      Seq(tx("T1", "0:B", 10, orig = "uninit", end = "uninit", aborted = true)),
+      Map("T1" -> Seq(in("m1", "0:A", "0:B", None))))
+    assert(toUninit.exists(a => a.`type` == "ton_transfer" && a.success))
+  }
+
+  test("big trace collapses to a single unknown action") {
+    val txs = (1 to 4001).map(i => tx(s"T$i", "0:X", i.toLong))
+    val actions = Classifier.classify("tr6", txs, Map.empty)
+    assert(actions.map(_.`type`) == Seq("unknown"))
+    assert(actions.head.tx_hashes.size == 4001)
+  }
+
+  test("action ids are deterministic and unique per (anchor, type)") {
+    val a1 = Serializer.actionId("msgX", "jetton_transfer")
+    val a2 = Serializer.actionId("msgX", "jetton_transfer")
+    val a3 = Serializer.actionId("msgX", "ton_transfer")
+    assert(a1 == a2 && a1 != a3 && a1.length == 44)
+  }
+
+  test("ClassifyJob runs the classifier through flatMapGroups on DataFrames") {
+    import spark.implicits._
+    val txs = Seq(
+      ("tr1", "T1", "0:B", 10L, 10, "active", "active", false,
+        Option.empty[Int], Option.empty[Int], 0L, "ord"))
+      .toDF("trace_id", "hash", "account", "lt", "now", "orig_status",
+        "end_status", "aborted", "compute_exit_code", "action_result_code",
+        "total_fees", "descr")
+    val msgs = Seq(
+      ("m1", "T1", "in", Some("0:A"), Some("0:B"), Some(500L),
+        Option.empty[Long], Some(false), Some(false), Some(1L)))
+      .toDF("msg_hash", "tx_hash", "direction", "source", "destination",
+        "value", "opcode", "bounce", "bounced", "created_lt")
+    val actions = ClassifyJob.run(spark, txs, msgs).collect()
+    assert(actions.map(_.`type`).toSeq == Seq("ton_transfer"))
+    val aa = ClassifyJob.actionAccounts(spark,
+      ClassifyJob.run(spark, txs, msgs)).collect()
+    assert(aa.map(_.getAs[String]("account")).toSet == Set("0:A", "0:B"))
+  }
+}
