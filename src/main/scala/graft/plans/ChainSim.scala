@@ -1,0 +1,125 @@
+package graft.plans
+
+import graft.{Q, Tables => T}
+import graft.classifier.ClassifyJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic blockchain-shaped projection of the `events` table, used
+  * to drive the full ingest pipeline (trace assembly → classification)
+  * through the driver's gate: each user's event stream becomes a message
+  * chain (first event = external message, later events = internal
+  * messages from the previous transaction), so every pipeline output is
+  * independently derivable in SQL — the oracle states the expected result
+  * by construction, the engine must reproduce it through the real
+  * assembler + classifier code path.
+  *
+  * Event-type mapping: purchase/signup → comment-less transfer (opcode
+  * null); click/view/error → contract calls (opcodes 1/2/3); signup
+  * additionally deploys (orig_status uninit → active).
+  */
+object ChainSim {
+
+  /** events → (transactions, messages) in the blockchain schema subset the
+    * assembler/classifier consume. */
+  def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = T.events(spark, dir)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
+      .localCheckpoint() // reused by both outputs; cheap at this width
+
+    val txs = ev.select(
+      concat(lit("T"), col("event_id").cast("string")).as("hash"),
+      col("acct").as("account"),
+      col("event_id").as("lt"),
+      col("event_id").cast("int").as("now"),
+      lit(100).as("mc_block_seqno"),
+      when(col("event_type") === "signup", "uninit").otherwise("active")
+        .as("orig_status"),
+      lit("active").as("end_status"),
+      lit(false).as("aborted"),
+      lit(null).cast("int").as("compute_exit_code"),
+      lit(null).cast("int").as("action_result_code"),
+      lit(0L).as("total_fees"),
+      lit("ord").as("descr"))
+
+    val opcode = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "view", 2L)
+      .when(col("event_type") === "error", 3L)
+      .otherwise(lit(null).cast("long"))
+
+    val inMsgs = ev.select(
+      concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
+      concat(lit("T"), col("event_id").cast("string")).as("tx_hash"),
+      lit("in").as("direction"),
+      when(col("prev_id").isNull, lit(null).cast("string"))
+        .otherwise(col("acct")).as("source"),
+      col("acct").as("destination"),
+      (col("value") * 100).cast("long").as("value"),
+      opcode.as("opcode"),
+      lit(false).as("bounce"), lit(false).as("bounced"),
+      col("event_id").as("created_lt"))
+
+    val outMsgs = ev.filter(col("prev_id").isNotNull).select(
+      concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
+      concat(lit("T"), col("prev_id").cast("string")).as("tx_hash"),
+      lit("out").as("direction"),
+      col("acct").as("source"),
+      col("acct").as("destination"),
+      (col("value") * 100).cast("long").as("value"),
+      opcode.as("opcode"),
+      lit(false).as("bounce"), lit(false).as("bounced"),
+      col("event_id").as("created_lt"))
+
+    (txs, inMsgs.unionByName(outMsgs))
+  }
+
+  /** Full pipeline stage 1: trace assembly over the simulated chain.
+    * The oracle derives every trace column from the chain construction. */
+  val b01 = Q("b01_trace_assembly",
+    """SELECT concat('T', min(event_id)) AS trace_id, count(*) AS nodes_,
+      |  count(*) AS edges_, 0 AS pending_edges_, 'complete' AS state,
+      |  min(event_id) AS start_lt, max(event_id) AS end_lt,
+      |  concat('m', min(event_id)) AS external_hash
+      |FROM events GROUP BY user_id ORDER BY trace_id""".stripMargin) { (s, dir) =>
+    val (txs, msgs) = simulate(s, dir)
+    val (traces, _, _) = TraceAssembly.assemble(txs, msgs)
+    traces.select(
+        col("trace_id"), col("nodes_"), col("edges_"),
+        col("pending_edges_").cast("int").as("pending_edges_"), col("state"),
+        col("start_lt"), col("end_lt"), col("external_hash"))
+      .orderBy("trace_id")
+  }
+
+  /** Full pipeline stage 2: assembly + classification; expected actions
+    * are stated by construction in the oracle. */
+  val b02 = Q("b02_classify_actions",
+    """WITH firsts AS (SELECT user_id, min(event_id) AS fid
+      |               FROM events GROUP BY user_id)
+      |SELECT concat('T', fid) AS trace_id,
+      |  CASE WHEN e.event_id = fid THEN 'call_contract'
+      |       WHEN e.event_type IN ('purchase', 'signup') THEN 'ton_transfer'
+      |       ELSE 'call_contract' END AS type,
+      |  e.event_id AS start_lt, true AS success,
+      |  CASE WHEN e.event_id = fid THEN NULL
+      |       ELSE concat('0:', e.user_id) END AS source,
+      |  concat('0:', e.user_id) AS destination
+      |FROM events e JOIN firsts f ON e.user_id = f.user_id
+      |UNION ALL
+      |SELECT concat('T', fid), 'contract_deploy', e.event_id, true,
+      |  NULL, concat('0:', e.user_id)
+      |FROM events e JOIN firsts f ON e.user_id = f.user_id
+      |WHERE e.event_type = 'signup'
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    val (txs, msgs) = simulate(s, dir)
+    val (_, _, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+    ClassifyJob.run(s, txsWithTrace, msgs).toDF()
+      .select(col("trace_id"), col("type"), col("start_lt"), col("success"),
+        col("source"), col("destination"))
+      .orderBy("start_lt", "type")
+  }
+
+  val all: Seq[Q] = Seq(b01, b02)
+}
