@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.plans.TraceAssembly
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (micro-batch) trace assembly — the streaming form of
+  * TraceAssembly, mirroring the reference's stateful builder + snapshot
+  * lifecycle (TraceAssembler.cpp:53-128 state persistence;
+  * IndexScheduler.cpp:173-208 restore-with-backtrack).
+  *
+  * State = the open working set: transactions/messages of traces that are
+  * not yet complete (pending out-messages or broken edges that newer
+  * blocks might still resolve). Each micro-batch unions the new rows with
+  * the open set, re-assembles that closed universe with the batch
+  * assembler (identical semantics by construction — T5's exactly-once
+  * equivalence), emits traces that completed, and carries the rest.
+  *
+  * The open set is bounded by in-flight trace size, not by history —
+  * the reference bounds the same state with its 50-block backtrack.
+  * State snapshots go to `checkpointDir` as parquet (the .tastate
+  * analogue); `restore()` resumes after a crash.
+  */
+class IncrementalTraceAssembly(spark: SparkSession,
+    checkpointDir: Option[String] = None) {
+
+  import TraceAssembly.assemble
+
+  private var openTxs: Option[DataFrame] = None
+  private var openMsgs: Option[DataFrame] = None
+  @volatile var completedCount: Long = 0L
+
+  private def unionOpt(a: Option[DataFrame], b: DataFrame): DataFrame =
+    a.map(_.unionByName(b)).getOrElse(b)
+
+  /** Process one micro-batch; returns the traces that COMPLETED in this
+    * batch (with their final metadata). */
+  def processBatch(txs: DataFrame, msgs: DataFrame): DataFrame = {
+    val allTxs = unionOpt(openTxs, txs)
+      .dropDuplicates("hash").localCheckpoint()
+    val allMsgs = unionOpt(openMsgs, msgs)
+      .dropDuplicates("msg_hash", "tx_hash", "direction").localCheckpoint()
+
+    val (traces, _, txsWithTrace) = assemble(allTxs, allMsgs)
+    val tracesC = traces.localCheckpoint()
+
+    val done = tracesC.filter(col("state") === "complete")
+    val open = tracesC.filter(col("state") =!= "complete")
+      .select(col("trace_id"))
+
+    // carry only rows belonging to still-open traces
+    val openTxKeys = txsWithTrace
+      .join(open, Seq("trace_id"), "left_semi")
+      .localCheckpoint()
+    openTxs = Some(openTxKeys.drop("trace_id"))
+    openMsgs = Some(allMsgs.join(
+        openTxKeys.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi")
+      .localCheckpoint())
+
+    completedCount += done.count()
+    checkpointDir.foreach(snapshot)
+    done
+  }
+
+  /** Persist the open working set (the .tastate analogue). */
+  private def snapshot(dir: String): Unit = {
+    openTxs.foreach(_.write.mode("overwrite").parquet(s"$dir/open_txs"))
+    openMsgs.foreach(_.write.mode("overwrite").parquet(s"$dir/open_msgs"))
+  }
+
+  /** Restore the open set after restart. */
+  def restore(): Boolean = checkpointDir.exists { dir =>
+    try {
+      openTxs = Some(spark.read.parquet(s"$dir/open_txs"))
+      openMsgs = Some(spark.read.parquet(s"$dir/open_msgs"))
+      true
+    } catch { case _: Exception => false }
+  }
+
+  /** Traces still open (pending/broken) at the current point. */
+  def openTraces(): DataFrame = (openTxs, openMsgs) match {
+    case (Some(t), Some(m)) => TraceAssembly.assemble(t, m)._1
+    case _ =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.Schemas.traces)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.10, M5):
+  *  - append-log ingestion from a file source (S1/S7 analogue)
+  *  - latest-state upsert via flatMapGroupsWithState (S4 streaming form)
+  *  - finality-ladder annotation + subscription predicate routing (S9/T7)
+  */
+object StreamOps {
+
+  /** Account-state update (subset of latest_account_states). */
+  case class StateUpdate(account: String, last_trans_lt: Long, balance: Long)
+
+  /** readStream over a parquet directory with an explicit schema —
+    * streaming never infers schemas (§1.3). */
+  def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // T4 backpressure
+      .parquet(dir)
+
+  /** S4 streaming upsert: keep the max-lt state per account across
+    * micro-batches (ON CONFLICT ... WHERE last_trans_lt < EXCLUDED
+    * semantics, InsertManagerPostgres.cpp:2423-2431). Emits the winning
+    * row per account per batch it changes. */
+  def latestState(updates: Dataset[StateUpdate]): Dataset[StateUpdate] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.account)
+      .flatMapGroupsWithState[StateUpdate, StateUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[StateUpdate], state: GroupState[StateUpdate]) =>
+          val newest = rows.foldLeft(state.getOption.orNull) { (best, r) =>
+            if (best == null || r.last_trans_lt > best.last_trans_lt) r else best
+          }
+          if (newest == null) Iterator.empty
+          else {
+            val changed = state.getOption.forall(_.last_trans_lt < newest.last_trans_lt)
+            if (changed) { state.update(newest); Iterator.single(newest) }
+            else Iterator.empty
+          }
+      }
+  }
+
+  /** T7 finality ladder: annotate rows with a finality level and filter by
+    * a subscriber's minimum (pending=0 < confirmed=1 < signed=2 <
+    * finalized=3; ton-streaming-go/v2/server.go:108-124). */
+  val finalityLevels = Map(
+    "pending" -> 0, "confirmed" -> 1, "signed" -> 2, "finalized" -> 3)
+
+  def withFinality(df: DataFrame, finalityCol: String): DataFrame = {
+    val m = map(finalityLevels.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }.toSeq: _*)
+    df.withColumn("finality_level", element_at(m, col(finalityCol)))
+  }
+
+  def subscription(df: DataFrame, minFinality: String,
+      accounts: Seq[String] = Nil, accountCol: String = "account"): DataFrame = {
+    val base = withFinality(df, "finality")
+      .filter(col("finality_level") >= finalityLevels(minFinality))
+    if (accounts.isEmpty) base
+    else base.filter(col(accountCol).isin(accounts: _*))
+  }
+
+  /** S10: federate a pending/emulated source with finalized tables —
+    * same schema, `finality` column distinguishes; union is by name. */
+  def federate(finalized: DataFrame, pending: DataFrame): DataFrame =
+    finalized.withColumn("finality", lit("finalized"))
+      .unionByName(pending.withColumn("finality", lit("pending")))
+
+  /** Windowed streaming aggregation with a watermark (engine capability
+    * beyond the reference's no-window semantics, T3). */
+  def windowedCounts(events: DataFrame, tsCol: String,
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.plans.TraceAssembly
+import graft.streaming.{IncrementalTraceAssembly, StreamOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+
+  private val txSchema = StructType(Seq(
+    StructField("hash", StringType), StructField("lt", LongType),
+    StructField("now", IntegerType), StructField("mc_block_seqno", IntegerType),
+    StructField("account", StringType)))
+  private val msgSchema = StructType(Seq(
+    StructField("msg_hash", StringType), StructField("tx_hash", StringType),
+    StructField("direction", StringType), StructField("source", StringType),
+    StructField("destination", StringType)))
+
+  private def txDf(rows: (String, Long)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (h, lt) =>
+      Row(h, lt, lt.toInt, 100, s"0:$h") }: _*), txSchema)
+  private def msgDf(rows: (String, String, String, String, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (m, t, d, s0, d0) =>
+        Row(m, t, d, s0, d0) }: _*), msgSchema)
+
+  test("incremental assembly across micro-batches equals batch assembly") {
+    // trace: ext -> T1 -> m2 -> T2 -> m3 -> T3, arriving in 3 batches
+    val inc = new IncrementalTraceAssembly(spark)
+    val b1 = inc.processBatch(
+      txDf("T1" -> 10L),
+      msgDf(("m1", "T1", "in", null, "0:T1"), ("m2", "T1", "out", "0:T1", "0:T2")))
+    assert(b1.count() == 0, "trace must stay open while m2 is unconsumed")
+    assert(inc.openTraces().filter(col("state") === "pending").count() == 1)
+
+    val b2 = inc.processBatch(
+      txDf("T2" -> 20L),
+      msgDf(("m2", "T2", "in", "0:T1", "0:T2"), ("m3", "T2", "out", "0:T2", "0:T3")))
+    assert(b2.count() == 0)
+
+    val b3 = inc.processBatch(
+      txDf("T3" -> 30L),
+      msgDf(("m3", "T3", "in", "0:T2", "0:T3")))
+    val done = b3.collect()
+    assert(done.length == 1)
+    val t = done.head
+    assert(t.getAs[String]("trace_id") == "T1"
+      && t.getAs[Long]("nodes_") == 3
+      && t.getAs[Long]("start_lt") == 10 && t.getAs[Long]("end_lt") == 30)
+
+    // batch equivalence (T5)
+    val (batchTraces, _, _) = TraceAssembly.assemble(
+      txDf("T1" -> 10L, "T2" -> 20L, "T3" -> 30L),
+      msgDf(("m1", "T1", "in", null, "0:T1"), ("m2", "T1", "out", "0:T1", "0:T2"),
+        ("m2", "T2", "in", "0:T1", "0:T2"), ("m3", "T2", "out", "0:T2", "0:T3"),
+        ("m3", "T3", "in", "0:T2", "0:T3")))
+    val b = batchTraces.filter(col("trace_id") === "T1").collect().head
+    assert(b.getAs[Long]("nodes_") == 3 && b.getAs[String]("state") == "complete")
+  }
+
+  test("incremental assembly snapshots and restores its open set") {
+    val dir = java.nio.file.Files.createTempDirectory("tastate").toString
+    val inc = new IncrementalTraceAssembly(spark, Some(dir))
+    inc.processBatch(
+      txDf("T1" -> 10L),
+      msgDf(("m1", "T1", "in", null, "0:T1"), ("m2", "T1", "out", "0:T1", "0:T2")))
+    val restored = new IncrementalTraceAssembly(spark, Some(dir))
+    assert(restored.restore())
+    val done = restored.processBatch(
+      txDf("T2" -> 20L), msgDf(("m2", "T2", "in", "0:T1", "0:T2")))
+    assert(done.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("T1"))
+  }
+
+  test("streaming latest-state upsert keeps max-lt row per account") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.StateUpdate]
+    val q = StreamOps.latestState(input.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    input.addData(
+      StreamOps.StateUpdate("A", 5L, 100L), StreamOps.StateUpdate("A", 9L, 200L),
+      StreamOps.StateUpdate("B", 1L, 50L))
+    q.processAllAvailable()
+    input.addData(StreamOps.StateUpdate("A", 7L, 999L)) // stale: must be ignored
+    input.addData(StreamOps.StateUpdate("B", 2L, 60L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("latest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // final winning state per account
+    val last = rows.groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+    assert(last("A") == ("A", 9L, 200L))
+    assert(last("B") == ("B", 2L, 60L))
+    assert(!rows.contains(("A", 7L, 999L)), "stale update must not be emitted")
+  }
+
+  test("finality federation and subscription filtering") {
+    import spark.implicits._
+    val finalized = Seq(("T1", "0:A"), ("T2", "0:B")).toDF("hash", "account")
+    val pending = Seq(("T3", "0:A")).toDF("hash", "account")
+    val fed = StreamOps.federate(finalized, pending)
+    assert(fed.count() == 3)
+    val sub = StreamOps.subscription(fed, "confirmed", Seq("0:A"))
+    assert(sub.collect().map(_.getAs[String]("hash")).toSeq == Seq("T1"))
+    val subPending = StreamOps.subscription(fed, "pending", Seq("0:A"))
+    assert(subPending.collect().map(_.getAs[String]("hash")).toSet == Set("T1", "T3"))
+  }
+
+  test("windowed streaming aggregation over the events file stream") {
+    val events = Tables.events(spark, sf)
+    // batch-mode check of the same plan shape (memory-sink smoke)
+    val agg = StreamOps.windowedCounts(events, "ts")
+    val n = agg.agg(sum("n")).collect().head.getLong(0)
+    assert(n == events.count())
+  }
+}
