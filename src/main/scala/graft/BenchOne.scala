@@ -1,0 +1,17 @@
+package graft
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- args) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      println(s"BENCHONE $name rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+    }
+    spark.stop()
+  }
+}

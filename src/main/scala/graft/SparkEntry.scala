@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[Q] =
     operators.Relational.all ++ operators.TextOps.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Multimodal.all ++ plans.GraphOps.all ++ plans.ChainSim.all
+      operators.Multimodal.all ++ operators.ApiQueries.all ++
+      plans.GraphOps.all ++ plans.ChainSim.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

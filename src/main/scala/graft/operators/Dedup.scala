@@ -37,19 +37,31 @@ object Dedup {
         .otherwise(array(trim(c))))
   }
 
-  /** 64-slot MinHash signature: slot j = min over shingles of
-    * xxhash64(shingle_hash, j). Pure column math, codegen-friendly. */
-  def minhashSig(shingleCol: String): Column =
+  /** 64-slot MinHash signature over PRE-HASHED shingles: slot j = min over
+    * shingle hashes h of xxhash64(h, j). Pure column math, codegen-friendly. */
+  def minhashSig(hashesCol: String): Column =
     expr(s"""transform(sequence(0, ${NUM_HASHES - 1}),
-             j -> array_min(transform($shingleCol, s -> xxhash64(xxhash64(s), j))))""")
+             j -> array_min(transform($hashesCol, h -> xxhash64(h, j))))""")
 
   /** docs(doc_id, text) → near-dup pairs (doc_a < doc_b, jaccard ≥ minJaccard)
-    * via MinHash banding + exact shingle-Jaccard verification. */
+    * via MinHash banding + exact shingle-Jaccard verification.
+    *
+    * Each stage is materialized (localCheckpoint): otherwise Catalyst's
+    * CollapseProject inlines the tokenizer into all 64 signature slots and
+    * then the signature into all 16 band keys — thousands of regex splits
+    * per row. At cluster scale these materializations are the silver
+    * signature tables you would persist anyway. */
   def minhashPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val withSig = docs
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("sig", minhashSig("sh"))
-    val shingleSets = withSig.select(col("doc_id"), col("sh"))
+    val base = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .localCheckpoint()
+    val withSig = base
+      .select(col("doc_id"), col("sh"),
+        expr("transform(sh, s -> xxhash64(s))").as("shl"))
+      .withColumn("sig", minhashSig("shl"))
+      .select("doc_id", "sig")
+      .localCheckpoint()
+    val shingleSets = base
     // band key = hash of the band's signature slice; explode to
     // (band, key, doc_id) — narrow row before the shuffle.
     val bands = withSig.select(col("doc_id"),

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** M3 query layer — the reference's REST query families as pure
+  * DataFrame programs over the blockchain tables (SURVEY §3.1: one
+  * function per endpoint family; ton-index-go/index/crud package).
+  *
+  * Encodes the two hardest observable contracts:
+  *  - O2 filter-dependent sort-key selection (crud_transactions.go:70-113):
+  *    the ORDER BY key follows the filter shape so that, on a properly
+  *    laid-out table (partitioned by mc_seqno bucket, sorted within
+  *    partitions by (account, lt)), the sort rides the storage order.
+  *  - O3 limit clamps: default 100, max 1000, offset ≥ 0 (crud.go:31-50).
+  *  - O4 four-key deterministic action ordering (crud_actions.go:184-198).
+  */
+object QueryLayer {
+
+  val DefaultLimit = 100
+  val MaxLimit = 1000
+
+  def clampLimit(limit: Int): Int =
+    if (limit <= 0) DefaultLimit else math.min(limit, MaxLimit)
+  def clampOffset(offset: Int): Int = math.max(offset, 0)
+
+  /** Typed request (models/request.go:25-208 analogue). */
+  case class TxRequest(
+      account: Option[String] = None,
+      hashes: Seq[String] = Nil,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
+      mcSeqno: Option[Int] = None,
+      descending: Boolean = true,
+      limit: Int = DefaultLimit, offset: Int = 0)
+
+  /** O2: choose the sort key the way the reference does. */
+  private[graft] def txSortKeys(r: TxRequest): Seq[Column] = {
+    val dir: Column => Column = c => if (r.descending) c.desc else c.asc
+    if (r.hashes.nonEmpty) Seq(dir(col("hash")))
+    else if (r.mcSeqno.isDefined) Seq(dir(col("lt")), dir(col("hash")))
+    else if (r.account.isDefined && (r.utimeMin.isDefined || r.utimeMax.isDefined))
+      Seq(dir(col("account")), dir(col("now")), dir(col("lt")), dir(col("hash")))
+    else if (r.account.isDefined)
+      Seq(dir(col("account")), dir(col("lt")), dir(col("hash")))
+    else if (r.utimeMin.isDefined || r.utimeMax.isDefined)
+      Seq(dir(col("now")), dir(col("lt")), dir(col("hash")))
+    else Seq(dir(col("lt")), dir(col("hash")))
+  }
+
+  /** GET /api/v3/transactions family (crud_transactions.go:15-158). */
+  def transactions(txs: DataFrame, r: TxRequest): DataFrame = {
+    var df = txs
+    r.account.foreach(a => df = df.filter(col("account") === a))
+    if (r.hashes.nonEmpty) df = df.filter(col("hash").isin(r.hashes: _*))
+    r.ltMin.foreach(v => df = df.filter(col("lt") >= v))
+    r.ltMax.foreach(v => df = df.filter(col("lt") <= v))
+    r.utimeMin.foreach(v => df = df.filter(col("now") >= v))
+    r.utimeMax.foreach(v => df = df.filter(col("now") <= v))
+    r.mcSeqno.foreach(v => df = df.filter(col("mc_block_seqno") === v))
+    df.orderBy(txSortKeys(r): _*)
+      .offset(clampOffset(r.offset)).limit(clampLimit(r.limit))
+  }
+
+  /** Nested hydration (J11/O5): transactions + in_msg struct + out_msgs
+    * array sorted by created_lt nulls-first (crud_transactions.go:251-261). */
+  def hydrate(txs: DataFrame, messages: DataFrame): DataFrame = {
+    val inMsgs = messages.filter(col("direction") === "in")
+      .groupBy(col("tx_hash").as("hash"))
+      .agg(min(struct(col("msg_hash"), col("source"), col("destination"),
+        col("value"), col("opcode"))).as("in_msg"))
+    val outMsgs = messages.filter(col("direction") === "out")
+      .groupBy(col("tx_hash").as("hash"))
+      .agg(sort_array(collect_list(struct(
+        coalesce(col("created_lt"), lit(Long.MinValue)).as("sort_lt"),
+        col("msg_hash"), col("destination"), col("value")))).as("out_msgs"))
+    txs.join(inMsgs, Seq("hash"), "left")
+      .join(outMsgs, Seq("hash"), "left")
+  }
+
+  /** transactionsByMessage (J1): via the message's (tx_hash, tx_lt). */
+  def transactionsByMessage(txs: DataFrame, messages: DataFrame,
+      msgHash: String): DataFrame =
+    messages.filter(col("msg_hash") === msgHash)
+      .select(col("tx_hash").as("hash"), col("tx_lt").as("lt"))
+      .join(txs, Seq("hash"))
+      .orderBy("lt", "hash")
+
+  /** adjacentTransactions (J2): the self-join neighbor hop. */
+  def adjacentTransactions(messages: DataFrame, txHash: String): DataFrame = {
+    val mine = messages.filter(col("tx_hash") === txHash)
+      .select(col("msg_hash"), col("direction").as("d1"))
+    messages.join(mine, Seq("msg_hash"))
+      .filter(col("direction") =!= col("d1") && col("tx_hash") =!= txHash)
+      .select(col("tx_hash"), col("msg_hash"), col("direction"))
+      .distinct()
+      .orderBy("tx_hash", "msg_hash")
+  }
+
+  /** traces by account (J4 semi-join — EXISTS, not JOIN, to avoid probe
+    * fan-out dup rows; crud_traces.go:59-98). */
+  def tracesByAccount(traces: DataFrame, txs: DataFrame,
+      account: String, limit: Int = DefaultLimit): DataFrame =
+    traces.join(
+        txs.filter(col("account") === account).select("trace_id"),
+        Seq("trace_id"), "left_semi")
+      .orderBy(col("end_lt").desc, col("trace_id"))
+      .limit(clampLimit(limit))
+
+  /** actions with the P8 hierarchical filter + O4 sort contract. */
+  def actions(actionsDf: DataFrame, supported: Seq[String],
+      limit: Int = DefaultLimit): DataFrame = {
+    val types = array(supported.map(lit): _*)
+    actionsDf
+      .filter(col("type").isin(supported: _*)
+        && !arrays_overlap(coalesce(col("ancestor_type"),
+          array().cast("array<string>")), types))
+      .orderBy(col("trace_end_utime"), col("trace_id"),
+        col("end_utime"), col("action_id"))
+      .limit(clampLimit(limit))
+  }
+
+  /** top accounts by balance (A3 top-K). */
+  def topAccounts(states: DataFrame, n: Int): DataFrame =
+    states.orderBy(col("balance").desc, col("account"))
+      .select("account", "balance", "account_status")
+      .limit(clampLimit(n))
+
+  /** W1 DISTINCT ON: shortest DNS domain per wallet (crud.go:297-300). */
+  def shortestDomainPerWallet(dns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("nft_item_owner")
+      .orderBy(length(col("domain")), col("domain"))
+    dns.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+}

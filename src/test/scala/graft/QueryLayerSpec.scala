@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.QueryLayer
+import graft.operators.QueryLayer.TxRequest
+import org.apache.spark.sql.functions._
+
+class QueryLayerSpec extends SparkSpec {
+
+  test("limit/offset clamps follow the reference contract") {
+    assert(QueryLayer.clampLimit(0) == 100)
+    assert(QueryLayer.clampLimit(-5) == 100)
+    assert(QueryLayer.clampLimit(500) == 500)
+    assert(QueryLayer.clampLimit(5000) == 1000)
+    assert(QueryLayer.clampOffset(-3) == 0)
+  }
+
+  test("O2 sort-key selection follows the filter shape") {
+    def keys(r: TxRequest): Seq[String] =
+      QueryLayer.txSortKeys(r).map(_.toString)
+    assert(keys(TxRequest(hashes = Seq("h"))).head.contains("hash"))
+    assert(keys(TxRequest(mcSeqno = Some(5))).head.contains("lt"))
+    assert(keys(TxRequest(account = Some("a"), utimeMin = Some(1)))
+      .take(2).mkString(",").matches(".*account.*now.*"))
+    assert(keys(TxRequest(account = Some("a")))
+      .take(2).mkString(",").matches(".*account.*lt.*"))
+    assert(keys(TxRequest(utimeMin = Some(1))).head.contains("now"))
+    assert(keys(TxRequest()).head.contains("lt"))
+  }
+
+  test("transactions: filters + deterministic pagination") {
+    import spark.implicits._
+    val txs = (1 to 50).map(i =>
+      (s"T$i", s"0:${i % 3}", i.toLong, i, 100))
+      .toDF("hash", "account", "lt", "now", "mc_block_seqno")
+    val page1 = QueryLayer.transactions(txs,
+      TxRequest(account = Some("0:1"), limit = 5, descending = false))
+      .collect().map(_.getAs[String]("hash"))
+    val page2 = QueryLayer.transactions(txs,
+      TxRequest(account = Some("0:1"), limit = 5, offset = 5, descending = false))
+      .collect().map(_.getAs[String]("hash"))
+    assert(page1.length == 5 && page2.length == 5)
+    assert(page1.toSet.intersect(page2.toSet).isEmpty)
+    assert(page1.head == "T1" && page2.head == "T16")
+  }
+
+  test("hydrate sorts out-messages by created_lt nulls-first") {
+    import spark.implicits._
+    val txs = Seq(("T1", "0:A", 1L, 1, 100))
+      .toDF("hash", "account", "lt", "now", "mc_block_seqno")
+    val msgs = Seq(
+      ("mIn", "T1", "in", Some(5L)),
+      ("mB", "T1", "out", Some(9L)),
+      ("mA", "T1", "out", Option.empty[Long]), // null created_lt first
+      ("mC", "T1", "out", Some(7L)))
+      .toDF("msg_hash", "tx_hash", "direction", "created_lt")
+      .withColumn("source", lit("0:A")).withColumn("destination", lit("0:B"))
+      .withColumn("value", lit(1L)).withColumn("opcode", lit(null).cast("long"))
+    val row = QueryLayer.hydrate(txs, msgs).collect().head
+    val outs = row.getAs[collection.Seq[org.apache.spark.sql.Row]]("out_msgs")
+      .map(_.getAs[String]("msg_hash")).toSeq
+    assert(outs == Seq("mA", "mC", "mB"))
+    assert(row.getAs[org.apache.spark.sql.Row]("in_msg")
+      .getAs[String]("msg_hash") == "mIn")
+  }
+
+  test("adjacent transactions hop across shared message hashes") {
+    import spark.implicits._
+    val msgs = Seq(
+      ("m1", "T1", "out"), ("m1", "T2", "in"), // T1 -> T2
+      ("m2", "T2", "out"), ("m2", "T3", "in")) // T2 -> T3
+      .toDF("msg_hash", "tx_hash", "direction")
+    val adj = QueryLayer.adjacentTransactions(msgs, "T2")
+      .collect().map(_.getAs[String]("tx_hash")).sorted
+    assert(adj.toSeq == Seq("T1", "T3"))
+  }
+}
