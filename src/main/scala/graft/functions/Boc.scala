@@ -1,0 +1,225 @@
+package graft.functions
+
+import java.util.Base64
+
+/** Minimal BOC (bag-of-cells) reader/writer + cell slices — the engine's
+  * foundation for the TL-B body-decode family (F5, SURVEY §2.8; reference
+  * parses bodies in C++ tondb-scanner/src/tlb/, Python
+  * indexer/indexer/events/blocks/messages, Go ton-index-go/index/parse).
+  * Implemented from the public TON serialization spec (tblkch.pdf /
+  * crypto/tl/boc.tlb): serialized_boc#b5ee9c72, cell descriptors d1/d2,
+  * completion-tag bit padding, MsgAddress addr_std$10, VarUInteger coins.
+  *
+  * The writer exists for fixture construction in tests (round-trip
+  * verification without external vectors).
+  */
+object Boc {
+
+  final case class Cell(data: Array[Byte], bitLen: Int, refs: Vector[Cell]) {
+    def beginParse(): Slice = new Slice(this)
+  }
+
+  object Cell {
+    val empty: Cell = Cell(Array.empty, 0, Vector.empty)
+  }
+
+  /** Bit-level reader over one cell. */
+  final class Slice(cell: Cell) {
+    private var bitPos = 0
+    private var refPos = 0
+
+    def remainingBits: Int = cell.bitLen - bitPos
+    def remainingRefs: Int = cell.refs.length - refPos
+
+    def loadBit(): Boolean = {
+      require(bitPos < cell.bitLen, "slice underflow")
+      val b = (cell.data(bitPos >> 3) >> (7 - (bitPos & 7)) & 1) == 1
+      bitPos += 1
+      b
+    }
+
+    def loadUint(bits: Int): BigInt = {
+      var acc = BigInt(0)
+      var i = 0
+      while (i < bits) { acc = (acc << 1) | (if (loadBit()) 1 else 0); i += 1 }
+      acc
+    }
+
+    def loadInt(bits: Int): BigInt = {
+      val u = loadUint(bits)
+      if (u.testBit(bits - 1)) u - (BigInt(1) << bits) else u
+    }
+
+    def loadBytes(n: Int): Array[Byte] =
+      (0 until n).map(_ => loadUint(8).toByte).toArray
+
+    def loadRef(): Cell = {
+      require(refPos < cell.refs.length, "ref underflow")
+      val r = cell.refs(refPos); refPos += 1; r
+    }
+
+    /** VarUInteger 16 — TON coin amounts (len:#<4 then len*8 bits). */
+    def loadCoins(): BigInt = {
+      val len = loadUint(4).toInt
+      if (len == 0) BigInt(0) else loadUint(len * 8)
+    }
+
+    /** MsgAddress: addr_none$00 → None; addr_std$10 (anycast:nothing
+      * wc:int8 address:bits256) → Some("wc:HEX64"). */
+    def loadAddress(): Option[String] = {
+      val tag = loadUint(2).toInt
+      tag match {
+        case 0 => None
+        case 2 =>
+          val anycast = loadBit()
+          require(!anycast, "anycast addresses unsupported")
+          val wc = loadInt(8).toInt
+          val addr = loadBytes(32)
+          Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
+        case t => throw new IllegalArgumentException(s"unsupported addr tag $t")
+      }
+    }
+
+    /** Snake-format string: rest of this cell's bits, then first-ref chain. */
+    def loadSnakeString(): String = {
+      val sb = new java.lang.StringBuilder
+      var cur: Slice = this
+      var continue = true
+      while (continue) {
+        val nBytes = cur.remainingBits / 8
+        sb.append(new String(cur.loadBytes(nBytes), "UTF-8"))
+        if (cur.remainingRefs > 0) cur = cur.loadRef().beginParse()
+        else continue = false
+      }
+      sb.toString
+    }
+  }
+
+  /** Mutable builder for fixture cells. */
+  final class Builder {
+    private val bits = scala.collection.mutable.ArrayBuffer[Boolean]()
+    private val refs = scala.collection.mutable.ArrayBuffer[Cell]()
+
+    def storeBit(b: Boolean): this.type = { bits += b; this }
+    def storeUint(v: BigInt, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { bits += v.testBit(i); i -= 1 }
+      this
+    }
+    def storeInt(v: BigInt, n: Int): this.type =
+      storeUint(if (v < 0) v + (BigInt(1) << n) else v, n)
+    def storeBytes(bs: Array[Byte]): this.type = {
+      bs.foreach(b => storeUint(BigInt(b & 0xff), 8)); this
+    }
+    def storeCoins(v: BigInt): this.type = {
+      if (v == 0) storeUint(0, 4)
+      else {
+        val len = (v.bitLength + 7) / 8
+        storeUint(BigInt(len), 4).storeUint(v, len * 8)
+      }
+    }
+    def storeAddress(addr: Option[String]): this.type = addr match {
+      case None => storeUint(0, 2)
+      case Some(a) =>
+        val Array(wc, hex) = a.split(":")
+        storeUint(2, 2).storeBit(false).storeInt(BigInt(wc.toInt), 8)
+          .storeBytes(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    }
+    def storeRef(c: Cell): this.type = { refs += c; this }
+
+    def build(): Cell = {
+      val n = bits.length
+      val data = new Array[Byte]((n + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, i) =>
+        if (b) data(i >> 3) = (data(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      }
+      Cell(data, n, refs.toVector)
+    }
+  }
+
+  // ------------------------------------------------------------ BOC codec
+
+  private val Magic = 0xb5ee9c72
+
+  /** Parse a base64 BOC; returns the first root cell. */
+  def parseBase64(b64: String): Cell =
+    parse(Base64.getDecoder.decode(b64.replace('-', '+').replace('_', '/')))
+
+  def parse(bytes: Array[Byte]): Cell = {
+    var p = 0
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    def uN(n: Int): Int = { var acc = 0; (0 until n).foreach(_ => acc = (acc << 8) | u8()); acc }
+    require(uN(4) == Magic, "bad BOC magic")
+    val flags = u8()
+    val sizeBytes = flags & 7
+    val hasIdx = (flags & 0x80) != 0
+    val hasCrc = (flags & 0x40) != 0
+    val offBytes = u8()
+    val cellCount = uN(sizeBytes)
+    val rootCount = uN(sizeBytes)
+    uN(sizeBytes) // absent
+    uN(offBytes) // tot_cells_size
+    val rootIdx = (0 until rootCount).map(_ => uN(sizeBytes))
+    if (hasIdx) p += cellCount * offBytes
+    // first pass: read raw cells
+    val raw = (0 until cellCount).map { _ =>
+      val d1 = u8(); val d2 = u8()
+      val refCount = d1 & 7
+      require((d1 & 8) == 0, "exotic cells unsupported")
+      val dataBytes = (d2 + 1) / 2
+      val fullBytes = d2 / 2
+      val data = bytes.slice(p, p + dataBytes); p += dataBytes
+      val bitLen =
+        if (d2 % 2 == 0) fullBytes * 8
+        else { // completion tag: last 1-bit marks the end
+          val last = data(dataBytes - 1) & 0xff
+          dataBytes * 8 - (Integer.numberOfTrailingZeros(last) + 1)
+        }
+      val refs = (0 until refCount).map(_ => uN(sizeBytes)).toVector
+      (data, bitLen, refs)
+    }
+    // second pass: link (refs always point forward in standard BOCs)
+    val cells = new Array[Cell](cellCount)
+    for (i <- (cellCount - 1) to 0 by -1) {
+      val (d, bl, rs) = raw(i)
+      cells(i) = Cell(d, bl, rs.map(cells(_)))
+    }
+    cells(rootIdx.head)
+  }
+
+  /** Serialize one root (no index, no crc) — for test fixtures. */
+  def serialize(root: Cell): Array[Byte] = {
+    // topological order, root first
+    val order = scala.collection.mutable.LinkedHashMap[Cell, Int]()
+    def visit(c: Cell): Unit =
+      if (!order.contains(c)) { order(c) = order.size; c.refs.foreach(visit) }
+    visit(root)
+    val cells = order.keys.toVector
+    val sizeBytes = 1 max ((32 - Integer.numberOfLeadingZeros(cells.size)) + 7) / 8
+    val bodies = cells.map { c =>
+      val dataBytes = (c.bitLen + 7) / 8
+      val d1 = c.refs.length
+      val d2 = (c.bitLen / 8) + dataBytes // floor + ceil
+      val data = c.data.take(dataBytes).clone()
+      if (c.bitLen % 8 != 0) { // completion tag
+        data(dataBytes - 1) =
+          (data(dataBytes - 1) | (1 << (7 - (c.bitLen % 8)))).toByte
+      }
+      Array(d1.toByte, d2.toByte) ++ data ++
+        c.refs.flatMap(r => intToBytes(order(r), sizeBytes))
+    }
+    val tot = bodies.map(_.length).sum
+    val offBytes = 1 max ((32 - Integer.numberOfLeadingZeros(tot)) + 7) / 8
+    val header = intToBytes(Magic, 4) ++ Array(sizeBytes.toByte, offBytes.toByte) ++
+      intToBytes(cells.size, sizeBytes) ++ intToBytes(1, sizeBytes) ++
+      intToBytes(0, sizeBytes) ++ intToBytes(tot, offBytes) ++
+      intToBytes(0, sizeBytes) // root index
+    header ++ bodies.flatten
+  }
+
+  def serializeBase64(root: Cell): String =
+    Base64.getEncoder.encodeToString(serialize(root))
+
+  private def intToBytes(v: Int, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+}

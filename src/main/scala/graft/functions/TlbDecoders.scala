@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.functions.Boc.Slice
+
+/** TL-B body decoders (F5) for the message families the round-1 matchers
+  * consume. One object per opcode, mirroring the reference's
+  * class-per-message design (indexer/indexer/events/blocks/messages);
+  * schemes are the published TEP standards (TEP-74 jettons, TEP-62 NFTs).
+  */
+object TlbDecoders {
+
+  final case class JettonTransferBody(
+      queryId: BigInt, amount: BigInt, destination: Option[String],
+      responseDestination: Option[String], hasCustomPayload: Boolean,
+      forwardTonAmount: BigInt, comment: Option[String])
+
+  final case class JettonInternalTransferBody(
+      queryId: BigInt, amount: BigInt, from: Option[String],
+      responseAddress: Option[String], forwardTonAmount: BigInt)
+
+  final case class JettonBurnBody(
+      queryId: BigInt, amount: BigInt, responseDestination: Option[String])
+
+  final case class NftTransferBody(
+      queryId: BigInt, newOwner: Option[String],
+      responseDestination: Option[String], forwardAmount: BigInt)
+
+  private def expectOpcode(s: Slice, op: Long): Unit = {
+    val got = s.loadUint(32).toLong
+    require(got == op, f"opcode 0x$got%08x != expected 0x$op%08x")
+  }
+
+  /** transfer#0f8a7ea5 query_id:uint64 amount:(VarUInteger 16)
+    * destination:MsgAddress response_destination:MsgAddress
+    * custom_payload:(Maybe ^Cell) forward_ton_amount:(VarUInteger 16)
+    * forward_payload:(Either Cell ^Cell) */
+  def jettonTransfer(bodyB64: String): JettonTransferBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x0f8a7ea5L)
+    val queryId = s.loadUint(64)
+    val amount = s.loadCoins()
+    val dest = s.loadAddress()
+    val resp = s.loadAddress()
+    val hasCustom = s.loadBit()
+    if (hasCustom) s.loadRef()
+    val fwd = s.loadCoins()
+    val payloadInRef = s.loadBit()
+    val payload = if (payloadInRef) s.loadRef().beginParse() else s
+    val comment =
+      if (payload.remainingBits >= 32 && payload.loadUint(32) == 0)
+        Some(payload.loadSnakeString())
+      else None
+    JettonTransferBody(queryId, amount, dest, resp, hasCustom, fwd, comment)
+  }
+
+  /** internal_transfer#178d4519 query_id:uint64 amount:(VarUInteger 16)
+    * from:MsgAddress response_address:MsgAddress
+    * forward_ton_amount:(VarUInteger 16) ... */
+  def jettonInternalTransfer(bodyB64: String): JettonInternalTransferBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x178d4519L)
+    JettonInternalTransferBody(s.loadUint(64), s.loadCoins(),
+      s.loadAddress(), s.loadAddress(), s.loadCoins())
+  }
+
+  /** burn#595f07bc query_id:uint64 amount:(VarUInteger 16)
+    * response_destination:MsgAddress */
+  def jettonBurn(bodyB64: String): JettonBurnBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x595f07bcL)
+    JettonBurnBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
+  }
+
+  /** transfer#5fcc3d14 query_id:uint64 new_owner:MsgAddress
+    * response_destination:MsgAddress custom_payload:(Maybe ^Cell)
+    * forward_amount:(VarUInteger 16) */
+  def nftTransfer(bodyB64: String): NftTransferBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x5fcc3d14L)
+    val queryId = s.loadUint(64)
+    val newOwner = s.loadAddress()
+    val resp = s.loadAddress()
+    if (s.loadBit()) s.loadRef()
+    NftTransferBody(queryId, newOwner, resp, s.loadCoins())
+  }
+
+  /** Text comment: op 0x00000000 then snake UTF-8 (strip NULs like the
+    * reference's backslashreplace+strip, event_processing.py:142-154). */
+  def comment(bodyB64: String): Option[String] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    if (s.remainingBits < 32) return None
+    if (s.loadUint(32) != 0) None
+    else Some(s.loadSnakeString().replace("\u0000", ""))
+  }
+
+  /** Register decode UDFs (null on malformed input — decoders must never
+    * kill a query; reference wraps the same way). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def safe[T](f: String => T): String => T =
+      s => try { if (s == null) null.asInstanceOf[T] else f(s) }
+           catch { case scala.util.control.NonFatal(_) => null.asInstanceOf[T] }
+    spark.udf.register("tlb_jetton_transfer_amount",
+      safe(b => jettonTransfer(b).amount.bigInteger.toString))
+    spark.udf.register("tlb_jetton_transfer_destination",
+      safe(b => jettonTransfer(b).destination.orNull))
+    spark.udf.register("tlb_comment", safe(b => comment(b).orNull))
+  }
+}

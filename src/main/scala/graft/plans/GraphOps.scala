@@ -31,16 +31,17 @@ object GraphOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // jump + change-detection in ONE join: moved ⇔ the parent hop
+      // found a strictly different ancestor
       val jumped = cur.alias("a")
         .join(cur.select(col("id").as("anc"), col("anc").as("anc2")).alias("b"),
           Seq("anc"), "left")
         .select(col("a.id").as("id"),
-          coalesce(col("b.anc2"), col("anc")).as("anc"))
+          coalesce(col("b.anc2"), col("anc")).as("anc"),
+          (col("b.anc2").isNotNull && col("b.anc2") =!= col("anc")).as("moved"))
         .localCheckpoint()
-      val changed = jumped.alias("n")
-        .join(cur.select(col("id"), col("anc").as("prev")).alias("o"), Seq("id"))
-        .filter(col("anc") =!= col("prev")).count()
-      cur = jumped
+      val changed = jumped.filter(col("moved")).count()
+      cur = jumped.drop("moved")
       iter += 1
       converged = changed == 0
     }
