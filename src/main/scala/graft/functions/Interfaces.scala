@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F7 interface detection (reference: exact code-hash table then
+  * method-id subset test, ton-index-go/index/detect/interfaces.go:891-930;
+  * get-method extraction tondb-scanner/src/parse_contract_methods.cpp).
+  *
+  * The code-hash table is a broadcast map (a few hundred entries); the
+  * fallback checks whether a contract's extracted method-id set contains
+  * all ids required by an interface. Both run as scalar functions over a
+  * broadcast — no shuffle, no lookup service.
+  */
+object Interfaces {
+
+  /** Method-id requirements per interface (public TEP get-methods). */
+  val methodRequirements: Map[String, Set[Long]] = Map(
+    "jetton_wallet" -> Set(97026L, 102491L), // get_wallet_data, get_status-ish
+    "jetton_master" -> Set(106029L, 103289L), // get_jetton_data, get_wallet_address
+    "nft_item" -> Set(102351L), // get_nft_data
+    "nft_collection" -> Set(102491L, 92067L)) // get_collection_data, get_nft_address_by_index
+
+  /** Detect by exact code hash, else by method-id subset. */
+  def detect(codeHashTable: Map[String, String])(
+      codeHash: String, methodIds: Seq[Long]): Option[String] = {
+    Option(codeHash).flatMap(codeHashTable.get).orElse {
+      val ids = methodIds.toSet
+      methodRequirements.collectFirst {
+        case (iface, req) if req.subsetOf(ids) => iface
+      }
+    }
+  }
+
+  /** Column-level detection over a broadcast table: code-hash map lookup
+    * with method-subset fallback, pure `functions._` (codegen-friendly —
+    * no UDF). `methodIdsCol` is an array<long> column. */
+  def detectColumn(spark: SparkSession, codeHashTable: Map[String, String],
+      codeHashCol: Column, methodIdsCol: Column): Column = {
+    val m =
+      if (codeHashTable.isEmpty) lit(null).cast("map<string,string>")
+      else map(codeHashTable.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+    val byHash = element_at(m, codeHashCol)
+    val bySubset = methodRequirements.foldLeft(lit(null).cast("string")) {
+      case (acc, (iface, req)) =>
+        val reqArr = array(req.toSeq.sorted.map(lit): _*)
+        when(acc.isNotNull, acc)
+          .otherwise(when(size(array_except(reqArr, methodIdsCol)) === 0, lit(iface))
+            .otherwise(lit(null).cast("string")))
+    }
+    coalesce(byHash, bySubset)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import graft.Q
+import graft.functions.Interfaces
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Silver-layer materializations over the simulated chain: the mutable
+  * "latest state" tables, the balance-changes walk, and the address-book
+  * decoration — each the Spark-first form of a reference dataflow, each
+  * checked against a by-construction oracle.
+  */
+object SilverLayer {
+
+  /** S4/W2/A9: latest_account_states — keep the max-lt row per account
+    * (ON CONFLICT ... WHERE last_trans_lt < EXCLUDED.last_trans_lt,
+    * InsertManagerPostgres.cpp:2423-2431) + the §1.4 deterministic
+    * surrogate id (rank by (last_trans_lt, account), NOT a task id). */
+  val b03 = Q("b03_latest_states",
+    """SELECT concat('0:', user_id) AS account,
+      |  max(event_id) AS last_trans_lt,
+      |  concat('T', max(event_id)) AS last_trans_hash,
+      |  row_number() OVER (ORDER BY max(event_id), concat('0:', user_id)) AS id
+      |FROM events GROUP BY user_id ORDER BY account""".stripMargin) { (s, dir) =>
+    val (txs, _) = ChainSim.simulate(s, dir)
+    val w = Window.partitionBy("account").orderBy(col("lt").desc, col("hash").desc)
+    val latest = txs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("account"), col("lt").as("last_trans_lt"),
+        col("hash").as("last_trans_hash"))
+    latest
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("last_trans_lt"), col("account"))))
+      .orderBy("account")
+  }
+
+  /** G10/A7: balance-changes walk — explode per-message deltas (+value to
+    * destination, −value to source), aggregate exactly per account. The
+    * reference walks the trace graph in Go (balances.go:147-350); the
+    * Spark form is a flat explode + groupBy that scales without per-trace
+    * iteration. */
+  val b04 = Q("b04_balance_changes",
+    """SELECT concat('0:', user_id) AS account,
+      |  cast(sum(cast(trunc(value * 100) AS BIGINT)) -
+      |       sum(CASE WHEN rn > 1 THEN cast(trunc(value * 100) AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS balance_delta
+      |FROM (SELECT user_id, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |      FROM events) t
+      |GROUP BY user_id ORDER BY account""".stripMargin) { (s, dir) =>
+    val (_, msgs) = ChainSim.simulate(s, dir)
+    // credits: every in-message credits its destination;
+    // debits: every out-message debits its source
+    val credits = msgs.filter(col("direction") === "in")
+      .select(col("destination").as("account"), col("value").as("delta"))
+    val debits = msgs.filter(col("direction") === "out")
+      .select(col("source").as("account"), (-col("value")).as("delta"))
+    credits.unionByName(debits)
+      .groupBy("account")
+      .agg(sum("delta").as("balance_delta"))
+      .orderBy("account")
+  }
+
+  /** J9/F7: address book — latest states joined to contract methods and
+    * run through interface detection (broadcast code-hash map + method-id
+    * subset fallback; crud.go:247-250, detect/interfaces.go:891-930).
+    * Simulated: code_hash = 'code_<user_id % 4>'; hashes 0/1 resolve via
+    * the exact map, 2 via the method-subset fallback, 3 stays null. */
+  val b05 = Q("b05_address_book",
+    """SELECT concat('0:', user_id) AS account,
+      |  concat('code_', cast(user_id % 4 AS VARCHAR)) AS code_hash,
+      |  CASE cast(user_id % 4 AS INT)
+      |    WHEN 0 THEN 'wallet_v4' WHEN 1 THEN 'jetton_master'
+      |    WHEN 2 THEN 'nft_item' ELSE NULL END AS detected_interface
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |ORDER BY account""".stripMargin) { (s, dir) =>
+    val accounts = graft.Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(concat(lit("0:"), col("user_id").cast("string")).as("account"),
+        concat(lit("code_"), pmod(col("user_id"), lit(4)).cast("string"))
+          .as("code_hash"),
+        // extracted get-method ids (parse_contract_methods analogue):
+        // hash class 2 exposes the nft_item method set
+        when(pmod(col("user_id"), lit(4)) === 2,
+          array(lit(102351L), lit(999L)))
+          .otherwise(array(lit(999L))).as("method_ids"))
+    val codeHashTable = Map("code_0" -> "wallet_v4", "code_1" -> "jetton_master")
+    accounts
+      .withColumn("detected_interface",
+        Interfaces.detectColumn(s, codeHashTable,
+          col("code_hash"), col("method_ids")))
+      .select("account", "code_hash", "detected_interface")
+      .orderBy("account")
+  }
+
+  val all: Seq[Q] = Seq(b03, b04, b05)
+}
