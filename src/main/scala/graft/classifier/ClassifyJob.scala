@@ -22,7 +22,7 @@ case class ClassifyInputRow(
       source: Option[String], destination: Option[String],
       value: Option[Long], opcode: Option[Long],
     bounce: Option[Boolean], bounced: Option[Boolean],
-    created_lt: Option[Long])
+    created_lt: Option[Long], body: Option[String])
 
 object ClassifyJob {
 
@@ -39,7 +39,9 @@ object ClassifyJob {
         coalesce(col("descr"), lit("ord")).as("descr"))
       .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
         col("direction"), col("source"), col("destination"), col("value"),
-        col("opcode"), col("bounce"), col("bounced"), col("created_lt")),
+        col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
+        (if (messages.columns.contains("body")) col("body")
+         else lit(null).cast("string")).as("body")),
         Seq("hash"), "left")
       .as[ClassifyInputRow]
 
@@ -58,7 +60,7 @@ object ClassifyJob {
           h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
             r.source, r.destination, r.value.getOrElse(0L), r.opcode,
             r.bounce.getOrElse(false), r.bounced.getOrElse(false),
-            r.created_lt, None))
+            r.created_lt, r.body))
         }
       Classifier.classify(traceId, txsOf, msgsByTx).iterator
     }

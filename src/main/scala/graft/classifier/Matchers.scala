@@ -138,7 +138,6 @@ object ProtocolMatchers {
   object JettonTransferMatcher extends BlockMatcher {
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) =>
-        val internalP = contract(Opcodes.JettonInternalTransfer)
         val internal = c.children.collectFirst {
           case ic: CallContractBlock
             if Opcodes.matches(ic.opcode, Opcodes.JettonInternalTransfer) => ic
@@ -159,11 +158,21 @@ object ProtocolMatchers {
               case cc: CallContractBlock
                 if Opcodes.matches(cc.opcode, Opcodes.JettonNotify) => cc
             }
-            val receiver = notify.flatMap(_.nodes.head.inMsg.flatMap(_.destination))
+            // decode the TEP-74 body when present (F5): authoritative
+            // amount/destination/comment; topology-only otherwise
+            val decoded = c.nodes.head.inMsg.flatMap(_.body).flatMap { b =>
+              try Some(graft.functions.TlbDecoders.jettonTransfer(b))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            val receiver = decoded.flatMap(_.destination)
+              .orElse(notify.flatMap(_.nodes.head.inMsg.flatMap(_.destination)))
+            val amount = decoded.map(d => BigDecimal(d.amount))
+              .getOrElse(BigDecimal(0))
             val failed = consumed.exists(_.failed)
             val nodes = consumed.flatMap(_.nodes)
             Some((JettonTransferBlock(sender, senderWallet, receiver,
-              receiverWallet, BigDecimal(0), None, failed, nodes, Nil), consumed))
+              receiverWallet, amount, decoded.flatMap(_.comment),
+              failed, nodes, Nil), consumed))
           case None => None
         }
       case _ => None

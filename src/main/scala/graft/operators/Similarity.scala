@@ -25,14 +25,12 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** Cosine similarity of two double-array columns (sequential fold —
-    * deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns — the native Catalyst
+    * expression (fused single pass, whole-stage codegen). Numerically
+    * identical to the compositional zip_with/aggregate form: same
+    * left-to-right accumulation order. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

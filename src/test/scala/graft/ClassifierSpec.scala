@@ -56,6 +56,33 @@ class ClassifierSpec extends SparkSpec {
     assert(a.success)
   }
 
+  test("jetton transfer decodes a real TEP-74 BOC body when present") {
+    import graft.functions.Boc
+    val dest = Some("0:" + "77" * 32)
+    val body = new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt("123456789"))
+      .storeAddress(dest).storeAddress(None)
+      .storeBit(false).storeCoins(BigInt(0)).storeBit(false)
+      .storeUint(BigInt(0), 32) // inline comment payload: op 0 + text
+      .storeBytes("hi".getBytes("UTF-8"))
+      .build()
+    val bodyB64 = Boc.serializeBase64(body)
+    val txs = Seq(tx("TW1", "0:WALLET_A", 10), tx("TW2", "0:WALLET_B", 20))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:OWNER_A", "0:WALLET_A", Some(Opcodes.JettonTransfer))
+          .copy(body = Some(bodyB64)),
+        out("m2", "0:WALLET_A", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WALLET_A", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer))))
+    val actions = Classifier.classify("trB", txs, msgs)
+    val a = actions.find(_.`type` == "jetton_transfer").get
+    assert(a.value.contains(BigDecimal("123456789")))
+    assert(a.destination == dest)
+  }
+
   test("contract deploy is attached as a child action with ancestor metadata") {
     val actions = Classifier.classify("tr3",
       Seq(tx("T1", "0:NEW", 10, orig = "uninit", end = "active")),
