@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up, asserted so regressions fail loudly. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: Q): String =
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(q: Q): String = {
+    val df = q.fn(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val f = formatted(Relational.q02)
+    assert(f.contains("PushedFilters:"), "expected PushedFilters section")
+    assert(f.contains("IsNotNull(l_returnflag)") ||
+      f.contains("EqualTo(l_returnflag,R)"),
+      s"filter not pushed:\n${f.take(2000)}")
+  }
+
+  test("projection pruning reaches the scan (ReadSchema)") {
+    val f = formatted(Relational.q02)
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("dimension joins broadcast; no shuffle on the small side") {
+    val p = plan(Relational.q12)
+    assert(p.contains("BroadcastHashJoin"), "star joins must broadcast dims")
+    val p18 = plan(Relational.q18)
+    assert(p18.contains("BroadcastHashJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan(Relational.q21).contains("TakeOrderedAndProject"))
+    assert(plan(Relational.q28).contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(plan(Relational.q13).contains("LeftSemi"))
+    assert(plan(Relational.q14).contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // AQE finalizes the plan only at execution time
+    val df = Relational.q02.fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "hot path fell out of codegen")
+  }
+
+  test("native cosine expression stays inside codegen") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(
+      graft.functions.CosineSimilarity.cosine_sim(
+        transform(col("embedding"), x => x.cast("double")),
+        transform(col("embedding"), x => x.cast("double"))).as("s"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("))
+    assert(!p.contains("Fallback"), "cosine must not fall back from codegen")
+  }
+}
