@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextOps.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.ApiQueries.all ++
-      plans.GraphOps.all ++ plans.ChainSim.all ++ plans.SilverLayer.all
+      plans.GraphOps.all ++ plans.ChainSim.all ++ plans.SilverLayer.all ++
+      streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

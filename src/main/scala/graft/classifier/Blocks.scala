@@ -94,6 +94,16 @@ case class NftTransferBlock(
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 
+/** Generic DEX swap: two jetton transfers chained through a router
+  * (built on REWRITTEN jetton_transfer blocks — second-pass matching). */
+case class JettonSwapBlock(
+    dex: String, sender: Option[String], router: Option[String],
+    inTransfer: JettonTransferBlock, outTransfer: JettonTransferBlock,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "jetton_swap"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
 /** Terminal fallback (G9, block_tree_serializer.py:1564-1587). */
 case class UnknownBlock(nodes: Seq[TxNode]) extends Block {
   val btype = "unknown"

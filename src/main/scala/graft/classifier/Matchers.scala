@@ -221,8 +221,30 @@ object ProtocolMatchers {
     }
   }
 
+  /** Generic DEX swap (second-pass matcher — consumes blocks PRODUCED by
+    * JettonTransferMatcher, the registry-order dependency the reference
+    * relies on: swap matchers require jetton_transfer children that exist
+    * only after the jetton rewrite, event_processing.py:313-329 /
+    * blocks/swaps.py:257,266). Pattern: transfer INTO a router whose
+    * wallet then transfers OUT: j1.receiver == j2.sender. */
+  object JettonSwapMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case j1: JettonTransferBlock =>
+        j1.children.collectFirst {
+          case j2: JettonTransferBlock
+            if j1.receiver.isDefined && j1.receiver == j2.sender =>
+            val consumed = Seq(j1, j2)
+            (JettonSwapBlock("generic", j1.sender, j1.receiver, j1, j2,
+              consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil),
+              consumed)
+        }
+      case _ => None
+    }
+  }
+
   /** Registry — order matters (jetton before swap-level matchers, which
-    * would consume jetton_transfer blocks in later rounds). */
+    * consume jetton_transfer blocks produced in earlier rounds). */
   val registry: Seq[BlockMatcher] =
-    Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher)
+    Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
+      JettonSwapMatcher)
 }

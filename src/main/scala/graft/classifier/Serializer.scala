@@ -45,7 +45,8 @@ object Serializer {
     * are still emitted but carry ancestor_type for suppression, P8). */
   private val emittedTypes: Set[String] = Set(
     "ton_transfer", "call_contract", "contract_deploy", "tick_tock",
-    "jetton_transfer", "jetton_burn", "nft_transfer", "unknown")
+    "jetton_transfer", "jetton_burn", "nft_transfer", "jetton_swap",
+    "unknown")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
@@ -82,6 +83,9 @@ object Serializer {
         (j.owner, None, Some(j.ownerWallet), Some(j.amount))
       case n: NftTransferBlock =>
         (n.oldOwner, n.newOwner, Some(n.nftItem), None)
+      case sw: JettonSwapBlock =>
+        (sw.sender, sw.outTransfer.receiver,
+          Some(sw.inTransfer.senderWallet), Some(sw.inTransfer.amount))
       case d: ContractDeployBlock =>
         (None, Some(d.node.tx.account), None, None)
       case _ => (None, None, None, None)

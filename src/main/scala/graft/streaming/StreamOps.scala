@@ -80,5 +80,8 @@ object StreamOps {
       .withColumn("ts_ts", timestamp_micros(expr(s"$tsCol div 1000")))
       .withWatermark("ts_ts", watermark)
       .groupBy(window(col("ts_ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // integer cents: exact and order-independent (a parallel double
+        // sum is neither)
+        sum((col("value") * 100).cast("long")).as("total_cents"))
 }

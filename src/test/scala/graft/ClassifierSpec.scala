@@ -106,6 +106,39 @@ class ClassifierSpec extends SparkSpec {
     assert(toUninit.exists(a => a.`type` == "ton_transfer" && a.success))
   }
 
+  test("swap matcher composes on rewritten jetton_transfer blocks") {
+    // owner -> walletA -(internal)-> routerWallet -(notify)-> ROUTER
+    //   ROUTER -> routerWallet2 -(internal)-> walletB -(notify)-> owner
+    val txs = Seq(
+      tx("TA", "0:WALLET_A", 10), tx("TB", "0:RW_IN", 20),
+      tx("TR", "0:ROUTER", 30), tx("TC", "0:RW_OUT", 40),
+      tx("TD", "0:WALLET_B", 50), tx("TE", "0:OWNER", 60))
+    val msgs = Map(
+      "TA" -> Seq(
+        in("m1", "0:OWNER", "0:WALLET_A", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WALLET_A", "0:RW_IN", Some(Opcodes.JettonInternalTransfer))),
+      "TB" -> Seq(
+        in("m2", "0:WALLET_A", "0:RW_IN", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:RW_IN", "0:ROUTER", Some(Opcodes.JettonNotify))),
+      "TR" -> Seq(
+        in("m3", "0:RW_IN", "0:ROUTER", Some(Opcodes.JettonNotify)),
+        out("m4", "0:ROUTER", "0:RW_OUT", Some(Opcodes.JettonTransfer))),
+      "TC" -> Seq(
+        in("m4", "0:ROUTER", "0:RW_OUT", Some(Opcodes.JettonTransfer)),
+        out("m5", "0:RW_OUT", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer))),
+      "TD" -> Seq(
+        in("m5", "0:RW_OUT", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer)),
+        out("m6", "0:WALLET_B", "0:OWNER", Some(Opcodes.JettonNotify))),
+      "TE" -> Seq(in("m6", "0:WALLET_B", "0:OWNER", Some(Opcodes.JettonNotify))))
+    val actions = Classifier.classify("trS", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions.map(a => (a.`type`, a.source, a.destination))}")
+    val sw = actions.head
+    assert(sw.source.contains("0:OWNER"))
+    assert(sw.destination.contains("0:OWNER"))
+    assert(sw.tx_hashes.toSet == Set("TA", "TB", "TR", "TC", "TD", "TE"))
+  }
+
   test("big trace collapses to a single unknown action") {
     val txs = (1 to 4001).map(i => tx(s"T$i", "0:X", i.toLong))
     val actions = Classifier.classify("tr6", txs, Map.empty)
