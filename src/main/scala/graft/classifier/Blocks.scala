@@ -94,6 +94,15 @@ case class NftTransferBlock(
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 
+/** Jetton mint: internal_transfer arriving WITHOUT a preceding wallet
+  * transfer (master-initiated; reference test corpus jetton-mints.yaml). */
+case class JettonMintBlock(
+    receiver: Option[String], receiverWallet: String, amount: BigDecimal,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "jetton_mint"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
 /** Generic DEX swap: two jetton transfers chained through a router
   * (built on REWRITTEN jetton_transfer blocks — second-pass matching). */
 case class JettonSwapBlock(

@@ -66,6 +66,18 @@ object ClassifyJob {
     }
   }
 
+  /** T6 reclassification: replace a store's actions for the given traces
+    * with freshly computed ones — the DELETE-then-insert of the reference
+    * (event_classifier.py:253-267) as an anti-join + union (in a
+    * partitioned store this is an overwrite of the touched trace
+    * partitions, not a full rewrite). */
+  def reclassify(existingActions: DataFrame, newActions: DataFrame): DataFrame = {
+    val touched = newActions.select("trace_id").distinct()
+    existingActions
+      .join(touched, Seq("trace_id"), "left_anti")
+      .unionByName(newActions)
+  }
+
   /** Exploded action_accounts from an actions Dataset (denormalized
     * pagination fact, SURVEY §1.4). */
   def actionAccounts(spark: SparkSession, actions: Dataset[ActionRow]): DataFrame = {

@@ -242,9 +242,40 @@ object ProtocolMatchers {
     }
   }
 
+  /** Jetton mint: an internal_transfer still unconsumed AFTER the
+    * transfer matcher ran ⇒ no wallet-transfer parent ⇒ master-initiated
+    * mint. Must sit after JettonTransferMatcher in the registry. */
+  object JettonMintMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.JettonInternalTransfer) =>
+        val extras = c.children.filter {
+          case cc: CallContractBlock =>
+            Opcodes.matches(cc.opcode, Opcodes.JettonNotify) ||
+              Opcodes.matches(cc.opcode, Opcodes.Excesses)
+          case _ => false
+        }
+        val consumed = c +: extras
+        val decoded = c.nodes.head.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.jettonInternalTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val receiver = extras.collectFirst {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.JettonNotify) =>
+            cc.nodes.head.inMsg.flatMap(_.destination)
+        }.flatten
+        Some((JettonMintBlock(receiver, c.nodes.head.tx.account,
+          decoded.map(d => BigDecimal(d.amount)).getOrElse(BigDecimal(0)),
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+      case _ => None
+    }
+  }
+
   /** Registry — order matters (jetton before swap-level matchers, which
-    * consume jetton_transfer blocks produced in earlier rounds). */
+    * consume jetton_transfer blocks produced in earlier rounds; mint
+    * after transfer so only orphan internal_transfers remain). */
   val registry: Seq[BlockMatcher] =
     Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
-      JettonSwapMatcher)
+      JettonSwapMatcher, JettonMintMatcher)
 }

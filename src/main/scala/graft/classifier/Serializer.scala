@@ -46,7 +46,7 @@ object Serializer {
   private val emittedTypes: Set[String] = Set(
     "ton_transfer", "call_contract", "contract_deploy", "tick_tock",
     "jetton_transfer", "jetton_burn", "nft_transfer", "jetton_swap",
-    "unknown")
+    "jetton_mint", "unknown")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
@@ -86,6 +86,8 @@ object Serializer {
       case sw: JettonSwapBlock =>
         (sw.sender, sw.outTransfer.receiver,
           Some(sw.inTransfer.senderWallet), Some(sw.inTransfer.amount))
+      case m: JettonMintBlock =>
+        (None, m.receiver, Some(m.receiverWallet), Some(m.amount))
       case d: ContractDeployBlock =>
         (None, Some(d.node.tx.account), None, None)
       case _ => (None, None, None, None)

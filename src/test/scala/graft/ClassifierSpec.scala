@@ -139,6 +139,31 @@ class ClassifierSpec extends SparkSpec {
     assert(sw.tx_hashes.toSet == Set("TA", "TB", "TR", "TC", "TD", "TE"))
   }
 
+  test("standalone internal_transfer classifies as jetton_mint") {
+    val txs = Seq(tx("TW", "0:WALLET_B", 10), tx("TN", "0:OWNER_B", 20))
+    val msgs = Map(
+      "TW" -> Seq(
+        in("m1", "0:MASTER", "0:WALLET_B", Some(Opcodes.JettonInternalTransfer)),
+        out("m2", "0:WALLET_B", "0:OWNER_B", Some(Opcodes.JettonNotify))),
+      "TN" -> Seq(in("m2", "0:WALLET_B", "0:OWNER_B", Some(Opcodes.JettonNotify))))
+    val actions = Classifier.classify("trM", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_mint"))
+    assert(actions.head.destination.contains("0:OWNER_B"))
+    assert(actions.head.asset.contains("0:WALLET_B"))
+  }
+
+  test("reclassify replaces only the touched traces") {
+    import spark.implicits._
+    val existing = Seq(("tr1", "a1", "unknown"), ("tr2", "a2", "ton_transfer"))
+      .toDF("trace_id", "action_id", "type")
+    val fresh = Seq(("tr1", "a3", "jetton_transfer"))
+      .toDF("trace_id", "action_id", "type")
+    val merged = ClassifyJob.reclassify(existing, fresh)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(merged == Set(("tr1", "a3", "jetton_transfer"),
+      ("tr2", "a2", "ton_transfer")))
+  }
+
   test("big trace collapses to a single unknown action") {
     val txs = (1 to 4001).map(i => tx(s"T$i", "0:X", i.toLong))
     val actions = Classifier.classify("tr6", txs, Map.empty)
