@@ -21,9 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object ChainSim {
 
+  // silver-table memo: the simulated chain and its assembly are reused by
+  // every pipeline query in a session (the cluster analogue is a
+  // materialized silver layer, not a per-query rebuild)
+  private val simCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val asmCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    simCache.getOrElseUpdate((spark, dir), simulateUncached(spark, dir))
+
+  /** Memoized trace assembly over the simulated chain. */
+  def assembled(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    asmCache.getOrElseUpdate((spark, dir), {
+      val (txs, msgs) = simulate(spark, dir)
+      val (traces, edges, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+      (traces.localCheckpoint(), edges, txsWithTrace.localCheckpoint())
+    })
+
   /** events → (transactions, messages) in the blockchain schema subset the
     * assembler/classifier consume. */
-  def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def simulateUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     val ev = T.events(spark, dir)
       .withColumn("prev_id", lag(col("event_id"), 1).over(w))
@@ -84,8 +103,7 @@ object ChainSim {
       |  min(event_id) AS start_lt, max(event_id) AS end_lt,
       |  concat('m', min(event_id)) AS external_hash
       |FROM events GROUP BY user_id ORDER BY trace_id""".stripMargin) { (s, dir) =>
-    val (txs, msgs) = simulate(s, dir)
-    val (traces, _, _) = TraceAssembly.assemble(txs, msgs)
+    val (traces, _, _) = assembled(s, dir)
     traces.select(
         col("trace_id"), col("nodes_"), col("edges_"),
         col("pending_edges_").cast("int").as("pending_edges_"), col("state"),
@@ -113,8 +131,8 @@ object ChainSim {
       |FROM events e JOIN firsts f ON e.user_id = f.user_id
       |WHERE e.event_type = 'signup'
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
-    val (txs, msgs) = simulate(s, dir)
-    val (_, _, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+    val (_, msgs) = simulate(s, dir)
+    val (_, _, txsWithTrace) = assembled(s, dir)
     ClassifyJob.run(s, txsWithTrace, msgs).toDF()
       .select(col("trace_id"), col("type"), col("start_lt"), col("success"),
         col("source"), col("destination"))
