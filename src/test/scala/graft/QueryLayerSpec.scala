@@ -63,6 +63,39 @@ class QueryLayerSpec extends SparkSpec {
       .getAs[String]("msg_hash") == "mIn")
   }
 
+  test("top accounts is a deterministic top-k") {
+    import spark.implicits._
+    val states = Seq(("0:A", 50L, "active"), ("0:B", 100L, "active"),
+      ("0:C", 100L, "frozen"), ("0:D", 10L, "active"))
+      .toDF("account", "balance", "account_status")
+    val got = QueryLayer.topAccounts(states, 3)
+      .collect().map(_.getAs[String]("account")).toSeq
+    assert(got == Seq("0:B", "0:C", "0:A")) // balance desc, account tiebreak
+  }
+
+  test("shortest domain per wallet (DISTINCT ON semantics)") {
+    import spark.implicits._
+    val dns = Seq(("w1", "abc.ton"), ("w1", "a.ton"), ("w1", "ab.ton"),
+      ("w2", "zz.ton")).toDF("nft_item_owner", "domain")
+    val got = QueryLayer.shortestDomainPerWallet(dns)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("w1" -> "a.ton", "w2" -> "zz.ton"))
+  }
+
+  test("action filter enforces the ancestor-suppression contract") {
+    import spark.implicits._
+    val actions = Seq(
+      ("t1", "a1", "jetton_transfer", Seq.empty[String], 1L, 10L),
+      ("t1", "a2", "ton_transfer", Seq("jetton_transfer"), 2L, 10L),
+      ("t1", "a3", "ton_transfer", Seq("unknown_parent"), 3L, 10L))
+      .toDF("trace_id", "action_id", "type", "ancestor_type",
+        "end_utime", "trace_end_utime")
+    val got = QueryLayer.actions(actions, Seq("jetton_transfer", "ton_transfer"))
+      .collect().map(_.getAs[String]("action_id")).toSeq
+    // a2 suppressed (understood ancestor); a3 kept (ancestor not understood)
+    assert(got == Seq("a1", "a3"))
+  }
+
   test("adjacent transactions hop across shared message hashes") {
     import spark.implicits._
     val msgs = Seq(
