@@ -1,0 +1,96 @@
+package graft.classifier
+
+import graft.functions.Boc
+import graft.functions.Boc.Slice
+
+/** G9 step 2: unknown-trace external unroll (reference
+  * `init_from_external`, indexer/indexer/events/event_processing.py:
+  * 157-194) — when a trace is a bare wallet external with no classified
+  * actions, parse the wallet payload and forge the "ghost" child messages
+  * the wallet was ordering, then classify those. One row → N synthetic
+  * rows: the UDTF-shaped operator of SURVEY §2.11, realized as a flatMap
+  * inside the per-trace group.
+  *
+  * Wallet layout parsed (public wallet-v3/v4 scheme): signature(512b),
+  * subwallet_id(32), valid_until(32), seqno(32), [op(8) — v4 only], then
+  * per out-message: send_mode(8) + ^MessageRelaxed. Each forged message
+  * is the int_msg_info header of that ref.
+  */
+object ExternalUnroll {
+
+  final case class GhostMsg(
+      destination: Option[String], value: Long, opcode: Option[Long],
+      bounce: Boolean)
+
+  /** Parse a wallet external body; None if the layout doesn't fit. */
+  def ghostMessages(bodyB64: String): Option[Seq[GhostMsg]] = {
+    try {
+      val root = Boc.parseBase64(bodyB64)
+      val s = root.beginParse()
+      if (s.remainingBits < 512 + 96) return None
+      s.loadUint(512) // signature
+      s.loadUint(32) // subwallet_id
+      s.loadUint(32) // valid_until
+      s.loadUint(32) // seqno
+      // v4 carries op:int8 before the order list; v3 goes straight to
+      // send_mode bytes. Disambiguate: v4 op 0 = send.
+      if (s.remainingBits % 8 == 0 && s.remainingBits >= 8 &&
+          s.remainingRefs > 0 && (s.remainingBits / 8) == s.remainingRefs + 1)
+        s.loadUint(8) // v4 op
+      val out = scala.collection.mutable.ArrayBuffer[GhostMsg]()
+      while (out.length < 255 && s.remainingRefs > 0 && s.remainingBits >= 8) {
+        s.loadUint(8) // send_mode
+        out += parseMessageRelaxed(s.loadRef().beginParse())
+      }
+      if (out.isEmpty) None else Some(out.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** int_msg_info$0 ihr_disabled bounce bounced src:MsgAddress
+    * dest:MsgAddress value:Coins ... body (opcode = first 32 bits of the
+    * remaining body if present). */
+  private def parseMessageRelaxed(s: Slice): GhostMsg = {
+    val tag = s.loadBit()
+    require(!tag, "only int_msg_info ghost messages supported")
+    s.loadBit() // ihr_disabled
+    val bounce = s.loadBit()
+    s.loadBit() // bounced
+    s.loadAddress() // src (usually addr_none in relaxed form)
+    val dest = s.loadAddress()
+    val value = s.loadCoins()
+    // skip extra-currencies dict bit, ihr_fee, fwd_fee
+    if (s.remainingBits >= 1 && s.loadBit()) s.loadRef() // extra currencies
+    val opcode =
+      if (s.remainingBits >= 4 + 64 + 32 + 2) {
+        s.loadCoins(); s.loadCoins() // ihr_fee, fwd_fee
+        s.loadUint(64); s.loadUint(32) // created_lt, created_at
+        s.loadBit() // no init
+        val inRef = s.loadBit()
+        val body = if (inRef && s.remainingRefs > 0) s.loadRef().beginParse() else s
+        if (body.remainingBits >= 32) Some(body.loadUint(32).toLong) else None
+      } else None
+    GhostMsg(dest, value.toLong, opcode, bounce)
+  }
+
+  /** Forge child TxNodes from a wallet external root (ghost children get
+    * synthetic hashes; they carry only message-level information). */
+  def unroll(root: TxNode): Option[TxNode] = {
+    val body = root.inMsg.flatMap(_.body)
+    if (root.children.nonEmpty || body.isEmpty) return None
+    ghostMessages(body.get).map { ghosts =>
+      val children = ghosts.zipWithIndex.map { case (g, i) =>
+        val m = MsgLite(s"ghost:${root.tx.hash}:$i", "in",
+          Some(root.tx.account), g.destination, g.value, g.opcode,
+          g.bounce, bounced = false, createdLt = Some(root.tx.lt + i + 1),
+          body = None)
+        TxNode(
+          TxLite(s"ghost:${root.tx.hash}:$i",
+            g.destination.getOrElse(root.tx.account),
+            root.tx.lt + i + 1, root.tx.now, "active", "active",
+            aborted = false, None, None, 0L, "ord"),
+          Some(m), Nil, Nil)
+      }
+      root.copy(children = children)
+    }
+  }
+}

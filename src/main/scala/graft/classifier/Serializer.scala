@@ -125,7 +125,14 @@ object Classifier {
     if (txs.size > BigTraceCutoff)
       return Seq(unknownAction(traceId, txs))
     try {
-      val forest = TxTree.build(txs, allMsgs, msgsByTx)
+      val built = TxTree.build(txs, allMsgs, msgsByTx)
+      // G9 step 2: a bare wallet external with no children → forge the
+      // ghost messages its payload orders and classify those
+      val forest = built.map { r =>
+        val isExternalLeaf = r.children.isEmpty &&
+          r.inMsg.exists(m => m.source.isEmpty && m.body.nonEmpty)
+        if (isExternalLeaf) ExternalUnroll.unroll(r).getOrElse(r) else r
+      }
       val seeded = Seeder.seedTrace(forest)
       val rewritten = Matching.rewrite(seeded, ProtocolMatchers.registry)
       val actions = Serializer.serialize(traceId, rewritten)

@@ -164,6 +164,41 @@ class ClassifierSpec extends SparkSpec {
       ("tr2", "a2", "ton_transfer")))
   }
 
+  test("wallet external with no children unrolls into ghost transfer actions") {
+    import graft.functions.Boc
+    // forged order: one internal message, 0.5 TON to 0:99..99
+    val dest = Some("0:" + "99" * 32)
+    val inner = new Boc.Builder()
+      .storeBit(false) // int_msg_info$0
+      .storeBit(true)  // ihr_disabled
+      .storeBit(false) // bounce
+      .storeBit(false) // bounced
+      .storeAddress(None).storeAddress(dest)
+      .storeCoins(BigInt(500000000L))
+      .storeBit(false) // no extra currencies
+      .storeCoins(BigInt(0)).storeCoins(BigInt(0))
+      .storeUint(BigInt(0), 64).storeUint(BigInt(0), 32)
+      .storeBit(false).storeBit(false) // no init, body inline
+      .build()
+    val walletBody = new Boc.Builder()
+      .storeUint(BigInt(0), 512) // signature
+      .storeUint(BigInt(698983191L), 32) // subwallet
+      .storeUint(BigInt(0xffffffffL), 32) // valid_until
+      .storeUint(BigInt(7), 32) // seqno
+      .storeUint(BigInt(0), 8) // send_mode of order 1
+      .storeRef(inner)
+      .build()
+    val txs = Seq(tx("TX", "0:WALLET", 10))
+    val msgs = Map("TX" -> Seq(
+      in("m1", null, "0:WALLET", None).copy(
+        source = None, body = Some(Boc.serializeBase64(walletBody)))))
+    val actions = Classifier.classify("trU", txs, msgs)
+    val ghost = actions.find(_.`type` == "ton_transfer")
+    assert(ghost.isDefined, s"expected ghost transfer, got ${actions.map(_.`type`)}")
+    assert(ghost.get.destination == dest)
+    assert(ghost.get.value.contains(BigDecimal(500000000L)))
+  }
+
   test("big trace collapses to a single unknown action") {
     val txs = (1 to 4001).map(i => tx(s"T$i", "0:X", i.toLong))
     val actions = Classifier.classify("tr6", txs, Map.empty)
