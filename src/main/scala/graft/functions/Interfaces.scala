@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Interfaces {
 
+  /** TVM get-method id from its name: (crc16/xmodem & 0xffff) | 0x10000 —
+    * the published method-id scheme (e.g. "seqno" → 85143). This is how
+    * the reference's contract_methods table derives ids
+    * (tondb-scanner/src/parse_contract_methods.cpp). */
+  def methodId(name: String): Long =
+    (Address.crc16(name.getBytes("UTF-8")).toLong & 0xffffL) | 0x10000L
+
   /** Method-id requirements per interface (public TEP get-methods). */
   val methodRequirements: Map[String, Set[Long]] = Map(
     "jetton_wallet" -> Set(97026L, 102491L), // get_wallet_data, get_status-ish

@@ -6,6 +6,14 @@ class InterfacesSpec extends SparkSpec {
 
   private val table = Map("h1" -> "wallet_v4", "h2" -> "jetton_wallet")
 
+  test("TVM method-id derivation matches the published scheme") {
+    // "seqno" -> 85143 is the widely documented reference value
+    assert(Interfaces.methodId("seqno") == 85143L)
+    // ids are 17-bit with the high bit always set
+    for (n <- Seq("get_wallet_data", "get_jetton_data", "get_nft_data"))
+      assert((Interfaces.methodId(n) & 0x10000L) != 0)
+  }
+
   test("exact code-hash match wins") {
     assert(Interfaces.detect(table)("h1", Nil).contains("wallet_v4"))
     assert(Interfaces.detect(table)("h2", Seq(102351L)).contains("jetton_wallet"))
