@@ -95,5 +95,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04)
+  /** BPE-ish token counting: letter runs / digit runs / single symbols —
+    * the pre-tokenizer split shape of byte-pair encoders. */
+  val d05 = Q("d05_bpe_token_count",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |    AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    T.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr(
+          """regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"""))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
 }
