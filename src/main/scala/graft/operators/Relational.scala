@@ -26,6 +26,14 @@ object Relational {
 
   private val dec = DecimalType(18, 2)
   private def d(c: Column): Column = c.cast(dec)
+  /** Final-output form of an exact decimal aggregate: the sum itself is
+    * computed in Decimal (order-independent, exact), then cast to double
+    * ONCE for the output column. Rationale: Spark's sum(decimal(18,2))
+    * yields decimal(28,2) while DuckDB's yields decimal(38,2) — same
+    * values, different arrow dtypes, which a type-sensitive hash compare
+    * flags. A double has one canonical representation in every toolchain,
+    * and decimal→double is correctly rounded on both engines. */
+  private def dsum(c: Column): Column = sum(d(c)).cast("double")
 
   // ---------------------------------------------------------------- P-family
 
@@ -34,8 +42,8 @@ object Relational {
     * balances.go:62-135 (sum aggregation). */
   val q01 = Q("q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
       |  min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price,
       |  count(*) AS count_order
       |FROM lineitem
@@ -46,8 +54,8 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(d(col("l_quantity"))).as("sum_qty"),
-        sum(d(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
         min("l_quantity").as("min_qty"),
         max("l_extendedprice").as("max_price"),
         count(lit(1)).as("count_order"))
@@ -99,7 +107,8 @@ object Relational {
     * (crud_jettons.go:102 `balance + coalesce(mintless_amount,0) > 0`). */
   val q05 = Q("q05_null_coalesce",
     """SELECT c_custkey, c_name,
-      |  cast(c_acctbal as decimal(18,2)) + coalesce(t.total, 0) AS combined
+      |  cast(cast(c_acctbal as decimal(18,2)) + coalesce(t.total, 0) as double)
+      |    AS combined
       |FROM customer
       |LEFT JOIN (SELECT o_custkey, sum(cast(o_totalprice as decimal(18,2))) AS total
       |           FROM orders GROUP BY o_custkey) t
@@ -110,8 +119,9 @@ object Relational {
       .agg(sum(d(col("o_totalprice"))).as("total"))
     T.customer(s, dir)
       .join(totals, col("c_custkey") === col("o_custkey"), "left")
-      .withColumn("combined", d(col("c_acctbal")) + coalesce(col("total"), lit(0)))
-      .filter(col("combined") > 1000)
+      .withColumn("combined_dec", d(col("c_acctbal")) + coalesce(col("total"), lit(0)))
+      .filter(col("combined_dec") > 1000)
+      .withColumn("combined", col("combined_dec").cast("double"))
       .select("c_custkey", "c_name", "combined")
       .orderBy("c_custkey")
   }
@@ -211,7 +221,8 @@ object Relational {
     * dimensions broadcast; only lineitem⋈orders shuffles. */
   val q12 = Q("q12_multiway_star",
     """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-      |  count(*) AS n_lines, sum(cast(l_extendedprice as decimal(18,2))) AS revenue
+      |  count(*) AS n_lines,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -229,7 +240,7 @@ object Relational {
       .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
       .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
       .groupBy("cust_nation", "supp_nation")
-      .agg(count(lit(1)).as("n_lines"), sum(d(col("l_extendedprice"))).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
       .orderBy("cust_nation", "supp_nation")
   }
 
@@ -266,7 +277,7 @@ object Relational {
   val q15 = Q("q15_bridge_join",
     """SELECT s_suppkey, s_name, count(*) AS n_lines,
       |  count(DISTINCT l_orderkey) AS n_orders,
-      |  sum(cast(l_quantity as decimal(18,2))) AS total_qty
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN orders ON l_orderkey = o_orderkey
@@ -280,7 +291,7 @@ object Relational {
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("n_lines"),
         countDistinct("l_orderkey").as("n_orders"),
-        sum(d(col("l_quantity"))).as("total_qty"))
+        dsum(col("l_quantity")).as("total_qty"))
       .orderBy("s_suppkey")
   }
 
@@ -361,12 +372,13 @@ object Relational {
     * per-(account,asset) exact sums — exploded deltas + groupBy, the
     * scalable rewrite of the reference's in-memory map merge. */
   val q23 = Q("q23_map_merge_agg",
-    """SELECT user_id, event_type, sum(cast(value as decimal(18,2))) AS total,
+    """SELECT user_id, event_type,
+      |  cast(sum(cast(value as decimal(18,2))) as double) AS total,
       |  count(*) AS n
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
     T.events(s, dir).groupBy("user_id", "event_type")
-      .agg(sum(d(col("value"))).as("total"), count(lit(1)).as("n"))
+      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
       .orderBy("user_id", "event_type")
   }
 
@@ -474,7 +486,7 @@ object Relational {
   val q30 = Q("q30_nested_hydrate",
     """SELECT o_orderkey, count(*) AS n_lines,
       |  string_agg(cast(l_linenumber as varchar), ',' ORDER BY l_linenumber) AS line_numbers,
-      |  sum(cast(l_quantity as decimal(18,2))) AS total_qty
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
     T.orders(s, dir)
@@ -483,7 +495,7 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         array_join(transform(sort_array(collect_list(col("l_linenumber"))),
           x => x.cast("string")), ",").as("line_numbers"),
-        sum(d(col("l_quantity"))).as("total_qty"))
+        dsum(col("l_quantity")).as("total_qty"))
       .orderBy("o_orderkey")
   }
 
