@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * cluster), feature schema, and downstream aggregations. Swapping the
   * stub for a JNI/codec call changes no plan shape.
   *
+  * The stub derives metadata from the MD5 of the payload — an
+  * engine-portable definition, so the decode path itself is
+  * oracle-checkable (m02/m03): DuckDB recomputes the same widths/heights/
+  * frame counts from md5(text).
+  *
   * Scale: decode runs per-partition with one decoder instance per
   * partition (not per row); binary payloads never shuffle — features are
   * extracted first and only the (id, features) projection moves.
@@ -27,18 +32,26 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int,
       feature: Array[Float])
 
-  /** STUB decoder: derives deterministic pseudo-metadata from the payload
-    * bytes. A real implementation would decode image dimensions / audio
-    * duration / video frames here; everything around it is production
-    * plumbing. */
-  private[operators] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-    def pick(lo: Int, hi: Int, salt: Int): Int =
-      lo + (((h >>> salt) & 0x7fffffff) % (hi - lo)).toInt
+  /** STUB decoder: derives deterministic pseudo-metadata from the MD5 of
+    * the payload. A real implementation would decode image dimensions /
+    * audio duration / video frames here; everything around it is
+    * production plumbing. Definition (mirrored by the SQL oracles):
+    * h1/h2/h3 = hex md5 substrings [0,12)/[12,24)/[24,32) as integers;
+    *   image: (64 + h1 % 4032, 64 + h2 % 4032, 1)
+    *   video: (64 + h1 % 1856, 64 + h2 % 1016, 1 + h3 % 299)
+    *   audio: (0, 0, 1 + h3 % 999). */
+  private[operators] def decodeStub(md: java.security.MessageDigest,
+      kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+    md.reset()
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16)
+    val h3 = java.lang.Long.parseLong(hex.substring(24, 32), 16)
     kind match {
-      case "image" => (pick(64, 4096, 3), pick(64, 4096, 7), 1)
-      case "video" => (pick(64, 1920, 3), pick(64, 1080, 7), pick(1, 300, 11))
-      case _       => (0, 0, pick(1, 1000, 5)) // audio: frames = samples/1k
+      case "image" => ((64 + h1 % 4032).toInt, (64 + h2 % 4032).toInt, 1)
+      case "video" => ((64 + h1 % 1856).toInt, (64 + h2 % 1016).toInt,
+        (1 + h3 % 299).toInt)
+      case _       => (0, 0, (1 + h3 % 999).toInt)
     }
   }
 
@@ -61,8 +74,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens HERE (decoder/model load on a real cluster)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, frames) = decodeStub(r.kind, r.payload)
+        val (w, h, frames) = decodeStub(md, r.kind, r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, frames,
           featurizeStub(r.payload))
       }
@@ -73,9 +87,12 @@ object Multimodal {
     * (video → every `stride`-th frame), schema-preserving flatMap. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val (_, _, frames) = decodeStub(r.kind, r.payload)
-      (0 until frames by stride).map(i => (r.media_id, r.kind, i))
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val (_, _, frames) = decodeStub(md, r.kind, r.payload)
+        (0 until frames by stride).map(i => (r.media_id, r.kind, i))
+      }
     }.toDF("media_id", "kind", "frame_index")
   }
 
@@ -91,8 +108,20 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Binary plumbing stats — oracle-checkable because byte length and
-    * kind assignment are engine-independent. */
+  /** Shared oracle fragment: per-document kind + md5-derived h1/h2/h3. */
+  private val mediaCte: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    length(text) AS n_bytes,
+      |    CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(text), 13, 12) AS BIGINT) AS h2,
+      |    CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) AS h3
+      |  FROM documents)""".stripMargin
+
+  /** Binary plumbing stats — byte length and kind assignment are
+    * engine-independent. */
   val m01 = Q("m01_media_stats",
     """SELECT CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -105,18 +134,33 @@ object Multimodal {
       .orderBy("kind")
   }
 
-  /** Decoded metadata + features (stub-deterministic → rows-only check;
-    * determinism pinned by MultimodalSpec). */
-  val m02 = Q.noOracle("m02_media_features") { (s, dir) =>
+  /** Decoded metadata through the mapPartitions path — oracle-checked
+    * because the stub's md5 derivation is engine-portable. The float
+    * feature vector is exercised by MultimodalSpec (not SQL-expressible). */
+  val m02 = Q("m02_media_features",
+    s"""$mediaCte
+       |SELECT doc_id AS media_id, kind, n_bytes,
+       |  CASE kind WHEN 'image' THEN 64 + h1 % 4032
+       |            WHEN 'video' THEN 64 + h1 % 1856 ELSE 0 END AS width,
+       |  CASE kind WHEN 'image' THEN 64 + h2 % 4032
+       |            WHEN 'video' THEN 64 + h2 % 1016 ELSE 0 END AS height,
+       |  CASE kind WHEN 'image' THEN 1
+       |            WHEN 'video' THEN 1 + h3 % 299
+       |            ELSE 1 + h3 % 999 END AS n_frames
+       |FROM h ORDER BY media_id""".stripMargin) { (s, dir) =>
     extractFeatures(mediaFromDocuments(s, dir)).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
-        col("height"), col("n_frames"), round(element_at(col("feature"), 1), 6)
-          .as("f0"))
+      .select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
       .orderBy("media_id")
   }
 
-  /** Frame sampling fan-out. */
-  val m03 = Q.noOracle("m03_frame_sample") { (s, dir) =>
+  /** Frame sampling fan-out: every 30th frame index of each video. */
+  val m03 = Q("m03_frame_sample",
+    s"""$mediaCte
+       |SELECT media_id, kind, unnest(range(0, n_frames, 30)) AS frame_index
+       |FROM (SELECT doc_id AS media_id, kind,
+       |        CAST(1 + h3 % 299 AS BIGINT) AS n_frames
+       |      FROM h WHERE kind = 'video') v
+       |ORDER BY media_id, frame_index""".stripMargin) { (s, dir) =>
     sampleFrames(mediaFromDocuments(s, dir).filter(col("kind") === "video"), 30)
       .orderBy("media_id", "frame_index")
   }

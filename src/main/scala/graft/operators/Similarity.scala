@@ -99,15 +99,21 @@ object Similarity {
     * their partitions. NOTE: the synthetic corpus's labels are random, not
     * similarity clusters, so recall here is ~nProbe/K — on real data the
     * partition key would come from k-means and this is the 100 TB path
-    * (scan nProbe/K of the corpus instead of all of it). */
+    * (scan nProbe/K of the corpus instead of all of it).
+    *
+    * Centroid direction = per-dimension SUM in Decimal, not a double avg:
+    * cosine is scale-invariant (cos(q, Σv) == cos(q, v̄)), the decimal sum
+    * is exact and order-independent (a parallel double sum is neither),
+    * and the final decimal→double cast is correctly rounded on every
+    * engine — so probe selection is deterministic and oracle-stable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 2): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("label"),
       asDouble(col("embedding")).as("cv"))
-    val dim = 64
     val centroids = c
       .select(col("label"), posexplode(col("cv")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("x"))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("x"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p("x")).as("centroid"))
@@ -158,8 +164,41 @@ object Similarity {
       .orderBy("query_id", "n_rank")
   }
 
-  /** IVF-style partition-probed ANN over the label clusters. */
-  val e03 = Q.noOracle("e03_ann_ivf") { (s, dir) =>
+  /** IVF-style partition-probed ANN over the label clusters. Fully
+    * deterministic (decimal-sum centroids, double cosine, unique
+    * tie-breaks), so the whole probe-then-rank program is SQL-expressible
+    * and oracle-checked — the DuckDB mirror recomputes centroids, probes
+    * the top-2 labels, and ranks within the probed partitions. */
+  val e03 = Q("e03_ann_ivf",
+    """WITH dims AS (
+      |  SELECT label, i,
+      |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS c
+      |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings) t
+      |  GROUP BY label, i),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY i) AS centroid FROM dims GROUP BY label),
+      |probes AS (
+      |  SELECT * FROM (
+      |    SELECT q.vec_id AS query_id, c.label,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        c.centroid) DESC,
+      |                 c.label) AS crank
+      |    FROM embeddings q, cents c WHERE q.vec_id < 8) p
+      |  WHERE crank <= 2)
+      |SELECT query_id, n_rank, neighbor_id FROM (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+      |               e.vec_id) AS n_rank
+      |  FROM probes p
+      |  JOIN embeddings e ON e.label = p.label
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  WHERE e.vec_id <> p.query_id) t
+      |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
     ivfTopK(T.embeddings(s, dir), queriesOf(s, dir), 5)
       .orderBy("query_id", "n_rank")
   }
@@ -191,10 +230,36 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs (cosine ≥ 0.45 — calibrated to the
-    * synthetic corpus, whose max pairwise cosine is ~0.51). */
+    * synthetic corpus, whose max pairwise cosine is ~0.51). Hyperplane-LSH
+    * recall at this low a cosine is < 1 by design (the corpus has no
+    * true near-dups at cos ≈ 1 where the s-curve saturates) → rows-only
+    * driver check; precision is exact by verification (SimilaritySpec). */
   val e04 = Q.noOracle("e04_embed_neardup") { (s, dir) =>
     nearDupPairs(T.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04)
+  /** Exact near-duplicate baseline over a bounded corpus slice
+    * (vec_id < 2000 — the whole corpus at bench scale): all-pairs cosine
+    * with one side broadcast. This is the exact counterpart of e04's LSH
+    * path and the ground truth its recall is measured against; at 100 TB
+    * the slice bound becomes a blocking key and e04 is the scale path. */
+  val e05 = Q("e05_neardup_exact",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+      |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    val slice = T.embeddings(s, dir).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val a = slice.select(col("vec_id").as("vec_a"), col("cv").as("cva"))
+    val b = slice.select(col("vec_id").as("vec_b"), col("cv").as("cvb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("cva"), col("cvb")) >= 0.45)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05)
 }
