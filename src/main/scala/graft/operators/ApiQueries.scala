@@ -59,9 +59,7 @@ object ApiQueries {
       |  fid AS end_utime
       |FROM bounds
       |ORDER BY mx, trace_id, end_utime LIMIT 100""".stripMargin) { (s, dir) =>
-    val (_, msgs) = ChainSim.simulate(s, dir)
-    val (_, _, txsWithTrace) = ChainSim.assembled(s, dir)
-    val acts = ClassifyJob.run(s, txsWithTrace, msgs).toDF()
+    val acts = ChainSim.classified(s, dir)
     val w = Window.partitionBy("trace_id")
     val withEnds = acts.withColumn("trace_end_utime", max("end_utime").over(w))
     QueryLayer.actions(withEnds, Seq("call_contract", "contract_deploy"), 100)

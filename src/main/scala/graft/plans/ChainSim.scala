@@ -28,9 +28,20 @@ object ChainSim {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private val asmCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private val actsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     simCache.getOrElseUpdate((spark, dir), simulateUncached(spark, dir))
+
+  /** Memoized classifier output over the assembled chain — shared by every
+    * action-level query (a03/b02); the silver `actions` table. */
+  def classified(spark: SparkSession, dir: String): DataFrame =
+    actsCache.getOrElseUpdate((spark, dir), {
+      val (_, msgs) = simulate(spark, dir)
+      val (_, _, txsWithTrace) = assembled(spark, dir)
+      ClassifyJob.run(spark, txsWithTrace, msgs).toDF().localCheckpoint()
+    })
 
   /** Memoized trace assembly over the simulated chain. */
   def assembled(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
@@ -131,9 +142,7 @@ object ChainSim {
       |FROM events e JOIN firsts f ON e.user_id = f.user_id
       |WHERE e.event_type = 'signup'
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
-    val (_, msgs) = simulate(s, dir)
-    val (_, _, txsWithTrace) = assembled(s, dir)
-    ClassifyJob.run(s, txsWithTrace, msgs).toDF()
+    classified(s, dir)
       .select(col("trace_id"), col("type"), col("start_lt"), col("success"),
         col("source"), col("destination"))
       .orderBy("start_lt", "type")

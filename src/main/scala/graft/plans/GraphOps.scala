@@ -52,13 +52,15 @@ object GraphOps {
     while (!converged && iter < maxIters) {
       // jump + change-detection in ONE join: moved ⇔ the parent hop
       // found a strictly different ancestor
+      // lazy checkpoint: the count() below materializes it — one job per
+      // iteration instead of two (eager checkpoint + count)
       val jumped = cur.alias("a")
         .join(cur.select(col("id").as("anc"), col("anc").as("anc2")).alias("b"),
           Seq("anc"), "left")
         .select(col("a.id").as("id"),
           coalesce(col("b.anc2"), col("anc")).as("anc"),
           (col("b.anc2").isNotNull && col("b.anc2") =!= col("anc")).as("moved"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = jumped.filter(col("moved")).count()
       cur = jumped.drop("moved")
       iter += 1
