@@ -113,6 +113,20 @@ case class JettonSwapBlock(
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 
+/** Generic typed protocol block built from an opcode-chain match — the
+  * Scala analogue of the reference's per-protocol Block subclasses with
+  * `data` dicts (e.g. SubscriptionBlock, blocks/subscriptions.py:12-26;
+  * staking blocks, blocks/staking.py; multisig/vesting/dns blocks). The
+  * btype carries the canonical action-type name used by the reference
+  * serializer (blocks/utils/block_tree_serializer.py:1302-1446). */
+case class ProtocolOpBlock(
+    btype: String,
+    source: Option[String], destination: Option[String],
+    asset: Option[String], value: Option[BigDecimal],
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
 /** Terminal fallback (G9, block_tree_serializer.py:1564-1587). */
 case class UnknownBlock(nodes: Seq[TxNode]) extends Block {
   val btype = "unknown"

@@ -272,10 +272,146 @@ object ProtocolMatchers {
     }
   }
 
+  // ---------------------------------------------------------- opcode chains
+
+  /** Generic opcode-chain matcher — the ContractMatcher(child=...) shape
+    * of the reference DSL (basic_matchers.py): match a CallContract head
+    * opcode, optionally REQUIRE one direct-child opcode, and consume any
+    * descendants whose opcodes belong to the chain's auxiliary set
+    * (notifications, confirmations, excesses). `build` receives the head
+    * and ALL consumed blocks and returns the typed block. */
+  final class OpcodeChainMatcher(
+      head: Long,
+      requiredChild: Option[Long],
+      auxiliary: Set[Long],
+      build: (CallContractBlock, Seq[Block]) => Block) extends BlockMatcher {
+
+    private def consumeAux(b: Block): Seq[Block] =
+      b.children.flatMap {
+        case c: CallContractBlock
+          if auxiliary.exists(op => Opcodes.matches(c.opcode, op)) =>
+          c +: consumeAux(c)
+        case _ => Nil
+      }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, head) =>
+        val req = requiredChild.map { op =>
+          c.children.collectFirst {
+            case rc: CallContractBlock if Opcodes.matches(rc.opcode, op) => rc
+          }
+        }
+        req match {
+          case Some(None) => None // required child missing
+          case _ =>
+            val reqBlocks = req.flatten.toSeq
+            val consumed =
+              (c +: reqBlocks) ++ (c +: reqBlocks).flatMap(consumeAux).distinct
+            Some((build(c, consumed.distinct), consumed.distinct))
+        }
+      case _ => None
+    }
+  }
+
+  /** Endpoint/value defaults shared by the opcode-chain protocol blocks:
+    * source/destination/value from the head's in-message. */
+  private def protoBlock(btype: String)(
+      c: CallContractBlock, consumed: Seq[Block]): Block = {
+    val in = c.node.inMsg
+    ProtocolOpBlock(btype,
+      in.flatMap(_.source), in.flatMap(_.destination),
+      asset = None, value = in.map(m => BigDecimal(m.value)),
+      failed = consumed.exists(_.failed),
+      nodes = consumed.flatMap(_.nodes), children = Nil)
+  }
+
+  /** StonFi v1 swap: swap 0x25938561 into the pool MUST produce a payment
+    * request 0xf93bb43f back to the router (blocks/swaps.py stonfi
+    * matcher; messages/swaps.py:9,27). Canonical action type jetton_swap. */
+  val StonfiSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.StonfiSwap, Some(Opcodes.StonfiPayment), Set(Opcodes.Excesses),
+    protoBlock("jetton_swap"))
+
+  /** DeDust swap: 0xea06185d with optional peer-swap recursion and
+    * notification/payout tail (messages/swaps.py:98-130). */
+  val DedustSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.DedustSwap, None,
+    Set(Opcodes.DedustSwapPeer, Opcodes.DedustSwapNotification,
+      Opcodes.DedustPayout, Opcodes.DedustPayoutFromPool),
+    protoBlock("jetton_swap"))
+
+  /** TONStakers deposit 0x47d54391 (+ optional pool-jetton mint)
+    * (messages/staking.py:17-26; action type blocks/staking.py:506). */
+  val TonstakersDepositMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TonstakersDeposit, None,
+    Set(Opcodes.TonstakersMint, Opcodes.Excesses),
+    protoBlock("stake_deposit"))
+
+  /** TONStakers withdraw 0x319b0cdc (+ optional bill nft burn chain). */
+  val TonstakersWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TonstakersWithdraw, None,
+    Set(Opcodes.TonstakersNftBurn, Opcodes.Excesses),
+    protoBlock("stake_withdrawal"))
+
+  /** Elector deposit/recover with their confirmations
+    * (messages/staking.py:5-15; serializer case 'election_deposit' |
+    * 'election_recover'). */
+  val ElectionDepositMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ElectorDeposit, None, Set(Opcodes.ElectorDepositConfirm),
+    protoBlock("election_deposit"))
+  val ElectionRecoverMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ElectorRecover, None, Set(Opcodes.ElectorRecoverConfirm),
+    protoBlock("election_recover"))
+
+  /** Multisig create/approve/execute (messages/multisig.py:14-103). */
+  val MultisigCreateOrderMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.MultisigNewOrder, None, Set(Opcodes.MultisigInitOrder),
+    protoBlock("multisig_create_order"))
+  val MultisigApproveMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.MultisigApprove, None, Set(Opcodes.MultisigApproveAccepted),
+    protoBlock("multisig_approve"))
+  val MultisigExecuteMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.MultisigExecute, None, Set.empty,
+    protoBlock("multisig_execute"))
+
+  /** DNS record change 0x4eb1f0f9 (messages/dns.py:7; action 'change_dns'). */
+  val ChangeDnsMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ChangeDnsRecord, None, Set.empty, protoBlock("change_dns"))
+
+  /** Vesting send-message / add-whitelist with their response opcodes
+    * (messages/vesting.py:12-34). */
+  val VestingSendMessageMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.VestingSendMessage, None, Set(Opcodes.VestingSendMessageResponse),
+    protoBlock("vesting_send_message"))
+  val VestingAddWhitelistMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.VestingAddWhitelist, None, Set(Opcodes.VestingAddWhitelistResponse),
+    protoBlock("vesting_add_whitelist"))
+
+  /** Subscription payment: the wallet's payment-request RESPONSE
+    * 0xf06c7567 must carry the actual payment 0x73756273 to the
+    * beneficiary; optional request parent is absorbed as auxiliary when
+    * nested (blocks/subscriptions.py:29-58). */
+  val SubscribeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.SubscriptionPaymentRequestResponse, Some(Opcodes.SubscriptionPayment),
+    Set.empty, protoBlock("subscribe"))
+
+  /** Wallet plugin destruct 0x64737472 → unsubscribe. */
+  val UnsubscribeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.WalletPluginDestruct, None, Set.empty, protoBlock("unsubscribe"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
-    * after transfer so only orphan internal_transfers remain). */
+    * after transfer so only orphan internal_transfers remain; opcode-chain
+    * protocol matchers run after the jetton family so their auxiliary
+    * sets never steal jetton opcodes). */
   val registry: Seq[BlockMatcher] =
     Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
-      JettonSwapMatcher, JettonMintMatcher)
+      JettonSwapMatcher, JettonMintMatcher,
+      StonfiSwapMatcher, DedustSwapMatcher,
+      TonstakersDepositMatcher, TonstakersWithdrawMatcher,
+      ElectionDepositMatcher, ElectionRecoverMatcher,
+      MultisigCreateOrderMatcher, MultisigApproveMatcher,
+      MultisigExecuteMatcher, ChangeDnsMatcher,
+      VestingSendMessageMatcher, VestingAddWhitelistMatcher,
+      SubscribeMatcher, UnsubscribeMatcher)
 }

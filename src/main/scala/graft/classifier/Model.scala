@@ -98,6 +98,48 @@ object Opcodes {
   val NftTransfer = 0x5fcc3d14L
   val NftOwnershipAssigned = 0x05138d91L
 
+  // DEX — StonFi v1 (messages/swaps.py:9,27) and DeDust (:121-130)
+  val StonfiSwap = 0x25938561L
+  val StonfiPayment = 0xf93bb43fL
+  val DedustSwap = 0xea06185dL
+  val DedustSwapPeer = 0x72aca8aaL
+  val DedustSwapExternal = 0x61ee542dL
+  val DedustSwapNotification = 0x9c610de3L
+  val DedustPayout = 0x474f86cfL
+  val DedustPayoutFromPool = 0xad4eb6f5L
+
+  // staking — TONStakers + elector (messages/staking.py:6-40)
+  val TonstakersDeposit = 0x47d54391L
+  val TonstakersWithdraw = 0x319b0cdcL
+  val TonstakersMint = 0x1674b0a0L
+  val TonstakersNftBurn = 0xf127fe4eL
+  val ElectorDeposit = 0x4e73744bL
+  val ElectorDepositConfirm = 0xf374484cL
+  val ElectorRecover = 0x47657424L
+  val ElectorRecoverConfirm = 0xf96f7324L
+
+  // multisig (messages/multisig.py:14-103)
+  val MultisigNewOrder = 0xf718510fL
+  val MultisigInitOrder = 0x9c73fba2L
+  val MultisigApprove = 0xa762230fL
+  val MultisigApproveAccepted = 0x82609bf6L
+  val MultisigExecute = 0x75097f5dL
+
+  // dns (messages/dns.py:7)
+  val ChangeDnsRecord = 0x4eb1f0f9L
+
+  // vesting (messages/vesting.py:12-34)
+  val VestingSendMessage = 0xa7733acdL
+  val VestingSendMessageResponse = 0xf7733acdL
+  val VestingAddWhitelist = 0x7258a69bL
+  val VestingAddWhitelistResponse = 0xf258a69bL
+
+  // subscriptions / wallet plugins (messages/subscriptions.py:7-24)
+  val SubscriptionPaymentRequest = 0x706c7567L
+  val SubscriptionPaymentRequestResponse = 0xf06c7567L
+  val SubscriptionPayment = 0x73756273L
+  val WalletPluginDestruct = 0x64737472L
+
   /** opcode column is signed int32; compare on the unsigned 32-bit value. */
   def matches(op: Option[Long], wanted: Long): Boolean =
     op.exists(o => (o & 0xffffffffL) == (wanted & 0xffffffffL))

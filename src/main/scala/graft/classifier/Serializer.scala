@@ -46,7 +46,12 @@ object Serializer {
   private val emittedTypes: Set[String] = Set(
     "ton_transfer", "call_contract", "contract_deploy", "tick_tock",
     "jetton_transfer", "jetton_burn", "nft_transfer", "jetton_swap",
-    "jetton_mint", "unknown")
+    "jetton_mint", "unknown",
+    "stake_deposit", "stake_withdrawal",
+    "election_deposit", "election_recover",
+    "multisig_create_order", "multisig_approve", "multisig_execute",
+    "change_dns", "vesting_send_message", "vesting_add_whitelist",
+    "subscribe", "unsubscribe")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
@@ -90,6 +95,8 @@ object Serializer {
         (None, m.receiver, Some(m.receiverWallet), Some(m.amount))
       case d: ContractDeployBlock =>
         (None, Some(d.node.tx.account), None, None)
+      case p: ProtocolOpBlock =>
+        (p.source, p.destination, p.asset, p.value)
       case _ => (None, None, None, None)
     }
     val opcode = b match {

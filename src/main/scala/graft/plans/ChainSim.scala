@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.{Q, Tables => T}
 import graft.classifier.ClassifyJob
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,5 +148,103 @@ object ChainSim {
       .orderBy("start_lt", "type")
   }
 
-  val all: Seq[Q] = Seq(b01, b02)
+  // ------------------------------------------------- protocol-opcode chain
+
+  private val protoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Same chain topology, but event types map to REAL protocol opcodes so
+    * the protocol matcher registry is exercised through the driver gate:
+    * click → StonFi swap 0x25938561, view → StonFi payment 0xf93bb43f
+    * (a click immediately followed by a view in the user's chain is a
+    * swap→payment parent/child edge ⇒ one jetton_swap action),
+    * purchase → TONStakers deposit 0x47d54391 (stake_deposit),
+    * signup → multisig new-order 0xf718510f (multisig_create_order),
+    * error → DNS change-record 0x4eb1f0f9 (change_dns). */
+  private def protocolSim(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = T.events(spark, dir)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
+      .localCheckpoint()
+    val txs = ev.select(
+      concat(lit("T"), col("event_id").cast("string")).as("hash"),
+      col("acct").as("account"),
+      col("event_id").as("lt"),
+      col("event_id").cast("int").as("now"),
+      lit(100).as("mc_block_seqno"),
+      lit("active").as("orig_status"), lit("active").as("end_status"),
+      lit(false).as("aborted"),
+      lit(null).cast("int").as("compute_exit_code"),
+      lit(null).cast("int").as("action_result_code"),
+      lit(0L).as("total_fees"), lit("ord").as("descr"))
+    val opcode = when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.StonfiSwap))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.StonfiPayment))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.TonstakersDeposit))
+      .when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.MultisigNewOrder))
+      .otherwise(lit(graft.classifier.Opcodes.ChangeDnsRecord))
+    def msgs(dirLit: String, txCol: Column, srcCol: Column) = ev
+      .filter(if (dirLit == "out") col("prev_id").isNotNull else lit(true))
+      .select(
+        concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
+        txCol.as("tx_hash"), lit(dirLit).as("direction"),
+        srcCol.as("source"), col("acct").as("destination"),
+        (col("value") * 100).cast("long").as("value"),
+        opcode.as("opcode"),
+        lit(false).as("bounce"), lit(false).as("bounced"),
+        col("event_id").as("created_lt"))
+    val inMsgs = msgs("in", concat(lit("T"), col("event_id").cast("string")),
+      when(col("prev_id").isNull, lit(null).cast("string")).otherwise(col("acct")))
+    val outMsgs = msgs("out", concat(lit("T"), col("prev_id").cast("string")),
+      col("acct"))
+    (txs, inMsgs.unionByName(outMsgs))
+  }
+
+  private def protocolClassified(spark: SparkSession, dir: String): DataFrame =
+    protoCache.getOrElseUpdate((spark, dir), {
+      val (txs, msgs) = protocolSim(spark, dir)
+      val (_, _, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+      ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs)
+        .toDF().localCheckpoint()
+    })
+
+  /** Protocol matcher sweep through the full pipeline: the oracle states
+    * every matched action by construction (swap pairs via lead/lag). */
+  val b06 = Q("b06_protocol_actions",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type)  OVER w AS prev_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(event_id)   OVER w AS next_id,
+      |    row_number()     OVER w AS rn,
+      |    min(event_id)    OVER (PARTITION BY user_id) AS fid
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |)
+      |SELECT concat('T', fid) AS trace_id,
+      |  CASE WHEN event_type = 'click' AND next_type = 'view' THEN 'jetton_swap'
+      |       WHEN event_type = 'purchase' THEN 'stake_deposit'
+      |       WHEN event_type = 'signup' THEN 'multisig_create_order'
+      |       WHEN event_type = 'error' THEN 'change_dns'
+      |       ELSE 'call_contract' END AS type,
+      |  event_id AS start_lt,
+      |  CASE WHEN event_type = 'click' AND next_type = 'view' THEN next_id
+      |       ELSE event_id END AS end_lt,
+      |  CASE WHEN rn = 1 THEN NULL
+      |       ELSE concat('0:', user_id) END AS source,
+      |  concat('0:', user_id) AS destination, true AS success
+      |FROM ordered
+      |WHERE NOT (event_type = 'view' AND coalesce(prev_type, '') = 'click')
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir)
+      .select(col("trace_id"), col("type"), col("start_lt"), col("end_lt"),
+        col("source"), col("destination"), col("success"))
+      .orderBy("start_lt", "type")
+  }
+
+  val all: Seq[Q] = Seq(b01, b02, b06)
 }

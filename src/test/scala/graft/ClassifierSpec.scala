@@ -232,4 +232,117 @@ class ClassifierSpec extends SparkSpec {
       ClassifyJob.run(spark, txs, msgs)).collect()
     assert(aa.map(_.getAs[String]("account")).toSet == Set("0:A", "0:B"))
   }
+
+  // ---------------------------------------------------------------- G6 breadth:
+  // opcode-chain protocol matchers (reference: blocks/{swaps,staking,
+  // multisig,vesting,dns,subscriptions}.py), golden-fixture style.
+
+  private def chain2(op1: Long, op2: Long): (Seq[TxLite], Map[String, Seq[MsgLite]]) = (
+    Seq(tx("T1", "0:A", 10), tx("T2", "0:B", 20)),
+    Map(
+      "T1" -> Seq(in("m1", "0:U", "0:A", Some(op1)),
+        out("m2", "0:A", "0:B", Some(op2))),
+      "T2" -> Seq(in("m2", "0:A", "0:B", Some(op2)))))
+
+  test("stonfi swap+payment chain merges into one jetton_swap") {
+    val (txs, msgs) = chain2(Opcodes.StonfiSwap, Opcodes.StonfiPayment)
+    val actions = Classifier.classify("sw1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"))
+    assert(actions.head.tx_hashes.toSet == Set("T1", "T2"))
+    assert(actions.head.source.contains("0:U"))
+  }
+
+  test("stonfi swap without payment child stays call_contract") {
+    val actions = Classifier.classify("sw2",
+      Seq(tx("T1", "0:A", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:A", Some(Opcodes.StonfiSwap)))))
+    assert(actions.map(_.`type`) == Seq("call_contract"))
+  }
+
+  test("dedust swap consumes notification and payout tail") {
+    val txs = Seq(tx("T1", "0:POOL", 10), tx("T2", "0:POOL2", 20),
+      tx("T3", "0:VAULT", 30))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:U", "0:POOL", Some(Opcodes.DedustSwap)),
+        out("m2", "0:POOL", "0:POOL2", Some(Opcodes.DedustSwapNotification))),
+      "T2" -> Seq(in("m2", "0:POOL", "0:POOL2", Some(Opcodes.DedustSwapNotification)),
+        out("m3", "0:POOL2", "0:VAULT", Some(Opcodes.DedustPayout))),
+      "T3" -> Seq(in("m3", "0:POOL2", "0:VAULT", Some(Opcodes.DedustPayout))))
+    val actions = Classifier.classify("sw3", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"))
+    assert(actions.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
+  }
+
+  test("tonstakers deposit and withdrawal classify with provider semantics") {
+    val dep = Classifier.classify("st1",
+      Seq(tx("T1", "0:POOL", 10)),
+      Map("T1" -> Seq(in("m1", "0:STAKER", "0:POOL",
+        Some(Opcodes.TonstakersDeposit), value = 5000))))
+    assert(dep.map(_.`type`) == Seq("stake_deposit"))
+    assert(dep.head.value.contains(BigDecimal(5000)))
+    val (wtxs, wmsgs) = chain2(Opcodes.TonstakersWithdraw, Opcodes.TonstakersNftBurn)
+    val wd = Classifier.classify("st2", wtxs, wmsgs)
+    assert(wd.map(_.`type`) == Seq("stake_withdrawal"))
+    assert(wd.head.tx_hashes.toSet == Set("T1", "T2"))
+  }
+
+  test("elector deposit/recover chains classify as election actions") {
+    val (dtxs, dmsgs) = chain2(Opcodes.ElectorDeposit, Opcodes.ElectorDepositConfirm)
+    assert(Classifier.classify("el1", dtxs, dmsgs).map(_.`type`) ==
+      Seq("election_deposit"))
+    val (rtxs, rmsgs) = chain2(Opcodes.ElectorRecover, Opcodes.ElectorRecoverConfirm)
+    assert(Classifier.classify("el2", rtxs, rmsgs).map(_.`type`) ==
+      Seq("election_recover"))
+  }
+
+  test("multisig create/approve/execute classify with canonical types") {
+    val (ctxs, cmsgs) = chain2(Opcodes.MultisigNewOrder, Opcodes.MultisigInitOrder)
+    assert(Classifier.classify("ms1", ctxs, cmsgs).map(_.`type`) ==
+      Seq("multisig_create_order"))
+    val (atxs, amsgs) = chain2(Opcodes.MultisigApprove, Opcodes.MultisigApproveAccepted)
+    assert(Classifier.classify("ms2", atxs, amsgs).map(_.`type`) ==
+      Seq("multisig_approve"))
+    val ex = Classifier.classify("ms3",
+      Seq(tx("T1", "0:MS", 10)),
+      Map("T1" -> Seq(in("m1", "0:SIGNER", "0:MS", Some(Opcodes.MultisigExecute)))))
+    assert(ex.map(_.`type`) == Seq("multisig_execute"))
+  }
+
+  test("vesting send-message and add-whitelist classify") {
+    val (stxs, smsgs) = chain2(Opcodes.VestingSendMessage,
+      Opcodes.VestingSendMessageResponse)
+    assert(Classifier.classify("v1", stxs, smsgs).map(_.`type`) ==
+      Seq("vesting_send_message"))
+    val (wtxs, wmsgs) = chain2(Opcodes.VestingAddWhitelist,
+      Opcodes.VestingAddWhitelistResponse)
+    assert(Classifier.classify("v2", wtxs, wmsgs).map(_.`type`) ==
+      Seq("vesting_add_whitelist"))
+  }
+
+  test("subscription payment response+payment merges; plugin destruct unsubscribes") {
+    val (stxs, smsgs) = chain2(Opcodes.SubscriptionPaymentRequestResponse,
+      Opcodes.SubscriptionPayment)
+    val sub = Classifier.classify("sub1", stxs, smsgs)
+    assert(sub.map(_.`type`) == Seq("subscribe"))
+    assert(sub.head.tx_hashes.toSet == Set("T1", "T2"))
+    val unsub = Classifier.classify("sub2",
+      Seq(tx("T1", "0:WALLET", 10)),
+      Map("T1" -> Seq(in("m1", "0:SUBSCRIPTION", "0:WALLET",
+        Some(Opcodes.WalletPluginDestruct)))))
+    assert(unsub.map(_.`type`) == Seq("unsubscribe"))
+  }
+
+  test("change_dns classifies and suppression metadata carries ancestors") {
+    val txs = Seq(tx("T1", "0:RESOLVER", 10), tx("T2", "0:ITEM", 20))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:OWNER", "0:RESOLVER", Some(3L)),
+        out("m2", "0:RESOLVER", "0:ITEM", Some(Opcodes.ChangeDnsRecord))),
+      "T2" -> Seq(in("m2", "0:RESOLVER", "0:ITEM", Some(Opcodes.ChangeDnsRecord))))
+    val actions = Classifier.classify("dns1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("call_contract", "change_dns"))
+    val dns = actions.find(_.`type` == "change_dns").get
+    assert(dns.ancestor_type == Seq("call_contract"))
+    assert(dns.parent_action_id.contains(
+      actions.find(_.`type` == "call_contract").get.action_id))
+  }
 }
