@@ -239,4 +239,122 @@ object Schemas {
     f("owner_address", StringType), f("collection_content", StringType),
     f("last_transaction_lt", LongType),
     f("code_hash", StringType), f("data_hash", StringType)))
+
+  /** nft_transfers — migrate.cpp:336-355 (event rows, append-only). */
+  val nftTransfers: StructType = StructType(Seq(
+    f("tx_hash", StringType, nullable = false), f("tx_lt", LongType),
+    f("tx_now", IntegerType), f("tx_aborted", BooleanType),
+    f("query_id", StringType), f("nft_item_address", StringType),
+    f("nft_item_index", StringType), f("nft_collection_address", StringType),
+    f("old_owner", StringType), f("new_owner", StringType),
+    f("response_destination", StringType), f("custom_payload", StringType),
+    f("forward_amount", amount), f("forward_payload", StringType),
+    f("trace_id", StringType)))
+
+  /** jetton_transfers / jetton_burns — migrate.cpp:396-435. */
+  val jettonTransfers: StructType = StructType(Seq(
+    f("tx_hash", StringType, nullable = false), f("tx_lt", LongType),
+    f("tx_now", IntegerType), f("tx_aborted", BooleanType),
+    f("query_id", StringType), f("amount", amount),
+    f("source", StringType), f("destination", StringType),
+    f("jetton_wallet_address", StringType), f("jetton_master_address", StringType),
+    f("response_destination", StringType), f("custom_payload", StringType),
+    f("forward_ton_amount", amount), f("forward_payload", StringType),
+    f("trace_id", StringType)))
+
+  val jettonBurns: StructType = StructType(Seq(
+    f("tx_hash", StringType, nullable = false), f("tx_lt", LongType),
+    f("tx_now", IntegerType), f("tx_aborted", BooleanType),
+    f("query_id", StringType), f("owner", StringType),
+    f("jetton_wallet_address", StringType), f("jetton_master_address", StringType),
+    f("amount", amount), f("response_destination", StringType),
+    f("custom_payload", StringType), f("trace_id", StringType)))
+
+  /** getgems_nft_sales / getgems_nft_auctions — migrate.cpp:437-482
+    * (TVM-derived dims; the live-ownership left-join family, J8). */
+  val getgemsNftSales: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("is_complete", BooleanType),
+    f("created_at", IntegerType), f("marketplace_address", StringType),
+    f("nft_address", StringType), f("nft_owner_address", StringType),
+    f("full_price", amount), f("marketplace_fee_address", StringType),
+    f("marketplace_fee", amount), f("royalty_address", StringType),
+    f("royalty_amount", amount),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  val getgemsNftAuctions: StructType = StructType(Seq(
+    f("address", StringType, nullable = false), f("end_flag", BooleanType),
+    f("end_time", IntegerType), f("mp_addr", StringType),
+    f("nft_addr", StringType), f("nft_owner", StringType),
+    f("last_bid", amount), f("last_member", StringType),
+    f("min_step", LongType), f("mp_fee_addr", StringType),
+    f("mp_fee_factor", LongType), f("mp_fee_base", LongType),
+    f("royalty_fee_addr", StringType), f("royalty_fee_factor", LongType),
+    f("royalty_fee_base", LongType), f("max_bid", amount),
+    f("min_bid", amount), f("created_at", IntegerType),
+    f("last_bid_at", IntegerType), f("is_canceled", BooleanType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  /** multisig / multisig_orders — migrate.cpp:484-513. approvals_mask can
+    * exceed Decimal(38) (256-bit) ⇒ StringType per §1.2. */
+  val multisig: StructType = StructType(Seq(
+    f("address", StringType, nullable = false),
+    f("next_order_seqno", StringType), f("threshold", IntegerType),
+    f("signers", ArrayType(StringType)), f("proposers", ArrayType(StringType)),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  val multisigOrders: StructType = StructType(Seq(
+    f("address", StringType, nullable = false),
+    f("multisig_address", StringType), f("order_seqno", StringType),
+    f("threshold", IntegerType), f("sent_for_execution", BooleanType),
+    f("approvals_mask", StringType), f("approvals_num", IntegerType),
+    f("expiration_date", LongType), f("order_boc", StringType),
+    f("signers", ArrayType(StringType)),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  /** dns_entries — migrate.cpp:602-612 (the W1 shortest-domain family). */
+  val dnsEntries: StructType = StructType(Seq(
+    f("nft_item_address", StringType, nullable = false),
+    f("nft_item_owner", StringType), f("domain", StringType),
+    f("dns_next_resolver", StringType), f("dns_wallet", StringType),
+    f("dns_site_adnl", StringType), f("dns_storage_bag_id", StringType),
+    f("last_transaction_lt", LongType)))
+
+  /** vesting_contracts / vesting_whitelist — migrate.cpp:614-634. */
+  val vestingContracts: StructType = StructType(Seq(
+    f("address", StringType, nullable = false),
+    f("start_time", LongType), f("total_duration", LongType),
+    f("unlock_period", LongType), f("cliff_duration", LongType),
+    f("total_amount", amount), f("sender_address", StringType),
+    f("owner_address", StringType),
+    f("last_transaction_lt", LongType),
+    f("code_hash", StringType), f("data_hash", StringType)))
+
+  val vestingWhitelist: StructType = StructType(Seq(
+    f("vesting_contract_address", StringType, nullable = false),
+    f("wallet_address", StringType, nullable = false)))
+
+  /** address_metadata — migrate.cpp:676-698 (U1/J10 decoration). */
+  val addressMetadata: StructType = StructType(Seq(
+    f("address", StringType, nullable = false),
+    f("type", StringType, nullable = false), // nft_items|nft_collections|jetton_masters
+    f("valid", BooleanType), f("metadata", StringType), // json blob
+    f("updated_at", IntegerType)))
+
+  /** contract_methods — migrate.cpp:657-663 (F7 interface detection). */
+  val contractMethods: StructType = StructType(Seq(
+    f("code_hash", StringType, nullable = false),
+    f("methods", ArrayType(LongType))))
+
+  /** dex_pools — migrate.cpp:900-935 (classifier price lookups). */
+  val dexPools: StructType = StructType(Seq(
+    f("pool", StringType, nullable = false), f("platform", StringType),
+    f("asset1", StringType), f("asset2", StringType),
+    f("reserve1", amount), f("reserve2", amount),
+    f("total_supply", amount), f("tvl_usd", DecimalType(38, 10)),
+    f("tvl_ton", DecimalType(38, 10)), f("is_inited", BooleanType),
+    f("last_updated", IntegerType)))
 }

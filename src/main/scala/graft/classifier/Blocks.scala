@@ -75,7 +75,9 @@ case class JettonTransferBlock(
     receiver: Option[String], receiverWallet: Option[String],
     amount: BigDecimal, comment: Option[String],
     failed: Boolean, nodes: Seq[TxNode],
-    children: Seq[Block]) extends Block {
+    children: Seq[Block],
+    decoded: Option[graft.functions.TlbDecoders.JettonTransferBody] = None)
+  extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
@@ -89,7 +91,9 @@ case class JettonBurnBlock(
 
 case class NftTransferBlock(
     oldOwner: Option[String], newOwner: Option[String], nftItem: String,
-    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
+    decoded: Option[graft.functions.TlbDecoders.NftTransferBody] = None)
+  extends Block {
   val btype = "nft_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
@@ -159,7 +163,13 @@ object Seeder {
           !(tx.endStatus != "active" && tx.origStatus != "active") &&
           !tx.computeExitCode.exists(_ == -14)
         val encrypted = Opcodes.matches(op, Opcodes.EncryptedComment)
-        TonTransferBlock(node, failed, comment = None, encrypted, children)
+        val comment =
+          if (encrypted) None
+          else in.flatMap(_.body).flatMap { b64 =>
+            try graft.functions.TlbDecoders.comment(b64)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        TonTransferBlock(node, failed, comment, encrypted, children)
       } else {
         val hasValue = in.exists(_.value > 0)
         // failed call with no value attached ⇒ not failed (basic_blocks.py:88-89)

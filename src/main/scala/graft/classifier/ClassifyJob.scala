@@ -66,6 +66,29 @@ object ClassifyJob {
     }
   }
 
+  /** Full-schema actions table: classifier output conformed to
+    * Schemas.actions — the §1.4 denormalized trace columns joined in
+    * (trace_end_lt/utime, external hash, mc_seqno) and every column of
+    * the reference DDL present with its exact type (absent families as
+    * typed nulls). Struct casts are field-by-field: the detail case
+    * classes mirror Schemas' *_details field order. */
+  def typedActions(spark: SparkSession, txsWithTrace: DataFrame,
+      messages: DataFrame, traces: DataFrame): DataFrame = {
+    val acts = run(spark, txsWithTrace, messages).toDF()
+    val meta = traces.select(col("trace_id"),
+      col("end_lt").as("trace_end_lt"),
+      col("end_utime").cast("long").as("trace_end_utime"),
+      col("external_hash").as("trace_external_hash"),
+      col("mc_seqno_end").as("trace_mc_seqno_end"))
+    val joined = acts.join(broadcast(meta), Seq("trace_id"), "left")
+    val cols = graft.Schemas.actions.fields.map { fld =>
+      if (joined.columns.contains(fld.name))
+        col(fld.name).cast(fld.dataType).as(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }
+    joined.select(cols.toSeq: _*)
+  }
+
   /** T6 reclassification: replace a store's actions for the given traces
     * with freshly computed ones — the DELETE-then-insert of the reference
     * (event_classifier.py:253-267) as an anti-join + union (in a

@@ -172,7 +172,7 @@ object ProtocolMatchers {
             val nodes = consumed.flatMap(_.nodes)
             Some((JettonTransferBlock(sender, senderWallet, receiver,
               receiverWallet, amount, decoded.flatMap(_.comment),
-              failed, nodes, Nil), consumed))
+              failed, nodes, Nil, decoded), consumed))
           case None => None
         }
       case _ => None
@@ -213,10 +213,16 @@ object ProtocolMatchers {
             if Opcodes.matches(cc.opcode, Opcodes.NftOwnershipAssigned) =>
             cc.nodes.head.inMsg.flatMap(_.destination)
         }.flatten
+        val decoded = c.nodes.head.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.nftTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
         Some((NftTransferBlock(
-          c.nodes.head.inMsg.flatMap(_.source), newOwner,
+          c.nodes.head.inMsg.flatMap(_.source),
+          newOwner.orElse(decoded.flatMap(_.newOwner)),
           c.nodes.head.tx.account,
-          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil, decoded),
+          consumed))
       case _ => None
     }
   }

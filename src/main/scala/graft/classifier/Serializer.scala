@@ -4,7 +4,46 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.Base64
 
-/** Flat Action row (subset of Schemas.actions used by round-1 matchers). */
+/** Nested action detail payloads (Schemas.actions *_data structs;
+  * reference composite types database.py:275-569). */
+case class TonTransferData(content: Option[String], encrypted: Boolean)
+
+case class JettonTransferData(
+    response_destination: Option[String], forward_amount: Option[BigDecimal],
+    query_id: Option[String], custom_payload: Option[String],
+    forward_payload: Option[String], comment: Option[String],
+    is_encrypted_comment: Option[Boolean])
+
+case class NftTransferData(
+    is_purchase: Option[Boolean], price: Option[BigDecimal],
+    query_id: Option[String], custom_payload: Option[String],
+    forward_payload: Option[String], forward_amount: Option[BigDecimal],
+    response_destination: Option[String], nft_item_index: Option[String],
+    marketplace: Option[String], real_prev_owner: Option[String])
+
+case class DexTransferData(
+    amount: Option[BigDecimal], asset: Option[String],
+    source: Option[String], destination: Option[String],
+    source_jetton_wallet: Option[String],
+    destination_jetton_wallet: Option[String])
+
+case class PeerSwapData(
+    asset_in: Option[String], amount_in: Option[BigDecimal],
+    asset_out: Option[String], amount_out: Option[BigDecimal])
+
+case class JettonSwapData(
+    dex: String, sender: Option[String],
+    dex_incoming_transfer: Option[DexTransferData],
+    dex_outgoing_transfer: Option[DexTransferData],
+    peer_swaps: Seq[PeerSwapData],
+    min_out_amount: Option[BigDecimal])
+
+case class StakingData(
+    provider: Option[String], ts_nft: Option[String],
+    tokens_burnt: Option[BigDecimal], tokens_minted: Option[BigDecimal])
+
+/** Flat Action row (the driver-visible columns of Schemas.actions, plus
+  * the typed detail structs filled per action family). */
 case class ActionRow(
     trace_id: String,
     action_id: String,
@@ -18,7 +57,12 @@ case class ActionRow(
     opcode: Option[Long],
     success: Boolean,
     parent_action_id: Option[String],
-    ancestor_type: Seq[String])
+    ancestor_type: Seq[String],
+    ton_transfer_data: Option[TonTransferData] = None,
+    jetton_transfer_data: Option[JettonTransferData] = None,
+    nft_transfer_data: Option[NftTransferData] = None,
+    jetton_swap_data: Option[JettonSwapData] = None,
+    staking_data: Option[StakingData] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -106,8 +150,58 @@ object Serializer {
     ActionRow(traceId, actionId(anchor, b.btype), b.btype,
       b.txHashes, value, b.minLt, b.maxLt, b.minUtime, b.maxUtime,
       src, dst, asset, opcode, success = !b.failed,
-      parent.map(_.action_id), ancestors.reverse)
+      parent.map(_.action_id), ancestors.reverse,
+      ton_transfer_data = b match {
+        case t: TonTransferBlock => Some(TonTransferData(t.comment, t.encrypted))
+        case _ => None
+      },
+      jetton_transfer_data = b match {
+        case j: JettonTransferBlock => Some(jettonData(j))
+        case _ => None
+      },
+      nft_transfer_data = b match {
+        case n: NftTransferBlock => Some(NftTransferData(
+          is_purchase = None, price = None,
+          query_id = n.decoded.map(_.queryId.toString),
+          custom_payload = None, forward_payload = None,
+          forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
+          response_destination = n.decoded.flatMap(_.responseDestination),
+          nft_item_index = None, marketplace = None, real_prev_owner = None))
+        case _ => None
+      },
+      jetton_swap_data = b match {
+        case sw: JettonSwapBlock => Some(JettonSwapData(
+          sw.dex, sw.sender,
+          dex_incoming_transfer = Some(dexTransfer(sw.inTransfer)),
+          dex_outgoing_transfer = Some(dexTransfer(sw.outTransfer)),
+          peer_swaps = Nil, min_out_amount = None))
+        case p: ProtocolOpBlock if p.btype == "jetton_swap" =>
+          Some(JettonSwapData("stonfi", p.source, None, None, Nil, None))
+        case _ => None
+      },
+      staking_data = b match {
+        case p: ProtocolOpBlock if p.btype.startsWith("stake_") =>
+          Some(StakingData(Some("tonstakers"), None, None, None))
+        case p: ProtocolOpBlock if p.btype.startsWith("election_") =>
+          Some(StakingData(Some("elector"), None, None, None))
+        case _ => None
+      })
   }
+
+  private def jettonData(j: JettonTransferBlock): JettonTransferData =
+    JettonTransferData(
+      response_destination = j.decoded.flatMap(_.responseDestination),
+      forward_amount = j.decoded.map(d => BigDecimal(d.forwardTonAmount)),
+      query_id = j.decoded.map(_.queryId.toString),
+      custom_payload = None, forward_payload = None,
+      comment = j.comment,
+      is_encrypted_comment = j.comment.map(_ => false))
+
+  private def dexTransfer(j: JettonTransferBlock): DexTransferData =
+    DexTransferData(Some(j.amount), asset = Some(j.senderWallet),
+      source = j.sender, destination = j.receiver,
+      source_jetton_wallet = Some(j.senderWallet),
+      destination_jetton_wallet = j.receiverWallet)
 
   /** Exploded (account × action) rows (action_accounts, migrate.cpp:589-599). */
   def actionAccounts(actions: Seq[ActionRow], traceEndLt: Long,

@@ -134,4 +134,101 @@ object QueryLayer {
     dns.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  // ------------------------------------------------- token/dim families
+
+  /** GET /api/v3/jetton/wallets (crud_jettons.go:40-102): owner/jetton
+    * IN-filters, the mintless left join, the exclude-zero-balance
+    * predicate `balance + coalesce(mintless_amount, 0) > 0` (P5/F8), and
+    * the O2-style sort selection — default surrogate `id asc`, switching
+    * to balance when a sort direction is requested, prefixed by the
+    * equality-filtered column so the sort rides a covering layout. */
+  def jettonWallets(wallets: DataFrame, mintlessMasters: DataFrame,
+      owners: Seq[String] = Nil, jettons: Seq[String] = Nil,
+      excludeZeroBalance: Boolean = false,
+      sortBalanceDesc: Option[Boolean] = None,
+      limit: Int = DefaultLimit, offset: Int = 0): DataFrame = {
+    var df = wallets.join(
+      broadcast(mintlessMasters.select(col("address").as("jetton"),
+        col("mintless_amount"))),
+      Seq("jetton"), "left")
+    if (owners.nonEmpty) df = df.filter(col("owner").isin(owners: _*))
+    if (jettons.nonEmpty) df = df.filter(col("jetton").isin(jettons: _*))
+    if (excludeZeroBalance)
+      df = df.filter(col("balance") + coalesce(col("mintless_amount"), lit(0)) > 0)
+    val sortKeys: Seq[Column] = sortBalanceDesc match {
+      case Some(desc) =>
+        val bal: Column = if (desc) col("balance").desc else col("balance").asc
+        val prefix: Seq[Column] =
+          (if (owners.nonEmpty) Seq(col("owner")) else Nil) ++
+            (if (jettons.nonEmpty) Seq(col("jetton")) else Nil)
+        prefix ++ Seq(bal, col("id"))
+      case None => Seq(col("id"))
+    }
+    df.orderBy(sortKeys: _*)
+      .offset(clampOffset(offset)).limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/nft/items (crud_nft.go:40-64): address/collection/owner
+    * filters + the J8 dimension left-joins — collections always, getgems
+    * sales/auctions for live on-sale ownership (an item listed on a
+    * getgems sale contract shows the sale's real owner). */
+  def nftItems(items: DataFrame, collections: DataFrame,
+      sales: DataFrame, auctions: DataFrame,
+      owner: Option[String] = None, collection: Option[String] = None,
+      limit: Int = DefaultLimit): DataFrame = {
+    val withDims = items
+      .join(broadcast(collections.select(col("address").as("collection_address"),
+        col("owner_address").as("collection_owner"),
+        col("collection_content"))), Seq("collection_address"), "left")
+      .join(broadcast(sales.filter(!col("is_complete"))
+        .select(col("address").as("owner_address"),
+          col("nft_owner_address").as("sale_real_owner"))),
+        Seq("owner_address"), "left")
+      .join(broadcast(auctions.filter(!col("end_flag"))
+        .select(col("address").as("owner_address"),
+          col("nft_owner").as("auction_real_owner"))),
+        Seq("owner_address"), "left")
+      .withColumn("real_owner", coalesce(col("sale_real_owner"),
+        col("auction_real_owner"), col("owner_address")))
+    var df = withDims
+    owner.foreach(o => df = df.filter(col("real_owner") === o))
+    collection.foreach(c => df = df.filter(col("collection_address") === c))
+    df.orderBy(col("collection_address"), col("index"), col("address"))
+      .limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/multisig/orders (crud endpoint family): orders of a
+    * multisig, optionally pending-only (not yet sent for execution),
+    * ordered by order_seqno. approvals_mask is a 256-bit string column
+    * (§1.2) — never arithmetic. */
+  def multisigOrders(orders: DataFrame, multisigAddress: String,
+      pendingOnly: Boolean = false, limit: Int = DefaultLimit): DataFrame = {
+    var df = orders.filter(col("multisig_address") === multisigAddress)
+    if (pendingOnly) df = df.filter(!col("sent_for_execution"))
+    df.orderBy(col("order_seqno"), col("address")).limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/vesting (crud_vesting.go:75-111): contracts filtered by
+    * wallet whitelist membership via an EXISTS semi-join (J4) — never an
+    * inner join, to avoid fan-out duplicate contract rows. */
+  def vestingByWhitelistedWallet(contracts: DataFrame, whitelist: DataFrame,
+      wallet: String, limit: Int = DefaultLimit): DataFrame =
+    contracts.join(
+        whitelist.filter(col("wallet_address") === wallet)
+          .select(col("vesting_contract_address").as("address")),
+        Seq("address"), "left_semi")
+      .orderBy(col("address")).limit(clampLimit(limit))
+
+  /** Metadata decoration (U1 + J10, crud.go:101-108): the 3-way tagged
+    * union of token entities left-joined to address_metadata. */
+  def tokenMetadata(nftItems: DataFrame, nftCollections: DataFrame,
+      jettonMasters: DataFrame, metadata: DataFrame): DataFrame = {
+    def tag(df: DataFrame, t: String) =
+      df.select(col("address"), lit(t).as("type"))
+    tag(nftItems, "nft_items")
+      .unionByName(tag(nftCollections, "nft_collections"))
+      .unionByName(tag(jettonMasters, "jetton_masters"))
+      .join(metadata, Seq("address", "type"), "left")
+  }
 }

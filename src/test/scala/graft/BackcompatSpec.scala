@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.QueryLayer
+import graft.operators.QueryLayer.TxRequest
+import graft.plans.ChainSim
+
+import scala.util.Random
+
+/** §5 backcompat differential runner: the reference validates its API by
+  * replaying generated requests against two deployments and diffing JSON
+  * (tests/backcompat/test_backcompat.py:13-33). Spark analogue: draw
+  * randomized TxRequest parameter vectors (seeded), compile each BOTH
+  * ways — through the QueryLayer DataFrame program and through
+  * reference-shaped SQL text (string-built WHERE/ORDER BY/LIMIT like
+  * crud_transactions.go:15-158) — and require row-identical results,
+  * including the O2 sort-key selection and O3 clamps. */
+class BackcompatSpec extends SparkSpec {
+
+  private def sqlOf(r: TxRequest): String = {
+    val conds = Seq(
+      r.account.map(a => s"account = '$a'"),
+      if (r.hashes.nonEmpty)
+        Some(r.hashes.map(h => s"'$h'").mkString("hash IN (", ", ", ")"))
+      else None,
+      r.ltMin.map(v => s"lt >= $v"), r.ltMax.map(v => s"lt <= $v"),
+      r.utimeMin.map(v => s"now >= $v"), r.utimeMax.map(v => s"now <= $v"),
+      r.mcSeqno.map(v => s"mc_block_seqno = $v")).flatten
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val dir = if (r.descending) "DESC" else "ASC"
+    // O2 decision tree, restated independently (crud_transactions.go:70-113)
+    val sortCols =
+      if (r.hashes.nonEmpty) Seq("hash")
+      else if (r.mcSeqno.isDefined) Seq("lt", "hash")
+      else if (r.account.isDefined && (r.utimeMin.isDefined || r.utimeMax.isDefined))
+        Seq("account", "now", "lt", "hash")
+      else if (r.account.isDefined) Seq("account", "lt", "hash")
+      else if (r.utimeMin.isDefined || r.utimeMax.isDefined) Seq("now", "lt", "hash")
+      else Seq("lt", "hash")
+    val order = sortCols.map(c => s"$c $dir").mkString(" ORDER BY ", ", ", "")
+    val lim = math.min(math.max(r.limit, 1), QueryLayer.MaxLimit)
+    val limit = if (r.limit <= 0) QueryLayer.DefaultLimit else lim
+    s"SELECT * FROM sim_txs$where$order LIMIT $limit OFFSET ${math.max(r.offset, 0)}"
+  }
+
+  test("randomized TxRequest draws: QueryLayer == reference-shaped SQL") {
+    val (txs, _) = ChainSim.simulate(spark, sf)
+    txs.createOrReplaceTempView("sim_txs")
+    val accounts = txs.select("account").distinct().limit(20)
+      .collect().map(_.getString(0))
+    val hashes = txs.select("hash").limit(10).collect().map(_.getString(0))
+    val rnd = new Random(20260812L)
+    def draw(): TxRequest = TxRequest(
+      account = if (rnd.nextBoolean()) Some(accounts(rnd.nextInt(accounts.length))) else None,
+      hashes = if (rnd.nextInt(5) == 0) hashes.take(1 + rnd.nextInt(3)).toSeq else Nil,
+      ltMin = if (rnd.nextBoolean()) Some(rnd.nextInt(800).toLong) else None,
+      ltMax = if (rnd.nextBoolean()) Some((200 + rnd.nextInt(800)).toLong) else None,
+      utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(500).toLong) else None,
+      utimeMax = if (rnd.nextInt(3) == 0) Some((100 + rnd.nextInt(900)).toLong) else None,
+      mcSeqno = if (rnd.nextInt(6) == 0) Some(100) else None,
+      descending = rnd.nextBoolean(),
+      limit = rnd.nextInt(1200) - 50, // exercises the clamps
+      offset = rnd.nextInt(30) - 5)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val r = draw()
+      val viaLayer = QueryLayer.transactions(txs, r)
+        .select("hash").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(sqlOf(r))
+        .select("hash").collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 10, s"fuzz draws too empty ($nonEmpty/40) — widen ranges")
+  }
+}

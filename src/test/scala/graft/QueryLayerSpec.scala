@@ -106,4 +106,94 @@ class QueryLayerSpec extends SparkSpec {
       .collect().map(_.getAs[String]("tx_hash")).sorted
     assert(adj.toSeq == Seq("T1", "T3"))
   }
+
+  // ------------------------------------------------ token/dim families
+
+  test("jettonWallets: mintless coalesce, zero-balance exclusion, sort contract") {
+    import spark.implicits._
+    val wallets = Seq(
+      ("w1", "0:O1", "j1", 0L, 1L),
+      ("w2", "0:O1", "j2", 0L, 2L),   // zero balance, mintless j2 rescues it
+      ("w3", "0:O2", "j1", 50L, 3L),
+      ("w4", "0:O1", "j1", 10L, 4L))
+      .toDF("address", "owner", "jetton", "balance", "id")
+    val mintless = Seq(("j2", 5L)).toDF("address", "mintless_amount")
+    val nz = QueryLayer.jettonWallets(wallets, mintless,
+      owners = Seq("0:O1"), excludeZeroBalance = true)
+      .collect().map(_.getAs[String]("address"))
+    assert(nz.toSet == Set("w2", "w4")) // w1 excluded: 0 + no mintless
+    val sorted = QueryLayer.jettonWallets(wallets, mintless,
+      owners = Seq("0:O1"), sortBalanceDesc = Some(true))
+      .collect().map(_.getAs[String]("address"))
+    assert(sorted.toSeq == Seq("w4", "w1", "w2")) // raw balance desc, id tiebreak
+    val surrogate = QueryLayer.jettonWallets(wallets, mintless)
+      .collect().map(_.getAs[Long]("id"))
+    assert(surrogate.toSeq == Seq(1L, 2L, 3L, 4L)) // default id asc
+  }
+
+  test("nftItems: live sale/auction ownership overrides the holder contract") {
+    import spark.implicits._
+    val items = Seq(
+      ("n1", "c1", "1", "0:HOLDER"),
+      ("n2", "c1", "2", "0:SALE"),
+      ("n3", "c1", "3", "0:AUCTION"))
+      .toDF("address", "collection_address", "index", "owner_address")
+    val collections = Seq(("c1", "0:CO", "{}"))
+      .toDF("address", "owner_address", "collection_content")
+    val sales = Seq(("0:SALE", false, "0:REAL_S"))
+      .toDF("address", "is_complete", "nft_owner_address")
+    val auctions = Seq(("0:AUCTION", false, "0:REAL_A"))
+      .toDF("address", "end_flag", "nft_owner")
+    val all = QueryLayer.nftItems(items, collections, sales, auctions)
+      .collect().map(r => r.getAs[String]("address") -> r.getAs[String]("real_owner"))
+      .toMap
+    assert(all == Map("n1" -> "0:HOLDER", "n2" -> "0:REAL_S", "n3" -> "0:REAL_A"))
+    val byOwner = QueryLayer.nftItems(items, collections, sales, auctions,
+      owner = Some("0:REAL_S")).collect().map(_.getAs[String]("address"))
+    assert(byOwner.toSeq == Seq("n2"))
+  }
+
+  test("multisigOrders: pending-only filter and seqno ordering") {
+    import spark.implicits._
+    val orders = Seq(
+      ("o2", "0:MS", "2", false, "3"),
+      ("o1", "0:MS", "1", true, "1"),
+      ("oX", "0:OTHER", "1", false, "0"))
+      .toDF("address", "multisig_address", "order_seqno",
+        "sent_for_execution", "approvals_mask")
+    val all = QueryLayer.multisigOrders(orders, "0:MS")
+      .collect().map(_.getAs[String]("address"))
+    assert(all.toSeq == Seq("o1", "o2"))
+    val pending = QueryLayer.multisigOrders(orders, "0:MS", pendingOnly = true)
+      .collect().map(_.getAs[String]("address"))
+    assert(pending.toSeq == Seq("o2"))
+  }
+
+  test("vesting whitelist membership is a semi-join (no fan-out dup rows)") {
+    import spark.implicits._
+    val contracts = Seq(("v1", "0:OWN1"), ("v2", "0:OWN2"))
+      .toDF("address", "owner_address")
+    val whitelist = Seq(("v1", "0:W"), ("v1", "0:W2"), ("v2", "0:OTHER"))
+      .toDF("vesting_contract_address", "wallet_address")
+    val got = QueryLayer.vestingByWhitelistedWallet(contracts, whitelist, "0:W")
+      .collect().map(_.getAs[String]("address"))
+    assert(got.toSeq == Seq("v1")) // one row even with 2 whitelist entries
+  }
+
+  test("tokenMetadata: 3-way tagged union left-joined to metadata flags") {
+    import spark.implicits._
+    val items = Seq(Tuple1("n1")).toDF("address")
+    val colls = Seq(Tuple1("c1")).toDF("address")
+    val masters = Seq(Tuple1("j1")).toDF("address")
+    val meta = Seq(("n1", "nft_items", true, "{\"name\":\"x\"}"),
+      ("j1", "jetton_masters", false, "{}"))
+      .toDF("address", "type", "valid", "metadata")
+    val got = QueryLayer.tokenMetadata(items, colls, masters, meta)
+      .collect().map(r => (r.getAs[String]("address"), r.getAs[String]("type"),
+        Option(r.getAs[java.lang.Boolean]("valid")))).toSet
+    assert(got == Set(
+      ("n1", "nft_items", Some(java.lang.Boolean.TRUE)),
+      ("c1", "nft_collections", None),
+      ("j1", "jetton_masters", Some(java.lang.Boolean.FALSE))))
+  }
 }
