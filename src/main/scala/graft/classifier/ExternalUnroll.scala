@@ -22,28 +22,52 @@ object ExternalUnroll {
       destination: Option[String], value: Long, opcode: Option[Long],
       bounce: Boolean)
 
-  /** Parse a wallet external body; None if the layout doesn't fit. */
-  def ghostMessages(bodyB64: String): Option[Seq[GhostMsg]] = {
-    try {
-      val root = Boc.parseBase64(bodyB64)
+  /** Parse a wallet external body; None if no known layout fits. Tries
+    * the same ladder as the reference (messages/externals.py:140-158):
+    * v3 → v4 → v5r1; every forged message must parse as int_msg_info or
+    * the candidate layout is rejected. Returns (wallet_type, messages). */
+  def ghostMessages(bodyB64: String): Option[(String, Seq[GhostMsg])] = {
+    val root =
+      try Boc.parseBase64(bodyB64)
+      catch { case scala.util.control.NonFatal(_) => return None }
+
+    def v3or4(walletType: String): Option[(String, Seq[GhostMsg])] = try {
       val s = root.beginParse()
       if (s.remainingBits < 512 + 96) return None
       s.loadUint(512) // signature
-      s.loadUint(32) // subwallet_id
-      s.loadUint(32) // valid_until
-      s.loadUint(32) // seqno
-      // v4 carries op:int8 before the order list; v3 goes straight to
-      // send_mode bytes. Disambiguate: v4 op 0 = send.
-      if (s.remainingBits % 8 == 0 && s.remainingBits >= 8 &&
-          s.remainingRefs > 0 && (s.remainingBits / 8) == s.remainingRefs + 1)
-        s.loadUint(8) // v4 op
+      s.loadUint(32); s.loadUint(32); s.loadUint(32) // subwallet/valid/seqno
+      if (walletType == "v4") s.loadUint(8) // op
       val out = scala.collection.mutable.ArrayBuffer[GhostMsg]()
-      while (out.length < 255 && s.remainingRefs > 0 && s.remainingBits >= 8) {
-        s.loadUint(8) // send_mode
+      while (s.remainingRefs > 0)
         out += parseMessageRelaxed(s.loadRef().beginParse())
-      }
-      if (out.isEmpty) None else Some(out.toSeq)
+      if (out.isEmpty) None else Some((walletType, out.toSeq))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    // W5R1: opcode(32) wallet_id(32) valid_until(32) seqno(32) then a
+    // maybe-ref linked list — each node: ^next ^payload
+    // (messages/externals.py:125-138)
+    def v5r1: Option[(String, Seq[GhostMsg])] = try {
+      val s = root.beginParse()
+      if (s.remainingBits < 128) return None
+      s.loadUint(32); s.loadUint(32); s.loadUint(32); s.loadUint(32)
+      val out = scala.collection.mutable.ArrayBuffer[GhostMsg]()
+      var cur: Option[Boc.Cell] =
+        if (s.remainingBits >= 1 && s.loadBit() && s.remainingRefs > 0)
+          Some(s.loadRef())
+        else None
+      while (cur.isDefined && out.length < 255) {
+        val ns = cur.get.beginParse()
+        if (ns.remainingBits == 0 && ns.remainingRefs < 2) cur = None
+        else {
+          val next = ns.loadRef()
+          out += parseMessageRelaxed(ns.loadRef().beginParse())
+          cur = Some(next)
+        }
+      }
+      if (out.isEmpty) None else Some(("v5r1", out.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    v3or4("v3").orElse(v3or4("v4")).orElse(v5r1)
   }
 
   /** int_msg_info$0 ihr_disabled bounce bounced src:MsgAddress
@@ -77,7 +101,7 @@ object ExternalUnroll {
   def unroll(root: TxNode): Option[TxNode] = {
     val body = root.inMsg.flatMap(_.body)
     if (root.children.nonEmpty || body.isEmpty) return None
-    ghostMessages(body.get).map { ghosts =>
+    ghostMessages(body.get).map { case (_, ghosts) =>
       val children = ghosts.zipWithIndex.map { case (g, i) =>
         val m = MsgLite(s"ghost:${root.tx.hash}:$i", "in",
           Some(root.tx.account), g.destination, g.value, g.opcode,

@@ -137,6 +137,86 @@ object Boc {
     }
   }
 
+  // ------------------------------------------------------------ dicts
+
+  /** HashmapE n ^Cell — the dictionary shape of TEP-64 token content and
+    * get-method data fields (public TL-B: hashmap.tlb — hme_empty$0 /
+    * hme_root$1, hm_edge labels hml_short$0 / hml_long$10 / hml_same$11).
+    * Returns key (n-bit unsigned) → value cell (leaf value is a ref). */
+  def loadDictRefs(s: Slice, keyBits: Int): Map[BigInt, Cell] = {
+    if (!s.loadBit()) Map.empty
+    else {
+      val out = scala.collection.mutable.LinkedHashMap[BigInt, Cell]()
+      walkHashmap(s.loadRef(), keyBits, BigInt(0), out)
+      out.toMap
+    }
+  }
+
+  private def walkHashmap(c: Cell, n: Int, prefix: BigInt,
+      out: scala.collection.mutable.Map[BigInt, Cell]): Unit = {
+    val s = c.beginParse()
+    val (labelLen, labelVal) = readLabel(s, n)
+    val key = (prefix << labelLen) | labelVal
+    val rem = n - labelLen
+    if (rem == 0) out(key) = s.loadRef()
+    else {
+      val left = s.loadRef()
+      val right = s.loadRef()
+      walkHashmap(left, rem - 1, key << 1, out)
+      walkHashmap(right, rem - 1, (key << 1) | 1, out)
+    }
+  }
+
+  /** hml_short$0 unary-len + bits; hml_long$10 len:(#<= m) + bits;
+    * hml_same$11 bit + len. Returns (labelLen, labelValue). */
+  private def readLabel(s: Slice, m: Int): (Int, BigInt) = {
+    def lenBits = 32 - Integer.numberOfLeadingZeros(m) // ceil(log2(m+1))
+    if (!s.loadBit()) { // hml_short
+      var len = 0
+      while (s.loadBit()) len += 1
+      (len, s.loadUint(len))
+    } else if (!s.loadBit()) { // hml_long
+      val len = s.loadUint(lenBits).toInt
+      (len, s.loadUint(len))
+    } else { // hml_same
+      val bit = s.loadBit()
+      val len = s.loadUint(lenBits).toInt
+      (len, if (bit) (BigInt(1) << len) - 1 else BigInt(0))
+    }
+  }
+
+  /** Build a HashmapE n ^Cell from entries (fixture writer; hml_long
+    * labels only — always a valid encoding). */
+  def buildDictRefs(entries: Map[BigInt, Cell], keyBits: Int): Cell = {
+    val b = new Builder
+    if (entries.isEmpty) b.storeBit(false).build()
+    else b.storeBit(true).storeRef(dictNode(entries.toSeq, keyBits, keyBits)).build()
+  }
+
+  private def dictNode(entries: Seq[(BigInt, Cell)], n: Int,
+      totalBits: Int): Cell = {
+    // keys here are the low `n` bits still undecided
+    val lenBits = 32 - Integer.numberOfLeadingZeros(n)
+    var lcp = 0
+    def bitOf(k: BigInt, i: Int): Boolean = k.testBit(n - 1 - i)
+    while (lcp < n && entries.map(e => bitOf(e._1, lcp)).distinct.size == 1)
+      lcp += 1
+    val b = new Builder
+    b.storeBit(true).storeBit(false).storeUint(BigInt(lcp), lenBits) // hml_long
+    (0 until lcp).foreach(i => b.storeBit(bitOf(entries.head._1, i)))
+    if (lcp == n) b.storeRef(entries.head._2)
+    else {
+      val mask = (BigInt(1) << (n - lcp - 1)) - 1
+      def tail(k: BigInt): BigInt = k & mask
+      val (ones, zeros) = entries.partition(e => bitOf(e._1, lcp))
+      b.storeRef(dictNode(zeros.map { case (k, v) => (tail(k), v) },
+        n - lcp - 1, totalBits))
+      b.storeRef(dictNode(ones.map { case (k, v) => (tail(k), v) },
+        n - lcp - 1, totalBits))
+    }
+    b.build()
+  }
+
   // ------------------------------------------------------------ BOC codec
 
   private val Magic = 0xb5ee9c72

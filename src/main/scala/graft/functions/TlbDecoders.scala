@@ -93,6 +93,45 @@ object TlbDecoders {
     else Some(s.loadSnakeString().replace("\u0000", ""))
   }
 
+  // ------------------------------------------------------------- TEP-64
+
+  final case class TokenContent(
+      kind: String, // onchain | offchain
+      uri: Option[String],
+      attributes: Map[String, String])
+
+  private val knownAttrs = Seq("uri", "name", "description", "image",
+    "image_data", "symbol", "decimals", "amount_style", "render_type")
+
+  private lazy val attrKeyOf: Map[BigInt, String] = knownAttrs.map { a =>
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    BigInt(1, md.digest(a.getBytes("UTF-8"))) -> a
+  }.toMap
+
+  /** TEP-64 token content cell: offchain tag 0x01 + snake URI, or onchain
+    * tag 0x00 + HashmapE 256 ^Cell keyed by sha256(attr-name), each value
+    * a snake-format (0x00-tagged) string cell. Chunked (0x01) values are
+    * skipped — the dict plumbing is what matters; reference consumes the
+    * same layout via pytoniq (jetton_content/collection_content columns,
+    * database.py:825,873). */
+  def tep64Content(b64: String): TokenContent = {
+    val s = Boc.parseBase64(b64).beginParse()
+    val tag = s.loadUint(8).toInt
+    if (tag == 0x01) TokenContent("offchain", Some(s.loadSnakeString()), Map.empty)
+    else {
+      val dict = Boc.loadDictRefs(s, 256)
+      val attrs = dict.flatMap { case (k, cell) =>
+        attrKeyOf.get(k).flatMap { name =>
+          val vs = cell.beginParse()
+          if (vs.remainingBits >= 8 && vs.loadUint(8) == 0)
+            Some(name -> vs.loadSnakeString())
+          else None // chunked content unsupported
+        }
+      }
+      TokenContent("onchain", attrs.get("uri"), attrs)
+    }
+  }
+
   /** Register decode UDFs (null on malformed input — decoders must never
     * kill a query; reference wraps the same way). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -35,7 +35,14 @@ class IncrementalTraceAssembly(spark: SparkSession,
 
   /** Process one micro-batch; returns the traces that COMPLETED in this
     * batch (with their final metadata). */
-  def processBatch(txs: DataFrame, msgs: DataFrame): DataFrame = {
+  def processBatch(txs: DataFrame, msgs: DataFrame): DataFrame =
+    processBatchFull(txs, msgs)._1
+
+  /** As processBatch, but also returns the completed traces' transaction
+    * rows (with trace_id) and messages — the classification feed of the
+    * end-to-end pipeline (StreamPipeline). */
+  def processBatchFull(txs: DataFrame, msgs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val allTxs = unionOpt(openTxs, txs)
       .dropDuplicates("hash").localCheckpoint()
     val allMsgs = unionOpt(openMsgs, msgs)
@@ -43,13 +50,20 @@ class IncrementalTraceAssembly(spark: SparkSession,
 
     val (traces, _, txsWithTrace) = assemble(allTxs, allMsgs)
     val tracesC = traces.localCheckpoint()
+    val txsWithTraceC = txsWithTrace.localCheckpoint()
 
     val done = tracesC.filter(col("state") === "complete")
     val open = tracesC.filter(col("state") =!= "complete")
       .select(col("trace_id"))
 
+    val doneTxs = txsWithTraceC
+      .join(done.select("trace_id"), Seq("trace_id"), "left_semi")
+      .localCheckpoint()
+    val doneMsgs = allMsgs.join(
+      doneTxs.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi")
+
     // carry only rows belonging to still-open traces
-    val openTxKeys = txsWithTrace
+    val openTxKeys = txsWithTraceC
       .join(open, Seq("trace_id"), "left_semi")
       .localCheckpoint()
     openTxs = Some(openTxKeys.drop("trace_id"))
@@ -59,7 +73,7 @@ class IncrementalTraceAssembly(spark: SparkSession,
 
     completedCount += done.count()
     checkpointDir.foreach(snapshot)
-    done
+    (done, doneTxs, doneMsgs)
   }
 
   /** Persist the open working set (the .tastate analogue). */

@@ -93,4 +93,92 @@ class BocSpec extends SparkSpec {
       .collect().head
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  // ------------------------------------------- HashmapE + TEP-64 + wallets
+
+  test("HashmapE dict round-trips through build + load") {
+    import graft.functions.Boc
+    def leaf(txt: String): Boc.Cell =
+      new Boc.Builder().storeBytes(txt.getBytes("UTF-8")).build()
+    val entries = Map(
+      BigInt(5) -> leaf("five"),
+      BigInt(200) -> leaf("two hundred"),
+      BigInt(201) -> leaf("adjacent"))
+    val dictCell = Boc.buildDictRefs(entries, 16)
+    val got = Boc.loadDictRefs(dictCell.beginParse(), 16)
+    assert(got.keySet == entries.keySet)
+    val v = new String(got(BigInt(200)).beginParse()
+      .loadBytes("two hundred".length), "UTF-8")
+    assert(v == "two hundred")
+  }
+
+  test("TEP-64 onchain content dict decodes known attributes") {
+    import graft.functions.{Boc, TlbDecoders}
+    def sha(k: String): BigInt = BigInt(1,
+      java.security.MessageDigest.getInstance("SHA-256").digest(k.getBytes("UTF-8")))
+    def snakeVal(txt: String): Boc.Cell = new Boc.Builder()
+      .storeUint(BigInt(0), 8).storeBytes(txt.getBytes("UTF-8")).build()
+    val dict = Boc.buildDictRefs(Map(
+      sha("name") -> snakeVal("Test Jetton"),
+      sha("symbol") -> snakeVal("TJ"),
+      sha("decimals") -> snakeVal("9")), 256)
+    // content cell: 0x00 prefix then the dict bits
+    val b = new Boc.Builder().storeUint(BigInt(0), 8)
+    val ds = dict.beginParse()
+    val hasRoot = ds.loadBit()
+    b.storeBit(hasRoot)
+    if (hasRoot) b.storeRef(ds.loadRef())
+    val content = TlbDecoders.tep64Content(Boc.serializeBase64(b.build()))
+    assert(content.kind == "onchain")
+    assert(content.attributes == Map(
+      "name" -> "Test Jetton", "symbol" -> "TJ", "decimals" -> "9"))
+  }
+
+  test("TEP-64 offchain content is a snake uri") {
+    import graft.functions.{Boc, TlbDecoders}
+    val cell = new Boc.Builder().storeUint(BigInt(1), 8)
+      .storeBytes("https://example.com/meta.json".getBytes("UTF-8")).build()
+    val c = TlbDecoders.tep64Content(Boc.serializeBase64(cell))
+    assert(c.kind == "offchain")
+    assert(c.uri.contains("https://example.com/meta.json"))
+  }
+
+  test("wallet v3 and v5r1 externals unroll to ghost messages") {
+    import graft.functions.Boc
+    import graft.classifier.ExternalUnroll
+    val dest = Some("0:" + "42" * 32)
+    def intMsg(value: Long): Boc.Cell = new Boc.Builder()
+      .storeBit(false) // int_msg_info$0
+      .storeBit(true).storeBit(false).storeBit(false) // ihr/bounce/bounced
+      .storeAddress(None).storeAddress(dest)
+      .storeCoins(BigInt(value)).storeBit(false) // no extra currencies
+      .storeCoins(BigInt(0)).storeCoins(BigInt(0)) // ihr_fee, fwd_fee
+      .storeUint(BigInt(0), 64).storeUint(BigInt(0), 32) // created_lt/at
+      .storeBit(false).storeBit(false) // no init, body inline
+      .storeUint(BigInt(0xabcdef12L), 32) // opcode
+      .build()
+    // v3: sig(512) subwallet(32) valid(32) seqno(32) + message refs
+    val v3 = new Boc.Builder().storeUint(BigInt(0), 512)
+      .storeUint(BigInt(698983191L), 32).storeUint(BigInt(0), 32)
+      .storeUint(BigInt(7), 32)
+      .storeUint(BigInt(3), 8) // send_mode byte (ignored by ref parser)
+      .storeRef(intMsg(1000)).build()
+    val got3 = ExternalUnroll.ghostMessages(Boc.serializeBase64(v3))
+    assert(got3.exists(_._1 == "v3"))
+    assert(got3.get._2.map(_.value) == Seq(1000L))
+    assert(got3.get._2.head.destination == dest)
+    assert(got3.get._2.head.opcode.contains(0xabcdef12L))
+    // v5r1: op(32) wallet_id(32) valid(32) seqno(32) + maybe-ref list
+    val node2 = new Boc.Builder()
+      .storeRef(Boc.Cell.empty).storeRef(intMsg(2000)).build()
+    val node1 = new Boc.Builder()
+      .storeUint(BigInt(0), 1) // non-empty bits so the walker recurses
+      .storeRef(node2).storeRef(intMsg(1500)).build()
+    val v5 = new Boc.Builder().storeUint(BigInt(0x7369676eL), 32)
+      .storeUint(BigInt(0), 32).storeUint(BigInt(0), 32).storeUint(BigInt(9), 32)
+      .storeBit(true).storeRef(node1).build()
+    val got5 = ExternalUnroll.ghostMessages(Boc.serializeBase64(v5))
+    assert(got5.exists(_._1 == "v5r1"))
+    assert(got5.get._2.map(_.value) == Seq(1500L, 2000L))
+  }
 }

@@ -117,4 +117,50 @@ class StreamingSpec extends SparkSpec {
     val n = agg.agg(sum("n")).collect().head.getLong(0)
     assert(n == events.count())
   }
+
+  test("end-to-end pipeline: stream -> assemble -> classify, restart-safe") {
+    import graft.plans.ChainSim
+    import graft.streaming.StreamPipeline
+    import graft.classifier.ClassifyJob
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val inDir = s"$tmp/in"; val ckDir = s"$tmp/ck"; val outDir = s"$tmp/out"
+    new java.io.File(inDir).mkdirs()
+
+    val (txs, msgs) = ChainSim.simulate(spark, sf)
+    val rows = StreamPipeline.toInputRows(txs, msgs).localCheckpoint()
+    // split by the PRODUCING tx's lt: out-messages ship with their tx
+    val cuts = Seq(0L, 250L, 500L, 750L, Long.MaxValue)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      rows.filter(col("lt") >= lo && col("lt") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage$i")
+    }
+    def shipChunk(i: Int): Unit = {
+      val src = new java.io.File(s"$tmp/stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      src.zipWithIndex.foreach { case (f, j) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/chunk$i-$j.parquet"))
+      }
+    }
+
+    // phase 1: first two chunks, then "crash" (process exits the run loop)
+    shipChunk(0); shipChunk(1)
+    StreamPipeline.runAvailable(spark, inDir, ckDir, outDir)
+    // phase 2: restart with the remaining chunks
+    shipChunk(2); shipChunk(3)
+    StreamPipeline.runAvailable(spark, inDir, ckDir, outDir)
+
+    val streamed = spark.read.parquet(s"$outDir/actions")
+      .select("trace_id", "action_id", "type", "start_lt")
+      .collect().map(_.toSeq).toSet
+
+    val (_, _, txsWithTrace) = ChainSim.assembled(spark, sf)
+    val batch = ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
+      .select("trace_id", "action_id", "type", "start_lt")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch,
+      s"streamed ${streamed.size} actions != batch ${batch.size}")
+  }
 }
