@@ -30,6 +30,20 @@ object ChainSim {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   private val actsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val evCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Shared base projection: events + per-user chain lag + account —
+    * one materialization reused by both the standard and the protocol
+    * simulation (they differ only in opcode mapping). */
+  private def chainedEvents(spark: SparkSession, dir: String): DataFrame =
+    evCache.getOrElseUpdate((spark, dir), {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      T.events(spark, dir)
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
+        .localCheckpoint()
+    })
 
   def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     simCache.getOrElseUpdate((spark, dir), simulateUncached(spark, dir))
@@ -54,11 +68,7 @@ object ChainSim {
   /** events → (transactions, messages) in the blockchain schema subset the
     * assembler/classifier consume. */
   private def simulateUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    val ev = T.events(spark, dir)
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
-      .localCheckpoint() // reused by both outputs; cheap at this width
+    val ev = chainedEvents(spark, dir)
 
     val txs = ev.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
@@ -162,11 +172,7 @@ object ChainSim {
     * signup → multisig new-order 0xf718510f (multisig_create_order),
     * error → DNS change-record 0x4eb1f0f9 (change_dns). */
   private def protocolSim(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    val ev = T.events(spark, dir)
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
-      .localCheckpoint()
+    val ev = chainedEvents(spark, dir)
     val txs = ev.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
       col("acct").as("account"),

@@ -39,30 +39,40 @@ object GraphOps {
     })
 
   /** nodes: (id, parent) with parent null for roots (or absent ids treated
-    * as roots). Returns (id, root). */
+    * as roots). Returns (id, root).
+    *
+    * Physical shape per round: TWO pointer hops through the round-start
+    * jump table (ancestor distance grows 3^k per round vs 2^k — fewer
+    * materialization/convergence jobs for the same join count), and the
+    * jump table is broadcast when the node set is small enough (an
+    * (id, anc) pair table broadcasts comfortably into the millions of
+    * rows; past the threshold the joins fall back to the shuffle path —
+    * the 100 TB shape, hash-partitioned on the join key under AQE). */
   def forestRoots(nodes: DataFrame, maxIters: Int = 30): DataFrame = {
     // anc = current known ancestor (self for roots); done = anc is a root
     var cur = nodes
       .select(col("id"), coalesce(col("parent"), col("id")).as("anc"))
       .localCheckpoint()
-    val roots = cur.filter(col("id") === col("anc"))
-      .select(col("id").as("root_id")).localCheckpoint()
+    val useBroadcast = cur.count() <= 3000000L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // jump + change-detection in ONE join: moved ⇔ the parent hop
-      // found a strictly different ancestor
+      val jt0 = cur.select(col("id").as("anc"), col("anc").as("anc2"))
+      val jt = if (useBroadcast) broadcast(jt0) else jt0
+      val hop1 = cur
+        .join(jt, Seq("anc"), "left")
+        .select(col("id"), col("anc").as("anc0"),
+          coalesce(col("anc2"), col("anc")).as("anc"))
       // lazy checkpoint: the count() below materializes it — one job per
-      // iteration instead of two (eager checkpoint + count)
-      val jumped = cur.alias("a")
-        .join(cur.select(col("id").as("anc"), col("anc").as("anc2")).alias("b"),
-          Seq("anc"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("b.anc2"), col("anc")).as("anc"),
-          (col("b.anc2").isNotNull && col("b.anc2") =!= col("anc")).as("moved"))
+      // round instead of two (eager checkpoint + count)
+      val hop2 = hop1
+        .join(jt, Seq("anc"), "left")
+        .select(col("id"), col("anc0"),
+          coalesce(col("anc2"), col("anc")).as("anc"))
+        .withColumn("moved", col("anc") =!= col("anc0"))
         .localCheckpoint(eager = false)
-      val changed = jumped.filter(col("moved")).count()
-      cur = jumped.drop("moved")
+      val changed = hop2.filter(col("moved")).count()
+      cur = hop2.drop("anc0", "moved")
       iter += 1
       converged = changed == 0
     }
