@@ -405,6 +405,55 @@ object ProtocolMatchers {
   val UnsubscribeMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.WalletPluginDestruct, None, Set.empty, protoBlock("unsubscribe"))
 
+  /** DeDust liquidity deposit: TON-to-vault 0xd55e4686 with the deposit
+    * contract deploy/top-up/pool chain (messages/liquidity.py:18-74;
+    * action type 'dex_deposit_liquidity'). */
+  val DedustDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.DedustDepositTonToVault, None,
+    Set(Opcodes.DedustDeployDepositContract, Opcodes.DedustTopUpDepositContract,
+      Opcodes.DedustDepositToPool, Opcodes.Excesses),
+    protoBlock("dex_deposit_liquidity"))
+
+  /** StonFi provide-LP 0x37c096df (messages/liquidity.py:100). */
+  val StonfiProvideLpMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.StonfiProvideLp, None, Set(Opcodes.Excesses),
+    protoBlock("dex_deposit_liquidity"))
+
+  /** DEX liquidity withdrawal — SECOND-PASS matcher over the burn
+    * rewrite: an LP-token JettonBurnBlock whose children are DeDust
+    * payouts is a withdrawal (burn the LP jettons, receive both pool
+    * assets; blocks/liquidity.py withdraw shape). */
+  object DexWithdrawLiquidityMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jb: JettonBurnBlock =>
+        val payouts = jb.children.collect {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.DedustPayout) ||
+              Opcodes.matches(c.opcode, Opcodes.DedustPayoutFromPool) => c
+        }
+        if (payouts.isEmpty) None
+        else {
+          val consumed = jb +: payouts
+          Some((ProtocolOpBlock("dex_withdraw_liquidity",
+            jb.owner, None, Some(jb.ownerWallet), Some(jb.amount),
+            consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil),
+            consumed))
+        }
+      case _ => None
+    }
+  }
+
+  /** Teleitem auction start 0x487a8e81 → nft_put_on_auction
+    * (messages/nft.py:105; serializer case 'nft_put_on_auction' |
+    * 'teleitem_start_auction'). */
+  val TeleitemStartAuctionMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TeleitemStartAuction, None, Set.empty,
+    protoBlock("nft_put_on_auction"))
+
+  /** Auction fill-up 0x370fec51 → auction_bid (messages/nft.py:137). */
+  val AuctionBidMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.AuctionFillUp, None, Set.empty, protoBlock("auction_bid"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -419,5 +468,8 @@ object ProtocolMatchers {
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
       MultisigExecuteMatcher, ChangeDnsMatcher,
       VestingSendMessageMatcher, VestingAddWhitelistMatcher,
-      SubscribeMatcher, UnsubscribeMatcher)
+      SubscribeMatcher, UnsubscribeMatcher,
+      DedustDepositLiquidityMatcher, StonfiProvideLpMatcher,
+      DexWithdrawLiquidityMatcher,
+      TeleitemStartAuctionMatcher, AuctionBidMatcher)
 }

@@ -125,6 +125,18 @@ object Opcodes {
   val MultisigApproveAccepted = 0x82609bf6L
   val MultisigExecute = 0x75097f5dL
 
+  // liquidity — DeDust deposit chain + StonFi provide
+  // (messages/liquidity.py:18,58-74,100)
+  val DedustDepositTonToVault = 0xd55e4686L
+  val DedustDeployDepositContract = 0x9b3aa3faL
+  val DedustTopUpDepositContract = 0x54240fe5L
+  val DedustDepositToPool = 0xb56b9598L
+  val StonfiProvideLp = 0x37c096dfL
+
+  // NFT auctions (messages/nft.py:105,137)
+  val TeleitemStartAuction = 0x487a8e81L
+  val AuctionFillUp = 0x370fec51L
+
   // dns (messages/dns.py:7)
   val ChangeDnsRecord = 0x4eb1f0f9L
 

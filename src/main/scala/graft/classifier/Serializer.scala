@@ -95,7 +95,9 @@ object Serializer {
     "election_deposit", "election_recover",
     "multisig_create_order", "multisig_approve", "multisig_execute",
     "change_dns", "vesting_send_message", "vesting_add_whitelist",
-    "subscribe", "unsubscribe")
+    "subscribe", "unsubscribe",
+    "dex_deposit_liquidity", "dex_withdraw_liquidity",
+    "nft_put_on_auction", "auction_bid")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

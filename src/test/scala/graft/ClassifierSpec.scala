@@ -345,4 +345,46 @@ class ClassifierSpec extends SparkSpec {
     assert(dns.parent_action_id.contains(
       actions.find(_.`type` == "call_contract").get.action_id))
   }
+
+  test("dedust liquidity deposit chain classifies as dex_deposit_liquidity") {
+    val txs = Seq(tx("T1", "0:VAULT", 10), tx("T2", "0:DEPOSIT", 20),
+      tx("T3", "0:POOL", 30))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:LP", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
+        value = 9000),
+        out("m2", "0:VAULT", "0:DEPOSIT", Some(Opcodes.DedustTopUpDepositContract))),
+      "T2" -> Seq(in("m2", "0:VAULT", "0:DEPOSIT",
+        Some(Opcodes.DedustTopUpDepositContract)),
+        out("m3", "0:DEPOSIT", "0:POOL", Some(Opcodes.DedustDepositToPool))),
+      "T3" -> Seq(in("m3", "0:DEPOSIT", "0:POOL", Some(Opcodes.DedustDepositToPool))))
+    val actions = Classifier.classify("lq1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"))
+    assert(actions.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
+    assert(actions.head.value.contains(BigDecimal(9000)))
+  }
+
+  test("LP burn with dedust payouts classifies as dex_withdraw_liquidity") {
+    val txs = Seq(tx("TB", "0:LPWALLET", 10), tx("TP", "0:VAULT", 20))
+    val msgs = Map(
+      "TB" -> Seq(in("m1", "0:LP", "0:LPWALLET", Some(Opcodes.JettonBurn)),
+        out("m2", "0:LPWALLET", "0:VAULT", Some(Opcodes.DedustPayout))),
+      "TP" -> Seq(in("m2", "0:LPWALLET", "0:VAULT", Some(Opcodes.DedustPayout))))
+    val actions = Classifier.classify("lq2", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("dex_withdraw_liquidity"))
+    assert(actions.head.source.contains("0:LP"))
+  }
+
+  test("teleitem auction start and auction bid classify") {
+    val auc = Classifier.classify("au1",
+      Seq(tx("T1", "0:ITEM", 10)),
+      Map("T1" -> Seq(in("m1", "0:OWNER", "0:ITEM",
+        Some(Opcodes.TeleitemStartAuction)))))
+    assert(auc.map(_.`type`) == Seq("nft_put_on_auction"))
+    val bid = Classifier.classify("au2",
+      Seq(tx("T1", "0:AUCTION", 10)),
+      Map("T1" -> Seq(in("m1", "0:BIDDER", "0:AUCTION",
+        Some(Opcodes.AuctionFillUp), value = 777))))
+    assert(bid.map(_.`type`) == Seq("auction_bid"))
+    assert(bid.head.value.contains(BigDecimal(777)))
+  }
 }
