@@ -127,7 +127,9 @@ case class ProtocolOpBlock(
     btype: String,
     source: Option[String], destination: Option[String],
     asset: Option[String], value: Option[BigDecimal],
-    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
+    dex: Option[String] = None,
+    peerSwapCount: Int = 0) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

@@ -336,15 +336,28 @@ object ProtocolMatchers {
     * matcher; messages/swaps.py:9,27). Canonical action type jetton_swap. */
   val StonfiSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.StonfiSwap, Some(Opcodes.StonfiPayment), Set(Opcodes.Excesses),
-    protoBlock("jetton_swap"))
+    (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
+      case p: ProtocolOpBlock => p.copy(dex = Some("stonfi"))
+      case other => other
+    })
 
   /** DeDust swap: 0xea06185d with optional peer-swap recursion and
-    * notification/payout tail (messages/swaps.py:98-130). */
+    * notification/payout tail (messages/swaps.py:98-130). Peer-swap hops
+    * are counted into the block for the jetton_swap_data.peer_swaps
+    * detail (multi-pool routes). */
   val DedustSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.DedustSwap, None,
     Set(Opcodes.DedustSwapPeer, Opcodes.DedustSwapNotification,
       Opcodes.DedustPayout, Opcodes.DedustPayoutFromPool),
-    protoBlock("jetton_swap"))
+    (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
+      case p: ProtocolOpBlock => p.copy(dex = Some("dedust"),
+        peerSwapCount = consumed.count {
+          case cc: CallContractBlock =>
+            Opcodes.matches(cc.opcode, Opcodes.DedustSwapPeer)
+          case _ => false
+        })
+      case other => other
+    })
 
   /** TONStakers deposit 0x47d54391 (+ optional pool-jetton mint)
     * (messages/staking.py:17-26; action type blocks/staking.py:506). */

@@ -178,7 +178,9 @@ object Serializer {
           dex_outgoing_transfer = Some(dexTransfer(sw.outTransfer)),
           peer_swaps = Nil, min_out_amount = None))
         case p: ProtocolOpBlock if p.btype == "jetton_swap" =>
-          Some(JettonSwapData("stonfi", p.source, None, None, Nil, None))
+          Some(JettonSwapData(p.dex.getOrElse("unknown"), p.source, None, None,
+            Seq.fill(p.peerSwapCount)(PeerSwapData(None, None, None, None)),
+            None))
         case _ => None
       },
       staking_data = b match {

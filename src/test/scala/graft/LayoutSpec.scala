@@ -41,4 +41,24 @@ class LayoutSpec extends SparkSpec {
       assert(q.count() == expected)
     } finally spark.sql("DROP TABLE IF EXISTS li_acct")
   }
+
+  test("silver transactions bucketed by account aggregate shuffle-free") {
+    // the LAYOUT.md contract wired end-to-end: ChainSim transactions
+    // written via Layout.writeBucketed(account, sorted (account, lt)),
+    // then an account-grouped aggregation runs with NO Exchange
+    import graft.plans.{ChainSim, Layout}
+    val (txs, _) = ChainSim.simulate(spark, sf)
+    Layout.writeBucketed(txs.select("hash", "account", "lt", "now"),
+      "txs_silver", "account", Seq("account", "lt"), 8)
+    try {
+      val agg = spark.table("txs_silver")
+        .groupBy("account").agg(max("lt").as("last_lt"), count(lit(1)).as("n"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed groupBy must be shuffle-free:\n${p.take(1200)}")
+      val expected = txs.groupBy("account").count().count()
+      assert(agg.count() == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS txs_silver")
+  }
 }
