@@ -156,12 +156,18 @@ object QueryLayer {
     if (jettons.nonEmpty) df = df.filter(col("jetton").isin(jettons: _*))
     if (excludeZeroBalance)
       df = df.filter(col("balance") + coalesce(col("mintless_amount"), lit(0)) > 0)
+    // reference order-by (crud_jettons.go:64-98): surrogate `id asc` by
+    // default; with a sort direction, `balance <dir>` prefixed by the
+    // equality-filtered column — `owner` always, `jetton` only when the
+    // filter has exactly ONE jetton (the multi-jetton IN keeps the plain
+    // balance order). Trailing `id asc` is our deterministic tie-break
+    // (Postgres leaves ties arbitrary; a distributed engine must not).
     val sortKeys: Seq[Column] = sortBalanceDesc match {
       case Some(desc) =>
         val bal: Column = if (desc) col("balance").desc else col("balance").asc
         val prefix: Seq[Column] =
           (if (owners.nonEmpty) Seq(col("owner")) else Nil) ++
-            (if (jettons.nonEmpty) Seq(col("jetton")) else Nil)
+            (if (jettons.size == 1) Seq(col("jetton")) else Nil)
         prefix ++ Seq(bal, col("id"))
       case None => Seq(col("id"))
     }

@@ -72,4 +72,60 @@ class BackcompatSpec extends SparkSpec {
     }
     assert(nonEmpty > 10, s"fuzz draws too empty ($nonEmpty/40) — widen ranges")
   }
+
+  test("randomized jettonWallets draws: QueryLayer == reference-shaped SQL") {
+    import spark.implicits._
+    val rnd = new Random(424242L)
+    val wallets = (1 to 400).map { i =>
+      (s"w$i", s"0:${rnd.nextInt(12)}", s"j${rnd.nextInt(5)}",
+        (rnd.nextInt(5) match { case 0 => 0L; case _ => rnd.nextInt(100000).toLong }),
+        i.toLong)
+    }.toDF("address", "owner", "jetton", "balance", "id")
+    val mintless = Seq(("j1", 50L), ("j3", 7L)).toDF("address", "mintless_amount")
+    wallets.createOrReplaceTempView("jw")
+    mintless.createOrReplaceTempView("mm")
+
+    def sqlOf(owners: Seq[String], jettons: Seq[String], nz: Boolean,
+        sortDesc: Option[Boolean], limit: Int): String = {
+      val conds = Seq(
+        if (owners.nonEmpty)
+          Some(owners.map(o => s"'$o'").mkString("owner IN (", ",", ")")) else None,
+        if (jettons.nonEmpty)
+          Some(jettons.map(j => s"'$j'").mkString("jetton IN (", ",", ")")) else None,
+        if (nz) Some("balance + coalesce(mintless_amount, 0) > 0") else None).flatten
+      val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val order = sortDesc match {
+        case Some(d) =>
+          val dir = if (d) "DESC" else "ASC"
+          // reference shape: prefix columns plain ASC, direction applies
+          // to balance only; id ASC is the shared deterministic tie-break
+          val prefix = (if (owners.nonEmpty) Seq("owner") else Nil) ++
+            (if (jettons.size == 1) Seq("jetton") else Nil)
+          (prefix ++ Seq(s"balance $dir", "id"))
+            .mkString(" ORDER BY ", ", ", "")
+        case None => " ORDER BY id"
+      }
+      s"""SELECT address FROM (
+         |  SELECT jw.*, mm.mintless_amount FROM jw
+         |  LEFT JOIN mm ON jw.jetton = mm.address) t
+         |$where$order LIMIT ${math.min(math.max(limit, 1), 1000)}""".stripMargin
+    }
+
+    (1 to 25).foreach { i =>
+      val owners = if (rnd.nextBoolean()) Seq(s"0:${rnd.nextInt(12)}") else Nil
+      val jettons = if (rnd.nextInt(3) == 0) Seq(s"j${rnd.nextInt(5)}") else Nil
+      val nz = rnd.nextBoolean()
+      val sortDesc = rnd.nextInt(3) match {
+        case 0 => Some(true); case 1 => Some(false); case _ => None
+      }
+      val limit = 1 + rnd.nextInt(300)
+      val viaLayer = QueryLayer.jettonWallets(wallets, mintless,
+          owners, jettons, nz, sortDesc, limit = limit)
+        .select("address").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(sqlOf(owners, jettons, nz, sortDesc, limit))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql,
+        s"draw $i diverged (owners=$owners jettons=$jettons nz=$nz sort=$sortDesc limit=$limit)")
+    }
+  }
 }

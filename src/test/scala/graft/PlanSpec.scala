@@ -68,4 +68,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("))
     assert(!p.contains("Fallback"), "cosine must not fall back from codegen")
   }
+
+  test("e05 exact near-dup broadcasts the pair side (no cartesian shuffle)") {
+    val p = plan(Similarity.e05)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"exact pair scan must broadcast one side:\n${p.take(1200)}")
+  }
+
+  test("d13 exact jaccard is a count-based join, no per-pair array verify") {
+    val p = plan(graft.operators.Dedup.d13)
+    assert(!p.contains("array_intersect"),
+      "count-based jaccard must not re-verify with array_intersect")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "pair intersection must come from an aggregation")
+  }
+
+  test("jettonWallets family broadcasts the mintless dimension") {
+    import spark.implicits._
+    val wallets = (1 to 100).map(i =>
+      (s"w$i", s"0:${i % 7}", s"j${i % 3}", i.toLong, i.toLong))
+      .toDF("address", "owner", "jetton", "balance", "id")
+    val mintless = Seq(("j1", 5L)).toDF("address", "mintless_amount")
+    val q = graft.operators.QueryLayer.jettonWallets(
+      wallets, mintless, owners = Seq("0:1"), excludeZeroBalance = true)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"mintless dim join must broadcast:\n${p.take(1200)}")
+  }
 }
