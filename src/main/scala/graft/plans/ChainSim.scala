@@ -65,6 +65,17 @@ object ChainSim {
       (traces.localCheckpoint(), edges, txsWithTrace.localCheckpoint())
     })
 
+  /** Real TEP text-comment body (op 0x00000000 + snake UTF-8) built with
+    * the engine's own BOC writer — attached to transfer in-messages so
+    * the classifier's F5 decode path runs through the driver gate. */
+  private val commentBocUdf = udf { (s: String) =>
+    graft.functions.Boc.serializeBase64(
+      new graft.functions.Boc.Builder()
+        .storeUint(BigInt(0), 32)
+        .storeBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .build())
+  }
+
   /** events → (transactions, messages) in the blockchain schema subset the
     * assembler/classifier consume. */
   private def simulateUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -90,6 +101,12 @@ object ChainSim {
       .when(col("event_type") === "error", 3L)
       .otherwise(lit(null).cast("long"))
 
+    // transfers (purchase/signup) carry a REAL text-comment BOC body:
+    // op 0 + "note <event_id>" — decoded back by the classifier (F5)
+    val body = when(col("event_type").isin("purchase", "signup"),
+      commentBocUdf(concat(lit("note "), col("event_id").cast("string"))))
+      .otherwise(lit(null).cast("string"))
+
     val inMsgs = ev.select(
       concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
       concat(lit("T"), col("event_id").cast("string")).as("tx_hash"),
@@ -100,7 +117,8 @@ object ChainSim {
       (col("value") * 100).cast("long").as("value"),
       opcode.as("opcode"),
       lit(false).as("bounce"), lit(false).as("bounced"),
-      col("event_id").as("created_lt"))
+      col("event_id").as("created_lt"),
+      body.as("body"))
 
     val outMsgs = ev.filter(col("prev_id").isNotNull).select(
       concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
@@ -111,7 +129,8 @@ object ChainSim {
       (col("value") * 100).cast("long").as("value"),
       opcode.as("opcode"),
       lit(false).as("bounce"), lit(false).as("bounced"),
-      col("event_id").as("created_lt"))
+      col("event_id").as("created_lt"),
+      body.as("body"))
 
     (txs, inMsgs.unionByName(outMsgs))
   }
@@ -252,5 +271,25 @@ object ChainSim {
       .orderBy("start_lt", "type")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06)
+  /** F5 decode through the hash gate: transfer actions must carry the
+    * decoded TEP text comment in ton_transfer_data.content — the oracle
+    * states the comment by construction (the body was built by the
+    * engine's BOC writer, decoded by its BOC reader inside the
+    * classifier; first events are externals → call_contract, not here). */
+  val b07 = Q("b07_comment_decode",
+    """WITH firsts AS (SELECT user_id, min(event_id) AS fid
+      |               FROM events GROUP BY user_id)
+      |SELECT concat('T', f.fid) AS trace_id, e.event_id AS start_lt,
+      |  concat('note ', e.event_id) AS content
+      |FROM events e JOIN firsts f ON e.user_id = f.user_id
+      |WHERE e.event_type IN ('purchase', 'signup') AND e.event_id <> f.fid
+      |ORDER BY start_lt""".stripMargin) { (s, dir) =>
+    classified(s, dir)
+      .filter(col("type") === "ton_transfer")
+      .select(col("trace_id"), col("start_lt"),
+        col("ton_transfer_data.content").as("content"))
+      .orderBy("start_lt")
+  }
+
+  val all: Seq[Q] = Seq(b01, b02, b06, b07)
 }

@@ -163,4 +163,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"streamed ${streamed.size} actions != batch ${batch.size}")
   }
+
+  test("T6 lifecycle: pending actions replaced on finalization (federate + reclassify)") {
+    import graft.classifier.{Classifier, ClassifyJob, TxLite, MsgLite}
+    import graft.streaming.StreamOps
+    import spark.implicits._
+
+    def tx(h: String, a: String, lt: Long) =
+      TxLite(h, a, lt, lt.toInt, "active", "active", false, None, None, 0L, "ord")
+    def m(h: String, d: String, src: Option[String], dst: String, op: Option[Long]) =
+      MsgLite(h, d, src, Some(dst), 100, op, bounce = false, bounced = false,
+        Some(1L), None)
+
+    // pending (emulated) view of the trace: only the first hop arrived →
+    // classified as a bare call (speculative actions)
+    val pendingActions = Classifier.classify("trX",
+      Seq(tx("T1", "0:WA", 10)),
+      Map("T1" -> Seq(m("m1", "in", Some("0:U"), "0:WA",
+        Some(graft.classifier.Opcodes.JettonTransfer))))).toDF()
+
+    // finalized view: the full jetton-transfer chain → one typed action
+    val finalActions = Classifier.classify("trX",
+      Seq(tx("T1", "0:WA", 10), tx("T2", "0:WB", 20)),
+      Map(
+        "T1" -> Seq(m("m1", "in", Some("0:U"), "0:WA",
+          Some(graft.classifier.Opcodes.JettonTransfer)),
+          m("m2", "out", Some("0:WA"), "0:WB",
+            Some(graft.classifier.Opcodes.JettonInternalTransfer))),
+        "T2" -> Seq(m("m2", "in", Some("0:WA"), "0:WB",
+          Some(graft.classifier.Opcodes.JettonInternalTransfer))))).toDF()
+
+    // S10 federation: both visible, distinguished by finality
+    val federated = StreamOps.federate(finalActions, pendingActions)
+    assert(federated.filter(col("finality") === "pending").count() == 1)
+
+    // T6: finalization replaces the pending rows for the trace wholesale
+    val store = ClassifyJob.reclassify(
+      existingActions = pendingActions, newActions = finalActions)
+    val rows = store.collect()
+    assert(rows.map(_.getAs[String]("type")).toSeq == Seq("jetton_transfer"))
+    assert(store.filter(col("trace_id") === "trX").count() == 1)
+  }
 }
