@@ -130,7 +130,9 @@ object ChainSim {
       opcode.as("opcode"),
       lit(false).as("bounce"), lit(false).as("bounced"),
       col("event_id").as("created_lt"),
-      body.as("body"))
+      // only IN-message bodies are ever decoded (Seeder reads the
+      // consuming side) — skip the BOC build on the out copy
+      lit(null).cast("string").as("body"))
 
     (txs, inMsgs.unionByName(outMsgs))
   }
