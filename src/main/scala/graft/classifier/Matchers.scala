@@ -86,42 +86,57 @@ object Matching {
   }
 
   /** One rewrite sweep (registry order matters — later matchers see
-    * earlier matchers' output blocks, event_processing.py:313-329). */
+    * earlier matchers' output blocks, event_processing.py:313-329).
+    *
+    * Per matcher, each round collects EVERY match whose consumed set is
+    * disjoint from matches already taken this round, then applies them in
+    * one tree rebuild — O(rounds × nodes) instead of O(matches × nodes),
+    * which matters on long chains (hundreds of matches per trace). The
+    * fixpoint is identical: a skipped overlapping candidate is re-offered
+    * next round against the rewritten tree, exactly as the one-at-a-time
+    * loop would see it. */
   def rewrite(root: RootBlock, matchers: Seq[BlockMatcher]): RootBlock = {
     var current: RootBlock = root
     for (m <- matchers) {
       var changed = true
       while (changed) {
-        changed = false
-        current.bfs.drop(1).iterator
-          .map(b => (b, m.tryBuild(b))).collectFirst {
-            case (b, Some((nb, consumed))) => (b, nb, consumed)
-          } match {
-          case Some((at, built, consumed)) =>
-            current = replace(current, at, built, consumed.toSet)
-            changed = true
-          case None =>
+        // identity-keyed structures throughout: tree nodes are unique
+        // object instances, and case-class equality would recompute deep
+        // subtree hashes on every membership test (O(N) per lookup)
+        val byHead = new java.util.IdentityHashMap[Block, Block]()
+        val consumedSoFar = new java.util.IdentityHashMap[Block, Boolean]()
+        current.bfs.drop(1).foreach { b =>
+          if (!consumedSoFar.containsKey(b)) {
+            m.tryBuild(b) match {
+              case Some((nb, consumed))
+                if !consumed.exists(consumedSoFar.containsKey) =>
+                byHead.put(b, nb)
+                consumed.foreach(consumedSoFar.put(_, true))
+              case _ =>
+            }
+          }
         }
+        if (byHead.isEmpty) changed = false
+        else current = replaceAll(current, byHead, consumedSoFar)
       }
     }
     current
   }
 
-  /** Replace `at` with `built`; drop all other consumed blocks; surviving
-    * children of consumed blocks are adopted by `built` (compact_connections
-    * semantics, core.py:232-268). */
-  private def replace(root: RootBlock, at: Block, built: Block,
-      consumed: Set[Block]): RootBlock = {
-    def orphansOf(b: Block): Seq[Block] =
-      b.children.flatMap { c =>
-        if (consumed.contains(c)) orphansOf(c)
-        else Seq(rebuild(c))
-      }
-    def rebuild(b: Block): Block = b.withChildren(orphansOf(b))
-    def walk(b: Block): Seq[Block] =
-      if (b eq at) Seq(built.withChildren(built.children ++ orphansOf(at)))
-      else if (consumed.contains(b)) b.children.flatMap(walk)
+  /** Apply a set of disjoint matches: each head is replaced by its built
+    * block; other consumed blocks are dropped; surviving children of
+    * consumed blocks are adopted upward (compact_connections semantics,
+    * core.py:232-268). */
+  private def replaceAll(root: RootBlock,
+      byHead: java.util.IdentityHashMap[Block, Block],
+      consumed: java.util.IdentityHashMap[Block, Boolean]): RootBlock = {
+    def walk(b: Block): Seq[Block] = {
+      val built = byHead.get(b)
+      if (built != null)
+        Seq(built.withChildren(built.children ++ b.children.flatMap(walk)))
+      else if (consumed.containsKey(b)) b.children.flatMap(walk)
       else Seq(b.withChildren(b.children.flatMap(walk)))
+    }
     RootBlock(root.children.flatMap(walk))
   }
 }
