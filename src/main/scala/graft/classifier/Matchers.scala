@@ -482,6 +482,54 @@ object ProtocolMatchers {
   val AuctionBidMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.AuctionFillUp, None, Set.empty, protoBlock("auction_bid"))
 
+  /** jvault staking family (messages/jvault.py:27-101; serializer cases
+    * 'jvault_stake' / 'jvault_unstake' / 'jvault_unstake_request' /
+    * 'jvault_claim'). */
+  val JvaultStakeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.JvaultReceiveJettons, None, Set(Opcodes.Excesses),
+    protoBlock("jvault_stake"))
+  val JvaultUnstakeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.JvaultUnstakeJettons, None, Set(Opcodes.Excesses),
+    protoBlock("jvault_unstake"))
+  val JvaultUnstakeRequestMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.JvaultUnstakeRequest, None, Set.empty,
+    protoBlock("jvault_unstake_request"))
+  val JvaultClaimMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.JvaultClaim, None, Set(Opcodes.JvaultSendClaimedRewards),
+    protoBlock("jvault_claim"))
+
+  /** tgBTC bridge events (messages/tgbtc.py:20-82). */
+  val TgbtcMintMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TgbtcMint, None, Set.empty, protoBlock("tgbtc_mint"))
+  val TgbtcBurnMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TgbtcBurn, None, Set.empty, protoBlock("tgbtc_burn"))
+  val TgbtcNewKeyMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TgbtcNewKey, None, Set.empty, protoBlock("tgbtc_new_key"))
+  val TgbtcDkgLogMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.TgbtcDkgCompleted, None, Set.empty, protoBlock("tgbtc_dkg_log"))
+
+  /** TONCO v3 swap: pool swap 0xa7fb58f8 paying out through the router
+    * 0xa1daa96d (messages/swaps.py:226,345). */
+  val ToncoSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ToncoPoolV3Swap, Some(Opcodes.ToncoRouterV3PayTo),
+    Set(Opcodes.Excesses),
+    (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
+      case p: ProtocolOpBlock => p.copy(dex = Some("tonco"))
+      case other => other
+    })
+
+  /** EVAA lending (messages/evaa.py:13-151): the master opcodes are tiny
+    * integers (0x1 / 0x2), so the match REQUIRES the user-contract child
+    * opcode — exactly how the reference disambiguates them from ordinary
+    * low-opcode calls. */
+  val EvaaSupplyMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.EvaaSupplyMaster, Some(Opcodes.EvaaSupplyUser),
+    Set(Opcodes.EvaaSupplySuccess, Opcodes.EvaaSupplyFail, Opcodes.Excesses),
+    protoBlock("evaa_supply"))
+  val EvaaWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.EvaaWithdrawMaster, Some(Opcodes.EvaaWithdrawUser),
+    Set(Opcodes.Excesses), protoBlock("evaa_withdraw"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -499,5 +547,10 @@ object ProtocolMatchers {
       SubscribeMatcher, UnsubscribeMatcher,
       DedustDepositLiquidityMatcher, StonfiProvideLpMatcher,
       DexWithdrawLiquidityMatcher,
-      TeleitemStartAuctionMatcher, AuctionBidMatcher)
+      TeleitemStartAuctionMatcher, AuctionBidMatcher,
+      JvaultStakeMatcher, JvaultUnstakeMatcher,
+      JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
+      TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
+      TgbtcDkgLogMatcher, ToncoSwapMatcher,
+      EvaaSupplyMatcher, EvaaWithdrawMatcher)
 }

@@ -137,6 +137,32 @@ object Opcodes {
   val TeleitemStartAuction = 0x487a8e81L
   val AuctionFillUp = 0x370fec51L
 
+  // jvault staking (messages/jvault.py:27-101)
+  val JvaultReceiveJettons = 0xd68a4ac1L
+  val JvaultUnstakeJettons = 0x499a9262L
+  val JvaultUnstakeRequest = 0x0168d4b7L
+  val JvaultClaim = 0x78d9f109L
+  val JvaultSendClaimedRewards = 0x44bc1fe3L
+
+  // tgBTC bridge events (messages/tgbtc.py:20-82)
+  val TgbtcMint = 0x77a80ef3L
+  val TgbtcBurn = 0xca444ce6L
+  val TgbtcNewKey = 0x27756729L
+  val TgbtcDkgCompleted = 0x453443a6L
+
+  // TONCO v3 swap (messages/swaps.py:226,345)
+  val ToncoPoolV3Swap = 0xa7fb58f8L
+  val ToncoRouterV3PayTo = 0xa1daa96dL
+
+  // EVAA lending (messages/evaa.py:13-151) — tiny opcodes, matched only
+  // with their required child pattern
+  val EvaaSupplyMaster = 0x1L
+  val EvaaSupplyUser = 0x11L
+  val EvaaSupplySuccess = 0x11aL
+  val EvaaSupplyFail = 0x11fL
+  val EvaaWithdrawMaster = 0x2L
+  val EvaaWithdrawUser = 0x21L
+
   // dns (messages/dns.py:7)
   val ChangeDnsRecord = 0x4eb1f0f9L
 

@@ -97,7 +97,10 @@ object Serializer {
     "change_dns", "vesting_send_message", "vesting_add_whitelist",
     "subscribe", "unsubscribe",
     "dex_deposit_liquidity", "dex_withdraw_liquidity",
-    "nft_put_on_auction", "auction_bid")
+    "nft_put_on_auction", "auction_bid",
+    "jvault_stake", "jvault_unstake", "jvault_unstake_request",
+    "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
+    "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

@@ -387,4 +387,52 @@ class ClassifierSpec extends SparkSpec {
     assert(bid.map(_.`type`) == Seq("auction_bid"))
     assert(bid.head.value.contains(BigDecimal(777)))
   }
+
+  test("jvault stake/unstake/claim classify with canonical types") {
+    val st = Classifier.classify("jv1",
+      Seq(tx("T1", "0:POOL", 10)),
+      Map("T1" -> Seq(in("m1", "0:STAKER", "0:POOL",
+        Some(Opcodes.JvaultReceiveJettons)))))
+    assert(st.map(_.`type`) == Seq("jvault_stake"))
+    val (utxs, umsgs) = chain2(Opcodes.JvaultClaim, Opcodes.JvaultSendClaimedRewards)
+    assert(Classifier.classify("jv2", utxs, umsgs).map(_.`type`) ==
+      Seq("jvault_claim"))
+  }
+
+  test("tgbtc mint/burn events classify") {
+    val mint = Classifier.classify("tg1",
+      Seq(tx("T1", "0:BRIDGE", 10)),
+      Map("T1" -> Seq(in("m1", "0:TEAM", "0:BRIDGE", Some(Opcodes.TgbtcMint)))))
+    assert(mint.map(_.`type`) == Seq("tgbtc_mint"))
+    val burn = Classifier.classify("tg2",
+      Seq(tx("T1", "0:BRIDGE", 10)),
+      Map("T1" -> Seq(in("m1", "0:USER", "0:BRIDGE", Some(Opcodes.TgbtcBurn)))))
+    assert(burn.map(_.`type`) == Seq("tgbtc_burn"))
+  }
+
+  test("tonco v3 swap requires the router pay-to child; tags dex=tonco") {
+    val (stxs, smsgs) = chain2(Opcodes.ToncoPoolV3Swap, Opcodes.ToncoRouterV3PayTo)
+    val sw = Classifier.classify("tc1", stxs, smsgs)
+    assert(sw.map(_.`type`) == Seq("jetton_swap"))
+    assert(sw.head.jetton_swap_data.exists(_.dex == "tonco"))
+    // without the pay-to child it stays a call
+    val alone = Classifier.classify("tc2",
+      Seq(tx("T1", "0:POOL", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:POOL", Some(Opcodes.ToncoPoolV3Swap)))))
+    assert(alone.map(_.`type`) == Seq("call_contract"))
+  }
+
+  test("evaa tiny opcodes match ONLY with the required user-contract child") {
+    val (stxs, smsgs) = chain2(Opcodes.EvaaSupplyMaster, Opcodes.EvaaSupplyUser)
+    assert(Classifier.classify("ev1", stxs, smsgs).map(_.`type`) ==
+      Seq("evaa_supply"))
+    val (wtxs, wmsgs) = chain2(Opcodes.EvaaWithdrawMaster, Opcodes.EvaaWithdrawUser)
+    assert(Classifier.classify("ev2", wtxs, wmsgs).map(_.`type`) ==
+      Seq("evaa_withdraw"))
+    // a bare opcode-1 call (e.g. the sim's click) must NOT become evaa
+    val bare = Classifier.classify("ev3",
+      Seq(tx("T1", "0:APP", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:APP", Some(1L)))))
+    assert(bare.map(_.`type`) == Seq("call_contract"))
+  }
 }
