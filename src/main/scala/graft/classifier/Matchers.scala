@@ -530,6 +530,30 @@ object ProtocolMatchers {
     Opcodes.EvaaWithdrawMaster, Some(Opcodes.EvaaWithdrawUser),
     Set(Opcodes.Excesses), protoBlock("evaa_withdraw"))
 
+  /** Coffee DEX swap: native/jetton swap entry with its success/failed
+    * event tail (messages/coffee.py:338-413). */
+  val CoffeeSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeSwapNative, None,
+    Set(Opcodes.CoffeeSwapSuccess, Opcodes.CoffeeSwapFailed, Opcodes.Excesses),
+    (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
+      case p: ProtocolOpBlock => p.copy(dex = Some("coffee"))
+      case other => other
+    })
+
+  /** Coffee pool creation + liquidity deposit/withdraw
+    * (messages/coffee.py:426-590; serializer cases 'coffee_create_pool',
+    * 'dex_deposit_liquidity', 'dex_withdraw_liquidity'). */
+  val CoffeeCreatePoolMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeCreatePoolNative, None, Set(Opcodes.Excesses),
+    protoBlock("coffee_create_pool"))
+  val CoffeeDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeDepositLiquidityNative, None,
+    Set(Opcodes.CoffeeDepositLiquiditySuccess, Opcodes.Excesses),
+    protoBlock("dex_deposit_liquidity"))
+  val CoffeeWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeLiquidityWithdrawalEvent, None, Set.empty,
+    protoBlock("dex_withdraw_liquidity"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -552,5 +576,7 @@ object ProtocolMatchers {
       JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
       TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
       TgbtcDkgLogMatcher, ToncoSwapMatcher,
-      EvaaSupplyMatcher, EvaaWithdrawMatcher)
+      EvaaSupplyMatcher, EvaaWithdrawMatcher,
+      CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
+      CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher)
 }

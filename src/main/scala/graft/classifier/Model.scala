@@ -163,6 +163,16 @@ object Opcodes {
   val EvaaWithdrawMaster = 0x2L
   val EvaaWithdrawUser = 0x21L
 
+  // Coffee DEX (messages/coffee.py:338-590)
+  val CoffeeSwapNative = 0xc0ffee00L
+  val CoffeeSwapJetton = 0xc0ffee10L
+  val CoffeeSwapSuccess = 0xc0ffee30L
+  val CoffeeSwapFailed = 0xc0ffee31L
+  val CoffeeCreatePoolNative = 0xc0ffee02L
+  val CoffeeDepositLiquidityNative = 0xc0ffee04L
+  val CoffeeDepositLiquiditySuccess = 0xc0ffee33L
+  val CoffeeLiquidityWithdrawalEvent = 0xc0ffee35L
+
   // dns (messages/dns.py:7)
   val ChangeDnsRecord = 0x4eb1f0f9L
 

@@ -100,7 +100,8 @@ object Serializer {
     "nft_put_on_auction", "auction_bid",
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
-    "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw")
+    "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw",
+    "coffee_create_pool")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

@@ -435,4 +435,20 @@ class ClassifierSpec extends SparkSpec {
       Map("T1" -> Seq(in("m1", "0:U", "0:APP", Some(1L)))))
     assert(bare.map(_.`type`) == Seq("call_contract"))
   }
+
+  test("coffee swap and liquidity family classify with dex tag") {
+    val (stxs, smsgs) = chain2(Opcodes.CoffeeSwapNative, Opcodes.CoffeeSwapSuccess)
+    val sw = Classifier.classify("cf1", stxs, smsgs)
+    assert(sw.map(_.`type`) == Seq("jetton_swap"))
+    assert(sw.head.jetton_swap_data.exists(_.dex == "coffee"))
+    val (dtxs, dmsgs) = chain2(Opcodes.CoffeeDepositLiquidityNative,
+      Opcodes.CoffeeDepositLiquiditySuccess)
+    assert(Classifier.classify("cf2", dtxs, dmsgs).map(_.`type`) ==
+      Seq("dex_deposit_liquidity"))
+    val pool = Classifier.classify("cf3",
+      Seq(tx("T1", "0:FACTORY", 10)),
+      Map("T1" -> Seq(in("m1", "0:CREATOR", "0:FACTORY",
+        Some(Opcodes.CoffeeCreatePoolNative)))))
+    assert(pool.map(_.`type`) == Seq("coffee_create_pool"))
+  }
 }
