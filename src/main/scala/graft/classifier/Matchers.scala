@@ -554,6 +554,19 @@ object ProtocolMatchers {
     Opcodes.CoffeeLiquidityWithdrawalEvent, None, Set.empty,
     protoBlock("dex_withdraw_liquidity"))
 
+  /** LayerZero cross-chain messaging: endpoint send 0xdd4ea3b4 with its
+    * event tail, channel commit-packet 0x5388cd88
+    * (messages/layerzero.py:384,477; serializer cases 'layerzero_send' /
+    * 'layerzero_commit_packet'). */
+  val LayerZeroSendMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.LayerZeroEndpointSend, None,
+    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
+    protoBlock("layerzero_send"))
+  val LayerZeroCommitPacketMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.LayerZeroChannelCommitPacket, None,
+    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
+    protoBlock("layerzero_commit_packet"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -578,5 +591,6 @@ object ProtocolMatchers {
       TgbtcDkgLogMatcher, ToncoSwapMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher,
       CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
-      CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher)
+      CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
+      LayerZeroSendMatcher, LayerZeroCommitPacketMatcher)
 }

@@ -173,6 +173,11 @@ object Opcodes {
   val CoffeeDepositLiquiditySuccess = 0xc0ffee33L
   val CoffeeLiquidityWithdrawalEvent = 0xc0ffee35L
 
+  // LayerZero endpoint/channel (messages/layerzero.py:384,477-482)
+  val LayerZeroEndpointSend = 0xdd4ea3b4L
+  val LayerZeroChannelCommitPacket = 0x5388cd88L
+  val LayerZeroEventMsg = 0xe33b9873L
+
   // dns (messages/dns.py:7)
   val ChangeDnsRecord = 0x4eb1f0f9L
 

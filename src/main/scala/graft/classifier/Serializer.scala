@@ -101,7 +101,7 @@ object Serializer {
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
     "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw",
-    "coffee_create_pool")
+    "coffee_create_pool", "layerzero_send", "layerzero_commit_packet")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

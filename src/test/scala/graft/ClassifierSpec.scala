@@ -451,4 +451,16 @@ class ClassifierSpec extends SparkSpec {
         Some(Opcodes.CoffeeCreatePoolNative)))))
     assert(pool.map(_.`type`) == Seq("coffee_create_pool"))
   }
+
+  test("layerzero endpoint send and channel commit classify") {
+    val (stxs, smsgs) = chain2(Opcodes.LayerZeroEndpointSend,
+      Opcodes.LayerZeroEventMsg)
+    assert(Classifier.classify("lz1", stxs, smsgs).map(_.`type`) ==
+      Seq("layerzero_send"))
+    val commit = Classifier.classify("lz2",
+      Seq(tx("T1", "0:CHANNEL", 10)),
+      Map("T1" -> Seq(in("m1", "0:DVN", "0:CHANNEL",
+        Some(Opcodes.LayerZeroChannelCommitPacket)))))
+    assert(commit.map(_.`type`) == Seq("layerzero_commit_packet"))
+  }
 }
