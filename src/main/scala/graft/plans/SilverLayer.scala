@@ -94,5 +94,33 @@ object SilverLayer {
       .orderBy("account")
   }
 
-  val all: Seq[Q] = Seq(b03, b04, b05)
+  /** §1.4 denormalized (account × action) pagination fact through the
+    * gate: every classified action explodes to its distinct non-null
+    * endpoint accounts carrying the trace-level sort columns
+    * (action_accounts, migrate.cpp:589-599). The oracle restates the
+    * fact by construction: one row per event action (+ one per signup
+    * deploy), account = the user, trace_end = the chain's last event.
+    * Deploy rows duplicate their seed row in every selected column, so
+    * ordering between them is value-stable for the hash compare. */
+  val b08 = Q("b08_action_accounts",
+    """WITH bounds AS (SELECT user_id, min(event_id) AS fid,
+      |                 max(event_id) AS mx FROM events GROUP BY user_id),
+      |acts AS (
+      |  SELECT f.fid, e.user_id, e.event_id, f.mx
+      |  FROM events e JOIN bounds f ON e.user_id = f.user_id
+      |  UNION ALL
+      |  SELECT f.fid, e.user_id, e.event_id, f.mx
+      |  FROM events e JOIN bounds f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'signup')
+      |SELECT concat('T', fid) AS trace_id, concat('0:', user_id) AS account,
+      |  event_id AS action_end_lt, mx AS trace_end_lt
+      |FROM acts ORDER BY action_end_lt, account""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val acts = ChainSim.classified(s, dir).as[graft.classifier.ActionRow]
+    graft.classifier.ClassifyJob.actionAccounts(s, acts)
+      .select("trace_id", "account", "action_end_lt", "trace_end_lt")
+      .orderBy("action_end_lt", "account")
+  }
+
+  val all: Seq[Q] = Seq(b03, b04, b05, b08)
 }
