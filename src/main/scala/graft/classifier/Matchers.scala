@@ -13,9 +13,13 @@ package graft.classifier
 object Matching {
 
   /** A pattern over one block: returns the list of blocks it consumed
-    * (itself + matched descendants), or None. */
+    * (itself + matched descendants), or None. `matchWithCaptures` is the
+    * capture-aware form used by labeled composite matchers. */
   trait Pattern { self =>
     def apply(b: Block): Option[Seq[Block]]
+
+    def matchWithCaptures(b: Block): Option[PatternMatch] =
+      apply(b).map(PatternMatch(_, Map.empty))
 
     def or(other: Pattern): Pattern = (b: Block) =>
       self(b).orElse(other(b))
@@ -53,9 +57,47 @@ object Matching {
   /** Optional wrapper: marks a child pattern as non-mandatory. */
   final case class OptionalPattern(inner: Pattern) extends Pattern {
     def apply(b: Block): Option[Seq[Block]] = inner(b)
+    override def matchWithCaptures(b: Block): Option[PatternMatch] =
+      inner.matchWithCaptures(b)
   }
   def optional(p: Pattern): Pattern = OptionalPattern(p)
   private def childOptional(p: Pattern): Boolean = p.isInstanceOf[OptionalPattern]
+
+  /** A pattern match with named captures — the reference's label
+    * mechanism (labeled()/get_labeled, blocks/labels.py:7-56): composite
+    * matchers wrap sub-matches in transient labels and retrieve them by
+    * name when assembling the typed block's data. */
+  final case class PatternMatch(consumed: Seq[Block], captures: Map[String, Block])
+
+  /** Capture the block a pattern matched under `name`. */
+  def labeled(name: String, inner: Pattern): Pattern = new Pattern {
+    def apply(b: Block): Option[Seq[Block]] = inner(b)
+    override def matchWithCaptures(b: Block): Option[PatternMatch] =
+      inner.matchWithCaptures(b).map(m =>
+        m.copy(captures = m.captures + (name -> b)))
+  }
+
+  /** Match a sequence of child patterns (child_sequence_matcher,
+    * basic_matchers.py) against a block's children, accumulating
+    * captures; each non-optional pattern must match a distinct child. */
+  def matchChildSequence(b: Block, patterns: Seq[Pattern]): Option[PatternMatch] = {
+    var remaining = b.children
+    val consumed = scala.collection.mutable.ArrayBuffer[Block]()
+    var captures = Map.empty[String, Block]
+    for (p <- patterns) {
+      remaining.iterator.map(c => (c, p.matchWithCaptures(c))).collectFirst {
+        case (c, Some(got)) => (c, got)
+      } match {
+        case Some((c, got)) =>
+          consumed ++= got.consumed
+          captures ++= got.captures
+          remaining = remaining.filterNot(_ eq c)
+        case None =>
+          if (!childOptional(p)) return None
+      }
+    }
+    Some(PatternMatch(consumed.toSeq, captures))
+  }
 
   /** Match a sequence of child patterns against a block's children:
     * every non-optional pattern must match a distinct child (in order of
@@ -567,6 +609,46 @@ object ProtocolMatchers {
     Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
     protoBlock("layerzero_commit_packet"))
 
+  /** Ethena withdrawal request — the labeled-capture composite of the
+    * reference (blocks/ethena_staking.py:57-75): a jetton transfer whose
+    * surviving children include the pool-jetton MINT and the tsUSDe
+    * transfer call. Runs AFTER the jetton rewrite, so it matches the
+    * typed JettonTransferBlock and consumes the labeled children. */
+  object EthenaWithdrawalRequestMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        matchChildSequence(jt, Seq(
+          labeled("mint", contract(Opcodes.JettonMint)),
+          labeled("ts_usde_transfer", contract(Opcodes.EthenaTsUsdeTransfer))))
+          .map { m =>
+            val consumed = jt +: m.consumed
+            (ProtocolOpBlock("ethena_withdrawal_request",
+              jt.sender, m.captures.get("ts_usde_transfer")
+                .flatMap(_.nodes.headOption).map(_.tx.account),
+              Some(jt.senderWallet), Some(jt.amount),
+              consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil),
+              consumed)
+          }
+      case _ => None
+    }
+  }
+
+  /** Cocoon payment-proxy family (messages/cocoon.py:13-130; serializer
+    * cases 'cocoon_worker_payout' / 'cocoon_client_top_up' /
+    * 'cocoon_client_register' / 'cocoon_grant_refund'). */
+  val CocoonPayoutMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonPayout, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_worker_payout"))
+  val CocoonClientTopUpMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientTopUp, None, Set.empty,
+    protoBlock("cocoon_client_top_up"))
+  val CocoonClientRegisterMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientRegister, None, Set.empty,
+    protoBlock("cocoon_client_register"))
+  val CocoonGrantRefundMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonRefundGranted, None, Set.empty,
+    protoBlock("cocoon_grant_refund"))
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -592,5 +674,8 @@ object ProtocolMatchers {
       EvaaSupplyMatcher, EvaaWithdrawMatcher,
       CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
-      LayerZeroSendMatcher, LayerZeroCommitPacketMatcher)
+      LayerZeroSendMatcher, LayerZeroCommitPacketMatcher,
+      EthenaWithdrawalRequestMatcher,
+      CocoonPayoutMatcher, CocoonClientTopUpMatcher,
+      CocoonClientRegisterMatcher, CocoonGrantRefundMatcher)
 }

@@ -178,6 +178,17 @@ object Opcodes {
   val LayerZeroChannelCommitPacket = 0x5388cd88L
   val LayerZeroEventMsg = 0xe33b9873L
 
+  // Ethena staking (blocks/ethena_staking.py:61-64; messages/jettons.py:143)
+  val JettonMint = 0x642b7d07L
+  val EthenaTsUsdeTransfer = 0xb2583ed5L
+
+  // cocoon payment proxies (messages/cocoon.py:13-130)
+  val CocoonReturnExcesses = 0x2565934cL
+  val CocoonPayout = 0xc59a7cd3L
+  val CocoonClientTopUp = 0x5cfc6b87L
+  val CocoonClientRegister = 0xa35cb580L
+  val CocoonRefundGranted = 0xc68ebc7bL
+
   // dns (messages/dns.py:7)
   val ChangeDnsRecord = 0x4eb1f0f9L
 

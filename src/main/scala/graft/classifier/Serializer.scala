@@ -101,7 +101,9 @@ object Serializer {
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
     "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw",
-    "coffee_create_pool", "layerzero_send", "layerzero_commit_packet")
+    "coffee_create_pool", "layerzero_send", "layerzero_commit_packet",
+    "ethena_withdrawal_request", "cocoon_worker_payout",
+    "cocoon_client_top_up", "cocoon_client_register", "cocoon_grant_refund")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

@@ -463,4 +463,52 @@ class ClassifierSpec extends SparkSpec {
         Some(Opcodes.LayerZeroChannelCommitPacket)))))
     assert(commit.map(_.`type`) == Seq("layerzero_commit_packet"))
   }
+
+  test("ethena withdrawal request matches via labeled child captures") {
+    // jetton transfer chain whose receiver wallet ALSO mints pool jettons
+    // and fires the tsUSDe transfer call — the labeled composite
+    val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TM", "0:POOL", 30), tx("TU", "0:TSUSDE", 40))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:OWNER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:POOL", Some(Opcodes.JettonMint)),
+        out("m4", "0:WB", "0:TSUSDE", Some(Opcodes.EthenaTsUsdeTransfer))),
+      "TM" -> Seq(in("m3", "0:WB", "0:POOL", Some(Opcodes.JettonMint))),
+      "TU" -> Seq(in("m4", "0:WB", "0:TSUSDE", Some(Opcodes.EthenaTsUsdeTransfer))))
+    val actions = Classifier.classify("eth1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("ethena_withdrawal_request"))
+    assert(actions.head.source.contains("0:OWNER"))
+    assert(actions.head.destination.contains("0:TSUSDE"))
+    assert(actions.head.tx_hashes.toSet == Set("TW1", "TW2", "TM", "TU"))
+  }
+
+  test("plain jetton transfer is NOT stolen by the ethena matcher") {
+    val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20))
+    val msgs = Map(
+      "TW1" -> Seq(in("m1", "0:OWNER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))))
+    assert(Classifier.classify("eth2", txs, msgs).map(_.`type`) ==
+      Seq("jetton_transfer"))
+  }
+
+  test("cocoon payout and client lifecycle classify") {
+    val (ptxs, pmsgs) = chain2(Opcodes.CocoonPayout, Opcodes.CocoonReturnExcesses)
+    assert(Classifier.classify("cc1", ptxs, pmsgs).map(_.`type`) ==
+      Seq("cocoon_worker_payout"))
+    val top = Classifier.classify("cc2",
+      Seq(tx("T1", "0:PROXY", 10)),
+      Map("T1" -> Seq(in("m1", "0:CLIENT", "0:PROXY",
+        Some(Opcodes.CocoonClientTopUp)))))
+    assert(top.map(_.`type`) == Seq("cocoon_client_top_up"))
+    val reg = Classifier.classify("cc3",
+      Seq(tx("T1", "0:PROXY", 10)),
+      Map("T1" -> Seq(in("m1", "0:CLIENT", "0:PROXY",
+        Some(Opcodes.CocoonClientRegister)))))
+    assert(reg.map(_.`type`) == Seq("cocoon_client_register"))
+  }
 }
