@@ -26,9 +26,14 @@ case class ClassifyInputRow(
 
 object ClassifyJob {
 
-  /** transactions(+trace_id) ⟕ messages → actions DataFrame. */
-  def run(spark: SparkSession, txs: DataFrame, messages: DataFrame): Dataset[ActionRow] = {
+  /** transactions(+trace_id) ⟕ messages → actions DataFrame. The
+    * optional interface map (account → detected interface) replaces the
+    * reference's Redis interface repository: broadcast once, read inside
+    * the per-trace groups — no IO inside matchers (J12/S6). */
+  def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
+      interfaces: Map[String, String] = Map.empty): Dataset[ActionRow] = {
     import spark.implicits._
+    val interfacesB = spark.sparkContext.broadcast(interfaces)
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -62,7 +67,7 @@ object ClassifyJob {
             r.bounce.getOrElse(false), r.bounced.getOrElse(false),
             r.created_lt, r.body))
         }
-      Classifier.classify(traceId, txsOf, msgsByTx).iterator
+      Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value).iterator
     }
   }
 

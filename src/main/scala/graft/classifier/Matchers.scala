@@ -649,6 +649,31 @@ object ProtocolMatchers {
     Opcodes.CocoonRefundGranted, None, Set.empty,
     protoBlock("cocoon_grant_refund"))
 
+  /** NFT mint — the INTERFACE-AWARE matcher (reference
+    * NftMintBlockMatcher, blocks/nft.py:367-391: a block with exactly one
+    * contract deployment whose address resolves to an nft_item via the
+    * interface repository). The repository becomes data here: the
+    * per-trace interface map is pre-joined and passed into classify —
+    * no IO inside matchers (SURVEY §7.1 M4). */
+  final class NftMintMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case (_: CallContractBlock | _: TonTransferBlock) =>
+        val deploys = b.children.collect { case d: ContractDeployBlock => d }
+        deploys match {
+          case Seq(d) if interfaces.get(d.node.tx.account).contains("nft_item") =>
+            val consumed = Seq(b, d)
+            Some((ProtocolOpBlock("nft_mint",
+              b.nodes.head.inMsg.flatMap(_.source), Some(d.node.tx.account),
+              asset = Some(d.node.tx.account),
+              value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
+              failed = b.failed, nodes = consumed.flatMap(_.nodes), Nil),
+              consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Registry — order matters (jetton before swap-level matchers, which
     * consume jetton_transfer blocks produced in earlier rounds; mint
     * after transfer so only orphan internal_transfers remain; opcode-chain
@@ -678,4 +703,10 @@ object ProtocolMatchers {
       EthenaWithdrawalRequestMatcher,
       CocoonPayoutMatcher, CocoonClientTopUpMatcher,
       CocoonClientRegisterMatcher, CocoonGrantRefundMatcher)
+
+  /** Registry with the interface-dependent matchers appended (the
+    * per-trace interface map is classify-call state, not global). */
+  def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
+    if (interfaces.isEmpty) registry
+    else registry :+ new NftMintMatcher(interfaces)
 }

@@ -102,7 +102,7 @@ object Serializer {
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
     "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw",
     "coffee_create_pool", "layerzero_send", "layerzero_commit_packet",
-    "ethena_withdrawal_request", "cocoon_worker_payout",
+    "nft_mint", "ethena_withdrawal_request", "cocoon_worker_payout",
     "cocoon_client_top_up", "cocoon_client_register", "cocoon_grant_refund")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
@@ -231,7 +231,8 @@ object Classifier {
   /** txs+msgs of one trace → actions. Ladder: full matcher sweep; on
     * failure, basic (seed-only) actions; terminally one `unknown` action. */
   def classify(traceId: String, txs: Seq[TxLite],
-      msgsByTx: Map[String, Seq[MsgLite]]): Seq[ActionRow] = {
+      msgsByTx: Map[String, Seq[MsgLite]],
+      interfaces: Map[String, String] = Map.empty): Seq[ActionRow] = {
     val allMsgs = msgsByTx.values.flatten.toSeq
     if (txs.size > BigTraceCutoff)
       return Seq(unknownAction(traceId, txs))
@@ -245,7 +246,8 @@ object Classifier {
         if (isExternalLeaf) ExternalUnroll.unroll(r).getOrElse(r) else r
       }
       val seeded = Seeder.seedTrace(forest)
-      val rewritten = Matching.rewrite(seeded, ProtocolMatchers.registry)
+      val rewritten = Matching.rewrite(seeded,
+        ProtocolMatchers.registryWith(interfaces))
       val actions = Serializer.serialize(traceId, rewritten)
       if (actions.nonEmpty) actions else Seq(unknownAction(traceId, txs))
     } catch {

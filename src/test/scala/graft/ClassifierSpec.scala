@@ -511,4 +511,24 @@ class ClassifierSpec extends SparkSpec {
         Some(Opcodes.CocoonClientRegister)))))
     assert(reg.map(_.`type`) == Seq("cocoon_client_register"))
   }
+
+  test("nft_mint fires only with interface data (pre-joined map, no IO)") {
+    // deploy of a fresh account that the interface map knows as nft_item
+    val txs = Seq(tx("T1", "0:MINTER", 10),
+      tx("T2", "0:NEWNFT", 20, orig = "uninit"))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:CREATOR", "0:MINTER", Some(5L)),
+        out("m2", "0:MINTER", "0:NEWNFT", Some(1L))),
+      "T2" -> Seq(in("m2", "0:MINTER", "0:NEWNFT", Some(1L))))
+    val withIfaces = Classifier.classify("mint1", txs, msgs,
+      interfaces = Map("0:NEWNFT" -> "nft_item"))
+    assert(withIfaces.exists(_.`type` == "nft_mint"),
+      s"expected nft_mint in ${withIfaces.map(_.`type`)}")
+    val mint = withIfaces.find(_.`type` == "nft_mint").get
+    assert(mint.destination.contains("0:NEWNFT"))
+    // without interface data the deploy stays a plain contract_deploy
+    val without = Classifier.classify("mint2", txs, msgs)
+    assert(!without.exists(_.`type` == "nft_mint"))
+    assert(without.exists(_.`type` == "contract_deploy"))
+  }
 }
