@@ -129,7 +129,10 @@ case class ProtocolOpBlock(
     asset: Option[String], value: Option[BigDecimal],
     failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
     dex: Option[String] = None,
-    peerSwapCount: Int = 0) extends Block {
+    peerSwapCount: Int = 0,
+    tsNft: Option[String] = None,
+    tokensBurnt: Option[BigDecimal] = None,
+    tokensMinted: Option[BigDecimal] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

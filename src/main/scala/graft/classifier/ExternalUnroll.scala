@@ -36,10 +36,20 @@ object ExternalUnroll {
       if (s.remainingBits < 512 + 96) return None
       s.loadUint(512) // signature
       s.loadUint(32); s.loadUint(32); s.loadUint(32) // subwallet/valid/seqno
-      if (walletType == "v4") s.loadUint(8) // op
+      if (walletType == "v4") {
+        val op = s.loadUint(8) // v4 op byte: 0 = plain send
+        if (op != 0) return None
+      }
+      // layout validation — what disambiguates v3 from v4: after the
+      // fixed header the body must hold EXACTLY one send_mode byte per
+      // out-message ref. A v4 body tried under the v3 layout has 8 bits
+      // too many (the op byte) and is rejected here.
+      if (s.remainingBits != 8L * s.remainingRefs) return None
       val out = scala.collection.mutable.ArrayBuffer[GhostMsg]()
-      while (s.remainingRefs > 0)
+      while (s.remainingRefs > 0) {
+        s.loadUint(8) // per-message send_mode
         out += parseMessageRelaxed(s.loadRef().beginParse())
+      }
       if (out.isEmpty) None else Some((walletType, out.toSeq))
     } catch { case scala.util.control.NonFatal(_) => None }
 

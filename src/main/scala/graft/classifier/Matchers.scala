@@ -245,9 +245,15 @@ object ProtocolMatchers {
             if Opcodes.matches(cc.opcode, Opcodes.JettonBurnNotification) => cc
         }
         val consumed = c +: notif
+        // decode the TEP-74 burn body when present: authoritative amount
+        // (reference decodes JettonBurn(block.get_body()), staking.py:201)
+        val amount = c.nodes.head.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(BigDecimal(graft.functions.TlbDecoders.jettonBurn(b64).amount))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(BigDecimal(0))
         Some((JettonBurnBlock(
           c.nodes.head.inMsg.flatMap(_.source),
-          c.nodes.head.tx.account, BigDecimal(0),
+          c.nodes.head.tx.account, amount,
           consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
       case _ => None
     }
@@ -423,11 +429,67 @@ object ProtocolMatchers {
     Set(Opcodes.TonstakersMint, Opcodes.Excesses),
     protoBlock("stake_deposit"))
 
-  /** TONStakers withdraw 0x319b0cdc (+ optional bill nft burn chain). */
-  val TonstakersWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TonstakersWithdraw, None,
-    Set(Opcodes.TonstakersNftBurn, Opcodes.Excesses),
-    protoBlock("stake_withdrawal"))
+  /** TONStakers withdraw — SECOND-PASS matcher anchored on the tsTON
+    * JettonBurn, exactly like the reference (TONStakersWithdrawMatcher,
+    * blocks/staking.py:178-245): the burn's surviving withdraw-request
+    * child (0x319b0cdc) branches on its own child —
+    * pool withdrawal 0x0a77535c ⇒ immediate 'stake_withdrawal';
+    * bill-NFT mint 0x1674b0a0 ⇒ delayed 'stake_withdrawal_request' with
+    * the minted NFT recorded in staking_data.ts_nft. Runs after
+    * JettonBurnMatcher, which consumed burn+notification and adopted the
+    * request chain as children of the JettonBurnBlock. */
+  object TonstakersWithdrawMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jb: JettonBurnBlock =>
+        jb.children.collectFirst {
+          case req: CallContractBlock
+            if Opcodes.matches(req.opcode, Opcodes.TonstakersWithdraw) => req
+        }.flatMap { req =>
+          val reqMsg = req.node.inMsg
+          val immediate = req.children.collectFirst {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.TonstakersPoolWithdrawal) => c
+          }
+          val delayed = req.children.collectFirst {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.TonstakersMint) => c
+          }
+          (immediate, delayed) match {
+            case (Some(pw), _) =>
+              // amount = payout value minus the request carry
+              // (staking.py:211: withdrawal msg value - previous msg value)
+              val value = for {
+                pv <- pw.node.inMsg.map(m => BigDecimal(m.value))
+                rv <- reqMsg.map(m => BigDecimal(m.value))
+              } yield pv - rv
+              val consumed: Seq[Block] = Seq(jb, req, pw)
+              Some((ProtocolOpBlock("stake_withdrawal",
+                jb.owner, reqMsg.flatMap(_.destination),
+                asset = reqMsg.flatMap(_.source), value = value,
+                failed = consumed.exists(_.failed),
+                nodes = consumed.flatMap(_.nodes), children = Nil,
+                tokensBurnt = Some(jb.amount)), consumed))
+            case (None, Some(mint)) =>
+              val init = mint.children.collectFirst {
+                case c: CallContractBlock
+                  if Opcodes.matches(c.opcode, Opcodes.TonstakersInitNft) => c
+              }
+              val mintedNft = init.orElse(Some(mint))
+                .flatMap(_.node.inMsg.flatMap(_.destination))
+              val consumed: Seq[Block] = Seq(jb, req, mint) ++ init
+              Some((ProtocolOpBlock("stake_withdrawal_request",
+                jb.owner, reqMsg.flatMap(_.destination),
+                asset = reqMsg.flatMap(_.source),
+                value = Some(jb.amount),
+                failed = consumed.exists(_.failed) || mintedNft.isEmpty,
+                nodes = consumed.flatMap(_.nodes), children = Nil,
+                tsNft = mintedNft, tokensBurnt = Some(jb.amount)), consumed))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
 
   /** Elector deposit/recover with their confirmations
     * (messages/staking.py:5-15; serializer case 'election_deposit' |
@@ -547,8 +609,12 @@ object ProtocolMatchers {
     Opcodes.TgbtcBurn, None, Set.empty, protoBlock("tgbtc_burn"))
   val TgbtcNewKeyMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.TgbtcNewKey, None, Set.empty, protoBlock("tgbtc_new_key"))
+  /** Canonical action type is 'tgbtc_dkg_log_fallback' — the reference
+    * serializer renames the TgBTCDkgLogBlock on emission
+    * (block_tree_serializer.py:887). */
   val TgbtcDkgLogMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TgbtcDkgCompleted, None, Set.empty, protoBlock("tgbtc_dkg_log"))
+    Opcodes.TgbtcDkgCompleted, None, Set.empty,
+    protoBlock("tgbtc_dkg_log_fallback"))
 
   /** TONCO v3 swap: pool swap 0xa7fb58f8 paying out through the router
     * 0xa1daa96d (messages/swaps.py:226,345). */

@@ -111,7 +111,9 @@ object Opcodes {
   // staking — TONStakers + elector (messages/staking.py:6-40)
   val TonstakersDeposit = 0x47d54391L
   val TonstakersWithdraw = 0x319b0cdcL
-  val TonstakersMint = 0x1674b0a0L
+  val TonstakersMint = 0x1674b0a0L // MintJettons AND MintNFT share the opcode
+  val TonstakersInitNft = 0x132f9a45L
+  val TonstakersPoolWithdrawal = 0x0a77535cL
   val TonstakersNftBurn = 0xf127fe4eL
   val ElectorDeposit = 0x4e73744bL
   val ElectorDepositConfirm = 0xf374484cL

@@ -91,7 +91,7 @@ object Serializer {
     "ton_transfer", "call_contract", "contract_deploy", "tick_tock",
     "jetton_transfer", "jetton_burn", "nft_transfer", "jetton_swap",
     "jetton_mint", "unknown",
-    "stake_deposit", "stake_withdrawal",
+    "stake_deposit", "stake_withdrawal", "stake_withdrawal_request",
     "election_deposit", "election_recover",
     "multisig_create_order", "multisig_approve", "multisig_execute",
     "change_dns", "vesting_send_message", "vesting_add_whitelist",
@@ -100,7 +100,7 @@ object Serializer {
     "nft_put_on_auction", "auction_bid",
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
-    "tgbtc_dkg_log", "evaa_supply", "evaa_withdraw",
+    "tgbtc_dkg_log_fallback", "evaa_supply", "evaa_withdraw",
     "coffee_create_pool", "layerzero_send", "layerzero_commit_packet",
     "nft_mint", "ethena_withdrawal_request", "cocoon_worker_payout",
     "cocoon_client_top_up", "cocoon_client_register", "cocoon_grant_refund")
@@ -189,11 +189,13 @@ object Serializer {
             None))
         case _ => None
       },
+      // provider 'liquid_staking' for TONStakers actions; election actions
+      // carry NO staking_data (reference _fill_election_action sets only
+      // source/amount — block_tree_serializer.py:512,529,539)
       staking_data = b match {
         case p: ProtocolOpBlock if p.btype.startsWith("stake_") =>
-          Some(StakingData(Some("tonstakers"), None, None, None))
-        case p: ProtocolOpBlock if p.btype.startsWith("election_") =>
-          Some(StakingData(Some("elector"), None, None, None))
+          Some(StakingData(Some("liquid_staking"), p.tsNft,
+            p.tokensBurnt, p.tokensMinted))
         case _ => None
       })
   }

@@ -28,6 +28,7 @@ class IncrementalTraceAssembly(spark: SparkSession,
 
   private var openTxs: Option[DataFrame] = None
   private var openMsgs: Option[DataFrame] = None
+  private var lastBatchId: Option[Long] = None
   @volatile var completedCount: Long = 0L
 
   private def unionOpt(a: Option[DataFrame], b: DataFrame): DataFrame =
@@ -38,11 +39,30 @@ class IncrementalTraceAssembly(spark: SparkSession,
   def processBatch(txs: DataFrame, msgs: DataFrame): DataFrame =
     processBatchFull(txs, msgs)._1
 
+  /** Position state for processing batch `batchId`: state must be the
+    * post-state of `batchId - 1`. In-memory state is already correct when
+    * the previous call processed batchId-1; otherwise (restart, or a
+    * REPLAYED batch whose offsets never committed) load the batch-keyed
+    * snapshot, so reprocessing starts from the exact pre-batch state and
+    * produces byte-identical output — the idempotence contract of the
+    * streaming sink. */
+  private def seekTo(batchId: Long): Unit = checkpointDir.foreach { dir =>
+    if (lastBatchId.contains(batchId - 1)) return
+    if (batchId == 0L) { openTxs = None; openMsgs = None }
+    else {
+      openTxs = Some(spark.read.parquet(s"$dir/batches/${batchId - 1}/open_txs"))
+      openMsgs = Some(spark.read.parquet(s"$dir/batches/${batchId - 1}/open_msgs"))
+    }
+  }
+
   /** As processBatch, but also returns the completed traces' transaction
     * rows (with trace_id) and messages — the classification feed of the
-    * end-to-end pipeline (StreamPipeline). */
-  def processBatchFull(txs: DataFrame, msgs: DataFrame)
+    * end-to-end pipeline (StreamPipeline). Pass the streaming `batchId`
+    * to get batch-keyed snapshots (replay-safe); batchId = -1 keeps the
+    * legacy unkeyed snapshot behavior. */
+  def processBatchFull(txs: DataFrame, msgs: DataFrame, batchId: Long = -1L)
       : (DataFrame, DataFrame, DataFrame) = {
+    if (batchId >= 0L) seekTo(batchId)
     val allTxs = unionOpt(openTxs, txs)
       .dropDuplicates("hash").localCheckpoint()
     val allMsgs = unionOpt(openMsgs, msgs)
@@ -72,14 +92,46 @@ class IncrementalTraceAssembly(spark: SparkSession,
       .localCheckpoint())
 
     completedCount += done.count()
-    checkpointDir.foreach(snapshot)
+    if (batchId >= 0L) {
+      checkpointDir.foreach { dir =>
+        snapshot(s"$dir/batches/$batchId")
+        prune(dir, batchId)
+      }
+      lastBatchId = Some(batchId)
+    } else checkpointDir.foreach(snapshot)
     (done, doneTxs, doneMsgs)
   }
 
-  /** Persist the open working set (the .tastate analogue). */
+  /** Persist the open working set (the .tastate analogue). Batch-keyed
+    * dirs mirror the reference's per-seqno state files
+    * (TraceAssembler.cpp:53-128, keep-last-100 GC). */
   private def snapshot(dir: String): Unit = {
-    openTxs.foreach(_.write.mode("overwrite").parquet(s"$dir/open_txs"))
-    openMsgs.foreach(_.write.mode("overwrite").parquet(s"$dir/open_msgs"))
+    openTxs.getOrElse(emptyLike("open_txs"))
+      .write.mode("overwrite").parquet(s"$dir/open_txs")
+    openMsgs.getOrElse(emptyLike("open_msgs"))
+      .write.mode("overwrite").parquet(s"$dir/open_msgs")
+  }
+
+  private def emptyLike(which: String): DataFrame = {
+    // an empty open set still needs a readable snapshot; schemas match the
+    // stream-input projection (StreamPipeline.inputSchema split)
+    val fields = if (which == "open_txs")
+      StreamPipeline.inputSchema.fields.take(12)
+    else StreamPipeline.inputSchema.fields.takeRight(10) :+
+      org.apache.spark.sql.types.StructField("tx_hash",
+        org.apache.spark.sql.types.StringType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** Keep the last 100 batch snapshots (the reference's GC policy). */
+  private def prune(dir: String, batchId: Long): Unit = {
+    val victim = batchId - 100
+    if (victim >= 0) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/batches/$victim")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
   }
 
   /** Restore the open set after restart. */

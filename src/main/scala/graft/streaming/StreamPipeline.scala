@@ -53,27 +53,32 @@ object StreamPipeline {
       .select((txCols ++ msgCols).map(col): _*)
 
   /** Drain all available input files (Trigger.AvailableNow), assembling
-    * and classifying incrementally; appends completed traces' actions to
-    * `outDir/actions` as parquet. Call again after a restart — offsets
-    * and assembler state both resume. */
+    * and classifying incrementally; writes completed traces' actions to
+    * `outDir/actions/batch_id=N` as parquet. Call again after a restart —
+    * offsets and assembler state both resume.
+    *
+    * Restart-safe END TO END: a batch whose offsets never committed is
+    * re-delivered with the SAME batch id; the assembler seeks to its
+    * batch-keyed pre-batch snapshot and the sink overwrites the same
+    * `batch_id=N` partition, so the replay is byte-idempotent — no
+    * duplicated actions, no traces assembled from partial state. */
   def runAvailable(spark: SparkSession, inputDir: String,
       checkpointDir: String, outDir: String,
       maxFilesPerTrigger: Int = 1): Unit = {
     val ita = new IncrementalTraceAssembly(spark, Some(s"$checkpointDir/tastate"))
-    ita.restore()
     val q = StreamOps.fileStream(spark, inputDir, inputSchema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$checkpointDir/offsets")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val txs = batch.select(txCols.map(col): _*).dropDuplicates("hash")
         val msgs = batch.filter(col("msg_hash").isNotNull)
           .select((Seq("hash") ++ msgCols).map(col): _*)
           .withColumnRenamed("hash", "tx_hash")
-        val (done, doneTxs, doneMsgs) = ita.processBatchFull(txs, msgs)
+        val (done, doneTxs, doneMsgs) = ita.processBatchFull(txs, msgs, batchId)
         if (!done.isEmpty) {
           ClassifyJob.run(spark, doneTxs, doneMsgs).toDF()
-            .write.mode("append").parquet(s"$outDir/actions")
+            .write.mode("overwrite").parquet(s"$outDir/actions/batch_id=$batchId")
         }
         ()
       }

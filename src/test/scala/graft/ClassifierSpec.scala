@@ -280,10 +280,69 @@ class ClassifierSpec extends SparkSpec {
         Some(Opcodes.TonstakersDeposit), value = 5000))))
     assert(dep.map(_.`type`) == Seq("stake_deposit"))
     assert(dep.head.value.contains(BigDecimal(5000)))
-    val (wtxs, wmsgs) = chain2(Opcodes.TonstakersWithdraw, Opcodes.TonstakersNftBurn)
-    val wd = Classifier.classify("st2", wtxs, wmsgs)
+    assert(dep.head.staking_data.flatMap(_.provider).contains("liquid_staking"))
+  }
+
+  /** Reference withdraw chain (staking.py:178-245): tsTON burn →
+    * burn_notification → withdraw request 0x319b0cdc → branch child. */
+  private def tonstakersWithdrawChain(branchOp: Long)
+      : (Seq[TxLite], Map[String, Seq[MsgLite]]) = {
+    import graft.functions.Boc
+    val burnBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x595f07bcL), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(777)).storeAddress(None).build())
+    val txs = Seq(tx("TB", "0:TSW", 10), tx("TN", "0:POOL", 20),
+      tx("TR", "0:CTRL", 30), tx("TX", "0:NFT", 40))
+    val msgs = Map(
+      "TB" -> Seq(
+        in("m1", "0:STAKER", "0:TSW", Some(Opcodes.JettonBurn))
+          .copy(body = Some(burnBody)),
+        out("m2", "0:TSW", "0:POOL", Some(Opcodes.JettonBurnNotification))),
+      "TN" -> Seq(
+        in("m2", "0:TSW", "0:POOL", Some(Opcodes.JettonBurnNotification)),
+        out("m3", "0:POOL", "0:CTRL", Some(Opcodes.TonstakersWithdraw), value = 100)),
+      "TR" -> Seq(
+        in("m3", "0:POOL", "0:CTRL", Some(Opcodes.TonstakersWithdraw), value = 100),
+        out("m4", "0:CTRL", "0:NFT", Some(branchOp), value = 600)),
+      "TX" -> Seq(
+        in("m4", "0:CTRL", "0:NFT", Some(branchOp), value = 600)))
+    (txs, msgs)
+  }
+
+  test("tonstakers immediate withdrawal: burn-anchored chain, pool payout") {
+    val (txs, msgs) = tonstakersWithdrawChain(Opcodes.TonstakersPoolWithdrawal)
+    val wd = Classifier.classify("st2", txs, msgs)
     assert(wd.map(_.`type`) == Seq("stake_withdrawal"))
-    assert(wd.head.tx_hashes.toSet == Set("T1", "T2"))
+    assert(wd.head.tx_hashes.toSet == Set("TB", "TN", "TR", "TX"))
+    assert(wd.head.value.contains(BigDecimal(500))) // payout 600 - request 100
+    val sd = wd.head.staking_data.get
+    assert(sd.provider.contains("liquid_staking"))
+    assert(sd.tokens_burnt.contains(BigDecimal(777)))
+  }
+
+  test("tonstakers delayed withdrawal: NFT-mint branch emits a single " +
+      "stake_withdrawal_request with the minted bill") {
+    val (txs, msgs) = tonstakersWithdrawChain(Opcodes.TonstakersMint)
+    val wd = Classifier.classify("st3", txs, msgs)
+    assert(wd.map(_.`type`) == Seq("stake_withdrawal_request"))
+    assert(wd.head.value.contains(BigDecimal(777))) // tokens burnt
+    val sd = wd.head.staking_data.get
+    assert(sd.provider.contains("liquid_staking"))
+    assert(sd.ts_nft.contains("0:NFT"))
+  }
+
+  test("a bare withdraw request without a burn anchor stays call_contract") {
+    val (wtxs, wmsgs) = chain2(Opcodes.TonstakersWithdraw, Opcodes.TonstakersNftBurn)
+    val wd = Classifier.classify("st4", wtxs, wmsgs)
+    assert(!wd.map(_.`type`).contains("stake_withdrawal"))
+    assert(!wd.map(_.`type`).contains("stake_withdrawal_request"))
+  }
+
+  test("election actions carry no staking_data payload") {
+    val (dtxs, dmsgs) = chain2(Opcodes.ElectorDeposit, Opcodes.ElectorDepositConfirm)
+    val el = Classifier.classify("el0", dtxs, dmsgs)
+    assert(el.map(_.`type`) == Seq("election_deposit"))
+    assert(el.head.staking_data.isEmpty)
   }
 
   test("elector deposit/recover chains classify as election actions") {
