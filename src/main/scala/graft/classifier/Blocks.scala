@@ -132,7 +132,8 @@ case class ProtocolOpBlock(
     peerSwapCount: Int = 0,
     tsNft: Option[String] = None,
     tokensBurnt: Option[BigDecimal] = None,
-    tokensMinted: Option[BigDecimal] = None) extends Block {
+    tokensMinted: Option[BigDecimal] = None,
+    provider: Option[String] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

@@ -512,9 +512,29 @@ object ProtocolMatchers {
     Opcodes.MultisigExecute, None, Set.empty,
     protoBlock("multisig_execute"))
 
-  /** DNS record change 0x4eb1f0f9 (messages/dns.py:7; action 'change_dns'). */
+  /** DNS record change 0x4eb1f0f9 — branches on the decoded body like the
+    * reference (blocks/dns.py:46-69): value present → 'change_dns';
+    * zero key, no value → 'renew_dns'; non-zero key, no value →
+    * 'delete_dns'. Undecodable body keeps 'change_dns'. */
   val ChangeDnsMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.ChangeDnsRecord, None, Set.empty, protoBlock("change_dns"))
+    Opcodes.ChangeDnsRecord, None, Set.empty,
+    (c, consumed) => {
+      val decoded = c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+        try Some(graft.functions.TlbDecoders.changeDnsRecord(b64))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val btype = decoded match {
+        case Some(d) if !d.hasValue && d.key == BigInt(0) => "renew_dns"
+        case Some(d) if !d.hasValue => "delete_dns"
+        case _ => "change_dns"
+      }
+      protoBlock(btype)(c, consumed)
+    })
+
+  /** DNS auction-balance release 0x4ed14b65 (messages/nft.py:148;
+    * blocks/auction.py:596-607 'dns_release'). */
+  val DnsReleaseMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.DnsReleaseBalance, None, Set.empty, protoBlock("dns_release"))
 
   /** Vesting send-message / add-whitelist with their response opcodes
     * (messages/vesting.py:12-34). */
@@ -699,6 +719,260 @@ object ProtocolMatchers {
     }
   }
 
+  /** NFT get-static-data discovery: 0x2fcb26a2 request MUST produce the
+    * report 0x8b771735 (blocks/nft.py:253-290; messages/nft.py:79,92). */
+  val NftDiscoveryMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.NftDiscovery, Some(Opcodes.NftReportStaticData), Set.empty,
+    protoBlock("nft_discovery"))
+
+  /** Getgems NFT purchase — INTERFACE-AWARE second-pass matcher (reference
+    * flow: _try_get_nft_purchase_data consults the nft_sale/nft_auction
+    * repository for the parent tx's account, blocks/nft.py:78-103, then
+    * GetgemsNftPurchaseBlockMatcher merges transfer + seller payout,
+    * :193-250). Here: a ton_transfer/call_contract block whose account is
+    * a known sale/auction contract, with an nft_transfer child and a TON
+    * payout child to the seller. Price = the buyer's payment into the
+    * sale contract. */
+  final class NftPurchaseMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case (_: TonTransferBlock | _: CallContractBlock)
+        if b.nodes.headOption.exists(n =>
+          interfaces.get(n.tx.account).exists(i =>
+            i == "nft_sale" || i == "nft_auction")) =>
+        val nft = b.children.collectFirst { case n: NftTransferBlock => n }
+        val payout = b.children.collectFirst { case t: TonTransferBlock => t }
+        (nft, payout) match {
+          case (Some(n), Some(p)) =>
+            val consumed: Seq[Block] = Seq(b, n, p)
+            Some((ProtocolOpBlock("nft_purchase",
+              source = p.node.inMsg.flatMap(_.destination), // real prev owner
+              destination = n.newOwner,
+              asset = Some(n.nftItem),
+              value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Auction outbid — second-pass over auction_bid: the auction returns
+    * the previous bid with the canonical outbid comment
+    * (blocks/auction.py:133-171). */
+  object AuctionOutbidMatcher extends BlockMatcher {
+    private val OutbidComment = "Your bid has been outbid by another user"
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case bid: ProtocolOpBlock if bid.btype == "auction_bid" =>
+        val refunds = bid.children.collect {
+          case t: TonTransferBlock if t.comment.exists(_.contains(OutbidComment)) => t
+        }
+        refunds match {
+          case Seq(refund) => // exactly one, like the reference
+            val consumed: Seq[Block] = Seq(bid, refund)
+            Some((ProtocolOpBlock("auction_outbid",
+              source = bid.destination, // the auction contract
+              destination = refund.node.inMsg.flatMap(_.destination),
+              asset = bid.asset,
+              value = refund.node.inMsg.map(m => BigDecimal(m.value)),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** TONCO pool lifecycle: router create-pool 0x2e3034ef must reach pool
+    * init 0x441c39ed (blocks/liquidity.py:1545-1554); withdrawal = the
+    * position start-burn 0x530b5f2c with its burn/pay-to tail. */
+  val ToncoDeployPoolMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ToncoRouterV3CreatePool, Some(Opcodes.ToncoPoolV3Init),
+    Set(Opcodes.Excesses), protoBlock("tonco_deploy_pool"))
+  val ToncoWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.ToncoPoolV3StartBurn, None,
+    Set(Opcodes.ToncoPositionNftBurn, Opcodes.ToncoPoolV3Burn,
+      Opcodes.ToncoRouterV3PayTo, Opcodes.Excesses),
+    protoBlock("tonco_withdraw_liquidity"))
+
+  /** EVAA liquidation: master 0x3 requires the user-contract child 0x31,
+    * consumes the satisfied/unsatisfied/success/fail tail
+    * (messages/evaa.py:257-472; blocks/evaa.py EvaaLiquidateBlockMatcher). */
+  val EvaaLiquidateMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.EvaaLiquidateMaster, Some(Opcodes.EvaaLiquidateUser),
+    Set(Opcodes.EvaaLiquidateSatisfied, Opcodes.EvaaLiquidateUnsatisfied,
+      Opcodes.EvaaLiquidateSuccess, Opcodes.EvaaLiquidateFail,
+      Opcodes.Excesses),
+    protoBlock("evaa_liquidate"))
+
+  /** LayerZero receive path: channel lzReceive-prepare 0x22f3ac09 must
+    * reach the OApp prepare 0x97df404c; the lock → execute → callback
+    * chain and event logs are consumed as auxiliaries
+    * (blocks/layerzero.py:338-422). DVN verify 0xa0d51a8d requires the
+    * ULN verify child 0x994aaf4e (:508-545). */
+  val LayerZeroReceiveMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.LayerZeroChannelLzReceivePrepare,
+    Some(Opcodes.LayerZeroLzReceivePrepare),
+    Set(Opcodes.LayerZeroChannelLzReceiveLock, Opcodes.LayerZeroLzReceiveExecute,
+      Opcodes.LayerZeroOappExecuteCallback, Opcodes.LayerZeroEventMsg,
+      Opcodes.Excesses),
+    protoBlock("layerzero_receive"))
+  val LayerZeroDvnVerifyMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.LayerZeroDvnVerify, Some(Opcodes.LayerZeroUlnVerify),
+    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
+    protoBlock("layerzero_dvn_verify"))
+
+  /** LayerZero send-tokens — second-pass composite: a jetton transfer
+    * whose surviving child is a layerzero_send block
+    * (LayerZeroSendTokensMatcher, blocks/layerzero.py:275-336). */
+  object LayerZeroSendTokensMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case s: ProtocolOpBlock if s.btype == "layerzero_send" => s
+        }.map { send =>
+          val consumed: Seq[Block] = Seq(jt, send)
+          (ProtocolOpBlock("layerzero_send_tokens",
+            source = jt.sender, destination = jt.receiver,
+            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** Coffee vault / pool-creator / MEV-protect chains
+    * (messages/coffee.py:628-742,868-905,946-978). */
+  val CoffeeCreateVaultMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeCreateVault, None,
+    Set(Opcodes.CoffeeCreateVaultInternal, Opcodes.CoffeeActivateVaultInternal,
+      Opcodes.Excesses),
+    protoBlock("coffee_create_vault"))
+  val CoffeeCreatePoolCreatorMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeCreatePoolCreator, None,
+    Set(Opcodes.CoffeeCreatePoolCreatorInternal, Opcodes.Excesses),
+    protoBlock("coffee_create_pool_creator"))
+  val CoffeeMevProtectMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CoffeeMevProtectHoldFunds, None,
+    Set(Opcodes.CoffeeMevProtectFailedSwap, Opcodes.Excesses),
+    protoBlock("coffee_mev_protect_hold_funds"))
+
+  /** Coffee staking deposit — second-pass: a jetton transfer whose child
+    * is the pool's staking-deposit call 0xf9471134 (+ optional duplicated
+    * log with the same opcode) (CoffeeStakingDepositMatcher,
+    * blocks/staking.py:430-470). */
+  object CoffeeStakingDepositMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
+        }.map { poolCall =>
+          val log = poolCall.children.collect {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
+          }
+          val consumed: Seq[Block] = Seq(jt, poolCall) ++ log
+          (ProtocolOpBlock("coffee_staking_deposit",
+            source = jt.sender,
+            destination = poolCall.node.inMsg.flatMap(_.destination),
+            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** Coffee staking withdraw: withdraw_1 → withdraw_2 → withdraw_3 all
+    * share opcode 0xcb03bfaf; the deepest leg pays out through a jetton
+    * transfer (CoffeeStakingWithdrawMatcher, blocks/staking.py:512-560).
+    * Anchored at the TOPMOST link (bfs order guarantees the first hit is
+    * the outermost), consuming the same-opcode chain plus the payout. */
+  object CoffeeStakingWithdrawMatcher extends BlockMatcher {
+    private def chain(c: CallContractBlock): Seq[Block] =
+      c.children.flatMap {
+        case cc: CallContractBlock
+          if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingWithdraw) =>
+          cc +: chain(cc)
+        case jt: JettonTransferBlock => Seq(jt)
+        case _ => Nil
+      }
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingWithdraw) =>
+        val rest = chain(c)
+        // require the full withdraw_2 leg — a lone 0xcb03bfaf is not a
+        // withdrawal (the reference's child_matcher is non-optional)
+        if (!rest.exists(_.isInstanceOf[CallContractBlock])) None
+        else {
+          val payout = rest.collectFirst { case jt: JettonTransferBlock => jt }
+          val consumed = c +: rest
+          Some((ProtocolOpBlock("coffee_staking_withdraw",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = payout.flatMap(_.receiver),
+            asset = payout.map(_.senderWallet),
+            value = payout.map(_.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+        }
+      case _ => None
+    }
+  }
+
+  /** Coffee staking claim-rewards 0xb30c7310 with its jetton payout and
+    * optional duplicated log (CoffeeStakingClaimRewardsMatcher,
+    * blocks/staking.py:636-654). */
+  object CoffeeStakingClaimRewardsMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingClaimRewards) =>
+        val payout = c.children.collectFirst { case jt: JettonTransferBlock => jt }
+        payout.map { jt =>
+          val log = c.children.collect {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingClaimRewards) => cc
+          }
+          val consumed: Seq[Block] = Seq(c, jt) ++ log
+          (ProtocolOpBlock("coffee_staking_claim_rewards",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = jt.receiver,
+            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** Ethena deposit — INTERFACE-AWARE second-pass: a USDe jetton transfer
+    * into the pool whose surviving child is the tsUSDe mint
+    * (EthenaDepositBlockMatcher, blocks/ethena_staking.py:109-160; the
+    * reference pins the two jetton masters — here the mint wallet must be
+    * designated 'ethena_tsusde_wallet' in the pre-joined interface map).
+    * Canonical action type: stake_deposit with provider 'ethena'
+    * (block_tree_serializer.py:1277-1288). */
+  final class EthenaDepositMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case m: JettonMintBlock
+            if interfaces.get(m.receiverWallet).contains("ethena_tsusde_wallet") => m
+        }.map { mint =>
+          val consumed: Seq[Block] = Seq(jt, mint)
+          (ProtocolOpBlock("stake_deposit",
+            source = jt.sender, destination = jt.receiver,
+            asset = Some(mint.receiverWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            tokensMinted = Some(mint.amount),
+            provider = Some("ethena")), consumed)
+        }
+      case _ => None
+    }
+  }
+
   /** Cocoon payment-proxy family (messages/cocoon.py:13-130; serializer
     * cases 'cocoon_worker_payout' / 'cocoon_client_top_up' /
     * 'cocoon_client_register' / 'cocoon_grant_refund'). */
@@ -714,6 +988,34 @@ object ProtocolMatchers {
   val CocoonGrantRefundMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonRefundGranted, None, Set.empty,
     protoBlock("cocoon_grant_refund"))
+
+  /** Cocoon long tail: proxy payout/charge/register/unregister and the
+    * owner-client operations (messages/cocoon.py:496-703; blocks/cocoon.py
+    * matcher-per-opcode, each with the return-excesses tail). */
+  val CocoonProxyPayoutMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonExtProxyPayoutRequest, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_proxy_payout"))
+  val CocoonProxyChargeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonChargePayload, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_proxy_charge"))
+  val CocoonRegisterProxyMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonRegisterProxy, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_register_proxy"))
+  val CocoonUnregisterProxyMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonUnregisterProxy, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_unregister_proxy"))
+  val CocoonClientChangeSecretHashMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientChangeSecretHash, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_client_change_secret_hash"))
+  val CocoonClientIncreaseStakeMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientIncreaseStake, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_client_increase_stake"))
+  val CocoonClientWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientWithdraw, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_client_withdraw"))
+  val CocoonClientRequestRefundMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.CocoonClientRequestRefund, None, Set(Opcodes.CocoonReturnExcesses),
+    protoBlock("cocoon_client_request_refund"))
 
   /** NFT mint — the INTERFACE-AWARE matcher (reference
     * NftMintBlockMatcher, blocks/nft.py:367-391: a block with exactly one
@@ -752,27 +1054,40 @@ object ProtocolMatchers {
       TonstakersDepositMatcher, TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
-      MultisigExecuteMatcher, ChangeDnsMatcher,
+      MultisigExecuteMatcher, ChangeDnsMatcher, DnsReleaseMatcher,
       VestingSendMessageMatcher, VestingAddWhitelistMatcher,
       SubscribeMatcher, UnsubscribeMatcher,
       DedustDepositLiquidityMatcher, StonfiProvideLpMatcher,
       DexWithdrawLiquidityMatcher,
       TeleitemStartAuctionMatcher, AuctionBidMatcher,
+      AuctionOutbidMatcher, NftDiscoveryMatcher,
       JvaultStakeMatcher, JvaultUnstakeMatcher,
       JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
       TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
       TgbtcDkgLogMatcher, ToncoSwapMatcher,
-      EvaaSupplyMatcher, EvaaWithdrawMatcher,
+      ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
+      EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
       CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
+      CoffeeCreateVaultMatcher, CoffeeCreatePoolCreatorMatcher,
+      CoffeeMevProtectMatcher,
+      CoffeeStakingDepositMatcher, CoffeeStakingWithdrawMatcher,
+      CoffeeStakingClaimRewardsMatcher,
       LayerZeroSendMatcher, LayerZeroCommitPacketMatcher,
+      LayerZeroReceiveMatcher, LayerZeroDvnVerifyMatcher,
+      LayerZeroSendTokensMatcher,
       EthenaWithdrawalRequestMatcher,
       CocoonPayoutMatcher, CocoonClientTopUpMatcher,
-      CocoonClientRegisterMatcher, CocoonGrantRefundMatcher)
+      CocoonClientRegisterMatcher, CocoonGrantRefundMatcher,
+      CocoonProxyPayoutMatcher, CocoonProxyChargeMatcher,
+      CocoonRegisterProxyMatcher, CocoonUnregisterProxyMatcher,
+      CocoonClientChangeSecretHashMatcher, CocoonClientIncreaseStakeMatcher,
+      CocoonClientWithdrawMatcher, CocoonClientRequestRefundMatcher)
 
   /** Registry with the interface-dependent matchers appended (the
     * per-trace interface map is classify-call state, not global). */
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
     if (interfaces.isEmpty) registry
-    else registry :+ new NftMintMatcher(interfaces)
+    else registry ++ Seq(new NftMintMatcher(interfaces),
+      new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces))
 }

@@ -191,8 +191,62 @@ object Opcodes {
   val CocoonClientRegister = 0xa35cb580L
   val CocoonRefundGranted = 0xc68ebc7bL
 
-  // dns (messages/dns.py:7)
+  // dns (messages/dns.py:7; release messages/nft.py:148)
   val ChangeDnsRecord = 0x4eb1f0f9L
+  val DnsReleaseBalance = 0x4ed14b65L
+
+  // NFT discovery protocol (messages/nft.py:79,92)
+  val NftDiscovery = 0x2fcb26a2L
+  val NftReportStaticData = 0x8b771735L
+
+  // TONCO pool lifecycle (messages/liquidity.py:289-350; burn chain
+  // blocks/liquidity.py ToncoWithdrawLiquidityMatcher)
+  val ToncoRouterV3CreatePool = 0x2e3034efL
+  val ToncoPoolV3Init = 0x441c39edL
+  val ToncoPoolV3StartBurn = 0x530b5f2cL
+  val ToncoPositionNftBurn = 0x46ca335aL
+  val ToncoPoolV3Burn = 0xd73ac09dL
+
+  // EVAA liquidation (messages/evaa.py:257-472)
+  val EvaaLiquidateMaster = 0x3L
+  val EvaaLiquidateUser = 0x31L
+  val EvaaLiquidateSatisfied = 0x311L
+  val EvaaLiquidateUnsatisfied = 0x31fL
+  val EvaaLiquidateSuccess = 0x311aL
+  val EvaaLiquidateFail = 0x311fL
+
+  // LayerZero receive/verify path (messages/layerzero.py:543-555,
+  // 1045-1113,1377)
+  val LayerZeroChannelLzReceivePrepare = 0x22f3ac09L
+  val LayerZeroLzReceivePrepare = 0x97df404cL
+  val LayerZeroChannelLzReceiveLock = 0xb7680bc6L
+  val LayerZeroLzReceiveExecute = 0x0c7b8418L
+  val LayerZeroOappExecuteCallback = 0xcaae25a1L
+  val LayerZeroDvnVerify = 0xa0d51a8dL
+  val LayerZeroUlnVerify = 0x994aaf4eL
+
+  // Coffee vault / pool-creator / MEV / staking (messages/coffee.py:
+  // 628-742,868-905,946-978,1026-1140)
+  val CoffeeCreateVault = 0xc0ffee06L
+  val CoffeeCreateVaultInternal = 0xc0ffee2aL
+  val CoffeeActivateVaultInternal = 0xc0ffee2cL
+  val CoffeeCreatePoolCreator = 0xc0ffee23L
+  val CoffeeCreatePoolCreatorInternal = 0xc0ffee24L
+  val CoffeeMevProtectHoldFunds = 0x6bc79e7eL
+  val CoffeeMevProtectFailedSwap = 0xee51ce51L
+  val CoffeeStakingDeposit = 0xf9471134L
+  val CoffeeStakingWithdraw = 0xcb03bfafL // withdraw_1/2/3 share the opcode
+  val CoffeeStakingClaimRewards = 0xb30c7310L
+
+  // Cocoon long tail (messages/cocoon.py:496-703)
+  val CocoonExtProxyPayoutRequest = 0x7610e6ebL
+  val CocoonChargePayload = 0xbb63ff93L
+  val CocoonRegisterProxy = 0x927c7cb5L
+  val CocoonUnregisterProxy = 0x6d49eaf2L
+  val CocoonClientChangeSecretHash = 0xa9357034L
+  val CocoonClientIncreaseStake = 0x6a1f6a60L
+  val CocoonClientWithdraw = 0xda068e78L
+  val CocoonClientRequestRefund = 0xfafa6cc1L
 
   // vesting (messages/vesting.py:12-34)
   val VestingSendMessage = 0xa7733acdL

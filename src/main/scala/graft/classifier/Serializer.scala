@@ -101,9 +101,22 @@ object Serializer {
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
     "tgbtc_dkg_log_fallback", "evaa_supply", "evaa_withdraw",
+    "evaa_liquidate",
     "coffee_create_pool", "layerzero_send", "layerzero_commit_packet",
+    "layerzero_receive", "layerzero_dvn_verify", "layerzero_send_tokens",
     "nft_mint", "ethena_withdrawal_request", "cocoon_worker_payout",
-    "cocoon_client_top_up", "cocoon_client_register", "cocoon_grant_refund")
+    "cocoon_client_top_up", "cocoon_client_register", "cocoon_grant_refund",
+    "renew_dns", "delete_dns", "dns_release",
+    "nft_discovery", "nft_purchase", "auction_outbid",
+    "tonco_deploy_pool", "tonco_withdraw_liquidity",
+    "coffee_create_vault", "coffee_create_pool_creator",
+    "coffee_mev_protect_hold_funds",
+    "coffee_staking_deposit", "coffee_staking_withdraw",
+    "coffee_staking_claim_rewards",
+    "cocoon_proxy_payout", "cocoon_proxy_charge",
+    "cocoon_register_proxy", "cocoon_unregister_proxy",
+    "cocoon_client_change_secret_hash", "cocoon_client_increase_stake",
+    "cocoon_client_withdraw", "cocoon_client_request_refund")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
@@ -175,6 +188,15 @@ object Serializer {
           forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
           response_destination = n.decoded.flatMap(_.responseDestination),
           nft_item_index = None, marketplace = None, real_prev_owner = None))
+        // getgems purchase: is_purchase/price/marketplace detail
+        // (_fill_nft_purchase_action, block_tree_serializer.py:235-258)
+        case p: ProtocolOpBlock if p.btype == "nft_purchase" =>
+          Some(NftTransferData(
+            is_purchase = Some(true), price = p.value,
+            query_id = None, custom_payload = None, forward_payload = None,
+            forward_amount = None, response_destination = None,
+            nft_item_index = None, marketplace = Some("getgems"),
+            real_prev_owner = p.source))
         case _ => None
       },
       jetton_swap_data = b match {
@@ -189,12 +211,14 @@ object Serializer {
             None))
         case _ => None
       },
-      // provider 'liquid_staking' for TONStakers actions; election actions
-      // carry NO staking_data (reference _fill_election_action sets only
-      // source/amount — block_tree_serializer.py:512,529,539)
+      // provider 'liquid_staking' for TONStakers actions (overridable —
+      // ethena deposits serialize as stake_deposit/provider='ethena',
+      // block_tree_serializer.py:1277-1288); election actions carry NO
+      // staking_data (_fill_election_action sets only source/amount —
+      // block_tree_serializer.py:512,529,539)
       staking_data = b match {
         case p: ProtocolOpBlock if p.btype.startsWith("stake_") =>
-          Some(StakingData(Some("liquid_staking"), p.tsNft,
+          Some(StakingData(p.provider.orElse(Some("liquid_staking")), p.tsNft,
             p.tokensBurnt, p.tokensMinted))
         case _ => None
       })

@@ -93,6 +93,22 @@ object TlbDecoders {
     else Some(s.loadSnakeString().replace("\u0000", ""))
   }
 
+  final case class ChangeDnsRecordBody(
+      queryId: BigInt, key: BigInt, hasValue: Boolean)
+
+  /** change_dns_record#4eb1f0f9 query_id:uint64 key:uint256
+    * value:(Maybe ^DNSRecord) — the value's presence/key decide whether
+    * the action is change_dns / renew_dns (zero key, no value) /
+    * delete_dns (reference ChangeDnsRecordMessage + branch,
+    * blocks/dns.py:46-69). */
+  def changeDnsRecord(bodyB64: String): ChangeDnsRecordBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x4eb1f0f9L)
+    val queryId = s.loadUint(64)
+    val key = s.loadUint(256)
+    ChangeDnsRecordBody(queryId, key, s.remainingRefs > 0)
+  }
+
   // ------------------------------------------------------------- TEP-64
 
   final case class TokenContent(
