@@ -470,12 +470,16 @@ object ProtocolMatchers {
                 nodes = consumed.flatMap(_.nodes), children = Nil,
                 tokensBurnt = Some(jb.amount)), consumed))
             case (None, Some(mint)) =>
+              // minted_nft comes ONLY from the InitNFT child; without it the
+              // reference records minted_nft=None and failed=True
+              // (staking.py:224-230) — no fallback to the mint destination.
+              // The request fill also emits only provider+ts_nft (no
+              // tokens_burnt, block_tree_serializer.py:520-531).
               val init = mint.children.collectFirst {
                 case c: CallContractBlock
                   if Opcodes.matches(c.opcode, Opcodes.TonstakersInitNft) => c
               }
-              val mintedNft = init.orElse(Some(mint))
-                .flatMap(_.node.inMsg.flatMap(_.destination))
+              val mintedNft = init.flatMap(_.node.inMsg.flatMap(_.destination))
               val consumed: Seq[Block] = Seq(jb, req, mint) ++ init
               Some((ProtocolOpBlock("stake_withdrawal_request",
                 jb.owner, reqMsg.flatMap(_.destination),
@@ -483,8 +487,50 @@ object ProtocolMatchers {
                 value = Some(jb.amount),
                 failed = consumed.exists(_.failed) || mintedNft.isEmpty,
                 nodes = consumed.flatMap(_.nodes), children = Nil,
-                tsNft = mintedNft, tokensBurnt = Some(jb.amount)), consumed))
+                tsNft = mintedNft), consumed))
             case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** TONStakers delayed-withdrawal COMPLETION: bill-NFT burn 0xf127fe4e →
+    * burn notification 0xed58b0b2 → asset distribution 0xdb3b8abd ⇒
+    * 'stake_withdrawal' (TONStakersDelayedWithdrawalMatcher,
+    * blocks/staking.py:246-274). amount = the distributed message value,
+    * tokens_burnt = the notification body amount, ts_nft (burnt_nft) = the
+    * notification's source (the bill NFT), stake holder = the decoded
+    * notification owner. */
+  object TonstakersDelayedWithdrawalMatcher extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case burn: CallContractBlock
+        if Opcodes.matches(burn.opcode, Opcodes.TonstakersNftBurn) =>
+        val notif = burn.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.TonstakersNftBurnNotification) => c
+        }
+        notif.flatMap { n =>
+          n.children.collectFirst {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.TonstakersDistributedAsset) => c
+          }.map { dist =>
+            val decoded = n.node.inMsg.flatMap(_.body).flatMap { b64 =>
+              try Some(graft.functions.TlbDecoders.tonstakersNftBurnNotification(b64))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+            val distMsg = dist.node.inMsg
+            val consumed: Seq[Block] = Seq(burn, n, dist)
+            (ProtocolOpBlock("stake_withdrawal",
+              source = decoded.flatMap(_.owner)
+                .orElse(distMsg.flatMap(_.destination)),
+              destination = n.node.inMsg.flatMap(_.destination), // the pool
+              asset = None,
+              value = distMsg.map(m => BigDecimal(m.value)),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil,
+              tsNft = n.node.inMsg.flatMap(_.source), // the burnt bill NFT
+              tokensBurnt = decoded.map(d => BigDecimal(d.amount))), consumed)
           }
         }
       case _ => None
@@ -735,23 +781,39 @@ object ProtocolMatchers {
     * sale contract. */
   final class NftPurchaseMatcher(interfaces: Map[String, String]) extends BlockMatcher {
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case (_: TonTransferBlock | _: CallContractBlock)
-        if b.nodes.headOption.exists(n =>
-          interfaces.get(n.tx.account).exists(i =>
-            i == "nft_sale" || i == "nft_auction")) =>
-        val nft = b.children.collectFirst { case n: NftTransferBlock => n }
-        val payout = b.children.collectFirst { case t: TonTransferBlock => t }
-        (nft, payout) match {
-          case (Some(n), Some(p)) =>
-            val consumed: Seq[Block] = Seq(b, n, p)
-            Some((ProtocolOpBlock("nft_purchase",
-              source = p.node.inMsg.flatMap(_.destination), // real prev owner
-              destination = n.newOwner,
-              asset = Some(n.nftItem),
-              value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
-              failed = consumed.exists(_.failed),
-              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
-          case _ => None
+      case (_: TonTransferBlock | _: CallContractBlock) =>
+        // interface value 'nft_sale|<owner>' carries the sale contract's
+        // owner (the reference's sale repository data); getgems emits
+        // marketplace-fee and royalty transfers BEFORE the owner payout,
+        // so only the transfer whose destination equals real_prev_owner
+        // is the seller payout (blocks/nft.py:215). Seller unknown ⇒ skip
+        // the match rather than emitting a wrong real_prev_owner.
+        val saleOwner = for {
+          n <- b.nodes.headOption
+          v <- interfaces.get(n.tx.account)
+          sep = v.indexOf('|')
+          name = if (sep < 0) v else v.substring(0, sep)
+          if name == "nft_sale" || name == "nft_auction"
+          if sep >= 0 && sep < v.length - 1
+        } yield v.substring(sep + 1)
+        saleOwner.flatMap { owner =>
+          val nft = b.children.collectFirst { case n: NftTransferBlock => n }
+          val payout = b.children.collectFirst {
+            case t: TonTransferBlock
+              if t.node.inMsg.flatMap(_.destination).contains(owner) => t
+          }
+          (nft, payout) match {
+            case (Some(n), Some(p)) =>
+              val consumed: Seq[Block] = Seq(b, n, p)
+              Some((ProtocolOpBlock("nft_purchase",
+                source = Some(owner), // real prev owner from the sale data
+                destination = n.newOwner,
+                asset = Some(n.nftItem),
+                value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
+                failed = consumed.exists(_.failed),
+                nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+            case _ => None
+          }
         }
       case _ => None
     }
@@ -759,24 +821,33 @@ object ProtocolMatchers {
 
   /** Auction outbid — second-pass over auction_bid: the auction returns
     * the previous bid with the canonical outbid comment
-    * (blocks/auction.py:133-171). */
+    * (blocks/auction.py:133-171). The reference merges ONLY the outbid
+    * transfer (include=[outbid_transfer]) and requires its source to be
+    * the auction contract — the auction_bid action survives and BOTH
+    * actions are emitted; here the bid block is rebuilt with the refund
+    * replaced by the new auction_outbid block. */
   object AuctionOutbidMatcher extends BlockMatcher {
     private val OutbidComment = "Your bid has been outbid by another user"
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case bid: ProtocolOpBlock if bid.btype == "auction_bid" =>
         val refunds = bid.children.collect {
-          case t: TonTransferBlock if t.comment.exists(_.contains(OutbidComment)) => t
+          case t: TonTransferBlock
+            if t.comment.exists(_.contains(OutbidComment)) &&
+              bid.destination.isDefined &&
+              t.node.inMsg.flatMap(_.source) == bid.destination => t
         }
         refunds match {
           case Seq(refund) => // exactly one, like the reference
-            val consumed: Seq[Block] = Seq(bid, refund)
-            Some((ProtocolOpBlock("auction_outbid",
+            val outbid = ProtocolOpBlock("auction_outbid",
               source = bid.destination, // the auction contract
               destination = refund.node.inMsg.flatMap(_.destination),
               asset = bid.asset,
               value = refund.node.inMsg.map(m => BigDecimal(m.value)),
-              failed = consumed.exists(_.failed),
-              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+              failed = refund.failed,
+              nodes = refund.nodes, children = Nil)
+            // consume only the refund: the rebuilt bid (with the outbid as
+            // a child) replaces the old bid, keeping the auction_bid action
+            Some((bid.copy(children = Seq(outbid)), Seq(bid, refund)))
           case _ => None
         }
       case _ => None
@@ -868,18 +939,38 @@ object ProtocolMatchers {
         jt.children.collectFirst {
           case c: CallContractBlock
             if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
-        }.map { poolCall =>
-          val log = poolCall.children.collect {
-            case c: CallContractBlock
-              if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
+        }.flatMap { poolCall =>
+          // the reference REQUIRES the position-NFT mint among the pool
+          // call's children (non-optional BlockTypeMatcher('nft_mint'),
+          // staking.py:449-468) — without it any jetton transfer with a
+          // 0xf9471134 child would match. Accept the rewritten nft_mint
+          // block or the raw mint call carrying the position-NFT deploy.
+          val mint: Option[(Seq[Block], Option[String])] =
+            poolCall.children.collectFirst {
+              case p: ProtocolOpBlock if p.btype == "nft_mint" =>
+                (Seq(p: Block), p.destination)
+              case c: CallContractBlock
+                if c.children.exists(_.isInstanceOf[ContractDeployBlock]) =>
+                val deploys = c.children.collect { case d: ContractDeployBlock => d }
+                ((c +: deploys): Seq[Block], Some(c.node.tx.account))
+              case d: ContractDeployBlock =>
+                (Seq(d: Block), Some(d.node.tx.account))
+            }
+          mint.map { case (mintBlocks, posNft) =>
+            val log = poolCall.children.collect {
+              case c: CallContractBlock
+                if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
+            }.filterNot(c => mintBlocks.exists(_ eq c))
+            val consumed: Seq[Block] =
+              Seq(jt, poolCall) ++ mintBlocks ++ log
+            (ProtocolOpBlock("coffee_staking_deposit",
+              source = jt.sender,
+              destination = poolCall.node.inMsg.flatMap(_.destination),
+              asset = Some(jt.senderWallet), value = Some(jt.amount),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil,
+              tsNft = posNft), consumed)
           }
-          val consumed: Seq[Block] = Seq(jt, poolCall) ++ log
-          (ProtocolOpBlock("coffee_staking_deposit",
-            source = jt.sender,
-            destination = poolCall.node.inMsg.flatMap(_.destination),
-            asset = Some(jt.senderWallet), value = Some(jt.amount),
-            failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
         }
       case _ => None
     }
@@ -1052,6 +1143,7 @@ object ProtocolMatchers {
       JettonSwapMatcher, JettonMintMatcher,
       StonfiSwapMatcher, DedustSwapMatcher,
       TonstakersDepositMatcher, TonstakersWithdrawMatcher,
+      TonstakersDelayedWithdrawalMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
       MultisigExecuteMatcher, ChangeDnsMatcher, DnsReleaseMatcher,

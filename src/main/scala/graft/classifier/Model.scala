@@ -115,6 +115,8 @@ object Opcodes {
   val TonstakersInitNft = 0x132f9a45L
   val TonstakersPoolWithdrawal = 0x0a77535cL
   val TonstakersNftBurn = 0xf127fe4eL
+  val TonstakersNftBurnNotification = 0xed58b0b2L
+  val TonstakersDistributedAsset = 0xdb3b8abdL
   val ElectorDeposit = 0x4e73744bL
   val ElectorDepositConfirm = 0xf374484cL
   val ElectorRecover = 0x47657424L

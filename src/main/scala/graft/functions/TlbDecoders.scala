@@ -71,6 +71,21 @@ object TlbDecoders {
     JettonBurnBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
   }
 
+  final case class TonstakersNftBurnNotificationBody(
+      queryId: BigInt, amount: BigInt, owner: Option[String])
+
+  /** nft_burn_notification#ed58b0b2 query_id:uint64
+    * amount:(VarUInteger 16) owner:MsgAddress — the TONStakers
+    * withdrawal-bill burn notification (reference
+    * messages/staking.py:39-50). */
+  def tonstakersNftBurnNotification(bodyB64: String)
+      : TonstakersNftBurnNotificationBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xed58b0b2L)
+    TonstakersNftBurnNotificationBody(
+      s.loadUint(64), s.loadCoins(), s.loadAddress())
+  }
+
   /** transfer#5fcc3d14 query_id:uint64 new_owner:MsgAddress
     * response_destination:MsgAddress custom_payload:(Maybe ^Cell)
     * forward_amount:(VarUInteger 16) */

@@ -284,15 +284,19 @@ class ClassifierSpec extends SparkSpec {
   }
 
   /** Reference withdraw chain (staking.py:178-245): tsTON burn →
-    * burn_notification → withdraw request 0x319b0cdc → branch child. */
-  private def tonstakersWithdrawChain(branchOp: Long)
+    * burn_notification → withdraw request 0x319b0cdc → branch child.
+    * The delayed branch carries the InitNFT leg (mint → bill NFT) unless
+    * `withInit = false` — the reference's minted_nft comes ONLY from it. */
+  private def tonstakersWithdrawChain(branchOp: Long, withInit: Boolean = true)
       : (Seq[TxLite], Map[String, Seq[MsgLite]]) = {
     import graft.functions.Boc
     val burnBody = Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0x595f07bcL), 32).storeUint(BigInt(1), 64)
       .storeCoins(BigInt(777)).storeAddress(None).build())
+    val delayed = branchOp == Opcodes.TonstakersMint && withInit
     val txs = Seq(tx("TB", "0:TSW", 10), tx("TN", "0:POOL", 20),
-      tx("TR", "0:CTRL", 30), tx("TX", "0:NFT", 40))
+      tx("TR", "0:CTRL", 30), tx("TX", "0:NFT", 40)) ++
+      (if (delayed) Seq(tx("TI", "0:NFTITEM", 50)) else Nil)
     val msgs = Map(
       "TB" -> Seq(
         in("m1", "0:STAKER", "0:TSW", Some(Opcodes.JettonBurn))
@@ -304,8 +308,15 @@ class ClassifierSpec extends SparkSpec {
       "TR" -> Seq(
         in("m3", "0:POOL", "0:CTRL", Some(Opcodes.TonstakersWithdraw), value = 100),
         out("m4", "0:CTRL", "0:NFT", Some(branchOp), value = 600)),
-      "TX" -> Seq(
-        in("m4", "0:CTRL", "0:NFT", Some(branchOp), value = 600)))
+      "TX" -> (Seq(
+        in("m4", "0:CTRL", "0:NFT", Some(branchOp), value = 600)) ++
+        (if (delayed)
+          Seq(out("m5", "0:NFT", "0:NFTITEM", Some(Opcodes.TonstakersInitNft)))
+        else Nil))) ++
+      (if (delayed)
+        Map("TI" -> Seq(in("m5", "0:NFT", "0:NFTITEM",
+          Some(Opcodes.TonstakersInitNft))))
+      else Map.empty)
     (txs, msgs)
   }
 
@@ -326,9 +337,55 @@ class ClassifierSpec extends SparkSpec {
     val wd = Classifier.classify("st3", txs, msgs)
     assert(wd.map(_.`type`) == Seq("stake_withdrawal_request"))
     assert(wd.head.value.contains(BigDecimal(777))) // tokens burnt
+    assert(wd.head.success)
     val sd = wd.head.staking_data.get
     assert(sd.provider.contains("liquid_staking"))
-    assert(sd.ts_nft.contains("0:NFT"))
+    // minted bill = the InitNFT destination, not the mint-call account
+    assert(sd.ts_nft.contains("0:NFTITEM"))
+    // the reference request fill carries only provider + ts_nft
+    // (block_tree_serializer.py:520-531)
+    assert(sd.tokens_burnt.isEmpty)
+  }
+
+  test("delayed withdrawal without InitNFT records no bill and fails " +
+      "(staking.py:224-230)") {
+    val (txs, msgs) =
+      tonstakersWithdrawChain(Opcodes.TonstakersMint, withInit = false)
+    val wd = Classifier.classify("st3b", txs, msgs)
+    assert(wd.map(_.`type`) == Seq("stake_withdrawal_request"))
+    assert(!wd.head.success)
+    assert(wd.head.staking_data.get.ts_nft.isEmpty)
+  }
+
+  test("tonstakers bill-burn completion chain emits stake_withdrawal " +
+      "(staking.py:246-274)") {
+    import graft.functions.Boc
+    val owner = "0:" + "AA" * 32
+    val notifBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.TonstakersNftBurnNotification), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(777))
+      .storeAddress(Some(owner)).build())
+    val txs = Seq(tx("TB", "0:BILL", 10), tx("TN", "0:POOL", 20),
+      tx("TD", owner, 30))
+    val msgs = Map(
+      "TB" -> Seq(in("m1", "0:STAKER", "0:BILL", Some(Opcodes.TonstakersNftBurn)),
+        out("m2", "0:BILL", "0:POOL", Some(Opcodes.TonstakersNftBurnNotification))),
+      "TN" -> Seq(
+        in("m2", "0:BILL", "0:POOL", Some(Opcodes.TonstakersNftBurnNotification))
+          .copy(body = Some(notifBody)),
+        out("m3", "0:POOL", owner, Some(Opcodes.TonstakersDistributedAsset),
+          value = 600)),
+      "TD" -> Seq(in("m3", "0:POOL", owner,
+        Some(Opcodes.TonstakersDistributedAsset), value = 600)))
+    val wd = Classifier.classify("st5", txs, msgs)
+    assert(wd.map(_.`type`) == Seq("stake_withdrawal"))
+    assert(wd.head.value.contains(BigDecimal(600))) // distributed amount
+    assert(wd.head.source.contains(owner)) // decoded notification owner
+    assert(wd.head.destination.contains("0:POOL"))
+    val sd = wd.head.staking_data.get
+    assert(sd.ts_nft.contains("0:BILL")) // the burnt bill NFT
+    assert(sd.tokens_burnt.contains(BigDecimal(777)))
   }
 
   test("a bare withdraw request without a burn anchor stays call_contract") {
@@ -589,5 +646,124 @@ class ClassifierSpec extends SparkSpec {
     val without = Classifier.classify("mint2", txs, msgs)
     assert(!without.exists(_.`type` == "nft_mint"))
     assert(without.exists(_.`type` == "contract_deploy"))
+  }
+
+  private def outbidCommentBody: String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0), 32)
+      .storeBytes("Your bid has been outbid by another user".getBytes("UTF-8"))
+      .build())
+  }
+
+  test("auction outbid keeps the bid action AND emits auction_outbid " +
+      "(auction.py:133-171 merges only the refund transfer)") {
+    val txs = Seq(tx("T1", "0:AUCTION", 10), tx("T2", "0:PREVBIDDER", 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:BIDDER", "0:AUCTION", Some(Opcodes.AuctionFillUp), value = 900),
+        out("m2", "0:AUCTION", "0:PREVBIDDER", None, value = 800)),
+      "T2" -> Seq(in("m2", "0:AUCTION", "0:PREVBIDDER", None, value = 800)
+        .copy(body = Some(outbidCommentBody))))
+    val actions = Classifier.classify("ob1", txs, msgs)
+    assert(actions.map(_.`type`).sorted == Seq("auction_bid", "auction_outbid"))
+    val outbid = actions.find(_.`type` == "auction_outbid").get
+    val bid = actions.find(_.`type` == "auction_bid").get
+    assert(outbid.value.contains(BigDecimal(800)))
+    assert(outbid.source.contains("0:AUCTION"))
+    assert(outbid.destination.contains("0:PREVBIDDER"))
+    assert(outbid.parent_action_id.contains(bid.action_id))
+    assert(bid.value.contains(BigDecimal(900)))
+  }
+
+  test("two outbid-comment refunds are rejected (false-positive guard)") {
+    val txs = Seq(tx("T1", "0:AUCTION", 10), tx("T2", "0:PREV1", 20),
+      tx("T3", "0:PREV2", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:BIDDER", "0:AUCTION", Some(Opcodes.AuctionFillUp), value = 900),
+        out("m2", "0:AUCTION", "0:PREV1", None, value = 800),
+        out("m3", "0:AUCTION", "0:PREV2", None, value = 700)),
+      "T2" -> Seq(in("m2", "0:AUCTION", "0:PREV1", None, value = 800)
+        .copy(body = Some(outbidCommentBody))),
+      "T3" -> Seq(in("m3", "0:AUCTION", "0:PREV2", None, value = 700)
+        .copy(body = Some(outbidCommentBody))))
+    val actions = Classifier.classify("ob2", txs, msgs)
+    assert(!actions.exists(_.`type` == "auction_outbid"))
+    assert(actions.exists(_.`type` == "auction_bid"))
+  }
+
+  test("nft purchase pays out to the sale owner — the marketplace fee " +
+      "transfer emitted first is NOT the seller (blocks/nft.py:215)") {
+    val txs = Seq(tx("T1", "0:SALE", 10), tx("T2", "0:MARKET", 20),
+      tx("T3", "0:SELLER", 30), tx("T4", "0:NFT", 40), tx("T5", "0:BUYER", 50))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:BUYER", "0:SALE", Some(5L), value = 1000),
+        out("m2", "0:SALE", "0:MARKET", None, value = 50),
+        out("m3", "0:SALE", "0:SELLER", None, value = 900),
+        out("m4", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer))),
+      "T2" -> Seq(in("m2", "0:SALE", "0:MARKET", None, value = 50)),
+      "T3" -> Seq(in("m3", "0:SALE", "0:SELLER", None, value = 900)),
+      "T4" -> Seq(in("m4", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer)),
+        out("m5", "0:NFT", "0:BUYER", Some(Opcodes.NftOwnershipAssigned))),
+      "T5" -> Seq(in("m5", "0:NFT", "0:BUYER", Some(Opcodes.NftOwnershipAssigned))))
+    val actions = Classifier.classify("np1", txs, msgs,
+      interfaces = Map("0:SALE" -> "nft_sale|0:SELLER"))
+    val p = actions.find(_.`type` == "nft_purchase")
+    assert(p.isDefined, s"expected nft_purchase in ${actions.map(_.`type`)}")
+    assert(p.get.source.contains("0:SELLER")) // real_prev_owner, NOT the fee
+    assert(p.get.destination.contains("0:BUYER"))
+    assert(p.get.value.contains(BigDecimal(1000)))
+    val d = p.get.nft_transfer_data.get
+    assert(d.real_prev_owner.contains("0:SELLER"))
+    assert(d.is_purchase.contains(true))
+    // the fee transfer survives as its own ton_transfer action
+    assert(actions.exists(a => a.`type` == "ton_transfer" &&
+      a.destination.contains("0:MARKET")))
+  }
+
+  test("nft purchase is skipped when the sale owner is unknown " +
+      "(no wrong real_prev_owner)") {
+    val txs = Seq(tx("T1", "0:SALE", 10), tx("T2", "0:MARKET", 20),
+      tx("T4", "0:NFT", 40))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:BUYER", "0:SALE", Some(5L), value = 1000),
+        out("m2", "0:SALE", "0:MARKET", None, value = 50),
+        out("m4", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer))),
+      "T2" -> Seq(in("m2", "0:SALE", "0:MARKET", None, value = 50)),
+      "T4" -> Seq(in("m4", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer))))
+    val actions = Classifier.classify("np2", txs, msgs,
+      interfaces = Map("0:SALE" -> "nft_sale")) // interface, but no owner
+    assert(!actions.exists(_.`type` == "nft_purchase"))
+  }
+
+  test("coffee staking deposit requires the position-NFT mint child " +
+      "(staking.py:449-468)") {
+    def fixture(withMint: Boolean)
+        : (Seq[TxLite], Map[String, Seq[MsgLite]]) = {
+      val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+        tx("TP", "0:POOL", 30)) ++
+        (if (withMint) Seq(tx("TM", "0:POSNFT", 40, orig = "uninit")) else Nil)
+      val msgs = Map(
+        "TW1" -> Seq(in("m1", "0:STAKER", "0:WA", Some(Opcodes.JettonTransfer)),
+          out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+        "TW2" -> Seq(in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+          out("m3", "0:WB", "0:POOL", Some(Opcodes.CoffeeStakingDeposit))),
+        "TP" -> (Seq(in("m3", "0:WB", "0:POOL", Some(Opcodes.CoffeeStakingDeposit))) ++
+          (if (withMint) Seq(out("m4", "0:POOL", "0:POSNFT", Some(7L))) else Nil))) ++
+        (if (withMint)
+          Map("TM" -> Seq(in("m4", "0:POOL", "0:POSNFT", Some(7L))))
+        else Map.empty)
+      (txs, msgs)
+    }
+    val (mtxs, mmsgs) = fixture(withMint = true)
+    val withMint = Classifier.classify("cs1", mtxs, mmsgs)
+    assert(withMint.exists(_.`type` == "coffee_staking_deposit"),
+      s"expected coffee_staking_deposit in ${withMint.map(_.`type`)}")
+    // a jetton transfer with a bare 0xf9471134 child is NOT a deposit
+    val (btxs, bmsgs) = fixture(withMint = false)
+    val bare = Classifier.classify("cs2", btxs, bmsgs)
+    assert(!bare.exists(_.`type` == "coffee_staking_deposit"))
+    assert(bare.exists(_.`type` == "jetton_transfer"))
   }
 }
