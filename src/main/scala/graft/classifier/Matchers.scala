@@ -125,6 +125,17 @@ object Matching {
     /** Try to build a typed block rooted at `b`; return (newBlock,
       * consumedBlocks) on success. Consumed must include `b`. */
     def tryBuild(b: Block): Option[(Block, Seq[Block])]
+
+    /** Opcodes that must ALL be present among the trace's in-messages for
+      * this matcher to possibly fire; None = always sweep. The rewrite
+      * engine computes the trace's opcode set once and skips matchers
+      * whose triggers are absent — at scale most traces contain none of a
+      * given protocol's opcodes, so the sweep cost per trace drops from
+      * |registry|×nodes to |relevant matchers|×nodes with identical
+      * output (a matcher whose trigger opcode is absent can never match:
+      * every anchor/required-child test and every typed block it consumes
+      * ultimately requires one of these opcodes). */
+    def triggerOpcodes: Option[Set[Long]] = None
   }
 
   /** One rewrite sweep (registry order matters — later matchers see
@@ -138,8 +149,15 @@ object Matching {
     * next round against the rewritten tree, exactly as the one-at-a-time
     * loop would see it. */
   def rewrite(root: RootBlock, matchers: Seq[BlockMatcher]): RootBlock = {
+    // one pass over the trace's in-message opcodes gates the whole sweep
+    // (bfs: each block's `nodes` covers only its own txs, not its subtree)
+    val present: Set[Long] = root.bfs.iterator
+      .flatMap(_.nodes).flatMap(_.inMsg.flatMap(_.opcode))
+      .map(_ & 0xffffffffL).toSet
+    val relevant = matchers.filter(_.triggerOpcodes
+      .forall(_.forall(op => present(op & 0xffffffffL))))
     var current: RootBlock = root
-    for (m <- matchers) {
+    for (m <- relevant) {
       var changed = true
       while (changed) {
         // identity-keyed structures throughout: tree nodes are unique
@@ -193,6 +211,7 @@ object ProtocolMatchers {
   /** jetton transfer: 0x0f8a7ea5 → internal_transfer 0x178d4519 →
     * optional notify 0x7362d09c, optional excesses 0xd53276db. */
   object JettonTransferMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) =>
         val internal = c.children.collectFirst {
@@ -238,6 +257,7 @@ object ProtocolMatchers {
 
   /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de. */
   object JettonBurnMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonBurn))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonBurn) =>
         val notif = c.children.collect {
@@ -262,6 +282,7 @@ object ProtocolMatchers {
   /** NFT transfer: 0x5fcc3d14 → optional ownership_assigned 0x05138d91,
     * optional excesses. */
   object NftTransferMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.NftTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.NftTransfer) =>
         val extras = c.children.filter {
@@ -297,6 +318,7 @@ object ProtocolMatchers {
     * blocks/swaps.py:257,266). Pattern: transfer INTO a router whose
     * wallet then transfers OUT: j1.receiver == j2.sender. */
   object JettonSwapMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case j1: JettonTransferBlock =>
         j1.children.collectFirst {
@@ -315,6 +337,7 @@ object ProtocolMatchers {
     * transfer matcher ran ⇒ no wallet-transfer parent ⇒ master-initiated
     * mint. Must sit after JettonTransferMatcher in the registry. */
   object JettonMintMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock
         if Opcodes.matches(c.opcode, Opcodes.JettonInternalTransfer) =>
@@ -354,6 +377,9 @@ object ProtocolMatchers {
       requiredChild: Option[Long],
       auxiliary: Set[Long],
       build: (CallContractBlock, Seq[Block]) => Block) extends BlockMatcher {
+
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(head) ++ requiredChild)
 
     private def consumeAux(b: Block): Seq[Block] =
       b.children.flatMap {
@@ -439,6 +465,7 @@ object ProtocolMatchers {
     * JettonBurnMatcher, which consumed burn+notification and adopted the
     * request chain as children of the JettonBurnBlock. */
   object TonstakersWithdrawMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonBurn, Opcodes.TonstakersWithdraw))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jb: JettonBurnBlock =>
         jb.children.collectFirst {
@@ -503,6 +530,7 @@ object ProtocolMatchers {
     * notification's source (the bill NFT), stake holder = the decoded
     * notification owner. */
   object TonstakersDelayedWithdrawalMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.TonstakersNftBurn, Opcodes.TonstakersNftBurnNotification, Opcodes.TonstakersDistributedAsset))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case burn: CallContractBlock
         if Opcodes.matches(burn.opcode, Opcodes.TonstakersNftBurn) =>
@@ -622,6 +650,7 @@ object ProtocolMatchers {
     * payouts is a withdrawal (burn the LP jettons, receive both pool
     * assets; blocks/liquidity.py withdraw shape). */
   object DexWithdrawLiquidityMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonBurn))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jb: JettonBurnBlock =>
         val payouts = jb.children.collect {
@@ -747,6 +776,7 @@ object ProtocolMatchers {
     * transfer call. Runs AFTER the jetton rewrite, so it matches the
     * typed JettonTransferBlock and consumes the labeled children. */
   object EthenaWithdrawalRequestMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonMint, Opcodes.EthenaTsUsdeTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
         matchChildSequence(jt, Seq(
@@ -780,6 +810,7 @@ object ProtocolMatchers {
     * payout child to the seller. Price = the buyer's payment into the
     * sale contract. */
   final class NftPurchaseMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.NftTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case (_: TonTransferBlock | _: CallContractBlock) =>
         // interface value 'nft_sale|<owner>' carries the sale contract's
@@ -827,6 +858,7 @@ object ProtocolMatchers {
     * actions are emitted; here the bid block is rebuilt with the refund
     * replaced by the new auction_outbid block. */
   object AuctionOutbidMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.AuctionFillUp))
     private val OutbidComment = "Your bid has been outbid by another user"
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case bid: ProtocolOpBlock if bid.btype == "auction_bid" =>
@@ -897,6 +929,7 @@ object ProtocolMatchers {
     * whose surviving child is a layerzero_send block
     * (LayerZeroSendTokensMatcher, blocks/layerzero.py:275-336). */
   object LayerZeroSendTokensMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.LayerZeroEndpointSend))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
         jt.children.collectFirst {
@@ -934,6 +967,7 @@ object ProtocolMatchers {
     * log with the same opcode) (CoffeeStakingDepositMatcher,
     * blocks/staking.py:430-470). */
   object CoffeeStakingDepositMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.CoffeeStakingDeposit))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
         jt.children.collectFirst {
@@ -982,6 +1016,7 @@ object ProtocolMatchers {
     * Anchored at the TOPMOST link (bfs order guarantees the first hit is
     * the outermost), consuming the same-opcode chain plus the payout. */
   object CoffeeStakingWithdrawMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.CoffeeStakingWithdraw))
     private def chain(c: CallContractBlock): Seq[Block] =
       c.children.flatMap {
         case cc: CallContractBlock
@@ -1016,6 +1051,7 @@ object ProtocolMatchers {
     * optional duplicated log (CoffeeStakingClaimRewardsMatcher,
     * blocks/staking.py:636-654). */
   object CoffeeStakingClaimRewardsMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.CoffeeStakingClaimRewards))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock
         if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingClaimRewards) =>
@@ -1045,6 +1081,7 @@ object ProtocolMatchers {
     * Canonical action type: stake_deposit with provider 'ethena'
     * (block_tree_serializer.py:1277-1288). */
   final class EthenaDepositMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
         jt.children.collectFirst {
