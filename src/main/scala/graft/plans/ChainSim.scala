@@ -182,7 +182,7 @@ object ChainSim {
   // ------------------------------------------------- protocol-opcode chain
 
   private val protoCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** Same chain topology, but event types map to REAL protocol opcodes so
     * the protocol matcher registry is exercised through the driver gate:
@@ -192,7 +192,8 @@ object ChainSim {
     * purchase → TONStakers deposit 0x47d54391 (stake_deposit),
     * signup → multisig new-order 0xf718510f (multisig_create_order),
     * error → DNS change-record 0x4eb1f0f9 (change_dns). */
-  private def protocolSim(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def protocolSim(spark: SparkSession, dir: String,
+      opcodeOf: Column): (DataFrame, DataFrame) = {
     val ev = chainedEvents(spark, dir)
     val txs = ev.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
@@ -205,15 +206,7 @@ object ChainSim {
       lit(null).cast("int").as("compute_exit_code"),
       lit(null).cast("int").as("action_result_code"),
       lit(0L).as("total_fees"), lit("ord").as("descr"))
-    val opcode = when(col("event_type") === "click",
-        lit(graft.classifier.Opcodes.StonfiSwap))
-      .when(col("event_type") === "view",
-        lit(graft.classifier.Opcodes.StonfiPayment))
-      .when(col("event_type") === "purchase",
-        lit(graft.classifier.Opcodes.TonstakersDeposit))
-      .when(col("event_type") === "signup",
-        lit(graft.classifier.Opcodes.MultisigNewOrder))
-      .otherwise(lit(graft.classifier.Opcodes.ChangeDnsRecord))
+    val opcode = opcodeOf
     def msgs(dirLit: String, txCol: Column, srcCol: Column) = ev
       .filter(if (dirLit == "out") col("prev_id").isNotNull else lit(true))
       .select(
@@ -231,13 +224,44 @@ object ChainSim {
     (txs, inMsgs.unionByName(outMsgs))
   }
 
-  private def protocolClassified(spark: SparkSession, dir: String): DataFrame =
-    protoCache.getOrElseUpdate((spark, dir), {
-      val (txs, msgs) = protocolSim(spark, dir)
+  private def protocolClassified(spark: SparkSession, dir: String,
+      variant: String, opcodeOf: => Column): DataFrame =
+    protoCache.getOrElseUpdate((spark, dir, variant), {
+      val (txs, msgs) = protocolSim(spark, dir, opcodeOf)
       val (_, _, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
       ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs)
         .toDF().localCheckpoint()
     })
+
+  /** b06 opcode mapping (see protocolSim doc). */
+  private def b06Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.StonfiSwap))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.StonfiPayment))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.TonstakersDeposit))
+      .when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.MultisigNewOrder))
+      .otherwise(lit(graft.classifier.Opcodes.ChangeDnsRecord))
+
+  /** b09 opcode mapping — exercises auxiliary-chain consumption and a
+    * required-child pair on different matcher families: click → DeDust
+    * swap 0xea06185d (whose auxiliary set consumes the CONTIGUOUS run of
+    * following views mapped to DeDust payout 0x474f86cf), purchase →
+    * subscription payment-response 0xf06c7567 (subscribe ONLY when the
+    * immediately-next event is a signup → payment 0x73756273), error →
+    * vesting send-message 0xa7733acd. */
+  private def b09Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.DedustSwap))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.DedustPayout))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.SubscriptionPaymentRequestResponse))
+      .when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.SubscriptionPayment))
+      .otherwise(lit(graft.classifier.Opcodes.VestingSendMessage))
 
   /** Protocol matcher sweep through the full pipeline: the oracle states
     * every matched action by construction (swap pairs via lead/lag). */
@@ -267,7 +291,57 @@ object ChainSim {
       |FROM ordered
       |WHERE NOT (event_type = 'view' AND coalesce(prev_type, '') = 'click')
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir)
+    protocolClassified(s, dir, "b06", b06Opcodes)
+      .select(col("trace_id"), col("type"), col("start_lt"), col("end_lt"),
+        col("source"), col("destination"), col("success"))
+      .orderBy("start_lt", "type")
+  }
+
+  /** Auxiliary-chain consumption + required-child pairing through the full
+    * pipeline on a second opcode mapping (b09Opcodes): a click's swap
+    * absorbs the contiguous run of following views (DeDust auxiliary
+    * descent), purchase+signup pairs merge into `subscribe`, errors emit
+    * vesting_send_message — every expected action stated by construction
+    * via segment windows. */
+  val b09 = Q("b09_aux_consumption",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(event_id)   OVER w AS next_id,
+      |    lag(event_type)  OVER w AS prev_type,
+      |    row_number()     OVER w AS rn,
+      |    min(event_id)    OVER (PARTITION BY user_id) AS fid
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |seg AS (
+      |  SELECT *, sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM ordered),
+      |segext AS (
+      |  SELECT *,
+      |    first_value(event_type)
+      |      OVER (PARTITION BY user_id, seg_id ORDER BY event_id) AS head_type,
+      |    max(event_id) OVER (PARTITION BY user_id, seg_id) AS seg_end
+      |  FROM seg)
+      |SELECT concat('T', fid) AS trace_id,
+      |  CASE WHEN event_type = 'click' THEN 'jetton_swap'
+      |       WHEN event_type = 'purchase' AND next_type = 'signup'
+      |         THEN 'subscribe'
+      |       WHEN event_type = 'error' THEN 'vesting_send_message'
+      |       ELSE 'call_contract' END AS type,
+      |  event_id AS start_lt,
+      |  CASE WHEN event_type = 'click' THEN seg_end
+      |       WHEN event_type = 'purchase' AND next_type = 'signup'
+      |         THEN next_id
+      |       ELSE event_id END AS end_lt,
+      |  CASE WHEN rn = 1 THEN NULL
+      |       ELSE concat('0:', user_id) END AS source,
+      |  concat('0:', user_id) AS destination, true AS success
+      |FROM segext
+      |WHERE NOT (event_type = 'view' AND head_type = 'click')
+      |  AND NOT (event_type = 'signup' AND coalesce(prev_type, '') = 'purchase')
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b09", b09Opcodes)
       .select(col("trace_id"), col("type"), col("start_lt"), col("end_lt"),
         col("source"), col("destination"), col("success"))
       .orderBy("start_lt", "type")
@@ -293,5 +367,5 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09)
 }
