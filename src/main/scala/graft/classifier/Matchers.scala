@@ -448,12 +448,55 @@ object ProtocolMatchers {
       case other => other
     })
 
-  /** TONStakers deposit 0x47d54391 (+ optional pool-jetton mint)
-    * (messages/staking.py:17-26; action type blocks/staking.py:506). */
-  val TonstakersDepositMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TonstakersDeposit, None,
-    Set(Opcodes.TonstakersMint, Opcodes.Excesses),
-    protoBlock("stake_deposit"))
+  /** TONStakers deposit 0x47d54391: the optional MintJettons child must
+    * carry a jetton internal_transfer — tokens_minted is its decoded
+    * amount, the user wallet is its destination, and a deposit WITHOUT
+    * the transfer is failed (TONStakersDepositMatcher,
+    * blocks/staking.py:132-172). value = message value minus the 1-TON
+    * deposit fee (:169). */
+  object TonstakersDepositMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.TonstakersDeposit))
+    private val DepositFee = BigDecimal(1000000000L) // 1 TON (staking.py:169)
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.TonstakersDeposit) =>
+        val mint = c.children.collectFirst {
+          case m: CallContractBlock
+            if Opcodes.matches(m.opcode, Opcodes.TonstakersMint) => m
+        }
+        val transfer = mint.flatMap(_.children.collectFirst {
+          case t: CallContractBlock
+            if Opcodes.matches(t.opcode, Opcodes.JettonInternalTransfer) => t
+        })
+        val tail = transfer.toSeq.flatMap(_.children.collect {
+          case n: CallContractBlock
+            if Opcodes.matches(n.opcode, Opcodes.JettonNotify) ||
+              Opcodes.matches(n.opcode, Opcodes.Excesses) => n
+        })
+        val decoded = transfer.flatMap(_.node.inMsg.flatMap(_.body)).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.jettonInternalTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val failed = c.failed || transfer.isEmpty
+        // the mint leg is consumed only when its transfer matched — the
+        // reference's optional chain fails as a unit otherwise
+        val consumed: Seq[Block] =
+          if (transfer.isEmpty) Seq(c)
+          else Seq(c) ++ mint ++ transfer ++ tail
+        val in = c.node.inMsg
+        Some((ProtocolOpBlock("stake_deposit",
+          in.flatMap(_.source), in.flatMap(_.destination),
+          asset = transfer.flatMap(_.node.inMsg.flatMap(_.source)),
+          value = in.map(m => BigDecimal(m.value) - DepositFee),
+          failed = failed,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          tokensMinted =
+            if (failed) None else decoded.map(d => BigDecimal(d.amount))),
+          consumed))
+      case _ => None
+    }
+  }
 
   /** TONStakers withdraw — SECOND-PASS matcher anchored on the tsTON
     * JettonBurn, exactly like the reference (TONStakersWithdrawMatcher,
@@ -1176,11 +1219,16 @@ object ProtocolMatchers {
     * protocol matchers run after the jetton family so their auxiliary
     * sets never steal jetton opcodes). */
   val registry: Seq[BlockMatcher] =
-    Seq(JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
+    // TONStakers deposit + delayed-withdrawal run BEFORE the jetton family
+    // (event_processing.py:211-227): the deposit consumes its MintJettons
+    // internal_transfer leg, which JettonMintMatcher would otherwise
+    // rewrite into an orphan jetton_mint first. The burn-anchored
+    // withdraw matcher stays second-pass (it needs JettonBurnBlock).
+    Seq(TonstakersDelayedWithdrawalMatcher, TonstakersDepositMatcher,
+      JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
       JettonSwapMatcher, JettonMintMatcher,
       StonfiSwapMatcher, DedustSwapMatcher,
-      TonstakersDepositMatcher, TonstakersWithdrawMatcher,
-      TonstakersDelayedWithdrawalMatcher,
+      TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
       MultisigExecuteMatcher, ChangeDnsMatcher, DnsReleaseMatcher,

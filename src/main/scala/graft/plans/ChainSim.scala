@@ -287,7 +287,10 @@ object ChainSim {
       |       ELSE event_id END AS end_lt,
       |  CASE WHEN rn = 1 THEN NULL
       |       ELSE concat('0:', user_id) END AS source,
-      |  concat('0:', user_id) AS destination, true AS success
+      |  concat('0:', user_id) AS destination,
+      |  -- a TONStakers deposit WITHOUT the MintJettons transfer leg is
+      |  -- failed (reference staking.py:157-160) — the sim never mints
+      |  CASE WHEN event_type = 'purchase' THEN false ELSE true END AS success
       |FROM ordered
       |WHERE NOT (event_type = 'view' AND coalesce(prev_type, '') = 'click')
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>

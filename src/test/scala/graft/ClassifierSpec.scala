@@ -273,14 +273,50 @@ class ClassifierSpec extends SparkSpec {
     assert(actions.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
   }
 
-  test("tonstakers deposit and withdrawal classify with provider semantics") {
+  test("tonstakers deposit without the mint transfer leg is failed " +
+      "(staking.py:157-160)") {
     val dep = Classifier.classify("st1",
       Seq(tx("T1", "0:POOL", 10)),
       Map("T1" -> Seq(in("m1", "0:STAKER", "0:POOL",
         Some(Opcodes.TonstakersDeposit), value = 5000))))
     assert(dep.map(_.`type`) == Seq("stake_deposit"))
-    assert(dep.head.value.contains(BigDecimal(5000)))
+    assert(!dep.head.success)
+    // value = message value minus the 1-TON deposit fee (staking.py:169)
+    assert(dep.head.value.contains(BigDecimal(5000L - 1000000000L)))
     assert(dep.head.staking_data.flatMap(_.provider).contains("liquid_staking"))
+    assert(dep.head.staking_data.get.tokens_minted.isEmpty)
+  }
+
+  test("tonstakers deposit with MintJettons transfer captures tokens_minted") {
+    import graft.functions.Boc
+    val xferBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(4242))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    val txs = Seq(tx("T1", "0:POOL", 10), tx("T2", "0:MASTER", 20),
+      tx("T3", "0:TSWALLET", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:STAKER", "0:POOL", Some(Opcodes.TonstakersDeposit),
+          value = 2000000000L),
+        out("m2", "0:POOL", "0:MASTER", Some(Opcodes.TonstakersMint))),
+      "T2" -> Seq(
+        in("m2", "0:POOL", "0:MASTER", Some(Opcodes.TonstakersMint)),
+        out("m3", "0:MASTER", "0:TSWALLET", Some(Opcodes.JettonInternalTransfer))),
+      "T3" -> Seq(
+        in("m3", "0:MASTER", "0:TSWALLET", Some(Opcodes.JettonInternalTransfer))
+          .copy(body = Some(xferBody))))
+    val dep = Classifier.classify("st1b", txs, msgs)
+    assert(dep.map(_.`type`) == Seq("stake_deposit"))
+    assert(dep.head.success)
+    assert(dep.head.value.contains(BigDecimal(1000000000L))) // minus fee
+    assert(dep.head.asset.contains("0:MASTER")) // transfer message source
+    assert(dep.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
+    val sd = dep.head.staking_data.get
+    assert(sd.provider.contains("liquid_staking"))
+    assert(sd.tokens_minted.contains(BigDecimal(4242)))
   }
 
   /** Reference withdraw chain (staking.py:178-245): tsTON burn →
