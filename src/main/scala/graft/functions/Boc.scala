@@ -167,6 +167,26 @@ object Boc {
     }
   }
 
+  /** Keys of a Hashmap ROOT cell (no HashmapE maybe-bit), values ignored —
+    * the shape of contract method dictionaries, whose leaf values are
+    * inline continuations rather than refs. */
+  def dictKeys(root: Cell, keyBits: Int): Seq[BigInt] = {
+    val out = scala.collection.mutable.ArrayBuffer[BigInt]()
+    def walk(c: Cell, n: Int, prefix: BigInt): Unit = {
+      val s = c.beginParse()
+      val (labelLen, labelVal) = readLabel(s, n)
+      val key = (prefix << labelLen) | labelVal
+      val rem = n - labelLen
+      if (rem == 0) out += key
+      else {
+        walk(s.loadRef(), rem - 1, key << 1)
+        walk(s.loadRef(), rem - 1, (key << 1) | 1)
+      }
+    }
+    walk(root, keyBits, BigInt(0))
+    out.toSeq
+  }
+
   /** hml_short$0 unary-len + bits; hml_long$10 len:(#<= m) + bits;
     * hml_same$11 bit + len. Returns (labelLen, labelValue). */
   private def readLabel(s: Slice, m: Int): (Int, BigInt) = {

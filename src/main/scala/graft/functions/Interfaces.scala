@@ -28,6 +28,31 @@ object Interfaces {
     "nft_item" -> Set(102351L), // get_nft_data
     "nft_collection" -> Set(102491L, 92067L)) // get_collection_data, get_nft_address_by_index
 
+  /** Method ids extracted from a contract CODE cell: the standard FunC
+    * prologue is SETCP0 (0xFF00) then DICTPUSHCONST (13-bit opcode
+    * 0b1111010010100 + push flag) with a 10-bit key length and the method
+    * dictionary as the ref; the dictionary's keys ARE the method ids
+    * (reference: tondb-scanner/src/parse_contract_methods.cpp). Keys are
+    * read unsigned-truncated exactly like the reference. Throws on a
+    * non-standard prologue — wrap at the call site. */
+  def methodIdsFromCode(codeB64: String): Seq[Long] = {
+    val s = Boc.parseBase64(codeB64).beginParse()
+    if (s.loadUint(8).toInt != 0xff || s.loadUint(8).toInt != 0)
+      throw new IllegalArgumentException("not SETCP0")
+    if (s.loadUint(13).toInt != 0x1e94 || !s.loadBit())
+      throw new IllegalArgumentException("not DICTPUSHCONST")
+    val keyLen = s.loadUint(10).toInt
+    Boc.dictKeys(s.loadRef(), keyLen).map(_.toLong)
+  }
+
+  /** Column form of the extractor (null on malformed/non-standard code —
+    * detection then falls back to the code-hash table only). */
+  val methodIdsFromCodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (code: String) =>
+      try { if (code == null) null else methodIdsFromCode(code) }
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+
   /** Detect by exact code hash, else by method-id subset. */
   def detect(codeHashTable: Map[String, String])(
       codeHash: String, methodIds: Seq[Long]): Option[String] = {

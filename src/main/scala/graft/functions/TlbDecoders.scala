@@ -140,9 +140,10 @@ object TlbDecoders {
   }.toMap
 
   /** TEP-64 token content cell: offchain tag 0x01 + snake URI, or onchain
-    * tag 0x00 + HashmapE 256 ^Cell keyed by sha256(attr-name), each value
-    * a snake-format (0x00-tagged) string cell. Chunked (0x01) values are
-    * skipped — the dict plumbing is what matters; reference consumes the
+    * tag 0x00 + HashmapE 256 ^Cell keyed by sha256(attr-name). Values are
+    * snake format (tag 0x00 + string, possibly continued through refs) or
+    * CHUNKED format (tag 0x01 + HashmapE 32 of ^Cell chunks concatenated
+    * in key order) — both per the TEP-64 standard; reference consumes the
     * same layout via pytoniq (jetton_content/collection_content columns,
     * database.py:825,873). */
   def tep64Content(b64: String): TokenContent = {
@@ -154,9 +155,18 @@ object TlbDecoders {
       val attrs = dict.flatMap { case (k, cell) =>
         attrKeyOf.get(k).flatMap { name =>
           val vs = cell.beginParse()
-          if (vs.remainingBits >= 8 && vs.loadUint(8) == 0)
-            Some(name -> vs.loadSnakeString())
-          else None // chunked content unsupported
+          if (vs.remainingBits < 8) None
+          else vs.loadUint(8).toInt match {
+            case 0x00 => Some(name -> vs.loadSnakeString())
+            case 0x01 => // chunked_data: HashmapE 32 ^Cell, key order
+              val chunks = Boc.loadDictRefs(vs, 32).toSeq.sortBy(_._1)
+              val bytes = chunks.flatMap { case (_, chunk) =>
+                val cs = chunk.beginParse()
+                cs.loadBytes(cs.remainingBits / 8)
+              }.toArray
+              Some(name -> new String(bytes, "UTF-8"))
+            case _ => None
+          }
         }
       }
       TokenContent("onchain", attrs.get("uri"), attrs)

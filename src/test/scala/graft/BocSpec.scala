@@ -134,6 +134,42 @@ class BocSpec extends SparkSpec {
       "name" -> "Test Jetton", "symbol" -> "TJ", "decimals" -> "9"))
   }
 
+  test("TEP-64 onchain CHUNKED values concatenate dict chunks in key order") {
+    import graft.functions.{Boc, TlbDecoders}
+    def sha(k: String): BigInt = BigInt(1,
+      java.security.MessageDigest.getInstance("SHA-256").digest(k.getBytes("UTF-8")))
+    def chunkCell(txt: String): Boc.Cell = new Boc.Builder()
+      .storeBytes(txt.getBytes("UTF-8")).build()
+    // chunked value: tag 0x01 + HashmapE 32 of ^Cell chunks
+    val chunkDict = Boc.buildDictRefs(Map(
+      BigInt(0) -> chunkCell("long descri"),
+      BigInt(1) -> chunkCell("ption split"),
+      BigInt(2) -> chunkCell(" in chunks")), 32)
+    val chunkedVal = {
+      val b = new Boc.Builder().storeUint(BigInt(1), 8)
+      val ds = chunkDict.beginParse()
+      val hasRoot = ds.loadBit()
+      b.storeBit(hasRoot)
+      if (hasRoot) b.storeRef(ds.loadRef())
+      b.build()
+    }
+    def snakeVal(txt: String): Boc.Cell = new Boc.Builder()
+      .storeUint(BigInt(0), 8).storeBytes(txt.getBytes("UTF-8")).build()
+    val dict = Boc.buildDictRefs(Map(
+      sha("name") -> snakeVal("Chunky"),
+      sha("description") -> chunkedVal), 256)
+    val b = new Boc.Builder().storeUint(BigInt(0), 8)
+    val ds = dict.beginParse()
+    val hasRoot = ds.loadBit()
+    b.storeBit(hasRoot)
+    if (hasRoot) b.storeRef(ds.loadRef())
+    val content = TlbDecoders.tep64Content(Boc.serializeBase64(b.build()))
+    assert(content.kind == "onchain")
+    assert(content.attributes == Map(
+      "name" -> "Chunky",
+      "description" -> "long description split in chunks"))
+  }
+
   test("TEP-64 offchain content is a snake uri") {
     import graft.functions.{Boc, TlbDecoders}
     val cell = new Boc.Builder().storeUint(BigInt(1), 8)

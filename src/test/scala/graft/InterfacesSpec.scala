@@ -28,6 +28,31 @@ class InterfacesSpec extends SparkSpec {
     assert(Interfaces.detect(table)(null, Seq(102351L)).contains("nft_item"))
   }
 
+  test("method ids extract from a SETCP0+DICTPUSHCONST code prologue") {
+    import graft.functions.Boc
+    val ids = Seq(102351L, 85143L, 113617L)
+    // method dict: Hashmap 19 with inline (non-ref) leaf values
+    val dictE = Boc.buildDictRefs(
+      ids.map(id => BigInt(id) -> new Boc.Builder().storeUint(BigInt(0), 8).build()).toMap, 19)
+    val ds = dictE.beginParse()
+    assert(ds.loadBit()) // non-empty
+    val code = new Boc.Builder()
+      .storeUint(BigInt(0xff), 8).storeUint(BigInt(0), 8) // SETCP0
+      .storeUint(BigInt(0x1e94), 13).storeBit(true) // DICTPUSHCONST
+      .storeUint(BigInt(19), 10) // key length
+      .storeRef(ds.loadRef())
+      .build()
+    val got = Interfaces.methodIdsFromCode(Boc.serializeBase64(code))
+    assert(got.sorted == ids.sorted)
+    // non-standard prologue → extractor refuses (detection falls back)
+    val plain = new Boc.Builder().storeUint(BigInt(0), 32).build()
+    intercept[IllegalArgumentException] {
+      Interfaces.methodIdsFromCode(Boc.serializeBase64(plain))
+    }
+    // end-to-end: extracted ids drive the subset detection
+    assert(Interfaces.detect(Map.empty)("unknown", got).contains("nft_item"))
+  }
+
   test("column-level detection agrees with the scala function") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
