@@ -32,6 +32,8 @@ object ChainSim {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val evCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val rootsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Shared base projection: events + per-user chain lag + account —
     * one materialization reused by both the standard and the protocol
@@ -48,6 +50,25 @@ object ChainSim {
   def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     simCache.getOrElseUpdate((spark, dir), simulateUncached(spark, dir))
 
+  /** Trace roots over the simulated chain topology, computed ONCE per
+    * (session, dir). Every simulated variant (standard a/b pipeline, b06,
+    * b09) shares the same tx hashes and parent edges — only message
+    * opcodes differ — so the forest fixpoint over that topology is a
+    * single silver-layer materialization reused by all of them, exactly
+    * as production materializes trace_id at ingest rather than re-running
+    * connected components per downstream job. */
+  private def chainRoots(spark: SparkSession, dir: String): DataFrame =
+    rootsCache.getOrElseUpdate((spark, dir), {
+      val ev = chainedEvents(spark, dir)
+      val nodes = ev.select(
+        concat(lit("T"), col("event_id").cast("string")).as("id"),
+        when(col("prev_id").isNotNull,
+          concat(lit("T"), col("prev_id").cast("string"))).as("parent"))
+      GraphOps.forestRoots(nodes)
+        .select(col("id").as("hash"), col("root").as("trace_id"))
+        .localCheckpoint()
+    })
+
   /** Memoized classifier output over the assembled chain — shared by every
     * action-level query (a03/b02); the silver `actions` table. */
   def classified(spark: SparkSession, dir: String): DataFrame =
@@ -61,7 +82,8 @@ object ChainSim {
   def assembled(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     asmCache.getOrElseUpdate((spark, dir), {
       val (txs, msgs) = simulate(spark, dir)
-      val (traces, edges, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+      val (traces, edges, txsWithTrace) =
+        TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       (traces.localCheckpoint(), edges, txsWithTrace.localCheckpoint())
     })
 
@@ -228,7 +250,8 @@ object ChainSim {
       variant: String, opcodeOf: => Column): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf)
-      val (_, _, txsWithTrace) = TraceAssembly.assemble(txs, msgs)
+      val (_, _, txsWithTrace) =
+        TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs)
         .toDF().localCheckpoint()
     })

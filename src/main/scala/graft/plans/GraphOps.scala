@@ -54,25 +54,31 @@ object GraphOps {
       .select(col("id"), coalesce(col("parent"), col("id")).as("anc"))
       .localCheckpoint()
     val useBroadcast = cur.count() <= 3000000L
+    // hops per round through the round-start jump table: ancestor distance
+    // grows ×(hops+1) per round. Under a broadcast jump table extra hops
+    // are nearly free (one more broadcast hash join in the same codegen
+    // pipeline), so go wide — depth 10⁴ converges in 4 rounds at ×9.
+    // On the shuffle path (the 100 TB shape) each hop is a shuffle join,
+    // so stay at 2 hops (×3) — fewer, cheaper rounds dominate there.
+    val hops = if (useBroadcast) 8 else 2
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val jt0 = cur.select(col("id").as("anc"), col("anc").as("anc2"))
       val jt = if (useBroadcast) broadcast(jt0) else jt0
-      val hop1 = cur
-        .join(jt, Seq("anc"), "left")
-        .select(col("id"), col("anc").as("anc0"),
-          coalesce(col("anc2"), col("anc")).as("anc"))
+      var hopped = cur.select(col("id"), col("anc").as("anc0"), col("anc"))
+      for (_ <- 1 to hops)
+        hopped = hopped
+          .join(jt, Seq("anc"), "left")
+          .select(col("id"), col("anc0"),
+            coalesce(col("anc2"), col("anc")).as("anc"))
       // lazy checkpoint: the count() below materializes it — one job per
       // round instead of two (eager checkpoint + count)
-      val hop2 = hop1
-        .join(jt, Seq("anc"), "left")
-        .select(col("id"), col("anc0"),
-          coalesce(col("anc2"), col("anc")).as("anc"))
+      val stepped = hopped
         .withColumn("moved", col("anc") =!= col("anc0"))
         .localCheckpoint(eager = false)
-      val changed = hop2.filter(col("moved")).count()
-      cur = hop2.drop("anc0", "moved")
+      val changed = stepped.filter(col("moved")).count()
+      cur = stepped.drop("anc0", "moved")
       iter += 1
       converged = changed == 0
     }

@@ -33,8 +33,16 @@ object TraceAssembly {
   val SystemAddress =
     "-1:0000000000000000000000000000000000000000000000000000000000000000"
 
-  /** Returns (traces, trace_edges, transactions + trace_id). */
-  def assemble(transactions: DataFrame, messages: DataFrame)
+  /** Returns (traces, trace_edges, transactions + trace_id).
+    *
+    * `precomputedRoots` (hash, trace_id — one row per transaction) skips
+    * the forest fixpoint: the silver-layer shape, where trace_id is
+    * materialized once at ingest and every downstream job (classification,
+    * reclassification, per-protocol pipelines) reuses the stored column
+    * instead of re-running connected components over the same topology.
+    * The metadata joins/aggregations still run in full. */
+  def assemble(transactions: DataFrame, messages: DataFrame,
+      precomputedRoots: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val txs = transactions
     val inMsgs = messages.filter(col("direction") === "in")
@@ -54,13 +62,15 @@ object TraceAssembly {
         col("edge_type") === "ord" && col("parent_tx").isNull)
 
     // forest: parent pointer only along resolved ord edges
-    val nodes = txs.select(col("hash").as("id"))
-      .join(inEdges
-        .filter(col("edge_type") === "ord" && !col("broken"))
-        .select(col("child_tx").as("id"), col("parent_tx").as("parent")),
-        Seq("id"), "left")
-    val roots = GraphOps.forestRoots(nodes)
-      .select(col("id").as("hash"), col("root").as("trace_id"))
+    val roots = precomputedRoots.getOrElse {
+      val nodes = txs.select(col("hash").as("id"))
+        .join(inEdges
+          .filter(col("edge_type") === "ord" && !col("broken"))
+          .select(col("child_tx").as("id"), col("parent_tx").as("parent")),
+          Seq("id"), "left")
+      GraphOps.forestRoots(nodes)
+        .select(col("id").as("hash"), col("root").as("trace_id"))
+    }
 
     val txsWithTrace = txs.join(roots, Seq("hash"))
 
