@@ -133,8 +133,8 @@ object Dedup {
       .filter(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(expr(
-        """filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),
-           p -> p.a < p.b)""")).as("p"))
+        """flatten(transform(ids, a ->
+             transform(filter(ids, b -> b > a), b -> struct(a, b))))""")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     verifyPairs(candidates, base, t10)
@@ -218,14 +218,17 @@ object Dedup {
     val buckets = chunks.groupBy("chunk", "ckey")
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
       .filter(size(col("xs")) > 1)
+    // Hamming test runs bucket-locally BEFORE the distinct, so the shuffle
+    // dedups only surviving id pairs, not every bucket collision.
     buckets
       .select(explode(expr(
-        """filter(flatten(transform(xs, a -> transform(xs, b -> struct(a, b)))),
-           p -> p.a.doc_id < p.b.doc_id)""")).as("p"))
+        """flatten(transform(xs, a ->
+             transform(filter(xs, b -> b.doc_id > a.doc_id),
+                       b -> struct(a, b))))""")).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         expr("bit_count(p.a.sim ^ p.b.sim)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact all-pairs shingle Jaccard (quadratic — test oracle only). */

@@ -212,16 +212,19 @@ object Similarity {
       .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
       .filter(size(col("xs")) > 1)
+    // score and threshold INSIDE the bucket row, where both vectors are
+    // local — the distinct then shuffles only surviving (vec_a, vec_b)
+    // id pairs (16 bytes), not candidate pairs carrying two dim-sized
+    // vectors each. A pair found in k bands is re-scored k times
+    // (CPU-local) instead of shuffled k times — the right trade at scale.
     buckets
       .select(explode(expr(
-        """filter(flatten(transform(xs, a -> transform(xs, b -> struct(a, b)))),
-           p -> p.a.vec_id < p.b.vec_id)""")).as("p"))
-      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
-        col("p.a.cv").as("cva"), col("p.b.cv").as("cvb"))
+        """flatten(transform(xs, a ->
+             transform(filter(xs, b -> b.vec_id > a.vec_id),
+                       b -> struct(a, b))))""")).as("p"))
+      .filter(cosine(col("p.a.cv"), col("p.b.cv")) >= minCosine)
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"))
       .distinct()
-      .withColumn("score", cosine(col("cva"), col("cvb")))
-      .filter(col("score") >= minCosine)
-      .select("vec_a", "vec_b")
   }
 
   /** Embedding near-duplicate pairs (cosine ≥ 0.45 — calibrated to the
