@@ -215,7 +215,8 @@ object ChainSim {
     * signup → multisig new-order 0xf718510f (multisig_create_order),
     * error → DNS change-record 0x4eb1f0f9 (change_dns). */
   private def protocolSim(spark: SparkSession, dir: String,
-      opcodeOf: Column): (DataFrame, DataFrame) = {
+      opcodeOf: Column,
+      bodyOf: Column = lit(null).cast("string")): (DataFrame, DataFrame) = {
     val ev = chainedEvents(spark, dir)
     val txs = ev.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
@@ -238,7 +239,8 @@ object ChainSim {
         (col("value") * 100).cast("long").as("value"),
         opcode.as("opcode"),
         lit(false).as("bounce"), lit(false).as("bounced"),
-        col("event_id").as("created_lt"))
+        col("event_id").as("created_lt"),
+        bodyOf.as("body"))
     val inMsgs = msgs("in", concat(lit("T"), col("event_id").cast("string")),
       when(col("prev_id").isNull, lit(null).cast("string")).otherwise(col("acct")))
     val outMsgs = msgs("out", concat(lit("T"), col("prev_id").cast("string")),
@@ -247,9 +249,10 @@ object ChainSim {
   }
 
   private def protocolClassified(spark: SparkSession, dir: String,
-      variant: String, opcodeOf: => Column): DataFrame =
+      variant: String, opcodeOf: => Column,
+      bodyOf: => Column = lit(null).cast("string")): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
-      val (txs, msgs) = protocolSim(spark, dir, opcodeOf)
+      val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs)
@@ -373,6 +376,86 @@ object ChainSim {
       .orderBy("start_lt", "type")
   }
 
+  /** b10 opcode mapping — the NFT/auction matcher family: click → NFT
+    * transfer 0x5fcc3d14 (consumes an immediately-following view mapped
+    * to ownership_assigned 0x05138d91), purchase → auction fill-up
+    * 0x370fec51 (auction_bid), signup → opcode-null TON transfer carrying
+    * the canonical outbid comment (merged into auction_outbid when its
+    * parent chain is an auction_bid — the advisor-flagged second-pass
+    * path, blocks/auction.py:133-171), error → teleitem start-auction
+    * 0x487a8e81 (nft_put_on_auction). */
+  private def b10Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.NftTransfer))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.NftOwnershipAssigned))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.AuctionFillUp))
+      .when(col("event_type") === "signup", lit(null).cast("long"))
+      .otherwise(lit(graft.classifier.Opcodes.TeleitemStartAuction))
+
+  /** signup transfers carry the canonical getgems outbid comment as a
+    * real TEP text cell, so the refund detection exercises the full BOC
+    * decode path, not a pre-decoded string. */
+  private def b10Bodies: Column =
+    when(col("event_type") === "signup",
+      lit(graft.functions.Boc.serializeBase64(
+        new graft.functions.Boc.Builder()
+          .storeUint(BigInt(0), 32)
+          .storeBytes("Your bid has been outbid by another user".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          .build())))
+      .otherwise(lit(null).cast("string"))
+
+  /** NFT/auction family through the full pipeline: nft_transfer child
+    * consumption (one ownership_assigned merged, later ones kept),
+    * auction_bid, the outbid second pass (bid SURVIVES, refund becomes
+    * auction_outbid — every signup in a contiguous run after a purchase
+    * is consumed round-by-round), teleitem put-on-auction. The oracle
+    * states each expected action by construction. */
+  val b10 = Q("b10_nft_auction_actions",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type)  OVER w AS prev_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(event_id)   OVER w AS next_id,
+      |    min(event_id)    OVER (PARTITION BY user_id) AS fid
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |seg AS (
+      |  SELECT *, sum(CASE WHEN event_type <> 'signup' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM ordered),
+      |segext AS (
+      |  SELECT *, first_value(event_type)
+      |    OVER (PARTITION BY user_id, seg_id ORDER BY event_id) AS run_head
+      |  FROM seg),
+      |typed AS (
+      |  SELECT concat('T', fid) AS trace_id,
+      |    CASE WHEN event_type = 'click' THEN 'nft_transfer'
+      |         WHEN event_type = 'view' AND coalesce(prev_type, '') = 'click'
+      |           THEN NULL
+      |         WHEN event_type = 'view' THEN 'call_contract'
+      |         WHEN event_type = 'purchase' THEN 'auction_bid'
+      |         WHEN event_type = 'signup' AND event_id = fid
+      |           THEN 'call_contract'
+      |         WHEN event_type = 'signup' AND run_head = 'purchase'
+      |           THEN 'auction_outbid'
+      |         WHEN event_type = 'signup' THEN 'ton_transfer'
+      |         ELSE 'nft_put_on_auction' END AS type,
+      |    event_id AS start_lt,
+      |    CASE WHEN event_type = 'click' AND coalesce(next_type, '') = 'view'
+      |         THEN next_id ELSE event_id END AS end_lt,
+      |    true AS success
+      |  FROM segext)
+      |SELECT * FROM typed WHERE type IS NOT NULL
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b10", b10Opcodes, b10Bodies)
+      .select(col("trace_id"), col("type"), col("start_lt"), col("end_lt"),
+        col("success"))
+      .orderBy("start_lt", "type")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -393,5 +476,5 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10)
 }
