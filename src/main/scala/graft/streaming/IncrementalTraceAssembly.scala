@@ -150,4 +150,20 @@ class IncrementalTraceAssembly(spark: SparkSession,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.Schemas.traces)
   }
+
+  /** Classify the open working set — the reference's pending/emulated
+    * trace classification (S10): speculative actions over traces that
+    * have not completed, served alongside finalized actions via
+    * StreamOps.federate and replaced wholesale by ClassifyJob.reclassify
+    * when the trace finalizes (T6). The trace root is stable as a trace
+    * completes, so pending and final actions share trace_id and the
+    * replacement is a per-trace anti-join. */
+  def pendingActions(): DataFrame = (openTxs, openMsgs) match {
+    case (Some(t), Some(m)) =>
+      val (_, _, txw) = TraceAssembly.assemble(t, m)
+      graft.classifier.ClassifyJob.run(spark, txw, m).toDF()
+    case _ =>
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[
+        graft.classifier.ActionRow]).toDF()
+  }
 }

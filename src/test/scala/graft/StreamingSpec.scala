@@ -204,4 +204,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("type")).toSeq == Seq("jetton_transfer"))
     assert(store.filter(col("trace_id") === "trX").count() == 1)
   }
+
+  test("streaming T6: pending classification through the incremental " +
+      "assembler, reclassified on finalize, equals batch; fan-out routes") {
+    import graft.classifier.ClassifyJob
+    import graft.plans.{ChainSim, TraceAssembly}
+    import graft.streaming.{IncrementalTraceAssembly, StreamOps}
+
+    val (txs, msgs) = ChainSim.simulate(spark, sf)
+    // split mid-chain: batch 1 = first half of each user's events by lt,
+    // so every multi-event trace is OPEN (dangling out-edge) after batch 1
+    val cut = txs.agg(expr("percentile_approx(lt, 0.5)")).head.getLong(0)
+    val txs1 = txs.filter(col("lt") <= cut).localCheckpoint()
+    val msgs1 = msgs.join(txs1.select(col("hash").as("tx_hash")),
+      Seq("tx_hash"), "left_semi").localCheckpoint()
+    val txs2 = txs.filter(col("lt") > cut).localCheckpoint()
+    val msgs2 = msgs.join(txs2.select(col("hash").as("tx_hash")),
+      Seq("tx_hash"), "left_semi").localCheckpoint()
+
+    val ita = new IncrementalTraceAssembly(spark, None)
+    val (_, doneTxs1, doneMsgs1) = ita.processBatchFull(txs1, msgs1)
+    val store1 = ClassifyJob.run(spark, doneTxs1, doneMsgs1).toDF()
+      .localCheckpoint()
+    val pending1 = ita.pendingActions().localCheckpoint()
+    assert(pending1.count() > 0, "mid-chain cut must leave open traces")
+
+    // S10 federation: finalized + pending visible together, distinguished
+    val federated = StreamOps.federate(store1, pending1)
+    assert(federated.filter(col("finality") === "pending").count() ==
+      pending1.count())
+
+    // live subscriptions over the federated view: a pending-tolerant
+    // subscriber scoped to one account vs a finalized-only subscriber
+    val acct = pending1.select("destination").filter(col("destination").isNotNull)
+      .head.getString(0)
+    val subPending = StreamOps.subscription(federated, "pending",
+      Seq(acct), accountCol = "destination")
+    val subFinal = StreamOps.subscription(federated, "finalized",
+      Seq(acct), accountCol = "destination")
+    assert(subPending.count() >=
+      pending1.filter(col("destination") === acct).count())
+    assert(subFinal.filter(col("finality") === "pending").count() == 0)
+
+    // batch 2 arrives: open traces complete; reclassify replaces their
+    // speculative actions wholesale (same trace_id — root tx is stable)
+    val (_, doneTxs2, doneMsgs2) = ita.processBatchFull(txs2, msgs2)
+    val final2 = ClassifyJob.run(spark, doneTxs2, doneMsgs2).toDF()
+    val store = ClassifyJob.reclassify(
+      existingActions = store1.unionByName(pending1), newActions = final2)
+
+    // equivalence: the reclassified store == one-shot batch classification
+    val (_, _, txwAll) = TraceAssembly.assemble(txs, msgs)
+    val batch = ClassifyJob.run(spark, txwAll, msgs).toDF()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("trace_id", "action_id", "type", "start_lt", "end_lt")
+      .collect().map(_.toSeq).toSet
+    assert(key(store) == key(batch),
+      s"reclassified store ${store.count()} != batch ${batch.count()}")
+  }
 }
