@@ -126,6 +126,15 @@ object Matching {
       * consumedBlocks) on success. Consumed must include `b`. */
     def tryBuild(b: Block): Option[(Block, Seq[Block])]
 
+    /** Multi-block form — the reference's `return new_blocks` capability
+      * (build_block returning a list, e.g. NominatorPoolWithdrawMatcher
+      * emitting one block per payout transfer, staking.py:383-410). The
+      * head is replaced by ALL returned blocks as siblings, in order;
+      * surviving children of consumed blocks are adopted by the first.
+      * Default delegates to the single-block form. */
+    def tryBuildAll(b: Block): Option[(Seq[Block], Seq[Block])] =
+      tryBuild(b).map { case (nb, c) => (Seq(nb), c) }
+
     /** Opcodes that must ALL be present among the trace's in-messages for
       * this matcher to possibly fire; None = always sweep. The rewrite
       * engine computes the trace's opcode set once and skips matchers
@@ -163,14 +172,14 @@ object Matching {
         // identity-keyed structures throughout: tree nodes are unique
         // object instances, and case-class equality would recompute deep
         // subtree hashes on every membership test (O(N) per lookup)
-        val byHead = new java.util.IdentityHashMap[Block, Block]()
+        val byHead = new java.util.IdentityHashMap[Block, Seq[Block]]()
         val consumedSoFar = new java.util.IdentityHashMap[Block, Boolean]()
         current.bfs.drop(1).foreach { b =>
           if (!consumedSoFar.containsKey(b)) {
-            m.tryBuild(b) match {
-              case Some((nb, consumed))
-                if !consumed.exists(consumedSoFar.containsKey) =>
-                byHead.put(b, nb)
+            m.tryBuildAll(b) match {
+              case Some((nbs, consumed))
+                if nbs.nonEmpty && !consumed.exists(consumedSoFar.containsKey) =>
+                byHead.put(b, nbs)
                 consumed.foreach(consumedSoFar.put(_, true))
               case _ =>
             }
@@ -188,12 +197,17 @@ object Matching {
     * consumed blocks are adopted upward (compact_connections semantics,
     * core.py:232-268). */
   private def replaceAll(root: RootBlock,
-      byHead: java.util.IdentityHashMap[Block, Block],
+      byHead: java.util.IdentityHashMap[Block, Seq[Block]],
       consumed: java.util.IdentityHashMap[Block, Boolean]): RootBlock = {
     def walk(b: Block): Seq[Block] = {
       val built = byHead.get(b)
-      if (built != null)
-        Seq(built.withChildren(built.children ++ b.children.flatMap(walk)))
+      if (built != null) {
+        // surviving children of the consumed subtree attach to the first
+        // built block; later built blocks become its siblings
+        val first = built.head
+        first.withChildren(first.children ++ b.children.flatMap(walk)) +:
+          built.tail
+      }
       else if (consumed.containsKey(b)) b.children.flatMap(walk)
       else Seq(b.withChildren(b.children.flatMap(walk)))
     }
@@ -893,6 +907,315 @@ object ProtocolMatchers {
     }
   }
 
+  /** Interface name for an account from the broadcast interface map —
+    * values may carry extra data after '|' (e.g. 'nft_sale|<owner>'). */
+  private def ifaceOf(interfaces: Map[String, String],
+      account: Option[String]): Option[String] =
+    account.flatMap(interfaces.get).map { v =>
+      val sep = v.indexOf('|')
+      if (sep < 0) v else v.substring(0, sep)
+    }
+
+  /** Nominator pool deposit: a TON transfer with comment exactly 'd' into
+    * a nominator-pool contract (NominatorPoolDepositMatcher,
+    * blocks/staking.py:302-325 — interface gate 'NominatorPool'). */
+  final class NominatorPoolDepositMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case t: TonTransferBlock if t.comment.contains("d") =>
+        val msg = t.node.inMsg
+        ifaceOf(interfaces, msg.flatMap(_.destination))
+          .filter(_ == "nominator_pool").map { _ =>
+            (ProtocolOpBlock("nominator_pool_deposit",
+              msg.flatMap(_.source), msg.flatMap(_.destination),
+              asset = None, value = msg.map(m => BigDecimal(m.value)),
+              failed = t.failed, nodes = t.nodes, children = Nil), Seq(t))
+          }
+      case _ => None
+    }
+  }
+
+  /** Nominator pool withdraw request: comment 'w' into the pool; an
+    * immediate payout (1 transfer with value above the request carry, or
+    * 2 transfers — payout is the first by created_lt) is merged and sets
+    * payout_amount; otherwise the request stands alone with no amount
+    * (NominatorPoolWithdrawRequestMatcher, blocks/staking.py:328-381). */
+  final class NominatorPoolWithdrawRequestMatcher(
+      interfaces: Map[String, String]) extends BlockMatcher {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case t: TonTransferBlock if t.comment.contains("w") =>
+        val msg = t.node.inMsg
+        ifaceOf(interfaces, msg.flatMap(_.destination))
+          .filter(_ == "nominator_pool").map { _ =>
+            val transfers = t.children.collect { case c: TonTransferBlock => c }
+            val (payout, extra): (Option[BigDecimal], Seq[Block]) =
+              transfers match {
+                case Seq(one) =>
+                  val v = one.node.inMsg.map(m => BigDecimal(m.value))
+                  if (v.exists(_ > msg.map(m => BigDecimal(m.value))
+                      .getOrElse(BigDecimal(0))))
+                    (v, Seq(one))
+                  else (None, Seq(one))
+                case ts if ts.size == 2 =>
+                  val first = ts.minBy(_.node.inMsg.flatMap(_.createdLt)
+                    .getOrElse(Long.MaxValue))
+                  (first.node.inMsg.map(m => BigDecimal(m.value)),
+                    ts: Seq[Block])
+                case _ => (None, Nil)
+              }
+            val consumed = t +: extra
+            (ProtocolOpBlock("nominator_pool_withdraw_request",
+              msg.flatMap(_.source), msg.flatMap(_.destination),
+              asset = None, value = payout,
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+          }
+      case _ => None
+    }
+  }
+
+  /** Owner-initiated nominator pool withdrawals: process-withdraw-requests
+    * 0x2 into the pool emits ONE withdraw-request action PER payout
+    * transfer — the reference's multi-block build (NominatorPool
+    * WithdrawMatcher, staking.py:383-410); exercises tryBuildAll. */
+  final class NominatorPoolWithdrawMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.NominatorPoolProcessWithdrawRequests))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = None
+    override def tryBuildAll(b: Block): Option[(Seq[Block], Seq[Block])] =
+      b match {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode,
+            Opcodes.NominatorPoolProcessWithdrawRequests) =>
+          val pool = c.node.inMsg.flatMap(_.destination)
+          ifaceOf(interfaces, pool).filter(_ == "nominator_pool").flatMap { _ =>
+            val transfers = c.children.collect { case t: TonTransferBlock => t }
+            if (transfers.isEmpty) None
+            else Some((transfers.map { t =>
+              ProtocolOpBlock("nominator_pool_withdraw_request",
+                t.node.inMsg.flatMap(_.destination), pool,
+                asset = None,
+                value = t.node.inMsg.map(m => BigDecimal(m.value)),
+                failed = t.failed, nodes = t.nodes,
+                children = Nil): Block
+            }, c +: (transfers: Seq[Block])))
+          }
+        case _ => None
+      }
+  }
+
+  /** Getgems put-on-sale/auction: an NFT transfer to a listing account
+    * whose children are the sale-contract deploy (init) and a second NFT
+    * transfer of the SAME item whose new owner is that deployed contract;
+    * sale vs auction interface decides the action type
+    * (NftPutOnSaleBlockMatcher, blocks/auction.py:235-317). */
+  final class NftPutOnSaleMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.NftTransfer))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case listing: NftTransferBlock =>
+        val saleInit = listing.children.collectFirst {
+          case c: CallContractBlock
+            if c.children.exists(_.isInstanceOf[ContractDeployBlock]) => c
+          case t: TonTransferBlock
+            if t.children.exists(_.isInstanceOf[ContractDeployBlock]) => t
+        }
+        val result = for {
+          init <- saleInit
+          saleAddr <- init.nodes.head.inMsg.flatMap(_.destination)
+          iface <- ifaceOf(interfaces, Some(saleAddr))
+          btype <- iface match {
+            case "nft_sale" => Some("nft_put_on_sale")
+            case "nft_auction" => Some("nft_put_on_auction")
+            case _ => None
+          }
+          toSale <- listing.children.collectFirst {
+            case n: NftTransferBlock
+              if n.nftItem == listing.nftItem &&
+                n.newOwner.contains(saleAddr) => n
+          }
+        } yield {
+          val deploys = init.children.collect { case d: ContractDeployBlock => d }
+          val consumed: Seq[Block] = Seq(listing, init, toSale) ++ deploys
+          (ProtocolOpBlock(btype,
+            source = listing.oldOwner, destination = Some(saleAddr),
+            asset = Some(listing.nftItem), value = None,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+        result
+      case _ => None
+    }
+  }
+
+  /** Getgems cancel-sale: opcode 0x3 into a sale contract that returns
+    * the NFT (nft_transfer child survives as its own action — the
+    * reference merges only the cancel call, auction.py:359-380). */
+  final class NftCancelSaleMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.NftCancelSaleOp, Opcodes.NftTransfer))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.NftCancelSaleOp) &&
+          c.children.exists(_.isInstanceOf[NftTransferBlock]) =>
+        val sale = c.node.inMsg.flatMap(_.destination)
+        ifaceOf(interfaces, sale).filter(_ == "nft_sale").map { _ =>
+          (ProtocolOpBlock("nft_cancel_sale",
+            c.node.inMsg.flatMap(_.source), sale,
+            asset = c.children.collectFirst {
+              case n: NftTransferBlock => n.nftItem },
+            value = None, failed = c.failed, nodes = c.nodes,
+            children = Nil), Seq(c))
+        }
+      case _ => None
+    }
+  }
+
+  /** Getgems cancel/finish auction: 'cancel'/'finish'/'stop' comment or
+    * the corresponding opcodes into an auction contract returning the NFT;
+    * finish vs cancel picks the action type (NftCancelAuctionMatcher,
+    * auction.py:390-417). The returned transfer stays its own action. */
+  final class NftCancelAuctionMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    private val CancelComments = Set("cancel", "finish", "stop")
+    private val FinishOps = Set(Opcodes.AuctionStopOp, Opcodes.AuctionFinishOp)
+    private val AnchorOps =
+      FinishOps + Opcodes.AuctionCancelOp
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = {
+      val (anchorOk, isFinish, node) = b match {
+        case t: TonTransferBlock if t.comment.exists(CancelComments) =>
+          (true, t.comment.exists(Set("finish", "stop")), Some(t.node))
+        case c: CallContractBlock
+          if c.opcode.exists(op => AnchorOps.exists(Opcodes.matches(Some(op), _))) =>
+          (true, c.opcode.exists(op => FinishOps.exists(Opcodes.matches(Some(op), _))),
+            Some(c.node))
+        case _ => (false, false, None)
+      }
+      if (!anchorOk || !b.children.exists(_.isInstanceOf[NftTransferBlock]))
+        None
+      else {
+        val auction = node.flatMap(_.inMsg).flatMap(_.destination)
+        ifaceOf(interfaces, auction).filter(_ == "nft_auction").map { _ =>
+          (ProtocolOpBlock(
+            if (isFinish) "nft_finish_auction" else "nft_cancel_auction",
+            node.flatMap(_.inMsg).flatMap(_.source), auction,
+            asset = b.children.collectFirst {
+              case n: NftTransferBlock => n.nftItem },
+            value = None, failed = b.failed, nodes = b.nodes,
+            children = Nil), Seq(b))
+        }
+      }
+    }
+  }
+
+  /** Finish-auction over a completed purchase: finish/stop into the
+    * auction whose child is an nft_purchase (NftFinishAuctionMatcher,
+    * auction.py:419-446). Runs after NftPurchaseMatcher. */
+  final class NftFinishAuctionMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    private val FinishComments = Set("finish", "stop")
+    private val FinishOps = Set(Opcodes.AuctionStopOp, Opcodes.AuctionFinishOp)
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = {
+      val (anchorOk, node) = b match {
+        case t: TonTransferBlock if t.comment.exists(FinishComments) =>
+          (true, Some(t.node))
+        case c: CallContractBlock
+          if c.opcode.exists(op => FinishOps.exists(Opcodes.matches(Some(op), _))) =>
+          (true, Some(c.node))
+        case _ => (false, None)
+      }
+      val purchase = b.children.collectFirst {
+        case p: ProtocolOpBlock if p.btype == "nft_purchase" => p
+      }
+      (anchorOk, purchase) match {
+        case (true, Some(p)) =>
+          val auction = node.flatMap(_.inMsg).flatMap(_.destination)
+          ifaceOf(interfaces, auction).filter(_ == "nft_auction").map { _ =>
+            (ProtocolOpBlock("nft_finish_auction",
+              node.flatMap(_.inMsg).flatMap(_.source), auction,
+              asset = p.asset, value = None,
+              failed = b.failed, nodes = b.nodes, children = Nil), Seq(b))
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Teleitem cancel-auction 0x371638ae into a teleitem NFT, optional ok
+    * 0xa37a0983 child (TeleitemCancelAuctionMatcher, auction.py:510-543). */
+  final class TeleitemCancelAuctionMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.TeleitemCancelAuction))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.TeleitemCancelAuction) =>
+        val item = c.node.inMsg.flatMap(_.destination)
+        ifaceOf(interfaces, item).filter(_ == "teleitem").map { _ =>
+          val ok = c.children.collect {
+            case okc: CallContractBlock
+              if Opcodes.matches(okc.opcode, Opcodes.TeleitemOk) => okc
+          }
+          val consumed: Seq[Block] = c +: ok
+          (ProtocolOpBlock("teleitem_cancel_auction",
+            c.node.inMsg.flatMap(_.source), item,
+            asset = item, value = None,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** Getgems sale-terms update 0x6c6c2080 into a sale contract
+    * (UpdateSaleMatcher, auction.py:642-667). */
+  final class UpdateSaleMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.SaleUpdate))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.SaleUpdate) =>
+        val sale = c.node.inMsg.flatMap(_.destination)
+        ifaceOf(interfaces, sale).filter(_ == "nft_sale").map { _ =>
+          (ProtocolOpBlock("nft_update_sale",
+            c.node.inMsg.flatMap(_.source), sale,
+            asset = None, value = None,
+            failed = c.failed, nodes = c.nodes, children = Nil), Seq(c))
+        }
+      case _ => None
+    }
+  }
+
+  /** DNS auction purchase: a fill-up from a DNS-item NFT under any call —
+    * after AuctionBidMatcher rewrote the fill-up into auction_bid, the
+    * bid whose source is a dns_item becomes dns_purchase under its intact
+    * parent (DnsPurchaseMatcher, auction.py:545-586; new owner = the
+    * parent call's source, price = the fill-up value). */
+  final class DnsPurchaseMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.AuctionFillUp))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case parent: CallContractBlock =>
+        parent.children.collectFirst {
+          case bid: ProtocolOpBlock
+            if bid.btype == "auction_bid" &&
+              ifaceOf(interfaces, bid.source).contains("dns_item") => bid
+        }.map { bid =>
+          val purchase = ProtocolOpBlock("dns_purchase",
+            source = parent.node.inMsg.flatMap(_.source), // the new owner
+            destination = bid.source, // the dns item
+            asset = bid.source, value = bid.value,
+            failed = bid.failed, nodes = bid.nodes, children = Nil)
+          (parent.copy(children = Seq(purchase)), Seq(parent, bid))
+        }
+      case _ => None
+    }
+  }
+
   /** Auction outbid — second-pass over auction_bid: the auction returns
     * the previous bid with the canonical outbid comment
     * (blocks/auction.py:133-171). The reference merges ONLY the outbid
@@ -982,6 +1305,135 @@ object ProtocolMatchers {
           (ProtocolOpBlock("layerzero_send_tokens",
             source = jt.sender, destination = jt.receiver,
             asset = Some(jt.senderWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** TONCO v3 liquidity deposit — second-pass composite over the input
+    * jetton transfer: fund-account 0x4468de77 → add-liquidity 0x3ebe5431,
+    * optionally completed by the pool mint-and-refund 0x81702ef8 carrying
+    * the position-NFT mint (ToncoDepositLiquidityMatcher,
+    * blocks/liquidity.py:928-1062; the PTon input variant anchors the
+    * same chain on a pTON notify instead of a jetton transfer). */
+  object ToncoDepositLiquidityMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.ToncoPoolV3FundAccount,
+        Opcodes.ToncoAccountV3AddLiquidity))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        val fund = jt.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.ToncoPoolV3FundAccount) => c
+        }
+        val addLiq = fund.flatMap(_.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.ToncoAccountV3AddLiquidity) => c
+        })
+        (fund, addLiq) match {
+          case (Some(f), Some(a)) =>
+            val mintCall = a.children.collectFirst {
+              case c: CallContractBlock
+                if Opcodes.matches(c.opcode, Opcodes.ToncoPoolV3MintAndRefund) => c
+            }
+            val mintTail = mintCall.toSeq.flatMap { mc =>
+              mc +: mc.children.collect {
+                case p: ProtocolOpBlock if p.btype == "nft_mint" => p: Block
+                case d: ContractDeployBlock => d: Block
+                case c: CallContractBlock
+                  if Opcodes.matches(c.opcode, Opcodes.Excesses) ||
+                    Opcodes.matches(c.opcode, Opcodes.ToncoRouterV3PayTo) =>
+                  c: Block
+              }
+            }
+            val consumed: Seq[Block] = Seq(jt, f, a) ++ mintTail
+            Some((ProtocolOpBlock("tonco_deposit_liquidity",
+              source = jt.sender,
+              destination = f.node.inMsg.flatMap(_.destination),
+              asset = Some(jt.senderWallet), value = Some(jt.amount),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil,
+              dex = Some("tonco")), consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** tgBTC FULL mint chain: the mint-call tail 0xe42a879b must carry both
+    * the success log AND the minted-jetton block (TgBTCMintBlockMatcher,
+    * blocks/tgbtc.py:54-115). Runs after JettonMintMatcher; the log-only
+    * matchers stay as fallbacks for partial traces. */
+  object TgbtcMintFullMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.TgbtcMintCall, Opcodes.TgbtcMint))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.TgbtcMintCall) =>
+        val log = c.children.collectFirst {
+          case l: CallContractBlock
+            if Opcodes.matches(l.opcode, Opcodes.TgbtcMint) => l
+        }
+        val mint = c.children.collectFirst { case m: JettonMintBlock => m }
+        (log, mint) match {
+          case (Some(l), Some(m)) =>
+            val consumed: Seq[Block] = Seq(c, l, m)
+            Some((ProtocolOpBlock("tgbtc_mint",
+              c.node.inMsg.flatMap(_.source), m.receiver,
+              asset = Some(m.receiverWallet), value = Some(m.amount),
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** tgBTC FULL burn chain: a jetton_burn whose notification tail
+    * (burn-notification or 0x587643a2) carries the burn event log, plus
+    * the optional teleport call 0xbe44e7a6 with its auxiliaries
+    * (TgBTCBurnBlockMatcher, blocks/tgbtc.py:179-268). Second-pass over
+    * JettonBurnBlock — the burn matcher consumed the notification, so the
+    * log chain hangs off the burn block's children. */
+  object TgbtcBurnFullMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JettonBurn, Opcodes.TgbtcBurn))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jb: JettonBurnBlock =>
+        // the log may be a direct child (notification consumed) or under
+        // a surviving 0x587643a2 / teleport 0xbe44e7a6 call
+        def findLog(under: Seq[Block]): Option[(CallContractBlock, Seq[Block])] =
+          under.collectFirst {
+            case l: CallContractBlock
+              if Opcodes.matches(l.opcode, Opcodes.TgbtcBurn) => (l, Nil)
+          }.orElse(under.collectFirst {
+            case mid: CallContractBlock
+              if (Opcodes.matches(mid.opcode, Opcodes.TgbtcBurnAux2) ||
+                Opcodes.matches(mid.opcode, Opcodes.TgbtcBurnCall)) &&
+                mid.children.exists {
+                  case l: CallContractBlock =>
+                    Opcodes.matches(l.opcode, Opcodes.TgbtcBurn)
+                  case _ => false
+                } =>
+              val l = mid.children.collectFirst {
+                case l: CallContractBlock
+                  if Opcodes.matches(l.opcode, Opcodes.TgbtcBurn) => l
+              }.get
+              (l, Seq(mid: Block))
+          })
+        findLog(jb.children).map { case (log, mids) =>
+          val aux = (jb.children ++ mids.flatMap(_.children)).collect {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.TgbtcBurnCall) ||
+                Opcodes.matches(c.opcode, Opcodes.TgbtcBurnAux1) => c: Block
+          }
+          val consumed: Seq[Block] =
+            (Seq(jb: Block, log: Block) ++ mids ++ aux).distinct
+          (ProtocolOpBlock("tgbtc_burn",
+            jb.owner, None, asset = Some(jb.ownerWallet),
+            value = Some(jb.amount),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
         }
@@ -1240,9 +1692,13 @@ object ProtocolMatchers {
       AuctionOutbidMatcher, NftDiscoveryMatcher,
       JvaultStakeMatcher, JvaultUnstakeMatcher,
       JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
+      // full tgBTC chains first; the event-anchored matchers below stay
+      // as log-only fallbacks for partial traces (blocks/tgbtc.py:335-452)
+      TgbtcMintFullMatcher, TgbtcBurnFullMatcher,
       TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
       TgbtcDkgLogMatcher, ToncoSwapMatcher,
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
+      ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
       CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
@@ -1266,5 +1722,17 @@ object ProtocolMatchers {
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
     if (interfaces.isEmpty) registry
     else registry ++ Seq(new NftMintMatcher(interfaces),
-      new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces))
+      new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
+      new NominatorPoolDepositMatcher(interfaces),
+      new NominatorPoolWithdrawRequestMatcher(interfaces),
+      new NominatorPoolWithdrawMatcher(interfaces),
+      new NftPutOnSaleMatcher(interfaces),
+      new NftCancelSaleMatcher(interfaces),
+      new NftCancelAuctionMatcher(interfaces),
+      new UpdateSaleMatcher(interfaces),
+      // finish-over-purchase needs NftPurchaseMatcher's output
+      new NftFinishAuctionMatcher(interfaces),
+      new TeleitemCancelAuctionMatcher(interfaces),
+      // dns purchase rewrites auction_bid blocks (AuctionBidMatcher ran)
+      new DnsPurchaseMatcher(interfaces))
 }

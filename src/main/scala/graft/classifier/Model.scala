@@ -148,11 +148,34 @@ object Opcodes {
   val JvaultClaim = 0x78d9f109L
   val JvaultSendClaimedRewards = 0x44bc1fe3L
 
-  // tgBTC bridge events (messages/tgbtc.py:20-82)
+  // tgBTC bridge events (messages/tgbtc.py:20-82) and the full-chain
+  // anchor calls with their auxiliaries (blocks/tgbtc.py:54-268)
   val TgbtcMint = 0x77a80ef3L
   val TgbtcBurn = 0xca444ce6L
   val TgbtcNewKey = 0x27756729L
   val TgbtcDkgCompleted = 0x453443a6L
+  val TgbtcMintCall = 0xe42a879bL
+  val TgbtcBurnCall = 0xbe44e7a6L
+  val TgbtcBurnAux1 = 0x1a84c0e0L
+  val TgbtcBurnAux2 = 0x587643a2L
+
+  // nominator pool (messages/staking.py:59-60; comment-anchored deposit
+  // 'd' / withdraw-request 'w', blocks/staking.py:302-410)
+  val NominatorPoolProcessWithdrawRequests = 0x00000002L
+
+  // getgems sale/auction lifecycle (blocks/auction.py:359-545)
+  val NftCancelSaleOp = 0x00000003L
+  val AuctionCancelOp = 0x5616c572L
+  val AuctionFinishOp = 0x20c9eb18L
+  val AuctionStopOp = 0xb95616b6L
+  val TeleitemCancelAuction = 0x371638aeL
+  val TeleitemOk = 0xa37a0983L
+  val SaleUpdate = 0x6c6c2080L
+
+  // TONCO v3 liquidity deposit chain (messages/liquidity.py:139,227,465)
+  val ToncoPoolV3FundAccount = 0x4468de77L
+  val ToncoAccountV3AddLiquidity = 0x3ebe5431L
+  val ToncoPoolV3MintAndRefund = 0x81702ef8L
 
   // TONCO v3 swap (messages/swaps.py:226,345)
   val ToncoPoolV3Swap = 0xa7fb58f8L

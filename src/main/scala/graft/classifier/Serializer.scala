@@ -116,7 +116,11 @@ object Serializer {
     "cocoon_proxy_payout", "cocoon_proxy_charge",
     "cocoon_register_proxy", "cocoon_unregister_proxy",
     "cocoon_client_change_secret_hash", "cocoon_client_increase_stake",
-    "cocoon_client_withdraw", "cocoon_client_request_refund")
+    "cocoon_client_withdraw", "cocoon_client_request_refund",
+    "nominator_pool_deposit", "nominator_pool_withdraw_request",
+    "nft_put_on_sale", "nft_cancel_sale", "nft_cancel_auction",
+    "nft_finish_auction", "teleitem_cancel_auction", "dns_purchase",
+    "nft_update_sale", "tonco_deposit_liquidity")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()

@@ -1,0 +1,256 @@
+package graft
+
+import graft.classifier._
+
+/** G6 long tail added in round 4: nominator pool (incl. the multi-block
+  * build), getgems sale/auction lifecycle, teleitem cancel, DNS purchase,
+  * TONCO liquidity deposit, full tgBTC chains. */
+class ProtocolLongTailSpec extends SparkSpec {
+
+  private def tx(hash: String, account: String, lt: Long): TxLite =
+    TxLite(hash, account, lt, lt.toInt, "active", "active", false, None, None,
+      0L, "ord")
+
+  private def in(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, body: Option[String] = None): MsgLite =
+    MsgLite(h, "in", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(1L), body)
+
+  private def out(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, createdLt: Long = 2L): MsgLite =
+    MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(createdLt), None)
+
+  private def commentBody(s: String): String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0), 32)
+      .storeBytes(s.getBytes("UTF-8"))
+      .build())
+  }
+
+  /** Real TEP-62 transfer body — new_owner travels in the payload. */
+  private def nftTransferBody(newOwner: String): String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5fcc3d14L), 32)
+      .storeUint(BigInt(7), 64)
+      .storeAddress(Some(newOwner))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(0))
+      .build())
+  }
+
+  test("nominator pool deposit: comment 'd' into a pool-interface account") {
+    val actions = Classifier.classify("np1",
+      Seq(tx("T1", "0:POOL", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:POOL", None,
+        body = Some(commentBody("d"))))),
+      interfaces = Map("0:POOL" -> "nominator_pool"))
+    assert(actions.map(_.`type`) == Seq("nominator_pool_deposit"))
+    assert(actions.head.source.contains("0:U"))
+    // without the interface it stays a plain transfer
+    val plain = Classifier.classify("np1p",
+      Seq(tx("T1", "0:POOL", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:POOL", None,
+        body = Some(commentBody("d"))))))
+    assert(plain.map(_.`type`) == Seq("ton_transfer"))
+  }
+
+  test("nominator pool withdraw request: 'w' + immediate payout merged") {
+    val txs = Seq(tx("T1", "0:POOL", 10), tx("T2", "0:U", 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:U", "0:POOL", None, value = 100,
+          body = Some(commentBody("w"))),
+        out("m2", "0:POOL", "0:U", None, value = 5000)),
+      "T2" -> Seq(in("m2", "0:POOL", "0:U", None, value = 5000)))
+    val actions = Classifier.classify("np2", txs, msgs,
+      interfaces = Map("0:POOL" -> "nominator_pool"))
+    assert(actions.map(_.`type`) == Seq("nominator_pool_withdraw_request"))
+    assert(actions.head.value.contains(BigDecimal(5000)))
+  }
+
+  test("owner-initiated pool withdrawals emit one action per payout " +
+      "(multi-block build, staking.py:383-410)") {
+    val txs = Seq(tx("T1", "0:POOL", 10),
+      tx("T2", "0:N1", 20), tx("T3", "0:N2", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:POOL",
+          Some(Opcodes.NominatorPoolProcessWithdrawRequests)),
+        out("m2", "0:POOL", "0:N1", None, value = 700),
+        out("m3", "0:POOL", "0:N2", None, value = 900, createdLt = 3L)),
+      "T2" -> Seq(in("m2", "0:POOL", "0:N1", None, value = 700)),
+      "T3" -> Seq(in("m3", "0:POOL", "0:N2", None, value = 900)))
+    val actions = Classifier.classify("np3", txs, msgs,
+      interfaces = Map("0:POOL" -> "nominator_pool"))
+    val reqs = actions.filter(_.`type` == "nominator_pool_withdraw_request")
+    assert(reqs.size == 2, s"got ${actions.map(_.`type`)}")
+    assert(reqs.flatMap(_.value).toSet == Set(BigDecimal(700), BigDecimal(900)))
+    assert(reqs.flatMap(_.source).toSet == Set("0:N1", "0:N2"))
+  }
+
+  test("getgems put-on-sale: listing transfer + sale deploy + transfer to " +
+      "sale collapse into nft_put_on_sale") {
+    // the TEP-62 body decoder emits canonical hex — the sale account must
+    // round-trip through storeAddress/loadAddress
+    val sale = "0:" + "AB" * 32
+    // owner -> nft (transfer to listing); listing deploys sale contract and
+    // transfers the nft to it
+    val txs = Seq(tx("T1", "0:NFT", 10), tx("T2", sale, 20),
+      tx("T3", "0:NFT", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:NFT", Some(Opcodes.NftTransfer)),
+        out("m2", "0:NFT", sale, None),
+        out("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer), createdLt = 3L)),
+      "T2" -> Seq(in("m2", "0:NFT", sale, None)),
+      "T3" -> Seq(in("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer),
+        body = Some(nftTransferBody(sale)))))
+    // T2 deploys the sale contract
+    val txs2 = txs.map(t => if (t.hash == "T2")
+      t.copy(origStatus = "uninit", endStatus = "active") else t)
+    val actions = Classifier.classify("ps1", txs2, msgs,
+      interfaces = Map(sale -> "nft_sale|0:OWNER"))
+    assert(actions.map(_.`type`).contains("nft_put_on_sale"),
+      s"got ${actions.map(_.`type`)}")
+    // auction interface flips the action type
+    val actions2 = Classifier.classify("ps2", txs2, msgs,
+      interfaces = Map(sale -> "nft_auction|0:OWNER"))
+    assert(actions2.map(_.`type`).contains("nft_put_on_auction"))
+  }
+
+  test("getgems cancel-sale keeps the returned nft_transfer as its own " +
+      "action (auction.py:359-380 merges only the cancel call)") {
+    val txs = Seq(tx("T1", "0:SALE", 10), tx("T2", "0:NFT", 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:SALE", Some(Opcodes.NftCancelSaleOp)),
+        out("m2", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer))),
+      "T2" -> Seq(in("m2", "0:SALE", "0:NFT", Some(Opcodes.NftTransfer))))
+    val actions = Classifier.classify("cs1", txs, msgs,
+      interfaces = Map("0:SALE" -> "nft_sale|0:OWNER"))
+    assert(actions.map(_.`type`).sorted == Seq("nft_cancel_sale", "nft_transfer"),
+      s"got ${actions.map(_.`type`)}")
+  }
+
+  test("auction finish via 'stop' comment → nft_finish_auction; 'cancel' " +
+      "→ nft_cancel_auction") {
+    def run(comment: String) = {
+      val txs = Seq(tx("T1", "0:AUC", 10), tx("T2", "0:NFT", 20))
+      val msgs = Map(
+        "T1" -> Seq(
+          in("m1", "0:OWNER", "0:AUC", None,
+            body = Some(commentBody(comment))),
+          out("m2", "0:AUC", "0:NFT", Some(Opcodes.NftTransfer))),
+        "T2" -> Seq(in("m2", "0:AUC", "0:NFT", Some(Opcodes.NftTransfer))))
+      Classifier.classify(s"ca_$comment", txs, msgs,
+        interfaces = Map("0:AUC" -> "nft_auction|0:OWNER"))
+    }
+    assert(run("stop").map(_.`type`).contains("nft_finish_auction"))
+    assert(run("cancel").map(_.`type`).contains("nft_cancel_auction"))
+  }
+
+  test("sale-terms update into a sale contract becomes nft_update_sale") {
+    val actions = Classifier.classify("us1",
+      Seq(tx("T1", "0:SALE", 10)),
+      Map("T1" -> Seq(in("m1", "0:OWNER", "0:SALE", Some(Opcodes.SaleUpdate)))),
+      interfaces = Map("0:SALE" -> "nft_sale|0:OWNER"))
+    assert(actions.map(_.`type`) == Seq("nft_update_sale"))
+  }
+
+  test("teleitem cancel-auction consumes the ok reply") {
+    val txs = Seq(tx("T1", "0:ITEM", 10), tx("T2", "0:OWNER", 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:ITEM", Some(Opcodes.TeleitemCancelAuction)),
+        out("m2", "0:ITEM", "0:OWNER", Some(Opcodes.TeleitemOk))),
+      "T2" -> Seq(in("m2", "0:ITEM", "0:OWNER", Some(Opcodes.TeleitemOk))))
+    val actions = Classifier.classify("tc1", txs, msgs,
+      interfaces = Map("0:ITEM" -> "teleitem"))
+    assert(actions.map(_.`type`) == Seq("teleitem_cancel_auction"))
+  }
+
+  test("dns purchase: fill-up from a dns item under a claim call becomes " +
+      "dns_purchase with the claimer as new owner") {
+    val txs = Seq(tx("T1", "0:DNSITEM", 10), tx("T2", "0:BENEF", 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:CLAIMER", "0:DNSITEM", Some(0x123456L)),
+        out("m2", "0:DNSITEM", "0:BENEF", Some(Opcodes.AuctionFillUp),
+          value = 77777)),
+      "T2" -> Seq(in("m2", "0:DNSITEM", "0:BENEF", Some(Opcodes.AuctionFillUp),
+        value = 77777)))
+    val actions = Classifier.classify("dp1", txs, msgs,
+      interfaces = Map("0:DNSITEM" -> "dns_item"))
+    val types = actions.map(_.`type`)
+    assert(types.contains("dns_purchase"), s"got $types")
+    assert(!types.contains("auction_bid"), s"bid must be rewritten: $types")
+    val p = actions.find(_.`type` == "dns_purchase").get
+    assert(p.source.contains("0:CLAIMER"))
+    assert(p.value.contains(BigDecimal(77777)))
+  }
+
+  test("tonco liquidity deposit: jetton transfer -> fund-account -> " +
+      "add-liquidity collapses into tonco_deposit_liquidity") {
+    val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TF", "0:POOL", 30), tx("TA", "0:ACC", 40))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:POOL", Some(Opcodes.ToncoPoolV3FundAccount))),
+      "TF" -> Seq(
+        in("m3", "0:WB", "0:POOL", Some(Opcodes.ToncoPoolV3FundAccount)),
+        out("m4", "0:POOL", "0:ACC", Some(Opcodes.ToncoAccountV3AddLiquidity))),
+      "TA" -> Seq(in("m4", "0:POOL", "0:ACC",
+        Some(Opcodes.ToncoAccountV3AddLiquidity))))
+    val actions = Classifier.classify("tl1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("tonco_deposit_liquidity"),
+      s"got ${actions.map(_.`type`)}")
+  }
+
+  test("full tgBTC mint chain consumes the success log and the minted " +
+      "jettons; bare event still falls back to log-only") {
+    val txs = Seq(tx("T1", "0:TEL", 10), tx("T2", "0:LOG", 20),
+      tx("T3", "0:JW", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:BTC", "0:TEL", Some(Opcodes.TgbtcMintCall)),
+        out("m2", "0:TEL", "0:LOG", Some(Opcodes.TgbtcMint)),
+        out("m3", "0:TEL", "0:JW", Some(Opcodes.JettonInternalTransfer),
+          createdLt = 3L)),
+      "T2" -> Seq(in("m2", "0:TEL", "0:LOG", Some(Opcodes.TgbtcMint))),
+      "T3" -> Seq(in("m3", "0:TEL", "0:JW",
+        Some(Opcodes.JettonInternalTransfer))))
+    val actions = Classifier.classify("tg1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("tgbtc_mint"),
+      s"got ${actions.map(_.`type`)}")
+    // log-only fallback: partial trace with just the event
+    val partial = Classifier.classify("tg2",
+      Seq(tx("T2", "0:LOG", 20)),
+      Map("T2" -> Seq(in("m2", "0:TEL", "0:LOG", Some(Opcodes.TgbtcMint)))))
+    assert(partial.map(_.`type`) == Seq("tgbtc_mint"))
+  }
+
+  test("full tgBTC burn chain: jetton burn with the event log in its " +
+      "notification tail") {
+    val txs = Seq(tx("TW", "0:JW", 10), tx("TM", "0:MASTER", 20),
+      tx("TL", "0:LOG", 30))
+    val msgs = Map(
+      "TW" -> Seq(
+        in("m1", "0:OWNER", "0:JW", Some(Opcodes.JettonBurn)),
+        out("m2", "0:JW", "0:MASTER", Some(Opcodes.JettonBurnNotification))),
+      "TM" -> Seq(
+        in("m2", "0:JW", "0:MASTER", Some(Opcodes.JettonBurnNotification)),
+        out("m3", "0:MASTER", "0:LOG", Some(Opcodes.TgbtcBurn))),
+      "TL" -> Seq(in("m3", "0:MASTER", "0:LOG", Some(Opcodes.TgbtcBurn))))
+    val actions = Classifier.classify("tb1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("tgbtc_burn"),
+      s"got ${actions.map(_.`type`)}")
+  }
+}
