@@ -92,7 +92,11 @@ case class JettonBurnBlock(
 case class NftTransferBlock(
     oldOwner: Option[String], newOwner: Option[String], nftItem: String,
     failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
-    decoded: Option[graft.functions.TlbDecoders.NftTransferBody] = None)
+    decoded: Option[graft.functions.TlbDecoders.NftTransferBody] = None,
+    // fragment/marketplace purchase detail (TelegramNftPurchase path)
+    isPurchase: Option[Boolean] = None,
+    price: Option[BigDecimal] = None,
+    marketplace: Option[String] = None)
   extends Block {
   val btype = "nft_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

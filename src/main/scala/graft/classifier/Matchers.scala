@@ -693,9 +693,54 @@ object ProtocolMatchers {
     * action type 'dex_deposit_liquidity'). */
   val DedustDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.DedustDepositTonToVault, None,
-    Set(Opcodes.DedustDeployDepositContract, Opcodes.DedustTopUpDepositContract,
+    Set(Opcodes.DedustAskLiquidityFactory, Opcodes.DedustDeployDepositContract,
+      Opcodes.DedustTopUpDepositContract,
       Opcodes.DedustDepositToPool, Opcodes.Excesses),
-    protoBlock("dex_deposit_liquidity"))
+    (c, consumed) => protoBlock("dex_deposit_liquidity")(c, consumed) match {
+      case p: ProtocolOpBlock => p.copy(dex = Some("dedust"))
+      case other => other
+    })
+
+  /** DeDust FIRST-asset deposit, jetton side: the wallet-chain notify
+    * reaches the factory ask 0xf04ec526 which deploys/tops-up the
+    * deposit contract (DedustDepositFirstAssetBlockMatcher,
+    * blocks/liquidity.py:413-471 — the partial deposit; the reference
+    * later merges partial+final per deposit contract in post-process).
+    * Second-pass over the rewritten jetton transfer. */
+  object DedustDepositFirstAssetMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.DedustAskLiquidityFactory))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case a: CallContractBlock
+            if Opcodes.matches(a.opcode, Opcodes.DedustAskLiquidityFactory) => a
+        }.map { ask =>
+          val tail = ask.children.collect {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.DedustDeployDepositContract) ||
+                Opcodes.matches(c.opcode, Opcodes.DedustTopUpDepositContract) ||
+                Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
+            case d: ContractDeployBlock => d: Block
+          }
+          val nested = tail.flatMap(_.children).collect {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.DedustTopUpDepositContract) ||
+                Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
+            case d: ContractDeployBlock => d: Block
+          }
+          val consumed: Seq[Block] = (Seq(jt, ask) ++ tail ++ nested).distinct
+          (ProtocolOpBlock("dex_deposit_liquidity",
+            source = jt.sender,
+            destination = ask.node.inMsg.flatMap(_.destination),
+            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            dex = Some("dedust")), consumed)
+        }
+      case _ => None
+    }
+  }
 
   /** StonFi provide-LP 0x37c096df (messages/liquidity.py:100). */
   val StonfiProvideLpMatcher: BlockMatcher = new OpcodeChainMatcher(
@@ -1165,6 +1210,102 @@ object ProtocolMatchers {
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
         }
+      case _ => None
+    }
+  }
+
+  /** Fragment (Telegram) NFT purchase: a BARE ownership_assigned — no
+    * preceding TEP-62 transfer — from an existing NFT, whose forward
+    * payload carries TeleitemBidInfo (TelegramNftPurchaseBlockMatcher,
+    * blocks/nft.py:299-364). Anchored at the PARENT when it is a
+    * ton_transfer or external call so the bid leg and the fill-up
+    * payouts (fee first by created_lt, then owner payout) are consumed;
+    * a mint parent (telemint 0x299a3e15 / nft_mint) flips is_purchase
+    * off, mirroring the reference. */
+  final class TelegramNftPurchaseMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.NftOwnershipAssigned))
+    private val Telemint = 0x299a3e15L
+
+    private def decodeOa(c: CallContractBlock) =
+      c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+        try Some(graft.functions.TlbDecoders.nftOwnershipAssigned(b64))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    private def nftItemOf(c: CallContractBlock): Option[String] =
+      c.node.inMsg.flatMap(_.source)
+        .filter(a => ifaceOf(interfaces, Some(a))
+          .exists(i => i == "teleitem" || i == "nft_item"))
+
+    private def build(oa: CallContractBlock, parent: Option[Block],
+        parentIsMint: Boolean): Option[(Block, Seq[Block])] =
+      for {
+        nft <- nftItemOf(oa)
+        body <- decodeOa(oa)
+      } yield {
+        // AuctionBidMatcher (base registry) has already rewritten fill-up
+        // calls into auction_bid blocks — accept either form
+        val payouts: Seq[Block] = parent.toSeq.flatMap(_.children)
+          .collect {
+            case p: CallContractBlock
+              if Opcodes.matches(p.opcode, Opcodes.AuctionFillUp) => p: Block
+            case p: ProtocolOpBlock if p.btype == "auction_bid" => p: Block
+          }.sortBy(_.nodes.headOption.flatMap(_.inMsg).flatMap(_.createdLt)
+            .getOrElse(Long.MaxValue))
+        val consumed: Seq[Block] =
+          (oa +: (parent.toSeq ++ payouts)).distinct
+        val purchase = body.bid.isDefined && !parentIsMint
+        (NftTransferBlock(
+          oldOwner = body.prevOwner,
+          newOwner = oa.node.inMsg.flatMap(_.destination),
+          nftItem = nft,
+          failed = consumed.exists(_.failed),
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          isPurchase = Some(purchase),
+          price = if (purchase) body.bid.map(BigDecimal(_)) else None,
+          marketplace = if (purchase) Some("fragment") else None), consumed)
+      }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      // parent-anchored: consume the bid leg + payouts
+      case t: TonTransferBlock =>
+        t.children.collectFirst {
+          case oa: CallContractBlock
+            if Opcodes.matches(oa.opcode, Opcodes.NftOwnershipAssigned) &&
+              nftItemOf(oa).isDefined => oa
+        }.flatMap(oa => build(oa, Some(t), parentIsMint = false))
+      case c: CallContractBlock
+        if c.node.inMsg.exists(_.source.isEmpty) ||
+          Opcodes.matches(c.opcode, Telemint) =>
+        c.children.collectFirst {
+          case oa: CallContractBlock
+            if Opcodes.matches(oa.opcode, Opcodes.NftOwnershipAssigned) &&
+              nftItemOf(oa).isDefined => oa
+        }.flatMap { oa =>
+          if (Opcodes.matches(c.opcode, Telemint))
+            // mint parent survives (rebuilt), purchase flag off
+            build(oa, None, parentIsMint = true).map { case (nb, _) =>
+              (c.copy(children = Seq(nb)), Seq(c: Block, oa: Block))
+            }
+          else build(oa, Some(c), parentIsMint = false)
+        }
+      // nft_mint parent (already rewritten): purchase flag off, mint kept
+      case p: ProtocolOpBlock if p.btype == "nft_mint" =>
+        p.children.collectFirst {
+          case oa: CallContractBlock
+            if Opcodes.matches(oa.opcode, Opcodes.NftOwnershipAssigned) &&
+              nftItemOf(oa).isDefined => oa
+        }.flatMap { oa =>
+          build(oa, None, parentIsMint = true).map { case (nb, _) =>
+            (p.copy(children = Seq(nb)), Seq(p: Block, oa: Block))
+          }
+        }
+      // orphan ownership_assigned (no eligible parent in the trace)
+      case oa: CallContractBlock
+        if Opcodes.matches(oa.opcode, Opcodes.NftOwnershipAssigned) =>
+        build(oa, None, parentIsMint = false)
       case _ => None
     }
   }
@@ -1686,7 +1827,8 @@ object ProtocolMatchers {
       MultisigExecuteMatcher, ChangeDnsMatcher, DnsReleaseMatcher,
       VestingSendMessageMatcher, VestingAddWhitelistMatcher,
       SubscribeMatcher, UnsubscribeMatcher,
-      DedustDepositLiquidityMatcher, StonfiProvideLpMatcher,
+      DedustDepositLiquidityMatcher, DedustDepositFirstAssetMatcher,
+      StonfiProvideLpMatcher,
       DexWithdrawLiquidityMatcher,
       TeleitemStartAuctionMatcher, AuctionBidMatcher,
       AuctionOutbidMatcher, NftDiscoveryMatcher,
@@ -1734,5 +1876,6 @@ object ProtocolMatchers {
       new NftFinishAuctionMatcher(interfaces),
       new TeleitemCancelAuctionMatcher(interfaces),
       // dns purchase rewrites auction_bid blocks (AuctionBidMatcher ran)
-      new DnsPurchaseMatcher(interfaces))
+      new DnsPurchaseMatcher(interfaces),
+      new TelegramNftPurchaseMatcher(interfaces))
 }

@@ -135,6 +135,7 @@ object Opcodes {
   val DedustDeployDepositContract = 0x9b3aa3faL
   val DedustTopUpDepositContract = 0x54240fe5L
   val DedustDepositToPool = 0xb56b9598L
+  val DedustAskLiquidityFactory = 0xf04ec526L
   val StonfiProvideLp = 0x37c096dfL
 
   // NFT auctions (messages/nft.py:105,137)

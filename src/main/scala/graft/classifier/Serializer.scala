@@ -186,12 +186,13 @@ object Serializer {
       },
       nft_transfer_data = b match {
         case n: NftTransferBlock => Some(NftTransferData(
-          is_purchase = None, price = None,
+          is_purchase = n.isPurchase, price = n.price,
           query_id = n.decoded.map(_.queryId.toString),
           custom_payload = None, forward_payload = None,
           forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
           response_destination = n.decoded.flatMap(_.responseDestination),
-          nft_item_index = None, marketplace = None, real_prev_owner = None))
+          nft_item_index = None, marketplace = n.marketplace,
+          real_prev_owner = None))
         // getgems purchase: is_purchase/price/marketplace detail
         // (_fill_nft_purchase_action, block_tree_serializer.py:235-258)
         case p: ProtocolOpBlock if p.btype == "nft_purchase" =>

@@ -25,6 +25,30 @@ object TlbDecoders {
       queryId: BigInt, newOwner: Option[String],
       responseDestination: Option[String], forwardAmount: BigInt)
 
+  /** ownership_assigned#05138d91 query_id:uint64 prev_owner:MsgAddress
+    * forward_payload:(Either Cell ^Cell); a 0x38127de1 payload carries
+    * TeleitemBidInfo {bid:Coins bid_ts:uint32} — the fragment purchase
+    * marker (messages/nft.py:7-33,57-74). */
+  final case class OwnershipAssignedBody(
+      queryId: BigInt, prevOwner: Option[String], bid: Option[BigInt])
+
+  def nftOwnershipAssigned(bodyB64: String): OwnershipAssignedBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x05138d91L)
+    val queryId = s.loadUint(64)
+    val prevOwner = s.loadAddress()
+    val payload =
+      if (s.remainingBits < 1) None
+      else if (s.loadBit()) Some(s.loadRef().beginParse())
+      else Some(s)
+    val bid = payload.flatMap { p =>
+      if (p.remainingBits < 32) None
+      else if (p.loadUint(32).toLong == 0x38127de1L) Some(p.loadCoins())
+      else None
+    }
+    OwnershipAssignedBody(queryId, prevOwner, bid)
+  }
+
   private def expectOpcode(s: Slice, op: Long): Unit = {
     val got = s.loadUint(32).toLong
     require(got == op, f"opcode 0x$got%08x != expected 0x$op%08x")

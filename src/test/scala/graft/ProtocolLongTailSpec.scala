@@ -153,6 +153,71 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(run("cancel").map(_.`type`).contains("nft_cancel_auction"))
   }
 
+  /** NftOwnershipAssigned body with an optional TeleitemBidInfo payload. */
+  private def oaBody(prevOwner: String, bid: Option[Long]): String = {
+    import graft.functions.Boc
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x05138d91L), 32)
+      .storeUint(BigInt(3), 64)
+      .storeAddress(Some(prevOwner))
+    bid match {
+      case Some(v) =>
+        b.storeBit(false) // payload inline
+          .storeUint(BigInt(0x38127de1L), 32)
+          .storeCoins(BigInt(v))
+          .storeUint(BigInt(1700000000L), 32)
+      case None => b.storeBit(false)
+    }
+    Boc.serializeBase64(b.build())
+  }
+
+  test("fragment purchase: bare ownership_assigned with TeleitemBidInfo " +
+      "consumes the bid leg and payouts; price = the bid") {
+    val prev = "0:" + "CD" * 32
+    val txs = Seq(tx("T1", "0:ITEM", 10), tx("T2", "0:BUYER", 20),
+      tx("T3", "0:FEE", 30), tx("T4", "0:SELLER", 40))
+    val msgs = Map(
+      // external bid into the teleitem
+      "T1" -> Seq(
+        in("m1", null, "0:ITEM", None, value = 500000),
+        out("m2", "0:ITEM", "0:BUYER", Some(Opcodes.NftOwnershipAssigned)),
+        out("m3", "0:ITEM", "0:FEE", Some(Opcodes.AuctionFillUp),
+          value = 100, createdLt = 3L),
+        out("m4", "0:ITEM", "0:SELLER", Some(Opcodes.AuctionFillUp),
+          value = 400000, createdLt = 4L)),
+      "T2" -> Seq(in("m2", "0:ITEM", "0:BUYER",
+        Some(Opcodes.NftOwnershipAssigned),
+        body = Some(oaBody(prev, Some(450000L))))),
+      "T3" -> Seq(in("m3", "0:ITEM", "0:FEE", Some(Opcodes.AuctionFillUp),
+        value = 100)),
+      "T4" -> Seq(in("m4", "0:ITEM", "0:SELLER", Some(Opcodes.AuctionFillUp),
+        value = 400000)))
+    // T1's in-msg source null => ton_transfer (ext) parent block
+    val actions = Classifier.classify("fp1", txs, msgs,
+      interfaces = Map("0:ITEM" -> "teleitem"))
+    assert(actions.map(_.`type`) == Seq("nft_transfer"),
+      s"got ${actions.map(_.`type`)}")
+    val a = actions.head
+    assert(a.nft_transfer_data.flatMap(_.is_purchase).contains(true))
+    assert(a.nft_transfer_data.flatMap(_.price).contains(BigDecimal(450000)))
+    assert(a.nft_transfer_data.flatMap(_.marketplace).contains("fragment"))
+    assert(a.source.contains(prev)) // prev owner from the decoded body
+    assert(a.destination.contains("0:BUYER"))
+  }
+
+  test("fragment ownership_assigned without bid payload is not a purchase") {
+    val prev = "0:" + "CD" * 32
+    val actions = Classifier.classify("fp2",
+      Seq(tx("T2", "0:BUYER", 20)),
+      Map("T2" -> Seq(in("m2", "0:ITEM", "0:BUYER",
+        Some(Opcodes.NftOwnershipAssigned),
+        body = Some(oaBody(prev, None))))),
+      interfaces = Map("0:ITEM" -> "teleitem"))
+    assert(actions.map(_.`type`) == Seq("nft_transfer"))
+    assert(actions.head.nft_transfer_data.flatMap(_.is_purchase)
+      .contains(false))
+  }
+
   test("sale-terms update into a sale contract becomes nft_update_sale") {
     val actions = Classifier.classify("us1",
       Seq(tx("T1", "0:SALE", 10)),
@@ -191,6 +256,28 @@ class ProtocolLongTailSpec extends SparkSpec {
     val p = actions.find(_.`type` == "dns_purchase").get
     assert(p.source.contains("0:CLAIMER"))
     assert(p.value.contains(BigDecimal(77777)))
+  }
+
+  test("dedust first-asset deposit: jetton chain -> factory ask -> deploy " +
+      "+ top-up collapses into a dedust dex_deposit_liquidity") {
+    val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TFACT", "0:FACT", 30), tx("TDEP", "0:DEPC", 40))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT" -> Seq(
+        in("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m4", "0:FACT", "0:DEPC",
+          Some(Opcodes.DedustDeployDepositContract))),
+      "TDEP" -> Seq(in("m4", "0:FACT", "0:DEPC",
+        Some(Opcodes.DedustDeployDepositContract))))
+    val actions = Classifier.classify("dd1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"),
+      s"got ${actions.map(_.`type`)}")
   }
 
   test("tonco liquidity deposit: jetton transfer -> fund-account -> " +
