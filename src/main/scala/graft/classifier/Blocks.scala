@@ -134,6 +134,7 @@ case class ProtocolOpBlock(
     failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
     dex: Option[String] = None,
     peerSwapCount: Int = 0,
+    peerSwaps: Seq[PeerSwapData] = Nil,
     tsNft: Option[String] = None,
     tokensBurnt: Option[BigDecimal] = None,
     tokensMinted: Option[BigDecimal] = None,

@@ -453,12 +453,29 @@ object ProtocolMatchers {
     Set(Opcodes.DedustSwapPeer, Opcodes.DedustSwapNotification,
       Opcodes.DedustPayout, Opcodes.DedustPayoutFromPool),
     (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
-      case p: ProtocolOpBlock => p.copy(dex = Some("dedust"),
-        peerSwapCount = consumed.count {
-          case cc: CallContractBlock =>
-            Opcodes.matches(cc.opcode, Opcodes.DedustSwapPeer)
-          case _ => false
-        })
+      case p: ProtocolOpBlock =>
+        // per-pool hops: decode every consumed swap notification body,
+        // ordered by lt (find_messages(...).sort(key=min_lt),
+        // blocks/swaps.py:547-564) — each becomes one peer_swaps entry
+        val hops = consumed.collect {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.DedustSwapNotification) => cc
+        }.sortBy(_.minLt).flatMap { cc =>
+          cc.node.inMsg.flatMap(_.body).flatMap { b64 =>
+            try {
+              val d = graft.functions.TlbDecoders.dedustSwapNotification(b64)
+              Some(PeerSwapData(Some(d.assetIn), Some(BigDecimal(d.amountIn)),
+                Some(d.assetOut), Some(BigDecimal(d.amountOut))))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+        p.copy(dex = Some("dedust"),
+          peerSwaps = hops,
+          peerSwapCount = consumed.count {
+            case cc: CallContractBlock =>
+              Opcodes.matches(cc.opcode, Opcodes.DedustSwapPeer)
+            case _ => false
+          })
       case other => other
     })
 

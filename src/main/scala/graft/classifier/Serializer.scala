@@ -210,10 +210,24 @@ object Serializer {
           dex_incoming_transfer = Some(dexTransfer(sw.inTransfer)),
           dex_outgoing_transfer = Some(dexTransfer(sw.outTransfer)),
           peer_swaps = Nil, min_out_amount = None))
+        // DeDust fills dex transfers from the first hop's `in` and the
+        // last hop's `out`; peer_swaps serialized only for multi-pool
+        // routes (blocks/swaps.py:655-677: peer_swaps if len>1 else [])
         case p: ProtocolOpBlock if p.btype == "jetton_swap" =>
-          Some(JettonSwapData(p.dex.getOrElse("unknown"), p.source, None, None,
-            Seq.fill(p.peerSwapCount)(PeerSwapData(None, None, None, None)),
-            None))
+          val hops = p.peerSwaps
+          Some(JettonSwapData(p.dex.getOrElse("unknown"), p.source,
+            dex_incoming_transfer = hops.headOption.map(h => DexTransferData(
+              h.amount_in, h.asset_in, source = p.source,
+              destination = p.destination, source_jetton_wallet = None,
+              destination_jetton_wallet = None)),
+            dex_outgoing_transfer = hops.lastOption.map(h => DexTransferData(
+              h.amount_out, h.asset_out, source = p.destination,
+              destination = p.source, source_jetton_wallet = None,
+              destination_jetton_wallet = None)),
+            peer_swaps =
+              if (hops.size > 1) hops
+              else Seq.fill(p.peerSwapCount)(PeerSwapData(None, None, None, None)),
+            min_out_amount = None))
         case _ => None
       },
       // provider 'liquid_staking' for TONStakers actions (overridable —

@@ -110,6 +110,45 @@ object TlbDecoders {
       s.loadUint(64), s.loadCoins(), s.loadAddress())
   }
 
+  /** DeDust Asset: 4-bit tag — native$0000 → "TON"; jetton$0001
+    * wc:uint8 account:bits256 → "wc:HEX64" (reference
+    * messages/swaps.py:41-48 load_asset). */
+  def loadDedustAsset(s: Slice): String = {
+    val kind = s.loadUint(4).toInt
+    if (kind == 0) "TON"
+    else {
+      val wc = s.loadUint(8).toInt
+      val addr = s.loadBytes(32)
+      s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}"
+    }
+  }
+
+  final case class DedustSwapNotificationBody(
+      assetIn: String, assetOut: String,
+      amountIn: BigInt, amountOut: BigInt,
+      sender: Option[String], refAddress: Option[String])
+
+  /** swap#9c610de3 asset_in:Asset asset_out:Asset amount_in:Coins
+    * amount_out:Coins ^[sender:MsgAddress ref:MsgAddress reserve0:Coins
+    * reserve1:Coins] — the per-pool DeDust swap notification whose hops,
+    * ordered by lt, form jetton_swap_data.peer_swaps (reference
+    * messages/swaps.py:81-94, blocks/swaps.py:547-564). */
+  def dedustSwapNotification(bodyB64: String): DedustSwapNotificationBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x9c610de3L)
+    val assetIn = loadDedustAsset(s)
+    val assetOut = loadDedustAsset(s)
+    val amountIn = s.loadCoins()
+    val amountOut = s.loadCoins()
+    val (sender, ref) =
+      if (s.remainingRefs > 0) {
+        val r = s.loadRef().beginParse()
+        (r.loadAddress(), r.loadAddress())
+      } else (None, None)
+    DedustSwapNotificationBody(assetIn, assetOut, amountIn, amountOut,
+      sender, ref)
+  }
+
   /** transfer#5fcc3d14 query_id:uint64 new_owner:MsgAddress
     * response_destination:MsgAddress custom_payload:(Maybe ^Cell)
     * forward_amount:(VarUInteger 16) */

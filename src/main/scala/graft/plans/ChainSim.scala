@@ -456,6 +456,118 @@ object ChainSim {
       .orderBy("start_lt", "type")
   }
 
+  /** b11 opcode mapping — the DeDust multi-hop swap detail path: click →
+    * DeDust swap 0xea06185d, view → swap notification 0x9c610de3 whose
+    * body is a REAL BOC (asset_in/out, amount_in/out per hop, reference
+    * messages/swaps.py:81-94) built with the engine's writer and decoded
+    * back inside the matcher into jetton_swap_data.peer_swaps. */
+  private def b11Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.DedustSwap))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.DedustSwapNotification))
+      .otherwise(lit(1L))
+
+  /** swap#9c610de3 asset_in:TON asset_out:jetton(0, user_id)
+    * amount_in:event_id amount_out:2*event_id ^[addr_none addr_none 0 0]
+    * — every field independently derivable by the oracle. */
+  private val dedustNotifyBocUdf = udf { (userId: Long, eventId: Long) =>
+    import graft.functions.Boc
+    val refCell = new Boc.Builder()
+      .storeUint(BigInt(0), 2).storeUint(BigInt(0), 2) // addr_none ×2
+      .storeCoins(BigInt(0)).storeCoins(BigInt(0)).build()
+    val raw = BigInt(userId).toByteArray.dropWhile(_ == 0)
+    val acct = Array.fill[Byte](32 - raw.length)(0) ++ raw
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x9c610de3L), 32)
+      .storeUint(BigInt(0), 4) // asset_in: native (TON)
+      .storeUint(BigInt(1), 4).storeUint(BigInt(0), 8).storeBytes(acct)
+      .storeCoins(BigInt(eventId))
+      .storeCoins(BigInt(2 * eventId))
+      .storeRef(refCell)
+      .build())
+  }
+
+  private def b11Bodies: Column =
+    when(col("event_type") === "view",
+      dedustNotifyBocUdf(col("user_id").cast("long"),
+        col("event_id").cast("long")))
+      .otherwise(lit(null).cast("string"))
+
+  /** Shared DuckDB CTE: segments = each non-view event plus its contiguous
+    * run of following views (the notification hops its swap consumes). */
+  private val dedustSegSql =
+    """WITH seg AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid,
+      |    sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, seg_id, min(fid) AS fid,
+      |    min(event_id) AS head_id, max(event_id) AS seg_end,
+      |    arg_min(event_type, event_id) AS head_type,
+      |    count(*) FILTER (WHERE event_type = 'view') AS nviews,
+      |    min(event_id) FILTER (WHERE event_type = 'view') AS first_view,
+      |    max(event_id) FILTER (WHERE event_type = 'view') AS last_view
+      |  FROM seg GROUP BY user_id, seg_id)""".stripMargin
+
+  /** Swap-level DeDust detail: dex_incoming_transfer = first hop's `in`,
+    * dex_outgoing_transfer = last hop's `out`, peer_swaps only for
+    * multi-pool routes (blocks/swaps.py:655-677) — every amount decoded
+    * from the notification BOCs by the matcher. */
+  val b11 = Q("b11_dedust_swap_amounts",
+    dedustSegSql +
+    """
+      |SELECT concat('T', fid) AS trace_id, head_id AS start_lt,
+      |  seg_end AS end_lt, first_view AS in_amount, 2 * last_view AS out_amount,
+      |  CASE WHEN nviews > 0 THEN 'TON' END AS asset_in,
+      |  CASE WHEN nviews > 0
+      |       THEN concat('0:', lpad(hex(user_id), 64, '0')) END AS asset_out,
+      |  CASE WHEN nviews > 1 THEN nviews ELSE 0 END AS n_hops
+      |FROM runs WHERE head_type = 'click'
+      |ORDER BY start_lt""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies)
+      .filter(col("type") === "jetton_swap")
+      .select(col("trace_id"), col("start_lt"), col("end_lt"),
+        col("jetton_swap_data.dex_incoming_transfer.amount").cast("long")
+          .as("in_amount"),
+        col("jetton_swap_data.dex_outgoing_transfer.amount").cast("long")
+          .as("out_amount"),
+        col("jetton_swap_data.dex_incoming_transfer.asset").as("asset_in"),
+        col("jetton_swap_data.dex_outgoing_transfer.asset").as("asset_out"),
+        size(col("jetton_swap_data.peer_swaps")).cast("long").as("n_hops"))
+      .orderBy("start_lt")
+  }
+
+  /** Hop-level DeDust detail: peer_swaps exploded — one row per pool
+    * notification in lt order, amounts/assets decoded from the BOC. */
+  val b12 = Q("b12_dedust_peer_swaps",
+    dedustSegSql +
+    """
+      |SELECT concat('T', r.fid) AS trace_id, r.head_id AS swap_lt,
+      |  row_number() OVER (PARTITION BY s.user_id, s.seg_id
+      |                     ORDER BY s.event_id) AS hop,
+      |  'TON' AS asset_in, s.event_id AS amount_in,
+      |  concat('0:', lpad(hex(s.user_id), 64, '0')) AS asset_out,
+      |  2 * s.event_id AS amount_out
+      |FROM seg s JOIN runs r
+      |  ON s.user_id = r.user_id AND s.seg_id = r.seg_id
+      |WHERE r.head_type = 'click' AND r.nviews > 1 AND s.event_type = 'view'
+      |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies)
+      .filter(col("type") === "jetton_swap")
+      .select(col("trace_id"), col("start_lt").as("swap_lt"),
+        posexplode(col("jetton_swap_data.peer_swaps")))
+      .select(col("trace_id"), col("swap_lt"),
+        (col("pos") + 1).cast("long").as("hop"),
+        col("col.asset_in").as("asset_in"),
+        col("col.amount_in").cast("long").as("amount_in"),
+        col("col.asset_out").as("asset_out"),
+        col("col.amount_out").cast("long").as("amount_out"))
+      .orderBy("swap_lt", "hop")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -476,5 +588,5 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12)
 }

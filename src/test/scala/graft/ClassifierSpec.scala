@@ -273,6 +273,72 @@ class ClassifierSpec extends SparkSpec {
     assert(actions.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
   }
 
+  private def dedustNotifyBody(amountIn: Long, amountOut: Long,
+      outAcct: Int): String = {
+    import graft.functions.Boc
+    val acct = Array.fill[Byte](31)(0) :+ outAcct.toByte
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x9c610de3L), 32)
+      .storeUint(BigInt(0), 4) // asset_in: TON
+      .storeUint(BigInt(1), 4).storeUint(BigInt(0), 8).storeBytes(acct)
+      .storeCoins(BigInt(amountIn)).storeCoins(BigInt(amountOut))
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 2).storeUint(BigInt(0), 2)
+        .storeCoins(BigInt(0)).storeCoins(BigInt(0)).build())
+      .build())
+  }
+
+  test("dedust multi-hop swap decodes notification bodies into peer_swaps " +
+      "(blocks/swaps.py:547-564,655-677)") {
+    val body1 = dedustNotifyBody(1000, 2000, 7)
+    val body2 = dedustNotifyBody(2000, 3000, 8)
+    val txs = Seq(tx("T1", "0:POOL", 10), tx("T2", "0:POOL2", 20),
+      tx("T3", "0:POOL3", 30))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:U", "0:POOL", Some(Opcodes.DedustSwap)),
+        out("m2", "0:POOL", "0:POOL2", Some(Opcodes.DedustSwapNotification))),
+      "T2" -> Seq(
+        MsgLite("m2", "in", Some("0:POOL"), Some("0:POOL2"), 100,
+          Some(Opcodes.DedustSwapNotification), bounce = false,
+          bounced = false, Some(1L), Some(body1)),
+        out("m3", "0:POOL2", "0:POOL3", Some(Opcodes.DedustSwapNotification))),
+      "T3" -> Seq(
+        MsgLite("m3", "in", Some("0:POOL2"), Some("0:POOL3"), 100,
+          Some(Opcodes.DedustSwapNotification), bounce = false,
+          bounced = false, Some(2L), Some(body2))))
+    val actions = Classifier.classify("sw4", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"))
+    val sd = actions.head.jetton_swap_data.get
+    assert(sd.dex == "dedust")
+    // hops ordered by lt; asset strings in the engine's wc:HEX64 form
+    assert(sd.peer_swaps.map(_.amount_in.get.toLong) == Seq(1000L, 2000L))
+    assert(sd.peer_swaps.map(_.amount_out.get.toLong) == Seq(2000L, 3000L))
+    assert(sd.peer_swaps.head.asset_in.contains("TON"))
+    assert(sd.peer_swaps.head.asset_out.get.endsWith("07"))
+    // dex transfers: first hop's in / last hop's out
+    assert(sd.dex_incoming_transfer.get.amount.contains(BigDecimal(1000)))
+    assert(sd.dex_outgoing_transfer.get.amount.contains(BigDecimal(3000)))
+    assert(sd.dex_outgoing_transfer.get.asset.get.endsWith("08"))
+  }
+
+  test("dedust single-hop swap fills dex transfers but serializes no " +
+      "peer_swaps (len>1 rule, blocks/swaps.py:677)") {
+    val body = dedustNotifyBody(500, 900, 5)
+    val txs = Seq(tx("T1", "0:POOL", 10), tx("T2", "0:POOL2", 20))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:U", "0:POOL", Some(Opcodes.DedustSwap)),
+        out("m2", "0:POOL", "0:POOL2", Some(Opcodes.DedustSwapNotification))),
+      "T2" -> Seq(
+        MsgLite("m2", "in", Some("0:POOL"), Some("0:POOL2"), 100,
+          Some(Opcodes.DedustSwapNotification), bounce = false,
+          bounced = false, Some(1L), Some(body))))
+    val actions = Classifier.classify("sw5", txs, msgs)
+    val sd = actions.head.jetton_swap_data.get
+    assert(sd.peer_swaps.isEmpty)
+    assert(sd.dex_incoming_transfer.get.amount.contains(BigDecimal(500)))
+    assert(sd.dex_outgoing_transfer.get.amount.contains(BigDecimal(900)))
+  }
+
   test("tonstakers deposit without the mint transfer leg is failed " +
       "(staking.py:157-160)") {
     val dep = Classifier.classify("st1",
