@@ -178,6 +178,18 @@ object Schemas {
     f("provider", StringType), f("ts_nft", StringType),
     f("tokens_burnt", amount), f("tokens_minted", amount)))
 
+  /** nft_listing_details (database.py:341): getgems sale/auction listing
+    * terms parsed from the sale contract's deploy state init. */
+  val nftListingDetails: StructType = StructType(Seq(
+    f("nft_item_index", StringType),
+    f("full_price", amount), f("marketplace_fee", amount),
+    f("royalty_amount", amount),
+    f("marketplace_fee_address", StringType),
+    f("marketplace", StringType), f("royalty_address", StringType),
+    f("mp_fee_factor", amount), f("mp_fee_base", amount),
+    f("royalty_fee_base", amount),
+    f("max_bid", amount), f("min_bid", amount)))
+
   val actions: StructType = StructType(Seq(
     f("trace_id", StringType, nullable = false),
     f("action_id", StringType, nullable = false),
@@ -200,7 +212,8 @@ object Schemas {
     f("jetton_transfer_data", jettonTransferDetails),
     f("nft_transfer_data", nftTransferDetails),
     f("jetton_swap_data", jettonSwapDetails),
-    f("staking_data", stakingDetails)))
+    f("staking_data", stakingDetails),
+    f("nft_listing_data", nftListingDetails)))
 
   /** action_accounts — migrate.cpp:589-599: exploded (account × action)
     * fact whose PK is the pagination sort key. */

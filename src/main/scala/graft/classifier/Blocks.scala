@@ -138,7 +138,8 @@ case class ProtocolOpBlock(
     tsNft: Option[String] = None,
     tokensBurnt: Option[BigDecimal] = None,
     tokensMinted: Option[BigDecimal] = None,
-    provider: Option[String] = None) extends Block {
+    provider: Option[String] = None,
+    listing: Option[NftListingData] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

@@ -22,7 +22,8 @@ case class ClassifyInputRow(
       source: Option[String], destination: Option[String],
       value: Option[Long], opcode: Option[Long],
     bounce: Option[Boolean], bounced: Option[Boolean],
-    created_lt: Option[Long], body: Option[String])
+    created_lt: Option[Long], body: Option[String],
+    init_state: Option[String])
 
 object ClassifyJob {
 
@@ -46,7 +47,9 @@ object ClassifyJob {
         col("direction"), col("source"), col("destination"), col("value"),
         col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
         (if (messages.columns.contains("body")) col("body")
-         else lit(null).cast("string")).as("body")),
+         else lit(null).cast("string")).as("body"),
+        (if (messages.columns.contains("init_state")) col("init_state")
+         else lit(null).cast("string")).as("init_state")),
         Seq("hash"), "left")
       .as[ClassifyInputRow]
 
@@ -65,7 +68,7 @@ object ClassifyJob {
           h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
             r.source, r.destination, r.value.getOrElse(0L), r.opcode,
             r.bounce.getOrElse(false), r.bounced.getOrElse(false),
-            r.created_lt, r.body))
+            r.created_lt, r.body, r.init_state))
         }
       Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value).iterator
     }

@@ -1100,11 +1100,49 @@ object ProtocolMatchers {
         } yield {
           val deploys = init.children.collect { case d: ContractDeployBlock => d }
           val consumed: Seq[Block] = Seq(listing, init, toSale) ++ deploys
+          // get_sale_data / get_auction_data over the deploy message's
+          // state init (auction.py:257-312, messages/getgems.py:64-219):
+          // full price + marketplace/royalty fees for sales, fee factors
+          // and bid bounds for auctions
+          val initBoc = init.nodes.head.inMsg.flatMap(_.initState)
+          val listingData: Option[NftListingData] =
+            if (btype == "nft_put_on_sale") initBoc.flatMap { b64 =>
+              try {
+                val d = graft.functions.TlbDecoders.nftSaleStateInit(b64)
+                Some(NftListingData(
+                  nft_item_index = None,
+                  full_price = Some(BigDecimal(d.fullPrice)),
+                  marketplace_fee = Some(BigDecimal(d.mpFee)),
+                  royalty_amount = Some(BigDecimal(d.royaltyAmount)),
+                  marketplace_fee_address = d.mpFeeAddress,
+                  marketplace = Some("getgems"),
+                  royalty_address = d.royaltyAddress,
+                  mp_fee_factor = None, mp_fee_base = None,
+                  royalty_fee_base = None, max_bid = None, min_bid = None))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+            else initBoc.flatMap { b64 =>
+              try {
+                val d = graft.functions.TlbDecoders.nftAuctionStateInit(b64)
+                Some(NftListingData(
+                  nft_item_index = None, full_price = None,
+                  marketplace_fee = None, royalty_amount = None,
+                  marketplace_fee_address = d.mpFeeAddress,
+                  marketplace = Some("getgems"),
+                  royalty_address = d.royaltyAddress,
+                  mp_fee_factor = Some(BigDecimal(d.mpFeeFactor)),
+                  mp_fee_base = Some(BigDecimal(d.mpFeeBase)),
+                  royalty_fee_base = Some(BigDecimal(d.royaltyFeeBase)),
+                  max_bid = Some(BigDecimal(d.maxBid)),
+                  min_bid = Some(BigDecimal(d.minBid))))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
           (ProtocolOpBlock(btype,
             source = listing.oldOwner, destination = Some(saleAddr),
             asset = Some(listing.nftItem), value = None,
             failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            listing = listingData), consumed)
         }
         result
       case _ => None

@@ -15,7 +15,11 @@ case class MsgLite(
     bounce: Boolean,
     bounced: Boolean,
     createdLt: Option[Long],
-    body: Option[String])
+    body: Option[String],
+    // init_state_boc of the message that deployed the destination —
+    // feeds the getgems get_sale_data/get_auction_data parse (reference
+    // messages/getgems.py:64-119)
+    initState: Option[String] = None)
 
 case class TxLite(
     hash: String,

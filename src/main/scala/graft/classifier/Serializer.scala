@@ -38,6 +38,24 @@ case class JettonSwapData(
     peer_swaps: Seq[PeerSwapData],
     min_out_amount: Option[BigDecimal])
 
+/** nft_listing_details (reference database.py:341, filled by
+  * _fill_nft_put_on_sale_action / _fill_nft_put_on_auction_action,
+  * block_tree_serializer.py:280-344): sale fields null for auctions and
+  * vice versa. */
+case class NftListingData(
+    nft_item_index: Option[String],
+    full_price: Option[BigDecimal],
+    marketplace_fee: Option[BigDecimal],
+    royalty_amount: Option[BigDecimal],
+    marketplace_fee_address: Option[String],
+    marketplace: Option[String],
+    royalty_address: Option[String],
+    mp_fee_factor: Option[BigDecimal],
+    mp_fee_base: Option[BigDecimal],
+    royalty_fee_base: Option[BigDecimal],
+    max_bid: Option[BigDecimal],
+    min_bid: Option[BigDecimal])
+
 case class StakingData(
     provider: Option[String], ts_nft: Option[String],
     tokens_burnt: Option[BigDecimal], tokens_minted: Option[BigDecimal])
@@ -62,7 +80,8 @@ case class ActionRow(
     jetton_transfer_data: Option[JettonTransferData] = None,
     nft_transfer_data: Option[NftTransferData] = None,
     jetton_swap_data: Option[JettonSwapData] = None,
-    staking_data: Option[StakingData] = None)
+    staking_data: Option[StakingData] = None,
+    nft_listing_data: Option[NftListingData] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -239,6 +258,10 @@ object Serializer {
         case p: ProtocolOpBlock if p.btype.startsWith("stake_") =>
           Some(StakingData(p.provider.orElse(Some("liquid_staking")), p.tsNft,
             p.tokensBurnt, p.tokensMinted))
+        case _ => None
+      },
+      nft_listing_data = b match {
+        case p: ProtocolOpBlock => p.listing
         case _ => None
       })
   }

@@ -149,6 +149,85 @@ object TlbDecoders {
       sender, ref)
   }
 
+  /** StateInit: split_depth:(Maybe (## 5)) special:(Maybe TickTock)
+    * code:(Maybe ^Cell) data:(Maybe ^Cell) library:(HashmapE ...) —
+    * returns the data cell (StateInit.deserialize(...).data, reference
+    * messages/getgems.py:72-74). */
+  def stateInitDataCell(b64: String): Boc.Cell = {
+    val s = Boc.parseBase64(b64).beginParse()
+    if (s.loadBit()) s.loadUint(5)
+    if (s.loadBit()) s.loadUint(2)
+    if (s.loadBit()) s.loadRef() // code
+    require(s.loadBit(), "state init has no data cell")
+    s.loadRef()
+  }
+
+  final case class NftSaleStateData(
+      isComplete: Boolean, createdAt: Long,
+      marketplace: Option[String], nftAddress: Option[String],
+      nftOwner: Option[String], fullPrice: BigInt,
+      mpFeeAddress: Option[String], mpFee: BigInt,
+      royaltyAddress: Option[String], royaltyAmount: BigInt)
+
+  /** Getgems fix-price sale contract storage (v2/v3 family, reference
+    * messages/getgems.py:92-115): is_complete(1) created_at(32)
+    * marketplace:MsgAddress nft:MsgAddress owner:MsgAddress
+    * full_price:Coins ^[mp_fee_addr:MsgAddress mp_fee:Coins
+    * royalty_addr:MsgAddress royalty:Coins]. */
+  def nftSaleStateInit(b64: String): NftSaleStateData = {
+    val cs = stateInitDataCell(b64).beginParse()
+    val isComplete = cs.loadBit()
+    val createdAt = cs.loadUint(32).toLong
+    val marketplace = cs.loadAddress()
+    val nft = cs.loadAddress()
+    val owner = cs.loadAddress()
+    val fullPrice = cs.loadCoins()
+    val fees = cs.loadRef().beginParse()
+    val mpFeeAddr = fees.loadAddress()
+    val mpFee = fees.loadCoins()
+    val royaltyAddr = fees.loadAddress()
+    val royalty = fees.loadCoins()
+    NftSaleStateData(isComplete, createdAt, marketplace, nft, owner,
+      fullPrice, mpFeeAddr, mpFee, royaltyAddr, royalty)
+  }
+
+  final case class NftAuctionStateData(
+      endTime: Long, mpFeeFactor: BigInt, mpFeeBase: BigInt,
+      royaltyFeeFactor: BigInt, royaltyFeeBase: BigInt,
+      mpFeeAddress: Option[String], royaltyAddress: Option[String],
+      mpAddress: Option[String], minBid: BigInt, maxBid: BigInt)
+
+  /** Getgems auction contract storage (v3r3, reference
+    * messages/getgems.py:194-219): end?(1) is_canceled?(1)
+    * last_member:MsgAddress last_bid:Coins last_bid_at(32) end_time(32)
+    * nft_owner:MsgAddress last_query_id(64) mp_fee_factor(32)
+    * mp_fee_base(32) royalty_fee_factor(32) royalty_fee_base(32)
+    * ^[mp_fee_addr royalty_fee_addr] ^[mp_addr min_bid:Coins
+    * max_bid:Coins min_step:Coins step_time(32)]. */
+  def nftAuctionStateInit(b64: String): NftAuctionStateData = {
+    val cs = stateInitDataCell(b64).beginParse()
+    cs.loadUint(2) // end?, is_canceled?
+    cs.loadAddress() // last_member
+    cs.loadCoins() // last_bid
+    cs.loadUint(32) // last_bid_at
+    val endTime = cs.loadUint(32).toLong
+    cs.loadAddress() // nft_owner
+    cs.loadUint(64) // last_query_id
+    val mpFeeFactor = cs.loadUint(32)
+    val mpFeeBase = cs.loadUint(32)
+    val royaltyFeeFactor = cs.loadUint(32)
+    val royaltyFeeBase = cs.loadUint(32)
+    val fees = cs.loadRef().beginParse()
+    val mpFeeAddr = fees.loadAddress()
+    val royaltyAddr = fees.loadAddress()
+    val const = cs.loadRef().beginParse()
+    val mpAddr = const.loadAddress()
+    val minBid = const.loadCoins()
+    val maxBid = const.loadCoins()
+    NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase, royaltyFeeFactor,
+      royaltyFeeBase, mpFeeAddr, royaltyAddr, mpAddr, minBid, maxBid)
+  }
+
   /** transfer#5fcc3d14 query_id:uint64 new_owner:MsgAddress
     * response_destination:MsgAddress custom_payload:(Maybe ^Cell)
     * forward_amount:(VarUInteger 16) */

@@ -122,6 +122,105 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(actions2.map(_.`type`).contains("nft_put_on_auction"))
   }
 
+  /** StateInit wrapper (no split_depth/special, code+data refs). */
+  private def stateInit(data: graft.functions.Boc.Cell): String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeBit(false).storeBit(false)
+      .storeBit(true).storeRef(new Boc.Builder().storeUint(BigInt(1), 8).build())
+      .storeBit(true).storeRef(data)
+      .storeBit(false)
+      .build())
+  }
+
+  /** Getgems fix-price v3 storage (messages/getgems.py:92-115). */
+  private def saleStateInit(fullPrice: Long, mpFee: Long,
+      royalty: Long): String = {
+    import graft.functions.Boc
+    stateInit(new Boc.Builder()
+      .storeBit(false) // is_complete
+      .storeUint(BigInt(111), 32) // created_at
+      .storeAddress(Some("0:" + "11" * 32)) // marketplace
+      .storeAddress(Some("0:" + "22" * 32)) // nft
+      .storeAddress(Some("0:" + "33" * 32)) // owner
+      .storeCoins(BigInt(fullPrice))
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some("0:" + "44" * 32)) // mp fee addr
+        .storeCoins(BigInt(mpFee))
+        .storeAddress(Some("0:" + "55" * 32)) // royalty addr
+        .storeCoins(BigInt(royalty))
+        .build())
+      .build())
+  }
+
+  /** Getgems auction v3r3 storage (messages/getgems.py:194-219). */
+  private def auctionStateInit(minBid: Long, maxBid: Long): String = {
+    import graft.functions.Boc
+    stateInit(new Boc.Builder()
+      .storeUint(BigInt(0), 2) // end?, is_canceled?
+      .storeAddress(None) // last_member
+      .storeCoins(BigInt(0)).storeUint(BigInt(0), 32) // last_bid(_at)
+      .storeUint(BigInt(999), 32) // end_time
+      .storeAddress(Some("0:" + "33" * 32)) // nft_owner
+      .storeUint(BigInt(0), 64) // last_query_id
+      .storeUint(BigInt(500), 32) // mp_fee_factor
+      .storeUint(BigInt(10000), 32) // mp_fee_base
+      .storeUint(BigInt(250), 32) // royalty_fee_factor
+      .storeUint(BigInt(10000), 32) // royalty_fee_base
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some("0:" + "44" * 32))
+        .storeAddress(Some("0:" + "55" * 32)).build())
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some("0:" + "11" * 32))
+        .storeCoins(BigInt(minBid)).storeCoins(BigInt(maxBid))
+        .storeCoins(BigInt(100)) // min_step
+        .storeUint(BigInt(300), 32) // step_time
+        .build())
+      .build())
+  }
+
+  test("put-on-sale parses the sale state init into nft_listing_data " +
+      "(get_sale_data, messages/getgems.py:92-115)") {
+    val sale = "0:" + "AB" * 32
+    val txs = Seq(tx("T1", "0:NFT", 10),
+      TxLite("T2", sale, 20, 20, "uninit", "active", false, None, None,
+        0L, "ord"),
+      tx("T3", "0:NFT", 30))
+    def msgsWith(init: String) = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:NFT", Some(Opcodes.NftTransfer)),
+        out("m2", "0:NFT", sale, None),
+        out("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer), createdLt = 3L)),
+      "T2" -> Seq(MsgLite("m2", "in", Some("0:NFT"), Some(sale), 100, None,
+        bounce = false, bounced = false, Some(1L), None,
+        initState = Some(init))),
+      "T3" -> Seq(in("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer),
+        body = Some(nftTransferBody(sale)))))
+    val actions = Classifier.classify("ps3", txs,
+      msgsWith(saleStateInit(777000L, 5000L, 2500L)),
+      interfaces = Map(sale -> "nft_sale|0:OWNER"))
+    val ld = actions.find(_.`type` == "nft_put_on_sale").get.nft_listing_data.get
+    assert(ld.full_price.contains(BigDecimal(777000L)))
+    assert(ld.marketplace_fee.contains(BigDecimal(5000L)))
+    assert(ld.royalty_amount.contains(BigDecimal(2500L)))
+    assert(ld.marketplace_fee_address.exists(_.startsWith("0:44")))
+    assert(ld.royalty_address.exists(_.startsWith("0:55")))
+    assert(ld.marketplace.contains("getgems"))
+    assert(ld.max_bid.isEmpty)
+
+    val actions2 = Classifier.classify("ps4", txs,
+      msgsWith(auctionStateInit(1000L, 90000L)),
+      interfaces = Map(sale -> "nft_auction|0:OWNER"))
+    val la = actions2.find(_.`type` == "nft_put_on_auction").get
+      .nft_listing_data.get
+    assert(la.min_bid.contains(BigDecimal(1000L)))
+    assert(la.max_bid.contains(BigDecimal(90000L)))
+    assert(la.mp_fee_factor.contains(BigDecimal(500)))
+    assert(la.mp_fee_base.contains(BigDecimal(10000)))
+    assert(la.royalty_fee_base.contains(BigDecimal(10000)))
+    assert(la.full_price.isEmpty)
+  }
+
   test("getgems cancel-sale keeps the returned nft_transfer as its own " +
       "action (auction.py:359-380 merges only the cancel call)") {
     val txs = Seq(tx("T1", "0:SALE", 10), tx("T2", "0:NFT", 20))
