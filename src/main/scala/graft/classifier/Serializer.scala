@@ -191,7 +191,26 @@ object Serializer {
       case c: CallContractBlock => c.opcode
       case _ => b.nodes.headOption.flatMap(_.inMsg).flatMap(_.opcode)
     }
-    ActionRow(traceId, actionId(anchor, b.btype), b.btype,
+    // Serialized action type can differ from the block type (which still
+    // keys the action_id hash): nominator pool blocks serialize as
+    // stake_* with provider='nominator' — a withdraw request WITH a
+    // merged payout becomes a completed stake_withdrawal
+    // (_fill_nominator_pool_*, block_tree_serializer.py:653-672).
+    val serializedType = b.btype match {
+      case "nominator_pool_deposit" => "stake_deposit"
+      case "nominator_pool_withdraw_request" =>
+        b match {
+          case p: ProtocolOpBlock if p.value.nonEmpty => "stake_withdrawal"
+          case _ => "stake_withdrawal_request"
+        }
+      // ethena withdrawal serializes into the staking family (:1266-1273)
+      case "ethena_withdrawal_request" => "stake_withdrawal_request"
+      // TONCO liquidity ops serialize as generic dex ops (:436,894)
+      case "tonco_deposit_liquidity" => "dex_deposit_liquidity"
+      case "tonco_withdraw_liquidity" => "dex_withdraw_liquidity"
+      case other => other
+    }
+    ActionRow(traceId, actionId(anchor, b.btype), serializedType,
       b.txHashes, value, b.minLt, b.maxLt, b.minUtime, b.maxUtime,
       src, dst, asset, opcode, success = !b.failed,
       parent.map(_.action_id), ancestors.reverse,
@@ -258,6 +277,10 @@ object Serializer {
         case p: ProtocolOpBlock if p.btype.startsWith("stake_") =>
           Some(StakingData(p.provider.orElse(Some("liquid_staking")), p.tsNft,
             p.tokensBurnt, p.tokensMinted))
+        case p: ProtocolOpBlock if p.btype.startsWith("nominator_pool_") =>
+          Some(StakingData(Some("nominator"), None, None, None))
+        case p: ProtocolOpBlock if p.btype == "ethena_withdrawal_request" =>
+          Some(StakingData(Some("ethena"), None, None, p.tokensMinted))
         case _ => None
       },
       nft_listing_data = b match {

@@ -698,7 +698,10 @@ class ClassifierSpec extends SparkSpec {
       "TM" -> Seq(in("m3", "0:WB", "0:POOL", Some(Opcodes.JettonMint))),
       "TU" -> Seq(in("m4", "0:WB", "0:TSUSDE", Some(Opcodes.EthenaTsUsdeTransfer))))
     val actions = Classifier.classify("eth1", txs, msgs)
-    assert(actions.map(_.`type`) == Seq("ethena_withdrawal_request"))
+    // serialized into the staking family with provider=ethena
+    // (block_tree_serializer.py:1266-1273)
+    assert(actions.map(_.`type`) == Seq("stake_withdrawal_request"))
+    assert(actions.head.staking_data.flatMap(_.provider).contains("ethena"))
     assert(actions.head.source.contains("0:OWNER"))
     assert(actions.head.destination.contains("0:TSUSDE"))
     assert(actions.head.tx_hashes.toSet == Set("TW1", "TW2", "TM", "TU"))

@@ -48,7 +48,11 @@ class ProtocolLongTailSpec extends SparkSpec {
       Map("T1" -> Seq(in("m1", "0:U", "0:POOL", None,
         body = Some(commentBody("d"))))),
       interfaces = Map("0:POOL" -> "nominator_pool"))
-    assert(actions.map(_.`type`) == Seq("nominator_pool_deposit"))
+    // serialized as stake_deposit/provider=nominator; the block type
+    // (and action_id key) stays nominator_pool_deposit
+    // (block_tree_serializer.py:653-660)
+    assert(actions.map(_.`type`) == Seq("stake_deposit"))
+    assert(actions.head.staking_data.flatMap(_.provider).contains("nominator"))
     assert(actions.head.source.contains("0:U"))
     // without the interface it stays a plain transfer
     val plain = Classifier.classify("np1p",
@@ -68,7 +72,9 @@ class ProtocolLongTailSpec extends SparkSpec {
       "T2" -> Seq(in("m2", "0:POOL", "0:U", None, value = 5000)))
     val actions = Classifier.classify("np2", txs, msgs,
       interfaces = Map("0:POOL" -> "nominator_pool"))
-    assert(actions.map(_.`type`) == Seq("nominator_pool_withdraw_request"))
+    // merged payout ⇒ completed withdrawal (serializer.py:662-667)
+    assert(actions.map(_.`type`) == Seq("stake_withdrawal"))
+    assert(actions.head.staking_data.flatMap(_.provider).contains("nominator"))
     assert(actions.head.value.contains(BigDecimal(5000)))
   }
 
@@ -86,7 +92,7 @@ class ProtocolLongTailSpec extends SparkSpec {
       "T3" -> Seq(in("m3", "0:POOL", "0:N2", None, value = 900)))
     val actions = Classifier.classify("np3", txs, msgs,
       interfaces = Map("0:POOL" -> "nominator_pool"))
-    val reqs = actions.filter(_.`type` == "nominator_pool_withdraw_request")
+    val reqs = actions.filter(_.`type` == "stake_withdrawal")
     assert(reqs.size == 2, s"got ${actions.map(_.`type`)}")
     assert(reqs.flatMap(_.value).toSet == Set(BigDecimal(700), BigDecimal(900)))
     assert(reqs.flatMap(_.source).toSet == Set("0:N1", "0:N2"))
@@ -396,7 +402,8 @@ class ProtocolLongTailSpec extends SparkSpec {
       "TA" -> Seq(in("m4", "0:POOL", "0:ACC",
         Some(Opcodes.ToncoAccountV3AddLiquidity))))
     val actions = Classifier.classify("tl1", txs, msgs)
-    assert(actions.map(_.`type`) == Seq("tonco_deposit_liquidity"),
+    // serialized as the generic dex op (block_tree_serializer.py:894)
+    assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"),
       s"got ${actions.map(_.`type`)}")
   }
 
