@@ -29,4 +29,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with three cached pipeline variants needs real heap room;
   // the box has 128 GiB and a starved heap turns bench runs into GC noise
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("GRAFT_JFR").map(f =>
+  s"-XX:StartFlightRecording=maxsize=256m,filename=$f").toSeq

@@ -192,6 +192,18 @@ object Matching {
     current
   }
 
+  /** Identity-based dedup for consumed-block lists. Tree nodes are unique
+    * object instances (see rewrite), and `Seq.distinct` on case-class
+    * blocks recomputes deep subtree hashes per element — O(subtree) per
+    * membership test, quadratic on long auxiliary chains. Reference
+    * semantics are unaffected: two structurally-equal blocks are still
+    * two distinct tree positions. */
+  def identityDistinct(bs: Seq[Block]): Seq[Block] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Block, java.lang.Boolean]())
+    bs.filter(seen.add)
+  }
+
   /** Apply a set of disjoint matches: each head is replaced by its built
     * block; other consumed blocks are dropped; surviving children of
     * consumed blocks are adopted upward (compact_connections semantics,
@@ -414,9 +426,9 @@ object ProtocolMatchers {
           case Some(None) => None // required child missing
           case _ =>
             val reqBlocks = req.flatten.toSeq
-            val consumed =
-              (c +: reqBlocks) ++ (c +: reqBlocks).flatMap(consumeAux).distinct
-            Some((build(c, consumed.distinct), consumed.distinct))
+            val consumed = Matching.identityDistinct(
+              (c +: reqBlocks) ++ (c +: reqBlocks).flatMap(consumeAux))
+            Some((build(c, consumed), consumed))
         }
       case _ => None
     }
@@ -746,7 +758,8 @@ object ProtocolMatchers {
                 Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
             case d: ContractDeployBlock => d: Block
           }
-          val consumed: Seq[Block] = (Seq(jt, ask) ++ tail ++ nested).distinct
+          val consumed: Seq[Block] =
+            Matching.identityDistinct(Seq(jt, ask) ++ tail ++ nested)
           (ProtocolOpBlock("dex_deposit_liquidity",
             source = jt.sender,
             destination = ask.node.inMsg.flatMap(_.destination),
@@ -1310,7 +1323,7 @@ object ProtocolMatchers {
           }.sortBy(_.nodes.headOption.flatMap(_.inMsg).flatMap(_.createdLt)
             .getOrElse(Long.MaxValue))
         val consumed: Seq[Block] =
-          (oa +: (parent.toSeq ++ payouts)).distinct
+          Matching.identityDistinct(oa +: (parent.toSeq ++ payouts))
         val purchase = body.bid.isDefined && !parentIsMint
         (NftTransferBlock(
           oldOwner = body.prevOwner,
@@ -1625,8 +1638,8 @@ object ProtocolMatchers {
               if Opcodes.matches(c.opcode, Opcodes.TgbtcBurnCall) ||
                 Opcodes.matches(c.opcode, Opcodes.TgbtcBurnAux1) => c: Block
           }
-          val consumed: Seq[Block] =
-            (Seq(jb: Block, log: Block) ++ mids ++ aux).distinct
+          val consumed: Seq[Block] = Matching.identityDistinct(
+            Seq(jb: Block, log: Block) ++ mids ++ aux)
           (ProtocolOpBlock("tgbtc_burn",
             jb.owner, None, asset = Some(jb.ownerWallet),
             value = Some(jb.amount),
