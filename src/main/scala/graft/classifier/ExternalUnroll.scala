@@ -20,7 +20,7 @@ object ExternalUnroll {
 
   final case class GhostMsg(
       destination: Option[String], value: Long, opcode: Option[Long],
-      bounce: Boolean)
+      bounce: Boolean, body: Option[String] = None)
 
   /** Parse a wallet external body; None if no known layout fits. Tries
     * the same ladder as the reference (messages/externals.py:140-158):
@@ -94,16 +94,30 @@ object ExternalUnroll {
     val value = s.loadCoins()
     // skip extra-currencies dict bit, ihr_fee, fwd_fee
     if (s.remainingBits >= 1 && s.loadBit()) s.loadRef() // extra currencies
-    val opcode =
+    // retain the ordered body itself (ref or inline rest-of-slice): the
+    // failed-external fallback matcher decodes it (TEP-74 and friends) —
+    // the reference keeps the full forged message for the same reason
+    // (init_from_external; FallbackJettonTransferBlockMatcher)
+    val bodyCell: Option[Boc.Cell] =
       if (s.remainingBits >= 4 + 64 + 32 + 2) {
         s.loadCoins(); s.loadCoins() // ihr_fee, fwd_fee
         s.loadUint(64); s.loadUint(32) // created_lt, created_at
         s.loadBit() // no init
         val inRef = s.loadBit()
-        val body = if (inRef && s.remainingRefs > 0) s.loadRef().beginParse() else s
-        if (body.remainingBits >= 32) Some(body.loadUint(32).toLong) else None
+        if (inRef && s.remainingRefs > 0) Some(s.loadRef())
+        else if (s.remainingBits > 0 || s.remainingRefs > 0) {
+          val bld = new Boc.Builder()
+          while (s.remainingBits > 0) bld.storeBit(s.loadBit())
+          while (s.remainingRefs > 0) bld.storeRef(s.loadRef())
+          Some(bld.build())
+        } else None
       } else None
-    GhostMsg(dest, value.toLong, opcode, bounce)
+    val opcode = bodyCell.flatMap { c =>
+      val bs = c.beginParse()
+      if (bs.remainingBits >= 32) Some(bs.loadUint(32).toLong) else None
+    }
+    GhostMsg(dest, value.toLong, opcode, bounce,
+      bodyCell.map(Boc.serializeBase64))
   }
 
   /** Forge child TxNodes from a wallet external root (ghost children get
@@ -116,7 +130,7 @@ object ExternalUnroll {
         val m = MsgLite(s"ghost:${root.tx.hash}:$i", "in",
           Some(root.tx.account), g.destination, g.value, g.opcode,
           g.bounce, bounced = false, createdLt = Some(root.tx.lt + i + 1),
-          body = None)
+          body = g.body)
         TxNode(
           TxLite(s"ghost:${root.tx.hash}:$i",
             g.destination.getOrElse(root.tx.account),

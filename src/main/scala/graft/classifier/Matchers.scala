@@ -491,6 +491,181 @@ object ProtocolMatchers {
       case other => other
     })
 
+  /** StonFi v2 swap: router→pool call 0x6664de2a that MUST produce a
+    * pay_to 0x657b54f5 (blocks/swaps.py:233-330). Cross-pool routes chain
+    * further swap calls under the pay_to; vault payouts 0x63381632 and
+    * referral-fee deposits 0x0490f09b ride along as auxiliaries. Emits
+    * jetton_swap with dex 'stonfi_v2'; multi-pool routes carry the hop
+    * count into peer_swaps (amount detail needs the jetton-wallet
+    * repository the reference resolves per pay_to, swaps.py:338-352). */
+  val StonfiV2SwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    Opcodes.StonfiV2Swap, Some(Opcodes.StonfiV2PayTo),
+    Set(Opcodes.StonfiV2Swap, Opcodes.StonfiV2PayTo,
+      Opcodes.StonfiV2PayVault, Opcodes.StonfiV2DepositRefFee),
+    (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
+      case p: ProtocolOpBlock =>
+        val hops = consumed.count {
+          case cc: CallContractBlock =>
+            Opcodes.matches(cc.opcode, Opcodes.StonfiV2Swap)
+          case _ => false
+        }
+        p.copy(dex = Some("stonfi_v2"),
+          peerSwapCount = if (hops > 1) hops else 0)
+      case other => other
+    })
+
+  /** StonFi v2 liquidity provision: provide_lp 0x37c096df with the
+    * REQUIRED add_liquidity 0x50c6a654 child chain — what discriminates
+    * v2 from the v1 anchor sharing the opcode (liquidity.py:687-760).
+    * cb_add_liquidity 0x06ecd527 then either the LP-mint internal
+    * transfer or a refund (a second 0x50c6a654): refund ⇒ failed. MUST
+    * precede StonfiProvideLpMatcher in the registry — the v1 matcher
+    * fires on the bare anchor. */
+  object StonfiV2ProvideLpMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.StonfiProvideLp, Opcodes.StonfiV2AddLiquidity))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.StonfiProvideLp) =>
+        c.children.collectFirst {
+          case ac: CallContractBlock
+            if Opcodes.matches(ac.opcode, Opcodes.StonfiV2AddLiquidity) => ac
+        }.map { ac =>
+          val cb = ac.children.collectFirst {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.StonfiV2CbAddLiquidity) => cc
+          }
+          val mintOrRefund = cb.toSeq.flatMap(_.children).collect {
+            case mc: CallContractBlock
+              if Opcodes.matches(mc.opcode, Opcodes.JettonInternalTransfer) ||
+                Opcodes.matches(mc.opcode, Opcodes.StonfiV2AddLiquidity) =>
+              mc: Block
+            // the LP-mint internal transfer may already be rewritten into
+            // jetton_mint by the (interface-free, hence broader) mint
+            // matcher running earlier — consume that form too
+            case jm: JettonMintBlock => jm: Block
+          }
+          val refunded = mintOrRefund.exists {
+            case mc: CallContractBlock =>
+              Opcodes.matches(mc.opcode, Opcodes.StonfiV2AddLiquidity)
+            case _ => false
+          }
+          val consumed = (Seq(c, ac): Seq[Block]) ++ cb.toSeq ++ mintOrRefund
+          val in = c.node.inMsg
+          (ProtocolOpBlock("dex_deposit_liquidity",
+            in.flatMap(_.source), in.flatMap(_.destination),
+            asset = None, value = in.map(m => BigDecimal(m.value)),
+            failed = refunded || consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            dex = Some("stonfi_v2")): Block, consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** StonFi v2 liquidity withdrawal: LP jetton_burn → pool withdraw
+    * 0x297437cf → router pay_to 0x657b54f5 → payout jetton transfers
+    * (liquidity.py:789-870). Anchored top-down on the rewritten
+    * jetton_burn — our trees carry no parent pointers, so the reference's
+    * parent_matcher chain inverts into child navigation. */
+  object StonfiV2WithdrawLiquidityMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JettonBurn, Opcodes.StonfiV2WithdrawLiquidity))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jb: JettonBurnBlock =>
+        jb.children.collectFirst {
+          case wc: CallContractBlock
+            if Opcodes.matches(wc.opcode, Opcodes.StonfiV2WithdrawLiquidity) => wc
+        }.flatMap { wc =>
+          val payTos = wc.children.collect {
+            case pc: CallContractBlock
+              if Opcodes.matches(pc.opcode, Opcodes.StonfiV2PayTo) => pc
+          }
+          if (payTos.isEmpty) None
+          else {
+            val payouts = payTos.flatMap(_.children).collect {
+              case jt: JettonTransferBlock => jt: Block
+            }
+            val consumed: Seq[Block] =
+              (Seq(jb, wc): Seq[Block]) ++ payTos ++ payouts
+            Some((ProtocolOpBlock("dex_withdraw_liquidity",
+              jb.owner, None, Some(jb.ownerWallet), Some(jb.amount),
+              consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+              dex = Some("stonfi_v2")), consumed))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Failed-external fallback (FallbackJettonTransferBlockMatcher,
+    * jettons.py:282-331, applied via the failed-externals registry,
+    * event_processing.py:339-358): a jetton-transfer call forged by
+    * ExternalUnroll has no executed internal_transfer leg — decode the
+    * TEP-74 body directly. Scoped to ghost nodes, which exist only on the
+    * unroll path — exactly the reference's separate registry scope. */
+  object GhostJettonTransferMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JettonTransfer))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) &&
+          c.node.tx.hash.startsWith("ghost:") =>
+        c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.jettonTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.map { d =>
+          (JettonTransferBlock(
+            sender = c.node.inMsg.flatMap(_.source),
+            senderWallet = c.node.inMsg.flatMap(_.destination)
+              .getOrElse(c.node.tx.account),
+            receiver = d.destination, receiverWallet = None,
+            amount = BigDecimal(d.amount), comment = d.comment,
+            failed = c.failed, nodes = Seq(c.node), children = Nil,
+            decoded = Some(d)): Block, Seq(c: Block))
+        }
+      case _ => None
+    }
+  }
+
+  /** pTON transfer (PTonTransferMatcher, jettons.py:110-166): a
+    * jetton-transfer call into a wrapped-TON wallet executes the TON
+    * movement directly — there is no internal_transfer leg. Interface-
+    * gated on the destination ('pton_wallet' in the broadcast map,
+    * standing in for the reference's jetton-wallet repository + pTON
+    * master allowlist); the optional notify child is consumed. */
+  final class PTonTransferMatcher(interfaces: Map[String, String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JettonTransfer))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) &&
+          c.node.inMsg.flatMap(_.destination)
+            .exists(d => interfaces.get(d).contains("pton_wallet")) =>
+        val notify = c.children.collectFirst {
+          case nc: CallContractBlock
+            if Opcodes.matches(nc.opcode, Opcodes.JettonNotify) => nc
+        }
+        val decoded = c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.jettonTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val consumed: Seq[Block] = (c: Block) +: notify.toSeq
+        Some((JettonTransferBlock(
+          sender = c.node.inMsg.flatMap(_.source),
+          senderWallet = c.node.inMsg.flatMap(_.destination)
+            .getOrElse(c.node.tx.account),
+          receiver = decoded.flatMap(_.destination), receiverWallet = None,
+          amount = decoded.map(d => BigDecimal(d.amount))
+            .getOrElse(BigDecimal(0)),
+          comment = decoded.flatMap(_.comment),
+          failed = c.failed, nodes = consumed.flatMap(_.nodes),
+          children = Nil, decoded = decoded), consumed))
+      case _ => None
+    }
+  }
+
   /** TONStakers deposit 0x47d54391: the optional MintJettons child must
     * carry a jetton internal_transfer — tokens_minted is its decoded
     * amount, the user wallet is its destination, and a deposit WITHOUT
@@ -1888,7 +2063,7 @@ object ProtocolMatchers {
     Seq(TonstakersDelayedWithdrawalMatcher, TonstakersDepositMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
       JettonSwapMatcher, JettonMintMatcher,
-      StonfiSwapMatcher, DedustSwapMatcher,
+      StonfiSwapMatcher, StonfiV2SwapMatcher, DedustSwapMatcher,
       TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
@@ -1896,8 +2071,8 @@ object ProtocolMatchers {
       VestingSendMessageMatcher, VestingAddWhitelistMatcher,
       SubscribeMatcher, UnsubscribeMatcher,
       DedustDepositLiquidityMatcher, DedustDepositFirstAssetMatcher,
-      StonfiProvideLpMatcher,
-      DexWithdrawLiquidityMatcher,
+      StonfiV2ProvideLpMatcher, StonfiProvideLpMatcher,
+      StonfiV2WithdrawLiquidityMatcher, DexWithdrawLiquidityMatcher,
       TeleitemStartAuctionMatcher, AuctionBidMatcher,
       AuctionOutbidMatcher, NftDiscoveryMatcher,
       JvaultStakeMatcher, JvaultUnstakeMatcher,
@@ -1925,13 +2100,15 @@ object ProtocolMatchers {
       CocoonProxyPayoutMatcher, CocoonProxyChargeMatcher,
       CocoonRegisterProxyMatcher, CocoonUnregisterProxyMatcher,
       CocoonClientChangeSecretHashMatcher, CocoonClientIncreaseStakeMatcher,
-      CocoonClientWithdrawMatcher, CocoonClientRequestRefundMatcher)
+      CocoonClientWithdrawMatcher, CocoonClientRequestRefundMatcher,
+      GhostJettonTransferMatcher)
 
   /** Registry with the interface-dependent matchers appended (the
     * per-trace interface map is classify-call state, not global). */
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
     if (interfaces.isEmpty) registry
-    else registry ++ Seq(new NftMintMatcher(interfaces),
+    else registry ++ Seq(new PTonTransferMatcher(interfaces),
+      new NftMintMatcher(interfaces),
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),
       new NominatorPoolWithdrawRequestMatcher(interfaces),

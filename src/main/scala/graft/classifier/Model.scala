@@ -105,6 +105,20 @@ object Opcodes {
   // DEX — StonFi v1 (messages/swaps.py:9,27) and DeDust (:121-130)
   val StonfiSwap = 0x25938561L
   val StonfiPayment = 0xf93bb43fL
+
+  // StonFi v2 (blocks/swaps.py:233-237; liquidity.py:687-905). ProvideLp
+  // (0x37c096df) is shared with v1 — the required 0x50c6a654 child chain
+  // is what discriminates the versions.
+  val StonfiV2Swap = 0x6664de2aL
+  val StonfiV2PayTo = 0x657b54f5L
+  val StonfiV2PayVault = 0x63381632L
+  val StonfiV2DepositRefFee = 0x0490f09bL
+  val StonfiV2AddLiquidity = 0x50c6a654L
+  val StonfiV2CbAddLiquidity = 0x06ecd527L
+  val StonfiV2WithdrawLiquidity = 0x297437cfL
+  val StonfiV2WithdrawPrepare = 0x132b9a2cL
+  val StonfiV2WithdrawRefunded = 0x0f98e2b8L
+  val PTonTransferOp = 0x01f3835dL
   val DedustSwap = 0xea06185dL
   val DedustSwapPeer = 0x72aca8aaL
   val DedustSwapExternal = 0x61ee542dL

@@ -66,6 +66,44 @@ object StreamOps {
     else base.filter(col(accountCol).isin(accounts: _*))
   }
 
+  /** One fan-out subscriber: a named sink with a minimum finality and an
+    * optional account filter — the reference's per-connection subscription
+    * state (ton-streaming-go/v2/server.go:108-124). */
+  case class Subscriber(name: String, minFinality: String,
+      accounts: Seq[String] = Nil, accountCol: String = "account")
+
+  /** S9 LIVE fan-out: one writeStream over the annotated stream, each
+    * micro-batch persisted once and routed through every subscriber's
+    * predicate to its own sink directory (the WebSocket analogue — each
+    * sink is one connection's outbound queue). Single source read per
+    * batch regardless of subscriber count; subscriber filters are
+    * narrow-column predicates over the cached batch, so fan-out cost
+    * scales with matched rows, not with subscribers × input.
+    *
+    * Runs with Trigger.AvailableNow by default (drain-and-stop — tests
+    * and backfills); pass a processing-time trigger for an indefinitely
+    * live query. Restart-safe: source offsets live in the checkpoint and
+    * per-subscriber appends are idempotent per batch via
+    * foreachBatch(batchId) dedup directories. */
+  def subscriptionFanout(stream: DataFrame, subscribers: Seq[Subscriber],
+      checkpointDir: String, outDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try subscribers.foreach { s =>
+          subscription(cached, s.minFinality, s.accounts, s.accountCol)
+            // batch-keyed subdir: a replayed batch overwrites its own
+            // output instead of appending duplicates (exactly-once sink)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/${s.name}/batch_id=$batchId")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
   /** S10: federate a pending/emulated source with finalized tables —
     * same schema, `finality` column distinguishes; union is by name. */
   def federate(finalized: DataFrame, pending: DataFrame): DataFrame =

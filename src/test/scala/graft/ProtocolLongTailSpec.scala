@@ -446,4 +446,159 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(actions.map(_.`type`) == Seq("tgbtc_burn"),
       s"got ${actions.map(_.`type`)}")
   }
+
+  // ------------------------------------------------------- StonFi v2
+
+  /** Real TEP-74 transfer body (what the ghost/pTON matchers decode). */
+  private def jettonTransferBody(dest: String, amount: Long,
+      comment: Option[String] = None): String = {
+    import graft.functions.Boc
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(42), 64)
+      .storeCoins(BigInt(amount))
+      .storeAddress(Some(dest))
+      .storeAddress(None)
+      .storeBit(false) // no custom payload
+      .storeCoins(BigInt(0))
+    comment match {
+      case Some(c) => b.storeBit(true).storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 32).storeBytes(c.getBytes("UTF-8")).build())
+      case None => b.storeBit(false)
+    }
+    graft.functions.Boc.serializeBase64(b.build())
+  }
+
+  test("stonfi v2 swap: swap -> pay_to chain, multi-pool hop count") {
+    // single pool: U -> pool swap -> router pay_to
+    val txs = Seq(tx("TP", "0:POOL", 10), tx("TR", "0:ROUTER", 20))
+    val msgs = Map(
+      "TP" -> Seq(
+        in("m1", "0:U", "0:POOL", Some(Opcodes.StonfiV2Swap)),
+        out("m2", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR" -> Seq(in("m2", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))))
+    val actions = Classifier.classify("sv1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions.map(_.`type`)}")
+    assert(actions.head.jetton_swap_data.map(_.dex).contains("stonfi_v2"))
+    assert(actions.head.jetton_swap_data.exists(_.peer_swaps.isEmpty))
+
+    // cross-pool: swap -> pay_to -> swap -> pay_to => 2 hops recorded
+    val txs2 = Seq(tx("TP1", "0:POOL1", 10), tx("TR1", "0:ROUTER", 20),
+      tx("TP2", "0:POOL2", 30), tx("TR2", "0:ROUTER", 40))
+    val msgs2 = Map(
+      "TP1" -> Seq(
+        in("m1", "0:U", "0:POOL1", Some(Opcodes.StonfiV2Swap)),
+        out("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR1" -> Seq(
+        in("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo)),
+        out("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap))),
+      "TP2" -> Seq(
+        in("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap)),
+        out("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR2" -> Seq(in("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))))
+    val actions2 = Classifier.classify("sv2", txs2, msgs2)
+    assert(actions2.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions2.map(_.`type`)}")
+    assert(actions2.head.jetton_swap_data.exists(_.peer_swaps.size == 2))
+  }
+
+  test("stonfi v2 provide liquidity: add_liquidity chain; refund = failed") {
+    def chain(tail: (String, Long)): Seq[ActionRow] = {
+      val txs = Seq(tx("TR", "0:ROUTER", 10), tx("TP", "0:POOL", 20),
+        tx("TA", "0:ACCT", 30), tx("TT", tail._1, 40))
+      val msgs = Map(
+        "TR" -> Seq(
+          in("m1", "0:U", "0:ROUTER", Some(Opcodes.StonfiProvideLp)),
+          out("m2", "0:ROUTER", "0:POOL", Some(Opcodes.StonfiV2AddLiquidity))),
+        "TP" -> Seq(
+          in("m2", "0:ROUTER", "0:POOL", Some(Opcodes.StonfiV2AddLiquidity)),
+          out("m3", "0:POOL", "0:ACCT", Some(Opcodes.StonfiV2CbAddLiquidity))),
+        "TA" -> Seq(
+          in("m3", "0:POOL", "0:ACCT", Some(Opcodes.StonfiV2CbAddLiquidity)),
+          out("m4", "0:ACCT", tail._1, Some(tail._2))),
+        "TT" -> Seq(in("m4", "0:ACCT", tail._1, Some(tail._2))))
+      Classifier.classify("sv3", txs, msgs)
+    }
+    val ok = chain(("0:LPWALLET", Opcodes.JettonInternalTransfer))
+    assert(ok.map(_.`type`) == Seq("dex_deposit_liquidity"),
+      s"got ${ok.map(_.`type`)}")
+    assert(ok.head.success)
+    val refunded = chain(("0:REFUND", Opcodes.StonfiV2AddLiquidity))
+    assert(refunded.map(_.`type`) == Seq("dex_deposit_liquidity"))
+    assert(!refunded.head.success)
+  }
+
+  test("stonfi v2 withdraw liquidity: LP burn -> withdraw -> pay_to payouts") {
+    val txs = Seq(tx("TB", "0:LPW", 10), tx("TP", "0:POOL", 20),
+      tx("TR", "0:ROUTER", 30))
+    val msgs = Map(
+      "TB" -> Seq(
+        in("m1", "0:U", "0:LPW", Some(Opcodes.JettonBurn)),
+        out("m2", "0:LPW", "0:POOL", Some(Opcodes.StonfiV2WithdrawLiquidity))),
+      "TP" -> Seq(
+        in("m2", "0:LPW", "0:POOL", Some(Opcodes.StonfiV2WithdrawLiquidity)),
+        out("m3", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR" -> Seq(in("m3", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))))
+    val actions = Classifier.classify("sv4", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("dex_withdraw_liquidity"),
+      s"got ${actions.map(_.`type`)}")
+  }
+
+  test("pTON transfer: jetton-transfer call into a pton wallet, no " +
+      "internal_transfer leg") {
+    val txs = Seq(tx("TW", "0:PTONW", 10), tx("TN", "0:RECV", 20))
+    val body = jettonTransferBody("0:" + "AA" * 32, 777, Some("hi"))
+    val msgs = Map(
+      "TW" -> Seq(
+        in("m1", "0:U", "0:PTONW", Some(Opcodes.JettonTransfer),
+          body = Some(body)),
+        out("m2", "0:PTONW", "0:RECV", Some(Opcodes.JettonNotify))),
+      "TN" -> Seq(in("m2", "0:PTONW", "0:RECV", Some(Opcodes.JettonNotify))))
+    val actions = Classifier.classify("pt1", txs, msgs,
+      interfaces = Map("0:PTONW" -> "pton_wallet"))
+    assert(actions.map(_.`type`) == Seq("jetton_transfer"),
+      s"got ${actions.map(_.`type`)}")
+    assert(actions.head.value.contains(BigDecimal(777)))
+    assert(actions.head.destination.contains("0:" + "AA" * 32))
+    // without the interface the bare call stays call_contract (the base
+    // jetton matcher still requires the internal_transfer leg)
+    val plain = Classifier.classify("pt2", txs, msgs)
+    assert(plain.map(_.`type`).forall(_ == "call_contract"))
+  }
+
+  test("failed-external fallback: ghost jetton-transfer call decodes into " +
+      "a jetton_transfer action") {
+    import graft.functions.Boc
+    val dest = "0:" + "BB" * 32
+    val transferBody = Boc.parseBase64(jettonTransferBody(dest, 555))
+    val inner = new Boc.Builder()
+      .storeBit(false).storeBit(true).storeBit(false).storeBit(false)
+      .storeAddress(None).storeAddress(Some("0:" + "CC" * 32))
+      .storeCoins(BigInt(100000000L))
+      .storeBit(false)
+      .storeCoins(BigInt(0)).storeCoins(BigInt(0))
+      .storeUint(BigInt(0), 64).storeUint(BigInt(0), 32)
+      .storeBit(false).storeBit(true) // no init, body in ref
+      .storeRef(transferBody)
+      .build()
+    val walletBody = new Boc.Builder()
+      .storeUint(BigInt(0), 512)
+      .storeUint(BigInt(698983191L), 32)
+      .storeUint(BigInt(0xffffffffL), 32)
+      .storeUint(BigInt(7), 32)
+      .storeUint(BigInt(0), 8)
+      .storeRef(inner)
+      .build()
+    val txs = Seq(tx("TX", "0:WALLET", 10))
+    val msgs = Map("TX" -> Seq(
+      in("m1", null, "0:WALLET", None).copy(
+        source = None, body = Some(Boc.serializeBase64(walletBody)))))
+    val actions = Classifier.classify("gf1", txs, msgs)
+    assert(actions.map(_.`type`).contains("jetton_transfer"),
+      s"got ${actions.map(_.`type`)}")
+    val jt = actions.find(_.`type` == "jetton_transfer").get
+    assert(jt.value.contains(BigDecimal(555)))
+    assert(jt.destination.contains(dest))
+  }
 }

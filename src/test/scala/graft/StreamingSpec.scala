@@ -110,6 +110,50 @@ class StreamingSpec extends SparkSpec {
     assert(subPending.collect().map(_.getAs[String]("hash")).toSet == Set("T1", "T3"))
   }
 
+  test("S9 live subscription fan-out: one stream, per-subscriber sinks") {
+    import StreamOps.Subscriber
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s9").toString
+    val inDir = s"$tmp/in"; new java.io.File(inDir).mkdirs()
+
+    val schema = StructType(Seq(
+      StructField("hash", StringType), StructField("account", StringType),
+      StructField("finality", StringType)))
+    // two arrival waves -> two micro-batches (maxFilesPerTrigger = 1)
+    val wave1 = Seq(
+      Row("T1", "0:A", "finalized"), Row("T2", "0:B", "finalized"),
+      Row("T3", "0:A", "pending"))
+    val wave2 = Seq(
+      Row("T4", "0:A", "confirmed"), Row("T5", "0:C", "finalized"))
+    Seq(wave1, wave2).zipWithIndex.foreach { case (rows, i) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(s"$inDir/wave=$i")
+    }
+
+    val subs = Seq(
+      Subscriber("all_finalized", "finalized"),
+      Subscriber("a_pending", "pending", Seq("0:A")),
+      Subscriber("a_confirmed", "confirmed", Seq("0:A")))
+    val q = StreamOps.subscriptionFanout(
+      StreamOps.fileStream(spark, inDir, schema),
+      subs, s"$tmp/ck", s"$tmp/out")
+    q.awaitTermination()
+
+    def sink(name: String): Set[String] =
+      spark.read.parquet(s"$tmp/out/$name").collect()
+        .map(_.getAs[String]("hash")).toSet
+    assert(sink("all_finalized") == Set("T1", "T2", "T5"))
+    assert(sink("a_pending") == Set("T1", "T3", "T4"))
+    assert(sink("a_confirmed") == Set("T1", "T4"))
+
+    // a restarted query re-reads nothing (offsets committed) and the
+    // sinks stay stable — the idempotence contract of the batch-keyed dirs
+    val q2 = StreamOps.subscriptionFanout(
+      StreamOps.fileStream(spark, inDir, schema),
+      subs, s"$tmp/ck", s"$tmp/out")
+    q2.awaitTermination()
+    assert(sink("all_finalized") == Set("T1", "T2", "T5"))
+  }
+
   test("windowed streaming aggregation over the events file stream") {
     val events = Tables.events(spark, sf)
     // batch-mode check of the same plan shape (memory-sink smoke)
