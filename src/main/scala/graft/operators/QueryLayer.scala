@@ -137,6 +137,82 @@ object QueryLayer {
 
   // ------------------------------------------------- token/dim families
 
+  /** Typed request shared by the token-event endpoint families
+    * (models JettonTransferRequest / JettonBurnRequest /
+    * NFTTransferRequest with their Utime/Lt/Limit companions). */
+  case class TokenEventRequest(
+      owner: Seq[String] = Nil, direction: Option[String] = None,
+      wallet: Seq[String] = Nil, master: Option[String] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      descending: Boolean = true,
+      limit: Int = DefaultLimit, offset: Int = 0)
+
+  /** Shared shape of the three token-event queries: owner filter honoring
+    * direction (in → `inCol`, out → `outCol`, absent → either), wallet/
+    * master IN- and equality filters, lt/utime windows, and the O2-style
+    * sort-key switch — tx_lt by default, tx_now once a utime bound is
+    * present (crud_jettons.go:117-199, crud_nft.go:134-215). tx_hash
+    * breaks ties so pagination is deterministic (the reference inherits
+    * whatever order postgres picks; a Spark sort must be total). */
+  private def tokenEvents(df0: DataFrame, r: TokenEventRequest,
+      inCol: String, outCol: String,
+      walletCol: Option[String], masterCol: Option[String]): DataFrame = {
+    var df = df0
+    if (r.owner.nonEmpty) {
+      val inF = col(inCol).isin(r.owner: _*)
+      val outF = col(outCol).isin(r.owner: _*)
+      df = r.direction match {
+        case Some("in") => df.filter(inF)
+        case Some(_) => df.filter(outF)
+        case None => df.filter(inF || outF)
+      }
+    }
+    walletCol.foreach { wc =>
+      if (r.wallet.nonEmpty) df = df.filter(col(wc).isin(r.wallet: _*))
+    }
+    masterCol.foreach { mc =>
+      r.master.foreach(m => df = df.filter(col(mc) === m))
+    }
+    r.utimeMin.foreach(v => df = df.filter(col("tx_now") >= v))
+    r.utimeMax.foreach(v => df = df.filter(col("tx_now") <= v))
+    r.ltMin.foreach(v => df = df.filter(col("tx_lt") >= v))
+    r.ltMax.foreach(v => df = df.filter(col("tx_lt") <= v))
+    val orderCol =
+      if (r.utimeMin.isDefined || r.utimeMax.isDefined) col("tx_now")
+      else col("tx_lt")
+    val keys =
+      if (r.descending) Seq(orderCol.desc, col("tx_hash").desc)
+      else Seq(orderCol.asc, col("tx_hash").asc)
+    df.orderBy(keys: _*)
+      .offset(clampOffset(r.offset)).limit(clampLimit(r.limit))
+  }
+
+  /** GET /api/v3/jetton/transfers (crud_jettons.go:117-199); aborted
+    * transfers are always excluded. */
+  def jettonTransfers(transfers: DataFrame, r: TokenEventRequest): DataFrame =
+    tokenEvents(transfers.filter(col("tx_aborted") === false), r,
+      inCol = "destination", outCol = "source",
+      walletCol = Some("jetton_wallet_address"),
+      masterCol = Some("jetton_master_address"))
+
+  /** GET /api/v3/jetton/burns (crud_jettons.go:202-260): the owner filter
+    * has no direction — burns only have an owner side. */
+  def jettonBurns(burns: DataFrame, r: TokenEventRequest): DataFrame =
+    tokenEvents(burns, r.copy(direction = Some("out")),
+      inCol = "owner", outCol = "owner",
+      walletCol = Some("jetton_wallet_address"),
+      masterCol = Some("jetton_master_address"))
+
+  /** GET /api/v3/nft/transfers (crud_nft.go:134-215): direction over
+    * (new_owner, old_owner), item-address IN-filter, collection equality.
+    * No aborted filter — the reference keeps failed NFT transfers. */
+  def nftTransfers(transfers: DataFrame, r: TokenEventRequest): DataFrame =
+    tokenEvents(transfers, r,
+      inCol = "new_owner", outCol = "old_owner",
+      walletCol = Some("nft_item_address"),
+      masterCol = Some("nft_collection_address"))
+
   /** GET /api/v3/jetton/wallets (crud_jettons.go:40-102): owner/jetton
     * IN-filters, the mintless left join, the exclude-zero-balance
     * predicate `balance + coalesce(mintless_amount, 0) > 0` (P5/F8), and

@@ -196,4 +196,67 @@ class QueryLayerSpec extends SparkSpec {
       ("c1", "nft_collections", None),
       ("j1", "jetton_masters", Some(java.lang.Boolean.FALSE))))
   }
+
+  test("jettonTransfers: direction filter, aborted exclusion, utime sort switch") {
+    import spark.implicits._
+    import QueryLayer.TokenEventRequest
+    val t = Seq(
+      // tx_hash, tx_lt, tx_now, aborted, source, destination, wallet, master
+      ("T1", 10L, 100, false, "0:A", "0:B", "w1", "j1"),
+      ("T2", 20L, 200, false, "0:B", "0:A", "w2", "j1"),
+      ("T3", 30L, 300, true, "0:A", "0:C", "w1", "j1"),
+      ("T4", 40L, 400, false, "0:C", "0:D", "w3", "j2"))
+      .toDF("tx_hash", "tx_lt", "tx_now", "tx_aborted", "source",
+        "destination", "jetton_wallet_address", "jetton_master_address")
+    // A outgoing: T1 only (T3 aborted)
+    val out = QueryLayer.jettonTransfers(t,
+      TokenEventRequest(owner = Seq("0:A"), direction = Some("out")))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(out == Seq("T1"))
+    // A either direction, desc by lt
+    val both = QueryLayer.jettonTransfers(t,
+      TokenEventRequest(owner = Seq("0:A")))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(both == Seq("T2", "T1"))
+    // master filter + utime window flips the sort key to tx_now asc
+    val byMaster = QueryLayer.jettonTransfers(t,
+      TokenEventRequest(master = Some("j1"), utimeMin = Some(100L),
+        descending = false))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(byMaster == Seq("T1", "T2"))
+  }
+
+  test("jettonBurns: owner-only filter; nftTransfers: owner directions " +
+      "and collection equality") {
+    import spark.implicits._
+    import QueryLayer.TokenEventRequest
+    val burns = Seq(
+      ("T1", 10L, 100, false, "0:A", "w1", "j1"),
+      ("T2", 20L, 200, false, "0:B", "w2", "j1"))
+      .toDF("tx_hash", "tx_lt", "tx_now", "tx_aborted", "owner",
+        "jetton_wallet_address", "jetton_master_address")
+    val gotB = QueryLayer.jettonBurns(burns,
+      TokenEventRequest(owner = Seq("0:A")))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(gotB == Seq("T1"))
+
+    val nft = Seq(
+      ("T1", 10L, 100, "0:OLD", "0:NEW", "n1", "c1"),
+      ("T2", 20L, 200, "0:NEW", "0:OLD", "n2", "c1"),
+      ("T3", 30L, 300, "0:X", "0:Y", "n1", "c2"))
+      .toDF("tx_hash", "tx_lt", "tx_now", "old_owner", "new_owner",
+        "nft_item_address", "nft_collection_address")
+    val gotIn = QueryLayer.nftTransfers(nft,
+      TokenEventRequest(owner = Seq("0:NEW"), direction = Some("in")))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(gotIn == Seq("T1"))
+    val gotColl = QueryLayer.nftTransfers(nft,
+      TokenEventRequest(master = Some("c1")))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(gotColl == Seq("T2", "T1"))
+    val gotItem = QueryLayer.nftTransfers(nft,
+      TokenEventRequest(wallet = Seq("n1"), descending = false))
+      .collect().map(_.getAs[String]("tx_hash")).toSeq
+    assert(gotItem == Seq("T1", "T3"))
+  }
 }
