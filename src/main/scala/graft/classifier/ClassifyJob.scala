@@ -11,42 +11,43 @@ import org.apache.spark.sql.functions._
   * Scale: one shuffle on trace_id; per-group work is bounded by the
   * 4000-node big-trace cutoff, so no group can straggle unboundedly.
   */
-/** Per-trace transaction row for the cogroup encoder (must be visible to
+/** Flattened tx⟕msg row for the trace-group encoder (must be visible to
   * Catalyst codegen — do not make private). */
-case class ClassifyTxRow(
-    trace_id: String, hash: String, account: String, lt: Long, now: Int,
-    orig_status: String, end_status: String, aborted: Boolean,
-    compute_exit_code: Option[Int], action_result_code: Option[Int],
-    total_fees: Long, descr: String)
-
-/** Per-trace message row — carries only (trace_id, tx_hash) for routing,
-  * never the transaction's attributes. */
-case class ClassifyMsgRow(
-    trace_id: String, tx_hash: String, msg_hash: String, direction: String,
-    source: Option[String], destination: Option[String],
-    value: Option[Long], opcode: Option[Long],
+case class ClassifyInputRow(
+      trace_id: String, hash: String, account: String, lt: Long, now: Int,
+      orig_status: String, end_status: String, aborted: Boolean,
+      compute_exit_code: Option[Int], action_result_code: Option[Int],
+      total_fees: Long, descr: String,
+      msg_hash: Option[String], direction: Option[String],
+      source: Option[String], destination: Option[String],
+      value: Option[Long], opcode: Option[Long],
     bounce: Option[Boolean], bounced: Option[Boolean],
     created_lt: Option[Long], body: Option[String],
     init_state: Option[String])
 
 object ClassifyJob {
 
-  /** transactions(+trace_id) + messages → actions DataFrame. The
+  /** transactions(+trace_id) ⟕ messages → actions DataFrame. The
     * optional interface map (account → detected interface) replaces the
     * reference's Redis interface repository: broadcast once, read inside
     * the per-trace groups — no IO inside matchers (J12/S6).
     *
-    * Shuffle shape: messages pick up trace_id through a NARROW
-    * (tx_hash → trace_id) join, then each side shuffles by trace_id once
-    * into a cogroup. A tx's attributes cross the wire exactly once — the
-    * tx⟕msg join form replicated all 12 tx columns onto every message
-    * row through the trace_id shuffle, which at production message
-    * multiplicity dominates shuffle bytes. */
+    * Shuffle shape, measured both ways: this wide join replicates the 12
+    * tx columns onto every message row through the trace_id shuffle. The
+    * alternative — messages pick up trace_id via a narrow (tx_hash →
+    * trace_id) join, then tx and message Datasets cogroup on trace_id —
+    * shuffles fewer bytes (tx attributes cross once) but costs one more
+    * stage, a second per-partition sort, and a second evaluation of the
+    * txs lineage. At sf0.1 bench scale the two are a wash; on micro-batch
+    * pipelines (incremental assembly → classify per batch) the cogroup
+    * form measured ~4-5× slower end-to-end, so the join form stays. At
+    * extreme message multiplicity revisit the cogroup with the txs side
+    * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       interfaces: Map[String, String] = Map.empty): Dataset[ActionRow] = {
     import spark.implicits._
     val interfacesB = spark.sparkContext.broadcast(interfaces)
-    val txsTyped = txs.select(
+    val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
         coalesce(col("end_status"), lit("active")).as("end_status"),
@@ -54,35 +55,35 @@ object ClassifyJob {
         col("compute_exit_code"), col("action_result_code"),
         coalesce(col("total_fees"), lit(0L)).as("total_fees"),
         coalesce(col("descr"), lit("ord")).as("descr"))
-      .as[ClassifyTxRow]
-    val msgsTyped = messages.select(col("tx_hash"), col("msg_hash"),
-        coalesce(col("direction"), lit("in")).as("direction"),
-        col("source"), col("destination"), col("value"),
+      .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
+        col("direction"), col("source"), col("destination"), col("value"),
         col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
         (if (messages.columns.contains("body")) col("body")
          else lit(null).cast("string")).as("body"),
         (if (messages.columns.contains("init_state")) col("init_state")
-         else lit(null).cast("string")).as("init_state"))
-      .join(txs.select(col("hash").as("tx_hash"), col("trace_id")),
-        Seq("tx_hash"))
-      .as[ClassifyMsgRow]
+         else lit(null).cast("string")).as("init_state")),
+        Seq("hash"), "left")
+      .as[ClassifyInputRow]
 
-    txsTyped.groupByKey(_.trace_id)
-      .cogroup(msgsTyped.groupByKey(_.trace_id)) { (traceId, txIt, msgIt) =>
-        val txsOf = txIt.map(r =>
-          TxLite(r.hash, r.account, r.lt, r.now, r.orig_status, r.end_status,
-            r.aborted, r.compute_exit_code, r.action_result_code,
-            r.total_fees, r.descr)).toSeq
-        val msgsByTx: Map[String, Seq[MsgLite]] = msgIt.toSeq
-          .groupBy(_.tx_hash)
-          .map { case (h, rs) =>
-            h -> rs.map(r => MsgLite(r.msg_hash, r.direction,
-              r.source, r.destination, r.value.getOrElse(0L), r.opcode,
-              r.bounce.getOrElse(false), r.bounced.getOrElse(false),
-              r.created_lt, r.body, r.init_state))
-          }
-        Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value).iterator
-      }
+    joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
+      val buf = rows.toSeq
+      val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
+        val r = rs.head
+        TxLite(h, r.account, r.lt, r.now, r.orig_status, r.end_status,
+          r.aborted, r.compute_exit_code, r.action_result_code,
+          r.total_fees, r.descr)
+      }.toSeq
+      val msgsByTx: Map[String, Seq[MsgLite]] = buf
+        .filter(_.msg_hash.isDefined)
+        .groupBy(_.hash)
+        .map { case (h, rs) =>
+          h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
+            r.source, r.destination, r.value.getOrElse(0L), r.opcode,
+            r.bounce.getOrElse(false), r.bounced.getOrElse(false),
+            r.created_lt, r.body, r.init_state))
+        }
+      Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value).iterator
+    }
   }
 
   /** Full-schema actions table: classifier output conformed to

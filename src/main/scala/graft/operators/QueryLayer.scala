@@ -280,6 +280,50 @@ object QueryLayer {
       .limit(clampLimit(limit))
   }
 
+  /** GET /api/v3/nft/sales (crud_sales.go:20-170): getgems sales and
+    * auctions by contract address, unified under a sale_type tag (U1) and
+    * hydrated with the NFT item + collection dims (J8 broadcast
+    * left-joins — TVM-derived dim tables are small relative to facts). */
+  def nftSales(sales: DataFrame, auctions: DataFrame,
+      items: DataFrame, collections: DataFrame,
+      addresses: Seq[String]): DataFrame = {
+    val saleSide = sales.select(
+      lit("getgems_sale").as("sale_type"), col("address"),
+      col("nft_address"), col("nft_owner_address"),
+      col("marketplace_address"), col("created_at"),
+      col("last_transaction_lt"), col("is_complete"),
+      col("full_price"), col("marketplace_fee_address"),
+      col("marketplace_fee"), col("royalty_address"), col("royalty_amount"),
+      lit(null).cast("decimal(38,0)").as("last_bid"),
+      lit(null).cast("decimal(38,0)").as("max_bid"),
+      lit(null).cast("decimal(38,0)").as("min_bid"),
+      lit(null).cast("int").as("end_time"))
+    val auctionSide = auctions.select(
+      lit("getgems_auction").as("sale_type"), col("address"),
+      col("nft_addr").as("nft_address"),
+      col("nft_owner").as("nft_owner_address"),
+      col("mp_addr").as("marketplace_address"), col("created_at"),
+      col("last_transaction_lt"), col("end_flag").as("is_complete"),
+      lit(null).cast("decimal(38,0)").as("full_price"),
+      col("mp_fee_addr").as("marketplace_fee_address"),
+      lit(null).cast("decimal(38,0)").as("marketplace_fee"),
+      col("royalty_fee_addr").as("royalty_address"),
+      lit(null).cast("decimal(38,0)").as("royalty_amount"),
+      col("last_bid"), col("max_bid"), col("min_bid"), col("end_time"))
+    saleSide.unionByName(auctionSide)
+      .filter(col("address").isin(addresses: _*))
+      .join(broadcast(items.select(col("address").as("nft_address"),
+        col("index").as("nft_item_index"),
+        col("collection_address"),
+        col("owner_address").as("nft_item_owner_address"))),
+        Seq("nft_address"), "left")
+      .join(broadcast(collections.select(
+        col("address").as("collection_address"),
+        col("owner_address").as("collection_owner_address"))),
+        Seq("collection_address"), "left")
+      .orderBy(col("sale_type"), col("address"))
+  }
+
   /** GET /api/v3/multisig/orders (crud endpoint family): orders of a
     * multisig, optionally pending-only (not yet sent for execution),
     * ordered by order_seqno. approvals_mask is a 256-bit string column

@@ -259,4 +259,36 @@ class QueryLayerSpec extends SparkSpec {
       .collect().map(_.getAs[String]("tx_hash")).toSeq
     assert(gotItem == Seq("T1", "T3"))
   }
+
+  test("nftSales: sales and auctions unify under sale_type with item dims") {
+    import spark.implicits._
+    val sales = Seq(("s1", false, 100, "0:MP", "0:NFT1", "0:OWN1",
+        BigDecimal(1000), "0:FEE", BigDecimal(50), "0:ROY", BigDecimal(25), 5L))
+      .toDF("address", "is_complete", "created_at", "marketplace_address",
+        "nft_address", "nft_owner_address", "full_price",
+        "marketplace_fee_address", "marketplace_fee", "royalty_address",
+        "royalty_amount", "last_transaction_lt")
+    val auctions = Seq(("a1", false, 200, "0:MP", "0:NFT2", "0:OWN2",
+        BigDecimal(777), BigDecimal(9999), BigDecimal(111), 999, "0:FEE",
+        "0:ROY", 6L))
+      .toDF("address", "end_flag", "created_at", "mp_addr", "nft_addr",
+        "nft_owner", "last_bid", "max_bid", "min_bid", "end_time",
+        "mp_fee_addr", "royalty_fee_addr", "last_transaction_lt")
+    val items = Seq(("0:NFT1", "7", "0:COLL", "0:s1"),
+      ("0:NFT2", "8", "0:COLL", "0:a1"))
+      .toDF("address", "index", "collection_address", "owner_address")
+    val colls = Seq(("0:COLL", "0:CO")).toDF("address", "owner_address")
+    val got = QueryLayer.nftSales(sales, auctions, items, colls,
+      Seq("s1", "a1")).collect()
+    assert(got.length == 2)
+    val byType = got.map(r => r.getAs[String]("sale_type") -> r).toMap
+    assert(byType("getgems_sale").getAs[String]("nft_address") == "0:NFT1")
+    assert(byType("getgems_sale").getAs[java.math.BigDecimal]("full_price")
+      .longValue == 1000L)
+    assert(byType("getgems_auction").getAs[String]("nft_owner_address")
+      == "0:OWN2")
+    assert(byType("getgems_auction").getAs[java.math.BigDecimal]("last_bid")
+      .longValue == 777L)
+    assert(got.forall(_.getAs[String]("collection_address") == "0:COLL"))
+  }
 }
