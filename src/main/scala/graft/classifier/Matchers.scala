@@ -509,7 +509,38 @@ object ProtocolMatchers {
             Opcodes.matches(cc.opcode, Opcodes.StonfiV2Swap)
           case _ => false
         }
+        // per-pool amounts from the pay_to bodies, lt-ordered: the larger
+        // of (amount0_out, amount1_out) is the hop's actual output, the
+        // next hop's input is the previous hop's output
+        // (blocks/swaps.py:390-424); only successful hops (exit_code
+        // 0xc64370e5) chain. Asset identity needs the jetton-wallet
+        // repository — amounts fill, assets carry the pool wallet address.
+        val payToBodies = consumed.collect {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.StonfiV2PayTo) => cc
+        }.sortBy(_.minLt).flatMap { cc =>
+          cc.node.inMsg.flatMap(_.body).flatMap { b64 =>
+            try Some(graft.functions.TlbDecoders.stonfiV2PayTo(b64))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+        val peer =
+          if (payToBodies.size > 1)
+            payToBodies.zipWithIndex.collect {
+              case (b, i)
+                if b.exitCode == graft.functions.TlbDecoders.StonfiV2SwapOkCode =>
+                val (outAmt, outTok) = b.out
+                val prevOut = if (i == 0) None
+                  else Some(payToBodies(i - 1).out)
+                PeerSwapData(
+                  asset_in = prevOut.flatMap(_._2),
+                  amount_in = prevOut.map(o => BigDecimal(o._1)),
+                  asset_out = outTok,
+                  amount_out = Some(BigDecimal(outAmt)))
+            }
+          else Nil
         p.copy(dex = Some("stonfi_v2"),
+          peerSwaps = peer,
           peerSwapCount = if (hops > 1) hops else 0)
       case other => other
     })

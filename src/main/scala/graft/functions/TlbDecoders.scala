@@ -149,6 +149,40 @@ object TlbDecoders {
       sender, ref)
   }
 
+  final case class StonfiV2PayToBody(
+      exitCode: Long,
+      amount0Out: BigInt, token0: Option[String],
+      amount1Out: BigInt, token1: Option[String]) {
+    /** The actual swap output is the non-zero (larger) side
+      * (blocks/swaps.py:390-399 sorts the pair by amount desc). */
+    def out: (BigInt, Option[String]) =
+      if (amount0Out >= amount1Out) (amount0Out, token0)
+      else (amount1Out, token1)
+  }
+
+  /** StonFi v2 router success opcode inside pay_to
+    * (blocks/swaps.py:327 exit_code check). */
+  val StonfiV2SwapOkCode = 0xc64370e5L
+
+  /** pay_to#657b54f5 query_id:uint64 to:MsgAddress excesses:MsgAddress
+    * original_caller:MsgAddress exit_code:uint32 custom_payload:(Maybe
+    * ^Cell) ^[fwd_ton_amount:Coins amount0_out:Coins token0:MsgAddress
+    * amount1_out:Coins token1:MsgAddress]
+    * (reference messages/swaps.py:64-78). */
+  def stonfiV2PayTo(bodyB64: String): StonfiV2PayToBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x657b54f5L)
+    s.loadUint(64) // query_id
+    s.loadAddress(); s.loadAddress(); s.loadAddress()
+    val exit = s.loadUint(32).toLong
+    if (s.loadBit()) s.loadRef() // custom payload
+    val add = s.loadRef().beginParse()
+    add.loadCoins() // fwd_ton_amount
+    val a0 = add.loadCoins(); val t0 = add.loadAddress()
+    val a1 = add.loadCoins(); val t1 = add.loadAddress()
+    StonfiV2PayToBody(exit, a0, t0, a1, t1)
+  }
+
   /** StateInit: split_depth:(Maybe (## 5)) special:(Maybe TickTock)
     * code:(Maybe ^Cell) data:(Maybe ^Cell) library:(HashmapE ...) —
     * returns the data cell (StateInit.deserialize(...).data, reference

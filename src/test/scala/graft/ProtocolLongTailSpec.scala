@@ -503,6 +503,57 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(actions2.head.jetton_swap_data.exists(_.peer_swaps.size == 2))
   }
 
+  /** Real pay_to#657b54f5 body (messages/swaps.py:64-78). */
+  private def payToBody(exitCode: Long, amount0: Long, token0: String,
+      amount1: Long, token1: String): String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x657b54f5L), 32)
+      .storeUint(BigInt(1), 64) // query_id
+      .storeAddress(Some("0:" + "01" * 32)) // to
+      .storeAddress(Some("0:" + "02" * 32)) // excesses
+      .storeAddress(Some("0:" + "03" * 32)) // original_caller
+      .storeUint(BigInt(exitCode), 32)
+      .storeBit(false) // no custom payload
+      .storeRef(new Boc.Builder()
+        .storeCoins(BigInt(0)) // fwd_ton_amount
+        .storeCoins(BigInt(amount0)).storeAddress(Some(token0))
+        .storeCoins(BigInt(amount1)).storeAddress(Some(token1))
+        .build())
+      .build())
+  }
+
+  test("stonfi v2 multi-hop swap decodes pay_to amounts into peer_swaps") {
+    val tokA = "0:" + "0A" * 32
+    val tokB = "0:" + "0B" * 32
+    val txs = Seq(tx("TP1", "0:POOL1", 10), tx("TR1", "0:ROUTER", 20),
+      tx("TP2", "0:POOL2", 30), tx("TR2", "0:ROUTER", 40))
+    val ok = graft.functions.TlbDecoders.StonfiV2SwapOkCode
+    val msgs = Map(
+      "TP1" -> Seq(
+        in("m1", "0:U", "0:POOL1", Some(Opcodes.StonfiV2Swap)),
+        out("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR1" -> Seq(
+        in("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+          body = Some(payToBody(ok, 1000, tokA, 0, tokB))),
+        out("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap))),
+      "TP2" -> Seq(
+        in("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap)),
+        out("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR2" -> Seq(in("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+        body = Some(payToBody(ok, 0, tokA, 2000, tokB)))))
+    val actions = Classifier.classify("sv5", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions.map(_.`type`)}")
+    val peers = actions.head.jetton_swap_data.get.peer_swaps
+    assert(peers.size == 2)
+    assert(peers(0).amount_out.contains(BigDecimal(1000)))
+    assert(peers(0).asset_out.contains(tokA))
+    assert(peers(1).amount_in.contains(BigDecimal(1000)))
+    assert(peers(1).amount_out.contains(BigDecimal(2000)))
+    assert(peers(1).asset_out.contains(tokB))
+  }
+
   test("stonfi v2 provide liquidity: add_liquidity chain; refund = failed") {
     def chain(tail: (String, Long)): Seq[ActionRow] = {
       val txs = Seq(tx("TR", "0:ROUTER", 10), tx("TP", "0:POOL", 20),
