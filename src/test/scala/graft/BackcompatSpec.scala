@@ -128,4 +128,73 @@ class BackcompatSpec extends SparkSpec {
         s"draw $i diverged (owners=$owners jettons=$jettons nz=$nz sort=$sortDesc limit=$limit)")
     }
   }
+
+  test("randomized jetton-transfer draws: QueryLayer == reference-shaped SQL") {
+    import spark.implicits._
+    import QueryLayer.TokenEventRequest
+    val rnd = new Random(1337L)
+    val transfers = (1 to 500).map { i =>
+      (s"T$i", (i * 7 % 900).toLong, i * 3 % 800, rnd.nextInt(10) == 0,
+        s"0:${rnd.nextInt(10)}", s"0:${rnd.nextInt(10)}",
+        s"w${rnd.nextInt(8)}", s"j${rnd.nextInt(4)}")
+    }.toDF("tx_hash", "tx_lt", "tx_now", "tx_aborted", "source",
+      "destination", "jetton_wallet_address", "jetton_master_address")
+    transfers.createOrReplaceTempView("jt")
+
+    // reference WHERE/ORDER BY shape (crud_jettons.go:117-199) + the
+    // tx_hash tie-break both sides share for determinism
+    def sqlOf(r: TokenEventRequest): String = {
+      val ownerCond =
+        if (r.owner.isEmpty) None
+        else {
+          val ins = r.owner.map(o => s"'$o'").mkString("(", ",", ")")
+          r.direction match {
+            case Some("in") => Some(s"destination IN $ins")
+            case Some(_) => Some(s"source IN $ins")
+            case None => Some(s"(source IN $ins OR destination IN $ins)")
+          }
+        }
+      val conds = Seq(Some("tx_aborted = false"), ownerCond,
+        if (r.wallet.nonEmpty)
+          Some(r.wallet.map(w => s"'$w'")
+            .mkString("jetton_wallet_address IN (", ",", ")")) else None,
+        r.master.map(m => s"jetton_master_address = '$m'"),
+        r.utimeMin.map(v => s"tx_now >= $v"),
+        r.utimeMax.map(v => s"tx_now <= $v"),
+        r.ltMin.map(v => s"tx_lt >= $v"),
+        r.ltMax.map(v => s"tx_lt <= $v")).flatten
+      val orderCol =
+        if (r.utimeMin.isDefined || r.utimeMax.isDefined) "tx_now" else "tx_lt"
+      val dir = if (r.descending) "DESC" else "ASC"
+      val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+        else math.min(r.limit, QueryLayer.MaxLimit)
+      s"""SELECT tx_hash FROM jt WHERE ${conds.mkString(" AND ")}
+         |ORDER BY $orderCol $dir, tx_hash $dir
+         |LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+    }
+
+    var nonEmpty = 0
+    (1 to 30).foreach { i =>
+      val r = TokenEventRequest(
+        owner = if (rnd.nextBoolean()) Seq(s"0:${rnd.nextInt(10)}") else Nil,
+        direction = rnd.nextInt(3) match {
+          case 0 => Some("in"); case 1 => Some("out"); case _ => None
+        },
+        wallet = if (rnd.nextInt(4) == 0) Seq(s"w${rnd.nextInt(8)}") else Nil,
+        master = if (rnd.nextInt(3) == 0) Some(s"j${rnd.nextInt(4)}") else None,
+        utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(400).toLong) else None,
+        utimeMax = if (rnd.nextInt(3) == 0) Some((200 + rnd.nextInt(600)).toLong) else None,
+        ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(500).toLong) else None,
+        ltMax = if (rnd.nextInt(3) == 0) Some((100 + rnd.nextInt(800)).toLong) else None,
+        descending = rnd.nextBoolean(),
+        limit = rnd.nextInt(700) - 50,
+        offset = rnd.nextInt(20) - 3)
+      val viaLayer = QueryLayer.jettonTransfers(transfers, r)
+        .select("tx_hash").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(sqlOf(r)).collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 8, s"fuzz draws too empty ($nonEmpty/30) — widen ranges")
+  }
 }

@@ -96,4 +96,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"mintless dim join must broadcast:\n${p.take(1200)}")
   }
+
+  test("token-event queries push every filter into the parquet scan") {
+    import spark.implicits._
+    import graft.operators.QueryLayer
+    val dir = java.nio.file.Files.createTempDirectory("graft-te").toString
+    (1 to 200).map(i =>
+      (s"T$i", i.toLong, i, i % 9 == 0, s"0:${i % 5}", s"0:${i % 7}",
+        s"w${i % 4}", s"j${i % 3}"))
+      .toDF("tx_hash", "tx_lt", "tx_now", "tx_aborted", "source",
+        "destination", "jetton_wallet_address", "jetton_master_address")
+      .write.parquet(s"$dir/jt")
+    val q = QueryLayer.jettonTransfers(spark.read.parquet(s"$dir/jt"),
+      QueryLayer.TokenEventRequest(owner = Seq("0:1"),
+        direction = Some("out"), master = Some("j2"), ltMin = Some(10L)))
+    val f = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the aborted filter, the direction-resolved owner filter, the master
+    // equality and the lt bound must ALL reach the scan — at 100 TB this
+    // is the difference between reading a row group and reading the table
+    for (want <- Seq("Not(EqualTo(tx_aborted,true))", "EqualTo(source,0:1)",
+        "EqualTo(jetton_master_address,j2)", "GreaterThanOrEqual(tx_lt,10)"))
+      assert(f.contains(want), s"missing pushed filter $want:\n${
+        f.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
 }
