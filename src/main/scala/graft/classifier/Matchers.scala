@@ -2134,6 +2134,66 @@ object ProtocolMatchers {
       CocoonClientWithdrawMatcher, CocoonClientRequestRefundMatcher,
       GhostJettonTransferMatcher)
 
+  /** Trace post-processor analogue of post_process_dedust_liquidity
+    * (liquidity.py:473-508): when the SAME trace carries both the
+    * first-asset partial deposit and the final deposit against one
+    * deposit contract, merge the partial into the final — one
+    * dex_deposit_liquidity action spanning both legs. Mirrors the
+    * reference's guards: more than two deposits per contract ⇒ skip
+    * merging entirely; a partial without its final (or vice versa)
+    * stands alone. */
+  def mergeDedustDeposits(root: RootBlock): RootBlock = {
+    val deposits = root.bfs.drop(1).collect {
+      case p: ProtocolOpBlock
+        if p.btype == "dex_deposit_liquidity" && p.dex.contains("dedust") => p
+    }
+    if (deposits.size < 2) return root
+    def hasOp(p: ProtocolOpBlock, op: Long): Boolean =
+      p.nodes.exists(_.inMsg.flatMap(_.opcode)
+        .exists(o => Opcodes.matches(Some(o), op)))
+    def contractOf(p: ProtocolOpBlock): Option[String] =
+      p.nodes.find(_.inMsg.flatMap(_.opcode).exists(o =>
+          Opcodes.matches(Some(o), Opcodes.DedustDeployDepositContract) ||
+          Opcodes.matches(Some(o), Opcodes.DedustTopUpDepositContract) ||
+          Opcodes.matches(Some(o), Opcodes.DedustDepositToPool)))
+        .map(_.tx.account)
+    val byContract = deposits.flatMap(p => contractOf(p).map(_ -> p))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (byContract.values.exists(_.size > 2)) return root
+    val merges = byContract.values.flatMap { vs =>
+      val (partials, finals) =
+        vs.partition(hasOp(_, Opcodes.DedustAskLiquidityFactory))
+      (partials.headOption, finals.headOption) match {
+        // nested one inside the other would double-count — merge only
+        // disjoint sibling subtrees (the reference's blocks are flat)
+        case (Some(par), Some(fin))
+          if !par.bfs.exists(_ eq fin) && !fin.bfs.exists(_ eq par) =>
+          Some((par, fin))
+        case _ => None
+      }
+    }.toSeq
+    if (merges.isEmpty) return root
+    val dropped = new java.util.IdentityHashMap[Block, Boolean]()
+    val replaced = new java.util.IdentityHashMap[Block, Block]()
+    merges.foreach { case (par, fin) =>
+      dropped.put(par, true)
+      val mergedNodes = (fin.nodes ++ par.nodes)
+        .foldLeft(Vector.empty[TxNode]) { (acc, n) =>
+          if (acc.exists(_.tx.hash == n.tx.hash)) acc else acc :+ n
+        }
+      replaced.put(fin, fin.copy(nodes = mergedNodes,
+        children = fin.children ++ par.children,
+        failed = fin.failed || par.failed))
+    }
+    def walk(b: Block): Seq[Block] =
+      if (dropped.containsKey(b)) Nil // its children ride with the final
+      else {
+        val r = Option(replaced.get(b): Block).getOrElse(b)
+        Seq(r.withChildren(r.children.flatMap(walk)))
+      }
+    RootBlock(root.children.flatMap(walk))
+  }
+
   /** Registry with the interface-dependent matchers appended (the
     * per-trace interface map is classify-call state, not global). */
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =

@@ -339,7 +339,11 @@ object Classifier {
       val seeded = Seeder.seedTrace(forest)
       val rewritten = Matching.rewrite(seeded,
         ProtocolMatchers.registryWith(interfaces))
-      val actions = Serializer.serialize(traceId, rewritten)
+      // trace post-processors (event_processing.py:304-307): DeDust
+      // two-leg deposit merge; deploy unwinding is emitted as child
+      // actions by the serializer itself
+      val post = ProtocolMatchers.mergeDedustDeposits(rewritten)
+      val actions = Serializer.serialize(traceId, post)
       if (actions.nonEmpty) actions else Seq(unknownAction(traceId, txs))
     } catch {
       case scala.util.control.NonFatal(_) =>

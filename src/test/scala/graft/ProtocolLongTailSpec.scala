@@ -385,6 +385,55 @@ class ProtocolLongTailSpec extends SparkSpec {
       s"got ${actions.map(_.`type`)}")
   }
 
+  test("dedust two-leg deposit in one trace merges partial into final " +
+      "(post_process_dedust_liquidity, liquidity.py:473-508)") {
+    // one wallet external orders both legs: jetton leg (first asset,
+    // deploys deposit contract 0:DEPC) and TON leg (vault -> same 0:DEPC
+    // top-up -> deposit-to-pool)
+    val txs = Seq(
+      tx("TROOT", "0:USER", 5),
+      // leg A: jetton chain -> factory -> deploy deposit contract
+      tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
+      // leg B: TON to vault -> top-up same deposit contract -> pool
+      tx("TVAULT", "0:VAULT", 50), tx("TDEP2", "0:DEPC", 60),
+      tx("TPOOL", "0:POOL", 70))
+    val msgs = Map(
+      "TROOT" -> Seq(
+        in("mr", null, "0:USER", None).copy(source = None),
+        out("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
+          createdLt = 3L)),
+      "TW1" -> Seq(
+        in("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT" -> Seq(
+        in("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m4", "0:FACT", "0:DEPC",
+          Some(Opcodes.DedustDeployDepositContract))),
+      "TDEP1" -> Seq(in("m4", "0:FACT", "0:DEPC",
+        Some(Opcodes.DedustDeployDepositContract))),
+      "TVAULT" -> Seq(
+        in("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault)),
+        out("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
+      "TDEP2" -> Seq(
+        in("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
+        out("m7", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
+      "TPOOL" -> Seq(in("m7", "0:DEPC", "0:POOL",
+        Some(Opcodes.DedustDepositToPool))))
+    val actions = Classifier.classify("dd2", txs, msgs)
+    val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
+    assert(deposits.size == 1,
+      s"partial+final must merge, got ${actions.map(_.`type`)}")
+    // the merged action spans BOTH legs' transactions
+    val spanned = deposits.head.tx_hashes.toSet
+    assert(Set("TVAULT", "TDEP2", "TPOOL", "TW1", "TW2", "TFACT", "TDEP1")
+      .subsetOf(spanned), s"merged deposit spans $spanned")
+  }
+
   test("tonco liquidity deposit: jetton transfer -> fund-account -> " +
       "add-liquidity collapses into tonco_deposit_liquidity") {
     val txs = Seq(tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
