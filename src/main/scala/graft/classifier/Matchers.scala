@@ -524,21 +524,33 @@ object ProtocolMatchers {
             catch { case scala.util.control.NonFatal(_) => None }
           }
         }
+        // Mirrors blocks/swaps.py:387-419: the first hop always emits
+        // (its `in` is the swap's in-transfer, unresolved here); later
+        // hops emit only while the FIRST hop succeeded, failed hops are
+        // skipped (`continue`), and each surviving hop chains amount_in
+        // from the LAST SUCCESSFUL hop's output — not its positional
+        // predecessor, which may have failed.
+        val OkCode = graft.functions.TlbDecoders.StonfiV2SwapOkCode
         val peer =
-          if (payToBodies.size > 1)
-            payToBodies.zipWithIndex.collect {
-              case (b, i)
-                if b.exitCode == graft.functions.TlbDecoders.StonfiV2SwapOkCode =>
-                val (outAmt, outTok) = b.out
-                val prevOut = if (i == 0) None
-                  else Some(payToBodies(i - 1).out)
-                PeerSwapData(
-                  asset_in = prevOut.flatMap(_._2),
-                  amount_in = prevOut.map(o => BigDecimal(o._1)),
-                  asset_out = outTok,
-                  amount_out = Some(BigDecimal(outAmt)))
-            }
-          else Nil
+          if (payToBodies.size > 1) {
+            val first = payToBodies.head
+            val firstEntry = PeerSwapData(
+              asset_in = None, amount_in = None,
+              asset_out = first.out._2,
+              amount_out = Some(BigDecimal(first.out._1)))
+            val rest =
+              if (first.exitCode != OkCode) Nil
+              else payToBodies.tail.filter(_.exitCode == OkCode)
+                .foldLeft((Vector.empty[PeerSwapData], first.out)) {
+                  case ((acc, prevOut), b) =>
+                    (acc :+ PeerSwapData(
+                      asset_in = prevOut._2,
+                      amount_in = Some(BigDecimal(prevOut._1)),
+                      asset_out = b.out._2,
+                      amount_out = Some(BigDecimal(b.out._1))), b.out)
+                }._1
+            firstEntry +: rest
+          } else Nil
         p.copy(dex = Some("stonfi_v2"),
           peerSwaps = peer,
           peerSwapCount = if (hops > 1) hops else 0)
@@ -693,6 +705,44 @@ object ProtocolMatchers {
           comment = decoded.flatMap(_.comment),
           failed = c.failed, nodes = consumed.flatMap(_.nodes),
           children = Nil, decoded = decoded), consumed))
+      case _ => None
+    }
+  }
+
+  /** pTON v2 ton_transfer 0x01f3835d — the wrapped-TON wallet leg inside
+    * StonFi v2 swap/liquidity routes. The opcode is pTON-specific, so no
+    * interface gate is needed (the reference validates it purely by
+    * opcode + body parse, blocks/swaps.py:277-287). The TRUE moved
+    * amount is the body's ton_amount, NOT the message value (which also
+    * carries gas) — blocks/swaps.py:374-376. Rewrites into a
+    * jetton_transfer block so swap matchers consume it like any other
+    * in/out-transfer leg. */
+  object PTonTonTransferMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.PTonTransferOp))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.PTonTransferOp) =>
+        c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+          try Some(graft.functions.TlbDecoders.ptonTransfer(b64))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.map { d =>
+          val notify = c.children.collectFirst {
+            case nc: CallContractBlock
+              if Opcodes.matches(nc.opcode, Opcodes.JettonNotify) => nc
+          }
+          val consumed: Seq[Block] = (c: Block) +: notify.toSeq
+          (JettonTransferBlock(
+            sender = c.node.inMsg.flatMap(_.source),
+            senderWallet = c.node.tx.account,
+            receiver = notify.flatMap(_.node.inMsg.flatMap(_.destination))
+              .orElse(d.refundAddress),
+            receiverWallet = None,
+            amount = BigDecimal(d.tonAmount),
+            comment = None,
+            failed = c.failed, nodes = consumed.flatMap(_.nodes),
+            children = Nil), consumed)
+        }
       case _ => None
     }
   }
@@ -2092,6 +2142,7 @@ object ProtocolMatchers {
     // rewrite into an orphan jetton_mint first. The burn-anchored
     // withdraw matcher stays second-pass (it needs JettonBurnBlock).
     Seq(TonstakersDelayedWithdrawalMatcher, TonstakersDepositMatcher,
+      PTonTonTransferMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
       JettonSwapMatcher, JettonMintMatcher,
       StonfiSwapMatcher, StonfiV2SwapMatcher, DedustSwapMatcher,
@@ -2151,18 +2202,28 @@ object ProtocolMatchers {
     def hasOp(p: ProtocolOpBlock, op: Long): Boolean =
       p.nodes.exists(_.inMsg.flatMap(_.opcode)
         .exists(o => Opcodes.matches(Some(o), op)))
+    // The deposit-contract key: deploy/top-up land ON the deposit
+    // contract (tx.account), but deposit-to-pool lands on the POOL — for
+    // that leg the deposit contract is the message's SOURCE. Keying the
+    // pool account would split the two legs into different groups.
     def contractOf(p: ProtocolOpBlock): Option[String] =
       p.nodes.find(_.inMsg.flatMap(_.opcode).exists(o =>
           Opcodes.matches(Some(o), Opcodes.DedustDeployDepositContract) ||
-          Opcodes.matches(Some(o), Opcodes.DedustTopUpDepositContract) ||
-          Opcodes.matches(Some(o), Opcodes.DedustDepositToPool)))
+          Opcodes.matches(Some(o), Opcodes.DedustTopUpDepositContract)))
         .map(_.tx.account)
+        .orElse(p.nodes.find(_.inMsg.flatMap(_.opcode).exists(o =>
+            Opcodes.matches(Some(o), Opcodes.DedustDepositToPool)))
+          .flatMap(_.inMsg.flatMap(_.source)))
     val byContract = deposits.flatMap(p => contractOf(p).map(_ -> p))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     if (byContract.values.exists(_.size > 2)) return root
     val merges = byContract.values.flatMap { vs =>
-      val (partials, finals) =
-        vs.partition(hasOp(_, Opcodes.DedustAskLiquidityFactory))
+      // Discriminate on the op only the FINAL leg carries: deposit-to-pool
+      // (liquidity.py:335-370). Both legs may route through the factory
+      // ask 0xf04ec526, so partitioning on it would leave finals empty and
+      // silently skip the merge.
+      val (finals, partials) =
+        vs.partition(hasOp(_, Opcodes.DedustDepositToPool))
       (partials.headOption, finals.headOption) match {
         // nested one inside the other would double-count — merge only
         // disjoint sibling subtrees (the reference's blocks are flat)

@@ -262,9 +262,18 @@ object Serializer {
               h.amount_out, h.asset_out, source = p.destination,
               destination = p.source, source_jetton_wallet = None,
               destination_jetton_wallet = None)),
-            peer_swaps =
-              if (hops.size > 1) hops
-              else Seq.fill(p.peerSwapCount)(PeerSwapData(None, None, None, None)),
+            // DeDust serializes hops only for multi-pool routes
+            // (blocks/swaps.py:677: peer_swaps if len>1 else []); StonFi
+            // v2 may legitimately carry a 1-entry list when the first
+            // hop failed (swaps.py:395-404). Count-only blanks when the
+            // bodies didn't decode.
+            peer_swaps = {
+              val serializable =
+                if (p.dex.contains("dedust") && hops.size <= 1) Nil else hops
+              if (serializable.nonEmpty) serializable
+              else Seq.fill(p.peerSwapCount)(
+                PeerSwapData(None, None, None, None))
+            },
             min_out_amount = None))
         case _ => None
       },

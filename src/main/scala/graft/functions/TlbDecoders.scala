@@ -95,6 +95,21 @@ object TlbDecoders {
     JettonBurnBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
   }
 
+  final case class PTonTransferBody(
+      queryId: BigInt, tonAmount: BigInt, refundAddress: Option[String])
+
+  /** pTON v2 ton_transfer#01f3835d query_id:uint64 ton_amount:Coins
+    * refund_address:MsgAddress forward_payload:(Either Cell ^Cell) —
+    * the wrapped-TON wallet call whose ton_amount is the TRUE amount of
+    * a pTON swap/liquidity leg (reference messages/swaps.py:50-61
+    * PTonTransfer; consumed at blocks/swaps.py:374-376 and
+    * liquidity.py:830-832). */
+  def ptonTransfer(bodyB64: String): PTonTransferBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x01f3835dL)
+    PTonTransferBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
+  }
+
   final case class TonstakersNftBurnNotificationBody(
       queryId: BigInt, amount: BigInt, owner: Option[String])
 

@@ -667,6 +667,142 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(plain.map(_.`type`).forall(_ == "call_contract"))
   }
 
+  test("dedust two-leg deposit merges when the FINAL leg also routes " +
+      "through the factory ask (reference final chain, liquidity.py:335-370)") {
+    // Like the plain two-leg test, but leg B (the final) goes
+    // vault -> ASK FACTORY -> top-up -> deposit-to-pool: both legs now
+    // carry 0xf04ec526, so only a deposit-to-pool discriminator finds
+    // the final leg.
+    val txs = Seq(
+      tx("TROOT", "0:USER", 5),
+      tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
+      tx("TVAULT", "0:VAULT", 50), tx("TFACT2", "0:FACT", 55),
+      tx("TDEP2", "0:DEPC", 60), tx("TPOOL", "0:POOL", 70))
+    val msgs = Map(
+      "TROOT" -> Seq(
+        in("mr", null, "0:USER", None).copy(source = None),
+        out("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
+          createdLt = 3L)),
+      "TW1" -> Seq(
+        in("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT" -> Seq(
+        in("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m4", "0:FACT", "0:DEPC",
+          Some(Opcodes.DedustDeployDepositContract))),
+      "TDEP1" -> Seq(in("m4", "0:FACT", "0:DEPC",
+        Some(Opcodes.DedustDeployDepositContract))),
+      "TVAULT" -> Seq(
+        in("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault)),
+        out("m6", "0:VAULT", "0:FACT",
+          Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT2" -> Seq(
+        in("m6", "0:VAULT", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m7", "0:FACT", "0:DEPC",
+          Some(Opcodes.DedustTopUpDepositContract))),
+      "TDEP2" -> Seq(
+        in("m7", "0:FACT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
+        out("m8", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
+      "TPOOL" -> Seq(in("m8", "0:DEPC", "0:POOL",
+        Some(Opcodes.DedustDepositToPool))))
+    val actions = Classifier.classify("dd3", txs, msgs)
+    val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
+    assert(deposits.size == 1,
+      s"ask-factory on BOTH legs must still merge, got ${actions.map(_.`type`)}")
+    val spanned = deposits.head.tx_hashes.toSet
+    assert(Set("TVAULT", "TFACT2", "TDEP2", "TPOOL", "TW1", "TW2", "TFACT",
+      "TDEP1").subsetOf(spanned), s"merged deposit spans $spanned")
+  }
+
+  test("stonfi v2 mixed-success route: failed hop is skipped and the next " +
+      "hop chains amount_in from the last SUCCESSFUL hop") {
+    val tokA = "0:" + "0A" * 32
+    val tokB = "0:" + "0B" * 32
+    val tokC = "0:" + "0C" * 32
+    val ok = graft.functions.TlbDecoders.StonfiV2SwapOkCode
+    val txs = Seq(tx("TP1", "0:POOL1", 10), tx("TR1", "0:ROUTER", 20),
+      tx("TP2", "0:POOL2", 30), tx("TR2", "0:ROUTER", 40),
+      tx("TP3", "0:POOL3", 50), tx("TR3", "0:ROUTER", 60))
+    val msgs = Map(
+      "TP1" -> Seq(
+        in("m1", "0:U", "0:POOL1", Some(Opcodes.StonfiV2Swap)),
+        out("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR1" -> Seq(
+        in("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+          body = Some(payToBody(ok, 1000, tokA, 0, tokB))),
+        out("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap))),
+      "TP2" -> Seq(
+        in("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap)),
+        out("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR2" -> Seq(
+        // middle hop FAILED: refund pay_to with a non-ok exit code
+        in("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+          body = Some(payToBody(0xdeadL, 500, tokB, 0, tokA))),
+        out("m5", "0:ROUTER", "0:POOL3", Some(Opcodes.StonfiV2Swap))),
+      "TP3" -> Seq(
+        in("m5", "0:ROUTER", "0:POOL3", Some(Opcodes.StonfiV2Swap)),
+        out("m6", "0:POOL3", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR3" -> Seq(in("m6", "0:POOL3", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+        body = Some(payToBody(ok, 0, tokA, 2000, tokC)))))
+    val actions = Classifier.classify("sv6", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions.map(_.`type`)}")
+    val peers = actions.head.jetton_swap_data.get.peer_swaps
+    assert(peers.size == 2, s"failed hop must drop out, got $peers")
+    assert(peers(0).amount_out.contains(BigDecimal(1000)))
+    assert(peers(0).asset_out.contains(tokA))
+    // NOT 500/tokB — the failed hop's output must not leak into the chain
+    assert(peers(1).amount_in.contains(BigDecimal(1000)), s"got ${peers(1)}")
+    assert(peers(1).asset_in.contains(tokA))
+    assert(peers(1).amount_out.contains(BigDecimal(2000)))
+
+    // a FAILED FIRST hop gates off every later entry (swaps.py:404)
+    val msgsFailFirst = msgs ++ Map(
+      "TR1" -> Seq(
+        in("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+          body = Some(payToBody(0xdeadL, 1000, tokA, 0, tokB))),
+        out("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap))))
+    val actions2 = Classifier.classify("sv7", txs, msgsFailFirst)
+    val peers2 = actions2.head.jetton_swap_data.get.peer_swaps
+    assert(peers2.size == 1, s"first hop failed => only its entry: $peers2")
+  }
+
+  /** pTON v2 ton_transfer#01f3835d body (messages/swaps.py:50-61). */
+  private def ptonTransferBody(tonAmount: Long, refund: String): String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x01f3835dL), 32)
+      .storeUint(BigInt(9), 64)
+      .storeCoins(BigInt(tonAmount))
+      .storeAddress(Some(refund))
+      .storeBit(false) // forward_payload Either: inline (empty)
+      .build())
+  }
+
+  test("pTON v2 ton_transfer rewrites to jetton_transfer with the body's " +
+      "ton_amount, not the gas-inclusive message value") {
+    val txs = Seq(tx("TW", "0:PTONW", 10), tx("TN", "0:ROUTER", 20))
+    val msgs = Map(
+      "TW" -> Seq(
+        in("m1", "0:U", "0:PTONW", Some(Opcodes.PTonTransferOp),
+          value = 5000000000L, // ton_amount + gas
+          body = Some(ptonTransferBody(1234, "0:" + "EE" * 32))),
+        out("m2", "0:PTONW", "0:ROUTER", Some(Opcodes.JettonNotify))),
+      "TN" -> Seq(in("m2", "0:PTONW", "0:ROUTER", Some(Opcodes.JettonNotify))))
+    val actions = Classifier.classify("pt3", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_transfer"),
+      s"got ${actions.map(_.`type`)}")
+    assert(actions.head.value.contains(BigDecimal(1234)),
+      s"true amount is the body's ton_amount: ${actions.head.value}")
+    assert(actions.head.source.contains("0:U"))
+    assert(actions.head.destination.contains("0:ROUTER"))
+  }
+
   test("failed-external fallback: ghost jetton-transfer call decodes into " +
       "a jetton_transfer action") {
     import graft.functions.Boc
