@@ -164,19 +164,38 @@ object Dedup {
     * pairs at t=0.3 on short documents (prefix = 70% of each doc) and
     * then pays an array-intersect verify per candidate (4.5 s for 650k
     * pairs); the count-based join groups the same co-occurrence stream
-    * with a long-key shuffle and no verify step. At 100 TB the skew
-    * control is a df-cap on the posting list (drop shingles with
-    * df > N·t·ε — they cannot push a pair over threshold alone) or the
-    * prefix filter re-applied at higher thresholds where it actually
-    * prunes; both keep this plan shape. */
+    * with a long-key shuffle and no verify step.
+    *
+    * Skew control for 100 TB: postings whose document frequency exceeds
+    * N·t·dfCapEpsilon are dropped BEFORE the self-join (one
+    * groupBy-count plus a broadcast anti-join — the hot set is tiny by
+    * construction). A single stop-shingle with df = d contributes d²/2
+    * co-occurrence rows, so one phrase shared by 1% of a 10⁹-doc corpus
+    * would otherwise emit 5·10¹³ join rows. The cap is a documented
+    * approximation: a dropped shingle no longer counts toward `inter`,
+    * so pairs whose similarity rests ONLY on corpus-hot boilerplate can
+    * fall below threshold. With the default ε the cap sits far above any
+    * natural shingle frequency (bench corpus max df is 0.5-1.4% of N;
+    * the default cap is t·10% of N), so results are exact unless the
+    * corpus contains true stop-shingles — exactly the case where
+    * dropping boilerplate is the intended behavior. */
   def exactJaccardPairs(s: SparkSession, base: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, dfCapEpsilon: Double = 0.1): DataFrame = {
     val t10 = math.round(minJaccard * 10).toInt
     require(t10 / 10.0 == minJaccard, "threshold must be a multiple of 0.1")
-    val posting = base
+    val allPostings = base
       .select(col("doc_id"), explode(expr("transform(sh, s -> xxhash64(s))"))
         .as("hkey"))
       .localCheckpoint() // joined against itself: materialize one side
+    // df-cap: N from a 1-row aggregate folded into the plan (no separate
+    // driver-side count job); hot keys broadcast into an anti-join.
+    val nDocs = base.select(count(lit(1)).as("n_docs"))
+    val hotKeys = allPostings.groupBy("hkey")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") > col("n_docs") * minJaccard * dfCapEpsilon)
+      .select("hkey")
+    val posting = allPostings.join(broadcast(hotKeys), Seq("hkey"), "left_anti")
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
     val co = posting.select(col("doc_id").as("doc_a"), col("hkey"))
       .join(posting.select(col("doc_id").as("doc_b"), col("hkey")), "hkey")

@@ -35,6 +35,39 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall on strong dups $recall < 0.8")
   }
 
+  test("jaccard df-cap drops corpus-hot stop-shingles before the posting " +
+      "self-join; rare-shingle pairs stay exact") {
+    import spark.implicits._
+    // 12 identical boilerplate docs (one shingle, df=12) + one genuine
+    // near-dup pair over rare shingles (df=2 each)
+    val fixture = (
+      (100L to 111L).map(i => (i, "the quick fox")) ++ Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta zeta"))
+    ).toDF("doc_id", "text")
+    val base = fixture.withColumn("sh", Dedup.shingles(col("text")))
+      .select("doc_id", "sh")
+    // N=14, t=0.3, eps=0.5 => cap 2.1: df=12 dropped, df=2 kept
+    val capped = Dedup.exactJaccardPairs(spark, base, 0.3, dfCapEpsilon = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(capped.toSeq == Seq((1L, 2L, 2, 4)),
+      s"only the rare-shingle pair survives the cap, exactly: ${capped.toSeq}")
+    // with the cap effectively off, the 66 boilerplate pairs come back
+    val uncapped = Dedup.exactJaccardPairs(spark, base, 0.3, dfCapEpsilon = 10)
+      .count()
+    assert(uncapped == 67, s"12-choose-2 + 1 = 67, got $uncapped")
+    // on the real corpus the default cap never binds: output identical
+    // to the quadratic exact scan (what the d13 oracle checks)
+    val indexed = Dedup.exactJaccardPairs(spark,
+      docs.withColumn("sh", Dedup.shingles(col("text"))).select("doc_id", "sh"),
+      0.3).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.bruteForcePairs(docs, 0.3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == brute)
+  }
+
   test("simhash is a pure function of text") {
     val sigs = docs.withColumn("sim", Dedup.simhash(col("text")))
       .select("doc_id", "sim").collect()
