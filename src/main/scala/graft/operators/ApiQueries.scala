@@ -3,7 +3,6 @@ package graft.operators
 import graft.Q
 import graft.classifier.ClassifyJob
 import graft.plans.{ChainSim, TraceAssembly}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-visible instantiations of the M3 query layer over the simulated
@@ -59,10 +58,11 @@ object ApiQueries {
       |  fid AS end_utime
       |FROM bounds
       |ORDER BY mx, trace_id, end_utime LIMIT 100""".stripMargin) { (s, dir) =>
-    val acts = ChainSim.classified(s, dir)
-    val w = Window.partitionBy("trace_id")
-    val withEnds = acts.withColumn("trace_end_utime", max("end_utime").over(w))
-    QueryLayer.actions(withEnds, Seq("call_contract", "contract_deploy"), 100)
+    // trace_end_utime is denormalized into the silver actions table at
+    // materialization (ChainSim.classified) — no query-time window here,
+    // mirroring the reference's denormalized trace columns (SURVEY §1.4)
+    QueryLayer.actions(ChainSim.classified(s, dir),
+        Seq("call_contract", "contract_deploy"), 100)
       .select("trace_id", "type", "end_utime")
   }
 

@@ -70,12 +70,20 @@ object ChainSim {
     })
 
   /** Memoized classifier output over the assembled chain — shared by every
-    * action-level query (a03/b02); the silver `actions` table. */
+    * action-level query (a03/b02); the silver `actions` table. Carries the
+    * §1.4 denormalized trace_end_utime (joined once from trace meta at
+    * materialization, the way production denormalizes trace columns into
+    * `actions` at write time) so pagination sorts never need a query-time
+    * window over the whole actions set. */
   def classified(spark: SparkSession, dir: String): DataFrame =
     actsCache.getOrElseUpdate((spark, dir), {
       val (_, msgs) = simulate(spark, dir)
-      val (_, _, txsWithTrace) = assembled(spark, dir)
-      ClassifyJob.run(spark, txsWithTrace, msgs).toDF().localCheckpoint()
+      val (traces, _, txsWithTrace) = assembled(spark, dir)
+      val meta = traces.select(col("trace_id"),
+        col("end_utime").cast("long").as("trace_end_utime"))
+      ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
+        .join(broadcast(meta), Seq("trace_id"), "left")
+        .localCheckpoint()
     })
 
   /** Memoized trace assembly over the simulated chain. */
