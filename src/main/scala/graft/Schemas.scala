@@ -190,6 +190,59 @@ object Schemas {
     f("royalty_fee_base", amount),
     f("max_bid", amount), f("min_bid", amount)))
 
+  val changeDnsRecordDetails: StructType = StructType(Seq(
+    f("key", StringType), f("value_schema", StringType),
+    f("value", StringType), f("flags", IntegerType)))
+
+  val multisigCreateOrderDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("order_seqno", StringType),
+    f("is_created_by_signer", BooleanType),
+    f("is_signed_by_creator", BooleanType),
+    f("creator_index", IntegerType), f("expiration_date", LongType),
+    f("order_boc", StringType)))
+
+  val multisigApproveDetails: StructType = StructType(Seq(
+    f("signer_index", IntegerType), f("exit_code", IntegerType)))
+
+  val multisigExecuteDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("order_seqno", StringType),
+    f("expiration_date", LongType), f("approvals_num", IntegerType),
+    f("signers_hash", StringType), f("order_boc", StringType)))
+
+  val vestingSendMessageDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("message_boc", StringType)))
+
+  val vestingAddWhitelistDetails: StructType = StructType(Seq(
+    f("query_id", StringType),
+    f("accounts_added", ArrayType(StringType))))
+
+  val liquidityVaultExcessDetails: StructType = StructType(Seq(
+    f("asset", StringType), f("amount", amount)))
+
+  val dexDepositLiquidityDetails: StructType = StructType(Seq(
+    f("dex", StringType), f("amount1", amount), f("amount2", amount),
+    f("asset1", StringType), f("asset2", StringType),
+    f("user_jetton_wallet_1", StringType),
+    f("user_jetton_wallet_2", StringType),
+    f("lp_tokens_minted", amount),
+    f("target_asset_1", StringType), f("target_asset_2", StringType),
+    f("target_amount_1", amount), f("target_amount_2", amount),
+    f("vault_excesses", ArrayType(liquidityVaultExcessDetails)),
+    f("tick_lower", StringType), f("tick_upper", StringType),
+    f("nft_index", StringType), f("nft_address", StringType)))
+
+  val dexWithdrawLiquidityDetails: StructType = StructType(Seq(
+    f("dex", StringType), f("amount1", amount), f("amount2", amount),
+    f("asset1_out", StringType), f("asset2_out", StringType),
+    f("user_jetton_wallet_1", StringType),
+    f("user_jetton_wallet_2", StringType),
+    f("dex_jetton_wallet_1", StringType),
+    f("dex_jetton_wallet_2", StringType),
+    f("lp_tokens_burnt", amount),
+    f("dex_wallet_1", StringType), f("dex_wallet_2", StringType),
+    f("burned_nft_index", StringType), f("burned_nft_address", StringType),
+    f("tick_lower", StringType), f("tick_upper", StringType)))
+
   val actions: StructType = StructType(Seq(
     f("trace_id", StringType, nullable = false),
     f("action_id", StringType, nullable = false),
@@ -213,7 +266,15 @@ object Schemas {
     f("nft_transfer_data", nftTransferDetails),
     f("jetton_swap_data", jettonSwapDetails),
     f("staking_data", stakingDetails),
-    f("nft_listing_data", nftListingDetails)))
+    f("nft_listing_data", nftListingDetails),
+    f("change_dns_record_data", changeDnsRecordDetails),
+    f("multisig_create_order_data", multisigCreateOrderDetails),
+    f("multisig_approve_data", multisigApproveDetails),
+    f("multisig_execute_data", multisigExecuteDetails),
+    f("vesting_send_message_data", vestingSendMessageDetails),
+    f("vesting_add_whitelist_data", vestingAddWhitelistDetails),
+    f("dex_deposit_liquidity_data", dexDepositLiquidityDetails),
+    f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails)))
 
   /** action_accounts — migrate.cpp:589-599: exploded (account × action)
     * fact whose PK is the pagination sort key. */

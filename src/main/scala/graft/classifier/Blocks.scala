@@ -139,7 +139,20 @@ case class ProtocolOpBlock(
     tokensBurnt: Option[BigDecimal] = None,
     tokensMinted: Option[BigDecimal] = None,
     provider: Option[String] = None,
-    listing: Option[NftListingData] = None) extends Block {
+    listing: Option[NftListingData] = None,
+    // secondary endpoints (reference Action.source_secondary /
+    // destination_secondary, database.py:203-206)
+    sourceSecondary: Option[String] = None,
+    destinationSecondary: Option[String] = None,
+    // typed detail payloads, filled by the family's matcher
+    changeDns: Option[ChangeDnsRecordData] = None,
+    msigCreate: Option[MultisigCreateOrderData] = None,
+    msigApprove: Option[MultisigApproveData] = None,
+    msigExecute: Option[MultisigExecuteData] = None,
+    vestingSend: Option[VestingSendMessageData] = None,
+    vestingWhitelist: Option[VestingAddWhitelistData] = None,
+    depositLiquidity: Option[DexDepositLiquidityData] = None,
+    withdrawLiquidity: Option[DexWithdrawLiquidityData] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

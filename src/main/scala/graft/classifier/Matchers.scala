@@ -595,12 +595,32 @@ object ProtocolMatchers {
           }
           val consumed = (Seq(c, ac): Seq[Block]) ++ cb.toSeq ++ mintOrRefund
           val in = c.node.inMsg
+          // LP tokens from the mint leg: a rewritten jetton_mint block or
+          // the raw internal_transfer body (liquidity.py:738-760)
+          val lpMinted = mintOrRefund.collectFirst {
+            case jm: JettonMintBlock => jm.amount
+          }.orElse(mintOrRefund.collectFirst {
+            case mc: CallContractBlock
+              if Opcodes.matches(mc.opcode, Opcodes.JettonInternalTransfer) =>
+              mc.node.inMsg.flatMap(_.body).flatMap(safeDecode(
+                graft.functions.TlbDecoders.jettonInternalTransfer))
+                .map(d => BigDecimal(d.amount))
+          }.flatten)
           (ProtocolOpBlock("dex_deposit_liquidity",
             in.flatMap(_.source), in.flatMap(_.destination),
             asset = None, value = in.map(m => BigDecimal(m.value)),
             failed = refunded || consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
-            dex = Some("stonfi_v2")): Block, consumed)
+            dex = Some("stonfi_v2"),
+            depositLiquidity = Some(DexDepositLiquidityData(
+              dex = Some("stonfi_v2"),
+              amount1 = in.map(m => BigDecimal(m.value)), amount2 = None,
+              asset1 = None, asset2 = None,
+              user_jetton_wallet_1 = None, user_jetton_wallet_2 = None,
+              lp_tokens_minted = if (refunded) None else lpMinted,
+              target_asset_1 = None, target_asset_2 = None,
+              target_amount_1 = None, target_amount_2 = None))): Block,
+            consumed)
         }
       case _ => None
     }
@@ -631,10 +651,26 @@ object ProtocolMatchers {
             }
             val consumed: Seq[Block] =
               (Seq(jb, wc): Seq[Block]) ++ payTos ++ payouts
+            // payout transfers carry both assets back to the user
+            // (liquidity.py:826-870): amounts + wallets in lt order
+            val outs = payouts.collect { case jt: JettonTransferBlock => jt }
+              .sortBy(_.nodes.headOption.map(_.tx.lt).getOrElse(0L))
+            def out(i: Int) = outs.drop(i).headOption
             Some((ProtocolOpBlock("dex_withdraw_liquidity",
               jb.owner, None, Some(jb.ownerWallet), Some(jb.amount),
               consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
-              dex = Some("stonfi_v2")), consumed))
+              dex = Some("stonfi_v2"),
+              withdrawLiquidity = Some(DexWithdrawLiquidityData(
+                dex = Some("stonfi_v2"),
+                amount1 = out(0).map(_.amount),
+                amount2 = out(1).map(_.amount),
+                asset1_out = None, asset2_out = None,
+                user_jetton_wallet_1 = out(0).flatMap(_.receiverWallet),
+                user_jetton_wallet_2 = out(1).flatMap(_.receiverWallet),
+                dex_jetton_wallet_1 = out(0).map(_.senderWallet),
+                dex_jetton_wallet_2 = out(1).map(_.senderWallet),
+                lp_tokens_burnt = Some(jb.amount),
+                dex_wallet_1 = None, dex_wallet_2 = None))), consumed))
           }
         }
       case _ => None
@@ -917,16 +953,96 @@ object ProtocolMatchers {
     Opcodes.ElectorRecover, None, Set(Opcodes.ElectorRecoverConfirm),
     protoBlock("election_recover"))
 
-  /** Multisig create/approve/execute (messages/multisig.py:14-103). */
+  private def safeDecode[T](f: String => T)(b64: String): Option[T] =
+    try Some(f(b64)) catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Multisig create/approve/execute (messages/multisig.py:14-103), with
+    * the multisig_*_details payloads of blocks/multisig.py:96-260 /
+    * block_tree_serializer.py:768-808. order_boc prefers the INIT
+    * message's order ref (deploy_data.order, multisig.py:137); the order
+    * contract is the init message's destination. */
   val MultisigCreateOrderMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.MultisigNewOrder, None, Set(Opcodes.MultisigInitOrder),
-    protoBlock("multisig_create_order"))
+    (c, consumed) => {
+      import graft.functions.TlbDecoders
+      val newOrder = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.multisigNewOrder))
+      val initBlock = consumed.collectFirst {
+        case ic: CallContractBlock
+          if Opcodes.matches(ic.opcode, Opcodes.MultisigInitOrder) => ic
+      }
+      val init = initBlock.flatMap(_.node.inMsg.flatMap(_.body))
+        .flatMap(safeDecode(TlbDecoders.multisigInitOrder))
+      protoBlock("multisig_create_order")(c, consumed) match {
+        case p: ProtocolOpBlock =>
+          p.copy(
+            destinationSecondary =
+              initBlock.flatMap(_.node.inMsg.flatMap(_.destination)),
+            msigCreate =
+              if (newOrder.isEmpty && init.isEmpty) None
+              else Some(MultisigCreateOrderData(
+                query_id = newOrder.map(_.queryId.toString),
+                order_seqno = newOrder.map(_.orderSeqno.toString),
+                is_created_by_signer = newOrder.map(_.isSigner),
+                is_signed_by_creator = init.map(_.approveOnInit),
+                creator_index = newOrder.map(_.signerIndex),
+                expiration_date = newOrder.map(_.expirationDate),
+                order_boc = init.map(_.orderBoc)
+                  .orElse(newOrder.map(_.orderBoc)))))
+        case other => other
+      }
+    })
+
+  /** Approve: accepted child ⇒ exit_code 0; rejected child ⇒ its body's
+    * exit code + failed action (multisig.py:146-221; success =
+    * accepted-present). signer_index −1 when the vote came by text
+    * comment instead of the opcode body (multisig.py:193-200). */
   val MultisigApproveMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.MultisigApprove, None, Set(Opcodes.MultisigApproveAccepted),
-    protoBlock("multisig_approve"))
+    Opcodes.MultisigApprove, None,
+    Set(Opcodes.MultisigApproveAccepted, Opcodes.MultisigApproveRejected),
+    (c, consumed) => {
+      import graft.functions.TlbDecoders
+      def hasOp(op: Long) = consumed.exists {
+        case cc: CallContractBlock => Opcodes.matches(cc.opcode, op)
+        case _ => false
+      }
+      val accepted = hasOp(Opcodes.MultisigApproveAccepted)
+      val rejectedExit = consumed.collectFirst {
+        case cc: CallContractBlock
+          if Opcodes.matches(cc.opcode, Opcodes.MultisigApproveRejected) =>
+          cc.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.multisigApproveRejectedExitCode))
+      }.flatten
+      val idx = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.multisigApprove)).map(_.signerIndex)
+      protoBlock("multisig_approve")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          failed = p.failed || (!accepted && hasOp(Opcodes.MultisigApproveRejected)),
+          msigApprove = Some(MultisigApproveData(
+            signer_index = idx.orElse(Some(-1)),
+            exit_code = if (accepted) Some(0) else rejectedExit)))
+        case other => other
+      }
+    })
+
   val MultisigExecuteMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.MultisigExecute, None, Set.empty,
-    protoBlock("multisig_execute"))
+    (c, consumed) => {
+      import graft.functions.TlbDecoders
+      val ex = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.multisigExecute))
+      protoBlock("multisig_execute")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          msigExecute = ex.map(e => MultisigExecuteData(
+            query_id = Some(e.queryId.toString),
+            order_seqno = Some(e.orderSeqno.toString),
+            expiration_date = Some(e.expirationDate),
+            approvals_num = Some(e.approvalsNum),
+            signers_hash = Some(e.signersHash),
+            order_boc = Some(e.orderBoc))))
+        case other => other
+      }
+    })
 
   /** DNS record change 0x4eb1f0f9 — branches on the decoded body like the
     * reference (blocks/dns.py:46-69): value present → 'change_dns';
@@ -944,7 +1060,18 @@ object ProtocolMatchers {
         case Some(d) if !d.hasValue => "delete_dns"
         case _ => "change_dns"
       }
-      protoBlock(btype)(c, consumed)
+      // change_dns carries the decoded record; delete_dns keeps only the
+      // key; renew_dns has no struct (block_tree_serializer.py:469-518)
+      val dnsData = decoded.collect {
+        case d if d.hasValue => ChangeDnsRecordData(Some(d.keyHex),
+          d.valueSchema, d.value, d.flags)
+        case d if d.key != BigInt(0) =>
+          ChangeDnsRecordData(Some(d.keyHex), None, None, None)
+      }
+      protoBlock(btype)(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(changeDns = dnsData)
+        case other => other
+      }
     })
 
   /** DNS auction-balance release 0x4ed14b65 (messages/nft.py:148;
@@ -953,13 +1080,34 @@ object ProtocolMatchers {
     Opcodes.DnsReleaseBalance, None, Set.empty, protoBlock("dns_release"))
 
   /** Vesting send-message / add-whitelist with their response opcodes
-    * (messages/vesting.py:12-34). */
+    * (messages/vesting.py:12-44), carrying the vesting_*_details payloads
+    * (block_tree_serializer.py:810-829). */
   val VestingSendMessageMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.VestingSendMessage, None, Set(Opcodes.VestingSendMessageResponse),
-    protoBlock("vesting_send_message"))
+    (c, consumed) => {
+      val d = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.vestingSendMessage))
+      protoBlock("vesting_send_message")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          vestingSend = d.map(b => VestingSendMessageData(
+            query_id = Some(b.queryId.toString),
+            message_boc = Some(b.messageBoc))))
+        case other => other
+      }
+    })
   val VestingAddWhitelistMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.VestingAddWhitelist, None, Set(Opcodes.VestingAddWhitelistResponse),
-    protoBlock("vesting_add_whitelist"))
+    (c, consumed) => {
+      val d = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.vestingAddWhitelist))
+      protoBlock("vesting_add_whitelist")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          vestingWhitelist = d.map(b => VestingAddWhitelistData(
+            query_id = Some(b.queryId.toString),
+            accounts_added = b.accounts)))
+        case other => other
+      }
+    })
 
   /** Subscription payment: the wallet's payment-request RESPONSE
     * 0xf06c7567 must carry the actual payment 0x73756273 to the
@@ -982,7 +1130,27 @@ object ProtocolMatchers {
       Opcodes.DedustTopUpDepositContract,
       Opcodes.DedustDepositToPool, Opcodes.Excesses),
     (c, consumed) => protoBlock("dex_deposit_liquidity")(c, consumed) match {
-      case p: ProtocolOpBlock => p.copy(dex = Some("dedust"))
+      case p: ProtocolOpBlock =>
+        // TON leg: the vault call's value IS the deposited amount
+        // (_fill_dedust_deposit_liquidity_action asset_1/amount_1,
+        // block_tree_serializer.py:611-614); the deposit contract is the
+        // deploy/top-up target (destination_secondary, :604)
+        val depositContract = consumed.collectFirst {
+          case cc: CallContractBlock
+            if Opcodes.matches(cc.opcode, Opcodes.DedustDeployDepositContract) ||
+              Opcodes.matches(cc.opcode, Opcodes.DedustTopUpDepositContract) =>
+            cc.node.tx.account
+        }
+        p.copy(dex = Some("dedust"),
+          destinationSecondary = depositContract,
+          depositLiquidity = Some(DexDepositLiquidityData(
+            dex = Some("dedust"),
+            amount1 = p.value, amount2 = None,
+            asset1 = Some("TON"), asset2 = None,
+            user_jetton_wallet_1 = None, user_jetton_wallet_2 = None,
+            lp_tokens_minted = None,
+            target_asset_1 = None, target_asset_2 = None,
+            target_amount_1 = None, target_amount_2 = None)))
       case other => other
     })
 
@@ -1016,13 +1184,32 @@ object ProtocolMatchers {
           }
           val consumed: Seq[Block] =
             Matching.identityDistinct(Seq(jt, ask) ++ tail ++ nested)
+          val depositContract = (tail ++ nested).collectFirst {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.DedustDeployDepositContract) ||
+                Opcodes.matches(cc.opcode, Opcodes.DedustTopUpDepositContract) =>
+              cc.node.tx.account
+          }
           (ProtocolOpBlock("dex_deposit_liquidity",
             source = jt.sender,
             destination = ask.node.inMsg.flatMap(_.destination),
             asset = Some(jt.senderWallet), value = Some(jt.amount),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
-            dex = Some("dedust")), consumed)
+            dex = Some("dedust"),
+            destinationSecondary = depositContract,
+            // jetton leg (asset_1 slot of the PARTIAL fill,
+            // block_tree_serializer.py:627-645); asset identity needs
+            // the jetton-wallet repository — the user wallet is recorded
+            depositLiquidity = Some(DexDepositLiquidityData(
+              dex = Some("dedust"),
+              amount1 = Some(jt.amount), amount2 = None,
+              asset1 = None, asset2 = None,
+              user_jetton_wallet_1 = Some(jt.senderWallet),
+              user_jetton_wallet_2 = None,
+              lp_tokens_minted = None,
+              target_asset_1 = None, target_asset_2 = None,
+              target_amount_1 = None, target_amount_2 = None))), consumed)
         }
       case _ => None
     }
@@ -1049,9 +1236,26 @@ object ProtocolMatchers {
         if (payouts.isEmpty) None
         else {
           val consumed = jb +: payouts
+          // both pool assets pay out; amounts decode from the payout
+          // bodies in lt order (messages/swaps.py:97-115; generic fill
+          // block_tree_serializer.py:414-433)
+          val amounts = payouts.sortBy(_.minLt).flatMap { pc =>
+            pc.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(graft.functions.TlbDecoders.dedustPayoutAmount))
+          }
           Some((ProtocolOpBlock("dex_withdraw_liquidity",
             jb.owner, None, Some(jb.ownerWallet), Some(jb.amount),
-            consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil),
+            consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+            dex = Some("dedust"),
+            withdrawLiquidity = Some(DexWithdrawLiquidityData(
+              dex = Some("dedust"),
+              amount1 = amounts.headOption.map(BigDecimal(_)),
+              amount2 = amounts.drop(1).headOption.map(BigDecimal(_)),
+              asset1_out = None, asset2_out = None,
+              user_jetton_wallet_1 = None, user_jetton_wallet_2 = None,
+              dex_jetton_wallet_1 = None, dex_jetton_wallet_2 = None,
+              lp_tokens_burnt = Some(jb.amount),
+              dex_wallet_1 = None, dex_wallet_2 = None))),
             consumed))
         }
       case _ => None
@@ -2242,9 +2446,20 @@ object ProtocolMatchers {
         .foldLeft(Vector.empty[TxNode]) { (acc, n) =>
           if (acc.exists(_.tx.hash == n.tx.hash)) acc else acc :+ n
         }
+      // the partial's asset slides into the final's second slot
+      // (post_process_dedust_liquidity keeps one action carrying both
+      // legs' amounts, liquidity.py:493-505)
+      val mergedDetail = (fin.depositLiquidity, par.depositLiquidity) match {
+        case (Some(f), Some(pd)) => Some(f.copy(
+          amount2 = pd.amount1, asset2 = pd.asset1,
+          user_jetton_wallet_2 = pd.user_jetton_wallet_1,
+          lp_tokens_minted = f.lp_tokens_minted.orElse(pd.lp_tokens_minted)))
+        case (f, pd) => f.orElse(pd)
+      }
       replaced.put(fin, fin.copy(nodes = mergedNodes,
         children = fin.children ++ par.children,
-        failed = fin.failed || par.failed))
+        failed = fin.failed || par.failed,
+        depositLiquidity = mergedDetail))
     }
     def walk(b: Block): Seq[Block] =
       if (dropped.containsKey(b)) Nil // its children ride with the final

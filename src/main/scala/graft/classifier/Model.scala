@@ -145,6 +145,7 @@ object Opcodes {
   val MultisigInitOrder = 0x9c73fba2L
   val MultisigApprove = 0xa762230fL
   val MultisigApproveAccepted = 0x82609bf6L
+  val MultisigApproveRejected = 0xafaf283eL
   val MultisigExecute = 0x75097f5dL
 
   // liquidity — DeDust deposit chain + StonFi provide

@@ -60,6 +60,70 @@ case class StakingData(
     provider: Option[String], ts_nft: Option[String],
     tokens_burnt: Option[BigDecimal], tokens_minted: Option[BigDecimal])
 
+/** change_dns_record_details (database.py:333-338; filled at
+  * block_tree_serializer.py:469-503 — delete keeps only the key). */
+case class ChangeDnsRecordData(
+    key: Option[String], value_schema: Option[String],
+    value: Option[String], flags: Option[Int])
+
+/** multisig_*_details (database.py:428-448; fills at
+  * block_tree_serializer.py:768-808). */
+case class MultisigCreateOrderData(
+    query_id: Option[String], order_seqno: Option[String],
+    is_created_by_signer: Option[Boolean],
+    is_signed_by_creator: Option[Boolean],
+    creator_index: Option[Int], expiration_date: Option[Long],
+    order_boc: Option[String])
+
+case class MultisigApproveData(
+    signer_index: Option[Int], exit_code: Option[Int])
+
+case class MultisigExecuteData(
+    query_id: Option[String], order_seqno: Option[String],
+    expiration_date: Option[Long], approvals_num: Option[Int],
+    signers_hash: Option[String], order_boc: Option[String])
+
+/** vesting_*_details (database.py:449-456; fills at
+  * block_tree_serializer.py:810-829). */
+case class VestingSendMessageData(
+    query_id: Option[String], message_boc: Option[String])
+
+case class VestingAddWhitelistData(
+    query_id: Option[String], accounts_added: Seq[String])
+
+/** liquidity_vault_excess_details (database.py:390-393). */
+case class LiquidityVaultExcess(
+    asset: Option[String], amount: Option[BigDecimal])
+
+/** dex_deposit_liquidity_details (database.py:377-399; DeDust fill at
+  * block_tree_serializer.py:600-645, generic at :400-413, TONCO ticks at
+  * :893-937). */
+case class DexDepositLiquidityData(
+    dex: Option[String],
+    amount1: Option[BigDecimal], amount2: Option[BigDecimal],
+    asset1: Option[String], asset2: Option[String],
+    user_jetton_wallet_1: Option[String], user_jetton_wallet_2: Option[String],
+    lp_tokens_minted: Option[BigDecimal],
+    target_asset_1: Option[String], target_asset_2: Option[String],
+    target_amount_1: Option[BigDecimal], target_amount_2: Option[BigDecimal],
+    vault_excesses: Seq[LiquidityVaultExcess] = Nil,
+    tick_lower: Option[String] = None, tick_upper: Option[String] = None,
+    nft_index: Option[String] = None, nft_address: Option[String] = None)
+
+/** dex_withdraw_liquidity_details (database.py:400-418; fills at
+  * block_tree_serializer.py:414-461). */
+case class DexWithdrawLiquidityData(
+    dex: Option[String],
+    amount1: Option[BigDecimal], amount2: Option[BigDecimal],
+    asset1_out: Option[String], asset2_out: Option[String],
+    user_jetton_wallet_1: Option[String], user_jetton_wallet_2: Option[String],
+    dex_jetton_wallet_1: Option[String], dex_jetton_wallet_2: Option[String],
+    lp_tokens_burnt: Option[BigDecimal],
+    dex_wallet_1: Option[String], dex_wallet_2: Option[String],
+    burned_nft_index: Option[String] = None,
+    burned_nft_address: Option[String] = None,
+    tick_lower: Option[String] = None, tick_upper: Option[String] = None)
+
 /** Flat Action row (the driver-visible columns of Schemas.actions, plus
   * the typed detail structs filled per action family). */
 case class ActionRow(
@@ -81,7 +145,17 @@ case class ActionRow(
     nft_transfer_data: Option[NftTransferData] = None,
     jetton_swap_data: Option[JettonSwapData] = None,
     staking_data: Option[StakingData] = None,
-    nft_listing_data: Option[NftListingData] = None)
+    nft_listing_data: Option[NftListingData] = None,
+    source_secondary: Option[String] = None,
+    destination_secondary: Option[String] = None,
+    change_dns_record_data: Option[ChangeDnsRecordData] = None,
+    multisig_create_order_data: Option[MultisigCreateOrderData] = None,
+    multisig_approve_data: Option[MultisigApproveData] = None,
+    multisig_execute_data: Option[MultisigExecuteData] = None,
+    vesting_send_message_data: Option[VestingSendMessageData] = None,
+    vesting_add_whitelist_data: Option[VestingAddWhitelistData] = None,
+    dex_deposit_liquidity_data: Option[DexDepositLiquidityData] = None,
+    dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -294,6 +368,48 @@ object Serializer {
       },
       nft_listing_data = b match {
         case p: ProtocolOpBlock => p.listing
+        case _ => None
+      },
+      source_secondary = b match {
+        case p: ProtocolOpBlock => p.sourceSecondary
+        case _ => None
+      },
+      destination_secondary = b match {
+        case p: ProtocolOpBlock => p.destinationSecondary
+        case _ => None
+      },
+      change_dns_record_data = b match {
+        case p: ProtocolOpBlock => p.changeDns
+        case _ => None
+      },
+      multisig_create_order_data = b match {
+        case p: ProtocolOpBlock => p.msigCreate
+        case _ => None
+      },
+      multisig_approve_data = b match {
+        case p: ProtocolOpBlock => p.msigApprove
+        case _ => None
+      },
+      multisig_execute_data = b match {
+        case p: ProtocolOpBlock => p.msigExecute
+        case _ => None
+      },
+      vesting_send_message_data = b match {
+        case p: ProtocolOpBlock => p.vestingSend
+        case _ => None
+      },
+      vesting_add_whitelist_data = b match {
+        case p: ProtocolOpBlock => p.vestingWhitelist
+        case _ => None
+      },
+      dex_deposit_liquidity_data = b match {
+        case p: ProtocolOpBlock if p.btype == "dex_deposit_liquidity" ||
+            p.btype == "tonco_deposit_liquidity" ||
+            p.btype == "coffee_deposit_liquidity" => p.depositLiquidity
+        case _ => None
+      },
+      dex_withdraw_liquidity_data = b match {
+        case p: ProtocolOpBlock => p.withdrawLiquidity
         case _ => None
       })
   }

@@ -300,19 +300,177 @@ object TlbDecoders {
   }
 
   final case class ChangeDnsRecordBody(
-      queryId: BigInt, key: BigInt, hasValue: Boolean)
+      queryId: BigInt, key: BigInt, hasValue: Boolean,
+      valueSchema: Option[String] = None, value: Option[String] = None,
+      flags: Option[Int] = None) {
+    /** key as the 64-hex-digit string the reference serializes
+      * (block_tree_serializer.py:477: block.data['key'].hex()). */
+    def keyHex: String = f"$key%064x"
+  }
 
   /** change_dns_record#4eb1f0f9 query_id:uint64 key:uint256
     * value:(Maybe ^DNSRecord) — the value's presence/key decide whether
     * the action is change_dns / renew_dns (zero key, no value) /
     * delete_dns (reference ChangeDnsRecordMessage + branch,
-    * blocks/dns.py:46-69). */
+    * blocks/dns.py:46-69). The value ref's 16-bit schema tag selects the
+    * payload layout (messages/dns.py:19-56). */
   def changeDnsRecord(bodyB64: String): ChangeDnsRecordBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x4eb1f0f9L)
     val queryId = s.loadUint(64)
     val key = s.loadUint(256)
-    ChangeDnsRecordBody(queryId, key, s.remainingRefs > 0)
+    val base = ChangeDnsRecordBody(queryId, key, s.remainingRefs > 0)
+    if (!base.hasValue) base
+    else {
+      val v = s.loadRef().beginParse()
+      def hex32(): String =
+        v.loadBytes(32).map(b => f"$b%02x").mkString
+      try v.loadUint(16).toInt match {
+        case 0xba93 => base.copy(valueSchema = Some("DNSNextResolver"),
+          value = v.loadAddress())
+        case 0xad01 =>
+          val addr = hex32()
+          base.copy(valueSchema = Some("DNSAdnlAddress"),
+            value = Some(addr), flags = Some(v.loadUint(8).toInt))
+        case 0x9fd3 =>
+          val addr = v.loadAddress()
+          base.copy(valueSchema = Some("DNSSmcAddress"),
+            value = addr, flags = Some(v.loadUint(8).toInt))
+        case 0x7473 => base.copy(valueSchema = Some("DNSStorageAddress"),
+          value = Some(hex32()))
+        case 0x1eda =>
+          var chunks = v.loadUint(8).toInt
+          val sb = new StringBuilder
+          var cur = v
+          while (chunks > 0) {
+            val len = cur.loadUint(8).toInt
+            sb ++= new String(cur.loadBytes(len), "UTF-8")
+            chunks -= 1
+            if (chunks > 0) cur = cur.loadRef().beginParse()
+          }
+          base.copy(valueSchema = Some("DNSText"), value = Some(sb.toString))
+        case _ => base
+      } catch { case scala.util.control.NonFatal(_) => base }
+    }
+  }
+
+  /** DeDust payout#474f86cf / payout_from_pool#ad4eb6f5: query_id:uint64
+    * proof:^Cell amount:Coins (reference messages/swaps.py:97-115). */
+  def dedustPayoutAmount(bodyB64: String): BigInt = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    val op = s.loadUint(32).toLong
+    require(op == 0x474f86cfL || op == 0xad4eb6f5L,
+      f"opcode 0x$op%08x is not a dedust payout")
+    s.loadUint(64)
+    s.loadRef()
+    s.loadCoins()
+  }
+
+  // ------------------------------------------------------------ multisig
+
+  final case class MultisigNewOrderBody(
+      queryId: BigInt, orderSeqno: BigInt, isSigner: Boolean,
+      signerIndex: Int, expirationDate: Long, orderBoc: String)
+
+  /** new_order#f718510f query_id:uint64 order_seqno:uint256 signer:(## 1)
+    * index:uint8 expiration_date:uint48 order:^Order
+    * (reference messages/multisig.py:6-30). */
+  def multisigNewOrder(bodyB64: String): MultisigNewOrderBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xf718510fL)
+    MultisigNewOrderBody(s.loadUint(64), s.loadUint(256), s.loadBit(),
+      s.loadUint(8).toInt, s.loadUint(48).toLong,
+      Boc.serializeBase64(s.loadRef()))
+  }
+
+  final case class MultisigInitOrderBody(
+      queryId: BigInt, threshold: Int, expirationDate: Long,
+      orderBoc: String, approveOnInit: Boolean)
+
+  /** init#9c73fba2 query_id:uint64 threshold:uint8
+    * signers:^(Hashmap 8 MsgAddressInt) expiration_date:uint48
+    * order:^Order approve_on_init:(## 1) ...
+    * (messages/multisig.py:33-66). */
+  def multisigInitOrder(bodyB64: String): MultisigInitOrderBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x9c73fba2L)
+    val qid = s.loadUint(64)
+    val threshold = s.loadUint(8).toInt
+    s.loadRef() // signers dict
+    val exp = s.loadUint(48).toLong
+    val order = s.loadRef()
+    val approveOnInit = s.loadBit()
+    MultisigInitOrderBody(qid, threshold, exp,
+      Boc.serializeBase64(order), approveOnInit)
+  }
+
+  final case class MultisigApproveBody(queryId: BigInt, signerIndex: Int)
+
+  /** approve#a762230f query_id:uint64 signer_index:uint8
+    * (messages/multisig.py:69-83). */
+  def multisigApprove(bodyB64: String): MultisigApproveBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xa762230fL)
+    MultisigApproveBody(s.loadUint(64), s.loadUint(8).toInt)
+  }
+
+  /** approve_rejected#afaf283e query_id:uint64 exit_code:uint32
+    * (messages/multisig.py:92-101). */
+  def multisigApproveRejectedExitCode(bodyB64: String): Int = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xafaf283eL)
+    s.loadUint(64)
+    s.loadUint(32).toInt
+  }
+
+  final case class MultisigExecuteBody(
+      queryId: BigInt, orderSeqno: BigInt, expirationDate: Long,
+      approvalsNum: Int, signersHash: String, orderBoc: String)
+
+  /** execute#75097f5d query_id:uint64 order_seqno:uint256
+    * expiration_date:uint48 approvals_num:uint8 signers_hash:bits256
+    * order:^Order (messages/multisig.py:103-125). signers_hash is
+    * base64-encoded like the reference serializer (multisig.py:249). */
+  def multisigExecute(bodyB64: String): MultisigExecuteBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x75097f5dL)
+    MultisigExecuteBody(s.loadUint(64), s.loadUint(256),
+      s.loadUint(48).toLong, s.loadUint(8).toInt,
+      java.util.Base64.getEncoder.encodeToString(s.loadBytes(32)),
+      Boc.serializeBase64(s.loadRef()))
+  }
+
+  // ------------------------------------------------------------- vesting
+
+  final case class VestingSendMessageBody(
+      queryId: BigInt, sendMode: Int, messageBoc: String)
+
+  /** vesting send_message 0xa7733acd query_id:uint64 send_mode:uint8
+    * message:^Cell (messages/vesting.py:11-29). */
+  def vestingSendMessage(bodyB64: String): VestingSendMessageBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xa7733acdL)
+    VestingSendMessageBody(s.loadUint(64), s.loadUint(8).toInt,
+      Boc.serializeBase64(s.loadRef()))
+  }
+
+  final case class VestingAddWhitelistBody(
+      queryId: BigInt, accounts: Seq[String])
+
+  /** vesting add_whitelist 0x7258a69b query_id:uint64 then one address
+    * per slice chained through single refs (messages/vesting.py:31-44). */
+  def vestingAddWhitelist(bodyB64: String): VestingAddWhitelistBody = {
+    val s0 = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s0, 0x7258a69bL)
+    val qid = s0.loadUint(64)
+    val accounts = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = s0
+    while (cur.remainingRefs > 0) {
+      cur.loadAddress().foreach(accounts += _)
+      cur = cur.loadRef().beginParse()
+    }
+    cur.loadAddress().foreach(accounts += _)
+    VestingAddWhitelistBody(qid, accounts.toSeq)
   }
 
   // ------------------------------------------------------------- TEP-64

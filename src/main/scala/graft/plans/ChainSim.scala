@@ -576,6 +576,237 @@ object ChainSim {
       .orderBy("swap_lt", "hop")
   }
 
+  // -------------------------------------------------- detail structs (b13+)
+
+  /** b13 opcode mapping — the multisig/DNS/vesting DETAIL path: click →
+    * approve 0xa762230f (contiguous views are its accepted children),
+    * purchase → execute 0x75097f5d, signup → change-DNS 0x4eb1f0f9,
+    * error → vesting add-whitelist 0x7258a69b. Every struct field is
+    * decoded from a REAL BOC body built by the engine's writer and
+    * independently restated by the oracle. */
+  private def b13Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.MultisigApprove))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.MultisigApproveAccepted))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.MultisigExecute))
+      .when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.ChangeDnsRecord))
+      .otherwise(lit(graft.classifier.Opcodes.VestingAddWhitelist))
+
+  private def acct64(userId: Long): String = "0:" + f"$userId%064X"
+
+  private val b13BodyUdf = udf { (eventType: String, eventId: Long, userId: Long) =>
+    import graft.functions.Boc
+    eventType match {
+      case "click" => // approve#a762230f query_id signer_index
+        Boc.serializeBase64(new Boc.Builder()
+          .storeUint(BigInt(0xa762230fL), 32)
+          .storeUint(BigInt(eventId), 64)
+          .storeUint(BigInt(userId % 250), 8).build())
+      case "purchase" => // execute#75097f5d
+        val raw = BigInt(userId).toByteArray.dropWhile(_ == 0)
+        val hash = Array.fill[Byte](32 - raw.length)(0) ++ raw
+        Boc.serializeBase64(new Boc.Builder()
+          .storeUint(BigInt(0x75097f5dL), 32)
+          .storeUint(BigInt(eventId), 64)
+          .storeUint(BigInt(userId), 256)
+          .storeUint(BigInt(eventId + 1000), 48)
+          .storeUint(BigInt(userId % 250), 8)
+          .storeBytes(hash)
+          .storeRef(new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build())
+          .build())
+      case "signup" => // change_dns_record with a DNSSmcAddress value
+        Boc.serializeBase64(new Boc.Builder()
+          .storeUint(BigInt(0x4eb1f0f9L), 32)
+          .storeUint(BigInt(1), 64)
+          .storeUint(BigInt(userId), 256)
+          .storeRef(new Boc.Builder()
+            .storeUint(BigInt(0x9fd3L), 16)
+            .storeAddress(Some(acct64(userId)))
+            .storeUint(BigInt(userId % 2), 8).build())
+          .build())
+      case "error" => // vesting add_whitelist, one address
+        Boc.serializeBase64(new Boc.Builder()
+          .storeUint(BigInt(0x7258a69bL), 32)
+          .storeUint(BigInt(eventId), 64)
+          .storeAddress(Some(acct64(userId))).build())
+      case _ => null // view: bare approve_accepted child
+    }
+  }
+
+  private def b13Bodies: Column =
+    b13BodyUdf(col("event_type"), col("event_id").cast("long"),
+      col("user_id").cast("long"))
+
+  /** Detail structs through the full pipeline: every multisig_approve /
+    * multisig_execute / change_dns / vesting_add_whitelist field the
+    * matcher decodes is restated by the oracle from the event row that
+    * generated the body. Views are consumed as accepted children only
+    * when their contiguous segment head is a click. */
+  val b13 = Q("b13_action_details",
+    """WITH seg AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid,
+      |    lead(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY event_id) AS next_type,
+      |    sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM events),
+      |ext AS (
+      |  SELECT *, first_value(event_type) OVER
+      |    (PARTITION BY user_id, seg_id ORDER BY event_id) AS head_type
+      |  FROM seg)
+      |SELECT concat('T', fid) AS trace_id, event_id AS start_lt,
+      |  CASE WHEN event_type='click' THEN 'multisig_approve'
+      |       WHEN event_type='purchase' THEN 'multisig_execute'
+      |       WHEN event_type='signup' THEN 'change_dns'
+      |       WHEN event_type='error' THEN 'vesting_add_whitelist'
+      |       ELSE 'call_contract' END AS type,
+      |  CASE WHEN event_type='click' THEN user_id % 250 END AS signer_index,
+      |  CASE WHEN event_type='click' AND coalesce(next_type,'')='view'
+      |       THEN 0 END AS exit_code,
+      |  CASE WHEN event_type IN ('purchase', 'error')
+      |       THEN cast(event_id AS varchar) END AS query_id,
+      |  CASE WHEN event_type='purchase'
+      |       THEN cast(user_id AS varchar) END AS order_seqno,
+      |  CASE WHEN event_type='purchase' THEN event_id + 1000
+      |       END AS expiration_date,
+      |  CASE WHEN event_type='purchase' THEN user_id % 250
+      |       END AS approvals_num,
+      |  CASE WHEN event_type='purchase'
+      |       THEN to_base64(unhex(lpad(hex(user_id), 64, '0')))
+      |       END AS signers_hash,
+      |  CASE WHEN event_type='signup'
+      |       THEN lower(lpad(hex(user_id), 64, '0')) END AS dns_key,
+      |  CASE WHEN event_type='signup' THEN 'DNSSmcAddress'
+      |       END AS value_schema,
+      |  CASE WHEN event_type='signup'
+      |       THEN concat('0:', lpad(hex(user_id), 64, '0')) END AS dns_value,
+      |  CASE WHEN event_type='signup' THEN user_id % 2 END AS dns_flags,
+      |  CASE WHEN event_type='error'
+      |       THEN concat('0:', lpad(hex(user_id), 64, '0'))
+      |       END AS account_added
+      |FROM ext
+      |WHERE NOT (event_type = 'view' AND head_type = 'click')
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b13", b13Opcodes, b13Bodies)
+      .select(col("trace_id"), col("start_lt"), col("type"),
+        col("multisig_approve_data.signer_index").cast("long")
+          .as("signer_index"),
+        col("multisig_approve_data.exit_code").cast("long").as("exit_code"),
+        coalesce(col("multisig_execute_data.query_id"),
+          col("vesting_add_whitelist_data.query_id")).as("query_id"),
+        col("multisig_execute_data.order_seqno").as("order_seqno"),
+        col("multisig_execute_data.expiration_date").cast("long")
+          .as("expiration_date"),
+        col("multisig_execute_data.approvals_num").cast("long")
+          .as("approvals_num"),
+        col("multisig_execute_data.signers_hash").as("signers_hash"),
+        col("change_dns_record_data.key").as("dns_key"),
+        col("change_dns_record_data.value_schema").as("value_schema"),
+        col("change_dns_record_data.value").as("dns_value"),
+        col("change_dns_record_data.flags").cast("long").as("dns_flags"),
+        element_at(col("vesting_add_whitelist_data.accounts_added"), 1)
+          .as("account_added"))
+      .orderBy("start_lt", "type")
+  }
+
+  /** b14 opcode mapping — multisig CREATE-ORDER detail: signup →
+    * new_order 0xf718510f whose contiguous error children are init-order
+    * 0x9c73fba2 deploys; everything else is inert. */
+  private def b14Opcodes: Column =
+    when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.MultisigNewOrder))
+      .when(col("event_type") === "error",
+        lit(graft.classifier.Opcodes.MultisigInitOrder))
+      .otherwise(lit(1L))
+
+  private val b14BodyUdf = udf { (eventType: String, eventId: Long, userId: Long) =>
+    import graft.functions.Boc
+    eventType match {
+      case "signup" => // new_order#f718510f
+        Boc.serializeBase64(new Boc.Builder()
+          .storeUint(BigInt(0xf718510fL), 32)
+          .storeUint(BigInt(eventId), 64)
+          .storeUint(BigInt(userId), 256)
+          .storeBit(userId % 2 == 0)
+          .storeUint(BigInt(userId % 250), 8)
+          .storeUint(BigInt(eventId + 1000), 48)
+          .storeRef(new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build())
+          .build())
+      case "error" => // init#9c73fba2
+        val b = new Boc.Builder()
+          .storeUint(BigInt(0x9c73fba2L), 32)
+          .storeUint(BigInt(eventId), 64)
+          .storeUint(BigInt(2), 8)
+          .storeRef(new Boc.Builder().storeUint(BigInt(0), 1).build())
+          .storeUint(BigInt(eventId + 1000), 48)
+          .storeRef(new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build())
+          .storeBit(userId % 3 == 0)
+        if (userId % 3 == 0) b.storeUint(BigInt(0), 8)
+        Boc.serializeBase64(b.build())
+      case _ => null
+    }
+  }
+
+  private def b14Bodies: Column =
+    b14BodyUdf(col("event_type"), col("event_id").cast("long"),
+      col("user_id").cast("long"))
+
+  /** multisig_create_order_data through the pipeline: the init child (a
+    * contiguous following error event) contributes is_signed_by_creator
+    * and the order contract address; a signup with no init child keeps
+    * those fields null — exactly the reference's optional deploy leg. */
+  val b14 = Q("b14_multisig_create_order",
+    """WITH seg AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid,
+      |    lead(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY event_id) AS next_type,
+      |    sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM events),
+      |ext AS (
+      |  SELECT *, first_value(event_type) OVER
+      |    (PARTITION BY user_id, seg_id ORDER BY event_id) AS head_type
+      |  FROM seg)
+      |SELECT concat('T', fid) AS trace_id, event_id AS start_lt,
+      |  CASE WHEN event_type='signup' THEN 'multisig_create_order'
+      |       ELSE 'call_contract' END AS type,
+      |  CASE WHEN event_type='signup'
+      |       THEN cast(event_id AS varchar) END AS query_id,
+      |  CASE WHEN event_type='signup'
+      |       THEN cast(user_id AS varchar) END AS order_seqno,
+      |  CASE WHEN event_type='signup' THEN user_id % 2 = 0
+      |       END AS is_created_by_signer,
+      |  CASE WHEN event_type='signup' AND coalesce(next_type,'')='error'
+      |       THEN user_id % 3 = 0 END AS is_signed_by_creator,
+      |  CASE WHEN event_type='signup' THEN user_id % 250 END AS creator_index,
+      |  CASE WHEN event_type='signup' THEN event_id + 1000
+      |       END AS expiration_date,
+      |  CASE WHEN event_type='signup' AND coalesce(next_type,'')='error'
+      |       THEN concat('0:', user_id) END AS order_contract
+      |FROM ext
+      |WHERE NOT (event_type = 'error' AND head_type = 'signup')
+      |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b14", b14Opcodes, b14Bodies)
+      .select(col("trace_id"), col("start_lt"), col("type"),
+        col("multisig_create_order_data.query_id").as("query_id"),
+        col("multisig_create_order_data.order_seqno").as("order_seqno"),
+        col("multisig_create_order_data.is_created_by_signer")
+          .as("is_created_by_signer"),
+        col("multisig_create_order_data.is_signed_by_creator")
+          .as("is_signed_by_creator"),
+        col("multisig_create_order_data.creator_index").cast("long")
+          .as("creator_index"),
+        col("multisig_create_order_data.expiration_date").cast("long")
+          .as("expiration_date"),
+        col("destination_secondary").as("order_contract"))
+      .orderBy("start_lt", "type")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -596,5 +827,5 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14)
 }

@@ -1,0 +1,324 @@
+package graft
+
+import graft.classifier._
+import graft.functions.Boc
+
+/** Round-5 action detail structs (reference database.py:275-569 composite
+  * types; fills at block_tree_serializer.py:400-829): multisig
+  * create/approve/execute, change_dns, vesting, dex liquidity. Bodies are
+  * REAL BOCs built with the engine's writer and decoded back inside the
+  * matchers.
+  */
+class DetailStructsSpec extends SparkSpec {
+
+  private def tx(hash: String, account: String, lt: Long): TxLite =
+    TxLite(hash, account, lt, lt.toInt, "active", "active", false, None, None,
+      0L, "ord")
+
+  private def in(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, body: Option[String] = None): MsgLite =
+    MsgLite(h, "in", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(1L), body)
+
+  private def out(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, createdLt: Long = 2L, body: Option[String] = None)
+      : MsgLite =
+    MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(createdLt), body)
+
+  private val orderCell =
+    new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build()
+  private val orderBoc = Boc.serializeBase64(orderCell)
+
+  private def newOrderBody(qid: Long, seqno: Long, isSigner: Boolean,
+      idx: Int, exp: Long): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xf718510fL), 32)
+      .storeUint(BigInt(qid), 64)
+      .storeUint(BigInt(seqno), 256)
+      .storeBit(isSigner)
+      .storeUint(BigInt(idx), 8)
+      .storeUint(BigInt(exp), 48)
+      .storeRef(orderCell)
+      .build())
+
+  private def initOrderBody(qid: Long, approveOnInit: Boolean): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x9c73fba2L), 32)
+      .storeUint(BigInt(qid), 64)
+      .storeUint(BigInt(2), 8) // threshold
+      .storeRef(new Boc.Builder().storeUint(BigInt(0), 1).build()) // signers
+      .storeUint(BigInt(99), 48)
+      .storeRef(orderCell)
+      .storeBit(approveOnInit)
+    if (approveOnInit) b.storeUint(BigInt(0), 8)
+    Boc.serializeBase64(b.build())
+  }
+
+  test("multisig create order: new_order + init child fill " +
+      "multisig_create_order_data and the order contract address") {
+    val txs = Seq(tx("TM", "0:MSIG", 10), tx("TO", "0:ORDER", 20))
+    val msgs = Map(
+      "TM" -> Seq(
+        in("m1", "0:CREATOR", "0:MSIG", Some(Opcodes.MultisigNewOrder),
+          body = Some(newOrderBody(7, 42, isSigner = true, idx = 3,
+            exp = 1234567))),
+        out("m2", "0:MSIG", "0:ORDER", Some(Opcodes.MultisigInitOrder),
+          body = Some(initOrderBody(7, approveOnInit = true)))),
+      "TO" -> Seq(in("m2", "0:MSIG", "0:ORDER", Some(Opcodes.MultisigInitOrder),
+        body = Some(initOrderBody(7, approveOnInit = true)))))
+    val actions = Classifier.classify("ms1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("multisig_create_order"))
+    val d = actions.head.multisig_create_order_data.get
+    assert(d.query_id.contains("7"))
+    assert(d.order_seqno.contains("42"))
+    assert(d.is_created_by_signer.contains(true))
+    assert(d.is_signed_by_creator.contains(true))
+    assert(d.creator_index.contains(3))
+    assert(d.expiration_date.contains(1234567L))
+    assert(d.order_boc.contains(orderBoc))
+    assert(actions.head.destination_secondary.contains("0:ORDER"))
+  }
+
+  test("multisig approve: accepted => exit 0; rejected => decoded exit " +
+      "code and failed action") {
+    def approveBody(idx: Int): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0xa762230fL), 32)
+        .storeUint(BigInt(5), 64).storeUint(BigInt(idx), 8).build())
+    def rejectedBody(code: Long): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0xafaf283eL), 32)
+        .storeUint(BigInt(5), 64).storeUint(BigInt(code), 32).build())
+    def run(childOp: Long, childBody: Option[String]): ActionRow = {
+      val txs = Seq(tx("T1", "0:ORDER", 10), tx("T2", "0:SIGNER", 20))
+      val msgs = Map(
+        "T1" -> Seq(
+          in("m1", "0:SIGNER", "0:ORDER", Some(Opcodes.MultisigApprove),
+            body = Some(approveBody(4))),
+          out("m2", "0:ORDER", "0:SIGNER", Some(childOp), body = childBody)),
+        "T2" -> Seq(in("m2", "0:ORDER", "0:SIGNER", Some(childOp),
+          body = childBody)))
+      Classifier.classify("ma", txs, msgs)
+        .find(_.`type` == "multisig_approve").get
+    }
+    val ok = run(Opcodes.MultisigApproveAccepted, None)
+    assert(ok.success)
+    assert(ok.multisig_approve_data.get.signer_index.contains(4))
+    assert(ok.multisig_approve_data.get.exit_code.contains(0))
+    val bad = run(Opcodes.MultisigApproveRejected, Some(rejectedBody(101)))
+    assert(!bad.success)
+    assert(bad.multisig_approve_data.get.exit_code.contains(101))
+  }
+
+  test("multisig execute decodes order seqno, approvals, signers hash") {
+    val hashBytes = Array.tabulate[Byte](32)(i => (i + 1).toByte)
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x75097f5dL), 32)
+      .storeUint(BigInt(9), 64)
+      .storeUint(BigInt(42), 256)
+      .storeUint(BigInt(777), 48)
+      .storeUint(BigInt(2), 8)
+      .storeBytes(hashBytes)
+      .storeRef(orderCell)
+      .build())
+    val actions = Classifier.classify("me1",
+      Seq(tx("T1", "0:MSIG", 10)),
+      Map("T1" -> Seq(in("m1", "0:ORDER", "0:MSIG",
+        Some(Opcodes.MultisigExecute), body = Some(body)))))
+    assert(actions.map(_.`type`) == Seq("multisig_execute"))
+    val d = actions.head.multisig_execute_data.get
+    assert(d.query_id.contains("9"))
+    assert(d.order_seqno.contains("42"))
+    assert(d.expiration_date.contains(777L))
+    assert(d.approvals_num.contains(2))
+    assert(d.signers_hash.contains(
+      java.util.Base64.getEncoder.encodeToString(hashBytes)))
+    assert(d.order_boc.contains(orderBoc))
+  }
+
+  private def dnsBody(key: Long, value: Option[Boc.Cell]): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x4eb1f0f9L), 32)
+      .storeUint(BigInt(11), 64)
+      .storeUint(BigInt(key), 256)
+    value.foreach(b.storeRef)
+    Boc.serializeBase64(b.build())
+  }
+
+  test("change_dns decodes the record value by schema tag; delete keeps " +
+      "only the key; renew carries no struct") {
+    val wallet = "0:" + "AB" * 32
+    val smcValue = new Boc.Builder()
+      .storeUint(BigInt(0x9fd3L), 16)
+      .storeAddress(Some(wallet))
+      .storeUint(BigInt(1), 8)
+      .build()
+    def classifyOne(key: Long, value: Option[Boc.Cell]): ActionRow =
+      Classifier.classify("dns",
+        Seq(tx("T1", "0:ITEM", 10)),
+        Map("T1" -> Seq(in("m1", "0:OWNER", "0:ITEM",
+          Some(Opcodes.ChangeDnsRecord), body = Some(dnsBody(key, value)))))).head
+    val change = classifyOne(5, Some(smcValue))
+    assert(change.`type` == "change_dns")
+    val d = change.change_dns_record_data.get
+    assert(d.key.contains("0" * 63 + "5"))
+    assert(d.value_schema.contains("DNSSmcAddress"))
+    assert(d.value.contains(wallet))
+    assert(d.flags.contains(1))
+    val delete = classifyOne(5, None)
+    assert(delete.`type` == "delete_dns")
+    assert(delete.change_dns_record_data.get.value_schema.isEmpty)
+    assert(delete.change_dns_record_data.get.key.contains("0" * 63 + "5"))
+    val renew = classifyOne(0, None)
+    assert(renew.`type` == "renew_dns")
+    assert(renew.change_dns_record_data.isEmpty)
+  }
+
+  test("dns text record decodes the chunked DNSText value") {
+    val textValue = new Boc.Builder()
+      .storeUint(BigInt(0x1edaL), 16)
+      .storeUint(BigInt(1), 8) // one chunk
+      .storeUint(BigInt(5), 8)
+      .storeBytes("hello".getBytes("UTF-8"))
+      .build()
+    val a = Classifier.classify("dns2",
+      Seq(tx("T1", "0:ITEM", 10)),
+      Map("T1" -> Seq(in("m1", "0:OWNER", "0:ITEM",
+        Some(Opcodes.ChangeDnsRecord), body = Some(dnsBody(6, Some(textValue))))))).head
+    assert(a.change_dns_record_data.get.value_schema.contains("DNSText"))
+    assert(a.change_dns_record_data.get.value.contains("hello"))
+  }
+
+  test("vesting send-message and add-whitelist carry their detail structs") {
+    val inner = new Boc.Builder().storeUint(BigInt(0), 8).build()
+    val sendBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa7733acdL), 32)
+      .storeUint(BigInt(13), 64)
+      .storeUint(BigInt(3), 8) // send_mode
+      .storeRef(inner)
+      .build())
+    val send = Classifier.classify("vs1",
+      Seq(tx("T1", "0:VEST", 10)),
+      Map("T1" -> Seq(in("m1", "0:OWNER", "0:VEST",
+        Some(Opcodes.VestingSendMessage), body = Some(sendBody))))).head
+    assert(send.`type` == "vesting_send_message")
+    assert(send.vesting_send_message_data.get.query_id.contains("13"))
+    assert(send.vesting_send_message_data.get.message_boc
+      .contains(Boc.serializeBase64(inner)))
+
+    val a1 = "0:" + "01" * 32
+    val a2 = "0:" + "02" * 32
+    val wlBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x7258a69bL), 32)
+      .storeUint(BigInt(14), 64)
+      .storeAddress(Some(a1))
+      .storeRef(new Boc.Builder().storeAddress(Some(a2)).build())
+      .build())
+    val wl = Classifier.classify("vw1",
+      Seq(tx("T1", "0:VEST", 10)),
+      Map("T1" -> Seq(in("m1", "0:CREATOR", "0:VEST",
+        Some(Opcodes.VestingAddWhitelist), body = Some(wlBody))))).head
+    assert(wl.`type` == "vesting_add_whitelist")
+    assert(wl.vesting_add_whitelist_data.get.query_id.contains("14"))
+    assert(wl.vesting_add_whitelist_data.get.accounts_added == Seq(a1, a2))
+  }
+
+  test("merged dedust two-leg deposit carries both legs' amounts in " +
+      "dex_deposit_liquidity_data") {
+    // same trace shape as ProtocolLongTailSpec dd2: jetton partial leg +
+    // TON final leg against one deposit contract
+    val txs = Seq(
+      tx("TROOT", "0:USER", 5),
+      tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
+      tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
+      tx("TVAULT", "0:VAULT", 50), tx("TDEP2", "0:DEPC", 60),
+      tx("TPOOL", "0:POOL", 70))
+    val jtBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(5555)) // jetton amount
+      .storeAddress(Some("0:" + "0D" * 32))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(0))
+      .storeBit(false)
+      .build())
+    val msgs = Map(
+      "TROOT" -> Seq(
+        in("mr", null, "0:USER", None).copy(source = None),
+        out("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody)),
+        out("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
+          value = 9999, createdLt = 3L)),
+      "TW1" -> Seq(
+        in("m1", "0:USER", "0:WA", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody)),
+        out("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WA", "0:WB", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT" -> Seq(
+        in("m3", "0:WB", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m4", "0:FACT", "0:DEPC",
+          Some(Opcodes.DedustDeployDepositContract))),
+      "TDEP1" -> Seq(in("m4", "0:FACT", "0:DEPC",
+        Some(Opcodes.DedustDeployDepositContract))),
+      "TVAULT" -> Seq(
+        in("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
+          value = 9999),
+        out("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
+      "TDEP2" -> Seq(
+        in("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
+        out("m7", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
+      "TPOOL" -> Seq(in("m7", "0:DEPC", "0:POOL",
+        Some(Opcodes.DedustDepositToPool))))
+    val actions = Classifier.classify("dd4", txs, msgs)
+    val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
+    assert(deposits.size == 1)
+    val d = deposits.head.dex_deposit_liquidity_data.get
+    assert(d.dex.contains("dedust"))
+    assert(d.amount1.contains(BigDecimal(9999)), s"TON leg amount: $d")
+    assert(d.asset1.contains("TON"))
+    assert(d.amount2.contains(BigDecimal(5555)), s"jetton leg amount: $d")
+    assert(d.user_jetton_wallet_2.contains("0:WA"))
+    assert(deposits.head.destination_secondary.contains("0:DEPC"))
+  }
+
+  test("dedust withdraw decodes both payout amounts and the burnt LP") {
+    def payoutBody(amount: Long): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0x474f86cfL), 32)
+        .storeUint(BigInt(1), 64)
+        .storeRef(new Boc.Builder().storeUint(BigInt(0), 1).build())
+        .storeCoins(BigInt(amount))
+        .build())
+    val burnBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x595f07bcL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(333)) // LP burnt
+      .storeAddress(None)
+      .build())
+    val txs = Seq(tx("TB", "0:LPW", 10), tx("TP1", "0:V1", 20),
+      tx("TP2", "0:V2", 30))
+    val msgs = Map(
+      "TB" -> Seq(
+        in("m1", "0:OWNER", "0:LPW", Some(Opcodes.JettonBurn),
+          body = Some(burnBody)),
+        out("m2", "0:LPW", "0:V1", Some(Opcodes.DedustPayout),
+          body = Some(payoutBody(100))),
+        out("m3", "0:LPW", "0:V2", Some(Opcodes.DedustPayout),
+          createdLt = 3L, body = Some(payoutBody(200)))),
+      "TP1" -> Seq(in("m2", "0:LPW", "0:V1", Some(Opcodes.DedustPayout),
+        body = Some(payoutBody(100)))),
+      "TP2" -> Seq(in("m3", "0:LPW", "0:V2", Some(Opcodes.DedustPayout),
+        body = Some(payoutBody(200)))))
+    val actions = Classifier.classify("dw1", txs, msgs)
+    val w = actions.find(_.`type` == "dex_withdraw_liquidity").get
+    val d = w.dex_withdraw_liquidity_data.get
+    assert(d.dex.contains("dedust"))
+    assert(d.lp_tokens_burnt.contains(BigDecimal(333)))
+    assert(Set(d.amount1, d.amount2) ==
+      Set(Some(BigDecimal(100)), Some(BigDecimal(200))), s"got $d")
+  }
+}
