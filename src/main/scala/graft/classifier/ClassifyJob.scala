@@ -44,9 +44,11 @@ object ClassifyJob {
     * extreme message multiplicity revisit the cogroup with the txs side
     * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
-      interfaces: Map[String, String] = Map.empty): Dataset[ActionRow] = {
+      interfaces: Map[String, String] = Map.empty,
+      jettonWallets: Map[String, String] = Map.empty): Dataset[ActionRow] = {
     import spark.implicits._
     val interfacesB = spark.sparkContext.broadcast(interfaces)
+    val jettonWalletsB = spark.sparkContext.broadcast(jettonWallets)
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -82,7 +84,8 @@ object ClassifyJob {
             r.bounce.getOrElse(false), r.bounced.getOrElse(false),
             r.created_lt, r.body, r.init_state))
         }
-      Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value).iterator
+      Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value,
+        jettonWalletsB.value).iterator
     }
   }
 

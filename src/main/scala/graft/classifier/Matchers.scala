@@ -491,22 +491,41 @@ object ProtocolMatchers {
       case other => other
     })
 
+  /** Public pTON master addresses (reference jettons.py:112-116
+    * PTonTransferMatcher.pton_masters) — a jetton wallet of one of these
+    * masters is wrapped TON. */
+  val PtonMasters: Set[String] = Set(
+    "0:8CDC1D7640AD5EE326527FC1AD0514F468B30DC84B0173F0E155F451B4E11F7C",
+    "0:671963027F7F85659AB55B821671688601CDCF1EE674FC7FBBB1A776A18D34A3",
+    "0:949C4C66760C002800E2FA3D8A3CA4E1C90A9373B53AE7472033483BF14CD95E")
+
+  /** wallet address → canonical asset: the jetton master, or "TON" when
+    * the master is a pTON wrapper (swaps.py:338-352 asset resolution
+    * against the jetton-wallet repository). */
+  def assetResolver(jettonWallets: Map[String, String]): String => Option[String] =
+    w => jettonWallets.get(w).map(m => if (PtonMasters(m)) "TON" else m)
+
   /** StonFi v2 swap: router→pool call 0x6664de2a that MUST produce a
     * pay_to 0x657b54f5 (blocks/swaps.py:233-330). Cross-pool routes chain
     * further swap calls under the pay_to; vault payouts 0x63381632 and
     * referral-fee deposits 0x0490f09b ride along as auxiliaries. Emits
     * jetton_swap with dex 'stonfi_v2'; multi-pool routes carry the hop
-    * count into peer_swaps (amount detail needs the jetton-wallet
-    * repository the reference resolves per pay_to, swaps.py:338-352). */
-  val StonfiV2SwapMatcher: BlockMatcher = new OpcodeChainMatcher(
+    * count into peer_swaps. Asset identity resolves each pay_to token
+    * wallet through the jetton-wallet repository when one is provided
+    * (swaps.py:338-352); without it the pool wallet address stands in. */
+  def stonfiV2SwapMatcher(resolveAsset: String => Option[String])
+      : BlockMatcher = new OpcodeChainMatcher(
     Opcodes.StonfiV2Swap, Some(Opcodes.StonfiV2PayTo),
     Set(Opcodes.StonfiV2Swap, Opcodes.StonfiV2PayTo,
       Opcodes.StonfiV2PayVault, Opcodes.StonfiV2DepositRefFee),
     (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
       case p: ProtocolOpBlock =>
+        // hop count = (swap, pay_to) PAIRS — the reference zips each
+        // peer_swap with its payout (swaps.py:306-316); a trailing swap
+        // without a pay_to is not a hop
         val hops = consumed.count {
           case cc: CallContractBlock =>
-            Opcodes.matches(cc.opcode, Opcodes.StonfiV2Swap)
+            Opcodes.matches(cc.opcode, Opcodes.StonfiV2PayTo)
           case _ => false
         }
         // per-pool amounts from the pay_to bodies, lt-ordered: the larger
@@ -531,12 +550,15 @@ object ProtocolMatchers {
         // from the LAST SUCCESSFUL hop's output — not its positional
         // predecessor, which may have failed.
         val OkCode = graft.functions.TlbDecoders.StonfiV2SwapOkCode
+        // repository lookup, wallet address as fallback (swaps.py:338-352)
+        def asset(w: Option[String]): Option[String] =
+          w.map(addr => resolveAsset(addr).getOrElse(addr))
         val peer =
           if (payToBodies.size > 1) {
             val first = payToBodies.head
             val firstEntry = PeerSwapData(
               asset_in = None, amount_in = None,
-              asset_out = first.out._2,
+              asset_out = asset(first.out._2),
               amount_out = Some(BigDecimal(first.out._1)))
             val rest =
               if (first.exitCode != OkCode) Nil
@@ -544,9 +566,9 @@ object ProtocolMatchers {
                 .foldLeft((Vector.empty[PeerSwapData], first.out)) {
                   case ((acc, prevOut), b) =>
                     (acc :+ PeerSwapData(
-                      asset_in = prevOut._2,
+                      asset_in = asset(prevOut._2),
                       amount_in = Some(BigDecimal(prevOut._1)),
-                      asset_out = b.out._2,
+                      asset_out = asset(b.out._2),
                       amount_out = Some(BigDecimal(b.out._1))), b.out)
                 }._1
             firstEntry +: rest
@@ -556,6 +578,10 @@ object ProtocolMatchers {
           peerSwapCount = if (hops > 1) hops else 0)
       case other => other
     })
+
+  /** Repository-less StonFi v2 matcher (pool wallet addresses stand in
+    * for asset identity). */
+  val StonfiV2SwapMatcher: BlockMatcher = stonfiV2SwapMatcher(_ => None)
 
   /** StonFi v2 liquidity provision: provide_lp 0x37c096df with the
     * REQUIRED add_liquidity 0x50c6a654 child chain — what discriminates
@@ -631,7 +657,8 @@ object ProtocolMatchers {
     * (liquidity.py:789-870). Anchored top-down on the rewritten
     * jetton_burn — our trees carry no parent pointers, so the reference's
     * parent_matcher chain inverts into child navigation. */
-  object StonfiV2WithdrawLiquidityMatcher extends BlockMatcher {
+  final class StonfiV2WithdrawMatcher(resolveAsset: String => Option[String])
+      extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.JettonBurn, Opcodes.StonfiV2WithdrawLiquidity))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -664,7 +691,8 @@ object ProtocolMatchers {
                 dex = Some("stonfi_v2"),
                 amount1 = out(0).map(_.amount),
                 amount2 = out(1).map(_.amount),
-                asset1_out = None, asset2_out = None,
+                asset1_out = out(0).flatMap(o => resolveAsset(o.senderWallet)),
+                asset2_out = out(1).flatMap(o => resolveAsset(o.senderWallet)),
                 user_jetton_wallet_1 = out(0).flatMap(_.receiverWallet),
                 user_jetton_wallet_2 = out(1).flatMap(_.receiverWallet),
                 dex_jetton_wallet_1 = out(0).map(_.senderWallet),
@@ -676,6 +704,10 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+
+  /** Repository-less StonFi v2 withdraw (assets unresolved). */
+  val StonfiV2WithdrawLiquidityMatcher: BlockMatcher =
+    new StonfiV2WithdrawMatcher(_ => None)
 
   /** Failed-external fallback (FallbackJettonTransferBlockMatcher,
     * jettons.py:282-331, applied via the failed-externals registry,
@@ -1160,7 +1192,8 @@ object ProtocolMatchers {
     * blocks/liquidity.py:413-471 — the partial deposit; the reference
     * later merges partial+final per deposit contract in post-process).
     * Second-pass over the rewritten jetton transfer. */
-  object DedustDepositFirstAssetMatcher extends BlockMatcher {
+  final class DedustFirstAssetMatcher(resolveAsset: String => Option[String])
+      extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.DedustAskLiquidityFactory))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -1204,7 +1237,7 @@ object ProtocolMatchers {
             depositLiquidity = Some(DexDepositLiquidityData(
               dex = Some("dedust"),
               amount1 = Some(jt.amount), amount2 = None,
-              asset1 = None, asset2 = None,
+              asset1 = resolveAsset(jt.senderWallet), asset2 = None,
               user_jetton_wallet_1 = Some(jt.senderWallet),
               user_jetton_wallet_2 = None,
               lp_tokens_minted = None,
@@ -1214,6 +1247,10 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+
+  /** Repository-less DeDust first-asset deposit (asset unresolved). */
+  val DedustDepositFirstAssetMatcher: BlockMatcher =
+    new DedustFirstAssetMatcher(_ => None)
 
   /** StonFi provide-LP 0x37c096df (messages/liquidity.py:100). */
   val StonfiProvideLpMatcher: BlockMatcher = new OpcodeChainMatcher(
@@ -2473,8 +2510,31 @@ object ProtocolMatchers {
   /** Registry with the interface-dependent matchers appended (the
     * per-trace interface map is classify-call state, not global). */
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
-    if (interfaces.isEmpty) registry
-    else registry ++ Seq(new PTonTransferMatcher(interfaces),
+    registryWith(interfaces, Map.empty)
+
+  /** Registry with the per-trace jetton-wallet repository applied: the
+    * matchers that resolve asset identity (StonFi v2 swap/withdraw,
+    * DeDust first-asset deposit) are swapped for resolver-bound
+    * instances — the Scala analogue of the reference's
+    * interface_repository.get_jetton_wallet lookups (swaps.py:338-352,
+    * liquidity.py asset resolution). */
+  def registryWith(interfaces: Map[String, String],
+      jettonWallets: Map[String, String]): Seq[BlockMatcher] = {
+    val base =
+      if (jettonWallets.isEmpty) registry
+      else {
+        val resolve = assetResolver(jettonWallets)
+        registry.map {
+          case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
+          case m if m eq StonfiV2WithdrawLiquidityMatcher =>
+            new StonfiV2WithdrawMatcher(resolve)
+          case m if m eq DedustDepositFirstAssetMatcher =>
+            new DedustFirstAssetMatcher(resolve)
+          case m => m
+        }
+      }
+    if (interfaces.isEmpty) base
+    else base ++ Seq(new PTonTransferMatcher(interfaces),
       new NftMintMatcher(interfaces),
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),
@@ -2490,4 +2550,5 @@ object ProtocolMatchers {
       // dns purchase rewrites auction_bid blocks (AuctionBidMatcher ran)
       new DnsPurchaseMatcher(interfaces),
       new TelegramNftPurchaseMatcher(interfaces))
+  }
 }

@@ -448,7 +448,8 @@ object Classifier {
     * failure, basic (seed-only) actions; terminally one `unknown` action. */
   def classify(traceId: String, txs: Seq[TxLite],
       msgsByTx: Map[String, Seq[MsgLite]],
-      interfaces: Map[String, String] = Map.empty): Seq[ActionRow] = {
+      interfaces: Map[String, String] = Map.empty,
+      jettonWallets: Map[String, String] = Map.empty): Seq[ActionRow] = {
     val allMsgs = msgsByTx.values.flatten.toSeq
     if (txs.size > BigTraceCutoff)
       return Seq(unknownAction(traceId, txs))
@@ -463,7 +464,7 @@ object Classifier {
       }
       val seeded = Seeder.seedTrace(forest)
       val rewritten = Matching.rewrite(seeded,
-        ProtocolMatchers.registryWith(interfaces))
+        ProtocolMatchers.registryWith(interfaces, jettonWallets))
       // trace post-processors (event_processing.py:304-307): DeDust
       // two-leg deposit merge; deploy unwinding is emitted as child
       // actions by the serializer itself

@@ -258,12 +258,14 @@ object ChainSim {
 
   private def protocolClassified(spark: SparkSession, dir: String,
       variant: String, opcodeOf: => Column,
-      bodyOf: => Column = lit(null).cast("string")): DataFrame =
+      bodyOf: => Column = lit(null).cast("string"),
+      jettonWallets: => Map[String, String] = Map.empty): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs)
+      ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
+        jettonWallets = jettonWallets)
         .toDF().localCheckpoint()
     })
 
@@ -807,6 +809,112 @@ object ChainSim {
       .orderBy("start_lt", "type")
   }
 
+  /** b15 opcode mapping — StonFi v2 multi-hop swap with ASSET RESOLUTION
+    * through the jetton-wallet repository: click → swap 0x6664de2a,
+    * view → pay_to 0x657b54f5 whose body names the pool's jetton WALLET;
+    * the classifier must surface the MASTER address in peer_swaps. */
+  private def b15Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.StonfiV2Swap))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.StonfiV2PayTo))
+      .otherwise(lit(1L))
+
+  private def b15Wallet(userId: Long): String = "0:" + f"$userId%064X"
+  private def b15Master(userId: Long): String =
+    "0:" + f"${userId + 5000000L}%064X"
+
+  private val b15BodyUdf = udf { (eventType: String, eventId: Long, userId: Long) =>
+    import graft.functions.Boc
+    if (eventType != "view") null
+    else {
+      val w = b15Wallet(userId)
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0x657b54f5L), 32)
+        .storeUint(BigInt(1), 64)
+        .storeAddress(Some("0:" + "01" * 32))
+        .storeAddress(Some("0:" + "02" * 32))
+        .storeAddress(Some("0:" + "03" * 32))
+        .storeUint(BigInt(graft.functions.TlbDecoders.StonfiV2SwapOkCode), 32)
+        .storeBit(false)
+        .storeRef(new Boc.Builder()
+          .storeCoins(BigInt(0))
+          .storeCoins(BigInt(eventId)).storeAddress(Some(w))
+          .storeCoins(BigInt(0)).storeAddress(Some(w))
+          .build())
+        .build())
+    }
+  }
+
+  private def b15Bodies: Column =
+    b15BodyUdf(col("event_type"), col("event_id").cast("long"),
+      col("user_id").cast("long"))
+
+  /** The broadcast jetton-wallet repository for the b15 corpus: every
+    * user's pool wallet maps to a distinct master address. On a cluster
+    * this map is the jetton_wallets dim table broadcast into the
+    * classify job — identical shape, driver-built here because the
+    * fixture derives it from user ids. */
+  private def b15Wallets(spark: SparkSession, dir: String): Map[String, String] = {
+    import spark.implicits._
+    chainedEvents(spark, dir).select(col("user_id").cast("long"))
+      .distinct().as[Long].collect()
+      .map(u => b15Wallet(u) -> b15Master(u)).toMap
+  }
+
+  /** Hop-level StonFi v2 peer swaps with repository-resolved assets: the
+    * oracle states the MASTER address (wallet + 5,000,000 by fixture
+    * construction) — a pool-wallet fallback would hash-mismatch. Run
+    * anchor: the first swap whose immediate child is a pay_to; the whole
+    * contiguous click/view run below it is one multi-hop route. */
+  val b15 = Q("b15_stonfi_v2_asset_resolution",
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid,
+      |    sum(CASE WHEN event_type NOT IN ('click','view') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS seg_id
+      |  FROM events),
+      |sw AS (
+      |  SELECT *, lead(event_type) OVER
+      |    (PARTITION BY user_id, seg_id ORDER BY event_id) AS nxt
+      |  FROM base WHERE event_type IN ('click','view')),
+      |anch AS (
+      |  SELECT user_id, seg_id, min(event_id) AS anchor_id
+      |  FROM sw WHERE event_type = 'click' AND nxt = 'view'
+      |  GROUP BY user_id, seg_id),
+      |views AS (
+      |  SELECT s.user_id, s.fid, a.anchor_id, s.event_id,
+      |    row_number() OVER (PARTITION BY s.user_id, s.seg_id
+      |                       ORDER BY s.event_id) AS hop,
+      |    lag(s.event_id) OVER (PARTITION BY s.user_id, s.seg_id
+      |                          ORDER BY s.event_id) AS prev_v,
+      |    count(*) OVER (PARTITION BY s.user_id, s.seg_id) AS nv
+      |  FROM sw s JOIN anch a
+      |    ON s.user_id = a.user_id AND s.seg_id = a.seg_id
+      |  WHERE s.event_type = 'view' AND s.event_id > a.anchor_id)
+      |SELECT concat('T', fid) AS trace_id, anchor_id AS swap_lt, hop,
+      |  CASE WHEN hop > 1
+      |       THEN concat('0:', lpad(hex(user_id + 5000000), 64, '0'))
+      |       END AS asset_in,
+      |  CASE WHEN hop > 1 THEN prev_v END AS amount_in,
+      |  concat('0:', lpad(hex(user_id + 5000000), 64, '0')) AS asset_out,
+      |  event_id AS amount_out
+      |FROM views WHERE nv >= 2
+      |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b15", b15Opcodes, b15Bodies,
+      b15Wallets(s, dir))
+      .filter(col("type") === "jetton_swap")
+      .select(col("trace_id"), col("start_lt").as("swap_lt"),
+        posexplode(col("jetton_swap_data.peer_swaps")))
+      .select(col("trace_id"), col("swap_lt"),
+        (col("pos") + 1).cast("long").as("hop"),
+        col("col.asset_in").as("asset_in"),
+        col("col.amount_in").cast("long").as("amount_in"),
+        col("col.asset_out").as("asset_out"),
+        col("col.amount_out").cast("long").as("amount_out"))
+      .orderBy("swap_lt", "hop")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -827,5 +935,5 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15)
 }

@@ -772,6 +772,42 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(peers2.size == 1, s"first hop failed => only its entry: $peers2")
   }
 
+  test("stonfi v2 swap resolves peer assets through the jetton-wallet " +
+      "repository: master address out, TON for pTON wallets") {
+    val walletA = "0:" + "0A" * 32
+    val walletB = "0:" + "0B" * 32
+    val masterA = "0:" + "AA" * 32
+    val ptonMaster = ProtocolMatchers.PtonMasters.head
+    val wallets = Map(walletA -> masterA, walletB -> ptonMaster)
+    val ok = graft.functions.TlbDecoders.StonfiV2SwapOkCode
+    val txs = Seq(tx("TP1", "0:POOL1", 10), tx("TR1", "0:ROUTER", 20),
+      tx("TP2", "0:POOL2", 30), tx("TR2", "0:ROUTER", 40))
+    val msgs = Map(
+      "TP1" -> Seq(
+        in("m1", "0:U", "0:POOL1", Some(Opcodes.StonfiV2Swap)),
+        out("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR1" -> Seq(
+        in("m2", "0:POOL1", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+          body = Some(payToBody(ok, 1000, walletA, 0, walletB))),
+        out("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap))),
+      "TP2" -> Seq(
+        in("m3", "0:ROUTER", "0:POOL2", Some(Opcodes.StonfiV2Swap)),
+        out("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo))),
+      "TR2" -> Seq(in("m4", "0:POOL2", "0:ROUTER", Some(Opcodes.StonfiV2PayTo),
+        body = Some(payToBody(ok, 0, walletA, 2000, walletB)))))
+    val actions = Classifier.classify("sv8", txs, msgs,
+      jettonWallets = wallets)
+    val peers = actions.head.jetton_swap_data.get.peer_swaps
+    assert(peers.size == 2)
+    assert(peers(0).asset_out.contains(masterA), s"resolved master: $peers")
+    assert(peers(1).asset_in.contains(masterA))
+    assert(peers(1).asset_out.contains("TON"), s"pTON wallet => TON: $peers")
+    // without the repository the wallet addresses stand in
+    val bare = Classifier.classify("sv9", txs, msgs)
+      .head.jetton_swap_data.get.peer_swaps
+    assert(bare(0).asset_out.contains(walletA))
+  }
+
   /** pTON v2 ton_transfer#01f3835d body (messages/swaps.py:50-61). */
   private def ptonTransferBody(tonAmount: Long, refund: String): String = {
     import graft.functions.Boc
