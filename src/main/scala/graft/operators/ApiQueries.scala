@@ -66,5 +66,132 @@ object ApiQueries {
       .select("trace_id", "type", "end_utime")
   }
 
-  val all: Seq[Q] = Seq(a01, a02, a03)
+  // ------------------------------------------------ REST endpoint families
+
+  private def T = graft.Tables
+
+  /** /blocks (crud_blocks.go): workchain filter + gen_utime window over a
+    * blocks dim derived from events; gen_utime sort with seqno/workchain
+    * tie-breaks (pagination must be total). */
+  val a04 = Q("a04_blocks",
+    """SELECT cast(user_id % 3 AS int) AS workchain, event_id AS seqno,
+      |  event_id AS gen_utime
+      |FROM events
+      |WHERE user_id % 3 = 1 AND event_id BETWEEN 500 AND 60000
+      |ORDER BY gen_utime DESC, seqno DESC, workchain DESC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val blocks = T.events(s, dir).select(
+      (col("user_id") % 3).cast("int").as("workchain"),
+      col("user_id").cast("long").as("shard"),
+      col("event_id").cast("long").as("seqno"),
+      col("user_id").cast("long").as("mc_block_seqno"),
+      col("event_id").cast("long").as("gen_utime"),
+      col("event_id").cast("long").as("start_lt"))
+    QueryLayer.blocks(blocks, QueryLayer.BlockRequest(
+        workchain = Some(1), utimeMin = Some(500L), utimeMax = Some(60000L)))
+      .select("workchain", "seqno", "gen_utime")
+  }
+
+  /** /messages (crud_messages.go:14-105): destination+opcode filter over
+    * the simulated chain, then the A1 dedup contract — one row per
+    * msg_hash carrying both its consuming and producing tx. */
+  val a05 = Q("a05_messages",
+    """WITH chained AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS prev_id
+      |  FROM events)
+      |SELECT concat('m', event_id) AS msg_hash, event_id AS created_lt,
+      |  concat('T', event_id) AS in_tx_hash,
+      |  CASE WHEN prev_id IS NOT NULL THEN concat('T', prev_id)
+      |       END AS out_tx_hash
+      |FROM chained
+      |WHERE user_id = 7 AND event_type = 'click'
+      |ORDER BY created_lt DESC, msg_hash DESC LIMIT 100""".stripMargin) {
+    (s, dir) =>
+    val (_, msgs) = ChainSim.simulate(s, dir)
+    QueryLayer.messages(msgs, QueryLayer.MessageRequest(
+        destination = Some("0:7"), opcode = Some(1L)))
+      .select("msg_hash", "created_lt", "in_tx_hash", "out_tx_hash")
+  }
+
+  /** /accountStates (crud_accounts.go:14-51): code_hash IN-filter over a
+    * latest-state dim, hard 1000 limit. */
+  val a06 = Q("a06_account_states",
+    """SELECT concat('0:', c_custkey) AS account, c_mktsegment AS code_hash
+      |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |ORDER BY account LIMIT 1000""".stripMargin) { (s, dir) =>
+    val states = T.customer(s, dir).select(
+      concat(lit("0:"), col("c_custkey").cast("string")).as("account"),
+      col("c_mktsegment").as("code_hash"),
+      col("c_acctbal").as("balance"))
+    QueryLayer.accountStates(states,
+        codeHashes = Seq("BUILDING", "MACHINERY"))
+      .select("account", "code_hash")
+  }
+
+  /** /jetton/masters (crud_jettons.go:15-52): admin-address IN-filter. */
+  val a07 = Q("a07_jetton_masters",
+    """SELECT concat('0:', s_suppkey) AS address,
+      |  concat('0:', s_nationkey) AS admin_address
+      |FROM supplier WHERE concat('0:', s_nationkey) IN ('0:5', '0:7')
+      |ORDER BY address LIMIT 100""".stripMargin) { (s, dir) =>
+    val masters = T.supplier(s, dir).select(
+      concat(lit("0:"), col("s_suppkey").cast("string")).as("address"),
+      concat(lit("0:"), col("s_nationkey").cast("string")).as("admin_address"),
+      col("s_acctbal").as("total_supply"))
+    QueryLayer.jettonMasters(masters, admins = Seq("0:5", "0:7"))
+      .select("address", "admin_address")
+  }
+
+  /** /nft/collections (crud_nft.go:14-52): owner IN-filter. */
+  val a08 = Q("a08_nft_collections",
+    """SELECT concat('0:', p_partkey) AS address, p_brand AS owner_address,
+      |  cast(p_size AS bigint) AS next_item_index
+      |FROM part WHERE p_brand = 'Brand#3'
+      |ORDER BY address LIMIT 100""".stripMargin) { (s, dir) =>
+    val collections = T.part(s, dir).select(
+      concat(lit("0:"), col("p_partkey").cast("string")).as("address"),
+      col("p_brand").as("owner_address"),
+      col("p_size").cast("long").as("next_item_index"))
+    QueryLayer.nftCollections(collections, owners = Seq("Brand#3"))
+      .select("address", "owner_address", "next_item_index")
+  }
+
+  /** /multisig/wallets (crud_multisig.go:13-59): signers-OR-proposers
+    * array overlap. */
+  val a09 = Q("a09_multisig_wallets",
+    """SELECT n_name AS address, cast(n_nationkey AS bigint) AS threshold
+      |FROM nation
+      |WHERE concat('0:', n_regionkey) = '0:2'
+      |   OR concat('0:', n_nationkey) = '0:2'
+      |   OR concat('0:', n_nationkey % 5) = '0:2'
+      |ORDER BY address ASC LIMIT 100""".stripMargin) { (s, dir) =>
+    val multisig = T.nation(s, dir).select(
+      col("n_name").as("address"),
+      col("n_nationkey").cast("long").as("threshold"),
+      array(concat(lit("0:"), col("n_regionkey").cast("string")),
+        concat(lit("0:"), col("n_nationkey").cast("string"))).as("signers"),
+      array(concat(lit("0:"), (col("n_nationkey") % 5).cast("string")))
+        .as("proposers"))
+    QueryLayer.multisigByWallet(multisig, Seq("0:2"), descending = false)
+      .select("address", "threshold")
+  }
+
+  /** /dns/records (crud_dns.go:22-36): one wallet's records, shortest
+    * domain first. */
+  val a10 = Q("a10_dns_records",
+    """SELECT c_name AS domain, concat('0:', c_custkey) AS nft_item_address
+      |FROM customer WHERE concat('0:', c_nationkey) = '0:5'
+      |ORDER BY length(c_name), c_name LIMIT 100""".stripMargin) { (s, dir) =>
+    val dns = T.customer(s, dir).select(
+      col("c_name").as("domain"),
+      concat(lit("0:"), col("c_nationkey").cast("string")).as("dns_wallet"),
+      concat(lit("0:"), col("c_custkey").cast("string"))
+        .as("nft_item_address"))
+    QueryLayer.dnsRecords(dns, "0:5")
+      .select("domain", "nft_item_address")
+  }
+
+  val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10)
 }

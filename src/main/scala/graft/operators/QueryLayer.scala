@@ -137,6 +137,126 @@ object QueryLayer {
 
   // ------------------------------------------------- token/dim families
 
+  /** GET /api/v3/blocks (crud_blocks.go:14-80): equality filters on
+    * workchain/shard/seqno/mc_seqno, gen_utime and start_lt ranges,
+    * ordered by gen_utime. seqno+workchain extend the sort so pagination
+    * is total — the reference inherits postgres's physical tie order. */
+  case class BlockRequest(
+      workchain: Option[Int] = None, shard: Option[Long] = None,
+      seqno: Option[Long] = None, mcSeqno: Option[Long] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      descending: Boolean = true, limit: Int = DefaultLimit)
+
+  def blocks(blocksDf: DataFrame, r: BlockRequest): DataFrame = {
+    var df = blocksDf
+    r.workchain.foreach(v => df = df.filter(col("workchain") === v))
+    r.shard.foreach(v => df = df.filter(col("shard") === v))
+    r.seqno.foreach(v => df = df.filter(col("seqno") === v))
+    r.mcSeqno.foreach(v => df = df.filter(col("mc_block_seqno") === v))
+    r.utimeMin.foreach(v => df = df.filter(col("gen_utime") >= v))
+    r.utimeMax.foreach(v => df = df.filter(col("gen_utime") <= v))
+    r.ltMin.foreach(v => df = df.filter(col("start_lt") >= v))
+    r.ltMax.foreach(v => df = df.filter(col("start_lt") <= v))
+    val dir: Column => Column = c => if (r.descending) c.desc else c.asc
+    df.orderBy(dir(col("gen_utime")), dir(col("seqno")), dir(col("workchain")))
+      .limit(clampLimit(r.limit))
+  }
+
+  /** GET /api/v3/messages (crud_messages.go:14-105): filters on
+    * direction/source/destination/opcode + created_lt window, then the
+    * A1 dedup contract — the in and out copies of one message collapse
+    * to a single row carrying both tx hashes (group by msg_hash,
+    * max-case per direction, crud_messages.go:22-29). "null" source/
+    * destination selects externals like the reference's sentinel. */
+  case class MessageRequest(
+      direction: Option[String] = None,
+      source: Option[String] = None, destination: Option[String] = None,
+      opcode: Option[Long] = None,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      descending: Boolean = true, limit: Int = DefaultLimit)
+
+  def messages(messagesDf: DataFrame, r: MessageRequest): DataFrame = {
+    var df = messagesDf
+    r.direction.foreach(v => df = df.filter(col("direction") === v))
+    r.source.foreach(v => df =
+      if (v == "null") df.filter(col("source").isNull)
+      else df.filter(col("source") === v))
+    r.destination.foreach(v => df =
+      if (v == "null") df.filter(col("destination").isNull)
+      else df.filter(col("destination") === v))
+    r.opcode.foreach(v => df = df.filter(col("opcode") === v))
+    r.ltMin.foreach(v => df = df.filter(col("created_lt") >= v))
+    r.ltMax.foreach(v => df = df.filter(col("created_lt") <= v))
+    val dir: Column => Column = c => if (r.descending) c.desc else c.asc
+    df.groupBy("msg_hash", "source", "destination", "value", "opcode",
+        "created_lt")
+      .agg(max(when(col("direction") === "in", col("tx_hash")))
+          .as("in_tx_hash"),
+        max(when(col("direction") === "out", col("tx_hash")))
+          .as("out_tx_hash"))
+      .orderBy(dir(col("created_lt")), dir(col("msg_hash")))
+      .limit(clampLimit(r.limit))
+  }
+
+  /** GET /api/v3/accountStates (crud_accounts.go:14-51): IN-filters on
+    * account and code_hash, hard limit 1000, no endpoint sort — account
+    * order makes the result total for pagination. */
+  def accountStates(states: DataFrame, accounts: Seq[String] = Nil,
+      codeHashes: Seq[String] = Nil): DataFrame = {
+    var df = states
+    if (accounts.nonEmpty) df = df.filter(col("account").isin(accounts: _*))
+    if (codeHashes.nonEmpty)
+      df = df.filter(col("code_hash").isin(codeHashes: _*))
+    df.orderBy(col("account")).limit(MaxLimit)
+  }
+
+  /** GET /api/v3/jetton/masters (crud_jettons.go:15-52): IN-filters on
+    * master and admin address; catalog order (address stands in for the
+    * reference's insertion id). */
+  def jettonMasters(masters: DataFrame, addresses: Seq[String] = Nil,
+      admins: Seq[String] = Nil, limit: Int = DefaultLimit): DataFrame = {
+    var df = masters
+    if (addresses.nonEmpty) df = df.filter(col("address").isin(addresses: _*))
+    if (admins.nonEmpty)
+      df = df.filter(col("admin_address").isin(admins: _*))
+    df.orderBy(col("address")).limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/nft/collections (crud_nft.go:14-52): IN-filters on
+    * collection and owner address, catalog order by address. */
+  def nftCollections(collections: DataFrame, addresses: Seq[String] = Nil,
+      owners: Seq[String] = Nil, limit: Int = DefaultLimit): DataFrame = {
+    var df = collections
+    if (addresses.nonEmpty) df = df.filter(col("address").isin(addresses: _*))
+    if (owners.nonEmpty)
+      df = df.filter(col("owner_address").isin(owners: _*))
+    df.orderBy(col("address")).limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/multisig/wallets (crud_multisig.go:13-59): a wallet
+    * matches when it appears among a contract's signers OR proposers —
+    * the postgres array-overlap filter becomes arrays_overlap on the
+    * array columns (J6 family). */
+  def multisigByWallet(multisig: DataFrame, wallets: Seq[String],
+      descending: Boolean = true, limit: Int = DefaultLimit): DataFrame = {
+    val ws = array(wallets.map(lit): _*)
+    val dir: Column => Column = c => if (descending) c.desc else c.asc
+    multisig
+      .filter(arrays_overlap(col("signers"), ws) ||
+        arrays_overlap(col("proposers"), ws))
+      .orderBy(dir(col("address")))
+      .limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/dns/records (crud_dns.go:22-36): records of one wallet,
+    * shortest domain first, then lexicographic. */
+  def dnsRecords(dns: DataFrame, wallet: String,
+      limit: Int = DefaultLimit): DataFrame =
+    dns.filter(col("dns_wallet") === wallet)
+      .orderBy(length(col("domain")), col("domain"))
+      .limit(clampLimit(limit))
+
   /** Typed request shared by the token-event endpoint families
     * (models JettonTransferRequest / JettonBurnRequest /
     * NFTTransferRequest with their Utime/Lt/Limit companions). */
