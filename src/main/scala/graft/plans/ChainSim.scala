@@ -915,6 +915,140 @@ object ChainSim {
       .orderBy("swap_lt", "hop")
   }
 
+  // ------------------------------------- per-action balance changes (b16)
+
+  /** b16 sim — like protocolSim but with CROSS-ACCOUNT edges (tx account
+    * alternates by event-id parity) so value actually moves between
+    * accounts: click → StonFi swap, view → payment (2-tx jetton_swap),
+    * purchase → TEP-74 jetton transfer with a real body, signup →
+    * internal_transfer (2-tx jetton_transfer). */
+  private def b16JettonBodyUdf = udf { (eventId: Long, userId: Long) =>
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(eventId))
+      .storeAddress(Some(acct64(userId)))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(0))
+      .storeBit(false)
+      .build())
+  }
+
+  private val b16Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)]
+
+  private def b16Parts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    b16Cache.getOrElseUpdate((spark, dir), {
+      val ev = chainedEvents(spark, dir)
+      def acctOf(id: Column) = concat(pmod(id, lit(2)).cast("string"),
+        lit(":"), col("user_id").cast("string"))
+      val opcode =
+        when(col("event_type") === "click",
+            lit(graft.classifier.Opcodes.StonfiSwap))
+          .when(col("event_type") === "view",
+            lit(graft.classifier.Opcodes.StonfiPayment))
+          .when(col("event_type") === "purchase",
+            lit(graft.classifier.Opcodes.JettonTransfer))
+          .when(col("event_type") === "signup",
+            lit(graft.classifier.Opcodes.JettonInternalTransfer))
+          .otherwise(lit(1L))
+      val body = when(col("event_type") === "purchase",
+        b16JettonBodyUdf(col("event_id").cast("long"),
+          col("user_id").cast("long")))
+        .otherwise(lit(null).cast("string"))
+      val txs = ev.select(
+        concat(lit("T"), col("event_id").cast("string")).as("hash"),
+        acctOf(col("event_id")).as("account"),
+        col("event_id").as("lt"),
+        col("event_id").cast("int").as("now"),
+        lit(100).as("mc_block_seqno"),
+        lit("active").as("orig_status"), lit("active").as("end_status"),
+        lit(false).as("aborted"),
+        lit(null).cast("int").as("compute_exit_code"),
+        lit(null).cast("int").as("action_result_code"),
+        lit(0L).as("total_fees"), lit("ord").as("descr"))
+      def msgCols(dirLit: String, txCol: Column, srcCol: Column) = ev
+        .filter(if (dirLit == "out") col("prev_id").isNotNull else lit(true))
+        .select(
+          concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
+          txCol.as("tx_hash"), lit(dirLit).as("direction"),
+          srcCol.as("source"), acctOf(col("event_id")).as("destination"),
+          (col("value") * 100).cast("long").as("value"),
+          opcode.as("opcode"),
+          lit(false).as("bounce"), lit(false).as("bounced"),
+          col("event_id").as("created_lt"),
+          body.as("body"))
+      val inMsgs = msgCols("in",
+        concat(lit("T"), col("event_id").cast("string")),
+        when(col("prev_id").isNull, lit(null).cast("string"))
+          .otherwise(acctOf(col("prev_id"))))
+      val outMsgs = msgCols("out",
+        concat(lit("T"), col("prev_id").cast("string")),
+        acctOf(col("prev_id")))
+      val msgs = inMsgs.unionByName(outMsgs)
+      val (_, _, txsWithTrace) =
+        TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
+      val txsCk = txsWithTrace.localCheckpoint()
+      val acts = ClassifyJob.run(spark, txsCk, msgs).toDF().localCheckpoint()
+      (acts, txsCk, msgs)
+    })
+
+  /** Per-action (account, asset, delta) rows: two-tx actions keep only
+    * their tail tx's deltas (the head is internally triggered —
+    * balances.go:322-339); ROOT purchases keep the external head, whose
+    * TEP-74 body moves `event_id` of the wallet's master to the decoded
+    * owner. Same-parity pairs collapse to a single zero-delta row —
+    * value moved and came straight back. */
+  val b16 = Q("b16_action_balance_changes",
+    """WITH chained AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid,
+      |    lag(event_id) OVER w AS prev_id,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(event_id) OVER w AS next_id,
+      |    lead(value) OVER w AS next_val
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |pairs AS (
+      |  SELECT user_id, fid, event_id AS start_lt,
+      |    event_id AS head_id, next_id AS tail_id,
+      |    cast(trunc(next_val * 100) AS BIGINT) AS tail_v
+      |  FROM chained
+      |  WHERE (event_type = 'click' AND next_type = 'view')
+      |     OR (event_type = 'purchase' AND next_type = 'signup')),
+      |rows_ AS (
+      |  SELECT fid, start_lt, concat(tail_id % 2, ':', user_id) AS account,
+      |    'TON' AS asset, tail_v AS delta FROM pairs
+      |  UNION ALL
+      |  SELECT fid, start_lt, concat(head_id % 2, ':', user_id),
+      |    'TON', -tail_v FROM pairs
+      |  UNION ALL
+      |  SELECT fid, event_id, concat('0:', lpad(hex(user_id), 64, '0')),
+      |    concat('0:', lpad(hex(user_id + 7000000), 64, '0')), event_id
+      |  FROM chained WHERE event_type = 'purchase' AND event_id = fid)
+      |SELECT concat('T', fid) AS trace_id, start_lt, account, asset,
+      |  cast(sum(delta) AS BIGINT) AS delta
+      |FROM rows_
+      |GROUP BY fid, start_lt, account, asset
+      |ORDER BY trace_id, start_lt, account, asset""".stripMargin) { (s, dir) =>
+    val (acts, txs, msgs) = b16Parts(s, dir)
+    val wallets = chainedEvents(s, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .select(explode(array(
+        concat(lit("0:"), col("user_id").cast("string")),
+        concat(lit("1:"), col("user_id").cast("string")))).as("wallet"),
+        concat(lit("0:"), lpad(hex(col("user_id") + 7000000L), 64, "0"))
+          .as("master"))
+    SilverLayer.actionBalanceChanges(acts, txs, msgs, wallets)
+      .select(col("trace_id"), col("start_lt"), col("account"),
+        col("asset"), col("delta").cast("long").as("delta"))
+      .orderBy("trace_id", "start_lt", "account", "asset")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -935,5 +1069,6 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15)
+  val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
+    b16)
 }

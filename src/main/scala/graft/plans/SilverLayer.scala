@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.Q
 import graft.functions.Interfaces
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +61,67 @@ object SilverLayer {
       .groupBy("account")
       .agg(sum("delta").as("balance_delta"))
       .orderBy("account")
+  }
+
+  /** G10 full form: per-ACTION balance changes (balances.go:147-350).
+    * Node deltas come from each tx's in-message (+value to destination,
+    * −value from source; externals carry no value); jetton transfer
+    * calls (0x0f8a7ea5) additionally decode the TEP-74 body and move
+    * `amount` of the wallet's MASTER between the owner accounts — the
+    * wallet→master dim is a broadcast join, the Spark form of the
+    * reference's checkJettonWallets round-trip. Each action merges the
+    * deltas of its tx_hashes EXCLUDING the earliest tx when it was
+    * triggered by an internal message (balances.go:322-339 — that value
+    * belongs to the parent action); contract_deploy actions carry none.
+    * Flat explode + window + groupBy: no per-trace iteration, scales by
+    * partitioning on the action key. */
+  def actionBalanceChanges(actions: DataFrame, txs: DataFrame,
+      msgs: DataFrame, jettonWallets: DataFrame): DataFrame = {
+    val inMsgs = msgs.filter(col("direction") === "in")
+    val ton = inMsgs.filter(col("source").isNotNull)
+      .select(col("tx_hash"), explode(array(
+        struct(col("destination").as("account"), col("value").as("delta")),
+        struct(col("source").as("account"), (-col("value")).as("delta"))))
+        .as("d"))
+      .select(col("tx_hash"), col("d.account").as("account"),
+        lit("TON").as("asset"), col("d.delta").as("delta"))
+    val dec = udf { (b64: String) =>
+      try {
+        val d = graft.functions.TlbDecoders.jettonTransfer(b64)
+        Some((d.amount.toLong, d.destination.orNull))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val jt = inMsgs
+      .filter(col("opcode") === 0x0f8a7ea5L && col("body").isNotNull)
+      .withColumn("dec", dec(col("body")))
+      .filter(col("dec").isNotNull)
+      .join(broadcast(jettonWallets),
+        col("destination") === col("wallet"))
+      .select(col("tx_hash"), col("source"), col("master"),
+        col("dec._1").as("amount"), col("dec._2").as("receiver"))
+    val jtRecv = jt.filter(col("receiver").isNotNull)
+      .select(col("tx_hash"), col("receiver").as("account"),
+        col("master").as("asset"), col("amount").as("delta"))
+    val jtSend = jt.filter(col("source").isNotNull)
+      .select(col("tx_hash"), col("source").as("account"),
+        col("master").as("asset"), (-col("amount")).as("delta"))
+    val deltas = ton.unionByName(jtRecv).unionByName(jtSend)
+
+    val slice = actions.filter(col("type") =!= "contract_deploy")
+      .select(col("trace_id"), col("start_lt"),
+        explode(col("tx_hashes")).as("tx_hash"))
+    val txLts = txs.select(col("hash").as("tx_hash"), col("lt"))
+    val internal = inMsgs.select(col("tx_hash"),
+      col("source").isNotNull.as("internal"))
+    val w = Window.partitionBy("trace_id", "start_lt")
+    val kept = slice.join(txLts, "tx_hash")
+      .join(internal, Seq("tx_hash"), "left")
+      .withColumn("min_lt", min("lt").over(w))
+      .filter(!(col("lt") === col("min_lt") &&
+        coalesce(col("internal"), lit(false))))
+    kept.join(deltas, "tx_hash")
+      .groupBy("trace_id", "start_lt", "account", "asset")
+      .agg(sum(col("delta")).as("delta"))
   }
 
   /** J9/F7: address book — latest states joined to contract methods and
