@@ -110,6 +110,37 @@ object StreamOps {
     finalized.withColumn("finality", lit("finalized"))
       .unionByName(pending.withColumn("finality", lit("pending")))
 
+  /** S10 full form — the pending/emulated CONTEXT MERGE precedence of
+    * the reference (crud/pending.go:200-243 QueryPendingTransactionsImpl):
+    *
+    *  1. an emulated trace whose external hash is already COMPLETE in
+    *     the confirmed store drops entirely (RemoveTraces);
+    *  2. an emulated transaction whose in-message hash is already
+    *     confirmed drops row-wise — the confirmed row wins
+    *     (RemoveTransactions), while the trace's un-confirmed tail
+    *     survives and extends the confirmed prefix;
+    *  3. result = confirmed rows ∪ surviving emulated rows, tagged by a
+    *     `finality` column.
+    *
+    * Join shapes for scale: both precedence checks are anti-joins with
+    * the (small) emulated batch on the probe side — the confirmed store
+    * is only ever semi-probed by message hash, never scanned wide.
+    *
+    * `confirmedTxs` and `emulatedTxs` share a schema containing at least
+    * (hash, in_msg_hash, trace_external_hash); `completedExternals` is
+    * one column `trace_external_hash` of complete confirmed traces. */
+  def mergePending(confirmedTxs: DataFrame, emulatedTxs: DataFrame,
+      completedExternals: DataFrame): DataFrame = {
+    val liveTraces = emulatedTxs.join(completedExternals,
+      Seq("trace_external_hash"), "left_anti")
+    val confirmedIn = confirmedTxs
+      .filter(col("in_msg_hash").isNotNull)
+      .select("in_msg_hash").distinct()
+    val tail = liveTraces.join(confirmedIn, Seq("in_msg_hash"), "left_anti")
+    confirmedTxs.withColumn("finality", lit("confirmed"))
+      .unionByName(tail.withColumn("finality", lit("pending")))
+  }
+
   /** Windowed streaming aggregation with a watermark (engine capability
     * beyond the reference's no-window semantics, T3). */
   def windowedCounts(events: DataFrame, tsCol: String,

@@ -51,5 +51,46 @@ object StreamQueries {
       .orderBy("user_id", "session_start_us")
   }
 
-  val all: Seq[Q] = Seq(s01, s02)
+  /** Pending/emulated context merge (crud/pending.go:200-243): per user
+    * chain, the first 60% of txs are confirmed; the emulated batch
+    * re-emulates the last two confirmed txs plus the tail. Precedence:
+    * short traces (≤4 txs) are marked complete → their emulated rows
+    * drop entirely; re-emulated rows drop because their in-msg is
+    * already confirmed; only the genuine tail survives as pending. */
+  val s03 = Q("s03_pending_merge",
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events)
+      |SELECT concat('T', event_id) AS hash, 'confirmed' AS finality
+      |FROM r WHERE rn <= greatest((cnt * 3) // 5, 1)
+      |UNION ALL
+      |SELECT concat('T', event_id), 'pending'
+      |FROM r WHERE rn > greatest((cnt * 3) // 5, 1) AND cnt > 4
+      |ORDER BY hash, finality""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = T.events(s, dir).select(col("user_id"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("event_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("cut",
+        greatest(floor(col("cnt") * 3 / 5).cast("long"), lit(1L)))
+    val base = r.select(
+      concat(lit("T"), col("event_id").cast("string")).as("hash"),
+      concat(lit("m"), col("event_id").cast("string")).as("in_msg_hash"),
+      concat(lit("x"), col("user_id").cast("string"))
+        .as("trace_external_hash"),
+      col("rn"), col("cut"), col("cnt"))
+    val confirmed = base.filter(col("rn") <= col("cut"))
+      .drop("rn", "cut", "cnt")
+    val emulated = base.filter(col("rn") > col("cut") - 2)
+      .drop("rn", "cut", "cnt")
+    val completed = base.filter(col("cnt") <= 4)
+      .select("trace_external_hash").distinct()
+    StreamOps.mergePending(confirmed, emulated, completed)
+      .select("hash", "finality").orderBy("hash", "finality")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03)
 }

@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSpec {
     assert(subPending.collect().map(_.getAs[String]("hash")).toSet == Set("T1", "T3"))
   }
 
+  test("pending context merge precedence: complete traces drop, confirmed " +
+      "in-msgs win, the emulated tail survives (crud/pending.go:200-243)") {
+    import spark.implicits._
+    // trace xA: confirmed T1,T2; emulated re-plays T2 and extends T3
+    // trace xB: fully complete — its emulated rows must all drop
+    val confirmed = Seq(
+      ("T1", "m1", "xA"), ("T2", "m2", "xA"),
+      ("T10", "m10", "xB"), ("T11", "m11", "xB")
+    ).toDF("hash", "in_msg_hash", "trace_external_hash")
+    val emulated = Seq(
+      ("T2", "m2", "xA"),  // already confirmed -> drops (rule 2)
+      ("T3", "m3", "xA"),  // genuine tail -> survives as pending
+      ("T11", "m11", "xB"), ("T12", "m12", "xB") // complete trace (rule 1)
+    ).toDF("hash", "in_msg_hash", "trace_external_hash")
+    val completed = Seq("xB").toDF("trace_external_hash")
+    val merged = StreamOps.mergePending(confirmed, emulated, completed)
+      .select("hash", "finality").as[(String, String)].collect().toSet
+    assert(merged == Set(
+      ("T1", "confirmed"), ("T2", "confirmed"),
+      ("T10", "confirmed"), ("T11", "confirmed"),
+      ("T3", "pending")), s"got $merged")
+  }
+
   test("S9 live subscription fan-out: one stream, per-subscriber sinks") {
     import StreamOps.Subscriber
     val tmp = java.nio.file.Files.createTempDirectory("graft-s9").toString
