@@ -28,6 +28,35 @@ object Interfaces {
     "nft_item" -> Set(102351L), // get_nft_data
     "nft_collection" -> Set(102491L, 92067L)) // get_collection_data, get_nft_address_by_index
 
+  /** The full public catalog with method ids resolved from names. */
+  lazy val publicCatalog: Seq[(String, Seq[String], Set[Long])] =
+    PublicInterfaces.catalog.map { case (name, hashes, methods) =>
+      (name, hashes, methods.map(methodId).toSet)
+    }
+
+  /** code hash (base64) → interface name across the public catalog
+    * (detect/interfaces.go: an exact hash match wins immediately). */
+  lazy val publicCodeHashTable: Map[String, String] =
+    PublicInterfaces.catalog.flatMap { case (name, hashes, _) =>
+      hashes.map(_ -> name)
+    }.toMap
+
+  /** Full reference detection contract (DetectInterface,
+    * interfaces.go:891-934): exact code-hash match returns that single
+    * interface; otherwise EVERY interface whose (non-empty) method-id
+    * requirement is a subset of the contract's methods, sorted by name. */
+  def detectAll(codeHash: String, methodIds: Seq[Long]): Seq[String] =
+    Option(codeHash).flatMap(publicCodeHashTable.get).map(Seq(_))
+      .getOrElse {
+        if (methodIds.isEmpty) Nil
+        else {
+          val ids = methodIds.toSet
+          publicCatalog.collect {
+            case (name, _, req) if req.nonEmpty && req.subsetOf(ids) => name
+          }.sorted
+        }
+      }
+
   /** Method ids extracted from a contract CODE cell: the standard FunC
     * prologue is SETCP0 (0xFF00) then DICTPUSHCONST (13-bit opcode
     * 0b1111010010100 + push flag) with a 10-bit key length and the method

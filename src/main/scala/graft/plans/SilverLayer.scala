@@ -131,23 +131,39 @@ object SilverLayer {
     * the exact map, 2 via the method-subset fallback, 3 stays null. */
   val b05 = Q("b05_address_book",
     """SELECT concat('0:', user_id) AS account,
-      |  concat('code_', cast(user_id % 4 AS VARCHAR)) AS code_hash,
-      |  CASE cast(user_id % 4 AS INT)
+      |  CASE cast(user_id % 6 AS INT)
+      |    WHEN 4 THEN 'rNK47E23QUOW+lNphlPswEpBbuNknY9bILQfF2rYM/A='
+      |    WHEN 5 THEN 'Q9RHFtMmqDLO1WprYKAstnYw4E9Xhf6J+HhKEQzzYVE='
+      |    ELSE concat('code_', cast(user_id % 6 AS VARCHAR)) END AS code_hash,
+      |  CASE cast(user_id % 6 AS INT)
       |    WHEN 0 THEN 'wallet_v4' WHEN 1 THEN 'jetton_master'
-      |    WHEN 2 THEN 'nft_item' ELSE NULL END AS detected_interface
+      |    WHEN 2 THEN 'nft_item'
+      |    WHEN 4 THEN 'airdrop_interlocker_v1'
+      |    WHEN 5 THEN 'x1000_wallet_v1'
+      |    ELSE NULL END AS detected_interface
       |FROM (SELECT DISTINCT user_id FROM events) u
       |ORDER BY account""".stripMargin) { (s, dir) =>
+    // hash classes 4/5 carry REAL public code hashes resolved through the
+    // transcribed reference catalog (detect/interfaces.go) — airdrop
+    // interlocker v1 and x1000 wallet v1
+    val realHashA = "rNK47E23QUOW+lNphlPswEpBbuNknY9bILQfF2rYM/A="
+    val realHashB = "Q9RHFtMmqDLO1WprYKAstnYw4E9Xhf6J+HhKEQzzYVE="
     val accounts = graft.Tables.events(s, dir)
       .select(col("user_id")).distinct()
       .select(concat(lit("0:"), col("user_id").cast("string")).as("account"),
-        concat(lit("code_"), pmod(col("user_id"), lit(4)).cast("string"))
+        when(pmod(col("user_id"), lit(6)) === 4, lit(realHashA))
+          .when(pmod(col("user_id"), lit(6)) === 5, lit(realHashB))
+          .otherwise(concat(lit("code_"),
+            pmod(col("user_id"), lit(6)).cast("string")))
           .as("code_hash"),
         // extracted get-method ids (parse_contract_methods analogue):
         // hash class 2 exposes the nft_item method set
-        when(pmod(col("user_id"), lit(4)) === 2,
+        when(pmod(col("user_id"), lit(6)) === 2,
           array(lit(102351L), lit(999L)))
           .otherwise(array(lit(999L))).as("method_ids"))
-    val codeHashTable = Map("code_0" -> "wallet_v4", "code_1" -> "jetton_master")
+    val codeHashTable =
+      Map("code_0" -> "wallet_v4", "code_1" -> "jetton_master") ++
+        Interfaces.publicCodeHashTable
     accounts
       .withColumn("detected_interface",
         Interfaces.detectColumn(s, codeHashTable,

@@ -53,6 +53,28 @@ class InterfacesSpec extends SparkSpec {
     assert(Interfaces.detect(Map.empty)("unknown", got).contains("nft_item"))
   }
 
+  test("public catalog: exact code hash wins immediately; method subsets " +
+      "return every match sorted (DetectInterface, interfaces.go:891-934)") {
+    assert(Interfaces.publicCatalog.size >= 100,
+      s"catalog carries the full public table: ${Interfaces.publicCatalog.size}")
+    assert(Interfaces.publicCodeHashTable.size >= 50) // 55 in the source
+    // exact hash match: single name, no method check
+    assert(Interfaces.detectAll(
+      "rNK47E23QUOW+lNphlPswEpBbuNknY9bILQfF2rYM/A=", Nil) ==
+      Seq("airdrop_interlocker_v1"))
+    // method subset: every matching interface, sorted by name
+    val cronId = Interfaces.methodId("get_cron_info")
+    assert(Interfaces.detectAll("nope", Seq(cronId)) == Seq("cron"))
+    // a superset of two interfaces' requirements matches both
+    val poolIds = Seq("get_pool_addr", "get_lp_multitoken_wallet",
+      "get_liquidity_data").map(Interfaces.methodId)
+    val got = Interfaces.detectAll("nope", poolIds)
+    assert(got == got.sorted && got.toSet ==
+      Set("bidask_range", "bidask_internal_liquidity_vault"), s"got $got")
+    // no methods, no hash match => empty
+    assert(Interfaces.detectAll("nope", Nil).isEmpty)
+  }
+
   test("column-level detection agrees with the scala function") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
