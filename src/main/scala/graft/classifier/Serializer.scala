@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.Base64
 
+import graft.functions.TlbDecoders
+
 /** Nested action detail payloads (Schemas.actions *_data structs;
   * reference composite types database.py:275-569). */
 case class TonTransferData(content: Option[String], encrypted: Boolean)
@@ -110,6 +112,41 @@ case class DexDepositLiquidityData(
     tick_lower: Option[String] = None, tick_upper: Option[String] = None,
     nft_index: Option[String] = None, nft_address: Option[String] = None)
 
+/** cocoon_*_details (database.py:520-569; fills at
+  * block_tree_serializer.py:1020-1196). Shared single-field shape for
+  * the query-id-only structs (proxy payout / client top-up / register
+  * proxy). */
+case class CocoonQueryIdData(query_id: Option[String])
+
+case class CocoonWorkerPayoutData(
+    payout_type: Option[String], query_id: Option[String],
+    new_tokens: Option[BigDecimal], worker_state: Option[Int],
+    worker_tokens: Option[BigDecimal])
+
+/** Shared by cocoon_proxy_charge_details and cocoon_grant_refund_details
+  * (identical columns, database.py:530-534/557-561). */
+case class CocoonChargeData(
+    query_id: Option[String], new_tokens_used: Option[BigDecimal],
+    expected_address: Option[String])
+
+case class CocoonUnregisterProxyData(
+    query_id: Option[String], seqno: Option[Int])
+
+case class CocoonClientRegisterData(
+    query_id: Option[String], nonce: Option[String])
+
+case class CocoonChangeSecretHashData(
+    query_id: Option[String], new_secret_hash: Option[String])
+
+case class CocoonRequestRefundData(
+    query_id: Option[String], via_wallet: Option[Boolean])
+
+case class CocoonIncreaseStakeData(
+    query_id: Option[String], new_stake: Option[BigDecimal])
+
+case class CocoonClientWithdrawData(
+    query_id: Option[String], withdraw_amount: Option[BigDecimal])
+
 /** dex_withdraw_liquidity_details (database.py:400-418; fills at
   * block_tree_serializer.py:414-461). */
 case class DexWithdrawLiquidityData(
@@ -155,7 +192,19 @@ case class ActionRow(
     vesting_send_message_data: Option[VestingSendMessageData] = None,
     vesting_add_whitelist_data: Option[VestingAddWhitelistData] = None,
     dex_deposit_liquidity_data: Option[DexDepositLiquidityData] = None,
-    dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None)
+    dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None,
+    cocoon_worker_payout_data: Option[CocoonWorkerPayoutData] = None,
+    cocoon_proxy_payout_data: Option[CocoonQueryIdData] = None,
+    cocoon_proxy_charge_data: Option[CocoonChargeData] = None,
+    cocoon_client_top_up_data: Option[CocoonQueryIdData] = None,
+    cocoon_register_proxy_data: Option[CocoonQueryIdData] = None,
+    cocoon_unregister_proxy_data: Option[CocoonUnregisterProxyData] = None,
+    cocoon_client_register_data: Option[CocoonClientRegisterData] = None,
+    cocoon_client_change_secret_hash_data: Option[CocoonChangeSecretHashData] = None,
+    cocoon_client_request_refund_data: Option[CocoonRequestRefundData] = None,
+    cocoon_grant_refund_data: Option[CocoonChargeData] = None,
+    cocoon_client_increase_stake_data: Option[CocoonIncreaseStakeData] = None,
+    cocoon_client_withdraw_data: Option[CocoonClientWithdrawData] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -370,11 +419,17 @@ object Serializer {
         case p: ProtocolOpBlock => p.listing
         case _ => None
       },
+      // jetton transfer/burn carry the wallet endpoints as secondaries
+      // (_fill_jetton_transfer_action block_tree_serializer.py:168-171,
+      // _fill_jetton_burn_action :462-464)
       source_secondary = b match {
+        case j: JettonTransferBlock => Some(j.senderWallet)
+        case jb: JettonBurnBlock => Some(jb.ownerWallet)
         case p: ProtocolOpBlock => p.sourceSecondary
         case _ => None
       },
       destination_secondary = b match {
+        case j: JettonTransferBlock => j.receiverWallet
         case p: ProtocolOpBlock => p.destinationSecondary
         case _ => None
       },
@@ -411,8 +466,75 @@ object Serializer {
       dex_withdraw_liquidity_data = b match {
         case p: ProtocolOpBlock => p.withdrawLiquidity
         case _ => None
+      },
+      // cocoon structs decode at serialize time from the HEAD in-message
+      // body — every cocoon op shares the op:32 query_id:64 prefix
+      // (messages/cocoon.py; fills block_tree_serializer.py:1020-1196)
+      cocoon_worker_payout_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_worker_payout" =>
+          headQid(p).map(q =>
+            CocoonWorkerPayoutData(None, Some(q), None, None, None))
+        case _ => None
+      },
+      cocoon_proxy_payout_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_proxy_payout" =>
+          headQid(p).map(q => CocoonQueryIdData(Some(q)))
+        case _ => None
+      },
+      cocoon_proxy_charge_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_proxy_charge" =>
+          headBody(p).flatMap(safeDec(TlbDecoders.cocoonCharge))
+            .map(c => CocoonChargeData(Some(c.queryId.toString),
+              Some(BigDecimal(c.newTokensUsed)), c.expectedAddress))
+        case _ => None
+      },
+      cocoon_register_proxy_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_register_proxy" =>
+          headQid(p).map(q => CocoonQueryIdData(Some(q)))
+        case _ => None
+      },
+      cocoon_unregister_proxy_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_unregister_proxy" =>
+          headBody(p).flatMap(safeDec(TlbDecoders.cocoonUnregisterProxy))
+            .map(u => CocoonUnregisterProxyData(Some(u.queryId.toString),
+              Some(u.seqno)))
+        case _ => None
+      },
+      cocoon_client_change_secret_hash_data = b match {
+        case p: ProtocolOpBlock
+          if p.btype == "cocoon_client_change_secret_hash" =>
+          headBody(p).flatMap(safeDec(TlbDecoders.cocoonChangeSecretHash))
+            .map(h => CocoonChangeSecretHashData(Some(h.queryId.toString),
+              Some(h.newSecretHashHex)))
+        case _ => None
+      },
+      cocoon_client_request_refund_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_client_request_refund" =>
+          headQid(p).map(q => CocoonRequestRefundData(Some(q), None))
+        case _ => None
+      },
+      cocoon_client_increase_stake_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_client_increase_stake" =>
+          headBody(p).flatMap(safeDec(TlbDecoders.cocoonIncreaseStake))
+            .map(st => CocoonIncreaseStakeData(Some(st.queryId.toString),
+              Some(BigDecimal(st.newStake))))
+        case _ => None
+      },
+      cocoon_client_withdraw_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_client_withdraw" =>
+          headQid(p).map(q => CocoonClientWithdrawData(Some(q), None))
+        case _ => None
       })
   }
+
+  private def safeDec[T](f: String => T)(b64: String): Option[T] =
+    try Some(f(b64)) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def headBody(b: Block): Option[String] =
+    b.nodes.headOption.flatMap(_.inMsg).flatMap(_.body)
+
+  private def headQid(b: Block): Option[String] =
+    headBody(b).flatMap(safeDec(TlbDecoders.opQueryId)).map(_.toString)
 
   private def jettonData(j: JettonTransferBlock): JettonTransferData =
     JettonTransferData(

@@ -1,0 +1,198 @@
+package graft
+
+import graft.classifier._
+import graft.functions.Boc
+
+/** Field-level golden parity: three fixture traces replicate reference
+  * YAML expectation cases (indexer/tests/test_cases/jetton-transfer.yaml,
+  * stonfi-swaps.yaml, dedust-liquidities.yaml) and assert the SAME
+  * dot-path fields those YAMLs pin — endpoint columns, secondaries, and
+  * every populated key of the nested detail structs — not just action
+  * type and count.
+  */
+class GoldenParitySpec extends SparkSpec {
+
+  private def tx(hash: String, account: String, lt: Long): TxLite =
+    TxLite(hash, account, lt, lt.toInt, "active", "active", false, None, None,
+      0L, "ord")
+
+  private def in(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, body: Option[String] = None): MsgLite =
+    MsgLite(h, "in", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(1L), body)
+
+  private def out(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, createdLt: Long = 2L, body: Option[String] = None)
+      : MsgLite =
+    MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(createdLt), body)
+
+  /** Full TEP-74 body: query_id, amount, destination, response
+    * destination, forward_ton_amount, inline comment payload. */
+  private def transferBody(qid: Long, amount: Long, dest: String,
+      resp: String, fwd: Long, comment: String): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(qid), 64)
+      .storeCoins(BigInt(amount))
+      .storeAddress(Some(dest))
+      .storeAddress(Some(resp))
+      .storeBit(false)
+      .storeCoins(BigInt(fwd))
+      .storeBit(true)
+    b.storeRef(new Boc.Builder()
+      .storeUint(BigInt(0), 32).storeBytes(comment.getBytes("UTF-8")).build())
+    Boc.serializeBase64(b.build())
+  }
+
+  private val owner = "0:" + "7F" * 32
+  private val receiver = "0:" + "73" * 32
+  private val senderWallet = "0:SW"
+  private val receiverWallet = "0:RW"
+
+  private def jettonTransferTrace(qid: Long, amount: Long) = {
+    val body = transferBody(qid, amount, receiver, owner, 1, "11")
+    val txs = Seq(tx("TW1", senderWallet, 10), tx("TW2", receiverWallet, 20),
+      tx("TN", receiver, 30))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", owner, senderWallet, Some(Opcodes.JettonTransfer),
+          body = Some(body)),
+        out("m2", senderWallet, receiverWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", senderWallet, receiverWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", receiverWallet, receiver, Some(Opcodes.JettonNotify))),
+      "TN" -> Seq(in("m3", receiverWallet, receiver,
+        Some(Opcodes.JettonNotify))))
+    (txs, msgs)
+  }
+
+  test("jetton-transfer.yaml parity: endpoint columns, wallet secondaries " +
+      "and every jetton_transfer_data field the YAML pins") {
+    val (txs, msgs) = jettonTransferTrace(31, 5000)
+    val actions = Classifier.classify("gp1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_transfer"))
+    val a = actions.head
+    // endpoint columns (values.source / source_secondary / destination /
+    // destination_secondary / accounts in the YAML)
+    assert(a.source.contains(owner))
+    assert(a.source_secondary.contains(senderWallet))
+    assert(a.destination.contains(receiver))
+    assert(a.destination_secondary.contains(receiverWallet))
+    assert(a.value.contains(BigDecimal(5000)))
+    assert(a.tx_hashes.toSet == Set("TW1", "TW2", "TN"))
+    assert(a.success)
+    // jetton_transfer_data.{query_id, response_destination,
+    // forward_amount, custom_payload, comment, is_encrypted_comment}
+    val d = a.jetton_transfer_data.get
+    assert(d.query_id.contains("31"))
+    assert(d.response_destination.contains(owner))
+    assert(d.forward_amount.contains(BigDecimal(1)))
+    assert(d.custom_payload.isEmpty)
+    assert(d.comment.contains("11"))
+    assert(d.is_encrypted_comment.contains(false))
+  }
+
+  test("stonfi-swaps.yaml parity: dex_incoming/outgoing transfer " +
+      "amount/source/destination/wallet fields through a two-leg swap") {
+    val user = "0:" + "CB" * 32
+    val router = "0:" + "77" * 32
+    val userWallet = "0:UW"
+    val routerInWallet = "0:RIW"
+    val routerOutWallet = "0:ROW"
+    val userOutWallet = "0:UOW"
+    val inBody = transferBody(9, 27051, router, user, 1, "in")
+    val outBody = transferBody(9, 28517, user, router, 1, "out")
+    // user -> user wallet -> router's IN wallet -> notify to ROUTER ->
+    // router orders the OUT transfer from its wallet back to the user
+    val txs = Seq(tx("TA", userWallet, 10), tx("TB", routerInWallet, 20),
+      tx("TR", router, 30),
+      tx("TC", routerOutWallet, 40), tx("TD", userOutWallet, 50))
+    val msgs = Map(
+      "TA" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(inBody)),
+        out("m2", userWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "TB" -> Seq(
+        in("m2", userWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", routerInWallet, router, Some(Opcodes.JettonNotify))),
+      "TR" -> Seq(
+        in("m3", routerInWallet, router, Some(Opcodes.JettonNotify)),
+        out("m4", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outBody))),
+      "TC" -> Seq(
+        in("m4", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outBody)),
+        out("m5", routerOutWallet, userOutWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "TD" -> Seq(in("m5", routerOutWallet, userOutWallet,
+        Some(Opcodes.JettonInternalTransfer))))
+    val actions = Classifier.classify("gp2", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_swap"),
+      s"got ${actions.map(_.`type`)}")
+    val sd = actions.head.jetton_swap_data.get
+    // jetton_swap_data.{dex, sender, dex_incoming_transfer.*,
+    // dex_outgoing_transfer.*} — the exact paths stonfi-swaps.yaml pins
+    assert(sd.sender.contains(user))
+    val inc = sd.dex_incoming_transfer.get
+    assert(inc.amount.contains(BigDecimal(27051)))
+    assert(inc.source.contains(user))
+    assert(inc.source_jetton_wallet.contains(userWallet))
+    assert(inc.destination.contains(router))
+    val outT = sd.dex_outgoing_transfer.get
+    assert(outT.amount.contains(BigDecimal(28517)))
+    assert(outT.source.contains(router))
+    assert(outT.source_jetton_wallet.contains(routerOutWallet))
+    assert(outT.destination.contains(user))
+    // action endpoints mirror the YAML's source/destination columns
+    assert(actions.head.source.contains(user))
+  }
+
+  test("dedust-liquidities.yaml parity: the partial deposit pins asset1 " +
+      "via the wallet repository, amount1, wallet slot 1 and a null slot 2") {
+    val user = "0:" + "A6" * 32
+    val userWallet = "0:" + "09" * 32
+    val master = "0:" + "65" * 32
+    val depositContract = "0:" + "DF" * 32
+    val body = transferBody(5, 51504, "0:" + "5F" * 32, user, 1, "d")
+    val txs = Seq(tx("TW1", userWallet, 10), tx("TW2", "0:VW", 20),
+      tx("TFACT", "0:FACT", 30), tx("TDEP", depositContract, 40))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(body)),
+        out("m2", userWallet, "0:VW", Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", userWallet, "0:VW", Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:VW", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT" -> Seq(
+        in("m3", "0:VW", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m4", "0:FACT", depositContract,
+          Some(Opcodes.DedustDeployDepositContract))),
+      "TDEP" -> Seq(in("m4", "0:FACT", depositContract,
+        Some(Opcodes.DedustDeployDepositContract))))
+    val actions = Classifier.classify("gp3", txs, msgs,
+      jettonWallets = Map(userWallet -> master))
+    assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"))
+    val a = actions.head
+    // values.source / destination_secondary (the deposit contract)
+    assert(a.source.contains(user))
+    assert(a.destination_secondary.contains(depositContract))
+    assert(a.success)
+    // dex_deposit_liquidity_data.{dex, asset1, amount1, asset2, amount2,
+    // user_jetton_wallet_1, user_jetton_wallet_2, lp_tokens_minted}
+    val d = a.dex_deposit_liquidity_data.get
+    assert(d.dex.contains("dedust"))
+    assert(d.asset1.contains(master), s"repository-resolved master: $d")
+    assert(d.amount1.contains(BigDecimal(51504)))
+    assert(d.asset2.isEmpty)
+    assert(d.amount2.isEmpty)
+    assert(d.user_jetton_wallet_1.contains(userWallet))
+    assert(d.user_jetton_wallet_2.isEmpty)
+    assert(d.lp_tokens_minted.isEmpty)
+  }
+}
