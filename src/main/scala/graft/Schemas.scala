@@ -243,6 +243,36 @@ object Schemas {
     f("burned_nft_index", StringType), f("burned_nft_address", StringType),
     f("tick_lower", StringType), f("tick_upper", StringType)))
 
+  val cocoonQueryIdDetails: StructType = StructType(Seq(
+    f("query_id", StringType)))
+
+  val cocoonWorkerPayoutDetails: StructType = StructType(Seq(
+    f("payout_type", StringType), f("query_id", StringType),
+    f("new_tokens", amount), f("worker_state", IntegerType),
+    f("worker_tokens", amount)))
+
+  val cocoonChargeDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("new_tokens_used", amount),
+    f("expected_address", StringType)))
+
+  val cocoonUnregisterProxyDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("seqno", IntegerType)))
+
+  val cocoonClientRegisterDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("nonce", StringType)))
+
+  val cocoonChangeSecretHashDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("new_secret_hash", StringType)))
+
+  val cocoonRequestRefundDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("via_wallet", BooleanType)))
+
+  val cocoonIncreaseStakeDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("new_stake", amount)))
+
+  val cocoonClientWithdrawDetails: StructType = StructType(Seq(
+    f("query_id", StringType), f("withdraw_amount", amount)))
+
   val actions: StructType = StructType(Seq(
     f("trace_id", StringType, nullable = false),
     f("action_id", StringType, nullable = false),
@@ -274,7 +304,19 @@ object Schemas {
     f("vesting_send_message_data", vestingSendMessageDetails),
     f("vesting_add_whitelist_data", vestingAddWhitelistDetails),
     f("dex_deposit_liquidity_data", dexDepositLiquidityDetails),
-    f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails)))
+    f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails),
+    f("cocoon_worker_payout_data", cocoonWorkerPayoutDetails),
+    f("cocoon_proxy_payout_data", cocoonQueryIdDetails),
+    f("cocoon_proxy_charge_data", cocoonChargeDetails),
+    f("cocoon_client_top_up_data", cocoonQueryIdDetails),
+    f("cocoon_register_proxy_data", cocoonQueryIdDetails),
+    f("cocoon_unregister_proxy_data", cocoonUnregisterProxyDetails),
+    f("cocoon_client_register_data", cocoonClientRegisterDetails),
+    f("cocoon_client_change_secret_hash_data", cocoonChangeSecretHashDetails),
+    f("cocoon_client_request_refund_data", cocoonRequestRefundDetails),
+    f("cocoon_grant_refund_data", cocoonChargeDetails),
+    f("cocoon_client_increase_stake_data", cocoonIncreaseStakeDetails),
+    f("cocoon_client_withdraw_data", cocoonClientWithdrawDetails)))
 
   /** action_accounts — migrate.cpp:589-599: exploded (account × action)
     * fact whose PK is the pagination sort key. */

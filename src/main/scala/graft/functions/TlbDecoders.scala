@@ -440,6 +440,58 @@ object TlbDecoders {
       Boc.serializeBase64(s.loadRef()))
   }
 
+  // -------------------------------------------------------------- cocoon
+
+  /** The cocoon family's shared `op:32 query_id:64` prefix
+    * (messages/cocoon.py — every owner/proxy op starts this way). */
+  def opQueryId(bodyB64: String): BigInt = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    s.loadUint(32)
+    s.loadUint(64)
+  }
+
+  final case class CocoonChargeBody(
+      queryId: BigInt, newTokensUsed: BigInt, expectedAddress: Option[String])
+
+  /** charge#bb63ff93 query_id:uint64 new_tokens_used:uint64
+    * expected_my_address:MsgAddress (messages/cocoon.py:693-707). */
+  def cocoonCharge(bodyB64: String): CocoonChargeBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xbb63ff93L)
+    CocoonChargeBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
+  }
+
+  final case class CocoonUnregisterBody(queryId: BigInt, seqno: Int)
+
+  /** unregister_proxy#6d49eaf2 query_id:uint64 seqno:uint32
+    * (messages/cocoon.py:321-333). */
+  def cocoonUnregisterProxy(bodyB64: String): CocoonUnregisterBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x6d49eaf2L)
+    CocoonUnregisterBody(s.loadUint(64), s.loadUint(32).toInt)
+  }
+
+  final case class CocoonSecretHashBody(queryId: BigInt, newSecretHashHex: String)
+
+  /** change_secret_hash#a9357034 query_id:uint64 new_secret_hash:uint256 —
+    * serialized as bare lowercase hex (block_tree_serializer.py:1133:
+    * hex(int(...))[2:]). */
+  def cocoonChangeSecretHash(bodyB64: String): CocoonSecretHashBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xa9357034L)
+    CocoonSecretHashBody(s.loadUint(64), s.loadUint(256).toString(16))
+  }
+
+  final case class CocoonStakeBody(queryId: BigInt, newStake: BigInt)
+
+  /** increase_stake#6a1f6a60 query_id:uint64 new_stake:Coins
+    * (messages/cocoon.py:646-660). */
+  def cocoonIncreaseStake(bodyB64: String): CocoonStakeBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x6a1f6a60L)
+    CocoonStakeBody(s.loadUint(64), s.loadCoins())
+  }
+
   // ------------------------------------------------------------- vesting
 
   final case class VestingSendMessageBody(

@@ -1049,6 +1049,93 @@ object ChainSim {
       .orderBy("trace_id", "start_lt", "account", "asset")
   }
 
+  /** b17 opcode mapping — the cocoon detail family: click → proxy charge
+    * 0xbb63ff93, view → unregister proxy 0x6d49eaf2, purchase → client
+    * increase-stake 0x6a1f6a60, signup → change-secret-hash 0xa9357034,
+    * error → ext proxy payout request 0x7610e6eb; every struct field
+    * decodes from a real body and is restated by the oracle. */
+  private def b17Opcodes: Column =
+    when(col("event_type") === "click",
+        lit(graft.classifier.Opcodes.CocoonChargePayload))
+      .when(col("event_type") === "view",
+        lit(graft.classifier.Opcodes.CocoonUnregisterProxy))
+      .when(col("event_type") === "purchase",
+        lit(graft.classifier.Opcodes.CocoonClientIncreaseStake))
+      .when(col("event_type") === "signup",
+        lit(graft.classifier.Opcodes.CocoonClientChangeSecretHash))
+      .otherwise(lit(graft.classifier.Opcodes.CocoonExtProxyPayoutRequest))
+
+  private val b17BodyUdf = udf { (eventType: String, eventId: Long, userId: Long) =>
+    import graft.functions.Boc
+    def b(op: Long) = new Boc.Builder()
+      .storeUint(BigInt(op), 32).storeUint(BigInt(eventId), 64)
+    eventType match {
+      case "click" => Boc.serializeBase64(
+        b(0xbb63ff93L).storeUint(BigInt(2 * eventId), 64)
+          .storeAddress(Some(acct64(userId))).build())
+      case "view" => Boc.serializeBase64(
+        b(0x6d49eaf2L).storeUint(BigInt(userId % 100000), 32).build())
+      case "purchase" => Boc.serializeBase64(
+        b(0x6a1f6a60L).storeCoins(BigInt(3 * eventId))
+          .storeAddress(Some(acct64(userId))).build())
+      case "signup" => Boc.serializeBase64(
+        b(0xa9357034L).storeUint(BigInt(userId), 256)
+          .storeAddress(Some(acct64(userId))).build())
+      case _ => Boc.serializeBase64(
+        b(0x7610e6ebL).storeAddress(Some(acct64(userId))).build())
+    }
+  }
+
+  private def b17Bodies: Column =
+    b17BodyUdf(col("event_type"), col("event_id").cast("long"),
+      col("user_id").cast("long"))
+
+  /** Cocoon detail structs through the pipeline: the shared query_id
+    * prefix plus each op's specific payload (charge tokens + expected
+    * address, unregister seqno, stake coins, secret hash hex). */
+  val b17 = Q("b17_cocoon_details",
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid
+      |  FROM events)
+      |SELECT concat('T', fid) AS trace_id, event_id AS start_lt,
+      |  CASE event_type
+      |    WHEN 'click' THEN 'cocoon_proxy_charge'
+      |    WHEN 'view' THEN 'cocoon_unregister_proxy'
+      |    WHEN 'purchase' THEN 'cocoon_client_increase_stake'
+      |    WHEN 'signup' THEN 'cocoon_client_change_secret_hash'
+      |    ELSE 'cocoon_proxy_payout' END AS type,
+      |  cast(event_id AS varchar) AS query_id,
+      |  CASE WHEN event_type = 'click' THEN 2 * event_id
+      |       END AS new_tokens_used,
+      |  CASE WHEN event_type = 'click'
+      |       THEN concat('0:', lpad(hex(user_id), 64, '0'))
+      |       END AS expected_address,
+      |  CASE WHEN event_type = 'view' THEN user_id % 100000 END AS seqno,
+      |  CASE WHEN event_type = 'purchase' THEN 3 * event_id END AS new_stake,
+      |  CASE WHEN event_type = 'signup' THEN lower(hex(user_id))
+      |       END AS new_secret_hash
+      |FROM base
+      |ORDER BY start_lt""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b17", b17Opcodes, b17Bodies)
+      .select(col("trace_id"), col("start_lt"), col("type"),
+        coalesce(col("cocoon_proxy_charge_data.query_id"),
+          col("cocoon_unregister_proxy_data.query_id"),
+          col("cocoon_client_increase_stake_data.query_id"),
+          col("cocoon_client_change_secret_hash_data.query_id"),
+          col("cocoon_proxy_payout_data.query_id")).as("query_id"),
+        col("cocoon_proxy_charge_data.new_tokens_used").cast("long")
+          .as("new_tokens_used"),
+        col("cocoon_proxy_charge_data.expected_address")
+          .as("expected_address"),
+        col("cocoon_unregister_proxy_data.seqno").cast("long").as("seqno"),
+        col("cocoon_client_increase_stake_data.new_stake").cast("long")
+          .as("new_stake"),
+        col("cocoon_client_change_secret_hash_data.new_secret_hash")
+          .as("new_secret_hash"))
+      .orderBy("start_lt")
+  }
+
   /** F5 decode through the hash gate: transfer actions must carry the
     * decoded TEP text comment in ton_transfer_data.content — the oracle
     * states the comment by construction (the body was built by the
@@ -1070,5 +1157,5 @@ object ChainSim {
   }
 
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16)
+    b16, b17)
 }
