@@ -243,6 +243,24 @@ object Schemas {
     f("burned_nft_index", StringType), f("burned_nft_address", StringType),
     f("tick_lower", StringType), f("tick_upper", StringType)))
 
+  val evaaSupplyDetails: StructType = StructType(Seq(
+    f("sender_jetton_wallet", StringType),
+    f("recipient_jetton_wallet", StringType),
+    f("master_jetton_wallet", StringType),
+    f("master", StringType), f("asset_id", StringType),
+    f("is_ton", BooleanType)))
+
+  val evaaWithdrawDetails: StructType = StructType(Seq(
+    f("sender_jetton_wallet", StringType),
+    f("recipient_jetton_wallet", StringType),
+    f("master_jetton_wallet", StringType),
+    f("master", StringType), f("fail_reason", StringType),
+    f("asset_id", StringType)))
+
+  val evaaLiquidateDetails: StructType = StructType(Seq(
+    f("fail_reason", StringType), f("debt_amount", amount),
+    f("asset_id", StringType)))
+
   val cocoonQueryIdDetails: StructType = StructType(Seq(
     f("query_id", StringType)))
 
@@ -305,6 +323,9 @@ object Schemas {
     f("vesting_add_whitelist_data", vestingAddWhitelistDetails),
     f("dex_deposit_liquidity_data", dexDepositLiquidityDetails),
     f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails),
+    f("evaa_supply_data", evaaSupplyDetails),
+    f("evaa_withdraw_data", evaaWithdrawDetails),
+    f("evaa_liquidate_data", evaaLiquidateDetails),
     f("cocoon_worker_payout_data", cocoonWorkerPayoutDetails),
     f("cocoon_proxy_payout_data", cocoonQueryIdDetails),
     f("cocoon_proxy_charge_data", cocoonChargeDetails),

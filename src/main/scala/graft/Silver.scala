@@ -37,8 +37,7 @@ object Silver {
     val (_, msgs) = ChainSim.simulate(spark, dir)
     val (traces, _, txw) = ChainSim.assembled(spark, dir)
     val acts = ChainSim.classified(spark, dir)
-    val actAccounts = graft.classifier.ClassifyJob.actionAccounts(
-      spark, acts.as[graft.classifier.ActionRow])
+    val actAccounts = graft.classifier.ClassifyJob.actionAccounts(spark, acts)
 
     Layout.writeBucketed(txw, "silver_transactions",
       "account", Seq("account", "lt"), buckets)

@@ -124,10 +124,10 @@ object ClassifyJob {
       .unionByName(newActions)
   }
 
-  /** Exploded action_accounts from an actions Dataset (denormalized
-    * pagination fact, SURVEY §1.4). */
-  def actionAccounts(spark: SparkSession, actions: Dataset[ActionRow]): DataFrame = {
-    import spark.implicits._
+  /** Exploded action_accounts from an actions frame (denormalized
+    * pagination fact, SURVEY §1.4). Column-based so pruned silver scans
+    * qualify — only the id/endpoint/lt columns are touched. */
+  def actionAccounts(spark: SparkSession, actions: DataFrame): DataFrame = {
     val traceEnds = actions.groupBy("trace_id")
       .agg(max("end_lt").as("trace_end_lt"), max("end_utime").as("trace_end_utime"))
     actions.toDF()

@@ -112,6 +112,26 @@ case class DexDepositLiquidityData(
     tick_lower: Option[String] = None, tick_upper: Option[String] = None,
     nft_index: Option[String] = None, nft_address: Option[String] = None)
 
+/** evaa_*_details (database.py:355-376; fills at
+  * block_tree_serializer.py:677-725). */
+case class EvaaSupplyData(
+    sender_jetton_wallet: Option[String],
+    recipient_jetton_wallet: Option[String],
+    master_jetton_wallet: Option[String],
+    master: Option[String], asset_id: Option[String],
+    is_ton: Option[Boolean])
+
+case class EvaaWithdrawData(
+    sender_jetton_wallet: Option[String],
+    recipient_jetton_wallet: Option[String],
+    master_jetton_wallet: Option[String],
+    master: Option[String], fail_reason: Option[String],
+    asset_id: Option[String])
+
+case class EvaaLiquidateData(
+    fail_reason: Option[String], debt_amount: Option[BigDecimal],
+    asset_id: Option[String])
+
 /** cocoon_*_details (database.py:520-569; fills at
   * block_tree_serializer.py:1020-1196). Shared single-field shape for
   * the query-id-only structs (proxy payout / client top-up / register
@@ -193,6 +213,9 @@ case class ActionRow(
     vesting_add_whitelist_data: Option[VestingAddWhitelistData] = None,
     dex_deposit_liquidity_data: Option[DexDepositLiquidityData] = None,
     dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None,
+    evaa_supply_data: Option[EvaaSupplyData] = None,
+    evaa_withdraw_data: Option[EvaaWithdrawData] = None,
+    evaa_liquidate_data: Option[EvaaLiquidateData] = None,
     cocoon_worker_payout_data: Option[CocoonWorkerPayoutData] = None,
     cocoon_proxy_payout_data: Option[CocoonQueryIdData] = None,
     cocoon_proxy_charge_data: Option[CocoonChargeData] = None,
@@ -467,6 +490,32 @@ object Serializer {
         case p: ProtocolOpBlock => p.withdrawLiquidity
         case _ => None
       },
+      // EVAA structs decode from the consumed success/satisfied leg
+      // (messages/evaa.py; fills block_tree_serializer.py:677-725)
+      evaa_supply_data = b match {
+        case p: ProtocolOpBlock if p.btype == "evaa_supply" =>
+          val success = nodeBody(p, Opcodes.EvaaSupplySuccess)
+            .flatMap(safeDec(TlbDecoders.evaaSupplySuccess))
+          Some(EvaaSupplyData(None, None, None,
+            master = p.destination,
+            asset_id = success.map(_.assetIdHex), is_ton = None))
+        case _ => None
+      },
+      evaa_withdraw_data = b match {
+        case p: ProtocolOpBlock if p.btype == "evaa_withdraw" =>
+          Some(EvaaWithdrawData(None, None, None,
+            master = p.destination, fail_reason = None, asset_id = None))
+        case _ => None
+      },
+      evaa_liquidate_data = b match {
+        case p: ProtocolOpBlock if p.btype == "evaa_liquidate" =>
+          val sat = nodeBody(p, Opcodes.EvaaLiquidateSatisfied)
+            .flatMap(safeDec(TlbDecoders.evaaLiquidateSatisfied))
+          Some(EvaaLiquidateData(fail_reason = None,
+            debt_amount = sat.map(v => BigDecimal(v.liquidatableAmount)),
+            asset_id = sat.map(_.collateralAssetIdHex)))
+        case _ => None
+      },
       // cocoon structs decode at serialize time from the HEAD in-message
       // body — every cocoon op shares the op:32 query_id:64 prefix
       // (messages/cocoon.py; fills block_tree_serializer.py:1020-1196)
@@ -532,6 +581,12 @@ object Serializer {
 
   private def headBody(b: Block): Option[String] =
     b.nodes.headOption.flatMap(_.inMsg).flatMap(_.body)
+
+  /** Body of the first consumed node whose in-message carries `op`. */
+  private def nodeBody(b: Block, op: Long): Option[String] =
+    b.nodes.find(_.inMsg.flatMap(_.opcode)
+        .exists(o => Opcodes.matches(Some(o), op)))
+      .flatMap(_.inMsg.flatMap(_.body))
 
   private def headQid(b: Block): Option[String] =
     headBody(b).flatMap(safeDec(TlbDecoders.opQueryId)).map(_.toString)

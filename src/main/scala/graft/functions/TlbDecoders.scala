@@ -440,6 +440,49 @@ object TlbDecoders {
       Boc.serializeBase64(s.loadRef()))
   }
 
+  // ---------------------------------------------------------------- evaa
+
+  final case class EvaaSupplySuccessBody(
+      queryId: BigInt, owner: Option[String], assetIdHex: String,
+      amountSupplied: BigInt)
+
+  /** supply_success#0000011a query_id:uint64 owner_address:MsgAddressInt
+    * asset_id:uint256 amount_supplied:uint64 ...
+    * (messages/evaa.py:75-95). asset_id serialized as 0x-prefixed hex
+    * (block_tree_serializer.py:689: hex(asset_id)). */
+  def evaaSupplySuccess(bodyB64: String): EvaaSupplySuccessBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x11aL)
+    EvaaSupplySuccessBody(s.loadUint(64), s.loadAddress(),
+      "0x" + s.loadUint(256).toString(16), s.loadUint(64))
+  }
+
+  final case class EvaaLiquidateSatisfiedBody(
+      transferredAssetIdHex: String, collateralAssetIdHex: String,
+      liquidatableAmount: BigInt)
+
+  /** liquidate_satisfied#00000311 query_id owner liquidator
+    * transferred_asset_id:uint256 ^[delta_loan:int64 liquidatable:uint64
+    * protocol_gift:uint64 new_user_loan:int64 collateral_asset_id:uint256
+    * ...] (messages/evaa.py:317-368). debt_amount is the liquidatable
+    * amount (blocks/evaa.py:797). */
+  def evaaLiquidateSatisfied(bodyB64: String): EvaaLiquidateSatisfiedBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x311L)
+    s.loadUint(64)
+    s.loadAddress()
+    s.loadAddress()
+    val transferred = s.loadUint(256)
+    val ref = s.loadRef().beginParse()
+    ref.loadInt(64)
+    val liquidatable = ref.loadUint(64)
+    ref.loadUint(64)
+    ref.loadInt(64)
+    val collateral = ref.loadUint(256)
+    EvaaLiquidateSatisfiedBody("0x" + transferred.toString(16),
+      "0x" + collateral.toString(16), liquidatable)
+  }
+
   // -------------------------------------------------------------- cocoon
 
   /** The cocoon family's shared `op:32 query_id:64` prefix

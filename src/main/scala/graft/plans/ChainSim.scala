@@ -81,8 +81,14 @@ object ChainSim {
       val (traces, _, txsWithTrace) = assembled(spark, dir)
       val meta = traces.select(col("trace_id"),
         col("end_utime").cast("long").as("trace_end_utime"))
+      // prune to the columns its consumers (a03/b02/b07/b08, Silver)
+      // read BEFORE checkpointing — the wide detail structs would
+      // otherwise sit in block storage for the whole session
       ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
         .join(broadcast(meta), Seq("trace_id"), "left")
+        .select("trace_id", "action_id", "type", "start_lt", "end_lt",
+          "start_utime", "end_utime", "source", "destination", "success",
+          "ancestor_type", "ton_transfer_data", "trace_end_utime")
         .localCheckpoint()
     })
 
@@ -256,17 +262,25 @@ object ChainSim {
     (txs, inMsgs.unionByName(outMsgs))
   }
 
+  /** Columns every protocol-variant query reads. */
+  private val protoBaseCols = Seq("trace_id", "type", "start_lt", "end_lt",
+    "source", "destination", "success")
+
   private def protocolClassified(spark: SparkSession, dir: String,
       variant: String, opcodeOf: => Column,
       bodyOf: => Column = lit(null).cast("string"),
-      jettonWallets: => Map[String, String] = Map.empty): DataFrame =
+      jettonWallets: => Map[String, String] = Map.empty,
+      keep: Seq[String] = Nil): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
-        jettonWallets = jettonWallets)
-        .toDF().localCheckpoint()
+      val acts = ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
+        jettonWallets = jettonWallets).toDF()
+      // checkpoint only the columns the variant's queries read — the
+      // unread detail structs would pin session memory otherwise
+      val cols = (protoBaseCols ++ keep).distinct
+      acts.select(cols.map(col): _*).localCheckpoint()
     })
 
   /** b06 opcode mapping (see protocolSim doc). */
@@ -537,7 +551,8 @@ object ChainSim {
       |  CASE WHEN nviews > 1 THEN nviews ELSE 0 END AS n_hops
       |FROM runs WHERE head_type = 'click'
       |ORDER BY start_lt""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies)
+    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies,
+      keep = Seq("jetton_swap_data"))
       .filter(col("type") === "jetton_swap")
       .select(col("trace_id"), col("start_lt"), col("end_lt"),
         col("jetton_swap_data.dex_incoming_transfer.amount").cast("long")
@@ -565,7 +580,8 @@ object ChainSim {
       |  ON s.user_id = r.user_id AND s.seg_id = r.seg_id
       |WHERE r.head_type = 'click' AND r.nviews > 1 AND s.event_type = 'view'
       |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies)
+    protocolClassified(s, dir, "b11", b11Opcodes, b11Bodies,
+      keep = Seq("jetton_swap_data"))
       .filter(col("type") === "jetton_swap")
       .select(col("trace_id"), col("start_lt").as("swap_lt"),
         posexplode(col("jetton_swap_data.peer_swaps")))
@@ -693,7 +709,9 @@ object ChainSim {
       |FROM ext
       |WHERE NOT (event_type = 'view' AND head_type = 'click')
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir, "b13", b13Opcodes, b13Bodies)
+    protocolClassified(s, dir, "b13", b13Opcodes, b13Bodies,
+      keep = Seq("multisig_approve_data", "multisig_execute_data",
+        "change_dns_record_data", "vesting_add_whitelist_data"))
       .select(col("trace_id"), col("start_lt"), col("type"),
         col("multisig_approve_data.signer_index").cast("long")
           .as("signer_index"),
@@ -793,7 +811,8 @@ object ChainSim {
       |FROM ext
       |WHERE NOT (event_type = 'error' AND head_type = 'signup')
       |ORDER BY start_lt, type""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir, "b14", b14Opcodes, b14Bodies)
+    protocolClassified(s, dir, "b14", b14Opcodes, b14Bodies,
+      keep = Seq("multisig_create_order_data", "destination_secondary"))
       .select(col("trace_id"), col("start_lt"), col("type"),
         col("multisig_create_order_data.query_id").as("query_id"),
         col("multisig_create_order_data.order_seqno").as("order_seqno"),
@@ -902,7 +921,7 @@ object ChainSim {
       |FROM views WHERE nv >= 2
       |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
     protocolClassified(s, dir, "b15", b15Opcodes, b15Bodies,
-      b15Wallets(s, dir))
+      b15Wallets(s, dir), keep = Seq("jetton_swap_data"))
       .filter(col("type") === "jetton_swap")
       .select(col("trace_id"), col("start_lt").as("swap_lt"),
         posexplode(col("jetton_swap_data.peer_swaps")))
@@ -993,7 +1012,9 @@ object ChainSim {
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       val txsCk = txsWithTrace.localCheckpoint()
-      val acts = ClassifyJob.run(spark, txsCk, msgs).toDF().localCheckpoint()
+      val acts = ClassifyJob.run(spark, txsCk, msgs).toDF()
+        .select("trace_id", "start_lt", "type", "tx_hashes")
+        .localCheckpoint()
       (acts, txsCk, msgs)
     })
 
@@ -1117,7 +1138,10 @@ object ChainSim {
       |       END AS new_secret_hash
       |FROM base
       |ORDER BY start_lt""".stripMargin) { (s, dir) =>
-    protocolClassified(s, dir, "b17", b17Opcodes, b17Bodies)
+    protocolClassified(s, dir, "b17", b17Opcodes, b17Bodies,
+      keep = Seq("cocoon_proxy_charge_data", "cocoon_unregister_proxy_data",
+        "cocoon_client_increase_stake_data",
+        "cocoon_client_change_secret_hash_data", "cocoon_proxy_payout_data"))
       .select(col("trace_id"), col("start_lt"), col("type"),
         coalesce(col("cocoon_proxy_charge_data.query_id"),
           col("cocoon_unregister_proxy_data.query_id"),

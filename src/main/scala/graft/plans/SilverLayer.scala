@@ -193,9 +193,7 @@ object SilverLayer {
       |SELECT concat('T', fid) AS trace_id, concat('0:', user_id) AS account,
       |  event_id AS action_end_lt, mx AS trace_end_lt
       |FROM acts ORDER BY action_end_lt, account""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val acts = ChainSim.classified(s, dir).as[graft.classifier.ActionRow]
-    graft.classifier.ClassifyJob.actionAccounts(s, acts)
+    graft.classifier.ClassifyJob.actionAccounts(s, ChainSim.classified(s, dir))
       .select("trace_id", "account", "action_end_lt", "trace_end_lt")
       .orderBy("action_end_lt", "account")
   }

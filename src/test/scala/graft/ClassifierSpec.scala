@@ -229,7 +229,7 @@ class ClassifierSpec extends SparkSpec {
     val actions = ClassifyJob.run(spark, txs, msgs).collect()
     assert(actions.map(_.`type`).toSeq == Seq("ton_transfer"))
     val aa = ClassifyJob.actionAccounts(spark,
-      ClassifyJob.run(spark, txs, msgs)).collect()
+      ClassifyJob.run(spark, txs, msgs).toDF()).collect()
     assert(aa.map(_.getAs[String]("account")).toSet == Set("0:A", "0:B"))
   }
 

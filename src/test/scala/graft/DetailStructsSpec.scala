@@ -285,6 +285,101 @@ class DetailStructsSpec extends SparkSpec {
     assert(deposits.head.destination_secondary.contains("0:DEPC"))
   }
 
+  test("evaa supply/liquidate details decode from the success/satisfied leg") {
+    val owner = "0:" + "AA" * 32
+    // supply: user -> master 0x1 -> user contract 0x11 -> success 0x11a
+    val successBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x11aL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(owner))
+      .storeUint(BigInt(0xdeadL), 256)
+      .storeUint(BigInt(777), 64)
+      .build())
+    val sTxs = Seq(tx("TM", "0:MASTER", 10), tx("TU", "0:UC", 20),
+      tx("TM2", "0:MASTER", 30))
+    val sMsgs = Map(
+      "TM" -> Seq(
+        in("m1", owner, "0:MASTER", Some(Opcodes.EvaaSupplyMaster)),
+        out("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaSupplyUser))),
+      "TU" -> Seq(
+        in("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaSupplyUser)),
+        out("m3", "0:UC", "0:MASTER", Some(Opcodes.EvaaSupplySuccess),
+          body = Some(successBody))),
+      "TM2" -> Seq(in("m3", "0:UC", "0:MASTER",
+        Some(Opcodes.EvaaSupplySuccess), body = Some(successBody))))
+    val supply = Classifier.classify("ev1", sTxs, sMsgs)
+      .find(_.`type` == "evaa_supply").get
+    val sd = supply.evaa_supply_data.get
+    assert(sd.master.contains("0:MASTER"))
+    assert(sd.asset_id.contains("0xdead"), s"got $sd")
+
+    // liquidate: 0x3 -> 0x31 -> satisfied 0x311 carrying debt + collateral
+    val satBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x311L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(owner))
+      .storeAddress(Some(owner))
+      .storeUint(BigInt(5), 256)
+      .storeRef(new Boc.Builder()
+        .storeInt(BigInt(0), 64)
+        .storeUint(BigInt(999), 64)
+        .storeUint(BigInt(0), 64)
+        .storeInt(BigInt(0), 64)
+        .storeUint(BigInt(7), 256)
+        .storeInt(BigInt(0), 64)
+        .storeUint(BigInt(0), 64)
+        .build())
+      .build())
+    val lTxs = Seq(tx("TM", "0:MASTER", 10), tx("TU", "0:UC", 20),
+      tx("TM2", "0:MASTER", 30))
+    val lMsgs = Map(
+      "TM" -> Seq(
+        in("m1", owner, "0:MASTER", Some(Opcodes.EvaaLiquidateMaster)),
+        out("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaLiquidateUser))),
+      "TU" -> Seq(
+        in("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaLiquidateUser)),
+        out("m3", "0:UC", "0:MASTER", Some(Opcodes.EvaaLiquidateSatisfied),
+          body = Some(satBody))),
+      "TM2" -> Seq(in("m3", "0:UC", "0:MASTER",
+        Some(Opcodes.EvaaLiquidateSatisfied), body = Some(satBody))))
+    val liq = Classifier.classify("ev2", lTxs, lMsgs)
+      .find(_.`type` == "evaa_liquidate").get
+    val ld = liq.evaa_liquidate_data.get
+    assert(ld.debt_amount.contains(BigDecimal(999)), s"got $ld")
+    assert(ld.asset_id.contains("0x7"))
+  }
+
+  test("cocoon details decode the shared query-id prefix and per-op " +
+      "payloads") {
+    def run(op: Long, body: Boc.Builder => Boc.Builder): Seq[ActionRow] = {
+      val b = body(new Boc.Builder().storeUint(BigInt(op), 32)
+        .storeUint(BigInt(42), 64))
+      Classifier.classify("cc", Seq(tx("T1", "0:C", 10)),
+        Map("T1" -> Seq(in("m1", "0:U", "0:C", Some(op),
+          body = Some(Boc.serializeBase64(b.build()))))))
+    }
+    val charge = run(0xbb63ff93L,
+      _.storeUint(BigInt(84), 64).storeAddress(Some("0:" + "AB" * 32)))
+      .find(_.`type` == "cocoon_proxy_charge").get
+    assert(charge.cocoon_proxy_charge_data.get ==
+      CocoonChargeData(Some("42"), Some(BigDecimal(84)),
+        Some("0:" + "AB" * 32)))
+    val unreg = run(0x6d49eaf2L, _.storeUint(BigInt(7), 32))
+      .find(_.`type` == "cocoon_unregister_proxy").get
+    assert(unreg.cocoon_unregister_proxy_data.get ==
+      CocoonUnregisterProxyData(Some("42"), Some(7)))
+    val hash = run(0xa9357034L,
+      _.storeUint(BigInt(0xbeefL), 256).storeAddress(None))
+      .find(_.`type` == "cocoon_client_change_secret_hash").get
+    assert(hash.cocoon_client_change_secret_hash_data.get ==
+      CocoonChangeSecretHashData(Some("42"), Some("beef")))
+    val stake = run(0x6a1f6a60L,
+      _.storeCoins(BigInt(12345)).storeAddress(None))
+      .find(_.`type` == "cocoon_client_increase_stake").get
+    assert(stake.cocoon_client_increase_stake_data.get ==
+      CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
+  }
+
   test("dedust withdraw decodes both payout amounts and the burnt LP") {
     def payoutBody(amount: Long): String =
       Boc.serializeBase64(new Boc.Builder()
