@@ -243,6 +243,18 @@ object Schemas {
     f("burned_nft_index", StringType), f("burned_nft_address", StringType),
     f("tick_lower", StringType), f("tick_upper", StringType)))
 
+  val jvaultStakeDetails: StructType = StructType(Seq(
+    f("period", amount), f("minted_stake_jettons", amount),
+    f("stake_wallet", StringType)))
+
+  val jvaultClaimDetails: StructType = StructType(Seq(
+    f("claimed_jettons", ArrayType(StringType)),
+    f("claimed_amounts", ArrayType(amount))))
+
+  val coffeeStakingDepositDetails: StructType = StructType(Seq(
+    f("minted_item_address", StringType),
+    f("minted_item_index", StringType)))
+
   val evaaSupplyDetails: StructType = StructType(Seq(
     f("sender_jetton_wallet", StringType),
     f("recipient_jetton_wallet", StringType),
@@ -323,6 +335,9 @@ object Schemas {
     f("vesting_add_whitelist_data", vestingAddWhitelistDetails),
     f("dex_deposit_liquidity_data", dexDepositLiquidityDetails),
     f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails),
+    f("jvault_stake_data", jvaultStakeDetails),
+    f("jvault_claim_data", jvaultClaimDetails),
+    f("coffee_staking_deposit_data", coffeeStakingDepositDetails),
     f("evaa_supply_data", evaaSupplyDetails),
     f("evaa_withdraw_data", evaaWithdrawDetails),
     f("evaa_liquidate_data", evaaLiquidateDetails),

@@ -152,7 +152,9 @@ case class ProtocolOpBlock(
     vestingSend: Option[VestingSendMessageData] = None,
     vestingWhitelist: Option[VestingAddWhitelistData] = None,
     depositLiquidity: Option[DexDepositLiquidityData] = None,
-    withdrawLiquidity: Option[DexWithdrawLiquidityData] = None) extends Block {
+    withdrawLiquidity: Option[DexWithdrawLiquidityData] = None,
+    // the minted position item of a coffee staking deposit (matcher-known)
+    mintedItem: Option[String] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

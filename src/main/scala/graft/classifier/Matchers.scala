@@ -2204,7 +2204,7 @@ object ProtocolMatchers {
               asset = Some(jt.senderWallet), value = Some(jt.amount),
               failed = consumed.exists(_.failed),
               nodes = consumed.flatMap(_.nodes), children = Nil,
-              tsNft = posNft), consumed)
+              tsNft = posNft, mintedItem = posNft), consumed)
           }
         }
       case _ => None

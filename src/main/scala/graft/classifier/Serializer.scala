@@ -132,6 +132,20 @@ case class EvaaLiquidateData(
     fail_reason: Option[String], debt_amount: Option[BigDecimal],
     asset_id: Option[String])
 
+/** jvault_*_details (database.py:419-427; fills at
+  * block_tree_serializer.py:726-766). */
+case class JvaultStakeData(
+    period: Option[BigDecimal], minted_stake_jettons: Option[BigDecimal],
+    stake_wallet: Option[String])
+
+case class JvaultClaimData(
+    claimed_jettons: Seq[String], claimed_amounts: Seq[BigDecimal])
+
+/** coffee_staking_deposit_details (database.py:484-487; fill at
+  * block_tree_serializer.py:984-994). */
+case class CoffeeStakingDepositData(
+    minted_item_address: Option[String], minted_item_index: Option[String])
+
 /** cocoon_*_details (database.py:520-569; fills at
   * block_tree_serializer.py:1020-1196). Shared single-field shape for
   * the query-id-only structs (proxy payout / client top-up / register
@@ -213,6 +227,9 @@ case class ActionRow(
     vesting_add_whitelist_data: Option[VestingAddWhitelistData] = None,
     dex_deposit_liquidity_data: Option[DexDepositLiquidityData] = None,
     dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None,
+    jvault_stake_data: Option[JvaultStakeData] = None,
+    jvault_claim_data: Option[JvaultClaimData] = None,
+    coffee_staking_deposit_data: Option[CoffeeStakingDepositData] = None,
     evaa_supply_data: Option[EvaaSupplyData] = None,
     evaa_withdraw_data: Option[EvaaWithdrawData] = None,
     evaa_liquidate_data: Option[EvaaLiquidateData] = None,
@@ -488,6 +505,29 @@ object Serializer {
       },
       dex_withdraw_liquidity_data = b match {
         case p: ProtocolOpBlock => p.withdrawLiquidity
+        case _ => None
+      },
+      // jvault: the stake wallet is the head account; claim wallets
+      // decode from the claim body's 267-bit address dict
+      // (messages/jvault.py; fills block_tree_serializer.py:726-766)
+      jvault_stake_data = b match {
+        case p: ProtocolOpBlock if p.btype == "jvault_stake" =>
+          Some(JvaultStakeData(None, None,
+            stake_wallet = p.nodes.headOption.map(_.tx.account)))
+        case _ => None
+      },
+      jvault_claim_data = b match {
+        case p: ProtocolOpBlock if p.btype == "jvault_claim" =>
+          Some(JvaultClaimData(
+            claimed_jettons = headBody(p)
+              .flatMap(safeDec(TlbDecoders.jvaultClaimWallets))
+              .getOrElse(Nil),
+            claimed_amounts = Nil))
+        case _ => None
+      },
+      coffee_staking_deposit_data = b match {
+        case p: ProtocolOpBlock if p.btype == "coffee_staking_deposit" =>
+          Some(CoffeeStakingDepositData(p.mintedItem, None))
         case _ => None
       },
       // EVAA structs decode from the consumed success/satisfied leg

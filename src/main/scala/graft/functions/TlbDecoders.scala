@@ -440,6 +440,28 @@ object TlbDecoders {
       Boc.serializeBase64(s.loadRef()))
   }
 
+  // -------------------------------------------------------------- jvault
+
+  /** claim_rewards#78d9f109 query_id:uint64
+    * jettons_to_claim:(HashmapE 267 Bit) — the dict KEYS are whole
+    * MsgAddressStd values: tag(2)=10 anycast(1)=0 wc:int8 hash:bits256
+    * (messages/jvault.py:6-13,82-95). */
+  def jvaultClaimWallets(bodyB64: String): Seq[String] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x78d9f109L)
+    s.loadUint(64)
+    Boc.loadDictRefs(s, 267).keys.toSeq.flatMap { key =>
+      val tag = (key >> 265).toInt & 0x3
+      if (tag != 2) None
+      else {
+        val wc = ((key >> 256).toInt & 0xff).toByte.toInt
+        val hash = (key & ((BigInt(1) << 256) - 1)).toString(16)
+          .reverse.padTo(64, '0').reverse.toUpperCase
+        Some(s"$wc:$hash")
+      }
+    }.sorted
+  }
+
   // ---------------------------------------------------------------- evaa
 
   final case class EvaaSupplySuccessBody(

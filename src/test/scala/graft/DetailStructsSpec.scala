@@ -380,6 +380,41 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
+  test("jvault claim decodes the 267-bit wallet-address dict; stake " +
+      "carries its wallet") {
+    val w1 = "0:" + "11" * 32
+    val w2 = "0:" + "22" * 32
+    def addrKey(a: String): BigInt = {
+      val Array(wc, hex) = a.split(":")
+      (BigInt(2) << 265) | (BigInt(wc.toInt & 0xff) << 256) | BigInt(hex, 16)
+    }
+    // buildDictRefs emits the full HashmapE fragment (maybe-bit + root
+    // ref) — splice its parts into the body
+    val ds = Boc.buildDictRefs(
+      Map(addrKey(w1) -> new Boc.Builder().build(),
+        addrKey(w2) -> new Boc.Builder().build()), 267).beginParse()
+    assert(ds.loadBit())
+    val claimBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x78d9f109L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeBit(true).storeRef(ds.loadRef())
+      .build())
+    val claim = Classifier.classify("jv1",
+      Seq(tx("T1", "0:SW", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:SW", Some(Opcodes.JvaultClaim),
+        body = Some(claimBody))))).head
+    assert(claim.`type` == "jvault_claim")
+    assert(claim.jvault_claim_data.get.claimed_jettons == Seq(w1, w2).sorted,
+      s"got ${claim.jvault_claim_data}")
+
+    val stake = Classifier.classify("jv2",
+      Seq(tx("T1", "0:STAKEW", 10)),
+      Map("T1" -> Seq(in("m1", "0:U", "0:STAKEW",
+        Some(Opcodes.JvaultReceiveJettons))))).head
+    assert(stake.`type` == "jvault_stake")
+    assert(stake.jvault_stake_data.get.stake_wallet.contains("0:STAKEW"))
+  }
+
   test("dedust withdraw decodes both payout amounts and the burnt LP") {
     def payoutBody(amount: Long): String =
       Boc.serializeBase64(new Boc.Builder()
