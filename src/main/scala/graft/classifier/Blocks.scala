@@ -76,7 +76,10 @@ case class JettonTransferBlock(
     amount: BigDecimal, comment: Option[String],
     failed: Boolean, nodes: Seq[TxNode],
     children: Seq[Block],
-    decoded: Option[graft.functions.TlbDecoders.JettonTransferBody] = None)
+    decoded: Option[graft.functions.TlbDecoders.JettonTransferBody] = None,
+    // repository-resolved master (or "TON"); wallet address stands in
+    // downstream when absent
+    asset: Option[String] = None)
   extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

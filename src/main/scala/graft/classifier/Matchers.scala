@@ -235,8 +235,13 @@ object ProtocolMatchers {
   import Matching._
 
   /** jetton transfer: 0x0f8a7ea5 → internal_transfer 0x178d4519 →
-    * optional notify 0x7362d09c, optional excesses 0xd53276db. */
-  object JettonTransferMatcher extends BlockMatcher {
+    * optional notify 0x7362d09c, optional excesses 0xd53276db. With a
+    * jetton-wallet repository the sender wallet resolves to the MASTER
+    * address for the action's asset column (the reference's
+    * get_jetton_wallet lookup, jettons.py:60-75); without one the
+    * wallet address stands in. */
+  final class JettonTransferResolvedMatcher(
+      resolveAsset: String => Option[String]) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) =>
@@ -274,12 +279,18 @@ object ProtocolMatchers {
             val nodes = consumed.flatMap(_.nodes)
             Some((JettonTransferBlock(sender, senderWallet, receiver,
               receiverWallet, amount, decoded.flatMap(_.comment),
-              failed, nodes, Nil, decoded), consumed))
+              failed, nodes, Nil, decoded,
+              asset = resolveAsset(senderWallet)), consumed))
           case None => None
         }
       case _ => None
     }
   }
+
+  /** Repository-less jetton transfer matcher (wallet stands in for the
+    * asset). */
+  val JettonTransferMatcher: BlockMatcher =
+    new JettonTransferResolvedMatcher(_ => None)
 
   /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de. */
   object JettonBurnMatcher extends BlockMatcher {
@@ -2525,6 +2536,8 @@ object ProtocolMatchers {
       else {
         val resolve = assetResolver(jettonWallets)
         registry.map {
+          case m if m eq JettonTransferMatcher =>
+            new JettonTransferResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
           case m if m eq StonfiV2WithdrawLiquidityMatcher =>
             new StonfiV2WithdrawMatcher(resolve)

@@ -334,7 +334,8 @@ object Serializer {
         (m.flatMap(_.source), m.flatMap(_.destination), None,
           m.map(mm => BigDecimal(mm.value)))
       case j: JettonTransferBlock =>
-        (j.sender, j.receiver, Some(j.senderWallet), Some(j.amount))
+        (j.sender, j.receiver,
+          Some(j.asset.getOrElse(j.senderWallet)), Some(j.amount))
       case j: JettonBurnBlock =>
         (j.owner, None, Some(j.ownerWallet), Some(j.amount))
       case n: NftTransferBlock =>

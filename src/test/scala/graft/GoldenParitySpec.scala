@@ -93,6 +93,12 @@ class GoldenParitySpec extends SparkSpec {
     assert(d.custom_payload.isEmpty)
     assert(d.comment.contains("11"))
     assert(d.is_encrypted_comment.contains(false))
+    // with the wallet repository the asset is the MASTER (the YAML's
+    // `asset` column), not the sender wallet
+    val master = "0:" + "2F" * 32
+    val resolved = Classifier.classify("gp1b", txs, msgs,
+      jettonWallets = Map(senderWallet -> master)).head
+    assert(resolved.asset.contains(master))
   }
 
   test("stonfi-swaps.yaml parity: dex_incoming/outgoing transfer " +
