@@ -97,6 +97,26 @@ class PlanSpec extends SparkSpec {
       s"mintless dim join must broadcast:\n${p.take(1200)}")
   }
 
+  test("endpoint-family queries (a04-a10) are top-k shapes with pushed " +
+      "filters — pagination never globally sorts") {
+    import graft.operators.ApiQueries
+    // blocks/masters/collections/dns: filter -> TakeOrderedAndProject
+    for (q <- Seq(ApiQueries.a04, ApiQueries.a06, ApiQueries.a07,
+        ApiQueries.a08, ApiQueries.a10)) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"${q.name}: limit+sort must be top-k, got:\n${p.take(800)}")
+    }
+    // the source filters reach the scan (events/customer/part/supplier
+    // are raw parquet here)
+    val f04 = formatted(ApiQueries.a04)
+    assert(f04.contains("PushedFilters:") && f04.contains("event_id"),
+      s"a04 range filter not pushed:\n${f04.take(1200)}")
+    val f08 = formatted(ApiQueries.a08)
+    assert(f08.contains("EqualTo(p_brand,Brand#3)"),
+      s"a08 owner filter not pushed:\n${f08.take(1200)}")
+  }
+
   test("token-event queries push every filter into the parquet scan") {
     import spark.implicits._
     import graft.operators.QueryLayer
