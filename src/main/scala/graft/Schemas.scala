@@ -243,6 +243,14 @@ object Schemas {
     f("burned_nft_index", StringType), f("burned_nft_address", StringType),
     f("tick_lower", StringType), f("tick_upper", StringType)))
 
+  val toncoDeployPoolDetails: StructType = StructType(Seq(
+    f("jetton0_router_wallet", StringType),
+    f("jetton1_router_wallet", StringType),
+    f("jetton0_minter", StringType), f("jetton1_minter", StringType),
+    f("tick_spacing", IntegerType), f("initial_price_x96", amount),
+    f("protocol_fee", IntegerType), f("lp_fee_base", IntegerType),
+    f("lp_fee_current", IntegerType), f("pool_active", BooleanType)))
+
   val jvaultStakeDetails: StructType = StructType(Seq(
     f("period", amount), f("minted_stake_jettons", amount),
     f("stake_wallet", StringType)))
@@ -335,6 +343,7 @@ object Schemas {
     f("vesting_add_whitelist_data", vestingAddWhitelistDetails),
     f("dex_deposit_liquidity_data", dexDepositLiquidityDetails),
     f("dex_withdraw_liquidity_data", dexWithdrawLiquidityDetails),
+    f("tonco_deploy_pool_data", toncoDeployPoolDetails),
     f("jvault_stake_data", jvaultStakeDetails),
     f("jvault_claim_data", jvaultClaimDetails),
     f("coffee_staking_deposit_data", coffeeStakingDepositDetails),

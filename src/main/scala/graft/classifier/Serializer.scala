@@ -132,6 +132,16 @@ case class EvaaLiquidateData(
     fail_reason: Option[String], debt_amount: Option[BigDecimal],
     asset_id: Option[String])
 
+/** tonco_deploy_pool_details (database.py:463-474; fill at
+  * block_tree_serializer.py:831-849). */
+case class ToncoDeployPoolData(
+    jetton0_router_wallet: Option[String],
+    jetton1_router_wallet: Option[String],
+    jetton0_minter: Option[String], jetton1_minter: Option[String],
+    tick_spacing: Option[Int], initial_price_x96: Option[BigDecimal],
+    protocol_fee: Option[Int], lp_fee_base: Option[Int],
+    lp_fee_current: Option[Int], pool_active: Option[Boolean])
+
 /** jvault_*_details (database.py:419-427; fills at
   * block_tree_serializer.py:726-766). */
 case class JvaultStakeData(
@@ -227,6 +237,7 @@ case class ActionRow(
     vesting_add_whitelist_data: Option[VestingAddWhitelistData] = None,
     dex_deposit_liquidity_data: Option[DexDepositLiquidityData] = None,
     dex_withdraw_liquidity_data: Option[DexWithdrawLiquidityData] = None,
+    tonco_deploy_pool_data: Option[ToncoDeployPoolData] = None,
     jvault_stake_data: Option[JvaultStakeData] = None,
     jvault_claim_data: Option[JvaultClaimData] = None,
     coffee_staking_deposit_data: Option[CoffeeStakingDepositData] = None,
@@ -506,6 +517,19 @@ object Serializer {
       },
       dex_withdraw_liquidity_data = b match {
         case p: ProtocolOpBlock => p.withdrawLiquidity
+        case _ => None
+      },
+      // TONCO pool deploy: the required init child's body carries the
+      // pool parameters (messages/liquidity.py:289-343)
+      tonco_deploy_pool_data = b match {
+        case p: ProtocolOpBlock if p.btype == "tonco_deploy_pool" =>
+          nodeBody(p, Opcodes.ToncoPoolV3Init)
+            .flatMap(safeDec(TlbDecoders.toncoPoolInit))
+            .map(t => ToncoDeployPoolData(None, None,
+              t.jetton0Minter, t.jetton1Minter,
+              Some(t.tickSpacing), Some(BigDecimal(t.initialPriceX96)),
+              Some(t.protocolFee), Some(t.lpFeeBase), Some(t.lpFeeCurrent),
+              Some(t.poolActive)))
         case _ => None
       },
       // jvault: the stake wallet is the head account; claim wallets

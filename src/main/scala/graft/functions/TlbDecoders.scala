@@ -440,6 +440,47 @@ object TlbDecoders {
       Boc.serializeBase64(s.loadRef()))
   }
 
+  // --------------------------------------------------------------- tonco
+
+  final case class ToncoPoolInitBody(
+      queryId: BigInt, tickSpacing: Int, initialPriceX96: BigInt,
+      poolActive: Boolean, protocolFee: Int, lpFeeBase: Int,
+      lpFeeCurrent: Int, jetton0Minter: Option[String],
+      jetton1Minter: Option[String])
+
+  /** POOLV3_INIT#441c39ed query_id:uint64 from_admin:bool has_admin:bool
+    * admin:MsgAddress has_controller:bool controller:MsgAddress
+    * set_spacing:bool tick_spacing:int24 set_price:bool price_x96:uint160
+    * set_active:bool pool_active:bool protocol_fee:uint16
+    * lp_fee_base:uint16 lp_fee_current:uint16 ^content ^item_content
+    * minters:(Maybe ^[addr addr]) (messages/liquidity.py:289-343). */
+  def toncoPoolInit(bodyB64: String): ToncoPoolInitBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x441c39edL)
+    val qid = s.loadUint(64)
+    s.loadBit(); s.loadBit()
+    s.loadAddress()
+    s.loadBit()
+    s.loadAddress()
+    s.loadBit()
+    val spacing = s.loadInt(24).toInt
+    s.loadBit()
+    val price = s.loadUint(160)
+    s.loadBit()
+    val active = s.loadBit()
+    val pFee = s.loadUint(16).toInt
+    val lpBase = s.loadUint(16).toInt
+    val lpCur = s.loadUint(16).toInt
+    s.loadRef(); s.loadRef()
+    val (m0, m1) =
+      if (s.remainingBits >= 1 && s.loadBit()) {
+        val ms = s.loadRef().beginParse()
+        (ms.loadAddress(), ms.loadAddress())
+      } else (None, None)
+    ToncoPoolInitBody(qid, spacing, price, active, pFee, lpBase, lpCur,
+      m0, m1)
+  }
+
   // -------------------------------------------------------------- jvault
 
   /** claim_rewards#78d9f109 query_id:uint64

@@ -380,6 +380,52 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
+  test("tonco deploy pool decodes the init body's pool parameters") {
+    val m0 = "0:" + "0A" * 32
+    val m1 = "0:" + "0B" * 32
+    val initBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x441c39edL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeBit(true).storeBit(false)
+      .storeAddress(None)
+      .storeBit(false)
+      .storeAddress(None)
+      .storeBit(true)
+      .storeInt(BigInt(-60), 24)
+      .storeBit(true)
+      .storeUint(BigInt(12345), 160)
+      .storeBit(true).storeBit(true)
+      .storeUint(BigInt(30), 16)
+      .storeUint(BigInt(100), 16)
+      .storeUint(BigInt(90), 16)
+      .storeRef(new Boc.Builder().build())
+      .storeRef(new Boc.Builder().build())
+      .storeBit(true)
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some(m0)).storeAddress(Some(m1)).build())
+      .build())
+    val txs = Seq(tx("TR", "0:ROUTER", 10), tx("TP", "0:POOL", 20))
+    val msgs = Map(
+      "TR" -> Seq(
+        in("m1", "0:DEPLOYER", "0:ROUTER",
+          Some(Opcodes.ToncoRouterV3CreatePool)),
+        out("m2", "0:ROUTER", "0:POOL", Some(Opcodes.ToncoPoolV3Init),
+          body = Some(initBody))),
+      "TP" -> Seq(in("m2", "0:ROUTER", "0:POOL",
+        Some(Opcodes.ToncoPoolV3Init), body = Some(initBody))))
+    val a = Classifier.classify("tp1", txs, msgs)
+      .find(_.`type` == "tonco_deploy_pool").get
+    val d = a.tonco_deploy_pool_data.get
+    assert(d.tick_spacing.contains(-60))
+    assert(d.initial_price_x96.contains(BigDecimal(12345)))
+    assert(d.protocol_fee.contains(30))
+    assert(d.lp_fee_base.contains(100))
+    assert(d.lp_fee_current.contains(90))
+    assert(d.pool_active.contains(true))
+    assert(d.jetton0_minter.contains(m0))
+    assert(d.jetton1_minter.contains(m1))
+  }
+
   test("jvault claim decodes the 267-bit wallet-address dict; stake " +
       "carries its wallet") {
     val w1 = "0:" + "11" * 32
