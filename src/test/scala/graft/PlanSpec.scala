@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       s"a08 owner filter not pushed:\n${f08.take(1200)}")
   }
 
+  test("a03 reads denormalized trace_end_utime — no query-time window " +
+      "exchange over the actions set") {
+    val df = graft.operators.ApiQueries.a03.fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"a03 must not window over actions:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the pagination sort+limit must be top-k")
+  }
+
   test("token-event queries push every filter into the parquet scan") {
     import spark.implicits._
     import graft.operators.QueryLayer
