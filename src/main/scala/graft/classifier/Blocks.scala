@@ -157,7 +157,9 @@ case class ProtocolOpBlock(
     depositLiquidity: Option[DexDepositLiquidityData] = None,
     withdrawLiquidity: Option[DexWithdrawLiquidityData] = None,
     // the minted position item of a coffee staking deposit (matcher-known)
-    mintedItem: Option[String] = None) extends Block {
+    mintedItem: Option[String] = None,
+    // swap slippage bound decoded from the swap body (jetton_swap_data)
+    minOut: Option[BigDecimal] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

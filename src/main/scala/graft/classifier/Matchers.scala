@@ -463,7 +463,13 @@ object ProtocolMatchers {
   val StonfiSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.StonfiSwap, Some(Opcodes.StonfiPayment), Set(Opcodes.Excesses),
     (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
-      case p: ProtocolOpBlock => p.copy(dex = Some("stonfi"))
+      case p: ProtocolOpBlock =>
+        // min_out (the slippage bound) decodes from the swap body
+        // (messages/swaps.py:8-24 StonfiSwapMessage.min_out)
+        val minOut = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(graft.functions.TlbDecoders.stonfiSwap))
+          .map(b => BigDecimal(b.minOut))
+        p.copy(dex = Some("stonfi"), minOut = minOut)
       case other => other
     })
 

@@ -449,7 +449,7 @@ object Serializer {
               else Seq.fill(p.peerSwapCount)(
                 PeerSwapData(None, None, None, None))
             },
-            min_out_amount = None))
+            min_out_amount = p.minOut))
         case _ => None
       },
       // provider 'liquid_staking' for TONStakers actions (overridable —

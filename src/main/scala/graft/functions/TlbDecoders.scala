@@ -440,6 +440,20 @@ object TlbDecoders {
       Boc.serializeBase64(s.loadRef()))
   }
 
+  final case class StonfiSwapBody(
+      queryId: BigInt, fromUser: Option[String], tokenWallet: Option[String],
+      amount: BigInt, minOut: BigInt)
+
+  /** StonFi v1 swap#25938561 query_id:uint64 from_user:MsgAddress
+    * token_wallet:MsgAddress amount:Coins min_out:Coins has_ref:bool ...
+    * (messages/swaps.py:8-24). */
+  def stonfiSwap(bodyB64: String): StonfiSwapBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x25938561L)
+    StonfiSwapBody(s.loadUint(64), s.loadAddress(), s.loadAddress(),
+      s.loadCoins(), s.loadCoins())
+  }
+
   // --------------------------------------------------------------- tonco
 
   final case class ToncoPoolInitBody(

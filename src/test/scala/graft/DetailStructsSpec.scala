@@ -380,6 +380,29 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
+  test("stonfi v1 swap decodes min_out into jetton_swap_data") {
+    val swapBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x25938561L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some("0:" + "01" * 32))
+      .storeAddress(Some("0:" + "02" * 32))
+      .storeCoins(BigInt(1000))
+      .storeCoins(BigInt(950))
+      .build())
+    val txs = Seq(tx("TP", "0:POOL", 10), tx("TR", "0:ROUTER", 20))
+    val msgs = Map(
+      "TP" -> Seq(
+        in("m1", "0:U", "0:POOL", Some(Opcodes.StonfiSwap),
+          body = Some(swapBody)),
+        out("m2", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiPayment))),
+      "TR" -> Seq(in("m2", "0:POOL", "0:ROUTER",
+        Some(Opcodes.StonfiPayment))))
+    val a = Classifier.classify("sf1", txs, msgs)
+      .find(_.`type` == "jetton_swap").get
+    assert(a.jetton_swap_data.get.min_out_amount.contains(BigDecimal(950)))
+    assert(a.jetton_swap_data.get.dex == "stonfi")
+  }
+
   test("tonco deploy pool decodes the init body's pool parameters") {
     val m0 = "0:" + "0A" * 32
     val m1 = "0:" + "0B" * 32
