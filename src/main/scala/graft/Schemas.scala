@@ -311,6 +311,39 @@ object Schemas {
   val cocoonClientWithdrawDetails: StructType = StructType(Seq(
     f("query_id", StringType), f("withdraw_amount", amount)))
 
+  // coffee_create_pool_details (database.py:475-483)
+  val coffeeCreatePoolDetails: StructType = StructType(Seq(
+    f("amount_1", amount), f("amount_2", amount),
+    f("initiator_1", StringType), f("initiator_2", StringType),
+    f("provided_asset", StringType), f("lp_tokens_minted", amount),
+    f("pool_creator_contract", StringType)))
+
+  // nft_mint_details / coffee_staking_withdraw_details
+  // (database.py:339-340,488-492)
+  val nftMintDetails: StructType = StructType(Seq(
+    f("nft_item_index", StringType)))
+
+  val coffeeStakingWithdrawDetails: StructType = StructType(Seq(
+    f("nft_address", StringType), f("nft_index", StringType),
+    f("points", amount)))
+
+  // layerzero_*_details (database.py:493-518)
+  val layerZeroSendDetails: StructType = StructType(Seq(
+    f("send_request_id", amount), f("msglib_manager", StringType),
+    f("msglib", StringType), f("uln", StringType),
+    f("native_fee", amount), f("zro_fee", amount),
+    f("endpoint", StringType), f("channel", StringType)))
+
+  val layerZeroPacketDetails: StructType = StructType(Seq(
+    f("src_oapp", StringType), f("dst_oapp", StringType),
+    f("src_eid", IntegerType), f("dst_eid", IntegerType),
+    f("nonce", amount), f("guid", StringType), f("message", StringType)))
+
+  val layerZeroDvnVerifyDetails: StructType = StructType(Seq(
+    f("nonce", amount), f("status", StringType),
+    f("dvn", StringType), f("proxy", StringType),
+    f("uln", StringType), f("uln_connection", StringType)))
+
   val actions: StructType = StructType(Seq(
     f("trace_id", StringType, nullable = false),
     f("action_id", StringType, nullable = false),
@@ -361,7 +394,13 @@ object Schemas {
     f("cocoon_client_request_refund_data", cocoonRequestRefundDetails),
     f("cocoon_grant_refund_data", cocoonChargeDetails),
     f("cocoon_client_increase_stake_data", cocoonIncreaseStakeDetails),
-    f("cocoon_client_withdraw_data", cocoonClientWithdrawDetails)))
+    f("cocoon_client_withdraw_data", cocoonClientWithdrawDetails),
+    f("layerzero_send_data", layerZeroSendDetails),
+    f("layerzero_packet_data", layerZeroPacketDetails),
+    f("layerzero_dvn_verify_data", layerZeroDvnVerifyDetails),
+    f("nft_mint_data", nftMintDetails),
+    f("coffee_staking_withdraw_data", coffeeStakingWithdrawDetails),
+    f("coffee_create_pool_data", coffeeCreatePoolDetails)))
 
   /** action_accounts — migrate.cpp:589-599: exploded (account × action)
     * fact whose PK is the pagination sort key. */

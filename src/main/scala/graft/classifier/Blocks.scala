@@ -159,7 +159,20 @@ case class ProtocolOpBlock(
     // the minted position item of a coffee staking deposit (matcher-known)
     mintedItem: Option[String] = None,
     // swap slippage bound decoded from the swap body (jetton_swap_data)
-    minOut: Option[BigDecimal] = None) extends Block {
+    minOut: Option[BigDecimal] = None,
+    // LayerZero detail payloads (matcher-decoded from the chain bodies)
+    assetSecondary: Option[String] = None,
+    lzSend: Option[LayerZeroSendData] = None,
+    lzPacket: Option[LayerZeroPacketData] = None,
+    lzDvn: Option[LayerZeroDvnVerifyData] = None,
+    // nft_items-dim payloads (mint index; coffee staking position)
+    nftMint: Option[NftMintData] = None,
+    mintedItemIndex: Option[String] = None,
+    coffeeWithdraw: Option[CoffeeStakingWithdrawData] = None,
+    // coffee create-pool pair columns + detail struct
+    asset2: Option[String] = None,
+    asset2Secondary: Option[String] = None,
+    coffeePool: Option[CoffeeCreatePoolData] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

@@ -45,10 +45,12 @@ object ClassifyJob {
     * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       interfaces: Map[String, String] = Map.empty,
-      jettonWallets: Map[String, String] = Map.empty): Dataset[ActionRow] = {
+      jettonWallets: Map[String, String] = Map.empty,
+      nftItems: Map[String, NftItemInfo] = Map.empty): Dataset[ActionRow] = {
     import spark.implicits._
     val interfacesB = spark.sparkContext.broadcast(interfaces)
     val jettonWalletsB = spark.sparkContext.broadcast(jettonWallets)
+    val nftItemsB = spark.sparkContext.broadcast(nftItems)
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -85,7 +87,7 @@ object ClassifyJob {
             r.created_lt, r.body, r.init_state))
         }
       Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value,
-        jettonWalletsB.value).iterator
+        jettonWalletsB.value, nftItemsB.value).iterator
     }
   }
 

@@ -233,6 +233,7 @@ object Matching {
   * indexer/indexer/events/blocks/jettons.py:41-109). */
 object ProtocolMatchers {
   import Matching._
+  import graft.functions.TlbDecoders
 
   /** jetton transfer: 0x0f8a7ea5 → internal_transfer 0x178d4519 →
     * optional notify 0x7362d09c, optional excesses 0xd53276db. With a
@@ -1389,12 +1390,114 @@ object ProtocolMatchers {
       case other => other
     })
 
-  /** Coffee pool creation + liquidity deposit/withdraw
-    * (messages/coffee.py:426-590; serializer cases 'coffee_create_pool',
-    * 'dex_deposit_liquidity', 'dex_withdraw_liquidity'). */
-  val CoffeeCreatePoolMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CoffeeCreatePoolNative, None, Set(Opcodes.Excesses),
-    protoBlock("coffee_create_pool"))
+  /** Coffee pool-creator stage: the funding leg (native c0ffee02 / extra
+    * c0ffee03 call at the factory, or a jetton transfer whose forward
+    * payload is create_pool_jetton#c0ffee11) must reach the factory's
+    * creator request c0ffee23 and the creator-contract deploy c0ffee22
+    * (CoffeeCreatePoolCreatorMatcher, blocks/liquidity.py:2055-2124).
+    * Pool params ride asset2/asset2_secondary and the creator contract
+    * destination_secondary — the columns
+    * _fill_coffee_create_pool_creator writes (serializer:945-953). */
+  object CoffeeCreatePoolCreatorMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeCreatePoolCreator))
+    private def build(head: Block, sender: Option[String],
+        senderWallet: Option[String], provided: Option[String],
+        amount: Option[BigDecimal], decoded: TlbDecoders.CoffeeCreatePoolBody,
+        req: CallContractBlock, deploy: CallContractBlock)
+        : (Block, Seq[Block]) = {
+      val consumed: Seq[Block] = Seq(head, req, deploy)
+      (ProtocolOpBlock("coffee_create_pool_creator",
+        source = sender, destination = decoded.recipient,
+        asset = provided,
+        value = decoded.amount.map(BigDecimal(_)).orElse(amount),
+        failed = consumed.exists(_.failed),
+        nodes = consumed.flatMap(_.nodes), children = Nil,
+        sourceSecondary = senderWallet,
+        destinationSecondary = deploy.node.inMsg.flatMap(_.destination),
+        asset2 = decoded.params.first,
+        asset2Secondary = decoded.params.second), consumed)
+    }
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.CoffeeCreatePoolNative) ||
+          Opcodes.matches(c.opcode, Opcodes.CoffeeCreatePoolExtra) =>
+        for {
+          req <- findCall(c, Opcodes.CoffeeCreatePoolCreator)
+          deploy <- findCall(req, Opcodes.CoffeeDeploy)
+          body <- c.node.inMsg.flatMap(_.body)
+          decoded <- safeDecode(TlbDecoders.coffeeCreatePool)(body)
+        } yield build(c, c.node.inMsg.flatMap(_.source), None, None,
+          c.node.inMsg.map(m => BigDecimal(m.value)), decoded, req, deploy)
+      case jt: JettonTransferBlock =>
+        for {
+          req <- findCall(jt, Opcodes.CoffeeCreatePoolCreator)
+          deploy <- findCall(req, Opcodes.CoffeeDeploy)
+          body <- jt.nodes.headOption.flatMap(_.inMsg).flatMap(_.body)
+          decoded <- safeDecode(TlbDecoders.coffeeCreatePoolFromTransfer)(body)
+        } yield build(jt, jt.sender, Some(jt.senderWallet),
+          jt.asset.orElse(Some(jt.senderWallet)), Some(jt.amount),
+          decoded, req, deploy)
+      case _ => None
+    }
+  }
+
+  /** Coffee create-pool completion — anchored on the creator block; the
+    * pool request c0ffee25 must reach the pool deploy c0ffee22 with the
+    * deposit-success event c0ffee33; asset order follows the pool params
+    * (CoffeeCreatePoolMatcher, blocks/liquidity.py:2157-2279). */
+  object CoffeeCreatePoolMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeCreatePoolRequest))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case p: ProtocolOpBlock if p.btype == "coffee_create_pool_creator" =>
+        for {
+          poolReq <- findCall(p, Opcodes.CoffeeCreatePoolRequest)
+          poolDeploy <- findCall(poolReq, Opcodes.CoffeeDeploy)
+          success <- findCall(poolDeploy, Opcodes.CoffeeDepositLiquiditySuccess)
+          reqBody <- poolReq.node.inMsg.flatMap(_.body)
+          req <- safeDecode(TlbDecoders.coffeeCreatePoolRequest)(reqBody)
+          evBody <- success.node.inMsg.flatMap(_.body)
+          ev <- safeDecode(TlbDecoders.coffeeDepositSuccess)(evBody)
+        } yield {
+          // LP mint leg: raw internal transfer or the rewritten mint
+          val lp = poolDeploy.children.collect {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.JettonInternalTransfer) =>
+              cc: Block
+            case jm: JettonMintBlock => jm: Block
+          }
+          val consumed: Seq[Block] =
+            Seq(p, poolReq, poolDeploy, success) ++ lp
+          // provided asset first unless it's params.second — then swap
+          // amounts and initiators (blocks/liquidity.py:2244-2256)
+          val (a1, a2, am1, am2, i1, i2) =
+            if (p.asset == p.asset2)
+              (p.asset, p.asset2Secondary, BigDecimal(req.amount1),
+                BigDecimal(req.amount2), p.source, req.txInitiator)
+            else if (p.asset == p.asset2Secondary)
+              (p.asset, p.asset2, BigDecimal(req.amount2),
+                BigDecimal(req.amount1), req.txInitiator, p.source)
+            else (p.asset2, p.asset2Secondary, BigDecimal(req.amount1),
+              BigDecimal(req.amount2), p.source, req.txInitiator)
+          (ProtocolOpBlock("coffee_create_pool",
+            source = p.source,
+            destination = poolDeploy.node.inMsg.flatMap(_.destination),
+            asset = a1, value = p.value,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = p.sourceSecondary,
+            destinationSecondary = p.destinationSecondary,
+            asset2 = a2,
+            coffeePool = Some(CoffeeCreatePoolData(
+              amount_1 = Some(am1), amount_2 = Some(am2),
+              initiator_1 = i1, initiator_2 = i2,
+              provided_asset = p.asset,
+              lp_tokens_minted = Some(BigDecimal(ev.lpAmount))))), consumed)
+        }
+      case _ => None
+    }
+  }
   val CoffeeDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CoffeeDepositLiquidityNative, None,
     Set(Opcodes.CoffeeDepositLiquiditySuccess, Opcodes.Excesses),
@@ -1403,18 +1506,116 @@ object ProtocolMatchers {
     Opcodes.CoffeeLiquidityWithdrawalEvent, None, Set.empty,
     protoBlock("dex_withdraw_liquidity"))
 
-  /** LayerZero cross-chain messaging: endpoint send 0xdd4ea3b4 with its
-    * event tail, channel commit-packet 0x5388cd88
-    * (messages/layerzero.py:384,477; serializer cases 'layerzero_send' /
-    * 'layerzero_commit_packet'). */
-  val LayerZeroSendMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.LayerZeroEndpointSend, None,
-    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
-    protoBlock("layerzero_send"))
-  val LayerZeroCommitPacketMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.LayerZeroChannelCommitPacket, None,
-    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
-    protoBlock("layerzero_commit_packet"))
+  /** First descendant call block with the given opcode (DFS, direct
+    * children first) — the analogue of the reference's nested
+    * ContractMatcher chains (blocks/layerzero.py:173-207). */
+  private def findCall(b: Block, op: Long): Option[CallContractBlock] =
+    b.children.collectFirst {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, op) => c
+    }.orElse(b.children.view.flatMap(findCall(_, op)).headOption)
+
+  /** Event-log calls under a LayerZero chain node; optionally the
+    * excess ton transfers the reference's labeled optional children
+    * consume (blocks/layerzero.py:185-205). */
+  private def lzAux(b: Block, takeTransfers: Boolean): Seq[Block] =
+    b.children.flatMap {
+      case e: CallContractBlock
+        if Opcodes.matches(e.opcode, Opcodes.LayerZeroEventMsg) ||
+          Opcodes.matches(e.opcode, Opcodes.Excesses) =>
+        e +: lzAux(e, takeTransfers = false)
+      case t if takeTransfers && t.btype == "ton_transfer" => Seq(t)
+      case _ => Nil
+    }
+
+  private def lzPacketData(p: TlbDecoders.LzPacket): LayerZeroPacketData =
+    LayerZeroPacketData(
+      src_oapp = Some(p.path.srcOapp), dst_oapp = Some(p.path.dstOapp),
+      src_eid = Some(p.path.srcEid), dst_eid = Some(p.path.dstEid),
+      nonce = Some(BigDecimal(p.nonce)), guid = Some(p.guid),
+      message = Some(p.message))
+
+  /** LayerZero send: endpoint send 0xdd4ea3b4 must reach the full
+    * channel→msglib-connection→uln→send-callback→oapp-callback chain;
+    * the oapp callback body carries the LzSend MD with the packet and
+    * fees (LayerZeroSendMatcher, blocks/layerzero.py:149-273). */
+  object LayerZeroSendMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.LayerZeroEndpointSend))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.LayerZeroEndpointSend) =>
+        for {
+          chSend <- findCall(c, Opcodes.LayerZeroChannelSend)
+          mlSend <- findCall(chSend, Opcodes.LayerZeroMsglibConnectionSend)
+          ulnSend <- findCall(mlSend, Opcodes.LayerZeroUlnSend)
+          sendCb <- findCall(ulnSend, Opcodes.LayerZeroMsglibSendCallback)
+          oappCb <- findCall(sendCb, Opcodes.LayerZeroChannelSendCallback)
+          body <- oappCb.node.inMsg.flatMap(_.body)
+          md <- safeDecode(TlbDecoders.lzChannelSendCallback)(body)
+        } yield {
+          val in = c.node.inMsg
+          val chain = Seq[Block](c, chSend, mlSend, ulnSend, sendCb, oappCb)
+          val consumed = Matching.identityDistinct(chain ++
+            chain.flatMap(n => lzAux(n,
+              takeTransfers = (n eq sendCb) || (n eq oappCb))))
+          val sendData = LayerZeroSendData(
+            send_request_id = Some(BigDecimal(md.sendRequestId)),
+            msglib_manager = Some(md.msglibManager),
+            msglib = Some(md.msglib),
+            uln = ulnSend.node.inMsg.flatMap(_.destination),
+            native_fee = Some(BigDecimal(md.nativeFee)),
+            zro_fee = Some(BigDecimal(md.zroFee)),
+            endpoint = in.flatMap(_.destination),
+            channel = chSend.node.inMsg.flatMap(_.destination))
+          (ProtocolOpBlock("layerzero_send",
+            source = in.flatMap(_.source), destination = None,
+            asset = None, value = in.map(m => BigDecimal(m.value)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            lzSend = Some(sendData),
+            lzPacket = Some(lzPacketData(md.packet))), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** LayerZero commit-packet: uln commit 0x28b97077 through
+    * uln-connection→endpoint→channel commit, with the msglib
+    * commit-callback required; the channel-commit body carries the
+    * packet (LayerZeroCommitPacketMatcher, blocks/layerzero.py:424-506). */
+  object LayerZeroCommitPacketMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.LayerZeroUlnCommitPacket))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.LayerZeroUlnCommitPacket) =>
+        for {
+          connCommit <- findCall(c, Opcodes.LayerZeroUlnConnectionCommitPacket)
+          epCommit <- findCall(connCommit, Opcodes.LayerZeroEndpointCommitPacket)
+          chCommit <- findCall(epCommit, Opcodes.LayerZeroChannelCommitPacket)
+          mlCb <- findCall(chCommit, Opcodes.LayerZeroMsglibCommitCallback)
+          body <- chCommit.node.inMsg.flatMap(_.body)
+          packet <- safeDecode(TlbDecoders.lzChannelCommitPacket)(body)
+        } yield {
+          val in = c.node.inMsg
+          val chain = Seq[Block](c, connCommit, epCommit, chCommit, mlCb)
+          val consumed = Matching.identityDistinct(chain ++
+            chain.flatMap(n => lzAux(n, takeTransfers = n eq mlCb)))
+          val uln = connCommit.node.inMsg.flatMap(_.destination)
+          (ProtocolOpBlock("layerzero_commit_packet",
+            source = in.flatMap(_.source), destination = uln,
+            asset = chCommit.node.inMsg.flatMap(_.destination),
+            value = in.map(m => BigDecimal(m.value)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = epCommit.node.inMsg.flatMap(_.destination),
+            destinationSecondary = uln,
+            assetSecondary = mlCb.node.inMsg.flatMap(_.destination),
+            lzPacket = Some(lzPacketData(packet))), consumed)
+        }
+      case _ => None
+    }
+  }
 
   /** Ethena withdrawal request — the labeled-capture composite of the
     * reference (blocks/ethena_staking.py:57-75): a jetton transfer whose
@@ -1997,26 +2198,89 @@ object ProtocolMatchers {
       Opcodes.Excesses),
     protoBlock("evaa_liquidate"))
 
-  /** LayerZero receive path: channel lzReceive-prepare 0x22f3ac09 must
-    * reach the OApp prepare 0x97df404c; the lock → execute → callback
-    * chain and event logs are consumed as auxiliaries
-    * (blocks/layerzero.py:338-422). DVN verify 0xa0d51a8d requires the
-    * ULN verify child 0x994aaf4e (:508-545). */
-  val LayerZeroReceiveMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.LayerZeroChannelLzReceivePrepare,
-    Some(Opcodes.LayerZeroLzReceivePrepare),
-    Set(Opcodes.LayerZeroChannelLzReceiveLock, Opcodes.LayerZeroLzReceiveExecute,
-      Opcodes.LayerZeroOappExecuteCallback, Opcodes.LayerZeroEventMsg,
-      Opcodes.Excesses),
-    protoBlock("layerzero_receive"))
-  val LayerZeroDvnVerifyMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.LayerZeroDvnVerify, Some(Opcodes.LayerZeroUlnVerify),
-    Set(Opcodes.LayerZeroEventMsg, Opcodes.Excesses),
-    protoBlock("layerzero_dvn_verify"))
+  /** LayerZero receive path: channel lzReceive-prepare 0x22f3ac09 through
+    * OApp prepare → lock → execute → OApp execute-callback, whose body
+    * carries the packet; the callback's destination must equal the
+    * packet's dst_oapp (LayerZeroReceiveMatcher,
+    * blocks/layerzero.py:338-422). */
+  object LayerZeroReceiveMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.LayerZeroChannelLzReceivePrepare))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.LayerZeroChannelLzReceivePrepare) =>
+        for {
+          prep <- findCall(c, Opcodes.LayerZeroLzReceivePrepare)
+          lock <- findCall(prep, Opcodes.LayerZeroChannelLzReceiveLock)
+          exec <- findCall(lock, Opcodes.LayerZeroLzReceiveExecute)
+          oappCb <- findCall(exec, Opcodes.LayerZeroOappExecuteCallback)
+          body <- oappCb.node.inMsg.flatMap(_.body)
+          packet <- safeDecode(TlbDecoders.lzOappExecuteCallback)(body)
+          oapp <- oappCb.node.inMsg.flatMap(_.destination)
+          // the executing OApp must be the packet's destination
+          // (blocks/layerzero.py:399-401)
+          if lzAddrEq(oapp, packet.path.dstOapp)
+        } yield {
+          val in = c.node.inMsg
+          val chain = Seq[Block](c, prep, lock, exec, oappCb)
+          val consumed = Matching.identityDistinct(chain ++
+            chain.flatMap(n => lzAux(n,
+              takeTransfers = (n eq c) || (n eq exec) || (n eq oappCb))))
+          (ProtocolOpBlock("layerzero_receive",
+            source = in.flatMap(_.source), destination = Some(oapp),
+            asset = None, value = in.map(m => BigDecimal(m.value)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            destinationSecondary = oappCb.node.inMsg.flatMap(_.source),
+            lzPacket = Some(lzPacketData(packet))), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** DVN verify 0xa0d51a8d through proxy → uln verify 0x994aaf4e →
+    * uln-connection verify, with the verify-callback carrying
+    * nonce/status (LayerZeroDvnVerifyMatcher, blocks/layerzero.py:508-581). */
+  object LayerZeroDvnVerifyMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.LayerZeroDvnVerify))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.LayerZeroDvnVerify) =>
+        for {
+          proxy <- findCall(c, Opcodes.LayerZeroProxyCall)
+          ulnVerify <- findCall(proxy, Opcodes.LayerZeroUlnVerify)
+          connVerify <- findCall(ulnVerify, Opcodes.LayerZeroUlnConnectionVerify)
+          cb <- findCall(connVerify, Opcodes.LayerZeroUlnVerifyCallback)
+          body <- cb.node.inMsg.flatMap(_.body)
+          vs <- safeDecode(TlbDecoders.lzVerifyCallback)(body)
+        } yield {
+          val in = c.node.inMsg
+          val chain = Seq[Block](c, proxy, ulnVerify, connVerify, cb)
+          val consumed = Matching.identityDistinct(chain ++
+            chain.flatMap(n => lzAux(n, takeTransfers = n eq cb)))
+          (ProtocolOpBlock("layerzero_dvn_verify",
+            source = in.flatMap(_.source), destination = None,
+            asset = None, value = in.map(m => BigDecimal(m.value)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            lzDvn = Some(LayerZeroDvnVerifyData(
+              nonce = Some(BigDecimal(vs.nonce)), status = Some(vs.status),
+              dvn = in.flatMap(_.destination),
+              proxy = proxy.node.inMsg.flatMap(_.destination),
+              uln = ulnVerify.node.inMsg.flatMap(_.destination),
+              uln_connection = connVerify.node.inMsg.flatMap(_.destination)))),
+            consumed)
+        }
+      case _ => None
+    }
+  }
 
   /** LayerZero send-tokens — second-pass composite: a jetton transfer
-    * whose surviving child is a layerzero_send block
-    * (LayerZeroSendTokensMatcher, blocks/layerzero.py:275-336). */
+    * whose surviving child is a layerzero_send block; inherits the send
+    * and packet payloads and overlays the transfer endpoints
+    * (LayerZeroSendTokensMatcher, blocks/layerzero.py:275-336,
+    * _fill_layerzero_send_tokens_action serializer:1216-1227). */
   object LayerZeroSendTokensMatcher extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.LayerZeroEndpointSend))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -2027,13 +2291,27 @@ object ProtocolMatchers {
           val consumed: Seq[Block] = Seq(jt, send)
           (ProtocolOpBlock("layerzero_send_tokens",
             source = jt.sender, destination = jt.receiver,
-            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            asset = jt.asset.orElse(Some(jt.senderWallet)),
+            value = Some(jt.amount),
             failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = Some(jt.senderWallet),
+            destinationSecondary = jt.receiverWallet,
+            lzSend = send.lzSend, lzPacket = send.lzPacket), consumed)
         }
       case _ => None
     }
   }
+
+  /** '0:HEX' raw address vs '0x…' hex-part equality (the reference
+    * compares the hex tails, blocks/layerzero.py:399). */
+  private def lzAddrEq(addr: String, oappHex: String): Boolean =
+    addr.split(':') match {
+      case Array(_, hex) =>
+        try BigInt(hex, 16) == BigInt(oappHex.stripPrefix("0x"), 16)
+        catch { case _: NumberFormatException => false }
+      case _ => false
+    }
 
   /** TONCO v3 liquidity deposit — second-pass composite over the input
     * jetton transfer: fund-account 0x4468de77 → add-liquidity 0x3ebe5431,
@@ -2171,10 +2449,6 @@ object ProtocolMatchers {
     Set(Opcodes.CoffeeCreateVaultInternal, Opcodes.CoffeeActivateVaultInternal,
       Opcodes.Excesses),
     protoBlock("coffee_create_vault"))
-  val CoffeeCreatePoolCreatorMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CoffeeCreatePoolCreator, None,
-    Set(Opcodes.CoffeeCreatePoolCreatorInternal, Opcodes.Excesses),
-    protoBlock("coffee_create_pool_creator"))
   val CoffeeMevProtectMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CoffeeMevProtectHoldFunds, None,
     Set(Opcodes.CoffeeMevProtectFailedSwap, Opcodes.Excesses),
@@ -2197,18 +2471,19 @@ object ProtocolMatchers {
           // staking.py:449-468) — without it any jetton transfer with a
           // 0xf9471134 child would match. Accept the rewritten nft_mint
           // block or the raw mint call carrying the position-NFT deploy.
-          val mint: Option[(Seq[Block], Option[String])] =
+          val mint: Option[(Seq[Block], Option[String], Option[String])] =
             poolCall.children.collectFirst {
               case p: ProtocolOpBlock if p.btype == "nft_mint" =>
-                (Seq(p: Block), p.destination)
+                (Seq(p: Block), p.destination,
+                  p.nftMint.flatMap(_.nft_item_index))
               case c: CallContractBlock
                 if c.children.exists(_.isInstanceOf[ContractDeployBlock]) =>
                 val deploys = c.children.collect { case d: ContractDeployBlock => d }
-                ((c +: deploys): Seq[Block], Some(c.node.tx.account))
+                ((c +: deploys): Seq[Block], Some(c.node.tx.account), None)
               case d: ContractDeployBlock =>
-                (Seq(d: Block), Some(d.node.tx.account))
+                (Seq(d: Block), Some(d.node.tx.account), None)
             }
-          mint.map { case (mintBlocks, posNft) =>
+          mint.map { case (mintBlocks, posNft, posIdx) =>
             val log = poolCall.children.collect {
               case c: CallContractBlock
                 if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingDeposit) => c
@@ -2221,7 +2496,8 @@ object ProtocolMatchers {
               asset = Some(jt.senderWallet), value = Some(jt.amount),
               failed = consumed.exists(_.failed),
               nodes = consumed.flatMap(_.nodes), children = Nil,
-              tsNft = posNft, mintedItem = posNft), consumed)
+              tsNft = posNft, mintedItem = posNft,
+              mintedItemIndex = posIdx), consumed)
           }
         }
       case _ => None
@@ -2230,36 +2506,58 @@ object ProtocolMatchers {
 
   /** Coffee staking withdraw: withdraw_1 → withdraw_2 → withdraw_3 all
     * share opcode 0xcb03bfaf; the deepest leg pays out through a jetton
-    * transfer (CoffeeStakingWithdrawMatcher, blocks/staking.py:512-560).
+    * transfer (CoffeeStakingWithdrawMatcher, blocks/staking.py:512-614).
     * Anchored at the TOPMOST link (bfs order guarantees the first hit is
-    * the outermost), consuming the same-opcode chain plus the payout. */
+    * the outermost), consuming the same-opcode chain plus the payout.
+    * nft/owner/points decode from the withdraw_2 body; the payout wallet
+    * from withdraw_3 (messages/coffee.py:1109-1144). */
   object CoffeeStakingWithdrawMatcher extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.CoffeeStakingWithdraw))
-    private def chain(c: CallContractBlock): Seq[Block] =
-      c.children.flatMap {
+    private def nextLink(c: CallContractBlock): Option[CallContractBlock] =
+      c.children.collectFirst {
         case cc: CallContractBlock
-          if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingWithdraw) =>
-          cc +: chain(cc)
-        case jt: JettonTransferBlock => Seq(jt)
-        case _ => Nil
+          if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingWithdraw) => cc
       }
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock
         if Opcodes.matches(c.opcode, Opcodes.CoffeeStakingWithdraw) =>
-        val rest = chain(c)
         // require the full withdraw_2 leg — a lone 0xcb03bfaf is not a
         // withdrawal (the reference's child_matcher is non-optional)
-        if (!rest.exists(_.isInstanceOf[CallContractBlock])) None
-        else {
-          val payout = rest.collectFirst { case jt: JettonTransferBlock => jt }
-          val consumed = c +: rest
-          Some((ProtocolOpBlock("coffee_staking_withdraw",
-            source = c.node.inMsg.flatMap(_.source),
-            destination = payout.flatMap(_.receiver),
-            asset = payout.map(_.senderWallet),
-            value = payout.map(_.amount),
+        nextLink(c).map { w2 =>
+          val w3 = nextLink(w2)
+          val payout = (w3.toSeq :+ w2).view.flatMap(_.children).collectFirst {
+            case jt: JettonTransferBlock => jt
+          }
+          // the optional duplicated log leg (staking.py:535-541,605-607)
+          val log = w2.children.collect {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingWithdraw) &&
+                !w3.exists(_ eq cc) => cc
+          }
+          val consumed: Seq[Block] =
+            Seq(c, w2) ++ w3.toSeq ++ payout.toSeq ++ log
+          val w2Body = w2.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.coffeeStakingWithdraw2))
+          val w3Body = w3.flatMap(_.node.inMsg.flatMap(_.body))
+            .flatMap(safeDecode(TlbDecoders.coffeeStakingWithdraw3))
+          (ProtocolOpBlock("coffee_staking_withdraw",
+            // owner from the withdraw_2 body; the pool is the master
+            // that sent withdraw_2 (staking.py:577-581)
+            source = w2Body.flatMap(_.owner)
+              .orElse(c.node.inMsg.flatMap(_.source)),
+            destination = w2.node.inMsg.flatMap(_.source),
+            asset = payout.flatMap(_.asset)
+              .orElse(payout.map(_.senderWallet)),
+            value = w3Body.map(w => BigDecimal(w.jettonAmount))
+              .orElse(payout.map(_.amount)),
             failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = payout.flatMap(_.receiverWallet),
+            destinationSecondary = w3Body.flatMap(_.jettonWallet),
+            coffeeWithdraw = Some(CoffeeStakingWithdrawData(
+              nft_address = c.node.inMsg.flatMap(_.destination),
+              nft_index = w2Body.map(_.nftId.toString),
+              points = w2Body.map(w => BigDecimal(w.points))))), consumed)
         }
       case _ => None
     }
@@ -2369,18 +2667,25 @@ object ProtocolMatchers {
     * interface repository). The repository becomes data here: the
     * per-trace interface map is pre-joined and passed into classify —
     * no IO inside matchers (SURVEY §7.1 M4). */
-  final class NftMintMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+  final class NftMintMatcher(interfaces: Map[String, String],
+      nftItems: Map[String, NftItemInfo]) extends BlockMatcher {
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case (_: CallContractBlock | _: TonTransferBlock) =>
         val deploys = b.children.collect { case d: ContractDeployBlock => d }
         deploys match {
           case Seq(d) if interfaces.get(d.node.tx.account).contains("nft_item") =>
             val consumed = Seq(b, d)
+            val item = d.node.tx.account
+            val info = nftItems.get(item)
+            // asset = collection, asset_secondary = the item itself
+            // (_fill_nft_mint_action, block_tree_serializer.py:267-277)
             Some((ProtocolOpBlock("nft_mint",
-              b.nodes.head.inMsg.flatMap(_.source), Some(d.node.tx.account),
-              asset = Some(d.node.tx.account),
+              b.nodes.head.inMsg.flatMap(_.source), Some(item),
+              asset = info.flatMap(_.collection).orElse(Some(item)),
               value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
-              failed = b.failed, nodes = consumed.flatMap(_.nodes), Nil),
+              failed = b.failed, nodes = consumed.flatMap(_.nodes), Nil,
+              assetSecondary = Some(item),
+              nftMint = Some(NftMintData(info.flatMap(_.index)))),
               consumed))
           case _ => None
         }
@@ -2425,9 +2730,11 @@ object ProtocolMatchers {
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
-      CoffeeSwapMatcher, CoffeeCreatePoolMatcher,
+      CoffeeSwapMatcher,
+      // creator stage must land before the create-pool completion pass
+      CoffeeCreatePoolCreatorMatcher, CoffeeCreatePoolMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
-      CoffeeCreateVaultMatcher, CoffeeCreatePoolCreatorMatcher,
+      CoffeeCreateVaultMatcher,
       CoffeeMevProtectMatcher,
       CoffeeStakingDepositMatcher, CoffeeStakingWithdrawMatcher,
       CoffeeStakingClaimRewardsMatcher,
@@ -2527,7 +2834,11 @@ object ProtocolMatchers {
   /** Registry with the interface-dependent matchers appended (the
     * per-trace interface map is classify-call state, not global). */
   def registryWith(interfaces: Map[String, String]): Seq[BlockMatcher] =
-    registryWith(interfaces, Map.empty)
+    registryWith(interfaces, Map.empty, Map.empty)
+
+  def registryWith(interfaces: Map[String, String],
+      jettonWallets: Map[String, String]): Seq[BlockMatcher] =
+    registryWith(interfaces, jettonWallets, Map.empty)
 
   /** Registry with the per-trace jetton-wallet repository applied: the
     * matchers that resolve asset identity (StonFi v2 swap/withdraw,
@@ -2536,7 +2847,8 @@ object ProtocolMatchers {
     * interface_repository.get_jetton_wallet lookups (swaps.py:338-352,
     * liquidity.py asset resolution). */
   def registryWith(interfaces: Map[String, String],
-      jettonWallets: Map[String, String]): Seq[BlockMatcher] = {
+      jettonWallets: Map[String, String],
+      nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] = {
     val base =
       if (jettonWallets.isEmpty) registry
       else {
@@ -2554,7 +2866,7 @@ object ProtocolMatchers {
       }
     if (interfaces.isEmpty) base
     else base ++ Seq(new PTonTransferMatcher(interfaces),
-      new NftMintMatcher(interfaces),
+      new NftMintMatcher(interfaces, nftItems),
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),
       new NominatorPoolWithdrawRequestMatcher(interfaces),

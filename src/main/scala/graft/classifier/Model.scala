@@ -21,6 +21,11 @@ case class MsgLite(
     // messages/getgems.py:64-119)
     initState: Option[String] = None)
 
+/** Pre-joined nft_items dim row (the reference resolves these through
+  * the interface repository at classify time, blocks/nft.py:54-75 — here
+  * the repository becomes a broadcast map, no IO inside matchers). */
+case class NftItemInfo(index: Option[String], collection: Option[String])
+
 case class TxLite(
     hash: String,
     account: String,
@@ -224,6 +229,22 @@ object Opcodes {
   val LayerZeroEndpointSend = 0xdd4ea3b4L
   val LayerZeroChannelCommitPacket = 0x5388cd88L
   val LayerZeroEventMsg = 0xe33b9873L
+  // LayerZero send chain (messages/layerzero.py:515-655,779-784)
+  val LayerZeroChannelSend = 0x536feb09L
+  val LayerZeroMsglibConnectionSend = 0x4002b790L
+  val LayerZeroUlnSend = 0x5de68393L
+  val LayerZeroMsglibSendCallback = 0x421c1a25L
+  val LayerZeroChannelSendCallback = 0xa2b5fbaeL
+  // LayerZero commit chain (messages/layerzero.py:470-475,640-648,
+  // 765-770,828-833)
+  val LayerZeroUlnCommitPacket = 0x28b97077L
+  val LayerZeroUlnConnectionCommitPacket = 0xf9d37b80L
+  val LayerZeroEndpointCommitPacket = 0x5dab749aL
+  val LayerZeroMsglibCommitCallback = 0x5e178f33L
+  // LayerZero verify chain (messages/layerzero.py:835-840,912-916,1227-1232)
+  val LayerZeroProxyCall = 0x09f047d9L
+  val LayerZeroUlnConnectionVerify = 0x4ec8f80aL
+  val LayerZeroUlnVerifyCallback = 0x3cb38090L
 
   // Ethena staking (blocks/ethena_staking.py:61-64; messages/jettons.py:143)
   val JettonMint = 0x642b7d07L
@@ -277,6 +298,10 @@ object Opcodes {
   val CoffeeActivateVaultInternal = 0xc0ffee2cL
   val CoffeeCreatePoolCreator = 0xc0ffee23L
   val CoffeeCreatePoolCreatorInternal = 0xc0ffee24L
+  val CoffeeCreatePoolJetton = 0xc0ffee11L // jetton forward payload
+  val CoffeeCreatePoolExtra = 0xc0ffee03L
+  val CoffeeDeploy = 0xc0ffee22L
+  val CoffeeCreatePoolRequest = 0xc0ffee25L
   val CoffeeMevProtectHoldFunds = 0x6bc79e7eL
   val CoffeeMevProtectFailedSwap = 0xee51ce51L
   val CoffeeStakingDeposit = 0xf9471134L

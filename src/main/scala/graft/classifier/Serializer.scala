@@ -151,10 +151,32 @@ case class JvaultStakeData(
 case class JvaultClaimData(
     claimed_jettons: Seq[String], claimed_amounts: Seq[BigDecimal])
 
+/** coffee_create_pool_details (database.py:475-483; fill at
+  * block_tree_serializer.py:955-971). pool_creator_contract is in the
+  * DDL but the reference fill dict omits it (it rides
+  * destination_secondary instead) — kept here as an always-None column
+  * for schema parity. */
+case class CoffeeCreatePoolData(
+    amount_1: Option[BigDecimal], amount_2: Option[BigDecimal],
+    initiator_1: Option[String], initiator_2: Option[String],
+    provided_asset: Option[String], lp_tokens_minted: Option[BigDecimal],
+    pool_creator_contract: Option[String] = None)
+
+/** nft_mint_details (database.py:339-340; fill at
+  * block_tree_serializer.py:267-277 — index from the nft_items dim). */
+case class NftMintData(nft_item_index: Option[String])
+
 /** coffee_staking_deposit_details (database.py:484-487; fill at
   * block_tree_serializer.py:984-994). */
 case class CoffeeStakingDepositData(
     minted_item_address: Option[String], minted_item_index: Option[String])
+
+/** coffee_staking_withdraw_details (database.py:488-492; fill at
+  * block_tree_serializer.py:996-1007 — nft/points decode from the
+  * withdraw_2 body, messages/coffee.py:1109-1127). */
+case class CoffeeStakingWithdrawData(
+    nft_address: Option[String], nft_index: Option[String],
+    points: Option[BigDecimal])
 
 /** cocoon_*_details (database.py:520-569; fills at
   * block_tree_serializer.py:1020-1196). Shared single-field shape for
@@ -190,6 +212,27 @@ case class CocoonIncreaseStakeData(
 
 case class CocoonClientWithdrawData(
     query_id: Option[String], withdraw_amount: Option[BigDecimal])
+
+/** layerzero_*_details (database.py:493-518; fills at
+  * block_tree_serializer.py:1199-1253). msglib_manager/msglib and the
+  * packet oapp/guid fields serialize as 0x-hex strings like the
+  * reference (hex(uint256) in messages/layerzero.py). */
+case class LayerZeroSendData(
+    send_request_id: Option[BigDecimal], msglib_manager: Option[String],
+    msglib: Option[String], uln: Option[String],
+    native_fee: Option[BigDecimal], zro_fee: Option[BigDecimal],
+    endpoint: Option[String], channel: Option[String])
+
+case class LayerZeroPacketData(
+    src_oapp: Option[String], dst_oapp: Option[String],
+    src_eid: Option[Int], dst_eid: Option[Int],
+    nonce: Option[BigDecimal], guid: Option[String],
+    message: Option[String])
+
+case class LayerZeroDvnVerifyData(
+    nonce: Option[BigDecimal], status: Option[String],
+    dvn: Option[String], proxy: Option[String],
+    uln: Option[String], uln_connection: Option[String])
 
 /** dex_withdraw_liquidity_details (database.py:400-418; fills at
   * block_tree_serializer.py:414-461). */
@@ -255,7 +298,16 @@ case class ActionRow(
     cocoon_client_request_refund_data: Option[CocoonRequestRefundData] = None,
     cocoon_grant_refund_data: Option[CocoonChargeData] = None,
     cocoon_client_increase_stake_data: Option[CocoonIncreaseStakeData] = None,
-    cocoon_client_withdraw_data: Option[CocoonClientWithdrawData] = None)
+    cocoon_client_withdraw_data: Option[CocoonClientWithdrawData] = None,
+    asset_secondary: Option[String] = None,
+    layerzero_send_data: Option[LayerZeroSendData] = None,
+    layerzero_packet_data: Option[LayerZeroPacketData] = None,
+    layerzero_dvn_verify_data: Option[LayerZeroDvnVerifyData] = None,
+    nft_mint_data: Option[NftMintData] = None,
+    coffee_staking_withdraw_data: Option[CoffeeStakingWithdrawData] = None,
+    coffee_create_pool_data: Option[CoffeeCreatePoolData] = None,
+    asset2: Option[String] = None,
+    asset2_secondary: Option[String] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -485,6 +537,45 @@ object Serializer {
         case p: ProtocolOpBlock => p.destinationSecondary
         case _ => None
       },
+      asset_secondary = b match {
+        case p: ProtocolOpBlock => p.assetSecondary
+        case _ => None
+      },
+      // LayerZero payloads travel on the block (matcher-decoded;
+      // fills block_tree_serializer.py:1199-1253)
+      layerzero_send_data = b match {
+        case p: ProtocolOpBlock => p.lzSend
+        case _ => None
+      },
+      layerzero_packet_data = b match {
+        case p: ProtocolOpBlock => p.lzPacket
+        case _ => None
+      },
+      layerzero_dvn_verify_data = b match {
+        case p: ProtocolOpBlock => p.lzDvn
+        case _ => None
+      },
+      nft_mint_data = b match {
+        case p: ProtocolOpBlock if p.btype == "nft_mint" => p.nftMint
+        case _ => None
+      },
+      coffee_staking_withdraw_data = b match {
+        case p: ProtocolOpBlock => p.coffeeWithdraw
+        case _ => None
+      },
+      coffee_create_pool_data = b match {
+        case p: ProtocolOpBlock if p.btype == "coffee_create_pool" =>
+          p.coffeePool
+        case _ => None
+      },
+      asset2 = b match {
+        case p: ProtocolOpBlock => p.asset2
+        case _ => None
+      },
+      asset2_secondary = b match {
+        case p: ProtocolOpBlock => p.asset2Secondary
+        case _ => None
+      },
       change_dns_record_data = b match {
         case p: ProtocolOpBlock => p.changeDns
         case _ => None
@@ -552,7 +643,7 @@ object Serializer {
       },
       coffee_staking_deposit_data = b match {
         case p: ProtocolOpBlock if p.btype == "coffee_staking_deposit" =>
-          Some(CoffeeStakingDepositData(p.mintedItem, None))
+          Some(CoffeeStakingDepositData(p.mintedItem, p.mintedItemIndex))
         case _ => None
       },
       // EVAA structs decode from the consumed success/satisfied leg
@@ -691,7 +782,8 @@ object Classifier {
   def classify(traceId: String, txs: Seq[TxLite],
       msgsByTx: Map[String, Seq[MsgLite]],
       interfaces: Map[String, String] = Map.empty,
-      jettonWallets: Map[String, String] = Map.empty): Seq[ActionRow] = {
+      jettonWallets: Map[String, String] = Map.empty,
+      nftItems: Map[String, NftItemInfo] = Map.empty): Seq[ActionRow] = {
     val allMsgs = msgsByTx.values.flatten.toSeq
     if (txs.size > BigTraceCutoff)
       return Seq(unknownAction(traceId, txs))
@@ -706,7 +798,7 @@ object Classifier {
       }
       val seeded = Seeder.seedTrace(forest)
       val rewritten = Matching.rewrite(seeded,
-        ProtocolMatchers.registryWith(interfaces, jettonWallets))
+        ProtocolMatchers.registryWith(interfaces, jettonWallets, nftItems))
       // trace post-processors (event_processing.py:304-307): DeDust
       // two-leg deposit merge; deploy unwinding is emitted as child
       // actions by the serializer itself

@@ -694,6 +694,279 @@ object TlbDecoders {
     }
   }
 
+  // ------------------------------------------------- coffee create pool
+
+  final case class CoffeePoolParams(
+      first: Option[String], second: Option[String], amm: String)
+
+  final case class CoffeeCreatePoolBody(
+      amount: Option[BigInt], params: CoffeePoolParams,
+      recipient: Option[String])
+
+  final case class CoffeeCreatePoolRequestBody(
+      queryId: BigInt, amount1: BigInt, amount2: BigInt,
+      txInitiator: Option[String])
+
+  final case class CoffeeDepositSuccessBody(
+      queryId: BigInt, amount1: BigInt, amount2: BigInt, lpAmount: BigInt)
+
+  /** swap.coffee Asset: native$00 | jetton$01 chain:u8 hash:u256 |
+    * extra$10 id:u32 (messages/coffee.py:10-30). Native serializes as
+    * null, like the reference's _addr(Asset with no jetton). */
+  def coffeeAsset(s: Boc.Slice): Option[String] = s.loadUint(2).toInt match {
+    case 0 => None
+    case 1 =>
+      val chain = s.loadUint(8).toInt
+      val hash = s.loadBytes(32).map(b => f"${b & 0xff}%02X").mkString
+      Some(s"$chain:$hash")
+    case 2 => s.loadUint(32); None
+    case other => throw new IllegalArgumentException(s"asset tag $other")
+  }
+
+  /** pool_params first:Asset second:Asset amm:u3 amm_settings:(Maybe ^)
+    * (messages/coffee.py:163-182). */
+  def coffeePoolParams(s: Boc.Slice): CoffeePoolParams = {
+    val first = coffeeAsset(s)
+    val second = coffeeAsset(s)
+    val amm = s.loadUint(3).toInt match {
+      case 0 => "constant_product"
+      case 1 => "curve_fi_stable"
+      case _ => "unknown"
+    }
+    if (s.loadBit()) s.loadRef() // amm_settings
+    CoffeePoolParams(first, second, amm)
+  }
+
+  private def coffeeCreationRecipient(s: Boc.Slice): Option[String] = {
+    val recipient = s.loadAddress()
+    s.loadBit() // use_recipient_on_failure
+    if (s.loadBit()) s.loadRef() // notification_data
+    recipient
+  }
+
+  /** create_pool_native#c0ffee02 qid:u64 amount:Coins params
+    * creation_params / create_pool_jetton#c0ffee11 params creation_params
+    * / create_pool_extra#c0ffee03 qid params creation_params
+    * (messages/coffee.py:426-472). */
+  def coffeeCreatePool(bodyB64: String): CoffeeCreatePoolBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    val op = s.loadUint(32).toLong
+    val amount = op match {
+      case 0xc0ffee02L => s.loadUint(64); Some(s.loadCoins())
+      case 0xc0ffee11L => None
+      case 0xc0ffee03L => s.loadUint(64); None
+      case other => throw new IllegalArgumentException(f"opcode 0x$other%08x")
+    }
+    val params = coffeePoolParams(s)
+    CoffeeCreatePoolBody(amount, params, coffeeCreationRecipient(s))
+  }
+
+  /** The forward_payload subtree of a jetton transfer body (Either Cell
+    * ^Cell) — the carrier for protocol payloads like
+    * create_pool_jetton#c0ffee11. */
+  def jettonTransferForwardPayload(bodyB64: String): Option[Boc.Cell] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x0f8a7ea5L)
+    s.loadUint(64); s.loadCoins(); s.loadAddress(); s.loadAddress()
+    if (s.loadBit()) s.loadRef() // custom_payload
+    s.loadCoins() // forward_ton_amount
+    if (s.loadBit()) Some(s.loadRef())
+    else { // inline: rebuild the remainder as a cell
+      val b = new Boc.Builder()
+      while (s.remainingBits > 0) b.storeBit(s.loadBit())
+      while (s.remainingRefs > 0) b.storeRef(s.loadRef())
+      val c = b.build()
+      if (c.bitLen == 0 && c.refs.isEmpty) None else Some(c)
+    }
+  }
+
+  /** create_pool_jetton decoded from the funding transfer's forward
+    * payload (CoffeeCreatePoolCreatorMatcher, blocks/liquidity.py:2086-2096). */
+  def coffeeCreatePoolFromTransfer(bodyB64: String): CoffeeCreatePoolBody = {
+    val payload = jettonTransferForwardPayload(bodyB64)
+      .getOrElse(throw new IllegalArgumentException("no forward payload"))
+    val s = payload.beginParse()
+    expectOpcode(s, 0xc0ffee11L)
+    val params = coffeePoolParams(s)
+    CoffeeCreatePoolBody(None, params, coffeeCreationRecipient(s))
+  }
+
+  /** create_pool_request#c0ffee25 qid:u64 amount1:Coins amount2:Coins
+    * tx_initiator:MsgAddress ^creation_params ^proof
+    * (messages/coffee.py:752-772). */
+  def coffeeCreatePoolRequest(bodyB64: String): CoffeeCreatePoolRequestBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee25L)
+    CoffeeCreatePoolRequestBody(s.loadUint(64), s.loadCoins(),
+      s.loadCoins(), s.loadAddress())
+  }
+
+  /** deposit_liquidity_successful_event#c0ffee33 qid:u64 amount1:Coins
+    * amount2:Coins lp_amount:Coins … (messages/coffee.py:520-540). */
+  def coffeeDepositSuccess(bodyB64: String): CoffeeDepositSuccessBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee33L)
+    CoffeeDepositSuccessBody(s.loadUint(64), s.loadCoins(), s.loadCoins(),
+      s.loadCoins())
+  }
+
+  // ------------------------------------------------------ coffee staking
+
+  final case class CoffeeStakingWithdraw2Body(
+      queryId: BigInt, nftId: BigInt, owner: Option[String],
+      points: BigInt, jettonWallet: Option[String], jettonAmount: BigInt)
+
+  /** staking_position_withdraw_2#cb03bfaf query_id:u64 nft_id:u64
+    * owner:MsgAddress points:Coins ^[wallet:MsgAddress amount:Coins]
+    * (messages/coffee.py:1109-1127). */
+  def coffeeStakingWithdraw2(bodyB64: String): CoffeeStakingWithdraw2Body = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xcb03bfafL)
+    val qid = s.loadUint(64)
+    val nftId = s.loadUint(64)
+    val owner = s.loadAddress()
+    val points = s.loadCoins()
+    val jd = s.loadRef().beginParse()
+    CoffeeStakingWithdraw2Body(qid, nftId, owner, points,
+      jd.loadAddress(), jd.loadCoins())
+  }
+
+  final case class CoffeeStakingWithdraw3Body(
+      queryId: BigInt, jettonWallet: Option[String], jettonAmount: BigInt,
+      owner: Option[String])
+
+  /** staking_position_withdraw_3#cb03bfaf query_id:u64
+    * jetton_wallet:MsgAddress jetton_amount:Coins owner:MsgAddress
+    * (messages/coffee.py:1130-1144). */
+  def coffeeStakingWithdraw3(bodyB64: String): CoffeeStakingWithdraw3Body = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xcb03bfafL)
+    CoffeeStakingWithdraw3Body(s.loadUint(64), s.loadAddress(),
+      s.loadCoins(), s.loadAddress())
+  }
+
+  // ----------------------------------------------------------- layerzero
+
+  final case class LzPath(
+      srcEid: Int, srcOapp: String, dstEid: Int, dstOapp: String)
+
+  final case class LzPacket(
+      path: LzPath, message: String, nonce: BigInt, guid: String)
+
+  final case class LzSendMd(
+      sendRequestId: BigInt, msglibManager: String, msglib: String,
+      packet: LzPacket, nativeFee: BigInt, zroFee: BigInt)
+
+  final case class LzVerifyStatus(nonce: BigInt, status: String)
+
+  // Cell-header constants from the protocol's FunC builders
+  // (messages/layerzero.py LayerZeroMDLzSend/LayerZeroPacket/
+  // LayerZeroPath/UlnConnectionVerifyCallbackParser).
+  private val LzSendName = BigInt("6c7a53656e64", 16) // "lzSend" big-endian
+  private val LzSendHeader = BigInt("582890735024998957421269964955452773563747974476099581")
+  private val LzPacketHeader = BigInt("417359019239977417716476838698419835")
+  private val LzPathHeader = BigInt("8903714975572488637007080065659")
+  private val LzVerifyHeader = BigInt("38421788582694199859296615363593851")
+
+  private def lzHex(v: BigInt): String = "0x" + v.toString(16)
+
+  /** The cell's data bits as '0x…' hex, zero-padded to a byte boundary
+    * (LayerZeroPacket.message — python bits.tobytes().hex()). */
+  private def cellBitsHex(c: Boc.Cell): String = {
+    val nBytes = (c.bitLen + 7) / 8
+    val bytes = java.util.Arrays.copyOf(c.data, nBytes)
+    val tail = c.bitLen & 7
+    if (tail != 0) // zero the completion bits beyond bitLen
+      bytes(nBytes - 1) = (bytes(nBytes - 1) & (0xff << (8 - tail))).toByte
+    "0x" + bytes.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** lz::Path: header(152) ones(198) srcEid:u32 srcOApp:u256 dstEid:u32
+    * dstOApp:u256 (messages/layerzero.py:186-203). */
+  def lzPath(c: Boc.Cell): LzPath = {
+    val s = c.beginParse()
+    require(s.loadUint(152) == LzPathHeader, "lz path header")
+    s.loadInt(198)
+    LzPath(s.loadUint(32).toInt, lzHex(s.loadUint(256)),
+      s.loadUint(32).toInt, lzHex(s.loadUint(256)))
+  }
+
+  /** lz::Packet: header(152) ones(198) ^path ^message nonce:u64 guid:u256
+    * (messages/layerzero.py:149-167). */
+  def lzPacket(c: Boc.Cell): LzPacket = {
+    val s = c.beginParse()
+    require(s.loadUint(152) == LzPacketHeader, "lz packet header")
+    s.loadInt(198)
+    val path = lzPath(s.loadRef())
+    val message = cellBitsHex(s.loadRef())
+    LzPacket(path, message, s.loadUint(64), lzHex(s.loadUint(256)))
+  }
+
+  /** md::LzSend: "lzSend":u80 header(180) ones(90) sendRequestId:u64
+    * msglibManager:u256 msglib:u256 ^packet ^extraOptions
+    * ^[connection:u256 nativeFee:u128 zroFee:u128 …]
+    * (messages/layerzero.py:86-117). */
+  def lzSendMd(c: Boc.Cell): LzSendMd = {
+    val s = c.beginParse()
+    require(s.loadUint(80) == LzSendName, "lzSend name")
+    require(s.loadUint(180) == LzSendHeader, "lzSend header")
+    s.loadInt(90)
+    val reqId = s.loadUint(64)
+    val manager = lzHex(s.loadUint(256))
+    val msglib = lzHex(s.loadUint(256))
+    val packet = lzPacket(s.loadRef())
+    s.loadRef() // extraOptions
+    val fees = s.loadRef().beginParse()
+    fees.loadUint(256) // msglibConnection
+    LzSendMd(reqId, manager, msglib, packet,
+      fees.loadUint(128), fees.loadUint(128))
+  }
+
+  /** Layerzero::OP::CHANNEL_SEND_CALLBACK a2b5fbae — the LzSend MD sits
+    * at ref path [0][0][0] of the body
+    * (messages/layerzero.py:592-610 LayerzeroChannelSendCallback). */
+  def lzChannelSendCallback(bodyB64: String): LzSendMd = {
+    val c = Boc.parseBase64(bodyB64)
+    expectOpcode(c.beginParse(), 0xa2b5fbaeL)
+    lzSendMd(c.refs(0).refs(0).refs(0))
+  }
+
+  /** Channel::OP::CHANNEL_COMMIT_PACKET 5388cd88 — extended-md ref whose
+    * first ref is the packet (messages/layerzero.py:383-390). */
+  def lzChannelCommitPacket(bodyB64: String): LzPacket = {
+    val c = Boc.parseBase64(bodyB64)
+    expectOpcode(c.beginParse(), 0x5388cd88L)
+    lzPacket(c.refs(0).refs(0))
+  }
+
+  /** Channel::OP::LZ_RECEIVE_EXECUTE_CALLBACK caae25a1 — packet at ref
+    * path [0][0] (messages/layerzero.py:1377-1383). */
+  def lzOappExecuteCallback(bodyB64: String): LzPacket = {
+    val c = Boc.parseBase64(bodyB64)
+    expectOpcode(c.beginParse(), 0xcaae25a1L)
+    lzPacket(c.refs(0).refs(0))
+  }
+
+  /** UltraLightNode::OP::ULN_CONNECTION_VERIFY_CALLBACK 3cb38090 —
+    * md::MdObj ref0 = md::VerificationStatus(header(116) ones(234)
+    * nonce:u64 status:u32), status code → label
+    * (messages/layerzero.py:925-960). */
+  def lzVerifyCallback(bodyB64: String): LzVerifyStatus = {
+    val c = Boc.parseBase64(bodyB64)
+    expectOpcode(c.beginParse(), 0x3cb38090L)
+    val vs = c.refs(0).refs(0).beginParse()
+    require(vs.loadUint(116) == LzVerifyHeader, "verify status header")
+    vs.loadInt(234)
+    val nonce = vs.loadUint(64)
+    val status = vs.loadUint(32).toLong match {
+      case 0x3bbc306bL => "succeeded"
+      case 0x7fcbb4acL => "nonce_out_of_range"
+      case 0x29c53fabL => "dvn_not_configured"
+      case other => s"unknown_$other"
+    }
+    LzVerifyStatus(nonce, status)
+  }
+
   /** Register decode UDFs (null on malformed input — decoders must never
     * kill a query; reference wraps the same way). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

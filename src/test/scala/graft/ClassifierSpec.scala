@@ -663,23 +663,30 @@ class ClassifierSpec extends SparkSpec {
       Opcodes.CoffeeDepositLiquiditySuccess)
     assert(Classifier.classify("cf2", dtxs, dmsgs).map(_.`type`) ==
       Seq("dex_deposit_liquidity"))
+    // a bare create_pool_native without the creator-request/deploy chain
+    // is NOT a pool creation (the reference's creator matcher requires
+    // the full chain, blocks/liquidity.py:2055-2124)
     val pool = Classifier.classify("cf3",
       Seq(tx("T1", "0:FACTORY", 10)),
       Map("T1" -> Seq(in("m1", "0:CREATOR", "0:FACTORY",
         Some(Opcodes.CoffeeCreatePoolNative)))))
-    assert(pool.map(_.`type`) == Seq("coffee_create_pool"))
+    assert(!pool.exists(_.`type`.startsWith("coffee_create_pool")))
   }
 
-  test("layerzero endpoint send and channel commit classify") {
+  test("bare layerzero heads without their chains fall back to call_contract") {
+    // the reference's send matcher requires the full channel→msglib→uln
+    // →callback chain (blocks/layerzero.py:173-220); a lone endpoint
+    // send is NOT a layerzero_send (build_block returns [])
     val (stxs, smsgs) = chain2(Opcodes.LayerZeroEndpointSend,
       Opcodes.LayerZeroEventMsg)
-    assert(Classifier.classify("lz1", stxs, smsgs).map(_.`type`) ==
-      Seq("layerzero_send"))
+    assert(!Classifier.classify("lz1", stxs, smsgs)
+      .exists(_.`type`.startsWith("layerzero")))
+    // likewise a lone channel commit (head is the ULN commit :459-461)
     val commit = Classifier.classify("lz2",
       Seq(tx("T1", "0:CHANNEL", 10)),
       Map("T1" -> Seq(in("m1", "0:DVN", "0:CHANNEL",
         Some(Opcodes.LayerZeroChannelCommitPacket)))))
-    assert(commit.map(_.`type`) == Seq("layerzero_commit_packet"))
+    assert(!commit.exists(_.`type`.startsWith("layerzero")))
   }
 
   test("ethena withdrawal request matches via labeled child captures") {
@@ -742,11 +749,17 @@ class ClassifierSpec extends SparkSpec {
         out("m2", "0:MINTER", "0:NEWNFT", Some(1L))),
       "T2" -> Seq(in("m2", "0:MINTER", "0:NEWNFT", Some(1L))))
     val withIfaces = Classifier.classify("mint1", txs, msgs,
-      interfaces = Map("0:NEWNFT" -> "nft_item"))
+      interfaces = Map("0:NEWNFT" -> "nft_item"),
+      nftItems = Map("0:NEWNFT" -> NftItemInfo(Some("42"), Some("0:COLL"))))
     assert(withIfaces.exists(_.`type` == "nft_mint"),
       s"expected nft_mint in ${withIfaces.map(_.`type`)}")
     val mint = withIfaces.find(_.`type` == "nft_mint").get
     assert(mint.destination.contains("0:NEWNFT"))
+    // index + collection resolve through the nft_items dim
+    // (_fill_nft_mint_action serializer:267-277)
+    assert(mint.nft_mint_data.get.nft_item_index.contains("42"))
+    assert(mint.asset.contains("0:COLL"))
+    assert(mint.asset_secondary.contains("0:NEWNFT"))
     // without interface data the deploy stays a plain contract_deploy
     val without = Classifier.classify("mint2", txs, msgs)
     assert(!without.exists(_.`type` == "nft_mint"))

@@ -403,6 +403,329 @@ class DetailStructsSpec extends SparkSpec {
     assert(a.jetton_swap_data.get.dex == "stonfi")
   }
 
+  test("coffee create pool: two-stage creator + request/deploy/success") {
+    val jettonHash = "1A" * 32
+    val user2 = "0:" + "2B" * 32
+    val rcpt = "0:" + "3C" * 32
+    // pool_params: first=native, second=jetton; amm constant_product
+    def storeParams(b: Boc.Builder): Boc.Builder = b
+      .storeUint(BigInt(0), 2) // native$00
+      .storeUint(BigInt(1), 2).storeUint(BigInt(0), 8) // jetton$01 wc 0
+      .storeBytes(jettonHash.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+      .storeUint(BigInt(0), 3) // constant_product
+      .storeBit(false) // no amm_settings
+    val nativeBody = Boc.serializeBase64 {
+      val b = new Boc.Builder()
+        .storeUint(BigInt(0xc0ffee02L), 32)
+        .storeUint(BigInt(1), 64)
+        .storeCoins(BigInt(111))
+      storeParams(b)
+        .storeAddress(Some(rcpt)) // creation_params.public.recipient
+        .storeBit(false).storeBit(false) // use_on_failure, no notification
+        .build()
+    }
+    val reqBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee25L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(111)).storeCoins(BigInt(222))
+      .storeAddress(Some(user2))
+      .storeRef(Boc.Cell.empty).storeRef(Boc.Cell.empty)
+      .build())
+    val successBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee33L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(111)).storeCoins(BigInt(222))
+      .storeCoins(BigInt(777)) // lp minted
+      .build())
+    val txs = Seq(tx("T1", "0:FAC", 10), tx("T2", "0:CRM", 20),
+      tx("T3", "0:CRC", 30), tx("T4", "0:PM", 40), tx("T5", "0:POOL", 50),
+      tx("T6", "0:EVT", 60))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:USER", "0:FAC", Some(Opcodes.CoffeeCreatePoolNative),
+          body = Some(nativeBody)),
+        out("m2", "0:FAC", "0:CRM", Some(Opcodes.CoffeeCreatePoolCreator))),
+      "T2" -> Seq(in("m2", "0:FAC", "0:CRM",
+          Some(Opcodes.CoffeeCreatePoolCreator)),
+        out("m3", "0:CRM", "0:CRC", Some(Opcodes.CoffeeDeploy))),
+      "T3" -> Seq(in("m3", "0:CRM", "0:CRC", Some(Opcodes.CoffeeDeploy)),
+        out("m4", "0:CRC", "0:PM", Some(Opcodes.CoffeeCreatePoolRequest),
+          body = Some(reqBody))),
+      "T4" -> Seq(in("m4", "0:CRC", "0:PM",
+          Some(Opcodes.CoffeeCreatePoolRequest), body = Some(reqBody)),
+        out("m5", "0:PM", "0:POOL", Some(Opcodes.CoffeeDeploy))),
+      "T5" -> Seq(in("m5", "0:PM", "0:POOL", Some(Opcodes.CoffeeDeploy)),
+        out("m6", "0:POOL", "0:EVT",
+          Some(Opcodes.CoffeeDepositLiquiditySuccess),
+          body = Some(successBody))),
+      "T6" -> Seq(in("m6", "0:POOL", "0:EVT",
+        Some(Opcodes.CoffeeDepositLiquiditySuccess),
+        body = Some(successBody))))
+    val acts = Classifier.classify("ccp", txs, msgs)
+    val a = acts.find(_.`type` == "coffee_create_pool").get
+    val d = a.coffee_create_pool_data.get
+    assert(d.amount_1.contains(BigDecimal(111)))
+    assert(d.amount_2.contains(BigDecimal(222)))
+    assert(d.initiator_1.contains("0:USER"))
+    assert(d.initiator_2.contains(user2))
+    assert(d.provided_asset.isEmpty) // native TON serializes as null
+    assert(d.lp_tokens_minted.contains(BigDecimal(777)))
+    assert(a.destination.contains("0:POOL"))
+    assert(a.destination_secondary.contains("0:CRC"))
+    assert(a.asset2.contains("0:" + jettonHash)) // the pool's second asset
+    assert(!acts.exists(_.`type` == "coffee_create_pool_creator"))
+  }
+
+  test("coffee staking withdraw decodes nft/points from withdraw_2") {
+    val owner = "0:" + "0E" * 32
+    val poolJw = "0:" + "0F" * 32
+    val w2Body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xcb03bfafL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeUint(BigInt(77), 64) // nft_id
+      .storeAddress(Some(owner))
+      .storeCoins(BigInt(1234)) // points
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some(poolJw)).storeCoins(BigInt(5000)).build())
+      .build())
+    val w3Body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xcb03bfafL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(poolJw))
+      .storeCoins(BigInt(5000))
+      .storeAddress(Some(owner))
+      .build())
+    val jtBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(5000))
+      .storeAddress(Some(owner))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(0))
+      .storeBit(false)
+      .build())
+    val txs = Seq(tx("T1", "0:NFT", 10), tx("T2", "0:MASTER", 20),
+      tx("T3", "0:C", 30), tx("T4", "0:JW", 40), tx("T5", "0:UJW", 50))
+    val op = Some(Opcodes.CoffeeStakingWithdraw)
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:USER", "0:NFT", op),
+        out("m2", "0:NFT", "0:MASTER", op, body = Some(w2Body))),
+      "T2" -> Seq(in("m2", "0:NFT", "0:MASTER", op, body = Some(w2Body)),
+        out("m3", "0:MASTER", "0:C", op, body = Some(w3Body))),
+      "T3" -> Seq(in("m3", "0:MASTER", "0:C", op, body = Some(w3Body)),
+        out("m4", "0:C", "0:JW", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody))),
+      "T4" -> Seq(in("m4", "0:C", "0:JW", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody)),
+        out("m5", "0:JW", "0:UJW", Some(Opcodes.JettonInternalTransfer))),
+      "T5" -> Seq(in("m5", "0:JW", "0:UJW",
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("csw", txs, msgs)
+      .find(_.`type` == "coffee_staking_withdraw").get
+    val d = a.coffee_staking_withdraw_data.get
+    assert(d.nft_address.contains("0:NFT"))
+    assert(d.nft_index.contains("77"))
+    assert(d.points.contains(BigDecimal(1234)))
+    assert(a.source.contains(owner))
+    assert(a.destination.contains("0:NFT")) // withdraw_2 msg source
+    assert(a.value.contains(BigDecimal(5000)))
+    assert(a.destination_secondary.contains(poolJw))
+  }
+
+  // ---------------------------------------------------------- layerzero
+  // Cell fixtures mirror the protocol's FunC builders
+  // (messages/layerzero.py:86-203,925-960)
+
+  private def ones(b: Boc.Builder, n: Int): Boc.Builder =
+    b.storeUint((BigInt(1) << n) - 1, n)
+
+  private val lzSrcOapp = BigInt("12" * 32, 16)
+  private val lzDstOapp = BigInt("0b" * 32, 16)
+  private val lzGuid = BigInt("cd" * 32, 16)
+
+  private def lzPathCell: Boc.Cell =
+    ones(new Boc.Builder()
+      .storeUint(BigInt("8903714975572488637007080065659"), 152), 198)
+      .storeUint(BigInt(30343), 32).storeUint(lzSrcOapp, 256)
+      .storeUint(BigInt(30102), 32).storeUint(lzDstOapp, 256)
+      .build()
+
+  private def lzPacketCell: Boc.Cell =
+    ones(new Boc.Builder()
+      .storeUint(BigInt("417359019239977417716476838698419835"), 152), 198)
+      .storeRef(lzPathCell)
+      .storeRef(new Boc.Builder()
+        .storeBytes(Array(0xde, 0xad, 0xbe, 0xef).map(_.toByte)).build())
+      .storeUint(BigInt(99), 64).storeUint(lzGuid, 256)
+      .build()
+
+  private def lzSendMdCell: Boc.Cell =
+    ones(new Boc.Builder()
+      .storeUint(BigInt("6c7a53656e64", 16), 80)
+      .storeUint(BigInt("582890735024998957421269964955452773563747974476099581"), 180), 90)
+      .storeUint(BigInt(7), 64)                 // sendRequestId
+      .storeUint(BigInt("ab" * 32, 16), 256)    // msglibManager
+      .storeUint(BigInt("ef" * 32, 16), 256)    // msglib
+      .storeRef(lzPacketCell)
+      .storeRef(Boc.Cell.empty)                 // extraOptions
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 256)              // msglibConnection
+        .storeUint(BigInt(1000), 128).storeUint(BigInt(5), 128)
+        .build())
+      .build()
+
+  test("layerzero send decodes the LzSend MD through the full chain") {
+    val cbBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa2b5fbaeL), 32)
+      .storeRef(new Boc.Builder().storeRef(
+        new Boc.Builder().storeRef(lzSendMdCell).build()).build())
+      .build())
+    val txs = Seq(tx("T1", "0:EP", 10), tx("T2", "0:CH", 20),
+      tx("T3", "0:MLC", 30), tx("T4", "0:ULN", 40),
+      tx("T5", "0:CH", 50), tx("T6", "0:OAPP", 60))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OAPP", "0:EP", Some(Opcodes.LayerZeroEndpointSend)),
+        out("m2", "0:EP", "0:CH", Some(Opcodes.LayerZeroChannelSend))),
+      "T2" -> Seq(in("m2", "0:EP", "0:CH", Some(Opcodes.LayerZeroChannelSend)),
+        out("m3", "0:CH", "0:MLC", Some(Opcodes.LayerZeroMsglibConnectionSend))),
+      "T3" -> Seq(in("m3", "0:CH", "0:MLC", Some(Opcodes.LayerZeroMsglibConnectionSend)),
+        out("m4", "0:MLC", "0:ULN", Some(Opcodes.LayerZeroUlnSend))),
+      "T4" -> Seq(in("m4", "0:MLC", "0:ULN", Some(Opcodes.LayerZeroUlnSend)),
+        out("m5", "0:ULN", "0:CH", Some(Opcodes.LayerZeroMsglibSendCallback))),
+      "T5" -> Seq(in("m5", "0:ULN", "0:CH", Some(Opcodes.LayerZeroMsglibSendCallback)),
+        out("m6", "0:CH", "0:OAPP", Some(Opcodes.LayerZeroChannelSendCallback),
+          body = Some(cbBody))),
+      "T6" -> Seq(in("m6", "0:CH", "0:OAPP",
+        Some(Opcodes.LayerZeroChannelSendCallback), body = Some(cbBody))))
+    val acts = Classifier.classify("lzs", txs, msgs)
+    val a = acts.find(_.`type` == "layerzero_send").get
+    val sd = a.layerzero_send_data.get
+    assert(sd.send_request_id.contains(BigDecimal(7)))
+    assert(sd.msglib_manager.contains("0x" + "ab" * 32))
+    assert(sd.msglib.contains("0x" + "ef" * 32))
+    assert(sd.uln.contains("0:ULN"))
+    assert(sd.native_fee.contains(BigDecimal(1000)))
+    assert(sd.zro_fee.contains(BigDecimal(5)))
+    assert(sd.endpoint.contains("0:EP"))
+    assert(sd.channel.contains("0:CH"))
+    val pd = a.layerzero_packet_data.get
+    assert(pd.src_eid.contains(30343) && pd.dst_eid.contains(30102))
+    assert(pd.src_oapp.contains("0x" + "12" * 32))
+    // hex() drops leading zeros, like the reference's hex(uint256)
+    assert(pd.dst_oapp.contains("0x" + lzDstOapp.toString(16)))
+    assert(pd.nonce.contains(BigDecimal(99)))
+    assert(pd.guid.contains("0x" + "cd" * 32))
+    assert(pd.message.contains("0xdeadbeef"))
+    assert(a.source.contains("0:OAPP") && a.destination.isEmpty)
+    // the whole chain collapses into the one action
+    assert(acts.count(_.`type` == "call_contract") == 0)
+  }
+
+  test("layerzero commit packet decodes the packet from the channel body") {
+    val commitBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5388cd88L), 32)
+      .storeRef(new Boc.Builder().storeRef(lzPacketCell).build())
+      .build())
+    val txs = Seq(tx("T1", "0:ULN", 10), tx("T2", "0:UC", 20),
+      tx("T3", "0:EP", 30), tx("T4", "0:CH", 40), tx("T5", "0:MLC", 50))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:EXEC", "0:ULN", Some(Opcodes.LayerZeroUlnCommitPacket)),
+        out("m2", "0:ULN", "0:UC", Some(Opcodes.LayerZeroUlnConnectionCommitPacket))),
+      "T2" -> Seq(in("m2", "0:ULN", "0:UC", Some(Opcodes.LayerZeroUlnConnectionCommitPacket)),
+        out("m3", "0:UC", "0:EP", Some(Opcodes.LayerZeroEndpointCommitPacket))),
+      "T3" -> Seq(in("m3", "0:UC", "0:EP", Some(Opcodes.LayerZeroEndpointCommitPacket)),
+        out("m4", "0:EP", "0:CH", Some(Opcodes.LayerZeroChannelCommitPacket),
+          body = Some(commitBody))),
+      "T4" -> Seq(in("m4", "0:EP", "0:CH", Some(Opcodes.LayerZeroChannelCommitPacket),
+          body = Some(commitBody)),
+        out("m5", "0:CH", "0:MLC", Some(Opcodes.LayerZeroMsglibCommitCallback))),
+      "T5" -> Seq(in("m5", "0:CH", "0:MLC",
+        Some(Opcodes.LayerZeroMsglibCommitCallback))))
+    val a = Classifier.classify("lzc", txs, msgs)
+      .find(_.`type` == "layerzero_commit_packet").get
+    assert(a.source.contains("0:EXEC"))
+    assert(a.destination.contains("0:UC"))
+    assert(a.source_secondary.contains("0:EP"))
+    assert(a.destination_secondary.contains("0:UC"))
+    assert(a.asset.contains("0:CH"))
+    assert(a.asset_secondary.contains("0:MLC"))
+    assert(a.layerzero_packet_data.get.nonce.contains(BigDecimal(99)))
+    assert(a.layerzero_packet_data.get.message.contains("0xdeadbeef"))
+  }
+
+  test("layerzero receive requires the executing oapp to match dst_oapp") {
+    val execBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xcaae25a1L), 32)
+      .storeRef(new Boc.Builder().storeRef(lzPacketCell).build())
+      .build())
+    val oapp = "0:" + "0B" * 32 // == packet dst_oapp
+    def fixture(dest: String) = {
+      val txs = Seq(tx("T1", "0:CH", 10), tx("T2", dest, 20),
+        tx("T3", "0:CH", 30), tx("T4", "0:CH", 40), tx("T5", dest, 50))
+      val msgs = Map(
+        "T1" -> Seq(in("m1", "0:EXEC", "0:CH", Some(Opcodes.LayerZeroChannelLzReceivePrepare)),
+          out("m2", "0:CH", dest, Some(Opcodes.LayerZeroLzReceivePrepare))),
+        "T2" -> Seq(in("m2", "0:CH", dest, Some(Opcodes.LayerZeroLzReceivePrepare)),
+          out("m3", dest, "0:CH", Some(Opcodes.LayerZeroChannelLzReceiveLock))),
+        "T3" -> Seq(in("m3", dest, "0:CH", Some(Opcodes.LayerZeroChannelLzReceiveLock)),
+          out("m4", "0:CH", "0:CH", Some(Opcodes.LayerZeroLzReceiveExecute))),
+        "T4" -> Seq(in("m4", "0:CH", "0:CH", Some(Opcodes.LayerZeroLzReceiveExecute)),
+          out("m5", "0:CH", dest, Some(Opcodes.LayerZeroOappExecuteCallback),
+            body = Some(execBody))),
+        "T5" -> Seq(in("m5", "0:CH", dest,
+          Some(Opcodes.LayerZeroOappExecuteCallback), body = Some(execBody))))
+      (txs, msgs)
+    }
+    val (txs, msgs) = fixture(oapp)
+    val a = Classifier.classify("lzr", txs, msgs)
+      .find(_.`type` == "layerzero_receive").get
+    assert(a.destination.contains(oapp))
+    assert(a.destination_secondary.contains("0:CH"))
+    assert(a.layerzero_packet_data.get.guid.contains("0x" + "cd" * 32))
+    // wrong executing OApp ⇒ no receive action (reference guard :399-401)
+    val (wtxs, wmsgs) = fixture("0:" + "0C" * 32)
+    assert(!Classifier.classify("lzr2", wtxs, wmsgs)
+      .exists(_.`type` == "layerzero_receive"))
+  }
+
+  test("layerzero dvn verify decodes nonce and status from the callback") {
+    val verifyBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x3cb38090L), 32)
+      .storeRef(new Boc.Builder().storeRef(
+        ones(new Boc.Builder()
+          .storeUint(BigInt("38421788582694199859296615363593851"), 116), 234)
+          .storeUint(BigInt(42), 64).storeUint(BigInt(0x3bbc306bL), 32)
+          .build()).build())
+      .build())
+    val txs = Seq(tx("T1", "0:DVN", 10), tx("T2", "0:PRX", 20),
+      tx("T3", "0:ULN", 30), tx("T4", "0:UC", 40), tx("T5", "0:ULN", 50))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", "0:ADMIN", "0:DVN", Some(Opcodes.LayerZeroDvnVerify)),
+        out("m2", "0:DVN", "0:PRX", Some(Opcodes.LayerZeroProxyCall))),
+      "T2" -> Seq(in("m2", "0:DVN", "0:PRX", Some(Opcodes.LayerZeroProxyCall)),
+        out("m3", "0:PRX", "0:ULN", Some(Opcodes.LayerZeroUlnVerify))),
+      "T3" -> Seq(in("m3", "0:PRX", "0:ULN", Some(Opcodes.LayerZeroUlnVerify)),
+        out("m4", "0:ULN", "0:UC", Some(Opcodes.LayerZeroUlnConnectionVerify))),
+      "T4" -> Seq(in("m4", "0:ULN", "0:UC", Some(Opcodes.LayerZeroUlnConnectionVerify)),
+        out("m5", "0:UC", "0:ULN", Some(Opcodes.LayerZeroUlnVerifyCallback),
+          body = Some(verifyBody))),
+      "T5" -> Seq(in("m5", "0:UC", "0:ULN",
+        Some(Opcodes.LayerZeroUlnVerifyCallback), body = Some(verifyBody))))
+    val a = Classifier.classify("lzv", txs, msgs)
+      .find(_.`type` == "layerzero_dvn_verify").get
+    val d = a.layerzero_dvn_verify_data.get
+    assert(d.nonce.contains(BigDecimal(42)))
+    assert(d.status.contains("succeeded"))
+    assert(d.dvn.contains("0:DVN"))
+    assert(d.proxy.contains("0:PRX"))
+    assert(d.uln.contains("0:ULN"))
+    assert(d.uln_connection.contains("0:UC"))
+    assert(a.source.contains("0:ADMIN"))
+  }
+
   test("tonco deploy pool decodes the init body's pool parameters") {
     val m0 = "0:" + "0A" * 32
     val m1 = "0:" + "0B" * 32
