@@ -231,7 +231,8 @@ object ChainSim {
   private def protocolSim(spark: SparkSession, dir: String,
       opcodeOf: Column,
       bodyOf: Column = lit(null).cast("string")): (DataFrame, DataFrame) = {
-    val ev = chainedEvents(spark, dir)
+    val ev = chainedEvents(spark, dir).withColumn("pos",
+      row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
     val txs = ev.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
       col("acct").as("account"),
@@ -1180,6 +1181,92 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
+  /** b18 opcode mapping — the LayerZero DVN-verify chain laid out by
+    * CHAIN POSITION: every complete run of five consecutive events forms
+    * exactly one dvn → proxy → uln → uln-connection → verify-callback
+    * match (the matcher's findCall order on a linear chain), so the
+    * expected actions are floor(len/5) per chain purely by construction
+    * and the trailing partial block never classifies. */
+  private def b18Slot: Column = (col("pos") - 1) % 5
+  private def b18Opcodes: Column =
+    when(b18Slot === 0, lit(graft.classifier.Opcodes.LayerZeroDvnVerify))
+      .when(b18Slot === 1, lit(graft.classifier.Opcodes.LayerZeroProxyCall))
+      .when(b18Slot === 2, lit(graft.classifier.Opcodes.LayerZeroUlnVerify))
+      .when(b18Slot === 3,
+        lit(graft.classifier.Opcodes.LayerZeroUlnConnectionVerify))
+      .otherwise(lit(graft.classifier.Opcodes.LayerZeroUlnVerifyCallback))
+
+  private val b18BodyUdf = udf { (slot: Int, eventId: Long, userId: Long) =>
+    if (slot != 4) null
+    else {
+      import graft.functions.Boc
+      // md::VerificationStatus(nonce, status) wrapped in md::MdObj
+      // (messages/layerzero.py:925-960)
+      val code = (userId % 4) match {
+        case 0 => 0x3bbc306bL // succeeded
+        case 1 => 0x7fcbb4acL // nonce_out_of_range
+        case 2 => 0x29c53fabL // dvn_not_configured
+        case _ => 99L
+      }
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0x3cb38090L), 32)
+        .storeRef(new Boc.Builder().storeRef(new Boc.Builder()
+          .storeUint(BigInt("38421788582694199859296615363593851"), 116)
+          .storeUint((BigInt(1) << 234) - 1, 234)
+          .storeUint(BigInt(eventId), 64)
+          .storeUint(BigInt(code), 32)
+          .build()).build())
+        .build())
+    }
+  }
+  private def b18Bodies: Column =
+    b18BodyUdf(b18Slot.cast("int"), col("event_id").cast("long"),
+      col("user_id").cast("long"))
+
+  /** LayerZero dvn-verify details through the full pipeline: the
+    * callback's nonce/status plus the four chain addresses, one action
+    * per complete 5-node block. */
+  val b18 = Q("b18_layerzero_dvn",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |), agg AS (
+      |  SELECT user_id, fid, (rn - 1) // 5 AS blk, count(*) AS n,
+      |    min(event_id) AS start_lt, max(event_id) AS end_lt,
+      |    min(rn) AS rn_head
+      |  FROM ordered GROUP BY 1, 2, 3
+      |)
+      |SELECT concat('T', fid) AS trace_id, start_lt, end_lt,
+      |  cast(end_lt AS bigint) AS nonce,
+      |  CASE user_id % 4 WHEN 0 THEN 'succeeded'
+      |    WHEN 1 THEN 'nonce_out_of_range'
+      |    WHEN 2 THEN 'dvn_not_configured'
+      |    ELSE 'unknown_99' END AS status,
+      |  concat('0:', user_id) AS dvn,
+      |  concat('0:', user_id) AS proxy,
+      |  concat('0:', user_id) AS uln,
+      |  concat('0:', user_id) AS uln_connection,
+      |  CASE WHEN rn_head = 1 THEN NULL
+      |    ELSE concat('0:', user_id) END AS source
+      |FROM agg WHERE n = 5
+      |ORDER BY start_lt""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b18", b18Opcodes, b18Bodies,
+      keep = Seq("layerzero_dvn_verify_data"))
+      .filter(col("type") === "layerzero_dvn_verify")
+      .select(col("trace_id"), col("start_lt"), col("end_lt"),
+        col("layerzero_dvn_verify_data.nonce").cast("long").as("nonce"),
+        col("layerzero_dvn_verify_data.status").as("status"),
+        col("layerzero_dvn_verify_data.dvn").as("dvn"),
+        col("layerzero_dvn_verify_data.proxy").as("proxy"),
+        col("layerzero_dvn_verify_data.uln").as("uln"),
+        col("layerzero_dvn_verify_data.uln_connection").as("uln_connection"),
+        col("source"))
+      .orderBy("start_lt")
+  }
+
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16, b17)
+    b16, b17, b18)
 }
