@@ -752,9 +752,11 @@ object Serializer {
       response_destination = j.decoded.flatMap(_.responseDestination),
       forward_amount = j.decoded.map(d => BigDecimal(d.forwardTonAmount)),
       query_id = j.decoded.map(_.queryId.toString),
-      custom_payload = None, forward_payload = None,
+      custom_payload = j.decoded.flatMap(_.customPayload),
+      forward_payload = j.decoded.flatMap(_.forwardPayload),
       comment = j.comment,
-      is_encrypted_comment = j.comment.map(_ => false))
+      is_encrypted_comment = j.decoded.map(_.encryptedComment)
+        .orElse(j.comment.map(_ => false)))
 
   private def dexTransfer(j: JettonTransferBlock): DexTransferData =
     DexTransferData(Some(j.amount), asset = Some(j.senderWallet),

@@ -80,19 +80,20 @@ object Boc {
       }
     }
 
-    /** Snake-format string: rest of this cell's bits, then first-ref chain. */
-    def loadSnakeString(): String = {
-      val sb = new java.lang.StringBuilder
+    /** Snake-format bytes: rest of this cell's bits, then first-ref chain. */
+    def loadSnakeBytes(): Array[Byte] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Byte]()
       var cur: Slice = this
       var continue = true
       while (continue) {
-        val nBytes = cur.remainingBits / 8
-        sb.append(new String(cur.loadBytes(nBytes), "UTF-8"))
+        buf ++= cur.loadBytes(cur.remainingBits / 8)
         if (cur.remainingRefs > 0) cur = cur.loadRef().beginParse()
         else continue = false
       }
-      sb.toString
+      buf.toArray
     }
+
+    def loadSnakeString(): String = new String(loadSnakeBytes(), "UTF-8")
   }
 
   /** Mutable builder for fixture cells. */

@@ -12,7 +12,12 @@ object TlbDecoders {
   final case class JettonTransferBody(
       queryId: BigInt, amount: BigInt, destination: Option[String],
       responseDestination: Option[String], hasCustomPayload: Boolean,
-      forwardTonAmount: BigInt, comment: Option[String])
+      forwardTonAmount: BigInt, comment: Option[String],
+      // raw payload cells as base64 BOCs + the encrypted-comment flag
+      // (jetton_transfer_details columns; blocks/jettons.py:88-97)
+      customPayload: Option[String] = None,
+      forwardPayload: Option[String] = None,
+      encryptedComment: Boolean = false)
 
   final case class JettonInternalTransferBody(
       queryId: BigInt, amount: BigInt, from: Option[String],
@@ -66,15 +71,38 @@ object TlbDecoders {
     val dest = s.loadAddress()
     val resp = s.loadAddress()
     val hasCustom = s.loadBit()
-    if (hasCustom) s.loadRef()
+    val custom = if (hasCustom) Some(Boc.serializeBase64(s.loadRef())) else None
     val fwd = s.loadCoins()
-    val payloadInRef = s.loadBit()
-    val payload = if (payloadInRef) s.loadRef().beginParse() else s
-    val comment =
-      if (payload.remainingBits >= 32 && payload.loadUint(32) == 0)
-        Some(payload.loadSnakeString())
-      else None
-    JettonTransferBody(queryId, amount, dest, resp, hasCustom, fwd, comment)
+    // Either Cell ^Cell — keep the raw payload cell (serialized like the
+    // reference, messages/jettons.py:36-46) AND sniff the comment ops
+    val payloadCell: Option[Boc.Cell] =
+      if (s.remainingBits == 0) None
+      else if (s.loadBit()) Some(s.loadRef())
+      else {
+        val b = new Boc.Builder()
+        while (s.remainingBits > 0) b.storeBit(s.loadBit())
+        while (s.remainingRefs > 0) b.storeRef(s.loadRef())
+        Some(b.build())
+      }
+    // an empty payload slice is no payload (jettons.py:42-43)
+    val present = payloadCell.filter(_.bitLen > 0)
+    var comment: Option[String] = None
+    var encrypted = false
+    present.foreach { c =>
+      val ps = c.beginParse()
+      if (ps.remainingBits >= 32) ps.loadUint(32).toLong match {
+        case 0L => comment = Some(ps.loadSnakeString())
+        case 0x2167da4bL => // encrypted comment stays base64 bytes
+          comment = Some(java.util.Base64.getEncoder
+            .encodeToString(ps.loadSnakeBytes()))
+          encrypted = true
+        case _ =>
+      }
+    }
+    JettonTransferBody(queryId, amount, dest, resp, hasCustom, fwd, comment,
+      customPayload = custom,
+      forwardPayload = present.map(Boc.serializeBase64),
+      encryptedComment = encrypted)
   }
 
   /** internal_transfer#178d4519 query_id:uint64 amount:(VarUInteger 16)

@@ -403,6 +403,48 @@ class DetailStructsSpec extends SparkSpec {
     assert(a.jetton_swap_data.get.dex == "stonfi")
   }
 
+  test("jetton transfer payload cells serialize; encrypted comment stays base64") {
+    import graft.functions.TlbDecoders
+    val payload = new Boc.Builder()
+      .storeUint(BigInt(0x2167da4bL), 32)
+      .storeBytes(Array[Byte](1, 2, 3)).build()
+    val custom = new Boc.Builder().storeUint(BigInt(7), 8).build()
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(100))
+      .storeAddress(Some("0:" + "0D" * 32))
+      .storeAddress(None)
+      .storeBit(true).storeRef(custom)
+      .storeCoins(BigInt(0))
+      .storeBit(true).storeRef(payload)
+      .build())
+    val d = TlbDecoders.jettonTransfer(body)
+    // payload cells round-trip as base64 BOCs (blocks/jettons.py:88-97)
+    assert(d.customPayload.contains(Boc.serializeBase64(custom)))
+    assert(d.forwardPayload.contains(Boc.serializeBase64(payload)))
+    // encrypted comment: base64 of the snake bytes, flag set
+    assert(d.encryptedComment)
+    assert(d.comment.contains(java.util.Base64.getEncoder
+      .encodeToString(Array[Byte](1, 2, 3))))
+    // plain comment still decodes as text with the flag down
+    val plain = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(100))
+      .storeAddress(Some("0:" + "0D" * 32))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(0))
+      .storeBit(false)
+      .storeUint(BigInt(0), 32)
+      .storeBytes("hi".getBytes("UTF-8"))
+      .build())
+    val p = TlbDecoders.jettonTransfer(plain)
+    assert(p.comment.contains("hi") && !p.encryptedComment)
+    assert(p.forwardPayload.nonEmpty && p.customPayload.isEmpty)
+  }
+
   test("coffee create pool: two-stage creator + request/deploy/success") {
     val jettonHash = "1A" * 32
     val user2 = "0:" + "2B" * 32
