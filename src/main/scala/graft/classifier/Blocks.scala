@@ -99,7 +99,10 @@ case class NftTransferBlock(
     // fragment/marketplace purchase detail (TelegramNftPurchase path)
     isPurchase: Option[Boolean] = None,
     price: Option[BigDecimal] = None,
-    marketplace: Option[String] = None)
+    marketplace: Option[String] = None,
+    // nft_items-dim payloads (index + collection, blocks/nft.py:54-75)
+    itemIndex: Option[String] = None,
+    collection: Option[String] = None)
   extends Block {
   val btype = "nft_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

@@ -319,7 +319,8 @@ object ProtocolMatchers {
 
   /** NFT transfer: 0x5fcc3d14 → optional ownership_assigned 0x05138d91,
     * optional excesses. */
-  object NftTransferMatcher extends BlockMatcher {
+  final class NftTransferMatcherWith(
+      nftItems: Map[String, NftItemInfo]) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.NftTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.NftTransfer) =>
@@ -339,15 +340,20 @@ object ProtocolMatchers {
           try Some(graft.functions.TlbDecoders.nftTransfer(b64))
           catch { case scala.util.control.NonFatal(_) => None }
         }
+        val item = c.nodes.head.tx.account
+        val info = nftItems.get(item)
         Some((NftTransferBlock(
           c.nodes.head.inMsg.flatMap(_.source),
           newOwner.orElse(decoded.flatMap(_.newOwner)),
-          c.nodes.head.tx.account,
-          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil, decoded),
+          item,
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil, decoded,
+          itemIndex = info.flatMap(_.index),
+          collection = info.flatMap(_.collection)),
           consumed))
       case _ => None
     }
   }
+  val NftTransferMatcher: BlockMatcher = new NftTransferMatcherWith(Map.empty)
 
   /** Generic DEX swap (second-pass matcher — consumes blocks PRODUCED by
     * JettonTransferMatcher, the registry-order dependency the reference
@@ -1838,7 +1844,7 @@ object ProtocolMatchers {
               try {
                 val d = graft.functions.TlbDecoders.nftSaleStateInit(b64)
                 Some(NftListingData(
-                  nft_item_index = None,
+                  nft_item_index = listing.itemIndex,
                   full_price = Some(BigDecimal(d.fullPrice)),
                   marketplace_fee = Some(BigDecimal(d.mpFee)),
                   royalty_amount = Some(BigDecimal(d.royaltyAmount)),
@@ -1853,7 +1859,7 @@ object ProtocolMatchers {
               try {
                 val d = graft.functions.TlbDecoders.nftAuctionStateInit(b64)
                 Some(NftListingData(
-                  nft_item_index = None, full_price = None,
+                  nft_item_index = listing.itemIndex, full_price = None,
                   marketplace_fee = None, royalty_amount = None,
                   marketplace_fee_address = d.mpFeeAddress,
                   marketplace = Some("getgems"),
@@ -1867,9 +1873,13 @@ object ProtocolMatchers {
             }
           (ProtocolOpBlock(btype,
             source = listing.oldOwner, destination = Some(saleAddr),
-            asset = Some(listing.nftItem), value = None,
+            // asset = collection when the dim is loaded, the item rides
+            // asset_secondary (_fill_nft_put_on_sale_action:280-289)
+            asset = listing.collection.orElse(Some(listing.nftItem)),
+            value = None,
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
+            assetSecondary = Some(listing.nftItem),
             listing = listingData), consumed)
         }
         result
@@ -2864,8 +2874,14 @@ object ProtocolMatchers {
           case m => m
         }
       }
-    if (interfaces.isEmpty) base
-    else base ++ Seq(new PTonTransferMatcher(interfaces),
+    val withNft =
+      if (nftItems.isEmpty) base
+      else base.map {
+        case m if m eq NftTransferMatcher => new NftTransferMatcherWith(nftItems)
+        case m => m
+      }
+    if (interfaces.isEmpty) withNft
+    else withNft ++ Seq(new PTonTransferMatcher(interfaces),
       new NftMintMatcher(interfaces, nftItems),
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),

@@ -402,7 +402,10 @@ object Serializer {
       case j: JettonBurnBlock =>
         (j.owner, None, Some(j.ownerWallet), Some(j.amount))
       case n: NftTransferBlock =>
-        (n.oldOwner, n.newOwner, Some(n.nftItem), None)
+        // asset = collection (nft_items dim), the item rides
+        // asset_secondary (_fill_nft_transfer_action:200-202); item
+        // stands in when no dim is loaded
+        (n.oldOwner, n.newOwner, n.collection.orElse(Some(n.nftItem)), None)
       case sw: JettonSwapBlock =>
         (sw.sender, sw.outTransfer.receiver,
           Some(sw.inTransfer.senderWallet), Some(sw.inTransfer.amount))
@@ -453,10 +456,11 @@ object Serializer {
         case n: NftTransferBlock => Some(NftTransferData(
           is_purchase = n.isPurchase, price = n.price,
           query_id = n.decoded.map(_.queryId.toString),
-          custom_payload = None, forward_payload = None,
+          custom_payload = n.decoded.flatMap(_.customPayload),
+          forward_payload = n.decoded.flatMap(_.forwardPayload),
           forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
           response_destination = n.decoded.flatMap(_.responseDestination),
-          nft_item_index = None, marketplace = n.marketplace,
+          nft_item_index = n.itemIndex, marketplace = n.marketplace,
           real_prev_owner = None))
         // getgems purchase: is_purchase/price/marketplace detail
         // (_fill_nft_purchase_action, block_tree_serializer.py:235-258)
@@ -539,6 +543,7 @@ object Serializer {
       },
       asset_secondary = b match {
         case p: ProtocolOpBlock => p.assetSecondary
+        case n: NftTransferBlock => Some(n.nftItem)
         case _ => None
       },
       // LayerZero payloads travel on the block (matcher-decoded;

@@ -28,7 +28,11 @@ object TlbDecoders {
 
   final case class NftTransferBody(
       queryId: BigInt, newOwner: Option[String],
-      responseDestination: Option[String], forwardAmount: BigInt)
+      responseDestination: Option[String], forwardAmount: BigInt,
+      // raw payload cells as base64 BOCs (nft_transfer_details columns;
+      // blocks/nft.py:135-138)
+      customPayload: Option[String] = None,
+      forwardPayload: Option[String] = None)
 
   /** ownership_assigned#05138d91 query_id:uint64 prev_owner:MsgAddress
     * forward_payload:(Either Cell ^Cell); a 0x38127de1 payload carries
@@ -314,8 +318,21 @@ object TlbDecoders {
     val queryId = s.loadUint(64)
     val newOwner = s.loadAddress()
     val resp = s.loadAddress()
-    if (s.loadBit()) s.loadRef()
-    NftTransferBody(queryId, newOwner, resp, s.loadCoins())
+    val custom =
+      if (s.loadBit()) Some(Boc.serializeBase64(s.loadRef())) else None
+    val fwdAmount = s.loadCoins()
+    val payload: Option[Boc.Cell] =
+      if (s.remainingBits == 0) None
+      else if (s.loadBit()) Some(s.loadRef())
+      else {
+        val b = new Boc.Builder()
+        while (s.remainingBits > 0) b.storeBit(s.loadBit())
+        while (s.remainingRefs > 0) b.storeRef(s.loadRef())
+        Some(b.build())
+      }
+    NftTransferBody(queryId, newOwner, resp, fwdAmount,
+      customPayload = custom,
+      forwardPayload = payload.filter(_.bitLen > 0).map(Boc.serializeBase64))
   }
 
   /** Text comment: op 0x00000000 then snake UTF-8 (strip NULs like the

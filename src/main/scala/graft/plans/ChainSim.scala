@@ -271,13 +271,14 @@ object ChainSim {
       variant: String, opcodeOf: => Column,
       bodyOf: => Column = lit(null).cast("string"),
       jettonWallets: => Map[String, String] = Map.empty,
+      nftItems: => Map[String, graft.classifier.NftItemInfo] = Map.empty,
       keep: Seq[String] = Nil): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       val acts = ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
-        jettonWallets = jettonWallets).toDF()
+        jettonWallets = jettonWallets, nftItems = nftItems).toDF()
       // checkpoint only the columns the variant's queries read — the
       // unread detail structs would pin session memory otherwise
       val cols = (protoBaseCols ++ keep).distinct
@@ -1267,6 +1268,46 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
+  /** b19 opcode mapping — NFT transfers resolved through the broadcast
+    * nft_items dim: every click is a transfer into the user's item
+    * account; index and collection come from the repository map (the
+    * cluster shape: the nft_items dim broadcast into classify, like the
+    * b15 jetton-wallet repository), so the oracle states them purely by
+    * construction. */
+  private def b19Opcodes: Column =
+    when(col("event_type") === "click",
+      lit(graft.classifier.Opcodes.NftTransfer)).otherwise(lit(5L))
+
+  private def b19Items(spark: SparkSession,
+      dir: String): Map[String, graft.classifier.NftItemInfo] = {
+    import spark.implicits._
+    chainedEvents(spark, dir).select(col("user_id").cast("long"))
+      .distinct().as[Long].collect()
+      .map(u => s"0:$u" -> graft.classifier.NftItemInfo(
+        Some((u * 7).toString), Some(s"0:C$u"))).toMap
+  }
+
+  val b19 = Q("b19_nft_items_dim",
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type,
+      |    min(event_id) OVER (PARTITION BY user_id) AS fid
+      |  FROM events)
+      |SELECT concat('T', fid) AS trace_id, event_id AS start_lt,
+      |  concat('0:C', user_id) AS asset,
+      |  concat('0:', user_id) AS asset_secondary,
+      |  cast(user_id * 7 AS varchar) AS nft_item_index
+      |FROM base WHERE event_type = 'click'
+      |ORDER BY start_lt""".stripMargin) { (s, dir) =>
+    protocolClassified(s, dir, "b19", b19Opcodes,
+      nftItems = b19Items(s, dir),
+      keep = Seq("asset", "asset_secondary", "nft_transfer_data"))
+      .filter(col("type") === "nft_transfer")
+      .select(col("trace_id"), col("start_lt"),
+        col("asset"), col("asset_secondary"),
+        col("nft_transfer_data.nft_item_index").as("nft_item_index"))
+      .orderBy("start_lt")
+  }
+
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16, b17, b18)
+    b16, b17, b18, b19)
 }

@@ -445,6 +445,39 @@ class DetailStructsSpec extends SparkSpec {
     assert(p.forwardPayload.nonEmpty && p.customPayload.isEmpty)
   }
 
+  test("nft transfer resolves index/collection via the nft_items dim and " +
+      "serializes payload cells") {
+    val newOwner = "0:" + "1D" * 32
+    val fwd = new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build()
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5fcc3d14L), 32)
+      .storeUint(BigInt(9), 64)
+      .storeAddress(Some(newOwner))
+      .storeAddress(None)
+      .storeBit(false)
+      .storeCoins(BigInt(1))
+      .storeBit(true).storeRef(fwd)
+      .build())
+    val txs = Seq(tx("T1", "0:ITEM", 10))
+    val msgs = Map("T1" -> Seq(
+      in("m1", "0:OWNER", "0:ITEM", Some(Opcodes.NftTransfer),
+        body = Some(body))))
+    val a = Classifier.classify("nti", txs, msgs,
+      nftItems = Map("0:ITEM" -> NftItemInfo(Some("5"), Some("0:COLL"))))
+      .find(_.`type` == "nft_transfer").get
+    assert(a.asset.contains("0:COLL"))
+    assert(a.asset_secondary.contains("0:ITEM"))
+    val d = a.nft_transfer_data.get
+    assert(d.nft_item_index.contains("5"))
+    assert(d.forward_payload.contains(Boc.serializeBase64(fwd)))
+    assert(d.custom_payload.isEmpty)
+    // without the dim the item itself stands in for the asset
+    val bare = Classifier.classify("nti2", txs, msgs)
+      .find(_.`type` == "nft_transfer").get
+    assert(bare.asset.contains("0:ITEM"))
+    assert(bare.nft_transfer_data.get.nft_item_index.isEmpty)
+  }
+
   test("coffee create pool: two-stage creator + request/deploy/success") {
     val jettonHash = "1A" * 32
     val user2 = "0:" + "2B" * 32

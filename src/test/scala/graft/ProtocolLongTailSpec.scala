@@ -204,8 +204,15 @@ class ProtocolLongTailSpec extends SparkSpec {
         body = Some(nftTransferBody(sale)))))
     val actions = Classifier.classify("ps3", txs,
       msgsWith(saleStateInit(777000L, 5000L, 2500L)),
-      interfaces = Map(sale -> "nft_sale|0:OWNER"))
-    val ld = actions.find(_.`type` == "nft_put_on_sale").get.nft_listing_data.get
+      interfaces = Map(sale -> "nft_sale|0:OWNER"),
+      nftItems = Map("0:NFT" -> NftItemInfo(Some("8"), Some("0:COLL"))))
+    val act = actions.find(_.`type` == "nft_put_on_sale").get
+    // collection/item/index resolve through the nft_items dim
+    // (_fill_nft_put_on_sale_action:280-291)
+    assert(act.asset.contains("0:COLL"))
+    assert(act.asset_secondary.contains("0:NFT"))
+    val ld = act.nft_listing_data.get
+    assert(ld.nft_item_index.contains("8"))
     assert(ld.full_price.contains(BigDecimal(777000L)))
     assert(ld.marketplace_fee.contains(BigDecimal(5000L)))
     assert(ld.royalty_amount.contains(BigDecimal(2500L)))
