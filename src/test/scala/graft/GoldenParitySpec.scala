@@ -3,9 +3,9 @@ package graft
 import graft.classifier._
 import graft.functions.Boc
 
-/** Field-level golden parity: three fixture traces replicate reference
+/** Field-level golden parity: four fixture traces replicate reference
   * YAML expectation cases (indexer/tests/test_cases/jetton-transfer.yaml,
-  * stonfi-swaps.yaml, dedust-liquidities.yaml) and assert the SAME
+  * stonfi-swaps.yaml, dedust-liquidities.yaml, layerzero.yaml) and assert the SAME
   * dot-path fields those YAMLs pin — endpoint columns, secondaries, and
   * every populated key of the nested detail structs — not just action
   * type and count.
@@ -200,5 +200,79 @@ class GoldenParitySpec extends SparkSpec {
     assert(d.user_jetton_wallet_1.contains(userWallet))
     assert(d.user_jetton_wallet_2.isEmpty)
     assert(d.lp_tokens_minted.isEmpty)
+  }
+
+  test("layerzero.yaml parity ('LayerZero commit packet'): endpoint " +
+      "columns, secondaries and every layerzero_packet_data field") {
+    // mirror the YAML's same-chain packet: src/dst oapp equal, eid 30343
+    val oapp = BigInt("70037e28dd2535f6b31fe11109f075a4b3acb4a286480404cf0755c6b045caea", 16)
+    val guid = BigInt("e7db0b36b8b81bcd2a22d087d69dd4ec7640c2bb358092ac9e7306b9a77601a9", 16)
+    val path = {
+      val b = new Boc.Builder()
+        .storeUint(BigInt("8903714975572488637007080065659"), 152)
+      (1 to 198).foreach(_ => b.storeBit(true))
+      b.storeUint(BigInt(30343), 32).storeUint(oapp, 256)
+        .storeUint(BigInt(30343), 32).storeUint(oapp, 256)
+      b.build()
+    }
+    val packet = {
+      val b = new Boc.Builder()
+        .storeUint(BigInt("417359019239977417716476838698419835"), 152)
+      (1 to 198).foreach(_ => b.storeBit(true))
+      b.storeRef(path)
+        .storeRef(new Boc.Builder()
+          .storeBytes(Array(0x01, 0x00, 0x00, 0x76, 0x87, 0x00, 0x00,
+            0x00, 0x00).map(_.toByte)).build())
+        .storeUint(BigInt(1), 64).storeUint(guid, 256)
+      b.build()
+    }
+    val commitBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5388cd88L), 32)
+      .storeRef(new Boc.Builder().storeRef(packet).build())
+      .build())
+    val sender = "0:" + "8A" * 32
+    val uln = "0:" + "54" * 32
+    val endpoint = "0:" + "BA" * 32
+    val channel = "0:" + "62" * 32
+    val mlConn = "0:" + "5E" * 32
+    val txs = Seq(tx("T1", "0:ULNM", 10), tx("T2", uln, 20),
+      tx("T3", endpoint, 30), tx("T4", channel, 40), tx("T5", mlConn, 50))
+    val msgs = Map(
+      "T1" -> Seq(in("m1", sender, "0:ULNM",
+          Some(Opcodes.LayerZeroUlnCommitPacket)),
+        out("m2", "0:ULNM", uln,
+          Some(Opcodes.LayerZeroUlnConnectionCommitPacket))),
+      "T2" -> Seq(in("m2", "0:ULNM", uln,
+          Some(Opcodes.LayerZeroUlnConnectionCommitPacket)),
+        out("m3", uln, endpoint, Some(Opcodes.LayerZeroEndpointCommitPacket))),
+      "T3" -> Seq(in("m3", uln, endpoint,
+          Some(Opcodes.LayerZeroEndpointCommitPacket)),
+        out("m4", endpoint, channel, Some(Opcodes.LayerZeroChannelCommitPacket),
+          body = Some(commitBody))),
+      "T4" -> Seq(in("m4", endpoint, channel,
+          Some(Opcodes.LayerZeroChannelCommitPacket), body = Some(commitBody)),
+        out("m5", channel, mlConn, Some(Opcodes.LayerZeroMsglibCommitCallback))),
+      "T5" -> Seq(in("m5", channel, mlConn,
+        Some(Opcodes.LayerZeroMsglibCommitCallback))))
+    val actions = Classifier.classify("gp4", txs, msgs)
+    val a = actions.find(_.`type` == "layerzero_commit_packet").get
+    // the YAML's endpoint-column block: source=sender,
+    // source_secondary=endpoint, destination=uln,
+    // destination_secondary=uln_connection, asset=channel,
+    // asset_secondary=msglib_connection
+    assert(a.source.contains(sender))
+    assert(a.source_secondary.contains(endpoint))
+    assert(a.destination.contains(uln))
+    assert(a.destination_secondary.contains(uln))
+    assert(a.asset.contains(channel))
+    assert(a.asset_secondary.contains(mlConn))
+    // layerzero_packet_data dot paths exactly as layerzero.yaml pins them
+    val p = a.layerzero_packet_data.get
+    assert(p.src_oapp.contains("0x" + oapp.toString(16)))
+    assert(p.dst_oapp.contains("0x" + oapp.toString(16)))
+    assert(p.src_eid.contains(30343) && p.dst_eid.contains(30343))
+    assert(p.nonce.contains(BigDecimal(1)))
+    assert(p.guid.contains("0x" + guid.toString(16)))
+    assert(p.message.contains("0x010000768700000000"))
   }
 }
