@@ -471,12 +471,14 @@ object ProtocolMatchers {
     Opcodes.StonfiSwap, Some(Opcodes.StonfiPayment), Set(Opcodes.Excesses),
     (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
       case p: ProtocolOpBlock =>
-        // min_out (the slippage bound) decodes from the swap body
-        // (messages/swaps.py:8-24 StonfiSwapMessage.min_out)
-        val minOut = c.node.inMsg.flatMap(_.body)
+        // the true initiator is from_real_user in the swap body's ref —
+        // NOT the message source (the router); min_out_amount stays
+        // null for StonFi v1 like the reference (_get_block_data
+        // swaps.py:175-186 has no min_out key)
+        val body = c.node.inMsg.flatMap(_.body)
           .flatMap(safeDecode(graft.functions.TlbDecoders.stonfiSwap))
-          .map(b => BigDecimal(b.minOut))
-        p.copy(dex = Some("stonfi"), minOut = minOut)
+        p.copy(dex = Some("stonfi"),
+          source = body.flatMap(_.fromRealUser).orElse(p.source))
       case other => other
     })
 

@@ -487,16 +487,26 @@ object TlbDecoders {
 
   final case class StonfiSwapBody(
       queryId: BigInt, fromUser: Option[String], tokenWallet: Option[String],
-      amount: BigInt, minOut: BigInt)
+      amount: BigInt, minOut: BigInt, fromRealUser: Option[String],
+      refAddress: Option[String])
 
   /** StonFi v1 swap#25938561 query_id:uint64 from_user:MsgAddress
-    * token_wallet:MsgAddress amount:Coins min_out:Coins has_ref:bool ...
+    * token_wallet:MsgAddress amount:Coins min_out:Coins has_ref:bool
+    * ^[from_real_user:MsgAddress (ref_address:MsgAddress)?]
     * (messages/swaps.py:8-24). */
   def stonfiSwap(bodyB64: String): StonfiSwapBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x25938561L)
-    StonfiSwapBody(s.loadUint(64), s.loadAddress(), s.loadAddress(),
-      s.loadCoins(), s.loadCoins())
+    val qid = s.loadUint(64)
+    val fromUser = s.loadAddress()
+    val wallet = s.loadAddress()
+    val amount = s.loadCoins()
+    val minOut = s.loadCoins()
+    val hasRef = s.loadBit()
+    val ref = s.loadRef().beginParse()
+    val fromReal = ref.loadAddress()
+    StonfiSwapBody(qid, fromUser, wallet, amount, minOut, fromReal,
+      if (hasRef) ref.loadAddress() else None)
   }
 
   // --------------------------------------------------------------- tonco

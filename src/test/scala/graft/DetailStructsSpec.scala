@@ -380,7 +380,8 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
-  test("stonfi v1 swap decodes min_out into jetton_swap_data") {
+  test("stonfi v1 swap takes from_real_user as sender; min_out stays null") {
+    val realUser = "0:" + "03" * 32
     val swapBody = Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0x25938561L), 32)
       .storeUint(BigInt(1), 64)
@@ -388,6 +389,8 @@ class DetailStructsSpec extends SparkSpec {
       .storeAddress(Some("0:" + "02" * 32))
       .storeCoins(BigInt(1000))
       .storeCoins(BigInt(950))
+      .storeBit(false) // has_ref
+      .storeRef(new Boc.Builder().storeAddress(Some(realUser)).build())
       .build())
     val txs = Seq(tx("TP", "0:POOL", 10), tx("TR", "0:ROUTER", 20))
     val msgs = Map(
@@ -399,8 +402,13 @@ class DetailStructsSpec extends SparkSpec {
         Some(Opcodes.StonfiPayment))))
     val a = Classifier.classify("sf1", txs, msgs)
       .find(_.`type` == "jetton_swap").get
-    assert(a.jetton_swap_data.get.min_out_amount.contains(BigDecimal(950)))
+    // the reference's stonfi v1 dict carries NO min_out key
+    // (swaps.py:175-186) — min_out_amount serializes null
+    assert(a.jetton_swap_data.get.min_out_amount.isEmpty)
     assert(a.jetton_swap_data.get.dex == "stonfi")
+    // sender = from_real_user from the body ref, not the router
+    assert(a.source.contains(realUser))
+    assert(a.jetton_swap_data.get.sender.contains(realUser))
   }
 
   test("jetton transfer payload cells serialize; encrypted comment stays base64") {
