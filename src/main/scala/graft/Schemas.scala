@@ -362,6 +362,8 @@ object Schemas {
     f("value_extra_currencies", extraCurrencies),
     f("trace_end_lt", LongType), f("trace_end_utime", LongType),
     f("trace_external_hash", StringType), f("trace_mc_seqno_end", IntegerType),
+    f("trace_external_hash_norm", StringType),
+    f("mc_seqno_end", IntegerType),
     f("ton_transfer_data", tonTransferDetails),
     f("jetton_transfer_data", jettonTransferDetails),
     f("nft_transfer_data", nftTransferDetails),

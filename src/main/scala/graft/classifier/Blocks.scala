@@ -161,7 +161,7 @@ case class ProtocolOpBlock(
     withdrawLiquidity: Option[DexWithdrawLiquidityData] = None,
     // the minted position item of a coffee staking deposit (matcher-known)
     mintedItem: Option[String] = None,
-    // swap slippage bound decoded from the swap body (jetton_swap_data)
+    // swap slippage bound (TONCO-only in the reference serializer:387-395)
     minOut: Option[BigDecimal] = None,
     // LayerZero detail payloads (matcher-decoded from the chain bodies)
     assetSecondary: Option[String] = None,

@@ -23,7 +23,8 @@ case class ClassifyInputRow(
       value: Option[Long], opcode: Option[Long],
     bounce: Option[Boolean], bounced: Option[Boolean],
     created_lt: Option[Long], body: Option[String],
-    init_state: Option[String])
+    init_state: Option[String],
+    mc_block_seqno: Option[Int] = None)
 
 object ClassifyJob {
 
@@ -58,7 +59,9 @@ object ClassifyJob {
         coalesce(col("aborted"), lit(false)).as("aborted"),
         col("compute_exit_code"), col("action_result_code"),
         coalesce(col("total_fees"), lit(0L)).as("total_fees"),
-        coalesce(col("descr"), lit("ord")).as("descr"))
+        coalesce(col("descr"), lit("ord")).as("descr"),
+        (if (txs.columns.contains("mc_block_seqno")) col("mc_block_seqno")
+         else lit(null).cast("int")).as("mc_block_seqno"))
       .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
         col("direction"), col("source"), col("destination"), col("value"),
         col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
@@ -75,7 +78,7 @@ object ClassifyJob {
         val r = rs.head
         TxLite(h, r.account, r.lt, r.now, r.orig_status, r.end_status,
           r.aborted, r.compute_exit_code, r.action_result_code,
-          r.total_fees, r.descr)
+          r.total_fees, r.descr, r.mc_block_seqno)
       }.toSeq
       val msgsByTx: Map[String, Seq[MsgLite]] = buf
         .filter(_.msg_hash.isDefined)
@@ -104,7 +107,10 @@ object ClassifyJob {
       col("end_lt").as("trace_end_lt"),
       col("end_utime").cast("long").as("trace_end_utime"),
       col("external_hash").as("trace_external_hash"),
-      col("mc_seqno_end").as("trace_mc_seqno_end"))
+      col("mc_seqno_end").as("trace_mc_seqno_end"),
+      (if (traces.columns.contains("external_hash_norm"))
+        col("external_hash_norm")
+      else lit(null).cast("string")).as("trace_external_hash_norm"))
     val joined = acts.join(broadcast(meta), Seq("trace_id"), "left")
     val cols = graft.Schemas.actions.fields.map { fld =>
       if (joined.columns.contains(fld.name))

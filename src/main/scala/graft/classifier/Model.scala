@@ -37,7 +37,10 @@ case class TxLite(
     computeExitCode: Option[Int],
     actionResultCode: Option[Int],
     totalFees: Long,
-    descr: String)
+    descr: String,
+    // masterchain seqno of the tx's block (action.mc_seqno_end = the
+    // max over the action's txs, block_tree_serializer.py:114)
+    mcSeqno: Option[Int] = None)
 
 /** One node of the per-trace message tree: a transaction with its in-message
   * and out-messages; children are the transactions consuming those

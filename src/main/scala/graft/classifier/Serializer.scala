@@ -307,7 +307,10 @@ case class ActionRow(
     coffee_staking_withdraw_data: Option[CoffeeStakingWithdrawData] = None,
     coffee_create_pool_data: Option[CoffeeCreatePoolData] = None,
     asset2: Option[String] = None,
-    asset2_secondary: Option[String] = None)
+    asset2_secondary: Option[String] = None,
+    // max masterchain seqno over the action's own txs
+    // (block_tree_serializer.py:114)
+    mc_seqno_end: Option[Int] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -580,6 +583,10 @@ object Serializer {
       asset2_secondary = b match {
         case p: ProtocolOpBlock => p.asset2Secondary
         case _ => None
+      },
+      mc_seqno_end = {
+        val seqnos = b.nodes.flatMap(_.tx.mcSeqno)
+        if (seqnos.isEmpty) None else Some(seqnos.max)
       },
       change_dns_record_data = b match {
         case p: ProtocolOpBlock => p.changeDns

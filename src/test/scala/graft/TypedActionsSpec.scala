@@ -19,6 +19,10 @@ class TypedActionsSpec extends SparkSpec {
     // denormalized trace columns are populated, not null
     val row = typed.filter(col("trace_end_lt").isNotNull).limit(1).collect()
     assert(row.nonEmpty)
+    // per-action mc_seqno_end = max mc_block_seqno over the action's txs
+    // (block_tree_serializer.py:114) — the sim stamps every tx with 100
+    val mc = typed.filter(col("mc_seqno_end").isNotNull).limit(1).collect()
+    assert(mc.nonEmpty && mc.head.getAs[Int]("mc_seqno_end") == 100)
   }
 
   test("ton_transfer_data carries the decoded text comment") {
