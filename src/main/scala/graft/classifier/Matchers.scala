@@ -464,6 +464,83 @@ object ProtocolMatchers {
       nodes = consumed.flatMap(_.nodes), children = Nil)
   }
 
+  /** StonFi v1 full-context swap — the reference's StonfiSwapBlockMatcher
+    * (blocks/swaps.py:80-210): anchored on the funding jetton transfer,
+    * requires the pool swap call and a payment request, and merges the
+    * outgoing jetton transfer. Multiple sender-related payment requests
+    * pick the larger amount as the swap output (the smaller is the
+    * referral); ok-ref payments stay UNCONSUMED so the referral payout
+    * survives as its own action (swaps.py:119-124). A non-ok exit code
+    * marks the swap failed. Runs BEFORE the opcode-chain fallback, which
+    * still covers traces without the surrounding transfers. */
+  object StonfiV1FullSwapMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.StonfiSwap, Opcodes.StonfiPayment))
+    private val Ok = 0xc64370e5L
+    private val OkRef = 0x45078540L
+    private val SenderRelated = Set(Ok, 0x5ffe1295L, 0x38976e9bL)
+    private def payments(b: Block): Seq[CallContractBlock] =
+      b.children.flatMap {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.StonfiPayment) => Seq(c)
+        case c: CallContractBlock => payments(c)
+        case _ => Nil
+      }
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        for {
+          swapCall <- findCall(jt, Opcodes.StonfiSwap)
+          body <- swapCall.node.inMsg.flatMap(_.body)
+          msg <- safeDecode(TlbDecoders.stonfiSwap)(body)
+          decoded = payments(swapCall).flatMap { p =>
+            p.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.stonfiPaymentRequest))
+              .map(p -> _)
+          }
+          if decoded.exists(d => SenderRelated(d._2.exitCode))
+        } yield {
+          var outAmt: Option[BigInt] = None
+          var outNode: Option[CallContractBlock] = None
+          var success = false
+          decoded.foreach { case (node, pr) =>
+            val amount =
+              if (pr.amount0Out > 0) pr.amount0Out else pr.amount1Out
+            if (SenderRelated(pr.exitCode)) {
+              success = pr.exitCode == Ok
+              if (outAmt.forall(_ < amount)) {
+                outAmt = Some(amount); outNode = Some(node)
+              }
+            }
+          }
+          val outTransfer = outNode.flatMap(_.children.collectFirst {
+            case j2: JettonTransferBlock => j2
+          })
+          val senderPayments = decoded.collect {
+            case (n, pr) if SenderRelated(pr.exitCode) => n: Block
+          }
+          val consumed = Matching.identityDistinct(
+            Seq[Block](jt, swapCall) ++ senderPayments ++ outTransfer.toSeq)
+          val sender = msg.fromRealUser.orElse(jt.sender)
+          outTransfer match {
+            case Some(out) =>
+              (JettonSwapBlock("stonfi", sender, jt.receiver, jt, out,
+                failed = !success, consumed.flatMap(_.nodes), Nil), consumed)
+            case None =>
+              // TON payout leg: no out jetton transfer to merge — the
+              // proto shape keeps the swap typed with the true sender
+              (ProtocolOpBlock("jetton_swap",
+                source = sender, destination = jt.receiver,
+                asset = jt.asset.orElse(Some(jt.senderWallet)),
+                value = Some(jt.amount),
+                failed = !success,
+                nodes = consumed.flatMap(_.nodes), children = Nil,
+                dex = Some("stonfi")), consumed)
+          }
+        }
+      case _ => None
+    }
+  }
+
   /** StonFi v1 swap: swap 0x25938561 into the pool MUST produce a payment
     * request 0xf93bb43f back to the router (blocks/swaps.py stonfi
     * matcher; messages/swaps.py:9,27). Canonical action type jetton_swap. */
@@ -2720,6 +2797,7 @@ object ProtocolMatchers {
       PTonTonTransferMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
       JettonSwapMatcher, JettonMintMatcher,
+      StonfiV1FullSwapMatcher,
       StonfiSwapMatcher, StonfiV2SwapMatcher, DedustSwapMatcher,
       TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,

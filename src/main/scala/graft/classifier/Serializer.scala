@@ -771,7 +771,8 @@ object Serializer {
         .orElse(j.comment.map(_ => false)))
 
   private def dexTransfer(j: JettonTransferBlock): DexTransferData =
-    DexTransferData(Some(j.amount), asset = Some(j.senderWallet),
+    DexTransferData(Some(j.amount),
+      asset = j.asset.orElse(Some(j.senderWallet)),
       source = j.sender, destination = j.receiver,
       source_jetton_wallet = Some(j.senderWallet),
       destination_jetton_wallet = j.receiverWallet)

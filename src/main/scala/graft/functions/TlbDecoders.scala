@@ -509,6 +509,26 @@ object TlbDecoders {
       if (hasRef) ref.loadAddress() else None)
   }
 
+  final case class StonfiPaymentRequestBody(
+      queryId: BigInt, owner: Option[String], exitCode: Long,
+      amount0Out: BigInt, token0Out: Option[String],
+      amount1Out: BigInt, token1Out: Option[String])
+
+  /** StonFi v1 payment request#f93bb43f query_id:u64 owner:MsgAddress
+    * exit_code:u32 ^[amount0_out:Coins token0_out:MsgAddress
+    * amount1_out:Coins token1_out:MsgAddress]
+    * (messages/swaps.py:26-39). */
+  def stonfiPaymentRequest(bodyB64: String): StonfiPaymentRequestBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xf93bb43fL)
+    val qid = s.loadUint(64)
+    val owner = s.loadAddress()
+    val exit = s.loadUint(32).toLong
+    val r = s.loadRef().beginParse()
+    StonfiPaymentRequestBody(qid, owner, exit,
+      r.loadCoins(), r.loadAddress(), r.loadCoins(), r.loadAddress())
+  }
+
   // --------------------------------------------------------------- tonco
 
   final case class ToncoPoolInitBody(

@@ -380,6 +380,89 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
+  test("stonfi v1 full-context swap merges in/out transfers with payment " +
+      "amounts and the failed flag follows the exit code") {
+    val user = "0:" + "0A" * 32
+    val realUser = "0:" + "0B" * 32
+    def jtBody(amount: Long, dest: String): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0x0f8a7ea5L), 32)
+        .storeUint(BigInt(1), 64)
+        .storeCoins(BigInt(amount))
+        .storeAddress(Some(dest))
+        .storeAddress(None)
+        .storeBit(false).storeCoins(BigInt(0)).storeBit(false)
+        .build())
+    def swapBody: String = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x25938561L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(user))
+      .storeAddress(Some("0:" + "0C" * 32))
+      .storeCoins(BigInt(27051))
+      .storeCoins(BigInt(1))
+      .storeBit(false)
+      .storeRef(new Boc.Builder().storeAddress(Some(realUser)).build())
+      .build())
+    def payBody(exit: Long, amount: Long): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0xf93bb43fL), 32)
+        .storeUint(BigInt(1), 64)
+        .storeAddress(Some(user))
+        .storeUint(BigInt(exit), 32)
+        .storeRef(new Boc.Builder()
+          .storeCoins(BigInt(amount)).storeAddress(Some("0:" + "0D" * 32))
+          .storeCoins(BigInt(0)).storeAddress(None).build())
+        .build())
+    def trace(exit: Long) = {
+      val txs = Seq(tx("TA", "0:UW", 10), tx("TB", "0:RIW", 20),
+        tx("TR", "0:ROUTER", 30), tx("TP", "0:POOL", 40),
+        tx("TR2", "0:ROUTER", 50), tx("TC", "0:ROW", 60),
+        tx("TD", "0:UOW", 70))
+      val msgs = Map(
+        "TA" -> Seq(in("m1", user, "0:UW", Some(Opcodes.JettonTransfer),
+            body = Some(jtBody(27051, "0:" + "0E" * 32))),
+          out("m2", "0:UW", "0:RIW", Some(Opcodes.JettonInternalTransfer))),
+        "TB" -> Seq(in("m2", "0:UW", "0:RIW",
+            Some(Opcodes.JettonInternalTransfer)),
+          out("m3", "0:RIW", "0:ROUTER", Some(Opcodes.JettonNotify))),
+        "TR" -> Seq(in("m3", "0:RIW", "0:ROUTER", Some(Opcodes.JettonNotify)),
+          out("m4", "0:ROUTER", "0:POOL", Some(Opcodes.StonfiSwap),
+            body = Some(swapBody))),
+        "TP" -> Seq(in("m4", "0:ROUTER", "0:POOL", Some(Opcodes.StonfiSwap),
+            body = Some(swapBody)),
+          out("m5", "0:POOL", "0:ROUTER", Some(Opcodes.StonfiPayment),
+            body = Some(payBody(exit, 28517)))),
+        "TR2" -> Seq(in("m5", "0:POOL", "0:ROUTER",
+            Some(Opcodes.StonfiPayment), body = Some(payBody(exit, 28517))),
+          out("m6", "0:ROUTER", "0:ROW", Some(Opcodes.JettonTransfer),
+            body = Some(jtBody(28517, user)))),
+        "TC" -> Seq(in("m6", "0:ROUTER", "0:ROW", Some(Opcodes.JettonTransfer),
+            body = Some(jtBody(28517, user))),
+          out("m7", "0:ROW", "0:UOW", Some(Opcodes.JettonInternalTransfer))),
+        "TD" -> Seq(in("m7", "0:ROW", "0:UOW",
+          Some(Opcodes.JettonInternalTransfer))))
+      (txs, msgs)
+    }
+    val (txs, msgs) = trace(0xc64370e5L) // ok
+    val acts = Classifier.classify("sv1", txs, msgs)
+    val a = acts.find(_.`type` == "jetton_swap").get
+    assert(a.success)
+    val d = a.jetton_swap_data.get
+    assert(d.dex == "stonfi")
+    assert(d.sender.contains(realUser))
+    assert(d.dex_incoming_transfer.get.amount.contains(BigDecimal(27051)))
+    assert(d.dex_incoming_transfer.get.source_jetton_wallet.contains("0:UW"))
+    assert(d.dex_outgoing_transfer.get.amount.contains(BigDecimal(28517)))
+    assert(d.dex_outgoing_transfer.get.source_jetton_wallet.contains("0:ROW"))
+    // the whole route collapses into the one swap action
+    assert(acts.count(_.`type` == "jetton_transfer") == 0)
+    // a no-liquidity exit code marks the swap failed (swaps.py:63-70)
+    val (ftxs, fmsgs) = trace(0x5ffe1295L)
+    val f = Classifier.classify("sv1f", ftxs, fmsgs)
+      .find(_.`type` == "jetton_swap").get
+    assert(!f.success)
+  }
+
   test("stonfi v1 swap takes from_real_user as sender; min_out stays null") {
     val realUser = "0:" + "03" * 32
     val swapBody = Boc.serializeBase64(new Boc.Builder()
