@@ -1443,6 +1443,32 @@ object ProtocolMatchers {
     Opcodes.TgbtcDkgCompleted, None, Set.empty,
     protoBlock("tgbtc_dkg_log_fallback"))
 
+  /** TONCO full-context swap — anchored on the funding jetton transfer
+    * with the pool swap and router pay-to below it; the outgoing
+    * transfer merges into the swap block (ToncoSwapMatcher,
+    * blocks/swaps.py:1000-1230; single-hop form — multi-hop TONCO
+    * routes fall back to the opcode chain). */
+  object ToncoFullSwapMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.ToncoPoolV3Swap, Opcodes.ToncoRouterV3PayTo))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        for {
+          swapCall <- findCall(jt, Opcodes.ToncoPoolV3Swap)
+          payTo <- findCall(swapCall, Opcodes.ToncoRouterV3PayTo)
+          out <- payTo.children.collectFirst {
+            case j2: JettonTransferBlock => j2
+          }
+        } yield {
+          val consumed: Seq[Block] = Seq(jt, swapCall, payTo, out)
+          (JettonSwapBlock("tonco", jt.sender, jt.receiver, jt, out,
+            failed = consumed.exists(_.failed),
+            consumed.flatMap(_.nodes), Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
   /** TONCO v3 swap: pool swap 0xa7fb58f8 paying out through the router
     * 0xa1daa96d (messages/swaps.py:226,345). */
   val ToncoSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
@@ -2816,7 +2842,7 @@ object ProtocolMatchers {
       // as log-only fallbacks for partial traces (blocks/tgbtc.py:335-452)
       TgbtcMintFullMatcher, TgbtcBurnFullMatcher,
       TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
-      TgbtcDkgLogMatcher, ToncoSwapMatcher,
+      TgbtcDkgLogMatcher, ToncoFullSwapMatcher, ToncoSwapMatcher,
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,

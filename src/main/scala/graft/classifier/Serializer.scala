@@ -481,7 +481,11 @@ object Serializer {
           sw.dex, sw.sender,
           dex_incoming_transfer = Some(dexTransfer(sw.inTransfer)),
           dex_outgoing_transfer = Some(dexTransfer(sw.outTransfer)),
-          peer_swaps = Nil, min_out_amount = None))
+          peer_swaps = Nil,
+          // TONCO is the only dex whose serializer records min_out —
+          // the successful out amount (blocks/swaps.py:1155,1205)
+          min_out_amount =
+            if (sw.dex == "tonco") Some(sw.outTransfer.amount) else None))
         // DeDust fills dex transfers from the first hop's `in` and the
         // last hop's `out`; peer_swaps serialized only for multi-pool
         // routes (blocks/swaps.py:655-677: peer_swaps if len>1 else [])

@@ -380,6 +380,54 @@ class DetailStructsSpec extends SparkSpec {
       CocoonIncreaseStakeData(Some("42"), Some(BigDecimal(12345))))
   }
 
+  test("tonco full-context swap merges transfers and records min_out as " +
+      "the out amount") {
+    val user = "0:" + "1A" * 32
+    def jtBody(amount: Long, dest: String): String =
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0x0f8a7ea5L), 32)
+        .storeUint(BigInt(1), 64)
+        .storeCoins(BigInt(amount))
+        .storeAddress(Some(dest))
+        .storeAddress(None)
+        .storeBit(false).storeCoins(BigInt(0)).storeBit(false)
+        .build())
+    val txs = Seq(tx("TA", "0:UW", 10), tx("TB", "0:RIW", 20),
+      tx("TR", "0:ROUTER", 30), tx("TP", "0:POOL", 40),
+      tx("TR2", "0:ROUTER", 50), tx("TC", "0:ROW", 60),
+      tx("TD", "0:UOW", 70))
+    val msgs = Map(
+      "TA" -> Seq(in("m1", user, "0:UW", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody(500, "0:" + "1B" * 32))),
+        out("m2", "0:UW", "0:RIW", Some(Opcodes.JettonInternalTransfer))),
+      "TB" -> Seq(in("m2", "0:UW", "0:RIW",
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:RIW", "0:ROUTER", Some(Opcodes.JettonNotify))),
+      "TR" -> Seq(in("m3", "0:RIW", "0:ROUTER", Some(Opcodes.JettonNotify)),
+        out("m4", "0:ROUTER", "0:POOL", Some(Opcodes.ToncoPoolV3Swap))),
+      "TP" -> Seq(in("m4", "0:ROUTER", "0:POOL", Some(Opcodes.ToncoPoolV3Swap)),
+        out("m5", "0:POOL", "0:ROUTER", Some(Opcodes.ToncoRouterV3PayTo))),
+      "TR2" -> Seq(in("m5", "0:POOL", "0:ROUTER",
+          Some(Opcodes.ToncoRouterV3PayTo)),
+        out("m6", "0:ROUTER", "0:ROW", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody(650, user)))),
+      "TC" -> Seq(in("m6", "0:ROUTER", "0:ROW", Some(Opcodes.JettonTransfer),
+          body = Some(jtBody(650, user))),
+        out("m7", "0:ROW", "0:UOW", Some(Opcodes.JettonInternalTransfer))),
+      "TD" -> Seq(in("m7", "0:ROW", "0:UOW",
+        Some(Opcodes.JettonInternalTransfer))))
+    val acts = Classifier.classify("tc1", txs, msgs)
+    val a = acts.find(_.`type` == "jetton_swap").get
+    val d = a.jetton_swap_data.get
+    assert(d.dex == "tonco")
+    assert(d.dex_incoming_transfer.get.amount.contains(BigDecimal(500)))
+    assert(d.dex_outgoing_transfer.get.amount.contains(BigDecimal(650)))
+    // TONCO records min_out as the successful out amount
+    // (blocks/swaps.py:1155)
+    assert(d.min_out_amount.contains(BigDecimal(650)))
+    assert(acts.count(_.`type` == "jetton_transfer") == 0)
+  }
+
   test("stonfi v1 full-context swap merges in/out transfers with payment " +
       "amounts and the failed flag follows the exit code") {
     val user = "0:" + "0A" * 32
