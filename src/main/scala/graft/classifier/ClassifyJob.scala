@@ -26,12 +26,43 @@ case class ClassifyInputRow(
     init_state: Option[String],
     mc_block_seqno: Option[Int] = None)
 
+/** DataFrame-backed dimension feed for the classifier (SURVEY §2.9 G6;
+  * the reference's Redis interface repository,
+  * interface_repository.py:512-533). Each frame keys on an account
+  * address that occurs in the trace (tx account or message endpoint) —
+  * every matcher lookup key is such an address — so the classify job can
+  * pre-join trace accounts → dims and deliver a per-trace map through
+  * the trace_id shuffle. No dim is ever collected to the driver or
+  * broadcast whole: at the design scale (≤10⁹ dim rows, LAYOUT.md)
+  * these joins shuffle on uniformly-hashed addresses.
+  *
+  * Expected schemas (extra columns ignored; keys must be unique):
+  *  - interfaces(account, interface)
+  *  - jettonWallets(account, master)
+  *  - nftItems(account, item_index, collection)
+  */
+case class ClassifyDims(
+    interfaces: Option[DataFrame] = None,
+    jettonWallets: Option[DataFrame] = None,
+    nftItems: Option[DataFrame] = None) {
+  def isEmpty: Boolean =
+    interfaces.isEmpty && jettonWallets.isEmpty && nftItems.isEmpty
+}
+
+/** Per-trace dim maps delivered through the cogroup — only traces with
+  * at least one dim hit materialize a row. Must stay public for the
+  * Catalyst encoder. */
+case class TraceDims(trace_id: String,
+    ifaces: Map[String, String],
+    jw: Map[String, String],
+    nft: Map[String, NftItemInfo])
+
 object ClassifyJob {
 
   /** transactions(+trace_id) ⟕ messages → actions DataFrame. The
-    * optional interface map (account → detected interface) replaces the
-    * reference's Redis interface repository: broadcast once, read inside
-    * the per-trace groups — no IO inside matchers (J12/S6).
+    * optional dim frames replace the reference's Redis interface
+    * repository: pre-joined per trace, read inside the per-trace
+    * groups — no IO inside matchers (J12/S6).
     *
     * Shuffle shape, measured both ways: this wide join replicates the 12
     * tx columns onto every message row through the trace_id shuffle. The
@@ -45,13 +76,8 @@ object ClassifyJob {
     * extreme message multiplicity revisit the cogroup with the txs side
     * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
-      interfaces: Map[String, String] = Map.empty,
-      jettonWallets: Map[String, String] = Map.empty,
-      nftItems: Map[String, NftItemInfo] = Map.empty): Dataset[ActionRow] = {
+      dims: ClassifyDims = ClassifyDims()): Dataset[ActionRow] = {
     import spark.implicits._
-    val interfacesB = spark.sparkContext.broadcast(interfaces)
-    val jettonWalletsB = spark.sparkContext.broadcast(jettonWallets)
-    val nftItemsB = spark.sparkContext.broadcast(nftItems)
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -72,26 +98,97 @@ object ClassifyJob {
         Seq("hash"), "left")
       .as[ClassifyInputRow]
 
-    joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
-      val buf = rows.toSeq
-      val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
-        val r = rs.head
-        TxLite(h, r.account, r.lt, r.now, r.orig_status, r.end_status,
-          r.aborted, r.compute_exit_code, r.action_result_code,
-          r.total_fees, r.descr, r.mc_block_seqno)
-      }.toSeq
-      val msgsByTx: Map[String, Seq[MsgLite]] = buf
-        .filter(_.msg_hash.isDefined)
-        .groupBy(_.hash)
-        .map { case (h, rs) =>
-          h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
-            r.source, r.destination, r.value.getOrElse(0L), r.opcode,
-            r.bounce.getOrElse(false), r.bounced.getOrElse(false),
-            r.created_lt, r.body, r.init_state))
+    if (dims.isEmpty)
+      joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
+        classifyGroup(traceId, rows, ProtocolMatchers.registry)
+      }
+    else {
+      // dims mode: one extra shuffle pair (accounts→dims join, then the
+      // per-trace maps cogroup back on trace_id). The provided-dim flag
+      // travels OUTSIDE the data: a trace with no hits still gets the
+      // resolver-bound registry (global-map-with-misses semantics).
+      val hasIface = dims.interfaces.isDefined
+      val hasJw = dims.jettonWallets.isDefined
+      val hasNft = dims.nftItems.isDefined
+      val perTrace = traceDims(spark, joined.toDF(), dims)
+      joined.groupByKey(_.trace_id)
+        .cogroup(perTrace.groupByKey(_.trace_id)) { (traceId, rows, ds) =>
+          val d =
+            if (ds.hasNext) ds.next()
+            else TraceDims(traceId, Map.empty, Map.empty, Map.empty)
+          val registry = ProtocolMatchers.registryForDims(
+            if (hasIface) Some(d.ifaces) else None,
+            if (hasJw) Some(d.jw) else None,
+            if (hasNft) Some(d.nft) else None)
+          classifyGroup(traceId, rows, registry)
         }
-      Classifier.classify(traceId, txsOf, msgsByTx, interfacesB.value,
-        jettonWalletsB.value, nftItemsB.value).iterator
     }
+  }
+
+  private def classifyGroup(traceId: String,
+      rows: Iterator[ClassifyInputRow],
+      registry: Seq[Matching.BlockMatcher]): Iterator[ActionRow] = {
+    val buf = rows.toSeq
+    val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
+      val r = rs.head
+      TxLite(h, r.account, r.lt, r.now, r.orig_status, r.end_status,
+        r.aborted, r.compute_exit_code, r.action_result_code,
+        r.total_fees, r.descr, r.mc_block_seqno)
+    }.toSeq
+    val msgsByTx: Map[String, Seq[MsgLite]] = buf
+      .filter(_.msg_hash.isDefined)
+      .groupBy(_.hash)
+      .map { case (h, rs) =>
+        h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
+          r.source, r.destination, r.value.getOrElse(0L), r.opcode,
+          r.bounce.getOrElse(false), r.bounced.getOrElse(false),
+          r.created_lt, r.body, r.init_state))
+      }
+    Classifier.classifyWith(traceId, txsOf, msgsByTx, registry).iterator
+  }
+
+  /** (trace_id, account) distinct pairs ⋈ the provided dims, aggregated
+    * to per-trace lookup maps. One tagged union keeps it a single join +
+    * single aggregation regardless of how many dims are provided.
+    * collect_list drops the null entries the kind-filter produces;
+    * map_from_entries requires unique dim keys (dim-table invariant). */
+  private def traceDims(spark: SparkSession, joinedDf: DataFrame,
+      dims: ClassifyDims): Dataset[TraceDims] = {
+    import spark.implicits._
+    // lookup-key candidates: tx/msg addresses plus the few addresses
+    // matchers decode out of bodies (StonFi v2 pay_to wallets) — see
+    // TlbDecoders.resolverAddressKeys
+    val bodyKeys = udf { (opcode: java.lang.Long, body: String) =>
+      if (opcode == null || body == null) Seq.empty[String]
+      else graft.functions.TlbDecoders.resolverAddressKeys(opcode, body)
+    }
+    val accounts = joinedDf.select(col("trace_id"),
+        explode(concat(
+          array(col("account"), col("source"), col("destination")),
+          bodyKeys(col("opcode"), col("body")))).as("account"))
+      .filter(col("account").isNotNull)
+      .distinct()
+    val nullStr = lit(null).cast("string")
+    val tagged = Seq(
+      dims.interfaces.map(_.select(col("account"), lit("i").as("kind"),
+        col("interface").cast("string").as("v1"), nullStr.as("v2"))),
+      dims.jettonWallets.map(_.select(col("account"), lit("j").as("kind"),
+        col("master").cast("string").as("v1"), nullStr.as("v2"))),
+      dims.nftItems.map(_.select(col("account"), lit("n").as("kind"),
+        col("item_index").cast("string").as("v1"),
+        col("collection").cast("string").as("v2")))
+    ).flatten.reduce(_ unionByName _)
+    accounts.join(tagged, Seq("account"))
+      .groupBy("trace_id")
+      .agg(
+        map_from_entries(collect_list(when(col("kind") === "i",
+          struct(col("account"), col("v1"))))).as("ifaces"),
+        map_from_entries(collect_list(when(col("kind") === "j",
+          struct(col("account"), col("v1"))))).as("jw"),
+        map_from_entries(collect_list(when(col("kind") === "n",
+          struct(col("account"), struct(col("v1").as("index"),
+            col("v2").as("collection")))))).as("nft"))
+      .as[TraceDims]
   }
 
   /** Full-schema actions table: classifier output conformed to

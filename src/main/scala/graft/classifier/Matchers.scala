@@ -2964,11 +2964,23 @@ object ProtocolMatchers {
     * liquidity.py asset resolution). */
   def registryWith(interfaces: Map[String, String],
       jettonWallets: Map[String, String],
-      nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] = {
-    val base =
-      if (jettonWallets.isEmpty) registry
-      else {
-        val resolve = assetResolver(jettonWallets)
+      nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] =
+    registryForDims(Some(interfaces).filter(_.nonEmpty),
+      Some(jettonWallets).filter(_.nonEmpty),
+      Some(nftItems).filter(_.nonEmpty))
+
+  /** Registry for the DataFrame-dims classify path (ClassifyJob cogroup):
+    * a PROVIDED dim (`Some`, even with an empty per-trace map) binds its
+    * resolver variant, so a trace with no dim hits behaves exactly like
+    * the global-map path with lookup misses; an absent dim (`None`)
+    * keeps the plain matcher. */
+  def registryForDims(interfaces: Option[Map[String, String]],
+      jettonWallets: Option[Map[String, String]],
+      nftItems: Option[Map[String, NftItemInfo]]): Seq[BlockMatcher] = {
+    val base = jettonWallets match {
+      case None => registry
+      case Some(jw) =>
+        val resolve = assetResolver(jw)
         registry.map {
           case m if m eq JettonTransferMatcher =>
             new JettonTransferResolvedMatcher(resolve)
@@ -2979,15 +2991,25 @@ object ProtocolMatchers {
             new DedustFirstAssetMatcher(resolve)
           case m => m
         }
-      }
-    val withNft =
-      if (nftItems.isEmpty) base
-      else base.map {
-        case m if m eq NftTransferMatcher => new NftTransferMatcherWith(nftItems)
+    }
+    val withNft = nftItems match {
+      case None => base
+      case Some(ni) => base.map {
+        case m if m eq NftTransferMatcher => new NftTransferMatcherWith(ni)
         case m => m
       }
-    if (interfaces.isEmpty) withNft
-    else withNft ++ Seq(new PTonTransferMatcher(interfaces),
+    }
+    interfaces match {
+      case None => withNft
+      case Some(ifc) => registryGated(withNft, ifc,
+        nftItems.getOrElse(Map.empty))
+    }
+  }
+
+  private def registryGated(withNft: Seq[BlockMatcher],
+      interfaces: Map[String, String],
+      nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] =
+    withNft ++ Seq(new PTonTransferMatcher(interfaces),
       new NftMintMatcher(interfaces, nftItems),
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),
@@ -3003,5 +3025,4 @@ object ProtocolMatchers {
       // dns purchase rewrites auction_bid blocks (AuctionBidMatcher ran)
       new DnsPurchaseMatcher(interfaces),
       new TelegramNftPurchaseMatcher(interfaces))
-  }
 }

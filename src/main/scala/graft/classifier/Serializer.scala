@@ -802,7 +802,16 @@ object Classifier {
       msgsByTx: Map[String, Seq[MsgLite]],
       interfaces: Map[String, String] = Map.empty,
       jettonWallets: Map[String, String] = Map.empty,
-      nftItems: Map[String, NftItemInfo] = Map.empty): Seq[ActionRow] = {
+      nftItems: Map[String, NftItemInfo] = Map.empty): Seq[ActionRow] =
+    classifyWith(traceId, txs, msgsByTx,
+      ProtocolMatchers.registryWith(interfaces, jettonWallets, nftItems))
+
+  /** classify with an explicit matcher registry — the DataFrame-dims
+    * path (ClassifyJob cogroup) binds per-trace resolver maps via
+    * registryForDims and calls this. */
+  def classifyWith(traceId: String, txs: Seq[TxLite],
+      msgsByTx: Map[String, Seq[MsgLite]],
+      registry: Seq[Matching.BlockMatcher]): Seq[ActionRow] = {
     val allMsgs = msgsByTx.values.flatten.toSeq
     if (txs.size > BigTraceCutoff)
       return Seq(unknownAction(traceId, txs))
@@ -816,8 +825,7 @@ object Classifier {
         if (isExternalLeaf) ExternalUnroll.unroll(r).getOrElse(r) else r
       }
       val seeded = Seeder.seedTrace(forest)
-      val rewritten = Matching.rewrite(seeded,
-        ProtocolMatchers.registryWith(interfaces, jettonWallets, nftItems))
+      val rewritten = Matching.rewrite(seeded, registry)
       // trace post-processors (event_processing.py:304-307): DeDust
       // two-leg deposit merge; deploy unwinding is emitted as child
       // actions by the serializer itself

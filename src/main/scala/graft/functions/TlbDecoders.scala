@@ -230,6 +230,20 @@ object TlbDecoders {
     StonfiV2PayToBody(exit, a0, t0, a1, t1)
   }
 
+  /** Candidate dim-lookup addresses decodable from a message body. The
+    * classify dims pre-join (ClassifyJob.traceDims) must cover every
+    * address a matcher can hand to the jetton-wallet resolver; most keys
+    * are in-trace tx/msg addresses, but the StonFi v2 pay_to
+    * payment-request wallets come out of the body (swaps.py:338-352,
+    * 390-424). Returns Nil on any decode failure. */
+  def resolverAddressKeys(opcode: Long, bodyB64: String): Seq[String] =
+    try {
+      if (opcode == 0x657b54f5L) {
+        val d = stonfiV2PayTo(bodyB64)
+        d.token0.toSeq ++ d.token1.toSeq
+      } else Nil
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** StateInit: split_depth:(Maybe (## 5)) special:(Maybe TickTock)
     * code:(Maybe ^Cell) data:(Maybe ^Cell) library:(HashmapE ...) —
     * returns the data cell (StateInit.deserialize(...).data, reference

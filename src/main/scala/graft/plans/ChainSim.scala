@@ -270,15 +270,14 @@ object ChainSim {
   private def protocolClassified(spark: SparkSession, dir: String,
       variant: String, opcodeOf: => Column,
       bodyOf: => Column = lit(null).cast("string"),
-      jettonWallets: => Map[String, String] = Map.empty,
-      nftItems: => Map[String, graft.classifier.NftItemInfo] = Map.empty,
+      dims: => graft.classifier.ClassifyDims = graft.classifier.ClassifyDims(),
       keep: Seq[String] = Nil): DataFrame =
     protoCache.getOrElseUpdate((spark, dir, variant), {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       val acts = ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
-        jettonWallets = jettonWallets, nftItems = nftItems).toDF()
+        dims).toDF()
       // checkpoint only the columns the variant's queries read — the
       // unread detail structs would pin session memory otherwise
       val cols = (protoBaseCols ++ keep).distinct
@@ -871,17 +870,18 @@ object ChainSim {
     b15BodyUdf(col("event_type"), col("event_id").cast("long"),
       col("user_id").cast("long"))
 
-  /** The broadcast jetton-wallet repository for the b15 corpus: every
-    * user's pool wallet maps to a distinct master address. On a cluster
-    * this map is the jetton_wallets dim table broadcast into the
-    * classify job — identical shape, driver-built here because the
-    * fixture derives it from user ids. */
-  private def b15Wallets(spark: SparkSession, dir: String): Map[String, String] = {
-    import spark.implicits._
-    chainedEvents(spark, dir).select(col("user_id").cast("long"))
-      .distinct().as[Long].collect()
-      .map(u => b15Wallet(u) -> b15Master(u)).toMap
-  }
+  /** The jetton-wallet dim table for the b15 corpus: every user's pool
+    * wallet maps to a distinct master address. A real DataFrame dim —
+    * pre-joined per trace inside ClassifyJob (never collected to the
+    * driver), exactly the cluster feed shape. Column formulas mirror
+    * b15Wallet/b15Master (hex is uppercase in both). */
+  private def b15WalletDim(spark: SparkSession, dir: String): DataFrame =
+    chainedEvents(spark, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .select(
+        concat(lit("0:"), lpad(hex(col("user_id")), 64, "0")).as("account"),
+        concat(lit("0:"), lpad(hex(col("user_id") + 5000000L), 64, "0"))
+          .as("master"))
 
   /** Hop-level StonFi v2 peer swaps with repository-resolved assets: the
     * oracle states the MASTER address (wallet + 5,000,000 by fixture
@@ -923,7 +923,8 @@ object ChainSim {
       |FROM views WHERE nv >= 2
       |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
     protocolClassified(s, dir, "b15", b15Opcodes, b15Bodies,
-      b15Wallets(s, dir), keep = Seq("jetton_swap_data"))
+      graft.classifier.ClassifyDims(jettonWallets = Some(b15WalletDim(s, dir))),
+      keep = Seq("jetton_swap_data"))
       .filter(col("type") === "jetton_swap")
       .select(col("trace_id"), col("start_lt").as("swap_lt"),
         posexplode(col("jetton_swap_data.peer_swaps")))
@@ -1268,24 +1269,22 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
-  /** b19 opcode mapping — NFT transfers resolved through the broadcast
-    * nft_items dim: every click is a transfer into the user's item
-    * account; index and collection come from the repository map (the
-    * cluster shape: the nft_items dim broadcast into classify, like the
-    * b15 jetton-wallet repository), so the oracle states them purely by
-    * construction. */
+  /** b19 opcode mapping — NFT transfers resolved through the nft_items
+    * dim: every click is a transfer into the user's item account; index
+    * and collection come from the dim table (a real DataFrame pre-joined
+    * per trace inside ClassifyJob, never collected), so the oracle
+    * states them purely by construction. */
   private def b19Opcodes: Column =
     when(col("event_type") === "click",
       lit(graft.classifier.Opcodes.NftTransfer)).otherwise(lit(5L))
 
-  private def b19Items(spark: SparkSession,
-      dir: String): Map[String, graft.classifier.NftItemInfo] = {
-    import spark.implicits._
-    chainedEvents(spark, dir).select(col("user_id").cast("long"))
-      .distinct().as[Long].collect()
-      .map(u => s"0:$u" -> graft.classifier.NftItemInfo(
-        Some((u * 7).toString), Some(s"0:C$u"))).toMap
-  }
+  private def b19ItemDim(spark: SparkSession, dir: String): DataFrame =
+    chainedEvents(spark, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .select(
+        concat(lit("0:"), col("user_id").cast("string")).as("account"),
+        (col("user_id") * 7).cast("string").as("item_index"),
+        concat(lit("0:C"), col("user_id").cast("string")).as("collection"))
 
   val b19 = Q("b19_nft_items_dim",
     """WITH base AS (
@@ -1299,7 +1298,8 @@ object ChainSim {
       |FROM base WHERE event_type = 'click'
       |ORDER BY start_lt""".stripMargin) { (s, dir) =>
     protocolClassified(s, dir, "b19", b19Opcodes,
-      nftItems = b19Items(s, dir),
+      dims = graft.classifier.ClassifyDims(
+        nftItems = Some(b19ItemDim(s, dir))),
       keep = Seq("asset", "asset_secondary", "nft_transfer_data"))
       .filter(col("type") === "nft_transfer")
       .select(col("trace_id"), col("start_lt"),
