@@ -175,7 +175,10 @@ case class ProtocolOpBlock(
     // coffee create-pool pair columns + detail struct
     asset2: Option[String] = None,
     asset2Secondary: Option[String] = None,
-    coffeePool: Option[CoffeeCreatePoolData] = None) extends Block {
+    coffeePool: Option[CoffeeCreatePoolData] = None,
+    // multisig signer set (accounts-list extras,
+    // block_tree_serializer.py:781/:792/:807)
+    signers: Seq[String] = Nil) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

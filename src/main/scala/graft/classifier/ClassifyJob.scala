@@ -235,12 +235,20 @@ object ClassifyJob {
   def actionAccounts(spark: SparkSession, actions: DataFrame): DataFrame = {
     val traceEnds = actions.groupBy("trace_id")
       .agg(max("end_lt").as("trace_end_lt"), max("end_utime").as("trace_end_utime"))
+    // full involved-accounts list when the classifier provided it
+    // (get_action_accounts, database.py:590-600); endpoint fallback for
+    // pre-computed action frames without the transient column
+    val acctArray =
+      if (actions.columns.contains("accounts"))
+        concat(coalesce(col("accounts"), array()),
+          coalesce(array(col("source")), array()),
+          coalesce(array(col("destination")), array()))
+      else
+        concat(coalesce(array(col("source")), array()),
+          coalesce(array(col("destination")), array()))
     actions.toDF()
       .select(col("action_id"), col("trace_id"),
-        explode(array_distinct(concat(
-          coalesce(array(col("source")), array()),
-          coalesce(array(col("destination")), array()))))
-          .as("account"),
+        explode(array_distinct(acctArray)).as("account"),
         col("end_lt").as("action_end_lt"), col("end_utime").as("action_end_utime"))
       .filter(col("account").isNotNull)
       .join(traceEnds, Seq("trace_id"))

@@ -1113,6 +1113,10 @@ object ProtocolMatchers {
           p.copy(
             destinationSecondary =
               initBlock.flatMap(_.node.inMsg.flatMap(_.destination)),
+            // accounts-list extras (block_tree_serializer.py:781); the
+            // init body carries the same signer set the order contract
+            // stores (messages/multisig.py:46-56)
+            signers = init.map(_.signers).getOrElse(Nil),
             msigCreate =
               if (newOrder.isEmpty && init.isEmpty) None
               else Some(MultisigCreateOrderData(

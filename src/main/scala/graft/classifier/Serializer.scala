@@ -310,7 +310,11 @@ case class ActionRow(
     asset2_secondary: Option[String] = None,
     // max masterchain seqno over the action's own txs
     // (block_tree_serializer.py:114)
-    mc_seqno_end: Option[Int] = None)
+    mc_seqno_end: Option[Int] = None,
+    // every involved account — block tx accounts + endpoints/secondaries
+    // + per-type extras; transient in the reference too (database.py:580,
+    // no Column()) — it exists to feed action_accounts
+    accounts: Seq[String] = Nil)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -443,7 +447,7 @@ object Serializer {
       case "tonco_withdraw_liquidity" => "dex_withdraw_liquidity"
       case other => other
     }
-    ActionRow(traceId, actionId(anchor, b.btype), serializedType,
+    val row = ActionRow(traceId, actionId(anchor, b.btype), serializedType,
       b.txHashes, value, b.minLt, b.maxLt, b.minUtime, b.maxUtime,
       src, dst, asset, opcode, success = !b.failed,
       parent.map(_.action_id), ancestors.reverse,
@@ -746,6 +750,31 @@ object Serializer {
           headQid(p).map(q => CocoonClientWithdrawData(Some(q), None))
         case _ => None
       })
+    row.copy(accounts = fullAccounts(b, row))
+  }
+
+  /** Every involved account of an action, the reference's fill-accounts
+    * tail (block_tree_serializer.py:111-120 event-node seed, :1462-1480
+    * endpoint/secondary appends + per-type extras: asset_secondary for
+    * the NFT trade family :317/:572/:588/:598, multisig signers
+    * :781/:792/:807). The initiating node's account belongs to the parent
+    * action's own node set in this tree model, so the union across
+    * actions covers it. Dedup non-null, insertion-ordered. */
+  private val AssetSecondaryTypes = Set(
+    "nft_update_sale", "auction_bid", "auction_outbid", "nft_cancel_sale",
+    "nft_cancel_auction", "nft_finish_auction", "teleitem_cancel_auction")
+  private def fullAccounts(b: Block, row: ActionRow): Seq[String] = {
+    val nodeAccts = b.nodes.map(_.tx.account)
+    val extras: Seq[String] = b match {
+      case p: ProtocolOpBlock
+          if AssetSecondaryTypes.contains(row.`type`) =>
+        p.assetSecondary.toSeq ++ p.signers
+      case p: ProtocolOpBlock => p.signers
+      case _ => Nil
+    }
+    (nodeAccts ++ row.source ++ row.source_secondary ++
+      row.destination ++ row.destination_secondary ++ extras)
+      .filter(_ != null).distinct
   }
 
   private def safeDec[T](f: String => T)(b64: String): Option[T] =
@@ -781,12 +810,15 @@ object Serializer {
       source_jetton_wallet = Some(j.senderWallet),
       destination_jetton_wallet = j.receiverWallet)
 
-  /** Exploded (account × action) rows (action_accounts, migrate.cpp:589-599). */
+  /** Exploded (account × action) rows (action_accounts, migrate.cpp:589-599;
+    * get_action_accounts database.py:590-600 — one row per involved
+    * account, not just the endpoints). */
   def actionAccounts(actions: Seq[ActionRow], traceEndLt: Long,
       traceEndUtime: Long, accountsOf: String => Seq[String]): Seq[ActionAccountRow] =
     for {
       a <- actions
-      acct <- (accountsOf(a.action_id) ++ a.source ++ a.destination).distinct
+      acct <- (accountsOf(a.action_id) ++ a.accounts ++
+        a.source ++ a.destination).distinct
     } yield ActionAccountRow(a.action_id, a.trace_id, acct,
       traceEndLt, a.end_lt, traceEndUtime, a.end_utime)
 }
@@ -850,5 +882,8 @@ object Classifier {
       txs.map(_.hash), None,
       txs.map(_.lt).min, txs.map(_.lt).max,
       txs.map(_.now.toLong).min, txs.map(_.now.toLong).max,
-      None, None, None, None, success = false, None, Nil)
+      None, None, None, None, success = false, None, Nil,
+      // fallback accounts = every trace tx account
+      // (block_tree_serializer.py:1586)
+      accounts = txs.map(_.account).distinct)
 }

@@ -168,6 +168,27 @@ object Boc {
     }
   }
 
+  /** Hashmap ROOT cell (no HashmapE maybe-bit) with INLINE leaf values —
+    * the shape of `signers:^(Hashmap 8 MsgAddressInt)` in the multisig
+    * init order (messages/multisig.py:37). The reader receives the leaf
+    * slice positioned after the label. */
+  def dictInline[T](root: Cell, keyBits: Int)(read: Slice => T): Map[BigInt, T] = {
+    val out = scala.collection.mutable.LinkedHashMap[BigInt, T]()
+    def walk(c: Cell, n: Int, prefix: BigInt): Unit = {
+      val s = c.beginParse()
+      val (labelLen, labelVal) = readLabel(s, n)
+      val key = (prefix << labelLen) | labelVal
+      val rem = n - labelLen
+      if (rem == 0) out(key) = read(s)
+      else {
+        walk(s.loadRef(), rem - 1, key << 1)
+        walk(s.loadRef(), rem - 1, (key << 1) | 1)
+      }
+    }
+    walk(root, keyBits, BigInt(0))
+    out.toMap
+  }
+
   /** Keys of a Hashmap ROOT cell (no HashmapE maybe-bit), values ignored —
     * the shape of contract method dictionaries, whose leaf values are
     * inline continuations rather than refs. */

@@ -444,23 +444,34 @@ object TlbDecoders {
 
   final case class MultisigInitOrderBody(
       queryId: BigInt, threshold: Int, expirationDate: Long,
-      orderBoc: String, approveOnInit: Boolean)
+      orderBoc: String, approveOnInit: Boolean,
+      signers: Seq[String] = Nil)
 
   /** init#9c73fba2 query_id:uint64 threshold:uint8
     * signers:^(Hashmap 8 MsgAddressInt) expiration_date:uint48
     * order:^Order approve_on_init:(## 1) ...
-    * (messages/multisig.py:33-66). */
+    * (messages/multisig.py:33-66; the signers dict parse mirrors
+    * :46-56 — index-ordered MsgAddressInt leaves). */
   def multisigInitOrder(bodyB64: String): MultisigInitOrderBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x9c73fba2L)
     val qid = s.loadUint(64)
     val threshold = s.loadUint(8).toInt
-    s.loadRef() // signers dict
+    // signers ref cell: HashmapE 8 MsgAddressInt (empty = lone 0 bit, the
+    // shape multisig.py:57-59 defaults to {}); index-ordered values
+    val signersDict = s.loadRef()
+    val signers =
+      try {
+        val ds = signersDict.beginParse()
+        if (!ds.loadBit()) Nil
+        else Boc.dictInline(ds.loadRef(), 8)(_.loadAddress())
+          .toSeq.sortBy(_._1).flatMap(_._2)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
     val exp = s.loadUint(48).toLong
     val order = s.loadRef()
     val approveOnInit = s.loadBit()
     MultisigInitOrderBody(qid, threshold, exp,
-      Boc.serializeBase64(order), approveOnInit)
+      Boc.serializeBase64(order), approveOnInit, signers)
   }
 
   final case class MultisigApproveBody(queryId: BigInt, signerIndex: Int)

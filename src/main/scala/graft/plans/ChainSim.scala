@@ -88,7 +88,8 @@ object ChainSim {
         .join(broadcast(meta), Seq("trace_id"), "left")
         .select("trace_id", "action_id", "type", "start_lt", "end_lt",
           "start_utime", "end_utime", "source", "destination", "success",
-          "ancestor_type", "ton_transfer_data", "trace_end_utime")
+          "ancestor_type", "ton_transfer_data", "trace_end_utime",
+          "accounts")
         .localCheckpoint()
     })
 

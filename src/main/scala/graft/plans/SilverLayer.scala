@@ -30,9 +30,13 @@ object SilverLayer {
       .filter(col("rn") === 1)
       .select(col("account"), col("lt").as("last_trans_lt"),
         col("hash").as("last_trans_hash"))
-    latest
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("last_trans_lt"), col("account"))))
+    // §1.4 surrogate id: global dense rank by (last_trans_lt, account)
+    // WITHOUT a single-task global window — the zipWithIndex shape
+    // (range-repartition + local index + broadcast offsets) survives the
+    // design-size 3·10⁸-row latest-states table.
+    graft.operators.GlobalIndex
+      .globalRowNumber(latest, "id", col("last_trans_lt"), col("account"))
+      .withColumn("id", col("id").cast("int"))
       .orderBy("account")
   }
 

@@ -80,6 +80,50 @@ class DetailStructsSpec extends SparkSpec {
     assert(actions.head.destination_secondary.contains("0:ORDER"))
   }
 
+  test("multisig create order: init-body signers dict lands in the " +
+      "action accounts list (block_tree_serializer.py:781)") {
+    val sigA = "0:" + "AA" * 32
+    val sigB = "0:" + "BB" * 32
+    def leaf(addr: String) = new Boc.Builder()
+      .storeBit(false).storeBit(false) // hml_short, len 0
+      .storeAddress(Some(addr)).build()
+    val dictRoot = new Boc.Builder()
+      .storeBit(false) // hml_short
+      .storeUint(BigInt("1111111", 2), 7).storeBit(false) // unary len 7
+      .storeUint(BigInt(0), 7) // label bits
+      .storeRef(leaf(sigA)).storeRef(leaf(sigB)).build()
+    val signersCell = new Boc.Builder()
+      .storeBit(true).storeRef(dictRoot).build() // HashmapE non-empty
+    val body = {
+      val b = new Boc.Builder()
+        .storeUint(BigInt(0x9c73fba2L), 32)
+        .storeUint(BigInt(7), 64)
+        .storeUint(BigInt(2), 8)
+        .storeRef(signersCell)
+        .storeUint(BigInt(99), 48)
+        .storeRef(orderCell)
+        .storeBit(true).storeUint(BigInt(0), 8)
+      Boc.serializeBase64(b.build())
+    }
+    val decoded = graft.functions.TlbDecoders.multisigInitOrder(body)
+    assert(decoded.signers == Seq(sigA, sigB))
+    val txs = Seq(tx("TM", "0:MSIG", 10), tx("TO", "0:ORDER", 20))
+    val msgs = Map(
+      "TM" -> Seq(
+        in("m1", "0:CREATOR", "0:MSIG", Some(Opcodes.MultisigNewOrder),
+          body = Some(newOrderBody(7, 42, isSigner = true, idx = 3,
+            exp = 1234567))),
+        out("m2", "0:MSIG", "0:ORDER", Some(Opcodes.MultisigInitOrder),
+          body = Some(body))),
+      "TO" -> Seq(in("m2", "0:MSIG", "0:ORDER", Some(Opcodes.MultisigInitOrder),
+        body = Some(body))))
+    val a = Classifier.classify("ms-sig", txs, msgs).head
+    assert(a.`type` == "multisig_create_order")
+    // node accounts + endpoints + secondaries + signers, deduped
+    for (acct <- Seq("0:MSIG", "0:ORDER", "0:CREATOR", sigA, sigB))
+      assert(a.accounts.contains(acct), s"missing $acct in ${a.accounts}")
+  }
+
   test("multisig approve: accepted => exit 0; rejected => decoded exit " +
       "code and failed action") {
     def approveBody(idx: Int): String =
