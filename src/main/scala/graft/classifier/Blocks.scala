@@ -109,10 +109,16 @@ case class NftTransferBlock(
 }
 
 /** Jetton mint: internal_transfer arriving WITHOUT a preceding wallet
-  * transfer (master-initiated; reference test corpus jetton-mints.yaml). */
+  * transfer (master-initiated; reference test corpus jetton-mints.yaml).
+  * The mint-call matcher upgrades it with the call anchor's data: the
+  * master as asset and the attached ton_amount
+  * (_get_jetton_mint_data, blocks/jettons.py:179-230). */
 case class JettonMintBlock(
-    receiver: Option[String], receiverWallet: String, amount: BigDecimal,
-    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+    receiver: Option[String], receiverWallet: Option[String],
+    amount: BigDecimal,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
+    master: Option[String] = None,
+    tonAmount: Option[BigDecimal] = None) extends Block {
   val btype = "jetton_mint"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
@@ -178,7 +184,11 @@ case class ProtocolOpBlock(
     coffeePool: Option[CoffeeCreatePoolData] = None,
     // multisig signer set (accounts-list extras,
     // block_tree_serializer.py:781/:792/:807)
-    signers: Seq[String] = Nil) extends Block {
+    signers: Seq[String] = Nil,
+    // token quantity when it differs from `value` (the reference's
+    // action.amount vs action.value split — e.g. jetton mint carries
+    // both the minted amount and the attached ton_amount)
+    amount: Option[BigDecimal] = None) extends Block {
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 

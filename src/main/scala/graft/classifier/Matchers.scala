@@ -401,9 +401,56 @@ object ProtocolMatchers {
             if Opcodes.matches(cc.opcode, Opcodes.JettonNotify) =>
             cc.nodes.head.inMsg.flatMap(_.destination)
         }.flatten
-        Some((JettonMintBlock(receiver, c.nodes.head.tx.account,
+        Some((JettonMintBlock(receiver, Some(c.nodes.head.tx.account),
           decoded.map(d => BigDecimal(d.amount)).getOrElse(BigDecimal(0)),
           consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+      case _ => None
+    }
+  }
+
+  /** Mint-call-anchored jetton mint (JettonMintBlockMatcher,
+    * blocks/jettons.py:250-280 + _get_jetton_mint_data :179-230): a
+    * 0x642b7d07 / 0x00000015 call at the jetton master merged with its
+    * internal_transfer leg into one jetton_mint carrying BOTH quantities
+    * — amount = the transfer's minted amount, value = the body's
+    * ton_amount. Runs AFTER the jetton family (reference registry order,
+    * event_processing.py:252-253 — ethena first), so the leg arrives
+    * already rewritten as a JettonMintBlock child; this matcher adds the
+    * call anchor, the master as asset, and the body-decoded endpoints.
+    * Without the leg the reference's else-branch applies: failed, to
+    * from the body, amount only for the minter-style call. */
+  final class JettonMintCallMatcher(mintOp: Long) extends BlockMatcher {
+    // trigger sets are conjunctive — one matcher instance per mint opcode
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(mintOp))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, mintOp) =>
+        val decoded = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(graft.functions.TlbDecoders.jettonMintCall))
+        val leg = c.children.collectFirst { case m: JettonMintBlock => m }
+        val master = Some(c.node.tx.account)
+        val tonAmount = decoded.map(d => BigDecimal(d.tonAmount))
+        val built = leg match {
+          case Some(m) if !c.failed =>
+            val consumed: Seq[Block] = Seq(c, m)
+            JettonMintBlock(
+              m.receiver.orElse(decoded.flatMap(_.toAddress)),
+              m.receiverWallet, m.amount,
+              c.failed || m.failed,
+              consumed.flatMap(_.nodes), Nil,
+              master = master, tonAmount = tonAmount) -> consumed
+          case _ =>
+            // no-transfer branch: reference records failed=True and
+            // takes endpoints from the body (amount only for the
+            // minter-style call's master_msg)
+            JettonMintBlock(
+              decoded.flatMap(_.toAddress), None,
+              decoded.flatMap(_.masterMsgJettonAmount)
+                .map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+              failed = true,
+              Seq(c).flatMap(_.nodes), Nil,
+              master = master, tonAmount = tonAmount) -> Seq(c: Block)
+        }
+        Some(built)
       case _ => None
     }
   }
@@ -1027,6 +1074,9 @@ object ProtocolMatchers {
                 value = Some(jb.amount),
                 failed = consumed.exists(_.failed) || mintedNft.isEmpty,
                 nodes = consumed.flatMap(_.nodes), children = Nil,
+                // the burn wallet rides source_secondary
+                // (_fill_tonstakers_withdraw_request_action:523)
+                sourceSecondary = Some(jb.ownerWallet),
                 tsNft = mintedNft), consumed))
             case _ => None
           }
@@ -1228,6 +1278,12 @@ object ProtocolMatchers {
         .flatMap(safeDecode(graft.functions.TlbDecoders.vestingSendMessage))
       protoBlock("vesting_send_message")(c, consumed) match {
         case p: ProtocolOpBlock => p.copy(
+          // forwarded-message endpoint + value (vesting.py:97-99; fill
+          // block_tree_serializer.py:810-819: destination_secondary =
+          // where the msg was sent, amount = the msg value)
+          destinationSecondary = d.flatMap(_.messageDestination),
+          value = d.flatMap(_.messageValue).map(BigDecimal(_))
+            .orElse(p.value),
           vestingSend = d.map(b => VestingSendMessageData(
             query_id = Some(b.queryId.toString),
             message_boc = Some(b.messageBoc))))
@@ -2502,7 +2558,7 @@ object ProtocolMatchers {
             val consumed: Seq[Block] = Seq(c, l, m)
             Some((ProtocolOpBlock("tgbtc_mint",
               c.node.inMsg.flatMap(_.source), m.receiver,
-              asset = Some(m.receiverWallet), value = Some(m.amount),
+              asset = m.receiverWallet, value = Some(m.amount),
               failed = consumed.exists(_.failed),
               nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
           case _ => None
@@ -2721,12 +2777,13 @@ object ProtocolMatchers {
       case jt: JettonTransferBlock =>
         jt.children.collectFirst {
           case m: JettonMintBlock
-            if interfaces.get(m.receiverWallet).contains("ethena_tsusde_wallet") => m
+            if m.receiverWallet.exists(w =>
+              interfaces.get(w).contains("ethena_tsusde_wallet")) => m
         }.map { mint =>
           val consumed: Seq[Block] = Seq(jt, mint)
           (ProtocolOpBlock("stake_deposit",
             source = jt.sender, destination = jt.receiver,
-            asset = Some(mint.receiverWallet), value = Some(jt.amount),
+            asset = mint.receiverWallet, value = Some(jt.amount),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
             tokensMinted = Some(mint.amount),
@@ -2862,6 +2919,10 @@ object ProtocolMatchers {
       LayerZeroReceiveMatcher, LayerZeroDvnVerifyMatcher,
       LayerZeroSendTokensMatcher,
       EthenaWithdrawalRequestMatcher,
+      // after ethena, exactly as the reference orders the pair
+      // (event_processing.py:252-253)
+      new JettonMintCallMatcher(Opcodes.JettonMint),
+      new JettonMintCallMatcher(Opcodes.MinterJettonMint),
       CocoonPayoutMatcher, CocoonClientTopUpMatcher,
       CocoonClientRegisterMatcher, CocoonGrantRefundMatcher,
       CocoonProxyPayoutMatcher, CocoonProxyChargeMatcher,

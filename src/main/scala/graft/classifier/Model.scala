@@ -251,6 +251,8 @@ object Opcodes {
 
   // Ethena staking (blocks/ethena_staking.py:61-64; messages/jettons.py:143)
   val JettonMint = 0x642b7d07L
+  // minter-style mint call (messages/jettons.py:156)
+  val MinterJettonMint = 0x00000015L
   val EthenaTsUsdeTransfer = 0xb2583ed5L
 
   // cocoon payment proxies (messages/cocoon.py:13-130)

@@ -314,7 +314,12 @@ case class ActionRow(
     // every involved account — block tx accounts + endpoints/secondaries
     // + per-type extras; transient in the reference too (database.py:580,
     // no Column()) — it exists to feed action_accounts
-    accounts: Seq[String] = Nil)
+    accounts: Seq[String] = Nil,
+    // the reference's action.amount (token quantity) as distinct from
+    // action.value (attached TON) — filled for token/protocol families
+    // (the 36 amount fills of block_tree_serializer.py), null for
+    // ton_transfer/call_contract whose quantity is `value`
+    amount: Option[BigDecimal] = None)
 
 case class ActionAccountRow(
     action_id: String, trace_id: String, account: String,
@@ -417,7 +422,12 @@ object Serializer {
         (sw.sender, sw.outTransfer.receiver,
           Some(sw.inTransfer.senderWallet), Some(sw.inTransfer.amount))
       case m: JettonMintBlock =>
-        (None, m.receiver, Some(m.receiverWallet), Some(m.amount))
+        // asset = the master when the call anchor resolved it
+        // (_get_jetton_mint_data else-branch / wallet dim); the wallet
+        // stands in for the orphan-leg path. value = the attached
+        // ton_amount (fill :651) falling back to the minted amount.
+        (None, m.receiver, m.master.orElse(m.receiverWallet),
+          m.tonAmount.orElse(Some(m.amount)))
       case d: ContractDeployBlock =>
         (None, Some(d.node.tx.account), None, None)
       case p: ProtocolOpBlock =>
@@ -549,6 +559,8 @@ object Serializer {
       },
       destination_secondary = b match {
         case j: JettonTransferBlock => j.receiverWallet
+        // to_jetton_wallet (_fill_jetton_mint_action:648)
+        case m: JettonMintBlock => m.receiverWallet
         case p: ProtocolOpBlock => p.destinationSecondary
         case _ => None
       },
@@ -750,7 +762,37 @@ object Serializer {
           headQid(p).map(q => CocoonClientWithdrawData(Some(q), None))
         case _ => None
       })
-    row.copy(accounts = fullAccounts(b, row))
+    row.copy(accounts = fullAccounts(b, row), amount = amountOf(b, row))
+  }
+
+  /** action.amount (the token quantity) vs action.value (attached TON):
+    * basic TON movement keeps amount null (fills :140-162 set only
+    * value); jetton_swap carries its quantities inside jetton_swap_data
+    * (:355-395, no action.amount); the families below mirror the
+    * reference's 36 `action.amount =` fills — their primary quantity is
+    * amount. A block that computed a distinct amount (mint: minted
+    * tokens vs attached TON) carries it explicitly. */
+  private val AmountTypes = Set(
+    "jetton_transfer", "jetton_burn", "jetton_mint",
+    "stake_deposit", "stake_withdrawal", "stake_withdrawal_request",
+    "subscribe", "unsubscribe", "auction_bid", "auction_outbid",
+    "nft_purchase", "dns_purchase",
+    "evaa_supply", "evaa_withdraw", "evaa_liquidate",
+    "jvault_stake", "jvault_unstake", "jvault_unstake_request",
+    "jvault_claim", "vesting_send_message",
+    "coffee_staking_deposit", "coffee_staking_withdraw",
+    "coffee_staking_claim_rewards",
+    "cocoon_worker_payout", "cocoon_proxy_payout", "cocoon_client_top_up",
+    "cocoon_client_increase_stake", "cocoon_client_withdraw",
+    "cocoon_register_proxy",
+    "tgbtc_mint", "tgbtc_burn",
+    "election_deposit", "election_recover")
+  private def amountOf(b: Block, row: ActionRow): Option[BigDecimal] = b match {
+    case p: ProtocolOpBlock if p.amount.nonEmpty => p.amount
+    case m: JettonMintBlock => Some(m.amount)
+    case _: JettonTransferBlock | _: JettonBurnBlock => row.value
+    case _: ProtocolOpBlock if AmountTypes.contains(row.`type`) => row.value
+    case _ => None
   }
 
   /** Every involved account of an action, the reference's fill-accounts

@@ -119,6 +119,33 @@ object TlbDecoders {
       s.loadAddress(), s.loadAddress(), s.loadCoins())
   }
 
+  final case class JettonMintCallBody(
+      queryId: BigInt, toAddress: Option[String], tonAmount: BigInt,
+      masterMsgJettonAmount: Option[BigInt] = None)
+
+  /** Mint calls at the jetton master: 0x642b7d07 query_id:uint64
+    * to_address:MsgAddress ton_amount:Coins master_msg:^... (JettonMint,
+    * messages/jettons.py:142-154) and minter-style 0x00000015 whose
+    * master_msg ref carries the jetton amount (MinterJettonMint,
+    * :156-173). */
+  def jettonMintCall(bodyB64: String): JettonMintCallBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    val op = s.loadUint(32).toLong
+    require(op == 0x642b7d07L || op == 0x00000015L, s"not a mint call: $op")
+    val qid = s.loadUint(64)
+    val to = s.loadAddress()
+    val tonAmount = s.loadCoins()
+    val masterAmount =
+      if (op == 0x00000015L && s.remainingRefs > 0) {
+        try {
+          val ms = s.loadRef().beginParse()
+          ms.loadUint(32); ms.loadUint(64)
+          Some(ms.loadCoins())
+        } catch { case scala.util.control.NonFatal(_) => None }
+      } else None
+    JettonMintCallBody(qid, to, tonAmount, masterAmount)
+  }
+
   /** burn#595f07bc query_id:uint64 amount:(VarUInteger 16)
     * response_destination:MsgAddress */
   def jettonBurn(bodyB64: String): JettonBurnBody = {
@@ -715,15 +742,33 @@ object TlbDecoders {
   // ------------------------------------------------------------- vesting
 
   final case class VestingSendMessageBody(
-      queryId: BigInt, sendMode: Int, messageBoc: String)
+      queryId: BigInt, sendMode: Int, messageBoc: String,
+      messageDestination: Option[String] = None,
+      messageValue: Option[BigInt] = None)
 
   /** vesting send_message 0xa7733acd query_id:uint64 send_mode:uint8
-    * message:^Cell (messages/vesting.py:11-29). */
+    * message:^Cell (messages/vesting.py:11-29). The ordered message's
+    * int_msg_info header yields the forwarded destination and value
+    * (:27-28) — they become the action's destination_secondary and
+    * amount (_fill_vesting_send_message,
+    * block_tree_serializer.py:810-819). */
   def vestingSendMessage(bodyB64: String): VestingSendMessageBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0xa7733acdL)
-    VestingSendMessageBody(s.loadUint(64), s.loadUint(8).toInt,
-      Boc.serializeBase64(s.loadRef()))
+    val qid = s.loadUint(64)
+    val mode = s.loadUint(8).toInt
+    val msg = s.loadRef()
+    val (dest, value) =
+      try {
+        val ms = msg.beginParse()
+        require(!ms.loadBit(), "int_msg_info expected")
+        ms.loadBit(); ms.loadBit(); ms.loadBit() // ihr_disabled/bounce/bounced
+        ms.loadAddress() // src
+        val d = ms.loadAddress()
+        val v = ms.loadCoins()
+        (d, Some(v))
+      } catch { case scala.util.control.NonFatal(_) => (None, None) }
+    VestingSendMessageBody(qid, mode, Boc.serializeBase64(msg), dest, value)
   }
 
   final case class VestingAddWhitelistBody(

@@ -202,6 +202,205 @@ class GoldenParitySpec extends SparkSpec {
     assert(d.lp_tokens_minted.isEmpty)
   }
 
+  test("tonstakers.yaml parity ('TS Stake deposit'): stake_deposit with " +
+      "provider/tokens_minted, fee-adjusted value and the accounts list") {
+    val staker = "0:" + "90" * 32
+    val pool = "0:" + "A4" * 32
+    val master = "0:" + "BD" * 32
+    val tsWallet = "0:" + "E4" * 32
+    val xferBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(9439323796L))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    val txs = Seq(tx("T1", pool, 10), tx("T2", master, 20),
+      tx("T3", tsWallet, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", staker, pool, Some(Opcodes.TonstakersDeposit),
+          value = 11000000000L),
+        out("m2", pool, master, Some(Opcodes.TonstakersMint))),
+      "T2" -> Seq(
+        in("m2", pool, master, Some(Opcodes.TonstakersMint)),
+        out("m3", master, tsWallet, Some(Opcodes.JettonInternalTransfer),
+          body = Some(xferBody))),
+      "T3" -> Seq(in("m3", master, tsWallet,
+        Some(Opcodes.JettonInternalTransfer), body = Some(xferBody))))
+    val a = Classifier.classify("gts1", txs, msgs).head
+    // the YAML's expected-actions block: type/source/destination/asset/
+    // amount/staking_data.{provider,tokens_minted}
+    assert(a.`type` == "stake_deposit")
+    assert(a.source.contains(staker))
+    assert(a.destination.contains(pool))
+    assert(a.asset.contains(master))
+    assert(a.value.contains(BigDecimal(10000000000L))) // 11 TON - 1 TON fee
+    assert(a.amount.contains(BigDecimal(10000000000L)))
+    assert(a.success)
+    val sd = a.staking_data.get
+    assert(sd.provider.contains("liquid_staking"))
+    assert(sd.tokens_minted.contains(BigDecimal(9439323796L)))
+    // the YAML accounts list: wallet, asset master, source, destination
+    for (acct <- Seq(tsWallet, master, staker, pool))
+      assert(a.accounts.contains(acct), s"missing $acct in ${a.accounts}")
+  }
+
+  test("tonstakers.yaml parity ('TS Withdrawal request'): tsTON-wallet " +
+      "source_secondary, ts_nft and the accounts list") {
+    val staker = "0:" + "86" * 32
+    val tsWallet = "0:" + "51" * 32
+    val pool = "0:" + "A4" * 32
+    val ctrl = "0:" + "0B" * 32
+    val nftMinter = "0:" + "0C" * 32
+    val bill = "0:" + "7A" * 32
+    val burnBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x595f07bcL), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(67599)).storeAddress(None).build())
+    val txs = Seq(tx("TB", tsWallet, 10), tx("TN", pool, 20),
+      tx("TR", ctrl, 30), tx("TX", nftMinter, 40), tx("TI", bill, 50))
+    val msgs = Map(
+      "TB" -> Seq(
+        in("m1", staker, tsWallet, Some(Opcodes.JettonBurn),
+          body = Some(burnBody)),
+        out("m2", tsWallet, pool, Some(Opcodes.JettonBurnNotification))),
+      "TN" -> Seq(
+        in("m2", tsWallet, pool, Some(Opcodes.JettonBurnNotification)),
+        out("m3", pool, ctrl, Some(Opcodes.TonstakersWithdraw), value = 100)),
+      "TR" -> Seq(
+        in("m3", pool, ctrl, Some(Opcodes.TonstakersWithdraw), value = 100),
+        out("m4", ctrl, nftMinter, Some(Opcodes.TonstakersMint), value = 600)),
+      "TX" -> Seq(
+        in("m4", ctrl, nftMinter, Some(Opcodes.TonstakersMint), value = 600),
+        out("m5", nftMinter, bill, Some(Opcodes.TonstakersInitNft))),
+      "TI" -> Seq(in("m5", nftMinter, bill, Some(Opcodes.TonstakersInitNft))))
+    val a = Classifier.classify("gts2", txs, msgs)
+      .find(_.`type` == "stake_withdrawal_request").get
+    // YAML: source=staker, source_secondary=the burn wallet,
+    // destination=pool, amount=tokens burnt, staking_data.ts_nft
+    assert(a.source.contains(staker))
+    assert(a.source_secondary.contains(tsWallet))
+    assert(a.destination.contains(ctrl)) // request destination
+    assert(a.value.contains(BigDecimal(67599)))
+    assert(a.amount.contains(BigDecimal(67599)))
+    assert(a.success)
+    val sd = a.staking_data.get
+    assert(sd.provider.contains("liquid_staking"))
+    assert(sd.ts_nft.contains(bill))
+    for (acct <- Seq(staker, tsWallet, pool, bill))
+      assert(a.accounts.contains(acct), s"missing $acct in ${a.accounts}")
+  }
+
+  test("jetton-mints.yaml parity: mint-call traces merge into one " +
+      "jetton_mint with to/wallet/asset/amount (0x642b7d07 and 0x15)") {
+    val admin = "0:" + "11" * 32
+    val master = "0:" + "08" * 32
+    val wallet = "0:" + "A2" * 32
+    val owner = "0:" + "A3" * 32
+    def mintBody(op: Long, tonAmount: Long, masterAmount: Option[Long]) = {
+      val b = new Boc.Builder()
+        .storeUint(BigInt(op), 32)
+        .storeUint(BigInt(5), 64)
+        .storeAddress(Some(owner))
+        .storeCoins(BigInt(tonAmount))
+      masterAmount.foreach { ma =>
+        b.storeRef(new Boc.Builder()
+          .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+          .storeUint(BigInt(5), 64).storeCoins(BigInt(ma)).build())
+      }
+      Boc.serializeBase64(b.build())
+    }
+    val xferBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(1000000000L))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    // full chain: admin -> master (mint 0x642b7d07) -> wallet
+    // (internal_transfer) -> owner (notify)
+    val txs = Seq(tx("T1", master, 10), tx("T2", wallet, 20),
+      tx("T3", owner, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", admin, master, Some(Opcodes.JettonMint),
+          body = Some(mintBody(Opcodes.JettonMint, 100000000L, None))),
+        out("m2", master, wallet, Some(Opcodes.JettonInternalTransfer),
+          body = Some(xferBody))),
+      "T2" -> Seq(
+        in("m2", master, wallet, Some(Opcodes.JettonInternalTransfer),
+          body = Some(xferBody)),
+        out("m3", wallet, owner, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(in("m3", wallet, owner, Some(Opcodes.JettonNotify))))
+    val actions = Classifier.classify("gjm1", txs, msgs)
+    assert(actions.map(_.`type`) == Seq("jetton_mint"),
+      s"got ${actions.map(_.`type`)}")
+    val a = actions.head
+    // YAML: destination=to, destination_secondary=to_jetton_wallet,
+    // asset=the master, amount=minted tokens (+ ton_amount as value)
+    assert(a.destination.contains(owner))
+    assert(a.destination_secondary.contains(wallet))
+    assert(a.asset.contains(master))
+    assert(a.amount.contains(BigDecimal(1000000000L)))
+    assert(a.value.contains(BigDecimal(100000000L)))
+    assert(a.success)
+    assert(a.tx_hashes.toSet == Set("T1", "T2", "T3"))
+    for (acct <- Seq(master, wallet, owner))
+      assert(a.accounts.contains(acct), s"missing $acct in ${a.accounts}")
+
+    // minter-style 0x15 WITHOUT the transfer leg: failed, endpoints from
+    // the body, amount from the master_msg ref (the YAML's failed case)
+    val failedMint = Classifier.classify("gjm2",
+      Seq(tx("T1", master, 10)),
+      Map("T1" -> Seq(in("m1", admin, master,
+        Some(Opcodes.MinterJettonMint),
+        body = Some(mintBody(Opcodes.MinterJettonMint, 100000000L,
+          Some(1000000000000000L))))))).head
+    assert(failedMint.`type` == "jetton_mint")
+    assert(!failedMint.success)
+    assert(failedMint.destination.contains(owner))
+    assert(failedMint.destination_secondary.isEmpty)
+    assert(failedMint.asset.contains(master))
+    assert(failedMint.amount.contains(BigDecimal(1000000000000000L)))
+  }
+
+  test("vesting.yaml parity ('Vesting send message'): the forwarded " +
+      "message's destination and value become destination_secondary and " +
+      "amount") {
+    val sender = "0:" + "33" * 32
+    val vesting = "0:" + "0F" * 32
+    val msgDest = "0:" + "A8" * 32
+    // inner ordered message: int_msg_info to msgDest carrying 100 TON
+    val inner = new Boc.Builder()
+      .storeBit(false) // int_msg_info
+      .storeBit(true).storeBit(true).storeBit(false) // ihr/bounce/bounced
+      .storeAddress(None) // src
+      .storeAddress(Some(msgDest))
+      .storeCoins(BigInt(100000000000L))
+      .build()
+    val sendBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa7733acdL), 32)
+      .storeUint(BigInt(0), 64)
+      .storeUint(BigInt(3), 8) // send_mode
+      .storeRef(inner)
+      .build())
+    val a = Classifier.classify("gvs1",
+      Seq(tx("T1", vesting, 10)),
+      Map("T1" -> Seq(in("m1", sender, vesting,
+        Some(Opcodes.VestingSendMessage), body = Some(sendBody))))).head
+    assert(a.`type` == "vesting_send_message")
+    // YAML: source/destination/destination_secondary/amount +
+    // vesting_send_message_data.{query_id, message_boc}
+    assert(a.source.contains(sender))
+    assert(a.destination.contains(vesting))
+    assert(a.destination_secondary.contains(msgDest))
+    assert(a.value.contains(BigDecimal(100000000000L)))
+    assert(a.amount.contains(BigDecimal(100000000000L)))
+    val d = a.vesting_send_message_data.get
+    assert(d.query_id.contains("0"))
+    assert(d.message_boc.contains(Boc.serializeBase64(inner)))
+    for (acct <- Seq(sender, vesting, msgDest))
+      assert(a.accounts.contains(acct), s"missing $acct in ${a.accounts}")
+  }
+
   test("layerzero.yaml parity ('LayerZero commit packet'): endpoint " +
       "columns, secondaries and every layerzero_packet_data field") {
     // mirror the YAML's same-chain packet: src/dst oapp equal, eid 30343
