@@ -193,5 +193,96 @@ object ApiQueries {
       .select("domain", "nft_item_address")
   }
 
-  val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10)
+  /** /walletStates (main.go:2333): account states through the code-hash
+    * wallet catalog. Hash classes rotate through REAL transcribed catalog
+    * hashes (v3r2/v5r1/v1r3) + one unknown; the data BOCs are built with
+    * the engine's writer and parsed back by the real decode path, so the
+    * oracle can restate seqno/wallet_id/signature by formula. */
+  val a11 = Q("a11_wallet_states",
+    """SELECT concat('0:', user_id) AS account,
+      |  (user_id % 4) <> 3 AS is_wallet,
+      |  CASE cast(user_id % 4 AS int)
+      |    WHEN 0 THEN 'wallet v3 r2' WHEN 1 THEN 'wallet v5 r1'
+      |    WHEN 2 THEN 'wallet v1 r3' END AS wallet_type,
+      |  CASE WHEN user_id % 4 <> 3
+      |    THEN cast(user_id % 100 AS bigint) END AS seqno,
+      |  CASE cast(user_id % 4 AS int) WHEN 0 THEN cast(698983191 AS bigint)
+      |    WHEN 1 THEN cast(user_id AS bigint) END AS wallet_id,
+      |  CASE WHEN user_id % 4 = 1 THEN user_id % 8 = 1
+      |    END AS is_signature_allowed,
+      |  CASE cast(user_id % 4 AS int)
+      |    WHEN 0 THEN 'hNr6RJ+Ypph3ibojI1gHK8D3bcRSQAKl0JGLmnXS1Zk='
+      |    WHEN 1 THEN 'IINLe3KxEhR+Gy+0V7hOdNGjDwT3N9T2KmaOlVLSty8='
+      |    WHEN 2 THEN 'WHzHie/xyE9G7DeX5F/ICaFP9a4k8eDHpqmcydyQYf8='
+      |    ELSE 'code_3' END AS code_hash
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |ORDER BY account LIMIT 1000""".stripMargin) { (s, dir) =>
+    val v3r2 = "hNr6RJ+Ypph3ibojI1gHK8D3bcRSQAKl0JGLmnXS1Zk="
+    val v5r1 = "IINLe3KxEhR+Gy+0V7hOdNGjDwT3N9T2KmaOlVLSty8="
+    val v1r3 = "WHzHie/xyE9G7DeX5F/ICaFP9a4k8eDHpqmcydyQYf8="
+    val mkData = udf { (uid: Long) =>
+      val b = new graft.functions.Boc.Builder()
+      (uid % 4).toInt match {
+        case 0 => b.storeUint(BigInt(uid % 100), 32)
+          .storeUint(BigInt(698983191L), 32)
+        case 1 => b.storeBit(uid % 8 == 1)
+          .storeUint(BigInt(uid % 100), 32).storeUint(BigInt(uid), 32)
+        case 2 => b.storeUint(BigInt(uid % 100), 32)
+        case _ => b.storeUint(BigInt(0xdead), 16)
+      }
+      graft.functions.Boc.serializeBase64(b.build())
+    }
+    val states = T.events(s, dir).select(col("user_id")).distinct()
+      .select(
+        concat(lit("0:"), col("user_id").cast("string")).as("account"),
+        when(pmod(col("user_id"), lit(4)) === 0, lit(v3r2))
+          .when(pmod(col("user_id"), lit(4)) === 1, lit(v5r1))
+          .when(pmod(col("user_id"), lit(4)) === 2, lit(v1r3))
+          .otherwise(lit("code_3")).as("code_hash"),
+        mkData(col("user_id").cast("long")).as("data_boc"))
+    QueryLayer.walletStates(states)
+      .select("account", "is_wallet", "wallet_type", "seqno", "wallet_id",
+        "is_signature_allowed", "code_hash")
+  }
+
+  /** /masterchainInfo (crud_blocks.go:134-157): first + last masterchain
+    * block as one min/max aggregation over the workchain=-1 slice. */
+  val a12 = Q("a12_masterchain_info",
+    """SELECT max(event_id) AS last_seqno, max(event_id) AS last_gen_utime,
+      |  min(event_id) AS first_seqno, min(event_id) AS first_gen_utime
+      |FROM events WHERE user_id % 3 = 0""".stripMargin) { (s, dir) =>
+    val blocks = T.events(s, dir).select(
+      (pmod(col("user_id"), lit(3)).cast("int") - 1).as("workchain"),
+      col("user_id").cast("long").as("shard"),
+      col("event_id").cast("long").as("seqno"),
+      col("event_id").cast("long").as("gen_utime"))
+    QueryLayer.masterchainInfo(blocks)
+  }
+
+  /** /masterchainBlockShards (crud_blocks.go:183-199): shard_state of one
+    * masterchain seqno joined back to blocks on (workchain, shard,
+    * seqno). */
+  val a13 = Q("a13_masterchain_shards",
+    """SELECT cast(user_id % 3 AS int) AS workchain,
+      |  cast(user_id AS bigint) AS shard, event_id AS seqno,
+      |  cast(user_id % 50 AS bigint) AS mc_seqno, event_id AS gen_utime
+      |FROM events WHERE user_id % 50 = 7
+      |ORDER BY mc_seqno, workchain, shard, seqno""".stripMargin) { (s, dir) =>
+    val ev = T.events(s, dir)
+    val blocks = ev.select(
+      pmod(col("user_id"), lit(3)).cast("int").as("workchain"),
+      col("user_id").cast("long").as("shard"),
+      col("event_id").cast("long").as("seqno"),
+      col("event_id").cast("long").as("gen_utime"))
+    val shardState = ev.select(
+      pmod(col("user_id"), lit(50)).cast("long").as("mc_seqno"),
+      pmod(col("user_id"), lit(3)).cast("int").as("workchain"),
+      col("user_id").cast("long").as("shard"),
+      col("event_id").cast("long").as("seqno"))
+    QueryLayer.masterchainShards(shardState, blocks, 7L)
+      .select("workchain", "shard", "seqno", "mc_seqno", "gen_utime")
+  }
+
+  val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
+    a11, a12, a13)
 }

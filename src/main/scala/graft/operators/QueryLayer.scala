@@ -211,6 +211,57 @@ object QueryLayer {
     df.orderBy(col("account")).limit(MaxLimit)
   }
 
+  /** GET /api/v3/walletStates (main.go:2333, crud_accounts.go:199-216):
+    * account states run through the code-hash wallet catalog
+    * (wallet_parse.go:78-114) — wallet type, seqno, wallet_id and the v5
+    * signature flag extracted from the data BOC; unknown hashes pass
+    * through with is_wallet=false. The catalog probe is a scalar lookup
+    * inside the decode (no join): the catalog is a constant. */
+  def walletStates(states: DataFrame, accounts: Seq[String] = Nil): DataFrame = {
+    val parse = udf { (ch: String, db: String) =>
+      graft.functions.WalletParse.parse(ch, db)
+    }
+    var df = states
+    if (accounts.nonEmpty) df = df.filter(col("account").isin(accounts: _*))
+    df.withColumn("w", parse(col("code_hash"), col("data_boc")))
+      .select(
+        col("account"),
+        col("w.isWallet").as("is_wallet"),
+        col("w.walletType").as("wallet_type"),
+        col("w.seqno").as("seqno"),
+        col("w.walletId").as("wallet_id"),
+        col("w.isSignatureAllowed").as("is_signature_allowed"),
+        col("code_hash"))
+      .orderBy(col("account")).limit(MaxLimit)
+  }
+
+  /** GET /api/v3/masterchainInfo (crud_blocks.go:134-157): the last and
+    * first masterchain block in one pass — a single workchain=-1 scan
+    * aggregated to both extremes (the reference issues two ORDER BY ...
+    * LIMIT 1 point reads; with a seqno-sorted blocks table both are
+    * partition-pruned min/max probes). */
+  def masterchainInfo(blocksDf: DataFrame): DataFrame = {
+    blocksDf.filter(col("workchain") === -1)
+      .agg(max(struct(col("seqno"), col("gen_utime"))).as("last"),
+        min(struct(col("seqno"), col("gen_utime"))).as("first"))
+      .select(col("last.seqno").as("last_seqno"),
+        col("last.gen_utime").as("last_gen_utime"),
+        col("first.seqno").as("first_seqno"),
+        col("first.gen_utime").as("first_gen_utime"))
+  }
+
+  /** GET /api/v3/masterchainBlockShards (crud_blocks.go:183-199): the
+    * shard_state rows of one masterchain seqno joined back to blocks on
+    * the (workchain, shard, seqno) triple — the seqno equality prunes
+    * shard_state to one masterchain block before the join, so the blocks
+    * side is a broadcast-friendly point lookup at any scale. */
+  def masterchainShards(shardState: DataFrame, blocksDf: DataFrame,
+      mcSeqno: Long): DataFrame = {
+    shardState.filter(col("mc_seqno") === mcSeqno)
+      .join(blocksDf, Seq("workchain", "shard", "seqno"))
+      .orderBy(col("mc_seqno"), col("workchain"), col("shard"), col("seqno"))
+  }
+
   /** GET /api/v3/jetton/masters (crud_jettons.go:15-52): IN-filters on
     * master and admin address; catalog order (address stands in for the
     * reference's insertion id). */
