@@ -1309,6 +1309,75 @@ object ChainSim {
       .orderBy("start_lt")
   }
 
+  /** F5 standalone decode surface (GET/POST /api/v3/decode,
+    * ton-index-go/main.go:1897-1978): bodies built by the engine's BOC
+    * writer for five opcode families are dispatched through
+    * Decode.decode and must identify the type and every asserted field —
+    * the oracle restates name/query_id/amount/endpoint by the same
+    * formula that built the body. */
+  val b20 = Q("b20_decode_dispatch",
+    """SELECT event_id AS lt,
+      |  CASE cast(user_id % 5 AS int)
+      |    WHEN 0 THEN 'jetton_transfer' WHEN 1 THEN 'jetton_burn'
+      |    WHEN 2 THEN 'nft_transfer' WHEN 3 THEN 'multisig_approve'
+      |    ELSE 'text_comment' END AS op_name,
+      |  CASE WHEN user_id % 5 <> 4
+      |    THEN cast(event_id AS varchar) END AS query_id,
+      |  CASE cast(user_id % 5 AS int)
+      |    WHEN 0 THEN cast(event_id * 2 AS varchar)
+      |    WHEN 1 THEN cast(event_id AS varchar) END AS amount,
+      |  CASE WHEN user_id % 5 IN (0, 2) THEN concat('0:',
+      |    repeat(substr('0123456789ABCDEF',
+      |                  cast(user_id % 16 AS int) + 1, 1), 64))
+      |    END AS dest,
+      |  CASE WHEN user_id % 5 = 4
+      |    THEN concat('note ', event_id) END AS text
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY lt""".stripMargin) { (s, dir) =>
+    val bodyUdf = udf { (uid: Long, eid: Long) =>
+      import graft.functions.Boc
+      val ch = "0123456789ABCDEF"((uid % 16).toInt)
+      val addr = s"0:${ch.toString * 64}"
+      val b = new Boc.Builder()
+      (uid % 5).toInt match {
+        case 0 => b.storeUint(BigInt(0x0f8a7ea5L), 32)
+          .storeUint(BigInt(eid), 64).storeCoins(BigInt(eid * 2))
+          .storeAddress(Some(addr)).storeAddress(None)
+          .storeBit(false).storeCoins(BigInt(1)).storeBit(false)
+        case 1 => b.storeUint(BigInt(0x595f07bcL), 32)
+          .storeUint(BigInt(eid), 64).storeCoins(BigInt(eid))
+          .storeAddress(None)
+        case 2 => b.storeUint(BigInt(0x5fcc3d14L), 32)
+          .storeUint(BigInt(eid), 64).storeAddress(Some(addr))
+          .storeAddress(None).storeBit(false).storeCoins(BigInt(0))
+          .storeBit(false)
+        case 3 => b.storeUint(BigInt(0xa762230fL), 32)
+          .storeUint(BigInt(eid), 64).storeUint(BigInt(uid % 10), 8)
+        case _ => b.storeUint(BigInt(0), 32)
+          .storeBytes(s"note $eid".getBytes("UTF-8"))
+      }
+      Boc.serializeBase64(b.build())
+    }
+    val decUdf = udf { (b64: String) =>
+      graft.functions.Decode.decode(b64).map(d => (d.name, d.fields))
+    }
+    T.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").cast("long").as("lt"),
+        pmod(col("user_id"), lit(5)).cast("int").as("cls"),
+        decUdf(bodyUdf(col("user_id").cast("long"),
+          col("event_id").cast("long"))).as("d"))
+      .select(col("lt"),
+        col("d._1").as("op_name"),
+        element_at(col("d._2"), "query_id").as("query_id"),
+        element_at(col("d._2"), "amount").as("amount"),
+        when(col("cls") === 0, element_at(col("d._2"), "destination"))
+          .when(col("cls") === 2, element_at(col("d._2"), "new_owner"))
+          .as("dest"),
+        element_at(col("d._2"), "text").as("text"))
+      .orderBy("lt")
+  }
+
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16, b17, b18, b19)
+    b16, b17, b18, b19, b20)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{Boc, Decode}
+import graft.classifier.Opcodes
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standalone decode dispatch (the /decode surface): every registered
+  * opcode family identifies and round-trips its fields; unknown opcodes
+  * still identify; garbage stays None. */
+class DecodeSpec extends AnyFunSuite {
+
+  private val addr = "0:" + "7E" * 32
+
+  test("jetton transfer round-trips through the dispatch") {
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32).storeUint(BigInt(77), 64)
+      .storeCoins(BigInt(123456)).storeAddress(Some(addr))
+      .storeAddress(None).storeBit(false).storeCoins(BigInt(1))
+      .storeBit(false).build())
+    val d = Decode.decode(body).get
+    assert(d.name == "jetton_transfer" && d.opcode == 0x0f8a7ea5L)
+    assert(d.fields("query_id") == "77")
+    assert(d.fields("amount") == "123456")
+    assert(d.fields("destination") == addr)
+    assert(!d.fields.contains("response_destination"))
+  }
+
+  test("multisig init order decodes signers through the dispatch") {
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x9c73fba2L), 32).storeUint(BigInt(9), 64)
+      .storeUint(BigInt(2), 8)
+      .storeRef(new Boc.Builder().storeBit(false).build()) // empty signers
+      .storeUint(BigInt(42), 48)
+      .storeRef(new Boc.Builder().storeUint(BigInt(1), 8).build())
+      .storeBit(false).build())
+    val d = Decode.decode(body).get
+    assert(d.name == "multisig_init_order")
+    assert(d.fields("threshold") == "2")
+    assert(d.fields("expiration_date") == "42")
+    assert(d.fields("approve_on_init") == "false")
+  }
+
+  test("text comment, excesses, and mint calls identify") {
+    val c = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0), 32).storeBytes("hi".getBytes("UTF-8")).build())
+    assert(Decode.decode(c).get.fields("text") == "hi")
+    val ex = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xd53276dbL), 32).storeUint(BigInt(3), 64).build())
+    val exd = Decode.decode(ex).get
+    assert(exd.name == "excesses" && exd.fields("query_id") == "3")
+    val mint = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonMint), 32).storeUint(BigInt(1), 64)
+      .storeAddress(Some(addr)).storeCoins(BigInt(5)).build())
+    val md = Decode.decode(mint).get
+    assert(md.name == "jetton_mint" && md.fields("ton_amount") == "5")
+  }
+
+  test("unknown opcode identifies as unknown; garbage is None") {
+    val unk = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x12345678L), 32).build())
+    val d = Decode.decode(unk).get
+    assert(d.name == "unknown" && d.opcode == 0x12345678L)
+    assert(Decode.decode("!!!notbase64").isEmpty)
+    val short = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(3), 8).build())
+    assert(Decode.decode(short).isEmpty)
+  }
+
+  test("a malformed body with a known opcode degrades to unknown, not a throw") {
+    val truncated = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32).storeUint(BigInt(1), 8).build())
+    val d = Decode.decode(truncated).get
+    assert(d.name == "unknown" && d.opcode == 0x0f8a7ea5L)
+  }
+}
