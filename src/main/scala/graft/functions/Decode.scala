@@ -140,6 +140,31 @@ object Decode {
     case 0x319b0cdcL =>
       Some(Decoded(op, "tonstakers_withdraw",
         f("query_id" -> Some(opQueryId(b)))))
+    case 0xf93bb43fL =>
+      val d = stonfiPaymentRequest(b)
+      Some(Decoded(op, "stonfi_payment_request", f(
+        "query_id" -> Some(d.queryId), "owner" -> d.owner,
+        "exit_code" -> Some(d.exitCode),
+        "amount0_out" -> Some(d.amount0Out),
+        "amount1_out" -> Some(d.amount1Out))))
+    case 0x657b54f5L =>
+      val d = stonfiV2PayTo(b)
+      Some(Decoded(op, "stonfi_v2_pay_to", f(
+        "exit_code" -> Some(d.exitCode),
+        "amount0_out" -> Some(d.amount0Out), "token0" -> d.token0,
+        "amount1_out" -> Some(d.amount1Out), "token1" -> d.token1)))
+    case 0x9c610de3L =>
+      val d = dedustSwapNotification(b)
+      Some(Decoded(op, "dedust_swap_notification", f(
+        "asset_in" -> Some(d.assetIn), "asset_out" -> Some(d.assetOut),
+        "amount_in" -> Some(d.amountIn), "amount_out" -> Some(d.amountOut),
+        "sender" -> d.sender)))
+    case 0xc59a7cd3L =>
+      Some(Decoded(op, "cocoon_worker_payout",
+        f("query_id" -> Some(opQueryId(b)))))
+    case 0x5cfc6b87L =>
+      Some(Decoded(op, "cocoon_client_top_up",
+        f("query_id" -> Some(opQueryId(b)))))
     case _ => None
   }
 }

@@ -55,20 +55,17 @@ object Dedup {
       |  FROM toks
       |)""".stripMargin
 
-  // silver shingle table memo: d11/d12/d13 share one materialized
-  // (doc_id, shingles) frame per (session, dir) — the cluster analogue is
-  // a persisted silver table, not a per-query re-tokenization.
+  // silver shingle table: d11/d12/d13 share one Parquet-materialized
+  // (doc_id, shingles, toks) table per (session, dir) — written once and
+  // re-read (SilverStore), as a cluster persists its tokenization layer.
   //
-  // The tokens array is materialized FIRST (its own checkpoint): building
-  // shingles directly from `split(...)` inlines the regex split into the
-  // per-element lambda — ~3 full-text splits per shingle position, ~1000
-  // regex evaluations per document. From a materialized array, each
-  // position is three O(1) element_at calls.
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+  // The tokens array is materialized FIRST (its own checkpoint inside the
+  // one-time build): building shingles directly from `split(...)` inlines
+  // the regex split into the per-element lambda — ~3 full-text splits per
+  // shingle position, ~1000 regex evaluations per document. From a
+  // materialized array, each position is three O(1) element_at calls.
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir), {
+    graft.plans.SilverStore.table(s, dir, "doc_shingles") {
       val toks = T.documents(s, dir)
         .select(col("doc_id"), trim(col("text")).as("tt"),
           split(trim(col("text")), "\\s+").as("toks"))
@@ -82,8 +79,7 @@ object Dedup {
                   element_at(col("toks"), i + 3))))
               .otherwise(array(col("tt")))).as("sh"),
           col("toks"))
-        .localCheckpoint()
-    })
+    }
 
   /** 64-slot MinHash signature over PRE-HASHED shingles: slot j = min
     * over shingle hashes h of mix64(h ^ j·φ) — the native fused-loop

@@ -21,34 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object ChainSim {
 
-  // silver-table memo: the simulated chain and its assembly are reused by
-  // every pipeline query in a session (the cluster analogue is a
-  // materialized silver layer, not a per-query rebuild)
-  private val simCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private val asmCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
-  private val actsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val evCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val rootsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // silver-table store: the simulated chain and its assembly are reused
+  // by every pipeline query in a session — each is materialized ONCE as
+  // a Parquet silver table and re-read (SilverStore), exactly as a
+  // cluster deployment materializes its silver layer at ingest.
 
   /** Shared base projection: events + per-user chain lag + account —
     * one materialization reused by both the standard and the protocol
     * simulation (they differ only in opcode mapping). */
   private def chainedEvents(spark: SparkSession, dir: String): DataFrame =
-    evCache.getOrElseUpdate((spark, dir), {
+    SilverStore.table(spark, dir, "chained_events") {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       T.events(spark, dir)
         .withColumn("prev_id", lag(col("event_id"), 1).over(w))
         .withColumn("acct", concat(lit("0:"), col("user_id").cast("string")))
-        .localCheckpoint()
-    })
+    }
 
-  def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    simCache.getOrElseUpdate((spark, dir), simulateUncached(spark, dir))
+  def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    lazy val built = simulateUncached(spark, dir)
+    (SilverStore.table(spark, dir, "sim_txs")(built._1),
+      SilverStore.table(spark, dir, "sim_msgs")(built._2))
+  }
 
   /** Trace roots over the simulated chain topology, computed ONCE per
     * (session, dir). Every simulated variant (standard a/b pipeline, b06,
@@ -58,7 +51,7 @@ object ChainSim {
     * as production materializes trace_id at ingest rather than re-running
     * connected components per downstream job. */
   private def chainRoots(spark: SparkSession, dir: String): DataFrame =
-    rootsCache.getOrElseUpdate((spark, dir), {
+    SilverStore.table(spark, dir, "chain_roots") {
       val ev = chainedEvents(spark, dir)
       val nodes = ev.select(
         concat(lit("T"), col("event_id").cast("string")).as("id"),
@@ -66,8 +59,7 @@ object ChainSim {
           concat(lit("T"), col("prev_id").cast("string"))).as("parent"))
       GraphOps.forestRoots(nodes)
         .select(col("id").as("hash"), col("root").as("trace_id"))
-        .localCheckpoint()
-    })
+    }
 
   /** Memoized classifier output over the assembled chain — shared by every
     * action-level query (a03/b02); the silver `actions` table. Carries the
@@ -76,31 +68,36 @@ object ChainSim {
     * `actions` at write time) so pagination sorts never need a query-time
     * window over the whole actions set. */
   def classified(spark: SparkSession, dir: String): DataFrame =
-    actsCache.getOrElseUpdate((spark, dir), {
+    SilverStore.table(spark, dir, "silver_actions") {
       val (_, msgs) = simulate(spark, dir)
       val (traces, _, txsWithTrace) = assembled(spark, dir)
       val meta = traces.select(col("trace_id"),
         col("end_utime").cast("long").as("trace_end_utime"))
       // prune to the columns its consumers (a03/b02/b07/b08, Silver)
-      // read BEFORE checkpointing — the wide detail structs would
-      // otherwise sit in block storage for the whole session
+      // read BEFORE writing — the unread wide detail structs would
+      // otherwise bloat the silver files
       ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
         .join(broadcast(meta), Seq("trace_id"), "left")
         .select("trace_id", "action_id", "type", "start_lt", "end_lt",
           "start_utime", "end_utime", "source", "destination", "success",
           "ancestor_type", "ton_transfer_data", "trace_end_utime",
           "accounts")
-        .localCheckpoint()
-    })
+    }
 
-  /** Memoized trace assembly over the simulated chain. */
-  def assembled(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    asmCache.getOrElseUpdate((spark, dir), {
+  /** Trace assembly over the simulated chain, silver-materialized. The
+    * traces summary derives from the PERSISTED txsWithTrace table (plus
+    * the edges plan), so the assembly joins execute once, not once per
+    * materialized output. */
+  def assembled(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    lazy val built = {
       val (txs, msgs) = simulate(spark, dir)
-      val (traces, edges, txsWithTrace) =
-        TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      (traces.localCheckpoint(), edges, txsWithTrace.localCheckpoint())
-    })
+      TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
+    }
+    val txw = SilverStore.table(spark, dir, "asm_txw")(built._3)
+    val traces = SilverStore.table(spark, dir, "asm_traces")(
+      TraceAssembly.traceSummaries(txw, built._2))
+    (traces, built._2, txw)
+  }
 
   /** Real TEP text-comment body (op 0x00000000 + snake UTF-8) built with
     * the engine's own BOC writer — attached to transfer in-messages so
@@ -218,8 +215,6 @@ object ChainSim {
 
   // ------------------------------------------------- protocol-opcode chain
 
-  private val protoCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** Same chain topology, but event types map to REAL protocol opcodes so
     * the protocol matcher registry is exercised through the driver gate:
@@ -273,17 +268,18 @@ object ChainSim {
       bodyOf: => Column = lit(null).cast("string"),
       dims: => graft.classifier.ClassifyDims = graft.classifier.ClassifyDims(),
       keep: Seq[String] = Nil): DataFrame =
-    protoCache.getOrElseUpdate((spark, dir, variant), {
+    SilverStore.table(spark, dir, s"proto_$variant") {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      val acts = ClassifyJob.run(spark, txsWithTrace.localCheckpoint(), msgs,
-        dims).toDF()
-      // checkpoint only the columns the variant's queries read — the
-      // unread detail structs would pin session memory otherwise
+      val txw = SilverStore.table(spark, dir, s"proto_${variant}_txw")(
+        txsWithTrace)
+      val acts = ClassifyJob.run(spark, txw, msgs, dims).toDF()
+      // keep only the columns the variant's queries read — the unread
+      // detail structs would bloat the silver files otherwise
       val cols = (protoBaseCols ++ keep).distinct
-      acts.select(cols.map(col): _*).localCheckpoint()
-    })
+      acts.select(cols.map(col): _*)
+    }
 
   /** b06 opcode mapping (see protocolSim doc). */
   private def b06Opcodes: Column =
@@ -959,13 +955,22 @@ object ChainSim {
       .build())
   }
 
-  private val b16Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      (DataFrame, DataFrame, DataFrame)]
-
+  /** b16 silver tables: txw and msgs persist first; the classify pass
+    * reads them back, so assembly runs once and the classifier consumes
+    * the columnar silver files. */
   private def b16Parts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    b16Cache.getOrElseUpdate((spark, dir), {
+      : (DataFrame, DataFrame, DataFrame) = {
+    lazy val built = b16Build(spark, dir)
+    val txw = SilverStore.table(spark, dir, "b16_txw")(built._1)
+    val msgs = SilverStore.table(spark, dir, "b16_msgs")(built._2)
+    val acts = SilverStore.table(spark, dir, "b16_acts")(
+      ClassifyJob.run(spark, txw, msgs).toDF()
+        .select("trace_id", "start_lt", "type", "tx_hashes"))
+    (acts, txw, msgs)
+  }
+
+  private def b16Build(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
       val ev = chainedEvents(spark, dir)
       def acctOf(id: Column) = concat(pmod(id, lit(2)).cast("string"),
         lit(":"), col("user_id").cast("string"))
@@ -1015,12 +1020,8 @@ object ChainSim {
       val msgs = inMsgs.unionByName(outMsgs)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      val txsCk = txsWithTrace.localCheckpoint()
-      val acts = ClassifyJob.run(spark, txsCk, msgs).toDF()
-        .select("trace_id", "start_lt", "type", "tx_hashes")
-        .localCheckpoint()
-      (acts, txsCk, msgs)
-    })
+      (txsWithTrace, msgs)
+    }
 
   /** Per-action (account, asset, delta) rows: two-tx actions keep only
     * their tail tx's deltas (the head is internally triggered —

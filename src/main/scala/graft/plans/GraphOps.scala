@@ -19,15 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  // memoized event-chain roots: g01/g02 run forestRoots over the same
-  // edge set — share one materialized (id, root, ts) frame per
-  // (session, dir), the silver-table analogue of the trace_id column.
-  private val rootsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-
+  // event-chain roots: g01/g02 run forestRoots over the same edge set —
+  // one Parquet silver table per (session, dir), the silver-table
+  // analogue of the materialized trace_id column.
   private def eventChainRoots(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    rootsCache.getOrElseUpdate((s, dir), {
+    SilverStore.table(s, dir, "event_chain_roots") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val edges = T.events(s, dir)
@@ -35,8 +32,7 @@ object GraphOps {
         .select(col("event_id").as("id"), col("parent"), col("ts"))
       forestRoots(edges.select("id", "parent"))
         .join(edges.select(col("id"), col("ts")), Seq("id"))
-        .localCheckpoint()
-    })
+    }
 
   /** nodes: (id, parent) with parent null for roots (or absent ids treated
     * as roots). Returns (id, root).

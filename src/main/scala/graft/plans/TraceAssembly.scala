@@ -96,18 +96,25 @@ object TraceAssembly {
 
     val traceEdges = edges.unionByName(pendingEdges)
 
-    // external hash: the ext in-message arriving at the trace root
-    val extHash = edges
-      .filter(col("edge_type") === "ext" && col("right_tx") === col("trace_id"))
-      .groupBy("trace_id")
-      .agg(min("msg_hash").as("external_hash"))
+    val traces = traceSummaries(txsWithTrace, traceEdges)
 
+    (traces, traceEdges, txsWithTrace)
+  }
+
+  /** Trace summary rows from an (already materialized) txsWithTrace and
+    * the edge set — split out so a silver-layer caller can derive the
+    * traces table from the PERSISTED txsWithTrace instead of re-executing
+    * the assembly joins a second time. */
+  def traceSummaries(txsWithTrace: DataFrame, traceEdges: DataFrame): DataFrame = {
     val edgeStats = traceEdges.groupBy("trace_id").agg(
       sum(when(!col("incomplete") && !col("broken"), 1L).otherwise(0L)).as("edges_"),
       sum(when(col("incomplete"), 1L).otherwise(0L)).as("pending_edges_"),
       max(when(col("broken"), 1).otherwise(0)).as("any_broken"))
-
-    val traces = txsWithTrace.groupBy("trace_id").agg(
+    val extHash = traceEdges
+      .filter(col("edge_type") === "ext" && col("right_tx") === col("trace_id"))
+      .groupBy("trace_id")
+      .agg(min("msg_hash").as("external_hash"))
+    txsWithTrace.groupBy("trace_id").agg(
         count(lit(1)).as("nodes_"),
         min("lt").as("start_lt"), max("lt").as("end_lt"),
         min("now").as("start_utime"), max("now").as("end_utime"),
@@ -123,7 +130,5 @@ object TraceAssembly {
           .otherwise("complete"))
       .withColumn("classification_state", lit("unclassified"))
       .drop("any_broken")
-
-    (traces, traceEdges, txsWithTrace)
   }
 }
