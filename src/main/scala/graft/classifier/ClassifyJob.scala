@@ -208,7 +208,10 @@ object ClassifyJob {
       (if (traces.columns.contains("external_hash_norm"))
         col("external_hash_norm")
       else lit(null).cast("string")).as("trace_external_hash_norm"))
-    val joined = acts.join(broadcast(meta), Seq("trace_id"), "left")
+    // meta is projected from the traces FACT table (one row per trace,
+    // 10⁸–10⁹ at design scale) — never broadcast it; both sides key on
+    // trace_id so the shuffle join co-partitions for free.
+    val joined = acts.join(meta, Seq("trace_id"), "left")
     val cols = graft.Schemas.actions.fields.map { fld =>
       if (joined.columns.contains(fld.name))
         col(fld.name).cast(fld.dataType).as(fld.name)

@@ -453,8 +453,10 @@ object QueryLayer {
 
   /** GET /api/v3/nft/sales (crud_sales.go:20-170): getgems sales and
     * auctions by contract address, unified under a sale_type tag (U1) and
-    * hydrated with the NFT item + collection dims (J8 broadcast
-    * left-joins — TVM-derived dim tables are small relative to facts). */
+    * hydrated with the NFT item + collection dims (J8). The address
+    * IN-list bounds the probe side at ≤1000 rows, so the big dims are
+    * semi-pruned by broadcasting the small side's keys, and only the
+    * pruned dims are broadcast for the hydrating left joins. */
   def nftSales(sales: DataFrame, auctions: DataFrame,
       items: DataFrame, collections: DataFrame,
       addresses: Seq[String]): DataFrame = {
@@ -481,17 +483,26 @@ object QueryLayer {
       col("royalty_fee_addr").as("royalty_address"),
       lit(null).cast("decimal(38,0)").as("royalty_amount"),
       col("last_bid"), col("max_bid"), col("min_bid"), col("end_time"))
-    saleSide.unionByName(auctionSide)
+    val filtered = saleSide.unionByName(auctionSide)
       .filter(col("address").isin(addresses: _*))
-      .join(broadcast(items.select(col("address").as("nft_address"),
+    // The probe side is ≤1000 rows (address IN-list) while `items` is a
+    // 10⁸-row dim: broadcast the SMALL side's keys to semi-prune the dim
+    // scan (no shuffle of items), then broadcast the tiny pruned dim for
+    // the hydrating left join. Never broadcast the full items dim.
+    val itemDim = items.select(col("address").as("nft_address"),
         col("index").as("nft_item_index"),
         col("collection_address"),
-        col("owner_address").as("nft_item_owner_address"))),
-        Seq("nft_address"), "left")
-      .join(broadcast(collections.select(
+        col("owner_address").as("nft_item_owner_address"))
+      .join(broadcast(filtered.select("nft_address").distinct()),
+        Seq("nft_address"), "left_semi")
+    val collDim = collections.select(
         col("address").as("collection_address"),
-        col("owner_address").as("collection_owner_address"))),
-        Seq("collection_address"), "left")
+        col("owner_address").as("collection_owner_address"))
+      .join(broadcast(itemDim.select("collection_address").distinct()),
+        Seq("collection_address"), "left_semi")
+    filtered
+      .join(broadcast(itemDim), Seq("nft_address"), "left")
+      .join(broadcast(collDim), Seq("collection_address"), "left")
       .orderBy(col("sale_type"), col("address"))
   }
 

@@ -77,7 +77,7 @@ object ChainSim {
       // read BEFORE writing — the unread wide detail structs would
       // otherwise bloat the silver files
       ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
-        .join(broadcast(meta), Seq("trace_id"), "left")
+        .join(meta, Seq("trace_id"), "left") // traces is a fact table — shuffle join, never broadcast
         .select("trace_id", "action_id", "type", "start_lt", "end_lt",
           "start_utime", "end_utime", "source", "destination", "success",
           "ancestor_type", "ton_transfer_data", "trace_end_utime",

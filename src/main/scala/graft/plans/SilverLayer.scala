@@ -72,8 +72,9 @@ object SilverLayer {
     * −value from source; externals carry no value); jetton transfer
     * calls (0x0f8a7ea5) additionally decode the TEP-74 body and move
     * `amount` of the wallet's MASTER between the owner accounts — the
-    * wallet→master dim is a broadcast join, the Spark form of the
-    * reference's checkJettonWallets round-trip. Each action merges the
+    * wallet→master dim resolves via a shuffle join on the wallet
+    * address, the Spark form of the reference's checkJettonWallets
+    * round-trip (the dim is ≤10⁹ rows, so never broadcast). Each action merges the
     * deltas of its tx_hashes EXCLUDING the earliest tx when it was
     * triggered by an internal message (balances.go:322-339 — that value
     * belongs to the parent action); contract_deploy actions carry none.
@@ -99,7 +100,10 @@ object SilverLayer {
       .filter(col("opcode") === 0x0f8a7ea5L && col("body").isNotNull)
       .withColumn("dec", dec(col("body")))
       .filter(col("dec").isNotNull)
-      .join(broadcast(jettonWallets),
+      // jettonWallets is a ≤10⁹-row dim (LAYOUT.md) — too big to
+      // broadcast at design scale. Shuffle join on the wallet address
+      // (uniform hash key); AQE may still broadcast at small SF.
+      .join(jettonWallets,
         col("destination") === col("wallet"))
       .select(col("tx_hash"), col("source"), col("master"),
         col("dec._1").as("amount"), col("dec._2").as("receiver"))

@@ -127,6 +127,49 @@ class PlanSpec extends SparkSpec {
       "the pagination sort+limit must be top-k")
   }
 
+  test("fact-side joins carry no broadcast hints (100×-scale audit)") {
+    // typedActions joins the traces FACT table's meta projection — at
+    // design scale that is 10⁸–10⁹ rows, so the join must be left to the
+    // optimizer (shuffle at scale, AQE-broadcast only when truly small).
+    val (_, msgs) = graft.plans.ChainSim.simulate(spark, sf)
+    val (traces, _, txw) = graft.plans.ChainSim.assembled(spark, sf)
+    val typed = graft.classifier.ClassifyJob.typedActions(
+      spark, txw, msgs, traces)
+    assert(!typed.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "typedActions must not broadcast-hint the traces fact table")
+    // the balance walk joins the jetton-wallets dim (≤10⁹ rows) — same rule
+    val b16 = SparkEntry.queries("b16_action_balance_changes")(spark, sf)
+    assert(!b16.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "actionBalanceChanges must not broadcast-hint the jetton-wallets dim")
+  }
+
+  test("nftSales semi-prunes the items dim with the small filtered side") {
+    import spark.implicits._
+    import graft.operators.QueryLayer
+    val sales = Seq(("s1", false, 100, "0:MP", "0:NFT1", "0:OWN1",
+        BigDecimal(1000), "0:FEE", BigDecimal(50), "0:ROY", BigDecimal(25), 5L))
+      .toDF("address", "is_complete", "created_at", "marketplace_address",
+        "nft_address", "nft_owner_address", "full_price",
+        "marketplace_fee_address", "marketplace_fee", "royalty_address",
+        "royalty_amount", "last_transaction_lt")
+    val auctions = Seq(("a1", false, 200, "0:MP", "0:NFT2", "0:OWN2",
+        BigDecimal(777), BigDecimal(9999), BigDecimal(111), 999, "0:FEE",
+        "0:ROY", 6L))
+      .toDF("address", "end_flag", "created_at", "mp_addr", "nft_addr",
+        "nft_owner", "last_bid", "max_bid", "min_bid", "end_time",
+        "mp_fee_addr", "royalty_fee_addr", "last_transaction_lt")
+    val items = Seq(("0:NFT1", "7", "0:COLL", "0:s1"))
+      .toDF("address", "index", "collection_address", "owner_address")
+    val colls = Seq(("0:COLL", "0:CO")).toDF("address", "owner_address")
+    val q = QueryLayer.nftSales(sales, auctions, items, colls, Seq("s1", "a1"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the dim scan is pruned by a semi-join against the broadcast ≤1000-row
+    // key set — the full items dim is never the build side of a broadcast
+    assert(p.contains("LeftSemi"),
+      s"items dim must be semi-pruned before the hydrate join:\n${p.take(1500)}")
+  }
+
   test("token-event queries push every filter into the parquet scan") {
     import spark.implicits._
     import graft.operators.QueryLayer
