@@ -25,7 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** `events.ts` contract: epoch-nanos long. Early testdata generations
+    * wrote parquet TIMESTAMP(NANOS) (read as long via nanosAsLong); the
+    * current generation writes timestamp[us], which Spark reads as
+    * TIMESTAMP_NTZ. Normalize here — with the engine-wide UTC session
+    * timezone the NTZ→LTZ cast is the identity wall-clock mapping, so
+    * unix_micros×1000 reproduces the exact nano value either way. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions.col("ts").cast(TimestampType)) * 1000L)
+      case other => sys.error(s"unexpected events.ts type: $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
