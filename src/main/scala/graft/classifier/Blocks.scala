@@ -1,5 +1,13 @@
 package graft.classifier
 
+/** Ghost-hash codec shared by the unroll path and the serializer. */
+object Ghost {
+  /** "ghost:<realTxHash>:<i>" → "<realTxHash>" (base64 hashes carry no
+    * ':', so the frame is unambiguous); anything else passes through. */
+  def realHash(h: String): String =
+    if (h.startsWith("ghost:")) h.substring(6, h.lastIndexOf(':')) else h
+}
+
 /** Block tree — the classifier's working representation (reference:
   * indexer/indexer/events/blocks/core.py). Each block wraps ≥1 tree nodes;
   * matchers rewrite the tree by merging children into typed blocks.
@@ -11,7 +19,13 @@ sealed trait Block {
   def failed: Boolean
   def withChildren(cs: Seq[Block]): Block
 
-  def txHashes: Seq[String] = nodes.map(_.tx.hash).distinct
+  /** Ghost nodes (forged by ExternalUnroll, hash "ghost:<real>:<i>")
+    * report the REAL wallet tx hash — the reference's ghost EventNode
+    * carries the wallet transaction itself (event_processing.py:186). */
+  def txHashes: Seq[String] = nodes.map(n => Ghost.realHash(n.tx.hash)).distinct
+  /** is_ghost_block (core.py:132-134): any forged node makes the block a
+    * ghost — an intended-but-never-started operation. */
+  def isGhost: Boolean = nodes.exists(_.tx.hash.startsWith("ghost:"))
   def minLt: Long = nodes.map(_.tx.lt).min
   def maxLt: Long = nodes.map(_.tx.lt).max
   def minUtime: Long = nodes.map(_.tx.now.toLong).min

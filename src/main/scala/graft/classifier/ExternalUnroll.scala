@@ -131,11 +131,16 @@ object ExternalUnroll {
           Some(root.tx.account), g.destination, g.value, g.opcode,
           g.bounce, bounced = false, createdLt = Some(root.tx.lt + i + 1),
           body = g.body)
+        // the reference's ghost EventNode wraps the REAL wallet tx and is
+        // born failed (event_processing.py:186-191): account/lt mirror the
+        // wallet tx; aborted=true makes the seeded block failed, and the
+        // ghost: hash marker lets the serializer report the real tx hash
+        // while excluding the never-reached destination from accounts
         TxNode(
           TxLite(s"ghost:${root.tx.hash}:$i",
-            g.destination.getOrElse(root.tx.account),
-            root.tx.lt + i + 1, root.tx.now, "active", "active",
-            aborted = false, None, None, 0L, "ord"),
+            root.tx.account,
+            root.tx.lt, root.tx.now, "active", "active",
+            aborted = true, None, None, 0L, "ord"),
           Some(m), Nil, Nil)
       }
       root.copy(children = children)

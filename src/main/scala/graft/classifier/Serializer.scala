@@ -814,8 +814,13 @@ object Serializer {
       case p: ProtocolOpBlock => p.signers
       case _ => Nil
     }
-    (nodeAccts ++ row.source ++ row.source_secondary ++
-      row.destination ++ row.destination_secondary ++ extras)
+    // ghost blocks never reached their destination — the reference keeps
+    // it out of accounts (block_tree_serializer.py:1462-1466)
+    val destAccts =
+      if (b.isGhost) Nil
+      else (row.destination ++ row.destination_secondary).toSeq
+    (nodeAccts ++ row.source ++
+      row.source_secondary ++ destAccts ++ extras)
       .filter(_ != null).distinct
   }
 

