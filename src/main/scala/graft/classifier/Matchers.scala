@@ -25,20 +25,26 @@ object Matching {
       self(b).orElse(other(b))
   }
 
-  /** Matches a CallContractBlock with the given opcode. */
+  /** Matches a CallContractBlock with the given opcode. Nested child
+    * patterns propagate their captures (the reference's chained
+    * ContractMatcher(child_matcher=...) keeps labels visible to the
+    * enclosing composite). */
   def contract(opcode: Long, child: Option[Pattern] = None,
-      optional: Boolean = false): Pattern = { (b: Block) =>
-    b match {
+      optional: Boolean = false): Pattern = new Pattern {
+    def apply(b: Block): Option[Seq[Block]] =
+      matchWithCaptures(b).map(_.consumed)
+    override def matchWithCaptures(b: Block): Option[PatternMatch] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, opcode) =>
         child match {
-          case None => Some(Seq(b))
+          case None => Some(PatternMatch(Seq(b), Map.empty))
           case Some(p) =>
-            val hit = c.children.iterator.map(p.apply).collectFirst {
-              case Some(consumed) => consumed
-            }
+            val hit = c.children.iterator.map(p.matchWithCaptures)
+              .collectFirst { case Some(m) => m }
             hit match {
-              case Some(consumed) => Some(b +: consumed)
-              case None => if (childOptional(p)) Some(Seq(b)) else None
+              case Some(m) => Some(PatternMatch(b +: m.consumed, m.captures))
+              case None =>
+                if (childOptional(p)) Some(PatternMatch(Seq(b), Map.empty))
+                else None
             }
         }
       case _ => None
@@ -1797,16 +1803,48 @@ object ProtocolMatchers {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonMint, Opcodes.EthenaTsUsdeTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
+        // real traces chain mint → ts_usde_transfer (the reference's
+        // child_sequence_matcher nests matchers, basic_matchers.py:
+        // 239-250); accept the flat sibling shape as well
         matchChildSequence(jt, Seq(
-          labeled("mint", contract(Opcodes.JettonMint)),
-          labeled("ts_usde_transfer", contract(Opcodes.EthenaTsUsdeTransfer))))
+          labeled("mint", contract(Opcodes.JettonMint,
+            child = Some(labeled("ts_usde_transfer",
+              contract(Opcodes.EthenaTsUsdeTransfer)))))))
+          .filter(_.captures.contains("ts_usde_transfer"))
+          .orElse(matchChildSequence(jt, Seq(
+            labeled("mint", contract(Opcodes.JettonMint)),
+            labeled("ts_usde_transfer",
+              contract(Opcodes.EthenaTsUsdeTransfer)))))
           .map { m =>
             val consumed = jt +: m.consumed
+            // reference fill (_fill_ethena_withdrawal_request,
+            // block_tree_serializer.py:1265-1275): destination = the
+            // POOL (the mint message's source), asset = the burnt
+            // jetton's master, tokens_minted = the timelocked tsUSDe
+            // internal-transfer amount
+            val pool = m.captures.get("mint")
+              .flatMap(_.nodes.headOption).flatMap(_.inMsg).flatMap(_.source)
+            // the timelocked body is internal_transfer-shaped under the
+            // 0xb2583ed5 op — the reference parses it as
+            // JettonInternalTransfer WITHOUT opcode validation
+            // (ethena_staking.py:92), so skip the op and read
+            // query_id + amount
+            val tsUsdeAmount = m.captures.get("ts_usde_transfer")
+              .flatMap(_.nodes.headOption).flatMap(_.inMsg).flatMap(_.body)
+              .flatMap { b64 =>
+                try {
+                  val s = graft.functions.Boc.parseBase64(b64).beginParse()
+                  s.loadUint(32); s.loadUint(64)
+                  Some(BigDecimal(s.loadCoins()))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
             (ProtocolOpBlock("ethena_withdrawal_request",
-              jt.sender, m.captures.get("ts_usde_transfer")
-                .flatMap(_.nodes.headOption).map(_.tx.account),
-              Some(jt.senderWallet), Some(jt.amount),
-              consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil),
+              jt.sender, pool,
+              Some(jt.asset.getOrElse(jt.senderWallet)), Some(jt.amount),
+              consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+              sourceSecondary = Some(jt.senderWallet),
+              tokensMinted = tsUsdeAmount,
+              amount = Some(jt.amount)),
               consumed)
           }
       case _ => None
@@ -2781,13 +2819,22 @@ object ProtocolMatchers {
               interfaces.get(w).contains("ethena_tsusde_wallet")) => m
         }.map { mint =>
           val consumed: Seq[Block] = Seq(jt, mint)
+          // reference fill (_fill_ethena_deposit_action,
+          // block_tree_serializer.py:1277-1288): asset = the MINTED
+          // jetton's master (tsUSDe), asset2 = the deposited jetton's
+          // master (USDe), source_secondary = the user's USDe wallet,
+          // amount = the deposited value
           (ProtocolOpBlock("stake_deposit",
             source = jt.sender, destination = jt.receiver,
-            asset = mint.receiverWallet, value = Some(jt.amount),
+            asset = mint.master.orElse(mint.receiverWallet),
+            value = Some(jt.amount),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
             tokensMinted = Some(mint.amount),
-            provider = Some("ethena")), consumed)
+            provider = Some("ethena"),
+            sourceSecondary = Some(jt.senderWallet),
+            asset2 = jt.asset,
+            amount = Some(jt.amount)), consumed)
         }
       case _ => None
     }

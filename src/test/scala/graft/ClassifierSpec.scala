@@ -710,7 +710,9 @@ class ClassifierSpec extends SparkSpec {
     assert(actions.map(_.`type`) == Seq("stake_withdrawal_request"))
     assert(actions.head.staking_data.flatMap(_.provider).contains("ethena"))
     assert(actions.head.source.contains("0:OWNER"))
-    assert(actions.head.destination.contains("0:TSUSDE"))
+    // destination = the POOL = the mint message's source
+    // (block_tree_serializer.py:1269)
+    assert(actions.head.destination.contains("0:WB"))
     assert(actions.head.tx_hashes.toSet == Set("TW1", "TW2", "TM", "TU"))
   }
 

@@ -125,4 +125,129 @@ class GoldenParity2Spec extends SparkSpec {
     // excluded for ghost blocks (block_tree_serializer.py:1462-1466)
     assert(a.accounts == Seq(wallet), s"accounts: ${a.accounts}")
   }
+
+  // ----------------------------------------------------------------------
+  // ethena.yaml
+  // ----------------------------------------------------------------------
+
+  private val ethUser = "0:" + "C2" * 32
+  private val ethUserUsdeWallet = "0:" + "B2" * 32
+  private val ethPool = "0:" + "A1" * 32
+  private val ethPoolUsdeWallet = "0:" + "FC" * 32
+  private val ethTsUsdeMaster = "0:" + "D0" * 32
+  private val ethUserTsWallet = "0:" + "B8" * 32
+  private val ethUsdeMaster = "0:" + "08" * 32
+
+  test("ethena.yaml parity ('Deposit'): stake_deposit with asset=tsUSDe " +
+      "master, asset2=USDe master, wallet secondaries, amount and " +
+      "staking_data.tokens_minted") {
+    val xfer = transferBody(7, 2500300127L, ethPool, ethUser, 1)
+    val mintCall = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonMint), 32)
+      .storeUint(BigInt(7), 64)
+      .storeAddress(Some(ethUser))
+      .storeCoins(BigInt(100000000L))
+      .build())
+    val mintXfer = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(7), 64)
+      .storeCoins(BigInt(1994155249L))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    val txs = Seq(tx("T1", ethUserUsdeWallet, 10),
+      tx("T2", ethPoolUsdeWallet, 20), tx("T3", ethPool, 30),
+      tx("T4", ethTsUsdeMaster, 40), tx("T5", ethUserTsWallet, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", ethUser, ethUserUsdeWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", ethUserUsdeWallet, ethPoolUsdeWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", ethUserUsdeWallet, ethPoolUsdeWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", ethPoolUsdeWallet, ethPool, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", ethPoolUsdeWallet, ethPool, Some(Opcodes.JettonNotify)),
+        out("m4", ethPool, ethTsUsdeMaster, Some(Opcodes.JettonMint),
+          body = Some(mintCall))),
+      "T4" -> Seq(
+        in("m4", ethPool, ethTsUsdeMaster, Some(Opcodes.JettonMint),
+          body = Some(mintCall)),
+        out("m5", ethTsUsdeMaster, ethUserTsWallet,
+          Some(Opcodes.JettonInternalTransfer), body = Some(mintXfer))),
+      "T5" -> Seq(in("m5", ethTsUsdeMaster, ethUserTsWallet,
+        Some(Opcodes.JettonInternalTransfer), body = Some(mintXfer))))
+    val actions = Classifier.classify("geth1", txs, msgs,
+      interfaces = Map(ethUserTsWallet -> "ethena_tsusde_wallet"),
+      jettonWallets = Map(ethUserUsdeWallet -> ethUsdeMaster))
+    val a = actions.find(_.`type` == "stake_deposit").get
+    // YAML: source/source_secondary/destination/amount/asset/asset2
+    assert(a.source.contains(ethUser))
+    assert(a.source_secondary.contains(ethUserUsdeWallet))
+    assert(a.destination.contains(ethPool))
+    assert(a.amount.contains(BigDecimal(2500300127L)))
+    assert(a.asset.contains(ethTsUsdeMaster))
+    assert(a.asset2.contains(ethUsdeMaster))
+    assert(a.success)
+    val sd = a.staking_data.get
+    assert(sd.provider.contains("ethena"))
+    assert(sd.tokens_minted.contains(BigDecimal(1994155249L)))
+    // YAML accounts list (6): exactly the involved set
+    assert(a.accounts.toSet == Set(ethUserTsWallet, ethPoolUsdeWallet,
+      ethTsUsdeMaster, ethUser, ethPool, ethUserUsdeWallet),
+      s"accounts: ${a.accounts}")
+  }
+
+  test("ethena.yaml parity ('Unstake request'): stake_withdrawal_request " +
+      "with destination=pool, asset=tsUSDe master, amount and the " +
+      "timelocked tokens_minted") {
+    val user = "0:" + "28" * 32
+    val wallet = "0:" + "29" * 32 // user's tsUSDe wallet (source AND receiver)
+    val xfer = transferBody(9, 199179780L, ethPool, user, 1)
+    val tsBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.EthenaTsUsdeTransfer), 32)
+      .storeUint(BigInt(9), 64)
+      .storeCoins(BigInt(250729913L))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    val txs = Seq(tx("T1", wallet, 10), tx("T2", ethTsUsdeMaster, 20),
+      tx("T3", ethPool, 30), tx("T4", ethTsUsdeMaster, 40),
+      tx("T5", wallet, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, wallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", wallet, ethTsUsdeMaster,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", wallet, ethTsUsdeMaster,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", ethTsUsdeMaster, ethPool, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", ethTsUsdeMaster, ethPool, Some(Opcodes.JettonNotify)),
+        out("m4", ethPool, ethTsUsdeMaster, Some(Opcodes.JettonMint))),
+      "T4" -> Seq(
+        in("m4", ethPool, ethTsUsdeMaster, Some(Opcodes.JettonMint)),
+        out("m5", ethTsUsdeMaster, wallet,
+          Some(Opcodes.EthenaTsUsdeTransfer), body = Some(tsBody))),
+      "T5" -> Seq(in("m5", ethTsUsdeMaster, wallet,
+        Some(Opcodes.EthenaTsUsdeTransfer), body = Some(tsBody))))
+    val actions = Classifier.classify("geth2", txs, msgs,
+      jettonWallets = Map(wallet -> ethTsUsdeMaster))
+    val a = actions.find(_.`type` == "stake_withdrawal_request").get
+    // YAML: source/source_secondary/destination=pool/amount/asset +
+    // staking_data{provider, tokens_minted}
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(wallet))
+    assert(a.destination.contains(ethPool))
+    assert(a.amount.contains(BigDecimal(199179780L)))
+    assert(a.asset.contains(ethTsUsdeMaster))
+    val sd = a.staking_data.get
+    assert(sd.provider.contains("ethena"))
+    assert(sd.tokens_minted.contains(BigDecimal(250729913L)))
+    // YAML accounts (4): pool, user, master, user wallet
+    assert(a.accounts.toSet == Set(ethPool, user, ethTsUsdeMaster, wallet),
+      s"accounts: ${a.accounts}")
+  }
 }
