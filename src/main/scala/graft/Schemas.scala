@@ -275,7 +275,10 @@ object Schemas {
     f("recipient_jetton_wallet", StringType),
     f("master_jetton_wallet", StringType),
     f("master", StringType), f("fail_reason", StringType),
-    f("asset_id", StringType)))
+    f("asset_id", StringType),
+    // the serializer emits is_ton (block_tree_serializer.py:705) even
+    // though the reference DB composite omits it — keep the API value
+    f("is_ton", BooleanType)))
 
   val evaaLiquidateDetails: StructType = StructType(Seq(
     f("fail_reason", StringType), f("debt_amount", amount),

@@ -206,6 +206,40 @@ case class ProtocolOpBlock(
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 
+/** EVAA supply (blocks/evaa.py:93-309): ton or jetton deposit into the
+  * lending pool, resolved through the user-contract round trip. Field
+  * names mirror EvaaSupplyData; the serializer applies
+  * _fill_evaa_supply_action (block_tree_serializer.py:677-693). */
+case class EvaaSupplyActionBlock(
+    sender: Option[String], senderJettonWallet: Option[String],
+    recipient: Option[String], recipientContract: Option[String],
+    recipientJettonWallet: Option[String],
+    masterJettonWallet: Option[String],
+    master: Option[String], asset: Option[String],
+    amount: Option[BigDecimal], assetIdHex: Option[String],
+    isTon: Boolean, isSuccess: Boolean,
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "evaa_supply"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
+/** EVAA withdraw (blocks/evaa.py:340-566): the user-contract decision
+  * round trip ending in a payout (success), a master-side no-funds
+  * revert, or a user-contract fail excess. Serializer fill:
+  * _fill_evaa_withdraw_action (block_tree_serializer.py:695-711). */
+case class EvaaWithdrawActionBlock(
+    owner: Option[String], ownerContract: Option[String],
+    recipient: Option[String],
+    recipientJettonWallet: Option[String],
+    masterJettonWallet: Option[String],
+    master: Option[String], asset: Option[String],
+    amount: Option[BigDecimal], assetIdHex: Option[String],
+    isTon: Boolean, isSuccess: Boolean, failReason: Option[String],
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "evaa_withdraw"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
 /** Terminal fallback (G9, block_tree_serializer.py:1564-1587). */
 case class UnknownBlock(nodes: Seq[TxNode]) extends Block {
   val btype = "unknown"

@@ -1545,17 +1545,237 @@ object ProtocolMatchers {
       case other => other
     })
 
-  /** EVAA lending (messages/evaa.py:13-151): the master opcodes are tiny
-    * integers (0x1 / 0x2), so the match REQUIRES the user-contract child
-    * opcode — exactly how the reference disambiguates them from ordinary
-    * low-opcode calls. */
-  val EvaaSupplyMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.EvaaSupplyMaster, Some(Opcodes.EvaaSupplyUser),
-    Set(Opcodes.EvaaSupplySuccess, Opcodes.EvaaSupplyFail, Opcodes.Excesses),
-    protoBlock("evaa_supply"))
-  val EvaaWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.EvaaWithdrawMaster, Some(Opcodes.EvaaWithdrawUser),
-    Set(Opcodes.Excesses), protoBlock("evaa_withdraw"))
+  /** EVAA lending (blocks/evaa.py). The master opcodes are tiny integers
+    * (0x1 / 0x2), so every match REQUIRES the user-contract round trip —
+    * exactly how the reference disambiguates them from ordinary
+    * low-opcode calls. Messages INTO the user contract carry the
+    * user-smc header (user_version:Coins upgrade_info:Maybe ^Cell
+    * upgrade_exec:uint2) before the 32-bit op (blocks/evaa.py:59-89), so
+    * the raw indexed opcode is garbage for those — match them by raw
+    * opcode OR by the header-aware body parse. */
+  private object Evaa {
+    import graft.functions.{Boc, TlbDecoders}
+
+    /** op after the user-smc header, when the body parses. */
+    def headerOp(blk: CallContractBlock): Option[Long] =
+      blk.node.inMsg.flatMap(_.body).flatMap { b64 =>
+        try {
+          val s = Boc.parseBase64(b64).beginParse()
+          s.loadCoins()
+          if (s.loadBit()) s.loadRef()
+          s.loadUint(2)
+          Some(s.loadUint(32).toLong)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    def opIs(blk: CallContractBlock, op: Long): Boolean =
+      Opcodes.matches(blk.opcode, op) || headerOp(blk).contains(op)
+
+    def callChild(b: Block, op: Long): Option[CallContractBlock] =
+      b.children.collectFirst {
+        case c: CallContractBlock if opIs(c, op) => c
+      }
+
+    /** The "EVAA ..." comment transfers + excesses the reference's
+      * ContractMatchers consume alongside each matched call. */
+    def aux(bs: Seq[Block]): Seq[Block] = bs.flatMap(_.children).filter {
+      case t: TonTransferBlock => t.comment.exists(c =>
+        c == "EVAA supply." || c == "EVAA withdraw." ||
+          c == "EVAA liquidation.")
+      case c: CallContractBlock => Opcodes.matches(c.opcode, Opcodes.Excesses)
+      case _ => false
+    }
+
+    def body(blk: CallContractBlock): Option[String] =
+      blk.node.inMsg.flatMap(_.body)
+
+    val tonAssetIdHex: String =
+      "0x" + Opcodes.EvaaTonAssetId.toString(16)
+  }
+
+  /** EVAA supply (EvaaSupplyBlockMatcher, blocks/evaa.py:117-309): a TON
+    * supply call at the master — or a jetton transfer whose forward
+    * payload is supply_master — whose user-contract leg ends in
+    * supply_success, supply_fail, or a jetton refund. */
+  object EvaaSupplyMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+
+    private def build(anchor: Block, user: CallContractBlock,
+        sender: Option[String], senderWallet: Option[String],
+        masterWallet: Option[String], master: Option[String],
+        asset: Option[String], recipient0: Option[String],
+        amount0: Option[BigDecimal], isTon: Boolean)
+        : Option[(Block, Seq[Block])] = {
+      val success = Evaa.callChild(user, Opcodes.EvaaSupplySuccess)
+      val fail = Evaa.callChild(user, Opcodes.EvaaSupplyFail)
+      val refund = user.children.collectFirst { case j: JettonTransferBlock => j }
+      if (success.isEmpty && fail.isEmpty && refund.isEmpty) return None
+      val successBody = success.flatMap(Evaa.body)
+        .flatMap(safeDecode(TlbDecoders.evaaSupplySuccess))
+      val userBody = Evaa.body(user)
+        .flatMap(safeDecode(TlbDecoders.evaaUserCall))
+      val recipient = recipient0.orElse(sender)
+      val recipientWallet =
+        if (!isTon && recipient == sender) senderWallet else None
+      val amount = successBody.map(d => BigDecimal(d.amountSupplied))
+        .orElse(amount0)
+      val outcome: Seq[Block] =
+        (success.toSeq: Seq[Block]) ++ fail.toSeq ++ refund.toSeq
+      val consumed = (Seq(anchor, user: Block) ++ outcome) ++
+        Evaa.aux(Seq(user: Block) ++ outcome)
+      Some((EvaaSupplyActionBlock(
+        sender = sender, senderJettonWallet = senderWallet,
+        recipient = recipient,
+        recipientContract = user.node.inMsg.flatMap(_.destination),
+        recipientJettonWallet = recipientWallet,
+        masterJettonWallet = masterWallet,
+        master = master, asset = asset,
+        amount = amount,
+        assetIdHex = successBody.map(_.assetIdHex)
+          .orElse(userBody.map(_.assetIdHex)),
+        isTon = isTon, isSuccess = success.nonEmpty,
+        failed = success.isEmpty || anchor.failed || user.failed,
+        nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+    }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.EvaaSupplyMaster) =>
+        Evaa.callChild(c, Opcodes.EvaaSupplyUser).flatMap { u =>
+          val masterBody = Evaa.body(c)
+            .flatMap(safeDecode(TlbDecoders.evaaSupplyMaster))
+          build(c, u,
+            sender = c.node.inMsg.flatMap(_.source),
+            senderWallet = None, masterWallet = None,
+            master = c.node.inMsg.flatMap(_.destination),
+            asset = None,
+            recipient0 = masterBody.flatMap(_.recipient),
+            amount0 = masterBody.map(d => BigDecimal(d.supplyAmount)),
+            isTon = true)
+        }
+      case jt: JettonTransferBlock =>
+        val fwdRecipient = jt.decoded.flatMap(_.forwardPayload)
+          .flatMap(safeDecode(TlbDecoders.evaaSupplyJettonForward))
+        fwdRecipient.flatMap { recipient =>
+          jt.children.collectFirst {
+            case u: CallContractBlock
+              if Evaa.opIs(u, Opcodes.EvaaSupplyUser) => u
+          }.flatMap { u =>
+            build(jt, u,
+              sender = jt.sender,
+              senderWallet = Some(jt.senderWallet),
+              masterWallet = jt.receiverWallet,
+              master = jt.receiver,
+              asset = Some(jt.asset.getOrElse(jt.senderWallet)),
+              recipient0 = recipient,
+              amount0 = Some(jt.amount),
+              isTon = false)
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** EVAA withdraw (EvaaWithdrawBlockMatcher, blocks/evaa.py:340-566):
+    * withdraw_master → withdraw_user, then one of: collateralized +
+    * payout (success), collateralized + withdraw_fail + no-funds excess,
+    * or a user-contract fail excess (locked / not-collateralized /
+    * missing-prices / crashed). */
+  object EvaaWithdrawMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.EvaaWithdrawMaster))
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.EvaaWithdrawMaster) =>
+        Evaa.callChild(c, Opcodes.EvaaWithdrawUser).flatMap { u =>
+          val masterBody = Evaa.body(c)
+            .flatMap(safeDecode(TlbDecoders.evaaWithdrawMaster))
+          val userBody = Evaa.body(u)
+            .flatMap(safeDecode(TlbDecoders.evaaUserCall))
+          val assetIdHex = masterBody.map(_.assetIdHex)
+            .orElse(userBody.map(_.assetIdHex))
+          val isTon = assetIdHex.forall(_ == Evaa.tonAssetIdHex)
+          val owner = c.node.inMsg.flatMap(_.source)
+          val recipient = masterBody.flatMap(_.recipient)
+            .orElse(userBody.flatMap(_.recipient)).orElse(owner)
+          val desired = masterBody.map(d => BigDecimal(d.amount))
+            .orElse(userBody.map(d => BigDecimal(d.amount)))
+          val ownerContract = u.node.inMsg.flatMap(_.destination)
+          def blk(isSuccess: Boolean, amount: Option[BigDecimal],
+              failReason: Option[String], jettonPayout: Option[JettonTransferBlock],
+              extra: Seq[Block]): (Block, Seq[Block]) = {
+            val consumed = (Seq(c: Block, u) ++ extra) ++
+              Evaa.aux(Seq(u: Block) ++ extra)
+            (EvaaWithdrawActionBlock(
+              owner = owner, ownerContract = ownerContract,
+              recipient = recipient,
+              recipientJettonWallet = jettonPayout.flatMap(_.receiverWallet),
+              masterJettonWallet = jettonPayout.map(_.senderWallet),
+              master = c.node.inMsg.flatMap(_.destination),
+              asset = jettonPayout.map(j => j.asset.getOrElse(j.senderWallet)),
+              amount = amount, assetIdHex = assetIdHex,
+              isTon = isTon, isSuccess = isSuccess,
+              failReason = failReason,
+              failed = !isSuccess || c.failed || u.failed,
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+          }
+          val coll = u.children.collectFirst {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.EvaaWithdrawCollateralized) => cc
+          }
+          coll match {
+            case Some(cc) =>
+              val failLeg = cc.children.collectFirst {
+                case fc: CallContractBlock
+                  if Evaa.opIs(fc, Opcodes.EvaaWithdrawFail) => fc
+              }
+              failLeg match {
+                case Some(fc) =>
+                  // master-side no-funds revert (blocks/evaa.py:523-541)
+                  val excess = Evaa.callChild(fc,
+                    Opcodes.EvaaWithdrawNoFundsExcess)
+                  Some(blk(isSuccess = false, amount = desired,
+                    failReason = Some("withdraw_no_funds_excess"),
+                    jettonPayout = None,
+                    extra = Seq(cc: Block, fc) ++ excess.toSeq))
+                case None =>
+                  val jettonPayout = cc.children.collectFirst {
+                    case j: JettonTransferBlock => j }
+                  val tonPayouts = cc.children.collect {
+                    case pc: CallContractBlock
+                      if Evaa.opIs(pc, Opcodes.EvaaWithdrawSuccess) => pc: Block
+                  }
+                  if (jettonPayout.isEmpty && tonPayouts.isEmpty) None
+                  else {
+                    val amount = Evaa.body(cc)
+                      .flatMap(safeDecode(TlbDecoders.evaaWithdrawCollateralized))
+                      .map(BigDecimal(_)).orElse(desired)
+                    Some(blk(isSuccess = true, amount = amount,
+                      failReason = None, jettonPayout = jettonPayout,
+                      extra = Seq(cc: Block) ++ jettonPayout.toSeq ++ tonPayouts))
+                  }
+              }
+            case None =>
+              // user-contract fail excess (blocks/evaa.py:543-566)
+              u.children.collectFirst {
+                case fc: CallContractBlock
+                  if fc.opcode.exists(op =>
+                    Opcodes.EvaaWithdrawFailExcessReasons
+                      .contains(op & 0xffffffffL)) => fc
+              }.map { fc =>
+                val reason = Opcodes.EvaaWithdrawFailExcessReasons(
+                  fc.opcode.get & 0xffffffffL)
+                blk(isSuccess = false, amount = desired,
+                  failReason = Some(reason), jettonPayout = None,
+                  extra = Seq(fc))
+              }
+          }
+        }
+      case _ => None
+    }
+  }
 
   /** Coffee DEX swap: native/jetton swap entry with its success/failed
     * event tail (messages/coffee.py:338-413). */

@@ -217,6 +217,19 @@ object Opcodes {
   val EvaaSupplyFail = 0x11fL
   val EvaaWithdrawMaster = 0x2L
   val EvaaWithdrawUser = 0x21L
+  val EvaaWithdrawCollateralized = 0x211L
+  val EvaaWithdrawSuccess = 0x211aL
+  val EvaaWithdrawFail = 0x211fL
+  val EvaaWithdrawNoFundsExcess = 0x211fe8L
+  /** user-contract fail excesses → reason (messages/evaa.py:228-246). */
+  val EvaaWithdrawFailExcessReasons: Map[Long, String] = Map(
+    0x21e6L -> "withdraw_locked_excess",
+    0x21e7L -> "withdraw_not_collateralized_excess",
+    0x21e8L -> "withdraw_missing_prices_excess",
+    0x21ecL -> "withdraw_execution_crashed")
+  /** sha256('TON') — the native-asset id (blocks/evaa.py:51). */
+  val EvaaTonAssetId: BigInt =
+    BigInt("1A4219FE5E60D63AF2A3CC7DCE6FEC69B45C6B5718497A6148E7C232AC87BD8A", 16)
 
   // Coffee DEX (messages/coffee.py:338-590)
   val CoffeeSwapNative = 0xc0ffee00L

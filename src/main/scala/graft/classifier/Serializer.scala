@@ -126,7 +126,8 @@ case class EvaaWithdrawData(
     recipient_jetton_wallet: Option[String],
     master_jetton_wallet: Option[String],
     master: Option[String], fail_reason: Option[String],
-    asset_id: Option[String])
+    asset_id: Option[String],
+    is_ton: Option[Boolean] = None)
 
 case class EvaaLiquidateData(
     fail_reason: Option[String], debt_amount: Option[BigDecimal],
@@ -413,6 +414,12 @@ object Serializer {
           Some(j.asset.getOrElse(j.senderWallet)), Some(j.amount))
       case j: JettonBurnBlock =>
         (j.owner, None, Some(j.ownerWallet), Some(j.amount))
+      // EVAA fills (block_tree_serializer.py:677-711): endpoints are the
+      // human owner on both sides; amount rides `amount`, not value
+      case e: EvaaSupplyActionBlock =>
+        (e.sender, e.recipient, e.asset, None)
+      case e: EvaaWithdrawActionBlock =>
+        (e.owner, e.recipient, e.asset, None)
       case n: NftTransferBlock =>
         // asset = collection (nft_items dim), the item rides
         // asset_secondary (_fill_nft_transfer_action:200-202); item
@@ -555,6 +562,7 @@ object Serializer {
         case j: JettonTransferBlock => Some(j.senderWallet)
         case jb: JettonBurnBlock => Some(jb.ownerWallet)
         case p: ProtocolOpBlock => p.sourceSecondary
+        case e: EvaaSupplyActionBlock => e.senderJettonWallet
         case _ => None
       },
       destination_secondary = b match {
@@ -562,6 +570,9 @@ object Serializer {
         // to_jetton_wallet (_fill_jetton_mint_action:648)
         case m: JettonMintBlock => m.receiverWallet
         case p: ProtocolOpBlock => p.destinationSecondary
+        // the user smart-contract (block_tree_serializer.py:681,698)
+        case e: EvaaSupplyActionBlock => e.recipientContract
+        case e: EvaaWithdrawActionBlock => e.ownerContract
         case _ => None
       },
       asset_secondary = b match {
@@ -681,18 +692,19 @@ object Serializer {
       // EVAA structs decode from the consumed success/satisfied leg
       // (messages/evaa.py; fills block_tree_serializer.py:677-725)
       evaa_supply_data = b match {
-        case p: ProtocolOpBlock if p.btype == "evaa_supply" =>
-          val success = nodeBody(p, Opcodes.EvaaSupplySuccess)
-            .flatMap(safeDec(TlbDecoders.evaaSupplySuccess))
-          Some(EvaaSupplyData(None, None, None,
-            master = p.destination,
-            asset_id = success.map(_.assetIdHex), is_ton = None))
+        case e: EvaaSupplyActionBlock =>
+          Some(EvaaSupplyData(e.senderJettonWallet,
+            e.recipientJettonWallet, e.masterJettonWallet,
+            master = e.master, asset_id = e.assetIdHex,
+            is_ton = Some(e.isTon)))
         case _ => None
       },
       evaa_withdraw_data = b match {
-        case p: ProtocolOpBlock if p.btype == "evaa_withdraw" =>
-          Some(EvaaWithdrawData(None, None, None,
-            master = p.destination, fail_reason = None, asset_id = None))
+        case e: EvaaWithdrawActionBlock =>
+          Some(EvaaWithdrawData(None,
+            e.recipientJettonWallet, e.masterJettonWallet,
+            master = e.master, fail_reason = e.failReason,
+            asset_id = e.assetIdHex, is_ton = Some(e.isTon)))
         case _ => None
       },
       evaa_liquidate_data = b match {
@@ -789,6 +801,8 @@ object Serializer {
     "election_deposit", "election_recover")
   private def amountOf(b: Block, row: ActionRow): Option[BigDecimal] = b match {
     case p: ProtocolOpBlock if p.amount.nonEmpty => p.amount
+    case e: EvaaSupplyActionBlock => e.amount
+    case e: EvaaWithdrawActionBlock => e.amount
     case m: JettonMintBlock => Some(m.amount)
     case _: JettonTransferBlock | _: JettonBurnBlock => row.value
     case _: ProtocolOpBlock if AmountTypes.contains(row.`type`) => row.value

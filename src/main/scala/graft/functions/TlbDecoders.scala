@@ -661,6 +661,94 @@ object TlbDecoders {
       "0x" + s.loadUint(256).toString(16), s.loadUint(64))
   }
 
+  final case class EvaaSupplyMasterBody(
+      queryId: BigInt, supplyAmount: BigInt, recipient: Option[String])
+
+  /** supply_master#00000001 query_id:uint64 include_user_code:int2
+    * supply_amount:uint64 recipient_address:MsgAddressInt ...
+    * (messages/evaa.py:8-26). */
+  def evaaSupplyMaster(bodyB64: String): EvaaSupplyMasterBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x1L)
+    val qid = s.loadUint(64)
+    s.loadInt(2) // include_user_code
+    EvaaSupplyMasterBody(qid, s.loadUint(64), s.loadAddress())
+  }
+
+  /** The jetton-supply forward payload: supply_master op WITHOUT query_id
+    * (messages/evaa.py:27-49): op:32 include_user_code:int2
+    * recipient_address:MsgAddressInt. Returns the recipient. */
+  def evaaSupplyJettonForward(bodyB64: String): Option[String] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x1L)
+    s.loadInt(2)
+    s.loadAddress()
+  }
+
+  final case class EvaaUserCallBody(
+      opcode: Long, assetIdHex: String, amount: BigInt,
+      recipient: Option[String])
+
+  /** A call at the EVAA user contract. Real messages carry the user-smc
+    * header (user_version:Coins upgrade_info:Maybe ^Cell
+    * upgrade_exec:uint2, blocks/evaa.py:59-89) BEFORE the 32-bit op;
+    * synthetic fixtures may omit it — try header-first, then plain.
+    * Layouts (messages/evaa.py:52-72, 143-167):
+    * supply_user#00000011 query_id:64 asset_id:256 amount:64;
+    * withdraw_user#00000021 query_id:64 asset_id:256 amount:64
+    * s_rate:64 b_rate:64 recipient:MsgAddressInt. */
+  def evaaUserCall(bodyB64: String): EvaaUserCallBody = {
+    val root = Boc.parseBase64(bodyB64)
+    def parse(skipHeader: Boolean): EvaaUserCallBody = {
+      val s = root.beginParse()
+      if (skipHeader) {
+        s.loadCoins() // user_version
+        if (s.loadBit()) s.loadRef() // upgrade_info
+        s.loadUint(2) // upgrade_exec
+      }
+      val op = s.loadUint(32).toLong
+      require(op == 0x11L || op == 0x21L, s"not an evaa user call: $op")
+      s.loadUint(64) // query_id
+      val assetId = s.loadUint(256)
+      val amount = s.loadUint(64)
+      val recipient = if (op == 0x21L) {
+        s.loadUint(64); s.loadUint(64) // s_rate, b_rate
+        s.loadAddress()
+      } else None
+      EvaaUserCallBody(op, "0x" + assetId.toString(16), amount, recipient)
+    }
+    try parse(skipHeader = true)
+    catch { case scala.util.control.NonFatal(_) => parse(skipHeader = false) }
+  }
+
+  final case class EvaaWithdrawMasterBody(
+      queryId: BigInt, assetIdHex: String, amount: BigInt,
+      recipient: Option[String])
+
+  /** withdraw_master#00000002 query_id:uint64 asset_id:uint256
+    * amount:uint64 recipient_addr:MsgAddressInt ...
+    * (messages/evaa.py:121-140). */
+  def evaaWithdrawMaster(bodyB64: String): EvaaWithdrawMasterBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x2L)
+    val qid = s.loadUint(64)
+    EvaaWithdrawMasterBody(qid, "0x" + s.loadUint(256).toString(16),
+      s.loadUint(64), s.loadAddress())
+  }
+
+  /** withdraw_collateralized#00000211 query_id:uint64
+    * owner_address:MsgAddressInt asset_id:uint256
+    * withdraw_amount_current:uint64 ... (messages/evaa.py:169-189).
+    * Returns the current (actual) withdraw amount. */
+  def evaaWithdrawCollateralized(bodyB64: String): BigInt = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x211L)
+    s.loadUint(64)
+    s.loadAddress()
+    s.loadUint(256)
+    s.loadUint(64)
+  }
+
   final case class EvaaLiquidateSatisfiedBody(
       transferredAssetIdHex: String, collateralAssetIdHex: String,
       liquidatableAmount: BigInt)

@@ -640,13 +640,34 @@ class ClassifierSpec extends SparkSpec {
     assert(alone.map(_.`type`) == Seq("call_contract"))
   }
 
-  test("evaa tiny opcodes match ONLY with the required user-contract child") {
-    val (stxs, smsgs) = chain2(Opcodes.EvaaSupplyMaster, Opcodes.EvaaSupplyUser)
+  test("evaa tiny opcodes match ONLY with the required user-contract " +
+      "round trip (reference requires an outcome leg, blocks/evaa.py)") {
+    // supply: master -> user -> supply_success
+    def chain3(op1: Long, op2: Long, op3: Long) = (
+      Seq(tx("T1", "0:A", 10), tx("T2", "0:B", 20), tx("T3", "0:A", 30)),
+      Map(
+        "T1" -> Seq(in("m1", "0:U", "0:A", Some(op1)),
+          out("m2", "0:A", "0:B", Some(op2))),
+        "T2" -> Seq(in("m2", "0:A", "0:B", Some(op2)),
+          out("m3", "0:B", "0:A", Some(op3))),
+        "T3" -> Seq(in("m3", "0:B", "0:A", Some(op3)))))
+    val (stxs, smsgs) = chain3(Opcodes.EvaaSupplyMaster,
+      Opcodes.EvaaSupplyUser, Opcodes.EvaaSupplySuccess)
     assert(Classifier.classify("ev1", stxs, smsgs).map(_.`type`) ==
       Seq("evaa_supply"))
-    val (wtxs, wmsgs) = chain2(Opcodes.EvaaWithdrawMaster, Opcodes.EvaaWithdrawUser)
-    assert(Classifier.classify("ev2", wtxs, wmsgs).map(_.`type`) ==
-      Seq("evaa_withdraw"))
+    // a supply WITHOUT the outcome leg is not classified (reference
+    // returns [] when neither success/fail/refund matched)
+    val (ntxs, nmsgs) = chain2(Opcodes.EvaaSupplyMaster, Opcodes.EvaaSupplyUser)
+    assert(!Classifier.classify("ev1b", ntxs, nmsgs)
+      .exists(_.`type` == "evaa_supply"))
+    // withdraw: master -> user -> fail excess (locked)
+    val (wtxs, wmsgs) = chain3(Opcodes.EvaaWithdrawMaster,
+      Opcodes.EvaaWithdrawUser, 0x21e6L)
+    val w = Classifier.classify("ev2", wtxs, wmsgs)
+    assert(w.map(_.`type`) == Seq("evaa_withdraw"))
+    assert(!w.head.success)
+    assert(w.head.evaa_withdraw_data.get.fail_reason
+      .contains("withdraw_locked_excess"))
     // a bare opcode-1 call (e.g. the sim's click) must NOT become evaa
     val bare = Classifier.classify("ev3",
       Seq(tx("T1", "0:APP", 10)),

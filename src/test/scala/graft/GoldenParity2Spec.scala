@@ -33,9 +33,11 @@ class GoldenParity2Spec extends SparkSpec {
     Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0), 32).storeBytes(text.getBytes("UTF-8")).build())
 
-  /** Full TEP-74 jetton transfer body. */
+  /** Full TEP-74 jetton transfer body, optionally with a forward-payload
+    * ref cell. */
   private def transferBody(qid: Long, amount: Long, dest: String,
-      resp: String, fwd: Long, comment: Option[String] = None): String = {
+      resp: String, fwd: Long, comment: Option[String] = None,
+      forwardPayload: Option[Boc.Cell] = None): String = {
     val b = new Boc.Builder()
       .storeUint(BigInt(0x0f8a7ea5L), 32)
       .storeUint(BigInt(qid), 64)
@@ -44,11 +46,12 @@ class GoldenParity2Spec extends SparkSpec {
       .storeAddress(Some(resp))
       .storeBit(false)
       .storeCoins(BigInt(fwd))
-    comment match {
-      case Some(c) =>
+    (comment, forwardPayload) match {
+      case (Some(c), _) =>
         b.storeBit(true).storeRef(new Boc.Builder()
           .storeUint(BigInt(0), 32).storeBytes(c.getBytes("UTF-8")).build())
-      case None => b.storeBit(false)
+      case (None, Some(p)) => b.storeBit(true).storeRef(p)
+      case (None, None) => b.storeBit(false)
     }
     Boc.serializeBase64(b.build())
   }
@@ -249,5 +252,253 @@ class GoldenParity2Spec extends SparkSpec {
     // YAML accounts (4): pool, user, master, user wallet
     assert(a.accounts.toSet == Set(ethPool, user, ethTsUsdeMaster, wallet),
       s"accounts: ${a.accounts}")
+  }
+
+  // ----------------------------------------------------------------------
+  // evaa.yaml
+  // ----------------------------------------------------------------------
+
+  private val evaaMaster = "0:" + "BC" * 32
+  private val evaaTonId = graft.classifier.Opcodes.EvaaTonAssetId
+  private val evaaJettonId =
+    BigInt("ca9006bd3fb03d355daeeff93b24be90afaa6e3ca0073ff5720f8a852c933278", 16)
+
+  private def evaaSupplyMasterBody(amount: Long, recipient: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(1), 32).storeUint(BigInt(5), 64)
+      .storeInt(BigInt(-1), 2) // include_user_code
+      .storeUint(BigInt(amount), 64)
+      .storeAddress(Some(recipient)).build())
+
+  private def evaaUserBody(op: Long, assetId: BigInt, amount: Long,
+      recipient: Option[String] = None): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(op), 32).storeUint(BigInt(5), 64)
+      .storeUint(assetId, 256).storeUint(BigInt(amount), 64)
+    recipient.foreach { r =>
+      b.storeUint(BigInt(0), 64).storeUint(BigInt(0), 64) // s_rate, b_rate
+      b.storeAddress(Some(r))
+    }
+    Boc.serializeBase64(b.build())
+  }
+
+  private def evaaSuccessBody(owner: String, assetId: BigInt,
+      amount: Long): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x11a), 32).storeUint(BigInt(5), 64)
+      .storeAddress(Some(owner))
+      .storeUint(assetId, 256).storeUint(BigInt(amount), 64).build())
+
+  private def evaaWithdrawMasterBody(assetId: BigInt, amount: BigInt,
+      recipient: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(2), 32).storeUint(BigInt(5), 64)
+      .storeUint(assetId, 256).storeUint(amount, 64)
+      .storeAddress(Some(recipient)).build())
+
+  private def evaaCollateralizedBody(owner: String, assetId: BigInt,
+      amount: Long): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x211), 32).storeUint(BigInt(5), 64)
+      .storeAddress(Some(owner))
+      .storeUint(assetId, 256).storeUint(BigInt(amount), 64).build())
+
+  test("evaa.yaml parity ('Ton supply'): source=destination=user, " +
+      "user-contract secondary, amount and evaa_supply_data.master") {
+    val user = "0:" + "8F" * 32
+    val uc = "0:" + "B9" * 32
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", evaaMaster, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(1L),
+          body = Some(evaaSupplyMasterBody(1000000000L, user))),
+        out("m2", evaaMaster, uc, Some(0x11L),
+          body = Some(evaaUserBody(0x11L, evaaTonId, 1000000000L)))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x11L),
+          body = Some(evaaUserBody(0x11L, evaaTonId, 1000000000L))),
+        out("m3", uc, evaaMaster, Some(0x11aL),
+          body = Some(evaaSuccessBody(user, evaaTonId, 1000000000L)))),
+      "T3" -> Seq(in("m3", uc, evaaMaster, Some(0x11aL),
+        body = Some(evaaSuccessBody(user, evaaTonId, 1000000000L)))))
+    val a = Classifier.classify("gev1", txs, msgs)
+      .find(_.`type` == "evaa_supply").get
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.amount.contains(BigDecimal(1000000000L)))
+    assert(a.success)
+    val d = a.evaa_supply_data.get
+    assert(d.master.contains(evaaMaster))
+    assert(d.is_ton.contains(true))
+  }
+
+  test("evaa.yaml parity ('Jetton supply'): wallet secondaries, asset " +
+      "from the repository and the recipient/master jetton wallets") {
+    val user = "0:" + "99" * 32
+    val userWallet = "0:" + "1C" * 32
+    val masterWallet = "0:" + "91" * 32
+    val uc = "0:" + "86" * 32
+    val usdtMaster = "0:" + "BD" * 32
+    val fwd = Boc.parseBase64(Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(1), 32).storeInt(BigInt(-1), 2)
+      .storeAddress(Some(user)).build()))
+    val xfer = transferBody(5, 47133134852L, evaaMaster, user, 1,
+      forwardPayload = Some(fwd))
+    val userCall = evaaUserBody(0x11L, evaaJettonId, 47133134852L)
+    val success = evaaSuccessBody(user, evaaJettonId, 47133134852L)
+    val txs = Seq(tx("T1", userWallet, 10), tx("T2", masterWallet, 20),
+      tx("T3", evaaMaster, 30), tx("T4", uc, 40), tx("T5", evaaMaster, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", userWallet, masterWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userWallet, masterWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", masterWallet, evaaMaster, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", masterWallet, evaaMaster, Some(Opcodes.JettonNotify)),
+        out("m4", evaaMaster, uc, Some(0x11L), body = Some(userCall))),
+      "T4" -> Seq(
+        in("m4", evaaMaster, uc, Some(0x11L), body = Some(userCall)),
+        out("m5", uc, evaaMaster, Some(0x11aL), body = Some(success))),
+      "T5" -> Seq(in("m5", uc, evaaMaster, Some(0x11aL),
+        body = Some(success))))
+    val a = Classifier.classify("gev2", txs, msgs,
+      jettonWallets = Map(userWallet -> usdtMaster))
+      .find(_.`type` == "evaa_supply").get
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(userWallet))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.asset.contains(usdtMaster))
+    assert(a.amount.contains(BigDecimal(47133134852L)))
+    val d = a.evaa_supply_data.get
+    assert(d.master.contains(evaaMaster))
+    assert(d.master_jetton_wallet.contains(masterWallet))
+    assert(d.recipient_jetton_wallet.contains(userWallet))
+    assert(d.is_ton.contains(false))
+  }
+
+  test("evaa.yaml parity ('Withdraw tsTon'): successful jetton withdraw " +
+      "with payout-derived wallets, repository asset and exact accounts") {
+    val user = "0:" + "B9" * 32
+    val uc = "0:" + "A3" * 32
+    val masterWallet = "0:" + "91" * 32
+    val recipWallet = "0:" + "FC" * 32
+    val tsTonMaster = "0:" + "BD" * 32
+    val wm = evaaWithdrawMasterBody(evaaJettonId, BigInt(1000000040L), user)
+    val userCall = evaaUserBody(0x21L, evaaJettonId, 1000000040L, Some(user))
+    val coll = evaaCollateralizedBody(user, evaaJettonId, 1000000040L)
+    val payout = transferBody(5, 1000000040L, user, user, 1)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", evaaMaster, 30), tx("T4", masterWallet, 40),
+      tx("T5", recipWallet, 50), tx("T6", uc, 60))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L), body = Some(userCall))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L), body = Some(userCall)),
+        out("m3", uc, evaaMaster, Some(0x211L), body = Some(coll))),
+      "T3" -> Seq(
+        in("m3", uc, evaaMaster, Some(0x211L), body = Some(coll)),
+        out("m4", evaaMaster, masterWallet, Some(Opcodes.JettonTransfer),
+          body = Some(payout), createdLt = 31),
+        out("m5", evaaMaster, uc, Some(0x211aL), createdLt = 32)),
+      "T4" -> Seq(
+        in("m4", evaaMaster, masterWallet, Some(Opcodes.JettonTransfer),
+          body = Some(payout)),
+        out("m6", masterWallet, recipWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T5" -> Seq(in("m6", masterWallet, recipWallet,
+        Some(Opcodes.JettonInternalTransfer))),
+      "T6" -> Seq(in("m5", evaaMaster, uc, Some(0x211aL))))
+    val a = Classifier.classify("gev3", txs, msgs,
+      jettonWallets = Map(masterWallet -> tsTonMaster))
+      .find(_.`type` == "evaa_withdraw").get
+    assert(a.success)
+    assert(a.amount.contains(BigDecimal(1000000040L)))
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.asset.contains(tsTonMaster))
+    val d = a.evaa_withdraw_data.get
+    assert(d.master.contains(evaaMaster))
+    assert(d.recipient_jetton_wallet.contains(recipWallet))
+    assert(d.master_jetton_wallet.contains(masterWallet))
+    // YAML accounts (5)
+    assert(a.accounts.toSet ==
+      Set(masterWallet, user, uc, recipWallet, evaaMaster),
+      s"accounts: ${a.accounts}")
+  }
+
+  test("evaa.yaml parity ('Ton withdrawal (no funds)'): failed withdraw " +
+      "with fail_reason=withdraw_no_funds_excess, is_ton and asset_id") {
+    val user = "0:" + "FD" * 32
+    val uc = "0:" + "39" * 32
+    val wm = evaaWithdrawMasterBody(evaaTonId, BigInt(1628764327L), user)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", evaaMaster, 30), tx("T4", uc, 40), tx("T5", user, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L)),
+        out("m3", uc, evaaMaster, Some(0x211L))),
+      "T3" -> Seq(
+        in("m3", uc, evaaMaster, Some(0x211L)),
+        out("m4", evaaMaster, uc, Some(0x211fL))),
+      "T4" -> Seq(
+        in("m4", evaaMaster, uc, Some(0x211fL)),
+        out("m5", uc, user, Some(0x211fe8L))),
+      "T5" -> Seq(in("m5", uc, user, Some(0x211fe8L))))
+    val a = Classifier.classify("gev4", txs, msgs)
+      .find(_.`type` == "evaa_withdraw").get
+    assert(!a.success)
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.amount.contains(BigDecimal(1628764327L)))
+    val d = a.evaa_withdraw_data.get
+    assert(d.fail_reason.contains("withdraw_no_funds_excess"))
+    assert(d.master.contains(evaaMaster))
+    assert(d.asset_id.contains("0x" + evaaTonId.toString(16)))
+    assert(d.is_ton.contains(true))
+    assert(d.recipient_jetton_wallet.isEmpty)
+    assert(d.master_jetton_wallet.isEmpty)
+  }
+
+  test("evaa.yaml parity ('Jetton withdrawal (locked)'): user-contract " +
+      "fail excess maps to withdraw_locked_excess with null asset") {
+    val user = "0:" + "4F" * 32
+    val uc = "0:" + "31" * 32
+    val wm = evaaWithdrawMasterBody(evaaJettonId, BigInt(3736185L), user)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", user, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L)),
+        out("m3", uc, user, Some(0x21e6L))),
+      "T3" -> Seq(in("m3", uc, user, Some(0x21e6L))))
+    val a = Classifier.classify("gev5", txs, msgs)
+      .find(_.`type` == "evaa_withdraw").get
+    assert(!a.success)
+    assert(a.amount.contains(BigDecimal(3736185L)))
+    assert(a.asset.isEmpty)
+    assert(a.destination_secondary.contains(uc))
+    val d = a.evaa_withdraw_data.get
+    assert(d.fail_reason.contains("withdraw_locked_excess"))
+    assert(d.is_ton.contains(false))
+    assert(d.asset_id.contains("0x" + evaaJettonId.toString(16)))
+    assert(d.master.contains(evaaMaster))
   }
 }
