@@ -142,7 +142,10 @@ case class JettonMintBlock(
 case class JettonSwapBlock(
     dex: String, sender: Option[String], router: Option[String],
     inTransfer: JettonTransferBlock, outTransfer: JettonTransferBlock,
-    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
+    // multi-hop routes (StonFi v2): already []-gated for <=1 hop by the
+    // matcher (blocks/swaps.py:459: peer_swaps if len>1 else [])
+    peerSwaps: Seq[PeerSwapData] = Nil) extends Block {
   val btype = "jetton_swap"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }

@@ -661,10 +661,98 @@ object ProtocolMatchers {
   def assetResolver(jettonWallets: Map[String, String]): String => Option[String] =
     w => jettonWallets.get(w).map(m => if (PtonMasters(m)) "TON" else m)
 
-  /** StonFi v2 swap: router→pool call 0x6664de2a that MUST produce a
+  /** StonFi v2 full-context swap (StonfiV2SwapBlockMatcher,
+    * blocks/swaps.py:232-471): anchored on the funding jetton transfer
+    * (real or pTON-rewritten), walks the (swap 0x6664de2a → pay_to
+    * 0x657b54f5) hop chain and merges the final outgoing transfer into a
+    * complete JettonSwapBlock with dex_incoming/outgoing data. Vault
+    * payouts and referral-fee deposits are deliberately NOT consumed —
+    * the reference leaves them as call_contract actions (see
+    * stonfi-v2-swaps.yaml 'multirouter': the 0x0490f09b deposit fees are
+    * separate expected actions). peer_swaps: first hop's `in` is the
+    * in-transfer itself; later hops chain from the last successful
+    * output; []-gated unless >1 (blocks/swaps.py:387-424,459). */
+  final class StonfiV2FullSwap(resolveAsset: String => Option[String])
+      extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.StonfiV2Swap, Opcodes.StonfiV2PayTo))
+    private val Ok = TlbDecoders.StonfiV2SwapOkCode
+    // repository lookup, wallet fallback; TON renders as null
+    // (_addr(Asset(is_ton=True)) → None, block_tree_serializer.py:85-91)
+    private def asset(w: Option[String]): Option[String] =
+      w.map(a => resolveAsset(a).getOrElse(a)).filter(_ != "TON")
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.StonfiV2Swap) => c
+        }.flatMap { swap0 =>
+          val hops = scala.collection.mutable.ArrayBuffer[
+            (CallContractBlock, CallContractBlock)]()
+          var cur: Option[CallContractBlock] = Some(swap0)
+          while (cur.isDefined) {
+            val sw = cur.get
+            sw.children.collectFirst {
+              case p: CallContractBlock
+                if Opcodes.matches(p.opcode, Opcodes.StonfiV2PayTo) => p
+            } match {
+              case Some(p) =>
+                hops += ((sw, p))
+                cur = p.children.collectFirst {
+                  case n: CallContractBlock
+                    if Opcodes.matches(n.opcode, Opcodes.StonfiV2Swap) => n
+                }
+              case None => cur = None
+            }
+          }
+          if (hops.isEmpty) None
+          else hops.last._2.children.collectFirst {
+            case j: JettonTransferBlock => j
+          }.map { out =>
+            val payBodies = hops.map(_._2).toSeq.flatMap(p =>
+              p.node.inMsg.flatMap(_.body)
+                .flatMap(safeDecode(TlbDecoders.stonfiV2PayTo)))
+            val ok = payBodies.forall(_.exitCode == Ok)
+            val peer: Seq[PeerSwapData] =
+              if (payBodies.size > 1) {
+                val first = payBodies.head
+                val firstEntry = PeerSwapData(
+                  asset_in = jt.asset.filter(_ != "TON"),
+                  amount_in = Some(jt.amount),
+                  asset_out = asset(first.out._2),
+                  amount_out = Some(BigDecimal(first.out._1)))
+                val rest =
+                  if (first.exitCode != Ok) Nil
+                  else payBodies.tail.filter(_.exitCode == Ok)
+                    .foldLeft((Vector.empty[PeerSwapData], first.out)) {
+                      case ((acc, prevOut), pb) =>
+                        (acc :+ PeerSwapData(
+                          asset_in = asset(prevOut._2),
+                          amount_in = Some(BigDecimal(prevOut._1)),
+                          asset_out = asset(pb.out._2),
+                          amount_out = Some(BigDecimal(pb.out._1))), pb.out)
+                    }._1
+                firstEntry +: rest
+              } else Nil
+            val consumed = Matching.identityDistinct(
+              Seq[Block](jt) ++ hops.toSeq.flatMap(h => Seq(h._1: Block, h._2)) ++
+                Seq(out))
+            (JettonSwapBlock("stonfi_v2", jt.sender, jt.receiver, jt, out,
+              failed = !ok, consumed.flatMap(_.nodes), Nil,
+              peerSwaps = peer), consumed)
+          }
+        }
+      case _ => None
+    }
+  }
+  val StonfiV2FullSwapMatcher: BlockMatcher = new StonfiV2FullSwap(_ => None)
+
+  /** StonFi v2 swap FALLBACK for traces without the surrounding
+    * transfers: router→pool call 0x6664de2a that MUST produce a
     * pay_to 0x657b54f5 (blocks/swaps.py:233-330). Cross-pool routes chain
-    * further swap calls under the pay_to; vault payouts 0x63381632 and
-    * referral-fee deposits 0x0490f09b ride along as auxiliaries. Emits
+    * further swap calls under the pay_to. Emits
     * jetton_swap with dex 'stonfi_v2'; multi-pool routes carry the hop
     * count into peer_swaps. Asset identity resolves each pay_to token
     * wallet through the jetton-wallet repository when one is provided
@@ -672,8 +760,9 @@ object ProtocolMatchers {
   def stonfiV2SwapMatcher(resolveAsset: String => Option[String])
       : BlockMatcher = new OpcodeChainMatcher(
     Opcodes.StonfiV2Swap, Some(Opcodes.StonfiV2PayTo),
-    Set(Opcodes.StonfiV2Swap, Opcodes.StonfiV2PayTo,
-      Opcodes.StonfiV2PayVault, Opcodes.StonfiV2DepositRefFee),
+    // vault payouts / referral-fee deposits stay UNCONSUMED — they
+    // serialize as their own call_contract actions in the reference
+    Set(Opcodes.StonfiV2Swap, Opcodes.StonfiV2PayTo),
     (c, consumed) => protoBlock("jetton_swap")(c, consumed) match {
       case p: ProtocolOpBlock =>
         // hop count = (swap, pay_to) PAIRS — the reference zips each
@@ -3151,7 +3240,7 @@ object ProtocolMatchers {
       PTonTonTransferMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
       JettonSwapMatcher, JettonMintMatcher,
-      StonfiV1FullSwapMatcher,
+      StonfiV1FullSwapMatcher, StonfiV2FullSwapMatcher,
       StonfiSwapMatcher, StonfiV2SwapMatcher, DedustSwapMatcher,
       TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
@@ -3317,6 +3406,7 @@ object ProtocolMatchers {
           case m if m eq JettonTransferMatcher =>
             new JettonTransferResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
+          case m if m eq StonfiV2FullSwapMatcher => new StonfiV2FullSwap(resolve)
           case m if m eq StonfiV2WithdrawLiquidityMatcher =>
             new StonfiV2WithdrawMatcher(resolve)
           case m if m eq DedustDepositFirstAssetMatcher =>

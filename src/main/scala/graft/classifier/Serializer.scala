@@ -426,8 +426,13 @@ object Serializer {
         // stands in when no dim is loaded
         (n.oldOwner, n.newOwner, n.collection.orElse(Some(n.nftItem)), None)
       case sw: JettonSwapBlock =>
+        // asset = the incoming transfer's asset (the jetton master when
+        // the repository resolved it), asset2 = the outgoing one —
+        // _fill_jetton_swap_action block_tree_serializer.py:374-386
         (sw.sender, sw.outTransfer.receiver,
-          Some(sw.inTransfer.senderWallet), Some(sw.inTransfer.amount))
+          Some(sw.inTransfer.asset.getOrElse(sw.inTransfer.senderWallet))
+            .filter(_ != "TON"),
+          Some(sw.inTransfer.amount))
       case m: JettonMintBlock =>
         // asset = the master when the call anchor resolved it
         // (_get_jetton_mint_data else-branch / wallet dim); the wallet
@@ -502,7 +507,7 @@ object Serializer {
           sw.dex, sw.sender,
           dex_incoming_transfer = Some(dexTransfer(sw.inTransfer)),
           dex_outgoing_transfer = Some(dexTransfer(sw.outTransfer)),
-          peer_swaps = Nil,
+          peer_swaps = sw.peerSwaps,
           // TONCO is the only dex whose serializer records min_out —
           // the successful out amount (blocks/swaps.py:1155,1205)
           min_out_amount =
@@ -563,6 +568,8 @@ object Serializer {
         case jb: JettonBurnBlock => Some(jb.ownerWallet)
         case p: ProtocolOpBlock => p.sourceSecondary
         case e: EvaaSupplyActionBlock => e.senderJettonWallet
+        // the user's funding wallet (block_tree_serializer.py:380)
+        case sw: JettonSwapBlock => Some(sw.inTransfer.senderWallet)
         case _ => None
       },
       destination_secondary = b match {
@@ -573,6 +580,8 @@ object Serializer {
         // the user smart-contract (block_tree_serializer.py:681,698)
         case e: EvaaSupplyActionBlock => e.recipientContract
         case e: EvaaWithdrawActionBlock => e.ownerContract
+        // the user's payout wallet (block_tree_serializer.py:382)
+        case sw: JettonSwapBlock => sw.outTransfer.receiverWallet
         case _ => None
       },
       asset_secondary = b match {
@@ -609,6 +618,10 @@ object Serializer {
       },
       asset2 = b match {
         case p: ProtocolOpBlock => p.asset2
+        // the outgoing side's asset (block_tree_serializer.py:375)
+        case sw: JettonSwapBlock =>
+          Some(sw.outTransfer.asset.getOrElse(sw.outTransfer.senderWallet))
+            .filter(_ != "TON")
         case _ => None
       },
       asset2_secondary = b match {
@@ -866,7 +879,9 @@ object Serializer {
 
   private def dexTransfer(j: JettonTransferBlock): DexTransferData =
     DexTransferData(Some(j.amount),
-      asset = j.asset.orElse(Some(j.senderWallet)),
+      // TON legs (pTON rewrites) render a null asset —
+      // _addr(Asset(is_ton=True)) is None (block_tree_serializer.py:85-91)
+      asset = j.asset.orElse(Some(j.senderWallet)).filter(_ != "TON"),
       source = j.sender, destination = j.receiver,
       source_jetton_wallet = Some(j.senderWallet),
       destination_jetton_wallet = j.receiverWallet)

@@ -501,4 +501,208 @@ class GoldenParity2Spec extends SparkSpec {
     assert(d.asset_id.contains("0x" + evaaJettonId.toString(16)))
     assert(d.master.contains(evaaMaster))
   }
+
+  // ----------------------------------------------------------------------
+  // stonfi-v2-swaps.yaml
+  // ----------------------------------------------------------------------
+
+  /** pay_to#657b54f5 body (messages/swaps.py:64-78). */
+  private def payToBody(exit: Long, amount0: Long, token0: String,
+      amount1: Long, token1: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x657b54f5L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some("0:" + "01" * 32))
+      .storeAddress(Some("0:" + "02" * 32))
+      .storeAddress(Some("0:" + "03" * 32))
+      .storeUint(BigInt(exit), 32)
+      .storeBit(false)
+      .storeRef(new Boc.Builder()
+        .storeCoins(BigInt(0))
+        .storeCoins(BigInt(amount0)).storeAddress(Some(token0))
+        .storeCoins(BigInt(amount1)).storeAddress(Some(token1))
+        .build())
+      .build())
+
+  private val v2Ok = graft.functions.TlbDecoders.StonfiV2SwapOkCode
+
+  test("stonfi-v2-swaps.yaml parity ('Jetton -> Jetton'): full swap with " +
+      "asset/asset2 columns, wallet secondaries, both dex transfers and " +
+      "empty peer_swaps") {
+    val user = "0:" + "A9" * 32
+    val userInWallet = "0:" + "31" * 32
+    val router = "0:" + "70" * 32
+    val routerInWallet = "0:" + "B9" * 32
+    val pool = "0:" + "94" * 32
+    val routerOutWallet = "0:" + "92" * 32
+    val userOutWallet = "0:" + "06" * 32
+    val assetIn = "0:" + "CE" * 32
+    val assetOut = "0:" + "C9" * 32
+    val inXfer = transferBody(1, 100000000L, router, user, 1)
+    val outXfer = transferBody(1, 167438006L, user, router, 1)
+    val payTo = payToBody(v2Ok, 167438006L, routerOutWallet, 0, routerOutWallet)
+    val txs = Seq(tx("T1", userInWallet, 10), tx("T2", routerInWallet, 20),
+      tx("T3", router, 30), tx("T4", pool, 40), tx("T5", router, 50),
+      tx("T6", routerOutWallet, 60), tx("T7", userOutWallet, 70))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userInWallet, Some(Opcodes.JettonTransfer),
+          body = Some(inXfer)),
+        out("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", routerInWallet, router, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", routerInWallet, router, Some(Opcodes.JettonNotify)),
+        out("m4", router, pool, Some(Opcodes.StonfiV2Swap))),
+      "T4" -> Seq(
+        in("m4", router, pool, Some(Opcodes.StonfiV2Swap)),
+        out("m5", pool, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo))),
+      "T5" -> Seq(
+        in("m5", pool, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo)),
+        out("m6", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer))),
+      "T6" -> Seq(
+        in("m6", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer)),
+        out("m7", routerOutWallet, userOutWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T7" -> Seq(in("m7", routerOutWallet, userOutWallet,
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("gsv1", txs, msgs,
+      jettonWallets = Map(userInWallet -> assetIn,
+        routerOutWallet -> assetOut))
+      .find(_.`type` == "jetton_swap").get
+    assert(a.success)
+    assert(a.asset.contains(assetIn))
+    assert(a.asset2.contains(assetOut))
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(userInWallet))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(userOutWallet))
+    val sd = a.jetton_swap_data.get
+    assert(sd.dex == "stonfi_v2")
+    assert(sd.sender.contains(user))
+    val inc = sd.dex_incoming_transfer.get
+    assert(inc.amount.contains(BigDecimal(100000000L)))
+    assert(inc.source.contains(user))
+    assert(inc.source_jetton_wallet.contains(userInWallet))
+    assert(inc.destination.contains(router))
+    assert(inc.destination_jetton_wallet.contains(routerInWallet))
+    assert(inc.asset.contains(assetIn))
+    val outT = sd.dex_outgoing_transfer.get
+    assert(outT.amount.contains(BigDecimal(167438006L)))
+    assert(outT.source.contains(router))
+    assert(outT.source_jetton_wallet.contains(routerOutWallet))
+    assert(outT.destination.contains(user))
+    assert(outT.destination_jetton_wallet.contains(userOutWallet))
+    assert(outT.asset.contains(assetOut))
+    assert(sd.peer_swaps.isEmpty)
+    // YAML accounts (7): all involved wallets + router + pool + user
+    assert(a.accounts.toSet == Set(pool, routerOutWallet, routerInWallet,
+      userInWallet, router, userOutWallet, user),
+      s"accounts: ${a.accounts}")
+  }
+
+  test("stonfi-v2-swaps.yaml parity ('multirouter'): two-hop route " +
+      "chains peer_swaps from the in-transfer and keeps deposit-fee " +
+      "calls as separate call_contract actions") {
+    val user = "0:" + "1F" * 32
+    val userInWallet = "0:" + "A0" * 32
+    val router = "0:" + "62" * 32
+    val routerInWallet = "0:" + "0D" * 32
+    val pool1 = "0:" + "5B" * 32
+    val pool2 = "0:" + "F1" * 32
+    val routerOutWallet = "0:" + "CB" * 32
+    val userOutWallet = "0:" + "ED" * 32
+    val hopWalletB = "0:" + "B1" * 32
+    val assetA = "0:" + "36" * 32
+    val assetB = "0:" + "BB" * 32
+    val assetC = "0:" + "AE" * 32
+    val feeVault = "0:" + "F4" * 32
+    val inXfer = transferBody(1, 7205784725L, router, user, 1)
+    val outXfer = transferBody(1, 33957063173L, user, router, 1)
+    val payTo1 = payToBody(v2Ok, 37841924L, hopWalletB, 0, hopWalletB)
+    val payTo2 = payToBody(v2Ok, 33957063173L, routerOutWallet, 0,
+      routerOutWallet)
+    val txs = Seq(tx("T1", userInWallet, 10), tx("T2", routerInWallet, 20),
+      tx("T3", router, 30), tx("T4", pool1, 40), tx("T5", router, 50),
+      tx("T6", pool2, 60), tx("T7", router, 70),
+      tx("T8", routerOutWallet, 80), tx("T9", userOutWallet, 90),
+      tx("TF", feeVault, 95))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userInWallet, Some(Opcodes.JettonTransfer),
+          body = Some(inXfer)),
+        out("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", routerInWallet, router, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", routerInWallet, router, Some(Opcodes.JettonNotify)),
+        out("m4", router, pool1, Some(Opcodes.StonfiV2Swap))),
+      "T4" -> Seq(
+        in("m4", router, pool1, Some(Opcodes.StonfiV2Swap)),
+        out("m5", pool1, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo1))),
+      "T5" -> Seq(
+        in("m5", pool1, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo1)),
+        out("m6", router, pool2, Some(Opcodes.StonfiV2Swap))),
+      "T6" -> Seq(
+        in("m6", router, pool2, Some(Opcodes.StonfiV2Swap)),
+        out("m7", pool2, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo2))),
+      "T7" -> Seq(
+        in("m7", pool2, router, Some(Opcodes.StonfiV2PayTo),
+          body = Some(payTo2)),
+        out("m8", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer), createdLt = 71),
+        out("mf", router, feeVault, Some(Opcodes.StonfiV2DepositRefFee),
+          createdLt = 72)),
+      "T8" -> Seq(
+        in("m8", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer)),
+        out("m9", routerOutWallet, userOutWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T9" -> Seq(in("m9", routerOutWallet, userOutWallet,
+        Some(Opcodes.JettonInternalTransfer))),
+      "TF" -> Seq(in("mf", router, feeVault,
+        Some(Opcodes.StonfiV2DepositRefFee))))
+    val actions = Classifier.classify("gsv2", txs, msgs,
+      jettonWallets = Map(userInWallet -> assetA, hopWalletB -> assetB,
+        routerOutWallet -> assetC))
+    val a = actions.find(_.`type` == "jetton_swap").get
+    assert(a.asset.contains(assetA))
+    assert(a.asset2.contains(assetC))
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.source_secondary.contains(userInWallet))
+    assert(a.destination_secondary.contains(userOutWallet))
+    val sd = a.jetton_swap_data.get
+    assert(sd.dex == "stonfi_v2")
+    // peer_swaps[0]: in = the in-transfer itself (amount + asset)
+    val ps = sd.peer_swaps
+    assert(ps.size == 2, s"peer_swaps: $ps")
+    assert(ps(0).amount_in.contains(BigDecimal(7205784725L)))
+    assert(ps(0).asset_in.contains(assetA))
+    assert(ps(0).amount_out.contains(BigDecimal(37841924L)))
+    assert(ps(0).asset_out.contains(assetB))
+    assert(ps(1).amount_in.contains(BigDecimal(37841924L)))
+    assert(ps(1).asset_in.contains(assetB))
+    assert(ps(1).amount_out.contains(BigDecimal(33957063173L)))
+    assert(ps(1).asset_out.contains(assetC))
+    // the deposit-fee call survives as its own call_contract action
+    // (the YAML's 'Deposit fee' expected-actions)
+    val fee = actions.find(x => x.`type` == "call_contract" &&
+      x.destination.contains(feeVault))
+    assert(fee.isDefined, s"got ${actions.map(_.`type`)}")
+    assert(fee.get.source.contains(router))
+  }
 }
