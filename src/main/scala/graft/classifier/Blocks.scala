@@ -195,6 +195,9 @@ case class ProtocolOpBlock(
     nftMint: Option[NftMintData] = None,
     mintedItemIndex: Option[String] = None,
     coffeeWithdraw: Option[CoffeeStakingWithdrawData] = None,
+    // TONCO pool deploy: full parameter struct decoded from the
+    // create-pool body (liquidity.py:1557-1620)
+    toncoDeploy: Option[ToncoDeployPoolData] = None,
     // coffee create-pool pair columns + detail struct
     asset2: Option[String] = None,
     asset2Secondary: Option[String] = None,

@@ -1598,31 +1598,100 @@ object ProtocolMatchers {
     Opcodes.TgbtcDkgCompleted, None, Set.empty,
     protoBlock("tgbtc_dkg_log_fallback"))
 
-  /** TONCO full-context swap — anchored on the funding jetton transfer
-    * with the pool swap and router pay-to below it; the outgoing
-    * transfer merges into the swap block (ToncoSwapMatcher,
-    * blocks/swaps.py:1000-1230; single-hop form — multi-hop TONCO
-    * routes fall back to the opcode chain). */
-  object ToncoFullSwapMatcher extends BlockMatcher {
+  /** TONCO full-context swap (ToncoSwapBlockMatcher,
+    * blocks/swaps.py:687-1230): anchored on the funding jetton transfer
+    * (real or pTON-rewritten), walks the POOLV3_SWAP → ROUTERV3_PAY_TO
+    * hop chain — multi-hop routes re-enter through the router's
+    * self-transfer — and merges the final outgoing transfer. peer_swaps
+    * chain from the in-transfer, each hop's output being the larger
+    * coinsinfo side; min_out = the successful out amount
+    * (swaps.py:1155). */
+  final class ToncoFullSwap(resolveAsset: String => Option[String])
+      extends BlockMatcher {
+    import graft.functions.TlbDecoders
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.ToncoPoolV3Swap, Opcodes.ToncoRouterV3PayTo))
+    private def asset(w: Option[String]): Option[String] =
+      w.map(a => resolveAsset(a).getOrElse(a)).filter(_ != "TON")
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jt: JettonTransferBlock =>
-        for {
-          swapCall <- findCall(jt, Opcodes.ToncoPoolV3Swap)
-          payTo <- findCall(swapCall, Opcodes.ToncoRouterV3PayTo)
-          out <- payTo.children.collectFirst {
-            case j2: JettonTransferBlock => j2
+        findCall(jt, Opcodes.ToncoPoolV3Swap).flatMap { swap0 =>
+          // hop chain: swap → pay_to → (intermediate transfer → … →
+          // next swap | final out transfer)
+          val hops = scala.collection.mutable.ArrayBuffer[
+            (CallContractBlock, CallContractBlock)]()
+          val intermediates = scala.collection.mutable.ArrayBuffer[Block]()
+          var cur: Option[CallContractBlock] = Some(swap0)
+          while (cur.isDefined) {
+            val sw = cur.get
+            sw.children.collectFirst {
+              case p: CallContractBlock
+                if Opcodes.matches(p.opcode, Opcodes.ToncoRouterV3PayTo) => p
+            } match {
+              case Some(p) =>
+                hops += ((sw, p))
+                // a further swap under this pay_to means an intermediate
+                // hop; consume the transfer chain between them
+                val next = findCall(p, Opcodes.ToncoPoolV3Swap)
+                next.foreach { n =>
+                  def collectPath(from: Block): Boolean = {
+                    if (from eq n) true
+                    else from.children.exists { ch =>
+                      val hit = collectPath(ch)
+                      if (hit && !(ch eq n)) intermediates += ch
+                      hit
+                    }
+                  }
+                  collectPath(p)
+                }
+                cur = next
+              case None => cur = None
+            }
           }
-        } yield {
-          val consumed: Seq[Block] = Seq(jt, swapCall, payTo, out)
-          (JettonSwapBlock("tonco", jt.sender, jt.receiver, jt, out,
-            failed = consumed.exists(_.failed),
-            consumed.flatMap(_.nodes), Nil), consumed)
+          if (hops.isEmpty) None
+          else hops.last._2.children.collectFirst {
+            case j2: JettonTransferBlock => j2
+          }.map { out =>
+            val payBodies = hops.map(_._2).toSeq.flatMap(p =>
+              p.node.inMsg.flatMap(_.body)
+                .flatMap(safeDecode(TlbDecoders.toncoPayTo)))
+            // TONCO ok exit codes: 0 and 200 (swaps.py:1112)
+            val ok = payBodies.forall(pb =>
+              pb.exitCode == 0L || pb.exitCode == 200L)
+            val peer: Seq[PeerSwapData] =
+              if (payBodies.size > 1) {
+                val first = payBodies.head
+                val firstEntry = PeerSwapData(
+                  asset_in = jt.asset.filter(_ != "TON"),
+                  amount_in = Some(jt.amount),
+                  asset_out = asset(first.out._2),
+                  amount_out = Some(BigDecimal(first.out._1)))
+                val rest = payBodies.tail
+                  .filter(pb => pb.exitCode == 0L || pb.exitCode == 200L)
+                  .foldLeft((Vector.empty[PeerSwapData], first.out)) {
+                    case ((acc, prevOut), pb) =>
+                      (acc :+ PeerSwapData(
+                        asset_in = asset(prevOut._2),
+                        amount_in = Some(BigDecimal(prevOut._1)),
+                        asset_out = asset(pb.out._2),
+                        amount_out = Some(BigDecimal(pb.out._1))), pb.out)
+                  }._1
+                firstEntry +: rest
+              } else Nil
+            val consumed = Matching.identityDistinct(
+              Seq[Block](jt) ++
+                hops.toSeq.flatMap(h => Seq(h._1: Block, h._2)) ++
+                intermediates.toSeq ++ Seq(out))
+            (JettonSwapBlock("tonco", jt.sender, jt.receiver, jt, out,
+              failed = !ok || consumed.exists(_.failed),
+              consumed.flatMap(_.nodes), Nil,
+              peerSwaps = peer), consumed)
+          }
         }
       case _ => None
     }
   }
+  val ToncoFullSwapMatcher: BlockMatcher = new ToncoFullSwap(_ => None)
 
   /** TONCO v3 swap: pool swap 0xa7fb58f8 paying out through the router
     * 0xa1daa96d (messages/swaps.py:226,345). */
@@ -2701,9 +2770,62 @@ object ProtocolMatchers {
   /** TONCO pool lifecycle: router create-pool 0x2e3034ef must reach pool
     * init 0x441c39ed (blocks/liquidity.py:1545-1554); withdrawal = the
     * position start-burn 0x530b5f2c with its burn/pay-to tail. */
-  val ToncoDeployPoolMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.ToncoRouterV3CreatePool, Some(Opcodes.ToncoPoolV3Init),
-    Set(Opcodes.Excesses), protoBlock("tonco_deploy_pool"))
+  /** TONCO pool deploy (ToncoDeployPoolBlockMatcher,
+    * liquidity.py:1535-1620): ROUTERV3_CREATE_POOL with the required
+    * POOLV3_INIT child. Endpoints: deployer → router, pool as the
+    * destination secondary; the full parameter struct decodes from the
+    * create-pool body (router wallets + minters) with init-body
+    * fallbacks. */
+  object ToncoDeployPoolMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.ToncoRouterV3CreatePool, Opcodes.ToncoPoolV3Init))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.ToncoRouterV3CreatePool) =>
+        c.children.collectFirst {
+          case ic: CallContractBlock
+            if Opcodes.matches(ic.opcode, Opcodes.ToncoPoolV3Init) => ic
+        }.map { init =>
+          val create = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.toncoCreatePool))
+          val initBody = init.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.toncoPoolInit))
+          val excesses = init.children.collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.Excesses) => e: Block
+          }
+          val consumed = Seq(c: Block, init) ++ excesses
+          (ProtocolOpBlock("tonco_deploy_pool",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = c.node.inMsg.flatMap(_.destination),
+            asset = None, value = None,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            dex = Some("tonco"),
+            destinationSecondary = init.node.inMsg.flatMap(_.destination),
+            toncoDeploy = Some(ToncoDeployPoolData(
+              jetton0_router_wallet = create.flatMap(_.jettonWallet0),
+              jetton1_router_wallet = create.flatMap(_.jettonWallet1),
+              jetton0_minter = create.flatMap(_.jetton0Minter)
+                .orElse(initBody.flatMap(_.jetton0Minter)),
+              jetton1_minter = create.flatMap(_.jetton1Minter)
+                .orElse(initBody.flatMap(_.jetton1Minter)),
+              tick_spacing = create.map(_.tickSpacing)
+                .orElse(initBody.map(_.tickSpacing)),
+              initial_price_x96 = create.map(d => BigDecimal(d.initialPriceX96))
+                .orElse(initBody.map(d => BigDecimal(d.initialPriceX96))),
+              protocol_fee = create.map(_.protocolFee)
+                .orElse(initBody.map(_.protocolFee)),
+              lp_fee_base = create.map(_.lpFeeBase)
+                .orElse(initBody.map(_.lpFeeBase)),
+              lp_fee_current = create.map(_.lpFeeCurrent)
+                .orElse(initBody.map(_.lpFeeCurrent)),
+              pool_active = initBody.map(_.poolActive)))), consumed)
+        }
+      case _ => None
+    }
+  }
   val ToncoWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.ToncoPoolV3StartBurn, None,
     Set(Opcodes.ToncoPositionNftBurn, Opcodes.ToncoPoolV3Burn,
@@ -3407,6 +3529,7 @@ object ProtocolMatchers {
             new JettonTransferResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
           case m if m eq StonfiV2FullSwapMatcher => new StonfiV2FullSwap(resolve)
+          case m if m eq ToncoFullSwapMatcher => new ToncoFullSwap(resolve)
           case m if m eq StonfiV2WithdrawLiquidityMatcher =>
             new StonfiV2WithdrawMatcher(resolve)
           case m if m eq DedustDepositFirstAssetMatcher =>

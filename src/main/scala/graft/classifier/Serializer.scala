@@ -670,13 +670,17 @@ object Serializer {
       // pool parameters (messages/liquidity.py:289-343)
       tonco_deploy_pool_data = b match {
         case p: ProtocolOpBlock if p.btype == "tonco_deploy_pool" =>
-          nodeBody(p, Opcodes.ToncoPoolV3Init)
-            .flatMap(safeDec(TlbDecoders.toncoPoolInit))
-            .map(t => ToncoDeployPoolData(None, None,
-              t.jetton0Minter, t.jetton1Minter,
-              Some(t.tickSpacing), Some(BigDecimal(t.initialPriceX96)),
-              Some(t.protocolFee), Some(t.lpFeeBase), Some(t.lpFeeCurrent),
-              Some(t.poolActive)))
+          // matcher-decoded from the create-pool body (router wallets +
+          // minters, liquidity.py:1583-1600); init-body fallback for
+          // chains missing the create payload
+          p.toncoDeploy.orElse(
+            nodeBody(p, Opcodes.ToncoPoolV3Init)
+              .flatMap(safeDec(TlbDecoders.toncoPoolInit))
+              .map(t => ToncoDeployPoolData(None, None,
+                t.jetton0Minter, t.jetton1Minter,
+                Some(t.tickSpacing), Some(BigDecimal(t.initialPriceX96)),
+                Some(t.protocolFee), Some(t.lpFeeBase), Some(t.lpFeeCurrent),
+                Some(t.poolActive))))
         case _ => None
       },
       // jvault: the stake wallet is the head account; claim wallets

@@ -595,6 +595,62 @@ object TlbDecoders {
     * set_active:bool pool_active:bool protocol_fee:uint16
     * lp_fee_base:uint16 lp_fee_current:uint16 ^content ^item_content
     * minters:(Maybe ^[addr addr]) (messages/liquidity.py:289-343). */
+  final case class ToncoCreatePoolBody(
+      jettonWallet0: Option[String], jettonWallet1: Option[String],
+      tickSpacing: Int, initialPriceX96: BigInt,
+      protocolFee: Int, lpFeeBase: Int, lpFeeCurrent: Int,
+      jetton0Minter: Option[String], jetton1Minter: Option[String])
+
+  /** ROUTERV3_CREATE_POOL#2e3034ef query_id:uint64 jetton_wallet0/1:addr
+    * tick_spacing:int24 initial_price_x96:uint160 protocol_fee:uint16
+    * lp_fee_base:uint16 lp_fee_current:uint16 ^content ^item_content
+    * ^[jetton0_minter jetton1_minter controller]
+    * (messages/liquidity.py:345-390). */
+  def toncoCreatePool(bodyB64: String): ToncoCreatePoolBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x2e3034efL)
+    s.loadUint(64)
+    val w0 = s.loadAddress(); val w1 = s.loadAddress()
+    val spacing = s.loadInt(24).toInt
+    val price = s.loadUint(160)
+    val pFee = s.loadUint(16).toInt
+    val lpBase = s.loadUint(16).toInt
+    val lpCur = s.loadUint(16).toInt
+    s.loadRef(); s.loadRef()
+    val ms = s.loadRef().beginParse()
+    ToncoCreatePoolBody(w0, w1, spacing, price, pFee, lpBase, lpCur,
+      ms.loadAddress(), ms.loadAddress())
+  }
+
+  final case class ToncoPayToBody(
+      exitCode: Long,
+      amount0: BigInt, jetton0: Option[String],
+      amount1: BigInt, jetton1: Option[String]) {
+    /** The actual output is the larger side (blocks/swaps.py:1066-1075
+      * sorts the coinsinfo pair by amount desc). */
+    def out: (BigInt, Option[String]) =
+      if (amount0 >= amount1) (amount0, jetton0) else (amount1, jetton1)
+  }
+
+  /** ROUTERV3_PAY_TO#a1daa96d query_id:uint64 receiver0:addr
+    * receiver1:addr exit_code:uint32 seqno:uint64 coinsinfo:(Maybe
+    * ^[amount0 jetton0 amount1 jetton1]) (messages/swaps.py:307-360).
+    * exit 200 = swap ok, 201 = burn. */
+  def toncoPayTo(bodyB64: String): ToncoPayToBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xa1daa96dL)
+    s.loadUint(64)
+    s.loadAddress(); s.loadAddress()
+    val exit = s.loadUint(32).toLong
+    s.loadUint(64)
+    if (s.remainingBits >= 1 && s.loadBit()) {
+      val cs = s.loadRef().beginParse()
+      val a0 = cs.loadCoins(); val j0 = cs.loadAddress()
+      val a1 = cs.loadCoins(); val j1 = cs.loadAddress()
+      ToncoPayToBody(exit, a0, j0, a1, j1)
+    } else ToncoPayToBody(exit, BigInt(0), None, BigInt(0), None)
+  }
+
   def toncoPoolInit(bodyB64: String): ToncoPoolInitBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x441c39edL)

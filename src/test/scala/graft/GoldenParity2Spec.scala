@@ -705,4 +705,179 @@ class GoldenParity2Spec extends SparkSpec {
     assert(fee.isDefined, s"got ${actions.map(_.`type`)}")
     assert(fee.get.source.contains(router))
   }
+
+  // ----------------------------------------------------------------------
+  // tonco.yaml
+  // ----------------------------------------------------------------------
+
+  test("tonco.yaml parity ('Tonco deploy pools'): endpoint columns and " +
+      "every tonco_deploy_pool_data field from the create-pool body") {
+    val deployer = "0:" + "91" * 32
+    val router = "0:" + "BF" * 32
+    val pool = "0:" + "F6" * 32
+    val w0 = "0:" + "87" * 32
+    val w1 = "0:" + "AC" * 32
+    val m0 = "0:" + "94" * 32
+    val m1 = "0:" + "B1" * 32
+    val price = BigInt("5919263403564396162379850192")
+    val createBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x2e3034efL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(w0)).storeAddress(Some(w1))
+      .storeInt(BigInt(60), 24)
+      .storeUint(price, 160)
+      .storeUint(BigInt(33268), 16)
+      .storeUint(BigInt(15), 16)
+      .storeUint(BigInt(15), 16)
+      .storeRef(new Boc.Builder().storeUint(BigInt(0), 8).build())
+      .storeRef(new Boc.Builder().storeUint(BigInt(0), 8).build())
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some(m0)).storeAddress(Some(m1))
+        .storeAddress(None).build())
+      .build())
+    val txs = Seq(tx("T1", router, 10), tx("T2", pool, 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", deployer, router,
+          Some(Opcodes.ToncoRouterV3CreatePool), body = Some(createBody)),
+        out("m2", router, pool, Some(Opcodes.ToncoPoolV3Init))),
+      "T2" -> Seq(in("m2", router, pool, Some(Opcodes.ToncoPoolV3Init))))
+    val a = Classifier.classify("gtc1", txs, msgs)
+      .find(_.`type` == "tonco_deploy_pool").get
+    assert(a.source.contains(deployer))
+    assert(a.destination.contains(router))
+    assert(a.destination_secondary.contains(pool))
+    assert(a.success)
+    val d = a.tonco_deploy_pool_data.get
+    assert(d.jetton0_router_wallet.contains(w0))
+    assert(d.jetton1_router_wallet.contains(w1))
+    assert(d.jetton0_minter.contains(m0))
+    assert(d.jetton1_minter.contains(m1))
+    assert(d.tick_spacing.contains(60))
+    assert(d.initial_price_x96.contains(BigDecimal(price)))
+    assert(d.protocol_fee.contains(33268))
+    assert(d.lp_fee_base.contains(15))
+  }
+
+  /** ROUTERV3_PAY_TO body with coinsinfo (messages/swaps.py:307-360). */
+  private def toncoPayToBody(exit: Long, amount0: Long, jetton0: String)
+      : String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa1daa96dL), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some("0:" + "01" * 32))
+      .storeAddress(None)
+      .storeUint(BigInt(exit), 32)
+      .storeUint(BigInt(7), 64)
+      .storeBit(true)
+      .storeRef(new Boc.Builder()
+        .storeCoins(BigInt(amount0)).storeAddress(Some(jetton0))
+        .storeCoins(BigInt(0)).storeAddress(None)
+        .build())
+      .build())
+
+  test("tonco.yaml parity ('swap with hop' shape): dex=tonco swap with " +
+      "chained peer_swaps, dex transfer wallets and min_out") {
+    val user = "0:" + "E3" * 32
+    val userInWallet = "0:" + "66" * 32
+    val router = "0:" + "BF" * 32
+    val routerInWallet = "0:" + "AC" * 32
+    val pool1 = "0:" + "11" * 32
+    val pool2 = "0:" + "22" * 32
+    val hopWallet = "0:" + "33" * 32
+    val routerOutWallet = "0:" + "3E" * 32
+    val userOutWallet = "0:" + "AB" * 32
+    val assetIn = "0:" + "B1" * 32
+    val assetB = "0:" + "44" * 32
+    val assetOut = "0:" + "6C" * 32
+    val inXfer = transferBody(1, 10000000L, router, user, 1)
+    val midXfer = transferBody(1, 2907640091L, router, router, 1)
+    val outXfer = transferBody(1, 541070180798L, user, router, 1)
+    val payTo1 = toncoPayToBody(200, 2907640091L, hopWallet)
+    val payTo2 = toncoPayToBody(200, 541070180798L, routerOutWallet)
+    val txs = Seq(tx("T1", userInWallet, 10), tx("T2", routerInWallet, 20),
+      tx("T3", router, 30), tx("T4", pool1, 40), tx("T5", router, 50),
+      tx("T6", hopWallet, 60), tx("T7", router, 70), tx("T8", pool2, 80),
+      tx("T9", router, 90), tx("T10", routerOutWallet, 100),
+      tx("T11", userOutWallet, 110))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userInWallet, Some(Opcodes.JettonTransfer),
+          body = Some(inXfer)),
+        out("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userInWallet, routerInWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", routerInWallet, router, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", routerInWallet, router, Some(Opcodes.JettonNotify)),
+        out("m4", router, pool1, Some(Opcodes.ToncoPoolV3Swap))),
+      "T4" -> Seq(
+        in("m4", router, pool1, Some(Opcodes.ToncoPoolV3Swap)),
+        out("m5", pool1, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo1))),
+      "T5" -> Seq(
+        in("m5", pool1, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo1)),
+        out("m6", router, hopWallet, Some(Opcodes.JettonTransfer),
+          body = Some(midXfer))),
+      "T6" -> Seq(
+        in("m6", router, hopWallet, Some(Opcodes.JettonTransfer),
+          body = Some(midXfer)),
+        out("m7", hopWallet, router, Some(Opcodes.JettonNotify))),
+      "T7" -> Seq(
+        in("m7", hopWallet, router, Some(Opcodes.JettonNotify)),
+        out("m8", router, pool2, Some(Opcodes.ToncoPoolV3Swap))),
+      "T8" -> Seq(
+        in("m8", router, pool2, Some(Opcodes.ToncoPoolV3Swap)),
+        out("m9", pool2, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo2))),
+      "T9" -> Seq(
+        in("m9", pool2, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo2)),
+        out("m10", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer))),
+      "T10" -> Seq(
+        in("m10", router, routerOutWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer)),
+        out("m11", routerOutWallet, userOutWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T11" -> Seq(in("m11", routerOutWallet, userOutWallet,
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("gtc2", txs, msgs,
+      jettonWallets = Map(userInWallet -> assetIn, hopWallet -> assetB,
+        routerOutWallet -> assetOut))
+      .find(_.`type` == "jetton_swap").get
+    assert(a.success)
+    val sd = a.jetton_swap_data.get
+    assert(sd.dex == "tonco")
+    assert(sd.sender.contains(user))
+    val inc = sd.dex_incoming_transfer.get
+    assert(inc.asset.contains(assetIn))
+    assert(inc.amount.contains(BigDecimal(10000000L)))
+    assert(inc.source.contains(user))
+    assert(inc.source_jetton_wallet.contains(userInWallet))
+    assert(inc.destination.contains(router))
+    assert(inc.destination_jetton_wallet.contains(routerInWallet))
+    val outT = sd.dex_outgoing_transfer.get
+    assert(outT.asset.contains(assetOut))
+    assert(outT.amount.contains(BigDecimal(541070180798L)))
+    assert(outT.source.contains(router))
+    assert(outT.source_jetton_wallet.contains(routerOutWallet))
+    assert(outT.destination.contains(user))
+    assert(outT.destination_jetton_wallet.contains(userOutWallet))
+    // min_out_amount = the successful out amount (swaps.py:1155)
+    assert(sd.min_out_amount.contains(BigDecimal(541070180798L)))
+    val ps = sd.peer_swaps
+    assert(ps.size == 2, s"peer_swaps: $ps")
+    assert(ps(0).amount_in.contains(BigDecimal(10000000L)))
+    assert(ps(0).asset_in.contains(assetIn))
+    assert(ps(0).amount_out.contains(BigDecimal(2907640091L)))
+    assert(ps(0).asset_out.contains(assetB))
+    assert(ps(1).amount_in.contains(BigDecimal(2907640091L)))
+    assert(ps(1).asset_in.contains(assetB))
+    assert(ps(1).amount_out.contains(BigDecimal(541070180798L)))
+    assert(ps(1).asset_out.contains(assetOut))
+  }
 }
