@@ -198,6 +198,10 @@ case class ProtocolOpBlock(
     // TONCO pool deploy: full parameter struct decoded from the
     // create-pool body (liquidity.py:1557-1620)
     toncoDeploy: Option[ToncoDeployPoolData] = None,
+    // cocoon matcher-decoded payloads (blocks/cocoon.py fills)
+    cocoonWorkerPayout: Option[CocoonWorkerPayoutData] = None,
+    cocoonRegister: Option[CocoonClientRegisterData] = None,
+    cocoonGrantRefund: Option[CocoonChargeData] = None,
     // coffee create-pool pair columns + detail struct
     asset2: Option[String] = None,
     asset2Secondary: Option[String] = None,

@@ -3271,18 +3271,188 @@ object ProtocolMatchers {
     }
   }
 
-  /** Cocoon payment-proxy family (messages/cocoon.py:13-130; serializer
-    * cases 'cocoon_worker_payout' / 'cocoon_client_top_up' /
-    * 'cocoon_client_register' / 'cocoon_grant_refund'). */
+  /** Cocoon payment-proxy family (blocks/cocoon.py). The full-context
+    * matchers below mirror the reference chains; the opcode-chain
+    * fallbacks on the inner-leg opcodes keep partial traces classified. */
+
+  /** Worker payout (CocoonWorkerPayoutMatcher, blocks/cocoon.py:67-215):
+    * PayoutPayload/LastPayoutPayload → WorkerProxyRequest → Payout to
+    * the worker owner (+ excesses back). Endpoints: proxy → owner with
+    * the worker contract as source secondary; amount = the payout
+    * message value. */
+  object CocoonWorkerPayoutFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonWorkerProxyRequest, Opcodes.CocoonPayout))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonPayoutPayload) ||
+            Opcodes.matches(c.opcode, Opcodes.CocoonLastPayoutPayload) =>
+        for {
+          req <- c.children.collectFirst {
+            case r: CallContractBlock
+              if Opcodes.matches(r.opcode, Opcodes.CocoonWorkerProxyRequest) => r
+          }
+          payout <- req.children.collectFirst {
+            case p: CallContractBlock
+              if Opcodes.matches(p.opcode, Opcodes.CocoonPayout) => p
+          }
+        } yield {
+          val excesses = req.children.collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+          }
+          val payload = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.cocoonPayoutPayload))
+          val reqBody = req.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.cocoonWorkerRequest))
+          val payoutType =
+            if (Opcodes.matches(c.opcode, Opcodes.CocoonLastPayoutPayload))
+              "last" else "regular"
+          val consumed = Seq(c: Block, req, payout) ++ excesses
+          (ProtocolOpBlock("cocoon_worker_payout",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = reqBody.flatMap(_.owner),
+            asset = None,
+            value = payout.node.inMsg.map(m => BigDecimal(m.value)),
+            failed = payout.failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = c.node.inMsg.flatMap(_.destination),
+            amount = payout.node.inMsg.map(m => BigDecimal(m.value)),
+            cocoonWorkerPayout = Some(CocoonWorkerPayoutData(
+              payout_type = Some(payoutType),
+              query_id = payload.map(_.queryId.toString),
+              new_tokens = payload.map(p => BigDecimal(p.newTokens)),
+              worker_state = reqBody.map(_.state),
+              worker_tokens = reqBody.map(r => BigDecimal(r.tokens))))),
+            consumed)
+        }
+      case _ => None
+    }
+  }
+  /** Bare-payout fallback for partial traces. */
   val CocoonPayoutMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonPayout, None, Set(Opcodes.CocoonReturnExcesses),
     protoBlock("cocoon_worker_payout"))
+
+  /** Client top-up (blocks/cocoon.py:435-505): ExtClientTopUp →
+    * ClientProxyRequest (+ excesses). sender from the body's
+    * send_excesses_to; destination secondary = the proxy. */
+  object CocoonClientTopUpFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonExtClientTopUp, Opcodes.CocoonClientProxyRequest))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonExtClientTopUp) =>
+        c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+        }.map { req =>
+          val excesses = req.children.collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+          }
+          val body = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.cocoonExtClientTopUp))
+          val consumed = Seq(c: Block, req) ++ excesses
+          (ProtocolOpBlock("cocoon_client_top_up",
+            source = body.flatMap(_.sender)
+              .orElse(c.node.inMsg.flatMap(_.source)),
+            destination = c.node.inMsg.flatMap(_.destination),
+            asset = None,
+            value = body.map(t => BigDecimal(t.amount)),
+            failed = c.failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            destinationSecondary = req.node.inMsg.flatMap(_.destination),
+            amount = body.map(t => BigDecimal(t.amount))), consumed)
+        }
+      case _ => None
+    }
+  }
   val CocoonClientTopUpMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonClientTopUp, None, Set.empty,
     protoBlock("cocoon_client_top_up"))
+
+  /** Client register (blocks/cocoon.py:670-740): OwnerClientRegister →
+    * ClientProxyRequest (+ excesses); owner from send_excesses_to. */
+  object CocoonClientRegisterFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonOwnerClientRegister))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonOwnerClientRegister) =>
+        val req = c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+        }
+        val excesses = req.toSeq.flatMap(_.children.collect {
+          case e: CallContractBlock
+            if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+        })
+        val body = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(TlbDecoders.cocoonOwnerClientRegister))
+        val consumed = Seq(c: Block) ++ req.toSeq ++ excesses
+        Some((ProtocolOpBlock("cocoon_client_register",
+          source = body.flatMap(_.owner)
+            .orElse(c.node.inMsg.flatMap(_.source)),
+          destination = c.node.inMsg.flatMap(_.destination),
+          asset = None, value = None,
+          failed = c.failed,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          cocoonRegister = Some(CocoonClientRegisterData(
+            query_id = body.map(_.queryId.toString),
+            nonce = body.map(_.nonce.toString)))), consumed))
+      case _ => None
+    }
+  }
   val CocoonClientRegisterMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonClientRegister, None, Set.empty,
     protoBlock("cocoon_client_register"))
+
+  /** Grant refund (blocks/cocoon.py:1123-1240): GrantRefundPayload into
+    * the proxy with a required Payout to the refund recipient and the
+    * ClientProxyRequest leg; amount = the payout message value. */
+  object CocoonGrantRefundFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonGrantRefundPayload, Opcodes.CocoonPayout))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonGrantRefundPayload) =>
+        c.children.collectFirst {
+          case p: CallContractBlock
+            if Opcodes.matches(p.opcode, Opcodes.CocoonPayout) => p
+        }.map { payout =>
+          val req = c.children.collectFirst {
+            case r: CallContractBlock
+              if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+          }
+          val excesses = (c.children ++ req.toSeq.flatMap(_.children)).collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+          }
+          val body = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.cocoonCharge))
+          val consumed = Seq(c: Block, payout) ++ req.toSeq ++ excesses
+          (ProtocolOpBlock("cocoon_grant_refund",
+            source = c.node.inMsg.flatMap(_.destination), // the proxy
+            destination = payout.node.inMsg.flatMap(_.destination),
+            asset = None,
+            value = payout.node.inMsg.map(m => BigDecimal(m.value)),
+            failed = payout.failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = req.flatMap(_.node.inMsg.flatMap(_.destination)),
+            amount = payout.node.inMsg.map(m => BigDecimal(m.value)),
+            cocoonGrantRefund = Some(CocoonChargeData(
+              query_id = body.map(_.queryId.toString),
+              new_tokens_used = body.map(x => BigDecimal(x.newTokensUsed)),
+              expected_address = body.flatMap(_.expectedAddress)))), consumed)
+        }
+      case _ => None
+    }
+  }
   val CocoonGrantRefundMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonRefundGranted, None, Set.empty,
     protoBlock("cocoon_grant_refund"))
@@ -3290,6 +3460,46 @@ object ProtocolMatchers {
   /** Cocoon long tail: proxy payout/charge/register/unregister and the
     * owner-client operations (messages/cocoon.py:496-703; blocks/cocoon.py
     * matcher-per-opcode, each with the return-excesses tail). */
+  /** Proxy payout (blocks/cocoon.py:241-311): ExtProxyPayoutRequest into
+    * the proxy with the Payout + excesses children. destination = the
+    * payout recipient (proxy owner), destination secondary = the body's
+    * excesses recipient; partial traces (no payout child) keep the
+    * plain request-call shape. */
+  object CocoonProxyPayoutFullMatcher extends BlockMatcher {
+    import graft.functions.{Boc, TlbDecoders}
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonExtProxyPayoutRequest, Opcodes.CocoonPayout))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonExtProxyPayoutRequest) =>
+        c.children.collectFirst {
+          case p: CallContractBlock
+            if Opcodes.matches(p.opcode, Opcodes.CocoonPayout) => p
+        }.map { payout =>
+          val excesses = c.children.collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+          }
+          // ExtProxyPayoutRequest#7610e6eb query_id:u64 send_excesses_to
+          val excessesTo = c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+            try {
+              val s = Boc.parseBase64(b64).beginParse()
+              s.loadUint(32); s.loadUint(64)
+              s.loadAddress()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+          val consumed = Seq(c: Block, payout) ++ excesses
+          (ProtocolOpBlock("cocoon_proxy_payout",
+            source = c.node.inMsg.flatMap(_.destination), // the proxy
+            destination = payout.node.inMsg.flatMap(_.destination),
+            asset = None, value = None,
+            failed = payout.failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            destinationSecondary = excessesTo), consumed)
+        }
+      case _ => None
+    }
+  }
   val CocoonProxyPayoutMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonExtProxyPayoutRequest, None, Set(Opcodes.CocoonReturnExcesses),
     protoBlock("cocoon_proxy_payout"))
@@ -3401,6 +3611,11 @@ object ProtocolMatchers {
       // (event_processing.py:252-253)
       new JettonMintCallMatcher(Opcodes.JettonMint),
       new JettonMintCallMatcher(Opcodes.MinterJettonMint),
+      // full-context cocoon chains first; opcode-chain fallbacks below
+      // keep partial traces classified
+      CocoonWorkerPayoutFullMatcher, CocoonClientTopUpFullMatcher,
+      CocoonClientRegisterFullMatcher, CocoonGrantRefundFullMatcher,
+      CocoonProxyPayoutFullMatcher,
       CocoonPayoutMatcher, CocoonClientTopUpMatcher,
       CocoonClientRegisterMatcher, CocoonGrantRefundMatcher,
       CocoonProxyPayoutMatcher, CocoonProxyChargeMatcher,

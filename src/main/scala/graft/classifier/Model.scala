@@ -327,6 +327,13 @@ object Opcodes {
   val CoffeeStakingClaimRewards = 0xb30c7310L
 
   // Cocoon long tail (messages/cocoon.py:496-703)
+  val CocoonPayoutPayload = 0xa040ad28L
+  val CocoonLastPayoutPayload = 0xf5f26a36L
+  val CocoonWorkerProxyRequest = 0x4d725d2cL
+  val CocoonClientProxyRequest = 0x65448ff4L
+  val CocoonExtClientTopUp = 0xf172e6c2L
+  val CocoonOwnerClientRegister = 0xc45f9f3bL
+  val CocoonGrantRefundPayload = 0xefd711e1L
   val CocoonExtProxyPayoutRequest = 0x7610e6ebL
   val CocoonChargePayload = 0xbb63ff93L
   val CocoonRegisterProxy = 0x927c7cb5L

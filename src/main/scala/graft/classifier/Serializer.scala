@@ -738,12 +738,17 @@ object Serializer {
       // (messages/cocoon.py; fills block_tree_serializer.py:1020-1196)
       cocoon_worker_payout_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_worker_payout" =>
-          headQid(p).map(q =>
-            CocoonWorkerPayoutData(None, Some(q), None, None, None))
+          p.cocoonWorkerPayout.orElse(headQid(p).map(q =>
+            CocoonWorkerPayoutData(None, Some(q), None, None, None)))
         case _ => None
       },
       cocoon_proxy_payout_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_proxy_payout" =>
+          headQid(p).map(q => CocoonQueryIdData(Some(q)))
+        case _ => None
+      },
+      cocoon_client_top_up_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_client_top_up" =>
           headQid(p).map(q => CocoonQueryIdData(Some(q)))
         case _ => None
       },
@@ -757,6 +762,18 @@ object Serializer {
       cocoon_register_proxy_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_register_proxy" =>
           headQid(p).map(q => CocoonQueryIdData(Some(q)))
+        case _ => None
+      },
+      cocoon_client_register_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_client_register" =>
+          p.cocoonRegister.orElse(headQid(p).map(q =>
+            CocoonClientRegisterData(Some(q), None)))
+        case _ => None
+      },
+      cocoon_grant_refund_data = b match {
+        case p: ProtocolOpBlock if p.btype == "cocoon_grant_refund" =>
+          p.cocoonGrantRefund.orElse(headQid(p).map(q =>
+            CocoonChargeData(Some(q), None, None)))
         case _ => None
       },
       cocoon_unregister_proxy_data = b match {

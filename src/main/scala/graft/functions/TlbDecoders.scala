@@ -841,6 +841,54 @@ object TlbDecoders {
     s.loadUint(64)
   }
 
+  final case class CocoonPayoutPayloadBody(
+      queryId: BigInt, newTokens: BigInt, expectedAddress: Option[String])
+
+  /** PayoutPayload#a040ad28 / LastPayoutPayload#f5f26a36: query_id:u64
+    * new_tokens:u64 expected_my_address:addr (messages/cocoon.py:174-212).
+    * Opcode-agnostic: both payloads share the layout. */
+  def cocoonPayoutPayload(bodyB64: String): CocoonPayoutPayloadBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    val op = s.loadUint(32).toLong
+    require(op == 0xa040ad28L || op == 0xf5f26a36L,
+      s"not a payout payload: $op")
+    CocoonPayoutPayloadBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
+  }
+
+  final case class CocoonWorkerRequestBody(
+      queryId: BigInt, owner: Option[String], state: Int, tokens: BigInt)
+
+  /** WorkerProxyRequest#4d725d2c query_id:u64 owner:addr state:u2
+    * tokens:u64 (messages/cocoon.py:36-54). */
+  def cocoonWorkerRequest(bodyB64: String): CocoonWorkerRequestBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x4d725d2cL)
+    CocoonWorkerRequestBody(s.loadUint(64), s.loadAddress(),
+      s.loadUint(2).toInt, s.loadUint(64))
+  }
+
+  final case class CocoonTopUpBody(
+      queryId: BigInt, amount: BigInt, sender: Option[String])
+
+  /** ExtClientTopUp#f172e6c2 query_id:u64 top_up:coins
+    * send_excesses_to:addr (messages/cocoon.py:576-590). */
+  def cocoonExtClientTopUp(bodyB64: String): CocoonTopUpBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xf172e6c2L)
+    CocoonTopUpBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
+  }
+
+  final case class CocoonRegisterBody(
+      queryId: BigInt, nonce: BigInt, owner: Option[String])
+
+  /** OwnerClientRegister#c45f9f3b query_id:u64 nonce:u64
+    * send_excesses_to:addr (messages/cocoon.py:612-626). */
+  def cocoonOwnerClientRegister(bodyB64: String): CocoonRegisterBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc45f9f3bL)
+    CocoonRegisterBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
+  }
+
   final case class CocoonChargeBody(
       queryId: BigInt, newTokensUsed: BigInt, expectedAddress: Option[String])
 
@@ -848,7 +896,11 @@ object TlbDecoders {
     * expected_my_address:MsgAddress (messages/cocoon.py:693-707). */
   def cocoonCharge(bodyB64: String): CocoonChargeBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
-    expectOpcode(s, 0xbb63ff93L)
+    // ChargePayload#bb63ff93 and GrantRefundPayload#efd711e1 share the
+    // layout (messages/cocoon.py:693-724)
+    val op = s.loadUint(32).toLong
+    require(op == 0xbb63ff93L || op == 0xefd711e1L,
+      s"not a charge/grant-refund payload: $op")
     CocoonChargeBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
   }
 

@@ -880,4 +880,180 @@ class GoldenParity2Spec extends SparkSpec {
     assert(ps(1).amount_out.contains(BigDecimal(541070180798L)))
     assert(ps(1).asset_out.contains(assetOut))
   }
+
+  // ----------------------------------------------------------------------
+  // cocoon.yaml
+  // ----------------------------------------------------------------------
+
+  test("cocoon.yaml parity ('Cocoon Worker Payout'): proxy->owner " +
+      "endpoints, worker secondary, payout amount and every " +
+      "cocoon_worker_payout_data field") {
+    val proxy = "0:" + "B1" * 32
+    val worker = "0:" + "31" * 32
+    val owner = "0:" + "E5" * 32
+    val payload = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa040ad28L), 32)
+      .storeUint(BigInt("10553886210694500674"), 64)
+      .storeUint(BigInt("9229614747703451079"), 64)
+      .storeAddress(Some(worker)).build())
+    val request = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x4d725d2cL), 32)
+      .storeUint(BigInt("10553886210694500674"), 64)
+      .storeAddress(Some(owner))
+      .storeUint(BigInt(0), 2)
+      .storeUint(BigInt(73063940556L), 64)
+      .storeBit(false).build())
+    val txs = Seq(tx("T1", worker, 10), tx("T2", proxy, 20),
+      tx("T3", owner, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", proxy, worker, Some(Opcodes.CocoonPayoutPayload),
+          body = Some(payload)),
+        out("m2", worker, proxy, Some(Opcodes.CocoonWorkerProxyRequest),
+          body = Some(request))),
+      "T2" -> Seq(
+        in("m2", worker, proxy, Some(Opcodes.CocoonWorkerProxyRequest),
+          body = Some(request)),
+        out("m3", proxy, owner, Some(Opcodes.CocoonPayout),
+          value = 4500148290L)),
+      "T3" -> Seq(in("m3", proxy, owner, Some(Opcodes.CocoonPayout),
+        value = 4500148290L)))
+    val a = Classifier.classify("gcw1", txs, msgs)
+      .find(_.`type` == "cocoon_worker_payout").get
+    assert(a.success)
+    assert(a.source.contains(proxy))
+    assert(a.source_secondary.contains(worker))
+    assert(a.destination.contains(owner))
+    assert(a.amount.contains(BigDecimal(4500148290L)))
+    val d = a.cocoon_worker_payout_data.get
+    assert(d.payout_type.contains("regular"))
+    assert(d.query_id.contains("10553886210694500674"))
+    assert(d.new_tokens.contains(BigDecimal(BigInt("9229614747703451079"))))
+    assert(d.worker_state.contains(0))
+    assert(d.worker_tokens.contains(BigDecimal(73063940556L)))
+  }
+
+  test("cocoon.yaml parity ('Cocoon Proxy Payout'): proxy->owner with " +
+      "the excesses recipient as destination secondary") {
+    val proxy = "0:" + "B9" * 32
+    val owner = "0:" + "E7" * 32
+    val excessesTo = "0:" + "3C" * 32
+    val request = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x7610e6ebL), 32)
+      .storeUint(BigInt("12731543016903973642"), 64)
+      .storeAddress(Some(excessesTo)).build())
+    val txs = Seq(tx("T1", proxy, 10), tx("T2", owner, 20),
+      tx("T3", excessesTo, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", null, proxy, Some(Opcodes.CocoonExtProxyPayoutRequest),
+          body = Some(request)).copy(source = None),
+        out("m2", proxy, owner, Some(Opcodes.CocoonPayout), createdLt = 11),
+        out("m3", proxy, excessesTo, Some(Opcodes.CocoonReturnExcesses),
+          createdLt = 12)),
+      "T2" -> Seq(in("m2", proxy, owner, Some(Opcodes.CocoonPayout))),
+      "T3" -> Seq(in("m3", proxy, excessesTo,
+        Some(Opcodes.CocoonReturnExcesses))))
+    val a = Classifier.classify("gcp1", txs, msgs)
+      .find(_.`type` == "cocoon_proxy_payout").get
+    assert(a.success)
+    assert(a.source.contains(proxy))
+    assert(a.destination.contains(owner))
+    assert(a.destination_secondary.contains(excessesTo))
+    assert(a.cocoon_proxy_payout_data.get.query_id
+      .contains("12731543016903973642"))
+  }
+
+  test("cocoon.yaml parity ('Cocoon Client Top Up'): sender from the " +
+      "body, client destination, proxy secondary and the top-up amount") {
+    val client = "0:" + "E4" * 32
+    val proxy = "0:" + "2A" * 32
+    val sender = "0:" + "EE" * 32
+    val topUp = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xf172e6c2L), 32)
+      .storeUint(BigInt("11691960163567649532"), 64)
+      .storeCoins(BigInt(1000000000L))
+      .storeAddress(Some(sender)).build())
+    val txs = Seq(tx("T1", client, 10), tx("T2", proxy, 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", sender, client, Some(Opcodes.CocoonExtClientTopUp),
+          body = Some(topUp)),
+        out("m2", client, proxy, Some(Opcodes.CocoonClientProxyRequest))),
+      "T2" -> Seq(in("m2", client, proxy,
+        Some(Opcodes.CocoonClientProxyRequest))))
+    val a = Classifier.classify("gct1", txs, msgs)
+      .find(_.`type` == "cocoon_client_top_up").get
+    assert(a.success)
+    assert(a.source.contains(sender))
+    assert(a.destination.contains(client))
+    assert(a.destination_secondary.contains(proxy))
+    assert(a.amount.contains(BigDecimal(1000000000L)))
+    assert(a.cocoon_client_top_up_data.get.query_id
+      .contains("11691960163567649532"))
+  }
+
+  test("cocoon.yaml parity ('Cocoon Client Register'): owner->client " +
+      "with query_id and nonce from the register body") {
+    val client = "0:" + "22" * 32
+    val owner = "0:" + "0A" * 32
+    val proxy = "0:" + "99" * 32
+    val reg = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc45f9f3bL), 32)
+      .storeUint(BigInt("1821011912409218354"), 64)
+      .storeUint(BigInt("11924145372215500834"), 64)
+      .storeAddress(Some(owner)).build())
+    val txs = Seq(tx("T1", client, 10), tx("T2", proxy, 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", owner, client, Some(Opcodes.CocoonOwnerClientRegister),
+          body = Some(reg)),
+        out("m2", client, proxy, Some(Opcodes.CocoonClientProxyRequest))),
+      "T2" -> Seq(in("m2", client, proxy,
+        Some(Opcodes.CocoonClientProxyRequest))))
+    val a = Classifier.classify("gcr1", txs, msgs)
+      .find(_.`type` == "cocoon_client_register").get
+    assert(a.success)
+    assert(a.source.contains(owner))
+    assert(a.destination.contains(client))
+    val d = a.cocoon_client_register_data.get
+    assert(d.query_id.contains("1821011912409218354"))
+    assert(d.nonce.contains("11924145372215500834"))
+  }
+
+  test("cocoon.yaml parity ('Cocoon Grant Refund'): proxy source with " +
+      "client secondary, refund recipient destination and amount") {
+    val proxy = "0:" + "48" * 32
+    val client = "0:" + "B9" * 32
+    val recipient = "0:" + "29" * 32
+    val grant = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xefd711e1L), 32)
+      .storeUint(BigInt("8779794170130083123"), 64)
+      .storeUint(BigInt("9225483487327049292"), 64)
+      .storeAddress(None).build())
+    val txs = Seq(tx("T1", proxy, 10), tx("T2", client, 20),
+      tx("T3", recipient, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", null, proxy, Some(Opcodes.CocoonGrantRefundPayload),
+          body = Some(grant)).copy(source = None),
+        out("m2", proxy, client, Some(Opcodes.CocoonClientProxyRequest),
+          createdLt = 11),
+        out("m3", proxy, recipient, Some(Opcodes.CocoonPayout),
+          value = 14999630120L, createdLt = 12)),
+      "T2" -> Seq(in("m2", proxy, client,
+        Some(Opcodes.CocoonClientProxyRequest))),
+      "T3" -> Seq(in("m3", proxy, recipient, Some(Opcodes.CocoonPayout),
+        value = 14999630120L)))
+    val a = Classifier.classify("gcg1", txs, msgs)
+      .find(_.`type` == "cocoon_grant_refund").get
+    assert(a.success)
+    assert(a.source.contains(proxy))
+    assert(a.source_secondary.contains(client))
+    assert(a.destination.contains(recipient))
+    assert(a.amount.contains(BigDecimal(14999630120L)))
+    val d = a.cocoon_grant_refund_data.get
+    assert(d.query_id.contains("8779794170130083123"))
+    assert(d.new_tokens_used.contains(BigDecimal(BigInt("9225483487327049292"))))
+  }
 }
