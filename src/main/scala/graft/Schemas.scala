@@ -156,7 +156,11 @@ object Schemas {
     f("query_id", StringType), f("custom_payload", StringType),
     f("forward_payload", StringType), f("forward_amount", amount),
     f("response_destination", StringType), f("nft_item_index", StringType),
-    f("marketplace", StringType), f("real_prev_owner", StringType)))
+    f("marketplace", StringType), f("real_prev_owner", StringType),
+    f("marketplace_address", StringType), f("payout_amount", amount),
+    f("payout_comment_encrypted", BooleanType),
+    f("payout_comment_encoded", BooleanType),
+    f("payout_comment", StringType), f("royalty_amount", amount)))
 
   val dexTransferDetails: StructType = StructType(Seq(
     f("amount", amount), f("asset", StringType), f("source", StringType),

@@ -110,10 +110,13 @@ case class NftTransferBlock(
     oldOwner: Option[String], newOwner: Option[String], nftItem: String,
     failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
     decoded: Option[graft.functions.TlbDecoders.NftTransferBody] = None,
-    // fragment/marketplace purchase detail (TelegramNftPurchase path)
+    // fragment/marketplace purchase detail (TelegramNftPurchase path;
+    // getgems enrichment from the sale/auction dim, blocks/nft.py:142-158)
     isPurchase: Option[Boolean] = None,
     price: Option[BigDecimal] = None,
     marketplace: Option[String] = None,
+    marketplaceAddress: Option[String] = None,
+    realPrevOwner: Option[String] = None,
     // nft_items-dim payloads (index + collection, blocks/nft.py:54-75)
     itemIndex: Option[String] = None,
     collection: Option[String] = None)
@@ -198,6 +201,9 @@ case class ProtocolOpBlock(
     // TONCO pool deploy: full parameter struct decoded from the
     // create-pool body (liquidity.py:1557-1620)
     toncoDeploy: Option[ToncoDeployPoolData] = None,
+    // getgems purchase: the full transfer-detail payload
+    // (_fill_nft_purchase_action, block_tree_serializer.py:235-257)
+    nftPurchase: Option[NftTransferData] = None,
     // cocoon matcher-decoded payloads (blocks/cocoon.py fills)
     cocoonWorkerPayout: Option[CocoonWorkerPayoutData] = None,
     cocoonRegister: Option[CocoonClientRegisterData] = None,

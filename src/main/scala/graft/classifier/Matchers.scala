@@ -2247,36 +2247,77 @@ object ProtocolMatchers {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.NftTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case (_: TonTransferBlock | _: CallContractBlock) =>
-        // interface value 'nft_sale|<owner>' carries the sale contract's
-        // owner (the reference's sale repository data); getgems emits
-        // marketplace-fee and royalty transfers BEFORE the owner payout,
-        // so only the transfer whose destination equals real_prev_owner
-        // is the seller payout (blocks/nft.py:215). Seller unknown ⇒ skip
-        // the match rather than emitting a wrong real_prev_owner.
-        val saleOwner = for {
+        // interface value 'nft_sale|<owner>[|<marketplace>|<nft>|<price>]'
+        // carries the sale/auction repository row (the reference's
+        // get_nft_sale/get_nft_auction lookups, blocks/nft.py:78-103);
+        // getgems emits marketplace-fee and royalty transfers BEFORE the
+        // owner payout, so only the transfer whose destination equals
+        // real_prev_owner is the seller payout (blocks/nft.py:215).
+        // Seller unknown ⇒ skip the match rather than emitting a wrong
+        // real_prev_owner.
+        val saleRow = for {
           n <- b.nodes.headOption
           v <- interfaces.get(n.tx.account)
-          sep = v.indexOf('|')
-          name = if (sep < 0) v else v.substring(0, sep)
-          if name == "nft_sale" || name == "nft_auction"
-          if sep >= 0 && sep < v.length - 1
-        } yield v.substring(sep + 1)
-        saleOwner.flatMap { owner =>
+          parts = v.split('|')
+          if parts.length >= 2 &&
+            (parts(0) == "nft_sale" || parts(0) == "nft_auction")
+        } yield parts
+        saleRow.flatMap { parts =>
+          val owner = parts(1)
+          val mpAddr = if (parts.length > 2) Some(parts(2)) else None
+          val dimPrice =
+            if (parts.length > 4) safeDecode((s: String) =>
+              BigDecimal(s))(parts(4))
+            else None
           val nft = b.children.collectFirst { case n: NftTransferBlock => n }
           val payout = b.children.collectFirst {
             case t: TonTransferBlock
               if t.node.inMsg.flatMap(_.destination).contains(owner) => t
           }
           (nft, payout) match {
-            case (Some(n), Some(p)) =>
+            // the purchase gate: the sale's recorded owner must differ
+            // from the transfer's new owner (blocks/nft.py:146-147)
+            case (Some(n), Some(p)) if !n.newOwner.contains(owner) =>
+              val price = dimPrice
+                .orElse(b.nodes.head.inMsg.map(m => BigDecimal(m.value)))
+              // the enriched transfer survives as its own action — the
+              // reference merges it INTO the purchase but still
+              // serializes it (merge keeps sub-blocks in the tree)
+              val enriched = n.copy(
+                isPurchase = Some(true), price = price,
+                marketplace = Some("getgems"),
+                marketplaceAddress = mpAddr,
+                realPrevOwner = Some(owner),
+                children = Nil)
+              val detail = NftTransferData(
+                is_purchase = Some(true), price = price,
+                query_id = n.decoded.map(_.queryId.toString),
+                custom_payload = n.decoded.flatMap(_.customPayload),
+                forward_payload = n.decoded.flatMap(_.forwardPayload),
+                forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
+                response_destination = n.decoded.flatMap(_.responseDestination),
+                nft_item_index = n.itemIndex,
+                marketplace = Some("getgems"),
+                real_prev_owner = Some(owner),
+                marketplace_address = mpAddr,
+                payout_amount = p.node.inMsg.map(m => BigDecimal(m.value)),
+                payout_comment_encrypted = Some(p.encrypted),
+                payout_comment_encoded = Some(false),
+                payout_comment = p.comment)
               val consumed: Seq[Block] = Seq(b, n, p)
               Some((ProtocolOpBlock("nft_purchase",
-                source = Some(owner), // real prev owner from the sale data
+                // source = the transfer's prev owner (the sale contract,
+                // _fill_nft_purchase_action:236-237); the true seller
+                // rides real_prev_owner inside the detail struct
+                source = n.oldOwner,
                 destination = n.newOwner,
-                asset = Some(n.nftItem),
-                value = b.nodes.head.inMsg.map(m => BigDecimal(m.value)),
+                asset = n.collection,
+                value = None,
                 failed = consumed.exists(_.failed),
-                nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+                nodes = consumed.flatMap(_.nodes),
+                children = Seq(enriched),
+                assetSecondary = Some(n.nftItem),
+                nftPurchase = Some(detail)), consumed))
             case _ => None
           }
         }

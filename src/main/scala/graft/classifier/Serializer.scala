@@ -21,7 +21,14 @@ case class NftTransferData(
     query_id: Option[String], custom_payload: Option[String],
     forward_payload: Option[String], forward_amount: Option[BigDecimal],
     response_destination: Option[String], nft_item_index: Option[String],
-    marketplace: Option[String], real_prev_owner: Option[String])
+    marketplace: Option[String], real_prev_owner: Option[String],
+    // sale/auction context + seller payout (database.py:288-305)
+    marketplace_address: Option[String] = None,
+    payout_amount: Option[BigDecimal] = None,
+    payout_comment_encrypted: Option[Boolean] = None,
+    payout_comment_encoded: Option[Boolean] = None,
+    payout_comment: Option[String] = None,
+    royalty_amount: Option[BigDecimal] = None)
 
 case class DexTransferData(
     amount: Option[BigDecimal], asset: Option[String],
@@ -483,23 +490,26 @@ object Serializer {
       },
       nft_transfer_data = b match {
         case n: NftTransferBlock => Some(NftTransferData(
-          is_purchase = n.isPurchase, price = n.price,
+          is_purchase = n.isPurchase, price =
+            if (n.isPurchase.contains(true)) n.price else None,
           query_id = n.decoded.map(_.queryId.toString),
           custom_payload = n.decoded.flatMap(_.customPayload),
           forward_payload = n.decoded.flatMap(_.forwardPayload),
           forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
           response_destination = n.decoded.flatMap(_.responseDestination),
           nft_item_index = n.itemIndex, marketplace = n.marketplace,
-          real_prev_owner = None))
-        // getgems purchase: is_purchase/price/marketplace detail
-        // (_fill_nft_purchase_action, block_tree_serializer.py:235-258)
+          real_prev_owner = n.realPrevOwner,
+          marketplace_address = n.marketplaceAddress))
+        // getgems purchase: full transfer-detail payload built by the
+        // matcher (_fill_nft_purchase_action,
+        // block_tree_serializer.py:235-257)
         case p: ProtocolOpBlock if p.btype == "nft_purchase" =>
-          Some(NftTransferData(
+          p.nftPurchase.orElse(Some(NftTransferData(
             is_purchase = Some(true), price = p.value,
             query_id = None, custom_payload = None, forward_payload = None,
             forward_amount = None, response_destination = None,
             nft_item_index = None, marketplace = Some("getgems"),
-            real_prev_owner = p.source))
+            real_prev_owner = p.source)))
         case _ => None
       },
       jetton_swap_data = b match {

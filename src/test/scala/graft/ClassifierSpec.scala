@@ -852,12 +852,15 @@ class ClassifierSpec extends SparkSpec {
       interfaces = Map("0:SALE" -> "nft_sale|0:SELLER"))
     val p = actions.find(_.`type` == "nft_purchase")
     assert(p.isDefined, s"expected nft_purchase in ${actions.map(_.`type`)}")
-    assert(p.get.source.contains("0:SELLER")) // real_prev_owner, NOT the fee
+    // source = the transfer's prev owner (the SALE contract); the true
+    // seller rides real_prev_owner (_fill_nft_purchase_action:236-252)
+    assert(p.get.source.contains("0:SALE"))
     assert(p.get.destination.contains("0:BUYER"))
-    assert(p.get.value.contains(BigDecimal(1000)))
     val d = p.get.nft_transfer_data.get
     assert(d.real_prev_owner.contains("0:SELLER"))
     assert(d.is_purchase.contains(true))
+    assert(d.price.contains(BigDecimal(1000)))
+    assert(d.payout_amount.contains(BigDecimal(900)))
     // the fee transfer survives as its own ton_transfer action
     assert(actions.exists(a => a.`type` == "ton_transfer" &&
       a.destination.contains("0:MARKET")))

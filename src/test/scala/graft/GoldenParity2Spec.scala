@@ -1056,4 +1056,88 @@ class GoldenParity2Spec extends SparkSpec {
     assert(d.query_id.contains("8779794170130083123"))
     assert(d.new_tokens_used.contains(BigDecimal(BigInt("9225483487327049292"))))
   }
+
+  // ----------------------------------------------------------------------
+  // nft.yaml
+  // ----------------------------------------------------------------------
+
+  test("nft.yaml parity ('Getgems purchase'): BOTH nft_transfer and " +
+      "nft_purchase actions with the full sale-enriched detail struct") {
+    val sale = "0:" + "CE" * 32
+    val buyer = "0:" + "B9" * 32
+    val item = "0:" + "5B" * 32
+    val seller = "0:" + "0D" * 32
+    val mp = "0:" + "58" * 32
+    val coll = "0:" + "BA" * 32
+    val fwdPayload = new Boc.Builder().storeUint(BigInt(0x4cacb9cdL), 32).build()
+    val xfer = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5fcc3d14L), 32)
+      .storeUint(BigInt(0), 64)
+      .storeAddress(Some(buyer))
+      .storeAddress(Some(buyer))
+      .storeBit(false) // no custom payload
+      .storeCoins(BigInt(30000000L))
+      .storeBit(true).storeRef(fwdPayload)
+      .build())
+    val txs = Seq(tx("T1", sale, 10), tx("T2", item, 20),
+      tx("T3", buyer, 30), tx("T4", mp, 40), tx("T5", seller, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", buyer, sale, None, value = 1350000000L),
+        out("m2", sale, item, Some(Opcodes.NftTransfer),
+          body = Some(xfer), createdLt = 11),
+        out("m3", sale, mp, None, value = 67500000L, createdLt = 12),
+        out("m4", sale, seller, None, value = 1372369010L, createdLt = 13)),
+      "T2" -> Seq(
+        in("m2", sale, item, Some(Opcodes.NftTransfer), body = Some(xfer)),
+        out("m5", item, buyer, Some(Opcodes.NftOwnershipAssigned))),
+      "T3" -> Seq(in("m5", item, buyer, Some(Opcodes.NftOwnershipAssigned))),
+      "T4" -> Seq(in("m3", sale, mp, None, value = 67500000L)),
+      "T5" -> Seq(in("m4", sale, seller, None, value = 1372369010L)))
+    val actions = Classifier.classify("gnft1", txs, msgs,
+      interfaces = Map(sale -> s"nft_sale|$seller|$mp|$item|1350000000"),
+      nftItems = Map(item -> NftItemInfo(Some("7"), Some(coll))))
+    // the nft_purchase action (reference NftPurchaseBlock)
+    val p = actions.find(_.`type` == "nft_purchase").get
+    assert(p.success)
+    assert(p.source.contains(sale)) // prev_owner = the sale contract
+    assert(p.destination.contains(buyer))
+    assert(p.asset.contains(coll))
+    assert(p.asset_secondary.contains(item))
+    val pd = p.nft_transfer_data.get
+    assert(pd.query_id.contains("0"))
+    assert(pd.is_purchase.contains(true))
+    assert(pd.price.contains(BigDecimal(1350000000L)))
+    assert(pd.forward_amount.contains(BigDecimal(30000000L)))
+    assert(pd.custom_payload.isEmpty)
+    assert(pd.forward_payload.contains(Boc.serializeBase64(fwdPayload)))
+    assert(pd.response_destination.contains(buyer))
+    assert(pd.marketplace.contains("getgems"))
+    assert(pd.real_prev_owner.contains(seller))
+    assert(pd.marketplace_address.contains(mp))
+    assert(pd.payout_amount.contains(BigDecimal(1372369010L)))
+    assert(pd.payout_comment_encoded.contains(false))
+    assert(pd.payout_comment_encrypted.contains(false))
+    assert(pd.payout_comment.isEmpty)
+    // accounts: sale, buyer, item + the real seller (via the payout node)
+    for (acct <- Seq(sale, buyer, item, seller))
+      assert(p.accounts.contains(acct), s"missing $acct in ${p.accounts}")
+    // the enriched nft_transfer action ALSO survives (the reference
+    // serializes merged sub-blocks; generic_yaml_test expects both)
+    val t = actions.find(_.`type` == "nft_transfer").get
+    assert(t.source.contains(sale))
+    assert(t.destination.contains(buyer))
+    assert(t.asset.contains(coll))
+    assert(t.asset_secondary.contains(item))
+    val td = t.nft_transfer_data.get
+    assert(td.query_id.contains("0"))
+    assert(td.is_purchase.contains(true))
+    assert(td.price.contains(BigDecimal(1350000000L)))
+    assert(td.forward_amount.contains(BigDecimal(30000000L)))
+    assert(td.response_destination.contains(buyer))
+    assert(td.marketplace.contains("getgems"))
+    assert(td.real_prev_owner.contains(seller))
+    assert(td.marketplace_address.contains(mp))
+    assert(td.payout_comment.isEmpty)
+  }
 }
