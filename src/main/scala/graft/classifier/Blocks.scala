@@ -101,7 +101,9 @@ case class JettonTransferBlock(
 
 case class JettonBurnBlock(
     owner: Option[String], ownerWallet: String, amount: BigDecimal,
-    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block],
+    // repository-resolved master; the wallet stands in when absent
+    asset: Option[String] = None) extends Block {
   val btype = "jetton_burn"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }

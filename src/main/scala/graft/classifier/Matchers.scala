@@ -299,8 +299,11 @@ object ProtocolMatchers {
   val JettonTransferMatcher: BlockMatcher =
     new JettonTransferResolvedMatcher(_ => None)
 
-  /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de. */
-  object JettonBurnMatcher extends BlockMatcher {
+  /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de.
+    * The resolver-bound variant records the wallet's master as the
+    * asset. */
+  final class JettonBurnResolvedMatcher(
+      resolveAsset: String => Option[String]) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonBurn))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonBurn) =>
@@ -315,13 +318,16 @@ object ProtocolMatchers {
           try Some(BigDecimal(graft.functions.TlbDecoders.jettonBurn(b64).amount))
           catch { case scala.util.control.NonFatal(_) => None }
         }.getOrElse(BigDecimal(0))
+        val wallet = c.nodes.head.tx.account
         Some((JettonBurnBlock(
           c.nodes.head.inMsg.flatMap(_.source),
-          c.nodes.head.tx.account, amount,
-          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil), consumed))
+          wallet, amount,
+          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+          asset = resolveAsset(wallet)), consumed))
       case _ => None
     }
   }
+  val JettonBurnMatcher: BlockMatcher = new JettonBurnResolvedMatcher(_ => None)
 
   /** NFT transfer: 0x5fcc3d14 → optional ownership_assigned 0x05138d91,
     * optional excesses. */
@@ -1591,12 +1597,71 @@ object ProtocolMatchers {
     Opcodes.TgbtcBurn, None, Set.empty, protoBlock("tgbtc_burn"))
   val TgbtcNewKeyMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.TgbtcNewKey, None, Set.empty, protoBlock("tgbtc_new_key"))
+
+  /** tgBTC new-key FULL chain (TgBTCNewKeyBlockMatcher,
+    * blocks/tgbtc.py:270-328): a parent whose children are the DKG log
+    * and the 0x690f357a call carrying the new-key event. Fills per
+    * _fill_tgbtc_new_key_action (serializer:875-884): teleport →
+    * coordinator, pubkey hex as source secondary, pegout as destination
+    * secondary, value = the DKG timestamp. The anchor parent's own
+    * action survives as a sibling (tryBuildAll). */
+  object TgbtcNewKeyFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.TgbtcDkgCompleted, Opcodes.TgbtcNewKey))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = None
+    override def tryBuildAll(b: Block): Option[(Seq[Block], Seq[Block])] = {
+      val dkg = b.children.collectFirst {
+        case d: CallContractBlock
+          if Opcodes.matches(d.opcode, Opcodes.TgbtcDkgCompleted) => d
+      }
+      val anchor = b.children.collectFirst {
+        case a: CallContractBlock
+          if Opcodes.matches(a.opcode, Opcodes.TgbtcNewKeyAnchor) => a
+      }
+      val log = anchor.flatMap(_.children.collectFirst {
+        case l: CallContractBlock
+          if Opcodes.matches(l.opcode, Opcodes.TgbtcNewKey) => l
+      })
+      (dkg, anchor, log) match {
+        case (Some(d), Some(a), Some(l)) =>
+          val dkgBody = d.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.tgbtcDkgEvent))
+          val keyBody = l.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.tgbtcNewKeyEvent))
+          val consumed: Seq[Block] = Seq(d, a, l)
+          val newKey = ProtocolOpBlock("tgbtc_new_key",
+            source = d.node.inMsg.flatMap(_.source), // teleport
+            destination = l.node.inMsg.flatMap(_.source), // coordinator
+            asset = None,
+            value = dkgBody.map(x => BigDecimal(x.timestamp)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = keyBody.map(_.pubkeyHex),
+            destinationSecondary = keyBody.flatMap(_.pegout),
+            amount = keyBody.map(k => BigDecimal(k.amount)))
+          // keep the anchor parent's own action: re-emit it childless
+          // first (it adopts the surviving children), new_key as sibling
+          Some((Seq(b.withChildren(Nil), newKey), consumed))
+        case _ => None
+      }
+    }
+  }
+
   /** Canonical action type is 'tgbtc_dkg_log_fallback' — the reference
     * serializer renames the TgBTCDkgLogBlock on emission
-    * (block_tree_serializer.py:887). */
+    * (block_tree_serializer.py:886-890): source = the coordinator, asset
+    * = the internal pubkey hex, value = the DKG timestamp. */
   val TgbtcDkgLogMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.TgbtcDkgCompleted, None, Set.empty,
-    protoBlock("tgbtc_dkg_log_fallback"))
+    (c, consumed) => protoBlock("tgbtc_dkg_log_fallback")(c, consumed) match {
+      case p: ProtocolOpBlock =>
+        val body = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(graft.functions.TlbDecoders.tgbtcDkgEvent))
+        p.copy(asset = body.map(_.pubkeyHex),
+          value = body.map(x => BigDecimal(x.timestamp)).orElse(p.value))
+      case other => other
+    })
 
   /** TONCO full-context swap (ToncoSwapBlockMatcher,
     * blocks/swaps.py:687-1230): anchored on the funding jetton transfer
@@ -3053,26 +3118,66 @@ object ProtocolMatchers {
     * blocks/tgbtc.py:54-115). Runs after JettonMintMatcher; the log-only
     * matchers stay as fallbacks for partial traces. */
   object TgbtcMintFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.TgbtcMintCall, Opcodes.TgbtcMint))
+
+    /** Anchor at the mint HEAD 0x3f781d24 when present (the reference
+      * walks up to it for the caller, blocks/tgbtc.py:88-110); the tail
+      * 0xe42a879b carries the success log + jetton mint children. */
+    private def buildFrom(head: CallContractBlock, tail: CallContractBlock,
+        path: Seq[Block]): Option[(Block, Seq[Block])] = {
+      val log = tail.children.collectFirst {
+        case l: CallContractBlock
+          if Opcodes.matches(l.opcode, Opcodes.TgbtcMint) => l
+      }
+      val mint = tail.children.collectFirst { case m: JettonMintBlock => m }
+      (log, mint) match {
+        case (Some(l), Some(m)) =>
+          val event = l.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.tgbtcMintEvent))
+          val consumed = Matching.identityDistinct(
+            Seq[Block](head, tail, l, m) ++ path)
+          Some((ProtocolOpBlock("tgbtc_mint",
+            // caller → log recipient; teleport/recipient-wallet ride the
+            // secondaries; btc txid on asset_secondary
+            // (_fill_tgbtc_mint_action, block_tree_serializer.py:850-861)
+            source = head.node.inMsg.flatMap(_.source),
+            destination = event.flatMap(_.recipient).orElse(m.receiver),
+            asset = m.master.orElse(m.receiverWallet),
+            value = None,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = l.node.inMsg.flatMap(_.source),
+            destinationSecondary = m.receiverWallet,
+            assetSecondary = event.map(_.bitcoinTxidHex),
+            amount = event.map(e => BigDecimal(e.amount))
+              .orElse(Some(m.amount))), consumed))
+        case _ => None
+      }
+    }
+
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case c: CallContractBlock
-        if Opcodes.matches(c.opcode, Opcodes.TgbtcMintCall) =>
-        val log = c.children.collectFirst {
-          case l: CallContractBlock
-            if Opcodes.matches(l.opcode, Opcodes.TgbtcMint) => l
+      case head: CallContractBlock
+          if Opcodes.matches(head.opcode, Opcodes.TgbtcMintHead) =>
+        findCall(head, Opcodes.TgbtcMintCall).flatMap { tail =>
+          // consume the intermediate chain between head and tail
+          val path = scala.collection.mutable.ArrayBuffer[Block]()
+          def walk(from: Block): Boolean = {
+            if (from eq tail) true
+            else from.children.exists { ch =>
+              val hit = walk(ch)
+              if (hit && !(ch eq tail)) path += ch
+              hit
+            }
+          }
+          walk(head)
+          buildFrom(head, tail, path.toSeq)
         }
-        val mint = c.children.collectFirst { case m: JettonMintBlock => m }
-        (log, mint) match {
-          case (Some(l), Some(m)) =>
-            val consumed: Seq[Block] = Seq(c, l, m)
-            Some((ProtocolOpBlock("tgbtc_mint",
-              c.node.inMsg.flatMap(_.source), m.receiver,
-              asset = m.receiverWallet, value = Some(m.amount),
-              failed = consumed.exists(_.failed),
-              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
-          case _ => None
-        }
+      // headless fallback: the tail alone (partial traces)
+      case tail: CallContractBlock
+          if Opcodes.matches(tail.opcode, Opcodes.TgbtcMintCall) =>
+        buildFrom(tail, tail, Nil)
       case _ => None
     }
   }
@@ -3117,11 +3222,24 @@ object ProtocolMatchers {
           }
           val consumed: Seq[Block] = Matching.identityDistinct(
             Seq(jb: Block, log: Block) ++ mids ++ aux)
+          // log-decoded pegout destination + authoritative amount:
+          // min(burn, log) with the log standing in for a zero burn
+          // (blocks/tgbtc.py:225-236)
+          val event = log.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(graft.functions.TlbDecoders.tgbtcBurnEvent))
+          val amount = event.map(e => BigDecimal(e.amount)) match {
+            case Some(la) if jb.amount == 0 => la
+            case Some(la) => jb.amount.min(la)
+            case None => jb.amount
+          }
           (ProtocolOpBlock("tgbtc_burn",
-            jb.owner, None, asset = Some(jb.ownerWallet),
-            value = Some(jb.amount),
+            jb.owner, event.flatMap(_.pegout),
+            asset = Some(jb.asset.getOrElse(jb.ownerWallet)),
+            value = Some(amount),
             failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = Some(jb.ownerWallet),
+            amount = Some(amount)), consumed)
         }
       case _ => None
     }
@@ -3628,11 +3746,7 @@ object ProtocolMatchers {
       AuctionOutbidMatcher, NftDiscoveryMatcher,
       JvaultStakeMatcher, JvaultUnstakeMatcher,
       JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
-      // full tgBTC chains first; the event-anchored matchers below stay
-      // as log-only fallbacks for partial traces (blocks/tgbtc.py:335-452)
-      TgbtcMintFullMatcher, TgbtcBurnFullMatcher,
-      TgbtcMintMatcher, TgbtcBurnMatcher, TgbtcNewKeyMatcher,
-      TgbtcDkgLogMatcher, ToncoFullSwapMatcher, ToncoSwapMatcher,
+      ToncoFullSwapMatcher, ToncoSwapMatcher,
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
@@ -3652,6 +3766,14 @@ object ProtocolMatchers {
       // (event_processing.py:252-253)
       new JettonMintCallMatcher(Opcodes.JettonMint),
       new JettonMintCallMatcher(Opcodes.MinterJettonMint),
+      // tgBTC runs AFTER the jetton-mint rewrite (the mint full chain
+      // requires the typed jetton_mint child); full chains first, the
+      // event-anchored matchers stay as log-only fallbacks for partial
+      // traces (blocks/tgbtc.py:335-452)
+      TgbtcMintFullMatcher, TgbtcBurnFullMatcher,
+      TgbtcMintMatcher, TgbtcBurnMatcher,
+      TgbtcNewKeyFullMatcher, TgbtcNewKeyMatcher,
+      TgbtcDkgLogMatcher,
       // full-context cocoon chains first; opcode-chain fallbacks below
       // keep partial traces classified
       CocoonWorkerPayoutFullMatcher, CocoonClientTopUpFullMatcher,
@@ -3783,6 +3905,8 @@ object ProtocolMatchers {
         registry.map {
           case m if m eq JettonTransferMatcher =>
             new JettonTransferResolvedMatcher(resolve)
+          case m if m eq JettonBurnMatcher =>
+            new JettonBurnResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
           case m if m eq StonfiV2FullSwapMatcher => new StonfiV2FullSwap(resolve)
           case m if m eq ToncoFullSwapMatcher => new ToncoFullSwap(resolve)

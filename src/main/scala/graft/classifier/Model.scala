@@ -183,6 +183,8 @@ object Opcodes {
   val TgbtcNewKey = 0x27756729L
   val TgbtcDkgCompleted = 0x453443a6L
   val TgbtcMintCall = 0xe42a879bL
+  val TgbtcMintHead = 0x3f781d24L
+  val TgbtcNewKeyAnchor = 0x690f357aL
   val TgbtcBurnCall = 0xbe44e7a6L
   val TgbtcBurnAux1 = 0x1a84c0e0L
   val TgbtcBurnAux2 = 0x587643a2L

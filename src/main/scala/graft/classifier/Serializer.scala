@@ -420,7 +420,8 @@ object Serializer {
         (j.sender, j.receiver,
           Some(j.asset.getOrElse(j.senderWallet)), Some(j.amount))
       case j: JettonBurnBlock =>
-        (j.owner, None, Some(j.ownerWallet), Some(j.amount))
+        (j.owner, None, Some(j.asset.getOrElse(j.ownerWallet)),
+          Some(j.amount))
       // EVAA fills (block_tree_serializer.py:677-711): endpoints are the
       // human owner on both sides; amount rides `amount`, not value
       case e: EvaaSupplyActionBlock =>

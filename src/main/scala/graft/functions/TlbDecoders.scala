@@ -841,6 +841,64 @@ object TlbDecoders {
     s.loadUint(64)
   }
 
+  final case class TgbtcMintEventBody(
+      amount: BigInt, recipient: Option[String], bitcoinTxidHex: String)
+
+  /** TgBTCMintEvent#77a80ef3 amount:Coins recipient:addr txid:uint256
+    * (messages/tgbtc.py:8-26). The txid serializes little-endian →
+    * reverse the 32 big-endian bytes before hexing (blocks/tgbtc.py:
+    * 128-132). */
+  def tgbtcMintEvent(bodyB64: String): TgbtcMintEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x77a80ef3L)
+    val amount = s.loadCoins()
+    val recipient = s.loadAddress()
+    val txid = s.loadUint(256)
+    val be = txid.toByteArray.dropWhile(_ == 0)
+    val bytes = Array.fill[Byte](32 - be.length)(0) ++ be
+    TgbtcMintEventBody(amount, recipient,
+      bytes.reverse.map(b => f"${b & 0xff}%02x").mkString)
+  }
+
+  final case class TgbtcBurnEventBody(
+      amount: BigInt, sender: Option[String], pegout: Option[String])
+
+  /** TgBTCBurnEvent#ca444ce6 amount:Coins [sender:addr pegout:addr] —
+    * the address tail is absent in old schemas
+    * (messages/tgbtc.py:29-57). */
+  def tgbtcBurnEvent(bodyB64: String): TgbtcBurnEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xca444ce6L)
+    val amount = s.loadCoins()
+    val (sender, pegout) =
+      try { (s.loadAddress(), s.loadAddress()) }
+      catch { case scala.util.control.NonFatal(_) => (None, None) }
+    TgbtcBurnEventBody(amount, sender, pegout)
+  }
+
+  final case class TgbtcNewKeyEventBody(
+      amount: BigInt, pubkeyHex: String, pegout: Option[String])
+
+  /** TgBTCNewKeyEvent#27756729 amount:Coins pubkey:uint256 pegout:addr
+    * (messages/tgbtc.py:60-73). */
+  def tgbtcNewKeyEvent(bodyB64: String): TgbtcNewKeyEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x27756729L)
+    val amount = s.loadCoins()
+    val pubkey = s.loadUint(256)
+    TgbtcNewKeyEventBody(amount, pubkey.toString(16), s.loadAddress())
+  }
+
+  final case class TgbtcDkgEventBody(timestamp: BigInt, pubkeyHex: String)
+
+  /** TgBTCDkgCompletedEvent#453443a6 timestamp:uint64 pubkey:uint256
+    * (messages/tgbtc.py:76-87). */
+  def tgbtcDkgEvent(bodyB64: String): TgbtcDkgEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x453443a6L)
+    TgbtcDkgEventBody(s.loadUint(64), s.loadUint(256).toString(16))
+  }
+
   final case class CocoonPayoutPayloadBody(
       queryId: BigInt, newTokens: BigInt, expectedAddress: Option[String])
 

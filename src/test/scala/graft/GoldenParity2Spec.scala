@@ -1140,4 +1140,175 @@ class GoldenParity2Spec extends SparkSpec {
     assert(td.marketplace_address.contains(mp))
     assert(td.payout_comment.isEmpty)
   }
+
+  // ----------------------------------------------------------------------
+  // tgbtc.yaml
+  // ----------------------------------------------------------------------
+
+  test("tgbtc.yaml parity ('tgBTC new key'): teleport->coordinator with " +
+      "pubkey/pegout secondaries, DKG timestamp value and key amount") {
+    val teleport = "0:" + "F8" * 32
+    val coordinator = "0:" + "E1" * 32
+    val pegout = "0:" + "87" * 32
+    val pubkey = BigInt(
+      "382e9d762046f4bb5cde2ce1b7780cb499b5394972163930cf88bc55463acb70", 16)
+    val dkgBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x453443a6L), 32)
+      .storeUint(BigInt(1748633438L), 64)
+      .storeUint(pubkey, 256).build())
+    val keyBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x27756729L), 32)
+      .storeCoins(BigInt(425489053588L))
+      .storeUint(pubkey, 256)
+      .storeAddress(Some(pegout)).build())
+    val sink1 = "0:" + "01" * 32
+    val sink2 = "0:" + "02" * 32
+    val txs = Seq(tx("T1", teleport, 10), tx("T2", sink1, 20),
+      tx("T3", coordinator, 30), tx("T4", sink2, 40))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m0", "0:" + "99" * 32, teleport, Some(0x12345678L)),
+        out("m1", teleport, sink1, Some(Opcodes.TgbtcDkgCompleted),
+          body = Some(dkgBody), createdLt = 11),
+        out("m2", teleport, coordinator, Some(Opcodes.TgbtcNewKeyAnchor),
+          createdLt = 12)),
+      "T2" -> Seq(in("m1", teleport, sink1, Some(Opcodes.TgbtcDkgCompleted),
+        body = Some(dkgBody))),
+      "T3" -> Seq(
+        in("m2", teleport, coordinator, Some(Opcodes.TgbtcNewKeyAnchor)),
+        out("m3", coordinator, sink2, Some(Opcodes.TgbtcNewKey),
+          body = Some(keyBody))),
+      "T4" -> Seq(in("m3", coordinator, sink2, Some(Opcodes.TgbtcNewKey),
+        body = Some(keyBody))))
+    val a = Classifier.classify("gtb1", txs, msgs)
+      .find(_.`type` == "tgbtc_new_key").get
+    assert(a.source.contains(teleport))
+    assert(a.source_secondary.contains(pubkey.toString(16)))
+    assert(a.destination.contains(coordinator))
+    assert(a.destination_secondary.contains(pegout))
+    assert(a.value.contains(BigDecimal(1748633438L)))
+    assert(a.amount.contains(BigDecimal(425489053588L)))
+  }
+
+  test("tgbtc.yaml parity ('tgBTC mint'): caller endpoints, teleport and " +
+      "recipient-wallet secondaries, master asset and the little-endian " +
+      "bitcoin txid") {
+    val caller = "0:" + "21" * 32
+    val teleport = "0:" + "E1" * 32
+    val master = "0:" + "AD" * 32
+    val wallet = "0:" + "AE" * 32
+    val headAcct = "0:" + "77" * 32
+    val sink = "0:" + "03" * 32
+    val txidHex =
+      "29473eb71be95904599a5cecd24f602f07942b1da2b4c5eb3c5551367c2e4023"
+    val txidLe = BigInt(1,
+      txidHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray.reverse)
+    val logBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x77a80ef3L), 32)
+      .storeCoins(BigInt(9850L))
+      .storeAddress(Some(caller))
+      .storeUint(txidLe, 256).build())
+    val mintCall = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonMint), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(caller))
+      .storeCoins(BigInt(1000L)).build())
+    val mintXfer = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(9850L))
+      .storeAddress(None).storeAddress(None)
+      .storeCoins(BigInt(0)).build())
+    val txs = Seq(tx("T1", headAcct, 10), tx("T2", teleport, 20),
+      tx("T3", sink, 30), tx("T4", master, 40), tx("T5", wallet, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", caller, headAcct, Some(Opcodes.TgbtcMintHead)),
+        out("m2", headAcct, teleport, Some(Opcodes.TgbtcMintCall))),
+      "T2" -> Seq(
+        in("m2", headAcct, teleport, Some(Opcodes.TgbtcMintCall)),
+        out("m3", teleport, sink, Some(Opcodes.TgbtcMint),
+          body = Some(logBody), createdLt = 21),
+        out("m4", teleport, master, Some(Opcodes.JettonMint),
+          body = Some(mintCall), createdLt = 22)),
+      "T3" -> Seq(in("m3", teleport, sink, Some(Opcodes.TgbtcMint),
+        body = Some(logBody))),
+      "T4" -> Seq(
+        in("m4", teleport, master, Some(Opcodes.JettonMint),
+          body = Some(mintCall)),
+        out("m5", master, wallet, Some(Opcodes.JettonInternalTransfer),
+          body = Some(mintXfer))),
+      "T5" -> Seq(in("m5", master, wallet,
+        Some(Opcodes.JettonInternalTransfer), body = Some(mintXfer))))
+    val a = Classifier.classify("gtb2", txs, msgs)
+      .find(_.`type` == "tgbtc_mint").get
+    assert(a.success)
+    assert(a.source.contains(caller))
+    assert(a.destination.contains(caller))
+    assert(a.source_secondary.contains(teleport))
+    assert(a.destination_secondary.contains(wallet))
+    assert(a.amount.contains(BigDecimal(9850L)))
+    assert(a.asset.contains(master))
+    assert(a.asset_secondary.contains(txidHex))
+  }
+
+  test("tgbtc.yaml parity ('tgBTC burn'): owner/wallet endpoints, " +
+      "repository master asset, log amount and the pegout destination") {
+    val owner = "0:" + "21" * 32
+    val wallet = "0:" + "AE" * 32
+    val master = "0:" + "AD" * 32
+    val teleport = "0:" + "E1" * 32
+    val pegout = "0:" + "AF" * 32
+    val sink = "0:" + "04" * 32
+    val burnBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x595f07bcL), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(9637L)).storeAddress(None).build())
+    val logBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xca444ce6L), 32)
+      .storeCoins(BigInt(9637L))
+      .storeAddress(Some(owner))
+      .storeAddress(Some(pegout)).build())
+    val txs = Seq(tx("T1", wallet, 10), tx("T2", teleport, 20),
+      tx("T3", sink, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", owner, wallet, Some(Opcodes.JettonBurn),
+          body = Some(burnBody)),
+        out("m2", wallet, teleport, Some(Opcodes.JettonBurnNotification))),
+      "T2" -> Seq(
+        in("m2", wallet, teleport, Some(Opcodes.JettonBurnNotification)),
+        out("m3", teleport, sink, Some(Opcodes.TgbtcBurn),
+          body = Some(logBody))),
+      "T3" -> Seq(in("m3", teleport, sink, Some(Opcodes.TgbtcBurn),
+        body = Some(logBody))))
+    val a = Classifier.classify("gtb3", txs, msgs,
+      jettonWallets = Map(wallet -> master))
+      .find(_.`type` == "tgbtc_burn").get
+    assert(a.source.contains(owner))
+    assert(a.source_secondary.contains(wallet))
+    assert(a.asset.contains(master))
+    assert(a.amount.contains(BigDecimal(9637L)))
+    assert(a.destination.contains(pegout))
+  }
+
+  test("tgbtc.yaml parity ('tgBTC dkg log (fallback)'): source, pubkey " +
+      "asset and timestamp value") {
+    val coordinator = "0:" + "E7" * 32
+    val sink = "0:" + "05" * 32
+    val pubkey = BigInt(
+      "bb3a21df270dd0e6dc1169f4afb93be5eb2945df81c011f2b29f648daf64d150", 16)
+    val dkgBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x453443a6L), 32)
+      .storeUint(BigInt(1744132682L), 64)
+      .storeUint(pubkey, 256).build())
+    val txs = Seq(tx("T1", sink, 10))
+    val msgs = Map("T1" -> Seq(
+      in("m1", coordinator, sink, Some(Opcodes.TgbtcDkgCompleted),
+        body = Some(dkgBody))))
+    val a = Classifier.classify("gtb4", txs, msgs)
+      .find(_.`type` == "tgbtc_dkg_log_fallback").get
+    assert(a.source.contains(coordinator))
+    assert(a.asset.contains(pubkey.toString(16)))
+    assert(a.value.contains(BigDecimal(1744132682L)))
+  }
 }
