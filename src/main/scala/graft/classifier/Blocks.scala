@@ -206,6 +206,12 @@ case class ProtocolOpBlock(
     // getgems purchase: the full transfer-detail payload
     // (_fill_nft_purchase_action, block_tree_serializer.py:235-257)
     nftPurchase: Option[NftTransferData] = None,
+    // jvault matcher-decoded payloads (blocks/jvault.py fills); the
+    // opcode override carries the exit code of failed unstakes
+    // (_fill_jvault_unstake:743)
+    jvaultStake: Option[JvaultStakeData] = None,
+    jvaultClaim: Option[JvaultClaimData] = None,
+    opcodeOverride: Option[Long] = None,
     // cocoon matcher-decoded payloads (blocks/cocoon.py fills)
     cocoonWorkerPayout: Option[CocoonWorkerPayoutData] = None,
     cocoonRegister: Option[CocoonClientRegisterData] = None,

@@ -1574,21 +1574,144 @@ object ProtocolMatchers {
   val AuctionBidMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.AuctionFillUp, None, Set.empty, protoBlock("auction_bid"))
 
-  /** jvault staking family (messages/jvault.py:27-101; serializer cases
-    * 'jvault_stake' / 'jvault_unstake' / 'jvault_unstake_request' /
-    * 'jvault_claim'). */
+  /** jvault staking family (blocks/jvault.py). The stake-wallet
+    * interface row 'jvault_stake_wallet|<pool>|<asset>|<jvault_asset>'
+    * stands in for the reference's extract_jvault_assets data-boc parse
+    * (jvault.py:35-70). */
+
+  /** Stake (JVaultStakeBlockMatcher, jvault.py:104-183): a jetton
+    * transfer whose receive-jettons child at the stake wallet reaches
+    * the pool's request-update (success) or the cancellation (failed);
+    * period decodes from the transfer's forward payload. */
+  object JvaultStakeFullMatcher extends BlockMatcher {
+    import graft.functions.{Boc, TlbDecoders}
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JvaultReceiveJettons))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.JvaultReceiveJettons) => r
+        }.flatMap { recv =>
+          val update = findCall(recv, Opcodes.JvaultRequestUpdateRewards)
+          val cancel = findCall(recv, Opcodes.JvaultCancelStake)
+          if (update.isEmpty && cancel.isEmpty) None
+          else {
+            val period = jt.decoded.flatMap(_.forwardPayload).flatMap { p =>
+              try {
+                val s = Boc.parseBase64(p).beginParse()
+                s.loadUint(32)
+                Some(BigDecimal(s.loadUint(32)))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+            val consumed = Matching.identityDistinct(
+              Seq[Block](jt, recv) ++ update.toSeq ++ cancel.toSeq)
+            Some((ProtocolOpBlock("jvault_stake",
+              source = jt.sender,
+              // pool = the receive-jettons message's SOURCE; the stake
+              // wallet is its destination (jvault.py:165-167)
+              destination = recv.node.inMsg.flatMap(_.source),
+              asset = Some(jt.asset.getOrElse(jt.senderWallet)),
+              value = Some(jt.amount),
+              failed = cancel.nonEmpty || update.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil,
+              sourceSecondary = Some(jt.senderWallet),
+              amount = Some(jt.amount),
+              jvaultStake = Some(JvaultStakeData(period, None,
+                stake_wallet = recv.node.inMsg.flatMap(_.destination)))),
+              consumed))
+          }
+        }
+      case _ => None
+    }
+  }
+  /** Bare receive-jettons fallback for partial traces. */
   val JvaultStakeMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.JvaultReceiveJettons, None, Set(Opcodes.Excesses),
     protoBlock("jvault_stake"))
-  val JvaultUnstakeMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.JvaultUnstakeJettons, None, Set(Opcodes.Excesses),
-    protoBlock("jvault_unstake"))
-  val JvaultUnstakeRequestMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.JvaultUnstakeRequest, None, Set.empty,
-    protoBlock("jvault_unstake_request"))
-  val JvaultClaimMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.JvaultClaim, None, Set(Opcodes.JvaultSendClaimedRewards),
-    protoBlock("jvault_claim"))
+
+  /** Unstake + unstake request (jvault.py:207-316,396-475): the call at
+    * the stake wallet; amount from the body; pool/assets from the
+    * interface row with the request-update destination preferred for
+    * the pool; failed unstakes (no request-update) carry the compute
+    * exit code on the opcode column. */
+  final class JvaultUnstakeFull(op: Long, btype: String,
+      interfaces: Map[String, String]) extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] = Some(Set(op))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock if Opcodes.matches(c.opcode, op) =>
+        val wallet = c.node.inMsg.flatMap(_.destination)
+        val row = wallet.flatMap(interfaces.get).map(_.split('|'))
+          .filter(p => p.length >= 4 && p(0) == "jvault_stake_wallet")
+        val amount = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(TlbDecoders.opQidCoins)).map(BigDecimal(_))
+        val update = findCall(c, Opcodes.JvaultRequestUpdateRewards)
+        val payout = update.flatMap(_.children.collectFirst {
+          case j: JettonTransferBlock => j })
+        val consumed = Matching.identityDistinct(
+          Seq[Block](c) ++ update.toSeq ++ payout.toSeq ++
+            c.children.collect {
+              case e: CallContractBlock
+                if Opcodes.matches(e.opcode, Opcodes.Excesses) => e: Block
+            })
+        Some((ProtocolOpBlock(btype,
+          source = c.node.inMsg.flatMap(_.source),
+          destination = update.flatMap(_.node.inMsg.flatMap(_.destination))
+            .orElse(row.map(_(1))),
+          asset = payout.flatMap(_.asset).orElse(row.map(_(2))),
+          value = amount,
+          failed = c.failed,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          sourceSecondary = wallet,
+          amount = amount,
+          asset2 = row.map(_(3)),
+          // failed unstake: the compute exit code rides the opcode
+          // column (_fill_jvault_unstake:743)
+          opcodeOverride =
+            if (update.isEmpty) c.node.tx.computeExitCode.map(_.toLong)
+            else None), consumed))
+      case _ => None
+    }
+  }
+  val JvaultUnstakeMatcher: BlockMatcher =
+    new JvaultUnstakeFull(Opcodes.JvaultUnstakeJettons, "jvault_unstake",
+      Map.empty)
+  val JvaultUnstakeRequestMatcher: BlockMatcher =
+    new JvaultUnstakeFull(Opcodes.JvaultUnstakeRequest,
+      "jvault_unstake_request", Map.empty)
+
+  /** Claim (jvault.py:317-395): the claim call at the stake wallet with
+    * the send-claimed-rewards leg to the pool; claimed wallets from the
+    * body dict, amounts from the withdrawal transfer. */
+  object JvaultClaimFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JvaultClaim))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.JvaultClaim) =>
+        val send = findCall(c, Opcodes.JvaultSendClaimedRewards)
+        val withdrawal = send.flatMap(_.children.collectFirst {
+          case j: JettonTransferBlock => j })
+        val consumed = Matching.identityDistinct(
+          Seq[Block](c) ++ send.toSeq ++ withdrawal.toSeq)
+        Some((ProtocolOpBlock("jvault_claim",
+          source = c.node.inMsg.flatMap(_.source),
+          destination = send.flatMap(_.node.inMsg.flatMap(_.destination)),
+          asset = None, value = None,
+          failed = c.failed,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          sourceSecondary = c.node.inMsg.flatMap(_.destination),
+          jvaultClaim = Some(JvaultClaimData(
+            claimed_jettons = c.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.jvaultClaimWallets))
+              .getOrElse(Nil),
+            claimed_amounts = withdrawal.map(_.amount).toSeq))), consumed))
+      case _ => None
+    }
+  }
+  val JvaultClaimMatcher: BlockMatcher = JvaultClaimFullMatcher
 
   /** tgBTC bridge events (messages/tgbtc.py:20-82). */
   val TgbtcMintMatcher: BlockMatcher = new OpcodeChainMatcher(
@@ -3744,8 +3867,8 @@ object ProtocolMatchers {
       StonfiV2WithdrawLiquidityMatcher, DexWithdrawLiquidityMatcher,
       TeleitemStartAuctionMatcher, AuctionBidMatcher,
       AuctionOutbidMatcher, NftDiscoveryMatcher,
-      JvaultStakeMatcher, JvaultUnstakeMatcher,
-      JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
+      JvaultStakeFullMatcher, JvaultStakeMatcher,
+      JvaultUnstakeMatcher, JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
       ToncoFullSwapMatcher, ToncoSwapMatcher,
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
@@ -3926,8 +4049,20 @@ object ProtocolMatchers {
     }
     interfaces match {
       case None => withNft
-      case Some(ifc) => registryGated(withNft, ifc,
-        nftItems.getOrElse(Map.empty))
+      case Some(ifc) =>
+        // in-place swaps: matchers whose ANCHOR the interface refines
+        // must be replaced (an appended variant would never fire — the
+        // unbound instance consumes the anchor first)
+        val bound = withNft.map {
+          case m if m eq JvaultUnstakeMatcher =>
+            new JvaultUnstakeFull(Opcodes.JvaultUnstakeJettons,
+              "jvault_unstake", ifc)
+          case m if m eq JvaultUnstakeRequestMatcher =>
+            new JvaultUnstakeFull(Opcodes.JvaultUnstakeRequest,
+              "jvault_unstake_request", ifc)
+          case m => m
+        }
+        registryGated(bound, ifc, nftItems.getOrElse(Map.empty))
     }
   }
 

@@ -175,6 +175,8 @@ object Opcodes {
   val JvaultUnstakeRequest = 0x0168d4b7L
   val JvaultClaim = 0x78d9f109L
   val JvaultSendClaimedRewards = 0x44bc1fe3L
+  val JvaultRequestUpdateRewards = 0xf5c5baa3L
+  val JvaultCancelStake = 0x9eada1d9L
 
   // tgBTC bridge events (messages/tgbtc.py:20-82) and the full-chain
   // anchor calls with their auxiliaries (blocks/tgbtc.py:54-268)

@@ -455,6 +455,7 @@ object Serializer {
       case _ => (None, None, None, None)
     }
     val opcode = b match {
+      case p: ProtocolOpBlock if p.opcodeOverride.nonEmpty => p.opcodeOverride
       case c: CallContractBlock => c.opcode
       case _ => b.nodes.headOption.flatMap(_.inMsg).flatMap(_.opcode)
     }
@@ -699,17 +700,17 @@ object Serializer {
       // (messages/jvault.py; fills block_tree_serializer.py:726-766)
       jvault_stake_data = b match {
         case p: ProtocolOpBlock if p.btype == "jvault_stake" =>
-          Some(JvaultStakeData(None, None,
-            stake_wallet = p.nodes.headOption.map(_.tx.account)))
+          p.jvaultStake.orElse(Some(JvaultStakeData(None, None,
+            stake_wallet = p.nodes.headOption.map(_.tx.account))))
         case _ => None
       },
       jvault_claim_data = b match {
         case p: ProtocolOpBlock if p.btype == "jvault_claim" =>
-          Some(JvaultClaimData(
+          p.jvaultClaim.orElse(Some(JvaultClaimData(
             claimed_jettons = headBody(p)
               .flatMap(safeDec(TlbDecoders.jvaultClaimWallets))
               .getOrElse(Nil),
-            claimed_amounts = Nil))
+            claimed_amounts = Nil)))
         case _ => None
       },
       coffee_staking_deposit_data = b match {

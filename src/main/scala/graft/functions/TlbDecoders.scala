@@ -841,6 +841,14 @@ object TlbDecoders {
     s.loadUint(64)
   }
 
+  /** op:32 query_id:64 amount:Coins — the jvault unstake/unstake-request
+    * prefix (messages/jvault.py:48-80). */
+  def opQidCoins(bodyB64: String): BigInt = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    s.loadUint(32); s.loadUint(64)
+    s.loadCoins()
+  }
+
   final case class TgbtcMintEventBody(
       amount: BigInt, recipient: Option[String], bitcoinTxidHex: String)
 

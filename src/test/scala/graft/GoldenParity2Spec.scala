@@ -1311,4 +1311,177 @@ class GoldenParity2Spec extends SparkSpec {
     assert(a.asset.contains(pubkey.toString(16)))
     assert(a.value.contains(BigDecimal(1744132682L)))
   }
+
+  // ----------------------------------------------------------------------
+  // jvault.yaml
+  // ----------------------------------------------------------------------
+
+  test("jvault.yaml parity ('Stake (simple)'): sender/wallet endpoints, " +
+      "repository asset, pool destination, amount and period/stake_wallet") {
+    val user = "0:" + "DA" * 32
+    val userWallet = "0:" + "2D" * 32
+    val poolWallet = "0:" + "93" * 32
+    val pool = "0:" + "A2" * 32
+    val stakeWallet = "0:" + "79" * 32
+    val master = "0:" + "DC" * 32
+    val fwd = Boc.parseBase64(Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xdeadbeefL), 32)
+      .storeUint(BigInt(2592000L), 32).build()))
+    val xfer = transferBody(1, 0, pool, user, 1, forwardPayload = Some(fwd))
+    // amount rides the TEP-74 coins field — rebuild with the real amount
+    val xfer2 = {
+      val b = new Boc.Builder()
+        .storeUint(BigInt(0x0f8a7ea5L), 32)
+        .storeUint(BigInt(1), 64)
+        .storeCoins(BigInt(12266000000000L))
+        .storeAddress(Some(pool)).storeAddress(Some(user))
+        .storeBit(false).storeCoins(BigInt(1))
+        .storeBit(true).storeRef(fwd)
+      Boc.serializeBase64(b.build())
+    }
+    val txs = Seq(tx("T1", userWallet, 10), tx("T2", poolWallet, 20),
+      tx("T3", pool, 30), tx("T4", stakeWallet, 40), tx("T5", pool, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer2)),
+        out("m2", userWallet, poolWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userWallet, poolWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", poolWallet, pool, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", poolWallet, pool, Some(Opcodes.JettonNotify)),
+        out("m4", pool, stakeWallet, Some(Opcodes.JvaultReceiveJettons))),
+      "T4" -> Seq(
+        in("m4", pool, stakeWallet, Some(Opcodes.JvaultReceiveJettons)),
+        out("m5", stakeWallet, pool,
+          Some(Opcodes.JvaultRequestUpdateRewards))),
+      "T5" -> Seq(in("m5", stakeWallet, pool,
+        Some(Opcodes.JvaultRequestUpdateRewards))))
+    val a = Classifier.classify("gjv1", txs, msgs,
+      jettonWallets = Map(userWallet -> master))
+      .find(_.`type` == "jvault_stake").get
+    assert(a.success)
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(userWallet))
+    assert(a.asset.contains(master))
+    assert(a.destination.contains(pool))
+    assert(a.amount.contains(BigDecimal(12266000000000L)))
+    val d = a.jvault_stake_data.get
+    assert(d.period.contains(BigDecimal(2592000L)))
+    assert(d.stake_wallet.contains(stakeWallet))
+  }
+
+  test("jvault.yaml parity ('Unstake request'): stake-wallet interface " +
+      "row resolves pool/asset/jvault-asset; amount from the body") {
+    val user = "0:" + "F6" * 32
+    val stakeWallet = "0:" + "E9" * 32
+    val pool = "0:" + "A2" * 32
+    val asset = "0:" + "90" * 32
+    val jvAsset = "0:" + "26" * 32
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JvaultUnstakeRequest), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(246742586340L)).build())
+    val txs = Seq(tx("T1", stakeWallet, 10), tx("T2", pool, 20))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, stakeWallet, Some(Opcodes.JvaultUnstakeRequest),
+          body = Some(body)),
+        out("m2", stakeWallet, pool,
+          Some(Opcodes.JvaultRequestUpdateRewards))),
+      "T2" -> Seq(in("m2", stakeWallet, pool,
+        Some(Opcodes.JvaultRequestUpdateRewards))))
+    val a = Classifier.classify("gjv2", txs, msgs,
+      interfaces = Map(stakeWallet ->
+        s"jvault_stake_wallet|$pool|$asset|$jvAsset"))
+      .find(_.`type` == "jvault_unstake_request").get
+    assert(a.success)
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(stakeWallet))
+    assert(a.destination.contains(pool))
+    assert(a.amount.contains(BigDecimal(246742586340L)))
+    assert(a.asset.contains(asset))
+    assert(a.asset2.contains(jvAsset))
+  }
+
+  test("jvault.yaml parity ('Unstake (failed)'): no request-update leg " +
+      "puts the compute exit code on the opcode column") {
+    val user = "0:" + "65" * 32
+    val stakeWallet = "0:" + "E3" * 32
+    val pool = "0:" + "B7" * 32
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JvaultUnstakeJettons), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(716000000000L)).storeBit(false).build())
+    val txs = Seq(
+      TxLite("T1", stakeWallet, 10, 10, "active", "active", false,
+        Some(56), None, 0L, "ord"))
+    val msgs = Map("T1" -> Seq(
+      in("m1", user, stakeWallet, Some(Opcodes.JvaultUnstakeJettons),
+        body = Some(body))))
+    val a = Classifier.classify("gjv3", txs, msgs,
+      interfaces = Map(stakeWallet ->
+        s"jvault_stake_wallet|$pool|0:AA|0:BB"))
+      .find(_.`type` == "jvault_unstake").get
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(stakeWallet))
+    assert(a.destination.contains(pool))
+    assert(a.amount.contains(BigDecimal(716000000000L)))
+    assert(a.opcode.contains(56L))
+  }
+
+  test("jvault.yaml parity ('Claim rewards'): claim wallets + withdrawn " +
+      "amounts with the pool destination") {
+    val user = "0:" + "D9" * 32
+    val stakeWallet = "0:" + "32" * 32
+    val pool = "0:" + "AA" * 32
+    val rewardWallet = "0:" + "A0" * 32
+    val poolRewardWallet = "0:" + "55" * 32
+    val userRewardWallet = "0:" + "66" * 32
+    def addrKey(a: String): BigInt = {
+      val Array(wc, hex) = a.split(":")
+      (BigInt(2) << 265) | (BigInt(wc.toInt & 0xff) << 256) | BigInt(hex, 16)
+    }
+    val ds = Boc.buildDictRefs(
+      Map(addrKey(rewardWallet) -> new Boc.Builder().build()), 267)
+      .beginParse()
+    assert(ds.loadBit())
+    val claimBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JvaultClaim), 32)
+      .storeUint(BigInt(1), 64)
+      .storeBit(true).storeRef(ds.loadRef())
+      .build())
+    val payout = transferBody(1, 7919563L, user, user, 1)
+    val txs = Seq(tx("T1", stakeWallet, 10), tx("T2", pool, 20),
+      tx("T3", poolRewardWallet, 30), tx("T4", userRewardWallet, 40))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, stakeWallet, Some(Opcodes.JvaultClaim),
+          body = Some(claimBody)),
+        out("m2", stakeWallet, pool,
+          Some(Opcodes.JvaultSendClaimedRewards))),
+      "T2" -> Seq(
+        in("m2", stakeWallet, pool, Some(Opcodes.JvaultSendClaimedRewards)),
+        out("m3", pool, poolRewardWallet, Some(Opcodes.JettonTransfer),
+          body = Some(payout))),
+      "T3" -> Seq(
+        in("m3", pool, poolRewardWallet, Some(Opcodes.JettonTransfer),
+          body = Some(payout)),
+        out("m4", poolRewardWallet, userRewardWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T4" -> Seq(in("m4", poolRewardWallet, userRewardWallet,
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("gjv4", txs, msgs)
+      .find(_.`type` == "jvault_claim").get
+    assert(a.success)
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(stakeWallet))
+    assert(a.destination.contains(pool))
+    val d = a.jvault_claim_data.get
+    assert(d.claimed_jettons == Seq(rewardWallet))
+    assert(d.claimed_amounts == Seq(BigDecimal(7919563L)))
+  }
 }
