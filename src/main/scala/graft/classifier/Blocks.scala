@@ -155,6 +155,20 @@ case class JettonSwapBlock(
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
 }
 
+/** A jetton_swap carrying a pre-built detail struct — for DEXes whose
+  * in/out legs may be native TON movements with no JettonTransferBlock
+  * to hang data on (swap.coffee, blocks/swaps.py:1231-1458). Endpoint
+  * columns follow _fill_jetton_swap_action. */
+case class JettonSwapDirectBlock(
+    data: JettonSwapData,
+    source: Option[String], destination: Option[String],
+    asset: Option[String], asset2: Option[String],
+    sourceSecondary: Option[String], destinationSecondary: Option[String],
+    failed: Boolean, nodes: Seq[TxNode], children: Seq[Block]) extends Block {
+  val btype = "jetton_swap"
+  def withChildren(cs: Seq[Block]): Block = copy(children = cs)
+}
+
 /** Generic typed protocol block built from an opcode-chain match — the
   * Scala analogue of the reference's per-protocol Block subclasses with
   * `data` dicts (e.g. SubscriptionBlock, blocks/subscriptions.py:12-26;

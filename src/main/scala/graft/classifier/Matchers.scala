@@ -2123,8 +2123,143 @@ object ProtocolMatchers {
     }
   }
 
-  /** Coffee DEX swap: native/jetton swap entry with its success/failed
-    * event tail (messages/coffee.py:338-413). */
+  /** Coffee DEX full swap (CoffeeSwapBlockMatcher,
+    * blocks/swaps.py:1231-1458): the funding leg (jetton transfer or
+    * native c0ffee00 call) followed by the swap_internal chain — each
+    * hop carrying its success event — ending in payout_internal and the
+    * outgoing leg (jetton transfer, native payout, or notification).
+    * peer_swaps from the success-event bodies, []-gated unless
+    * multi-hop; out assets chain from the next hop's input. */
+  object CoffeeFullSwapMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeSwapInternal, Opcodes.CoffeePayoutInternal))
+
+    private def build(anchor: Block, swap0: CallContractBlock,
+        inData: DexTransferData, sender: Option[String])
+        : Option[(Block, Seq[Block])] = {
+      // walk the swap chain: swap → [success event, next swap | payout]
+      val hops = scala.collection.mutable.ArrayBuffer[
+        (CallContractBlock, Option[CallContractBlock])]()
+      var cur: Option[CallContractBlock] = Some(swap0)
+      var payout: Option[CallContractBlock] = None
+      while (cur.isDefined && payout.isEmpty) {
+        val sw = cur.get
+        val event = sw.children.collectFirst {
+          case e: CallContractBlock
+            if Opcodes.matches(e.opcode, Opcodes.CoffeeSwapSuccess) => e
+        }
+        hops += ((sw, event))
+        payout = sw.children.collectFirst {
+          case p: CallContractBlock
+            if Opcodes.matches(p.opcode, Opcodes.CoffeePayoutInternal) => p
+        }
+        if (payout.isEmpty)
+          cur = sw.children.collectFirst {
+            case n: CallContractBlock
+              if Opcodes.matches(n.opcode, Opcodes.CoffeeSwapInternal) => n
+          }
+        else cur = None
+      }
+      payout.flatMap { po =>
+        val poBody = po.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(TlbDecoders.coffeePayoutInternal))
+        // the outgoing leg under payout_internal
+        val outJt = po.children.collectFirst { case j: JettonTransferBlock => j }
+        val outCall = po.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.CoffeePayoutOut) ||
+              Opcodes.matches(c.opcode, Opcodes.CoffeeNotification) => c
+        }
+        val outData: Option[DexTransferData] = outJt.map(j =>
+          DexTransferData(Some(j.amount),
+            j.asset.orElse(Some(j.senderWallet)).filter(_ != "TON"),
+            j.sender, j.receiver, Some(j.senderWallet), j.receiverWallet))
+          .orElse(outCall.map { c =>
+            if (Opcodes.matches(c.opcode, Opcodes.CoffeePayoutOut))
+              DexTransferData(poBody.map(p => BigDecimal(p.amount)), None,
+                po.node.inMsg.flatMap(_.source),
+                poBody.flatMap(_.recipient), None, None)
+            else
+              DexTransferData(
+                c.node.inMsg.map(m => BigDecimal(m.value)), None,
+                c.node.inMsg.flatMap(_.source),
+                c.node.inMsg.flatMap(_.destination), None, None)
+          })
+        outData.flatMap { out =>
+          val events = hops.flatMap(_._2)
+          val ok = hops.forall(_._2.nonEmpty)
+          val eventBodies = events.toSeq.flatMap(e =>
+            e.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.coffeeSwapEvent)))
+          if (eventBodies.isEmpty) None
+          else {
+            // peer swaps: each hop's in from its event; out asset chains
+            // from the NEXT hop's input; the last takes the out leg's
+            // asset (blocks/swaps.py:1423-1429)
+            val peer0 = eventBodies.zipWithIndex.map { case (e, i) =>
+              val outAsset =
+                if (i + 1 < eventBodies.size) eventBodies(i + 1).inputAsset
+                else out.asset
+              PeerSwapData(
+                asset_in = e.inputAsset,
+                amount_in = Some(BigDecimal(e.inputAmount)),
+                asset_out = outAsset,
+                amount_out = Some(BigDecimal(e.outputAmount)))
+            }
+            val peer = if (peer0.size > 1) peer0 else Nil
+            val data = JettonSwapData("coffee", sender,
+              dex_incoming_transfer = Some(inData),
+              dex_outgoing_transfer = Some(out),
+              peer_swaps = peer, min_out_amount = None)
+            val consumed = Matching.identityDistinct(
+              Seq[Block](anchor) ++
+                hops.toSeq.flatMap(h => Seq(h._1: Block) ++ h._2.toSeq) ++
+                Seq(po) ++ outJt.toSeq ++ outCall.toSeq)
+            Some((JettonSwapDirectBlock(data,
+              source = inData.source, destination = out.destination,
+              asset = inData.asset, asset2 = out.asset,
+              sourceSecondary = inData.source_jetton_wallet,
+              destinationSecondary = out.destination_jetton_wallet,
+              failed = !ok,
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed))
+          }
+        }
+      }
+    }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case s: CallContractBlock
+            if Opcodes.matches(s.opcode, Opcodes.CoffeeSwapInternal) => s
+        }.flatMap { swap0 =>
+          build(jt, swap0,
+            DexTransferData(Some(jt.amount),
+              jt.asset.orElse(Some(jt.senderWallet)).filter(_ != "TON"),
+              jt.sender, jt.receiver, Some(jt.senderWallet),
+              jt.receiverWallet),
+            sender = jt.sender)
+        }
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CoffeeSwapNative) =>
+        findCall(c, Opcodes.CoffeeSwapInternal).flatMap { swap0 =>
+          val amount = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.coffeeSwapNativeAmount))
+            .map(BigDecimal(_))
+            .orElse(c.node.inMsg.map(m => BigDecimal(m.value)))
+          build(c, swap0,
+            DexTransferData(amount, None,
+              c.node.inMsg.flatMap(_.source),
+              c.node.inMsg.flatMap(_.destination), None, None),
+            sender = c.node.inMsg.flatMap(_.source))
+        }
+      case _ => None
+    }
+  }
+
+  /** Coffee DEX swap FALLBACK: native/jetton swap entry with its
+    * success/failed event tail (messages/coffee.py:338-413). */
   val CoffeeSwapMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CoffeeSwapNative, None,
     Set(Opcodes.CoffeeSwapSuccess, Opcodes.CoffeeSwapFailed, Opcodes.Excesses),
@@ -3873,7 +4008,7 @@ object ProtocolMatchers {
       ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
-      CoffeeSwapMatcher,
+      CoffeeFullSwapMatcher, CoffeeSwapMatcher,
       // creator stage must land before the create-pool completion pass
       CoffeeCreatePoolCreatorMatcher, CoffeeCreatePoolMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,

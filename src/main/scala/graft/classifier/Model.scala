@@ -237,6 +237,10 @@ object Opcodes {
 
   // Coffee DEX (messages/coffee.py:338-590)
   val CoffeeSwapNative = 0xc0ffee00L
+  val CoffeeSwapInternal = 0xc0ffee20L
+  val CoffeePayoutInternal = 0xc0ffee21L
+  val CoffeePayoutOut = 0xc0ffee32L
+  val CoffeeNotification = 0xc0ffee36L
   val CoffeeSwapJetton = 0xc0ffee10L
   val CoffeeSwapSuccess = 0xc0ffee30L
   val CoffeeSwapFailed = 0xc0ffee31L

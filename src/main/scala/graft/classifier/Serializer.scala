@@ -441,6 +441,9 @@ object Serializer {
           Some(sw.inTransfer.asset.getOrElse(sw.inTransfer.senderWallet))
             .filter(_ != "TON"),
           Some(sw.inTransfer.amount))
+      case sw: JettonSwapDirectBlock =>
+        (sw.source, sw.destination, sw.asset,
+          sw.data.dex_incoming_transfer.flatMap(_.amount))
       case m: JettonMintBlock =>
         // asset = the master when the call anchor resolved it
         // (_get_jetton_mint_data else-branch / wallet dim); the wallet
@@ -515,6 +518,7 @@ object Serializer {
         case _ => None
       },
       jetton_swap_data = b match {
+        case sw: JettonSwapDirectBlock => Some(sw.data)
         case sw: JettonSwapBlock => Some(JettonSwapData(
           sw.dex, sw.sender,
           dex_incoming_transfer = Some(dexTransfer(sw.inTransfer)),
@@ -582,6 +586,7 @@ object Serializer {
         case e: EvaaSupplyActionBlock => e.senderJettonWallet
         // the user's funding wallet (block_tree_serializer.py:380)
         case sw: JettonSwapBlock => Some(sw.inTransfer.senderWallet)
+        case sw: JettonSwapDirectBlock => sw.sourceSecondary
         case _ => None
       },
       destination_secondary = b match {
@@ -594,6 +599,7 @@ object Serializer {
         case e: EvaaWithdrawActionBlock => e.ownerContract
         // the user's payout wallet (block_tree_serializer.py:382)
         case sw: JettonSwapBlock => sw.outTransfer.receiverWallet
+        case sw: JettonSwapDirectBlock => sw.destinationSecondary
         case _ => None
       },
       asset_secondary = b match {
@@ -634,6 +640,7 @@ object Serializer {
         case sw: JettonSwapBlock =>
           Some(sw.outTransfer.asset.getOrElse(sw.outTransfer.senderWallet))
             .filter(_ != "TON")
+        case sw: JettonSwapDirectBlock => sw.asset2
         case _ => None
       },
       asset2_secondary = b match {

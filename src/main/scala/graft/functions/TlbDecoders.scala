@@ -849,6 +849,54 @@ object TlbDecoders {
     s.loadCoins()
   }
 
+  /** swap.coffee asset: native$00 | jetton$01 chain:uint8 hash:uint256 |
+    * extra$10 id:uint32 (messages/coffee.py:10-30). None = TON. */
+  private def loadCoffeeAsset(s: Boc.Slice): Option[String] =
+    s.loadUint(2).toInt match {
+      case 0 => None
+      case 1 =>
+        val chain = s.loadUint(8).toInt
+        val hash = s.loadUint(256)
+        Some(s"$chain:" + hash.toString(16).toUpperCase.reverse
+          .padTo(64, '0').reverse)
+      case 2 => s.loadUint(32); None
+      case t => throw new IllegalArgumentException(s"bad coffee asset: $t")
+    }
+
+  final case class CoffeeSwapEventBody(
+      inputAsset: Option[String], inputAmount: BigInt, outputAmount: BigInt)
+
+  /** swap_successful_event#c0ffee30 query_id:uint64 input:Asset
+    * input_amount:Coins output_amount:Coins
+    * (messages/coffee.py:387-403). */
+  def coffeeSwapEvent(bodyB64: String): CoffeeSwapEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee30L)
+    s.loadUint(64)
+    CoffeeSwapEventBody(loadCoffeeAsset(s), s.loadCoins(), s.loadCoins())
+  }
+
+  final case class CoffeePayoutInternalBody(
+      recipient: Option[String], amount: BigInt)
+
+  /** payout_internal#c0ffee21 query_id:uint64 recipient:MsgAddressInt
+    * amount:Coins ... (messages/coffee.py:673-689). */
+  def coffeePayoutInternal(bodyB64: String): CoffeePayoutInternalBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee21L)
+    s.loadUint(64)
+    CoffeePayoutInternalBody(s.loadAddress(), s.loadCoins())
+  }
+
+  /** swap_native#c0ffee00 query_id:uint64 amount:Coins ...
+    * (messages/coffee.py:331-345). Returns the swapped TON amount. */
+  def coffeeSwapNativeAmount(bodyB64: String): BigInt = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee00L)
+    s.loadUint(64)
+    s.loadCoins()
+  }
+
   final case class TgbtcMintEventBody(
       amount: BigInt, recipient: Option[String], bitcoinTxidHex: String)
 

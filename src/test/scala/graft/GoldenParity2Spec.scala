@@ -1484,4 +1484,196 @@ class GoldenParity2Spec extends SparkSpec {
     assert(d.claimed_jettons == Seq(rewardWallet))
     assert(d.claimed_amounts == Seq(BigDecimal(7919563L)))
   }
+
+  // ----------------------------------------------------------------------
+  // coffee.yaml
+  // ----------------------------------------------------------------------
+
+  /** swap_successful_event#c0ffee30 with a jetton or native input. */
+  private def coffeeEventBody(inputJetton: Option[String], inputAmount: Long,
+      outputAmount: Long): String = {
+    val b = new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee30L), 32)
+      .storeUint(BigInt(1), 64)
+    inputJetton match {
+      case Some(a) =>
+        val Array(wc, hex) = a.split(":")
+        b.storeUint(BigInt(1), 2).storeUint(BigInt(wc.toInt), 8)
+          .storeUint(BigInt(hex, 16), 256)
+      case None => b.storeUint(BigInt(0), 2)
+    }
+    b.storeCoins(BigInt(inputAmount)).storeCoins(BigInt(outputAmount))
+    Boc.serializeBase64(b.build())
+  }
+
+  private def coffeePayoutInternalBody(recipient: String, amount: Long)
+      : String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee21L), 32)
+      .storeUint(BigInt(1), 64)
+      .storeAddress(Some(recipient))
+      .storeCoins(BigInt(amount))
+      .storeBit(false).storeBit(false)
+      .build())
+
+  test("coffee.yaml parity ('Swap USDT -> TON'): jetton in, native " +
+      "payout out, empty peer_swaps and both dex transfers") {
+    val user = "0:" + "E3" * 32
+    val userWallet = "0:" + "66" * 32
+    val vault = "0:" + "FF" * 32
+    val vaultWallet = "0:" + "F7" * 32
+    val pool = "0:" + "C4" * 32
+    val sink = "0:" + "06" * 32
+    val assetIn = "0:" + "B1" * 32
+    val xfer = transferBody(1, 5489694L, vault, user, 1)
+    val event = coffeeEventBody(Some(assetIn), 5489694L, 1712374663L)
+    val poBody = coffeePayoutInternalBody(user, 1712374663L)
+    val txs = Seq(tx("T1", userWallet, 10), tx("T2", vaultWallet, 20),
+      tx("T3", vault, 30), tx("T4", pool, 40), tx("T5", sink, 50),
+      tx("T6", pool, 60), tx("T7", user, 70))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", userWallet, vaultWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userWallet, vaultWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", vaultWallet, vault, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", vaultWallet, vault, Some(Opcodes.JettonNotify)),
+        out("m4", vault, pool, Some(Opcodes.CoffeeSwapInternal))),
+      "T4" -> Seq(
+        in("m4", vault, pool, Some(Opcodes.CoffeeSwapInternal)),
+        out("m5", pool, sink, Some(Opcodes.CoffeeSwapSuccess),
+          body = Some(event), createdLt = 41),
+        out("m6", pool, pool, Some(Opcodes.CoffeePayoutInternal),
+          body = Some(poBody), createdLt = 42)),
+      "T5" -> Seq(in("m5", pool, sink, Some(Opcodes.CoffeeSwapSuccess),
+        body = Some(event))),
+      "T6" -> Seq(
+        in("m6", pool, pool, Some(Opcodes.CoffeePayoutInternal),
+          body = Some(poBody)),
+        out("m7", pool, user, Some(Opcodes.CoffeePayoutOut))),
+      "T7" -> Seq(in("m7", pool, user, Some(Opcodes.CoffeePayoutOut))))
+    val a = Classifier.classify("gcf1", txs, msgs,
+      jettonWallets = Map(userWallet -> assetIn))
+      .find(_.`type` == "jetton_swap").get
+    assert(a.success)
+    val sd = a.jetton_swap_data.get
+    assert(sd.dex == "coffee")
+    assert(sd.sender.contains(user))
+    val inc = sd.dex_incoming_transfer.get
+    assert(inc.asset.contains(assetIn))
+    assert(inc.amount.contains(BigDecimal(5489694L)))
+    assert(inc.source.contains(user))
+    assert(inc.source_jetton_wallet.contains(userWallet))
+    assert(inc.destination.contains(vault))
+    assert(inc.destination_jetton_wallet.contains(vaultWallet))
+    val outT = sd.dex_outgoing_transfer.get
+    assert(outT.asset.isEmpty)
+    assert(outT.amount.contains(BigDecimal(1712374663L)))
+    assert(outT.source.contains(pool))
+    assert(outT.source_jetton_wallet.isEmpty)
+    assert(outT.destination.contains(user))
+    assert(outT.destination_jetton_wallet.isEmpty)
+    assert(sd.peer_swaps.isEmpty)
+  }
+
+  test("coffee.yaml parity ('Swap USDT -> TON (hop) -> CES'): two-hop " +
+      "chain with native intermediate, peer_swaps chained from the " +
+      "success events and the out jetton leg") {
+    val user = "0:" + "E3" * 32
+    val userWallet = "0:" + "66" * 32
+    val vault = "0:" + "FF" * 32
+    val vaultWallet = "0:" + "F7" * 32
+    val pool1 = "0:" + "AA" * 32
+    val pool2 = "0:" + "E9" * 32
+    val cesVault = "0:" + "BB" * 32
+    val cesVaultWallet = "0:" + "A2" * 32
+    val userCesWallet = "0:" + "8E" * 32
+    val sink1 = "0:" + "07" * 32
+    val sink2 = "0:" + "08" * 32
+    val assetIn = "0:" + "B1" * 32
+    val assetOut = "0:" + "A5" * 32
+    val xfer = transferBody(1, 10000000L, vault, user, 1)
+    val event1 = coffeeEventBody(Some(assetIn), 10000000L, 3110612273L)
+    val event2 = coffeeEventBody(None, 3110612273L, 13876673279L)
+    val poBody = coffeePayoutInternalBody(user, 13876673279L)
+    val outXfer = transferBody(1, 13876673279L, user, user, 1)
+    val txs = Seq(tx("T1", userWallet, 10), tx("T2", vaultWallet, 20),
+      tx("T3", vault, 30), tx("T4", pool1, 40), tx("T5", sink1, 50),
+      tx("T6", pool2, 60), tx("T7", sink2, 70), tx("T8", cesVault, 80),
+      tx("T9", cesVaultWallet, 90), tx("T10", userCesWallet, 100))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", userWallet, vaultWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userWallet, vaultWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", vaultWallet, vault, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", vaultWallet, vault, Some(Opcodes.JettonNotify)),
+        out("m4", vault, pool1, Some(Opcodes.CoffeeSwapInternal))),
+      "T4" -> Seq(
+        in("m4", vault, pool1, Some(Opcodes.CoffeeSwapInternal)),
+        out("m5", pool1, sink1, Some(Opcodes.CoffeeSwapSuccess),
+          body = Some(event1), createdLt = 41),
+        out("m6", pool1, pool2, Some(Opcodes.CoffeeSwapInternal),
+          createdLt = 42)),
+      "T5" -> Seq(in("m5", pool1, sink1, Some(Opcodes.CoffeeSwapSuccess),
+        body = Some(event1))),
+      "T6" -> Seq(
+        in("m6", pool1, pool2, Some(Opcodes.CoffeeSwapInternal)),
+        out("m7", pool2, sink2, Some(Opcodes.CoffeeSwapSuccess),
+          body = Some(event2), createdLt = 61),
+        out("m8", pool2, cesVault, Some(Opcodes.CoffeePayoutInternal),
+          body = Some(poBody), createdLt = 62)),
+      "T7" -> Seq(in("m7", pool2, sink2, Some(Opcodes.CoffeeSwapSuccess),
+        body = Some(event2))),
+      "T8" -> Seq(
+        in("m8", pool2, cesVault, Some(Opcodes.CoffeePayoutInternal),
+          body = Some(poBody)),
+        out("m9", cesVault, cesVaultWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer))),
+      "T9" -> Seq(
+        in("m9", cesVault, cesVaultWallet, Some(Opcodes.JettonTransfer),
+          body = Some(outXfer)),
+        out("m10", cesVaultWallet, userCesWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T10" -> Seq(in("m10", cesVaultWallet, userCesWallet,
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("gcf2", txs, msgs,
+      jettonWallets = Map(userWallet -> assetIn,
+        cesVaultWallet -> assetOut))
+      .find(_.`type` == "jetton_swap").get
+    val sd = a.jetton_swap_data.get
+    assert(sd.dex == "coffee")
+    assert(sd.sender.contains(user))
+    val inc = sd.dex_incoming_transfer.get
+    assert(inc.asset.contains(assetIn))
+    assert(inc.amount.contains(BigDecimal(10000000L)))
+    val outT = sd.dex_outgoing_transfer.get
+    assert(outT.asset.contains(assetOut))
+    assert(outT.amount.contains(BigDecimal(13876673279L)))
+    assert(outT.source.contains(cesVault))
+    assert(outT.source_jetton_wallet.contains(cesVaultWallet))
+    assert(outT.destination.contains(user))
+    assert(outT.destination_jetton_wallet.contains(userCesWallet))
+    val ps = sd.peer_swaps
+    assert(ps.size == 2, s"peer_swaps: $ps")
+    assert(ps(0).asset_in.map(_.toUpperCase)
+      .contains(assetIn.toUpperCase))
+    assert(ps(0).amount_in.contains(BigDecimal(10000000L)))
+    assert(ps(0).asset_out.isEmpty)
+    assert(ps(0).amount_out.contains(BigDecimal(3110612273L)))
+    assert(ps(1).asset_in.isEmpty)
+    assert(ps(1).amount_in.contains(BigDecimal(3110612273L)))
+    assert(ps(1).asset_out.contains(assetOut))
+    assert(ps(1).amount_out.contains(BigDecimal(13876673279L)))
+  }
 }
