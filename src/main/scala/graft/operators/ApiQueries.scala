@@ -4,6 +4,7 @@ import graft.Q
 import graft.classifier.ClassifyJob
 import graft.plans.{ChainSim, TraceAssembly}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-visible instantiations of the M3 query layer over the simulated
   * chain: the reference's API contracts (O2 sort-key selection, O3 clamps,
@@ -283,6 +284,117 @@ object ApiQueries {
       .select("workchain", "shard", "seqno", "mc_seqno", "gen_utime")
   }
 
+  /** /masterchainBlockShardState (main.go:2310 GetShardsDiff): every
+    * block committed under one masterchain block — mc_block_seqno point
+    * filter + the generic blocks pagination. */
+  val a14 = Q("a14_masterchain_block_shard_state",
+    """SELECT cast(user_id % 3 AS int) AS workchain,
+      |  cast(user_id AS bigint) AS shard,
+      |  event_id AS seqno, event_id AS gen_utime,
+      |  cast(user_id % 50 AS bigint) AS mc_block_seqno
+      |FROM events WHERE user_id % 50 = 7
+      |ORDER BY gen_utime DESC, workchain, shard, seqno
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val blocks = T.events(s, dir).select(
+      pmod(col("user_id"), lit(3)).cast("int").as("workchain"),
+      col("user_id").cast("long").as("shard"),
+      col("event_id").cast("long").as("seqno"),
+      col("event_id").cast("long").as("gen_utime"),
+      pmod(col("user_id"), lit(50)).cast("long").as("mc_block_seqno"))
+    QueryLayer.masterchainBlockShardState(blocks, 7L, limit = 100)
+  }
+
+  /** The jetton/NFT token-event fixture table from events: one event-row
+    * per transfer with the columns the crud_jettons.go/crud_nft.go
+    * queries read. */
+  private def tokenEventFixture(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir).select(
+      concat(lit("T"), col("event_id").cast("string")).as("tx_hash"),
+      col("event_id").cast("long").as("tx_lt"),
+      col("event_id").cast("long").as("tx_now"),
+      (pmod(col("user_id"), lit(7)) === 0).as("tx_aborted"),
+      concat(lit("0:"), col("user_id").cast("string")).as("source"),
+      concat(lit("0:"), (col("user_id") + 1).cast("string"))
+        .as("destination"),
+      concat(lit("w"), pmod(col("user_id"), lit(11)).cast("string"))
+        .as("jetton_wallet_address"),
+      concat(lit("j"), pmod(col("user_id"), lit(5)).cast("string"))
+        .as("jetton_master_address"),
+      floor(col("value")).cast("long").as("amount"))
+
+  /** /jetton/transfers (crud_jettons.go:117-199): owner either-side
+    * filter + master equality + lt window, tx_lt DESC pagination;
+    * aborted transfers excluded. */
+  val a15 = Q("a15_jetton_transfers",
+    """SELECT concat('T', event_id) AS tx_hash,
+      |  event_id AS tx_lt, event_id AS tx_now,
+      |  (user_id % 7 = 0) AS tx_aborted,
+      |  concat('0:', user_id) AS source,
+      |  concat('0:', user_id + 1) AS destination,
+      |  concat('w', user_id % 11) AS jetton_wallet_address,
+      |  concat('j', user_id % 5) AS jetton_master_address,
+      |  cast(floor(value) AS bigint) AS amount
+      |FROM events
+      |WHERE NOT (user_id % 7 = 0)
+      |  AND (concat('0:', user_id + 1) IN ('0:3', '0:8')
+      |       OR concat('0:', user_id) IN ('0:3', '0:8'))
+      |  AND concat('j', user_id % 5) = 'j3' AND event_id >= 50
+      |ORDER BY tx_lt DESC, tx_hash DESC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    QueryLayer.jettonTransfers(tokenEventFixture(s, dir),
+      QueryLayer.TokenEventRequest(owner = Seq("0:3", "0:8"),
+        master = Some("j3"), ltMin = Some(50L), limit = 100))
+  }
+
+  /** /jetton/burns (crud_jettons.go:202-260): owner-only side, wallet
+    * IN-filter, utime window switches the sort key to tx_now ASC. */
+  val a16 = Q("a16_jetton_burns",
+    """SELECT concat('T', event_id) AS tx_hash,
+      |  event_id AS tx_lt, event_id AS tx_now,
+      |  (user_id % 7 = 0) AS tx_aborted,
+      |  concat('0:', user_id) AS owner,
+      |  concat('w', user_id % 11) AS jetton_wallet_address,
+      |  concat('j', user_id % 5) AS jetton_master_address,
+      |  cast(floor(value) AS bigint) AS amount
+      |FROM events
+      |WHERE concat('w', user_id % 11) IN ('w2', 'w5') AND event_id >= 10
+      |ORDER BY tx_now ASC, tx_hash ASC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val burns = tokenEventFixture(s, dir)
+      .withColumnRenamed("source", "owner").drop("destination")
+    QueryLayer.jettonBurns(burns,
+      QueryLayer.TokenEventRequest(wallet = Seq("w2", "w5"),
+        utimeMin = Some(10L), descending = false, limit = 100))
+  }
+
+  /** /nft/transfers (crud_nft.go:134-215): direction 'in' over
+    * new_owner, collection equality, lt window, tx_lt DESC; failed
+    * transfers are KEPT (no aborted filter). */
+  val a17 = Q("a17_nft_transfers",
+    """SELECT concat('T', event_id) AS tx_hash,
+      |  event_id AS tx_lt, event_id AS tx_now,
+      |  (user_id % 7 = 0) AS tx_aborted,
+      |  concat('0:', user_id) AS old_owner,
+      |  concat('0:', user_id + 1) AS new_owner,
+      |  concat('w', user_id % 11) AS nft_item_address,
+      |  concat('j', user_id % 5) AS nft_collection_address,
+      |  cast(floor(value) AS bigint) AS amount
+      |FROM events
+      |WHERE concat('0:', user_id + 1) IN ('0:4', '0:9')
+      |  AND concat('j', user_id % 5) = 'j3' AND event_id <= 5000
+      |ORDER BY tx_lt DESC, tx_hash DESC
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val nft = tokenEventFixture(s, dir)
+      .withColumnRenamed("source", "old_owner")
+      .withColumnRenamed("destination", "new_owner")
+      .withColumnRenamed("jetton_wallet_address", "nft_item_address")
+      .withColumnRenamed("jetton_master_address", "nft_collection_address")
+    QueryLayer.nftTransfers(nft,
+      QueryLayer.TokenEventRequest(owner = Seq("0:4", "0:9"),
+        direction = Some("in"), master = Some("j3"),
+        ltMax = Some(5000L), limit = 100))
+  }
+
   val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13)
+    a11, a12, a13, a14, a15, a16, a17)
 }

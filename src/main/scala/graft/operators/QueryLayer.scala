@@ -262,6 +262,22 @@ object QueryLayer {
       .orderBy(col("mc_seqno"), col("workchain"), col("shard"), col("seqno"))
   }
 
+  /** GET /api/v3/masterchainBlockShardState (main.go:2310 → GetShardsDiff
+    * → QueryBlocks with mc_seqno pinned, crud_blocks.go:45-47,159-181):
+    * every block committed under one masterchain block — a plain
+    * mc_block_seqno point filter over the blocks table with the generic
+    * blocks pagination (gen_utime sort + limit). The filter is
+    * partition-prunable on an mc_seqno-bucketed blocks layout, so the
+    * scan touches one bucket at any scale. Deterministic tie-breakers
+    * added beyond the reference's documented gen_utime sort. */
+  def masterchainBlockShardState(blocksDf: DataFrame, mcSeqno: Long,
+      limit: Int = DefaultLimit): DataFrame = {
+    blocksDf.filter(col("mc_block_seqno") === mcSeqno)
+      .orderBy(col("gen_utime").desc, col("workchain"), col("shard"),
+        col("seqno"))
+      .limit(clampLimit(limit))
+  }
+
   /** GET /api/v3/jetton/masters (crud_jettons.go:15-52): IN-filters on
     * master and admin address; catalog order (address stands in for the
     * reference's insertion id). */
