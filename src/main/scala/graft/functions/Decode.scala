@@ -165,6 +165,157 @@ object Decode {
     case 0x5cfc6b87L =>
       Some(Decoded(op, "cocoon_client_top_up",
         f("query_id" -> Some(opQueryId(b)))))
+
+    // ----------------------------------------------------- evaa lending
+    case 0x00000001L =>
+      val d = evaaSupplyMaster(b)
+      Some(Decoded(op, "evaa_supply_master", f(
+        "query_id" -> Some(d.queryId),
+        "supply_amount" -> Some(d.supplyAmount),
+        "recipient_address" -> d.recipient)))
+    case 0x00000002L =>
+      val d = evaaWithdrawMaster(b)
+      Some(Decoded(op, "evaa_withdraw_master", f(
+        "query_id" -> Some(d.queryId), "asset_id" -> Some(d.assetIdHex),
+        "amount" -> Some(d.amount), "recipient_address" -> d.recipient)))
+    case 0x0000011aL =>
+      val d = evaaSupplySuccess(b)
+      Some(Decoded(op, "evaa_supply_success", f(
+        "query_id" -> Some(d.queryId), "owner_address" -> d.owner,
+        "asset_id" -> Some(d.assetIdHex),
+        "amount_supplied" -> Some(d.amountSupplied))))
+    case 0x00000211L =>
+      Some(Decoded(op, "evaa_withdraw_collateralized", f(
+        "withdraw_amount_current" -> Some(evaaWithdrawCollateralized(b)))))
+    case 0x00000311L =>
+      val d = evaaLiquidateSatisfied(b)
+      Some(Decoded(op, "evaa_liquidate_satisfied", f(
+        "transferred_asset_id" -> Some(d.transferredAssetIdHex),
+        "collateral_asset_id" -> Some(d.collateralAssetIdHex),
+        "liquidatable_amount" -> Some(d.liquidatableAmount))))
+
+    // ------------------------------------------------------------ tonco
+    case 0x2e3034efL =>
+      val d = toncoCreatePool(b)
+      Some(Decoded(op, "tonco_create_pool", f(
+        "jetton_wallet0" -> d.jettonWallet0,
+        "jetton_wallet1" -> d.jettonWallet1,
+        "tick_spacing" -> Some(d.tickSpacing),
+        "initial_price_x96" -> Some(d.initialPriceX96),
+        "protocol_fee" -> Some(d.protocolFee),
+        "lp_fee_base" -> Some(d.lpFeeBase),
+        "jetton0_minter" -> d.jetton0Minter,
+        "jetton1_minter" -> d.jetton1Minter)))
+    case 0x441c39edL =>
+      val d = toncoPoolInit(b)
+      Some(Decoded(op, "tonco_pool_init", f(
+        "query_id" -> Some(d.queryId),
+        "tick_spacing" -> Some(d.tickSpacing),
+        "initial_price_x96" -> Some(d.initialPriceX96),
+        "pool_active" -> Some(d.poolActive))))
+    case 0xa1daa96dL =>
+      val d = toncoPayTo(b)
+      Some(Decoded(op, "tonco_pay_to", f(
+        "exit_code" -> Some(d.exitCode),
+        "amount0" -> Some(d.amount0), "jetton0_address" -> d.jetton0,
+        "amount1" -> Some(d.amount1), "jetton1_address" -> d.jetton1)))
+
+    // ------------------------------------------------------------ tgbtc
+    case 0x77a80ef3L =>
+      val d = tgbtcMintEvent(b)
+      Some(Decoded(op, "tgbtc_mint_event", f(
+        "amount" -> Some(d.amount), "recipient" -> d.recipient,
+        "bitcoin_txid" -> Some(d.bitcoinTxidHex))))
+    case 0xca444ce6L =>
+      val d = tgbtcBurnEvent(b)
+      Some(Decoded(op, "tgbtc_burn_event", f(
+        "amount" -> Some(d.amount), "sender" -> d.sender,
+        "pegout_address" -> d.pegout)))
+    case 0x27756729L =>
+      val d = tgbtcNewKeyEvent(b)
+      Some(Decoded(op, "tgbtc_new_key_event", f(
+        "amount" -> Some(d.amount), "pubkey" -> Some(d.pubkeyHex),
+        "pegout_address" -> d.pegout)))
+    case 0x453443a6L =>
+      val d = tgbtcDkgEvent(b)
+      Some(Decoded(op, "tgbtc_dkg_completed_event", f(
+        "timestamp" -> Some(d.timestamp),
+        "internal_pubkey" -> Some(d.pubkeyHex))))
+
+    // ----------------------------------------------------------- coffee
+    case 0xc0ffee00L =>
+      Some(Decoded(op, "coffee_swap_native", f(
+        "amount" -> Some(coffeeSwapNativeAmount(b)))))
+    case 0xc0ffee21L =>
+      val d = coffeePayoutInternal(b)
+      Some(Decoded(op, "coffee_payout_internal", f(
+        "recipient" -> d.recipient, "amount" -> Some(d.amount))))
+    case 0xc0ffee30L =>
+      val d = coffeeSwapEvent(b)
+      Some(Decoded(op, "coffee_swap_successful_event", f(
+        "input_asset" -> d.inputAsset,
+        "input_amount" -> Some(d.inputAmount),
+        "output_amount" -> Some(d.outputAmount))))
+
+    // ----------------------------------------------------------- jvault
+    case 0x499a9262L =>
+      Some(Decoded(op, "jvault_unstake_jettons", f(
+        "query_id" -> Some(opQueryId(b)),
+        "jettons_to_unstake" -> Some(opQidCoins(b)))))
+    case 0x0168d4b7L =>
+      Some(Decoded(op, "jvault_unstake_request", f(
+        "query_id" -> Some(opQueryId(b)),
+        "jettons_to_unstake" -> Some(opQidCoins(b)))))
+    case 0x78d9f109L =>
+      Some(Decoded(op, "jvault_claim_rewards", f(
+        "query_id" -> Some(opQueryId(b)),
+        "jettons_to_claim" -> Some(jvaultClaimWallets(b).mkString(","))
+          .filter(_.nonEmpty))))
+
+    // ----------------------------------------------------------- cocoon
+    case 0xbb63ff93L | 0xefd711e1L =>
+      val d = cocoonCharge(b)
+      val name =
+        if (op == 0xbb63ff93L) "cocoon_charge" else "cocoon_grant_refund"
+      Some(Decoded(op, name, f(
+        "query_id" -> Some(d.queryId),
+        "new_tokens_used" -> Some(d.newTokensUsed),
+        "expected_address" -> d.expectedAddress)))
+    case 0xa040ad28L | 0xf5f26a36L =>
+      val d = cocoonPayoutPayload(b)
+      val name = if (op == 0xa040ad28L) "cocoon_payout_payload"
+        else "cocoon_last_payout_payload"
+      Some(Decoded(op, name, f(
+        "query_id" -> Some(d.queryId), "new_tokens" -> Some(d.newTokens),
+        "expected_address" -> d.expectedAddress)))
+    case 0x4d725d2cL =>
+      val d = cocoonWorkerRequest(b)
+      Some(Decoded(op, "cocoon_worker_proxy_request", f(
+        "query_id" -> Some(d.queryId), "owner_address" -> d.owner,
+        "state" -> Some(d.state), "tokens" -> Some(d.tokens))))
+    case 0xf172e6c2L =>
+      val d = cocoonExtClientTopUp(b)
+      Some(Decoded(op, "cocoon_ext_client_top_up", f(
+        "query_id" -> Some(d.queryId), "top_up_amount" -> Some(d.amount),
+        "send_excesses_to" -> d.sender)))
+    case 0xc45f9f3bL =>
+      val d = cocoonOwnerClientRegister(b)
+      Some(Decoded(op, "cocoon_owner_client_register", f(
+        "query_id" -> Some(d.queryId), "nonce" -> Some(d.nonce),
+        "send_excesses_to" -> d.owner)))
+    case 0x6d49eaf2L =>
+      val d = cocoonUnregisterProxy(b)
+      Some(Decoded(op, "cocoon_unregister_proxy", f(
+        "query_id" -> Some(d.queryId), "seqno" -> Some(d.seqno))))
+    case 0xa9357034L =>
+      val d = cocoonChangeSecretHash(b)
+      Some(Decoded(op, "cocoon_client_change_secret_hash", f(
+        "query_id" -> Some(d.queryId),
+        "new_secret_hash" -> Some(d.newSecretHashHex))))
+    case 0x6a1f6a60L =>
+      val d = cocoonIncreaseStake(b)
+      Some(Decoded(op, "cocoon_client_increase_stake", f(
+        "query_id" -> Some(d.queryId), "new_stake" -> Some(d.newStake))))
     case _ => None
   }
 }

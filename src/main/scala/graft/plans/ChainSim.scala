@@ -1379,6 +1379,89 @@ object ChainSim {
       .orderBy("lt")
   }
 
+  /** Decode-dispatch breadth (the round-7 extension): five of the
+    * NEWLY-wired families — EVAA supply_master, TONCO pay_to, tgBTC
+    * mint event, cocoon ext top-up, coffee swap event — round-trip
+    * through Decode.decode with every asserted field restated by the
+    * oracle from the body-construction formula. */
+  val b21 = Q("b21_decode_long_tail",
+    """SELECT event_id AS lt,
+      |  CASE cast(user_id % 5 AS int)
+      |    WHEN 0 THEN 'evaa_supply_master' WHEN 1 THEN 'tonco_pay_to'
+      |    WHEN 2 THEN 'tgbtc_mint_event'
+      |    WHEN 3 THEN 'cocoon_ext_client_top_up'
+      |    ELSE 'coffee_swap_successful_event' END AS op_name,
+      |  CASE WHEN user_id % 5 IN (0, 3)
+      |    THEN cast(event_id AS varchar) END AS query_id,
+      |  CASE cast(user_id % 5 AS int)
+      |    WHEN 0 THEN cast(event_id * 3 AS varchar)
+      |    WHEN 1 THEN cast(event_id AS varchar)
+      |    WHEN 2 THEN cast(event_id AS varchar)
+      |    WHEN 3 THEN cast(event_id * 2 AS varchar)
+      |    ELSE cast(event_id * 5 AS varchar) END AS amount,
+      |  concat('0:', repeat(substr('0123456789ABCDEF',
+      |                cast(user_id % 16 AS int) + 1, 1), 64)) AS addr
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY lt""".stripMargin) { (s, dir) =>
+    val bodyUdf = udf { (uid: Long, eid: Long) =>
+      import graft.functions.Boc
+      val ch = "0123456789ABCDEF"((uid % 16).toInt)
+      val addr = s"0:${ch.toString * 64}"
+      val b = new Boc.Builder()
+      (uid % 5).toInt match {
+        case 0 => b.storeUint(BigInt(1), 32).storeUint(BigInt(eid), 64)
+          .storeInt(BigInt(-1), 2).storeUint(BigInt(eid * 3), 64)
+          .storeAddress(Some(addr))
+        case 1 => b.storeUint(BigInt(0xa1daa96dL), 32)
+          .storeUint(BigInt(eid), 64)
+          .storeAddress(Some(addr)).storeAddress(None)
+          .storeUint(BigInt(200), 32).storeUint(BigInt(7), 64)
+          .storeBit(true)
+          .storeRef(new Boc.Builder()
+            .storeCoins(BigInt(eid)).storeAddress(Some(addr))
+            .storeCoins(BigInt(0)).storeAddress(None).build())
+        case 2 => b.storeUint(BigInt(0x77a80ef3L), 32)
+          .storeCoins(BigInt(eid)).storeAddress(Some(addr))
+          .storeUint(BigInt(eid), 256)
+        case 3 => b.storeUint(BigInt(0xf172e6c2L), 32)
+          .storeUint(BigInt(eid), 64).storeCoins(BigInt(eid * 2))
+          .storeAddress(Some(addr))
+        case _ =>
+          val Array(wc, hex) = addr.split(":")
+          b.storeUint(BigInt(0xc0ffee30L), 32).storeUint(BigInt(eid), 64)
+            .storeUint(BigInt(1), 2).storeUint(BigInt(wc.toInt), 8)
+            .storeUint(BigInt(hex, 16), 256)
+            .storeCoins(BigInt(eid)).storeCoins(BigInt(eid * 5))
+      }
+      Boc.serializeBase64(b.build())
+    }
+    val decUdf = udf { (b64: String) =>
+      graft.functions.Decode.decode(b64).map(d => (d.name, d.fields))
+    }
+    T.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").cast("long").as("lt"),
+        pmod(col("user_id"), lit(5)).cast("int").as("cls"),
+        decUdf(bodyUdf(col("user_id").cast("long"),
+          col("event_id").cast("long"))).as("d"))
+      .select(col("lt"),
+        col("d._1").as("op_name"),
+        element_at(col("d._2"), "query_id").as("query_id"),
+        coalesce(
+          element_at(col("d._2"), "supply_amount"),
+          element_at(col("d._2"), "amount0"),
+          element_at(col("d._2"), "top_up_amount"),
+          element_at(col("d._2"), "output_amount"),
+          element_at(col("d._2"), "amount")).as("amount"),
+        coalesce(
+          element_at(col("d._2"), "recipient_address"),
+          element_at(col("d._2"), "jetton0_address"),
+          element_at(col("d._2"), "recipient"),
+          element_at(col("d._2"), "send_excesses_to"),
+          element_at(col("d._2"), "input_asset")).as("addr"))
+      .orderBy("lt")
+  }
+
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16, b17, b18, b19, b20)
+    b16, b17, b18, b19, b20, b21)
 }
