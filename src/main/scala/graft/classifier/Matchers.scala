@@ -1985,8 +1985,12 @@ object ProtocolMatchers {
     }
 
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      // the 0x1 opcode collides with ordinary low-integer calls — a real
+      // supply_master always carries a body, so the null-body case exits
+      // before any child scan (the sweep-cost guard for common traces)
       case c: CallContractBlock
-          if Opcodes.matches(c.opcode, Opcodes.EvaaSupplyMaster) =>
+          if Opcodes.matches(c.opcode, Opcodes.EvaaSupplyMaster) &&
+            c.node.inMsg.exists(_.body.nonEmpty) =>
         Evaa.callChild(c, Opcodes.EvaaSupplyUser).flatMap { u =>
           val masterBody = Evaa.body(c)
             .flatMap(safeDecode(TlbDecoders.evaaSupplyMaster))
@@ -2000,13 +2004,15 @@ object ProtocolMatchers {
             isTon = true)
         }
       case jt: JettonTransferBlock =>
-        val fwdRecipient = jt.decoded.flatMap(_.forwardPayload)
-          .flatMap(safeDecode(TlbDecoders.evaaSupplyJettonForward))
-        fwdRecipient.flatMap { recipient =>
-          jt.children.collectFirst {
-            case u: CallContractBlock
-              if Evaa.opIs(u, Opcodes.EvaaSupplyUser) => u
-          }.flatMap { u =>
+        // user-call child first (cheap opcode check) — the forward
+        // payload Boc parse only runs on candidate supply transfers
+        jt.children.collectFirst {
+          case u: CallContractBlock
+            if Evaa.opIs(u, Opcodes.EvaaSupplyUser) => u
+        }.flatMap { u =>
+          jt.decoded.flatMap(_.forwardPayload)
+            .flatMap(safeDecode(TlbDecoders.evaaSupplyJettonForward))
+            .flatMap { recipient =>
             build(jt, u,
               sender = jt.sender,
               senderWallet = Some(jt.senderWallet),
@@ -2033,8 +2039,10 @@ object ProtocolMatchers {
       Some(Set(Opcodes.EvaaWithdrawMaster))
 
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      // same sweep guard as supply: a real withdraw_master has a body
       case c: CallContractBlock
-          if Opcodes.matches(c.opcode, Opcodes.EvaaWithdrawMaster) =>
+          if Opcodes.matches(c.opcode, Opcodes.EvaaWithdrawMaster) &&
+            c.node.inMsg.exists(_.body.nonEmpty) =>
         Evaa.callChild(c, Opcodes.EvaaWithdrawUser).flatMap { u =>
           val masterBody = Evaa.body(c)
             .flatMap(safeDecode(TlbDecoders.evaaWithdrawMaster))

@@ -643,10 +643,15 @@ class ClassifierSpec extends SparkSpec {
   test("evaa tiny opcodes match ONLY with the required user-contract " +
       "round trip (reference requires an outcome leg, blocks/evaa.py)") {
     // supply: master -> user -> supply_success
+    // real EVAA master calls always carry a body (the matchers use a
+    // null-body guard to skip ordinary low-opcode calls)
+    def opBody(op: Long) = Some(graft.functions.Boc.serializeBase64(
+      new graft.functions.Boc.Builder()
+        .storeUint(BigInt(op), 32).storeUint(BigInt(1), 64).build()))
     def chain3(op1: Long, op2: Long, op3: Long) = (
       Seq(tx("T1", "0:A", 10), tx("T2", "0:B", 20), tx("T3", "0:A", 30)),
       Map(
-        "T1" -> Seq(in("m1", "0:U", "0:A", Some(op1)),
+        "T1" -> Seq(in("m1", "0:U", "0:A", Some(op1)).copy(body = opBody(op1)),
           out("m2", "0:A", "0:B", Some(op2))),
         "T2" -> Seq(in("m2", "0:A", "0:B", Some(op2)),
           out("m3", "0:B", "0:A", Some(op3))),

@@ -343,7 +343,9 @@ class DetailStructsSpec extends SparkSpec {
       tx("TM2", "0:MASTER", 30))
     val sMsgs = Map(
       "TM" -> Seq(
-        in("m1", owner, "0:MASTER", Some(Opcodes.EvaaSupplyMaster)),
+        in("m1", owner, "0:MASTER", Some(Opcodes.EvaaSupplyMaster),
+          body = Some(Boc.serializeBase64(new Boc.Builder()
+            .storeUint(BigInt(1), 32).storeUint(BigInt(1), 64).build()))),
         out("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaSupplyUser))),
       "TU" -> Seq(
         in("m2", "0:MASTER", "0:UC", Some(Opcodes.EvaaSupplyUser)),
