@@ -3198,6 +3198,74 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+  /** TONCO liquidity withdrawal (ToncoWithdrawLiquidityMatcher,
+    * liquidity.py:1218-1460): START_BURN → position-NFT burn → pool burn
+    * → router pay_to with up to two payout transfers. Per-side fills
+    * follow the reference: the actual transfer wins; sides without one
+    * fall back to the pay_to body amounts with the router as dex_wallet
+    * (the TON leg's shape). */
+  object ToncoWithdrawLiquidityFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.ToncoPoolV3StartBurn, Opcodes.ToncoPositionNftBurn,
+        Opcodes.ToncoPoolV3Burn))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.ToncoPoolV3StartBurn) =>
+        for {
+          posBurn <- findCall(c, Opcodes.ToncoPositionNftBurn)
+          poolBurn <- findCall(posBurn, Opcodes.ToncoPoolV3Burn)
+          payTo <- findCall(poolBurn, Opcodes.ToncoRouterV3PayTo)
+        } yield {
+          val sb = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.toncoStartBurn))
+          val owner = posBurn.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.toncoPositionBurnOwner))
+            .flatten
+          val payBody = payTo.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.toncoPayTo))
+          val router = payTo.node.inMsg.flatMap(_.destination)
+          val jts = payTo.children.collect { case j: JettonTransferBlock => j }
+          // (amount, wallet) per pay_to side, actual transfer preferred
+          def side(amount: Option[BigInt])
+              : (Option[BigDecimal], Option[String], Option[String],
+                 Option[String], Option[String]) = {
+            val amt = amount.map(BigDecimal(_))
+            jts.find(j => amt.contains(j.amount)) match {
+              case Some(j) =>
+                (Some(j.amount), j.asset.filter(_ != "TON"),
+                  j.receiverWallet, Some(j.senderWallet), j.sender)
+              case None => (amt.filter(_ != 0), None, None, None, router)
+            }
+          }
+          val s1 = side(payBody.map(_.amount0))
+          val s2 = side(payBody.map(_.amount1))
+          val consumed = Matching.identityDistinct(
+            Seq[Block](c, posBurn, poolBurn, payTo) ++ jts)
+          (ProtocolOpBlock("tonco_withdraw_liquidity",
+            source = owner, destination = c.node.inMsg.flatMap(_.destination),
+            asset = None, value = None,
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            dex = Some("tonco"),
+            withdrawLiquidity = Some(DexWithdrawLiquidityData(
+              dex = Some("tonco"),
+              amount1 = s1._1.orElse(Some(BigDecimal(0))),
+              amount2 = s2._1.orElse(Some(BigDecimal(0))),
+              asset1_out = s1._2, asset2_out = s2._2,
+              user_jetton_wallet_1 = s1._3, user_jetton_wallet_2 = s2._3,
+              dex_jetton_wallet_1 = s1._4, dex_jetton_wallet_2 = s2._4,
+              lp_tokens_burnt = sb.map(x => BigDecimal(x.liquidityToBurn)),
+              dex_wallet_1 = s1._5, dex_wallet_2 = s2._5,
+              burned_nft_index = sb.map(_.burnedIndex.toString),
+              burned_nft_address =
+                posBurn.node.inMsg.flatMap(_.destination),
+              tick_lower = sb.map(_.tickLower.toString),
+              tick_upper = sb.map(_.tickUpper.toString)))), consumed)
+        }
+      case _ => None
+    }
+  }
   val ToncoWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.ToncoPoolV3StartBurn, None,
     Set(Opcodes.ToncoPositionNftBurn, Opcodes.ToncoPoolV3Burn,
@@ -4013,7 +4081,8 @@ object ProtocolMatchers {
       JvaultStakeFullMatcher, JvaultStakeMatcher,
       JvaultUnstakeMatcher, JvaultUnstakeRequestMatcher, JvaultClaimMatcher,
       ToncoFullSwapMatcher, ToncoSwapMatcher,
-      ToncoDeployPoolMatcher, ToncoWithdrawLiquidityMatcher,
+      ToncoDeployPoolMatcher,
+      ToncoWithdrawLiquidityFullMatcher, ToncoWithdrawLiquidityMatcher,
       ToncoDepositLiquidityMatcher,
       EvaaSupplyMatcher, EvaaWithdrawMatcher, EvaaLiquidateMatcher,
       CoffeeFullSwapMatcher, CoffeeSwapMatcher,

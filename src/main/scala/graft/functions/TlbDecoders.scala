@@ -651,6 +651,31 @@ object TlbDecoders {
     } else ToncoPayToBody(exit, BigInt(0), None, BigInt(0), None)
   }
 
+  final case class ToncoStartBurnBody(
+      burnedIndex: BigInt, liquidityToBurn: BigInt,
+      tickLower: Int, tickUpper: Int)
+
+  /** POOLV3_START_BURN#530b5f2c query_id:u64 burned_index:u64
+    * liquidity_to_burn:u128 tick_lower:int24 tick_upper:int24
+    * (messages/liquidity.py:165-184). */
+  def toncoStartBurn(bodyB64: String): ToncoStartBurnBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x530b5f2cL)
+    s.loadUint(64)
+    ToncoStartBurnBody(s.loadUint(64), s.loadUint(128),
+      s.loadInt(24).toInt, s.loadInt(24).toInt)
+  }
+
+  /** POSITIONNFTV3_POSITION_BURN#46ca335a query_id:u64 nft_owner:addr
+    * liquidity_to_burn:u128 ... (messages/liquidity.py:432-457).
+    * Returns the owner. */
+  def toncoPositionBurnOwner(bodyB64: String): Option[String] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x46ca335aL)
+    s.loadUint(64)
+    s.loadAddress()
+  }
+
   def toncoPoolInit(bodyB64: String): ToncoPoolInitBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x441c39edL)

@@ -1676,4 +1676,85 @@ class GoldenParity2Spec extends SparkSpec {
     assert(ps(1).asset_out.contains(assetOut))
     assert(ps(1).amount_out.contains(BigDecimal(13876673279L)))
   }
+
+  test("tonco.yaml parity ('Tonco withdraw liquidity'): burn chain " +
+      "with per-side payout fills, nft/tick detail and the TON-side " +
+      "router fallback") {
+    val owner = "0:" + "3F" * 32
+    val pool = "0:" + "F6" * 32
+    val router = "0:" + "BF" * 32
+    val nft = "0:" + "25" * 32
+    val routerJW = "0:" + "AC" * 32
+    val userJW = "0:" + "1D" * 32
+    val master = "0:" + "B1" * 32
+    val startBurn = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x530b5f2cL), 32).storeUint(BigInt(1), 64)
+      .storeUint(BigInt(1204), 64)
+      .storeUint(BigInt(557736918L), 128)
+      .storeInt(BigInt(-51720), 24).storeInt(BigInt(-49380), 24).build())
+    val posBurn = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x46ca335aL), 32).storeUint(BigInt(1), 64)
+      .storeAddress(Some(owner))
+      .storeUint(BigInt(557736918L), 128)
+      .storeInt(BigInt(-51720), 24).storeInt(BigInt(-49380), 24).build())
+    val payTo = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xa1daa96dL), 32).storeUint(BigInt(1), 64)
+      .storeAddress(Some(owner)).storeAddress(Some(owner))
+      .storeUint(BigInt(201), 32).storeUint(BigInt(7), 64)
+      .storeBit(true)
+      .storeRef(new Boc.Builder()
+        .storeCoins(BigInt(324026863L)).storeAddress(None)
+        .storeCoins(BigInt(2999999L)).storeAddress(Some(routerJW)).build())
+      .build())
+    val payout = transferBody(1, 2999999L, owner, owner, 1)
+    val txs = Seq(tx("T1", pool, 10), tx("T2", nft, 20), tx("T3", pool, 30),
+      tx("T4", router, 40), tx("T5", routerJW, 50), tx("T6", userJW, 60))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", router, pool, Some(Opcodes.ToncoPoolV3StartBurn),
+          body = Some(startBurn)),
+        out("m2", pool, nft, Some(Opcodes.ToncoPositionNftBurn),
+          body = Some(posBurn))),
+      "T2" -> Seq(
+        in("m2", pool, nft, Some(Opcodes.ToncoPositionNftBurn),
+          body = Some(posBurn)),
+        out("m3", nft, pool, Some(Opcodes.ToncoPoolV3Burn))),
+      "T3" -> Seq(
+        in("m3", nft, pool, Some(Opcodes.ToncoPoolV3Burn)),
+        out("m4", pool, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo))),
+      "T4" -> Seq(
+        in("m4", pool, router, Some(Opcodes.ToncoRouterV3PayTo),
+          body = Some(payTo)),
+        out("m5", router, routerJW, Some(Opcodes.JettonTransfer),
+          body = Some(payout))),
+      "T5" -> Seq(
+        in("m5", router, routerJW, Some(Opcodes.JettonTransfer),
+          body = Some(payout)),
+        out("m6", routerJW, userJW, Some(Opcodes.JettonInternalTransfer))),
+      "T6" -> Seq(in("m6", routerJW, userJW,
+        Some(Opcodes.JettonInternalTransfer))))
+    val a = Classifier.classify("gtcw1", txs, msgs,
+      jettonWallets = Map(routerJW -> master))
+      .find(_.`type` == "dex_withdraw_liquidity").get
+    assert(a.source.contains(owner))
+    assert(a.destination.contains(pool))
+    val d = a.dex_withdraw_liquidity_data.get
+    assert(d.dex.contains("tonco"))
+    assert(d.lp_tokens_burnt.contains(BigDecimal(557736918L)))
+    assert(d.amount1.contains(BigDecimal(324026863L)))
+    assert(d.amount2.contains(BigDecimal(2999999L)))
+    assert(d.asset1_out.isEmpty)
+    assert(d.asset2_out.contains(master))
+    assert(d.user_jetton_wallet_1.isEmpty)
+    assert(d.user_jetton_wallet_2.contains(userJW))
+    assert(d.dex_jetton_wallet_1.isEmpty)
+    assert(d.dex_jetton_wallet_2.contains(routerJW))
+    assert(d.dex_wallet_1.contains(router))
+    assert(d.dex_wallet_2.contains(router))
+    assert(d.burned_nft_index.contains("1204"))
+    assert(d.burned_nft_address.contains(nft))
+    assert(d.tick_lower.contains("-51720"))
+    assert(d.tick_upper.contains("-49380"))
+  }
 }
