@@ -2384,6 +2384,111 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+  /** Coffee deposit liquidity (CoffeeDepositLiquidityMatcher,
+    * liquidity.py:1640-1814): each funding leg (jetton transfer or
+    * native c0ffee04 call) carries its own depository request whose
+    * deploy chain may complete with the deposit-internal + LP mint +
+    * success event + vault-excess payout — so a two-sided deposit
+    * produces TWO actions, the completing one carrying
+    * lp_tokens_minted, the pool destination and the excesses. */
+  object CoffeeDepositLiquidityFullMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeDepositRequest, Opcodes.CoffeeDeploy))
+
+    private def build(anchor: Block, req: CallContractBlock,
+        inAsset: Option[String], inWallet: Option[String],
+        sender0: Option[String]): Option[(Block, Seq[Block])] = {
+      val body = req.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.coffeeDepositRequest))
+      findCall(req, Opcodes.CoffeeDeploy).map { deploy =>
+        val sender = body.flatMap(_.sender).orElse(sender0)
+        val amount = body.map(b => BigDecimal(b.amount))
+        // slot the funding asset into the pool-params side it matches
+        // (liquidity.py:1733-1749)
+        val first = body.flatMap(_.poolFirst)
+        val second = body.flatMap(_.poolSecond)
+        val matchesFirst = inAsset == first
+        val internal = findCall(deploy, Opcodes.CoffeeDepositInternal)
+        val successEv = internal.flatMap(i =>
+          i.children.collectFirst {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.CoffeeDepositLiquiditySuccess) => e
+          })
+        val successBody = successEv.flatMap(_.node.inMsg.flatMap(_.body))
+          .flatMap(safeDecode(TlbDecoders.coffeeDepositSuccess))
+        // LP mint leg: the orphan internal transfer was rewritten into a
+        // jetton_mint before the coffee pass
+        val lpMint = internal.flatMap(_.children.collectFirst {
+          case m: JettonMintBlock => m })
+        val lpMinted = successBody.map(s => BigDecimal(s.lpAmount))
+          .orElse(lpMint.map(_.amount))
+        val pool = successEv.flatMap(_.node.inMsg.flatMap(_.source))
+          .orElse(lpMint.flatMap(_.nodes.headOption)
+            .flatMap(_.inMsg).flatMap(_.source))
+        // vault excesses: the payout_internal's outgoing leg
+        val payout = internal.flatMap(i =>
+          findCall(i, Opcodes.CoffeePayoutInternal))
+        val excessJt = payout.flatMap(_.children.collectFirst {
+          case j: JettonTransferBlock => j })
+        val excessCall = payout.flatMap(_.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.CoffeePayoutOut) ||
+              Opcodes.matches(c.opcode, Opcodes.CoffeeNotification) => c
+        })
+        val excesses: Seq[LiquidityVaultExcess] =
+          excessJt.map(j => LiquidityVaultExcess(
+            j.asset.filter(_ != "TON"), Some(j.amount))).toSeq ++
+          (if (excessJt.isEmpty)
+            payout.flatMap(p => p.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.coffeePayoutInternal)))
+              .map(pb => LiquidityVaultExcess(None, Some(BigDecimal(pb.amount))))
+              .filter(_ => excessCall.nonEmpty).toSeq
+          else Nil)
+        val consumed = Matching.identityDistinct(
+          Seq[Block](anchor, req, deploy) ++ internal.toSeq ++
+            successEv.toSeq ++ lpMint.toSeq ++ payout.toSeq ++
+            excessJt.toSeq ++ excessCall.toSeq)
+        (ProtocolOpBlock("dex_deposit_liquidity",
+          source = sender, destination = pool,
+          asset = None, value = None,
+          failed = consumed.exists(_.failed),
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          dex = Some("coffee"),
+          destinationSecondary = deploy.node.inMsg.flatMap(_.destination),
+          depositLiquidity = Some(DexDepositLiquidityData(
+            dex = Some("coffee"),
+            amount1 = if (matchesFirst) amount else None,
+            amount2 = if (!matchesFirst) amount else None,
+            asset1 = if (matchesFirst) inAsset else None,
+            asset2 = if (!matchesFirst) inAsset else None,
+            user_jetton_wallet_1 = if (matchesFirst) inWallet else None,
+            user_jetton_wallet_2 = if (!matchesFirst) inWallet else None,
+            lp_tokens_minted = lpMinted,
+            target_asset_1 = if (matchesFirst) first else second,
+            target_asset_2 = if (matchesFirst) second else first,
+            target_amount_1 = None, target_amount_2 = None,
+            vault_excesses = excesses))), consumed)
+      }
+    }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CoffeeDepositRequest) => r
+        }.flatMap(req => build(jt, req,
+          jt.asset.filter(_ != "TON"), Some(jt.senderWallet), jt.sender))
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CoffeeDepositLiquidityNative) =>
+        c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CoffeeDepositRequest) => r
+        }.flatMap(req => build(c, req, None, None,
+          c.node.inMsg.flatMap(_.source)))
+      case _ => None
+    }
+  }
   val CoffeeDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CoffeeDepositLiquidityNative, None,
     Set(Opcodes.CoffeeDepositLiquiditySuccess, Opcodes.Excesses),
@@ -4088,6 +4193,7 @@ object ProtocolMatchers {
       CoffeeFullSwapMatcher, CoffeeSwapMatcher,
       // creator stage must land before the create-pool completion pass
       CoffeeCreatePoolCreatorMatcher, CoffeeCreatePoolMatcher,
+      CoffeeDepositLiquidityFullMatcher,
       CoffeeDepositLiquidityMatcher, CoffeeWithdrawLiquidityMatcher,
       CoffeeCreateVaultMatcher,
       CoffeeMevProtectMatcher,

@@ -246,6 +246,8 @@ object Opcodes {
   val CoffeeSwapFailed = 0xc0ffee31L
   val CoffeeCreatePoolNative = 0xc0ffee02L
   val CoffeeDepositLiquidityNative = 0xc0ffee04L
+  val CoffeeDepositRequest = 0xc0ffee27L
+  val CoffeeDepositInternal = 0xc0ffee29L
   val CoffeeDepositLiquiditySuccess = 0xc0ffee33L
   val CoffeeLiquidityWithdrawalEvent = 0xc0ffee35L
 

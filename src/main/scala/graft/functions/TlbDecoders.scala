@@ -1281,6 +1281,24 @@ object TlbDecoders {
       s.loadCoins(), s.loadAddress())
   }
 
+  final case class CoffeeDepositRequestBody(
+      amount: BigInt, poolFirst: Option[String],
+      poolSecond: Option[String], sender: Option[String])
+
+  /** create_liquidity_depository_request#c0ffee27 query_id:u64
+    * amount:Coins params:^DepositLiquidityParamsTrimmed
+    * pool_params:^PoolParams sender:addr proof:^Cell
+    * (messages/coffee.py:803-823). */
+  def coffeeDepositRequest(bodyB64: String): CoffeeDepositRequestBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee27L)
+    s.loadUint(64)
+    val amount = s.loadCoins()
+    s.loadRef() // params
+    val pp = coffeePoolParams(s.loadRef().beginParse())
+    CoffeeDepositRequestBody(amount, pp.first, pp.second, s.loadAddress())
+  }
+
   /** deposit_liquidity_successful_event#c0ffee33 qid:u64 amount1:Coins
     * amount2:Coins lp_amount:Coins … (messages/coffee.py:520-540). */
   def coffeeDepositSuccess(bodyB64: String): CoffeeDepositSuccessBody = {

@@ -1757,4 +1757,127 @@ class GoldenParity2Spec extends SparkSpec {
     assert(d.tick_lower.contains("-51720"))
     assert(d.tick_upper.contains("-49380"))
   }
+
+  test("coffee.yaml parity ('deposit liquidity TON + CES'): two deposit " +
+      "actions — the TON leg without completion, the jetton leg carrying " +
+      "the pool, LP mint and target assets") {
+    val user = "0:" + "E3" * 32
+    val tonVault = "0:" + "AA" * 32
+    val factory1 = "0:" + "F1" * 32
+    val factory2 = "0:" + "F2" * 32
+    val depc = "0:" + "66" * 32
+    val pool = "0:" + "39" * 32
+    val ces = "0:" + "A5" * 32
+    val userCesWallet = "0:" + "8E" * 32
+    val cesVaultWallet = "0:" + "CC" * 32
+    val cesVault = "0:" + "CD" * 32
+    val userLpWallet = "0:" + "77" * 32
+    val sink = "0:" + "09" * 32
+    def requestBody(amount: Long): String = {
+      val pp = new Boc.Builder()
+        .storeUint(BigInt(0), 2) // first: native (TON)
+        .storeUint(BigInt(1), 2).storeUint(BigInt(0), 8) // second: jetton
+        .storeUint(BigInt(ces.split(':')(1), 16), 256)
+        .storeUint(BigInt(0), 3) // amm
+        .storeBit(false)
+      Boc.serializeBase64(new Boc.Builder()
+        .storeUint(BigInt(0xc0ffee27L), 32).storeUint(BigInt(1), 64)
+        .storeCoins(BigInt(amount))
+        .storeRef(new Boc.Builder().storeUint(BigInt(0), 8).build())
+        .storeRef(pp.build())
+        .storeAddress(Some(user))
+        .storeRef(new Boc.Builder().storeUint(BigInt(0), 8).build())
+        .build())
+    }
+    val successBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee33L), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(3129892658L)).storeCoins(BigInt(13876673279L))
+      .storeCoins(BigInt(6589203740L)).build())
+    val lpXfer = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonInternalTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(6589203740L))
+      .storeAddress(None).storeAddress(None).storeCoins(BigInt(0)).build())
+    val cesXfer = transferBody(1, 13876673279L, cesVault, user, 1)
+    val txs = Seq(tx("T1", tonVault, 10), tx("T2", factory1, 20),
+      tx("T3", depc, 30),
+      tx("T4", userCesWallet, 40), tx("T5", cesVaultWallet, 50),
+      tx("T6", cesVault, 60), tx("T7", factory2, 70), tx("T8", depc, 80),
+      tx("T9", pool, 90), tx("T10", userLpWallet, 100),
+      tx("T11", sink, 110))
+    val msgs = Map(
+      // TON leg: native deposit -> request -> deploy (no completion)
+      "T1" -> Seq(
+        in("m1", user, tonVault, Some(Opcodes.CoffeeDepositLiquidityNative)),
+        out("m2", tonVault, factory1, Some(Opcodes.CoffeeDepositRequest),
+          body = Some(requestBody(3129892658L)))),
+      "T2" -> Seq(
+        in("m2", tonVault, factory1, Some(Opcodes.CoffeeDepositRequest),
+          body = Some(requestBody(3129892658L))),
+        out("m3", factory1, depc, Some(Opcodes.CoffeeDeploy))),
+      "T3" -> Seq(in("m3", factory1, depc, Some(Opcodes.CoffeeDeploy))),
+      // CES leg: jetton transfer -> request -> deploy -> deposit internal
+      // -> LP mint + success event
+      "T4" -> Seq(
+        in("m4", user, userCesWallet, Some(Opcodes.JettonTransfer),
+          body = Some(cesXfer)),
+        out("m5", userCesWallet, cesVaultWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T5" -> Seq(
+        in("m5", userCesWallet, cesVaultWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m6", cesVaultWallet, cesVault, Some(Opcodes.JettonNotify))),
+      "T6" -> Seq(
+        in("m6", cesVaultWallet, cesVault, Some(Opcodes.JettonNotify)),
+        out("m7", cesVault, factory2, Some(Opcodes.CoffeeDepositRequest),
+          body = Some(requestBody(13876673279L)))),
+      "T7" -> Seq(
+        in("m7", cesVault, factory2, Some(Opcodes.CoffeeDepositRequest),
+          body = Some(requestBody(13876673279L))),
+        out("m8", factory2, depc, Some(Opcodes.CoffeeDeploy))),
+      "T8" -> Seq(
+        in("m8", factory2, depc, Some(Opcodes.CoffeeDeploy)),
+        out("m9", depc, pool, Some(Opcodes.CoffeeDepositInternal))),
+      "T9" -> Seq(
+        in("m9", depc, pool, Some(Opcodes.CoffeeDepositInternal)),
+        out("m10", pool, userLpWallet, Some(Opcodes.JettonInternalTransfer),
+          body = Some(lpXfer), createdLt = 91),
+        out("m11", pool, sink, Some(Opcodes.CoffeeDepositLiquiditySuccess),
+          body = Some(successBody), createdLt = 92)),
+      "T10" -> Seq(in("m10", pool, userLpWallet,
+        Some(Opcodes.JettonInternalTransfer), body = Some(lpXfer))),
+      "T11" -> Seq(in("m11", pool, sink,
+        Some(Opcodes.CoffeeDepositLiquiditySuccess), body = Some(successBody))))
+    val actions = Classifier.classify("gcd1", txs, msgs,
+      jettonWallets = Map(userCesWallet -> ces))
+      .filter(_.`type` == "dex_deposit_liquidity")
+    assert(actions.size == 2, s"got ${actions.map(_.`type`)}")
+    // first part: TON leg, no completion
+    val p1 = actions.find(_.destination.isEmpty).get
+    assert(p1.source.contains(user))
+    assert(p1.destination_secondary.contains(depc))
+    val d1 = p1.dex_deposit_liquidity_data.get
+    assert(d1.dex.contains("coffee"))
+    assert(d1.vault_excesses.isEmpty)
+    assert(d1.asset1.isEmpty)
+    assert(d1.amount1.contains(BigDecimal(3129892658L)))
+    assert(d1.user_jetton_wallet_1.isEmpty)
+    assert(d1.amount2.isEmpty)
+    assert(d1.target_asset_1.isEmpty)
+    assert(d1.target_asset_2.contains(ces))
+    assert(d1.lp_tokens_minted.isEmpty)
+    // last part: CES leg with the pool + LP mint
+    val p2 = actions.find(_.destination.nonEmpty).get
+    assert(p2.source.contains(user))
+    assert(p2.destination.contains(pool))
+    assert(p2.destination_secondary.contains(depc))
+    val d2 = p2.dex_deposit_liquidity_data.get
+    assert(d2.amount1.isEmpty)
+    assert(d2.asset2.contains(ces))
+    assert(d2.amount2.contains(BigDecimal(13876673279L)))
+    assert(d2.user_jetton_wallet_2.contains(userCesWallet))
+    assert(d2.target_asset_1.contains(ces))
+    assert(d2.target_asset_2.isEmpty)
+    assert(d2.lp_tokens_minted.contains(BigDecimal(6589203740L)))
+  }
 }
