@@ -2493,9 +2493,82 @@ object ProtocolMatchers {
     Opcodes.CoffeeDepositLiquidityNative, None,
     Set(Opcodes.CoffeeDepositLiquiditySuccess, Opcodes.Excesses),
     protoBlock("dex_deposit_liquidity"))
-  val CoffeeWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CoffeeLiquidityWithdrawalEvent, None, Set.empty,
-    protoBlock("dex_withdraw_liquidity"))
+  /** Coffee withdraw liquidity — anchored at the LP-token burn; the pool
+    * answers with two payout_internal legs (each resolving to either a
+    * jetton transfer or a native payout#c0ffee32 call) plus the
+    * liquidity_withdrawal_event log carrying amount1/amount2
+    * (CoffeeWithdrawLiquidityMatcher, blocks/liquidity.py:1838-1968;
+    * fill _fill_dex_withdraw_liquidity serializer:414-434). */
+  object CoffeeWithdrawLiquidityMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.JettonBurn, Opcodes.CoffeeLiquidityWithdrawalEvent))
+    /** (payout leg, its resolved transfer: Right(jt) | Left(native payout
+      * call), consumed blocks of the leg). */
+    private def resolvePayout(p: CallContractBlock)
+        : Option[(CallContractBlock, Either[CallContractBlock, JettonTransferBlock], Seq[Block])] =
+      p.children.collectFirst {
+        case jt: JettonTransferBlock => (p, Right(jt), Seq[Block](p, jt))
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CoffeePayoutOut) ||
+            Opcodes.matches(c.opcode, Opcodes.CoffeeNotification) =>
+          (p, Left(c), Seq[Block](p, c))
+      }
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case burn: JettonBurnBlock =>
+        val payoutLegs = burn.children.collect {
+          case p: CallContractBlock
+            if Opcodes.matches(p.opcode, Opcodes.CoffeePayoutInternal) => p
+        }.sortBy(p => (p.node.tx.lt,
+          p.node.inMsg.flatMap(_.createdLt).getOrElse(Long.MaxValue)))
+          .flatMap(resolvePayout(_))
+        val event = burn.children.collectFirst {
+          case e: CallContractBlock
+            if Opcodes.matches(e.opcode,
+              Opcodes.CoffeeLiquidityWithdrawalEvent) => e
+        }
+        (payoutLegs, event) match {
+          case (Seq(leg1, leg2), Some(ev)) =>
+            val evBody = ev.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.coffeeWithdrawalEvent))
+            val pool = ev.node.inMsg.flatMap(_.source)
+            def side(leg: (CallContractBlock, Either[CallContractBlock, JettonTransferBlock], Seq[Block]))
+                : (Option[String], Option[String], Option[String], Option[String]) =
+              leg._2 match {
+                case Right(jt) =>
+                  (jt.asset.filter(_ != "TON").orElse(Some(jt.senderWallet)),
+                    leg._1.node.inMsg.flatMap(_.source),
+                    Some(jt.senderWallet), jt.receiverWallet)
+                case Left(c) =>
+                  // native side: asset null, the recipient rides wallet_i
+                  (None, leg._1.node.inMsg.flatMap(_.source), None,
+                    c.node.inMsg.flatMap(_.destination))
+              }
+            val (a1, dw1, djw1, w1) = side(leg1)
+            val (a2, dw2, djw2, w2) = side(leg2)
+            val consumed = Matching.identityDistinct(
+              Seq[Block](burn) ++ leg1._3 ++ leg2._3 ++ Seq(ev))
+            Some((ProtocolOpBlock("dex_withdraw_liquidity",
+              source = burn.owner, destination = pool,
+              asset = burn.asset.orElse(Some(burn.ownerWallet)),
+              value = None,
+              failed = consumed.exists(_.failed),
+              nodes = consumed.flatMap(_.nodes), children = Nil,
+              dex = Some("coffee"),
+              sourceSecondary = Some(burn.ownerWallet),
+              withdrawLiquidity = Some(DexWithdrawLiquidityData(
+                dex = Some("coffee"),
+                amount1 = evBody.map(e => BigDecimal(e.amount1)),
+                amount2 = evBody.map(e => BigDecimal(e.amount2)),
+                asset1_out = a1, asset2_out = a2,
+                user_jetton_wallet_1 = w1, user_jetton_wallet_2 = w2,
+                dex_jetton_wallet_1 = djw1, dex_jetton_wallet_2 = djw2,
+                lp_tokens_burnt = Some(burn.amount),
+                dex_wallet_1 = dw1, dex_wallet_2 = dw2))), consumed))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** First descendant call block with the given opcode (DFS, direct
     * children first) — the analogue of the reference's nested
@@ -3684,17 +3757,82 @@ object ProtocolMatchers {
     }
   }
 
-  /** Coffee vault / pool-creator / MEV-protect chains
-    * (messages/coffee.py:628-742,868-905,946-978). */
-  val CoffeeCreateVaultMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CoffeeCreateVault, None,
-    Set(Opcodes.CoffeeCreateVaultInternal, Opcodes.CoffeeActivateVaultInternal,
-      Opcodes.Excesses),
-    protoBlock("coffee_create_vault"))
-  val CoffeeMevProtectMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CoffeeMevProtectHoldFunds, None,
-    Set(Opcodes.CoffeeMevProtectFailedSwap, Opcodes.Excesses),
-    protoBlock("coffee_mev_protect_hold_funds"))
+  /** Coffee create-vault — the factory call must reach the vault deploy
+    * (deploy#c0ffee22); the vault is the DEPLOY's destination, not the
+    * factory, and the asset decodes from the create body
+    * (CoffeeCreateVaultMatcher, blocks/liquidity.py:1991-2028; fill
+    * serializer:939-943: value = the create message value). */
+  object CoffeeCreateVaultMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeCreateVault))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CoffeeCreateVault) =>
+        findCall(c, Opcodes.CoffeeDeploy).map { deploy =>
+          val aux = (deploy.children ++
+            deploy.children.flatMap(_.children)).collect {
+            case a: CallContractBlock
+              if Opcodes.matches(a.opcode, Opcodes.CoffeeCreateVaultInternal) ||
+                Opcodes.matches(a.opcode, Opcodes.CoffeeActivateVaultInternal) ||
+                Opcodes.matches(a.opcode, Opcodes.Excesses) => a
+          }
+          val consumed = Matching.identityDistinct(
+            Seq[Block](c, deploy) ++ aux)
+          (ProtocolOpBlock("coffee_create_vault",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = deploy.node.inMsg.flatMap(_.destination),
+            asset = c.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.coffeeCreateVault)).flatten,
+            value = c.node.inMsg.map(m => BigDecimal(m.value)),
+            failed = consumed.exists(_.failed),
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      case _ => None
+    }
+  }
+
+  /** Coffee MEV-protect hold-funds: a native hold call carries
+    * amount = the message value with null asset/wallets; the jetton
+    * variant rides a transfer payload (CoffeeMevProtectHoldFundsMatcher,
+    * blocks/liquidity.py:2281-2339; fill serializer:972-978). */
+  object CoffeeMevProtectMatcher extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CoffeeMevProtectHoldFunds))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CoffeeMevProtectHoldFunds) =>
+        val aux = c.children.collect {
+          case a: CallContractBlock
+            if Opcodes.matches(a.opcode, Opcodes.CoffeeMevProtectFailedSwap) ||
+              Opcodes.matches(a.opcode, Opcodes.Excesses) => a
+        }
+        val consumed = Matching.identityDistinct(Seq[Block](c) ++ aux)
+        val in = c.node.inMsg
+        Some((ProtocolOpBlock("coffee_mev_protect_hold_funds",
+          source = in.flatMap(_.source),
+          destination = in.flatMap(_.destination),
+          asset = None, value = in.map(m => BigDecimal(m.value)),
+          failed = consumed.exists(_.failed),
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          amount = in.map(m => BigDecimal(m.value))), consumed))
+      case jt: JettonTransferBlock
+          if jt.decoded.flatMap(_.forwardPayload)
+            .flatMap(safeDecode(p => graft.functions.Boc.parseBase64(p)
+              .beginParse().loadUint(32).toLong))
+            .exists(op =>
+              Opcodes.matches(Some(op), Opcodes.CoffeeMevProtectHoldFunds)) =>
+        val consumed = Seq[Block](jt)
+        Some((ProtocolOpBlock("coffee_mev_protect_hold_funds",
+          source = jt.sender, destination = jt.receiver,
+          asset = jt.asset.orElse(Some(jt.senderWallet)),
+          value = None,
+          failed = consumed.exists(_.failed),
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          sourceSecondary = Some(jt.senderWallet),
+          amount = Some(jt.amount)), consumed))
+      case _ => None
+    }
+  }
 
   /** Coffee staking deposit — second-pass: a jetton transfer whose child
     * is the pool's staking-deposit call 0xf9471134 (+ optional duplicated
@@ -3732,12 +3870,20 @@ object ProtocolMatchers {
             }.filterNot(c => mintBlocks.exists(_ eq c))
             val consumed: Seq[Block] =
               Seq(jt, poolCall) ++ mintBlocks ++ log
+            // fill (serializer:984-994): asset = the transfer's master,
+            // wallet endpoints ride the secondaries, amount = the
+            // transferred value
             (ProtocolOpBlock("coffee_staking_deposit",
               source = jt.sender,
               destination = poolCall.node.inMsg.flatMap(_.destination),
-              asset = Some(jt.senderWallet), value = Some(jt.amount),
+              asset = jt.asset.filter(_ != "TON")
+                .orElse(Some(jt.senderWallet)),
+              value = Some(jt.amount),
               failed = consumed.exists(_.failed),
               nodes = consumed.flatMap(_.nodes), children = Nil,
+              sourceSecondary = Some(jt.senderWallet),
+              destinationSecondary = jt.receiverWallet,
+              amount = Some(jt.amount),
               tsNft = posNft, mintedItem = posNft,
               mintedItemIndex = posIdx), consumed)
           }
@@ -3794,6 +3940,9 @@ object ProtocolMatchers {
               .orElse(payout.map(_.amount)),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
+            // action.amount = withdraw_3's jetton_amount (fill :1002)
+            amount = w3Body.map(w => BigDecimal(w.jettonAmount))
+              .orElse(payout.map(_.amount)),
             sourceSecondary = payout.flatMap(_.receiverWallet),
             destinationSecondary = w3Body.flatMap(_.jettonWallet),
             coffeeWithdraw = Some(CoffeeStakingWithdrawData(
@@ -3820,12 +3969,25 @@ object ProtocolMatchers {
               if Opcodes.matches(cc.opcode, Opcodes.CoffeeStakingClaimRewards) => cc
           }
           val consumed: Seq[Block] = Seq(c, jt) ++ log
+          val body = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.coffeeStakingClaimRewards))
+          // fill (serializer:1009-1017): source = the POOL (the claim
+          // call's destination — the admin source is deliberately not
+          // stored), source_secondary = the pool wallet from the claim
+          // body, destination = the body's receiver with its payout
+          // wallet as secondary, amount = the body's jetton_amount
           (ProtocolOpBlock("coffee_staking_claim_rewards",
-            source = c.node.inMsg.flatMap(_.source),
-            destination = jt.receiver,
-            asset = Some(jt.senderWallet), value = Some(jt.amount),
+            source = c.node.inMsg.flatMap(_.destination),
+            destination = body.flatMap(_.receiver).orElse(jt.receiver),
+            asset = jt.asset.filter(_ != "TON")
+              .orElse(Some(jt.senderWallet)),
+            value = Some(jt.amount),
             failed = consumed.exists(_.failed),
-            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            sourceSecondary = body.flatMap(_.jettonWallet),
+            destinationSecondary = jt.receiverWallet,
+            amount = body.map(b2 => BigDecimal(b2.jettonAmount))
+              .orElse(Some(jt.amount))), consumed)
         }
       case _ => None
     }
@@ -4389,6 +4551,11 @@ object ProtocolMatchers {
       nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] =
     withNft ++ Seq(new PTonTransferMatcher(interfaces),
       new NftMintMatcher(interfaces, nftItems),
+      // the coffee staking deposit requires the position-NFT mint, which
+      // only exists after NftMintMatcher ran — a second pass (the base
+      // registry's instance saw only raw deploys) mirrors the reference
+      // order where NftMintBlockMatcher precedes the staking family
+      CoffeeStakingDepositMatcher,
       new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
       new NominatorPoolDepositMatcher(interfaces),
       new NominatorPoolWithdrawRequestMatcher(interfaces),

@@ -1343,6 +1343,42 @@ object TlbDecoders {
       s.loadCoins(), s.loadAddress())
   }
 
+  final case class CoffeeStakingClaimBody(
+      queryId: BigInt, jettonWallet: Option[String], jettonAmount: BigInt,
+      receiver: Option[String])
+
+  /** staking_claim_rewards#b30c7310 query_id:u64 jetton_wallet:MsgAddress
+    * jetton_amount:Coins receiver:MsgAddress payload:(Maybe ^Cell)
+    * (messages/coffee.py:1075-1094). */
+  def coffeeStakingClaimRewards(bodyB64: String): CoffeeStakingClaimBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xb30c7310L)
+    CoffeeStakingClaimBody(s.loadUint(64), s.loadAddress(), s.loadCoins(),
+      s.loadAddress())
+  }
+
+  /** create_vault#c0ffee06 query_id:u64 asset:Asset — returns the vault
+    * asset, None for native (messages/coffee.py:628-639). */
+  def coffeeCreateVault(bodyB64: String): Option[String] = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee06L)
+    s.loadUint(64)
+    coffeeAsset(s)
+  }
+
+  final case class CoffeeWithdrawEventBody(
+      amount1: BigInt, amount2: BigInt, lpAmount: BigInt)
+
+  /** liquidity_withdrawal_event#c0ffee35 qid:u64 amount1:Coins
+    * amount2:Coins lp_amount:Coins total_supply reserves
+    * (messages/coffee.py:563-581). */
+  def coffeeWithdrawalEvent(bodyB64: String): CoffeeWithdrawEventBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xc0ffee35L)
+    s.loadUint(64)
+    CoffeeWithdrawEventBody(s.loadCoins(), s.loadCoins(), s.loadCoins())
+  }
+
   // ----------------------------------------------------------- layerzero
 
   final case class LzPath(
