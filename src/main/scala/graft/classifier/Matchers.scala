@@ -3581,13 +3581,42 @@ object ProtocolMatchers {
     * the position-NFT mint (ToncoDepositLiquidityMatcher,
     * blocks/liquidity.py:928-1062; the PTon input variant anchors the
     * same chain on a pTON notify instead of a jetton transfer). */
-  object ToncoDepositLiquidityMatcher extends BlockMatcher {
+  final class ToncoDepositLiquidityFull(resolve: String => Option[String])
+      extends BlockMatcher {
+    import graft.functions.TlbDecoders
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.ToncoPoolV3FundAccount,
         Opcodes.ToncoAccountV3AddLiquidity))
-    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case jt: JettonTransferBlock =>
-        val fund = jt.children.collectFirst {
+
+    /** Wallet → master; "TON"/pTON wallets and unresolved map to None
+      * (native), per the reference's pton_masters special-case
+      * (blocks/liquidity.py:1085-1120). */
+    private def assetOf(w: Option[String]): Option[String] =
+      w.flatMap(resolve(_)).filter(_ != "TON")
+
+    private final case class Leg(sent: BigDecimal, sender: Option[String],
+        senderWallet: Option[String], routerWallet: Option[String],
+        payload: Option[String])
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = {
+      // input leg: a funding jetton transfer, or (pTON input) the bare
+      // router notify whose body carries the same fund payload
+      val leg: Option[(Block, Leg)] = b match {
+        case jt: JettonTransferBlock =>
+          Some((jt, Leg(jt.amount, jt.sender, Some(jt.senderWallet),
+            jt.receiverWallet, jt.decoded.flatMap(_.forwardPayload))))
+        case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.JettonNotify) =>
+          val nb = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.jettonNotify))
+          Some((c, Leg(
+            nb.map(n => BigDecimal(n.amount)).getOrElse(BigDecimal(0)),
+            nb.flatMap(_.sender), None, c.node.inMsg.flatMap(_.source),
+            nb.flatMap(_.forwardPayload))))
+        case _ => None
+      }
+      leg.flatMap { case (anchor, l) =>
+        val fund = anchor.children.collectFirst {
           case c: CallContractBlock
             if Opcodes.matches(c.opcode, Opcodes.ToncoPoolV3FundAccount) => c
         }
@@ -3597,33 +3626,133 @@ object ProtocolMatchers {
         })
         (fund, addLiq) match {
           case (Some(f), Some(a)) =>
-            val mintCall = a.children.collectFirst {
+            val addBody = a.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.toncoAddLiquidity))
+            val payload = l.payload
+              .flatMap(safeDecode(TlbDecoders.toncoFundPayload))
+            val firstAsset = assetOf(l.routerWallet)
+            val secondAsset = assetOf(payload.flatMap(_.otherWallet))
+            // which pool slot this leg fills (new_amount0 > 0 → first)
+            val isFirst = addBody.forall(_.newAmount0 > 0)
+            val mr = a.children.collectFirst {
               case c: CallContractBlock
                 if Opcodes.matches(c.opcode, Opcodes.ToncoPoolV3MintAndRefund) => c
             }
-            val mintTail = mintCall.toSeq.flatMap { mc =>
-              mc +: mc.children.collect {
-                case p: ProtocolOpBlock if p.btype == "nft_mint" => p: Block
-                case d: ContractDeployBlock => d: Block
+            // position-NFT init: the raw POSITION_INIT#d5ecca2a call (the
+            // base registry runs before NftMintMatcher) or the rewritten
+            // nft_mint; liquidity + index decode from the init body
+            val mint: Option[(Seq[Block], Option[String],
+                Option[TlbDecoders.ToncoPositionInitBody])] =
+              mr.flatMap(_.children.collectFirst {
+                case p: ProtocolOpBlock if p.btype == "nft_mint" =>
+                  (Seq(p: Block), p.destination,
+                    p.nodes.headOption.flatMap(_.inMsg).flatMap(_.body)
+                      .flatMap(safeDecode(TlbDecoders.toncoPositionInit)))
                 case c: CallContractBlock
-                  if Opcodes.matches(c.opcode, Opcodes.Excesses) ||
-                    Opcodes.matches(c.opcode, Opcodes.ToncoRouterV3PayTo) =>
-                  c: Block
+                    if Opcodes.matches(c.opcode, Opcodes.ToncoPositionInit) =>
+                  val deploys =
+                    c.children.collect { case d: ContractDeployBlock => d: Block }
+                  ((c +: deploys), c.node.inMsg.flatMap(_.destination),
+                    c.node.inMsg.flatMap(_.body)
+                      .flatMap(safeDecode(TlbDecoders.toncoPositionInit)))
+              })
+            val payTo = mr.flatMap(_.children.collectFirst {
+              case c: CallContractBlock
+                if Opcodes.matches(c.opcode, Opcodes.ToncoRouterV3PayTo) => c
+            })
+            // refund excesses: up to two transfers under the router
+            // pay-to; a pTON child makes the excess native with the pTON
+            // body amount (blocks/liquidity.py:1138-1156)
+            val excessLegs: Seq[(Option[String], BigDecimal, Seq[Block])] =
+              payTo.toSeq.flatMap(_.children.collect {
+                // a pTON payout has no internal-transfer leg, so it stays
+                // a raw transfer call with the 0x01f3835d child
+                case t: JettonTransferBlock => t: Block
+                case c: CallContractBlock
+                  if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) => c: Block
+              }.sortBy(_.nodes.head.tx.lt)).map { t =>
+                def isPtonNode(blk: Block): Boolean =
+                  blk.nodes.headOption.flatMap(_.inMsg).flatMap(_.opcode)
+                    .exists(o => Opcodes.matches(Some(o), Opcodes.PTonTransferOp))
+                // the pTON leg: a raw 0x01f3835d child, or the
+                // jetton_transfer block PTonTonTransferMatcher rewrote
+                // it into (amount already = the body ton_amount)
+                val pton: Option[(BigDecimal, Block)] = t.children.collectFirst {
+                  case c: CallContractBlock if isPtonNode(c) =>
+                    (c.node.inMsg.flatMap(_.body)
+                      .flatMap(safeDecode(TlbDecoders.ptonTransfer))
+                      .map(pb => BigDecimal(pb.tonAmount))
+                      .getOrElse(BigDecimal(0)), c: Block)
+                  case j: JettonTransferBlock if isPtonNode(j) =>
+                    (j.amount, j: Block)
+                }
+                (t, pton) match {
+                  case (_, Some((amt, p))) => (None, amt, Seq[Block](t, p))
+                  case (jt: JettonTransferBlock, None) =>
+                    (jt.asset.filter(_ != "TON").orElse(Some(jt.senderWallet)),
+                      jt.amount, Seq[Block](jt))
+                  case (c, None) =>
+                    val dec = c.nodes.head.inMsg.flatMap(_.body)
+                      .flatMap(safeDecode(TlbDecoders.jettonTransfer))
+                    (assetOf(Some(c.nodes.head.tx.account))
+                       .orElse(Some(c.nodes.head.tx.account)),
+                      dec.map(d => BigDecimal(d.amount))
+                        .getOrElse(BigDecimal(0)), Seq[Block](c))
+                }
               }
-            }
-            val consumed: Seq[Block] = Seq(jt, f, a) ++ mintTail
+            val lp = mint.flatMap(_._3).map(m => BigDecimal(m.liquidity))
+            // positional slots (ToncoDepositLiquidityData), then the
+            // fill's compaction: first non-null amount wins slot 1
+            // (serializer:906-918); wallets stay positional
+            val (am1, as1, w1, am2, as2, w2) =
+              if (isFirst)
+                (Some(l.sent), firstAsset, l.senderWallet,
+                  Option.empty[BigDecimal], secondAsset, None)
+              else
+                (Option.empty[BigDecimal], secondAsset, None,
+                  Some(l.sent), firstAsset, l.senderWallet)
+            val pairs = Seq((am1, as1), (am2, as2)).filter(_._1.nonEmpty)
+            val (cAm1, cAs1) = pairs.headOption.getOrElse((None, None))
+            val (cAm2, cAs2) = pairs.drop(1).headOption.getOrElse((None, None))
+            val consumed = Matching.identityDistinct(
+              Seq[Block](anchor, f, a) ++ mr.toSeq ++
+                mint.toSeq.flatMap(_._1) ++ payTo.toSeq ++
+                excessLegs.flatMap(_._3) ++
+                mr.toSeq.flatMap(_.children.collect {
+                  case c: CallContractBlock
+                    if Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
+                }))
             Some((ProtocolOpBlock("tonco_deposit_liquidity",
-              source = jt.sender,
-              destination = f.node.inMsg.flatMap(_.destination),
-              asset = Some(jt.senderWallet), value = Some(jt.amount),
+              source = l.sender,
+              destination = a.node.inMsg.flatMap(_.source),
+              asset = None, value = Some(l.sent),
               failed = consumed.exists(_.failed),
               nodes = consumed.flatMap(_.nodes), children = Nil,
-              dex = Some("tonco")), consumed))
+              dex = Some("tonco"),
+              sourceSecondary = l.senderWallet,
+              destinationSecondary = a.node.inMsg.flatMap(_.destination),
+              depositLiquidity = Some(DexDepositLiquidityData(
+                dex = Some("tonco"),
+                amount1 = cAm1, amount2 = cAm2,
+                asset1 = cAs1, asset2 = cAs2,
+                user_jetton_wallet_1 = w1, user_jetton_wallet_2 = w2,
+                lp_tokens_minted = lp,
+                target_asset_1 = None, target_asset_2 = None,
+                target_amount_1 = addBody.map(ab => BigDecimal(ab.newEnough0)),
+                target_amount_2 = addBody.map(ab => BigDecimal(ab.newEnough1)),
+                vault_excesses = excessLegs.map { case (asst, amt, _) =>
+                  LiquidityVaultExcess(asst, Some(amt)) },
+                tick_lower = addBody.map(_.tickLower.toString),
+                tick_upper = addBody.map(_.tickUpper.toString),
+                nft_index = mint.flatMap(_._3).map(_.nftIndex.toString),
+                nft_address = mint.flatMap(_._2)))), consumed))
           case _ => None
         }
-      case _ => None
+      }
     }
   }
+  val ToncoDepositLiquidityMatcher: BlockMatcher =
+    new ToncoDepositLiquidityFull(_ => None)
 
   /** tgBTC FULL mint chain: the mint-call tail 0xe42a879b must carry both
     * the success log AND the minted-jetton block (TgBTCMintBlockMatcher,
@@ -4517,6 +4646,8 @@ object ProtocolMatchers {
             new StonfiV2WithdrawMatcher(resolve)
           case m if m eq DedustDepositFirstAssetMatcher =>
             new DedustFirstAssetMatcher(resolve)
+          case m if m eq ToncoDepositLiquidityMatcher =>
+            new ToncoDepositLiquidityFull(resolve)
           case m => m
         }
     }

@@ -212,6 +212,7 @@ object Opcodes {
   // TONCO v3 swap (messages/swaps.py:226,345)
   val ToncoPoolV3Swap = 0xa7fb58f8L
   val ToncoRouterV3PayTo = 0xa1daa96dL
+  val ToncoPositionInit = 0xd5ecca2aL
 
   // EVAA lending (messages/evaa.py:13-151) — tiny opcodes, matched only
   // with their required child pattern

@@ -666,6 +666,81 @@ object TlbDecoders {
       s.loadInt(24).toInt, s.loadInt(24).toInt)
   }
 
+  final case class JettonNotifyBody(
+      queryId: BigInt, amount: BigInt, sender: Option[String],
+      forwardPayload: Option[String])
+
+  /** transfer_notification#7362d09c query_id:u64 amount:Coins
+    * sender:MsgAddress forward_payload:(Either Cell ^Cell)
+    * (messages/jettons.py JettonNotify). */
+  def jettonNotify(bodyB64: String): JettonNotifyBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x7362d09cL)
+    val qid = s.loadUint(64)
+    val amount = s.loadCoins()
+    val sender = s.loadAddress()
+    val payload =
+      if (s.remainingBits < 1) None
+      else if (s.loadBit()) Some(s.loadRef())
+      else {
+        val b = new Boc.Builder()
+        while (s.remainingBits > 0) b.storeBit(s.loadBit())
+        while (s.remainingRefs > 0) b.storeRef(s.loadRef())
+        val c = b.build()
+        if (c.bitLen == 0 && c.refs.isEmpty) None else Some(c)
+      }
+    JettonNotifyBody(qid, amount, sender, payload.map(Boc.serializeBase64))
+  }
+
+  final case class ToncoAddLiquidityBody(
+      newAmount0: BigInt, newAmount1: BigInt,
+      newEnough0: BigInt, newEnough1: BigInt,
+      liquidity: BigInt, tickLower: Int, tickUpper: Int)
+
+  /** ACCOUNTV3_ADD_LIQUIDITY#3ebe5431 query_id:u64 new_amount0:Coins
+    * new_amount1:Coins new_enough0:Coins new_enough1:Coins
+    * liquidity:u128 tick_lower:int24 tick_upper:int24
+    * (messages/liquidity.py:465-492). */
+  def toncoAddLiquidity(bodyB64: String): ToncoAddLiquidityBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0x3ebe5431L)
+    s.loadUint(64)
+    ToncoAddLiquidityBody(s.loadCoins(), s.loadCoins(), s.loadCoins(),
+      s.loadCoins(), s.loadUint(128), s.loadInt(24).toInt,
+      s.loadInt(24).toInt)
+  }
+
+  final case class ToncoFundPayload(
+      otherWallet: Option[String], amount0: BigInt, amount1: BigInt)
+
+  /** POOLV3_FUND_ACCOUNT#4468de77 payload inside the funding transfer's
+    * notify: other_jetton_wallet:MsgAddress amount0:Coins amount1:Coins
+    * (messages/liquidity.py:257-286). */
+  def toncoFundPayload(payloadB64: String): ToncoFundPayload = {
+    val s = Boc.parseBase64(payloadB64).beginParse()
+    expectOpcode(s, 0x4468de77L)
+    ToncoFundPayload(s.loadAddress(), s.loadCoins(), s.loadCoins())
+  }
+
+  final case class ToncoPositionInitBody(
+      liquidity: BigInt, nftIndex: BigInt)
+
+  /** POSITIONNFTV3_POSITION_INIT#d5ecca2a query_id:u64
+    * user_address:MsgAddress liquidity:u128 tick_lower:int24
+    * tick_upper:int24 ^[fee0:u256 fee1:u256 nft_index:u64 ...]
+    * (messages/liquidity.py:391-426). */
+  def toncoPositionInit(bodyB64: String): ToncoPositionInitBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xd5ecca2aL)
+    s.loadUint(64)
+    s.loadAddress()
+    val liquidity = s.loadUint(128)
+    s.loadInt(24); s.loadInt(24)
+    val fs = s.loadRef().beginParse()
+    fs.loadUint(256); fs.loadUint(256)
+    ToncoPositionInitBody(liquidity, fs.loadUint(64))
+  }
+
   /** POSITIONNFTV3_POSITION_BURN#46ca335a query_id:u64 nft_owner:addr
     * liquidity_to_burn:u128 ... (messages/liquidity.py:432-457).
     * Returns the owner. */

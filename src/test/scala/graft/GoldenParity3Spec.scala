@@ -450,6 +450,199 @@ class GoldenParity3Spec extends SparkSpec {
     assert(d.minted_item_index.contains("1317"))
   }
 
+  // ----------------------------------------------------------------------
+  // Tonco deposit liquidity
+  // ----------------------------------------------------------------------
+
+  /** POOLV3_FUND_ACCOUNT#4468de77 payload: other_wallet amount0 amount1. */
+  private def fundPayload(otherWallet: String, a0: Long, a1: Long): Boc.Cell =
+    new Boc.Builder().storeUint(BigInt(0x4468de77L), 32)
+      .storeAddress(Some(otherWallet)).storeCoins(BigInt(a0))
+      .storeCoins(BigInt(a1)).build()
+
+  /** transfer_notification#7362d09c qid amount sender payload-in-ref. */
+  private def notifyBody(amount: Long, sender: String,
+      payload: Boc.Cell): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x7362d09cL), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(amount)).storeAddress(Some(sender))
+      .storeBit(true).storeRef(payload).build())
+
+  /** ACCOUNTV3_ADD_LIQUIDITY#3ebe5431 qid n0 n1 e0 e1 liq tl tu. */
+  private def addLiquidityBody(n0: Long, n1: Long, e0: Long, e1: Long,
+      liq: Long, tl: Int, tu: Int): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x3ebe5431L), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(n0)).storeCoins(BigInt(n1))
+      .storeCoins(BigInt(e0)).storeCoins(BigInt(e1))
+      .storeUint(BigInt(liq), 128)
+      .storeInt(BigInt(tl), 24).storeInt(BigInt(tu), 24).build())
+
+  /** POSITIONNFTV3_POSITION_INIT#d5ecca2a qid user liq tl tu ^[f0 f1 idx]. */
+  private def positionInitBody(user: String, liq: Long, tl: Int, tu: Int,
+      nftIndex: Long): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xd5ecca2aL), 32).storeUint(BigInt(1), 64)
+      .storeAddress(Some(user)).storeUint(BigInt(liq), 128)
+      .storeInt(BigInt(tl), 24).storeInt(BigInt(tu), 24)
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 256).storeUint(BigInt(0), 256)
+        .storeUint(BigInt(nftIndex), 64).build()).build())
+
+  /** pTON ton_transfer#01f3835d qid ton_amount refund. */
+  private def ptonBody(amount: Long, refund: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x01f3835dL), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(amount)).storeAddress(Some(refund)).build())
+
+  test("tonco.yaml parity ('Tonco deposit liquidity (normal)'): per-leg " +
+      "dex_deposit_liquidity actions — incomplete TON leg (null asset1, " +
+      "no wallets) and the completing jetton leg with compacted " +
+      "amounts, position NFT and both vault excesses") {
+    val user = "0:" + "40" * 32
+    val pool = "0:" + "F6" * 32
+    val account = "0:" + "55" * 32
+    val router = "0:" + "12" * 32
+    val routerPton = "0:" + "87" * 32 // router's pTON (wTTON) wallet
+    val routerUsdt = "0:" + "9A" * 32 // router's USDT wallet
+    val userUsdt = "0:" + "2C" * 32 // 0:2BC2-analogue sender wallet
+    val usdt = "0:" + "B1" * 32
+    val item = "0:" + "A7" * 32
+    val tl = -57180; val tu = -52980
+    // TON leg: pton transfer → notify(payload other=USDT wallet) →
+    // fund → add (newAmount0 > 0 → first slot, no completion)
+    val notifyTon = notifyBody(3029999999827L, user,
+      fundPayload(routerUsdt, 3029999999827L, 0L))
+    val addTon = addLiquidityBody(3029999999827L, 0L,
+      2999999999829L, 5708578661L, 0L, tl, tu)
+    // jetton leg: USDT transfer (payload other=pTON wallet) → fund →
+    // add (newAmount0 = 0 → second slot) + mint-and-refund completion
+    val xfer = transferBody(2, 5765664447L, router, user, 1,
+      forwardPayload = Some(fundPayload(routerPton, 0L, 5765664447L)))
+    val addJet = addLiquidityBody(0L, 5765664447L,
+      2999999999829L, 5708578661L, 0L, tl, tu)
+    val posInit = positionInitBody(user, 1398855824493L, tl, tu, 3086L)
+    val excessTon = transferBody(3, 29999999998L, user, user, 1)
+    val pton = ptonBody(29999999998L, user)
+    val excessUsdt = transferBody(4, 57085786L, user, user, 1)
+    val txs = Seq(
+      tx("P1", router, 10), tx("P2", pool, 20), tx("P3", account, 30),
+      tx("T1", userUsdt, 40), tx("T2", routerUsdt, 50), tx("T3", router, 60),
+      tx("T4", pool, 70), tx("T5", account, 80), tx("T6", pool, 90),
+      tx("T7", router, 100), deployTx("T8", item, 110),
+      tx("T9", routerPton, 120), tx("TA", user, 130),
+      tx("TB", routerUsdt, 140), tx("TC", userUsdt, 150))
+    val msgs = Map(
+      // --- TON leg
+      "P1" -> Seq(
+        in("p1", routerPton, router, Some(Opcodes.JettonNotify),
+          body = Some(notifyTon)),
+        out("p2", router, pool, Some(Opcodes.ToncoPoolV3FundAccount))),
+      "P2" -> Seq(
+        in("p2", router, pool, Some(Opcodes.ToncoPoolV3FundAccount)),
+        out("p3", pool, account, Some(Opcodes.ToncoAccountV3AddLiquidity),
+          body = Some(addTon))),
+      "P3" -> Seq(in("p3", pool, account,
+        Some(Opcodes.ToncoAccountV3AddLiquidity), body = Some(addTon))),
+      // --- jetton leg
+      "T1" -> Seq(
+        in("m1", user, userUsdt, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", userUsdt, routerUsdt, Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userUsdt, routerUsdt, Some(Opcodes.JettonInternalTransfer)),
+        out("m3", routerUsdt, router, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", routerUsdt, router, Some(Opcodes.JettonNotify)),
+        out("m4", router, pool, Some(Opcodes.ToncoPoolV3FundAccount))),
+      "T4" -> Seq(
+        in("m4", router, pool, Some(Opcodes.ToncoPoolV3FundAccount)),
+        out("m5", pool, account, Some(Opcodes.ToncoAccountV3AddLiquidity),
+          body = Some(addJet))),
+      "T5" -> Seq(
+        in("m5", pool, account, Some(Opcodes.ToncoAccountV3AddLiquidity),
+          body = Some(addJet)),
+        out("m6", account, pool, Some(Opcodes.ToncoPoolV3MintAndRefund))),
+      "T6" -> Seq(
+        in("m6", account, pool, Some(Opcodes.ToncoPoolV3MintAndRefund)),
+        out("m7", pool, router, Some(Opcodes.ToncoRouterV3PayTo),
+          createdLt = 91),
+        out("m8", pool, item, Some(Opcodes.ToncoPositionInit),
+          body = Some(posInit), createdLt = 92)),
+      "T7" -> Seq(
+        in("m7", pool, router, Some(Opcodes.ToncoRouterV3PayTo)),
+        out("m9", router, routerPton, Some(Opcodes.JettonTransfer),
+          body = Some(excessTon), createdLt = 101),
+        out("mB", router, routerUsdt, Some(Opcodes.JettonTransfer),
+          body = Some(excessUsdt), createdLt = 102)),
+      "T8" -> Seq(in("m8", pool, item, Some(Opcodes.ToncoPositionInit),
+        body = Some(posInit))),
+      // excess 1: pTON payout (native)
+      "T9" -> Seq(
+        in("m9", router, routerPton, Some(Opcodes.JettonTransfer),
+          body = Some(excessTon)),
+        out("mA", routerPton, user, Some(Opcodes.PTonTransferOp),
+          body = Some(pton))),
+      "TA" -> Seq(in("mA", routerPton, user, Some(Opcodes.PTonTransferOp),
+        body = Some(pton))),
+      // excess 2: plain USDT payout
+      "TB" -> Seq(
+        in("mB", router, routerUsdt, Some(Opcodes.JettonTransfer),
+          body = Some(excessUsdt)),
+        out("mC", routerUsdt, userUsdt,
+          Some(Opcodes.JettonInternalTransfer))),
+      "TC" -> Seq(in("mC", routerUsdt, userUsdt,
+        Some(Opcodes.JettonInternalTransfer))))
+    val actions = Classifier.classify("gtd1", txs, msgs,
+      jettonWallets = Map(routerPton -> "TON", routerUsdt -> usdt,
+        userUsdt -> usdt))
+      .filter(_.`type` == "dex_deposit_liquidity")
+    assert(actions.size == 2, s"got ${actions.map(_.`type`)}")
+    // YAML selector: lp_tokens_minted == None → the TON leg
+    val tonLeg = actions
+      .find(_.dex_deposit_liquidity_data.get.lp_tokens_minted.isEmpty).get
+    assert(tonLeg.source.contains(user))
+    assert(tonLeg.source_secondary.isEmpty)
+    assert(tonLeg.destination.contains(pool))
+    assert(tonLeg.destination_secondary.contains(account))
+    assert(tonLeg.success)
+    val td = tonLeg.dex_deposit_liquidity_data.get
+    assert(td.vault_excesses.isEmpty)
+    assert(td.target_amount_1.contains(BigDecimal(2999999999829L)))
+    assert(td.target_amount_2.contains(BigDecimal(5708578661L)))
+    assert(td.tick_lower.contains("-57180"))
+    assert(td.tick_upper.contains("-52980"))
+    assert(td.nft_index.isEmpty && td.nft_address.isEmpty)
+    assert(td.amount1.contains(BigDecimal(3029999999827L)))
+    assert(td.asset1.isEmpty) // TON
+    assert(td.user_jetton_wallet_1.isEmpty)
+    assert(td.amount2.isEmpty && td.asset2.isEmpty)
+    assert(td.user_jetton_wallet_2.isEmpty)
+    // YAML selector: lp_tokens_minted != None → the completing leg
+    val jetLeg = actions
+      .find(_.dex_deposit_liquidity_data.get.lp_tokens_minted.nonEmpty).get
+    assert(jetLeg.source.contains(user))
+    assert(jetLeg.source_secondary.contains(userUsdt))
+    assert(jetLeg.destination.contains(pool))
+    assert(jetLeg.destination_secondary.contains(account))
+    val jd = jetLeg.dex_deposit_liquidity_data.get
+    assert(jd.vault_excesses.map(e => (e.asset, e.amount)) == Seq(
+      (None, Some(BigDecimal(29999999998L))),
+      (Some(usdt), Some(BigDecimal(57085786L)))))
+    assert(jd.target_amount_1.contains(BigDecimal(2999999999829L)))
+    assert(jd.target_amount_2.contains(BigDecimal(5708578661L)))
+    assert(jd.lp_tokens_minted.contains(BigDecimal(1398855824493L)))
+    assert(jd.tick_lower.contains("-57180"))
+    assert(jd.tick_upper.contains("-52980"))
+    assert(jd.nft_index.contains("3086"))
+    assert(jd.nft_address.contains(item))
+    assert(jd.amount1.contains(BigDecimal(5765664447L)))
+    assert(jd.asset1.contains(usdt))
+    assert(jd.user_jetton_wallet_1.isEmpty)
+    assert(jd.amount2.isEmpty && jd.asset2.isEmpty)
+    assert(jd.user_jetton_wallet_2.contains(userUsdt))
+  }
+
   /** staking_position_withdraw_2#cb03bfaf qid nft_id owner points
     * ^[wallet amount]. */
   private def withdraw2Body(nftId: Long, owner: String, points: Long,
