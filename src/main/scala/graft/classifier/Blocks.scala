@@ -121,7 +121,12 @@ case class NftTransferBlock(
     realPrevOwner: Option[String] = None,
     // nft_items-dim payloads (index + collection, blocks/nft.py:54-75)
     itemIndex: Option[String] = None,
-    collection: Option[String] = None)
+    collection: Option[String] = None,
+    // ownership-assigned-anchored path (fragment): query id + raw
+    // forward payload from the OA body — the reference fills these with
+    // forward_amount/response/custom left null (blocks/nft.py:316-331)
+    oaQueryId: Option[String] = None,
+    oaForwardPayload: Option[String] = None)
   extends Block {
   val btype = "nft_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

@@ -3146,7 +3146,8 @@ object ProtocolMatchers {
     * payouts (fee first by created_lt, then owner payout) are consumed;
     * a mint parent (telemint 0x299a3e15 / nft_mint) flips is_purchase
     * off, mirroring the reference. */
-  final class TelegramNftPurchaseMatcher(interfaces: Map[String, String])
+  final class TelegramNftPurchaseMatcher(interfaces: Map[String, String],
+      nftItems: Map[String, NftItemInfo] = Map.empty)
       extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.NftOwnershipAssigned))
@@ -3181,6 +3182,7 @@ object ProtocolMatchers {
         val consumed: Seq[Block] =
           Matching.identityDistinct(oa +: (parent.toSeq ++ payouts))
         val purchase = body.bid.isDefined && !parentIsMint
+        val info = nftItems.get(nft)
         (NftTransferBlock(
           oldOwner = body.prevOwner,
           newOwner = oa.node.inMsg.flatMap(_.destination),
@@ -3189,7 +3191,11 @@ object ProtocolMatchers {
           nodes = consumed.flatMap(_.nodes), children = Nil,
           isPurchase = Some(purchase),
           price = if (purchase) body.bid.map(BigDecimal(_)) else None,
-          marketplace = if (purchase) Some("fragment") else None), consumed)
+          marketplace = if (purchase) Some("fragment") else None,
+          itemIndex = info.flatMap(_.index),
+          collection = info.flatMap(_.collection),
+          oaQueryId = Some(body.queryId.toString),
+          oaForwardPayload = body.rawPayload), consumed)
       }
 
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -4700,5 +4706,5 @@ object ProtocolMatchers {
       new TeleitemCancelAuctionMatcher(interfaces),
       // dns purchase rewrites auction_bid blocks (AuctionBidMatcher ran)
       new DnsPurchaseMatcher(interfaces),
-      new TelegramNftPurchaseMatcher(interfaces))
+      new TelegramNftPurchaseMatcher(interfaces, nftItems))
 }

@@ -497,9 +497,10 @@ object Serializer {
         case n: NftTransferBlock => Some(NftTransferData(
           is_purchase = n.isPurchase, price =
             if (n.isPurchase.contains(true)) n.price else None,
-          query_id = n.decoded.map(_.queryId.toString),
+          query_id = n.decoded.map(_.queryId.toString).orElse(n.oaQueryId),
           custom_payload = n.decoded.flatMap(_.customPayload),
-          forward_payload = n.decoded.flatMap(_.forwardPayload),
+          forward_payload = n.decoded.flatMap(_.forwardPayload)
+            .orElse(n.oaForwardPayload),
           forward_amount = n.decoded.map(d => BigDecimal(d.forwardAmount)),
           response_destination = n.decoded.flatMap(_.responseDestination),
           nft_item_index = n.itemIndex, marketplace = n.marketplace,

@@ -39,23 +39,33 @@ object TlbDecoders {
     * TeleitemBidInfo {bid:Coins bid_ts:uint32} — the fragment purchase
     * marker (messages/nft.py:7-33,57-74). */
   final case class OwnershipAssignedBody(
-      queryId: BigInt, prevOwner: Option[String], bid: Option[BigInt])
+      queryId: BigInt, prevOwner: Option[String], bid: Option[BigInt],
+      // the raw forward payload as a base64 BOC — the reference stores
+      // base64(payload.raw) on the fragment path (blocks/nft.py:330-331)
+      rawPayload: Option[String] = None)
 
   def nftOwnershipAssigned(bodyB64: String): OwnershipAssignedBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x05138d91L)
     val queryId = s.loadUint(64)
     val prevOwner = s.loadAddress()
-    val payload =
+    val payload: Option[Boc.Cell] =
       if (s.remainingBits < 1) None
-      else if (s.loadBit()) Some(s.loadRef().beginParse())
-      else Some(s)
-    val bid = payload.flatMap { p =>
+      else if (s.loadBit()) Some(s.loadRef())
+      else {
+        val b = new Boc.Builder()
+        while (s.remainingBits > 0) b.storeBit(s.loadBit())
+        while (s.remainingRefs > 0) b.storeRef(s.loadRef())
+        val c = b.build()
+        if (c.bitLen == 0 && c.refs.isEmpty) None else Some(c)
+      }
+    val bid = payload.map(_.beginParse()).flatMap { p =>
       if (p.remainingBits < 32) None
       else if (p.loadUint(32).toLong == 0x38127de1L) Some(p.loadCoins())
       else None
     }
-    OwnershipAssignedBody(queryId, prevOwner, bid)
+    OwnershipAssignedBody(queryId, prevOwner, bid,
+      payload.map(Boc.serializeBase64))
   }
 
   private def expectOpcode(s: Slice, op: Long): Unit = {

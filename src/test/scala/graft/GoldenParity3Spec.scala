@@ -451,6 +451,132 @@ class GoldenParity3Spec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------------
+  // nft.yaml — Fragment and auction purchases
+  // ----------------------------------------------------------------------
+
+  test("nft.yaml parity ('Fragment purchase'): bare ownership-assigned " +
+      "with TeleitemBidInfo — fragment marketplace, bid price, OA query " +
+      "id and raw forward payload; null forward_amount/response") {
+    val prevOwner = "0:" + "C2" * 32
+    val winner = "0:" + "DE" * 32
+    val item = "0:" + "64" * 32
+    val coll = "0:" + "80" * 32
+    val feeDst = "0:" + "11" * 32
+    // forward payload: teleitem_bid_info#38127de1 bid:Coins bid_ts:u32
+    val bidInfo = new Boc.Builder()
+      .storeUint(BigInt(0x38127de1L), 32)
+      .storeCoins(BigInt(111000000000L)).storeUint(BigInt(1700000000L), 32)
+      .build()
+    val oa = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x05138d91L), 32)
+      .storeUint(BigInt(42799341000003L), 64)
+      .storeAddress(Some(prevOwner))
+      .storeBit(true).storeRef(bidInfo).build())
+    val txs = Seq(tx("T1", item, 10), tx("T2", winner, 20),
+      tx("T3", feeDst, 30), tx("T4", prevOwner, 40))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", null, item, None).copy(source = None),
+        out("m2", item, winner, Some(Opcodes.NftOwnershipAssigned),
+          body = Some(oa), createdLt = 11),
+        out("m3", item, feeDst, Some(Opcodes.AuctionFillUp),
+          value = 5550000000L, createdLt = 12),
+        out("m4", item, prevOwner, Some(Opcodes.AuctionFillUp),
+          value = 105000000000L, createdLt = 13)),
+      "T2" -> Seq(in("m2", item, winner, Some(Opcodes.NftOwnershipAssigned),
+        body = Some(oa))),
+      "T3" -> Seq(in("m3", item, feeDst, Some(Opcodes.AuctionFillUp),
+        value = 5550000000L)),
+      "T4" -> Seq(in("m4", item, prevOwner, Some(Opcodes.AuctionFillUp),
+        value = 105000000000L)))
+    val a = Classifier.classify("gfr1", txs, msgs,
+      interfaces = Map(item -> "teleitem"),
+      nftItems = Map(item -> NftItemInfo(Some("3"), Some(coll))))
+      .find(_.`type` == "nft_transfer").get
+    assert(a.source.contains(prevOwner))
+    assert(a.destination.contains(winner))
+    assert(a.asset_secondary.contains(item))
+    assert(a.asset.contains(coll))
+    val d = a.nft_transfer_data.get
+    assert(d.query_id.contains("42799341000003"))
+    assert(d.is_purchase.contains(true))
+    assert(d.price.contains(BigDecimal(111000000000L)))
+    assert(d.forward_amount.isEmpty)
+    assert(d.custom_payload.isEmpty)
+    assert(d.forward_payload.contains(Boc.serializeBase64(bidInfo)))
+    assert(d.response_destination.isEmpty)
+    assert(d.marketplace.contains("fragment"))
+    assert(d.real_prev_owner.isEmpty)
+    // the action spans the bid leg, the OA and both fill-up payouts
+    assert(Set("T1", "T2", "T3", "T4").subsetOf(a.tx_hashes.toSet),
+      s"tx span: ${a.tx_hashes}")
+  }
+
+  test("nft.yaml parity ('Getgems auction purchase'): auction-dim row " +
+      "enriches the transfer — getgems marketplace, last-bid price, " +
+      "seller real_prev_owner and marketplace address") {
+    val auction = "0:" + "41" * 32
+    val winner = "0:" + "35" * 32
+    val item = "0:" + "14" * 32
+    val coll = "0:" + "5A" * 32
+    val seller = "0:" + "CF" * 32
+    val mp = "0:" + "58" * 32
+    val fwdPayload = new Boc.Builder()
+      .storeUint(BigInt(0x4cacb9cdL), 32).build()
+    val xfer = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x5fcc3d14L), 32)
+      .storeUint(BigInt(59258595000001L), 64)
+      .storeAddress(Some(winner))
+      .storeAddress(Some(seller)) // response_destination = the seller
+      .storeBit(false)
+      .storeCoins(BigInt(1))
+      .storeBit(true).storeRef(fwdPayload)
+      .build())
+    val txs = Seq(tx("T1", auction, 10), tx("T2", item, 20),
+      tx("T3", winner, 30), tx("T4", seller, 40))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", null, auction, None).copy(source = None),
+        out("m2", auction, item, Some(Opcodes.NftTransfer),
+          body = Some(xfer), createdLt = 11),
+        out("m3", auction, seller, None, value = 37100000000L,
+          createdLt = 12)),
+      "T2" -> Seq(
+        in("m2", auction, item, Some(Opcodes.NftTransfer),
+          body = Some(xfer)),
+        out("m4", item, winner, Some(Opcodes.NftOwnershipAssigned))),
+      "T3" -> Seq(in("m4", item, winner,
+        Some(Opcodes.NftOwnershipAssigned))),
+      "T4" -> Seq(in("m3", auction, seller, None, value = 37100000000L)))
+    val actions = Classifier.classify("gau1", txs, msgs,
+      interfaces = Map(
+        auction -> s"nft_auction|$seller|$mp|$item|37970000000"),
+      nftItems = Map(item -> NftItemInfo(Some("9"), Some(coll))))
+    val t = actions.find(_.`type` == "nft_transfer").get
+    assert(t.success)
+    assert(t.source.contains(auction))
+    assert(t.destination.contains(winner))
+    assert(t.asset_secondary.contains(item))
+    assert(t.asset.contains(coll))
+    val td = t.nft_transfer_data.get
+    assert(td.query_id.contains("59258595000001"))
+    assert(td.is_purchase.contains(true))
+    assert(td.price.contains(BigDecimal(37970000000L))) // the last bid
+    assert(td.forward_amount.contains(BigDecimal(1)))
+    assert(td.custom_payload.isEmpty)
+    assert(td.forward_payload.contains(Boc.serializeBase64(fwdPayload)))
+    assert(td.response_destination.contains(seller))
+    assert(td.marketplace.contains("getgems"))
+    assert(td.real_prev_owner.contains(seller))
+    assert(td.marketplace_address.contains(mp))
+    // accounts cover the auction, seller, item and winner ('Getgems
+    // auction purchase 2' pins the same four-way span)
+    val p = actions.find(_.`type` == "nft_purchase").get
+    for (acct <- Seq(auction, seller, item, winner))
+      assert(p.accounts.contains(acct), s"missing $acct in ${p.accounts}")
+  }
+
+  // ----------------------------------------------------------------------
   // Tonco deposit liquidity
   // ----------------------------------------------------------------------
 
@@ -758,5 +884,194 @@ class GoldenParity3Spec extends SparkSpec {
     assert(a.amount.contains(BigDecimal(17686745L)))
     assert(a.source_secondary.contains(poolWallet))
     assert(a.destination_secondary.contains(recipientWallet))
+  }
+
+  // ----------------------------------------------------------------------
+  // evaa.yaml — the remaining withdraw/supply variants
+  // ----------------------------------------------------------------------
+
+  private val evaaMaster = "0:" + "BC" * 32
+  private val evaaTonId = Opcodes.EvaaTonAssetId
+  private val evaaJettonId = BigInt(
+    "ca9006bd3fb03d355daeeff93b24be90afaa6e3ca0073ff5720f8a852c933278", 16)
+
+  private def evaaWithdrawMasterBody(assetId: BigInt, amount: BigInt,
+      recipient: String): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(2), 32).storeUint(BigInt(5), 64)
+      .storeUint(assetId, 256).storeUint(amount, 64)
+      .storeAddress(Some(recipient)).build())
+
+  private def evaaCollateralizedBody(owner: String, assetId: BigInt,
+      amount: Long): String =
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x211), 32).storeUint(BigInt(5), 64)
+      .storeAddress(Some(owner))
+      .storeUint(assetId, 256).storeUint(BigInt(amount), 64).build())
+
+  test("evaa.yaml parity ('Withdraw Ton'): successful native withdraw — " +
+      "null asset, TON-success payout leg and the collateralized amount") {
+    val user = "0:" + "F4" * 32
+    val uc = "0:" + "CE" * 32
+    val wm = evaaWithdrawMasterBody(evaaTonId, BigInt(417016017L), user)
+    val userCall = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x21), 32).storeUint(BigInt(5), 64)
+      .storeUint(evaaTonId, 256).storeUint(BigInt(417016017L), 64)
+      .storeUint(BigInt(0), 64).storeUint(BigInt(0), 64)
+      .storeAddress(Some(user)).build())
+    val coll = evaaCollateralizedBody(user, evaaTonId, 417016017L)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", evaaMaster, 30), tx("T4", user, 40), tx("T5", uc, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L), body = Some(userCall))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L), body = Some(userCall)),
+        out("m3", uc, evaaMaster, Some(0x211L), body = Some(coll))),
+      "T3" -> Seq(
+        in("m3", uc, evaaMaster, Some(0x211L), body = Some(coll)),
+        out("m4", evaaMaster, user, Some(0x211aL), value = 417016017L,
+          createdLt = 31),
+        out("m5", evaaMaster, uc, Some(0x211aL), createdLt = 32)),
+      "T4" -> Seq(in("m4", evaaMaster, user, Some(0x211aL),
+        value = 417016017L)),
+      "T5" -> Seq(in("m5", evaaMaster, uc, Some(0x211aL))))
+    val a = Classifier.classify("gev6", txs, msgs)
+      .find(_.`type` == "evaa_withdraw").get
+    assert(a.success)
+    assert(a.amount.contains(BigDecimal(417016017L)))
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.asset.isEmpty)
+    val d = a.evaa_withdraw_data.get
+    assert(d.master.contains(evaaMaster))
+    assert(d.is_ton.contains(true))
+    assert(d.recipient_jetton_wallet.isEmpty)
+    assert(d.master_jetton_wallet.isEmpty)
+  }
+
+  test("evaa.yaml parity ('Jetton supply (failed)'): supply-fail leg — " +
+      "success=false with wallet secondaries, master detail and the " +
+      "five-account span") {
+    val user = "0:" + "87" * 32
+    val userWallet = "0:" + "F8" * 32
+    val masterWallet = "0:" + "70" * 32
+    val uc = "0:" + "48" * 32
+    val jetton = "0:" + "72" * 32
+    val fwd = new Boc.Builder()
+      .storeUint(BigInt(1), 32).storeInt(BigInt(-1), 2)
+      .storeAddress(Some(user)).build()
+    val xfer = transferBody(5, 1500000000L, evaaMaster, user, 1,
+      forwardPayload = Some(fwd))
+    val userCall = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x11), 32).storeUint(BigInt(5), 64)
+      .storeUint(evaaJettonId, 256).storeUint(BigInt(1500000000L), 64)
+      .build())
+    val txs = Seq(tx("T1", userWallet, 10), tx("T2", masterWallet, 20),
+      tx("T3", evaaMaster, 30), tx("T4", uc, 40), tx("T5", evaaMaster, 50))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, userWallet, Some(Opcodes.JettonTransfer),
+          body = Some(xfer)),
+        out("m2", userWallet, masterWallet,
+          Some(Opcodes.JettonInternalTransfer))),
+      "T2" -> Seq(
+        in("m2", userWallet, masterWallet,
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", masterWallet, evaaMaster, Some(Opcodes.JettonNotify))),
+      "T3" -> Seq(
+        in("m3", masterWallet, evaaMaster, Some(Opcodes.JettonNotify)),
+        out("m4", evaaMaster, uc, Some(0x11L), body = Some(userCall))),
+      "T4" -> Seq(
+        in("m4", evaaMaster, uc, Some(0x11L), body = Some(userCall)),
+        out("m5", uc, evaaMaster, Some(0x11fL))),
+      "T5" -> Seq(in("m5", uc, evaaMaster, Some(0x11fL))))
+    val a = Classifier.classify("gev7", txs, msgs,
+      jettonWallets = Map(userWallet -> jetton))
+      .find(_.`type` == "evaa_supply").get
+    assert(!a.success)
+    assert(a.source.contains(user))
+    assert(a.source_secondary.contains(userWallet))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.amount.contains(BigDecimal(1500000000L)))
+    assert(a.asset.contains(jetton))
+    val d = a.evaa_supply_data.get
+    assert(d.master.contains(evaaMaster))
+    assert(d.recipient_jetton_wallet.contains(userWallet))
+    assert(d.master_jetton_wallet.contains(masterWallet))
+    assert(d.is_ton.contains(false))
+    assert(a.accounts.toSet ==
+      Set(evaaMaster, user, uc, masterWallet, userWallet),
+      s"accounts: ${a.accounts}")
+  }
+
+  test("evaa.yaml parity ('Jetton withdrawal " +
+      "(withdraw_not_collateralized_excess)'): 0x21e7 user-contract " +
+      "excess maps to the not-collateralized reason") {
+    val user = "0:" + "5A" * 32
+    val uc = "0:" + "C5" * 32
+    val wm = evaaWithdrawMasterBody(evaaJettonId, BigInt(20377210L), user)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", user, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L)),
+        out("m3", uc, user, Some(0x21e7L))),
+      "T3" -> Seq(in("m3", uc, user, Some(0x21e7L))))
+    val a = Classifier.classify("gev8", txs, msgs)
+      .find(_.`type` == "evaa_withdraw").get
+    assert(!a.success)
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.amount.contains(BigDecimal(20377210L)))
+    assert(a.asset.isEmpty)
+    val d = a.evaa_withdraw_data.get
+    assert(d.is_ton.contains(false))
+    assert(d.recipient_jetton_wallet.isEmpty)
+    assert(d.master_jetton_wallet.isEmpty)
+    assert(d.fail_reason.contains("withdraw_not_collateralized_excess"))
+    assert(d.master.contains(evaaMaster))
+    assert(d.asset_id.contains("0x" + evaaJettonId.toString(16)))
+  }
+
+  test("evaa.yaml parity ('Ton withdrawal " +
+      "(withdraw_missing_prices_excess)'): 0x21e8 excess with is_ton " +
+      "and the max-uint64 sentinel amount") {
+    val user = "0:" + "74" * 32
+    val uc = "0:" + "7D" * 32
+    val maxU64 = BigInt("18446744073709551615")
+    val wm = evaaWithdrawMasterBody(evaaTonId, maxU64, user)
+    val txs = Seq(tx("T1", evaaMaster, 10), tx("T2", uc, 20),
+      tx("T3", user, 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", user, evaaMaster, Some(2L), body = Some(wm)),
+        out("m2", evaaMaster, uc, Some(0x21L))),
+      "T2" -> Seq(
+        in("m2", evaaMaster, uc, Some(0x21L)),
+        out("m3", uc, user, Some(0x21e8L))),
+      "T3" -> Seq(in("m3", uc, user, Some(0x21e8L))))
+    val a = Classifier.classify("gev9", txs, msgs)
+      .find(_.`type` == "evaa_withdraw").get
+    assert(!a.success)
+    assert(a.source.contains(user))
+    assert(a.destination.contains(user))
+    assert(a.destination_secondary.contains(uc))
+    assert(a.amount.contains(BigDecimal(maxU64)))
+    assert(a.asset.isEmpty)
+    val d = a.evaa_withdraw_data.get
+    assert(d.is_ton.contains(true))
+    assert(d.recipient_jetton_wallet.isEmpty)
+    assert(d.master_jetton_wallet.isEmpty)
+    assert(d.fail_reason.contains("withdraw_missing_prices_excess"))
+    assert(d.master.contains(evaaMaster))
+    assert(d.asset_id.contains("0x" + evaaTonId.toString(16)))
   }
 }
