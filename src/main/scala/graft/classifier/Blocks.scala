@@ -26,13 +26,25 @@ sealed trait Block {
   /** is_ghost_block (core.py:132-134): any forged node makes the block a
     * ghost — an intended-but-never-started operation. */
   def isGhost: Boolean = nodes.exists(_.tx.hash.startsWith("ghost:"))
-  def minLt: Long = nodes.map(_.tx.lt).min
+  /** EventNode.get_lt (tree_utils.py:75-81): the in-message's created_lt
+    * when present (external-in and tick-tock fall back to the tx lt). The
+    * action's start_lt therefore begins at message CREATION, one or two
+    * lts before the consuming tx. */
+  private def nodeLt(n: TxNode): Long =
+    n.inMsg.flatMap(_.createdLt).getOrElse(n.tx.lt)
+  private def nodeUtime(n: TxNode): Long =
+    n.inMsg.filter(_.createdLt.nonEmpty).flatMap(_.createdAt)
+      .getOrElse(n.tx.now.toLong)
+  def minLt: Long = nodes.map(nodeLt).min
   def maxLt: Long = nodes.map(_.tx.lt).max
-  def minUtime: Long = nodes.map(_.tx.now.toLong).min
+  def minUtime: Long = nodes.map(nodeUtime).min
   def maxUtime: Long = nodes.map(_.tx.now.toLong).max
+  /** Root event node: min by get_lt (_calc_action_id,
+    * block_tree_serializer.py:99-108). */
+  def anchorNode: TxNode = nodes.minBy(nodeLt)
   /** Earliest in-message hash — seed for the deterministic action id. */
   def anchorMsgHash: String = {
-    val n = nodes.minBy(n => (n.tx.lt, n.tx.account))
+    val n = anchorNode
     n.inMsg.map(_.msgHash).getOrElse(n.tx.hash)
   }
   def bfs: Seq[Block] = {

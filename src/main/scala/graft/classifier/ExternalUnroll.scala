@@ -20,7 +20,11 @@ object ExternalUnroll {
 
   final case class GhostMsg(
       destination: Option[String], value: Long, opcode: Option[Long],
-      bounce: Boolean, body: Option[String] = None)
+      bounce: Boolean, body: Option[String] = None,
+      // base64 of the payload cell's representation hash — the reference
+      // keys ghost messages on it: msg_hash = b64((cellHashB64 + idx))
+      // (event_processing.py:166-167, externals.py:102)
+      cellHashB64: String = "")
 
   /** Parse a wallet external body; None if no known layout fits. Tries
     * the same ladder as the reference (messages/externals.py:140-158):
@@ -31,24 +35,26 @@ object ExternalUnroll {
       try Boc.parseBase64(bodyB64)
       catch { case scala.util.control.NonFatal(_) => return None }
 
+    // v3/v4 share the ghost-relevant shape: after the 608-bit header the
+    // payload messages ride the REFS; send-mode bits in the main slice
+    // are ignored, and a ref that fails the int_msg_info parse is
+    // SKIPPED, not fatal (the reference's PayloadMessage leaves
+    // info=None and init_from_external `continue`s —
+    // externals.py:63-101, event_processing.py:162-164). Because the v3
+    // constructor succeeds on any body with ≥608 bits, it also consumes
+    // v4 (op byte ignored) and even v5 bodies — v5's action list then
+    // parses as zero valid messages, matching the reference's ladder
+    // order exactly (externals.py:141-158).
     def v3or4(walletType: String): Option[(String, Seq[GhostMsg])] = try {
       val s = root.beginParse()
       if (s.remainingBits < 512 + 96) return None
       s.loadUint(512) // signature
       s.loadUint(32); s.loadUint(32); s.loadUint(32) // subwallet/valid/seqno
-      if (walletType == "v4") {
-        val op = s.loadUint(8) // v4 op byte: 0 = plain send
-        if (op != 0) return None
-      }
-      // layout validation — what disambiguates v3 from v4: after the
-      // fixed header the body must hold EXACTLY one send_mode byte per
-      // out-message ref. A v4 body tried under the v3 layout has 8 bits
-      // too many (the op byte) and is rejected here.
-      if (s.remainingBits != 8L * s.remainingRefs) return None
       val out = scala.collection.mutable.ArrayBuffer[GhostMsg]()
       while (s.remainingRefs > 0) {
-        s.loadUint(8) // per-message send_mode
-        out += parseMessageRelaxed(s.loadRef().beginParse())
+        val cell = s.loadRef()
+        try out += parseMessageRelaxed(cell)
+        catch { case scala.util.control.NonFatal(_) => () } // skip ref
       }
       if (out.isEmpty) None else Some((walletType, out.toSeq))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -70,7 +76,9 @@ object ExternalUnroll {
         if (ns.remainingBits == 0 && ns.remainingRefs < 2) cur = None
         else {
           val next = ns.loadRef()
-          out += parseMessageRelaxed(ns.loadRef().beginParse())
+          val cell = ns.loadRef()
+          try out += parseMessageRelaxed(cell)
+          catch { case scala.util.control.NonFatal(_) => () }
           cur = Some(next)
         }
       }
@@ -83,7 +91,8 @@ object ExternalUnroll {
   /** int_msg_info$0 ihr_disabled bounce bounced src:MsgAddress
     * dest:MsgAddress value:Coins ... body (opcode = first 32 bits of the
     * remaining body if present). */
-  private def parseMessageRelaxed(s: Slice): GhostMsg = {
+  private def parseMessageRelaxed(cell: Boc.Cell): GhostMsg = {
+    val s = cell.beginParse()
     val tag = s.loadBit()
     require(!tag, "only int_msg_info ghost messages supported")
     s.loadBit() // ihr_disabled
@@ -117,7 +126,8 @@ object ExternalUnroll {
       if (bs.remainingBits >= 32) Some(bs.loadUint(32).toLong) else None
     }
     GhostMsg(dest, value.toLong, opcode, bounce,
-      bodyCell.map(Boc.serializeBase64))
+      bodyCell.map(Boc.serializeBase64),
+      cellHashB64 = Boc.cellHashBase64(cell))
   }
 
   /** Forge child TxNodes from a wallet external root (ghost children get
@@ -127,10 +137,15 @@ object ExternalUnroll {
     if (root.children.nonEmpty || body.isEmpty) return None
     ghostMessages(body.get).map { case (_, ghosts) =>
       val children = ghosts.zipWithIndex.map { case (g, i) =>
-        val m = MsgLite(s"ghost:${root.tx.hash}:$i", "in",
+        // forged msg hash (keys the ghost action id): b64 of the payload
+        // cell-hash-b64 concatenated with the payload index, exactly as
+        // the reference builds it (event_processing.py:167)
+        val forgedHash = java.util.Base64.getEncoder.encodeToString(
+          (g.cellHashB64 + i.toString).getBytes("UTF-8"))
+        val m = MsgLite(forgedHash, "in",
           Some(root.tx.account), g.destination, g.value, g.opcode,
-          g.bounce, bounced = false, createdLt = Some(root.tx.lt + i + 1),
-          body = g.body)
+          g.bounce, bounced = false, createdLt = Some(root.tx.lt),
+          body = g.body, createdAt = Some(root.tx.now.toLong))
         // the reference's ghost EventNode wraps the REAL wallet tx and is
         // born failed (event_processing.py:186-191): account/lt mirror the
         // wallet tx; aborted=true makes the seeded block failed, and the

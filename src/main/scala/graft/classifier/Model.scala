@@ -19,7 +19,11 @@ case class MsgLite(
     // init_state_boc of the message that deployed the destination —
     // feeds the getgems get_sale_data/get_auction_data parse (reference
     // messages/getgems.py:64-119)
-    initState: Option[String] = None)
+    initState: Option[String] = None,
+    // unixtime the message was created — feeds the action start_utime
+    // (EventNode.get_utime, tree_utils.py:83-89); tx.now stands in when
+    // absent
+    createdAt: Option[Long] = None)
 
 /** Pre-joined nft_items dim row (the reference resolves these through
   * the interface repository at classify time, blocks/nft.py:54-75 — here

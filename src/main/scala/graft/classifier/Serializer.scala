@@ -388,12 +388,30 @@ object Serializer {
     "nft_update_sale", "tonco_deposit_liquidity")
 
   def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
+    // initiating-event-node map (core.py:130-147): the tx-tree parent of
+    // each node. The serializer extends every action with its initiating
+    // tx hash + account (block_tree_serializer.py:1469-1478).
+    val parentTx: Map[String, TxLite] = {
+      val m = Map.newBuilder[String, TxLite]
+      val seen = scala.collection.mutable.Set[String]()
+      def walkNode(n: TxNode): Unit =
+        if (seen.add(n.tx.hash))
+          n.children.foreach { c => m += (c.tx.hash -> n.tx); walkNode(c) }
+      root.bfs.foreach(_.nodes.foreach(walkNode))
+      m.result()
+    }
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
     def walk(b: Block, parent: Option[ActionRow], ancestors: List[String]): Unit = {
       if (b.btype == "root") { b.children.foreach(walk(_, parent, ancestors)); return }
       val emit = emittedTypes.contains(b.btype)
       val row = if (emit) {
-        val r = toRow(traceId, b, parent, ancestors)
+        val r0 = toRow(traceId, b, parent, ancestors)
+        val r = parentTx.get(b.anchorNode.tx.hash) match {
+          case Some(p) => r0.copy(
+            tx_hashes = (r0.tx_hashes :+ Ghost.realHash(p.hash)).distinct,
+            accounts = (r0.accounts :+ p.account).distinct)
+          case None => r0
+        }
         out += r
         Some(r)
       } else None

@@ -342,6 +342,37 @@ object Boc {
   def serializeBase64(root: Cell): String =
     Base64.getEncoder.encodeToString(serialize(root))
 
+  /** Cell depth: 0 for leaves, 1 + max child depth otherwise (public TON
+    * cell spec, tvm.pdf 3.1.4). */
+  def cellDepth(c: Cell): Int =
+    if (c.refs.isEmpty) 0 else 1 + c.refs.map(cellDepth).max
+
+  /** Standard (representation) hash of an ordinary cell: sha256 over
+    * d1 ∥ d2 ∥ data-with-completion-tag ∥ refs' depths (u16 BE) ∥ refs'
+    * hashes (public TON cell spec, tvm.pdf 3.1.5). The reference keys its
+    * ghost wallet-payload messages on this hash
+    * (messages/externals.py:102). */
+  def cellHash(c: Cell): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val dataBytes = (c.bitLen + 7) / 8
+    val d1 = c.refs.length
+    val d2 = (c.bitLen / 8) + dataBytes
+    val data = c.data.take(dataBytes).clone()
+    if (c.bitLen % 8 != 0)
+      data(dataBytes - 1) =
+        (data(dataBytes - 1) | (1 << (7 - (c.bitLen % 8)))).toByte
+    md.update(d1.toByte); md.update(d2.toByte); md.update(data)
+    c.refs.foreach { r =>
+      val d = cellDepth(r)
+      md.update(((d >> 8) & 0xff).toByte); md.update((d & 0xff).toByte)
+    }
+    c.refs.foreach(r => md.update(cellHash(r)))
+    md.digest()
+  }
+
+  def cellHashBase64(c: Cell): String =
+    Base64.getEncoder.encodeToString(cellHash(c))
+
   private def intToBytes(v: Int, n: Int): Array[Byte] =
     (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
 }

@@ -1023,39 +1023,68 @@ object ChainSim {
       (txsWithTrace, msgs)
     }
 
-  /** Per-action (account, asset, delta) rows: two-tx actions keep only
-    * their tail tx's deltas (the head is internally triggered —
-    * balances.go:322-339); ROOT purchases keep the external head, whose
-    * TEP-74 body moves `event_id` of the wallet's master to the decoded
-    * owner. Same-parity pairs collapse to a single zero-delta row —
-    * value moved and came straight back. */
+  /** Per-action (account, asset, delta) rows. Action tx_hashes carry the
+    * INITIATING tx (block_tree_serializer.py:1469-1478), and the balance
+    * walk drops the earliest tx only when it is internally triggered
+    * (balances.go:322-339). By construction that means: a pair/single
+    * action with an internal parent keeps ALL its member txs (the parent
+    * absorbs the exclusion); an action whose parent is the external root
+    * keeps the root too (root contributes no TON delta, but a root
+    * PURCHASE contributes its TEP-74 jetton rows); the trace-root action
+    * itself keeps everything (its earliest tx is external). Same-parity
+    * pairs collapse to a single zero-delta row. */
   val b16 = Q("b16_action_balance_changes",
     """WITH chained AS (
-      |  SELECT user_id, event_id, event_type,
+      |  SELECT user_id, event_id, event_type, value,
       |    min(event_id) OVER (PARTITION BY user_id) AS fid,
       |    lag(event_id) OVER w AS prev_id,
+      |    lag(event_type) OVER w AS prev_type,
       |    lead(event_type) OVER w AS next_type,
-      |    lead(event_id) OVER w AS next_id,
-      |    lead(value) OVER w AS next_val
+      |    lead(event_id) OVER w AS next_id
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
-      |pairs AS (
-      |  SELECT user_id, fid, event_id AS start_lt,
-      |    event_id AS head_id, next_id AS tail_id,
-      |    cast(trunc(next_val * 100) AS BIGINT) AS tail_v
-      |  FROM chained
-      |  WHERE (event_type = 'click' AND next_type = 'view')
-      |     OR (event_type = 'purchase' AND next_type = 'signup')),
+      |roles AS (
+      |  SELECT *,
+      |    CASE WHEN (event_type = 'click' AND next_type = 'view')
+      |           OR (event_type = 'purchase' AND next_type = 'signup')
+      |         THEN 'head'
+      |         WHEN (prev_type = 'click' AND event_type = 'view')
+      |           OR (prev_type = 'purchase' AND event_type = 'signup')
+      |         THEN 'tail'
+      |         ELSE 'single' END AS role
+      |  FROM chained),
+      |kept AS (
+      |  SELECT user_id, fid, event_id AS start_lt, event_id AS t,
+      |    prev_id AS t_prev, event_type AS t_type, value AS t_val
+      |  FROM roles WHERE role = 'head'
+      |  UNION ALL
+      |  SELECT user_id, fid, prev_id, event_id, prev_id, event_type, value
+      |  FROM roles WHERE role = 'tail'
+      |  UNION ALL
+      |  SELECT r.user_id, r.fid, r.event_id, p.event_id, p.prev_id,
+      |    p.event_type, p.value
+      |  FROM roles r JOIN roles p
+      |    ON p.user_id = r.user_id AND p.event_id = r.prev_id
+      |  WHERE r.role IN ('head', 'single') AND r.prev_id = r.fid
+      |  UNION ALL
+      |  SELECT user_id, fid, event_id, event_id, prev_id, event_type, value
+      |  FROM roles WHERE role = 'single'),
       |rows_ AS (
-      |  SELECT fid, start_lt, concat(tail_id % 2, ':', user_id) AS account,
-      |    'TON' AS asset, tail_v AS delta FROM pairs
+      |  SELECT fid, start_lt, concat(t % 2, ':', user_id) AS account,
+      |    'TON' AS asset, cast(trunc(t_val * 100) AS BIGINT) AS delta
+      |  FROM kept WHERE t_prev IS NOT NULL
       |  UNION ALL
-      |  SELECT fid, start_lt, concat(head_id % 2, ':', user_id),
-      |    'TON', -tail_v FROM pairs
+      |  SELECT fid, start_lt, concat(t_prev % 2, ':', user_id),
+      |    'TON', -cast(trunc(t_val * 100) AS BIGINT)
+      |  FROM kept WHERE t_prev IS NOT NULL
       |  UNION ALL
-      |  SELECT fid, event_id, concat('0:', lpad(hex(user_id), 64, '0')),
-      |    concat('0:', lpad(hex(user_id + 7000000), 64, '0')), event_id
-      |  FROM chained WHERE event_type = 'purchase' AND event_id = fid)
+      |  SELECT fid, start_lt, concat('0:', lpad(hex(user_id), 64, '0')),
+      |    concat('0:', lpad(hex(user_id + 7000000), 64, '0')), t
+      |  FROM kept WHERE t_type = 'purchase'
+      |  UNION ALL
+      |  SELECT fid, start_lt, concat(t_prev % 2, ':', user_id),
+      |    concat('0:', lpad(hex(user_id + 7000000), 64, '0')), -t
+      |  FROM kept WHERE t_type = 'purchase' AND t_prev IS NOT NULL)
       |SELECT concat('T', fid) AS trace_id, start_lt, account, asset,
       |  cast(sum(delta) AS BIGINT) AS delta
       |FROM rows_
