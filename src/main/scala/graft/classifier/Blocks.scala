@@ -105,7 +105,11 @@ case class JettonTransferBlock(
     decoded: Option[graft.functions.TlbDecoders.JettonTransferBody] = None,
     // repository-resolved master (or "TON"); wallet address stands in
     // downstream when absent
-    asset: Option[String] = None)
+    asset: Option[String] = None,
+    // false for pTON rewrites — the transfer executed directly, with no
+    // wallet→wallet internal_transfer leg (jettons.py:141 'has_internal_
+    // transfer'); v1 swap fills null their wallet columns off this flag
+    hasInternalTransfer: Boolean = true)
   extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

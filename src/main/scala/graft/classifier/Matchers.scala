@@ -532,11 +532,11 @@ object ProtocolMatchers {
     * survives as its own action (swaps.py:119-124). A non-ok exit code
     * marks the swap failed. Runs BEFORE the opcode-chain fallback, which
     * still covers traces without the surrounding transfers. */
-  object StonfiV1FullSwapMatcher extends BlockMatcher {
+  class StonfiV1FullSwap(resolveAsset: String => Option[String],
+      resolveOwner: String => Option[String]) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.StonfiSwap, Opcodes.StonfiPayment))
     private val Ok = 0xc64370e5L
-    private val OkRef = 0x45078540L
     private val SenderRelated = Set(Ok, 0x5ffe1295L, 0x38976e9bL)
     private def payments(b: Block): Seq[CallContractBlock] =
       b.children.flatMap {
@@ -558,16 +558,23 @@ object ProtocolMatchers {
           }
           if decoded.exists(d => SenderRelated(d._2.exitCode))
         } yield {
+          // reference selection (swaps.py:99-125): first sender-related
+          // payment seeds the out leg; a strictly larger one demotes the
+          // previous to referral; ok-ref payments stay unconsumed
           var outAmt: Option[BigInt] = None
           var outNode: Option[CallContractBlock] = None
+          var outAddrPayment: Option[String] = None
           var success = false
           decoded.foreach { case (node, pr) =>
             val amount =
               if (pr.amount0Out > 0) pr.amount0Out else pr.amount1Out
+            val addr =
+              if (pr.amount0Out > 0) pr.token0Out else pr.token1Out
             if (SenderRelated(pr.exitCode)) {
               success = pr.exitCode == Ok
               if (outAmt.forall(_ < amount)) {
                 outAmt = Some(amount); outNode = Some(node)
+                outAddrPayment = addr
               }
             }
           }
@@ -577,28 +584,72 @@ object ProtocolMatchers {
           val senderPayments = decoded.collect {
             case (n, pr) if SenderRelated(pr.exitCode) => n: Block
           }
-          val consumed = Matching.identityDistinct(
-            Seq[Block](jt, swapCall) ++ senderPayments ++ outTransfer.toSeq)
-          val sender = msg.fromRealUser.orElse(jt.sender)
-          outTransfer match {
-            case Some(out) =>
-              (JettonSwapBlock("stonfi", sender, jt.receiver, jt, out,
-                failed = !success, consumed.flatMap(_.nodes), Nil), consumed)
-            case None =>
-              // TON payout leg: no out jetton transfer to merge — the
-              // proto shape keeps the swap typed with the true sender
-              (ProtocolOpBlock("jetton_swap",
-                source = sender, destination = jt.receiver,
-                asset = jt.asset.orElse(Some(jt.senderWallet)),
-                value = Some(jt.amount),
-                failed = !success,
-                nodes = consumed.flatMap(_.nodes), children = Nil,
-                dex = Some("stonfi")), consumed)
+          // include_excess on every chain matcher (basic_matchers.py:44-56):
+          // excess/bounce children of each consumed call ride along
+          val core: Seq[Block] =
+            Seq[Block](jt, swapCall) ++ senderPayments ++ outTransfer.toSeq
+          val excessKids = core.flatMap(_.children).collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.Excesses) ||
+                Opcodes.matches(e.opcode, Opcodes.Bounce) => e: Block
           }
+          val consumed = Matching.identityDistinct(core ++ excessKids)
+          // asset resolution (swaps.py:128-142): the payment's token
+          // wallet is the ACTUAL out wallet; the in-transfer's forward-
+          // payload swap body (when present) names the INTENDED out
+          // wallet — destination_secondary and the target asset
+          val swapPayload = jt.decoded.flatMap(_.forwardPayload)
+            .flatMap(safeDecode(TlbDecoders.stonfiSwapPayload))
+          val outAddr = if (swapPayload.isDefined)
+            swapPayload.flatMap(_.jettonWallet) else outAddrPayment
+          val actualOutJetton = outAddrPayment.flatMap(resolveAsset)
+          val outJetton = outAddr.flatMap(resolveAsset)
+          val inJetton = msg.tokenWallet.flatMap(resolveAsset)
+          val incoming = DexTransferData(
+            amount = Some(BigDecimal(msg.amount)),
+            asset = inJetton,
+            source = msg.fromRealUser,
+            destination = msg.tokenWallet.flatMap(resolveOwner),
+            source_jetton_wallet =
+              if (jt.hasInternalTransfer) Some(jt.senderWallet) else None,
+            destination_jetton_wallet = msg.tokenWallet)
+          val (outDest, outDestWallet) = outTransfer match {
+            case Some(o) if o.hasInternalTransfer &&
+                o.receiverWallet.nonEmpty => (o.receiver, o.receiverWallet)
+            case _ => swapPayload.flatMap(_.userAddress) match {
+              case u @ Some(_) => (u, None)
+              case None => (msg.fromUser, None)
+            }
+          }
+          val outgoing = DexTransferData(
+            amount = outAmt.map(BigDecimal(_)),
+            asset = actualOutJetton,
+            source = outTransfer.flatMap(_.sender),
+            destination = outDest,
+            source_jetton_wallet = outTransfer.collect {
+              case o if o.hasInternalTransfer => o.senderWallet },
+            destination_jetton_wallet = outDestWallet)
+          val data = JettonSwapData("stonfi", msg.fromRealUser,
+            Some(incoming), Some(outgoing), Nil, None)
+          (JettonSwapDirectBlock(data,
+            source = incoming.source,
+            destination = outgoing.destination,
+            asset = incoming.asset,
+            asset2 = outJetton.orElse(actualOutJetton),
+            sourceSecondary = incoming.source_jetton_wallet,
+            // destination_wallet override (serializer:383-384): the out
+            // wallet address, which is essentially always known
+            destinationSecondary =
+              outAddr.orElse(outgoing.destination_jetton_wallet),
+            failed = !success,
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
         }
       case _ => None
     }
   }
+
+  object StonfiV1FullSwapMatcher
+    extends StonfiV1FullSwap(_ => None, _ => None)
 
   /** StonFi v1 swap: swap 0x25938561 into the pool MUST produce a payment
     * request 0xf93bb43f back to the router (blocks/swaps.py stonfi
@@ -996,15 +1047,22 @@ object ProtocolMatchers {
     * gated on the destination ('pton_wallet' in the broadcast map,
     * standing in for the reference's jetton-wallet repository + pTON
     * master allowlist); the optional notify child is consumed. */
-  final class PTonTransferMatcher(interfaces: Map[String, String])
+  final class PTonTransferMatcher(interfaces: Map[String, String],
+      resolveAsset: String => Option[String] = _ => None)
       extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.JettonTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock
-        if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) &&
-          c.node.inMsg.flatMap(_.destination)
-            .exists(d => interfaces.get(d).contains("pton_wallet")) =>
+        if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) && {
+          val dest = c.node.inMsg.flatMap(_.destination)
+          // the reference gate is repository-driven: the wallet's master
+          // must be a pTON wrapper (jettons.py:131-135); the interface
+          // map's 'pton_wallet' tag stands in when no dim is bound
+          dest.exists(d => interfaces.get(d).contains("pton_wallet") ||
+            resolveAsset(d).exists(PtonMasters.contains))
+        } =>
+        val dest = c.node.inMsg.flatMap(_.destination)
         val notify = c.children.collectFirst {
           case nc: CallContractBlock
             if Opcodes.matches(nc.opcode, Opcodes.JettonNotify) => nc
@@ -1016,14 +1074,17 @@ object ProtocolMatchers {
         val consumed: Seq[Block] = (c: Block) +: notify.toSeq
         Some((JettonTransferBlock(
           sender = c.node.inMsg.flatMap(_.source),
-          senderWallet = c.node.inMsg.flatMap(_.destination)
-            .getOrElse(c.node.tx.account),
+          senderWallet = dest.getOrElse(c.node.tx.account),
           receiver = decoded.flatMap(_.destination), receiverWallet = None,
           amount = decoded.map(d => BigDecimal(d.amount))
             .getOrElse(BigDecimal(0)),
           comment = decoded.flatMap(_.comment),
           failed = c.failed, nodes = consumed.flatMap(_.nodes),
-          children = Nil, decoded = decoded), consumed))
+          children = Nil, decoded = decoded,
+          // reference data: asset = the pTON MASTER, wallets None,
+          // has_internal_transfer False (jettons.py:139-148)
+          asset = dest.flatMap(resolveAsset),
+          hasInternalTransfer = false), consumed))
       case _ => None
     }
   }
@@ -1417,38 +1478,165 @@ object ProtocolMatchers {
   val UnsubscribeMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.WalletPluginDestruct, None, Set.empty, protoBlock("unsubscribe"))
 
-  /** DeDust liquidity deposit: TON-to-vault 0xd55e4686 with the deposit
-    * contract deploy/top-up/pool chain (messages/liquidity.py:18-74;
-    * action type 'dex_deposit_liquidity'). */
-  val DedustDepositLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.DedustDepositTonToVault, None,
-    Set(Opcodes.DedustAskLiquidityFactory, Opcodes.DedustDeployDepositContract,
-      Opcodes.DedustTopUpDepositContract,
-      Opcodes.DedustDepositToPool, Opcodes.Excesses),
-    (c, consumed) => protoBlock("dex_deposit_liquidity")(c, consumed) match {
-      case p: ProtocolOpBlock =>
-        // TON leg: the vault call's value IS the deposited amount
-        // (_fill_dedust_deposit_liquidity_action asset_1/amount_1,
-        // block_tree_serializer.py:611-614); the deposit contract is the
-        // deploy/top-up target (destination_secondary, :604)
-        val depositContract = consumed.collectFirst {
-          case cc: CallContractBlock
-            if Opcodes.matches(cc.opcode, Opcodes.DedustDeployDepositContract) ||
-              Opcodes.matches(cc.opcode, Opcodes.DedustTopUpDepositContract) =>
-            cc.node.tx.account
+  /** Shared DeDust deposit-leg walk: anchor (TON-to-vault call or the
+    * rewritten jetton transfer) → factory ask 0xf04ec526 → deploy/top-up
+    * on the deposit contract (+ the raw ContractDeploy) → optionally the
+    * deposit-to-pool call that only the FINAL leg produces
+    * (blocks/liquidity.py:297-412 parent chain read downward). */
+  private def dedustDepositChain(b: Block)
+      : Option[(CallContractBlock, Seq[Block], Option[CallContractBlock])] = {
+    val askOpt = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.DedustDepositTonToVault) =>
+        c.children.collectFirst {
+          case a: CallContractBlock
+            if Opcodes.matches(a.opcode, Opcodes.DedustAskLiquidityFactory) => a
         }
-        p.copy(dex = Some("dedust"),
-          destinationSecondary = depositContract,
-          depositLiquidity = Some(DexDepositLiquidityData(
-            dex = Some("dedust"),
-            amount1 = p.value, amount2 = None,
-            asset1 = Some("TON"), asset2 = None,
-            user_jetton_wallet_1 = None, user_jetton_wallet_2 = None,
-            lp_tokens_minted = None,
-            target_asset_1 = None, target_asset_2 = None,
-            target_amount_1 = None, target_amount_2 = None)))
-      case other => other
-    })
+      case jt: JettonTransferBlock =>
+        jt.children.collectFirst {
+          case a: CallContractBlock
+            if Opcodes.matches(a.opcode, Opcodes.DedustAskLiquidityFactory) => a
+        }
+      case _ => None
+    }
+    askOpt.map { ask =>
+      val legs = ask.children.collect {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.DedustDeployDepositContract) ||
+            Opcodes.matches(c.opcode, Opcodes.DedustTopUpDepositContract) => c: Block
+        case d: ContractDeployBlock => d: Block
+      }
+      val poolCall = legs.flatMap(_.children).collectFirst {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.DedustDepositToPool) => c
+      }
+      (ask, legs, poolCall)
+    }
+  }
+
+  /** The vault-excess payouts hanging under a rejection/destroy chain:
+    * return-excess 0x6b0b787f on the vault, whose children are DeDust
+    * payouts (TON, the message value) or jetton transfers back to the
+    * sender (_get_provision_data excess scan,
+    * blocks/liquidity.py:185-196 — TON entries first). */
+  private def dedustVaultExcesses(roots: Seq[Block], sender: Option[String])
+      : (Seq[Block], Seq[LiquidityVaultExcess]) = {
+    val returnCalls = roots.flatMap(_.bfs).collect {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.DedustReturnExcessFromVault) => c
+    }
+    val tonEx = returnCalls.flatMap(_.children).collect {
+      case p: CallContractBlock
+        if Opcodes.matches(p.opcode, Opcodes.DedustPayout) &&
+          p.node.inMsg.flatMap(_.destination) == sender =>
+        (p: Block, LiquidityVaultExcess(None,
+          p.node.inMsg.map(m => BigDecimal(m.value))))
+    }
+    val jetEx = returnCalls.flatMap(_.children).collect {
+      case j: JettonTransferBlock if j.receiver == sender =>
+        (j: Block, LiquidityVaultExcess(
+          j.asset.filter(_ != "TON").orElse(Some(j.senderWallet)),
+          Some(j.amount)))
+    }
+    ((returnCalls: Seq[Block]) ++ tonEx.map(_._1) ++ jetEx.map(_._1),
+      tonEx.map(_._2) ++ jetEx.map(_._2))
+  }
+
+  /** DeDust FINAL deposit (DedustDepositBlockMatcher,
+    * blocks/liquidity.py:297-412 + _get_provision_data:110-216): the leg
+    * whose top-up triggered deposit-to-pool. Consumes the pool's LP
+    * internal-transfer (success) or rejection 0xe1a36cd4, the
+    * destroy/excess tail, and fills the full provision data. */
+  final class DedustDepositFinal(resolveAsset: String => Option[String])
+      extends BlockMatcher {
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.DedustAskLiquidityFactory))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = for {
+      (ask, legs, Some(poolCall)) <- dedustDepositChain(b)
+      poolBody <- poolCall.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.dedustDepositToPool))
+    } yield {
+      val sender = poolBody.owner
+      val depositContract = poolCall.node.inMsg.flatMap(_.source)
+      val pool = poolCall.node.inMsg.flatMap(_.destination)
+      // LP mint leg (success) — raw internal transfer call or the
+      // already-rewritten jetton_mint — or the rejection call
+      val lpLeg: Option[(Block, Option[BigDecimal])] =
+        poolCall.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.JettonInternalTransfer) =>
+            (c: Block, c.node.inMsg.flatMap(_.body)
+              .flatMap(safeDecode(TlbDecoders.jettonInternalTransfer))
+              .map(d => BigDecimal(d.amount)))
+          case m: JettonMintBlock => (m: Block, Some(m.amount))
+        }
+      val rejection = poolCall.children.collectFirst {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.DedustRejectDeposit) => c
+      }
+      // 'No LP transfer or rejection' aborts the build in the reference
+      // (liquidity.py:126) — the leg then stays unclassified
+      if (lpLeg.isEmpty && rejection.isEmpty) return None
+      val destroy = poolCall.children.collectFirst {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.DedustDestroyDepositContract) => c
+      }
+      // second (triggering) leg: asset + amount
+      val (actualAsset, actualAmount, userWallet1) = b match {
+        case c: CallContractBlock =>
+          val dec = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.dedustDepositTonToVault))
+          (None, dec.flatMap(_.amount).map(BigDecimal(_)), None)
+        case jt: JettonTransferBlock =>
+          (jt.asset.filter(_ != "TON").orElse(resolveAsset(jt.senderWallet)),
+            Some(jt.amount),
+            if (jt.sender == sender) Some(jt.senderWallet) else None)
+        case _ => (None, None, None)
+      }
+      val excessRoots = rejection.toSeq ++ destroy.toSeq
+      val (excessBlocks, excesses) = dedustVaultExcesses(excessRoots, sender)
+      // refund ton_transfer directly under the rejection OR the destroy
+      // (liquidity.py:306-329: the `excesses` children list — headed by
+      // 'BlockTypeMatcher(ton_transfer, optional)' — applies to both)
+      val rejectionRefunds =
+        (rejection.toSeq ++ destroy.toSeq).flatMap(_.children).collect {
+          case t: TonTransferBlock => t: Block
+        }
+      val lpNotify = lpLeg.map(_._1).toSeq.flatMap(_.children).collect {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.JettonNotify) ||
+            Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
+      }
+      val consumed = Matching.identityDistinct(
+        Seq[Block](b, ask) ++ legs ++ Seq(poolCall) ++
+          lpLeg.map(_._1).toSeq ++ lpNotify ++ rejection.toSeq ++
+          rejectionRefunds ++ destroy.toSeq ++ excessBlocks)
+      val lpTokens = lpLeg.flatMap(_._2)
+      val success = lpLeg.nonEmpty
+      def tgt(a: String): Option[String] = Some(a).filter(_ != "TON")
+      (ProtocolOpBlock("dex_deposit_liquidity",
+        source = sender, destination = pool,
+        asset = None, value = None,
+        failed = !success,
+        nodes = consumed.flatMap(_.nodes), children = Nil,
+        dex = Some("dedust"),
+        destinationSecondary = depositContract,
+        depositLiquidity = Some(DexDepositLiquidityData(
+          dex = Some("dedust"),
+          amount1 = actualAmount, amount2 = None,
+          asset1 = actualAsset, asset2 = None,
+          user_jetton_wallet_1 = userWallet1, user_jetton_wallet_2 = None,
+          lp_tokens_minted = lpTokens,
+          target_asset_1 = tgt(poolBody.asset0),
+          target_asset_2 = tgt(poolBody.asset1),
+          target_amount_1 = Some(BigDecimal(poolBody.asset0Amount)),
+          target_amount_2 = Some(BigDecimal(poolBody.asset1Amount)),
+          vault_excesses = excesses))), consumed)
+    }
+  }
+
+  val DedustDepositLiquidityMatcher: BlockMatcher =
+    new DedustDepositFinal(_ => None)
 
   /** DeDust FIRST-asset deposit, jetton side: the wallet-chain notify
     * reaches the factory ask 0xf04ec526 which deploys/tops-up the
@@ -1460,56 +1648,67 @@ object ProtocolMatchers {
       extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.DedustAskLiquidityFactory))
-    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case jt: JettonTransferBlock =>
-        jt.children.collectFirst {
-          case a: CallContractBlock
-            if Opcodes.matches(a.opcode, Opcodes.DedustAskLiquidityFactory) => a
-        }.map { ask =>
-          val tail = ask.children.collect {
-            case c: CallContractBlock
-              if Opcodes.matches(c.opcode, Opcodes.DedustDeployDepositContract) ||
-                Opcodes.matches(c.opcode, Opcodes.DedustTopUpDepositContract) ||
-                Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
-            case d: ContractDeployBlock => d: Block
-          }
-          val nested = tail.flatMap(_.children).collect {
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] =
+      dedustDepositChain(b) match {
+        // the FIRST leg stops at the deposit contract (no pool call —
+        // DedustDepositFirstAssetBlockMatcher raises on one,
+        // blocks/liquidity.py:237-243)
+        case Some((ask, legs, None)) =>
+          val nested = legs.flatMap(_.children).collect {
             case c: CallContractBlock
               if Opcodes.matches(c.opcode, Opcodes.DedustTopUpDepositContract) ||
                 Opcodes.matches(c.opcode, Opcodes.Excesses) => c: Block
             case d: ContractDeployBlock => d: Block
           }
           val consumed: Seq[Block] =
-            Matching.identityDistinct(Seq(jt, ask) ++ tail ++ nested)
-          val depositContract = (tail ++ nested).collectFirst {
+            Matching.identityDistinct(Seq(b, ask) ++ legs ++ nested)
+          val depositContract = (legs ++ nested).collectFirst {
             case cc: CallContractBlock
               if Opcodes.matches(cc.opcode, Opcodes.DedustDeployDepositContract) ||
                 Opcodes.matches(cc.opcode, Opcodes.DedustTopUpDepositContract) =>
               cc.node.tx.account
           }
-          (ProtocolOpBlock("dex_deposit_liquidity",
-            source = jt.sender,
-            destination = ask.node.inMsg.flatMap(_.destination),
-            asset = Some(jt.senderWallet), value = Some(jt.amount),
-            failed = consumed.exists(_.failed),
+          // leg data (_get_deposit_one_data, liquidity.py:218-295): TON
+          // leg decodes the vault call; jetton leg reads the transfer +
+          // its forward payload
+          val (sender, asset1, amount1, wallet1, params) = b match {
+            case c: CallContractBlock =>
+              val dec = c.node.inMsg.flatMap(_.body)
+                .flatMap(safeDecode(TlbDecoders.dedustDepositTonToVault))
+              (c.node.inMsg.flatMap(_.source), None,
+                dec.flatMap(_.amount).map(BigDecimal(_)), None, dec)
+            case jt: JettonTransferBlock =>
+              val fwd = jt.decoded.flatMap(_.forwardPayload)
+                .flatMap(safeDecode(TlbDecoders.dedustDepositJettonFwd))
+              (jt.sender,
+                jt.asset.filter(_ != "TON")
+                  .orElse(resolveAsset(jt.senderWallet)),
+                Some(jt.amount), Some(jt.senderWallet), fwd)
+            case _ => (None, None, None, None, None)
+          }
+          def tgt(a: String): Option[String] = Some(a).filter(_ != "TON")
+          Some((ProtocolOpBlock("dex_deposit_liquidity",
+            source = sender,
+            destination = None,
+            asset = None, value = amount1,
+            failed = false,
             nodes = consumed.flatMap(_.nodes), children = Nil,
             dex = Some("dedust"),
             destinationSecondary = depositContract,
-            // jetton leg (asset_1 slot of the PARTIAL fill,
-            // block_tree_serializer.py:627-645); asset identity needs
-            // the jetton-wallet repository — the user wallet is recorded
             depositLiquidity = Some(DexDepositLiquidityData(
               dex = Some("dedust"),
-              amount1 = Some(jt.amount), amount2 = None,
-              asset1 = resolveAsset(jt.senderWallet), asset2 = None,
-              user_jetton_wallet_1 = Some(jt.senderWallet),
+              amount1 = amount1, amount2 = None,
+              asset1 = asset1, asset2 = None,
+              user_jetton_wallet_1 = wallet1,
               user_jetton_wallet_2 = None,
               lp_tokens_minted = None,
-              target_asset_1 = None, target_asset_2 = None,
-              target_amount_1 = None, target_amount_2 = None))), consumed)
-        }
-      case _ => None
-    }
+              target_asset_1 = params.map(_.asset0).filter(_ != "TON"),
+              target_asset_2 = params.map(_.asset1).filter(_ != "TON"),
+              target_amount_1 = params.map(p => BigDecimal(p.asset0Target)),
+              target_amount_2 = params.map(p => BigDecimal(p.asset1Target))))),
+            consumed))
+        case _ => None
+      }
   }
 
   /** Repository-less DeDust first-asset deposit (asset unresolved). */
@@ -4576,20 +4775,63 @@ object ProtocolMatchers {
     if (merges.isEmpty) return root
     val dropped = new java.util.IdentityHashMap[Block, Boolean]()
     val replaced = new java.util.IdentityHashMap[Block, Block]()
+    // the partial's INITIATING node joins the merged node set when it
+    // differs from the final's (liquidity.py:500-502) — tx_hashes and
+    // min_lt then span the first leg's wallet call too
+    val parentOf: Map[String, TxNode] = {
+      val mb = Map.newBuilder[String, TxNode]
+      val seen = scala.collection.mutable.Set[String]()
+      def walkNode(n: TxNode): Unit =
+        if (seen.add(n.tx.hash))
+          n.children.foreach { c => mb += (c.tx.hash -> n); walkNode(c) }
+      root.bfs.foreach(_.nodes.foreach(walkNode))
+      mb.result()
+    }
     merges.foreach { case (par, fin) =>
       dropped.put(par, true)
-      val mergedNodes = (fin.nodes ++ par.nodes)
+      val parInitiating = parentOf.get(par.anchorNode.tx.hash)
+      val finInitiating = parentOf.get(fin.anchorNode.tx.hash)
+      val extraInit = parInitiating
+        .filter(p => finInitiating.forall(_.tx.hash != p.tx.hash)).toSeq
+      val mergedNodes = (fin.nodes ++ par.nodes ++ extraInit)
         .foldLeft(Vector.empty[TxNode]) { (acc, n) =>
           if (acc.exists(_.tx.hash == n.tx.hash)) acc else acc :+ n
         }
-      // the partial's asset slides into the final's second slot
-      // (post_process_dedust_liquidity keeps one action carrying both
-      // legs' amounts, liquidity.py:493-505)
+      // combine_deposits (liquidity.py:510-560): the FIRST deposit's
+      // assets take the leading slots; a final-leg asset equal to a
+      // first-leg one merges by amount sum; target assets reorder to the
+      // combined tuple order while target AMOUNTS stay the final's.
       val mergedDetail = (fin.depositLiquidity, par.depositLiquidity) match {
-        case (Some(f), Some(pd)) => Some(f.copy(
-          amount2 = pd.amount1, asset2 = pd.asset1,
-          user_jetton_wallet_2 = pd.user_jetton_wallet_1,
-          lp_tokens_minted = f.lp_tokens_minted.orElse(pd.lp_tokens_minted)))
+        case (Some(f), Some(pd)) =>
+          var tuples = Vector.empty[(Option[String], Option[BigDecimal], Option[String])]
+          def addLeg(asset: Option[String], amount: Option[BigDecimal],
+              wallet: Option[String], fromFinal: Boolean): Unit =
+            if (amount.nonEmpty || asset.nonEmpty) {
+              tuples.indexWhere(_._1 == asset) match {
+                case i if i >= 0 && fromFinal =>
+                  val (a, am, w) = tuples(i)
+                  tuples = tuples.updated(i, (a,
+                    Some(am.getOrElse(BigDecimal(0)) +
+                      amount.getOrElse(BigDecimal(0))),
+                    wallet.orElse(w)))
+                case _ =>
+                  tuples = tuples :+ ((asset, amount, wallet))
+              }
+            }
+          addLeg(pd.asset1, pd.amount1, pd.user_jetton_wallet_1, fromFinal = false)
+          addLeg(pd.asset2, pd.amount2, pd.user_jetton_wallet_2, fromFinal = false)
+          addLeg(f.asset1, f.amount1, f.user_jetton_wallet_1, fromFinal = true)
+          addLeg(f.asset2, f.amount2, f.user_jetton_wallet_2, fromFinal = true)
+          val t1 = tuples.lift(0)
+          val t2 = tuples.lift(1)
+          Some(f.copy(
+            asset1 = t1.flatMap(_._1), amount1 = t1.flatMap(_._2),
+            user_jetton_wallet_1 = t1.flatMap(_._3),
+            asset2 = t2.flatMap(_._1), amount2 = t2.flatMap(_._2),
+            user_jetton_wallet_2 = t2.flatMap(_._3),
+            target_asset_1 = t1.flatMap(_._1),
+            target_asset_2 = t2.flatMap(_._1),
+            lp_tokens_minted = f.lp_tokens_minted))
         case (f, pd) => f.orElse(pd)
       }
       replaced.put(fin, fin.copy(nodes = mergedNodes,
@@ -4628,6 +4870,14 @@ object ProtocolMatchers {
       Some(jettonWallets).filter(_.nonEmpty),
       Some(nftItems).filter(_.nonEmpty))
 
+  def registryWith(interfaces: Map[String, String],
+      jettonWallets: Map[String, String],
+      nftItems: Map[String, NftItemInfo],
+      walletOwners: Map[String, String]): Seq[BlockMatcher] =
+    registryForDims(Some(interfaces).filter(_.nonEmpty),
+      Some(jettonWallets).filter(_.nonEmpty),
+      Some(nftItems).filter(_.nonEmpty), walletOwners)
+
   /** Registry for the DataFrame-dims classify path (ClassifyJob cogroup):
     * a PROVIDED dim (`Some`, even with an empty per-trace map) binds its
     * resolver variant, so a trace with no dim hits behaves exactly like
@@ -4635,11 +4885,13 @@ object ProtocolMatchers {
     * keeps the plain matcher. */
   def registryForDims(interfaces: Option[Map[String, String]],
       jettonWallets: Option[Map[String, String]],
-      nftItems: Option[Map[String, NftItemInfo]]): Seq[BlockMatcher] = {
+      nftItems: Option[Map[String, NftItemInfo]],
+      walletOwners: Map[String, String] = Map.empty): Seq[BlockMatcher] = {
     val base = jettonWallets match {
       case None => registry
       case Some(jw) =>
         val resolve = assetResolver(jw)
+        val owner = (w: String) => walletOwners.get(w)
         registry.map {
           case m if m eq JettonTransferMatcher =>
             new JettonTransferResolvedMatcher(resolve)
@@ -4647,11 +4899,19 @@ object ProtocolMatchers {
             new JettonBurnResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
           case m if m eq StonfiV2FullSwapMatcher => new StonfiV2FullSwap(resolve)
+          case m if m eq StonfiV1FullSwapMatcher =>
+            // v1 resolves RAW masters — a pTON wrapper stays the wrapper
+            // master (swaps.py:128-136 uses wallet.jetton directly; the
+            // expected out asset of a Jetton→TON v1 swap IS the pTON
+            // master, stonfi-swaps.yaml)
+            new StonfiV1FullSwap(w => jw.get(w), owner)
           case m if m eq ToncoFullSwapMatcher => new ToncoFullSwap(resolve)
           case m if m eq StonfiV2WithdrawLiquidityMatcher =>
             new StonfiV2WithdrawMatcher(resolve)
           case m if m eq DedustDepositFirstAssetMatcher =>
             new DedustFirstAssetMatcher(resolve)
+          case m if m eq DedustDepositLiquidityMatcher =>
+            new DedustDepositFinal(resolve)
           case m if m eq ToncoDepositLiquidityMatcher =>
             new ToncoDepositLiquidityFull(resolve)
           case m => m
@@ -4664,8 +4924,15 @@ object ProtocolMatchers {
         case m => m
       }
     }
+    val resolveOpt: String => Option[String] =
+      w => jettonWallets.flatMap(_.get(w))
     interfaces match {
-      case None => withNft
+      case None =>
+        if (jettonWallets.isEmpty) withNft
+        // repository-only gating (no interface rows): the pTON rewrite
+        // still applies — its reference gate is purely the jetton-wallet
+        // repository (jettons.py:131-135)
+        else splicePton(withNft, new PTonTransferMatcher(Map.empty, resolveOpt))
       case Some(ifc) =>
         // in-place swaps: matchers whose ANCHOR the interface refines
         // must be replaced (an appended variant would never fire — the
@@ -4679,14 +4946,28 @@ object ProtocolMatchers {
               "jvault_unstake_request", ifc)
           case m => m
         }
-        registryGated(bound, ifc, nftItems.getOrElse(Map.empty))
+        registryGated(bound, ifc, nftItems.getOrElse(Map.empty), resolveOpt)
     }
   }
 
+  /** Splice the pTON rewrite DIRECTLY AFTER the jetton-transfer matcher
+    * — the reference runs PTonTransferMatcher at that position
+    * (event_processing.py:224-225), and the v1/tonco swap matchers that
+    * follow rely on the rewritten TON legs. */
+  private def splicePton(ms: Seq[BlockMatcher],
+      pton: BlockMatcher): Seq[BlockMatcher] =
+    ms.flatMap {
+      case m: JettonTransferResolvedMatcher => Seq(m, pton)
+      case m if m eq JettonTransferMatcher => Seq(m, pton)
+      case m => Seq(m)
+    }
+
   private def registryGated(withNft: Seq[BlockMatcher],
       interfaces: Map[String, String],
-      nftItems: Map[String, NftItemInfo]): Seq[BlockMatcher] =
-    withNft ++ Seq(new PTonTransferMatcher(interfaces),
+      nftItems: Map[String, NftItemInfo],
+      resolveAsset: String => Option[String] = _ => None): Seq[BlockMatcher] =
+    splicePton(withNft,
+      new PTonTransferMatcher(interfaces, resolveAsset)) ++ Seq(
       new NftMintMatcher(interfaces, nftItems),
       // the coffee staking deposit requires the position-NFT mint, which
       // only exists after NftMintMatcher ran — a second pass (the base

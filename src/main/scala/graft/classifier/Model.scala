@@ -167,6 +167,10 @@ object Opcodes {
   val DedustTopUpDepositContract = 0x54240fe5L
   val DedustDepositToPool = 0xb56b9598L
   val DedustAskLiquidityFactory = 0xf04ec526L
+  val DedustRejectDeposit = 0xe1a36cd4L // blocks/liquidity.py:383
+  val DedustDestroyDepositContract = 0xaae79256L // messages/liquidity.py:92
+  val DedustReturnExcessFromVault = 0x6b0b787fL // messages/liquidity.py:96
+  val DedustDepositJettonFwd = 0x40e108d6L // messages/liquidity.py:41
   val StonfiProvideLp = 0x37c096dfL
 
   // NFT auctions (messages/nft.py:105,137)

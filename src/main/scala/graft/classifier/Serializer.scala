@@ -969,9 +969,11 @@ object Classifier {
       msgsByTx: Map[String, Seq[MsgLite]],
       interfaces: Map[String, String] = Map.empty,
       jettonWallets: Map[String, String] = Map.empty,
-      nftItems: Map[String, NftItemInfo] = Map.empty): Seq[ActionRow] =
+      nftItems: Map[String, NftItemInfo] = Map.empty,
+      walletOwners: Map[String, String] = Map.empty): Seq[ActionRow] =
     classifyWith(traceId, txs, msgsByTx,
-      ProtocolMatchers.registryWith(interfaces, jettonWallets, nftItems))
+      ProtocolMatchers.registryWith(interfaces, jettonWallets, nftItems,
+        walletOwners))
 
   /** classify with an explicit matcher registry — the DataFrame-dims
     * path (ClassifyJob cogroup) binds per-trace resolver maps via

@@ -233,6 +233,64 @@ object TlbDecoders {
       sender, ref)
   }
 
+  final case class DedustDepositParams(
+      amount: Option[BigInt], // TON-to-vault only
+      asset0: String, asset1: String, // "TON" or master raw form
+      asset0Target: BigInt, asset1Target: BigInt)
+
+  /** dedust_deposit_liquidity#d55e4686 query_id:u64 amount:Coins
+    * pool_params:(bit + Asset + Asset) deposit_params:^[min_lp:Coins
+    * asset0_target:Coins asset1_target:Coins] ...
+    * (messages/liquidity.py:17-37). */
+  def dedustDepositTonToVault(bodyB64: String): DedustDepositParams = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xd55e4686L)
+    s.loadUint(64)
+    val amount = s.loadCoins()
+    s.loadBit() // pool type
+    val a0 = loadDedustAsset(s)
+    val a1 = loadDedustAsset(s)
+    val p = s.loadRef().beginParse()
+    p.loadCoins() // min lp
+    DedustDepositParams(Some(amount), a0, a1, p.loadCoins(), p.loadCoins())
+  }
+
+  /** deposit_liquidity#40e108d6 pool_params min_lp:Coins
+    * asset0_target:Coins asset1_target:Coins — the TEP-74 forward
+    * payload of a jetton-side deposit (messages/liquidity.py:40-55). */
+  def dedustDepositJettonFwd(payloadB64: String): DedustDepositParams = {
+    val s = Boc.parseBase64(payloadB64).beginParse()
+    expectOpcode(s, 0x40e108d6L)
+    s.loadBit()
+    val a0 = loadDedustAsset(s)
+    val a1 = loadDedustAsset(s)
+    s.loadCoins() // min lp
+    DedustDepositParams(None, a0, a1, s.loadCoins(), s.loadCoins())
+  }
+
+  final case class DedustDepositToPoolBody(
+      owner: Option[String],
+      asset0: String, asset0Amount: BigInt,
+      asset1: String, asset1Amount: BigInt)
+
+  /** deposit#b56b9598 query_id:u64 proof:^Cell owner:MsgAddress
+    * min_lp:Coins ^[asset0 amount0:Coins asset1 amount1:Coins] ...
+    * (messages/liquidity.py:73-89). */
+  def dedustDepositToPool(bodyB64: String): DedustDepositToPoolBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xb56b9598L)
+    s.loadUint(64)
+    s.loadRef() // proof
+    val owner = s.loadAddress()
+    s.loadCoins() // min lp
+    val f = s.loadRef().beginParse()
+    val a0 = loadDedustAsset(f)
+    val am0 = f.loadCoins()
+    val a1 = loadDedustAsset(f)
+    val am1 = f.loadCoins()
+    DedustDepositToPoolBody(owner, a0, am0, a1, am1)
+  }
+
   final case class StonfiV2PayToBody(
       exitCode: Long,
       amount0Out: BigInt, token0: Option[String],
@@ -569,6 +627,19 @@ object TlbDecoders {
     val fromReal = ref.loadAddress()
     StonfiSwapBody(qid, fromUser, wallet, amount, minOut, fromReal,
       if (hasRef) ref.loadAddress() else None)
+  }
+
+  final case class StonfiSwapPayload(
+      jettonWallet: Option[String], minAmount: BigInt,
+      userAddress: Option[String])
+
+  /** The swap#25938561 body as it rides a TEP-74 FORWARD PAYLOAD:
+    * jetton_wallet:MsgAddress min_amount:Coins user_address:MsgAddress
+    * (messages/jettons.py:62-66 `stonfi_swap_body`). */
+  def stonfiSwapPayload(payloadB64: String): StonfiSwapPayload = {
+    val s = Boc.parseBase64(payloadB64).beginParse()
+    expectOpcode(s, 0x25938561L)
+    StonfiSwapPayload(s.loadAddress(), s.loadCoins(), s.loadAddress())
   }
 
   final case class StonfiPaymentRequestBody(

@@ -565,20 +565,62 @@ class ClassifierSpec extends SparkSpec {
   }
 
   test("dedust liquidity deposit chain classifies as dex_deposit_liquidity") {
-    val txs = Seq(tx("T1", "0:VAULT", 10), tx("T2", "0:DEPOSIT", 20),
-      tx("T3", "0:POOL", 30))
+    // reference-true chain (liquidity.py:297-412): TON-to-vault → factory
+    // ask → deposit-contract top-up → deposit-to-pool → LP mint
+    import graft.functions.Boc
+    val user = "0:" + "AA" * 32
+    val master = "0:" + "AB" * 32
+    val vaultBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xd55e4686L), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(9000)).storeBit(false)
+      .storeUint(BigInt(0), 4) // asset0 TON
+      .storeUint(BigInt(1), 4).storeInt(BigInt(0), 8)
+      .storeBytes(Array.fill[Byte](32)(0xab.toByte)) // asset1 master
+      .storeRef(new Boc.Builder().storeCoins(BigInt(0))
+        .storeCoins(BigInt(9000)).storeCoins(BigInt(777)).build())
+      .build())
+    val poolBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xb56b9598L), 32).storeUint(BigInt(1), 64)
+      .storeRef(Boc.Cell.empty)
+      .storeAddress(Some(user)).storeCoins(BigInt(0))
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 4).storeCoins(BigInt(9000))
+        .storeUint(BigInt(1), 4).storeInt(BigInt(0), 8)
+        .storeBytes(Array.fill[Byte](32)(0xab.toByte))
+        .storeCoins(BigInt(777)).build())
+      .storeBit(false).storeBit(false)
+      .build())
+    val txs = Seq(tx("T1", "0:VAULT", 10), tx("TF", "0:FACT", 15),
+      tx("T2", "0:DEPOSIT", 20), tx("T3", "0:POOL", 30),
+      tx("T4", "0:LPWALLET", 40))
     val msgs = Map(
-      "T1" -> Seq(in("m1", "0:LP", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
-        value = 9000),
-        out("m2", "0:VAULT", "0:DEPOSIT", Some(Opcodes.DedustTopUpDepositContract))),
-      "T2" -> Seq(in("m2", "0:VAULT", "0:DEPOSIT",
+      "T1" -> Seq(in("m1", user, "0:VAULT",
+        Some(Opcodes.DedustDepositTonToVault), value = 9000)
+          .copy(body = Some(vaultBody)),
+        out("m1a", "0:VAULT", "0:FACT", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TF" -> Seq(in("m1a", "0:VAULT", "0:FACT",
+        Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m2", "0:FACT", "0:DEPOSIT", Some(Opcodes.DedustTopUpDepositContract))),
+      "T2" -> Seq(in("m2", "0:FACT", "0:DEPOSIT",
         Some(Opcodes.DedustTopUpDepositContract)),
         out("m3", "0:DEPOSIT", "0:POOL", Some(Opcodes.DedustDepositToPool))),
-      "T3" -> Seq(in("m3", "0:DEPOSIT", "0:POOL", Some(Opcodes.DedustDepositToPool))))
+      "T3" -> Seq(in("m3", "0:DEPOSIT", "0:POOL",
+        Some(Opcodes.DedustDepositToPool)).copy(body = Some(poolBody)),
+        out("m4", "0:POOL", "0:LPWALLET", Some(Opcodes.JettonInternalTransfer))),
+      "T4" -> Seq(in("m4", "0:POOL", "0:LPWALLET",
+        Some(Opcodes.JettonInternalTransfer))))
     val actions = Classifier.classify("lq1", txs, msgs)
     assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"))
-    assert(actions.head.tx_hashes.toSet == Set("T1", "T2", "T3"))
-    assert(actions.head.value.contains(BigDecimal(9000)))
+    assert(actions.head.tx_hashes.toSet == Set("T1", "TF", "T2", "T3", "T4"))
+    assert(actions.head.source.contains(user))
+    assert(actions.head.destination.contains("0:POOL"))
+    assert(actions.head.destination_secondary.contains("0:DEPOSIT"))
+    val d = actions.head.dex_deposit_liquidity_data.get
+    assert(d.amount1.contains(BigDecimal(9000)))
+    assert(d.asset1.isEmpty) // TON renders null (_addr(Asset(is_ton)))
+    assert(d.target_asset_2.contains(master))
+    assert(d.target_amount_1.contains(BigDecimal(9000)))
+    assert(d.target_amount_2.contains(BigDecimal(777)))
   }
 
   test("LP burn with dedust payouts classifies as dex_withdraw_liquidity") {

@@ -276,8 +276,30 @@ class DetailStructsSpec extends SparkSpec {
       tx("TROOT", "0:USER", 5),
       tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
       tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
-      tx("TVAULT", "0:VAULT", 50), tx("TDEP2", "0:DEPC", 60),
-      tx("TPOOL", "0:POOL", 70))
+      tx("TVAULT", "0:VAULT", 50), tx("TFACT2", "0:FACT2", 55),
+      tx("TDEP2", "0:DEPC", 60), tx("TPOOL", "0:POOL", 70),
+      tx("TLP", "0:LPW", 80))
+    val jettonMaster = "0:" + "AB" * 32
+    val vaultBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xd55e4686L), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(9999)).storeBit(false)
+      .storeUint(BigInt(0), 4)
+      .storeUint(BigInt(1), 4).storeInt(BigInt(0), 8)
+      .storeBytes(Array.fill[Byte](32)(0xab.toByte))
+      .storeRef(new Boc.Builder().storeCoins(BigInt(0))
+        .storeCoins(BigInt(9999)).storeCoins(BigInt(5555)).build())
+      .build())
+    val poolBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xb56b9598L), 32).storeUint(BigInt(1), 64)
+      .storeRef(Boc.Cell.empty)
+      .storeAddress(Some("0:" + "AA" * 32)).storeCoins(BigInt(0))
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 4).storeCoins(BigInt(9999))
+        .storeUint(BigInt(1), 4).storeInt(BigInt(0), 8)
+        .storeBytes(Array.fill[Byte](32)(0xab.toByte))
+        .storeCoins(BigInt(5555)).build())
+      .storeBit(false).storeBit(false)
+      .build())
     val jtBody = Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0x0f8a7ea5L), 32)
       .storeUint(BigInt(1), 64)
@@ -310,22 +332,33 @@ class DetailStructsSpec extends SparkSpec {
         Some(Opcodes.DedustDeployDepositContract))),
       "TVAULT" -> Seq(
         in("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault),
-          value = 9999),
-        out("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
+          value = 9999).copy(body = Some(vaultBody)),
+        out("m5a", "0:VAULT", "0:FACT2", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT2" -> Seq(
+        in("m5a", "0:VAULT", "0:FACT2", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m6", "0:FACT2", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
       "TDEP2" -> Seq(
-        in("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
+        in("m6", "0:FACT2", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
         out("m7", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
       "TPOOL" -> Seq(in("m7", "0:DEPC", "0:POOL",
-        Some(Opcodes.DedustDepositToPool))))
-    val actions = Classifier.classify("dd4", txs, msgs)
+        Some(Opcodes.DedustDepositToPool)).copy(body = Some(poolBody)),
+        out("m9", "0:POOL", "0:LPW", Some(Opcodes.JettonInternalTransfer))),
+      "TLP" -> Seq(in("m9", "0:POOL", "0:LPW",
+        Some(Opcodes.JettonInternalTransfer))))
+    val actions = Classifier.classify("dd4", txs, msgs,
+      jettonWallets = Map("0:WA" -> jettonMaster))
     val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
     assert(deposits.size == 1)
     val d = deposits.head.dex_deposit_liquidity_data.get
     assert(d.dex.contains("dedust"))
-    assert(d.amount1.contains(BigDecimal(9999)), s"TON leg amount: $d")
-    assert(d.asset1.contains("TON"))
-    assert(d.amount2.contains(BigDecimal(5555)), s"jetton leg amount: $d")
-    assert(d.user_jetton_wallet_2.contains("0:WA"))
+    // combine_deposits slotting (liquidity.py:510-560): the FIRST
+    // (jetton) leg takes slot 1, the final TON leg slot 2; TON renders
+    // as a null asset
+    assert(d.amount1.contains(BigDecimal(5555)), s"jetton leg amount: $d")
+    assert(d.asset1.contains(jettonMaster))
+    assert(d.user_jetton_wallet_1.contains("0:WA"))
+    assert(d.amount2.contains(BigDecimal(9999)), s"TON leg amount: $d")
+    assert(d.asset2.isEmpty)
     assert(deposits.head.destination_secondary.contains("0:DEPC"))
   }
 

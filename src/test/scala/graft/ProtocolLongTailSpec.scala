@@ -392,6 +392,23 @@ class ProtocolLongTailSpec extends SparkSpec {
       s"got ${actions.map(_.`type`)}")
   }
 
+  /** Minimal deposit-to-pool body (messages/liquidity.py:73-89) — the
+    * final matcher decodes owner + target pair from it. */
+  private lazy val dedustPoolBody: String = {
+    import graft.functions.Boc
+    Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xb56b9598L), 32).storeUint(BigInt(1), 64)
+      .storeRef(Boc.Cell.empty)
+      .storeAddress(Some("0:" + "AA" * 32)).storeCoins(BigInt(0))
+      .storeRef(new Boc.Builder()
+        .storeUint(BigInt(0), 4).storeCoins(BigInt(1000))
+        .storeUint(BigInt(1), 4).storeInt(BigInt(0), 8)
+        .storeBytes(Array.fill[Byte](32)(0xab.toByte))
+        .storeCoins(BigInt(2000)).build())
+      .storeBit(false).storeBit(false)
+      .build())
+  }
+
   test("dedust two-leg deposit in one trace merges partial into final " +
       "(post_process_dedust_liquidity, liquidity.py:473-508)") {
     // one wallet external orders both legs: jetton leg (first asset,
@@ -402,9 +419,11 @@ class ProtocolLongTailSpec extends SparkSpec {
       // leg A: jetton chain -> factory -> deploy deposit contract
       tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
       tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
-      // leg B: TON to vault -> top-up same deposit contract -> pool
-      tx("TVAULT", "0:VAULT", 50), tx("TDEP2", "0:DEPC", 60),
-      tx("TPOOL", "0:POOL", 70))
+      // leg B: TON to vault -> factory ask -> top-up same deposit
+      // contract -> pool
+      tx("TVAULT", "0:VAULT", 50), tx("TFACT2", "0:FACT2", 55),
+      tx("TDEP2", "0:DEPC", 60), tx("TPOOL", "0:POOL", 70),
+      tx("TLP", "0:LPW", 80))
     val msgs = Map(
       "TROOT" -> Seq(
         in("mr", null, "0:USER", None).copy(source = None),
@@ -425,20 +444,26 @@ class ProtocolLongTailSpec extends SparkSpec {
         Some(Opcodes.DedustDeployDepositContract))),
       "TVAULT" -> Seq(
         in("m5", "0:USER", "0:VAULT", Some(Opcodes.DedustDepositTonToVault)),
-        out("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
+        out("m5a", "0:VAULT", "0:FACT2", Some(Opcodes.DedustAskLiquidityFactory))),
+      "TFACT2" -> Seq(
+        in("m5a", "0:VAULT", "0:FACT2", Some(Opcodes.DedustAskLiquidityFactory)),
+        out("m6", "0:FACT2", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract))),
       "TDEP2" -> Seq(
-        in("m6", "0:VAULT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
+        in("m6", "0:FACT2", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
         out("m7", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
       "TPOOL" -> Seq(in("m7", "0:DEPC", "0:POOL",
-        Some(Opcodes.DedustDepositToPool))))
+        Some(Opcodes.DedustDepositToPool)).copy(body = Some(dedustPoolBody)),
+        out("m9", "0:POOL", "0:LPW", Some(Opcodes.JettonInternalTransfer))),
+      "TLP" -> Seq(in("m9", "0:POOL", "0:LPW",
+        Some(Opcodes.JettonInternalTransfer))))
     val actions = Classifier.classify("dd2", txs, msgs)
     val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
     assert(deposits.size == 1,
       s"partial+final must merge, got ${actions.map(_.`type`)}")
     // the merged action spans BOTH legs' transactions
     val spanned = deposits.head.tx_hashes.toSet
-    assert(Set("TVAULT", "TDEP2", "TPOOL", "TW1", "TW2", "TFACT", "TDEP1")
-      .subsetOf(spanned), s"merged deposit spans $spanned")
+    assert(Set("TVAULT", "TFACT2", "TDEP2", "TPOOL", "TW1", "TW2", "TFACT",
+      "TDEP1").subsetOf(spanned), s"merged deposit spans $spanned")
   }
 
   test("tonco liquidity deposit: jetton transfer -> fund-account -> " +
@@ -685,7 +710,8 @@ class ProtocolLongTailSpec extends SparkSpec {
       tx("TW1", "0:WA", 10), tx("TW2", "0:WB", 20),
       tx("TFACT", "0:FACT", 30), tx("TDEP1", "0:DEPC", 40),
       tx("TVAULT", "0:VAULT", 50), tx("TFACT2", "0:FACT", 55),
-      tx("TDEP2", "0:DEPC", 60), tx("TPOOL", "0:POOL", 70))
+      tx("TDEP2", "0:DEPC", 60), tx("TPOOL", "0:POOL", 70),
+      tx("TLP", "0:LPW", 80))
     val msgs = Map(
       "TROOT" -> Seq(
         in("mr", null, "0:USER", None).copy(source = None),
@@ -716,7 +742,10 @@ class ProtocolLongTailSpec extends SparkSpec {
         in("m7", "0:FACT", "0:DEPC", Some(Opcodes.DedustTopUpDepositContract)),
         out("m8", "0:DEPC", "0:POOL", Some(Opcodes.DedustDepositToPool))),
       "TPOOL" -> Seq(in("m8", "0:DEPC", "0:POOL",
-        Some(Opcodes.DedustDepositToPool))))
+        Some(Opcodes.DedustDepositToPool)).copy(body = Some(dedustPoolBody)),
+        out("m9", "0:POOL", "0:LPW", Some(Opcodes.JettonInternalTransfer))),
+      "TLP" -> Seq(in("m9", "0:POOL", "0:LPW",
+        Some(Opcodes.JettonInternalTransfer))))
     val actions = Classifier.classify("dd3", txs, msgs)
     val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
     assert(deposits.size == 1,

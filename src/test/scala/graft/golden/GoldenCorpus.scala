@@ -23,7 +23,8 @@ object GoldenCorpus {
       msgsByTx: Map[String, Seq[MsgLite]],
       interfaces: Map[String, String],
       jettonWallets: Map[String, String],
-      nftItems: Map[String, NftItemInfo])
+      nftItems: Map[String, NftItemInfo],
+      walletOwners: Map[String, String] = Map.empty)
 
   // ---- loose-typed accessors over the msgpack value tree ----
 
@@ -114,6 +115,11 @@ object GoldenCorpus {
         acct -> str(m(d("JettonWallet")).getOrElse("jetton", null)).getOrElse("")
     }
 
+    val walletOwners: Map[String, String] = ifcDicts.collect {
+      case (acct, d) if d.contains("JettonWallet") =>
+        acct -> str(m(d("JettonWallet")).getOrElse("owner", null)).getOrElse("")
+    }
+
     val nftItems: Map[String, NftItemInfo] = ifcDicts.collect {
       case (acct, d) if d.contains("NftItem") =>
         val it = m(d("NftItem"))
@@ -175,12 +181,12 @@ object GoldenCorpus {
     }
 
     LoadedTrace(str(m(root("trace"))("trace_id")).get, txs, msgsByTx,
-      interfaces.result(), jettonWallets, nftItems)
+      interfaces.result(), jettonWallets, nftItems, walletOwners)
   }
 
   /** Run the production classifier over a loaded trace. */
   def classify(t: LoadedTrace): Seq[graft.classifier.ActionRow] =
     graft.classifier.Classifier.classify(t.traceId, t.txs, t.msgsByTx,
       interfaces = t.interfaces, jettonWallets = t.jettonWallets,
-      nftItems = t.nftItems)
+      nftItems = t.nftItems, walletOwners = t.walletOwners)
 }
