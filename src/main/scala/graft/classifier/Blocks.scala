@@ -2,10 +2,14 @@ package graft.classifier
 
 /** Ghost-hash codec shared by the unroll path and the serializer. */
 object Ghost {
-  /** "ghost:<realTxHash>:<i>" → "<realTxHash>" (base64 hashes carry no
-    * ':', so the frame is unambiguous); anything else passes through. */
+  /** "ghost:<realTxHash>:<i>" → "<realTxHash>" and
+    * "extout:<realTxHash>:<msgHash>" → "<realTxHash>" (base64 hashes
+    * carry no ':', so the frames are unambiguous); anything else passes
+    * through. */
   def realHash(h: String): String =
-    if (h.startsWith("ghost:")) h.substring(6, h.lastIndexOf(':')) else h
+    if (h.startsWith("ghost:")) h.substring(6, h.lastIndexOf(':'))
+    else if (h.startsWith("extout:")) h.substring(7, h.lastIndexOf(':'))
+    else h
 }
 
 /** Block tree — the classifier's working representation (reference:
@@ -109,7 +113,11 @@ case class JettonTransferBlock(
     // false for pTON rewrites — the transfer executed directly, with no
     // wallet→wallet internal_transfer leg (jettons.py:141 'has_internal_
     // transfer'); v1 swap fills null their wallet columns off this flag
-    hasInternalTransfer: Boolean = true)
+    hasInternalTransfer: Boolean = true,
+    // forward payload of a pTON v2 ton_transfer leg (decoded has none —
+    // the TONCO failed-swap target extraction reads it,
+    // swaps.py:1155-1199)
+    ptonForwardPayload: Option[String] = None)
   extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
@@ -349,8 +357,11 @@ object Seeder {
 
   private def deployChild(node: TxNode): Seq[Block] = {
     val tx = node.tx
+    // external-out leaf nodes copy the emitting tx's status row — only
+    // the REAL node spawns the deploy child
     if (tx.endStatus == "active" && tx.origStatus != "active"
-        && tx.origStatus != "frozen") Seq(ContractDeployBlock(node))
+        && tx.origStatus != "frozen" && !tx.hash.startsWith("extout:"))
+      Seq(ContractDeployBlock(node))
     else Nil
   }
 

@@ -1121,7 +1121,9 @@ object ProtocolMatchers {
             amount = BigDecimal(d.tonAmount),
             comment = None,
             failed = c.failed, nodes = consumed.flatMap(_.nodes),
-            children = Nil), consumed)
+            children = Nil,
+            hasInternalTransfer = false,
+            ptonForwardPayload = d.forwardPayload), consumed)
         }
       case _ => None
     }
@@ -1912,13 +1914,62 @@ object ProtocolMatchers {
   }
   val JvaultClaimMatcher: BlockMatcher = JvaultClaimFullMatcher
 
-  /** tgBTC bridge events (messages/tgbtc.py:20-82). */
+  /** tgBTC bridge events (messages/tgbtc.py:20-82). Log-only (crippled)
+    * mint: TgBTCMintLogOnlyMatcher, blocks/tgbtc.py:335-365 — the log
+    * emitter is both sender and teleport contract. */
   val TgbtcMintMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TgbtcMint, None, Set.empty, protoBlock("tgbtc_mint"))
+    Opcodes.TgbtcMint, None, Set.empty,
+    (c, consumed) => {
+      val ev = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.tgbtcMintEvent))
+      protoBlock("tgbtc_mint_fallback")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          source = c.node.inMsg.flatMap(_.source),
+          destination = ev.flatMap(_.recipient),
+          sourceSecondary = c.node.inMsg.flatMap(_.source),
+          assetSecondary = ev.map(_.bitcoinTxidHex),
+          asset = None, value = None,
+          amount = ev.map(e => BigDecimal(e.amount)))
+        case other => other
+      }
+    })
+  /** Log-only (crippled) burn: decode the bare event — type gains the
+    * `_fallback` suffix and the fills come straight from the log
+    * (TgBTCBurnLogOnlyMatcher, blocks/tgbtc.py:367-390;
+    * _fill_tgbtc_burn_action:864-872). */
   val TgbtcBurnMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TgbtcBurn, None, Set.empty, protoBlock("tgbtc_burn"))
+    Opcodes.TgbtcBurn, None, Set.empty,
+    (c, consumed) => {
+      val ev = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.tgbtcBurnEvent))
+      protoBlock("tgbtc_burn_fallback")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          source = ev.flatMap(_.sender),
+          destination = ev.flatMap(_.pegout),
+          asset = None, value = None,
+          amount = ev.map(e => BigDecimal(e.amount)))
+        case other => other
+      }
+    })
+  /** Log-only (crippled) new-key (TgBTCNewKeyLogOnlyMatcher,
+    * tgbtc.py:392-419): coordinator = the log emitter, pubkey hex as
+    * source secondary, pegout as destination secondary. */
   val TgbtcNewKeyMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.TgbtcNewKey, None, Set.empty, protoBlock("tgbtc_new_key"))
+    Opcodes.TgbtcNewKey, None, Set.empty,
+    (c, consumed) => {
+      val ev = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.tgbtcNewKeyEvent))
+      protoBlock("tgbtc_new_key_fallback")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          source = None,
+          destination = c.node.inMsg.flatMap(_.source),
+          sourceSecondary = ev.map(_.pubkeyHex),
+          destinationSecondary = ev.flatMap(_.pegout),
+          asset = None, value = None,
+          amount = ev.map(e => BigDecimal(e.amount)))
+        case other => other
+      }
+    })
 
   /** tgBTC new-key FULL chain (TgBTCNewKeyBlockMatcher,
     * blocks/tgbtc.py:270-328): a parent whose children are the DKG log
@@ -2045,11 +2096,58 @@ object ProtocolMatchers {
             // TONCO ok exit codes: 0 and 200 (swaps.py:1112)
             val ok = payBodies.forall(pb =>
               pb.exitCode == 0L || pb.exitCode == 200L)
+            // a wrapped-TON master (pTON/wTTON) renders as is_ton → null
+            // asset (swaps.py:916-931,1003-1008)
+            def render(a: Option[String]): Option[String] =
+              a.filter(x => x != "TON" && !PtonMasters.contains(x))
+            val inMaster = jt.asset.orElse(resolveAsset(jt.senderWallet))
+            // pTON v2 ton_transfer rewrite: no repository asset, no
+            // internal-transfer leg — the reference's notification branch
+            // (swaps.py:947-973): destination is the ROUTER (the swap
+            // call's source), the wallet rides destination_jetton_wallet
+            val ptonV2In = !jt.hasInternalTransfer && jt.asset.isEmpty
+            val incoming = DexTransferData(
+              amount = Some(jt.amount),
+              asset = if (ptonV2In) None else render(inMaster),
+              source = jt.sender,
+              destination =
+                if (ptonV2In) swap0.node.inMsg.flatMap(_.source)
+                else jt.receiver,
+              source_jetton_wallet =
+                if (jt.hasInternalTransfer) Some(jt.senderWallet) else None,
+              destination_jetton_wallet =
+                if (ptonV2In) Some(jt.senderWallet) else jt.receiverWallet)
+            val outMaster = out.asset.orElse(resolveAsset(out.senderWallet))
+            val outgoing = DexTransferData(
+              amount = Some(out.amount),
+              asset = render(outMaster),
+              source = out.sender,
+              destination = out.receiver,
+              source_jetton_wallet =
+                if (out.hasInternalTransfer) Some(out.senderWallet) else None,
+              destination_jetton_wallet = out.receiverWallet)
+            // failed swaps name the intended target in the swap payload's
+            // recursive (wallet, min_out) chain (swaps.py:1155-1199)
+            val failedTarget: Option[(Option[String], BigInt)] =
+              if (ok) None
+              else jt.decoded.flatMap(_.forwardPayload)
+                .orElse(jt.ptonForwardPayload)
+                .flatMap(p => safeDecode(TlbDecoders.toncoSwapPayloadTargets)(p))
+                .toSeq.flatten.lastOption
+                .map { case (w, mo) => (resolveAsset(w), mo) }
+            val destAsset = failedTarget match {
+              case Some((a, _)) => render(a)
+              case None => outgoing.asset
+            }
+            val minOut = failedTarget match {
+              case Some((_, mo)) => Some(BigDecimal(mo))
+              case None => outgoing.amount
+            }
             val peer: Seq[PeerSwapData] =
               if (payBodies.size > 1) {
                 val first = payBodies.head
                 val firstEntry = PeerSwapData(
-                  asset_in = jt.asset.filter(_ != "TON"),
+                  asset_in = incoming.asset,
                   amount_in = Some(jt.amount),
                   asset_out = asset(first.out._2),
                   amount_out = Some(BigDecimal(first.out._1)))
@@ -2069,10 +2167,17 @@ object ProtocolMatchers {
               Seq[Block](jt) ++
                 hops.toSeq.flatMap(h => Seq(h._1: Block, h._2)) ++
                 intermediates.toSeq ++ Seq(out))
-            (JettonSwapBlock("tonco", jt.sender, jt.receiver, jt, out,
+            val data = JettonSwapData("tonco", jt.sender,
+              Some(incoming), Some(outgoing), peer, minOut)
+            (JettonSwapDirectBlock(data,
+              source = incoming.source,
+              destination = outgoing.destination,
+              asset = incoming.asset,
+              asset2 = destAsset,
+              sourceSecondary = incoming.source_jetton_wallet,
+              destinationSecondary = outgoing.destination_jetton_wallet,
               failed = !ok || consumed.exists(_.failed),
-              consumed.flatMap(_.nodes), Nil,
-              peerSwaps = peer), consumed)
+              nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
           }
         }
       case _ => None
@@ -3587,7 +3692,8 @@ object ProtocolMatchers {
     * follow the reference: the actual transfer wins; sides without one
     * fall back to the pay_to body amounts with the router as dex_wallet
     * (the TON leg's shape). */
-  object ToncoWithdrawLiquidityFullMatcher extends BlockMatcher {
+  final class ToncoWithdrawLiquidityFull(
+      resolveRegistryAsset: String => Option[String]) extends BlockMatcher {
     import graft.functions.TlbDecoders
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.ToncoPoolV3StartBurn, Opcodes.ToncoPositionNftBurn,
@@ -3607,24 +3713,59 @@ object ProtocolMatchers {
             .flatten
           val payBody = payTo.node.inMsg.flatMap(_.body)
             .flatMap(safeDecode(TlbDecoders.toncoPayTo))
-          val router = payTo.node.inMsg.flatMap(_.destination)
           val jts = payTo.children.collect { case j: JettonTransferBlock => j }
-          // (amount, wallet) per pay_to side, actual transfer preferred
-          def side(amount: Option[BigInt])
-              : (Option[BigDecimal], Option[String], Option[String],
-                 Option[String], Option[String]) = {
-            val amt = amount.map(BigDecimal(_))
-            jts.find(j => amt.contains(j.amount)) match {
-              case Some(j) =>
-                (Some(j.amount), j.asset.filter(_ != "TON"),
-                  j.receiverWallet, Some(j.senderWallet), j.sender)
-              case None => (amt.filter(_ != 0), None, None, None, router)
-            }
+          // router-side slot info; the router's own wTTON wallet maps to
+          // None (liquidity.py:1346-1349 TONCO_ROUTER_WTTON_WALLET_ADDR)
+          val WttonWallet =
+            "0:871DA9215B14902166F0EA2A16DB56278D528108377F8158C5F4CCFDFDD22E17"
+          def slotWallet(w: Option[String]): Option[String] =
+            w.filter(_ != WttonWallet)
+          val routerSlots = Seq(
+            (payBody.map(_.amount0), slotWallet(payBody.flatMap(_.jetton0)),
+              payBody.flatMap(_.receiver0)),
+            (payBody.map(_.amount1), slotWallet(payBody.flatMap(_.jetton1)),
+              payBody.flatMap(_.receiver1)))
+          // one processed payout per slot: the actual transfer when it
+          // exists (a pTON child makes it native), else the router data
+          // (liquidity.py:1352-1415)
+          case class Payout(amount: Option[BigDecimal], asset: Option[String],
+              dexWallet: Option[String], dexJettonWallet: Option[String],
+              wallet: Option[String], blocks: Seq[Block])
+          val processed: Seq[Payout] = routerSlots.zipWithIndex.map {
+            case ((slotAmt, slotW, slotRecv), i) =>
+              jts.lift(i) match {
+                case Some(j) =>
+                  val pton = j.children.collectFirst {
+                    case p: JettonTransferBlock if !p.hasInternalTransfer &&
+                        p.asset.isEmpty => p
+                  }
+                  val (amt, asset) = pton match {
+                    case Some(p) => (Some(p.amount), None)
+                    case None => (Some(j.amount), j.asset.filter(x =>
+                      x != "TON" && !PtonMasters.contains(x)))
+                  }
+                  Payout(amt, asset, j.sender,
+                    if (j.hasInternalTransfer) Some(j.senderWallet) else None,
+                    j.receiverWallet,
+                    Seq[Block](j) ++ pton.toSeq)
+                case None =>
+                  Payout(slotAmt.map(BigDecimal(_)),
+                    slotW.flatMap(w => resolveRegistryAsset(w))
+                      .filter(x => x != "TON" && !PtonMasters.contains(x)),
+                    payTo.node.inMsg.flatMap(_.source),
+                    slotW, slotRecv, Nil)
+              }
           }
-          val s1 = side(payBody.map(_.amount0))
-          val s2 = side(payBody.map(_.amount1))
+          // order payouts to the router's slot order (liquidity.py:1418-1429)
+          val ordered =
+            if (processed.headOption.flatMap(_.dexJettonWallet) !=
+                routerSlots.headOption.flatMap(_._2)) processed.reverse
+            else processed
+          val s1 = ordered.head
+          val s2 = ordered(1)
           val consumed = Matching.identityDistinct(
-            Seq[Block](c, posBurn, poolBurn, payTo) ++ jts)
+            Seq[Block](c, posBurn, poolBurn, payTo) ++
+              processed.flatMap(_.blocks))
           (ProtocolOpBlock("tonco_withdraw_liquidity",
             source = owner, destination = c.node.inMsg.flatMap(_.destination),
             asset = None, value = None,
@@ -3633,13 +3774,14 @@ object ProtocolMatchers {
             dex = Some("tonco"),
             withdrawLiquidity = Some(DexWithdrawLiquidityData(
               dex = Some("tonco"),
-              amount1 = s1._1.orElse(Some(BigDecimal(0))),
-              amount2 = s2._1.orElse(Some(BigDecimal(0))),
-              asset1_out = s1._2, asset2_out = s2._2,
-              user_jetton_wallet_1 = s1._3, user_jetton_wallet_2 = s2._3,
-              dex_jetton_wallet_1 = s1._4, dex_jetton_wallet_2 = s2._4,
+              amount1 = s1.amount.orElse(Some(BigDecimal(0))),
+              amount2 = s2.amount.orElse(Some(BigDecimal(0))),
+              asset1_out = s1.asset, asset2_out = s2.asset,
+              user_jetton_wallet_1 = s1.wallet, user_jetton_wallet_2 = s2.wallet,
+              dex_jetton_wallet_1 = s1.dexJettonWallet,
+              dex_jetton_wallet_2 = s2.dexJettonWallet,
               lp_tokens_burnt = sb.map(x => BigDecimal(x.liquidityToBurn)),
-              dex_wallet_1 = s1._5, dex_wallet_2 = s2._5,
+              dex_wallet_1 = s1.dexWallet, dex_wallet_2 = s2.dexWallet,
               burned_nft_index = sb.map(_.burnedIndex.toString),
               burned_nft_address =
                 posBurn.node.inMsg.flatMap(_.destination),
@@ -3649,6 +3791,8 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+  val ToncoWithdrawLiquidityFullMatcher: BlockMatcher =
+    new ToncoWithdrawLiquidityFull(_ => None)
   val ToncoWithdrawLiquidityMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.ToncoPoolV3StartBurn, None,
     Set(Opcodes.ToncoPositionNftBurn, Opcodes.ToncoPoolV3Burn,
@@ -3808,8 +3952,15 @@ object ProtocolMatchers {
       // router notify whose body carries the same fund payload
       val leg: Option[(Block, Leg)] = b match {
         case jt: JettonTransferBlock =>
-          Some((jt, Leg(jt.amount, jt.sender, Some(jt.senderWallet),
-            jt.receiverWallet, jt.decoded.flatMap(_.forwardPayload))))
+          // pTON rewrites carry no sender wallet (sender_wallet=None in
+          // the reference's pton data, jettons.py:141-148) and their
+          // router wallet is the transfer's own target account
+          Some((jt, Leg(jt.amount, jt.sender,
+            if (jt.hasInternalTransfer) Some(jt.senderWallet) else None,
+            jt.receiverWallet.orElse(
+              if (jt.hasInternalTransfer) None else Some(jt.senderWallet)),
+            jt.decoded.flatMap(_.forwardPayload)
+              .orElse(jt.ptonForwardPayload))))
         case c: CallContractBlock
             if Opcodes.matches(c.opcode, Opcodes.JettonNotify) =>
           val nb = c.node.inMsg.flatMap(_.body)
@@ -3942,7 +4093,9 @@ object ProtocolMatchers {
                 asset1 = cAs1, asset2 = cAs2,
                 user_jetton_wallet_1 = w1, user_jetton_wallet_2 = w2,
                 lp_tokens_minted = lp,
-                target_asset_1 = None, target_asset_2 = None,
+                // slot-ordered pool assets (_fill_tonco_deposit_
+                // liquidity_action:934-935: target_asset_i = asset_i)
+                target_asset_1 = as1, target_asset_2 = as2,
                 target_amount_1 = addBody.map(ab => BigDecimal(ab.newEnough0)),
                 target_amount_2 = addBody.map(ab => BigDecimal(ab.newEnough1)),
                 vault_excesses = excessLegs.map { case (asst, amt, _) =>
@@ -4039,35 +4192,34 @@ object ProtocolMatchers {
       Some(Set(Opcodes.JettonBurn, Opcodes.TgbtcBurn))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case jb: JettonBurnBlock =>
-        // the log may be a direct child (notification consumed) or under
-        // a surviving 0x587643a2 / teleport 0xbe44e7a6 call
-        def findLog(under: Seq[Block]): Option[(CallContractBlock, Seq[Block])] =
-          under.collectFirst {
-            case l: CallContractBlock
-              if Opcodes.matches(l.opcode, Opcodes.TgbtcBurn) => (l, Nil)
-          }.orElse(under.collectFirst {
-            case mid: CallContractBlock
-              if (Opcodes.matches(mid.opcode, Opcodes.TgbtcBurnAux2) ||
-                Opcodes.matches(mid.opcode, Opcodes.TgbtcBurnCall)) &&
-                mid.children.exists {
-                  case l: CallContractBlock =>
-                    Opcodes.matches(l.opcode, Opcodes.TgbtcBurn)
-                  case _ => false
-                } =>
-              val l = mid.children.collectFirst {
-                case l: CallContractBlock
-                  if Opcodes.matches(l.opcode, Opcodes.TgbtcBurn) => l
-              }.get
-              (l, Seq(mid: Block))
-          })
-        findLog(jb.children).map { case (log, mids) =>
-          val aux = (jb.children ++ mids.flatMap(_.children)).collect {
+        // reference child chain (blocks/tgbtc.py:181-210): the burn's
+        // child is the teleport-bound burn-notification hop (0x7bdd97de
+        // or the alternate 0x587643a2); under it ride the burn-event LOG
+        // (an external-out leaf) and the optional 0xbe44e7a6 call whose
+        // children are 0x1a84c0e0 and the refund ton_transfer
+        val hop = jb.children.collectFirst {
+          case c: CallContractBlock
+            if Opcodes.matches(c.opcode, Opcodes.JettonBurnNotification) ||
+              Opcodes.matches(c.opcode, Opcodes.TgbtcBurnAux2) => c
+        }
+        val under = hop.map(_.children).getOrElse(jb.children)
+        val logOpt = under.collectFirst {
+          case l: CallContractBlock
+            if Opcodes.matches(l.opcode, Opcodes.TgbtcBurn) => l
+        }
+        logOpt.map { log =>
+          val teleportCall = under.collectFirst {
             case c: CallContractBlock
-              if Opcodes.matches(c.opcode, Opcodes.TgbtcBurnCall) ||
-                Opcodes.matches(c.opcode, Opcodes.TgbtcBurnAux1) => c: Block
+              if Opcodes.matches(c.opcode, Opcodes.TgbtcBurnCall) => c
+          }
+          val teleportKids = teleportCall.toSeq.flatMap(_.children).collect {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.TgbtcBurnAux1) => c: Block
+            case t: TonTransferBlock => t: Block
           }
           val consumed: Seq[Block] = Matching.identityDistinct(
-            Seq(jb: Block, log: Block) ++ mids ++ aux)
+            Seq(jb: Block, log: Block) ++ hop.toSeq ++
+              teleportCall.toSeq ++ teleportKids)
           // log-decoded pegout destination + authoritative amount:
           // min(burn, log) with the log standing in for a zero burn
           // (blocks/tgbtc.py:225-236)
@@ -4914,6 +5066,8 @@ object ProtocolMatchers {
             new DedustDepositFinal(resolve)
           case m if m eq ToncoDepositLiquidityMatcher =>
             new ToncoDepositLiquidityFull(resolve)
+          case m if m eq ToncoWithdrawLiquidityFullMatcher =>
+            new ToncoWithdrawLiquidityFull(resolve)
           case m => m
         }
     }

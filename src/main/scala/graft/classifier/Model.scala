@@ -89,11 +89,22 @@ object TxTree {
     def mk(hash: String): TxNode = {
       val t = txByHash(hash)
       val ms = byTx.getOrElse(hash, Nil)
+      val outs = ms.filter(_.direction == "out")
+        .sortBy(m => (m.createdLt.isDefined, m.createdLt.getOrElse(0L)))
+      // EXTERNAL-OUT messages (no destination — log events) become leaf
+      // child nodes wrapping the emitting tx, exactly as the reference
+      // tree does (tree_utils.py:111-113: `if m.destination is None:
+      // add_child(EventNode(m))`) — the tgBTC/LayerZero event matchers
+      // anchor on them. The framed hash keeps the node distinct while
+      // txHashes/accounts report the real emitting tx.
+      val extOutKids = outs.filter(_.destination.isEmpty).map { m =>
+        TxNode(t.copy(hash = s"extout:${t.hash}:${m.msgHash}"),
+          Some(m), Nil, Nil)
+      }
       TxNode(t,
         ms.find(_.direction == "in"),
-        ms.filter(_.direction == "out")
-          .sortBy(m => (m.createdLt.isDefined, m.createdLt.getOrElse(0L))),
-        childrenOf.getOrElse(hash, Vector()).map(mk))
+        outs,
+        childrenOf.getOrElse(hash, Vector()).map(mk) ++ extOutKids)
     }
     roots.toSeq.map(mk)
   }

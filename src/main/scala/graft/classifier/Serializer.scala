@@ -365,6 +365,7 @@ object Serializer {
     "nft_put_on_auction", "auction_bid",
     "jvault_stake", "jvault_unstake", "jvault_unstake_request",
     "jvault_claim", "tgbtc_mint", "tgbtc_burn", "tgbtc_new_key",
+    "tgbtc_mint_fallback", "tgbtc_burn_fallback", "tgbtc_new_key_fallback",
     "tgbtc_dkg_log_fallback", "evaa_supply", "evaa_withdraw",
     "evaa_liquidate",
     "coffee_create_pool", "layerzero_send", "layerzero_commit_packet",

@@ -76,6 +76,17 @@ object Boc {
           val wc = loadInt(8).toInt
           val addr = loadBytes(32)
           Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
+        case 3 =>
+          // addr_var$11 anycast:(Maybe Anycast) addr_len:(## 9)
+          // workchain_id:int32 address:(bits addr_len) — tgBTC pegout
+          // logs use it for non-basechain workchains
+          val anycast = loadBit()
+          require(!anycast, "anycast addresses unsupported")
+          val len = loadUint(9).toInt
+          val wc = loadInt(32).toInt
+          require(len % 8 == 0, s"non-byte addr_var length $len")
+          val addr = loadBytes(len / 8)
+          Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
         case t => throw new IllegalArgumentException(s"unsupported addr tag $t")
       }
     }

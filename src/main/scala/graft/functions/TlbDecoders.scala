@@ -165,7 +165,8 @@ object TlbDecoders {
   }
 
   final case class PTonTransferBody(
-      queryId: BigInt, tonAmount: BigInt, refundAddress: Option[String])
+      queryId: BigInt, tonAmount: BigInt, refundAddress: Option[String],
+      forwardPayload: Option[String] = None)
 
   /** pTON v2 ton_transfer#01f3835d query_id:uint64 ton_amount:Coins
     * refund_address:MsgAddress forward_payload:(Either Cell ^Cell) —
@@ -176,7 +177,17 @@ object TlbDecoders {
   def ptonTransfer(bodyB64: String): PTonTransferBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x01f3835dL)
-    PTonTransferBody(s.loadUint(64), s.loadCoins(), s.loadAddress())
+    val qid = s.loadUint(64)
+    val amount = s.loadCoins()
+    val refund = s.loadAddress()
+    // maybe-ref forward payload; a trailing ref without the maybe bit is
+    // ALSO accepted as the payload (messages/swaps.py:58-60)
+    val fwd =
+      if (s.remainingBits >= 1 && s.loadBit() && s.remainingRefs > 0)
+        Some(s.loadRef())
+      else if (s.remainingRefs > 0) Some(s.loadRef())
+      else None
+    PTonTransferBody(qid, amount, refund, fwd.map(Boc.serializeBase64))
   }
 
   final case class TonstakersNftBurnNotificationBody(
@@ -706,7 +717,8 @@ object TlbDecoders {
   final case class ToncoPayToBody(
       exitCode: Long,
       amount0: BigInt, jetton0: Option[String],
-      amount1: BigInt, jetton1: Option[String]) {
+      amount1: BigInt, jetton1: Option[String],
+      receiver0: Option[String] = None, receiver1: Option[String] = None) {
     /** The actual output is the larger side (blocks/swaps.py:1066-1075
       * sorts the coinsinfo pair by amount desc). */
     def out: (BigInt, Option[String]) =
@@ -721,15 +733,15 @@ object TlbDecoders {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0xa1daa96dL)
     s.loadUint(64)
-    s.loadAddress(); s.loadAddress()
+    val r0 = s.loadAddress(); val r1 = s.loadAddress()
     val exit = s.loadUint(32).toLong
     s.loadUint(64)
     if (s.remainingBits >= 1 && s.loadBit()) {
       val cs = s.loadRef().beginParse()
       val a0 = cs.loadCoins(); val j0 = cs.loadAddress()
       val a1 = cs.loadCoins(); val j1 = cs.loadAddress()
-      ToncoPayToBody(exit, a0, j0, a1, j1)
-    } else ToncoPayToBody(exit, BigInt(0), None, BigInt(0), None)
+      ToncoPayToBody(exit, a0, j0, a1, j1, r0, r1)
+    } else ToncoPayToBody(exit, BigInt(0), None, BigInt(0), None, r0, r1)
   }
 
   final case class ToncoStartBurnBody(
@@ -810,6 +822,30 @@ object TlbDecoders {
     * user_address:MsgAddress liquidity:u128 tick_lower:int24
     * tick_upper:int24 ^[fee0:u256 fee1:u256 nft_index:u64 ...]
     * (messages/liquidity.py:391-426). */
+  /** POOLV3_SWAP#a7fb58f8 as a TEP-74 forward payload: target router
+    * jetton wallet, price limit, min_out, recipient, maybe-ref inner
+    * multicall payload of the same shape — recursion yields the
+    * (wallet, min_out) chain; the LAST entry names the final target
+    * (messages/swaps.py:245-300). */
+  def toncoSwapPayloadTargets(payloadB64: String): Seq[(String, BigInt)] = {
+    def walk(s: Boc.Slice): Seq[(String, BigInt)] = {
+      if (s.remainingBits < 32 || s.loadUint(32) != BigInt(0xa7fb58f8L))
+        return Nil
+      val wallet = s.loadAddress()
+      s.loadUint(160) // price limit sqrt
+      val minOut = s.loadCoins()
+      s.loadAddress() // recipient
+      val inner =
+        if (s.remainingBits >= 1 && s.loadBit() && s.remainingRefs > 0)
+          Some(s.loadRef()) else None
+      wallet.map(_ -> minOut).toSeq ++
+        inner.toSeq.flatMap(c =>
+          try walk(c.beginParse())
+          catch { case scala.util.control.NonFatal(_) => Nil })
+    }
+    walk(Boc.parseBase64(payloadB64).beginParse())
+  }
+
   def toncoPositionInit(bodyB64: String): ToncoPositionInitBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0xd5ecca2aL)

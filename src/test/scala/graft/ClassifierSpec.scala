@@ -663,11 +663,14 @@ class ClassifierSpec extends SparkSpec {
     val mint = Classifier.classify("tg1",
       Seq(tx("T1", "0:BRIDGE", 10)),
       Map("T1" -> Seq(in("m1", "0:TEAM", "0:BRIDGE", Some(Opcodes.TgbtcMint)))))
-    assert(mint.map(_.`type`) == Seq("tgbtc_mint"))
+    // bare events (no chain context) are the reference's CRIPPLED path:
+    // the type gains a _fallback suffix (TgBTC*LogOnlyMatcher,
+    // blocks/tgbtc.py:335-390; _fill_tgbtc_*_action)
+    assert(mint.map(_.`type`) == Seq("tgbtc_mint_fallback"))
     val burn = Classifier.classify("tg2",
       Seq(tx("T1", "0:BRIDGE", 10)),
       Map("T1" -> Seq(in("m1", "0:USER", "0:BRIDGE", Some(Opcodes.TgbtcBurn)))))
-    assert(burn.map(_.`type`) == Seq("tgbtc_burn"))
+    assert(burn.map(_.`type`) == Seq("tgbtc_burn_fallback"))
   }
 
   test("tonco v3 swap requires the router pay-to child; tags dex=tonco") {

@@ -1697,18 +1697,29 @@ class GoldenParity2Spec extends SparkSpec {
       .storeAddress(Some(owner))
       .storeUint(BigInt(557736918L), 128)
       .storeInt(BigInt(-51720), 24).storeInt(BigInt(-49380), 24).build())
+    // the TON side pays out through the router's wTTON wallet (the
+    // reference's TONCO_ROUTER_WTTON_WALLET_ADDR, liquidity.py:1183);
+    // the slot records that wallet and the payout rides a pTON
+    // ton_transfer child
+    val wttonJW = "0:871DA9215B14902166F0EA2A16DB56278D528108377F8158C5F4CCFDFDD22E17"
+    val wttonMaster = "0:949C4C66760C002800E2FA3D8A3CA4E1C90A9373B53AE7472033483BF14CD95E"
     val payTo = Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0xa1daa96dL), 32).storeUint(BigInt(1), 64)
       .storeAddress(Some(owner)).storeAddress(Some(owner))
       .storeUint(BigInt(201), 32).storeUint(BigInt(7), 64)
       .storeBit(true)
       .storeRef(new Boc.Builder()
-        .storeCoins(BigInt(324026863L)).storeAddress(None)
+        .storeCoins(BigInt(324026863L)).storeAddress(Some(wttonJW))
         .storeCoins(BigInt(2999999L)).storeAddress(Some(routerJW)).build())
       .build())
     val payout = transferBody(1, 2999999L, owner, owner, 1)
+    val payoutTon = transferBody(2, 324026863L, owner, owner, 1)
+    val ptonBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x01f3835dL), 32).storeUint(BigInt(2), 64)
+      .storeCoins(BigInt(324026863L)).storeAddress(Some(owner)).build())
     val txs = Seq(tx("T1", pool, 10), tx("T2", nft, 20), tx("T3", pool, 30),
-      tx("T4", router, 40), tx("T5", routerJW, 50), tx("T6", userJW, 60))
+      tx("T4", router, 40), tx("T5", routerJW, 50), tx("T6", userJW, 60),
+      tx("T7", wttonJW, 70), tx("T8", router, 80))
     val msgs = Map(
       "T1" -> Seq(
         in("m1", router, pool, Some(Opcodes.ToncoPoolV3StartBurn),
@@ -1726,16 +1737,25 @@ class GoldenParity2Spec extends SparkSpec {
       "T4" -> Seq(
         in("m4", pool, router, Some(Opcodes.ToncoRouterV3PayTo),
           body = Some(payTo)),
+        out("m7", router, wttonJW, Some(Opcodes.JettonTransfer),
+          body = Some(payoutTon), createdLt = 2L),
         out("m5", router, routerJW, Some(Opcodes.JettonTransfer),
-          body = Some(payout))),
+          body = Some(payout), createdLt = 3L)),
       "T5" -> Seq(
         in("m5", router, routerJW, Some(Opcodes.JettonTransfer),
           body = Some(payout)),
         out("m6", routerJW, userJW, Some(Opcodes.JettonInternalTransfer))),
       "T6" -> Seq(in("m6", routerJW, userJW,
-        Some(Opcodes.JettonInternalTransfer))))
+        Some(Opcodes.JettonInternalTransfer))),
+      "T7" -> Seq(
+        in("m7", router, wttonJW, Some(Opcodes.JettonTransfer),
+          body = Some(payoutTon)),
+        out("m8", wttonJW, router, Some(Opcodes.PTonTransferOp),
+          body = Some(ptonBody))),
+      "T8" -> Seq(in("m8", wttonJW, router, Some(Opcodes.PTonTransferOp),
+        body = Some(ptonBody))))
     val a = Classifier.classify("gtcw1", txs, msgs,
-      jettonWallets = Map(routerJW -> master))
+      jettonWallets = Map(routerJW -> master, wttonJW -> wttonMaster))
       .find(_.`type` == "dex_withdraw_liquidity").get
     assert(a.source.contains(owner))
     assert(a.destination.contains(pool))

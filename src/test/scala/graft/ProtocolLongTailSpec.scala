@@ -508,7 +508,7 @@ class ProtocolLongTailSpec extends SparkSpec {
     val partial = Classifier.classify("tg2",
       Seq(tx("T2", "0:LOG", 20)),
       Map("T2" -> Seq(in("m2", "0:TEL", "0:LOG", Some(Opcodes.TgbtcMint)))))
-    assert(partial.map(_.`type`) == Seq("tgbtc_mint"))
+    assert(partial.map(_.`type`) == Seq("tgbtc_mint_fallback"))
   }
 
   test("full tgBTC burn chain: jetton burn with the event log in its " +
