@@ -244,6 +244,7 @@ object Schemas {
     f("dex_jetton_wallet_2", StringType),
     f("lp_tokens_burnt", amount),
     f("dex_wallet_1", StringType), f("dex_wallet_2", StringType),
+    f("is_refund", BooleanType),
     f("burned_nft_index", StringType), f("burned_nft_address", StringType),
     f("tick_lower", StringType), f("tick_upper", StringType)))
 

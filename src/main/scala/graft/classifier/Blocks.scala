@@ -117,7 +117,12 @@ case class JettonTransferBlock(
     // forward payload of a pTON v2 ton_transfer leg (decoded has none —
     // the TONCO failed-swap target extraction reads it,
     // swaps.py:1155-1199)
-    ptonForwardPayload: Option[String] = None)
+    ptonForwardPayload: Option[String] = None,
+    // pTON rewrites serialize with NULL wallet secondaries
+    // (PTonTransferMatcher data, jettons.py:142-146: sender_wallet and
+    // receiver_wallet both None) while keeping the wallet internally for
+    // asset resolution
+    walletsHidden: Boolean = false)
   extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)
@@ -259,6 +264,9 @@ case class ProtocolOpBlock(
     cocoonWorkerPayout: Option[CocoonWorkerPayoutData] = None,
     cocoonRegister: Option[CocoonClientRegisterData] = None,
     cocoonGrantRefund: Option[CocoonChargeData] = None,
+    cocoonRefund: Option[CocoonRequestRefundData] = None,
+    cocoonClientWithdraw: Option[CocoonClientWithdrawData] = None,
+    cocoonCharge: Option[CocoonChargeData] = None,
     // coffee create-pool pair columns + detail struct
     asset2: Option[String] = None,
     asset2Secondary: Option[String] = None,

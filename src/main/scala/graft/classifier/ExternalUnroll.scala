@@ -126,7 +126,7 @@ object ExternalUnroll {
       if (bs.remainingBits >= 32) Some(bs.loadUint(32).toLong) else None
     }
     GhostMsg(dest, value.toLong, opcode, bounce,
-      bodyCell.map(Boc.serializeBase64),
+      bodyCell.map(Boc.serializeBase64(_)),
       cellHashB64 = Boc.cellHashBase64(cell))
   }
 

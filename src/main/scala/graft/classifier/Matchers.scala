@@ -704,6 +704,177 @@ object ProtocolMatchers {
       case other => other
     })
 
+  /** DeDust full-context swap (DedustSwapBlockMatcher,
+    * blocks/swaps.py:473-686): anchored on the funding jetton transfer
+    * (forward payload sum-type 0xe3a0d482) or the TON-in vault call
+    * 0xea06185d; follows the swap_external/swap_peer chain collecting
+    * the per-pool notifications, to the payout_from_pool exit whose
+    * child is a DedustPayout (TON out) or a jetton transfer. Emits the
+    * dex_incoming/outgoing transfer dicts and notification-derived
+    * peer_swaps exactly like the reference build_block. */
+  final class DedustFullSwap(resolveAsset: String => Option[String])
+      extends BlockMatcher {
+    import graft.functions.{Boc, TlbDecoders}
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.DedustSwapExternal))
+    private def nn(a: String): Option[String] = Some(a).filter(_ != "TON")
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = {
+      val head: Option[(Block, CallContractBlock)] = b match {
+        case jt: JettonTransferBlock =>
+          // the funding transfer's forward payload must be the dedust
+          // swap payload (swaps.py:584-586)
+          val payloadOk = jt.decoded.flatMap(_.forwardPayload).exists { fp =>
+            try {
+              val s = Boc.parseBase64(fp).beginParse()
+              s.remainingBits >= 32 &&
+                s.loadUint(32).toLong == 0xe3a0d482L
+            } catch { case scala.util.control.NonFatal(_) => false }
+          }
+          if (!payloadOk) None
+          else jt.children.collectFirst {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.DedustSwapExternal) => c
+          }.map(c => (jt: Block, c))
+        case call: CallContractBlock
+            if Opcodes.matches(call.opcode, Opcodes.DedustSwap) =>
+          call.children.collectFirst {
+            case c: CallContractBlock
+              if Opcodes.matches(c.opcode, Opcodes.DedustSwapExternal) => c
+          }.map(c => (call: Block, c))
+        case _ => None
+      }
+      head.flatMap { case (in, swap0) =>
+        val chainSwaps = scala.collection.mutable.ArrayBuffer[CallContractBlock](swap0)
+        val notifications = scala.collection.mutable.ArrayBuffer[CallContractBlock]()
+        var payoutFromPool: Option[CallContractBlock] = None
+        var cur: Option[CallContractBlock] = Some(swap0)
+        while (cur.isDefined) {
+          val sw = cur.get
+          sw.children.foreach {
+            case n: CallContractBlock
+              if Opcodes.matches(n.opcode, Opcodes.DedustSwapNotification) =>
+                notifications += n
+            case _ => ()
+          }
+          cur = sw.children.collectFirst {
+            case n: CallContractBlock
+              if Opcodes.matches(n.opcode, Opcodes.DedustSwapPeer) ||
+                Opcodes.matches(n.opcode, Opcodes.DedustSwapExternal) => n
+          }
+          cur.foreach(chainSwaps += _)
+          if (cur.isEmpty)
+            payoutFromPool = sw.children.collectFirst {
+              case p: CallContractBlock
+                if Opcodes.matches(p.opcode, Opcodes.DedustPayoutFromPool) => p
+            }
+        }
+        payoutFromPool.map { pfp =>
+          // payout leg: vault → user (TON call or jetton transfer),
+          // swaps.py:610-624
+          val payoutTransfer = pfp.children.collectFirst {
+            case j: JettonTransferBlock => j }
+          val payoutTon = pfp.children.collectFirst {
+            case p: CallContractBlock
+              if Opcodes.matches(p.opcode, Opcodes.DedustPayout) => p }
+          // notification-derived hops, lt-ordered (swaps.py:547-564)
+          val peer0 = notifications.toSeq.sortBy(_.minLt).flatMap { cc =>
+            cc.node.inMsg.flatMap(_.body).flatMap { b64 =>
+              try {
+                val d = TlbDecoders.dedustSwapNotification(b64)
+                Some(PeerSwapData(nn(d.assetIn), Some(BigDecimal(d.amountIn)),
+                  nn(d.assetOut), Some(BigDecimal(d.amountOut))))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+          }
+          // incoming side (swaps.py:566-598)
+          val (sender, senderWallet, inWallet, inJettonWallet, amountIn, assetIn) =
+            in match {
+              case jt: JettonTransferBlock =>
+                (jt.sender,
+                  if (jt.hasInternalTransfer) Some(jt.senderWallet) else None,
+                  jt.receiver, jt.receiverWallet,
+                  Some(jt.amount), jt.asset.flatMap(nn))
+              case call: CallContractBlock =>
+                val amt = call.node.inMsg.flatMap(_.body).flatMap { b64 =>
+                  try {
+                    val s = Boc.parseBase64(b64).beginParse()
+                    s.loadUint(32); s.loadUint(64)
+                    Some(BigDecimal(s.loadCoins()))
+                  } catch { case scala.util.control.NonFatal(_) => None }
+                }
+                (call.node.inMsg.flatMap(_.source), None,
+                  call.node.inMsg.flatMap(_.destination), None, amt, None)
+              case _ => (None, None, None, None, None, None)
+            }
+          // outgoing side (swaps.py:600-624)
+          val pfpAmount = pfp.node.inMsg.flatMap(_.body).flatMap { b64 =>
+            try {
+              val s = Boc.parseBase64(b64).beginParse()
+              s.loadUint(32); s.loadUint(64); s.loadRef()
+              Some(BigDecimal(s.loadCoins()))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+          val (outSource, outSourceWallet, receiver, receiverWallet,
+            actualAmountOut, actualAssetOut) = payoutTransfer match {
+            case Some(p) =>
+              (p.sender, if (p.walletsHidden) None else Some(p.senderWallet),
+                p.receiver, p.receiverWallet, Some(p.amount), p.asset.flatMap(nn))
+            case None => payoutTon match {
+              case Some(p) =>
+                (p.node.inMsg.flatMap(_.source),
+                  None, p.node.inMsg.flatMap(_.destination), None,
+                  pfpAmount, None)
+              case None => (None, None, sender, None, pfpAmount, None)
+            }
+          }
+          val peer =
+            if (peer0.nonEmpty) peer0
+            else Seq(PeerSwapData(assetIn, amountIn,
+              actualAssetOut, actualAmountOut))
+          // every swap request must have its notification, else failed
+          // (swaps.py:646-656)
+          val failed = chainSwaps.exists(sw => !sw.children.exists {
+            case n: CallContractBlock =>
+              Opcodes.matches(n.opcode, Opcodes.DedustSwapNotification)
+            case _ => false
+          })
+          val incoming = DexTransferData(
+            amount = peer.head.amount_in, asset = peer.head.asset_in,
+            source = sender, destination = inWallet,
+            source_jetton_wallet = senderWallet,
+            destination_jetton_wallet = inJettonWallet)
+          val outgoing = DexTransferData(
+            amount = peer.last.amount_out, asset = peer.last.asset_out,
+            source = outSource, destination = receiver,
+            source_jetton_wallet = outSourceWallet,
+            destination_jetton_wallet = receiverWallet)
+          val chain = Seq(in) ++ chainSwaps.toSeq ++ notifications.toSeq ++
+            Seq(pfp: Block) ++ payoutTransfer.toSeq ++ payoutTon.toSeq
+          val tails = chain.flatMap(_.children.collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.Excesses) ||
+                Opcodes.matches(e.opcode, Opcodes.Bounce) => e: Block
+          })
+          val consumed = Matching.identityDistinct(chain ++ tails)
+          val data = JettonSwapData("dedust", sender,
+            Some(incoming), Some(outgoing),
+            if (peer.size > 1) peer else Nil, None)
+          (JettonSwapDirectBlock(data,
+            source = sender,
+            destination = receiver,
+            asset = incoming.asset,
+            asset2 = outgoing.asset,
+            sourceSecondary = incoming.source_jetton_wallet,
+            destinationSecondary = outgoing.destination_jetton_wallet,
+            failed = failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil), consumed)
+        }
+      }
+    }
+  }
+  val DedustFullSwapMatcher: BlockMatcher = new DedustFullSwap(_ => None)
+
   /** Public pTON master addresses (reference jettons.py:112-116
     * PTonTransferMatcher.pton_masters) — a jetton wallet of one of these
     * masters is wrapped TON. */
@@ -748,6 +919,28 @@ object ProtocolMatchers {
         }.flatMap { swap0 =>
           val hops = scala.collection.mutable.ArrayBuffer[
             (CallContractBlock, CallContractBlock)]()
+          // chained-router intermediates (payout → jetton transfer →
+          // [pton call → notify →] next swap, the reference's
+          // out_transfer-with-peer_swap arm, blocks/swaps.py:256-261)
+          val intermediates = scala.collection.mutable.ArrayBuffer[Block]()
+          def swapUnder(b: Block, depth: Int): Option[(CallContractBlock, Seq[Block])] =
+            if (depth > 3) None
+            else b.children.collectFirst {
+              case n: CallContractBlock
+                if Opcodes.matches(n.opcode, Opcodes.StonfiV2Swap) =>
+                  (n, Seq.empty[Block])
+            }.orElse {
+              // recurse through call-contract hops AND the pton-leg
+              // jetton-transfer rewrites (our PTonTonTransferMatcher
+              // turns the reference's validated 0x01f3835d
+              // call_contract into a transfer block)
+              b.children.iterator.collect {
+                case cc: CallContractBlock => cc: Block
+                case jt: JettonTransferBlock => jt: Block
+              }.map(cc => swapUnder(cc, depth + 1)
+                  .map { case (n, path) => (n, cc +: path) })
+                .collectFirst { case Some(r) => r }
+            }
           var cur: Option[CallContractBlock] = Some(swap0)
           while (cur.isDefined) {
             val sw = cur.get
@@ -760,6 +953,11 @@ object ProtocolMatchers {
                 cur = p.children.collectFirst {
                   case n: CallContractBlock
                     if Opcodes.matches(n.opcode, Opcodes.StonfiV2Swap) => n
+                }.orElse {
+                  p.children.collectFirst { case j: JettonTransferBlock => j }
+                    .flatMap(mid => swapUnder(mid, 0).map { case (n, path) =>
+                      intermediates += mid; intermediates ++= path; n
+                    })
                 }
               case None => cur = None
             }
@@ -793,9 +991,18 @@ object ProtocolMatchers {
                     }._1
                 firstEntry +: rest
               } else Nil
-            val consumed = Matching.identityDistinct(
-              Seq[Block](jt) ++ hops.toSeq.flatMap(h => Seq(h._1: Block, h._2)) ++
-                Seq(out))
+            // every matched chain anchor auto-appends its direct excess
+            // and bounce children (BlockMatcher.try_build,
+            // basic_matchers.py:42-57)
+            val chain = Seq[Block](jt) ++
+              hops.toSeq.flatMap(h => Seq(h._1: Block, h._2)) ++
+              intermediates.toSeq ++ Seq(out)
+            val tails = chain.flatMap(_.children.collect {
+              case e: CallContractBlock
+                if Opcodes.matches(e.opcode, Opcodes.Excesses) ||
+                  Opcodes.matches(e.opcode, Opcodes.Bounce) => e: Block
+            })
+            val consumed = Matching.identityDistinct(chain ++ tails)
             (JettonSwapBlock("stonfi_v2", jt.sender, jt.receiver, jt, out,
               failed = !ok, consumed.flatMap(_.nodes), Nil,
               peerSwaps = peer), consumed)
@@ -991,6 +1198,9 @@ object ProtocolMatchers {
               dex = Some("stonfi_v2"),
               withdrawLiquidity = Some(DexWithdrawLiquidityData(
                 dex = Some("stonfi_v2"),
+                // burn-anchored path = the withdraw_liquidity label, not
+                // withdraw_refunded_liquidity (liquidity.py:855-882)
+                is_refund = Some(false),
                 amount1 = out(0).map(_.amount),
                 amount2 = out(1).map(_.amount),
                 asset1_out = out(0).flatMap(o => resolveAsset(o.senderWallet)),
@@ -1017,7 +1227,8 @@ object ProtocolMatchers {
     * ExternalUnroll has no executed internal_transfer leg — decode the
     * TEP-74 body directly. Scoped to ghost nodes, which exist only on the
     * unroll path — exactly the reference's separate registry scope. */
-  object GhostJettonTransferMatcher extends BlockMatcher {
+  final class GhostJettonTransfer(resolveAsset: String => Option[String])
+      extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] =
       Some(Set(Opcodes.JettonTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -1028,18 +1239,26 @@ object ProtocolMatchers {
           try Some(graft.functions.TlbDecoders.jettonTransfer(b64))
           catch { case scala.util.control.NonFatal(_) => None }
         }.map { d =>
+          val wallet = c.node.inMsg.flatMap(_.destination)
+            .getOrElse(c.node.tx.account)
           (JettonTransferBlock(
             sender = c.node.inMsg.flatMap(_.source),
-            senderWallet = c.node.inMsg.flatMap(_.destination)
-              .getOrElse(c.node.tx.account),
+            senderWallet = wallet,
             receiver = d.destination, receiverWallet = None,
             amount = BigDecimal(d.amount), comment = d.comment,
             failed = c.failed, nodes = Seq(c.node), children = Nil,
-            decoded = Some(d)): Block, Seq(c: Block))
+            decoded = Some(d),
+            // the reference resolves the ordered wallet's master through
+            // the repository even for never-executed transfers
+            // (FallbackJettonTransferBlockMatcher, jettons.py:299-303)
+            asset = resolveAsset(wallet),
+            hasInternalTransfer = false): Block, Seq(c: Block))
         }
       case _ => None
     }
   }
+  val GhostJettonTransferMatcher: BlockMatcher =
+    new GhostJettonTransfer(_ => None)
 
   /** pTON transfer (PTonTransferMatcher, jettons.py:110-166): a
     * jetton-transfer call into a wrapped-TON wallet executes the TON
@@ -1084,7 +1303,7 @@ object ProtocolMatchers {
           // reference data: asset = the pTON MASTER, wallets None,
           // has_internal_transfer False (jettons.py:139-148)
           asset = dest.flatMap(resolveAsset),
-          hasInternalTransfer = false), consumed))
+          hasInternalTransfer = false, walletsHidden = true), consumed))
       case _ => None
     }
   }
@@ -1226,11 +1445,21 @@ object ProtocolMatchers {
               // (staking.py:224-230) — no fallback to the mint destination.
               // The request fill also emits only provider+ts_nft (no
               // tokens_burnt, block_tree_serializer.py:520-531).
-              val init = mint.children.collectFirst {
-                case c: CallContractBlock
-                  if Opcodes.matches(c.opcode, Opcodes.TonstakersInitNft) => c
+              // the typed nft_mint (NftMintBlockMatcher ran first) wins;
+              // raw InitNFT call is the fallback (staking.py:223-228).
+              // Neither is consumed when typed — the mint STAYS a
+              // separate top-level action (merge excludes it, :231-242)
+              val typedMint = mint.children.collectFirst {
+                case p: ProtocolOpBlock if p.btype == "nft_mint" => p
               }
-              val mintedNft = init.flatMap(_.node.inMsg.flatMap(_.destination))
+              val init =
+                if (typedMint.isDefined) None
+                else mint.children.collectFirst {
+                  case c: CallContractBlock
+                    if Opcodes.matches(c.opcode, Opcodes.TonstakersInitNft) => c
+                }
+              val mintedNft = typedMint.flatMap(_.destination)
+                .orElse(init.flatMap(_.node.inMsg.flatMap(_.destination)))
               val consumed: Seq[Block] = Seq(jb, req, mint) ++ init
               Some((ProtocolOpBlock("stake_withdrawal_request",
                 jb.owner, reqMsg.flatMap(_.destination),
@@ -1258,36 +1487,82 @@ object ProtocolMatchers {
     * notification owner. */
   object TonstakersDelayedWithdrawalMatcher extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.TonstakersNftBurn, Opcodes.TonstakersNftBurnNotification, Opcodes.TonstakersDistributedAsset))
-    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case burn: CallContractBlock
-        if Opcodes.matches(burn.opcode, Opcodes.TonstakersNftBurn) =>
-        val notif = burn.children.collectFirst {
+
+    /** One stake_withdrawal per (burn → notification → distributed-asset)
+      * chain; `pool` is the start-distribution call's SOURCE
+      * (_try_find_pool_addr, staking.py:276-297 — NOT the notification's
+      * destination, which is the payout collection). */
+    private def buildOne(pool: Option[String], burn: CallContractBlock,
+        n: CallContractBlock, dist: CallContractBlock): (Block, Seq[Block]) = {
+      val decoded = n.node.inMsg.flatMap(_.body).flatMap { b64 =>
+        try Some(graft.functions.TlbDecoders.tonstakersNftBurnNotification(b64))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val distMsg = dist.node.inMsg
+      val consumed: Seq[Block] = Seq(burn, n, dist)
+      (ProtocolOpBlock("stake_withdrawal",
+        source = decoded.flatMap(_.owner)
+          .orElse(distMsg.flatMap(_.destination)),
+        destination = pool,
+        asset = None,
+        value = distMsg.map(m => BigDecimal(m.value)),
+        failed = consumed.exists(_.failed),
+        nodes = consumed.flatMap(_.nodes), children = Nil,
+        tsNft = n.node.inMsg.flatMap(_.source), // the burnt bill NFT
+        tokensBurnt = decoded.map(d => BigDecimal(d.amount))), consumed)
+    }
+
+    private def chainOf(burn: CallContractBlock)
+        : Option[(CallContractBlock, CallContractBlock, CallContractBlock)] =
+      burn.children.collectFirst {
+        case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.TonstakersNftBurnNotification) => c
+      }.flatMap { n =>
+        n.children.collectFirst {
           case c: CallContractBlock
-            if Opcodes.matches(c.opcode, Opcodes.TonstakersNftBurnNotification) => c
+            if Opcodes.matches(c.opcode, Opcodes.TonstakersDistributedAsset) => c
+        }.map(d => (burn, n, d))
+      }
+
+    /** Multi-emit at the distribution anchor: the burn chain nests burn →
+      * burn → burn; each link's notification/distribution pair becomes
+      * one action, all sharing the anchor's source as the pool. The
+      * anchor call itself stays an ordinary call_contract (the reference
+      * never consumes it — its matcher anchors per distributed-asset and
+      * only walks UP for the pool address). */
+    override def tryBuildAll(b: Block): Option[(Seq[Block], Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.TonstakersStartDistribution) =>
+        val pool = c.node.inMsg.flatMap(_.source)
+        val burns = scala.collection.mutable.ArrayBuffer[CallContractBlock]()
+        var cur = c.children.collectFirst {
+          case nb: CallContractBlock
+            if Opcodes.matches(nb.opcode, Opcodes.TonstakersNftBurn) => nb
         }
-        notif.flatMap { n =>
-          n.children.collectFirst {
-            case c: CallContractBlock
-              if Opcodes.matches(c.opcode, Opcodes.TonstakersDistributedAsset) => c
-          }.map { dist =>
-            val decoded = n.node.inMsg.flatMap(_.body).flatMap { b64 =>
-              try Some(graft.functions.TlbDecoders.tonstakersNftBurnNotification(b64))
-              catch { case scala.util.control.NonFatal(_) => None }
-            }
-            val distMsg = dist.node.inMsg
-            val consumed: Seq[Block] = Seq(burn, n, dist)
-            (ProtocolOpBlock("stake_withdrawal",
-              source = decoded.flatMap(_.owner)
-                .orElse(distMsg.flatMap(_.destination)),
-              destination = n.node.inMsg.flatMap(_.destination), // the pool
-              asset = None,
-              value = distMsg.map(m => BigDecimal(m.value)),
-              failed = consumed.exists(_.failed),
-              nodes = consumed.flatMap(_.nodes), children = Nil,
-              tsNft = n.node.inMsg.flatMap(_.source), // the burnt bill NFT
-              tokensBurnt = decoded.map(d => BigDecimal(d.amount))), consumed)
+        while (cur.isDefined) {
+          burns += cur.get
+          cur = cur.get.children.collectFirst {
+            case nb: CallContractBlock
+              if Opcodes.matches(nb.opcode, Opcodes.TonstakersNftBurn) => nb
           }
         }
+        val triples = burns.toSeq.flatMap(chainOf(_))
+        if (triples.isEmpty) None
+        else {
+          val builtPairs = triples.map { case (bu, n, d) => buildOne(pool, bu, n, d) }
+          Some((c.withChildren(Nil) +: builtPairs.map(_._1),
+            Seq(c: Block) ++ builtPairs.flatMap(_._2)))
+        }
+      case _ => super.tryBuildAll(b)
+    }
+
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      // burn-anchored fallback for partial traces without the
+      // distribution call — the reference's pool walk-up finds nothing
+      // and records destination null (staking.py:287-297)
+      case burn: CallContractBlock
+        if Opcodes.matches(burn.opcode, Opcodes.TonstakersNftBurn) =>
+        chainOf(burn).map { case (bu, n, d) => buildOne(None, bu, n, d) }
       case _ => None
     }
   }
@@ -1751,6 +2026,7 @@ object ProtocolMatchers {
             dex = Some("dedust"),
             withdrawLiquidity = Some(DexWithdrawLiquidityData(
               dex = Some("dedust"),
+              is_refund = Some(false),
               amount1 = amounts.headOption.map(BigDecimal(_)),
               amount2 = amounts.drop(1).headOption.map(BigDecimal(_)),
               asset1_out = None, asset2_out = None,
@@ -1784,6 +2060,28 @@ object ProtocolMatchers {
     * transfer whose receive-jettons child at the stake wallet reaches
     * the pool's request-update (success) or the cancellation (failed);
     * period decodes from the transfer's forward payload. */
+  /** The referral/update tail around a jvault request-update call: the
+    * recursive referral chain (request-update-referrer → update-referrer,
+    * each with excesses), pool set-data calls, and the update-rewards
+    * response with its excesses (referral_subchain/update_with_exceses,
+    * blocks/jvault.py:92-108). */
+  private def jvaultUpdateTail(root: Block): Seq[Block] = {
+    val out = scala.collection.mutable.ArrayBuffer[Block]()
+    def walk(b: Block): Unit = b.children.foreach {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.JvaultRequestUpdateReferrer) ||
+          Opcodes.matches(c.opcode, Opcodes.JvaultUpdateReferrer) ||
+          Opcodes.matches(c.opcode, Opcodes.JvaultSetData) ||
+          Opcodes.matches(c.opcode, Opcodes.JvaultUpdateRewards) ||
+          Opcodes.matches(c.opcode, Opcodes.Excesses) ||
+          Opcodes.matches(c.opcode, Opcodes.Bounce) =>
+        out += c; walk(c)
+      case _ => ()
+    }
+    walk(root)
+    out.toSeq
+  }
+
   object JvaultStakeFullMatcher extends BlockMatcher {
     import graft.functions.{Boc, TlbDecoders}
     override val triggerOpcodes: Option[Set[Long]] =
@@ -1806,7 +2104,10 @@ object ProtocolMatchers {
               } catch { case scala.util.control.NonFatal(_) => None }
             }
             val consumed = Matching.identityDistinct(
-              Seq[Block](jt, recv) ++ update.toSeq ++ cancel.toSeq)
+              Seq[Block](jt, recv) ++ update.toSeq ++ cancel.toSeq ++
+                update.toSeq.flatMap(jvaultUpdateTail) ++
+                cancel.toSeq.flatMap(_.children.collect {
+                  case j: JettonTransferBlock => j: Block }))
             Some((ProtocolOpBlock("jvault_stake",
               source = jt.sender,
               // pool = the receive-jettons message's SOURCE; the stake
@@ -1850,8 +2151,13 @@ object ProtocolMatchers {
         val update = findCall(c, Opcodes.JvaultRequestUpdateRewards)
         val payout = update.flatMap(_.children.collectFirst {
           case j: JettonTransferBlock => j })
+        // the request-update's tail: referral chain, update-rewards
+        // response, the optional unstake-fee ton_transfer, excesses
+        val fee = update.toSeq.flatMap(_.children.collect {
+          case t: TonTransferBlock => t: Block })
         val consumed = Matching.identityDistinct(
-          Seq[Block](c) ++ update.toSeq ++ payout.toSeq ++
+          Seq[Block](c) ++ update.toSeq ++ payout.toSeq ++ fee ++
+            update.toSeq.flatMap(jvaultUpdateTail) ++
             c.children.collect {
               case e: CallContractBlock
                 if Opcodes.matches(e.opcode, Opcodes.Excesses) => e: Block
@@ -1896,7 +2202,8 @@ object ProtocolMatchers {
         val withdrawal = send.flatMap(_.children.collectFirst {
           case j: JettonTransferBlock => j })
         val consumed = Matching.identityDistinct(
-          Seq[Block](c) ++ send.toSeq ++ withdrawal.toSeq)
+          Seq[Block](c) ++ send.toSeq ++ withdrawal.toSeq ++
+            send.toSeq.flatMap(jvaultUpdateTail))
         Some((ProtocolOpBlock("jvault_claim",
           source = c.node.inMsg.flatMap(_.source),
           destination = send.flatMap(_.node.inMsg.flatMap(_.destination)),
@@ -2819,12 +3126,13 @@ object ProtocolMatchers {
       }
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case burn: JettonBurnBlock =>
+        // payout_1/payout_2 bind in CHILD-LIST order (labeled matchers
+        // scan children positionally, basic_matchers.py) — the tree's
+        // children follow tx.messages order, so no re-sort here
         val payoutLegs = burn.children.collect {
           case p: CallContractBlock
             if Opcodes.matches(p.opcode, Opcodes.CoffeePayoutInternal) => p
-        }.sortBy(p => (p.node.tx.lt,
-          p.node.inMsg.flatMap(_.createdLt).getOrElse(Long.MaxValue)))
-          .flatMap(resolvePayout(_))
+        }.flatMap(resolvePayout(_))
         val event = burn.children.collectFirst {
           case e: CallContractBlock
             if Opcodes.matches(e.opcode,
@@ -2867,7 +3175,8 @@ object ProtocolMatchers {
                 user_jetton_wallet_1 = w1, user_jetton_wallet_2 = w2,
                 dex_jetton_wallet_1 = djw1, dex_jetton_wallet_2 = djw2,
                 lp_tokens_burnt = Some(burn.amount),
-                dex_wallet_1 = dw1, dex_wallet_2 = dw2))), consumed))
+                dex_wallet_1 = dw1, dex_wallet_2 = dw2,
+                is_refund = Some(false)))), consumed))
           case _ => None
         }
       case _ => None
@@ -3824,25 +4133,32 @@ object ProtocolMatchers {
           prep <- findCall(c, Opcodes.LayerZeroLzReceivePrepare)
           lock <- findCall(prep, Opcodes.LayerZeroChannelLzReceiveLock)
           exec <- findCall(lock, Opcodes.LayerZeroLzReceiveExecute)
-          oappCb <- findCall(exec, Opcodes.LayerZeroOappExecuteCallback)
-          body <- oappCb.node.inMsg.flatMap(_.body)
+          // the packet rides the EXECUTE body — get_labeled picks the
+          // outer 'execute_callback' label, which wraps the
+          // LZ_RECEIVE_EXECUTE call (blocks/layerzero.py:363-379,
+          // 392-401); the same md layout holds the packet at
+          // refs(0).refs(0)
+          body <- exec.node.inMsg.flatMap(_.body)
           packet <- safeDecode(TlbDecoders.lzOappExecuteCallback)(body)
-          oapp <- oappCb.node.inMsg.flatMap(_.destination)
+          oapp <- exec.node.inMsg.flatMap(_.destination)
           // the executing OApp must be the packet's destination
-          // (blocks/layerzero.py:399-401)
           if lzAddrEq(oapp, packet.path.dstOapp)
         } yield {
           val in = c.node.inMsg
-          val chain = Seq[Block](c, prep, lock, exec, oappCb)
+          val oappCb = findCall(exec, Opcodes.LayerZeroOappExecuteCallback)
+          val chain = Seq[Block](c, prep, lock, exec) ++ oappCb.toSeq
           val consumed = Matching.identityDistinct(chain ++
             chain.flatMap(n => lzAux(n,
-              takeTransfers = (n eq c) || (n eq exec) || (n eq oappCb))))
+              takeTransfers = (n eq c) || (n eq exec) ||
+                oappCb.exists(_ eq n))))
           (ProtocolOpBlock("layerzero_receive",
             source = in.flatMap(_.source), destination = Some(oapp),
             asset = None, value = in.map(m => BigDecimal(m.value)),
             failed = consumed.exists(_.failed),
             nodes = consumed.flatMap(_.nodes), children = Nil,
-            destinationSecondary = oappCb.node.inMsg.flatMap(_.source),
+            // channel = the execute message's source
+            // (blocks/layerzero.py:406-407)
+            destinationSecondary = exec.node.inMsg.flatMap(_.source),
             lzPacket = Some(lzPacketData(packet))), consumed)
         }
       case _ => None
@@ -3908,6 +4224,9 @@ object ProtocolMatchers {
             nodes = consumed.flatMap(_.nodes), children = Nil,
             sourceSecondary = Some(jt.senderWallet),
             destinationSecondary = jt.receiverWallet,
+            // amount = the transferred token quantity
+            // (_fill_layerzero_send_tokens_action:1221)
+            amount = Some(jt.amount),
             lzSend = send.lzSend, lzPacket = send.lzPacket), consumed)
         }
       case _ => None
@@ -4486,14 +4805,31 @@ object ProtocolMatchers {
     * designated 'ethena_tsusde_wallet' in the pre-joined interface map).
     * Canonical action type: stake_deposit with provider 'ethena'
     * (block_tree_serializer.py:1277-1288). */
-  final class EthenaDepositMatcher(interfaces: Map[String, String]) extends BlockMatcher {
+  final class EthenaDepositMatcher(interfaces: Map[String, String],
+      resolveAsset: String => Option[String] = _ => None) extends BlockMatcher {
+    // the reference gates the deposit on the HARD-CODED Ethena masters:
+    // the transfer must move USDe, the mint must produce tsUSDe
+    // (ethena_staking.py:135-147)
+    private val UsdeMaster =
+      "0:086FA2A675F74347B08DD4606A549B8FDB98829CB282BC1949D3B12FBAED9DCC"
+    private val TsUsdeMaster =
+      "0:D0E545323C7ACB7102653C073377F7E3C67F122EB94D430A250739F109D4A57D"
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
-      case jt: JettonTransferBlock =>
+      case jt: JettonTransferBlock
+          if jt.asset.contains(UsdeMaster) ||
+            resolveAsset(jt.senderWallet).contains(UsdeMaster) ||
+            jt.children.exists {
+              case m: JettonMintBlock => m.receiverWallet.exists(w =>
+                interfaces.get(w).contains("ethena_tsusde_wallet"))
+              case _ => false
+            } =>
         jt.children.collectFirst {
           case m: JettonMintBlock
             if m.receiverWallet.exists(w =>
-              interfaces.get(w).contains("ethena_tsusde_wallet")) => m
+              interfaces.get(w).contains("ethena_tsusde_wallet")) ||
+              m.master.contains(TsUsdeMaster) ||
+              m.receiverWallet.flatMap(resolveAsset).contains(TsUsdeMaster) => m
         }.map { mint =>
           val consumed: Seq[Block] = Seq(jt, mint)
           // reference fill (_fill_ethena_deposit_action,
@@ -4667,14 +5003,16 @@ object ProtocolMatchers {
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock
           if Opcodes.matches(c.opcode, Opcodes.CocoonGrantRefundPayload) =>
-        c.children.collectFirst {
+        val req = c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+        }
+        // the payout hangs under the CLIENT's proxy request, not the
+        // grant payload itself (blocks/cocoon.py:1128-1152)
+        req.toSeq.flatMap(_.children).collectFirst {
           case p: CallContractBlock
             if Opcodes.matches(p.opcode, Opcodes.CocoonPayout) => p
         }.map { payout =>
-          val req = c.children.collectFirst {
-            case r: CallContractBlock
-              if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
-          }
           val excesses = (c.children ++ req.toSeq.flatMap(_.children)).collect {
             case e: CallContractBlock
               if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
@@ -4749,9 +5087,45 @@ object ProtocolMatchers {
   val CocoonProxyPayoutMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonExtProxyPayoutRequest, None, Set(Opcodes.CocoonReturnExcesses),
     protoBlock("cocoon_proxy_payout"))
-  val CocoonProxyChargeMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CocoonChargePayload, None, Set(Opcodes.CocoonReturnExcesses),
-    protoBlock("cocoon_proxy_charge"))
+  /** Proxy charge (CocoonProxyChargeMatcher, blocks/cocoon.py:336-430):
+    * ChargePayload on the PROXY with the client proxy-request and
+    * excesses children; source = the proxy itself, destination = the
+    * client contract, amount = 0 (no transfer). */
+  object CocoonProxyChargeMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonChargePayload))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonChargePayload) =>
+        val req = c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+        }
+        val excesses = c.children.collect {
+          case e: CallContractBlock
+            if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) => e: Block
+        }
+        val body = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(TlbDecoders.cocoonCharge))
+        // the reference requires the request leg; the request-less form
+        // stays classified as the partial-trace fallback (our standing
+        // full-chain-first / fallback-second pattern)
+        val consumed = Seq(c: Block) ++ req.toSeq ++ excesses
+        Some((ProtocolOpBlock("cocoon_proxy_charge",
+          source = c.node.inMsg.flatMap(_.destination), // the proxy
+          destination = req.flatMap(_.node.inMsg.flatMap(_.destination)),
+          asset = None, value = None,
+          failed = c.failed,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          amount = Some(BigDecimal(0)),
+          cocoonCharge = Some(CocoonChargeData(
+            query_id = body.map(_.queryId.toString),
+            new_tokens_used = body.map(x => BigDecimal(x.newTokensUsed)),
+            expected_address = body.flatMap(_.expectedAddress)))), consumed))
+      case _ => None
+    }
+  }
   val CocoonRegisterProxyMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonRegisterProxy, None, Set(Opcodes.CocoonReturnExcesses),
     protoBlock("cocoon_register_proxy"))
@@ -4761,15 +5135,101 @@ object ProtocolMatchers {
   val CocoonClientChangeSecretHashMatcher: BlockMatcher = new OpcodeChainMatcher(
     Opcodes.CocoonClientChangeSecretHash, None, Set(Opcodes.CocoonReturnExcesses),
     protoBlock("cocoon_client_change_secret_hash"))
+  /** Client increase-stake (blocks/cocoon.py:933-1010): amount = the
+    * decoded new_stake, source = send_excesses_to, destination = the
+    * client contract; consumes the proxy request + excesses. */
   val CocoonClientIncreaseStakeMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CocoonClientIncreaseStake, None, Set(Opcodes.CocoonReturnExcesses),
-    protoBlock("cocoon_client_increase_stake"))
-  val CocoonClientWithdrawMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CocoonClientWithdraw, None, Set(Opcodes.CocoonReturnExcesses),
-    protoBlock("cocoon_client_withdraw"))
-  val CocoonClientRequestRefundMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CocoonClientRequestRefund, None, Set(Opcodes.CocoonReturnExcesses),
-    protoBlock("cocoon_client_request_refund"))
+    Opcodes.CocoonClientIncreaseStake, None,
+    Set(Opcodes.CocoonReturnExcesses, Opcodes.CocoonClientProxyRequest),
+    (c, consumed) => {
+      val body = c.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(graft.functions.TlbDecoders.cocoonIncreaseStake))
+      protoBlock("cocoon_client_increase_stake")(c, consumed) match {
+        case p: ProtocolOpBlock => p.copy(
+          destination = c.node.inMsg.flatMap(_.destination),
+          amount = body.map(b => BigDecimal(b.newStake)))
+        case other => other
+      }
+    })
+  /** Client withdraw (blocks/cocoon.py:1013-1105): the withdraw amount
+    * rides the proxy request's RefundGranted payload; the payout and
+    * excesses hang under the request. */
+  object CocoonClientWithdrawMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonClientWithdraw))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonClientWithdraw) =>
+        val req = c.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientProxyRequest) => r
+        }
+        req.map { r =>
+          val tail = r.children.collect {
+            case p: CallContractBlock
+              if Opcodes.matches(p.opcode, Opcodes.CocoonPayout) ||
+                Opcodes.matches(p.opcode, Opcodes.CocoonReturnExcesses) => p: Block
+          }
+          val qid = c.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.opQueryId)).map(_.toString)
+          val amount = r.node.inMsg.flatMap(_.body)
+            .flatMap(safeDecode(TlbDecoders.cocoonRefundGrantedCoins))
+            .flatten.map(BigDecimal(_)).orElse(Some(BigDecimal(0)))
+          val consumed = Seq(c: Block, r) ++ tail
+          (ProtocolOpBlock("cocoon_client_withdraw",
+            source = c.node.inMsg.flatMap(_.source),
+            destination = c.node.inMsg.flatMap(_.destination),
+            asset = None, value = None,
+            failed = c.failed,
+            nodes = consumed.flatMap(_.nodes), children = Nil,
+            amount = amount,
+            cocoonClientWithdraw = Some(CocoonClientWithdrawData(
+              query_id = qid, withdraw_amount = amount))), consumed)
+        }
+      case _ => None
+    }
+  }
+  /** Client request-refund (blocks/cocoon.py:834-930): direct, or
+    * wrapped in an OwnerWalletSendMessage hop — the wrapper sets
+    * via_wallet and is consumed with the chain. */
+  object CocoonClientRequestRefundMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonClientRequestRefund))
+    private def buildFrom(refund: CallContractBlock,
+        wrapper: Option[CallContractBlock]): (Block, Seq[Block]) = {
+      val kids = refund.children.collect {
+        case e: CallContractBlock
+          if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) ||
+            Opcodes.matches(e.opcode, Opcodes.CocoonClientProxyRequest) => e: Block
+      }
+      val qid = refund.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.opQueryId)).map(_.toString)
+      val consumed = wrapper.toSeq.map(w => w: Block) ++
+        Seq(refund: Block) ++ kids
+      (ProtocolOpBlock("cocoon_client_request_refund",
+        source = wrapper.getOrElse(refund).node.inMsg.flatMap(_.source),
+        destination = refund.node.inMsg.flatMap(_.destination),
+        asset = None, value = None,
+        failed = wrapper.getOrElse(refund).node.tx.aborted,
+        nodes = consumed.flatMap(_.nodes), children = Nil,
+        cocoonRefund = Some(CocoonRequestRefundData(
+          query_id = qid, via_wallet = Some(wrapper.nonEmpty)))), consumed)
+    }
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case w: CallContractBlock
+          if Opcodes.matches(w.opcode, Opcodes.CocoonOwnerWalletSendMessage) =>
+        w.children.collectFirst {
+          case r: CallContractBlock
+            if Opcodes.matches(r.opcode, Opcodes.CocoonClientRequestRefund) => r
+        }.map(r => buildFrom(r, Some(w)))
+      case r: CallContractBlock
+          if Opcodes.matches(r.opcode, Opcodes.CocoonClientRequestRefund) =>
+        Some(buildFrom(r, None))
+      case _ => None
+    }
+  }
 
   /** NFT mint — the INTERFACE-AWARE matcher (reference
     * NftMintBlockMatcher, blocks/nft.py:367-391: a block with exactly one
@@ -4817,9 +5277,10 @@ object ProtocolMatchers {
     Seq(TonstakersDelayedWithdrawalMatcher, TonstakersDepositMatcher,
       PTonTonTransferMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
-      JettonSwapMatcher, JettonMintMatcher,
+      JettonMintMatcher,
       StonfiV1FullSwapMatcher, StonfiV2FullSwapMatcher,
-      StonfiSwapMatcher, StonfiV2SwapMatcher, DedustSwapMatcher,
+      StonfiSwapMatcher, StonfiV2SwapMatcher,
+      DedustFullSwapMatcher, DedustSwapMatcher,
       TonstakersWithdrawMatcher,
       ElectionDepositMatcher, ElectionRecoverMatcher,
       MultisigCreateOrderMatcher, MultisigApproveMatcher,
@@ -4874,6 +5335,12 @@ object ProtocolMatchers {
       CocoonRegisterProxyMatcher, CocoonUnregisterProxyMatcher,
       CocoonClientChangeSecretHashMatcher, CocoonClientIncreaseStakeMatcher,
       CocoonClientWithdrawMatcher, CocoonClientRequestRefundMatcher,
+      // LAST: the generic transfer-in→transfer-out heuristic is NOT a
+      // reference matcher — it exists for context-free fixtures only and
+      // must never steal legs from the protocol-specific swap chains
+      // above (it broke the dedust-in-coffee golden traces when it ran
+      // before them)
+      JettonSwapMatcher,
       GhostJettonTransferMatcher)
 
   /** Trace post-processor analogue of post_process_dedust_liquidity
@@ -5064,6 +5531,10 @@ object ProtocolMatchers {
             new DedustFirstAssetMatcher(resolve)
           case m if m eq DedustDepositLiquidityMatcher =>
             new DedustDepositFinal(resolve)
+          case m if m eq GhostJettonTransferMatcher =>
+            new GhostJettonTransfer(w => jw.get(w))
+          case m if m eq DedustFullSwapMatcher =>
+            new DedustFullSwap(resolve)
           case m if m eq ToncoDepositLiquidityMatcher =>
             new ToncoDepositLiquidityFull(resolve)
           case m if m eq ToncoWithdrawLiquidityFullMatcher =>
@@ -5083,10 +5554,14 @@ object ProtocolMatchers {
     interfaces match {
       case None =>
         if (jettonWallets.isEmpty) withNft
-        // repository-only gating (no interface rows): the pTON rewrite
-        // still applies — its reference gate is purely the jetton-wallet
-        // repository (jettons.py:131-135)
-        else splicePton(withNft, new PTonTransferMatcher(Map.empty, resolveOpt))
+        // repository-only gating (no interface rows): the full gated set
+        // still applies with an empty interface map — pTON and the
+        // master-gated matchers (e.g. Ethena deposit) resolve purely
+        // through the jetton-wallet repository (jettons.py:131-135,
+        // ethena_staking.py:135-147); interface-anchored matchers simply
+        // never fire
+        else registryGated(withNft, Map.empty,
+          nftItems.getOrElse(Map.empty), resolveOpt)
       case Some(ifc) =>
         // in-place swaps: matchers whose ANCHOR the interface refines
         // must be replaced (an appended variant would never fire — the
@@ -5120,15 +5595,15 @@ object ProtocolMatchers {
       interfaces: Map[String, String],
       nftItems: Map[String, NftItemInfo],
       resolveAsset: String => Option[String] = _ => None): Seq[BlockMatcher] =
+    // NftMintBlockMatcher runs FIRST in the reference registry
+    // (event_processing.py:209-210) — the tonstakers withdrawal-request
+    // and coffee staking families consume the typed nft_mint it builds
+    Seq(new NftMintMatcher(interfaces, nftItems)) ++
     splicePton(withNft,
       new PTonTransferMatcher(interfaces, resolveAsset)) ++ Seq(
-      new NftMintMatcher(interfaces, nftItems),
-      // the coffee staking deposit requires the position-NFT mint, which
-      // only exists after NftMintMatcher ran — a second pass (the base
-      // registry's instance saw only raw deploys) mirrors the reference
-      // order where NftMintBlockMatcher precedes the staking family
       CoffeeStakingDepositMatcher,
-      new NftPurchaseMatcher(interfaces), new EthenaDepositMatcher(interfaces),
+      new NftPurchaseMatcher(interfaces),
+      new EthenaDepositMatcher(interfaces, resolveAsset),
       new NominatorPoolDepositMatcher(interfaces),
       new NominatorPoolWithdrawRequestMatcher(interfaces),
       new NominatorPoolWithdrawMatcher(interfaces),

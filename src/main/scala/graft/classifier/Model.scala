@@ -23,7 +23,14 @@ case class MsgLite(
     // unixtime the message was created — feeds the action start_utime
     // (EventNode.get_utime, tree_utils.py:83-89); tx.now stands in when
     // absent
-    createdAt: Option[Long] = None)
+    createdAt: Option[Long] = None,
+    // position of the message within its transaction's message list —
+    // the reference's tree children follow tx.messages order verbatim
+    // (to_tree, tree_utils.py:107-116), which on the golden fixtures is
+    // the dump order, NOT created_lt order. Callers with a meaningful
+    // source order (GoldenCorpus) set it; the distributed path leaves it
+    // None and TxTree falls back to the deterministic created_lt sort.
+    seqNo: Option[Int] = None)
 
 /** Pre-joined nft_items dim row (the reference resolves these through
   * the interface repository at classify time, blocks/nft.py:54-75 — here
@@ -75,22 +82,33 @@ object TxTree {
       m <- ms if m.direction == "out"
     } yield m.msgHash -> txHash).toMap
 
-    val childrenOf = scala.collection.mutable.Map[String, Vector[String]]()
     val roots = scala.collection.mutable.ArrayBuffer[String]()
     val txByHash = txs.map(t => t.hash -> t).toMap
     val sortedTxs = txs.sortBy(t => (t.lt, t.account))
+    // which tx consumed each message (by in-msg hash)
+    val consumerOf: Map[String, String] = (for {
+      t <- sortedTxs
+      m <- byTx.getOrElse(t.hash, Nil) if m.direction == "in"
+    } yield m.msgHash -> t.hash).toMap
     sortedTxs.foreach { t =>
       val in = byTx.getOrElse(t.hash, Nil).find(_.direction == "in")
-      in.flatMap(m => producerOf.get(m.msgHash)).filter(_ != t.hash) match {
-        case Some(p) => childrenOf(p) = childrenOf.getOrElse(p, Vector()) :+ t.hash
-        case None => roots += t.hash
-      }
+      if (!in.flatMap(m => producerOf.get(m.msgHash)).exists(_ != t.hash))
+        roots += t.hash
+    }
+    // tx.messages order when the caller supplied one (the reference's
+    // to_tree children follow it verbatim, tree_utils.py:107-116);
+    // deterministic created_lt sort otherwise (distributed path — shuffle
+    // arrival order is not reproducible)
+    def orderedOuts(ms: Seq[MsgLite]): Seq[MsgLite] = {
+      val outs = ms.filter(_.direction == "out")
+      if (outs.nonEmpty && outs.forall(_.seqNo.isDefined))
+        outs.sortBy(_.seqNo.get)
+      else outs.sortBy(m => (m.createdLt.isDefined, m.createdLt.getOrElse(0L)))
     }
     def mk(hash: String): TxNode = {
       val t = txByHash(hash)
       val ms = byTx.getOrElse(hash, Nil)
-      val outs = ms.filter(_.direction == "out")
-        .sortBy(m => (m.createdLt.isDefined, m.createdLt.getOrElse(0L)))
+      val outs = orderedOuts(ms)
       // EXTERNAL-OUT messages (no destination — log events) become leaf
       // child nodes wrapping the emitting tx, exactly as the reference
       // tree does (tree_utils.py:111-113: `if m.destination is None:
@@ -101,10 +119,15 @@ object TxTree {
         TxNode(t.copy(hash = s"extout:${t.hash}:${m.msgHash}"),
           Some(m), Nil, Nil)
       }
+      // children in the parent's out-message order (each out message's
+      // consuming tx), mirroring to_tree's add_child sequence
+      val kids = outs.filter(_.destination.nonEmpty)
+        .flatMap(m => consumerOf.get(m.msgHash)).filter(_ != hash)
+        .distinct.map(mk)
       TxNode(t,
         ms.find(_.direction == "in"),
         outs,
-        childrenOf.getOrElse(hash, Vector()).map(mk) ++ extOutKids)
+        kids ++ extOutKids)
     }
     roots.toSeq.map(mk)
   }
@@ -158,6 +181,10 @@ object Opcodes {
   val TonstakersNftBurn = 0xf127fe4eL
   val TonstakersNftBurnNotification = 0xed58b0b2L
   val TonstakersDistributedAsset = 0xdb3b8abdL
+  // pool → payout collection: start asset distribution
+  // (TONStakersDelayedWithdrawalMatcher._try_find_pool_addr,
+  // blocks/staking.py:290)
+  val TonstakersStartDistribution = 0x1140a64fL
   val ElectorDeposit = 0x4e73744bL
   val ElectorDepositConfirm = 0xf374484cL
   val ElectorRecover = 0x47657424L
@@ -196,6 +223,10 @@ object Opcodes {
   val JvaultSendClaimedRewards = 0x44bc1fe3L
   val JvaultRequestUpdateRewards = 0xf5c5baa3L
   val JvaultCancelStake = 0x9eada1d9L
+  val JvaultUpdateRewards = 0xae9307ceL // messages/jvault.py:111
+  val JvaultRequestUpdateReferrer = 0x55c35b40L // messages/jvault.py:115
+  val JvaultUpdateReferrer = 0x076ee4e0L // messages/jvault.py:119
+  val JvaultSetData = 0x383411eaL // messages/jvault.py:124
 
   // tgBTC bridge events (messages/tgbtc.py:20-82) and the full-chain
   // anchor calls with their auxiliaries (blocks/tgbtc.py:54-268)
@@ -372,6 +403,7 @@ object Opcodes {
   val CocoonClientIncreaseStake = 0x6a1f6a60L
   val CocoonClientWithdraw = 0xda068e78L
   val CocoonClientRequestRefund = 0xfafa6cc1L
+  val CocoonOwnerWalletSendMessage = 0x9c69f376L // messages/cocoon.py:735
 
   // vesting (messages/vesting.py:12-34)
   val VestingSendMessage = 0xa7733acdL

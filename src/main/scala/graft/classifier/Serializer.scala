@@ -252,6 +252,7 @@ case class DexWithdrawLiquidityData(
     dex_jetton_wallet_1: Option[String], dex_jetton_wallet_2: Option[String],
     lp_tokens_burnt: Option[BigDecimal],
     dex_wallet_1: Option[String], dex_wallet_2: Option[String],
+    is_refund: Option[Boolean] = None,
     burned_nft_index: Option[String] = None,
     burned_nft_address: Option[String] = None,
     tick_lower: Option[String] = None, tick_upper: Option[String] = None)
@@ -405,8 +406,12 @@ object Serializer {
     def walk(b: Block, parent: Option[ActionRow], ancestors: List[String]): Unit = {
       if (b.btype == "root") { b.children.foreach(walk(_, parent, ancestors)); return }
       val emit = emittedTypes.contains(b.btype)
+      // contract deploys are lifted flat (unwind_deployments,
+      // event_processing.py:196-207) — never parented
+      val (rowParent, rowAnc) =
+        if (b.btype == "contract_deploy") (None, Nil) else (parent, ancestors)
       val row = if (emit) {
-        val r0 = toRow(traceId, b, parent, ancestors)
+        val r0 = toRow(traceId, b, rowParent, rowAnc)
         val r = parentTx.get(b.anchorNode.tx.hash) match {
           case Some(p) => r0.copy(
             tx_hashes = (r0.tx_hashes :+ Ghost.realHash(p.hash)).distinct,
@@ -416,12 +421,35 @@ object Serializer {
         out += r
         Some(r)
       } else None
-      val nextAnc = if (emit) b.btype :: ancestors else ancestors
-      b.children.foreach(walk(_, row.orElse(parent), nextAnc))
+      // parent links + ancestor_type accrue ONLY through non-v1 protocol
+      // ops (serialize_blocks, block_tree_serializer.py:1546-1556:
+      // children of a v1-op block are serialized flat with
+      // parent_action_id=None — v1_ops list at :1484-1520)
+      val (childParent, nextAnc) =
+        if (emit && !v1Ops(b.btype)) (row, b.btype :: ancestors)
+        else if (emit) (None, Nil)
+        else (parent, ancestors)
+      b.children.foreach(walk(_, childParent, nextAnc))
     }
     walk(root, None, Nil)
     out.toSeq
   }
+
+  /** The reference's v1_ops (block_tree_serializer.py:1484-1520): action
+    * types whose nested actions are NOT parent-linked. */
+  private val v1Ops: Set[String] = Set(
+    "call_contract", "contract_deploy", "jetton_burn", "tick_tock",
+    "jetton_transfer", "nft_transfer", "nft_mint", "jetton_mint",
+    "ton_transfer", "stake_deposit", "stake_withdrawal",
+    "stake_withdrawal_request", "dex_deposit_liquidity", "jetton_swap",
+    "change_dns", "delete_dns", "renew_dns", "subscribe",
+    "dex_withdraw_liquidity", "unsubscribe", "election_deposit",
+    "election_recover", "auction_bid", "nominator_pool_deposit",
+    "nominator_pool_withdraw_request", "dedust_deposit_liquidity",
+    "dedust_deposit_liquidity_partial", "tonstakers_deposit",
+    "tonstakers_withdraw_request", "tonstakers_withdraw",
+    "ethena_withdrawal_request", "ethena_deposit", "tonco_deposit_liquidity",
+    "tonco_withdraw_liquidity", "coffee_deposit_liquidity")
 
   private def toRow(traceId: String, b: Block, parent: Option[ActionRow],
       ancestors: List[String]): ActionRow = {
@@ -600,7 +628,8 @@ object Serializer {
       // (_fill_jetton_transfer_action block_tree_serializer.py:168-171,
       // _fill_jetton_burn_action :462-464)
       source_secondary = b match {
-        case j: JettonTransferBlock => Some(j.senderWallet)
+        case j: JettonTransferBlock =>
+          if (j.walletsHidden) None else Some(j.senderWallet)
         case jb: JettonBurnBlock => Some(jb.ownerWallet)
         case p: ProtocolOpBlock => p.sourceSecondary
         case e: EvaaSupplyActionBlock => e.senderJettonWallet
@@ -793,9 +822,10 @@ object Serializer {
       },
       cocoon_proxy_charge_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_proxy_charge" =>
-          headBody(p).flatMap(safeDec(TlbDecoders.cocoonCharge))
-            .map(c => CocoonChargeData(Some(c.queryId.toString),
-              Some(BigDecimal(c.newTokensUsed)), c.expectedAddress))
+          p.cocoonCharge.orElse(
+            headBody(p).flatMap(safeDec(TlbDecoders.cocoonCharge))
+              .map(c => CocoonChargeData(Some(c.queryId.toString),
+                Some(BigDecimal(c.newTokensUsed)), c.expectedAddress)))
         case _ => None
       },
       cocoon_register_proxy_data = b match {
@@ -832,7 +862,8 @@ object Serializer {
       },
       cocoon_client_request_refund_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_client_request_refund" =>
-          headQid(p).map(q => CocoonRequestRefundData(Some(q), None))
+          p.cocoonRefund.orElse(
+            headQid(p).map(q => CocoonRequestRefundData(Some(q), None)))
         case _ => None
       },
       cocoon_client_increase_stake_data = b match {
@@ -844,7 +875,8 @@ object Serializer {
       },
       cocoon_client_withdraw_data = b match {
         case p: ProtocolOpBlock if p.btype == "cocoon_client_withdraw" =>
-          headQid(p).map(q => CocoonClientWithdrawData(Some(q), None))
+          p.cocoonClientWithdraw.orElse(
+            headQid(p).map(q => CocoonClientWithdrawData(Some(q), None)))
         case _ => None
       })
     row.copy(accounts = fullAccounts(b, row), amount = amountOf(b, row))
@@ -937,14 +969,28 @@ object Serializer {
       is_encrypted_comment = j.decoded.map(_.encryptedComment)
         .orElse(j.comment.map(_ => false)))
 
-  private def dexTransfer(j: JettonTransferBlock): DexTransferData =
-    DexTransferData(Some(j.amount),
-      // TON legs (pTON rewrites) render a null asset —
-      // _addr(Asset(is_ton=True)) is None (block_tree_serializer.py:85-91)
-      asset = j.asset.orElse(Some(j.senderWallet)).filter(_ != "TON"),
-      source = j.sender, destination = j.receiver,
-      source_jetton_wallet = Some(j.senderWallet),
-      destination_jetton_wallet = j.receiverWallet)
+  private def dexTransfer(j: JettonTransferBlock): DexTransferData = {
+    // a pTON v2 ton_transfer leg (0x01f3835d rewrite) is a TON movement
+    // INTO the wrapped wallet: asset null, no source wallet, the pTON
+    // wallet as the destination wallet (StonfiV2SwapBlockMatcher in_pton
+    // branch, blocks/swaps.py:377-393)
+    val ptonV2Leg = j.nodes.headOption.flatMap(_.inMsg.flatMap(_.opcode))
+      .exists(o => (o & 0xffffffffL) == Opcodes.PTonTransferOp)
+    if (ptonV2Leg)
+      DexTransferData(Some(j.amount), asset = None,
+        source = j.sender, destination = j.receiver,
+        source_jetton_wallet = None,
+        destination_jetton_wallet = Some(j.senderWallet))
+    else
+      DexTransferData(Some(j.amount),
+        // TON legs (pTON rewrites) render a null asset —
+        // _addr(Asset(is_ton=True)) is None (block_tree_serializer.py:85-91)
+        asset = j.asset.orElse(Some(j.senderWallet)).filter(_ != "TON"),
+        source = j.sender, destination = j.receiver,
+        source_jetton_wallet =
+          if (j.walletsHidden) None else Some(j.senderWallet),
+        destination_jetton_wallet = j.receiverWallet)
+  }
 
   /** Exploded (account × action) rows (action_accounts, migrate.cpp:589-599;
     * get_action_accounts database.py:590-600 — one row per involved

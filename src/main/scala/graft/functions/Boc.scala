@@ -91,6 +91,28 @@ object Boc {
       }
     }
 
+    /** MsgAddress that also accepts addr_extern$01, rendered as
+      * "len;hex" exactly like the reference's cocoon serialization of
+      * ExternalAddress (blocks/cocoon.py:134-136: unpadded lowercase
+      * hex). */
+    def loadAddressExt(): Option[String] = {
+      val tag = loadUint(2).toInt
+      tag match {
+        case 0 => None
+        case 1 =>
+          val len = loadUint(9).toInt
+          val v = loadUint(len)
+          Some(s"$len;${v.toString(16)}")
+        case 2 =>
+          val anycast = loadBit()
+          require(!anycast, "anycast addresses unsupported")
+          val wc = loadInt(8).toInt
+          val addr = loadBytes(32)
+          Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
+        case t => throw new IllegalArgumentException(s"unsupported addr tag $t")
+      }
+    }
+
     /** Snake-format bytes: rest of this cell's bits, then first-ref chain. */
     def loadSnakeBytes(): Array[Byte] = {
       val buf = scala.collection.mutable.ArrayBuffer[Byte]()
@@ -320,8 +342,13 @@ object Boc {
     cells(rootIdx.head)
   }
 
-  /** Serialize one root (no index, no crc) — for test fixtures. */
-  def serialize(root: Cell): Array[Byte] = {
+  /** Serialize one root. `withCrc` mirrors the reference's per-site
+    * to_boc(hash_crc32=...) choice: payload BOCs (jetton/nft/swap
+    * forward & custom payloads) carry the CRC, while vesting message
+    * and multisig order BOCs use the library default without it
+    * (messages/jettons.py:46 vs blocks/vesting.py:96,
+    * blocks/multisig.py:136). */
+  def serialize(root: Cell, withCrc: Boolean = true): Array[Byte] = {
     // topological order, root first
     val order = scala.collection.mutable.LinkedHashMap[Cell, Int]()
     def visit(c: Cell): Unit =
@@ -343,15 +370,26 @@ object Boc {
     }
     val tot = bodies.map(_.length).sum
     val offBytes = 1 max ((32 - Integer.numberOfLeadingZeros(tot)) + 7) / 8
-    val header = intToBytes(Magic, 4) ++ Array(sizeBytes.toByte, offBytes.toByte) ++
+    val flags = if (withCrc) 0x40 | sizeBytes else sizeBytes
+    val header = intToBytes(Magic, 4) ++
+      Array(flags.toByte, offBytes.toByte) ++
       intToBytes(cells.size, sizeBytes) ++ intToBytes(1, sizeBytes) ++
       intToBytes(0, sizeBytes) ++ intToBytes(tot, offBytes) ++
       intToBytes(0, sizeBytes) // root index
-    header ++ bodies.flatten
+    val payload = header ++ bodies.flatten
+    if (!withCrc) payload
+    else {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(payload)
+      val c = crc.getValue
+      payload ++ Array[Byte](
+        (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+        ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte)
+    }
   }
 
-  def serializeBase64(root: Cell): String =
-    Base64.getEncoder.encodeToString(serialize(root))
+  def serializeBase64(root: Cell, withCrc: Boolean = true): String =
+    Base64.getEncoder.encodeToString(serialize(root, withCrc))
 
   /** Cell depth: 0 for leaves, 1 + max child depth otherwise (public TON
     * cell spec, tvm.pdf 3.1.4). */

@@ -65,7 +65,7 @@ object TlbDecoders {
       else None
     }
     OwnershipAssignedBody(queryId, prevOwner, bid,
-      payload.map(Boc.serializeBase64))
+      payload.map(Boc.serializeBase64(_)))
   }
 
   private def expectOpcode(s: Slice, op: Long): Unit = {
@@ -115,7 +115,7 @@ object TlbDecoders {
     }
     JettonTransferBody(queryId, amount, dest, resp, hasCustom, fwd, comment,
       customPayload = custom,
-      forwardPayload = present.map(Boc.serializeBase64),
+      forwardPayload = present.map(Boc.serializeBase64(_)),
       encryptedComment = encrypted)
   }
 
@@ -187,7 +187,7 @@ object TlbDecoders {
         Some(s.loadRef())
       else if (s.remainingRefs > 0) Some(s.loadRef())
       else None
-    PTonTransferBody(qid, amount, refund, fwd.map(Boc.serializeBase64))
+    PTonTransferBody(qid, amount, refund, fwd.map(Boc.serializeBase64(_)))
   }
 
   final case class TonstakersNftBurnNotificationBody(
@@ -452,7 +452,9 @@ object TlbDecoders {
       }
     NftTransferBody(queryId, newOwner, resp, fwdAmount,
       customPayload = custom,
-      forwardPayload = payload.filter(_.bitLen > 0).map(Boc.serializeBase64))
+      // the reference emits the payload BOC whenever the either-field is
+      // present, INCLUDING an empty right-ref cell (messages/nft.py:51-54)
+      forwardPayload = payload.map(Boc.serializeBase64(_)))
   }
 
   /** Text comment: op 0x00000000 then snake UTF-8 (strip NULs like the
@@ -545,7 +547,7 @@ object TlbDecoders {
     expectOpcode(s, 0xf718510fL)
     MultisigNewOrderBody(s.loadUint(64), s.loadUint(256), s.loadBit(),
       s.loadUint(8).toInt, s.loadUint(48).toLong,
-      Boc.serializeBase64(s.loadRef()))
+      Boc.serializeBase64(s.loadRef(), withCrc = false))
   }
 
   final case class MultisigInitOrderBody(
@@ -577,7 +579,7 @@ object TlbDecoders {
     val order = s.loadRef()
     val approveOnInit = s.loadBit()
     MultisigInitOrderBody(qid, threshold, exp,
-      Boc.serializeBase64(order), approveOnInit, signers)
+      Boc.serializeBase64(order, withCrc = false), approveOnInit, signers)
   }
 
   final case class MultisigApproveBody(queryId: BigInt, signerIndex: Int)
@@ -613,7 +615,7 @@ object TlbDecoders {
     MultisigExecuteBody(s.loadUint(64), s.loadUint(256),
       s.loadUint(48).toLong, s.loadUint(8).toInt,
       java.util.Base64.getEncoder.encodeToString(s.loadBytes(32)),
-      Boc.serializeBase64(s.loadRef()))
+      Boc.serializeBase64(s.loadRef(), withCrc = false))
   }
 
   final case class StonfiSwapBody(
@@ -782,7 +784,7 @@ object TlbDecoders {
         val c = b.build()
         if (c.bitLen == 0 && c.refs.isEmpty) None else Some(c)
       }
-    JettonNotifyBody(qid, amount, sender, payload.map(Boc.serializeBase64))
+    JettonNotifyBody(qid, amount, sender, payload.map(Boc.serializeBase64(_)))
   }
 
   final case class ToncoAddLiquidityBody(
@@ -905,7 +907,13 @@ object TlbDecoders {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x78d9f109L)
     s.loadUint(64)
-    Boc.loadDictRefs(s, 267).keys.toSeq.flatMap { key =>
+    // HashmapE 267 Bit — VALUES are inline bits, only the KEYS matter
+    // (messages/jvault.py:82-97 load_address_list)
+    val keys =
+      if (s.remainingBits >= 1 && s.loadBit() && s.remainingRefs > 0)
+        Boc.dictKeys(s.loadRef(), 267)
+      else Seq.empty[BigInt]
+    keys.flatMap { key =>
       val tag = (key >> 265).toInt & 0x3
       if (tag != 2) None
       else {
@@ -1183,7 +1191,8 @@ object TlbDecoders {
     val op = s.loadUint(32).toLong
     require(op == 0xa040ad28L || op == 0xf5f26a36L,
       s"not a payout payload: $op")
-    CocoonPayoutPayloadBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
+    CocoonPayoutPayloadBody(s.loadUint(64), s.loadUint(64),
+      s.loadAddressExt())
   }
 
   final case class CocoonWorkerRequestBody(
@@ -1232,7 +1241,24 @@ object TlbDecoders {
     val op = s.loadUint(32).toLong
     require(op == 0xbb63ff93L || op == 0xefd711e1L,
       s"not a charge/grant-refund payload: $op")
-    CocoonChargeBody(s.loadUint(64), s.loadUint(64), s.loadAddress())
+    CocoonChargeBody(s.loadUint(64), s.loadUint(64), s.loadAddressExt())
+  }
+
+  /** ClientProxyRequest#65448ff4 → maybe-ref payload; a
+    * RefundGranted#c68ebc7b payload carries the withdraw amount
+    * (messages/cocoon.py:77-135, blocks/cocoon.py:1066-1075). */
+  def cocoonRefundGrantedCoins(reqBodyB64: String): Option[BigInt] = {
+    val s = Boc.parseBase64(reqBodyB64).beginParse()
+    expectOpcode(s, 0x65448ff4L)
+    s.loadUint(64)
+    s.loadAddress()
+    s.loadRef() // state data
+    if (s.remainingBits >= 1 && s.loadBit() && s.remainingRefs > 0) {
+      val p = s.loadRef().beginParse()
+      if (p.remainingBits >= 32 && p.loadUint(32) == BigInt(0xc68ebc7bL))
+        Some(p.loadCoins())
+      else None
+    } else None
   }
 
   final case class CocoonUnregisterBody(queryId: BigInt, seqno: Int)
@@ -1295,7 +1321,8 @@ object TlbDecoders {
         val v = ms.loadCoins()
         (d, Some(v))
       } catch { case scala.util.control.NonFatal(_) => (None, None) }
-    VestingSendMessageBody(qid, mode, Boc.serializeBase64(msg), dest, value)
+    VestingSendMessageBody(qid, mode,
+      Boc.serializeBase64(msg, withCrc = false), dest, value)
   }
 
   final case class VestingAddWhitelistBody(
@@ -1668,8 +1695,11 @@ object TlbDecoders {
   /** Channel::OP::LZ_RECEIVE_EXECUTE_CALLBACK caae25a1 — packet at ref
     * path [0][0] (messages/layerzero.py:1377-1383). */
   def lzOappExecuteCallback(bodyB64: String): LzPacket = {
+    // the reference parser takes refs[0].refs[0] without any opcode
+    // check (messages/layerzero.py:1377-1383) — the receive matcher
+    // feeds it the LZ_RECEIVE_EXECUTE body via its double
+    // 'execute_callback' label (blocks/layerzero.py:363-379)
     val c = Boc.parseBase64(bodyB64)
-    expectOpcode(c.beginParse(), 0xcaae25a1L)
     lzPacket(c.refs(0).refs(0))
   }
 

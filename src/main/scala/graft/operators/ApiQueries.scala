@@ -48,17 +48,33 @@ object ApiQueries {
   }
 
   /** /actions with hierarchical type filter (P8) and the O4 sort contract:
-    * client understands {call_contract, contract_deploy}. Every non-root
-    * action's ancestor chain contains the trace's root call_contract, so
-    * suppression reduces each trace to exactly its root action — the
-    * reference's "highest understood action" semantics. */
+    * client understands {call_contract, contract_deploy}. Reference-true
+    * ancestor semantics (block_tree_serializer.py:1484-1556): ancestor
+    * links accrue only through NON-v1 protocol ops — call_contract and
+    * contract_deploy are both v1, so no nested action here carries a
+    * suppressing ancestor and the filter reduces to the plain type
+    * predicate + the 4-key pagination sort. The oracle reproduces the
+    * action_id hash (base64(sha256(anchor_msg_hash ∥ btype))) so the
+    * LIMIT boundary is deterministic under ties. */
   val a03 = Q("a03_actions_suppressed",
     """WITH bounds AS (SELECT user_id, min(event_id) AS fid,
-      |                 max(event_id) AS mx FROM events GROUP BY user_id)
-      |SELECT concat('T', fid) AS trace_id, 'call_contract' AS type,
-      |  fid AS end_utime
-      |FROM bounds
-      |ORDER BY mx, trace_id, end_utime LIMIT 100""".stripMargin) { (s, dir) =>
+      |                 max(event_id) AS mx FROM events GROUP BY user_id),
+      |acts AS (
+      |  SELECT concat('T', b.fid) AS trace_id, 'call_contract' AS type,
+      |    e.event_id AS end_utime, b.mx AS mx,
+      |    to_base64(unhex(sha256(concat('m', e.event_id, 'call_contract'))))
+      |      AS action_id
+      |  FROM events e JOIN bounds b ON e.user_id = b.user_id
+      |  WHERE e.event_id = b.fid
+      |     OR e.event_type NOT IN ('purchase', 'signup')
+      |  UNION ALL
+      |  SELECT concat('T', b.fid), 'contract_deploy', e.event_id, b.mx,
+      |    to_base64(unhex(sha256(concat('m', e.event_id, 'contract_deploy'))))
+      |  FROM events e JOIN bounds b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'signup'
+      |)
+      |SELECT trace_id, type, end_utime FROM acts
+      |ORDER BY mx, trace_id, end_utime, action_id LIMIT 100""".stripMargin) { (s, dir) =>
     // trace_end_utime is denormalized into the silver actions table at
     // materialization (ChainSim.classified) — no query-time window here,
     // mirroring the reference's denormalized trace columns (SURVEY §1.4)

@@ -83,16 +83,16 @@ class ClassifierSpec extends SparkSpec {
     assert(a.destination == dest)
   }
 
-  test("contract deploy is attached as a child action with ancestor metadata") {
+  test("contract deploy is emitted flat — unwound to top level with no " +
+      "parent link (unwind_deployments, event_processing.py:196-207)") {
     val actions = Classifier.classify("tr3",
       Seq(tx("T1", "0:NEW", 10, orig = "uninit", end = "active")),
       Map("T1" -> Seq(in("m1", "0:A", "0:NEW", Some(0x12345678L)))))
     val types = actions.map(_.`type`).sorted
     assert(types == Seq("call_contract", "contract_deploy"))
     val deploy = actions.find(_.`type` == "contract_deploy").get
-    val call = actions.find(_.`type` == "call_contract").get
-    assert(deploy.parent_action_id.contains(call.action_id))
-    assert(deploy.ancestor_type == Seq("call_contract"))
+    assert(deploy.parent_action_id.isEmpty)
+    assert(deploy.ancestor_type.isEmpty)
   }
 
   test("bounced transfer to active account is failed; to uninit is not") {
@@ -484,7 +484,10 @@ class ClassifierSpec extends SparkSpec {
     assert(wd.map(_.`type`) == Seq("stake_withdrawal"))
     assert(wd.head.value.contains(BigDecimal(600))) // distributed amount
     assert(wd.head.source.contains(owner)) // decoded notification owner
-    assert(wd.head.destination.contains("0:POOL"))
+    // no start-distribution (0x1140a64f) ancestor in this partial chain —
+    // the reference's pool walk-up finds nothing and the destination
+    // stays null (staking.py:276-297)
+    assert(wd.head.destination.isEmpty)
     val sd = wd.head.staking_data.get
     assert(sd.ts_nft.contains("0:BILL")) // the burnt bill NFT
     assert(sd.tokens_burnt.contains(BigDecimal(777)))
@@ -559,9 +562,10 @@ class ClassifierSpec extends SparkSpec {
     val actions = Classifier.classify("dns1", txs, msgs)
     assert(actions.map(_.`type`) == Seq("call_contract", "change_dns"))
     val dns = actions.find(_.`type` == "change_dns").get
-    assert(dns.ancestor_type == Seq("call_contract"))
-    assert(dns.parent_action_id.contains(
-      actions.find(_.`type` == "call_contract").get.action_id))
+    // call_contract is a v1 op: nested actions serialize FLAT with no
+    // parent link (serialize_blocks, block_tree_serializer.py:1546-1556)
+    assert(dns.ancestor_type.isEmpty)
+    assert(dns.parent_action_id.isEmpty)
   }
 
   test("dedust liquidity deposit chain classifies as dex_deposit_liquidity") {
@@ -863,7 +867,9 @@ class ClassifierSpec extends SparkSpec {
     assert(outbid.value.contains(BigDecimal(800)))
     assert(outbid.source.contains("0:AUCTION"))
     assert(outbid.destination.contains("0:PREVBIDDER"))
-    assert(outbid.parent_action_id.contains(bid.action_id))
+    // auction_bid is a v1 op — the nested outbid serializes flat
+    // (block_tree_serializer.py:1546-1556)
+    assert(outbid.parent_action_id.isEmpty)
     assert(bid.value.contains(BigDecimal(900)))
   }
 

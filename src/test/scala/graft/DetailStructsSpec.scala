@@ -28,7 +28,7 @@ class DetailStructsSpec extends SparkSpec {
 
   private val orderCell =
     new Boc.Builder().storeUint(BigInt(0xdeadL), 32).build()
-  private val orderBoc = Boc.serializeBase64(orderCell)
+  private val orderBoc = Boc.serializeBase64(orderCell, withCrc = false)
 
   private def newOrderBody(qid: Long, seqno: Long, isSigner: Boolean,
       idx: Int, exp: Long): String =
@@ -249,7 +249,7 @@ class DetailStructsSpec extends SparkSpec {
     assert(send.`type` == "vesting_send_message")
     assert(send.vesting_send_message_data.get.query_id.contains("13"))
     assert(send.vesting_send_message_data.get.message_boc
-      .contains(Boc.serializeBase64(inner)))
+      .contains(Boc.serializeBase64(inner, withCrc = false)))
 
     val a1 = "0:" + "01" * 32
     val a2 = "0:" + "02" * 32
@@ -437,12 +437,26 @@ class DetailStructsSpec extends SparkSpec {
         Map("T1" -> Seq(in("m1", "0:U", "0:C", Some(op),
           body = Some(Boc.serializeBase64(b.build()))))))
     }
-    val charge = run(0xbb63ff93L,
-      _.storeUint(BigInt(84), 64).storeAddress(Some("0:" + "AB" * 32)))
+    // the charge requires the client proxy-request child
+    // (blocks/cocoon.py:336-360)
+    val chargeBody = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xbb63ff93L), 32).storeUint(BigInt(42), 64)
+      .storeUint(BigInt(84), 64).storeAddress(Some("0:" + "AB" * 32))
+      .build())
+    val charge = Classifier.classify("ccq",
+      Seq(tx("T1", "0:C", 10), tx("T2", "0:CL", 20)),
+      Map(
+        "T1" -> Seq(in("m1", "0:U", "0:C", Some(0xbb63ff93L),
+          body = Some(chargeBody)),
+          out("m2", "0:C", "0:CL", Some(Opcodes.CocoonClientProxyRequest))),
+        "T2" -> Seq(in("m2", "0:C", "0:CL",
+          Some(Opcodes.CocoonClientProxyRequest)))))
       .find(_.`type` == "cocoon_proxy_charge").get
     assert(charge.cocoon_proxy_charge_data.get ==
       CocoonChargeData(Some("42"), Some(BigDecimal(84)),
         Some("0:" + "AB" * 32)))
+    assert(charge.source.contains("0:C"))
+    assert(charge.destination.contains("0:CL"))
     val unreg = run(0x6d49eaf2L, _.storeUint(BigInt(7), 32))
       .find(_.`type` == "cocoon_unregister_proxy").get
     assert(unreg.cocoon_unregister_proxy_data.get ==
@@ -957,18 +971,22 @@ class DetailStructsSpec extends SparkSpec {
     val oapp = "0:" + "0B" * 32 // == packet dst_oapp
     def fixture(dest: String) = {
       val txs = Seq(tx("T1", "0:CH", 10), tx("T2", dest, 20),
-        tx("T3", "0:CH", 30), tx("T4", "0:CH", 40), tx("T5", dest, 50))
+        tx("T3", "0:CH", 30), tx("T4", dest, 40), tx("T5", "0:CH", 50))
+      // the packet rides the LZ_RECEIVE_EXECUTE body, which goes
+      // channel -> OApp (blocks/layerzero.py:392-401)
       val msgs = Map(
         "T1" -> Seq(in("m1", "0:EXEC", "0:CH", Some(Opcodes.LayerZeroChannelLzReceivePrepare)),
           out("m2", "0:CH", dest, Some(Opcodes.LayerZeroLzReceivePrepare))),
         "T2" -> Seq(in("m2", "0:CH", dest, Some(Opcodes.LayerZeroLzReceivePrepare)),
           out("m3", dest, "0:CH", Some(Opcodes.LayerZeroChannelLzReceiveLock))),
         "T3" -> Seq(in("m3", dest, "0:CH", Some(Opcodes.LayerZeroChannelLzReceiveLock)),
-          out("m4", "0:CH", "0:CH", Some(Opcodes.LayerZeroLzReceiveExecute))),
-        "T4" -> Seq(in("m4", "0:CH", "0:CH", Some(Opcodes.LayerZeroLzReceiveExecute)),
-          out("m5", "0:CH", dest, Some(Opcodes.LayerZeroOappExecuteCallback),
+          out("m4", "0:CH", dest, Some(Opcodes.LayerZeroLzReceiveExecute),
             body = Some(execBody))),
-        "T5" -> Seq(in("m5", "0:CH", dest,
+        "T4" -> Seq(in("m4", "0:CH", dest, Some(Opcodes.LayerZeroLzReceiveExecute),
+          body = Some(execBody)),
+          out("m5", dest, "0:CH", Some(Opcodes.LayerZeroOappExecuteCallback),
+            body = Some(execBody))),
+        "T5" -> Seq(in("m5", dest, "0:CH",
           Some(Opcodes.LayerZeroOappExecuteCallback), body = Some(execBody))))
       (txs, msgs)
     }

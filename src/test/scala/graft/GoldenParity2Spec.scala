@@ -1031,6 +1031,8 @@ class GoldenParity2Spec extends SparkSpec {
       .storeUint(BigInt("8779794170130083123"), 64)
       .storeUint(BigInt("9225483487327049292"), 64)
       .storeAddress(None).build())
+    // the payout hangs under the CLIENT's proxy request
+    // (blocks/cocoon.py:1128-1152)
     val txs = Seq(tx("T1", proxy, 10), tx("T2", client, 20),
       tx("T3", recipient, 30))
     val msgs = Map(
@@ -1038,12 +1040,12 @@ class GoldenParity2Spec extends SparkSpec {
         in("m1", null, proxy, Some(Opcodes.CocoonGrantRefundPayload),
           body = Some(grant)).copy(source = None),
         out("m2", proxy, client, Some(Opcodes.CocoonClientProxyRequest),
-          createdLt = 11),
-        out("m3", proxy, recipient, Some(Opcodes.CocoonPayout),
-          value = 14999630120L, createdLt = 12)),
+          createdLt = 11)),
       "T2" -> Seq(in("m2", proxy, client,
-        Some(Opcodes.CocoonClientProxyRequest))),
-      "T3" -> Seq(in("m3", proxy, recipient, Some(Opcodes.CocoonPayout),
+        Some(Opcodes.CocoonClientProxyRequest)),
+        out("m3", client, recipient, Some(Opcodes.CocoonPayout),
+          value = 14999630120L, createdLt = 12)),
+      "T3" -> Seq(in("m3", client, recipient, Some(Opcodes.CocoonPayout),
         value = 14999630120L)))
     val a = Classifier.classify("gcg1", txs, msgs)
       .find(_.`type` == "cocoon_grant_refund").get

@@ -87,7 +87,8 @@ object GoldenCorpus {
 
     val msgsByTx: Map[String, Seq[MsgLite]] = txDicts.map { t =>
       val txHash = str(t("hash")).get
-      val msgs = vec(t.getOrElse("messages", null)).map(m).map { mm =>
+      val msgs = vec(t.getOrElse("messages", null)).map(m).zipWithIndex
+        .map { case (mm, i) =>
         MsgLite(
           msgHash = str(mm("msg_hash")).get,
           direction = str(mm("direction")).getOrElse("in"),
@@ -102,7 +103,10 @@ object GoldenCorpus {
             .getOrElse("body", null)),
           initState = str(m(mm.getOrElse("init_state", null))
             .getOrElse("body", null)),
-          createdAt = long(mm.getOrElse("created_at", null)))
+          createdAt = long(mm.getOrElse("created_at", null)),
+          // dump order — the reference tree's children follow
+          // tx.messages verbatim (to_tree, tree_utils.py:107-116)
+          seqNo = Some(i))
       }
       txHash -> (msgs: Seq[MsgLite])
     }.toMap
