@@ -358,7 +358,10 @@ object ProtocolMatchers {
           c.nodes.head.inMsg.flatMap(_.source),
           newOwner.orElse(decoded.flatMap(_.newOwner)),
           item,
-          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil, decoded,
+          // failed tracks the TRANSFER call alone — an aborted auxiliary
+          // leg does not fail the transfer (NftTransferBlockMatcher,
+          // blocks/nft.py:164: new_block.failed = block.failed)
+          c.failed, consumed.flatMap(_.nodes), Nil, decoded,
           itemIndex = info.flatMap(_.index),
           collection = info.flatMap(_.collection)),
           consumed))
@@ -431,7 +434,8 @@ object ProtocolMatchers {
     * call anchor, the master as asset, and the body-decoded endpoints.
     * Without the leg the reference's else-branch applies: failed, to
     * from the body, amount only for the minter-style call. */
-  final class JettonMintCallMatcher(mintOp: Long) extends BlockMatcher {
+  final class JettonMintCallMatcher(val mintOp: Long,
+      ownerOf: String => Option[String] = _ => None) extends BlockMatcher {
     // trigger sets are conjunctive — one matcher instance per mint opcode
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(mintOp))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -445,7 +449,12 @@ object ProtocolMatchers {
           case Some(m) if !c.failed =>
             val consumed: Seq[Block] = Seq(c, m)
             JettonMintBlock(
-              m.receiver.orElse(decoded.flatMap(_.toAddress)),
+              // with an internal transfer the recipient is the RECEIVING
+              // WALLET'S OWNER from the repository — the body's
+              // to_address is never consulted on this branch
+              // (_get_jetton_mint_data, jettons.py:193-209)
+              m.receiver.orElse(m.receiverWallet.flatMap(ownerOf))
+                .orElse(decoded.flatMap(_.toAddress)),
               m.receiverWallet, m.amount,
               c.failed || m.failed,
               consumed.flatMap(_.nodes), Nil,
@@ -2105,6 +2114,12 @@ object ProtocolMatchers {
             }
             val consumed = Matching.identityDistinct(
               Seq[Block](jt, recv) ++ update.toSeq ++ cancel.toSeq ++
+                // the receive-jettons leg can spawn its own pool
+                // set-data/referral auxiliaries (partial referral
+                // updates: update_with_exceses, blocks/jvault.py:92-108);
+                // the notify consumption into the jt block may have
+                // adopted them as jt children, so walk both anchors
+                jvaultUpdateTail(jt) ++ jvaultUpdateTail(recv) ++
                 update.toSeq.flatMap(jvaultUpdateTail) ++
                 cancel.toSeq.flatMap(_.children.collect {
                   case j: JettonTransferBlock => j: Block }))
@@ -3404,12 +3419,25 @@ object ProtocolMatchers {
                 .orElse(b.nodes.head.inMsg.map(m => BigDecimal(m.value)))
               // the enriched transfer survives as its own action — the
               // reference merges it INTO the purchase but still
-              // serializes it (merge keeps sub-blocks in the tree)
+              // serializes it (merge keeps sub-blocks in the tree). The
+              // funding leg joins the TRANSFER's node set when it is a
+              // non-finish/stop ton transfer or a source-less call
+              // (NftTransferBlockMatcher, blocks/nft.py:153-157) — its
+              // initiating tx then extends tx_hashes to the buyer's
+              // external root.
+              val includeFunding = b match {
+                case t: TonTransferBlock =>
+                  !t.comment.exists(c => c == "finish" || c == "stop")
+                case cc: CallContractBlock =>
+                  cc.node.inMsg.flatMap(_.source).isEmpty
+                case _ => false
+              }
               val enriched = n.copy(
                 isPurchase = Some(true), price = price,
                 marketplace = Some("getgems"),
                 marketplaceAddress = mpAddr,
                 realPrevOwner = Some(owner),
+                nodes = (if (includeFunding) b.nodes else Nil) ++ n.nodes,
                 children = Nil)
               val detail = NftTransferData(
                 is_purchase = Some(true), price = price,
@@ -5138,19 +5166,35 @@ object ProtocolMatchers {
   /** Client increase-stake (blocks/cocoon.py:933-1010): amount = the
     * decoded new_stake, source = send_excesses_to, destination = the
     * client contract; consumes the proxy request + excesses. */
-  val CocoonClientIncreaseStakeMatcher: BlockMatcher = new OpcodeChainMatcher(
-    Opcodes.CocoonClientIncreaseStake, None,
-    Set(Opcodes.CocoonReturnExcesses, Opcodes.CocoonClientProxyRequest),
-    (c, consumed) => {
-      val body = c.node.inMsg.flatMap(_.body)
-        .flatMap(safeDecode(graft.functions.TlbDecoders.cocoonIncreaseStake))
-      protoBlock("cocoon_client_increase_stake")(c, consumed) match {
-        case p: ProtocolOpBlock => p.copy(
+  /** Client increase-stake (blocks/cocoon.py:933-1010): owner = the
+    * body's send_excesses_to; failed tracks the anchor tx only — the
+    * consumed ClientProxyRequest leg is "usually aborted" by design. */
+  object CocoonClientIncreaseStakeMatcher extends BlockMatcher {
+    import graft.functions.TlbDecoders
+    override val triggerOpcodes: Option[Set[Long]] =
+      Some(Set(Opcodes.CocoonClientIncreaseStake))
+    def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+          if Opcodes.matches(c.opcode, Opcodes.CocoonClientIncreaseStake) =>
+        val body = c.node.inMsg.flatMap(_.body)
+          .flatMap(safeDecode(TlbDecoders.cocoonIncreaseStake))
+        val kids = c.children.collect {
+          case e: CallContractBlock
+            if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) ||
+              Opcodes.matches(e.opcode, Opcodes.CocoonClientProxyRequest) => e: Block
+        }
+        val consumed = Seq(c: Block) ++ kids
+        Some((ProtocolOpBlock("cocoon_client_increase_stake",
+          source = body.flatMap(_.sendExcessesTo)
+            .orElse(c.node.inMsg.flatMap(_.source)),
           destination = c.node.inMsg.flatMap(_.destination),
-          amount = body.map(b => BigDecimal(b.newStake)))
-        case other => other
-      }
-    })
+          asset = None, value = None,
+          failed = c.node.tx.aborted,
+          nodes = consumed.flatMap(_.nodes), children = Nil,
+          amount = body.map(x => BigDecimal(x.newStake))), consumed))
+      case _ => None
+    }
+  }
   /** Client withdraw (blocks/cocoon.py:1013-1105): the withdraw amount
     * rides the proxy request's RefundGranted payload; the payout and
     * excesses hang under the request. */
@@ -5204,18 +5248,23 @@ object ProtocolMatchers {
           if Opcodes.matches(e.opcode, Opcodes.CocoonReturnExcesses) ||
             Opcodes.matches(e.opcode, Opcodes.CocoonClientProxyRequest) => e: Block
       }
-      val qid = refund.node.inMsg.flatMap(_.body)
-        .flatMap(safeDecode(TlbDecoders.opQueryId)).map(_.toString)
+      val body = refund.node.inMsg.flatMap(_.body)
+        .flatMap(safeDecode(TlbDecoders.cocoonRequestRefund))
       val consumed = wrapper.toSeq.map(w => w: Block) ++
         Seq(refund: Block) ++ kids
       (ProtocolOpBlock("cocoon_client_request_refund",
-        source = wrapper.getOrElse(refund).node.inMsg.flatMap(_.source),
+        // source = the body's send_excesses_to — the owner, NOT the
+        // message source (blocks/cocoon.py:888-891 + fill :1144)
+        source = body.flatMap(_.sendExcessesTo)
+          .orElse(refund.node.inMsg.flatMap(_.source)),
         destination = refund.node.inMsg.flatMap(_.destination),
         asset = None, value = None,
-        failed = wrapper.getOrElse(refund).node.tx.aborted,
+        // failed tracks the refund anchor's tx only (:909)
+        failed = refund.node.tx.aborted,
         nodes = consumed.flatMap(_.nodes), children = Nil,
         cocoonRefund = Some(CocoonRequestRefundData(
-          query_id = qid, via_wallet = Some(wrapper.nonEmpty)))), consumed)
+          query_id = body.map(_.queryId.toString),
+          via_wallet = Some(wrapper.nonEmpty)))), consumed)
     }
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case w: CallContractBlock
@@ -5535,6 +5584,8 @@ object ProtocolMatchers {
             new GhostJettonTransfer(w => jw.get(w))
           case m if m eq DedustFullSwapMatcher =>
             new DedustFullSwap(resolve)
+          case m: JettonMintCallMatcher =>
+            new JettonMintCallMatcher(m.mintOp, owner)
           case m if m eq ToncoDepositLiquidityMatcher =>
             new ToncoDepositLiquidityFull(resolve)
           case m if m eq ToncoWithdrawLiquidityFullMatcher =>

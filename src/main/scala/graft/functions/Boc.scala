@@ -64,6 +64,15 @@ object Boc {
       if (len == 0) BigInt(0) else loadUint(len * 8)
     }
 
+    /** anycast_info$_ depth:(#<= 30) rewrite_pfx:(bits depth) — read and
+      * discard, the way pytoniq's load_address keeps the base wc:hash
+      * (the reference parses such pegout addresses fine). */
+    private def skipAnycast(): Unit =
+      if (loadBit()) {
+        val depth = loadUint(5).toInt
+        loadUint(depth)
+      }
+
     /** MsgAddress: addr_none$00 → None; addr_std$10 (anycast:nothing
       * wc:int8 address:bits256) → Some("wc:HEX64"). */
     def loadAddress(): Option[String] = {
@@ -71,8 +80,7 @@ object Boc {
       tag match {
         case 0 => None
         case 2 =>
-          val anycast = loadBit()
-          require(!anycast, "anycast addresses unsupported")
+          skipAnycast()
           val wc = loadInt(8).toInt
           val addr = loadBytes(32)
           Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
@@ -80,8 +88,7 @@ object Boc {
           // addr_var$11 anycast:(Maybe Anycast) addr_len:(## 9)
           // workchain_id:int32 address:(bits addr_len) — tgBTC pegout
           // logs use it for non-basechain workchains
-          val anycast = loadBit()
-          require(!anycast, "anycast addresses unsupported")
+          skipAnycast()
           val len = loadUint(9).toInt
           val wc = loadInt(32).toInt
           require(len % 8 == 0, s"non-byte addr_var length $len")
@@ -104,10 +111,16 @@ object Boc {
           val v = loadUint(len)
           Some(s"$len;${v.toString(16)}")
         case 2 =>
-          val anycast = loadBit()
-          require(!anycast, "anycast addresses unsupported")
+          skipAnycast()
           val wc = loadInt(8).toInt
           val addr = loadBytes(32)
+          Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
+        case 3 =>
+          skipAnycast()
+          val len = loadUint(9).toInt
+          val wc = loadInt(32).toInt
+          require(len % 8 == 0, s"non-byte addr_var length $len")
+          val addr = loadBytes(len / 8)
           Some(s"$wc:${addr.map(b => f"${b & 0xff}%02X").mkString}")
         case t => throw new IllegalArgumentException(s"unsupported addr tag $t")
       }

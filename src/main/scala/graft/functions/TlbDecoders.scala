@@ -53,11 +53,14 @@ object TlbDecoders {
       if (s.remainingBits < 1) None
       else if (s.loadBit()) Some(s.loadRef())
       else {
+        // inline payload keeps its raw form even when EMPTY — the
+        // reference wraps the remaining slice unconditionally
+        // (NftOwnershipAssigned, messages/nft.py:68-72: NftPayload(slice)
+        // whose .raw is to_cell().to_boc(hash_crc32=True))
         val b = new Boc.Builder()
         while (s.remainingBits > 0) b.storeBit(s.loadBit())
         while (s.remainingRefs > 0) b.storeRef(s.loadRef())
-        val c = b.build()
-        if (c.bitLen == 0 && c.refs.isEmpty) None else Some(c)
+        Some(b.build())
       }
     val bid = payload.map(_.beginParse()).flatMap { p =>
       if (p.remainingBits < 32) None
@@ -143,7 +146,11 @@ object TlbDecoders {
     val op = s.loadUint(32).toLong
     require(op == 0x642b7d07L || op == 0x00000015L, s"not a mint call: $op")
     val qid = s.loadUint(64)
-    val to = s.loadAddress()
+    // tolerant address load: nonstandard mint bodies can carry an
+    // addr_extern here and the reference's blind parse still proceeds to
+    // ton_amount (pytoniq load_address accepts it; _get_jetton_mint_data
+    // only uses to_address on the no-internal-transfer branch)
+    val to = s.loadAddressExt()
     val tonAmount = s.loadCoins()
     val masterAmount =
       if (op == 0x00000015L && s.remainingRefs > 0) {
@@ -1151,10 +1158,16 @@ object TlbDecoders {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0xca444ce6L)
     val amount = s.loadCoins()
+    // the sender can be addr_extern in "strange" pegout logs — pytoniq
+    // load_address tolerates it and the reference still reads the pegout
+    // address after it (messages/tgbtc.py:43-57)
     val (sender, pegout) =
-      try { (s.loadAddress(), s.loadAddress()) }
+      try { (s.loadAddressExt(), s.loadAddressExt()) }
       catch { case scala.util.control.NonFatal(_) => (None, None) }
-    TgbtcBurnEventBody(amount, sender, pegout)
+    // extern addresses ("len;hex") are NOT Address instances — the
+    // reference nulls them (isinstance gate, messages/tgbtc.py:52-57)
+    TgbtcBurnEventBody(amount, sender.filterNot(_.contains(';')),
+      pegout.filterNot(_.contains(';')))
   }
 
   final case class TgbtcNewKeyEventBody(
@@ -1282,14 +1295,30 @@ object TlbDecoders {
     CocoonSecretHashBody(s.loadUint(64), s.loadUint(256).toString(16))
   }
 
-  final case class CocoonStakeBody(queryId: BigInt, newStake: BigInt)
+  final case class CocoonStakeBody(queryId: BigInt, newStake: BigInt,
+      sendExcessesTo: Option[String] = None)
 
   /** increase_stake#6a1f6a60 query_id:uint64 new_stake:Coins
-    * (messages/cocoon.py:646-660). */
+    * send_excesses_to:MsgAddress (messages/cocoon.py:646-660). */
   def cocoonIncreaseStake(bodyB64: String): CocoonStakeBody = {
     val s = Boc.parseBase64(bodyB64).beginParse()
     expectOpcode(s, 0x6a1f6a60L)
-    CocoonStakeBody(s.loadUint(64), s.loadCoins())
+    val qid = s.loadUint(64)
+    val stake = s.loadCoins()
+    val to = try s.loadAddress() catch {
+      case scala.util.control.NonFatal(_) => None }
+    CocoonStakeBody(qid, stake, to)
+  }
+
+  /** request_refund#fafa6cc1 query_id:uint64 send_excesses_to:MsgAddress
+    * (messages/cocoon.py:678-690). */
+  def cocoonRequestRefund(bodyB64: String): CocoonStakeBody = {
+    val s = Boc.parseBase64(bodyB64).beginParse()
+    expectOpcode(s, 0xfafa6cc1L)
+    val qid = s.loadUint(64)
+    val to = try s.loadAddress() catch {
+      case scala.util.control.NonFatal(_) => None }
+    CocoonStakeBody(qid, BigInt(0), to)
   }
 
   // ------------------------------------------------------------- vesting
