@@ -110,7 +110,7 @@ object ClassifyJob {
       val hasIface = dims.interfaces.isDefined
       val hasJw = dims.jettonWallets.isDefined
       val hasNft = dims.nftItems.isDefined
-      val perTrace = traceDims(spark, joined.toDF(), dims)
+      val perTrace = traceDims(spark, txs, messages, dims)
       joined.groupByKey(_.trace_id)
         .cogroup(perTrace.groupByKey(_.trace_id)) { (traceId, rows, ds) =>
           val d =
@@ -151,9 +151,16 @@ object ClassifyJob {
     * to per-trace lookup maps. One tagged union keeps it a single join +
     * single aggregation regardless of how many dims are provided.
     * collect_list drops the null entries the kind-filter produces;
-    * map_from_entries requires unique dim keys (dim-table invariant). */
-  private def traceDims(spark: SparkSession, joinedDf: DataFrame,
-      dims: ClassifyDims): Dataset[TraceDims] = {
+    * map_from_entries requires unique dim keys (dim-table invariant).
+    *
+    * Built from the SOURCES, not the wide tx⋈msg frame: the account
+    * candidates (msg endpoints + body-decoded resolver keys) explode
+    * MAP-SIDE out of the messages scan, so message bodies never cross
+    * this branch's shuffle, and the trace_id attach is a 2-column tx
+    * projection — the wide classify join is evaluated exactly once, by
+    * the classify branch itself. */
+  private def traceDims(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame, dims: ClassifyDims): Dataset[TraceDims] = {
     import spark.implicits._
     // lookup-key candidates: tx/msg addresses plus the few addresses
     // matchers decode out of bodies (StonFi v2 pay_to wallets) — see
@@ -162,11 +169,17 @@ object ClassifyJob {
       if (opcode == null || body == null) Seq.empty[String]
       else graft.functions.TlbDecoders.resolverAddressKeys(opcode, body)
     }
-    val accounts = joinedDf.select(col("trace_id"),
+    val msgAccounts = messages.select(col("tx_hash").as("hash"),
         explode(concat(
-          array(col("account"), col("source"), col("destination")),
-          bodyKeys(col("opcode"), col("body")))).as("account"))
+          array(col("source"), col("destination")),
+          bodyKeys(col("opcode"),
+            (if (messages.columns.contains("body")) col("body")
+             else lit(null).cast("string"))))).as("account"))
       .filter(col("account").isNotNull)
+      .join(txs.select(col("hash"), col("trace_id")), Seq("hash"))
+      .select("trace_id", "account")
+    val accounts = txs.select(col("trace_id"), col("account"))
+      .unionByName(msgAccounts)
       .distinct()
     val nullStr = lit(null).cast("string")
     val tagged = Seq(
