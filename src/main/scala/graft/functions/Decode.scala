@@ -34,7 +34,11 @@ object Decode {
     val d =
       try decodeOp(op, bodyB64)
       catch { case scala.util.control.NonFatal(_) => None }
-    Some(d.getOrElse(Decoded(op, "unknown", Map.empty)))
+    // no field decoder: identify by the reference's class inventory —
+    // many reference message classes are opcode markers with no parser,
+    // so a named empty-field result IS full parity for them
+    Some(d.getOrElse(Decoded(op,
+      OpcodeNames.names.getOrElse(op & 0xffffffffL, "unknown"), Map.empty)))
   }
 
   import TlbDecoders._
@@ -314,8 +318,36 @@ object Decode {
         "new_secret_hash" -> Some(d.newSecretHashHex))))
     case 0x6a1f6a60L =>
       val d = cocoonIncreaseStake(b)
-      Some(Decoded(op, "cocoon_client_increase_stake", f(
-        "query_id" -> Some(d.queryId), "new_stake" -> Some(d.newStake))))
+      Some(Decoded(op, "cocoon_owner_client_increase_stake", f(
+        "query_id" -> Some(d.queryId), "new_stake" -> Some(d.newStake),
+        "send_excesses_to" -> d.sendExcessesTo)))
+    case 0xfafa6cc1L =>
+      val d = cocoonRequestRefund(b)
+      Some(Decoded(op, "cocoon_owner_client_request_refund", f(
+        "query_id" -> Some(d.queryId),
+        "send_excesses_to" -> d.sendExcessesTo)))
+    case 0xd55e4686L =>
+      val d = dedustDepositTonToVault(b)
+      Some(Decoded(op, "dedust_deposit_ton_to_vault", f(
+        "amount" -> d.amount,
+        "asset0" -> Some(d.asset0), "asset1" -> Some(d.asset1),
+        "asset0_target" -> Some(d.asset0Target),
+        "asset1_target" -> Some(d.asset1Target))))
+    case 0xed58b0b2L =>
+      val d = tonstakersNftBurnNotification(b)
+      Some(Decoded(op, "ton_stakers_nft_burn_notification", f(
+        "amount" -> Some(d.amount), "owner" -> d.owner)))
+    case 0x642b7d07L =>
+      val d = jettonMintCall(b)
+      Some(Decoded(op, "jetton_mint", f(
+        "query_id" -> Some(d.queryId), "to_address" -> d.toAddress,
+        "ton_amount" -> Some(d.tonAmount))))
+    case 0x00000015L =>
+      val d = jettonMintCall(b)
+      Some(Decoded(op, "minter_jetton_mint", f(
+        "query_id" -> Some(d.queryId), "to_address" -> d.toAddress,
+        "ton_amount" -> Some(d.tonAmount),
+        "master_msg_jetton_amount" -> d.masterMsgJettonAmount)))
     case _ => None
   }
 }

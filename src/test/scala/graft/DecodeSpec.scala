@@ -66,10 +66,22 @@ class DecodeSpec extends AnyFunSuite {
     assert(Decode.decode(short).isEmpty)
   }
 
-  test("a malformed body with a known opcode degrades to unknown, not a throw") {
+  test("a malformed body with a known opcode degrades to the NAME with " +
+      "empty fields, not a throw (class identified via OpcodeNames)") {
     val truncated = Boc.serializeBase64(new Boc.Builder()
       .storeUint(BigInt(0x0f8a7ea5L), 32).storeUint(BigInt(1), 8).build())
     val d = Decode.decode(truncated).get
-    assert(d.name == "unknown" && d.opcode == 0x0f8a7ea5L)
+    assert(d.name == "jetton_transfer" && d.opcode == 0x0f8a7ea5L &&
+      d.fields.isEmpty)
+  }
+
+  test("marker-only reference classes are identified by name across the " +
+      "full inventory (OpcodeNames)") {
+    // DedustSwapPeer — a reference class with no parser at all
+    val b = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x72aca8aaL), 32).build())
+    val d = Decode.decode(b).get
+    assert(d.name == "dedust_swap_peer" && d.fields.isEmpty)
+    assert(graft.functions.OpcodeNames.names.size >= 300)
   }
 }
