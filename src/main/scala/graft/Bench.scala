@@ -15,14 +15,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (codegen, parquet footers) outside any timing
     SparkEntry.entry(spark).count()
+    // base silver ingest, timed as its own phase: the shared sim/assembly/
+    // classified tables every query family reads are an INGEST cost in any
+    // real deployment (materialized once at load), so it reports as one
+    // explicit line instead of inflating whichever query touches it first.
+    // Variant-specific silver (per-protocol b-family pipelines) still
+    // builds inside its query's timing.
+    val tIngest0 = System.nanoTime()
+    try {
+      graft.plans.ChainSim.classified(spark, sfDir).count()
+      ()
+    } catch { case _: Throwable => () }
+    val ingest = (System.nanoTime() - tIngest0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (("ingest_silver" -> ingest) +: results)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = ingest + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,6 +44,20 @@ class BocSpec extends SparkSpec {
     }
   }
 
+  test("anycast addr_std parses to the base wc:hash (pytoniq tolerance); " +
+      "addr_extern renders len;hex via loadAddressExt") {
+    // addr_std$10 anycast$1 depth=5:(#<=30 → 5 bits) pfx(5) wc=15 hash
+    val any = b().storeUint(BigInt(2), 2).storeBit(true)
+      .storeUint(BigInt(5), 5).storeUint(BigInt(0x15), 5)
+      .storeInt(BigInt(15), 8)
+      .storeBytes(Array.fill[Byte](32)(0x8A.toByte)).build()
+    assert(any.beginParse().loadAddress() == Some("15:" + "8A" * 32))
+    // addr_extern$01 len=16 value=0xBEEF
+    val ext = b().storeUint(BigInt(1), 2).storeUint(BigInt(16), 9)
+      .storeUint(BigInt(0xBEEF), 16).build()
+    assert(ext.beginParse().loadAddressExt() == Some("16;beef"))
+  }
+
   test("jetton transfer body roundtrip (TEP-74)") {
     val dest = Some("0:" + "12" * 32)
     val resp = Some("0:" + "34" * 32)

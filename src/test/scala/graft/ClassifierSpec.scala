@@ -19,6 +19,25 @@ class ClassifierSpec extends SparkSpec {
     MsgLite(h, "out", Option(src), Option(dst), value, op, bounce = false,
       bounced = false, Some(2L), None)
 
+  test("TxTree children follow the per-tx message seqNo when supplied, " +
+      "created_lt otherwise (to_tree semantics, tree_utils.py:107-116)") {
+    val txs = Seq(tx("P", "0:P", 10), tx("C1", "0:C1", 20), tx("C2", "0:C2", 20))
+    def msgs(seq1: Option[Int], seq2: Option[Int]) = Map(
+      "P" -> Seq(in("m0", "0:X", "0:P", None),
+        out("o1", "0:P", "0:C1", None).copy(createdLt = Some(11L), seqNo = seq1),
+        out("o2", "0:P", "0:C2", None).copy(createdLt = Some(12L), seqNo = seq2)),
+      "C1" -> Seq(in("o1", "0:P", "0:C1", None).copy(createdLt = Some(11L))),
+      "C2" -> Seq(in("o2", "0:P", "0:C2", None).copy(createdLt = Some(12L))))
+    // no seqNo → created_lt order: C1 before C2
+    val byLt = TxTree.build(txs, msgs(None, None).values.flatten.toSeq,
+      msgs(None, None))
+    assert(byLt.head.children.map(_.tx.hash) == Seq("C1", "C2"))
+    // seqNo supplied and INVERTED vs created_lt → dump order wins
+    val bySeq = TxTree.build(txs, msgs(Some(2), Some(1)).values.flatten.toSeq,
+      msgs(Some(2), Some(1)))
+    assert(bySeq.head.children.map(_.tx.hash) == Seq("C2", "C1"))
+  }
+
   test("plain ton transfer classifies as ton_transfer") {
     val actions = Classifier.classify("tr1",
       Seq(tx("T1", "0:B", 10)),
