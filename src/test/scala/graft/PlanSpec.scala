@@ -127,6 +127,37 @@ class PlanSpec extends SparkSpec {
       "the pagination sort+limit must be top-k")
   }
 
+  test("the classifier dims feed never ships message bodies through its " +
+      "shuffle (built from the sources, not the wide classify join)") {
+    import spark.implicits._
+    val txs = Seq(("t1", "T1", "0:A", 1L, 1)).toDF(
+      "hash", "trace_id", "account", "lt", "now")
+      .withColumn("orig_status", lit("active"))
+      .withColumn("end_status", lit("active"))
+      .withColumn("aborted", lit(false))
+      .withColumn("compute_exit_code", lit(null).cast("int"))
+      .withColumn("action_result_code", lit(null).cast("int"))
+      .withColumn("total_fees", lit(0L))
+      .withColumn("descr", lit("ord"))
+    val msgs = Seq(("t1", "m1", "in", "0:B", "0:A", 5L, null.asInstanceOf[java.lang.Long],
+        false, false, 1L, "Qm9keUJsb2I=")).toDF(
+      "tx_hash", "msg_hash", "direction", "source", "destination", "value",
+      "opcode", "bounce", "bounced", "created_lt", "body")
+    val jw = Seq(("0:A", "0:M")).toDF("account", "master")
+    val acts = graft.classifier.ClassifyJob.run(spark, txs, msgs,
+      graft.classifier.ClassifyDims(jettonWallets = Some(jw)))
+    val p = acts.queryExecution.executedPlan.toString
+    // the dims branch is the subplan feeding the dim-table join; the wide
+    // classify join is the only place the body column may cross a shuffle.
+    // Count exchanges whose output carries `body`: exactly the classify
+    // branch's (1), never the dims aggregation's.
+    val exchangesWithBody = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .count(_.contains("body"))
+    assert(exchangesWithBody <= 1,
+      s"dims feed leaks body columns into extra shuffles:\n${p.take(3000)}")
+  }
+
   test("fact-side joins carry no broadcast hints (100×-scale audit)") {
     // typedActions joins the traces FACT table's meta projection — at
     // design scale that is 10⁸–10⁹ rows, so the join must be left to the
