@@ -272,7 +272,11 @@ object ChainSim {
       val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
-      val txw = SilverStore.table(spark, dir, s"proto_${variant}_txw")(
+      // txsWithTrace = txs ⋈ roots — both identical across every
+      // protocol variant (only the MESSAGE opcodes/bodies differ), so
+      // one shared silver table serves all ~11 variant pipelines
+      // instead of a write+read per variant
+      val txw = SilverStore.table(spark, dir, "proto_txw")(
         txsWithTrace)
       val acts = ClassifyJob.run(spark, txw, msgs, dims).toDF()
       // keep only the columns the variant's queries read — the unread
