@@ -50,6 +50,14 @@ object ChainSim {
     * single silver-layer materialization reused by all of them, exactly
     * as production materializes trace_id at ingest rather than re-running
     * connected components per downstream job. */
+  // profiling accessors (Profile15) — not part of the query surface
+  def chainRootsPublic(spark: SparkSession, dir: String): DataFrame =
+    chainRoots(spark, dir)
+  def b15SimPublic(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    protocolSim(spark, dir, b15Opcodes, b15Bodies)
+  def b15WalletDimPublic(spark: SparkSession, dir: String): DataFrame =
+    b15WalletDim(spark, dir)
+
   private def chainRoots(spark: SparkSession, dir: String): DataFrame =
     SilverStore.table(spark, dir, "chain_roots") {
       val ev = chainedEvents(spark, dir)
