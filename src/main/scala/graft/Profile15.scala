@@ -37,6 +37,8 @@ object Profile15 {
     val dim = graft.plans.ChainSim.b15WalletDimPublic(spark, sfDir)
     time("classifyNoDims")(
       graft.classifier.ClassifyJob.run(spark, txw, msgs).toDF().count())
+    time("classifyCountOnly")(
+      graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
     time("classifyWithDims")(
       graft.classifier.ClassifyJob.run(spark, txw, msgs,
         graft.classifier.ClassifyDims(jettonWallets = Some(dim))).toDF().count())

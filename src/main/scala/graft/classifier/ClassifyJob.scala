@@ -147,6 +147,35 @@ object ClassifyJob {
     Classifier.classifyWith(traceId, txsOf, msgsByTx, registry).iterator
   }
 
+  /** Profiling probe: the same classify sweep but emitting only a count
+    * per trace — isolates matcher CPU from the wide ActionRow encoder. */
+  def runCountProbe(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame): Long = {
+    import spark.implicits._
+    val joined = txs.select(
+        col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
+        coalesce(col("orig_status"), lit("active")).as("orig_status"),
+        coalesce(col("end_status"), lit("active")).as("end_status"),
+        coalesce(col("aborted"), lit(false)).as("aborted"),
+        col("compute_exit_code"), col("action_result_code"),
+        coalesce(col("total_fees"), lit(0L)).as("total_fees"),
+        coalesce(col("descr"), lit("ord")).as("descr"),
+        (if (txs.columns.contains("mc_block_seqno")) col("mc_block_seqno")
+         else lit(null).cast("int")).as("mc_block_seqno"))
+      .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
+        col("direction"), col("source"), col("destination"), col("value"),
+        col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
+        (if (messages.columns.contains("body")) col("body")
+         else lit(null).cast("string")).as("body"),
+        (if (messages.columns.contains("init_state")) col("init_state")
+         else lit(null).cast("string")).as("init_state")),
+        Seq("hash"), "left")
+      .as[ClassifyInputRow]
+    joined.groupByKey(_.trace_id).mapGroups { (traceId, rows) =>
+      classifyGroup(traceId, rows, ProtocolMatchers.registry).size
+    }.reduce(_ + _).toLong
+  }
+
   /** (trace_id, account) distinct pairs ⋈ the provided dims, aggregated
     * to per-trace lookup maps. One tagged union keeps it a single join +
     * single aggregation regardless of how many dims are provided.
