@@ -39,6 +39,16 @@ object Profile15 {
       graft.classifier.ClassifyJob.run(spark, txw, msgs).toDF().count())
     time("classifyCountOnly")(
       graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
+    time("classifyProjected")(
+      graft.classifier.ClassifyJob.runProjected(spark, txw, msgs,
+        graft.classifier.ClassifyDims(),
+        Seq("trace_id", "type", "start_lt", "end_lt", "source",
+          "destination", "success", "jetton_swap_data")).count())
+    time("classifyProjectedDims")(
+      graft.classifier.ClassifyJob.runProjected(spark, txw, msgs,
+        graft.classifier.ClassifyDims(jettonWallets = Some(dim)),
+        Seq("trace_id", "type", "start_lt", "end_lt", "source",
+          "destination", "success", "jetton_swap_data")).count())
     time("classifyWithDims")(
       graft.classifier.ClassifyJob.run(spark, txw, msgs,
         graft.classifier.ClassifyDims(jettonWallets = Some(dim))).toDF().count())

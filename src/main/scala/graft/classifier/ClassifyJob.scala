@@ -78,6 +78,16 @@ object ClassifyJob {
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       dims: ClassifyDims = ClassifyDims()): Dataset[ActionRow] = {
     import spark.implicits._
+    classifyFlat(spark, txs, messages, dims)(identity)
+  }
+
+  /** Shared grouping scaffold: classify each trace and emit per action
+    * through the CALLER'S encoder — the narrow-output path projects
+    * before any encoding happens. */
+  private def classifyFlat[T](spark: SparkSession, txs: DataFrame,
+      messages: DataFrame, dims: ClassifyDims)(emit: ActionRow => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import spark.implicits._
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -100,7 +110,7 @@ object ClassifyJob {
 
     if (dims.isEmpty)
       joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
-        classifyGroup(traceId, rows, ProtocolMatchers.registry)
+        classifyGroup(traceId, rows, ProtocolMatchers.registry).map(emit)
       }
     else {
       // dims mode: one extra shuffle pair (accounts→dims join, then the
@@ -120,7 +130,7 @@ object ClassifyJob {
             if (hasIface) Some(d.ifaces) else None,
             if (hasJw) Some(d.jw) else None,
             if (hasNft) Some(d.nft) else None)
-          classifyGroup(traceId, rows, registry)
+          classifyGroup(traceId, rows, registry).map(emit)
         }
     }
   }
@@ -145,6 +155,52 @@ object ClassifyJob {
           r.created_lt, r.body, r.init_state))
       }
     Classifier.classifyWith(traceId, txsOf, msgsByTx, registry).iterator
+  }
+
+  /** Narrow-output classify: the same sweep, but rows materialize ONLY
+    * the requested columns through a reduced Row encoder instead of the
+    * full 60-field ActionRow encoder. The detail structs are converted
+    * recursively (case class → Row) just for the kept columns. */
+  def runProjected(spark: SparkSession, txs: DataFrame, messages: DataFrame,
+      dims: ClassifyDims, cols: Seq[String]): DataFrame = {
+    // ActionRow-only columns that the DDL schema does not carry (the
+    // involved-accounts list is exploded into action_accounts downstream)
+    val extras: Map[String, org.apache.spark.sql.types.StructField] = Map(
+      "accounts" -> org.apache.spark.sql.types.StructField("accounts",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      "tx_hashes" -> org.apache.spark.sql.types.StructField("tx_hashes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => graft.Schemas.actions.fields
+        .find(_.name == c).orElse(extras.get(c))
+        .getOrElse(throw new IllegalArgumentException(s"unknown column $c"))))
+    val fieldIdx: Map[String, Int] = {
+      // ActionRow field order via reflection, resolved once
+      val names = classOf[ActionRow].getDeclaredFields.map(_.getName)
+      names.zipWithIndex.toMap
+    }
+    val idxs = cols.map(c => fieldIdx.getOrElse(c,
+      throw new IllegalArgumentException(s"no ActionRow field $c")))
+    // a local def would capture the (non-serializable) enclosing object;
+    // a self-referencing serializable function value ships clean
+    val conv: Any => Any = new (Any => Any) with Serializable {
+      def apply(v: Any): Any = v match {
+        case Some(x) => apply(x)
+        case None | null => null
+        case s: Seq[_] => s.map(apply)
+        case m: Map[_, _] => m.map { case (k, x) => k -> apply(x) }
+        case p: Product => org.apache.spark.sql.Row(
+          p.productIterator.map(apply).toSeq: _*)
+        case x => x
+      }
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    classifyFlat(spark, txs, messages, dims)(a =>
+      org.apache.spark.sql.Row(idxs.map(i => conv(a.productElement(i))): _*))
+      .toDF()
   }
 
   /** Profiling probe: the same classify sweep but emitting only a count

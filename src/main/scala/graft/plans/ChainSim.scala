@@ -84,12 +84,12 @@ object ChainSim {
       // prune to the columns its consumers (a03/b02/b07/b08, Silver)
       // read BEFORE writing — the unread wide detail structs would
       // otherwise bloat the silver files
-      ClassifyJob.run(spark, txsWithTrace, msgs).toDF()
+      ClassifyJob.runProjected(spark, txsWithTrace, msgs,
+          graft.classifier.ClassifyDims(),
+          Seq("trace_id", "action_id", "type", "start_lt", "end_lt",
+            "start_utime", "end_utime", "source", "destination", "success",
+            "ancestor_type", "ton_transfer_data", "accounts"))
         .join(meta, Seq("trace_id"), "left") // traces is a fact table — shuffle join, never broadcast
-        .select("trace_id", "action_id", "type", "start_lt", "end_lt",
-          "start_utime", "end_utime", "source", "destination", "success",
-          "ancestor_type", "ton_transfer_data", "trace_end_utime",
-          "accounts")
     }
 
   /** Trace assembly over the simulated chain, silver-materialized. The
@@ -286,11 +286,11 @@ object ChainSim {
       // instead of a write+read per variant
       val txw = SilverStore.table(spark, dir, "proto_txw")(
         txsWithTrace)
-      val acts = ClassifyJob.run(spark, txw, msgs, dims).toDF()
-      // keep only the columns the variant's queries read — the unread
-      // detail structs would bloat the silver files otherwise
-      val cols = (protoBaseCols ++ keep).distinct
-      acts.select(cols.map(col): _*)
+      // narrow-output classify: only the columns the variant's queries
+      // read materialize through the encoder — the wide 60-field
+      // ActionRow encoder was HALF the classify cost (Profile15)
+      ClassifyJob.runProjected(spark, txw, msgs, dims,
+        (protoBaseCols ++ keep).distinct)
     }
 
   /** b06 opcode mapping (see protocolSim doc). */
