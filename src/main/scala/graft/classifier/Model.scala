@@ -103,7 +103,11 @@ object TxTree {
       val outs = ms.filter(_.direction == "out")
       if (outs.nonEmpty && outs.forall(_.seqNo.isDefined))
         outs.sortBy(_.seqNo.get)
-      else outs.sortBy(m => (m.createdLt.isDefined, m.createdLt.getOrElse(0L)))
+      else
+        // msg_hash tie-break: created_lt is unique per account on-chain,
+        // but the shuffle arrival order must never leak into the tree
+        outs.sortBy(m => (m.createdLt.isDefined,
+          m.createdLt.getOrElse(0L), m.msgHash))
     }
     def mk(hash: String): TxNode = {
       val t = txByHash(hash)
