@@ -38,6 +38,28 @@ class ClassifierSpec extends SparkSpec {
     assert(bySeq.head.children.map(_.tx.hash) == Seq("C2", "C1"))
   }
 
+  test("classification is invariant to input row order (shuffle-arrival " +
+      "determinism: no seqNo, permuted txs and messages)") {
+    val txs = Seq(tx("P", "0:P", 10), tx("C1", "0:C1", 20),
+      tx("C2", "0:C2", 20), tx("C3", "0:C3", 30))
+    val msgs = Map(
+      "P" -> Seq(in("m0", "0:X", "0:P", None),
+        out("o1", "0:P", "0:C1", None).copy(createdLt = Some(11L)),
+        out("o2", "0:P", "0:C2", None).copy(createdLt = Some(12L))),
+      "C1" -> Seq(in("o1", "0:P", "0:C1", None).copy(createdLt = Some(11L)),
+        out("o3", "0:C1", "0:C3", None).copy(createdLt = Some(13L))),
+      "C2" -> Seq(in("o2", "0:P", "0:C2", None).copy(createdLt = Some(12L))),
+      "C3" -> Seq(in("o3", "0:C1", "0:C3", None).copy(createdLt = Some(13L))))
+    val base = Classifier.classify("det1", txs, msgs)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val shuffledTxs = rnd.shuffle(txs)
+      val shuffledMsgs = msgs.map { case (k, v) => k -> rnd.shuffle(v) }
+      assert(Classifier.classify("det1", shuffledTxs, shuffledMsgs) == base,
+        s"classification differs under permutation seed $seed")
+    }
+  }
+
   test("plain ton transfer classifies as ton_transfer") {
     val actions = Classifier.classify("tr1",
       Seq(tx("T1", "0:B", 10)),
