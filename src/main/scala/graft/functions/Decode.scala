@@ -136,8 +136,10 @@ object Decode {
     case 0xd53276dbL =>
       Some(Decoded(op, "excesses", f("query_id" -> Some(opQueryId(b)))))
     case 0x7362d09cL =>
-      Some(Decoded(op, "jetton_notify",
-        f("query_id" -> Some(opQueryId(b)))))
+      val d = jettonNotify(b)
+      Some(Decoded(op, "jetton_notify", f(
+        "query_id" -> Some(d.queryId), "amount" -> Some(d.amount),
+        "sender" -> d.sender, "forward_payload" -> d.forwardPayload)))
     case 0x47d54391L =>
       Some(Decoded(op, "tonstakers_deposit",
         f("query_id" -> Some(opQueryId(b)))))
@@ -348,6 +350,53 @@ object Decode {
         "query_id" -> Some(d.queryId), "to_address" -> d.toAddress,
         "ton_amount" -> Some(d.tonAmount),
         "master_msg_jetton_amount" -> d.masterMsgJettonAmount)))
+    case 0xb56b9598L =>
+      val d = dedustDepositToPool(b)
+      Some(Decoded(op, "dedust_deposit_liquidity_to_pool", f(
+        "owner" -> d.owner,
+        "asset0" -> Some(d.asset0), "amount0" -> Some(d.asset0Amount),
+        "asset1" -> Some(d.asset1), "amount1" -> Some(d.asset1Amount))))
+    case 0x530b5f2cL =>
+      val d = toncoStartBurn(b)
+      Some(Decoded(op, "tonco_pool_v3_start_burn", f(
+        "burned_index" -> Some(d.burnedIndex),
+        "liquidity_to_burn" -> Some(d.liquidityToBurn),
+        "tick_lower" -> Some(d.tickLower), "tick_upper" -> Some(d.tickUpper))))
+    case 0x3ebe5431L =>
+      val d = toncoAddLiquidity(b)
+      Some(Decoded(op, "tonco_account_v3_add_liquidity", f(
+        "amount0" -> Some(d.newAmount0), "amount1" -> Some(d.newAmount1),
+        "liquidity" -> Some(d.liquidity),
+        "tick_lower" -> Some(d.tickLower), "tick_upper" -> Some(d.tickUpper))))
+    case 0xd5ecca2aL =>
+      val d = toncoPositionInit(b)
+      Some(Decoded(op, "tonco_position_nft_v3_position_init", f(
+        "liquidity" -> Some(d.liquidity), "nft_index" -> Some(d.nftIndex))))
+    case 0xc0ffee25L =>
+      val d = coffeeCreatePoolRequest(b)
+      Some(Decoded(op, "coffee_create_pool_request", f(
+        "query_id" -> Some(d.queryId),
+        "amount1" -> Some(d.amount1), "amount2" -> Some(d.amount2),
+        "tx_initiator" -> d.txInitiator)))
+    case 0xc0ffee33L =>
+      val d = coffeeDepositSuccess(b)
+      Some(Decoded(op, "coffee_deposit_liquidity_successful_event", f(
+        "query_id" -> Some(d.queryId),
+        "amount1" -> Some(d.amount1), "amount2" -> Some(d.amount2),
+        "lp_amount" -> Some(d.lpAmount))))
+    case 0xc0ffee35L =>
+      val d = coffeeWithdrawalEvent(b)
+      Some(Decoded(op, "coffee_liquidity_withdrawal_event", f(
+        "amount1" -> Some(d.amount1), "amount2" -> Some(d.amount2),
+        "lp_amount" -> Some(d.lpAmount))))
+    case 0xc0ffee06L =>
+      Some(Decoded(op, "coffee_create_vault", f(
+        "asset" -> coffeeCreateVault(b))))
+    case 0xb30c7310L =>
+      val d = coffeeStakingClaimRewards(b)
+      Some(Decoded(op, "coffee_staking_claim_rewards", f(
+        "query_id" -> Some(d.queryId), "jetton_wallet" -> d.jettonWallet,
+        "jetton_amount" -> Some(d.jettonAmount), "receiver" -> d.receiver)))
     case _ => None
   }
 }

@@ -75,6 +75,36 @@ class DecodeSpec extends AnyFunSuite {
       d.fields.isEmpty)
   }
 
+  test("liquidity/staking event bodies round-trip through the dispatch") {
+    import graft.functions.Boc
+    // tonco start-burn: qid u64, index u64, liquidity u128, ticks i24
+    val burn = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x530b5f2cL), 32).storeUint(BigInt(9), 64)
+      .storeUint(BigInt(42), 64).storeUint(BigInt(777), 128)
+      .storeInt(BigInt(-100), 24).storeInt(BigInt(200), 24).build())
+    val d1 = Decode.decode(burn).get
+    assert(d1.name == "tonco_pool_v3_start_burn" &&
+      d1.fields("burned_index") == "42" &&
+      d1.fields("liquidity_to_burn") == "777" &&
+      d1.fields("tick_lower") == "-100")
+    // coffee withdrawal event: qid u64 then three coins
+    val ev = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xc0ffee35L), 32).storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(100000)).storeCoins(BigInt(100000000))
+      .storeCoins(BigInt(31622)).build())
+    val d2 = Decode.decode(ev).get
+    assert(d2.name == "coffee_liquidity_withdrawal_event" &&
+      d2.fields("amount1") == "100000" && d2.fields("lp_amount") == "31622")
+    // jetton notify with inline payload
+    val notify = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x7362d09cL), 32).storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(123)).storeAddress(Some("0:" + "AB" * 32))
+      .storeBit(false).build())
+    val d3 = Decode.decode(notify).get
+    assert(d3.name == "jetton_notify" && d3.fields("amount") == "123" &&
+      d3.fields("sender") == "0:" + "AB" * 32)
+  }
+
   test("marker-only reference classes are identified by name across the " +
       "full inventory (OpcodeNames)") {
     // DedustSwapPeer — a reference class with no parser at all
