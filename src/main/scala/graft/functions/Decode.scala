@@ -397,6 +397,41 @@ object Decode {
       Some(Decoded(op, "coffee_staking_claim_rewards", f(
         "query_id" -> Some(d.queryId), "jetton_wallet" -> d.jettonWallet,
         "jetton_amount" -> Some(d.jettonAmount), "receiver" -> d.receiver)))
+    case 0x2fcb26a2L =>
+      Some(Decoded(op, "nft_discovery", f(
+        "query_id" -> Some(opQueryId(b)))))
+    case 0x8b771735L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val idx = s.loadUint(256)
+      Some(Decoded(op, "nft_report_static_data", f(
+        "query_id" -> Some(qid), "index" -> Some(idx),
+        "collection" -> s.loadAddress())))
+    case 0x487a8e81L =>
+      Some(Decoded(op, "teleitem_start_auction", f(
+        "query_id" -> Some(opQueryId(b)))))
+    case 0x370fec51L | 0x4ed14b65L =>
+      val name = if (op == 0x370fec51L) "auction_fill_up"
+        else "dns_release_balance"
+      val qid = try Some(opQueryId(b))
+        catch { case scala.util.control.NonFatal(_) => None }
+      Some(Decoded(op, name, f("query_id" -> qid)))
+    case 0x474f86cfL | 0xad4eb6f5L =>
+      val name = if (op == 0x474f86cfL) "dedust_payout"
+        else "dedust_payout_from_pool"
+      Some(Decoded(op, name, f(
+        "query_id" -> Some(opQueryId(b)),
+        "amount" -> Some(dedustPayoutAmount(b)))))
+    case 0xafaf283eL =>
+      Some(Decoded(op, "multisig_approve_rejected", f(
+        "exit_code" -> Some(multisigApproveRejectedExitCode(b)))))
+    case 0xd68a4ac1L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "jvault_receive_jettons", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "min_deposit" -> Some(s.loadCoins()),
+        "max_deposit" -> Some(s.loadCoins()))))
     case _ => None
   }
 }

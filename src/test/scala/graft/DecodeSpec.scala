@@ -105,6 +105,23 @@ class DecodeSpec extends AnyFunSuite {
       d3.fields("sender") == "0:" + "AB" * 32)
   }
 
+  test("payout and static-data bodies decode through the dispatch") {
+    import graft.functions.Boc
+    val payout = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xad4eb6f5L), 32).storeUint(BigInt(7), 64)
+      .storeRef(Boc.Cell.empty).storeCoins(BigInt(25998968)).build())
+    val d1 = Decode.decode(payout).get
+    assert(d1.name == "dedust_payout_from_pool" &&
+      d1.fields("amount") == "25998968")
+    val rsd = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x8b771735L), 32).storeUint(BigInt(3), 64)
+      .storeUint(BigInt(49), 256).storeAddress(Some("0:" + "CD" * 32))
+      .build())
+    val d2 = Decode.decode(rsd).get
+    assert(d2.name == "nft_report_static_data" && d2.fields("index") == "49" &&
+      d2.fields("collection") == "0:" + "CD" * 32)
+  }
+
   test("marker-only reference classes are identified by name across the " +
       "full inventory (OpcodeNames)") {
     // DedustSwapPeer — a reference class with no parser at all
