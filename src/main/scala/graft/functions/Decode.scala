@@ -432,6 +432,34 @@ object Decode {
         "query_id" -> Some(s.loadUint(64)),
         "min_deposit" -> Some(s.loadCoins()),
         "max_deposit" -> Some(s.loadCoins()))))
+    case 0xc0ffee27L =>
+      val d = coffeeDepositRequest(b)
+      Some(Decoded(op, "coffee_create_liquidity_depository_request", f(
+        "amount" -> Some(d.amount), "pool_first" -> d.poolFirst,
+        "pool_second" -> d.poolSecond, "sender" -> d.sender)))
+    case 0x46ca335aL =>
+      Some(Decoded(op, "tonco_position_nft_v3_position_burn", f(
+        "query_id" -> Some(opQueryId(b)),
+        "nft_owner" -> toncoPositionBurnOwner(b))))
+    case 0x3cb38090L =>
+      val d = lzVerifyCallback(b)
+      Some(Decoded(op, "lz_uln_connection_verify_callback", f(
+        "nonce" -> Some(d.nonce), "status" -> Some(d.status))))
+    case 0x5388cd88L =>
+      val p = lzChannelCommitPacket(b)
+      Some(Decoded(op, "lz_channel_commit_packet", f(
+        "nonce" -> Some(p.nonce), "guid" -> Some(p.guid),
+        "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
+        "src_oapp" -> Some(p.path.srcOapp),
+        "dst_oapp" -> Some(p.path.dstOapp))))
+    case 0xa2b5fbaeL =>
+      val d = lzChannelSendCallback(b)
+      Some(Decoded(op, "lz_channel_send_callback", f(
+        "send_request_id" -> Some(d.sendRequestId),
+        "nonce" -> Some(d.packet.nonce), "guid" -> Some(d.packet.guid),
+        "dst_eid" -> Some(d.packet.path.dstEid),
+        "dst_oapp" -> Some(d.packet.path.dstOapp),
+        "native_fee" -> Some(d.nativeFee), "zro_fee" -> Some(d.zroFee))))
     case _ => None
   }
 }
