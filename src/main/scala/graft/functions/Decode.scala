@@ -452,6 +452,10 @@ object Decode {
         "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
         "src_oapp" -> Some(p.path.srcOapp),
         "dst_oapp" -> Some(p.path.dstOapp))))
+    case 0x65448ff4L =>
+      Some(Decoded(op, "cocoon_client_proxy_request", f(
+        "query_id" -> Some(opQueryId(b)),
+        "refund_granted_coins" -> cocoonRefundGrantedCoins(b))))
     case 0xa2b5fbaeL =>
       val d = lzChannelSendCallback(b)
       Some(Decoded(op, "lz_channel_send_callback", f(
