@@ -452,6 +452,43 @@ object Decode {
         "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
         "src_oapp" -> Some(p.path.srcOapp),
         "dst_oapp" -> Some(p.path.dstOapp))))
+    case 0x37c096dfL =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "stonfi_v2_provide_liquidity", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "from_user" -> s.loadAddress(),
+        "amount1" -> Some(s.loadCoins()), "amount2" -> Some(s.loadCoins()))))
+    case 0xb2c1b6e3L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val owner = s.loadAddress()
+      val a0 = s.loadCoins(); val a1 = s.loadCoins()
+      s.loadCoins(); s.loadCoins()
+      Some(Decoded(op, "tonco_pool_v3_mint", f(
+        "query_id" -> Some(qid), "owner" -> owner,
+        "amount0" -> Some(a0), "amount1" -> Some(a1),
+        "liquidity" -> Some(s.loadUint(128)),
+        "tick_lower" -> Some(s.loadInt(24)),
+        "tick_upper" -> Some(s.loadInt(24)))))
+    case 0x40e108d6L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val poolType = if (!s.loadBit()) "volatile" else "stable"
+      val a0 = loadDedustAsset(s); val a1 = loadDedustAsset(s)
+      val minLp = s.loadCoins()
+      Some(Decoded(op, "dedust_deposit_liquidity_forward_payload", f(
+        "pool_type" -> Some(poolType),
+        "asset0" -> Some(a0), "asset1" -> Some(a1),
+        "min_lp_amount" -> Some(minLp),
+        "asset0_target_balance" -> Some(s.loadCoins()),
+        "asset1_target_balance" -> Some(s.loadCoins()))))
+    case 0x706c7567L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "subscription_payment_request", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "grams" -> Some(s.loadCoins()))))
     case 0x65448ff4L =>
       Some(Decoded(op, "cocoon_client_proxy_request", f(
         "query_id" -> Some(opQueryId(b)),
