@@ -452,6 +452,22 @@ object Decode {
         "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
         "src_oapp" -> Some(p.path.srcOapp),
         "dst_oapp" -> Some(p.path.dstOapp))))
+    case 0xc0ffee32L | 0x6bc79e7eL | 0xc0ffee07L | 0xc0ffee36L =>
+      val name = op match {
+        case 0xc0ffee32L => "coffee_payout"
+        case 0x6bc79e7eL => "coffee_mev_protect_hold_funds"
+        case 0xc0ffee07L => "coffee_withdraw_deposit"
+        case _ => "coffee_notification"
+      }
+      Some(Decoded(op, name, f("query_id" -> Some(opQueryId(b)))))
+    case 0xc0ffee31L =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val asset = coffeeAsset(s)
+      Some(Decoded(op, "coffee_swap_failed_event", f(
+        "query_id" -> Some(qid), "input" -> asset,
+        "input_amount" -> Some(s.loadCoins()))))
     case 0x37c096dfL =>
       val s = Boc.parseBase64(b).beginParse()
       s.loadUint(32)
