@@ -452,6 +452,21 @@ object Decode {
         "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
         "src_oapp" -> Some(p.path.srcOapp),
         "dst_oapp" -> Some(p.path.dstOapp))))
+    // cocoon ops whose whole body is op + query_id (messages/cocoon.py)
+    case 0x2565934cL | 0x927c7cb5L | 0x563c1d96L =>
+      val name = op match {
+        case 0x2565934cL => "cocoon_return_excesses_back"
+        case 0x927c7cb5L => "cocoon_register_proxy"
+        case _ => "cocoon_reset_root"
+      }
+      Some(Decoded(op, name, f("query_id" -> Some(opQueryId(b)))))
+    case 0xda068e78L =>
+      // owner_client_withdraw: qid + send_excesses_to:address
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "cocoon_owner_client_withdraw", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "send_excesses_to" -> s.loadAddress())))
     case 0xc0ffee32L | 0x6bc79e7eL | 0xc0ffee07L | 0xc0ffee36L =>
       val name = op match {
         case 0xc0ffee32L => "coffee_payout"
