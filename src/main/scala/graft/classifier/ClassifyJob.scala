@@ -24,7 +24,9 @@ case class ClassifyInputRow(
     bounce: Option[Boolean], bounced: Option[Boolean],
     created_lt: Option[Long], body: Option[String],
     init_state: Option[String],
-    mc_block_seqno: Option[Int] = None)
+    mc_block_seqno: Option[Int] = None,
+    msg_seq: Option[Int] = None,
+    created_at: Option[Long] = None)
 
 /** DataFrame-backed dimension feed for the classifier (SURVEY §2.9 G6;
   * the reference's Redis interface repository,
@@ -38,7 +40,10 @@ case class ClassifyInputRow(
   *
   * Expected schemas (extra columns ignored; keys must be unique):
   *  - interfaces(account, interface)
-  *  - jettonWallets(account, master)
+  *  - jettonWallets(account, master[, owner]) — owner optional; when
+  *    present it feeds the owner-validation checks (the reference marks
+  *    a jetton transfer `broken` when the stated owner disagrees with
+  *    the JettonWallet row, jettons.py:75-77)
   *  - nftItems(account, item_index, collection)
   */
 case class ClassifyDims(
@@ -55,9 +60,49 @@ case class ClassifyDims(
 case class TraceDims(trace_id: String,
     ifaces: Map[String, String],
     jw: Map[String, String],
-    nft: Map[String, NftItemInfo])
+    nft: Map[String, NftItemInfo],
+    owners: Map[String, String])
 
 object ClassifyJob {
+
+  import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders, ExpressionEncoder}
+
+  /** The derived product encoder maps scala BigDecimal to the SYSTEM
+    * default Decimal(38,18) — 18 fractional digits an integer token
+    * amount never uses, and only 20 integer digits, which real mainnet
+    * jetton amounts (1e24+) overflow. All classifier money fields are
+    * integer base units (the reference stores them as NUMERIC scale 0;
+    * Schemas.amount = DecimalType(38,0)), so rewrite every decimal leaf
+    * of the encoder tree to (38,0). */
+  private def integerDecimals(e: AgnosticEncoder[_]): AgnosticEncoder[_] =
+    e match {
+      case AgnosticEncoders.ScalaDecimalEncoder(_) =>
+        AgnosticEncoders.ScalaDecimalEncoder(
+          org.apache.spark.sql.types.DecimalType(38, 0))
+      case AgnosticEncoders.JavaDecimalEncoder(_, lenient) =>
+        AgnosticEncoders.JavaDecimalEncoder(
+          org.apache.spark.sql.types.DecimalType(38, 0), lenient)
+      case p: AgnosticEncoders.ProductEncoder[_] =>
+        p.copy(fields = p.fields.map(f => f.copy(enc = integerDecimals(f.enc))))
+      case AgnosticEncoders.OptionEncoder(inner) =>
+        AgnosticEncoders.OptionEncoder(integerDecimals(inner))
+      case it: AgnosticEncoders.IterableEncoder[_, _] =>
+        it.copy(element = integerDecimals(it.element))
+      case arr: AgnosticEncoders.ArrayEncoder[_] =>
+        arr.copy(element = integerDecimals(arr.element))
+      case m: AgnosticEncoders.MapEncoder[_, _, _] =>
+        m.copy(keyEncoder = integerDecimals(m.keyEncoder),
+          valueEncoder = integerDecimals(m.valueEncoder))
+      case other => other
+    }
+
+  /** ActionRow encoder with Decimal(38,0) money columns — use this (not
+    * the implicit product encoder) wherever a Dataset[ActionRow] is
+    * materialized from classify output. */
+  implicit lazy val actionRowEncoder: org.apache.spark.sql.Encoder[ActionRow] =
+    ExpressionEncoder(integerDecimals(
+      org.apache.spark.sql.catalyst.ScalaReflection.encoderFor[ActionRow])
+      .asInstanceOf[AgnosticEncoder[ActionRow]])
 
   /** transactions(+trace_id) ⟕ messages → actions DataFrame. The
     * optional dim frames replace the reference's Redis interface
@@ -77,8 +122,7 @@ object ClassifyJob {
     * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       dims: ClassifyDims = ClassifyDims()): Dataset[ActionRow] = {
-    import spark.implicits._
-    classifyFlat(spark, txs, messages, dims)(identity)
+    classifyFlat(spark, txs, messages, dims)(identity)(actionRowEncoder)
   }
 
   /** Shared grouping scaffold: classify each trace and emit per action
@@ -104,7 +148,12 @@ object ClassifyJob {
         (if (messages.columns.contains("body")) col("body")
          else lit(null).cast("string")).as("body"),
         (if (messages.columns.contains("init_state")) col("init_state")
-         else lit(null).cast("string")).as("init_state")),
+         else lit(null).cast("string")).as("init_state"),
+        (if (messages.columns.contains("msg_seq")) col("msg_seq")
+         else lit(null).cast("int")).as("msg_seq"),
+        (if (messages.columns.contains("created_at"))
+          col("created_at").cast("long")
+         else lit(null).cast("long")).as("created_at")),
         Seq("hash"), "left")
       .as[ClassifyInputRow]
 
@@ -125,11 +174,12 @@ object ClassifyJob {
         .cogroup(perTrace.groupByKey(_.trace_id)) { (traceId, rows, ds) =>
           val d =
             if (ds.hasNext) ds.next()
-            else TraceDims(traceId, Map.empty, Map.empty, Map.empty)
+            else TraceDims(traceId, Map.empty, Map.empty, Map.empty, Map.empty)
           val registry = ProtocolMatchers.registryForDims(
             if (hasIface) Some(d.ifaces) else None,
             if (hasJw) Some(d.jw) else None,
-            if (hasNft) Some(d.nft) else None)
+            if (hasNft) Some(d.nft) else None,
+            walletOwners = d.owners)
           classifyGroup(traceId, rows, registry).map(emit)
         }
     }
@@ -152,7 +202,8 @@ object ClassifyJob {
         h -> rs.map(r => MsgLite(r.msg_hash.get, r.direction.getOrElse("in"),
           r.source, r.destination, r.value.getOrElse(0L), r.opcode,
           r.bounce.getOrElse(false), r.bounced.getOrElse(false),
-          r.created_lt, r.body, r.init_state))
+          r.created_lt, r.body, r.init_state, createdAt = r.created_at,
+          seqNo = r.msg_seq))
       }
     Classifier.classifyWith(traceId, txsOf, msgsByTx, registry).iterator
   }
@@ -224,7 +275,12 @@ object ClassifyJob {
         (if (messages.columns.contains("body")) col("body")
          else lit(null).cast("string")).as("body"),
         (if (messages.columns.contains("init_state")) col("init_state")
-         else lit(null).cast("string")).as("init_state")),
+         else lit(null).cast("string")).as("init_state"),
+        (if (messages.columns.contains("msg_seq")) col("msg_seq")
+         else lit(null).cast("int")).as("msg_seq"),
+        (if (messages.columns.contains("created_at"))
+          col("created_at").cast("long")
+         else lit(null).cast("long")).as("created_at")),
         Seq("hash"), "left")
       .as[ClassifyInputRow]
     joined.groupByKey(_.trace_id).mapGroups { (traceId, rows) =>
@@ -270,8 +326,10 @@ object ClassifyJob {
     val tagged = Seq(
       dims.interfaces.map(_.select(col("account"), lit("i").as("kind"),
         col("interface").cast("string").as("v1"), nullStr.as("v2"))),
-      dims.jettonWallets.map(_.select(col("account"), lit("j").as("kind"),
-        col("master").cast("string").as("v1"), nullStr.as("v2"))),
+      dims.jettonWallets.map(jw => jw.select(col("account"),
+        lit("j").as("kind"), col("master").cast("string").as("v1"),
+        (if (jw.columns.contains("owner")) col("owner").cast("string")
+         else nullStr).as("v2"))),
       dims.nftItems.map(_.select(col("account"), lit("n").as("kind"),
         col("item_index").cast("string").as("v1"),
         col("collection").cast("string").as("v2")))
@@ -285,7 +343,10 @@ object ClassifyJob {
           struct(col("account"), col("v1"))))).as("jw"),
         map_from_entries(collect_list(when(col("kind") === "n",
           struct(col("account"), struct(col("v1").as("index"),
-            col("v2").as("collection")))))).as("nft"))
+            col("v2").as("collection")))))).as("nft"),
+        map_from_entries(collect_list(
+          when(col("kind") === "j" && col("v2").isNotNull,
+            struct(col("account"), col("v2"))))).as("owners"))
       .as[TraceDims]
   }
 

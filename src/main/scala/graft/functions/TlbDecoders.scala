@@ -354,6 +354,12 @@ object TlbDecoders {
       if (opcode == 0x657b54f5L) {
         val d = stonfiV2PayTo(bodyB64)
         d.token0.toSeq ++ d.token1.toSeq
+      } else if (opcode == 0xa1daa96dL) {
+        // TONCO ROUTERV3_PAY_TO: the router-slot jetton wallets feed the
+        // withdraw matcher's registry asset resolution (liquidity.py
+        // TONCO withdraw, router data fallback)
+        val d = toncoPayTo(bodyB64)
+        d.jetton0.toSeq ++ d.jetton1.toSeq
       } else Nil
     } catch { case scala.util.control.NonFatal(_) => Nil }
 

@@ -1,0 +1,137 @@
+package graft.golden
+
+import graft.classifier._
+
+/** Flattened golden-trace rows for the DataFrame encoders (top-level so
+  * Catalyst can derive TypeTags). */
+case class GTxRow(trace_id: String, hash: String, account: String, lt: Long,
+    now: Int, orig_status: String, end_status: String, aborted: Boolean,
+    compute_exit_code: Option[Int], action_result_code: Option[Int],
+    total_fees: Long, descr: String, mc_block_seqno: Option[Int])
+
+case class GMsgRow(tx_hash: String, msg_hash: String, direction: String,
+    source: Option[String], destination: Option[String], value: Long,
+    opcode: Option[Long], bounce: Boolean, bounced: Boolean,
+    created_lt: Option[Long], body: Option[String], init_state: Option[String],
+    msg_seq: Option[Int], created_at: Option[Long])
+
+/** Golden corpus through the DISTRIBUTED path: every reference trace
+  * fixture is classified via `ClassifyJob.run` — the production
+  * DataFrame→groupByKey→flatMapGroups pipeline with DataFrame dims
+  * (interfaces / jettonWallets+owner / nftItems) — and the output must
+  * match the local `Classifier.classify` action-for-action. This is the
+  * analogue of the reference testing through its production pipeline
+  * (indexer/tests/test_actions.py:12-63): it pins the dims cogroup, the
+  * per-trace map delivery, and the msg_seq/created_at plumbing against
+  * real mainnet traces, not synthetic fixtures.
+  *
+  * Traces whose interface dicts disagree on a shared account (the same
+  * address captured at two points in time) cannot share one dim table —
+  * they are greedily split into conflict-free batches, one ClassifyJob
+  * run per batch.
+  */
+class GoldenDistributedSpec extends graft.SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def traceIds: Seq[String] = {
+    val y = new org.yaml.snakeyaml.Yaml()
+    GoldenCorpus.CasesDir.listFiles().filter(_.getName.endsWith(".yaml"))
+      .sortBy(_.getName).toSeq.flatMap { f =>
+        val root = y.load[java.util.Map[String, Any]](
+          new java.io.FileInputStream(f))
+        Option(root).flatMap(r => Option(r.get("cases"))) match {
+          case Some(cs: java.util.Map[_, _]) =>
+            cs.asInstanceOf[java.util.Map[String, Any]].asScala.values
+              .map(d => String.valueOf(
+                d.asInstanceOf[java.util.Map[String, Any]].get("trace-id")))
+              .toSeq
+          case _ => Nil
+        }
+      }.distinct
+  }
+
+  /** Greedy conflict-free batching: a trace joins the first batch where
+    * none of its dim entries contradicts an already-placed entry. */
+  private def batch(ts: Seq[GoldenCorpus.LoadedTrace])
+      : Seq[Seq[GoldenCorpus.LoadedTrace]] = {
+    case class B(var ifc: Map[String, String], var jw: Map[String, String],
+        var own: Map[String, String], var nft: Map[String, NftItemInfo],
+        buf: scala.collection.mutable.ArrayBuffer[GoldenCorpus.LoadedTrace])
+    val batches = scala.collection.mutable.ArrayBuffer[B]()
+    def ok[V](have: Map[String, V], add: Map[String, V]): Boolean =
+      add.forall { case (k, v) => have.get(k).forall(_ == v) }
+    ts.foreach { t =>
+      batches.find(b => ok(b.ifc, t.interfaces) && ok(b.jw, t.jettonWallets) &&
+          ok(b.own, t.walletOwners) && ok(b.nft, t.nftItems)) match {
+        case Some(b) =>
+          b.ifc ++= t.interfaces; b.jw ++= t.jettonWallets
+          b.own ++= t.walletOwners; b.nft ++= t.nftItems
+          b.buf += t
+        case None =>
+          batches += B(t.interfaces, t.jettonWallets, t.walletOwners,
+            t.nftItems, scala.collection.mutable.ArrayBuffer(t))
+      }
+    }
+    batches.map(_.buf.toSeq).toSeq
+  }
+
+  if (GoldenCorpus.available) {
+    test("all golden traces classify identically through ClassifyJob") {
+      import spark.implicits._
+      val loaded = traceIds.map(GoldenCorpus.load)
+      val batches = batch(loaded)
+      info(s"${loaded.size} traces in ${batches.size} conflict-free batches")
+
+      val failures = scala.collection.mutable.ArrayBuffer[String]()
+      batches.foreach { ts =>
+        val txDf = ts.flatMap(t => t.txs.map(tx => GTxRow(t.traceId, tx.hash,
+          tx.account, tx.lt, tx.now, tx.origStatus, tx.endStatus, tx.aborted,
+          tx.computeExitCode, tx.actionResultCode, tx.totalFees, tx.descr,
+          tx.mcSeqno))).toDF()
+        val msgDf = ts.flatMap(_.msgsByTx.toSeq.flatMap { case (h, ms) =>
+          ms.map(m => GMsgRow(h, m.msgHash, m.direction, m.source,
+            m.destination, m.value, m.opcode, m.bounce, m.bounced,
+            m.createdLt, m.body, m.initState, m.seqNo, m.createdAt))
+        }).toDF()
+        val ifDim = ts.flatMap(_.interfaces).distinct
+          .toDF("account", "interface")
+        val jwDim = ts.flatMap(t => t.jettonWallets.map { case (a, master) =>
+          (a, master, t.walletOwners.get(a)) }).distinct
+          .toDF("account", "master", "owner")
+        val nftDim = ts.flatMap(_.nftItems.map { case (a, i) =>
+          (a, i.index, i.collection) }).distinct
+          .toDF("account", "item_index", "collection")
+
+        val actual = ClassifyJob.run(spark, txDf, msgDf,
+            ClassifyDims(Some(ifDim), Some(jwDim), Some(nftDim)))
+          .collect().groupBy(_.trace_id)
+
+        ts.foreach { t =>
+          val exp = GoldenCorpus.classify(t).sortBy(_.action_id)
+          val act = actual.getOrElse(t.traceId, Array.empty[ActionRow])
+            .toSeq.sortBy(_.action_id)
+          if (exp != act) {
+            val detail =
+              if (exp.map(_.action_id) != act.map(_.action_id))
+                s"action ids differ:\n  local=${exp.map(a => a.`type` + "/" + a.action_id)}\n  spark=${act.map(a => a.`type` + "/" + a.action_id)}"
+              else exp.zip(act).collect { case (e, a) if e != a =>
+                val fields = classOf[ActionRow].getDeclaredFields.map(_.getName)
+                val diffs = fields.indices.collect {
+                  case i if e.productElement(i) != a.productElement(i) =>
+                    s"${fields(i)}: local=${e.productElement(i)} spark=${a.productElement(i)}"
+                }
+                s"action ${e.action_id} (${e.`type`}): ${diffs.mkString("; ")}"
+              }.mkString("\n  ")
+            failures += s"trace ${t.traceId}:\n  $detail"
+          }
+        }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} traces diverge between local and distributed classify:\n" +
+          failures.mkString("\n"))
+    }
+  } else {
+    ignore("golden corpus unavailable (reference checkout missing)") {}
+  }
+}

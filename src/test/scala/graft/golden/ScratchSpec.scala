@@ -8,24 +8,30 @@ class ScratchSpec extends AnyFunSuite {
     test("probe") {
       import graft.functions.TlbDecoders
       val t = GoldenCorpus.load(sys.env("GOLDEN_SCRATCH"))
-      val op = sys.env.getOrElse("GOLDEN_OP", "ca444ce6")
-      val target = java.lang.Long.parseLong(op, 16)
-      t.msgsByTx.values.flatten.filter(
-          _.opcode.exists(o => (o & 0xffffffffL) == target)).foreach { m =>
-        m.body.foreach { b =>
-          println(s"body full=$b")
-          val s = graft.functions.Boc.parseBase64(b).beginParse()
-          println(s"  bits=${s.remainingBits} refs=${s.remainingRefs}")
-          s.loadUint(32)
-          val amt = s.loadCoins()
-          println(s"  amount=$amt remaining=${s.remainingBits}")
-          try {
-            val a1 = s.loadAddressExt()
-            println(s"  sender=$a1 remaining=${s.remainingBits}")
-            val a2 = s.loadAddressExt()
-            println(s"  pegout=$a2 remaining=${s.remainingBits}")
-          } catch { case e: Throwable => println(s"  ADDRFAIL: $e") }
+      // candidate account keys the Spark traceDims feed would produce
+      val txAccts = t.txs.map(_.account).toSet
+      val msgEnds = t.msgsByTx.values.flatten
+        .flatMap(m => m.source.toSeq ++ m.destination.toSeq).toSet
+      val bodyKeys = t.msgsByTx.values.flatten.flatMap { m =>
+        (m.opcode, m.body) match {
+          case (Some(o), Some(b)) => TlbDecoders.resolverAddressKeys(o, b)
+          case _ => Nil
         }
+      }.toSet
+      val candidates = txAccts ++ msgEnds ++ bodyKeys
+      def report(name: String, dim: Iterable[String]): Unit = {
+        val missing = dim.toSet -- candidates
+        println(s"$name: ${dim.size} entries, MISSING from candidates: " +
+          missing.mkString(", "))
+      }
+      report("interfaces", t.interfaces.keys)
+      report("jettonWallets", t.jettonWallets.keys)
+      report("nftItems", t.nftItems.keys)
+      t.jettonWallets.foreach { case (k, v) =>
+        if (!candidates.contains(k)) println(s"  missing jw $k -> master $v")
+      }
+      t.interfaces.foreach { case (k, v) =>
+        if (!candidates.contains(k)) println(s"  missing ifc $k -> $v")
       }
     }
   } else ignore("scratch") {}
