@@ -303,9 +303,9 @@ object ClassifyJob {
   private def traceDims(spark: SparkSession, txs: DataFrame,
       messages: DataFrame, dims: ClassifyDims): Dataset[TraceDims] = {
     import spark.implicits._
-    // lookup-key candidates: tx/msg addresses plus the few addresses
-    // matchers decode out of bodies (StonFi v2 pay_to wallets) — see
-    // TlbDecoders.resolverAddressKeys
+    // lookup-key candidates: tx/msg addresses plus every address-shaped
+    // field the full registered decode surface extracts from bodies —
+    // see TlbDecoders.resolverAddressKeys
     val bodyKeys = udf { (opcode: java.lang.Long, body: String) =>
       if (opcode == null || body == null) Seq.empty[String]
       else graft.functions.TlbDecoders.resolverAddressKeys(opcode, body)
@@ -323,30 +323,53 @@ object ClassifyJob {
       .unionByName(msgAccounts)
       .distinct()
     val nullStr = lit(null).cast("string")
+    // Tagged dim rows join on `key` but carry the dim row's real account
+    // in `acct` — a row can be delivered under more than one key. Jetton
+    // wallets are delivered under their own address AND their owner's:
+    // matchers resolve wallets the trace never touches directly (named
+    // only inside a body a registered decoder doesn't cover yet, or
+    // reachable solely through the owner — e.g. a DEX pool's token
+    // wallets, owner = the pool contract, which IS a trace account). The
+    // reference repository is global (interface_repository.py:512-533).
+    // Deliberately NOT keyed by master: a popular jetton master would
+    // fan every one of its ~1e7 wallet rows into each touching trace.
+    val jwTagged = dims.jettonWallets.map { jw0 =>
+      val jw = jw0.select(col("account"),
+        col("master").cast("string").as("v1"),
+        (if (jw0.columns.contains("owner")) col("owner").cast("string")
+         else nullStr).as("v2"))
+      jw.select(col("account").as("key"), lit("j").as("kind"),
+          col("account").as("acct"), col("v1"), col("v2"))
+        .unionByName(jw.filter(col("v2").isNotNull)
+          .select(col("v2").as("key"), lit("j").as("kind"),
+            col("account").as("acct"), col("v1"), col("v2")))
+    }
     val tagged = Seq(
-      dims.interfaces.map(_.select(col("account"), lit("i").as("kind"),
+      dims.interfaces.map(_.select(col("account").as("key"),
+        lit("i").as("kind"), col("account").as("acct"),
         col("interface").cast("string").as("v1"), nullStr.as("v2"))),
-      dims.jettonWallets.map(jw => jw.select(col("account"),
-        lit("j").as("kind"), col("master").cast("string").as("v1"),
-        (if (jw.columns.contains("owner")) col("owner").cast("string")
-         else nullStr).as("v2"))),
-      dims.nftItems.map(_.select(col("account"), lit("n").as("kind"),
+      jwTagged,
+      dims.nftItems.map(_.select(col("account").as("key"),
+        lit("n").as("kind"), col("account").as("acct"),
         col("item_index").cast("string").as("v1"),
         col("collection").cast("string").as("v2")))
     ).flatten.reduce(_ unionByName _)
-    accounts.join(tagged, Seq("account"))
+    // array_distinct before map_from_entries: a wallet reached through
+    // both its own address and its owner arrives twice with an identical
+    // entry struct (dim tables are unique per account by invariant)
+    accounts.join(tagged, accounts("account") === tagged("key"))
       .groupBy("trace_id")
       .agg(
-        map_from_entries(collect_list(when(col("kind") === "i",
-          struct(col("account"), col("v1"))))).as("ifaces"),
-        map_from_entries(collect_list(when(col("kind") === "j",
-          struct(col("account"), col("v1"))))).as("jw"),
-        map_from_entries(collect_list(when(col("kind") === "n",
-          struct(col("account"), struct(col("v1").as("index"),
-            col("v2").as("collection")))))).as("nft"),
-        map_from_entries(collect_list(
+        map_from_entries(array_distinct(collect_list(when(col("kind") === "i",
+          struct(col("acct"), col("v1")))))).as("ifaces"),
+        map_from_entries(array_distinct(collect_list(when(col("kind") === "j",
+          struct(col("acct"), col("v1")))))).as("jw"),
+        map_from_entries(array_distinct(collect_list(when(col("kind") === "n",
+          struct(col("acct"), struct(col("v1").as("index"),
+            col("v2").as("collection"))))))).as("nft"),
+        map_from_entries(array_distinct(collect_list(
           when(col("kind") === "j" && col("v2").isNotNull,
-            struct(col("account"), col("v2"))))).as("owners"))
+            struct(col("acct"), col("v2")))))).as("owners"))
       .as[TraceDims]
   }
 

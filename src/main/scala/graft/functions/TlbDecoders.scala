@@ -343,24 +343,34 @@ object TlbDecoders {
     StonfiV2PayToBody(exit, a0, t0, a1, t1)
   }
 
+  /** raw address shape as the decoders stringify it: wc:HEX64
+    * (Boc.loadAddress). Anchored so amounts/hashes/b64 cells never
+    * match. */
+  private val RawAddrRe = "-?\\d+:[0-9A-F]{64}".r
+
   /** Candidate dim-lookup addresses decodable from a message body. The
     * classify dims pre-join (ClassifyJob.traceDims) must cover every
-    * address a matcher can hand to the jetton-wallet resolver; most keys
-    * are in-trace tx/msg addresses, but the StonFi v2 pay_to
-    * payment-request wallets come out of the body (swaps.py:338-352,
-    * 390-424). Returns Nil on any decode failure. */
+    * address a matcher can hand to the jetton-wallet/interface
+    * resolvers; most keys are in-trace tx/msg addresses, but e.g. the
+    * StonFi v2 / TONCO pay_to payment-request wallets come out of the
+    * body (swaps.py:338-352, 390-424; liquidity.py TONCO withdraw). The
+    * reference's repository is GLOBAL (interface_repository.py:512-533)
+    * — any address a matcher decodes mid-match resolves — so this runs
+    * the ENTIRE registered decode surface (Decode.decode) and harvests
+    * every address-shaped field value, list fields included. Opcodes are
+    * stored with signed-int32 semantics; mask before use. Returns Nil on
+    * any decode failure. */
   def resolverAddressKeys(opcode: Long, bodyB64: String): Seq[String] =
     try {
-      if (opcode == 0x657b54f5L) {
-        val d = stonfiV2PayTo(bodyB64)
-        d.token0.toSeq ++ d.token1.toSeq
-      } else if (opcode == 0xa1daa96dL) {
-        // TONCO ROUTERV3_PAY_TO: the router-slot jetton wallets feed the
-        // withdraw matcher's registry asset resolution (liquidity.py
-        // TONCO withdraw, router data fallback)
-        val d = toncoPayTo(bodyB64)
-        d.jetton0.toSeq ++ d.jetton1.toSeq
-      } else Nil
+      Decode.decode(bodyB64) match {
+        case Some(d) if d.fields.nonEmpty =>
+          d.fields.valuesIterator.flatMap { v =>
+            // comma-split catches list fields (signers, accounts_added,
+            // jettons_to_claim); fullmatch per element keeps hashes out
+            v.split(',').iterator.filter(e => RawAddrRe.matches(e))
+          }.toSeq.distinct
+        case _ => Nil
+      }
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** StateInit: split_depth:(Maybe (## 5)) special:(Maybe TickTock)

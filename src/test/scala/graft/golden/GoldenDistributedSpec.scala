@@ -51,29 +51,67 @@ class GoldenDistributedSpec extends graft.SparkSpec {
       }.distinct
   }
 
+  /** A dim row of trace B is VISIBLE to trace A's distributed run when
+    * its key is reachable from A: among A's tx accounts / msg endpoints /
+    * body-decoded addresses (TlbDecoders.resolverAddressKeys — the same
+    * candidate-key surface ClassifyJob.traceDims explodes), or — for
+    * jetton wallets, which ClassifyJob also delivers under their owner's
+    * address — when the row's owner is reachable. A's local classify
+    * uses only A's own fixture maps, so a batch is sound only if every
+    * row visible to A is already in A's own dims (and vice versa). */
+  private case class TInfo(t: GoldenCorpus.LoadedTrace, vis: Set[String])
+
+  private def tinfo(t: GoldenCorpus.LoadedTrace): TInfo = {
+    val accts = t.txs.map(_.account).toSet
+    val endpoints = t.msgsByTx.valuesIterator.flatten.flatMap(m =>
+      m.source.iterator ++ m.destination.iterator).toSet
+    val bodyKeys = t.msgsByTx.valuesIterator.flatten.flatMap(m =>
+      (m.opcode, m.body) match {
+        case (Some(op), Some(b)) =>
+          graft.functions.TlbDecoders.resolverAddressKeys(op, b)
+        case _ => Nil
+      }).toSet
+    TInfo(t, accts ++ endpoints ++ bodyKeys)
+  }
+
+  /** Pairwise batch compatibility: shared dim keys must agree (one dim
+    * TABLE per batch), and a key present in only one trace's dims must
+    * not be visible to the other — else the distributed run would see a
+    * row the local run doesn't, a test artifact, not a ClassifyJob
+    * divergence. */
+  private def compatible(a: TInfo, b: TInfo): Boolean = {
+    def chk[V](da: Map[String, V], db: Map[String, V],
+        visA: String => Boolean, visB: String => Boolean): Boolean =
+      da.forall { case (k, v) => db.get(k) match {
+        case Some(w) => w == v
+        case None => !visB(k)
+      }} && db.forall { case (k, _) => da.contains(k) || !visA(k) }
+    // jw rows are also visible through their owner address
+    def jwVis(info: TInfo, own: Map[String, String])(k: String): Boolean =
+      info.vis(k) || own.get(k).exists(info.vis)
+    chk(a.t.interfaces, b.t.interfaces, a.vis, b.vis) &&
+      chk(a.t.nftItems, b.t.nftItems, a.vis, b.vis) &&
+      chk(a.t.jettonWallets, b.t.jettonWallets,
+        jwVis(a, a.t.walletOwners), jwVis(b, b.t.walletOwners)) &&
+      chk(a.t.walletOwners, b.t.walletOwners,
+        jwVis(a, a.t.walletOwners), jwVis(b, b.t.walletOwners))
+  }
+
   /** Greedy conflict-free batching: a trace joins the first batch where
-    * none of its dim entries contradicts an already-placed entry. */
+    * it is pairwise-compatible with every already-placed trace. */
   private def batch(ts: Seq[GoldenCorpus.LoadedTrace])
       : Seq[Seq[GoldenCorpus.LoadedTrace]] = {
-    case class B(var ifc: Map[String, String], var jw: Map[String, String],
-        var own: Map[String, String], var nft: Map[String, NftItemInfo],
-        buf: scala.collection.mutable.ArrayBuffer[GoldenCorpus.LoadedTrace])
-    val batches = scala.collection.mutable.ArrayBuffer[B]()
-    def ok[V](have: Map[String, V], add: Map[String, V]): Boolean =
-      add.forall { case (k, v) => have.get(k).forall(_ == v) }
-    ts.foreach { t =>
-      batches.find(b => ok(b.ifc, t.interfaces) && ok(b.jw, t.jettonWallets) &&
-          ok(b.own, t.walletOwners) && ok(b.nft, t.nftItems)) match {
-        case Some(b) =>
-          b.ifc ++= t.interfaces; b.jw ++= t.jettonWallets
-          b.own ++= t.walletOwners; b.nft ++= t.nftItems
-          b.buf += t
-        case None =>
-          batches += B(t.interfaces, t.jettonWallets, t.walletOwners,
-            t.nftItems, scala.collection.mutable.ArrayBuffer(t))
+    val infos = ts.map(tinfo)
+    val batches = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[TInfo]]()
+    infos.foreach { ti =>
+      batches.find(_.forall(compatible(_, ti))) match {
+        case Some(b) => b += ti
+        case None => batches +=
+          scala.collection.mutable.ArrayBuffer(ti)
       }
     }
-    batches.map(_.buf.toSeq).toSeq
+    batches.map(_.map(_.t).toSeq).toSeq
   }
 
   if (GoldenCorpus.available) {
