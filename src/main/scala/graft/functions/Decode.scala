@@ -339,17 +339,6 @@ object Decode {
       val d = tonstakersNftBurnNotification(b)
       Some(Decoded(op, "ton_stakers_nft_burn_notification", f(
         "amount" -> Some(d.amount), "owner" -> d.owner)))
-    case 0x642b7d07L =>
-      val d = jettonMintCall(b)
-      Some(Decoded(op, "jetton_mint", f(
-        "query_id" -> Some(d.queryId), "to_address" -> d.toAddress,
-        "ton_amount" -> Some(d.tonAmount))))
-    case 0x00000015L =>
-      val d = jettonMintCall(b)
-      Some(Decoded(op, "minter_jetton_mint", f(
-        "query_id" -> Some(d.queryId), "to_address" -> d.toAddress,
-        "ton_amount" -> Some(d.tonAmount),
-        "master_msg_jetton_amount" -> d.masterMsgJettonAmount)))
     case 0xb56b9598L =>
       val d = dedustDepositToPool(b)
       Some(Decoded(op, "dedust_deposit_liquidity_to_pool", f(
@@ -532,6 +521,695 @@ object Decode {
         "dst_eid" -> Some(d.packet.path.dstEid),
         "dst_oapp" -> Some(d.packet.path.dstOapp),
         "native_fee" -> Some(d.nativeFee), "zro_fee" -> Some(d.zroFee))))
+
+    // ------------------------------------------ evaa lending, long tail
+    // (messages/evaa.py field lists; asset ids serialize as 0x-hex like
+    // block_tree_serializer.py:689)
+    case 0x00000003L =>
+      // liquidate_master#3 qid borrower liquidator collateral_asset_id
+      // min_collateral include_user_code liquidate_incoming_amount
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val borrower = s.loadAddress(); val liquidator = s.loadAddress()
+      val coll = s.loadUint(256)
+      s.loadUint(64); s.loadInt(2)
+      Some(Decoded(op, "evaa_liquidate_master", f(
+        "query_id" -> Some(qid), "borrower_address" -> borrower,
+        "liquidator_address" -> liquidator,
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "liquidate_incoming_amount" -> Some(s.loadUint(64)))))
+    case 0x0000000fL =>
+      // revert_call#f qid owner_address ^revert_body
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "evaa_revert_call", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "owner_address" -> s.loadAddress())))
+    case 0x00000011L =>
+      // supply_user#11 qid asset_id supply_amount_current ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val aid = s.loadUint(256)
+      Some(Decoded(op, "evaa_supply_user", f(
+        "query_id" -> Some(qid),
+        "asset_id" -> Some("0x" + aid.toString(16)),
+        "supply_amount_current" -> Some(s.loadUint(64)))))
+    case 0x00000021L =>
+      // withdraw_user#21 qid asset_id amount s_rate b_rate recipient
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val aid = s.loadUint(256)
+      val amount = s.loadUint(64)
+      s.loadUint(64); s.loadUint(64)
+      Some(Decoded(op, "evaa_withdraw_user", f(
+        "query_id" -> Some(qid),
+        "asset_id" -> Some("0x" + aid.toString(16)),
+        "withdraw_amount_current" -> Some(amount),
+        "recipient_address" -> s.loadAddress())))
+    case 0x00000031L =>
+      // liquidate_user#31 qid dict dict ^[^prices collateral_asset_id
+      // min_collateral liquidator transferred_asset_id transferred_amount]
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      // two HashmapE collections = Maybe ^Cell each
+      if (s.loadBit()) s.loadRef()
+      if (s.loadBit()) s.loadRef()
+      val ref = s.loadRef().beginParse()
+      ref.loadRef() // prices_packed
+      val coll = ref.loadUint(256)
+      ref.loadUint(64)
+      val liquidator = ref.loadAddress()
+      val transferred = ref.loadUint(256)
+      Some(Decoded(op, "evaa_liquidate_user", f(
+        "query_id" -> Some(qid),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "liquidator_address" -> liquidator,
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "transferred_amount" -> Some(ref.loadUint(64)))))
+    case 0x00000081L =>
+      // idle_user#81 qid tokens_keys:(Maybe ^Cell) originator_address
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      if (s.loadBit()) s.loadRef()
+      Some(Decoded(op, "evaa_idle_user", f(
+        "query_id" -> Some(qid),
+        "originator_address" -> s.loadAddress())))
+    case 0x0000011fL =>
+      // supply_fail#11f qid owner asset_id amount ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val owner = s.loadAddress()
+      val aid = s.loadUint(256)
+      Some(Decoded(op, "evaa_supply_fail", f(
+        "query_id" -> Some(qid), "owner_address" -> owner,
+        "asset_id" -> Some("0x" + aid.toString(16)),
+        "amount" -> Some(s.loadUint(64)))))
+    case 0x0000031fL =>
+      // liquidate_unsatisfied#31f qid owner liquidator transferred_asset
+      // ^[amount collateral_asset min_collateral fwd ^payload error:u32]
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val owner = s.loadAddress(); val liquidator = s.loadAddress()
+      val transferred = s.loadUint(256)
+      val ref = s.loadRef().beginParse()
+      val amount = ref.loadUint(64)
+      val coll = ref.loadUint(256)
+      ref.loadUint(64); ref.loadUint(64); ref.loadRef()
+      val err = evaaLiquidationErrorReason(ref)
+      Some(Decoded(op, "evaa_liquidate_unsatisfied", f(
+        "query_id" -> Some(qid), "owner_address" -> owner,
+        "liquidator_address" -> liquidator,
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "transferred_amount" -> Some(amount),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "error" -> Some(err))))
+    case 0x0000211aL =>
+      // withdraw_success#211a qid asset_id principal_amount ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val aid = s.loadUint(256)
+      Some(Decoded(op, "evaa_withdraw_success", f(
+        "query_id" -> Some(qid),
+        "asset_id" -> Some("0x" + aid.toString(16)),
+        "principal_amount" -> Some(s.loadInt(64)))))
+    case 0x0000211fL =>
+      // withdraw_fail#211f qid asset_id principal_amount
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val aid = s.loadUint(256)
+      Some(Decoded(op, "evaa_withdraw_fail", f(
+        "query_id" -> Some(qid),
+        "asset_id" -> Some("0x" + aid.toString(16)),
+        "principal_amount" -> Some(s.loadInt(64)))))
+    case 0x0000311aL =>
+      // liquidate_success#311a qid transferred_asset delta_loan ts tb
+      // collateral_asset delta_collateral ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val transferred = s.loadUint(256)
+      val deltaLoan = s.loadInt(64)
+      s.loadUint(64); s.loadUint(64)
+      val coll = s.loadUint(256)
+      Some(Decoded(op, "evaa_liquidate_success", f(
+        "query_id" -> Some(qid),
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "delta_loan_principal" -> Some(deltaLoan),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "delta_collateral_principal" -> Some(s.loadInt(64)))))
+    case 0x0000311dL =>
+      // liquidate_success_report#311d qid transferred_asset amount
+      // collateral_asset collateral_reward
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val transferred = s.loadUint(256)
+      val amount = s.loadUint(64); val coll = s.loadUint(256)
+      Some(Decoded(op, "evaa_liquidate_success_report", f(
+        "query_id" -> Some(qid),
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "transferred_amount" -> Some(amount),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "collateral_reward" -> Some(s.loadUint(64)))))
+    case 0x0000311fL =>
+      // liquidate_fail#311f qid transferred_asset delta_loan
+      // collateral_asset delta_collateral
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val transferred = s.loadUint(256)
+      val deltaLoan = s.loadInt(64); val coll = s.loadUint(256)
+      Some(Decoded(op, "evaa_liquidate_fail", f(
+        "query_id" -> Some(qid),
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "delta_loan_principal" -> Some(deltaLoan),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "delta_collateral_principal" -> Some(s.loadInt(64)))))
+
+    // ------------------------------------- tonco v3 management/payloads
+    // (messages/liquidity.py, messages/swaps.py)
+    case 0x0bf3f447L | 0x42a0fb43L | 0x4e737e4dL | 0xb1b0b7e2L =>
+      val name = op match {
+        case 0x0bf3f447L => "tonco_account_v3_refund_me"
+        case 0x42a0fb43L => "tonco_reset_gas"
+        case 0x4e737e4dL => "tonco_pool_v3_unlock"
+        case _ => "tonco_pool_v3_lock"
+      }
+      Some(Decoded(op, name, f("query_id" -> Some(opQueryId(b)))))
+    case 0x4468de77L =>
+      // POOLV3_FUND_ACCOUNT payload: other_jetton_wallet amount0 amount1
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "tonco_pool_v3_fund_account", f(
+        "other_jetton_wallet" -> s.loadAddress(),
+        "amount0" -> Some(s.loadCoins()),
+        "amount1" -> Some(s.loadCoins()))))
+    case 0x6bdcbeb8L =>
+      // POOLV3_SET_FEE qid protocol_fee lp_fee_base lp_fee_current
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "tonco_pool_v3_set_fee", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "protocol_fee" -> Some(s.loadUint(16)),
+        "lp_fee_base" -> Some(s.loadUint(16)),
+        "lp_fee_current" -> Some(s.loadUint(16)))))
+    case 0x81702ef8L =>
+      // POOLV3_MINT (min_and_refund) qid amount0 amount1 recipient
+      // liquidity tickLower tickUpper
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val a0 = s.loadCoins(); val a1 = s.loadCoins()
+      val recipient = s.loadAddress()
+      Some(Decoded(op, "tonco_pool_v3_min_and_refund", f(
+        "query_id" -> Some(qid),
+        "amount0_funded" -> Some(a0), "amount1_funded" -> Some(a1),
+        "recipient" -> recipient,
+        "liquidity" -> Some(s.loadUint(128)),
+        "tick_lower" -> Some(s.loadInt(24)),
+        "tick_upper" -> Some(s.loadInt(24)))))
+    case 0xd73ac09dL =>
+      // POOLV3_BURN qid recipient burned_index liquidity tick_lower
+      // tick_upper liquidity_to_burn ^old_fees ^new_fees
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val recipient = s.loadAddress()
+      val idx = s.loadUint(64); val liq = s.loadUint(128)
+      val tl = s.loadInt(24); val tu = s.loadInt(24)
+      Some(Decoded(op, "tonco_pool_v3_burn", f(
+        "query_id" -> Some(qid), "recipient" -> recipient,
+        "burned_index" -> Some(idx), "liquidity" -> Some(liq),
+        "tick_lower" -> Some(tl), "tick_upper" -> Some(tu),
+        "liquidity_to_burn" -> Some(s.loadUint(128)))))
+    case 0xa7fb58f8L =>
+      // POOLV3_SWAP in-transfer payload: target_router_jwallet
+      // price_limit_sqrt:u160 min_out recipient (undocumented SDK shape,
+      // messages/swaps.py ToncoPoolV3SwapPayload)
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val wallet = s.loadAddress()
+      val price = s.loadUint(160)
+      val minOut = s.loadCoins()
+      Some(Decoded(op, "tonco_pool_v3_swap", f(
+        "target_router_jetton_wallet" -> wallet,
+        "price_limit_sqrt" -> Some(price),
+        "min_out_amount" -> Some(minOut),
+        "recipient" -> s.loadAddress())))
+
+    // ------------------------------------------------ layerzero, getgems
+    case 0xcaae25a1L =>
+      // LZ_RECEIVE_EXECUTE_CALLBACK: packet at refs[0].refs[0]
+      // (messages/layerzero.py LayerZeroOappExecuteCallback)
+      val root = Boc.parseBase64(b)
+      val p = lzPacket(root.refs(0).refs(0))
+      Some(Decoded(op, "lz_oapp_execute_callback", f(
+        "nonce" -> Some(p.nonce), "guid" -> Some(p.guid),
+        "src_eid" -> Some(p.path.srcEid), "dst_eid" -> Some(p.path.dstEid),
+        "src_oapp" -> Some(p.path.srcOapp),
+        "dst_oapp" -> Some(p.path.dstOapp))))
+    case 0xe33b9873L =>
+      // layerzero event: qid donation_nanos origin ^action_data
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "lz_event", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "donation_nanos" -> Some(s.loadCoins()),
+        "origin" -> s.loadAddress())))
+    case 0x6c6c2080L =>
+      // getgems sale_update#6c6c2080 qid new_full_price new_mp_fee
+      // new_royalty_amount (messages/getgems.py SaleUpdateMessage)
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "sale_update", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "new_full_price" -> Some(s.loadCoins()),
+        "new_mp_fee" -> Some(s.loadCoins()),
+        "new_royalty_amount" -> Some(s.loadCoins()))))
+    // -------------------------------------------- coffee, long tail
+    // (messages/coffee.py TL-B comments; Asset via coffeeAsset)
+    case 0xc0ffee01L =>
+      // swap_extra#c0ffee01 qid _:SwapStepParams params:^SwapParams
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val step = coffeeSwapStep(s)
+      val sp = coffeeSwapParams(s.loadRef().beginParse())
+      Some(Decoded(op, "coffee_swap_extra", f(
+        "query_id" -> Some(qid), "pool" -> Some(step._1),
+        "min_output_amount" -> Some(step._2),
+        "deadline" -> Some(sp._1), "recipient" -> sp._2,
+        "referral" -> sp._3)))
+    case 0xc0ffee02L =>
+      // create_pool_native#c0ffee02 qid amount params:PoolParams ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val amount = s.loadCoins()
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_create_pool_native", f(
+        "query_id" -> Some(qid), "amount" -> Some(amount),
+        "pool_first" -> pp.first, "pool_second" -> pp.second,
+        "amm" -> Some(pp.amm))))
+    case 0xc0ffee03L =>
+      // create_pool_extra#c0ffee03 qid params creation_params
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_create_pool_extra", f(
+        "query_id" -> Some(qid),
+        "pool_first" -> pp.first, "pool_second" -> pp.second,
+        "amm" -> Some(pp.amm))))
+    case 0xc0ffee04L =>
+      // deposit_liquidity_native#c0ffee04 qid amount
+      // params:DepositLiquidityParams (inline trimmed + pool params)
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val amount = s.loadCoins()
+      val recipient = s.loadAddress()
+      s.loadBit() // use_recipient_on_failure
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_deposit_liquidity_native", f(
+        "query_id" -> Some(qid), "amount" -> Some(amount),
+        "recipient" -> recipient,
+        "pool_first" -> pp.first, "pool_second" -> pp.second)))
+    case 0xc0ffee05L =>
+      // deposit_liquidity_extra#c0ffee05 qid params
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val recipient = s.loadAddress()
+      s.loadBit()
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_deposit_liquidity_extra", f(
+        "query_id" -> Some(qid), "recipient" -> recipient,
+        "pool_first" -> pp.first, "pool_second" -> pp.second)))
+    case 0xc0ffee10L =>
+      // swap_jetton#c0ffee10 _:SwapStepParams params:^SwapParams
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val step = coffeeSwapStep(s)
+      val sp = coffeeSwapParams(s.loadRef().beginParse())
+      Some(Decoded(op, "coffee_swap_jetton", f(
+        "pool" -> Some(step._1), "min_output_amount" -> Some(step._2),
+        "deadline" -> Some(sp._1), "recipient" -> sp._2,
+        "referral" -> sp._3)))
+    case 0xc0ffee11L =>
+      // create_pool_jetton#c0ffee11 params creation_params
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_create_pool_jetton", f(
+        "pool_first" -> pp.first, "pool_second" -> pp.second,
+        "amm" -> Some(pp.amm))))
+    case 0xc0ffee12L =>
+      // deposit_liquidity_jetton#c0ffee12 params
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val recipient = s.loadAddress()
+      s.loadBit()
+      val pp = coffeePoolParams(s)
+      Some(Decoded(op, "coffee_deposit_liquidity_jetton", f(
+        "recipient" -> recipient,
+        "pool_first" -> pp.first, "pool_second" -> pp.second)))
+    case 0xc0ffee20L =>
+      // swap_internal#c0ffee20 qid _:SwapStepInternalParams
+      // params:^SwapParams proof:^Cell
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val prevAmount = s.loadCoins()
+      val hint = if (s.loadBit())
+        coffeeAsset(s.loadRef().beginParse()) else None
+      val minOut = s.loadCoins()
+      if (s.loadBit()) s.loadRef() // next step
+      val sp = coffeeSwapParams(s.loadRef().beginParse())
+      Some(Decoded(op, "coffee_swap_internal", f(
+        "query_id" -> Some(qid),
+        "previous_amount" -> Some(prevAmount),
+        "previous_asset_hint" -> hint,
+        "min_output_amount" -> Some(minOut),
+        "recipient" -> sp._2)))
+    case 0xc0ffee22L =>
+      // deploy#c0ffee22 qid code:^ data:^ action:(Maybe ^)
+      Some(Decoded(op, "coffee_deploy", f(
+        "query_id" -> Some(opQueryId(b)))))
+    case 0xc0ffee23L =>
+      // create_pool_creator_request#c0ffee23 qid amount params
+      // creation_params sender proof
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val amount = s.loadCoins()
+      val pp = coffeePoolParams(s)
+      val recipient = s.loadAddress() // creation_params.public.recipient
+      s.loadBit()
+      if (s.loadBit()) s.loadRef()
+      s.loadBit(); if (s.loadBit()) s.loadRef()
+      Some(Decoded(op, "coffee_create_pool_creator_request", f(
+        "query_id" -> Some(qid), "amount" -> Some(amount),
+        "pool_first" -> pp.first, "pool_second" -> pp.second,
+        "recipient" -> recipient, "sender" -> s.loadAddress())))
+    case 0xc0ffee24L =>
+      // create_pool_creator_internal#c0ffee24 qid asset:Asset amount
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val asset = coffeeAsset(s)
+      Some(Decoded(op, "coffee_create_pool_creator_internal", f(
+        "query_id" -> Some(qid), "asset" -> asset,
+        "amount" -> Some(s.loadCoins()))))
+    case 0xc0ffee26L =>
+      // create_pool_internal#c0ffee26 qid amount1 amount2 tx_initiator
+      // recipient use_recipient_on_failure ...
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val a1 = s.loadCoins(); val a2 = s.loadCoins()
+      val initiator = s.loadAddress()
+      Some(Decoded(op, "coffee_create_pool_internal", f(
+        "query_id" -> Some(qid), "amount1" -> Some(a1),
+        "amount2" -> Some(a2), "tx_initiator" -> initiator,
+        "recipient" -> s.loadAddress())))
+    case 0xc0ffee28L =>
+      // create_liquidity_depository_internal#c0ffee28 qid asset amount
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val asset = coffeeAsset(s)
+      Some(Decoded(op, "coffee_create_liquidity_depository_internal", f(
+        "query_id" -> Some(qid), "asset" -> asset,
+        "amount" -> Some(s.loadCoins()))))
+    case 0xc0ffee29L =>
+      // deposit_liquidity_internal#c0ffee29 qid amount1 amount2
+      // tx_initiator params proof
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val a1 = s.loadCoins(); val a2 = s.loadCoins()
+      Some(Decoded(op, "coffee_deposit_liquidity_internal", f(
+        "query_id" -> Some(qid), "amount1" -> Some(a1),
+        "amount2" -> Some(a2), "tx_initiator" -> s.loadAddress())))
+    case 0xc0ffee2aL =>
+      Some(Decoded(op, "coffee_create_vault_internal", f(
+        "query_id" -> Some(opQueryId(b)))))
+    case 0xc0ffee2bL =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_update_pool_internal", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "excesses_receiver" -> s.loadAddress())))
+    case 0xc0ffee2cL =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_activate_vault_internal", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "wallet" -> s.loadAddress())))
+    case 0xc0ffee2dL =>
+      // withdraw_internal#c0ffee2d qid asset amount receiver
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val asset = coffeeAsset(s)
+      val amount = s.loadCoins()
+      Some(Decoded(op, "coffee_withdraw_internal", f(
+        "query_id" -> Some(qid), "asset" -> asset,
+        "amount" -> Some(amount), "receiver" -> s.loadAddress())))
+    case 0xc0ffee2eL =>
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_update_contract_internal", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "excesses_receiver" -> s.loadAddress())))
+    case 0xc0ffee34L =>
+      // deposit_liquidity_failed_event#c0ffee34 qid amount1 amount2
+      // min_lp total_supply reserves
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val a1 = s.loadCoins(); val a2 = s.loadCoins()
+      val minLp = s.loadCoins(); val total = s.loadCoins()
+      Some(Decoded(op, "coffee_deposit_liquidity_failed_event", f(
+        "query_id" -> Some(qid), "amount1" -> Some(a1),
+        "amount2" -> Some(a2), "min_lp_amount" -> Some(minLp),
+        "total_supply" -> Some(total),
+        "input_reserve" -> Some(s.loadCoins()),
+        "output_reserve" -> Some(s.loadCoins()))))
+    case 0xc0ffeea0L =>
+      // service_fee#c0ffeea0 (no fields)
+      Some(Decoded(op, "coffee_service_fee", Map.empty))
+    case 0x0a9577f0L =>
+      // staking_rewards_updated#0a9577f0 qid jetton_wallet duration
+      // finish_at rewards_rate
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val wallet = s.loadAddress()
+      val dur = s.loadUint(64); val finish = s.loadUint(64)
+      Some(Decoded(op, "coffee_staking_rewards_updated", f(
+        "query_id" -> Some(qid), "jetton_wallet" -> wallet,
+        "duration" -> Some(dur), "finish_at" -> Some(finish),
+        "rewards_rate" -> Some(s.loadCoins()))))
+    case 0x0c0ffedeL =>
+      // staking_lock#c0ffede period_id:uint32 (forward payload)
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_staking_lock", f(
+        "period_id" -> Some(s.loadUint(32)))))
+    case 0xbe5a7595L =>
+      // staking_initialize#be5a7595 qid owner ^jetton_data ^position ^periods
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_staking_initialize", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "owner" -> s.loadAddress())))
+    case 0xcb03bfafL =>
+      // staking_position_withdraw_3#cb03bfaf qid jetton_wallet amount owner
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val wallet = s.loadAddress()
+      val amount = s.loadCoins()
+      Some(Decoded(op, "coffee_staking_position_withdraw", f(
+        "query_id" -> Some(qid), "jetton_wallet" -> wallet,
+        "jetton_amount" -> Some(amount), "owner" -> s.loadAddress())))
+    case 0xee51ce51L =>
+      // mev_protect_failed_swap#ee51ce51 qid recipient
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "coffee_mev_protect_failed_swap", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "recipient" -> s.loadAddress())))
+    case 0xf9471134L =>
+      // staking_deposit#f9471134 qid sender jetton_amount from_user period
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val sender = s.loadAddress()
+      val amount = s.loadCoins()
+      val fromUser = s.loadAddress()
+      Some(Decoded(op, "coffee_staking_deposit", f(
+        "query_id" -> Some(qid), "sender" -> sender,
+        "jetton_amount" -> Some(amount), "from_user" -> fromUser,
+        "period_id" -> Some(s.loadUint(32)))))
+    // -------------------------------------------- cocoon, long tail
+    // (messages/cocoon.py struct comments — names per the reference
+    // class inventory)
+    case 0x26ed7f65L | 0x7610e6ebL | 0xb51d5a01L | 0xc4a1ae54L |
+        0x636a4391L | 0xe511abc7L =>
+      // qid + one address payload; the address field name varies
+      val (name, fieldName) = op match {
+        case 0x26ed7f65L => ("cocoon_owner_worker_register", "send_excesses_to")
+        case 0x7610e6ebL => ("cocoon_ext_proxy_payout_request", "send_excesses_to")
+        case 0xb51d5a01L => ("cocoon_owner_proxy_close", "send_excesses_to")
+        case 0xc4a1ae54L => ("cocoon_change_owner", "new_owner_address")
+        case 0x636a4391L => ("cocoon_close_request_payload", "expected_my_address")
+        case _ => ("cocoon_close_complete_request_payload", "expected_my_address")
+      }
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      Some(Decoded(op, name, f(
+        "query_id" -> Some(qid), fieldName -> s.loadAddress())))
+    case 0x3c41d0b2L | 0x71860e80L | 0x8d94a79aL | 0x92b11c18L |
+        0xc146134dL | 0xe34b1c60L =>
+      // qid + uint256 type-hash payload
+      val (name, fieldName) = op match {
+        case 0x3c41d0b2L => ("cocoon_del_proxy_type", "proxy_hash")
+        case 0x71860e80L => ("cocoon_add_proxy_type", "proxy_hash")
+        case 0x8d94a79aL => ("cocoon_del_worker_type", "worker_hash")
+        case 0x92b11c18L => ("cocoon_del_model_type", "model_hash")
+        case 0xc146134dL => ("cocoon_add_model_type", "model_hash")
+        case _ => ("cocoon_add_worker_type", "worker_hash")
+      }
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      Some(Decoded(op, name, f(
+        "query_id" -> Some(qid),
+        fieldName -> Some("0x" + s.loadUint(256).toString(16)))))
+    case 0x11aefd51L | 0x4f7c5789L | 0xa2370f61L =>
+      // qid + code/data cell refs (not surfaced)
+      val name = op match {
+        case 0x11aefd51L => "cocoon_upgrade_code"
+        case 0x4f7c5789L => "cocoon_upgrade_full"
+        case _ => "cocoon_upgrade_contracts"
+      }
+      Some(Decoded(op, name, f("query_id" -> Some(opQueryId(b)))))
+    case 0xc68ebc7bL | 0xf4c354c9L =>
+      // coins + send_excesses_to (no query id)
+      val name = if (op == 0xc68ebc7bL) "cocoon_client_proxy_refund_granted"
+        else "cocoon_client_proxy_refund_force"
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val coins = s.loadCoins()
+      Some(Decoded(op, name, f(
+        "coins" -> Some(coins), "send_excesses_to" -> s.loadAddress())))
+    case 0x08e7d036L =>
+      // worker_proxy_payout_request: worker_part proxy_part excesses
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val worker = s.loadCoins(); val proxy = s.loadCoins()
+      Some(Decoded(op, "cocoon_worker_proxy_payout_request", f(
+        "worker_part" -> Some(worker), "proxy_part" -> Some(proxy),
+        "send_excesses_to" -> s.loadAddress())))
+    case 0x022fa189L =>
+      // change_params: qid price worker_fee proxy_delay client_delay
+      // min_proxy_stake min_client_stake
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val price = s.loadCoins(); val fee = s.loadCoins()
+      val pDelay = s.loadUint(32); val cDelay = s.loadUint(32)
+      Some(Decoded(op, "cocoon_change_params", f(
+        "query_id" -> Some(qid), "price_per_token" -> Some(price),
+        "worker_fee_per_token" -> Some(fee),
+        "proxy_delay_before_close" -> Some(pDelay),
+        "client_delay_before_close" -> Some(cDelay),
+        "min_proxy_stake" -> Some(s.loadCoins()),
+        "min_client_stake" -> Some(s.loadCoins()))))
+    case 0x8473b408L =>
+      // change_secret_hash_and_top_up: qid amount new_hash excesses
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val amount = s.loadCoins()
+      val hash = s.loadUint(256)
+      Some(Decoded(op,
+        "cocoon_owner_client_change_secret_hash_and_top_up", f(
+        "query_id" -> Some(qid), "top_up_amount" -> Some(amount),
+        "new_secret_hash" -> Some("0x" + hash.toString(16)),
+        "send_excesses_to" -> s.loadAddress())))
+    case 0x9713f187L =>
+      // ext_proxy_increase_stake: qid grams excesses
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val grams = s.loadCoins()
+      Some(Decoded(op, "cocoon_ext_proxy_increase_stake", f(
+        "query_id" -> Some(qid), "grams" -> Some(grams),
+        "send_excesses_to" -> s.loadAddress())))
+    case 0x9c69f376L =>
+      // owner_wallet_send_message: qid mode ^body
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "cocoon_owner_wallet_send_message", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "mode" -> Some(s.loadUint(8)))))
+    case 0x9c7924baL =>
+      // update_proxy: qid seqno proxy_addr:rest
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      Some(Decoded(op, "cocoon_update_proxy", f(
+        "query_id" -> Some(s.loadUint(64)),
+        "seqno" -> Some(s.loadUint(32)))))
+    case 0xa35cb580L =>
+      // client_proxy_register: empty payload
+      Some(Decoded(op, "client_proxy_register", Map.empty))
+    case 0xc52ed8d4L =>
+      // change_fees: qid price_per_token worker_fee_per_token
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64); val price = s.loadCoins()
+      Some(Decoded(op, "cocoon_change_fees", f(
+        "query_id" -> Some(qid), "price_per_token" -> Some(price),
+        "worker_fee_per_token" -> Some(s.loadCoins()))))
     case _ => None
   }
+
+  /** swap_step_params pool_address_hash:uint256 min_output_amount:Coins
+    * next:(Maybe ^SwapStepParams) — pool hash renders as a basechain
+    * raw address (messages/coffee.py SwapStepParams). */
+  private def coffeeSwapStep(s: Boc.Slice): (String, BigInt) = {
+    val hash = s.loadBytes(32).map(x => f"${x & 0xff}%02X").mkString
+    val minOut = s.loadCoins()
+    if (s.loadBit()) s.loadRef() // next
+    (s"0:$hash", minOut)
+  }
+
+  /** swap_params deadline:uint32 recipient referral
+    * notification_data:(Maybe ^) (messages/coffee.py SwapParams). */
+  private def coffeeSwapParams(s: Boc.Slice)
+      : (BigInt, Option[String], Option[String]) = {
+    val deadline = s.loadUint(32)
+    val recipient = s.loadAddress()
+    val referral = s.loadAddress()
+    (deadline, recipient, referral)
+  }
+
+  /** liquidate_unsatisfied error tail (messages/evaa.py
+    * EvaaLiquidationError.ERROR_CODES, liquidate-message.fc). */
+  private def evaaLiquidationErrorReason(s: Boc.Slice): String =
+    try {
+      s.loadUint(32).toLong match {
+        case 0xE001L => "master_liquidating_too_much"
+        case 0xE002L => "user_withdraw_in_progress"
+        case 0xE003L => "not_liquidatable"
+        case 0xE004L => "execution_crashed"
+        case 0xE005L => "min_collateral_not_satisfied"
+        case 0xE006L => "user_not_enough_collateral"
+        case 0xE007L => "user_liquidating_too_much"
+        case 0xE008L => "master_not_enough_liquidity"
+        case 0xE009L => "liquidation_prices_missing"
+        case _ => "unknown"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "parse_error" }
 }
