@@ -22,6 +22,12 @@ sealed trait Block {
   def children: Seq[Block]
   def failed: Boolean
   def withChildren(cs: Seq[Block]): Block
+  /** Data-integrity flag (core.py:120): set when a matcher detects the
+    * on-chain data contradicts the repository (e.g. a jetton transfer
+    * whose stated receiver disagrees with the receiver wallet's owner
+    * row, jettons.py:75-77). Any broken block makes the whole trace's
+    * classification_state 'broken' (block_tree_serializer.py:1537-1538). */
+  def broken: Boolean = false
 
   /** Ghost nodes (forged by ExternalUnroll, hash "ghost:<real>:<i>")
     * report the REAL wallet tx hash — the reference's ghost EventNode
@@ -122,7 +128,11 @@ case class JettonTransferBlock(
     // (PTonTransferMatcher data, jettons.py:142-146: sender_wallet and
     // receiver_wallet both None) while keeping the wallet internally for
     // asset resolution
-    walletsHidden: Boolean = false)
+    walletsHidden: Boolean = false,
+    // owner-validation outcome (jettons.py:75-77): stated receiver ≠
+    // the receiver wallet row's owner — receiver was substituted and
+    // the trace classifies as 'broken'
+    override val broken: Boolean = false)
   extends Block {
   val btype = "jetton_transfer"
   def withChildren(cs: Seq[Block]): Block = copy(children = cs)

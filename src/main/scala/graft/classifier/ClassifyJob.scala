@@ -122,14 +122,18 @@ object ClassifyJob {
     * pre-materialized. */
   def run(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       dims: ClassifyDims = ClassifyDims()): Dataset[ActionRow] = {
-    classifyFlat(spark, txs, messages, dims)(identity)(actionRowEncoder)
+    classifyFlat(spark, txs, messages, dims)((a, _) => a)(actionRowEncoder)
   }
 
   /** Shared grouping scaffold: classify each trace and emit per action
     * through the CALLER'S encoder — the narrow-output path projects
-    * before any encoding happens. */
+    * before any encoding happens. The emit callback also receives the
+    * trace's classification_state (ok/failed/broken/unclassified) so
+    * narrow outputs can carry the per-trace classify outcome without a
+    * second sweep. */
   private def classifyFlat[T](spark: SparkSession, txs: DataFrame,
-      messages: DataFrame, dims: ClassifyDims)(emit: ActionRow => T)(
+      messages: DataFrame, dims: ClassifyDims)(
+      emit: (ActionRow, String) => T)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import spark.implicits._
     val joined = txs.select(
@@ -159,7 +163,8 @@ object ClassifyJob {
 
     if (dims.isEmpty)
       joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
-        classifyGroup(traceId, rows, ProtocolMatchers.registry).map(emit)
+        classifyGroup(traceId, rows, ProtocolMatchers.registry)
+          .map(emit.tupled)
       }
     else {
       // dims mode: one extra shuffle pair (accounts→dims join, then the
@@ -180,14 +185,15 @@ object ClassifyJob {
             if (hasJw) Some(d.jw) else None,
             if (hasNft) Some(d.nft) else None,
             walletOwners = d.owners)
-          classifyGroup(traceId, rows, registry).map(emit)
+          classifyGroup(traceId, rows, registry).map(emit.tupled)
         }
     }
   }
 
   private def classifyGroup(traceId: String,
       rows: Iterator[ClassifyInputRow],
-      registry: Seq[Matching.BlockMatcher]): Iterator[ActionRow] = {
+      registry: Seq[Matching.BlockMatcher])
+      : Iterator[(ActionRow, String)] = {
     val buf = rows.toSeq
     val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
       val r = rs.head
@@ -205,7 +211,9 @@ object ClassifyJob {
           r.created_lt, r.body, r.init_state, createdAt = r.created_at,
           seqNo = r.msg_seq))
       }
-    Classifier.classifyWith(traceId, txsOf, msgsByTx, registry).iterator
+    val (actions, state) =
+      Classifier.classifyStatedWith(traceId, txsOf, msgsByTx, registry)
+    actions.iterator.map(a => (a, state))
   }
 
   /** Narrow-output classify: the same sweep, but rows materialize ONLY
@@ -215,14 +223,20 @@ object ClassifyJob {
   def runProjected(spark: SparkSession, txs: DataFrame, messages: DataFrame,
       dims: ClassifyDims, cols: Seq[String]): DataFrame = {
     // ActionRow-only columns that the DDL schema does not carry (the
-    // involved-accounts list is exploded into action_accounts downstream)
+    // involved-accounts list is exploded into action_accounts
+    // downstream), plus classification_state — a TRACES column the
+    // classify sweep computes per trace and replicates onto each of the
+    // trace's action rows (distinct per trace_id recovers the traces
+    // writeback frame, Schemas.traces semantics)
     val extras: Map[String, org.apache.spark.sql.types.StructField] = Map(
       "accounts" -> org.apache.spark.sql.types.StructField("accounts",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType)),
       "tx_hashes" -> org.apache.spark.sql.types.StructField("tx_hashes",
         org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)))
+          org.apache.spark.sql.types.StringType)),
+      "classification_state" -> org.apache.spark.sql.types.StructField(
+        "classification_state", org.apache.spark.sql.types.StringType))
     val schema = org.apache.spark.sql.types.StructType(
       cols.map(c => graft.Schemas.actions.fields
         .find(_.name == c).orElse(extras.get(c))
@@ -232,8 +246,11 @@ object ClassifyJob {
       val names = classOf[ActionRow].getDeclaredFields.map(_.getName)
       names.zipWithIndex.toMap
     }
-    val idxs = cols.map(c => fieldIdx.getOrElse(c,
-      throw new IllegalArgumentException(s"no ActionRow field $c")))
+    val idxs: Seq[Int] = cols.map {
+      case "classification_state" => -1 // pulled from the trace state
+      case c => fieldIdx.getOrElse(c,
+        throw new IllegalArgumentException(s"no ActionRow field $c"))
+    }
     // a local def would capture the (non-serializable) enclosing object;
     // a self-referencing serializable function value ships clean
     val conv: Any => Any = new (Any => Any) with Serializable {
@@ -249,8 +266,9 @@ object ClassifyJob {
     }
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(schema)
-    classifyFlat(spark, txs, messages, dims)(a =>
-      org.apache.spark.sql.Row(idxs.map(i => conv(a.productElement(i))): _*))
+    classifyFlat(spark, txs, messages, dims)((a, state) =>
+      org.apache.spark.sql.Row(idxs.map(i =>
+        if (i < 0) state else conv(a.productElement(i))): _*))
       .toDF()
   }
 

@@ -243,12 +243,18 @@ object ProtocolMatchers {
 
   /** jetton transfer: 0x0f8a7ea5 → internal_transfer 0x178d4519 →
     * optional notify 0x7362d09c, optional excesses 0xd53276db. With a
-    * jetton-wallet repository the sender wallet resolves to the MASTER
-    * address for the action's asset column (the reference's
-    * get_jetton_wallet lookup, jettons.py:60-75); without one the
-    * wallet address stands in. */
+    * jetton-wallet repository (`repo=true`) the RECEIVER wallet resolves
+    * the action's asset and validates ownership, mirroring
+    * jettons.py:70-77 exactly: a receiver wallet with no repository row
+    * refuses the match entirely (the blocks stay call_contract); a
+    * stated receiver that disagrees with the row's owner is SUBSTITUTED
+    * by the owner and the block marked `broken` (→ trace
+    * classification_state 'broken'). Without a repository the sender
+    * wallet address stands in for the asset and no validation runs. */
   final class JettonTransferResolvedMatcher(
-      resolveAsset: String => Option[String]) extends BlockMatcher {
+      resolveAsset: String => Option[String],
+      ownerOf: String => Option[String] = _ => None,
+      repo: Boolean = false) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonInternalTransfer))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) =>
@@ -278,16 +284,29 @@ object ProtocolMatchers {
               try Some(graft.functions.TlbDecoders.jettonTransfer(b))
               catch { case scala.util.control.NonFatal(_) => None }
             }
-            val receiver = decoded.flatMap(_.destination)
+            val statedReceiver = decoded.flatMap(_.destination)
               .orElse(notify.flatMap(_.nodes.head.inMsg.flatMap(_.destination)))
             val amount = decoded.map(d => BigDecimal(d.amount))
               .getOrElse(BigDecimal(0))
             val failed = consumed.exists(_.failed)
             val nodes = consumed.flatMap(_.nodes)
-            Some((JettonTransferBlock(sender, senderWallet, receiver,
-              receiverWallet, amount, decoded.flatMap(_.comment),
-              failed, nodes, Nil, decoded,
-              asset = resolveAsset(senderWallet)), consumed))
+            val rw = ic.nodes.head.tx.account
+            if (repo && resolveAsset(rw).isEmpty)
+              // no repository row for the receiver wallet → no match
+              // (jettons.py:71-72 `return []`)
+              None
+            else {
+              val rowOwner = if (repo) ownerOf(rw) else None
+              val isBroken = rowOwner.isDefined && statedReceiver.isDefined &&
+                rowOwner != statedReceiver
+              val receiver = if (isBroken) rowOwner else statedReceiver
+              val asset =
+                if (repo) resolveAsset(rw) else resolveAsset(senderWallet)
+              Some((JettonTransferBlock(sender, senderWallet, receiver,
+                receiverWallet, amount, decoded.flatMap(_.comment),
+                failed, nodes, Nil, decoded,
+                asset = asset, broken = isBroken), consumed))
+            }
           case None => None
         }
       case _ => None
@@ -3309,14 +3328,84 @@ object ProtocolMatchers {
     }
   }
 
-  /** Ethena withdrawal request — the labeled-capture composite of the
-    * reference (blocks/ethena_staking.py:57-75): a jetton transfer whose
-    * surviving children include the pool-jetton MINT and the tsUSDe
-    * transfer call. Runs AFTER the jetton rewrite, so it matches the
-    * typed JettonTransferBlock and consumes the labeled children. */
-  object EthenaWithdrawalRequestMatcher extends BlockMatcher {
+  /** Ethena withdrawal request (blocks/ethena_staking.py:57-107). The
+    * reference anchors on the RAW transfer call (test_self:70-71,
+    * `CallContractBlock and opcode == JettonTransfer`): the unstake
+    * chain's internal_transfer goes to the MASTER, which has no
+    * jetton-wallet row, so JettonTransferBlockMatcher always REFUSES it
+    * (jettons.py:71-72) and the call_contract survives for this matcher
+    * — the refusal is load-bearing. Two arms here: the raw
+    * call-contract anchor for the repository path (nested chain
+    * internal → notify → mint → ts_usde, child_sequence_matcher
+    * ethena_staking.py:60-65), and the typed JettonTransferBlock anchor
+    * for graft's repository-less lenient mode where no refusal happens.
+    * The reference's owner/master validation gates (:84-89) are not
+    * enforced — graft stays lenient on incomplete dims. */
+  final class EthenaWithdrawalRequest(
+      resolveAsset: String => Option[String] = _ => None)
+      extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonTransfer, Opcodes.JettonMint, Opcodes.EthenaTsUsdeTransfer))
+
+    private def tsUsdeAmountOf(tsu: Block): Option[BigDecimal] =
+      tsu.nodes.headOption.flatMap(_.inMsg).flatMap(_.body).flatMap { b64 =>
+        // internal_transfer-shaped under the 0xb2583ed5 op — the
+        // reference parses it as JettonInternalTransfer WITHOUT opcode
+        // validation (ethena_staking.py:92): skip op, read qid + coins
+        try {
+          val s = graft.functions.Boc.parseBase64(b64).beginParse()
+          s.loadUint(32); s.loadUint(64)
+          Some(BigDecimal(s.loadCoins()))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
+      case c: CallContractBlock
+        if Opcodes.matches(c.opcode, Opcodes.JettonTransfer) &&
+          !c.node.tx.hash.startsWith("ghost:") =>
+        for {
+          ic <- c.children.collectFirst {
+            case ic: CallContractBlock if Opcodes.matches(ic.opcode,
+              Opcodes.JettonInternalTransfer) => ic
+          }
+          notify <- ic.children.collectFirst {
+            case n: CallContractBlock
+              if Opcodes.matches(n.opcode, Opcodes.JettonNotify) => n
+          }
+          mint <- notify.children.collectFirst {
+            case m: CallContractBlock
+              if Opcodes.matches(m.opcode, Opcodes.JettonMint) => m
+          }
+          tsu <- mint.children.collectFirst {
+            case t: CallContractBlock if Opcodes.matches(t.opcode,
+              Opcodes.EthenaTsUsdeTransfer) => t
+          }
+        } yield {
+          val chain: Seq[Block] = Seq(c, ic, notify, mint, tsu)
+          // reference matchers auto-append excess legs hanging off any
+          // matched block (basic_matchers include_excess) — the unstake
+          // internal_transfer carries one
+          val excesses = chain.flatMap(_.children).collect {
+            case e: CallContractBlock
+              if Opcodes.matches(e.opcode, Opcodes.Excesses) => e
+          }
+          val consumed: Seq[Block] = chain ++ excesses
+          val sender = c.node.inMsg.flatMap(_.source)
+          val senderWallet = c.node.tx.account
+          val amount = c.node.inMsg.flatMap(_.body).flatMap { b64 =>
+            try Some(BigDecimal(
+              graft.functions.TlbDecoders.jettonTransfer(b64).amount))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.getOrElse(BigDecimal(0))
+          val pool = mint.node.inMsg.flatMap(_.source)
+          (ProtocolOpBlock("ethena_withdrawal_request",
+            sender, pool,
+            Some(resolveAsset(senderWallet).getOrElse(senderWallet)),
+            Some(amount),
+            consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+            sourceSecondary = Some(senderWallet),
+            tokensMinted = tsUsdeAmountOf(tsu),
+            amount = Some(amount)): Block, consumed)
+        }
       case jt: JettonTransferBlock =>
         // real traces chain mint → ts_usde_transfer (the reference's
         // child_sequence_matcher nests matchers, basic_matchers.py:
@@ -3365,6 +3454,8 @@ object ProtocolMatchers {
       case _ => None
     }
   }
+  val EthenaWithdrawalRequestMatcher: BlockMatcher =
+    new EthenaWithdrawalRequest()
 
   /** NFT get-static-data discovery: 0x2fcb26a2 request MUST produce the
     * report 0x8b771735 (blocks/nft.py:253-290; messages/nft.py:79,92). */
@@ -5326,6 +5417,13 @@ object ProtocolMatchers {
     Seq(TonstakersDelayedWithdrawalMatcher, TonstakersDepositMatcher,
       PTonTonTransferMatcher,
       JettonTransferMatcher, JettonBurnMatcher, NftTransferMatcher,
+      // BEFORE the standalone internal→mint rewrite: the ethena unstake
+      // chain's internal_transfer survives the transfer matcher's
+      // repository refusal (internal goes to the master — no wallet
+      // row), and the reference runs EthenaWithdrawalRequest before
+      // JettonMintBlockMatcher (event_processing.py:251-253) so the
+      // mint rewrite can't steal the orphan leg first
+      EthenaWithdrawalRequestMatcher,
       JettonMintMatcher,
       StonfiV1FullSwapMatcher, StonfiV2FullSwapMatcher,
       StonfiSwapMatcher, StonfiV2SwapMatcher,
@@ -5360,9 +5458,6 @@ object ProtocolMatchers {
       LayerZeroSendMatcher, LayerZeroCommitPacketMatcher,
       LayerZeroReceiveMatcher, LayerZeroDvnVerifyMatcher,
       LayerZeroSendTokensMatcher,
-      EthenaWithdrawalRequestMatcher,
-      // after ethena, exactly as the reference orders the pair
-      // (event_processing.py:252-253)
       new JettonMintCallMatcher(Opcodes.JettonMint),
       new JettonMintCallMatcher(Opcodes.MinterJettonMint),
       // tgBTC runs AFTER the jetton-mint rewrite (the mint full chain
@@ -5562,7 +5657,7 @@ object ProtocolMatchers {
         val owner = (w: String) => walletOwners.get(w)
         registry.map {
           case m if m eq JettonTransferMatcher =>
-            new JettonTransferResolvedMatcher(resolve)
+            new JettonTransferResolvedMatcher(resolve, owner, repo = true)
           case m if m eq JettonBurnMatcher =>
             new JettonBurnResolvedMatcher(resolve)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
@@ -5582,6 +5677,8 @@ object ProtocolMatchers {
             new DedustDepositFinal(resolve)
           case m if m eq GhostJettonTransferMatcher =>
             new GhostJettonTransfer(w => jw.get(w))
+          case m if m eq EthenaWithdrawalRequestMatcher =>
+            new EthenaWithdrawalRequest(resolve)
           case m if m eq DedustFullSwapMatcher =>
             new DedustFullSwap(resolve)
           case m: JettonMintCallMatcher =>

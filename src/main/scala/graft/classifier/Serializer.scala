@@ -389,7 +389,14 @@ object Serializer {
     "nft_finish_auction", "teleitem_cancel_auction", "dns_purchase",
     "nft_update_sale", "tonco_deposit_liquidity")
 
-  def serialize(traceId: String, root: RootBlock): Seq[ActionRow] = {
+  def serialize(traceId: String, root: RootBlock): Seq[ActionRow] =
+    serializeStated(traceId, root)._1
+
+  /** serialize_blocks returns (actions, state)
+    * (block_tree_serializer.py:1525-1562): any walked broken block turns
+    * the trace state 'broken'; otherwise 'ok'. */
+  def serializeStated(traceId: String, root: RootBlock)
+      : (Seq[ActionRow], String) = {
     // initiating-event-node map (core.py:130-147): the tx-tree parent of
     // each node. The serializer extends every action with its initiating
     // tx hash + account (block_tree_serializer.py:1469-1478).
@@ -403,8 +410,10 @@ object Serializer {
       m.result()
     }
     val out = scala.collection.mutable.ArrayBuffer[ActionRow]()
+    var anyBroken = false
     def walk(b: Block, parent: Option[ActionRow], ancestors: List[String]): Unit = {
       if (b.btype == "root") { b.children.foreach(walk(_, parent, ancestors)); return }
+      if (b.broken) anyBroken = true
       val emit = emittedTypes.contains(b.btype)
       // contract deploys are lifted flat (unwind_deployments,
       // event_processing.py:196-207) — never parented
@@ -432,7 +441,7 @@ object Serializer {
       b.children.foreach(walk(_, childParent, nextAnc))
     }
     walk(root, None, Nil)
-    out.toSeq
+    (out.toSeq, if (anyBroken) "broken" else "ok")
   }
 
   /** The reference's v1_ops (block_tree_serializer.py:1484-1520): action
@@ -1027,10 +1036,22 @@ object Classifier {
     * registryForDims and calls this. */
   def classifyWith(traceId: String, txs: Seq[TxLite],
       msgsByTx: Map[String, Seq[MsgLite]],
-      registry: Seq[Matching.BlockMatcher]): Seq[ActionRow] = {
+      registry: Seq[Matching.BlockMatcher]): Seq[ActionRow] =
+    classifyStatedWith(traceId, txs, msgsByTx, registry)._1
+
+  /** classifyWith plus the trace's classification_state — the
+    * process_trace result (trace_processor.py:29-72,
+    * event_classifier.py:334-343): 'ok' normally, 'broken' when any
+    * serialized block carries the broken flag, 'failed' when the full
+    * sweep threw and the fallback ladder answered, 'unclassified' for
+    * big traces the classifier skips (event_classifier.py:273-275
+    * filters nodes_ <= threshold — such traces are never classified). */
+  def classifyStatedWith(traceId: String, txs: Seq[TxLite],
+      msgsByTx: Map[String, Seq[MsgLite]],
+      registry: Seq[Matching.BlockMatcher]): (Seq[ActionRow], String) = {
     val allMsgs = msgsByTx.values.flatten.toSeq
     if (txs.size > BigTraceCutoff)
-      return Seq(unknownAction(traceId, txs))
+      return (Seq(unknownAction(traceId, txs)), "unclassified")
     try {
       val built = TxTree.build(txs, allMsgs, msgsByTx)
       // G9 step 2: a bare wallet external with no children → forge the
@@ -1046,15 +1067,19 @@ object Classifier {
       // two-leg deposit merge; deploy unwinding is emitted as child
       // actions by the serializer itself
       val post = ProtocolMatchers.mergeDedustDeposits(rewritten)
-      val actions = Serializer.serialize(traceId, post)
-      if (actions.nonEmpty) actions else Seq(unknownAction(traceId, txs))
+      val (actions, state) = Serializer.serializeStated(traceId, post)
+      if (actions.nonEmpty) (actions, state)
+      else (Seq(unknownAction(traceId, txs)), state)
     } catch {
       case scala.util.control.NonFatal(_) =>
+        // fallback ladder answers, but the trace records 'failed'
+        // (trace_processor.py:55-72)
         try {
           val forest = TxTree.build(txs, allMsgs, msgsByTx)
-          Serializer.serialize(traceId, Seeder.seedTrace(forest))
+          (Serializer.serialize(traceId, Seeder.seedTrace(forest)), "failed")
         } catch {
-          case scala.util.control.NonFatal(_) => Seq(unknownAction(traceId, txs))
+          case scala.util.control.NonFatal(_) =>
+            (Seq(unknownAction(traceId, txs)), "failed")
         }
     }
   }

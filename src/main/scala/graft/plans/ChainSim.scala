@@ -88,8 +88,21 @@ object ChainSim {
           graft.classifier.ClassifyDims(),
           Seq("trace_id", "action_id", "type", "start_lt", "end_lt",
             "start_utime", "end_utime", "source", "destination", "success",
-            "ancestor_type", "ton_transfer_data", "accounts"))
+            "ancestor_type", "ton_transfer_data", "accounts",
+            "classification_state"))
         .join(meta, Seq("trace_id"), "left") // traces is a fact table — shuffle join, never broadcast
+    }
+
+  /** Traces silver with the post-classify classification_state written
+    * back (unclassified → ok/failed/broken, event_classifier.py:334-343)
+    * — the states ride the actions silver (one value replicated per
+    * action row; distinct per trace recovers the writeback frame), so
+    * no second classify sweep runs. */
+  def tracesClassified(spark: SparkSession, dir: String): DataFrame =
+    SilverStore.table(spark, dir, "silver_traces_classified") {
+      val (traces, _, _) = assembled(spark, dir)
+      TraceAssembly.withClassificationState(traces,
+        classified(spark, dir))
     }
 
   /** Trace assembly over the simulated chain, silver-materialized. The
@@ -975,9 +988,13 @@ object ChainSim {
     lazy val built = b16Build(spark, dir)
     val txw = SilverStore.table(spark, dir, "b16_txw")(built._1)
     val msgs = SilverStore.table(spark, dir, "b16_msgs")(built._2)
+    // narrow-output classify: only these 4 columns materialize through
+    // the encoder — the full 60-field ActionRow encoder measured 2× on
+    // the sweep (Profile15)
     val acts = SilverStore.table(spark, dir, "b16_acts")(
-      ClassifyJob.run(spark, txw, msgs).toDF()
-        .select("trace_id", "start_lt", "type", "tx_hashes"))
+      ClassifyJob.runProjected(spark, txw, msgs,
+        graft.classifier.ClassifyDims(),
+        Seq("trace_id", "start_lt", "type", "tx_hashes")))
     (acts, txw, msgs)
   }
 
@@ -1503,6 +1520,155 @@ object ChainSim {
       .orderBy("lt")
   }
 
+  /** Second decode-tranche oracle: ten of the round-9 decoder families
+    * (evaa user-protocol legs, TONCO v3 management, coffee internals,
+    * cocoon admin ops, getgems sale update) built as real BOCs by
+    * construction and pushed through the full Decode dispatch — the
+    * driver's DuckDB oracle states every field by the same construction.
+    * Extends b21's five families; field lists cite
+    * messages/{evaa,liquidity,coffee,cocoon,getgems}.py. */
+  val b23 = Q("b23_decode_tranche2",
+    """SELECT event_id AS lt,
+      |  CASE cast(user_id % 10 AS int)
+      |    WHEN 0 THEN 'evaa_liquidate_master'
+      |    WHEN 1 THEN 'evaa_withdraw_success'
+      |    WHEN 2 THEN 'tonco_pool_v3_set_fee'
+      |    WHEN 3 THEN 'tonco_pool_v3_burn'
+      |    WHEN 4 THEN 'coffee_withdraw_internal'
+      |    WHEN 5 THEN 'coffee_staking_deposit'
+      |    WHEN 6 THEN 'cocoon_change_params'
+      |    WHEN 7 THEN 'sale_update'
+      |    WHEN 8 THEN 'cocoon_worker_proxy_payout_request'
+      |    ELSE 'evaa_supply_user' END AS op_name,
+      |  CASE WHEN user_id % 10 <> 8
+      |    THEN cast(event_id AS varchar) END AS query_id,
+      |  CASE cast(user_id % 10 AS int)
+      |    WHEN 0 THEN cast(event_id * 2 AS varchar)
+      |    WHEN 1 THEN cast(event_id * 3 AS varchar)
+      |    WHEN 2 THEN '300'
+      |    WHEN 3 THEN cast(event_id AS varchar)
+      |    WHEN 4 THEN cast(event_id AS varchar)
+      |    WHEN 5 THEN cast(event_id * 4 AS varchar)
+      |    WHEN 6 THEN cast(event_id * 6 AS varchar)
+      |    WHEN 7 THEN cast(event_id * 5 AS varchar)
+      |    WHEN 8 THEN cast(event_id * 2 AS varchar)
+      |    ELSE cast(event_id * 7 AS varchar) END AS amount,
+      |  CASE cast(user_id % 10 AS int)
+      |    WHEN 1 THEN concat('0x', lower(to_hex(user_id)))
+      |    WHEN 9 THEN concat('0x', lower(to_hex(user_id)))
+      |    WHEN 2 THEN NULL WHEN 6 THEN NULL WHEN 7 THEN NULL
+      |    ELSE concat('0:', repeat(substr('0123456789ABCDEF',
+      |      cast(user_id % 16 AS int) + 1, 1), 64)) END AS addr
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY lt""".stripMargin) { (s, dir) =>
+    val bodyUdf = udf { (uid: Long, eid: Long) =>
+      import graft.functions.Boc
+      val ch = "0123456789ABCDEF"((uid % 16).toInt)
+      val addr = s"0:${ch.toString * 64}"
+      val b = new Boc.Builder()
+      (uid % 10).toInt match {
+        case 0 => // liquidate_master#3 (messages/evaa.py:257-283)
+          b.storeUint(BigInt(3), 32).storeUint(BigInt(eid), 64)
+            .storeAddress(Some(addr)).storeAddress(Some(addr))
+            .storeUint(BigInt(uid), 256).storeUint(BigInt(1), 64)
+            .storeInt(BigInt(-1), 2).storeUint(BigInt(eid * 2), 64)
+        case 1 => // withdraw_success#211a (evaa.py:192-209)
+          b.storeUint(BigInt(0x211a), 32).storeUint(BigInt(eid), 64)
+            .storeUint(BigInt(uid), 256).storeInt(BigInt(eid * 3), 64)
+        case 2 => // POOLV3_SET_FEE (liquidity.py)
+          b.storeUint(BigInt(0x6bdcbeb8L), 32).storeUint(BigInt(eid), 64)
+            .storeUint(BigInt(100), 16).storeUint(BigInt(200), 16)
+            .storeUint(BigInt(300), 16)
+        case 3 => // POOLV3_BURN (liquidity.py)
+          b.storeUint(BigInt(0xd73ac09dL), 32).storeUint(BigInt(eid), 64)
+            .storeAddress(Some(addr)).storeUint(BigInt(uid), 64)
+            .storeUint(BigInt(eid), 128)
+            .storeInt(BigInt(-100), 24).storeInt(BigInt(200), 24)
+            .storeUint(BigInt(eid), 128)
+            .storeRef(new Boc.Builder().storeUint(BigInt(0), 256)
+              .storeUint(BigInt(0), 256).build())
+            .storeRef(new Boc.Builder().storeUint(BigInt(0), 256)
+              .storeUint(BigInt(0), 256).build())
+        case 4 => // withdraw_internal#c0ffee2d (coffee.py)
+          val Array(wc, hex) = addr.split(":")
+          b.storeUint(BigInt(0xc0ffee2dL), 32).storeUint(BigInt(eid), 64)
+            .storeUint(BigInt(1), 2).storeUint(BigInt(wc.toInt), 8)
+            .storeUint(BigInt(hex, 16), 256)
+            .storeCoins(BigInt(eid)).storeAddress(Some(addr))
+        case 5 => // staking_deposit#f9471134 (coffee.py)
+          b.storeUint(BigInt(0xf9471134L), 32).storeUint(BigInt(eid), 64)
+            .storeAddress(Some(addr)).storeCoins(BigInt(eid * 4))
+            .storeAddress(Some(addr)).storeUint(BigInt(7), 32)
+        case 6 => // change_params#022fa189 (cocoon.py)
+          b.storeUint(BigInt(0x022fa189L), 32).storeUint(BigInt(eid), 64)
+            .storeCoins(BigInt(eid)).storeCoins(BigInt(2))
+            .storeUint(BigInt(3), 32).storeUint(BigInt(4), 32)
+            .storeCoins(BigInt(5)).storeCoins(BigInt(eid * 6))
+        case 7 => // sale_update#6c6c2080 (getgems.py)
+          b.storeUint(BigInt(0x6c6c2080L), 32).storeUint(BigInt(eid), 64)
+            .storeCoins(BigInt(eid * 5)).storeCoins(BigInt(1))
+            .storeCoins(BigInt(2))
+        case 8 => // worker_proxy_payout_request#08e7d036 (cocoon.py)
+          b.storeUint(BigInt(0x08e7d036L), 32)
+            .storeCoins(BigInt(eid)).storeCoins(BigInt(eid * 2))
+            .storeAddress(Some(addr))
+        case _ => // supply_user#11 (evaa.py:52-73)
+          b.storeUint(BigInt(0x11), 32).storeUint(BigInt(eid), 64)
+            .storeUint(BigInt(uid), 256).storeUint(BigInt(eid * 7), 64)
+      }
+      Boc.serializeBase64(b.build())
+    }
+    val decUdf = udf { (b64: String) =>
+      graft.functions.Decode.decode(b64).map(d => (d.name, d.fields))
+    }
+    T.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").cast("long").as("lt"),
+        decUdf(bodyUdf(col("user_id").cast("long"),
+          col("event_id").cast("long"))).as("d"))
+      .select(col("lt"),
+        col("d._1").as("op_name"),
+        element_at(col("d._2"), "query_id").as("query_id"),
+        coalesce(
+          element_at(col("d._2"), "liquidate_incoming_amount"),
+          element_at(col("d._2"), "principal_amount"),
+          element_at(col("d._2"), "lp_fee_current"),
+          element_at(col("d._2"), "liquidity_to_burn"),
+          element_at(col("d._2"), "jetton_amount"),
+          element_at(col("d._2"), "min_client_stake"),
+          element_at(col("d._2"), "new_full_price"),
+          element_at(col("d._2"), "proxy_part"),
+          element_at(col("d._2"), "supply_amount_current"),
+          element_at(col("d._2"), "amount")).as("amount"),
+        coalesce(
+          element_at(col("d._2"), "borrower_address"),
+          element_at(col("d._2"), "recipient"),
+          element_at(col("d._2"), "asset"),
+          element_at(col("d._2"), "sender"),
+          element_at(col("d._2"), "send_excesses_to"),
+          element_at(col("d._2"), "asset_id")).as("addr"))
+      .orderBy("lt")
+  }
+
+  /** Post-classify traces writeback: classification_state moves off its
+    * assembly-time 'unclassified' once the classify sweep has answered
+    * (event_classifier.py:334-343; states enum database.py:203). The sim
+    * chain classifies cleanly, so the oracle states 'ok' for every trace
+    * by construction — the query validates the writeback PLUMBING
+    * end-to-end (states ride the actions silver, distinct per trace,
+    * left-joined over the traces frame); the broken/failed arms are
+    * pinned by ClassifierSpec (synthetic owner-mismatch) where the
+    * oracle can't reach. */
+  val b22 = Q("b22_classification_state",
+    """SELECT concat('T', min(event_id)) AS trace_id,
+      |  count(*) AS nodes_, 'ok' AS classification_state
+      |FROM events GROUP BY user_id ORDER BY trace_id""".stripMargin) {
+    (s, dir) =>
+      tracesClassified(s, dir)
+        .select(col("trace_id"), col("nodes_"), col("classification_state"))
+        .orderBy("trace_id")
+  }
+
   val all: Seq[Q] = Seq(b01, b02, b06, b07, b09, b10, b11, b12, b13, b14, b15,
-    b16, b17, b18, b19, b20, b21)
+    b16, b17, b18, b19, b20, b21, b22, b23)
 }

@@ -131,4 +131,21 @@ object TraceAssembly {
       .withColumn("classification_state", lit("unclassified"))
       .drop("any_broken")
   }
+
+  /** Post-classify writeback (event_classifier.py:334-343 semantics —
+    * traces.classification_state moves unclassified → ok/failed/broken
+    * once the classifier has answered): join the per-trace states the
+    * classify sweep emitted (runProjected's `classification_state`
+    * column, distinct per trace_id) over the traces frame. Traces the
+    * classify pass never touched keep their current state. Both sides
+    * key on trace_id — a co-partitioned shuffle join, never broadcast
+    * (states is trace-cardinality). */
+  def withClassificationState(traces: DataFrame, states: DataFrame): DataFrame =
+    traces.drop("classification_state")
+      .join(states.select(col("trace_id"),
+          col("classification_state").as("cls_state_")).distinct(),
+        Seq("trace_id"), "left")
+      .withColumn("classification_state",
+        coalesce(col("cls_state_"), lit("unclassified")))
+      .drop("cls_state_")
 }

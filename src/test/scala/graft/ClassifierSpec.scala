@@ -1007,4 +1007,80 @@ class ClassifierSpec extends SparkSpec {
     assert(!bare.exists(_.`type` == "coffee_staking_deposit"))
     assert(bare.exists(_.`type` == "jetton_transfer"))
   }
+
+  // ------------------------------------------------------------------
+  // Owner-validation / broken semantics (jettons.py:70-77;
+  // classification_state enum database.py:203). The golden corpus has
+  // no broken case, so these synthetic fixtures pin the three arms.
+  // ------------------------------------------------------------------
+
+  private def jtFixture: (Seq[TxLite], Map[String, Seq[MsgLite]]) = {
+    val txs = Seq(
+      tx("TW1", "0:WALLET_A", 10), tx("TW2", "0:WALLET_B", 20),
+      tx("TN", "0:OWNER_B", 30))
+    val msgs = Map(
+      "TW1" -> Seq(
+        in("m1", "0:OWNER_A", "0:WALLET_A", Some(Opcodes.JettonTransfer)),
+        out("m2", "0:WALLET_A", "0:WALLET_B",
+          Some(Opcodes.JettonInternalTransfer))),
+      "TW2" -> Seq(
+        in("m2", "0:WALLET_A", "0:WALLET_B",
+          Some(Opcodes.JettonInternalTransfer)),
+        out("m3", "0:WALLET_B", "0:OWNER_B", Some(Opcodes.JettonNotify))),
+      "TN" -> Seq(in("m3", "0:WALLET_B", "0:OWNER_B",
+        Some(Opcodes.JettonNotify))))
+    (txs, msgs)
+  }
+
+  test("jetton transfer owner mismatch: receiver substituted by the " +
+      "wallet row's owner and the trace classifies 'broken' " +
+      "(jettons.py:75-77; block_tree_serializer.py:1537-1538)") {
+    val (txs, msgs) = jtFixture
+    val jw = Map("0:WALLET_A" -> "0:MASTER", "0:WALLET_B" -> "0:MASTER")
+    // stated receiver (notify destination) is OWNER_B; the row says the
+    // wallet belongs to OWNER_C
+    val owners = Map("0:WALLET_B" -> "0:OWNER_C")
+    val (actions, state) = Classifier.classifyStatedWith("trOwn", txs, msgs,
+      ProtocolMatchers.registryWith(Map.empty, jw, Map.empty, owners))
+    assert(state == "broken")
+    val a = actions.find(_.`type` == "jetton_transfer").get
+    assert(a.destination.contains("0:OWNER_C")) // substituted
+    assert(a.asset.contains("0:MASTER")) // resolved via RECEIVER wallet
+  }
+
+  test("jetton transfer owner agreement: receiver kept, state 'ok'") {
+    val (txs, msgs) = jtFixture
+    val jw = Map("0:WALLET_A" -> "0:MASTER", "0:WALLET_B" -> "0:MASTER")
+    val owners = Map("0:WALLET_B" -> "0:OWNER_B")
+    val (actions, state) = Classifier.classifyStatedWith("trOk", txs, msgs,
+      ProtocolMatchers.registryWith(Map.empty, jw, Map.empty, owners))
+    assert(state == "ok")
+    val a = actions.find(_.`type` == "jetton_transfer").get
+    assert(a.destination.contains("0:OWNER_B"))
+    assert(a.asset.contains("0:MASTER"))
+  }
+
+  test("jetton transfer with NO repository row for the receiver wallet " +
+      "refuses to match — blocks stay call_contract (jettons.py:71-72)") {
+    val (txs, msgs) = jtFixture
+    // repo present (non-empty jw map) but the receiver wallet is absent
+    val jw = Map("0:WALLET_A" -> "0:MASTER")
+    val (actions, state) = Classifier.classifyStatedWith("trMiss", txs, msgs,
+      ProtocolMatchers.registryWith(Map.empty, jw, Map.empty, Map.empty))
+    assert(state == "ok")
+    assert(!actions.exists(_.`type` == "jetton_transfer"),
+      s"should not match: ${actions.map(_.`type`)}")
+    assert(actions.exists(_.`type` == "call_contract"))
+  }
+
+  test("repository-less jetton transfer keeps the lenient path: match " +
+      "with the sender wallet standing in, state 'ok'") {
+    val (txs, msgs) = jtFixture
+    val (actions, state) =
+      Classifier.classifyStatedWith("trNoRepo", txs, msgs,
+        ProtocolMatchers.registry)
+    assert(state == "ok")
+    val a = actions.find(_.`type` == "jetton_transfer").get
+    assert(a.asset.contains("0:WALLET_A"))
+  }
 }

@@ -47,7 +47,7 @@ class ClassifyDimsSpec extends SparkSpec {
       bounced = false, Some(t._8), None)
 
   private val ifaceMap = Map("0:I1" -> "nft_item")
-  private val jwMap = Map("0:W1" -> "0:MA", "0:ZZ" -> "0:MZ")
+  private val jwMap = Map("0:W1" -> "0:MA", "0:W2" -> "0:MA", "0:ZZ" -> "0:MZ")
   private val nftMap = Map("0:I1" -> NftItemInfo(Some("42"), Some("0:C1")))
 
   test("DataFrame-dims cogroup path matches the global-map registry path") {

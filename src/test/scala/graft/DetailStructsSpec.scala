@@ -346,7 +346,7 @@ class DetailStructsSpec extends SparkSpec {
       "TLP" -> Seq(in("m9", "0:POOL", "0:LPW",
         Some(Opcodes.JettonInternalTransfer))))
     val actions = Classifier.classify("dd4", txs, msgs,
-      jettonWallets = Map("0:WA" -> jettonMaster))
+      jettonWallets = Map("0:WA" -> jettonMaster, "0:WB" -> jettonMaster))
     val deposits = actions.filter(_.`type` == "dex_deposit_liquidity")
     assert(deposits.size == 1)
     val d = deposits.head.dex_deposit_liquidity_data.get

@@ -183,7 +183,10 @@ class GoldenParity2Spec extends SparkSpec {
         Some(Opcodes.JettonInternalTransfer), body = Some(mintXfer))))
     val actions = Classifier.classify("geth1", txs, msgs,
       interfaces = Map(ethUserTsWallet -> "ethena_tsusde_wallet"),
-      jettonWallets = Map(ethUserUsdeWallet -> ethUsdeMaster))
+      // the pool's USDe wallet row must exist or the transfer matcher
+      // refuses the leg (jettons.py:70-74)
+      jettonWallets = Map(ethUserUsdeWallet -> ethUsdeMaster,
+        ethPoolUsdeWallet -> ethUsdeMaster))
     val a = actions.find(_.`type` == "stake_deposit").get
     // YAML: source/source_secondary/destination/amount/asset/asset2
     assert(a.source.contains(ethUser))
@@ -369,7 +372,8 @@ class GoldenParity2Spec extends SparkSpec {
       "T5" -> Seq(in("m5", uc, evaaMaster, Some(0x11aL),
         body = Some(success))))
     val a = Classifier.classify("gev2", txs, msgs,
-      jettonWallets = Map(userWallet -> usdtMaster))
+      jettonWallets = Map(userWallet -> usdtMaster,
+        masterWallet -> usdtMaster))
       .find(_.`type` == "evaa_supply").get
     assert(a.source.contains(user))
     assert(a.source_secondary.contains(userWallet))
@@ -419,7 +423,8 @@ class GoldenParity2Spec extends SparkSpec {
         Some(Opcodes.JettonInternalTransfer))),
       "T6" -> Seq(in("m5", evaaMaster, uc, Some(0x211aL))))
     val a = Classifier.classify("gev3", txs, msgs,
-      jettonWallets = Map(masterWallet -> tsTonMaster))
+      jettonWallets = Map(masterWallet -> tsTonMaster,
+        recipWallet -> tsTonMaster))
       .find(_.`type` == "evaa_withdraw").get
     assert(a.success)
     assert(a.amount.contains(BigDecimal(1000000040L)))
@@ -575,7 +580,8 @@ class GoldenParity2Spec extends SparkSpec {
         Some(Opcodes.JettonInternalTransfer))))
     val a = Classifier.classify("gsv1", txs, msgs,
       jettonWallets = Map(userInWallet -> assetIn,
-        routerOutWallet -> assetOut))
+        routerInWallet -> assetIn, routerOutWallet -> assetOut,
+        userOutWallet -> assetOut))
       .find(_.`type` == "jetton_swap").get
     assert(a.success)
     assert(a.asset.contains(assetIn))
@@ -677,7 +683,8 @@ class GoldenParity2Spec extends SparkSpec {
         Some(Opcodes.StonfiV2DepositRefFee))))
     val actions = Classifier.classify("gsv2", txs, msgs,
       jettonWallets = Map(userInWallet -> assetA, hopWalletB -> assetB,
-        routerOutWallet -> assetC))
+        routerInWallet -> assetA, routerOutWallet -> assetC,
+        userOutWallet -> assetC))
     val a = actions.find(_.`type` == "jetton_swap").get
     assert(a.asset.contains(assetA))
     assert(a.asset2.contains(assetC))
@@ -847,7 +854,8 @@ class GoldenParity2Spec extends SparkSpec {
         Some(Opcodes.JettonInternalTransfer))))
     val a = Classifier.classify("gtc2", txs, msgs,
       jettonWallets = Map(userInWallet -> assetIn, hopWallet -> assetB,
-        routerOutWallet -> assetOut))
+        routerInWallet -> assetIn, routerOutWallet -> assetOut,
+        userOutWallet -> assetOut))
       .find(_.`type` == "jetton_swap").get
     assert(a.success)
     val sd = a.jetton_swap_data.get
@@ -1363,7 +1371,7 @@ class GoldenParity2Spec extends SparkSpec {
       "T5" -> Seq(in("m5", stakeWallet, pool,
         Some(Opcodes.JvaultRequestUpdateRewards))))
     val a = Classifier.classify("gjv1", txs, msgs,
-      jettonWallets = Map(userWallet -> master))
+      jettonWallets = Map(userWallet -> master, poolWallet -> master))
       .find(_.`type` == "jvault_stake").get
     assert(a.success)
     assert(a.source.contains(user))
@@ -1560,7 +1568,8 @@ class GoldenParity2Spec extends SparkSpec {
         out("m7", pool, user, Some(Opcodes.CoffeePayoutOut))),
       "T7" -> Seq(in("m7", pool, user, Some(Opcodes.CoffeePayoutOut))))
     val a = Classifier.classify("gcf1", txs, msgs,
-      jettonWallets = Map(userWallet -> assetIn))
+      jettonWallets = Map(userWallet -> assetIn,
+        vaultWallet -> assetIn))
       .find(_.`type` == "jetton_swap").get
     assert(a.success)
     val sd = a.jetton_swap_data.get
@@ -1650,8 +1659,8 @@ class GoldenParity2Spec extends SparkSpec {
       "T10" -> Seq(in("m10", cesVaultWallet, userCesWallet,
         Some(Opcodes.JettonInternalTransfer))))
     val a = Classifier.classify("gcf2", txs, msgs,
-      jettonWallets = Map(userWallet -> assetIn,
-        cesVaultWallet -> assetOut))
+      jettonWallets = Map(userWallet -> assetIn, vaultWallet -> assetIn,
+        cesVaultWallet -> assetOut, userCesWallet -> assetOut))
       .find(_.`type` == "jetton_swap").get
     val sd = a.jetton_swap_data.get
     assert(sd.dex == "coffee")
@@ -1757,7 +1766,8 @@ class GoldenParity2Spec extends SparkSpec {
       "T8" -> Seq(in("m8", wttonJW, router, Some(Opcodes.PTonTransferOp),
         body = Some(ptonBody))))
     val a = Classifier.classify("gtcw1", txs, msgs,
-      jettonWallets = Map(routerJW -> master, wttonJW -> wttonMaster))
+      jettonWallets = Map(routerJW -> master, userJW -> master,
+        wttonJW -> wttonMaster))
       .find(_.`type` == "dex_withdraw_liquidity").get
     assert(a.source.contains(owner))
     assert(a.destination.contains(pool))
@@ -1871,7 +1881,7 @@ class GoldenParity2Spec extends SparkSpec {
       "T11" -> Seq(in("m11", pool, sink,
         Some(Opcodes.CoffeeDepositLiquiditySuccess), body = Some(successBody))))
     val actions = Classifier.classify("gcd1", txs, msgs,
-      jettonWallets = Map(userCesWallet -> ces))
+      jettonWallets = Map(userCesWallet -> ces, cesVaultWallet -> ces))
       .filter(_.`type` == "dex_deposit_liquidity")
     assert(actions.size == 2, s"got ${actions.map(_.`type`)}")
     // first part: TON leg, no completion

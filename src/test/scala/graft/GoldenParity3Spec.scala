@@ -135,7 +135,7 @@ class GoldenParity3Spec extends SparkSpec {
         Some(Opcodes.CoffeeLiquidityWithdrawalEvent), body = Some(event))))
     val a = Classifier.classify("gcw1", txs, msgs,
       jettonWallets = Map(lpWallet -> pool, dexJw1 -> asset1,
-        dexJw2 -> asset2))
+        userJw1 -> asset1, dexJw2 -> asset2, userJw2 -> asset2))
       .find(_.`type` == "dex_withdraw_liquidity").get
     assert(a.success)
     assert(a.source.contains(sender))
@@ -239,7 +239,8 @@ class GoldenParity3Spec extends SparkSpec {
         out("m5", factory, creator, Some(Opcodes.CoffeeDeploy))),
       "T5" -> Seq(in("m5", factory, creator, Some(Opcodes.CoffeeDeploy))))
     val a = Classifier.classify("gcp1", txs, msgs,
-      jettonWallets = Map(senderWallet -> provided))
+      jettonWallets = Map(senderWallet -> provided,
+        factoryWallet -> provided))
       .find(_.`type` == "coffee_create_pool_creator").get
     assert(a.success)
     assert(a.source.contains(sender))
@@ -321,7 +322,7 @@ class GoldenParity3Spec extends SparkSpec {
       "T9" -> Seq(in("m9", pool, factory,
         Some(Opcodes.CoffeeDepositLiquiditySuccess), body = Some(success))))
     val actions = Classifier.classify("gcp2", txs, msgs,
-      jettonWallets = Map(userWallet -> jetton))
+      jettonWallets = Map(userWallet -> jetton, factoryWallet -> jetton))
     // YAML block 1: the surviving creator action with no ancestor — the
     // native leg (asset null, pool params first=native)
     val creatorA = actions.filter(_.`type` == "coffee_create_pool_creator")
@@ -435,7 +436,7 @@ class GoldenParity3Spec extends SparkSpec {
       "T5" -> Seq(in("m5", pool, item, None)))
     val a = Classifier.classify("gcs1", txs, msgs,
       interfaces = Map(item -> "nft_item"),
-      jettonWallets = Map(userWallet -> asset),
+      jettonWallets = Map(userWallet -> asset, poolWallet -> asset),
       nftItems = Map(item -> NftItemInfo(Some("1317"), Some(pool))))
       .find(_.`type` == "coffee_staking_deposit").get
     assert(a.success)
@@ -830,7 +831,7 @@ class GoldenParity3Spec extends SparkSpec {
       "T5" -> Seq(in("m5", poolWallet, userWallet,
         Some(Opcodes.JettonInternalTransfer))))
     val a = Classifier.classify("gcs2", txs, msgs,
-      jettonWallets = Map(poolWallet -> asset))
+      jettonWallets = Map(poolWallet -> asset, userWallet -> asset))
       .find(_.`type` == "coffee_staking_withdraw").get
     assert(a.success)
     assert(a.source.contains(owner))
@@ -875,7 +876,7 @@ class GoldenParity3Spec extends SparkSpec {
       "T3" -> Seq(in("m3", poolWallet, recipientWallet,
         Some(Opcodes.JettonInternalTransfer))))
     val a = Classifier.classify("gcs3", txs, msgs,
-      jettonWallets = Map(poolWallet -> asset))
+      jettonWallets = Map(poolWallet -> asset, recipientWallet -> asset))
       .find(_.`type` == "coffee_staking_claim_rewards").get
     assert(a.success)
     assert(a.source.contains(pool))
@@ -989,7 +990,7 @@ class GoldenParity3Spec extends SparkSpec {
         out("m5", uc, evaaMaster, Some(0x11fL))),
       "T5" -> Seq(in("m5", uc, evaaMaster, Some(0x11fL))))
     val a = Classifier.classify("gev7", txs, msgs,
-      jettonWallets = Map(userWallet -> jetton))
+      jettonWallets = Map(userWallet -> jetton, masterWallet -> jetton))
       .find(_.`type` == "evaa_supply").get
     assert(!a.success)
     assert(a.source.contains(user))

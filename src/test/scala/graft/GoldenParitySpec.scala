@@ -94,10 +94,12 @@ class GoldenParitySpec extends SparkSpec {
     assert(d.comment.contains("11"))
     assert(d.is_encrypted_comment.contains(false))
     // with the wallet repository the asset is the MASTER (the YAML's
-    // `asset` column), not the sender wallet
+    // `asset` column) resolved via the RECEIVER wallet row — which must
+    // exist, or the matcher refuses entirely (jettons.py:70-74)
     val master = "0:" + "2F" * 32
     val resolved = Classifier.classify("gp1b", txs, msgs,
-      jettonWallets = Map(senderWallet -> master)).head
+      jettonWallets = Map(senderWallet -> master,
+        receiverWallet -> master)).head
     assert(resolved.asset.contains(master))
   }
 
@@ -182,7 +184,9 @@ class GoldenParitySpec extends SparkSpec {
       "TDEP" -> Seq(in("m4", "0:FACT", depositContract,
         Some(Opcodes.DedustDeployDepositContract))))
     val actions = Classifier.classify("gp3", txs, msgs,
-      jettonWallets = Map(userWallet -> master))
+      // the vault wallet row must exist or the transfer matcher refuses
+      // the leg outright (jettons.py:70-74)
+      jettonWallets = Map(userWallet -> master, "0:VW" -> master))
     assert(actions.map(_.`type`) == Seq("dex_deposit_liquidity"))
     val a = actions.head
     // values.source / destination_secondary (the deposit contract)
