@@ -441,15 +441,27 @@ object QueryLayer {
   /** GET /api/v3/nft/items (crud_nft.go:40-64): address/collection/owner
     * filters + the J8 dimension left-joins — collections always, getgems
     * sales/auctions for live on-sale ownership (an item listed on a
-    * getgems sale contract shows the sale's real owner). */
+    * getgems sale contract shows the sale's real owner).
+    *
+    * Collections is an UNBOUNDED entity dim (LAYOUT.md sizes entity dims
+    * at ≤1e9 rows) — never broadcast it whole: items⋈collections runs as
+    * a co-keyed shuffle join (both sides hash on collection_address); a
+    * `collection` filter is applied to BOTH sides first so partition
+    * pruning reaches the scans. The sales/auctions joins broadcast only
+    * the filtered LIVE subsets (bounded by on-sale inventory). */
   def nftItems(items: DataFrame, collections: DataFrame,
       sales: DataFrame, auctions: DataFrame,
       owner: Option[String] = None, collection: Option[String] = None,
       limit: Int = DefaultLimit): DataFrame = {
-    val withDims = items
-      .join(broadcast(collections.select(col("address").as("collection_address"),
+    val itemsF = collection.foldLeft(items)((d, c) =>
+      d.filter(col("collection_address") === c))
+    val collsF = collection.foldLeft(
+      collections.select(col("address").as("collection_address"),
         col("owner_address").as("collection_owner"),
-        col("collection_content"))), Seq("collection_address"), "left")
+        col("collection_content")))((d, c) =>
+      d.filter(col("collection_address") === c))
+    val withDims = itemsF
+      .join(collsF, Seq("collection_address"), "left")
       .join(broadcast(sales.filter(!col("is_complete"))
         .select(col("address").as("owner_address"),
           col("nft_owner_address").as("sale_real_owner"))),
@@ -462,7 +474,6 @@ object QueryLayer {
         col("auction_real_owner"), col("owner_address")))
     var df = withDims
     owner.foreach(o => df = df.filter(col("real_owner") === o))
-    collection.foreach(c => df = df.filter(col("collection_address") === c))
     df.orderBy(col("collection_address"), col("index"), col("address"))
       .limit(clampLimit(limit))
   }

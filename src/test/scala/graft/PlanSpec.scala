@@ -38,6 +38,35 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("BroadcastHashJoin"))
   }
 
+  test("nftItems never force-broadcasts the unbounded collections dim " +
+      "(J8 scale contract: entity dims are ≤1e9 rows, LAYOUT.md)") {
+    import spark.implicits._
+    val items = Seq(("n1", "c1", "1", "0:HOLDER"))
+      .toDF("address", "collection_address", "index", "owner_address")
+    val collections = Seq(("c1", "0:CO", "{}"))
+      .toDF("address", "owner_address", "collection_content")
+    val sales = Seq(("0:SALE", false, "0:REAL_S"))
+      .toDF("address", "is_complete", "nft_owner_address")
+    val auctions = Seq(("0:AUCTION", false, "0:REAL_A"))
+      .toDF("address", "end_flag", "nft_owner")
+    // kill auto-broadcast so only HINTED broadcasts survive planning —
+    // the hinted live sales/auctions subsets must broadcast, the
+    // collections join must not
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.operators.QueryLayer
+        .nftItems(items, collections, sales, auctions)
+        .queryExecution.executedPlan.toString
+      val broadcastJoins =
+        p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+      assert(!broadcastJoins.exists(_.contains("collection_address")),
+        s"collections dim is broadcast:\n$p")
+      assert(broadcastJoins.size == 2,
+        s"expected exactly the 2 hinted live-subset broadcasts:\n$p")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan(Relational.q21).contains("TakeOrderedAndProject"))
     assert(plan(Relational.q28).contains("TakeOrderedAndProject"))
