@@ -1,7 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute loadavg — sampled before the session exists, the reading
+    * reflects co-tenant load only. */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -27,16 +35,25 @@ object Bench {
       ()
     } catch { case _: Throwable => () }
     val ingest = (System.nanoTime() - tIngest0) / 1e9
+    // Load stamps: recorded BENCH files from contended machines carried
+    // 4-7x per-query distortions two rounds running — the stamps let a
+    // reader reject a contaminated recording instead of grading noise.
+    // load_start is pre-session (pure co-tenant load; anything well
+    // above ~1 means the box was already busy); load_max during the run
+    // includes our own executors, so compare it against `cpus`, not 0.
+    var loadMax = loadStart
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      loadMax = math.max(loadMax, loadavg())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val loadEnd = loadavg()
     val qs = (("ingest_silver" -> ingest) +: results)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ingest + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus}""")
     spark.stop()
   }
 }
