@@ -319,30 +319,41 @@ object ProtocolMatchers {
     new JettonTransferResolvedMatcher(_ => None)
 
   /** jetton burn: 0x595f07bc → optional burn_notification 0x7bdd97de.
-    * The resolver-bound variant records the wallet's master as the
-    * asset. */
+    * With a repository the data comes from the WALLET ROW
+    * (_get_jetton_burn_data, jettons.py:166-177): a missing row refuses
+    * the match (`assert wallet is not None` → build_block exception →
+    * None, basic_matchers.py:58-60), and the serialized owner is the
+    * row's owner, not the message source. Repository-less mode keeps
+    * the lenient source-as-owner fallback. */
   final class JettonBurnResolvedMatcher(
-      resolveAsset: String => Option[String]) extends BlockMatcher {
+      resolveAsset: String => Option[String],
+      ownerOf: String => Option[String] = _ => None,
+      repo: Boolean = false) extends BlockMatcher {
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(Opcodes.JettonBurn))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
       case c: CallContractBlock if Opcodes.matches(c.opcode, Opcodes.JettonBurn) =>
-        val notif = c.children.collect {
-          case cc: CallContractBlock
-            if Opcodes.matches(cc.opcode, Opcodes.JettonBurnNotification) => cc
-        }
-        val consumed = c +: notif
-        // decode the TEP-74 burn body when present: authoritative amount
-        // (reference decodes JettonBurn(block.get_body()), staking.py:201)
-        val amount = c.nodes.head.inMsg.flatMap(_.body).flatMap { b64 =>
-          try Some(BigDecimal(graft.functions.TlbDecoders.jettonBurn(b64).amount))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }.getOrElse(BigDecimal(0))
         val wallet = c.nodes.head.tx.account
-        Some((JettonBurnBlock(
-          c.nodes.head.inMsg.flatMap(_.source),
-          wallet, amount,
-          consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
-          asset = resolveAsset(wallet)), consumed))
+        if (repo && resolveAsset(wallet).isEmpty) None
+        else {
+          val notif = c.children.collect {
+            case cc: CallContractBlock
+              if Opcodes.matches(cc.opcode, Opcodes.JettonBurnNotification) => cc
+          }
+          val consumed = c +: notif
+          // decode the TEP-74 burn body when present: authoritative
+          // amount (reference decodes JettonBurn(block.get_body()),
+          // staking.py:201)
+          val amount = c.nodes.head.inMsg.flatMap(_.body).flatMap { b64 =>
+            try Some(BigDecimal(graft.functions.TlbDecoders.jettonBurn(b64).amount))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }.getOrElse(BigDecimal(0))
+          val owner = (if (repo) ownerOf(wallet) else None)
+            .orElse(c.nodes.head.inMsg.flatMap(_.source))
+          Some((JettonBurnBlock(
+            owner, wallet, amount,
+            consumed.exists(_.failed), consumed.flatMap(_.nodes), Nil,
+            asset = resolveAsset(wallet)), consumed))
+        }
       case _ => None
     }
   }
@@ -454,7 +465,9 @@ object ProtocolMatchers {
     * Without the leg the reference's else-branch applies: failed, to
     * from the body, amount only for the minter-style call. */
   final class JettonMintCallMatcher(val mintOp: Long,
-      ownerOf: String => Option[String] = _ => None) extends BlockMatcher {
+      ownerOf: String => Option[String] = _ => None,
+      resolveAsset: String => Option[String] = _ => None,
+      repo: Boolean = false) extends BlockMatcher {
     // trigger sets are conjunctive — one matcher instance per mint opcode
     override val triggerOpcodes: Option[Set[Long]] = Some(Set(mintOp))
     def tryBuild(b: Block): Option[(Block, Seq[Block])] = b match {
@@ -465,6 +478,13 @@ object ProtocolMatchers {
         val master = Some(c.node.tx.account)
         val tonAmount = decoded.map(d => BigDecimal(d.tonAmount))
         val built = leg match {
+          case Some(m) if !c.failed &&
+              repo && m.receiverWallet.flatMap(resolveAsset).isEmpty =>
+            // repository present but no row for the receiving wallet →
+            // the reference's `assert receiver_jwallet is not None`
+            // throws and the matcher yields nothing
+            // (jettons.py:197, basic_matchers.py:58-60)
+            return None
           case Some(m) if !c.failed =>
             val consumed: Seq[Block] = Seq(c, m)
             JettonMintBlock(
@@ -472,7 +492,8 @@ object ProtocolMatchers {
               // WALLET'S OWNER from the repository — the body's
               // to_address is never consulted on this branch
               // (_get_jetton_mint_data, jettons.py:193-209)
-              m.receiver.orElse(m.receiverWallet.flatMap(ownerOf))
+              (if (repo) m.receiverWallet.flatMap(ownerOf).orElse(m.receiver)
+               else m.receiver.orElse(m.receiverWallet.flatMap(ownerOf)))
                 .orElse(decoded.flatMap(_.toAddress)),
               m.receiverWallet, m.amount,
               c.failed || m.failed,
@@ -5659,7 +5680,7 @@ object ProtocolMatchers {
           case m if m eq JettonTransferMatcher =>
             new JettonTransferResolvedMatcher(resolve, owner, repo = true)
           case m if m eq JettonBurnMatcher =>
-            new JettonBurnResolvedMatcher(resolve)
+            new JettonBurnResolvedMatcher(resolve, owner, repo = true)
           case m if m eq StonfiV2SwapMatcher => stonfiV2SwapMatcher(resolve)
           case m if m eq StonfiV2FullSwapMatcher => new StonfiV2FullSwap(resolve)
           case m if m eq StonfiV1FullSwapMatcher =>
@@ -5682,7 +5703,7 @@ object ProtocolMatchers {
           case m if m eq DedustFullSwapMatcher =>
             new DedustFullSwap(resolve)
           case m: JettonMintCallMatcher =>
-            new JettonMintCallMatcher(m.mintOp, owner)
+            new JettonMintCallMatcher(m.mintOp, owner, resolve, repo = true)
           case m if m eq ToncoDepositLiquidityMatcher =>
             new ToncoDepositLiquidityFull(resolve)
           case m if m eq ToncoWithdrawLiquidityFullMatcher =>

@@ -186,7 +186,8 @@ class GoldenParity2Spec extends SparkSpec {
       // the pool's USDe wallet row must exist or the transfer matcher
       // refuses the leg (jettons.py:70-74)
       jettonWallets = Map(ethUserUsdeWallet -> ethUsdeMaster,
-        ethPoolUsdeWallet -> ethUsdeMaster))
+        ethPoolUsdeWallet -> ethUsdeMaster,
+        ethUserTsWallet -> ethTsUsdeMaster))
     val a = actions.find(_.`type` == "stake_deposit").get
     // YAML: source/source_secondary/destination/amount/asset/asset2
     assert(a.source.contains(ethUser))
