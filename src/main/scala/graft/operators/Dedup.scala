@@ -246,6 +246,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list: connected components
+    * with the component's minimum doc_id as the canonical representative
+    * — the step a training pipeline runs after pair generation (keep one
+    * doc per cluster, drop the rest). Iterative min-label contraction:
+    * each round relabels edges, derives the min-neighbor parent forest
+    * (strictly decreasing → acyclic) and FULLY compresses it with the
+    * pointer-doubling fixpoint (GraphOps.forestRoots), so label chains
+    * collapse logarithmically instead of one hop per round. Only
+    * (label, label) pairs ever shuffle; nothing is collected to the
+    * driver. Docs in no pair are singletons (their own canonical) and
+    * are omitted from the output. */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc_id"))
+      .unionByName(edges.select(col("v").as("doc_id")))
+      .distinct().withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val lu = labels.select(col("doc_id").as("u"), col("label").as("lu"))
+      val lv = labels.select(col("doc_id").as("v"), col("label").as("lv"))
+      val e2 = edges.join(lu, "u").join(lv, "v")
+        .select(col("lu"), col("lv")).filter(col("lu") =!= col("lv"))
+        .localCheckpoint()
+      if (e2.isEmpty) converged = true
+      else {
+        val sym = e2.unionByName(
+          e2.select(col("lv").as("lu"), col("lu").as("lv")))
+        val parents = sym.groupBy("lu").agg(min("lv").as("m"))
+          .filter(col("m") < col("lu"))
+          .select(col("lu").as("id"), col("m").as("parent"))
+        val compressed = graft.plans.GraphOps.forestRoots(parents)
+        labels = labels
+          .join(compressed.select(col("id").as("label"), col("root")),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxRounds rounds")
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Exact all-pairs shingle Jaccard (quadratic — test oracle only). */
   def bruteForcePairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sets = docs.withColumn("sh", shingles(col("text")))
@@ -315,5 +362,34 @@ object Dedup {
     exactJaccardPairs(s, shingled(s, dir), 0.3).orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(d10, d11, d12, d13)
+  /** Near-dup clusters over the exact J ≥ 0.3 pair graph, canonical =
+    * component min. The oracle recomputes the pairs quadratically and
+    * takes the transitive closure with a recursive CTE — exact CC ground
+    * truth, feasible because the gate corpus is small; the Spark side is
+    * the log-round contraction that holds at any scale. */
+  val d14 = Q("d14_dedup_clusters",
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.s, b.s)) * 10 >=
+       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+       |)
+       |SELECT a AS doc_id, min(b) AS canonical_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    dupClusters(exactJaccardPairs(s, shingled(s, dir), 0.3))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14)
 }

@@ -68,6 +68,38 @@ class DedupSpec extends SparkSpec {
     assert(indexed == brute)
   }
 
+  test("dupClusters equals union-find on adversarial pair graphs " +
+      "(chains, stars, merged components, increasing/decreasing paths)") {
+    import spark.implicits._
+    // components: {1..6} via a zig-zag chain, {10,11,12} via a star with
+    // a NON-min hub (11), {20,21} pair, and a decreasing path {30..34}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L),
+      (11L, 10L), (11L, 12L),
+      (20L, 21L),
+      (34L, 33L), (33L, 32L), (32L, 31L), (31L, 30L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val nodes = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // canonical = component min: normalize union-find roots to minima
+    val byRoot = nodes.groupBy(find)
+    val expected = byRoot.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("simhash is a pure function of text") {
     val sigs = docs.withColumn("sim", Dedup.simhash(col("text")))
       .select("doc_id", "sim").collect()
