@@ -141,11 +141,24 @@ class GoldenDistributedSpec extends graft.SparkSpec {
           (a, i.index, i.collection) }).distinct
           .toDF("account", "item_index", "collection")
 
-        val actual = ClassifyJob.run(spark, txDf, msgDf,
-            ClassifyDims(Some(ifDim), Some(jwDim), Some(nftDim)))
+        val dims = ClassifyDims(Some(ifDim), Some(jwDim), Some(nftDim))
+        val actual = ClassifyJob.run(spark, txDf, msgDf, dims)
           .collect().groupBy(_.trace_id)
+        // classification_state parity: the narrow-output path's per-trace
+        // state (ok/failed/broken/unclassified) must equal the local
+        // classifyStatedWith verdict on the same dims
+        val distStates = ClassifyJob.runProjected(spark, txDf, msgDf, dims,
+            Seq("trace_id", "classification_state"))
+          .distinct().collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
 
         ts.foreach { t =>
+          val (_, localState) = Classifier.classifyStatedWith(t.traceId,
+            t.txs, t.msgsByTx, ProtocolMatchers.registryWith(
+              t.interfaces, t.jettonWallets, t.nftItems, t.walletOwners))
+          if (!distStates.get(t.traceId).contains(localState))
+            failures += s"trace ${t.traceId}: classification_state " +
+              s"local=$localState spark=${distStates.get(t.traceId)}"
           val exp = GoldenCorpus.classify(t).sortBy(_.action_id)
           val act = actual.getOrElse(t.traceId, Array.empty[ActionRow])
             .toSeq.sortBy(_.action_id)
