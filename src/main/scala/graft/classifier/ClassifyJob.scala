@@ -75,16 +75,18 @@ object ClassifyJob {
     * Schemas.amount = DecimalType(38,0)), so rewrite every decimal leaf
     * of the encoder tree to (38,0).
     *
-    * ≤38-digit invariant: under default non-ANSI Spark a BigDecimal
-    * wider than 38 integer digits encodes to NULL silently. The
-    * reference stores these columns as unbounded Postgres NUMERIC, so
-    * 38 digits is a deliberate cap, not parity: Coins (≤1e38) and
-    * uint64 amounts always fit; the two uint128-shaped fields (TONCO
-    * liquidity, initial_price_x96 ≈ sqrt_price·2^96 ~ 1e29 for
-    * unit-price pools) fit for every value observed on chain but CAN
-    * exceed the cap for degenerate price ratios — such a value nulls
-    * rather than throwing. If that ever matters, move the column to a
-    * string like the uint256 hash fields. */
+    * ≤38-digit invariant: a BigDecimal wider than 38 integer digits
+    * FAILS the encoder loudly (EXPRESSION_ENCODING_FAILED — verified in
+    * TypedActionsSpec), so an overflow can never silently corrupt or
+    * null a money column. The reference stores these columns as
+    * unbounded Postgres NUMERIC, so 38 digits is a deliberate cap, not
+    * parity: Coins (≤1e38) and uint64 amounts always fit; the two
+    * uint128-shaped fields (TONCO liquidity, initial_price_x96 ≈
+    * sqrt_price·2^96 ~ 1e29 for unit-price pools) fit for every value
+    * observed on chain but CAN exceed the cap for degenerate price
+    * ratios — such a trace would fail its classify task visibly. If
+    * that ever bites, move the column to a string like the uint256
+    * hash fields. */
   private def integerDecimals(e: AgnosticEncoder[_]): AgnosticEncoder[_] =
     e match {
       case AgnosticEncoders.ScalaDecimalEncoder(_) =>

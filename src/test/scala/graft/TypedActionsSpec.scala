@@ -25,6 +25,29 @@ class TypedActionsSpec extends SparkSpec {
     assert(mc.nonEmpty && mc.head.getAs[Int]("mc_seqno_end") == 100)
   }
 
+  test("money columns encode at Decimal(38,0): mainnet-scale 1e24 " +
+      "amounts round-trip exactly; a 39-digit value FAILS LOUDLY " +
+      "(encoder overflow) instead of corrupting or silently nulling") {
+    import graft.classifier.{ActionRow, Classifier, ClassifyJob, TxLite}
+    implicit val enc: org.apache.spark.sql.Encoder[ActionRow] =
+      ClassifyJob.actionRowEncoder
+    val base = Classifier.unknownAction("t39",
+      Seq(TxLite("h", "0:A", 1L, 1, "active", "active", false, None, None,
+        0L, "ord")))
+    val big24 = BigDecimal("123456789012345678901234") // 24 digits
+    val ok = spark.createDataset(Seq(
+        base.copy(action_id = "a", value = Some(big24))))
+      .collect().head.value
+    assert(ok.contains(big24), s"1e24-scale amount mangled: $ok")
+    val over = BigDecimal("1" + "0" * 38) // 39 digits
+    val e = intercept[Exception] {
+      spark.createDataset(Seq(base.copy(action_id = "b", value = Some(over))))
+        .collect()
+    }
+    assert(e.getMessage.contains("ENCODING_FAILED") ||
+      e.toString.contains("Decimal"), s"unexpected failure shape: $e")
+  }
+
   test("ton_transfer_data carries the decoded text comment") {
     import graft.functions.Boc
     val body = new Boc.Builder()
