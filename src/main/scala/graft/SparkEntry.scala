@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     operators.Relational.all ++ operators.TextOps.all ++
-      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Dedup.all ++ operators.Curation.all ++
+      operators.Similarity.all ++
       operators.Multimodal.all ++ operators.ApiQueries.all ++
       plans.GraphOps.all ++ plans.ChainSim.all ++ plans.SilverLayer.all ++
       streaming.StreamQueries.all

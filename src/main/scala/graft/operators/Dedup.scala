@@ -39,9 +39,9 @@ object Dedup {
   }
 
   /** DuckDB mirror of `shingles` — CTE fragment producing (doc_id, s).
-    * Shared by the d11/d13 oracles so both stay in lock-step with the
-    * Spark tokenizer. */
-  private val shingleCte: String =
+    * Shared by the d11/d13 oracles (and Curation's d15) so all stay in
+    * lock-step with the Spark tokenizer. */
+  private[operators] val shingleCte: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
       |         trim(text) AS tt
@@ -64,7 +64,7 @@ object Dedup {
   // the regex split into the per-element lambda — ~3 full-text splits per
   // shingle position, ~1000 regex evaluations per document. From a
   // materialized array, each position is three O(1) element_at calls.
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     graft.plans.SilverStore.table(s, dir, "doc_shingles") {
       val toks = T.documents(s, dir)
         .select(col("doc_id"), trim(col("text")).as("tt"),
