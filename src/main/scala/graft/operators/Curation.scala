@@ -198,5 +198,148 @@ object Curation {
     scrub(T.documents(s, dir), Blocklist).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18)
+  // ---------------------------------------------------------------- d19
+
+  /** Word bigrams ("a b") of a token array; empty for <2 tokens. */
+  private def bigramsOf(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB mirror of `bigramsOf` over the shared tokenizer: CTE
+    * producing (doc_id, b) with b a bigram LIST (duplicates kept). */
+  private val bigramCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 2 THEN
+      |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |    ELSE [] END AS b
+      |  FROM toks
+      |)""".stripMargin
+
+  /** CCNet-style n-gram LM quality filter, integer-exact. Builds a
+    * bigram count table from a reference corpus, then scores every
+    * candidate document by joining its bigram OCCURRENCES (duplicates
+    * kept — each occurrence is scored, as an LM would) against the
+    * table: `n_oov` occurrences of unseen bigrams, `hit_mass` the summed
+    * reference counts of seen ones (the monotone integer analogue of the
+    * log-prob sum — ranking by it orders docs like in-domain
+    * probability, with no float column to flake the hash gate).
+    * `lm_ok` keeps docs with ≥80% in-vocabulary bigram occurrences.
+    *
+    * Scale: the count table is the LM — reference corpora are curated
+    * and bounded (CCNet's Wikipedia LM ~10⁸ n-grams), so it broadcasts;
+    * above that, prune hapax n-grams / top-K by count first (one cheap
+    * aggregate) or fall back to a shuffle join keyed by the bigram —
+    * the operator shape is unchanged. The candidate side never shuffles:
+    * explode → broadcast-join → partial-agg groupBy(doc_id) keeps every
+    * wide row local to its scan partition. */
+  def lmScore(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    val counts = reference
+      .select(explode(col("bg")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val scored = corpus
+      .select(col("doc_id"), explode(col("bg")).as("g"))
+      .join(broadcast(counts), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("cnt").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("hit_mass"))
+    corpus.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("hit_mass"), lit(0L)).as("hit_mass"),
+        (coalesce(col("n_oov"), lit(0L)) * 5 <=
+          coalesce(col("n_bigrams"), lit(0L))).as("lm_ok"))
+  }
+
+  /** LM filter with doc_id ≡ 0 mod 13 standing in for the curated
+    * reference corpus (scored docs are the rest). */
+  val d19 = Q("d19_lm_quality",
+    s"""$bigramCte,
+       |refc AS (
+       |  SELECT g, count(*) AS cnt
+       |  FROM (SELECT unnest(b) AS g FROM bg WHERE doc_id % 13 = 0)
+       |  GROUP BY g
+       |),
+       |occ AS (
+       |  SELECT doc_id, unnest(b) AS g FROM bg WHERE doc_id % 13 <> 0
+       |),
+       |sc AS (
+       |  SELECT o.doc_id, count(*) AS n_bigrams,
+       |    count(*) FILTER (WHERE r.cnt IS NULL) AS n_oov,
+       |    coalesce(sum(r.cnt), 0) AS hit_mass
+       |  FROM occ o LEFT JOIN refc r ON o.g = r.g GROUP BY o.doc_id
+       |)
+       |SELECT b.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(s.n_oov, 0) AS n_oov,
+       |  CAST(coalesce(s.hit_mass, 0) AS BIGINT) AS hit_mass,
+       |  coalesce(s.n_oov, 0) * 5 <= coalesce(s.n_bigrams, 0) AS lm_ok
+       |FROM bg b LEFT JOIN sc s ON b.doc_id = s.doc_id
+       |WHERE b.doc_id % 13 <> 0
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val base = Dedup.shingled(s, dir)
+      .select(col("doc_id"), bigramsOf(col("toks")).as("bg"))
+    lmScore(base.filter(col("doc_id") % 13 =!= 0),
+        base.filter(col("doc_id") % 13 === 0))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- d20
+
+  /** Gopher-style intra-document repetition signals, zero-shuffle. For
+    * each document: total / distinct bigram counts and the occurrence
+    * count of its MOST FREQUENT bigram, plus a `repetitive` flag (top
+    * bigram covers ≥10% of all bigram occurrences — the duplicate-n-gram
+    * fraction rule from deduplicated-LM data work).
+    *
+    * The per-row max-run scan is O(L log L) sort + one linear
+    * `aggregate` pass over the sorted array — a pure column program
+    * inside whole-stage codegen, no explode/groupBy shuffle, so at
+    * 100 TB it rides the scan like every other TextOps signal. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val bg = bigramsOf(split(trim(col("text")), "\\s+"))
+    val sorted = array_sort(bg)
+    val maxRun = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col("doc_id"),
+      size(bg).cast("long").as("n_bigrams"),
+      size(array_distinct(bg)).cast("long").as("n_distinct"),
+      maxRun.as("max_count"),
+      (maxRun * 10 >= size(bg).cast("long")).as("repetitive"))
+  }
+
+  val d20 = Q("d20_repetition_signals",
+    s"""$bigramCte,
+       |occ AS (SELECT doc_id, unnest(b) AS g FROM bg),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    count(*) AS n_distinct, max(c) AS max_count
+       |  FROM cnt GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.n_distinct, 0) AS n_distinct,
+       |  coalesce(a.max_count, 0) AS max_count,
+       |  coalesce(a.max_count, 0) * 10 >= coalesce(a.n_bigrams, 0)
+       |    AS repetitive
+       |FROM bg b LEFT JOIN agg a ON b.doc_id = a.doc_id
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    repetitionSignals(T.documents(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20)
 }

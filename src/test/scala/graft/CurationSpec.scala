@@ -95,6 +95,80 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- d19
+
+  test("lm scoring matches a brute-force count-table lookup") {
+    val rows = Curation.d19.fn(spark, sf).collect()
+    // brute force in plain Scala
+    def bigrams(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.size >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Nil
+    }
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> bigrams(r.getString(1))).toMap
+    val refCounts = all.filter(_._1 % 13 == 0).values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, bg) = (r.getLong(0), all(r.getLong(0)))
+      assert(id % 13 != 0)
+      assert(r.getLong(1) == bg.size.toLong, s"n_bigrams doc $id")
+      assert(r.getLong(2) == bg.count(!refCounts.contains(_)).toLong,
+        s"n_oov doc $id")
+      assert(r.getLong(3) == bg.map(refCounts.getOrElse(_, 0L)).sum,
+        s"hit_mass doc $id")
+      assert(r.getBoolean(4) == (r.getLong(2) * 5 <= r.getLong(1)))
+    }
+    assert(rows.exists(_.getLong(2) > 0), "some OOV occurrences expected")
+    assert(rows.exists(_.getLong(3) > 0), "some in-vocab mass expected")
+  }
+
+  test("lm count table stays broadcast: no shuffle on the candidate side") {
+    val base = docs
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(toks) >= 2 THEN
+                 transform(sequence(0, size(toks) - 2),
+                   i -> concat_ws(' ', toks[i], toks[i+1]))
+               ELSE array() END""").as("bg"))
+    val plan = Curation.lmScore(base.filter(col("doc_id") % 13 =!= 0),
+        base.filter(col("doc_id") % 13 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"count-table join must broadcast:\n$plan")
+  }
+
+  // ---------------------------------------------------------- d20
+
+  test("repetition signals match per-doc bigram frequency brute force") {
+    val rows = Curation.d20.fn(spark, sf).collect()
+    val all = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).trim.split("\\s+").toSeq
+        val bg = if (w.size >= 2) w.sliding(2).map(_.mkString(" ")).toSeq
+                 else Nil
+        r.getLong(0) -> bg
+      }.toMap
+    assert(rows.length == all.size)
+    rows.foreach { r =>
+      val bg = all(r.getLong(0))
+      val counts = bg.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(r.getLong(1) == bg.size.toLong)
+      assert(r.getLong(2) == counts.size.toLong)
+      assert(r.getLong(3) == (if (counts.isEmpty) 0L else counts.values.max))
+      assert(r.getBoolean(4) == (r.getLong(3) * 10 >= r.getLong(1)))
+    }
+  }
+
+  test("repetition plan is shuffle-free: pure scan-side column program") {
+    val plan = Curation.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition signals must not shuffle:\n$plan")
+  }
+
   // ---------------------------------------------------------- d18
 
   test("scrub removes every blocklisted token, preserves count and order") {
