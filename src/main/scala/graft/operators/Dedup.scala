@@ -108,22 +108,29 @@ object Dedup {
     * the jaccard threshold is applied in integer math
     * (inter * 10 ≥ t·10 · uni), so the result carries no float column and
     * hash-compares bit-exactly against the SQL oracle. */
+  /** (doc_id, sh) → (doc_id, sig): the 64-slot MinHash signature table.
+    * Shared by the batch LSH pipeline and the streaming online index. */
+  private[graft] def signaturesOf(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        expr("transform(sh, s -> xxhash64(s))").as("shl"))
+      .select(col("doc_id"), minhashSig(col("shl")).as("sig"))
+
+  /** (doc_id, sig) → (doc_id, band, bkey): band key = hash of the band's
+    * signature slice, exploded to one narrow row per band BEFORE any
+    * shuffle. Shared by batch banding and the streaming online index. */
+  private[graft] def bandKeyRows(withSig: DataFrame): DataFrame =
+    withSig.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${BANDS - 1}),
+            b -> xxhash64(b, ${(0 until ROWS_PER_BAND).map(i =>
+              s"element_at(sig, b * $ROWS_PER_BAND + ${i + 1})").mkString(", ")}))"""))
+        .as(Seq("band", "bkey")))
+
   def minhashPairsFrom(base: DataFrame, minJaccard: Double): DataFrame = {
     val t10 = math.round(minJaccard * 10).toInt
     require(t10 / 10.0 == minJaccard, "threshold must be a multiple of 0.1")
-    val withSig = base
-      .select(col("doc_id"),
-        expr("transform(sh, s -> xxhash64(s))").as("shl"))
-      .select(col("doc_id"), minhashSig(col("shl")).as("sig"))
-      .localCheckpoint()
-    // band key = hash of the band's signature slice; explode to
-    // (band, key, doc_id) — narrow row before the shuffle.
-    val bands = withSig.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${BANDS - 1}),
-              b -> xxhash64(b, ${(0 until ROWS_PER_BAND).map(i =>
-                s"element_at(sig, b * $ROWS_PER_BAND + ${i + 1})").mkString(", ")}))"""))
-          .as(Seq("band", "bkey")))
+    val withSig = signaturesOf(base).localCheckpoint()
+    val bands = bandKeyRows(withSig)
     val buckets = bands.groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -138,7 +145,7 @@ object Dedup {
 
   /** Exact verification join: candidate (doc_a, doc_b) pairs → integer
     * intersection/union sizes, thresholded at t10/10 Jaccard. */
-  private def verifyPairs(candidates: DataFrame, base: DataFrame,
+  private[graft] def verifyPairs(candidates: DataFrame, base: DataFrame,
       t10: Int): DataFrame = {
     val ja = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val jb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -92,5 +92,24 @@ object StreamQueries {
       .select("hash", "finality").orderBy("hash", "finality")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03)
+  /** Batch unification of `StreamDedup.markDuplicates` (first-seen exact
+    * dedup): when documents arrive in doc_id order the streaming canonical
+    * is exactly `min(doc_id) OVER (PARTITION BY content hash)` — the spec
+    * (StreamDedupSpec) proves the stateful-stream side equals this program
+    * across micro-batch splits and restarts; the oracle pins the program. */
+  val s04 = Q("s04_first_seen_dedup",
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val canon = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text").cast("binary"))))
+    T.documents(s, dir)
+      .select(col("doc_id"), canon.as("canonical_id"),
+        (col("doc_id") =!= canon).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04)
 }
