@@ -411,6 +411,25 @@ object ApiQueries {
         ltMax = Some(5000L), limit = 100))
   }
 
+  /** /transactionsByMasterchainBlock (main.go:421-443 → QueryTransactions
+    * with BlockRequest{McSeqno}, crud/crud_transactions.go:86): every tx
+    * committed under one masterchain block. Exercises the mc_block_seqno
+    * point filter + the mcSeqno O2 sort branch (lt, hash desc). At scale
+    * the txs silver is laid out partitioned by mc_seqno bucket
+    * (plans/Layout.scala), so this is a partition-pruned scan, not a
+    * full-table filter. */
+  val a18 = Q("a18_tx_by_mc_block",
+    """SELECT concat('T', event_id) AS hash, concat('0:', user_id) AS account,
+      |  event_id AS lt, cast(event_id // 50 + 1 AS int) AS mc_block_seqno
+      |FROM events
+      |WHERE event_id // 50 + 1 = 3
+      |ORDER BY lt DESC, hash DESC LIMIT 100""".stripMargin) { (s, dir) =>
+    val (txs, _) = ChainSim.simulate(s, dir)
+    QueryLayer.transactions(txs,
+        QueryLayer.TxRequest(mcSeqno = Some(3), limit = 100))
+      .select("hash", "account", "lt", "mc_block_seqno")
+  }
+
   val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17)
+    a11, a12, a13, a14, a15, a16, a17, a18)
 }

@@ -274,5 +274,79 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05)
+  // ------------------------------------------------- int8 quantized scan
+
+  /** Per-vector symmetric int8 quantization: scale s = max|x|/127,
+    * q_i = floor(x_i/s + 0.5) ∈ [-127, 127]. floor(.. + 0.5) instead of
+    * round(): IEEE divide/add/floor are bit-identical on every engine,
+    * while round() half-cases differ (Java half-up vs DuckDB
+    * half-away) — so quantized vectors, integer dots, and therefore
+    * RANKS reproduce exactly everywhere. */
+  private def quantize(v: Column): Column = {
+    val s = scaleOf(v)
+    transform(v, x => floor(x / s + 0.5d).cast("long"))
+  }
+
+  private def scaleOf(v: Column): Column =
+    greatest(array_max(transform(v, abs(_))), lit(1e-30d)) / 127d
+
+  /** Integer dot product of two quantized vectors — exact int64 math. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by int8-quantized cosine: score = intDot(qa, qb)·sa·sb (the
+    * norms are constants per ranking and cancel). This is the
+    * memory-bandwidth scale path of the e-family: a 100 TB float32
+    * corpus becomes 25 TB of int8 codes, the scan's inner loop is
+    * integer multiply-add (SIMD-friendly, 4× fewer bytes moved), and
+    * exact re-ranking of the short candidate list — bruteForceTopK over
+    * k·few rows — happens after, reading full-precision vectors for
+    * ~k rows per query instead of the whole corpus. Corpus is never
+    * shuffled: quantization is a column program on the scan, queries
+    * broadcast. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      quantize(asDouble(col("embedding"))).as("cq"),
+      scaleOf(asDouble(col("embedding"))).as("cs"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      quantize(asDouble(col("embedding"))).as("qq"),
+      scaleOf(asDouble(col("embedding"))).as("qs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("int_dot", intDot(col("cq"), col("qq")))
+      .withColumn("score", col("int_dot") * col("cs") * col("qs"))
+      .withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id", "int_dot")
+  }
+
+  /** Quantized-scan ANN, oracle-exact: the DuckDB mirror requantizes and
+    * ranks identically (integer dots ≤ 64·127² are exact in its double
+    * list_dot_product), so ranks AND raw integer dots hash-compare. */
+  val e06 = Q("e06_ann_quantized",
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> abs(x))), 1e-30) / 127 AS s,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x / (greatest(list_max(list_transform(
+      |        CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-30) / 127)
+      |        + 0.5)) AS q
+      |  FROM embeddings)
+      |SELECT query_id, n_rank, neighbor_id, int_dot FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(q.q, e.q) AS BIGINT) AS int_dot,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.q, e.q) * e.s * q.s DESC,
+      |               e.vec_id) AS n_rank
+      |  FROM qv q, qv e
+      |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+      |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
+    quantizedTopK(T.embeddings(s, dir), queriesOf(s, dir), 5)
+      .orderBy("query_id", "n_rank")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
 }

@@ -141,7 +141,7 @@ object ChainSim {
       col("acct").as("account"),
       col("event_id").as("lt"),
       col("event_id").cast("int").as("now"),
-      lit(100).as("mc_block_seqno"),
+      expr("CAST(event_id DIV 50 + 1 AS INT)").as("mc_block_seqno"),
       when(col("event_type") === "signup", "uninit").otherwise("active")
         .as("orig_status"),
       lit("active").as("end_status"),
@@ -255,7 +255,7 @@ object ChainSim {
       col("acct").as("account"),
       col("event_id").as("lt"),
       col("event_id").cast("int").as("now"),
-      lit(100).as("mc_block_seqno"),
+      expr("CAST(event_id DIV 50 + 1 AS INT)").as("mc_block_seqno"),
       lit("active").as("orig_status"), lit("active").as("end_status"),
       lit(false).as("aborted"),
       lit(null).cast("int").as("compute_exit_code"),
@@ -1022,7 +1022,7 @@ object ChainSim {
         acctOf(col("event_id")).as("account"),
         col("event_id").as("lt"),
         col("event_id").cast("int").as("now"),
-        lit(100).as("mc_block_seqno"),
+        expr("CAST(event_id DIV 50 + 1 AS INT)").as("mc_block_seqno"),
         lit("active").as("orig_status"), lit("active").as("end_status"),
         lit(false).as("aborted"),
         lit(null).cast("int").as("compute_exit_code"),

@@ -52,4 +52,32 @@ class SimilaritySpec extends SparkSpec {
         transform(col("eb"), x => x.cast("double"))))
     assert(withScore.filter(col("score") < 0.45).count() == 0)
   }
+
+  test("int8-quantized scan: exact integer dots, high recall vs full precision") {
+    val got = Similarity.quantizedTopK(emb, queries, 5)
+    val rows = got.collect()
+    assert(rows.length == 8 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+
+    // integer dots must equal a plain-Scala int8 quantization, bit-exact
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def quant(v: Array[Double]): Array[Long] = {
+      val s = math.max(v.map(math.abs).max, 1e-30) / 127.0
+      v.map(x => math.floor(x / s + 0.5).toLong)
+    }
+    val q = vecs.map { case (id, v) => id -> quant(v) }
+    rows.foreach { r =>
+      val expect = q(r.getLong(0)).zip(q(r.getLong(2))).map(p => p._1 * p._2).sum
+      assert(r.getLong(3) == expect,
+        s"int_dot mismatch for (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    assert(q.values.forall(_.forall(x => x >= -127 && x <= 127)),
+      "codes must fit int8")
+
+    // int8 is a fine approximation at dim 64: recall@5 should be near 1
+    val truth = pairs(exact)
+    val recall = truth.count(pairs(got).contains).toDouble / truth.size
+    assert(recall >= 0.9, s"quantized recall $recall < 0.9")
+  }
 }

@@ -20,9 +20,16 @@ class TypedActionsSpec extends SparkSpec {
     val row = typed.filter(col("trace_end_lt").isNotNull).limit(1).collect()
     assert(row.nonEmpty)
     // per-action mc_seqno_end = max mc_block_seqno over the action's txs
-    // (block_tree_serializer.py:114) — the sim stamps every tx with 100
-    val mc = typed.filter(col("mc_seqno_end").isNotNull).limit(1).collect()
-    assert(mc.nonEmpty && mc.head.getAs[Int]("mc_seqno_end") == 100)
+    // (block_tree_serializer.py:114) — the sim stamps tx T<id> with
+    // id DIV 50 + 1, so the max recomputes from the tx_hashes list
+    val mc = typed.filter(col("mc_seqno_end").isNotNull)
+      .select("mc_seqno_end", "tx_hashes").limit(5).collect()
+    assert(mc.nonEmpty)
+    mc.foreach { r =>
+      val expect = r.getSeq[String](1)
+        .map(h => h.drop(1).toLong / 50 + 1).max.toInt
+      assert(r.getAs[Int]("mc_seqno_end") == expect)
+    }
   }
 
   test("money columns encode at Decimal(38,0): mainnet-scale 1e24 " +
