@@ -341,5 +341,74 @@ object Curation {
     repetitionSignals(T.documents(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20)
+  // ---------------------------------------------------------------- d21
+
+  /** Distributed BPE-merge training — the tokenizer-TRAINING step of a
+    * data pipeline (d05 counts with a trained tokenizer's pre-split;
+    * this learns the merge table itself). Classic BPE trains on the
+    * DISTINCT-WORD HISTOGRAM, not raw text, so the working set is
+    * vocabulary-sized and corpus-size-independent: a 100-TB corpus with
+    * a 10⁷-word vocabulary trains on 10⁷ narrow rows.
+    *
+    * Each round: explode each word's adjacent symbol pairs weighted by
+    * word frequency → groupBy(pair) sum → the single most frequent pair
+    * (ties broken lexicographically, so training is deterministic on
+    * any partitioning) becomes the next merge; the merge is applied to
+    * the symbol arrays as a left-to-right non-overlapping fold — a pure
+    * `aggregate` column program, no UDF. One tiny top-1 collect per
+    * round reaches the driver (the merge table IS driver state, exactly
+    * like real tokenizer training); production variants batch the top-K
+    * non-interacting pairs per round to cut rounds — same plan shape.
+    *
+    * Returns the learned merge table: (merge_rank, left, right, freq). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val top = words
+        .select(col("n"), posexplode(expr(
+          // size guard: sequence(1, 0) would count DOWN and fabricate
+          // null pairs for single-symbol words
+          """CASE WHEN size(syms) >= 2 THEN
+               transform(sequence(1, size(syms) - 1),
+                 i -> struct(syms[i-1] AS a, syms[i] AS b))
+             ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""))
+          .as(Seq("i", "p")))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("n").as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, a, b, f))
+        val merged = concat_ws("", lit(a), lit(b))
+        words = words.select(
+          aggregate(col("syms"),
+            expr("CAST(array() AS array<string>)"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Learned merge table for 12 merges over the corpus. Iterative →
+    * no SQL oracle (rows-only driver check); CurationSpec pins exact
+    * equality against a plain-Scala BPE on the same histogram. */
+  val d21 = graft.Q.noOracle("d21_bpe_merges") { (s, dir) =>
+    import s.implicits._
+    bpeTrain(T.documents(s, dir), 12)
+      .toDF("merge_rank", "left", "right", "freq")
+      .orderBy("merge_rank")
+  }
+
+  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21)
 }

@@ -274,6 +274,75 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // --------------------------------------------------- k-means quantizer
+
+  /** Deterministic distributed k-means (Lloyd, cosine assignment) — the
+    * coarse-quantizer TRAINING step that turns ivfTopK from
+    * "partition by whatever label the data came with" into a real IVF
+    * index. Everything is order-independent: init takes the k smallest
+    * vec_ids, assignment breaks score ties by cluster id, and new
+    * centroids are per-dimension exact Decimal sums (cosine is
+    * scale-invariant, so the un-normalized sum IS the centroid) — two
+    * runs produce identical clusters on any partitioning.
+    *
+    * Scale: each iteration is one broadcast-join + one groupBy over
+    * (cluster, dim) — the corpus is scanned, never shuffled by vector.
+    * Centroids live in a DataFrame and reach the executors via
+    * broadcast: for a 100-TB corpus the coarse book is k≈65k × dim
+    * doubles ≈ 35 MB — broadcastable by design (IVF's whole point is a
+    * small coarse book; a billion-centroid book would be a different
+    * index). Iterations are a driver LOOP (k-means is inherently
+    * round-synchronous), each materialized so lineage stays flat. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .localCheckpoint()
+    val init = c.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("cv")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    var cents = c.sparkSession.createDataFrame(
+      c.sparkSession.sparkContext.parallelize(init.toSeq, 1)
+        .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cluster"))
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      assign = c.crossJoin(broadcast(cents))
+        .withColumn("score", cosine(col("cv"), col("centroid")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cluster"), col("cv"))
+        .localCheckpoint()
+      cents = assign
+        .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("x"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
+        .select(col("cluster"), transform(col("ps"), p => p("x")).as("centroid"))
+        .localCheckpoint()
+    }
+    assign.select("vec_id", "cluster")
+  }
+
+  /** IVF over TRAINED centroids: kmeansAssign relabels the corpus, then
+    * the probe-and-scan path is exactly ivfTopK. Approximate by nature
+    * (probe misses are possible) → rows-only driver check; determinism
+    * and recall pinned by SimilaritySpec. */
+  val e07 = Q.noOracle("e07_ann_ivf_kmeans") { (s, dir) =>
+    val emb = T.embeddings(s, dir)
+    val relabeled = emb.drop("label")
+      .join(kmeansAssign(emb, k = 8, iters = 3)
+        .withColumnRenamed("cluster", "label"), "vec_id")
+    ivfTopK(relabeled, queriesOf(s, dir), 5)
+      .orderBy("query_id", "n_rank")
+  }
+
   // ------------------------------------------------- int8 quantized scan
 
   /** Per-vector symmetric int8 quantization: scale s = max|x|/127,
@@ -348,5 +417,5 @@ object Similarity {
       .orderBy("query_id", "n_rank")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

@@ -169,6 +169,46 @@ class CurationSpec extends SparkSpec {
       s"repetition signals must not shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------------- d21
+
+  test("bpe training equals a plain-Scala reference on the same histogram") {
+    val got = Curation.bpeTrain(docs, 8)
+
+    // reference implementation over the collected word histogram
+    val hist = docs.collect()
+      .flatMap(_.getString(1).trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var words: Map[Vector[String], Long] = hist
+      .groupBy { case (w, _) => w.map(_.toString).toVector }
+      .view.mapValues(_.values.sum).toMap
+    val expect = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), f) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+        expect += ((rank, a, b, f))
+        words = words.groupBy { case (syms, _) =>
+          // left-to-right non-overlapping merge, identical to the fold
+          syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == a && s == b)
+              acc.init :+ (a + b)
+            else acc :+ s
+          }
+        }.view.mapValues(_.values.sum).toMap
+      }
+    }
+    assert(got == expect.result(), "merge tables diverge")
+    assert(got.size == 8)
+    assert(got.forall(_._4 > 0))
+  }
+
   // ---------------------------------------------------------- d18
 
   test("scrub removes every blocklisted token, preserves count and order") {

@@ -53,6 +53,50 @@ class SimilaritySpec extends SparkSpec {
     assert(withScore.filter(col("score") < 0.45).count() == 0)
   }
 
+  test("k-means coarse quantizer: deterministic, complete, and Lloyd-improving") {
+    val a1 = Similarity.kmeansAssign(emb, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.kmeansAssign(emb, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "training must be deterministic")
+    val n = emb.count()
+    assert(a1.size == n, "every vector must be assigned")
+    assert(a1.values.toSet.subsetOf((0 until 8).toSet))
+    assert(a1.values.toSet.size > 1, "clusters must not collapse")
+
+    // Lloyd monotonicity proxy: mean best-centroid cosine must not
+    // decrease with more iterations (computed against each run's OWN
+    // final centroids via a plain-Scala evaluation)
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def quality(assign: Map[Long, Int]): Double = {
+      val cents = assign.groupBy(_._2).map { case (c, m) =>
+        val vs = m.keys.map(vecs).toSeq
+        c -> vs.transpose.map(_.sum).toArray
+      }
+      assign.map { case (id, c) => cos(vecs(id), cents(c)) }.sum / assign.size
+    }
+    val q1 = quality(Similarity.kmeansAssign(emb, 8, 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    val q3 = quality(a1)
+    assert(q3 >= q1 - 1e-9, s"3-iter quality $q3 below 1-iter $q1")
+  }
+
+  test("IVF over trained centroids returns complete ranked neighbors") {
+    val rows = Similarity.e07.fn(spark, sf).collect()
+    assert(rows.length == 8 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val truth = pairs(exact)
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.1, s"trained-IVF recall $recall below chance floor")
+  }
+
   test("int8-quantized scan: exact integer dots, high recall vs full precision") {
     val got = Similarity.quantizedTopK(emb, queries, 5)
     val rows = got.collect()
