@@ -430,6 +430,79 @@ object ApiQueries {
       .select("hash", "account", "lt", "mc_block_seqno")
   }
 
+  /** /topAccountsByBalance (crud_accounts.go:218-237): balance DESC
+    * top-K with limit/offset batching over the latest-states dim —
+    * stays one TakeOrderedAndProject (off+lim rows) at any scale. */
+  val a19 = Q("a19_top_accounts_by_balance",
+    """SELECT concat('0:', c_custkey) AS account, c_acctbal AS balance
+      |FROM customer
+      |ORDER BY balance DESC, account LIMIT 10 OFFSET 5""".stripMargin) {
+    (s, dir) =>
+    val states = T.customer(s, dir).select(
+      concat(lit("0:"), col("c_custkey").cast("string")).as("account"),
+      col("c_acctbal").as("balance"))
+    QueryLayer.topAccountsByBalance(states, limit = 10, offset = 5)
+  }
+
+  /** /addressInformation (main.go:1697-1741, convert.go:14-32): one
+    * account's latest state in the v2 shape; the oracle restates the
+    * projection for the hit account. The missing-account fabricated row
+    * is spec-checked (QueryLayerSpec), not oracle-checked — DuckDB has
+    * no row to project it from. */
+  val a20 = Q("a20_address_information",
+    """SELECT concat('0:', c_custkey) AS account,
+      |  cast(cast(floor(c_acctbal) AS bigint) AS varchar) AS balance,
+      |  c_mktsegment AS code, c_comment AS data,
+      |  concat('T', c_custkey) AS last_transaction_hash,
+      |  cast(c_custkey * 1000 AS varchar) AS last_transaction_lt,
+      |  'active' AS status
+      |FROM customer WHERE c_custkey = 7""".stripMargin) { (s, dir) =>
+    val states = T.customer(s, dir).select(
+      concat(lit("0:"), col("c_custkey").cast("string")).as("account"),
+      floor(col("c_acctbal")).cast("long").as("balance"),
+      col("c_mktsegment").as("code_boc"),
+      col("c_comment").as("data_boc"),
+      concat(lit("T"), col("c_custkey").cast("string"))
+        .as("last_transaction_hash"),
+      (col("c_custkey") * 1000L).cast("long").as("last_transaction_lt"),
+      lit("active").as("account_status"))
+    QueryLayer.addressInformation(states, "0:7")
+  }
+
+  /** /walletInformation (main.go:1624-1680, convert.go:34-63): the
+    * wallet-catalog parse for one account over the a11 wallet-state
+    * fixture (user 8 → v3r2: seqno 8, the standard subwallet id); the
+    * oracle restates the parse by formula. */
+  val a21 = Q("a21_wallet_information",
+    """SELECT '0:8' AS account,
+      |  cast(80 AS varchar) AS balance,
+      |  'wallet v3 r2' AS wallet_type, cast(8 AS bigint) AS seqno,
+      |  cast(698983191 AS bigint) AS wallet_id,
+      |  'T8' AS last_transaction_hash,
+      |  cast(8000 AS varchar) AS last_transaction_lt,
+      |  'active' AS status
+      |FROM (SELECT DISTINCT user_id FROM events WHERE user_id = 8)""".stripMargin) {
+    (s, dir) =>
+    val v3r2 = "hNr6RJ+Ypph3ibojI1gHK8D3bcRSQAKl0JGLmnXS1Zk="
+    val mkData = udf { (uid: Long) =>
+      val b = new graft.functions.Boc.Builder()
+      b.storeUint(BigInt(uid % 100), 32).storeUint(BigInt(698983191L), 32)
+      graft.functions.Boc.serializeBase64(b.build())
+    }
+    val states = T.events(s, dir).select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(4)) === 0)
+      .select(
+        concat(lit("0:"), col("user_id").cast("string")).as("account"),
+        (col("user_id") * 10).cast("long").as("balance"),
+        lit(v3r2).as("code_hash"),
+        mkData(col("user_id").cast("long")).as("data_boc"),
+        concat(lit("T"), col("user_id").cast("string"))
+          .as("last_transaction_hash"),
+        (col("user_id") * 1000L).cast("long").as("last_transaction_lt"),
+        lit("active").as("account_status"))
+    QueryLayer.walletInformation(states, "0:8")
+  }
+
   val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
 }

@@ -410,5 +410,85 @@ object Curation {
       .orderBy("merge_rank")
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21)
+  // ---------------------------------------------------------------- d22
+
+  /** Exact duplicate-passage removal (the ExactSubstr shape of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", at word-n-gram granularity): every occurrence of a word
+    * n-gram that appears MORE THAN ONCE across the corpus — including
+    * self-repeats within one document — is removed except the canonical
+    * first occurrence (min (doc_id, position)); removal spans [i, i+n)
+    * union per document and the surviving tokens are reassembled in
+    * order. Unlike d10–d14 (whole-document dedup) this deduplicates
+    * passages WITHIN documents across the corpus — the boilerplate-
+    * removal step of a crawl pipeline.
+    *
+    * Scale shape: the corpus explodes to narrow (gram, doc, pos) rows
+    * once; duplicate marking is a single row_number window PARTITIONED
+    * BY GRAM (key-partitioned shuffle, no global sort, the canonical
+    * pick needs no join-back — rn > 1 IS the removal set); span union +
+    * text rebuild are per-document programs (one groupBy(doc_id) of the
+    * removal rows only — duplicated positions, typically a small
+    * fraction of the corpus — then a column-program filter over the
+    * token array; per-token membership probes cost O(covered) per doc,
+    * bounded by doc length). Nothing collects to the driver; suffix
+    * arrays (the paper's single-machine structure) are replaced by the
+    * window, which is the same duplicate census distributed. */
+  def passageDedup(docs: DataFrame, n: Int = 10): DataFrame = {
+    val withToks = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val grams = withToks.select(col("doc_id"),
+      posexplode(when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("i", "g")))
+    val w = Window.partitionBy("g").orderBy("doc_id", "i")
+    val removals = grams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+    val covered = removals
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set("p").as("cov"))
+    withToks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("t"),
+          (x, i) => coalesce(!array_contains(col("cov"), i), lit(true))))
+          .as("text"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val d22 = Q("d22_passage_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 10 THEN
+      |      [struct_pack(i := i - 1, g := array_to_string(w[i:i+9], ' '))
+      |       for i in range(1, len(w) - 8)]
+      |    ELSE [] END) AS x
+      |  FROM toks
+      |), rem AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, x.i AS i,
+      |      row_number() OVER (PARTITION BY x.g ORDER BY doc_id, x.i) AS rn
+      |    FROM occ) WHERE rn > 1
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, i + o AS p
+      |  FROM rem, unnest(generate_series(0, 9)) AS u(o)
+      |), tokpos AS (
+      |  SELECT doc_id, unnest(w) AS tok,
+      |    unnest(generate_series(0, len(w) - 1)) AS p
+      |  FROM toks
+      |)
+      |SELECT t.doc_id,
+      |  coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+      |    FILTER (WHERE c.p IS NULL), '') AS text,
+      |  CAST(count(c.p) AS BIGINT) AS n_dropped
+      |FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    passageDedup(T.documents(s, dir))
+  }
+
+  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22)
 }

@@ -126,6 +126,22 @@ object QueryLayer {
       .select("account", "balance", "account_status")
       .limit(clampLimit(n))
 
+  /** GET /api/v3/topAccountsByBalance (crud_accounts.go:218-237):
+    * `select account, balance from latest_account_states order by
+    * balance desc` with limit/offset batching. The account tie-break
+    * makes pagination total (the reference inherits postgres heap order
+    * on equal balances). limit+offset stays a single
+    * TakeOrderedAndProject of off+lim rows — no global sort
+    * materializes at any scale. */
+  def topAccountsByBalance(states: DataFrame, limit: Int = 10,
+      offset: Int = 0): DataFrame = {
+    val off = clampOffset(offset)
+    states.orderBy(col("balance").desc, col("account"))
+      .select("account", "balance")
+      .limit(off + clampLimit(limit))
+      .offset(off)
+  }
+
   /** W1 DISTINCT ON: shortest DNS domain per wallet (crud.go:297-300). */
   def shortestDomainPerWallet(dns: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -233,6 +249,64 @@ object QueryLayer {
         col("w.isSignatureAllowed").as("is_signature_allowed"),
         col("code_hash"))
       .orderBy(col("account")).limit(MaxLimit)
+  }
+
+  /** Zero transaction-hash sentinel the v2 handlers fabricate for
+    * accounts the state table has never seen (main.go:1652-1656,
+    * 1726-1731). */
+  private val ZeroTxHash = "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA="
+
+  /** GET /api/v3/addressInformation (main.go:1697-1741 →
+    * models/convert.go:14-32): ONE account's latest state projected to
+    * the v2 shape — balance, code/data BOCs, last-transaction pointer
+    * (lt serialized as string), status. A missing account yields the
+    * fabricated zero row (balance "0", zero tx hash, lt "0", status
+    * "uninit"). Declared as a left join from a one-row literal frame so
+    * the found/missing branch needs no driver-side action; against the
+    * account-sorted latest-states silver the probe partition-prunes. */
+  def addressInformation(states: DataFrame, account: String): DataFrame = {
+    val req = states.sparkSession.range(1)
+      .select(lit(account).as("account"))
+    req.join(states, Seq("account"), "left")
+      .select(
+        col("account"),
+        coalesce(col("balance").cast("string"), lit("0")).as("balance"),
+        col("code_boc").as("code"),
+        col("data_boc").as("data"),
+        coalesce(col("last_transaction_hash"), lit(ZeroTxHash))
+          .as("last_transaction_hash"),
+        coalesce(col("last_transaction_lt").cast("string"), lit("0"))
+          .as("last_transaction_lt"),
+        coalesce(col("account_status"), lit("uninit")).as("status"))
+  }
+
+  /** GET /api/v3/walletInformation (main.go:1624-1680 →
+    * models/convert.go:34-63): the walletStates parse for ONE account,
+    * gated — a row that is neither a wallet nor uninit is NOT a wallet
+    * (the handler 409s; here: zero rows). Missing account → the same
+    * fabricated uninit zero row as addressInformation. */
+  def walletInformation(states: DataFrame, account: String): DataFrame = {
+    val req = states.sparkSession.range(1)
+      .select(lit(account).as("account"))
+    val parse = udf { (ch: String, db: String) =>
+      graft.functions.WalletParse.parse(ch, db)
+    }
+    req.join(states, Seq("account"), "left")
+      .withColumn("w", when(col("account_status").isNotNull,
+        parse(col("code_hash"), col("data_boc"))))
+      .filter(col("account_status").isNull ||
+        col("w.isWallet") || col("account_status") === "uninit")
+      .select(
+        col("account"),
+        coalesce(col("balance").cast("string"), lit("0")).as("balance"),
+        col("w.walletType").as("wallet_type"),
+        col("w.seqno").as("seqno"),
+        col("w.walletId").as("wallet_id"),
+        coalesce(col("last_transaction_hash"), lit(ZeroTxHash))
+          .as("last_transaction_hash"),
+        coalesce(col("last_transaction_lt").cast("string"), lit("0"))
+          .as("last_transaction_lt"),
+        coalesce(col("account_status"), lit("uninit")).as("status"))
   }
 
   /** GET /api/v3/masterchainInfo (crud_blocks.go:134-157): the last and

@@ -228,4 +228,62 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------- d22
+
+  /** Plain-Scala ExactSubstr reference: census every word n-gram across
+    * the corpus, keep only the (doc_id, pos)-min occurrence of each
+    * duplicated one, union spans, rebuild. */
+  private def passageDedupBrute(corpus: Map[Long, Seq[String]], n: Int)
+      : Map[Long, (String, Long)] = {
+    val occ = for {
+      (id, t) <- corpus.toSeq; i <- 0 to t.size - n
+    } yield (t.slice(i, i + n).mkString(" "), id, i)
+    val removed = occ.groupBy(_._1).valuesIterator.flatMap { os =>
+      os.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSeq
+    val covByDoc = removed.groupBy(_._2).map { case (id, os) =>
+      id -> os.flatMap(o => o._3 until o._3 + n).toSet
+    }
+    corpus.map { case (id, t) =>
+      val cov = covByDoc.getOrElse(id, Set.empty)
+      id -> (t.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+        .mkString(" "), cov.size.toLong)
+    }
+  }
+
+  test("passage dedup removes exactly the non-canonical duplicated spans") {
+    import spark.implicits._
+    // doc 1 holds the canonical passage; docs 2 and 3 embed copies; doc 3
+    // additionally self-repeats a gram; doc 4 is clean and short
+    val passage = (1 to 12).map(i => s"p$i")
+    val fixture = Seq(
+      1L -> ((1 to 20).map(i => s"a$i") ++ passage).mkString(" "),
+      2L -> (passage ++ (1 to 15).map(i => s"b$i")).mkString(" "),
+      3L -> ((1 to 10).map(i => s"c$i") ++ (1 to 10).map(i => s"c$i")
+        ++ passage).mkString(" "),
+      4L -> (1 to 9).map(i => s"d$i").mkString(" "))
+    val df = fixture.toDF("doc_id", "text")
+    val got = Curation.passageDedup(df, n = 10).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val exp = passageDedupBrute(
+      fixture.map { case (id, t) => id -> t.split(" ").toSeq }.toMap, 10)
+    assert(got == exp)
+    assert(got(1L)._2 == 0L, "canonical doc must be untouched")
+    assert(got(2L)._1 == (1 to 15).map(i => s"b$i").mkString(" "))
+    assert(got(3L)._2 > 12L, "self-repeat plus passage copy both removed")
+    assert(got(4L) == ((1 to 9).map(i => s"d$i").mkString(" "), 0L))
+  }
+
+  test("passage dedup matches brute force on the real corpus") {
+    val corpus = docs.limit(120).cache()
+    val got = Curation.passageDedup(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val exp = passageDedupBrute(corpus.collect().map(r =>
+      r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap, 10)
+    assert(got == exp)
+    assert(exp.values.exists(_._2 > 0),
+      "fixture should contain at least one duplicated passage")
+    corpus.unpersist()
+  }
 }

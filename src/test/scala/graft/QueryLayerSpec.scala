@@ -73,6 +73,57 @@ class QueryLayerSpec extends SparkSpec {
     assert(got == Seq("0:B", "0:C", "0:A")) // balance desc, account tiebreak
   }
 
+  test("topAccountsByBalance pages with limit+offset, total order") {
+    import spark.implicits._
+    val states = (1 to 20).map(i => (s"0:$i", (i % 5).toLong * 100))
+      .toDF("account", "balance")
+    val all = QueryLayer.topAccountsByBalance(states, limit = 20)
+      .collect().map(_.getString(0)).toSeq
+    val p1 = QueryLayer.topAccountsByBalance(states, limit = 7)
+      .collect().map(_.getString(0)).toSeq
+    val p2 = QueryLayer.topAccountsByBalance(states, limit = 7, offset = 7)
+      .collect().map(_.getString(0)).toSeq
+    assert(p1 == all.take(7) && p2 == all.slice(7, 14))
+    // balance desc with account tiebreak: first page is the 400 class
+    assert(p1.take(4) == Seq("0:14", "0:19", "0:4", "0:9"))
+  }
+
+  test("addressInformation fabricates the v2 zero row for unseen accounts") {
+    import spark.implicits._
+    val states = Seq(("0:A", 77L, "codeB", "dataB", "Th", 123L, "active"))
+      .toDF("account", "balance", "code_boc", "data_boc",
+        "last_transaction_hash", "last_transaction_lt", "account_status")
+    val hit = QueryLayer.addressInformation(states, "0:A").collect().head
+    assert(hit.getAs[String]("balance") == "77" &&
+      hit.getAs[String]("status") == "active" &&
+      hit.getAs[String]("last_transaction_lt") == "123")
+    val miss = QueryLayer.addressInformation(states, "0:Z").collect().head
+    assert(miss.getAs[String]("balance") == "0" &&
+      miss.getAs[String]("status") == "uninit" &&
+      miss.getAs[String]("last_transaction_hash") ==
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=" &&
+      miss.getAs[String]("last_transaction_lt") == "0")
+  }
+
+  test("walletInformation gates non-wallets and passes uninit through") {
+    import spark.implicits._
+    val states = Seq(
+      ("0:W", 10L, "xyz_unknown_hash", "x", "Th", 5L, "active"),
+      ("0:U", 0L, "xyz_unknown_hash", null, "Tu", 6L, "uninit"))
+      .toDF("account", "balance", "code_hash", "data_boc",
+        "last_transaction_hash", "last_transaction_lt", "account_status")
+    // active non-wallet → the handler 409s; here zero rows
+    assert(QueryLayer.walletInformation(states, "0:W").count() == 0)
+    // uninit passes through with empty wallet fields
+    val u = QueryLayer.walletInformation(states, "0:U").collect().head
+    assert(u.getAs[String]("status") == "uninit" &&
+      u.getAs[String]("wallet_type") == null)
+    // unseen account → fabricated zero row
+    val miss = QueryLayer.walletInformation(states, "0:Z").collect().head
+    assert(miss.getAs[String]("balance") == "0" &&
+      miss.getAs[String]("status") == "uninit")
+  }
+
   test("shortest domain per wallet (DISTINCT ON semantics)") {
     import spark.implicits._
     val dns = Seq(("w1", "abc.ton"), ("w1", "a.ton"), ("w1", "ab.ton"),
