@@ -770,13 +770,37 @@ object Decode {
         "src_oapp" -> Some(p.path.srcOapp),
         "dst_oapp" -> Some(p.path.dstOapp))))
     case 0xe33b9873L =>
-      // layerzero event: qid donation_nanos origin ^action_data
+      // layerzero event: qid donation_nanos origin ^action_data, where
+      // action_data = header(134)=_headerInfo ones(216) topic:u256
+      // ^body ^initialStorage and body is the OFTSentSucceed shape
+      // topic:u256 ^mdguid (mdguid: header(116) ones(234) guid:u256 ^md).
+      // The reference parses the whole chain unconditionally
+      // (messages/layerzero.py:303-392 LayerZeroEventMsgBody →
+      // LayerZeroEventAction → …OFTSentSucceed → LayerZeroMdGuid), so a
+      // malformed nested cell fails the decode here too.
       val s = Boc.parseBase64(b).beginParse()
       s.loadUint(32)
+      val qid = s.loadUint(64)
+      val donation = s.loadCoins()
+      val origin = s.loadAddress()
+      val ad = s.loadRef().beginParse()
+      require(ad.loadUint(134) ==
+        BigInt("7850279558805522911016931325"), "lz event action header")
+      require(ad.loadInt(216) == BigInt(-1), "lz event action filler")
+      val topic = ad.loadUint(256)
+      val body = ad.loadRef().beginParse()
+      val bodyTopic = body.loadUint(256)
+      val mg = body.loadRef().beginParse()
+      require(mg.loadUint(116) ==
+        BigInt("5847552683615412884211067"), "lz mdguid header")
+      require(mg.loadInt(234) == BigInt(-1), "lz mdguid filler")
       Some(Decoded(op, "lz_event", f(
-        "query_id" -> Some(s.loadUint(64)),
-        "donation_nanos" -> Some(s.loadCoins()),
-        "origin" -> s.loadAddress())))
+        "query_id" -> Some(qid),
+        "donation_nanos" -> Some(donation),
+        "origin" -> origin,
+        "topic" -> Some(topic),
+        "event_body_topic" -> Some(bodyTopic),
+        "guid" -> Some("0x" + mg.loadUint(256).toString(16)))))
     case 0x6c6c2080L =>
       // getgems sale_update#6c6c2080 qid new_full_price new_mp_fee
       // new_royalty_amount (messages/getgems.py SaleUpdateMessage)

@@ -452,7 +452,7 @@ object ApiQueries {
   val a20 = Q("a20_address_information",
     """SELECT concat('0:', c_custkey) AS account,
       |  cast(cast(floor(c_acctbal) AS bigint) AS varchar) AS balance,
-      |  c_mktsegment AS code, c_comment AS data,
+      |  c_mktsegment AS code, c_name AS data,
       |  concat('T', c_custkey) AS last_transaction_hash,
       |  cast(c_custkey * 1000 AS varchar) AS last_transaction_lt,
       |  'active' AS status
@@ -461,7 +461,7 @@ object ApiQueries {
       concat(lit("0:"), col("c_custkey").cast("string")).as("account"),
       floor(col("c_acctbal")).cast("long").as("balance"),
       col("c_mktsegment").as("code_boc"),
-      col("c_comment").as("data_boc"),
+      col("c_name").as("data_boc"),
       concat(lit("T"), col("c_custkey").cast("string"))
         .as("last_transaction_hash"),
       (col("c_custkey") * 1000L).cast("long").as("last_transaction_lt"),

@@ -47,7 +47,11 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         col("n_shingles"),
-        (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles"))
+        // n_shingles > 0 guard: a <3-token document has zero shingles,
+        // and 0*2 >= 0 would flag it contaminated — short docs must
+        // pass through, not be dropped as benchmark overlap.
+        (col("n_shingles") > 0 &&
+          coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_shingles"))
           .as("contaminated"))
   }
 
@@ -68,7 +72,8 @@ object Curation {
        |)
        |SELECT s.doc_id, coalesce(h.n_shared, 0) AS n_shared,
        |  len(s.s) AS n_shingles,
-       |  coalesce(h.n_shared, 0) * 2 >= len(s.s) AS contaminated
+       |  len(s.s) > 0 AND coalesce(h.n_shared, 0) * 2 >= len(s.s)
+       |    AS contaminated
        |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
        |WHERE s.doc_id % 17 <> 0
        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
@@ -89,10 +94,21 @@ object Curation {
     * map-side filter — zero shuffle, trivially resumable/repeatable
     * (no RNG state), and expressible identically in any engine, so
     * corpus membership is reproducible across reruns and systems.
-    * The hash is a 32-bit LCG step mapped onto [0, 1000). */
+    * The hash is a 32-bit LCG step mapped onto [0, 1000).
+    *
+    * Overflow note: the naive `doc_id * 2654435761` exceeds Long past
+    * doc_id ≈ 3.46e9 — billions of documents IS the target scale — and
+    * Spark 4's ANSI arithmetic makes that a hard error, not a wrap. So
+    * the mod-2^32 product is computed by 16-bit split multiply:
+    * with d = lo + hi·2^16, (d·m) mod 2^32 =
+    * (lo·m + ((hi·m) mod 2^16)·2^16) mod 2^32, every intermediate
+    * ≤ ~2^48. Identical to the plain LCG for small ids, exact for all
+    * 2^63 ids, and expressible verbatim in any SQL engine. */
   def stratifiedSample(docs: DataFrame, rates: Seq[(String, Int)]): DataFrame = {
     val bucket = expr(
-      "((doc_id * 2654435761 + 1013904223) % 4294967296) * 1000 DIV 4294967296")
+      """((((doc_id & 65535) * 2654435761)
+        |  + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+        |  + 1013904223) & 4294967295) * 1000 DIV 4294967296""".stripMargin)
     val rate = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc) }
     docs.withColumn("bucket", bucket)
@@ -102,10 +118,14 @@ object Curation {
 
   val d16 = Q("d16_stratified_sample",
     s"""SELECT doc_id, lang,
-       |  ((doc_id * 2654435761 + 1013904223) % 4294967296) * 1000 // 4294967296
+       |  ((((doc_id & 65535) * 2654435761)
+       |    + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+       |    + 1013904223) & 4294967295) * 1000 // 4294967296
        |    AS bucket
        |FROM documents
-       |WHERE ((doc_id * 2654435761 + 1013904223) % 4294967296) * 1000 // 4294967296
+       |WHERE ((((doc_id & 65535) * 2654435761)
+       |    + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+       |    + 1013904223) & 4294967295) * 1000 // 4294967296
        |  < CASE lang ${SampleRates.map { case (l, r) =>
              s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -32,8 +32,19 @@ class CurationSpec extends SparkSpec {
     val out = Curation.d15.fn(spark, sf).collect()
     assert(out.forall(_.getLong(0) % 17 != 0))
     out.foreach { r =>
-      assert(r.getBoolean(3) == (r.getLong(1) * 2 >= r.getLong(2)))
+      assert(r.getBoolean(3) ==
+        (r.getLong(2) > 0 && r.getLong(1) * 2 >= r.getLong(2)))
     }
+  }
+
+  test("zero-shingle (sub-3-token) documents are never flagged contaminated") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq.empty[String]), (2L, Seq("a b c")))
+      .toDF("doc_id", "sh")
+    val bench = Seq((99L, Seq("a b c"))).toDF("doc_id", "sh")
+    val got = Curation.decontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true))
   }
 
   // ---------------------------------------------------------- d16
@@ -56,6 +67,19 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(kept - expct) <= tol,
         s"$lang: kept $kept of $tot, expected ~$expct ±$tol")
     }
+  }
+
+  test("sample bucket stays in [0,1000) past the 32-bit doc_id wrap point") {
+    import spark.implicits._
+    // doc_id * 2654435761 wraps a signed Long above ~3.46e9; the masked
+    // LCG must still land every bucket in range (the old `%` form went
+    // negative there, silently keeping every row).
+    val big = Seq(3_500_000_000L, 10_000_000_000L, Long.MaxValue / 2654435761L * 2)
+      .map(id => (id, "en")).toDF("doc_id", "lang")
+    val buckets = Curation.stratifiedSample(big, Seq("en" -> 1000))
+      .select("bucket").collect().map(_.getLong(0))
+    assert(buckets.length == 3)
+    assert(buckets.forall(b => b >= 0 && b < 1000), buckets.mkString(","))
   }
 
   test("sample plan is a pure scan+filter: no exchange") {

@@ -122,6 +122,50 @@ class DecodeSpec extends AnyFunSuite {
       d2.fields("collection") == "0:" + "CD" * 32)
   }
 
+  test("lz_event decodes the nested action_data chain: topic, body topic, " +
+      "mdguid guid (layerzero.py:303-392)") {
+    val guid = BigInt("ab" * 32, 16)
+    val mdguid = new Boc.Builder()
+      .storeUint(BigInt("5847552683615412884211067"), 116)
+      .storeInt(BigInt(-1), 234).storeUint(guid, 256)
+      .storeRef(new Boc.Builder().build()) // md, unread
+      .build()
+    val oftBody = new Boc.Builder()
+      .storeUint(BigInt(435778055796L), 256).storeRef(mdguid).build()
+    val actionData = new Boc.Builder()
+      .storeUint(BigInt("7850279558805522911016931325"), 134)
+      .storeInt(BigInt(-1), 216)
+      .storeUint(BigInt(435778055796L), 256)
+      .storeRef(oftBody)
+      .storeRef(new Boc.Builder().build()) // initialStorage
+      .build()
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xe33b9873L), 32).storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(777)).storeAddress(Some(addr))
+      .storeRef(actionData).build())
+    val d = Decode.decode(body).get
+    assert(d.name == "lz_event")
+    assert(d.fields("query_id") == "5")
+    assert(d.fields("donation_nanos") == "777")
+    assert(d.fields("origin") == addr)
+    assert(d.fields("topic") == "435778055796")
+    assert(d.fields("event_body_topic") == "435778055796")
+    assert(d.fields("guid") == "0x" + "ab" * 32)
+
+    // a wrong action header degrades to named-empty, like the reference's
+    // assert-throw path
+    val badAction = new Boc.Builder()
+      .storeUint(BigInt(1), 134).storeInt(BigInt(-1), 216)
+      .storeUint(BigInt(1), 256).storeRef(oftBody)
+      .storeRef(new Boc.Builder().build()).build()
+    val bad = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xe33b9873L), 32).storeUint(BigInt(5), 64)
+      .storeCoins(BigInt(1)).storeAddress(Some(addr))
+      .storeRef(badAction).build())
+    val db = Decode.decode(bad).get
+    assert(db.name == "layer_zero_event_msg_body" && db.fields.isEmpty)
+  }
+
   test("marker-only reference classes are identified by name across the " +
       "full inventory (OpcodeNames)") {
     // DedustSwapPeer — a reference class with no parser at all
