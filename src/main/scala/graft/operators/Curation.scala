@@ -430,6 +430,101 @@ object Curation {
       .orderBy("merge_rank")
   }
 
+  /** Adjacent-pair histogram of a (syms, n) word table — the per-round
+    * count step shared by sequential and batched BPE training. */
+  private def bpePairCounts(words: DataFrame): DataFrame = words
+    .select(col("n"), posexplode(expr(
+      """CASE WHEN size(syms) >= 2 THEN
+           transform(sequence(1, size(syms) - 1),
+             i -> struct(syms[i-1] AS a, syms[i] AS b))
+         ELSE CAST(array() AS array<struct<a:string,b:string>>) END"""))
+      .as(Seq("i", "p")))
+    .groupBy(col("p.a"), col("p.b")).agg(sum("n").as("freq"))
+
+  /** One left-to-right non-overlapping merge fold over a symbol array
+    * column (the BPE apply step). */
+  private def bpeApplyOne(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      expr("CAST(array() AS array<string>)"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE-merge training with TOP-K BATCHED rounds: bit-identical to
+    * `bpeTrain` but amortizing one Spark count job over up to `batchK`
+    * merges, so a 30k-merge production vocabulary costs thousands of
+    * rounds, not 30k.
+    *
+    * The batch is chosen so sequential equivalence is PROVABLE, not
+    * heuristic: walk the (freq DESC, a, b) sorted pair list and select
+    * a PREFIX that is pairwise symbol-disjoint, stopping at the first
+    * pair sharing a symbol with the selection; then keep only selected
+    * pairs whose freq is STRICTLY greater than the stop pair's (and
+    * than the last fetched row's, when the fetch window filled).
+    * Under that rule each later selected pair is still the exact
+    * sequential argmax after the earlier ones apply:
+    *  - a merge (a,b)→ab only destroys/creates pairs touching a, b or
+    *    ab, so disjoint selected pairs keep their exact counts;
+    *  - every unselected pair sits at/after the stop position, so its
+    *    (only-decreasing) count stays strictly below every kept pair;
+    *  - a created pair (x,ab) inherits count ≤ the old (x,a), itself
+    *    unselected, so it is also strictly below.
+    * When the strictness guard empties the batch (adjacent interacting
+    * ties), the round degrades to the always-correct top-1. Per-round
+    * driver state is ≤ fetchN narrow rows — same bounded-by-construction
+    * argument as the sequential top-1 collect. */
+  def bpeTrainBatched(docs: DataFrame, nMerges: Int,
+      batchK: Int = 8): Seq[(Int, String, String, Long)] = {
+    var words = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val fetchN = batchK * 4 + 1
+      val top = bpePairCounts(words)
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(fetchN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val selected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val symbols = scala.collection.mutable.Set[String]()
+        var stopFreq = // unseen rows beyond a full fetch window can tie
+          if (top.length == fetchN) top.last._3 else -1L
+        var i = 0
+        var stopped = false
+        while (!stopped && i < top.length && selected.size < batchK) {
+          val (a, b, f) = top(i)
+          if (symbols.contains(a) || symbols.contains(b)) {
+            stopFreq = math.max(stopFreq, f); stopped = true
+          } else {
+            selected += ((a, b, f)); symbols += a; symbols += b
+          }
+          i += 1
+        }
+        val kept = selected.takeWhile(_._3 > stopFreq)
+        val batch = (if (kept.nonEmpty) kept.toSeq else Seq(top.head))
+          .take(nMerges - rank)
+        batch.foreach { case (a, b, f) =>
+          rank += 1
+          merges += ((rank, a, b, f))
+        }
+        // apply in rank order as chained folds — one Spark job, exact
+        // sequential apply semantics
+        val newSyms = batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+          bpeApplyOne(c, a, b)
+        }
+        words = words.select(newSyms.as("syms"), col("n")).localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
   // ---------------------------------------------------------------- d22
 
   /** Exact duplicate-passage removal (the ExactSubstr shape of Lee et

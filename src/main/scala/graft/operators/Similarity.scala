@@ -417,5 +417,66 @@ object Similarity {
       .orderBy("query_id", "n_rank")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  /** ANN recall AS DATA: every approximate path's recall@5 against the
+    * exact e01 baseline (and the LSH near-dup path against the e05
+    * exact pair set), one row per (method, config). Every method here
+    * is deterministic on a fixed corpus, so hits/total are CONSTANTS
+    * per (sfDir, config) — a silent recall drop in the LSH/IVF/
+    * quantization paths shows up as a row diff in the driver's
+    * correctness dump instead of passing a ≥-floor spec. Approximate →
+    * no SQL oracle (rows-only driver check); SimilaritySpec pins the
+    * exact sf0.001 values.
+    *
+    * Scale shape: truth is k·|queries| narrow rows per method (a
+    * left-semi join against each candidate set), and each count is a
+    * single tiny agg — the expensive inputs are the ANN scans
+    * themselves, unchanged from e02/e03/e06/e07. */
+  val e08 = Q.noOracle("e08_ann_recall") { (s, dir) =>
+    val emb = T.embeddings(s, dir)
+    val q = queriesOf(s, dir)
+    val truth = bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id")
+    def recallRow(method: String, config: String,
+        approx: DataFrame): DataFrame = {
+      val hits = truth.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val total = truth.agg(count(lit(1)).as("total"))
+      hits.crossJoin(total).select(
+        lit(method).as("method"), lit(config).as("config"),
+        col("hits"), col("total"),
+        (col("hits").cast("double") / col("total")).as("recall"))
+    }
+    val relabeled = emb.drop("label")
+      .join(kmeansAssign(emb, k = 8, iters = 3)
+        .withColumnRenamed("cluster", "label"), "vec_id")
+    // near-dup recall on the e05 slice: exact pairs vs banded-LSH pairs
+    val slice = emb.filter(col("vec_id") < 2000)
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val exactPairs = slice.select(col("vec_id").as("vec_a"), col("cv").as("cva"))
+      .crossJoin(broadcast(
+        slice.select(col("vec_id").as("vec_b"), col("cv").as("cvb"))))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("cva"), col("cvb")) >= 0.45)
+      .select("vec_a", "vec_b")
+    val lshPairs = nearDupPairs(emb.filter(col("vec_id") < 2000), 0.45)
+      .select("vec_a", "vec_b")
+    val ndHits = exactPairs.join(lshPairs, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val ndTotal = exactPairs.agg(count(lit(1)).as("total"))
+    val ndRow = ndHits.crossJoin(ndTotal).select(
+      lit("neardup_lsh").as("method"),
+      lit("minCosine=0.45,adaptive-bits").as("config"),
+      col("hits"), col("total"),
+      (col("hits").cast("double") / col("total")).as("recall"))
+    recallRow("lsh", "tables=8,bits=4,k=5", lshTopK(emb, q, 5))
+      .unionAll(recallRow("ivf_label", "nProbe=2,k=5", ivfTopK(emb, q, 5)))
+      .unionAll(recallRow("ivf_kmeans", "kmeans=8x3,nProbe=2,k=5",
+        ivfTopK(relabeled, q, 5)))
+      .unionAll(recallRow("quantized_int8", "k=5", quantizedTopK(emb, q, 5)))
+      .unionAll(ndRow)
+      .orderBy("method")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }

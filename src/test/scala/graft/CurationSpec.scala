@@ -233,6 +233,24 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._4 > 0))
   }
 
+  test("top-K batched bpe training is bit-identical to sequential, " +
+      "for several K and merge counts") {
+    val seq12 = Curation.bpeTrain(docs, 12)
+    for (k <- Seq(2, 4, 8)) {
+      val batched = Curation.bpeTrainBatched(docs, 12, batchK = k)
+      assert(batched == seq12, s"batchK=$k diverges from sequential")
+    }
+    // a synthetic corpus engineered with interacting top pairs: 'ab'
+    // dominates, 'bc' interacts with it, 'de' is disjoint
+    import spark.implicits._
+    val tricky = (Seq.fill(30)("abab") ++ Seq.fill(29)("bcbc") ++
+      Seq.fill(28)("dede") ++ Seq.fill(5)("xyz"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(Curation.bpeTrainBatched(tricky, 6, batchK = 4) ==
+      Curation.bpeTrain(tricky, 6))
+  }
+
   // ---------------------------------------------------------- d18
 
   test("scrub removes every blocklisted token, preserves count and order") {

@@ -97,6 +97,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"trained-IVF recall $recall below chance floor")
   }
 
+  test("e08 pins every ANN path's recall EXACTLY — a silent recall drop " +
+      "is a diff, not a passed floor") {
+    val rows = Similarity.e08.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // deterministic constants of (sf0.001 corpus, config) — recomputed
+    // values must match to the row: (hits, total) per method
+    assert(rows == Map(
+      "lsh" -> ((23L, 40L)),
+      "ivf_label" -> ((11L, 40L)),
+      "ivf_kmeans" -> ((38L, 40L)),
+      "quantized_int8" -> ((39L, 40L)),
+      "neardup_lsh" -> ((7L, 7L))), s"recall drifted: $rows")
+  }
+
   test("int8-quantized scan: exact integer dots, high recall vs full precision") {
     val got = Similarity.quantizedTopK(emb, queries, 5)
     val rows = got.collect()
