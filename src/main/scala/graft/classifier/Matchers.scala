@@ -3723,15 +3723,23 @@ object ProtocolMatchers {
           // full price + marketplace/royalty fees for sales, fee factors
           // and bid bounds for auctions
           val initBoc = init.nodes.head.inMsg.flatMap(_.initState)
+          // the contract VERSION rides the dim row's code hash (6th
+          // pipe field when the repository provides one) — the
+          // reference's get_sale_data(boc, getgems_sale.code_hash)
+          // dispatch (blocks/auction.py:261,294)
+          val codeHash = interfaces.get(saleAddr)
+            .map(_.split('|')).filter(_.length > 5)
+            .map(_(5)).filter(_.nonEmpty)
           val listingData: Option[NftListingData] =
             if (btype == "nft_put_on_sale") initBoc.flatMap { b64 =>
               try {
-                val d = graft.functions.TlbDecoders.nftSaleStateInit(b64)
+                val d = graft.functions.TlbDecoders
+                  .nftSaleStateInit(b64, codeHash)
                 Some(NftListingData(
                   nft_item_index = listing.itemIndex,
                   full_price = Some(BigDecimal(d.fullPrice)),
-                  marketplace_fee = Some(BigDecimal(d.mpFee)),
-                  royalty_amount = Some(BigDecimal(d.royaltyAmount)),
+                  marketplace_fee = d.mpFee.map(BigDecimal(_)),
+                  royalty_amount = d.royaltyAmount.map(BigDecimal(_)),
                   marketplace_fee_address = d.mpFeeAddress,
                   marketplace = Some("getgems"),
                   royalty_address = d.royaltyAddress,
@@ -3741,7 +3749,8 @@ object ProtocolMatchers {
             }
             else initBoc.flatMap { b64 =>
               try {
-                val d = graft.functions.TlbDecoders.nftAuctionStateInit(b64)
+                val d = graft.functions.TlbDecoders
+                  .nftAuctionStateInit(b64, codeHash)
                 Some(NftListingData(
                   nft_item_index = listing.itemIndex, full_price = None,
                   marketplace_fee = None, royalty_amount = None,

@@ -159,6 +159,72 @@ object Decode {
         "exit_code" -> Some(d.exitCode),
         "amount0_out" -> Some(d.amount0Out), "token0" -> d.token0,
         "amount1_out" -> Some(d.amount1Out), "token1" -> d.token1)))
+    case 0x6664de2aL =>
+      // StonFi v2 router→pool swap. The reference's StonfiSwapV2 class
+      // declares opcode 0x657b54f5 but is dispatched on-wire at
+      // 0x6664de2a (blocks/swaps.py:235,327 — the matcher's swap_opcode;
+      // 0x657b54f5 is pay_to). Layout messages/swaps.py:129-175:
+      // qid from_user left right ^dex_payload[transferred_op
+      // token_wallet1 refund excesses deadline ^swap_body[min_out
+      // receiver fwd_gas maybe ^custom refund_fwd_gas maybe ^refund
+      // ref_fee ref_addr]], plus the cross-pool custom-payload walk
+      // (get_pool_accounts_recursive, swaps.py:177-203) whose addresses
+      // feed the dims harvest via resolverAddressKeys.
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val fromUser = s.loadAddress()
+      val left = s.loadCoins(); val right = s.loadCoins()
+      val dex = s.loadRef().beginParse()
+      val transferredOp = dex.loadUint(32)
+      val wallet1 = dex.loadAddress()
+      val refund = dex.loadAddress()
+      val excesses = dex.loadAddress()
+      val deadline = dex.loadUint(64)
+      val sw = dex.loadRef().beginParse()
+      val minOut = sw.loadCoins()
+      val receiver = sw.loadAddress()
+      val fwdGas = sw.loadCoins()
+      val custom = if (sw.loadBit()) Some(sw.loadRef()) else None
+      val refundFwdGas = sw.loadCoins()
+      if (sw.loadBit()) sw.loadRef()
+      val refFee = sw.loadUint(16)
+      val refAddr = sw.loadAddress()
+      // cross-pool wallet chain: sum_type ∈ {swap, 0x69cf1a5b} → addr,
+      // then ^cross_swap[min_out coins, coins, maybe ^next]
+      val pools = scala.collection.mutable.ArrayBuffer[String]()
+      wallet1.foreach(pools += _)
+      var cur = custom.map(_.beginParse())
+      var going = cur.isDefined
+      while (going) {
+        going = false
+        val c = cur.get
+        if (c.remainingBits >= 32) {
+          val st = c.loadUint(32).toLong
+          if (st == 0x6664de2aL || st == 0x69cf1a5bL) {
+            c.loadAddress().foreach(pools += _)
+            if (c.remainingRefs > 0) {
+              val cross = c.loadRef().beginParse()
+              cross.loadCoins(); cross.loadCoins()
+              if (cross.remainingRefs > 0 && cross.loadBit()) {
+                cur = Some(cross.loadRef().beginParse()); going = true
+              }
+            }
+          }
+        }
+      }
+      Some(Decoded(op, "stonfi_swap_v2", f(
+        "query_id" -> Some(qid), "from_user" -> fromUser,
+        "left_amount" -> Some(left), "right_amount" -> Some(right),
+        "transferred_op" -> Some(transferredOp),
+        "token_wallet1" -> wallet1,
+        "refund_address" -> refund, "excesses_address" -> excesses,
+        "tx_deadline" -> Some(deadline),
+        "min_out" -> Some(minOut), "receiver" -> receiver,
+        "fwd_gas" -> Some(fwdGas), "refund_fwd_gas" -> Some(refundFwdGas),
+        "ref_fee" -> Some(refFee), "ref_address" -> refAddr,
+        "pool_accounts" ->
+          (if (pools.isEmpty) None else Some(pools.mkString(","))))))
     case 0x9c610de3L =>
       val d = dedustSwapNotification(b)
       Some(Decoded(op, "dedust_swap_notification", f(
@@ -194,11 +260,43 @@ object Decode {
       Some(Decoded(op, "evaa_withdraw_collateralized", f(
         "withdraw_amount_current" -> Some(evaaWithdrawCollateralized(b)))))
     case 0x00000311L =>
-      val d = evaaLiquidateSatisfied(b)
+      // liquidate_satisfied#311 qid owner liquidator transferred_asset
+      // ^[delta_loan liquidatable protocol_gift new_user_loan
+      //   collateral_asset delta_collateral collateral_reward
+      //   (min_collateral new_user_collateral fwd_ton ^payload)?] —
+      // the full reference field list (messages/evaa.py:317-368); the
+      // tail quadruple is optional on remaining bits, like the reference.
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val owner = s.loadAddress(); val liquidator = s.loadAddress()
+      val transferred = s.loadUint(256)
+      val ref = s.loadRef().beginParse()
+      val deltaLoan = ref.loadInt(64)
+      val liquidatable = ref.loadUint(64)
+      val gift = ref.loadUint(64)
+      val newUserLoan = ref.loadInt(64)
+      val coll = ref.loadUint(256)
+      val deltaColl = ref.loadInt(64)
+      val collReward = ref.loadUint(64)
+      val tail =
+        if (ref.remainingBits > 0)
+          Some((ref.loadUint(64), ref.loadInt(64), ref.loadUint(64)))
+        else None
       Some(Decoded(op, "evaa_liquidate_satisfied", f(
-        "transferred_asset_id" -> Some(d.transferredAssetIdHex),
-        "collateral_asset_id" -> Some(d.collateralAssetIdHex),
-        "liquidatable_amount" -> Some(d.liquidatableAmount))))
+        "query_id" -> Some(qid), "owner_address" -> owner,
+        "liquidator_address" -> liquidator,
+        "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
+        "delta_loan_principal" -> Some(deltaLoan),
+        "liquidatable_amount" -> Some(liquidatable),
+        "protocol_gift" -> Some(gift),
+        "new_user_loan_principal" -> Some(newUserLoan),
+        "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "delta_collateral_principal" -> Some(deltaColl),
+        "collateral_reward" -> Some(collReward),
+        "min_collateral_amount" -> tail.map(_._1),
+        "new_user_collateral_principal" -> tail.map(_._2),
+        "forward_ton_amount" -> tail.map(_._3))))
 
     // ------------------------------------------------------------ tonco
     case 0x2e3034efL =>
@@ -220,11 +318,52 @@ object Decode {
         "initial_price_x96" -> Some(d.initialPriceX96),
         "pool_active" -> Some(d.poolActive))))
     case 0xa1daa96dL =>
-      val d = toncoPayTo(b)
+      // full ROUTERV3_PAY_TO depth (messages/swaps.py:307-404): after
+      // the coinsinfo maybe-ref, exit 200 carries a maybe swap-info cell
+      // [liquidity:u128 price_sqrt:u160 tick:i24 fee_growth_0:i256
+      // fee_growth_1:i256] and exit 201 a maybe burn-info cell
+      // [nft_index:u64 liquidity_burned:u128 tick_lower/upper/burn:i24]
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val r0 = s.loadAddress(); val r1 = s.loadAddress()
+      val exit = s.loadUint(32).toLong
+      val seqno = s.loadUint(64)
+      val coins =
+        if (s.remainingBits >= 1 && s.loadBit()) {
+          val cs = s.loadRef().beginParse()
+          Some((cs.loadCoins(), cs.loadAddress(), cs.loadCoins(),
+            cs.loadAddress()))
+        } else None
+      val swapInfo =
+        if (exit == 200L && s.remainingBits >= 1 && s.loadBit()) {
+          val is = s.loadRef().beginParse()
+          Some((is.loadUint(128), is.loadUint(160), is.loadInt(24),
+            is.loadInt(256), is.loadInt(256)))
+        } else None
+      val burnInfo =
+        if (exit == 201L && s.remainingBits >= 1 && s.loadBit()) {
+          val is = s.loadRef().beginParse()
+          Some((is.loadUint(64), is.loadUint(128), is.loadInt(24),
+            is.loadInt(24), is.loadInt(24)))
+        } else None
       Some(Decoded(op, "tonco_pay_to", f(
-        "exit_code" -> Some(d.exitCode),
-        "amount0" -> Some(d.amount0), "jetton0_address" -> d.jetton0,
-        "amount1" -> Some(d.amount1), "jetton1_address" -> d.jetton1)))
+        "query_id" -> Some(qid), "receiver0" -> r0, "receiver1" -> r1,
+        "exit_code" -> Some(exit), "seqno" -> Some(seqno),
+        "amount0" -> Some(coins.map(_._1).getOrElse(BigInt(0))),
+        "jetton0_address" -> coins.flatMap(_._2),
+        "amount1" -> Some(coins.map(_._3).getOrElse(BigInt(0))),
+        "jetton1_address" -> coins.flatMap(_._4),
+        "liquidity" -> swapInfo.map(_._1),
+        "price_sqrt" -> swapInfo.map(_._2),
+        "tick_swap" -> swapInfo.map(_._3),
+        "fee_growth_global_0x128" -> swapInfo.map(_._4),
+        "fee_growth_global_1x128" -> swapInfo.map(_._5),
+        "nft_index" -> burnInfo.map(_._1),
+        "liquidity_burned" -> burnInfo.map(_._2),
+        "tick_lower" -> burnInfo.map(_._3),
+        "tick_upper" -> burnInfo.map(_._4),
+        "tick_burn" -> burnInfo.map(_._5))))
 
     // ------------------------------------------------------------ tgbtc
     case 0x77a80ef3L =>
@@ -397,8 +536,29 @@ object Decode {
         "query_id" -> Some(qid), "index" -> Some(idx),
         "collection" -> s.loadAddress())))
     case 0x487a8e81L =>
+      // teleitem_start_auction#487a8e81 qid ^auction_config[beneficiary
+      // initial_min_bid:Coins max_bid:Coins min_bid_step:u8
+      // min_extend_time:u32 duration:u32] (messages/nft.py:105-135);
+      // a malformed config degrades to qid-only like the reference's
+      // except-arm (beneficiary None, amounts 0).
+      val s = Boc.parseBase64(b).beginParse()
+      s.loadUint(32)
+      val qid = s.loadUint(64)
+      val cfg =
+        try {
+          val c = s.loadRef().beginParse()
+          val ben = c.loadAddress()
+          Some((ben, c.loadCoins(), c.loadCoins(), c.loadUint(8),
+            c.loadUint(32), c.loadUint(32)))
+        } catch { case scala.util.control.NonFatal(_) => None }
       Some(Decoded(op, "teleitem_start_auction", f(
-        "query_id" -> Some(opQueryId(b)))))
+        "query_id" -> Some(qid),
+        "beneficiary_address" -> cfg.flatMap(_._1),
+        "initial_min_bid" -> cfg.map(_._2),
+        "max_bid" -> cfg.map(_._3),
+        "min_bid_step" -> cfg.map(_._4),
+        "min_extend_time" -> cfg.map(_._5),
+        "duration" -> cfg.map(_._6))))
     case 0x370fec51L | 0x4ed14b65L =>
       val name = if (op == 0x370fec51L) "auction_fill_up"
         else "dns_release_balance"
@@ -618,7 +778,9 @@ object Decode {
       val ref = s.loadRef().beginParse()
       val amount = ref.loadUint(64)
       val coll = ref.loadUint(256)
-      ref.loadUint(64); ref.loadUint(64); ref.loadRef()
+      val minColl = ref.loadUint(64)
+      val fwdTon = ref.loadUint(64)
+      ref.loadRef()
       val err = evaaLiquidationErrorReason(ref)
       Some(Decoded(op, "evaa_liquidate_unsatisfied", f(
         "query_id" -> Some(qid), "owner_address" -> owner,
@@ -626,6 +788,8 @@ object Decode {
         "transferred_asset_id" -> Some("0x" + transferred.toString(16)),
         "transferred_amount" -> Some(amount),
         "collateral_asset_id" -> Some("0x" + coll.toString(16)),
+        "min_collateral_amount" -> Some(minColl),
+        "forward_ton_amount" -> Some(fwdTon),
         "error" -> Some(err))))
     case 0x0000211aL =>
       // withdraw_success#211a qid asset_id principal_amount ...
@@ -738,25 +902,65 @@ object Decode {
       val recipient = s.loadAddress()
       val idx = s.loadUint(64); val liq = s.loadUint(128)
       val tl = s.loadInt(24); val tu = s.loadInt(24)
+      val toBurn = s.loadUint(128)
+      // fee-growth snapshots ride as two ref cells of u256 pairs
+      // (messages/liquidity.py:219-225)
+      val oldFees = s.loadRef().beginParse()
+      val newFees = s.loadRef().beginParse()
       Some(Decoded(op, "tonco_pool_v3_burn", f(
         "query_id" -> Some(qid), "recipient" -> recipient,
         "burned_index" -> Some(idx), "liquidity" -> Some(liq),
         "tick_lower" -> Some(tl), "tick_upper" -> Some(tu),
-        "liquidity_to_burn" -> Some(s.loadUint(128)))))
+        "liquidity_to_burn" -> Some(toBurn),
+        "fee_growth_inside_0_last_x128" -> Some(oldFees.loadUint(256)),
+        "fee_growth_inside_1_last_x128" -> Some(oldFees.loadUint(256)),
+        "fee_growth_inside_0_current_x128" -> Some(newFees.loadUint(256)),
+        "fee_growth_inside_1_current_x128" -> Some(newFees.loadUint(256)))))
     case 0xa7fb58f8L =>
-      // POOLV3_SWAP in-transfer payload: target_router_jwallet
-      // price_limit_sqrt:u160 min_out recipient (undocumented SDK shape,
-      // messages/swaps.py ToncoPoolV3SwapPayload)
-      val s = Boc.parseBase64(b).beginParse()
-      s.loadUint(32)
-      val wallet = s.loadAddress()
-      val price = s.loadUint(160)
-      val minOut = s.loadCoins()
-      Some(Decoded(op, "tonco_pool_v3_swap", f(
-        "target_router_jetton_wallet" -> wallet,
-        "price_limit_sqrt" -> Some(price),
-        "min_out_amount" -> Some(minOut),
-        "recipient" -> s.loadAddress())))
+      // POOLV3_SWAP rides the same opcode in two shapes (messages/
+      // swaps.py): the internal router→pool message ToncoPoolV3Swap
+      // (qid owner source ^params[amount sqrt_price_limit:u160 min_out]
+      // ^payloads[target ok_fwd maybe^ ret_fwd maybe^], blocks/swaps.py
+      // :866 parses bodies with it) and the SDK in-transfer payload
+      // ToncoPoolV3SwapPayload (wallet u160 min_out recipient). Try the
+      // internal shape first, fall back to the payload shape.
+      val internal =
+        try {
+          val s = Boc.parseBase64(b).beginParse()
+          s.loadUint(32)
+          val qid = s.loadUint(64)
+          val owner = s.loadAddress()
+          val source = s.loadAddress()
+          val params = s.loadRef().beginParse()
+          val amount = params.loadCoins()
+          val price = params.loadUint(160)
+          val minOut = params.loadCoins()
+          val pay = s.loadRef().beginParse()
+          val target = pay.loadAddress()
+          val okFwd = pay.loadCoins()
+          if (pay.loadBit()) pay.loadRef()
+          val retFwd = pay.loadCoins()
+          Some(Decoded(op, "tonco_pool_v3_swap", f(
+            "query_id" -> Some(qid), "owner_address" -> owner,
+            "source_wallet" -> source, "amount" -> Some(amount),
+            "price_limit_sqrt" -> Some(price),
+            "min_out_amount" -> Some(minOut),
+            "target_address" -> target,
+            "ok_forward_amount" -> Some(okFwd),
+            "ret_forward_amount" -> Some(retFwd))))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      internal.orElse {
+        val s = Boc.parseBase64(b).beginParse()
+        s.loadUint(32)
+        val wallet = s.loadAddress()
+        val price = s.loadUint(160)
+        val minOut = s.loadCoins()
+        Some(Decoded(op, "tonco_pool_v3_swap", f(
+          "target_router_jetton_wallet" -> wallet,
+          "price_limit_sqrt" -> Some(price),
+          "min_out_amount" -> Some(minOut),
+          "recipient" -> s.loadAddress())))
+      }
 
     // ------------------------------------------------ layerzero, getgems
     case 0xcaae25a1L =>

@@ -390,29 +390,89 @@ object TlbDecoders {
       isComplete: Boolean, createdAt: Long,
       marketplace: Option[String], nftAddress: Option[String],
       nftOwner: Option[String], fullPrice: BigInt,
-      mpFeeAddress: Option[String], mpFee: BigInt,
-      royaltyAddress: Option[String], royaltyAmount: BigInt)
+      mpFeeAddress: Option[String], mpFee: Option[BigInt],
+      royaltyAddress: Option[String], royaltyAmount: Option[BigInt],
+      feePercent: Option[BigInt] = None,
+      royaltyPercent: Option[BigInt] = None)
 
-  /** Getgems fix-price sale contract storage (v2/v3 family, reference
-    * messages/getgems.py:92-115): is_complete(1) created_at(32)
-    * marketplace:MsgAddress nft:MsgAddress owner:MsgAddress
-    * full_price:Coins ^[mp_fee_addr:MsgAddress mp_fee:Coins
-    * royalty_addr:MsgAddress royalty:Coins]. */
-  def nftSaleStateInit(b64: String): NftSaleStateData = {
+  /** Getgems sale/auction contract VERSIONS, dispatched on the
+    * contract's code hash exactly like the reference
+    * (messages/getgems.py:12-27 SALE/AUCTION_VERSION_MAPPING — these
+    * are the public getgems contract code hashes). Unknown hash (or no
+    * dim-provided hash) falls to the reference's "latest" default:
+    * sale → v4r1, auction → v3r3 (getgems.py:66-70,122-126). */
+  val SaleVersionByCodeHash: Map[String, String] = Map(
+    "2pufziLofEllctIDZSWVebzO+RpyA1fMvowFLvyb4I8=" -> "v1",
+    "gnj0xSM95vvtyWmvUZNEp6m//FRIVtuphqlcC8+Fcck=" -> "v2",
+    "MgUN+sRPZIZrzIbyzZ4TBf6dyts5WcACI3z7CQLUQyM=" -> "v3",
+    "3rU7bFdlwebNI4v0e8XoO6WWvcwEsLhM1Qqx5HSgjzE=" -> "v3r2",
+    "JCIfpXHlQuBVx3vt/b9SfHr0YM/cfzRMRQeHtM+h600=" -> "v3r3",
+    "a5WmQYucnSNZBF0edVm41UmuDlBvJMqrWPowyPsf64Y=" -> "v4r1")
+  val AuctionVersionByCodeHash: Map[String, String] = Map(
+    "zlp4U06qps7tja/UhtB262CpsNbb+1Nnb2YmScBomVY=" -> "v4r1",
+    "ZmiHL6eXBUQ//UdSPo6eqfdquZ+aC1nSfej4GhwnudQ=" -> "v2",
+    "G9nFo5v/t6DzQViLXdkrgTqEK/Ze8UEJOCIAzq+Pct8=" -> "v3r2",
+    "u29ireD+stefqzuK6/CTCvmFU99gCTsgJ/Covxab/Ow=" -> "v3r3",
+    "/ACindAgW83MDT/7nKOMw8jBWexg2KpUMkCpLxBZLUA=" -> "v1")
+
+  /** Getgems fix-price sale contract storage, version-dispatched
+    * (get_sale_data, messages/getgems.py:66-115):
+    *  - v2/v3/v3r2/v3r3: is_complete(1) created_at(32) marketplace nft
+    *    owner full_price:Coins ^[mp_fee_addr mp_fee:Coins royalty_addr
+    *    royalty:Coins]
+    *  - v1: same without the is_complete/created_at prefix, fees cell
+    *    ordered [mp_fee:Coins mp_fee_addr royalty_addr royalty:Coins]
+    *  - v4r1: is_complete(1) marketplace owner full_price:Coins
+    *    sold_at(32) query_id(64) ^[mp_fee_addr royalty_addr
+    *    fee_percent(17) royalty_percent(17)] — absolute fees are not
+    *    stored, so mpFee/royaltyAmount stay None like the reference's
+    *    NftSaleData. */
+  def nftSaleStateInit(b64: String,
+      codeHash: Option[String] = None): NftSaleStateData = {
+    val version =
+      codeHash.flatMap(SaleVersionByCodeHash.get).getOrElse("v4r1")
     val cs = stateInitDataCell(b64).beginParse()
-    val isComplete = cs.loadBit()
-    val createdAt = cs.loadUint(32).toLong
-    val marketplace = cs.loadAddress()
-    val nft = cs.loadAddress()
-    val owner = cs.loadAddress()
-    val fullPrice = cs.loadCoins()
-    val fees = cs.loadRef().beginParse()
-    val mpFeeAddr = fees.loadAddress()
-    val mpFee = fees.loadCoins()
-    val royaltyAddr = fees.loadAddress()
-    val royalty = fees.loadCoins()
-    NftSaleStateData(isComplete, createdAt, marketplace, nft, owner,
-      fullPrice, mpFeeAddr, mpFee, royaltyAddr, royalty)
+    version match {
+      case "v4r1" =>
+        val isComplete = cs.loadBit()
+        val marketplace = cs.loadAddress()
+        val owner = cs.loadAddress()
+        val fullPrice = cs.loadCoins()
+        cs.loadUint(32) // sold_at
+        cs.loadUint(64) // query_id
+        val st = cs.loadRef().beginParse()
+        val mpFeeAddr = st.loadAddress()
+        val royaltyAddr = st.loadAddress()
+        val feePct = st.loadUint(17)
+        val royaltyPct = st.loadUint(17)
+        NftSaleStateData(isComplete, 0L, marketplace, None, owner,
+          fullPrice, mpFeeAddr, None, royaltyAddr, None,
+          Some(feePct), Some(royaltyPct))
+      case v =>
+        val (isComplete, createdAt) =
+          if (v == "v1") (false, 0L)
+          else (cs.loadBit(), cs.loadUint(32).toLong)
+        val marketplace = cs.loadAddress()
+        val nft = cs.loadAddress()
+        val owner = cs.loadAddress()
+        val fullPrice = cs.loadCoins()
+        val fees = cs.loadRef().beginParse()
+        if (v == "v1") {
+          val mpFee = fees.loadCoins()
+          val mpFeeAddr = fees.loadAddress()
+          val royaltyAddr = fees.loadAddress()
+          val royalty = fees.loadCoins()
+          NftSaleStateData(isComplete, createdAt, marketplace, nft, owner,
+            fullPrice, mpFeeAddr, Some(mpFee), royaltyAddr, Some(royalty))
+        } else {
+          val mpFeeAddr = fees.loadAddress()
+          val mpFee = fees.loadCoins()
+          val royaltyAddr = fees.loadAddress()
+          val royalty = fees.loadCoins()
+          NftSaleStateData(isComplete, createdAt, marketplace, nft, owner,
+            fullPrice, mpFeeAddr, Some(mpFee), royaltyAddr, Some(royalty))
+        }
+    }
   }
 
   final case class NftAuctionStateData(
@@ -421,35 +481,115 @@ object TlbDecoders {
       mpFeeAddress: Option[String], royaltyAddress: Option[String],
       mpAddress: Option[String], minBid: BigInt, maxBid: BigInt)
 
-  /** Getgems auction contract storage (v3r3, reference
-    * messages/getgems.py:194-219): end?(1) is_canceled?(1)
-    * last_member:MsgAddress last_bid:Coins last_bid_at(32) end_time(32)
-    * nft_owner:MsgAddress last_query_id(64) mp_fee_factor(32)
-    * mp_fee_base(32) royalty_fee_factor(32) royalty_fee_base(32)
-    * ^[mp_fee_addr royalty_fee_addr] ^[mp_addr min_bid:Coins
-    * max_bid:Coins min_step:Coins step_time(32)]. */
-  def nftAuctionStateInit(b64: String): NftAuctionStateData = {
+  /** Getgems auction contract storage, version-dispatched on code hash
+    * (get_auction_data, messages/getgems.py:122-243; default v3r3):
+    *  - v1: ^fees[mp_fee_addr factor(32) base(32) royalty_addr
+    *    factor(32) base(32)] ^bids[min_bid:Coins max_bid:Coins
+    *    min_step:Coins end_time(32) step_time(32) try_step_time(32)]
+    *  - v3r2: end?(1) activated?(1) canceled?(1) last_member last_bid
+    *    last_bid_at(32) end_time(32) ^fees[as v1] ^const[
+    *    sub_gas_price_from_bid(32) mp_addr min_bid max_bid min_step
+    *    step_time(32)]
+    *  - v3r3: end?(1) canceled?(1) last_member last_bid last_bid_at(32)
+    *    end_time(32) nft_owner last_query_id(64) mp_fee_factor(32)
+    *    mp_fee_base(32) royalty_fee_factor(32) royalty_fee_base(32)
+    *    ^[mp_fee_addr royalty_fee_addr] ^[mp_addr min_bid max_bid
+    *    min_step step_time(32)]
+    *  - v4r1: as v3r3 but factors/bases live in the fees cell after the
+    *    two addresses
+    *  - v2: mapped but has no parser in the reference either — throws
+    *    (get_auction_data returns None via its except arm). */
+  def nftAuctionStateInit(b64: String,
+      codeHash: Option[String] = None): NftAuctionStateData = {
+    val version =
+      codeHash.flatMap(AuctionVersionByCodeHash.get).getOrElse("v3r3")
     val cs = stateInitDataCell(b64).beginParse()
-    cs.loadUint(2) // end?, is_canceled?
-    cs.loadAddress() // last_member
-    cs.loadCoins() // last_bid
-    cs.loadUint(32) // last_bid_at
-    val endTime = cs.loadUint(32).toLong
-    cs.loadAddress() // nft_owner
-    cs.loadUint(64) // last_query_id
-    val mpFeeFactor = cs.loadUint(32)
-    val mpFeeBase = cs.loadUint(32)
-    val royaltyFeeFactor = cs.loadUint(32)
-    val royaltyFeeBase = cs.loadUint(32)
-    val fees = cs.loadRef().beginParse()
-    val mpFeeAddr = fees.loadAddress()
-    val royaltyAddr = fees.loadAddress()
-    val const = cs.loadRef().beginParse()
-    val mpAddr = const.loadAddress()
-    val minBid = const.loadCoins()
-    val maxBid = const.loadCoins()
-    NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase, royaltyFeeFactor,
-      royaltyFeeBase, mpFeeAddr, royaltyAddr, mpAddr, minBid, maxBid)
+    version match {
+      case "v1" =>
+        val fees = cs.loadRef().beginParse()
+        val bids = cs.loadRef().beginParse()
+        val mpFeeAddr = fees.loadAddress()
+        val mpFeeFactor = fees.loadUint(32)
+        val mpFeeBase = fees.loadUint(32)
+        val royaltyAddr = fees.loadAddress()
+        val royaltyFeeFactor = fees.loadUint(32)
+        val royaltyFeeBase = fees.loadUint(32)
+        val minBid = bids.loadCoins()
+        val maxBid = bids.loadCoins()
+        bids.loadCoins() // min_step
+        val endTime = bids.loadUint(32).toLong
+        NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase,
+          royaltyFeeFactor, royaltyFeeBase, mpFeeAddr, royaltyAddr,
+          None, minBid, maxBid)
+      case "v3r2" =>
+        cs.loadUint(3) // end?, activated?, is_canceled?
+        cs.loadAddress() // last_member
+        cs.loadCoins() // last_bid
+        cs.loadUint(32) // last_bid_at
+        val endTime = cs.loadUint(32).toLong
+        val fees = cs.loadRef().beginParse()
+        val const = cs.loadRef().beginParse()
+        const.loadUint(32) // sub_gas_price_from_bid
+        val mpAddr = const.loadAddress()
+        val minBid = const.loadCoins()
+        val maxBid = const.loadCoins()
+        val mpFeeAddr = fees.loadAddress()
+        val mpFeeFactor = fees.loadUint(32)
+        val mpFeeBase = fees.loadUint(32)
+        val royaltyAddr = fees.loadAddress()
+        val royaltyFeeFactor = fees.loadUint(32)
+        val royaltyFeeBase = fees.loadUint(32)
+        NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase,
+          royaltyFeeFactor, royaltyFeeBase, mpFeeAddr, royaltyAddr,
+          mpAddr, minBid, maxBid)
+      case "v4r1" =>
+        cs.loadUint(2) // end?, is_canceled?
+        cs.loadAddress() // last_member
+        cs.loadCoins() // last_bid
+        cs.loadUint(32) // last_bid_at
+        val endTime = cs.loadUint(32).toLong
+        cs.loadAddress() // nft_owner
+        cs.loadUint(64) // last_query_id
+        val fees = cs.loadRef().beginParse()
+        val const = cs.loadRef().beginParse()
+        val mpFeeAddr = fees.loadAddress()
+        val royaltyAddr = fees.loadAddress()
+        val mpFeeFactor = fees.loadUint(32)
+        val mpFeeBase = fees.loadUint(32)
+        val royaltyFeeFactor = fees.loadUint(32)
+        val royaltyFeeBase = fees.loadUint(32)
+        val mpAddr = const.loadAddress()
+        val minBid = const.loadCoins()
+        val maxBid = const.loadCoins()
+        NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase,
+          royaltyFeeFactor, royaltyFeeBase, mpFeeAddr, royaltyAddr,
+          mpAddr, minBid, maxBid)
+      case "v2" =>
+        throw new IllegalArgumentException(
+          "getgems auction v2 has no parser (reference parity)")
+      case _ => // v3r3, the "latest" default
+        cs.loadUint(2) // end?, is_canceled?
+        cs.loadAddress() // last_member
+        cs.loadCoins() // last_bid
+        cs.loadUint(32) // last_bid_at
+        val endTime = cs.loadUint(32).toLong
+        cs.loadAddress() // nft_owner
+        cs.loadUint(64) // last_query_id
+        val mpFeeFactor = cs.loadUint(32)
+        val mpFeeBase = cs.loadUint(32)
+        val royaltyFeeFactor = cs.loadUint(32)
+        val royaltyFeeBase = cs.loadUint(32)
+        val fees = cs.loadRef().beginParse()
+        val mpFeeAddr = fees.loadAddress()
+        val royaltyAddr = fees.loadAddress()
+        val const = cs.loadRef().beginParse()
+        val mpAddr = const.loadAddress()
+        val minBid = const.loadCoins()
+        val maxBid = const.loadCoins()
+        NftAuctionStateData(endTime, mpFeeFactor, mpFeeBase,
+          royaltyFeeFactor, royaltyFeeBase, mpFeeAddr, royaltyAddr,
+          mpAddr, minBid, maxBid)
+    }
   }
 
   /** transfer#5fcc3d14 query_id:uint64 new_owner:MsgAddress

@@ -862,6 +862,14 @@ object ChainSim {
         lit(graft.classifier.Opcodes.StonfiV2PayTo))
       .otherwise(lit(1L))
 
+  /** The b15 corpus (txs, msgs) pre-classify, exposed for the
+    * decode-share micro-benchmark (graft.DecodeShareBench → SCALING.md):
+    * how much of b15's wall time is ONE pass of the full decode surface
+    * over its message bodies. */
+  private[graft] def b15Corpus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    protocolSim(spark, dir, b15Opcodes, b15Bodies)
+
   private def b15Wallet(userId: Long): String = "0:" + f"$userId%064X"
   private def b15Master(userId: Long): String =
     "0:" + f"${userId + 5000000L}%064X"
@@ -1449,7 +1457,7 @@ object ChainSim {
       |    WHEN 2 THEN 'tgbtc_mint_event'
       |    WHEN 3 THEN 'cocoon_ext_client_top_up'
       |    ELSE 'coffee_swap_successful_event' END AS op_name,
-      |  CASE WHEN user_id % 5 IN (0, 3)
+      |  CASE WHEN user_id % 5 IN (0, 1, 3)
       |    THEN cast(event_id AS varchar) END AS query_id,
       |  CASE cast(user_id % 5 AS int)
       |    WHEN 0 THEN cast(event_id * 3 AS varchar)

@@ -166,6 +166,114 @@ class DecodeSpec extends AnyFunSuite {
     assert(db.name == "layer_zero_event_msg_body" && db.fields.isEmpty)
   }
 
+  test("stonfi v2 swap body decodes the dex payload chain and the " +
+      "cross-pool wallet walk (swaps.py:129-203)") {
+    val w1 = "0:" + "0A" * 32
+    val w2 = "0:" + "0B" * 32
+    // cross-pool custom payload: swap sum_type → pool wallet 2, no refs
+    val cross = new Boc.Builder()
+      .storeUint(BigInt(0x6664de2aL), 32).storeAddress(Some(w2)).build()
+    val swapBody = new Boc.Builder()
+      .storeCoins(BigInt(5)) // min_out
+      .storeAddress(Some(addr)) // receiver
+      .storeCoins(BigInt(1)) // fwd_gas
+      .storeBit(true).storeRef(cross) // custom_payload
+      .storeCoins(BigInt(0)) // refund_fwd_gas
+      .storeBit(false) // no refund payload
+      .storeUint(BigInt(10), 16) // ref_fee
+      .storeAddress(None) // ref_address
+      .build()
+    val dex = new Boc.Builder()
+      .storeUint(BigInt(0x6664de2aL), 32) // transferred_op
+      .storeAddress(Some(w1)) // token_wallet1
+      .storeAddress(Some(addr)) // refund
+      .storeAddress(Some(addr)) // excesses
+      .storeUint(BigInt(12345), 64) // deadline
+      .storeRef(swapBody).build()
+    val body = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x6664de2aL), 32).storeUint(BigInt(9), 64)
+      .storeAddress(Some(addr))
+      .storeCoins(BigInt(100)).storeCoins(BigInt(0))
+      .storeRef(dex).build())
+    val d = Decode.decode(body).get
+    assert(d.name == "stonfi_swap_v2")
+    assert(d.fields("query_id") == "9")
+    assert(d.fields("left_amount") == "100")
+    assert(d.fields("token_wallet1") == w1)
+    assert(d.fields("min_out") == "5")
+    assert(d.fields("tx_deadline") == "12345")
+    assert(d.fields("pool_accounts") == s"$w1,$w2")
+  }
+
+  test("tonco pay_to decodes the exit-200 swap-info and exit-201 " +
+      "burn-info cells (swaps.py:345-404)") {
+    def payTo(exit: Long, info: Option[Boc.Cell]): String =
+      Boc.serializeBase64 {
+        val b = new Boc.Builder()
+          .storeUint(BigInt(0xa1daa96dL), 32).storeUint(BigInt(3), 64)
+          .storeAddress(Some(addr)).storeAddress(None)
+          .storeUint(BigInt(exit), 32).storeUint(BigInt(44), 64)
+          .storeBit(true)
+          .storeRef(new Boc.Builder()
+            .storeCoins(BigInt(70)).storeAddress(Some(addr))
+            .storeCoins(BigInt(0)).storeAddress(None).build())
+        info.foreach(c => b.storeBit(true).storeRef(c))
+        b.build()
+      }
+    val swapInfo = new Boc.Builder()
+      .storeUint(BigInt(11), 128).storeUint(BigInt(22), 160)
+      .storeInt(BigInt(-5), 24).storeInt(BigInt(33), 256)
+      .storeInt(BigInt(44), 256).build()
+    val d200 = Decode.decode(payTo(200L, Some(swapInfo))).get
+    assert(d200.fields("liquidity") == "11")
+    assert(d200.fields("price_sqrt") == "22")
+    assert(d200.fields("tick_swap") == "-5")
+    assert(d200.fields("seqno") == "44")
+    assert(d200.fields("amount0") == "70")
+    val burnInfo = new Boc.Builder()
+      .storeUint(BigInt(8), 64).storeUint(BigInt(9), 128)
+      .storeInt(BigInt(-1), 24).storeInt(BigInt(1), 24)
+      .storeInt(BigInt(0), 24).build()
+    val d201 = Decode.decode(payTo(201L, Some(burnInfo))).get
+    assert(d201.fields("nft_index") == "8")
+    assert(d201.fields("liquidity_burned") == "9")
+    assert(d201.fields("tick_lower") == "-1")
+    assert(!d201.fields.contains("liquidity"))
+  }
+
+  test("evaa liquidate_satisfied decodes the full ref field list " +
+      "including the optional tail (evaa.py:317-368)") {
+    def body(withTail: Boolean): String = Boc.serializeBase64 {
+      val ref = new Boc.Builder()
+        .storeInt(BigInt(-7), 64) // delta_loan
+        .storeUint(BigInt(100), 64) // liquidatable
+        .storeUint(BigInt(3), 64) // protocol_gift
+        .storeInt(BigInt(50), 64) // new_user_loan
+        .storeUint(BigInt("11" * 32, 16), 256) // collateral asset
+        .storeInt(BigInt(-9), 64) // delta_collateral
+        .storeUint(BigInt(77), 64) // collateral_reward
+      if (withTail) ref.storeUint(BigInt(5), 64).storeInt(BigInt(6), 64)
+        .storeUint(BigInt(7), 64)
+        .storeRef(new Boc.Builder().build())
+      new Boc.Builder()
+        .storeUint(BigInt(0x311), 32).storeUint(BigInt(2), 64)
+        .storeAddress(Some(addr)).storeAddress(Some(addr))
+        .storeUint(BigInt("22" * 32, 16), 256)
+        .storeRef(ref.build()).build()
+    }
+    val d = Decode.decode(body(withTail = true)).get
+    assert(d.name == "evaa_liquidate_satisfied")
+    assert(d.fields("delta_loan_principal") == "-7")
+    assert(d.fields("liquidatable_amount") == "100")
+    assert(d.fields("protocol_gift") == "3")
+    assert(d.fields("collateral_reward") == "77")
+    assert(d.fields("min_collateral_amount") == "5")
+    assert(d.fields("forward_ton_amount") == "7")
+    val noTail = Decode.decode(body(withTail = false)).get
+    assert(noTail.fields("delta_collateral_principal") == "-9")
+    assert(!noTail.fields.contains("min_collateral_amount"))
+  }
+
   test("marker-only reference classes are identified by name across the " +
       "full inventory (OpcodeNames)") {
     // DedustSwapPeer — a reference class with no parser at all

@@ -202,9 +202,13 @@ class ProtocolLongTailSpec extends SparkSpec {
         initState = Some(init))),
       "T3" -> Seq(in("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer),
         body = Some(nftTransferBody(sale)))))
+    // the dim row's 6th field is the contract code hash — v3r3 here, so
+    // the v2/v3-family layout is selected (get_sale_data version
+    // dispatch, messages/getgems.py:20-27,66-70)
+    val v3r3Hash = "JCIfpXHlQuBVx3vt/b9SfHr0YM/cfzRMRQeHtM+h600="
     val actions = Classifier.classify("ps3", txs,
       msgsWith(saleStateInit(777000L, 5000L, 2500L)),
-      interfaces = Map(sale -> "nft_sale|0:OWNER"),
+      interfaces = Map(sale -> s"nft_sale|0:OWNER||||$v3r3Hash"),
       nftItems = Map("0:NFT" -> NftItemInfo(Some("8"), Some("0:COLL"))))
     val act = actions.find(_.`type` == "nft_put_on_sale").get
     // collection/item/index resolve through the nft_items dim
@@ -232,6 +236,52 @@ class ProtocolLongTailSpec extends SparkSpec {
     assert(la.mp_fee_base.contains(BigDecimal(10000)))
     assert(la.royalty_fee_base.contains(BigDecimal(10000)))
     assert(la.full_price.isEmpty)
+  }
+
+  test("sale state init with no dim code hash parses as v4r1 — the " +
+      "reference's 'latest' default (getgems.py:66-90): percent fees, " +
+      "no absolute marketplace_fee") {
+    import graft.functions.Boc
+    val sale = "0:" + "AB" * 32
+    val v4 = stateInit(new Boc.Builder()
+      .storeBit(false) // is_complete
+      .storeAddress(Some("0:" + "11" * 32)) // marketplace
+      .storeAddress(Some("0:" + "33" * 32)) // nft_owner
+      .storeCoins(BigInt(555000L)) // full_price
+      .storeUint(BigInt(0), 32) // sold_at
+      .storeUint(BigInt(0), 64) // query_id
+      .storeRef(new Boc.Builder()
+        .storeAddress(Some("0:" + "44" * 32)) // mp_fee_addr
+        .storeAddress(Some("0:" + "55" * 32)) // royalty_addr
+        .storeUint(BigInt(5000), 17) // fee_percent
+        .storeUint(BigInt(250), 17) // royalty_percent
+        .build())
+      .build())
+    val txs = Seq(tx("T1", "0:NFT", 10),
+      TxLite("T2", sale, 20, 20, "uninit", "active", false, None, None,
+        0L, "ord"),
+      tx("T3", "0:NFT", 30))
+    val msgs = Map(
+      "T1" -> Seq(
+        in("m1", "0:OWNER", "0:NFT", Some(Opcodes.NftTransfer)),
+        out("m2", "0:NFT", sale, None),
+        out("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer), createdLt = 3L)),
+      "T2" -> Seq(MsgLite("m2", "in", Some("0:NFT"), Some(sale), 100, None,
+        bounce = false, bounced = false, Some(1L), None,
+        initState = Some(v4))),
+      "T3" -> Seq(in("m3", "0:NFT", "0:NFT", Some(Opcodes.NftTransfer),
+        body = Some(nftTransferBody(sale)))))
+    val actions = Classifier.classify("ps5", txs, msgs,
+      interfaces = Map(sale -> "nft_sale|0:OWNER"))
+    val ld = actions.find(_.`type` == "nft_put_on_sale").get
+      .nft_listing_data.get
+    assert(ld.full_price.contains(BigDecimal(555000L)))
+    // v4r1 stores fee PERCENTAGES; NftSaleData.marketplace_fee stays
+    // None, so the serialized listing carries no absolute fee
+    assert(ld.marketplace_fee.isEmpty)
+    assert(ld.royalty_amount.isEmpty)
+    assert(ld.marketplace_fee_address.exists(_.startsWith("0:44")))
+    assert(ld.royalty_address.exists(_.startsWith("0:55")))
   }
 
   test("getgems cancel-sale keeps the returned nft_transfer as its own " +
