@@ -68,11 +68,19 @@ object GraphOps {
           .join(jt, Seq("anc"), "left")
           .select(col("id"), col("anc0"),
             coalesce(col("anc2"), col("anc")).as("anc"))
-      // lazy checkpoint: the count() below materializes it — one job per
-      // round instead of two (eager checkpoint + count)
+      // EAGER checkpoint — this must truncate the LOGICAL plan, not just
+      // the RDD lineage. A lazy checkpoint (eager=false) leaves round
+      // N's plan nested inside round N+1's 8-hop self-join chain, and
+      // Catalyst's size-only stats visitor multiplies join children's
+      // sizeInBytes: bits(round N) ≈ 9^N × 63, so by round ~7 the
+      // driver is doing Toom-Cook multiplications on numbers with
+      // millions of digits — measured 40+ DRIVER-CPU-minutes planning
+      // d14 at sf1 before any task ran. The extra materialization job
+      // per round is microscopic next to that (the (id, anc) pair table
+      // is narrow and already in memory).
       val stepped = hopped
         .withColumn("moved", col("anc") =!= col("anc0"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val changed = stepped.filter(col("moved")).count()
       cur = stepped.drop("anc0", "moved")
       iter += 1
