@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftFreshStats.checkpointFresh
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -387,6 +388,8 @@ object Curation {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("n"))
       .localCheckpoint()
+    // loop state: checkpointFresh, or plan-stats compound across rounds
+    words = org.apache.spark.sql.GraftFreshStats.freshStats(words)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
       val top = words
@@ -414,7 +417,7 @@ object Curation {
               concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
               .otherwise(concat(acc, array(s)))).as("syms"),
           col("n"))
-          .localCheckpoint()
+        words = checkpointFresh(words)
       }
     }
     merges.result()
@@ -481,6 +484,7 @@ object Curation {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"), col("n"))
       .localCheckpoint()
+    words = org.apache.spark.sql.GraftFreshStats.freshStats(words)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -519,7 +523,7 @@ object Curation {
         val newSyms = batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
           bpeApplyOne(c, a, b)
         }
-        words = words.select(newSyms.as("syms"), col("n")).localCheckpoint()
+        words = checkpointFresh(words.select(newSyms.as("syms"), col("n")))
       }
     }
     merges.result()

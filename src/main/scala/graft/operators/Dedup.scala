@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftFreshStats.checkpointFresh
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -265,20 +266,22 @@ object Dedup {
     * driver. Docs in no pair are singletons (their own canonical) and
     * are omitted from the output. */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("doc_id"))
+    // checkpointFresh (stats firewall) everywhere in this loop: labels
+    // round N feeds round N+1's joins, and a plain localCheckpoint
+    // forwards computed stats whose sizeInBytes compounds
+    // multiplicatively across rounds — see GraftFreshStats.
+    val edges = checkpointFresh(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    var labels = checkpointFresh(edges.select(col("u").as("doc_id"))
       .unionByName(edges.select(col("v").as("doc_id")))
-      .distinct().withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .distinct().withColumn("label", col("doc_id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val lu = labels.select(col("doc_id").as("u"), col("label").as("lu"))
       val lv = labels.select(col("doc_id").as("v"), col("label").as("lv"))
-      val e2 = edges.join(lu, "u").join(lv, "v")
-        .select(col("lu"), col("lv")).filter(col("lu") =!= col("lv"))
-        .localCheckpoint()
+      val e2 = checkpointFresh(edges.join(lu, "u").join(lv, "v")
+        .select(col("lu"), col("lv")).filter(col("lu") =!= col("lv")))
       if (e2.isEmpty) converged = true
       else {
         val sym = e2.unionByName(
@@ -287,12 +290,11 @@ object Dedup {
           .filter(col("m") < col("lu"))
           .select(col("lu").as("id"), col("m").as("parent"))
         val compressed = graft.plans.GraphOps.forestRoots(parents)
-        labels = labels
+        labels = checkpointFresh(labels
           .join(compressed.select(col("id").as("label"), col("root")),
             Seq("label"), "left")
           .select(col("doc_id"),
-            coalesce(col("root"), col("label")).as("label"))
-          .localCheckpoint()
+            coalesce(col("root"), col("label")).as("label")))
       }
       round += 1
     }

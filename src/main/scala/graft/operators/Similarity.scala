@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftFreshStats.checkpointFresh
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,8 +295,8 @@ object Similarity {
     * index). Iterations are a driver LOOP (k-means is inherently
     * round-synchronous), each materialized so lineage stays flat. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-      .localCheckpoint()
+    val c = checkpointFresh(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv")))
     val init = c.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("cv")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
@@ -317,7 +318,7 @@ object Similarity {
         .withColumn("r", row_number().over(w))
         .filter(col("r") === 1)
         .select(col("vec_id"), col("cluster"), col("cv"))
-        .localCheckpoint()
+      assign = checkpointFresh(assign)
       cents = assign
         .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
         .groupBy("cluster", "i")
@@ -325,7 +326,7 @@ object Similarity {
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
         .select(col("cluster"), transform(col("ps"), p => p("x")).as("centroid"))
-        .localCheckpoint()
+      cents = checkpointFresh(cents)
     }
     assign.select("vec_id", "cluster")
   }

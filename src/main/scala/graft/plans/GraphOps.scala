@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftFreshStats.checkpointFresh
 import org.apache.spark.sql.functions._
 
 /** Distributed forest root-propagation — the batch form of the reference's
@@ -46,9 +47,8 @@ object GraphOps {
     * the 100 TB shape, hash-partitioned on the join key under AQE). */
   def forestRoots(nodes: DataFrame, maxIters: Int = 30): DataFrame = {
     // anc = current known ancestor (self for roots); done = anc is a root
-    var cur = nodes
-      .select(col("id"), coalesce(col("parent"), col("id")).as("anc"))
-      .localCheckpoint()
+    var cur = checkpointFresh(nodes
+      .select(col("id"), coalesce(col("parent"), col("id")).as("anc")))
     val useBroadcast = cur.count() <= 3000000L
     // hops per round through the round-start jump table: ancestor distance
     // grows ×(hops+1) per round. Under a broadcast jump table extra hops
@@ -68,19 +68,19 @@ object GraphOps {
           .join(jt, Seq("anc"), "left")
           .select(col("id"), col("anc0"),
             coalesce(col("anc2"), col("anc")).as("anc"))
-      // EAGER checkpoint — this must truncate the LOGICAL plan, not just
-      // the RDD lineage. A lazy checkpoint (eager=false) leaves round
-      // N's plan nested inside round N+1's 8-hop self-join chain, and
-      // Catalyst's size-only stats visitor multiplies join children's
-      // sizeInBytes: bits(round N) ≈ 9^N × 63, so by round ~7 the
-      // driver is doing Toom-Cook multiplications on numbers with
-      // millions of digits — measured 40+ DRIVER-CPU-minutes planning
-      // d14 at sf1 before any task ran. The extra materialization job
-      // per round is microscopic next to that (the (id, anc) pair table
-      // is narrow and already in memory).
-      val stepped = hopped
-        .withColumn("moved", col("anc") =!= col("anc0"))
-        .localCheckpoint()
+      // checkpointFresh, not plain localCheckpoint: a checkpoint
+      // truncates the plan but FORWARDS the computed stats
+      // (LogicalRDD.originStats), and Catalyst's size-only stats visitor
+      // multiplies join children's sizeInBytes — so the estimate
+      // compounds ×9 per 8-hop round, bits(round N) ≈ 9^N × 63, and
+      // with an outer loop nesting forestRoots calls (d14 dupClusters)
+      // the driver ends up in Toom-Cook multiplications on
+      // million-digit numbers for HOURS before any task runs (observed
+      // live at sf1). The firewall drops originStats so each round
+      // plans from the default size; the jump-table broadcast is an
+      // explicit hint and AQE re-plans shuffles from runtime sizes.
+      val stepped = checkpointFresh(hopped
+        .withColumn("moved", col("anc") =!= col("anc0")))
       val changed = stepped.filter(col("moved")).count()
       cur = stepped.drop("anc0", "moved")
       iter += 1

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.plans.TraceAssembly
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftFreshStats.checkpointFresh
 import org.apache.spark.sql.functions._
 
 /** Incremental (micro-batch) trace assembly — the streaming form of
@@ -63,33 +64,35 @@ class IncrementalTraceAssembly(spark: SparkSession,
   def processBatchFull(txs: DataFrame, msgs: DataFrame, batchId: Long = -1L)
       : (DataFrame, DataFrame, DataFrame) = {
     if (batchId >= 0L) seekTo(batchId)
-    val allTxs = unionOpt(openTxs, txs)
-      .dropDuplicates("hash").localCheckpoint()
-    val allMsgs = unionOpt(openMsgs, msgs)
-      .dropDuplicates("msg_hash", "tx_hash", "direction").localCheckpoint()
+    // checkpointFresh throughout: open-trace state carries across
+    // BATCHES, so plain checkpoints would compound plan stats batch
+    // over batch (see GraftFreshStats) — a thousand-batch stream would
+    // hit the same driver-side BigInt blowup as an iterative loop.
+    val allTxs = checkpointFresh(unionOpt(openTxs, txs)
+      .dropDuplicates("hash"))
+    val allMsgs = checkpointFresh(unionOpt(openMsgs, msgs)
+      .dropDuplicates("msg_hash", "tx_hash", "direction"))
 
     val (traces, _, txsWithTrace) = assemble(allTxs, allMsgs)
-    val tracesC = traces.localCheckpoint()
-    val txsWithTraceC = txsWithTrace.localCheckpoint()
+    val tracesC = checkpointFresh(traces)
+    val txsWithTraceC = checkpointFresh(txsWithTrace)
 
     val done = tracesC.filter(col("state") === "complete")
     val open = tracesC.filter(col("state") =!= "complete")
       .select(col("trace_id"))
 
-    val doneTxs = txsWithTraceC
-      .join(done.select("trace_id"), Seq("trace_id"), "left_semi")
-      .localCheckpoint()
+    val doneTxs = checkpointFresh(txsWithTraceC
+      .join(done.select("trace_id"), Seq("trace_id"), "left_semi"))
     val doneMsgs = allMsgs.join(
       doneTxs.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi")
 
     // carry only rows belonging to still-open traces
-    val openTxKeys = txsWithTraceC
-      .join(open, Seq("trace_id"), "left_semi")
-      .localCheckpoint()
+    val openTxKeys = checkpointFresh(txsWithTraceC
+      .join(open, Seq("trace_id"), "left_semi"))
     openTxs = Some(openTxKeys.drop("trace_id"))
-    openMsgs = Some(allMsgs.join(
-        openTxKeys.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi")
-      .localCheckpoint())
+    openMsgs = Some(checkpointFresh(allMsgs.join(
+      openTxKeys.select(col("hash").as("tx_hash")), Seq("tx_hash"),
+      "left_semi")))
 
     completedCount += done.count()
     if (batchId >= 0L) {
