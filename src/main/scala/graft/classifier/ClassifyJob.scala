@@ -319,6 +319,19 @@ object ClassifyJob {
     }.reduce(_ + _).toLong
   }
 
+  /** One-pass decode-for-keys column: every address-shaped field the
+    * registered decode surface extracts from a message body
+    * (TlbDecoders.resolverAddressKeys), as an array<string>. Ingest can
+    * persist it as a silver `body_keys` column — decode once at write —
+    * and traceDims will consume the column instead of re-decoding, so
+    * the dims branch never touches `body` at all. A UDF is unavoidable
+    * here: the value is a full BOC parse no vectorized expression can
+    * express (same argument as the inline form this replaces). */
+  val bodyKeysCol = udf { (opcode: java.lang.Long, body: String) =>
+    if (opcode == null || body == null) Seq.empty[String]
+    else graft.functions.TlbDecoders.resolverAddressKeys(opcode, body)
+  }
+
   /** (trace_id, account) distinct pairs ⋈ the provided dims, aggregated
     * to per-trace lookup maps. One tagged union keeps it a single join +
     * single aggregation regardless of how many dims are provided.
@@ -336,17 +349,22 @@ object ClassifyJob {
     import spark.implicits._
     // lookup-key candidates: tx/msg addresses plus every address-shaped
     // field the full registered decode surface extracts from bodies —
-    // see TlbDecoders.resolverAddressKeys
-    val bodyKeys = udf { (opcode: java.lang.Long, body: String) =>
-      if (opcode == null || body == null) Seq.empty[String]
-      else graft.functions.TlbDecoders.resolverAddressKeys(opcode, body)
-    }
+    // see TlbDecoders.resolverAddressKeys. When the messages frame
+    // carries a persisted `body_keys` column (ingest decoded once at
+    // silver-write time — bodyKeysCol), use it: the dims branch then
+    // reads a narrow array column instead of re-running the decode pass
+    // (measured at ~31% of b15's wall time at sf1, DecodeShareBench),
+    // and the body column is not even scanned on this branch.
+    val keysCol =
+      if (messages.columns.contains("body_keys"))
+        coalesce(col("body_keys"), array().cast("array<string>"))
+      else bodyKeysCol(col("opcode"),
+        (if (messages.columns.contains("body")) col("body")
+         else lit(null).cast("string")))
     val msgAccounts = messages.select(col("tx_hash").as("hash"),
         explode(concat(
           array(col("source"), col("destination")),
-          bodyKeys(col("opcode"),
-            (if (messages.columns.contains("body")) col("body")
-             else lit(null).cast("string"))))).as("account"))
+          keysCol)).as("account"))
       .filter(col("account").isNotNull)
       .join(txs.select(col("hash"), col("trace_id")), Seq("hash"))
       .select("trace_id", "account")

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.GraftFreshStats.checkpointFresh
+import org.apache.spark.sql.GraftFreshStats.{checkpointFresh, unpersistCheckpoints}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -417,9 +417,12 @@ object Curation {
               concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
               .otherwise(concat(acc, array(s)))).as("syms"),
           col("n"))
+        val prev = words
         words = checkpointFresh(words)
+        unpersistCheckpoints(prev) // superseded round: release its blocks
       }
     }
+    unpersistCheckpoints(words) // result is the driver-side merge table
     merges.result()
   }
 
@@ -523,9 +526,12 @@ object Curation {
         val newSyms = batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
           bpeApplyOne(c, a, b)
         }
+        val prev = words
         words = checkpointFresh(words.select(newSyms.as("syms"), col("n")))
+        unpersistCheckpoints(prev) // superseded round: release its blocks
       }
     }
+    unpersistCheckpoints(words) // result is the driver-side merge table
     merges.result()
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.GraftFreshStats.checkpointFresh
+import org.apache.spark.sql.GraftFreshStats.{checkpointFresh, unpersistCheckpoints}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,12 +65,16 @@ object Dedup {
   // the regex split into the per-element lambda — ~3 full-text splits per
   // shingle position, ~1000 regex evaluations per document. From a
   // materialized array, each position is three O(1) element_at calls.
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
-    graft.plans.SilverStore.table(s, dir, "doc_shingles") {
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+    // staging checkpoint is dead once the silver table is written —
+    // release it (only set when the one-time build lambda actually ran)
+    var staged: DataFrame = null
+    val out = graft.plans.SilverStore.table(s, dir, "doc_shingles") {
       val toks = T.documents(s, dir)
         .select(col("doc_id"), trim(col("text")).as("tt"),
           split(trim(col("text")), "\\s+").as("toks"))
         .localCheckpoint()
+      staged = toks
       toks.select(col("doc_id"),
           array_distinct(
             when(size(col("toks")) >= 3,
@@ -81,6 +85,9 @@ object Dedup {
               .otherwise(array(col("tt")))).as("sh"),
           col("toks"))
     }
+    if (staged != null) unpersistCheckpoints(staged)
+    out
+  }
 
   /** 64-slot MinHash signature over PRE-HASHED shingles: slot j = min
     * over shingle hashes h of mix64(h ^ j·φ) — the native fused-loop
@@ -290,15 +297,23 @@ object Dedup {
           .filter(col("m") < col("lu"))
           .select(col("lu").as("id"), col("m").as("parent"))
         val compressed = graft.plans.GraphOps.forestRoots(parents)
+        val prev = labels
         labels = checkpointFresh(labels
           .join(compressed.select(col("id").as("label"), col("root")),
             Seq("label"), "left")
           .select(col("doc_id"),
             coalesce(col("root"), col("label")).as("label")))
+        // the new labels table is materialized: release the superseded
+        // round's labels and this round's relabeled-edge / fixpoint
+        // checkpoints instead of pinning them for the session
+        unpersistCheckpoints(prev)
+        unpersistCheckpoints(compressed)
       }
+      unpersistCheckpoints(e2)
       round += 1
     }
     require(converged, s"dupClusters did not converge in $maxRounds rounds")
+    unpersistCheckpoints(edges)
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.GraftFreshStats.checkpointFresh
+import org.apache.spark.sql.GraftFreshStats.{checkpointFresh, unpersistCheckpoints}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -313,21 +313,29 @@ object Similarity {
       .orderBy(col("score").desc, col("cluster"))
     var assign: DataFrame = null
     for (_ <- 0 until iters) {
-      assign = c.crossJoin(broadcast(cents))
+      val prevAssign = assign
+      val prevCents = cents
+      assign = checkpointFresh(c.crossJoin(broadcast(prevCents))
         .withColumn("score", cosine(col("cv"), col("centroid")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") === 1)
-        .select(col("vec_id"), col("cluster"), col("cv"))
-      assign = checkpointFresh(assign)
-      cents = assign
+        .select(col("vec_id"), col("cluster"), col("cv")))
+      // new assignment is materialized: the previous round's state can
+      // never be read again — release its blocks instead of pinning
+      // every round for the session
+      if (prevAssign != null) unpersistCheckpoints(prevAssign)
+      unpersistCheckpoints(prevCents)
+      cents = checkpointFresh(assign
         .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
         .groupBy("cluster", "i")
         .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("x"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
-        .select(col("cluster"), transform(col("ps"), p => p("x")).as("centroid"))
-      cents = checkpointFresh(cents)
+        .select(col("cluster"),
+          transform(col("ps"), p => p("x")).as("centroid")))
     }
+    unpersistCheckpoints(cents) // the return value reads `assign` only
+    unpersistCheckpoints(c)
     assign.select("vec_id", "cluster")
   }
 

@@ -40,7 +40,13 @@ object ChainSim {
   def simulate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lazy val built = simulateUncached(spark, dir)
     (SilverStore.table(spark, dir, "sim_txs")(built._1),
-      SilverStore.table(spark, dir, "sim_msgs")(built._2))
+      SilverStore.table(spark, dir, "sim_msgs")(
+        // decode-once-at-write: persist the resolver address keys next
+        // to each body so every classify over this silver skips the
+        // dims-branch decode pass (ClassifyJob.bodyKeysCol)
+        built._2.withColumn("body_keys",
+          graft.classifier.ClassifyJob.bodyKeysCol(
+            col("opcode"), col("body")))))
   }
 
   /** Trace roots over the simulated chain topology, computed ONCE per
@@ -58,16 +64,23 @@ object ChainSim {
   def b15WalletDimPublic(spark: SparkSession, dir: String): DataFrame =
     b15WalletDim(spark, dir)
 
-  private def chainRoots(spark: SparkSession, dir: String): DataFrame =
-    SilverStore.table(spark, dir, "chain_roots") {
+  private def chainRoots(spark: SparkSession, dir: String): DataFrame = {
+    // the fixpoint's final checkpoint is dead once the silver table is
+    // written — release it (only set when the build lambda actually ran)
+    var fixpoint: DataFrame = null
+    val out = SilverStore.table(spark, dir, "chain_roots") {
       val ev = chainedEvents(spark, dir)
       val nodes = ev.select(
         concat(lit("T"), col("event_id").cast("string")).as("id"),
         when(col("prev_id").isNotNull,
           concat(lit("T"), col("prev_id").cast("string"))).as("parent"))
-      GraphOps.forestRoots(nodes)
-        .select(col("id").as("hash"), col("root").as("trace_id"))
+      fixpoint = GraphOps.forestRoots(nodes)
+      fixpoint.select(col("id").as("hash"), col("root").as("trace_id"))
     }
+    if (fixpoint != null)
+      org.apache.spark.sql.GraftFreshStats.unpersistCheckpoints(fixpoint)
+    out
+  }
 
   /** Memoized classifier output over the assembled chain — shared by every
     * action-level query (a03/b02); the silver `actions` table. Carries the

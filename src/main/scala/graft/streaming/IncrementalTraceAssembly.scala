@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.plans.TraceAssembly
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.GraftFreshStats.checkpointFresh
+import org.apache.spark.sql.GraftFreshStats.{checkpointFresh, unpersistCheckpoints}
 import org.apache.spark.sql.functions._
 
 /** Incremental (micro-batch) trace assembly — the streaming form of
@@ -31,6 +31,15 @@ class IncrementalTraceAssembly(spark: SparkSession,
   private var openMsgs: Option[DataFrame] = None
   private var lastBatchId: Option[Long] = None
   @volatile var completedCount: Long = 0L
+
+  // checkpoints created by the PREVIOUS batch. They stay readable until
+  // the next batch's inputs are materialized (the returned done/doneTxs/
+  // doneMsgs frames read them lazily; micro-batches are sequential, so
+  // the caller has consumed batch N's output before batch N+1 starts) —
+  // then they are unreachable and their blocks are released. Without
+  // this rotation a long-running stream pins every batch's working set
+  // in the block store for the life of the session.
+  private var staleState: Seq[DataFrame] = Nil
 
   private def unionOpt(a: Option[DataFrame], b: DataFrame): DataFrame =
     a.map(_.unionByName(b)).getOrElse(b)
@@ -72,6 +81,9 @@ class IncrementalTraceAssembly(spark: SparkSession,
       .dropDuplicates("hash"))
     val allMsgs = checkpointFresh(unionOpt(openMsgs, msgs)
       .dropDuplicates("msg_hash", "tx_hash", "direction"))
+    // this batch's inputs are materialized: the previous batch's
+    // checkpoints (working set + carried open state) are now dead
+    staleState.foreach(unpersistCheckpoints)
 
     val (traces, _, txsWithTrace) = assemble(allTxs, allMsgs)
     val tracesC = checkpointFresh(traces)
@@ -102,6 +114,11 @@ class IncrementalTraceAssembly(spark: SparkSession,
       }
       lastBatchId = Some(batchId)
     } else checkpointDir.foreach(snapshot)
+    // everything checkpointed this batch rotates out at the next one;
+    // the raw (pre-checkpoint) traces/txsWithTrace frames are included
+    // so the assembler's internal fixpoint state is released too
+    staleState = Seq(allTxs, allMsgs, tracesC, txsWithTraceC, doneTxs,
+      openTxKeys, traces, txsWithTrace) ++ openMsgs
     (done, doneTxs, doneMsgs)
   }
 

@@ -51,4 +51,22 @@ object GraftFreshStats {
   /** `localCheckpoint` + stats firewall — use inside driver loops. */
   def checkpointFresh(df: Dataset[Row]): DataFrame =
     freshStats(df.localCheckpoint())
+
+  /** Drop the block-store blocks behind every checkpoint leaf in `df`'s
+    * plan. Loop-carried checkpoints otherwise accumulate for the whole
+    * session — a bench run measured later small queries 3-8× slower
+    * purely from the pinned blocks of earlier iterative operators'
+    * rounds (GC pressure in a 48 GB heap at sf1). Call ONLY on frames
+    * that are provably dead: a local checkpoint has no lineage to
+    * recompute from, so any later read of `df` (or of a plan sharing
+    * its checkpoint) fails. Superseded round state in a driver loop is
+    * the intended target — round N+1 is materialized before round N is
+    * released, exactly like rotating a double buffer. */
+  def unpersistCheckpoints(df: Dataset[Row]): Unit = {
+    val cd = df.asInstanceOf[classic.Dataset[Row]]
+    cd.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

@@ -93,6 +93,63 @@ class ClassifyDimsSpec extends SparkSpec {
     assert(jt.asset.contains("0:MA"))
   }
 
+  test("persisted body_keys column reproduces the inline decode path " +
+      "exactly (ingest decode-once hook)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Boc
+    // give the jetton transfer a REAL TEP-74 body whose decode yields an
+    // address key ("0:77..77") the msg endpoints never mention — the
+    // dims branch must deliver that wallet's dim row through body_keys
+    val keyAddr = "0:" + "77" * 32
+    val bodyB64 = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(Opcodes.JettonTransfer), 32)
+      .storeUint(BigInt(1), 64)
+      .storeCoins(BigInt(42))
+      .storeAddress(Some(keyAddr)).storeAddress(None)
+      .storeBit(false).storeCoins(BigInt(0)).storeBit(false)
+      .storeUint(BigInt(0), 32).storeBytes("hi".getBytes("UTF-8"))
+      .build())
+    val txs = txDf
+    val msgs = msgRows.toDF("msg_hash", "tx_hash", "direction", "source",
+      "destination", "value", "opcode", "created_lt")
+      .withColumn("bounce", lit(false)).withColumn("bounced", lit(false))
+      .withColumn("body",
+        when(col("msg_hash") === "mc1", lit(bodyB64)))
+    // the decode actually extracts the planted key (non-vacuous check)
+    assert(graft.functions.TlbDecoders
+      .resolverAddressKeys(Opcodes.JettonTransfer, bodyB64)
+      .contains(keyAddr))
+    val ifDim = ifaceMap.toSeq.toDF("account", "interface")
+    val jwDim = (jwMap + (keyAddr -> "0:MK")).toSeq.toDF("account", "master")
+    val nftDim = nftMap.toSeq.map { case (a, i) =>
+      (a, i.index.orNull, i.collection.orNull) }
+      .toDF("account", "item_index", "collection")
+    val dims = ClassifyDims(Some(ifDim), Some(jwDim), Some(nftDim))
+    val inline = ClassifyJob.run(spark, txs, msgs, dims).collect().toSet
+    // persisted form: keys precomputed at "ingest" with the public column
+    val persisted = ClassifyJob.run(spark, txs,
+      msgs.withColumn("body_keys",
+        ClassifyJob.bodyKeysCol(col("opcode"), col("body"))),
+      dims).collect().toSet
+    assert(persisted == inline)
+    // a null body_keys row must behave like an EMPTY key list, not drop
+    // the row's endpoint candidates (the coalesce guard in traceDims:
+    // concat(endpoints, null) is null, and the explode would silently
+    // erase the message's source/destination from the dim reach)
+    val nullKeys = ClassifyJob.run(spark, txs,
+      msgs.withColumn("body_keys", lit(null).cast("array<string>")),
+      dims).collect().toSet
+    val emptyKeys = ClassifyJob.run(spark, txs,
+      msgs.withColumn("body_keys", array().cast("array<string>")),
+      dims).collect().toSet
+    assert(nullKeys == emptyKeys)
+    // and endpoint-derived dims still land on the null-keys path: the
+    // original jetton transfer (wallets 0:W1/0:W2) resolves its master
+    assert(nullKeys.find(_.`type` == "jetton_transfer")
+      .exists(_.asset.contains("0:MA")))
+  }
+
   test("no-dims fast path is unchanged") {
     import spark.implicits._
     val txs = txDf
