@@ -187,6 +187,35 @@ class PlanSpec extends SparkSpec {
       s"dims feed leaks body columns into extra shuffles:\n${p.take(3000)}")
   }
 
+  test("with a persisted body_keys column the dims branch never evaluates " +
+      "the decode UDF (ingest decode-once actually short-circuits)") {
+    import spark.implicits._
+    val txs = Seq(("t1", "T1", "0:A", 1L, 1)).toDF(
+      "hash", "trace_id", "account", "lt", "now")
+      .withColumn("orig_status", lit("active"))
+      .withColumn("end_status", lit("active"))
+      .withColumn("aborted", lit(false))
+      .withColumn("compute_exit_code", lit(null).cast("int"))
+      .withColumn("action_result_code", lit(null).cast("int"))
+      .withColumn("total_fees", lit(0L))
+      .withColumn("descr", lit("ord"))
+    val msgs = Seq(("t1", "m1", "in", "0:B", "0:A", 5L,
+        null.asInstanceOf[java.lang.Long], false, false, 1L,
+        "Qm9keUJsb2I=")).toDF(
+      "tx_hash", "msg_hash", "direction", "source", "destination", "value",
+      "opcode", "bounce", "bounced", "created_lt", "body")
+      .withColumn("body_keys", array().cast("array<string>"))
+    val jw = Seq(("0:A", "0:M")).toDF("account", "master")
+    val acts = graft.classifier.ClassifyJob.run(spark, txs, msgs,
+      graft.classifier.ClassifyDims(jettonWallets = Some(jw)))
+    val p = acts.queryExecution.executedPlan.toString
+    // exactly zero UDF invocations anywhere in the plan: the classify
+    // branch decodes inside flatMapGroups (not a UDF), so any UDF here
+    // means the dims branch re-decoded despite the persisted column
+    assert(!p.contains("UDF"),
+      s"dims branch re-decodes despite body_keys:\n${p.take(3000)}")
+  }
+
   test("fact-side joins carry no broadcast hints (100×-scale audit)") {
     // typedActions joins the traces FACT table's meta projection — at
     // design scale that is 10⁸–10⁹ rows, so the join must be left to the
