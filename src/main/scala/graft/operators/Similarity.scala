@@ -339,6 +339,16 @@ object Similarity {
     assign.select("vec_id", "cluster")
   }
 
+  /** The 8×3 trained quantizer assignment over the gate corpus,
+    * materialized ONCE per (session, dir): e07 (IVF) and e09 (semantic
+    * dedup) share the same coarse book, exactly as a production corpus
+    * trains its quantizer once and serves every consumer from the
+    * persisted assignment. */
+  private def kmeansAssignSilver(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SilverStore.table(s, dir, "kmeans_assign_8x3") {
+      kmeansAssign(T.embeddings(s, dir), k = 8, iters = 3)
+    }
+
   /** IVF over TRAINED centroids: kmeansAssign relabels the corpus, then
     * the probe-and-scan path is exactly ivfTopK. Approximate by nature
     * (probe misses are possible) → rows-only driver check; determinism
@@ -346,7 +356,7 @@ object Similarity {
   val e07 = Q.noOracle("e07_ann_ivf_kmeans") { (s, dir) =>
     val emb = T.embeddings(s, dir)
     val relabeled = emb.drop("label")
-      .join(kmeansAssign(emb, k = 8, iters = 3)
+      .join(kmeansAssignSilver(s, dir)
         .withColumnRenamed("cluster", "label"), "vec_id")
     ivfTopK(relabeled, queriesOf(s, dir), 5)
       .orderBy("query_id", "n_rank")
@@ -487,5 +497,73 @@ object Similarity {
       .orderBy("method")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  // ----------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-Efficient Learning at Web-Scale Through Semantic
+    * Deduplication"): k-means-cluster the embedding corpus, find
+    * within-cluster pairs above a cosine threshold, contract them to
+    * duplicate groups, and keep ONE canonical document per group — the
+    * step that removes semantically-redundant documents (not just
+    * near-identical text) from a training corpus.
+    *
+    * Scale shape, mirroring the paper's own trade: pair search runs
+    * ONLY within a k-means cluster (cross-cluster near-dups are the
+    * documented miss mode), so k is sized to the corpus — k ∝ n keeps
+    * expected cluster size constant and the per-cluster pair stage
+    * linear overall, exactly like nearDupPairs' adaptive LSH bits.
+    * Scoring happens inside the bucket row where both vectors are
+    * local (collect_list per cluster, in-row pairing); only surviving
+    * (vec_a, vec_b) id pairs shuffle into the cluster contraction.
+    * Everything downstream reuses the scale-correct pieces:
+    * kmeansAssign (broadcast centroid book, corpus never shuffled by
+    * vector) and Dedup.dupClusters (log-round contraction).
+    *
+    * Returns (vec_id, canonical_id, keep): canonical_id = the group's
+    * minimum vec_id (itself for singletons), keep = this row is the
+    * group's survivor. */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      minCosine: Double): DataFrame =
+    semanticDedupWith(corpus, kmeansAssign(corpus, k, iters), minCosine)
+
+  /** Core semantic dedup over a PRE-TRAINED (vec_id, cluster)
+    * assignment — the production entry point, fed from the persisted
+    * quantizer silver. */
+  def semanticDedupWith(corpus: DataFrame, assign: DataFrame,
+      minCosine: Double): DataFrame = {
+    val withVec = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .join(assign.select("vec_id", "cluster"), "vec_id")
+    val pairs = withVec
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, a ->
+             transform(filter(xs, b -> b.vec_id > a.vec_id),
+                       b -> struct(a, b))))""")).as("p"))
+      .filter(cosine(col("p.a.cv"), col("p.b.cv")) >= minCosine)
+      .select(col("p.a.vec_id").as("doc_a"), col("p.b.vec_id").as("doc_b"))
+    val groups = Dedup.dupClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    corpus.select(col("vec_id"))
+      .join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", col("canonical_id") === col("vec_id"))
+  }
+
+  /** Semantic dedup over the gate corpus: k-means 8×3 (e07's quantizer
+    * config) + within-cluster cosine ≥ 0.45 (the corpus' planted
+    * near-dup regime, same threshold as e04/e05). Iterative k-means →
+    * no SQL oracle (rows-only driver check); SimilaritySpec pins
+    * determinism, group consistency against the exact pair scan, and
+    * one-keeper-per-group. */
+  val e09 = Q.noOracle("e09_semantic_dedup") { (s, dir) =>
+    semanticDedupWith(T.embeddings(s, dir), kmeansAssignSilver(s, dir),
+        minCosine = 0.45)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

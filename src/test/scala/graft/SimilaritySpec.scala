@@ -138,4 +138,43 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.count(pairs(got).contains).toDouble / truth.size
     assert(recall >= 0.9, s"quantized recall $recall < 0.9")
   }
+
+  test("semantic dedup: deterministic, one keeper per group, and " +
+      "consistent with the exact pair scan within clusters") {
+    def run() = Similarity.semanticDedup(emb, k = 8, iters = 3,
+      minCosine = 0.45).orderBy("vec_id").collect().toSeq
+    val a = run()
+    assert(a == run(), "semanticDedup must be deterministic")
+    // complete cover: one output row per corpus vector
+    assert(a.length == emb.count())
+    // exactly one keeper per canonical group, and it IS the canonical
+    val byGroup = a.groupBy(_.getLong(1))
+    assert(byGroup.forall { case (canon, rows) =>
+      rows.count(_.getBoolean(2)) == 1 &&
+        rows.find(_.getBoolean(2)).get.getLong(0) == canon &&
+        canon == rows.map(_.getLong(0)).min
+    })
+    // ground truth: every exact near-dup pair whose two vectors landed
+    // in the SAME k-means cluster must share a canonical id (the
+    // within-cluster search may not miss), and the corpus has planted
+    // pairs so the check is non-vacuous
+    val canonOf = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = Similarity.kmeansAssign(emb, 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val sameClusterDups = for {
+      i <- ids; j <- ids if i < j
+      if assign(i) == assign(j) && cos(vecs(i), vecs(j)) >= 0.45
+    } yield (i, j)
+    assert(sameClusterDups.nonEmpty, "corpus must contain planted dups")
+    assert(sameClusterDups.forall { case (i, j) => canonOf(i) == canonOf(j) },
+      "a same-cluster near-dup pair escaped its duplicate group")
+  }
 }
