@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner's periodic GC defaults to 30min — longer than an
+      // entire 105-query bench run, so weak-ref-driven cleanup of dead
+      // shuffle state and broadcasts never fires and queries late in
+      // the session inherit the accumulated heap. One minute matches
+      // the session's query cadence.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (codegen, parquet footers) outside any timing

@@ -526,6 +526,22 @@ object Similarity {
       minCosine: Double): DataFrame =
     semanticDedupWith(corpus, kmeansAssign(corpus, k, iters), minCosine)
 
+  /** k sized to the corpus for semantic dedup: ~`target` vectors per
+    * cluster. A PINNED k is the same trap as pinned LSH bits (e04's
+    * round-9 quadratic): cluster population grows with n and the
+    * within-cluster pair stage goes quadratic — measured 82 s at sf1
+    * (20k vectors, k=8 → ~2.5k-vector clusters → 25M scored pairs)
+    * vs linear behavior at k = n/256. SemDeDup itself scales k with
+    * the corpus (50k clusters for web scale) for exactly this reason.
+    * The residual cost is the assignment scan, O(n·k) = O(n²/target):
+    * that is the algorithm's irreducible centroid-nearest pass
+    * (embarrassingly parallel, broadcast book, corpus never shuffled);
+    * at true web scale the book is trained on a SAMPLE and k is capped
+    * by the broadcast budget (~65k × dim doubles ≈ 35 MB), exactly as
+    * in kmeansAssign's scale note. */
+  def adaptiveK(n: Long, target: Int = 256): Int =
+    math.max(8, (n / target).toInt)
+
   /** Core semantic dedup over a PRE-TRAINED (vec_id, cluster)
     * assignment — the production entry point, fed from the persisted
     * quantizer silver. */
@@ -553,14 +569,26 @@ object Similarity {
       .withColumn("keep", col("canonical_id") === col("vec_id"))
   }
 
-  /** Semantic dedup over the gate corpus: k-means 8×3 (e07's quantizer
-    * config) + within-cluster cosine ≥ 0.45 (the corpus' planted
-    * near-dup regime, same threshold as e04/e05). Iterative k-means →
-    * no SQL oracle (rows-only driver check); SimilaritySpec pins
-    * determinism, group consistency against the exact pair scan, and
-    * one-keeper-per-group. */
+  /** The corpus-sized dedup quantizer assignment, materialized once per
+    * (session, dir). Coincides with e07's 8×3 book at gate scale
+    * (n ≤ 2048 → k = 8) but grows k with the corpus — see adaptiveK. */
+  private def dedupAssignSilver(s: SparkSession, dir: String): DataFrame = {
+    val emb = T.embeddings(s, dir)
+    val k = adaptiveK(emb.count())
+    if (k == 8) kmeansAssignSilver(s, dir) // e07's book — train once
+    else graft.plans.SilverStore.table(s, dir, s"kmeans_assign_dedup_$k") {
+      kmeansAssign(emb, k = k, iters = 3)
+    }
+  }
+
+  /** Semantic dedup over the gate corpus: corpus-sized k-means (×3
+    * Lloyd iterations) + within-cluster cosine ≥ 0.45 (the corpus'
+    * planted near-dup regime, same threshold as e04/e05). Iterative
+    * k-means → no SQL oracle (rows-only driver check); SimilaritySpec
+    * pins determinism, group consistency against the exact pair scan,
+    * and one-keeper-per-group. */
   val e09 = Q.noOracle("e09_semantic_dedup") { (s, dir) =>
-    semanticDedupWith(T.embeddings(s, dir), kmeansAssignSilver(s, dir),
+    semanticDedupWith(T.embeddings(s, dir), dedupAssignSilver(s, dir),
         minCosine = 0.45)
       .orderBy("vec_id")
   }
