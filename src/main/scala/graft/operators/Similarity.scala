@@ -486,7 +486,7 @@ object Similarity {
         (col("hits").cast("double") / col("total")).as("recall"))
     }
     val relabeled = emb.drop("label")
-      .join(kmeansAssign(emb, k = 8, iters = 3)
+      .join(kmeansAssignSilver(s, dir)
         .withColumnRenamed("cluster", "label"), "vec_id")
     // near-dup recall on the e05 slice: exact pairs vs banded-LSH pairs
     val slice = emb.filter(col("vec_id") < 2000)
@@ -507,6 +507,23 @@ object Similarity {
       lit("minCosine=0.45,adaptive-bits").as("config"),
       col("hits"), col("total"),
       (col("hits").cast("double") / col("total")).as("recall"))
+    // semantic-dedup GROUP coverage: fraction of exact near-dup pairs
+    // whose two vectors land in the same duplicate group — the
+    // cross-cluster miss mode of the SemDeDup trade, surfaced as data
+    val canon = semanticDedupWith(emb, dedupAssignSilver(s, dir), 0.45)
+      .select(col("vec_id"), col("canonical_id"))
+    val sdHits = exactPairs
+      .join(canon.select(col("vec_id").as("vec_a"),
+        col("canonical_id").as("ca")), "vec_a")
+      .join(canon.select(col("vec_id").as("vec_b"),
+        col("canonical_id").as("cb")), "vec_b")
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("hits"))
+    val sdRow = sdHits.crossJoin(ndTotal).select(
+      lit("semdedup_group").as("method"),
+      lit("adaptiveK-x3,minCosine=0.45").as("config"),
+      col("hits"), col("total"),
+      (col("hits").cast("double") / col("total")).as("recall"))
     recallRow("lsh", "tables=8,bits=4,k=5", lshTopK(emb, q, 5))
       .unionAll(recallRow("ivf_label", "nProbe=2,k=5", ivfTopK(emb, q, 5)))
       .unionAll(recallRow("ivf_kmeans", "kmeans=8x3,nProbe=2,k=5",
@@ -514,6 +531,7 @@ object Similarity {
       .unionAll(recallRow("quantized_int8", "k=5",
         quantizedTopKWith(quantizedSilver(s, dir), q, 5)))
       .unionAll(ndRow)
+      .unionAll(sdRow)
       .orderBy("method")
   }
 
