@@ -514,6 +514,13 @@ object Curation {
           }
           i += 1
         }
+        // If the walk ended because the batch filled (not at an
+        // interacting pair), the first unexamined in-window row was never
+        // folded into stopFreq — but it can share a symbol with a kept
+        // pair, and an earlier kept merge can spawn a pair at its exact
+        // frequency that sorts before a later kept pair. Dominate it too.
+        if (!stopped && i < top.length)
+          stopFreq = math.max(stopFreq, top(i)._3)
         val kept = selected.takeWhile(_._3 > stopFreq)
         val batch = (if (kept.nonEmpty) kept.toSeq else Seq(top.head))
           .take(nMerges - rank)

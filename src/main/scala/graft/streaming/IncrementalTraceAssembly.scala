@@ -33,13 +33,17 @@ class IncrementalTraceAssembly(spark: SparkSession,
   @volatile var completedCount: Long = 0L
 
   // checkpoints created by the PREVIOUS batch. They stay readable until
-  // the next batch's inputs are materialized (the returned done/doneTxs/
-  // doneMsgs frames read them lazily; micro-batches are sequential, so
-  // the caller has consumed batch N's output before batch N+1 starts) —
-  // then they are unreachable and their blocks are released. Without
-  // this rotation a long-running stream pins every batch's working set
-  // in the block store for the life of the session.
+  // the next batch's inputs are materialized, then they are unreachable
+  // and their blocks are released. Without this rotation a long-running
+  // stream pins every batch's working set in the block store for the
+  // life of the session. The RETURNED frames (done/doneTxs/doneMsgs) are
+  // checkpointed too — self-contained, no lineage into this internal
+  // state — and rotate through `returnedState` with one extra batch of
+  // lag, so a caller holding batch N's results can still read them while
+  // (and after) batch N+1 is processed; they die when batch N+2 starts.
   private var staleState: Seq[DataFrame] = Nil
+  private var returnedState: Seq[DataFrame] = Nil
+  private var returnedStale: Seq[DataFrame] = Nil
 
   private def unionOpt(a: Option[DataFrame], b: DataFrame): DataFrame =
     a.map(_.unionByName(b)).getOrElse(b)
@@ -69,7 +73,13 @@ class IncrementalTraceAssembly(spark: SparkSession,
     * rows (with trace_id) and messages — the classification feed of the
     * end-to-end pipeline (StreamPipeline). Pass the streaming `batchId`
     * to get batch-keyed snapshots (replay-safe); batchId = -1 keeps the
-    * legacy unkeyed snapshot behavior. */
+    * legacy unkeyed snapshot behavior.
+    *
+    * Lifetime contract: the returned frames are eagerly materialized
+    * (local checkpoints with no lineage into the rotating internal
+    * state) and remain readable while the NEXT batch is processed; they
+    * are released when the batch after that starts. Persist them (write
+    * or your own checkpoint) if you need them beyond that window. */
   def processBatchFull(txs: DataFrame, msgs: DataFrame, batchId: Long = -1L)
       : (DataFrame, DataFrame, DataFrame) = {
     if (batchId >= 0L) seekTo(batchId)
@@ -82,21 +92,24 @@ class IncrementalTraceAssembly(spark: SparkSession,
     val allMsgs = checkpointFresh(unionOpt(openMsgs, msgs)
       .dropDuplicates("msg_hash", "tx_hash", "direction"))
     // this batch's inputs are materialized: the previous batch's
-    // checkpoints (working set + carried open state) are now dead
+    // internal checkpoints (working set + carried open state) are now
+    // dead; the frames RETURNED two batches ago die with them
     staleState.foreach(unpersistCheckpoints)
+    returnedStale.foreach(unpersistCheckpoints)
 
     val (traces, _, txsWithTrace) = assemble(allTxs, allMsgs)
     val tracesC = checkpointFresh(traces)
     val txsWithTraceC = checkpointFresh(txsWithTrace)
 
-    val done = tracesC.filter(col("state") === "complete")
+    // returned frames are materialized (no lineage into rotated state)
+    val done = checkpointFresh(tracesC.filter(col("state") === "complete"))
     val open = tracesC.filter(col("state") =!= "complete")
       .select(col("trace_id"))
 
     val doneTxs = checkpointFresh(txsWithTraceC
       .join(done.select("trace_id"), Seq("trace_id"), "left_semi"))
-    val doneMsgs = allMsgs.join(
-      doneTxs.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi")
+    val doneMsgs = checkpointFresh(allMsgs.join(
+      doneTxs.select(col("hash").as("tx_hash")), Seq("tx_hash"), "left_semi"))
 
     // carry only rows belonging to still-open traces
     val openTxKeys = checkpointFresh(txsWithTraceC
@@ -114,11 +127,14 @@ class IncrementalTraceAssembly(spark: SparkSession,
       }
       lastBatchId = Some(batchId)
     } else checkpointDir.foreach(snapshot)
-    // everything checkpointed this batch rotates out at the next one;
-    // the raw (pre-checkpoint) traces/txsWithTrace frames are included
-    // so the assembler's internal fixpoint state is released too
-    staleState = Seq(allTxs, allMsgs, tracesC, txsWithTraceC, doneTxs,
+    // internal checkpoints rotate out at the next batch; the raw
+    // (pre-checkpoint) traces/txsWithTrace frames are included so the
+    // assembler's internal fixpoint state is released too. Returned
+    // frames rotate with one extra batch of lag (see returnedState).
+    staleState = Seq(allTxs, allMsgs, tracesC, txsWithTraceC,
       openTxKeys, traces, txsWithTrace) ++ openMsgs
+    returnedStale = returnedState
+    returnedState = Seq(done, doneTxs, doneMsgs)
     (done, doneTxs, doneMsgs)
   }
 

@@ -251,6 +251,25 @@ class CurationSpec extends SparkSpec {
       Curation.bpeTrain(tricky, 6))
   }
 
+  test("batched bpe: a tie hiding behind a filled batch keeps bit-identity") {
+    import spark.implicits._
+    // Engineered for the batch-fill stop: with batchK=2 the walk selects
+    // the disjoint (a,c) and (b,d) and exits because the batch is FULL,
+    // never examining (c,q) — which ties at freq 50 and shares 'c' with
+    // the kept (a,c). Sequential BPE merges (a,c) first, which creates
+    // ("ac","q"):50 sorting lexicographically BEFORE (b,d), so its
+    // second merge is ("ac","q"), not (b,d). The batched trainer must
+    // dominate the first unexamined in-window row for this to hold.
+    val corpus = (Seq.fill(50)("acq") ++ Seq.fill(50)("bd"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seq3 = Curation.bpeTrain(corpus, 3)
+    assert(seq3.map(m => (m._2, m._3)) ==
+      Seq(("a", "c"), ("ac", "q"), ("b", "d")),
+      s"sequential ground truth drifted: $seq3")
+    assert(Curation.bpeTrainBatched(corpus, 3, batchK = 2) == seq3)
+  }
+
   // ---------------------------------------------------------- d18
 
   test("scrub removes every blocklisted token, preserves count and order") {

@@ -60,6 +60,35 @@ class StreamingSpec extends SparkSpec {
     assert(b.getAs[Long]("nodes_") == 3 && b.getAs[String]("state") == "complete")
   }
 
+  test("returned frames from batch N stay readable after batch N+1 runs") {
+    // lifetime contract: processBatchFull's results are materialized
+    // with no lineage into the rotating internal state, so a caller that
+    // holds batch N's frames and only reads them after submitting batch
+    // N+1 (e.g. a sink that flushes one batch behind) must not hit
+    // unpersisted-checkpoint block-fetch failures.
+    val inc = new IncrementalTraceAssembly(spark)
+    val (done1, doneTxs1, doneMsgs1) = inc.processBatchFull(
+      txDf("T1" -> 10L, "T2" -> 20L),
+      msgDf(("m1", "T1", "in", null, "0:T1"),
+        ("m2", "T1", "out", "0:T1", "0:T2"),
+        ("m2", "T2", "in", "0:T1", "0:T2"),
+        ("m3", "T2", "out", "0:T2", "0:T3")))
+    // batch 2 completes the T1 trace and rotates batch 1's working set
+    val (done2, _, _) = inc.processBatchFull(
+      txDf("T3" -> 30L), msgDf(("m3", "T3", "in", "0:T2", "0:T3")))
+    assert(done2.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("T1"))
+    // batch 1's returned frames are still fully readable NOW
+    assert(done1.count() == 0)
+    assert(doneTxs1.count() == 0 && doneMsgs1.count() == 0)
+    val (done3, doneTxs3, doneMsgs3) = inc.processBatchFull(
+      txDf("T4" -> 40L),
+      msgDf(("m4", "T4", "in", null, "0:T4")))
+    assert(done3.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("T4"))
+    assert(doneTxs3.count() == 1 && doneMsgs3.count() == 1)
+    // batch 2's frames survive batch 3 too (rolling window, not one-off)
+    assert(done2.count() == 1)
+  }
+
   test("incremental assembly snapshots and restores its open set") {
     val dir = java.nio.file.Files.createTempDirectory("tastate").toString
     val inc = new IncrementalTraceAssembly(spark, Some(dir))
