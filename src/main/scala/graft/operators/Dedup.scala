@@ -134,7 +134,55 @@ object Dedup {
               s"element_at(sig, b * $ROWS_PER_BAND + ${i + 1})").mkString(", ")}))"""))
         .as(Seq("band", "bkey")))
 
-  def minhashPairsFrom(base: DataFrame, minJaccard: Double): DataFrame = {
+  /** Default per-(band, bucket) membership cap: far above any natural
+    * bucket in a mixed corpus (the bench corpus maxes at 4 members per
+    * minhash bucket and ~180 per simhash chunk bucket at sf0.1 — a
+    * bucket only grows past this when the corpus contains a giant
+    * near-identical cluster, the web-crawl boilerplate case). */
+  val DefaultBucketCap: Int = 1024
+
+  /** Within-bucket candidate emission with a hot-bucket cap. Buckets at
+    * or below `cap` emit exact all-pairs (unchanged semantics). Buckets
+    * ABOVE the cap are star-contracted: every member pairs with the
+    * bucket's minimum doc_id only — O(n) rows instead of O(n²) — which
+    * preserves exactly what the downstream consumer (dupClusters'
+    * connected components) needs for the clusters that cause mega
+    * buckets: a 100k-member near-identical cluster stays one component,
+    * and precision is still exact because every emitted pair passes the
+    * exact verification step. The approximation above the cap is pair
+    * RECALL inside a mixed (collision) mega bucket — a~b similar but
+    * neither similar to the representative surfaces only via the other
+    * bands. Truncation is surfaced as data, not silently:
+    * [[bucketTruncationStats]] reports every contracted bucket. */
+  private def cappedBucketPairs(buckets: DataFrame, idsCol: String,
+      pairExpr: String, starExpr: String, cap: Int): DataFrame =
+    buckets
+      .withColumn("rep", array_min(col(idsCol)))
+      .select(explode(when(size(col(idsCol)) <= cap, expr(pairExpr))
+        .otherwise(expr(starExpr))).as("p"))
+
+  /** Contracted-bucket report for a (…, band, bkey) row frame: one row
+    * per bucket whose membership exceeds `cap`, with the exact pair
+    * count it would have produced and the contracted count it does.
+    * Run it over [[bandKeys]] (or the simhash chunk frame) when a
+    * corpus may contain mega clusters — the no-silent-caps companion
+    * to the capped pair generators. */
+  def bucketTruncationStats(bands: DataFrame,
+      keyCols: Seq[String] = Seq("band", "bkey"),
+      cap: Int = DefaultBucketCap): DataFrame =
+    bands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .withColumn("pairs_exact", col("n") * (col("n") - 1) / 2)
+      .withColumn("pairs_emitted", col("n") - 1)
+
+  /** (doc_id, sh) shingle table → its LSH band-key rows — the frame
+    * [[bucketTruncationStats]] audits for minhash. */
+  def bandKeys(base: DataFrame): DataFrame =
+    bandKeyRows(signaturesOf(base))
+
+  def minhashPairsFrom(base: DataFrame, minJaccard: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val t10 = math.round(minJaccard * 10).toInt
     require(t10 / 10.0 == minJaccard, "threshold must be a multiple of 0.1")
     val withSig = signaturesOf(base).localCheckpoint()
@@ -142,10 +190,11 @@ object Dedup {
     val buckets = bands.groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-    val candidates = buckets
-      .select(explode(expr(
-        """flatten(transform(ids, a ->
-             transform(filter(ids, b -> b > a), b -> struct(a, b))))""")).as("p"))
+    val candidates = cappedBucketPairs(buckets, "ids",
+      """flatten(transform(ids, a ->
+           transform(filter(ids, b -> b > a), b -> struct(a, b))))""",
+      "transform(filter(ids, x -> x > rep), x -> named_struct('a', rep, 'b', x))",
+      bucketCap)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     verifyPairs(candidates, base, t10)
@@ -231,35 +280,50 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding then exact Hamming
     * distance ≤ maxHamming via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
     simhashPairsFromToks(
       docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks")),
-      maxHamming)
+      maxHamming, bucketCap)
 
-  /** Core SimHash pipeline over a prepared (doc_id, toks) frame. */
-  def simhashPairsFromToks(withToks: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = withToks.select(col("doc_id"),
-      graft.functions.HashSketches.simhash_64(
-        expr_tokens_hashed(col("toks"))).as("sim"))
-    val chunks = sigs.select(col("doc_id"), col("sim"),
-      posexplode(expr(
-        "transform(sequence(0, 3), i -> shiftright(sim, i * 16) & 65535)"))
-        .as(Seq("chunk", "ckey")))
-    val buckets = chunks.groupBy("chunk", "ckey")
+  /** Core SimHash pipeline over a prepared (doc_id, toks) frame. Chunk
+    * buckets above `bucketCap` are star-contracted against the bucket's
+    * min-doc_id member (see [[cappedBucketPairs]]); contracted pairs
+    * still pass the exact Hamming filter, so precision is exact at any
+    * cap — only within-mega-bucket recall is approximated, and the
+    * contraction is reported by [[bucketTruncationStats]] over
+    * [[simhashChunkRows]]. */
+  def simhashPairsFromToks(withToks: DataFrame, maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val buckets = simhashChunkRows(withToks).groupBy("chunk", "ckey")
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
       .filter(size(col("xs")) > 1)
     // Hamming test runs bucket-locally BEFORE the distinct, so the shuffle
     // dedups only surviving id pairs, not every bucket collision.
-    buckets
-      .select(explode(expr(
-        """flatten(transform(xs, a ->
-             transform(filter(xs, b -> b.doc_id > a.doc_id),
-                       b -> struct(a, b))))""")).as("p"))
+    cappedBucketPairs(buckets, "xs",
+      """flatten(transform(xs, a ->
+           transform(filter(xs, b -> b.doc_id > a.doc_id),
+                     b -> struct(a, b))))""",
+      """transform(filter(xs, x -> x.doc_id > rep.doc_id),
+           x -> named_struct('a', rep, 'b', x))""",
+      bucketCap)
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         expr("bit_count(p.a.sim ^ p.b.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** (doc_id, toks) → one row per (doc, chunk) of the 4×16-bit SimHash
+    * banding — the frame [[bucketTruncationStats]] audits for simhash
+    * (keyCols = Seq("chunk", "ckey")). */
+  def simhashChunkRows(withToks: DataFrame): DataFrame =
+    withToks.select(col("doc_id"),
+        graft.functions.HashSketches.simhash_64(
+          expr_tokens_hashed(col("toks"))).as("sim"))
+      .select(col("doc_id"), col("sim"),
+        posexplode(expr(
+          "transform(sequence(0, 3), i -> shiftright(sim, i * 16) & 65535)"))
+          .as(Seq("chunk", "ckey")))
 
   /** Duplicate CLUSTERS from a near-dup pair list: connected components
     * with the component's minimum doc_id as the canonical representative

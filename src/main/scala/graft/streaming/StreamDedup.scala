@@ -81,8 +81,21 @@ object StreamDedup {
     * Pairs are emitted (min, max)-normalized; the same pair surfacing
     * from several bands yields duplicates in the stream (exactly as
     * batch banding does before its `distinct()`) — the downstream
-    * verify step dedups, keeping this op append-only and watermark-free. */
-  def candidatePairs(bands: Dataset[BandRow]): Dataset[CandPair] = {
+    * verify step dedups, keeping this op append-only and watermark-free.
+    *
+    * Hot-bucket cap (the streaming twin of the batch star contraction,
+    * Dedup.DefaultBucketCap): a bucket's state stops growing at
+    * `bucketCap` members; arrivals into a saturated bucket pair ONLY
+    * against the bucket's minimum doc_id. Per-arrival work and per-key
+    * state both stay O(cap) — a 100k-member near-identical cluster
+    * (standard in web crawl) emits O(n) star pairs instead of O(n²),
+    * every document still surfaces in at least one candidate pair, and
+    * the downstream connected-components step still sees one cluster.
+    * Recall inside a mixed mega bucket is approximate above the cap,
+    * exactly as documented on the batch generators. */
+  def candidatePairs(bands: Dataset[BandRow],
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap)
+      : Dataset[CandPair] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState[Vector[Long], CandPair](
@@ -93,11 +106,19 @@ object StreamDedup {
           val out = Vector.newBuilder[CandPair]
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
             if (!have.contains(r.doc_id)) {
-              have.foreach { id =>
-                out += (if (id < r.doc_id) CandPair(id, r.doc_id)
-                        else CandPair(r.doc_id, id))
+              if (have.size >= bucketCap) {
+                // saturated: star pair against the bucket representative;
+                // state stays capped so per-key state is O(bucketCap)
+                val rep = have.min
+                out += (if (rep < r.doc_id) CandPair(rep, r.doc_id)
+                        else CandPair(r.doc_id, rep))
+              } else {
+                have.foreach { id =>
+                  out += (if (id < r.doc_id) CandPair(id, r.doc_id)
+                          else CandPair(r.doc_id, id))
+                }
+                have = have :+ r.doc_id
               }
-              have = have :+ r.doc_id
             }
           }
           state.update(have)

@@ -35,6 +35,76 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall on strong dups $recall < 0.8")
   }
 
+  test("hot-bucket cap: below-cap output identical, mega-cluster work " +
+      "bounded with connectivity and exact precision preserved") {
+    import spark.implicits._
+    // an engineered mega cluster: 400 near-identical documents (one
+    // word varies) that all share every minhash band bucket — the web
+    // boilerplate case — plus unrelated filler docs
+    val n = 400
+    val body = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val mega = (0 until n).map(i => (i.toLong, s"$body tail$i"))
+    val filler = (0 until 50).map(i =>
+      ((1000 + i).toLong, s"filler${i}a filler${i}b filler${i}c " +
+        s"filler${i}d filler${i}e filler${i}f"))
+    val corpus = (mega ++ filler).toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("sh")).localCheckpoint()
+
+    // 1. below the cap nothing changes: exact all-pairs output
+    val uncapped = Dedup.minhashPairsFrom(sh, 0.7, bucketCap = 100000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bigCap = Dedup.minhashPairsFrom(sh, 0.7, bucketCap = n + 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == bigCap, "cap above every bucket must be a no-op")
+    assert(uncapped.size >= n * (n - 1) / 2, "mega cluster must be all-pairs dense")
+
+    // 2. above the cap: work is bounded to star pairs...
+    val capped = Dedup.minhashPairsFrom(sh, 0.7, bucketCap = 64)
+    val cappedPairs = capped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.size <= 16 * n, // ≤ bands × (n-1), not n²/2
+      s"capped pair count ${cappedPairs.size} not linear in cluster size")
+    // ...precision stays exact (subset of the exact answer)...
+    assert(cappedPairs.subsetOf(uncapped))
+    // ...and every cluster member is still covered and connected
+    val covered = cappedPairs.flatMap(p => Seq(p._1, p._2))
+    assert((0 until n).forall(i => covered.contains(i.toLong)),
+      "every mega-cluster member must surface in at least one pair")
+    val clustersCapped = Dedup.dupClusters(capped)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustersExact = Dedup.dupClusters(
+      Dedup.minhashPairsFrom(sh, 0.7, bucketCap = 100000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustersCapped == clustersExact,
+      "star contraction must preserve duplicate-cluster assignment")
+
+    // 3. the truncation is surfaced as data, not silent
+    val stats = Dedup.bucketTruncationStats(
+      Dedup.bandKeys(sh), cap = 64).collect()
+    assert(stats.nonEmpty, "contracted buckets must be reported")
+    assert(stats.forall(r => r.getAs[Long]("n") > 64))
+    assert(stats.exists(r => r.getAs[Long]("n") > n * 3 / 4),
+      "the mega cluster's canonical buckets must dominate the report")
+
+    // 4. simhash: same contract. Identical texts → identical signatures
+    // (Hamming 0), so the whole cluster shares every chunk bucket and
+    // the exact answer is deterministically all-pairs.
+    val simCorpus = (0 until n).map(i => (i.toLong, body)).toDF("doc_id", "text")
+      .unionByName(filler.toDF("doc_id", "text"))
+    val toks = simCorpus.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks")).localCheckpoint()
+    val simExact = Dedup.simhashPairsFromToks(toks, 6, bucketCap = 100000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simCapped = Dedup.simhashPairsFromToks(toks, 6, bucketCap = 64)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCapped.subsetOf(simExact))
+    assert(simCapped.size <= 4 * (n + 50), "simhash capped pairs not linear")
+    val simCovered = simCapped.flatMap(p => Seq(p._1, p._2))
+    assert((0 until n).forall(i => simCovered.contains(i.toLong)))
+  }
+
   test("jaccard df-cap drops corpus-hot stop-shingles before the posting " +
       "self-join; rare-shingle pairs stay exact") {
     import spark.implicits._

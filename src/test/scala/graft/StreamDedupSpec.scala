@@ -109,6 +109,36 @@ class StreamDedupSpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture should produce at least one candidate")
   }
 
+  test("online LSH hot-bucket cap bounds state and emission, keeps coverage") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // one saturated bucket: 300 docs landing in the same (band, bkey),
+    // arriving across three micro-batches
+    val n = 300
+    val rows = (0 until n).map(i => BandRow(i.toLong, 0, 42L))
+    val input = MemoryStream[BandRow]
+    val q = StreamDedup.candidatePairs(input.toDS(), bucketCap = 50)
+      .writeStream.format("memory").queryName("lsh_capped")
+      .outputMode("append").start()
+    try {
+      Seq(rows.take(100), rows.slice(100, 200), rows.drop(200)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("lsh_capped").collect()
+      .map(r => CandPair(r.getLong(0), r.getLong(1))).toSet
+    // below saturation: exact all-pairs among the first 50 arrivals;
+    // above: one star pair per arrival against the bucket minimum
+    val exactPart = for (i <- 0 until 50; j <- (i + 1) until 50)
+      yield CandPair(i.toLong, j.toLong)
+    val starPart = (50 until n).map(i => CandPair(0L, i.toLong))
+    assert(got == (exactPart ++ starPart).toSet,
+      s"capped emission diverges (got ${got.size})")
+    // every doc surfaces in at least one pair — nothing silently dropped
+    val covered = got.flatMap(p => Seq(p.doc_a, p.doc_b))
+    assert((0 until n).forall(i => covered.contains(i.toLong)))
+  }
+
   test("streaming candidates feed the batch verify join unchanged") {
     import spark.implicits._
     // verification path: candidates (as the stream would emit them) joined
