@@ -43,6 +43,58 @@ object Decode {
 
   import TlbDecoders._
 
+  /** Every opcode handled by a decodeOp arm — the registered FIELD
+    * decoders. An opcode outside this set can only ever decode to a
+    * name-only marker (fields = Map.empty), so harvest paths that need
+    * field VALUES (TlbDecoders.resolverAddressKeys, the classify dims
+    * branch) skip the body parse entirely when the message's opcode is
+    * not a member — the opcode-pruned dispatch. At chain scale most
+    * bodies carry app-specific or wallet opcodes with no registered
+    * decoder, so the prune removes the BOC parse from the hot path
+    * without changing any output (the skipped parse could only have
+    * produced an empty field map).
+    *
+    * MUST stay in sync with the decodeOp match: DecodeSpec extracts the
+    * case-arm literals from this file's source and asserts set
+    * equality, so adding a decoder without updating this set fails the
+    * build. */
+  val FieldDecoderOpcodes: Set[Long] = Set(
+    0x00000000L, 0x00000001L, 0x00000002L, 0x00000003L, 0x0000000fL,
+    0x00000011L, 0x00000015L, 0x00000021L, 0x00000031L, 0x00000081L,
+    0x0000011aL, 0x0000011fL, 0x00000211L, 0x00000311L, 0x0000031fL,
+    0x0000211aL, 0x0000211fL, 0x0000311aL, 0x0000311dL, 0x0000311fL,
+    0x0168d4b7L, 0x01f3835dL, 0x022fa189L, 0x05138d91L, 0x08e7d036L,
+    0x0a9577f0L, 0x0bf3f447L, 0x0c0ffedeL, 0x0f8a7ea5L, 0x11aefd51L,
+    0x178d4519L, 0x2565934cL, 0x25938561L, 0x26ed7f65L, 0x27756729L,
+    0x2e3034efL, 0x2fcb26a2L, 0x319b0cdcL, 0x370fec51L, 0x37c096dfL,
+    0x3c41d0b2L, 0x3cb38090L, 0x3ebe5431L, 0x40e108d6L, 0x42a0fb43L,
+    0x441c39edL, 0x4468de77L, 0x453443a6L, 0x46ca335aL, 0x474f86cfL,
+    0x47d54391L, 0x487a8e81L, 0x499a9262L, 0x4d725d2cL, 0x4e737e4dL,
+    0x4eb1f0f9L, 0x4ed14b65L, 0x4f7c5789L, 0x530b5f2cL, 0x5388cd88L,
+    0x563c1d96L, 0x595f07bcL, 0x5cfc6b87L, 0x5fcc3d14L, 0x636a4391L,
+    0x642b7d07L, 0x65448ff4L, 0x657b54f5L, 0x6664de2aL, 0x6a1f6a60L,
+    0x6bc79e7eL, 0x6bdcbeb8L, 0x6c6c2080L, 0x6d49eaf2L, 0x706c7567L,
+    0x71860e80L, 0x7258a69bL, 0x7362d09cL, 0x75097f5dL, 0x7610e6ebL,
+    0x77a80ef3L, 0x78d9f109L, 0x81702ef8L, 0x8473b408L, 0x8b771735L,
+    0x8d94a79aL, 0x927c7cb5L, 0x92b11c18L, 0x9713f187L, 0x9c610de3L,
+    0x9c69f376L, 0x9c73fba2L, 0x9c7924baL, 0xa040ad28L, 0xa1daa96dL,
+    0xa2370f61L, 0xa2b5fbaeL, 0xa35cb580L, 0xa762230fL, 0xa7733acdL,
+    0xa7fb58f8L, 0xa9357034L, 0xad4eb6f5L, 0xafaf283eL, 0xb1b0b7e2L,
+    0xb2c1b6e3L, 0xb30c7310L, 0xb51d5a01L, 0xb56b9598L, 0xbb63ff93L,
+    0xbe5a7595L, 0xc0ffee00L, 0xc0ffee01L, 0xc0ffee02L, 0xc0ffee03L,
+    0xc0ffee04L, 0xc0ffee05L, 0xc0ffee06L, 0xc0ffee07L, 0xc0ffee10L,
+    0xc0ffee11L, 0xc0ffee12L, 0xc0ffee20L, 0xc0ffee21L, 0xc0ffee22L,
+    0xc0ffee23L, 0xc0ffee24L, 0xc0ffee25L, 0xc0ffee26L, 0xc0ffee27L,
+    0xc0ffee28L, 0xc0ffee29L, 0xc0ffee2aL, 0xc0ffee2bL, 0xc0ffee2cL,
+    0xc0ffee2dL, 0xc0ffee2eL, 0xc0ffee30L, 0xc0ffee31L, 0xc0ffee32L,
+    0xc0ffee33L, 0xc0ffee34L, 0xc0ffee35L, 0xc0ffee36L, 0xc0ffeea0L,
+    0xc146134dL, 0xc45f9f3bL, 0xc4a1ae54L, 0xc52ed8d4L, 0xc59a7cd3L,
+    0xc68ebc7bL, 0xca444ce6L, 0xcaae25a1L, 0xcb03bfafL, 0xd53276dbL,
+    0xd55e4686L, 0xd5ecca2aL, 0xd68a4ac1L, 0xd73ac09dL, 0xda068e78L,
+    0xe33b9873L, 0xe34b1c60L, 0xe511abc7L, 0xed58b0b2L, 0xee51ce51L,
+    0xefd711e1L, 0xf172e6c2L, 0xf4c354c9L, 0xf5f26a36L, 0xf718510fL,
+    0xf93bb43fL, 0xf9471134L, 0xfafa6cc1L)
+
   private def decodeOp(op: Long, b: String): Option[Decoded] = op match {
     case 0x00000000L =>
       comment(b).map(c => Decoded(op, "text_comment", Map("text" -> c)))

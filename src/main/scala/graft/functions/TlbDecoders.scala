@@ -360,7 +360,19 @@ object TlbDecoders {
     * every address-shaped field value, list fields included. Opcodes are
     * stored with signed-int32 semantics; mask before use. Returns Nil on
     * any decode failure. */
-  def resolverAddressKeys(opcode: Long, bodyB64: String): Seq[String] =
+  def resolverAddressKeys(opcode: Long, bodyB64: String): Seq[String] = {
+    // opcode-pruned dispatch: an opcode with no registered field decoder
+    // can only decode to a name-only marker (empty field map → no keys),
+    // so skip the body parse entirely. At chain scale most bodies carry
+    // unregistered app/wallet opcodes, making this the common path.
+    if (!Decode.FieldDecoderOpcodes.contains(opcode & 0xffffffffL))
+      return Nil
+    resolverAddressKeysUnpruned(bodyB64)
+  }
+
+  /** The unpruned harvest — decodes regardless of the opcode argument.
+    * Exposed for the spec that proves prune-equivalence. */
+  private[graft] def resolverAddressKeysUnpruned(bodyB64: String): Seq[String] =
     try {
       Decode.decode(bodyB64) match {
         case Some(d) if d.fields.nonEmpty =>

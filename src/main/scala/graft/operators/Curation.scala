@@ -622,5 +622,170 @@ object Curation {
     passageDedup(T.documents(s, dir))
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22)
+  // ---------------------------------------------------------------- d23
+
+  /** Per-source mixture weights in thousandths (source → ‰ of the global
+    * token budget). The four weight tiers stand in for the classic
+    * training-mix shape (a few heavy sources, a long cheap tail). */
+  val MixtureWeights: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" ->
+      (if (i < 5) 100 else if (i < 10) 50 else if (i < 15) 30 else 20))
+
+  /** The d16 LCG as a full 32-bit priority (not reduced to ‰): the
+    * deterministic shuffle key mixture sampling orders each source by. */
+  private val lcgPriority = expr(
+    """(((doc_id & 65535) * 2654435761)
+      |  + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+      |  + 1013904223) & 4294967295""".stripMargin)
+
+  /** Source-weighted mixture sampling under a GLOBAL token budget: each
+    * source gets budget·weight‰ tokens; its documents are laid out in
+    * deterministic-hash order (the d16 LCG — reproducible across reruns
+    * and engines, no RNG state) and taken greedily while the source's
+    * running token total stays within its target. The production
+    * "sample a training mix from N sources at fixed proportions" step,
+    * composed from the d16 deterministic-shuffle idea and the d17
+    * two-level prefix sum.
+    *
+    * Scale shape: the running total per source is the d17 two-level
+    * scan, never one window partition per source (a source IS a skew
+    * key — one window partition per source would put a whole crawl
+    * dump in one task): priorities range-bucket by their high bits, the
+    * per-(source, bucket) cumsum is parallel, and the (source, bucket)
+    * offset table (|sources|·256 rows at any corpus size) broadcasts
+    * back. Output carries the source-cumulative token count so the cut
+    * is auditable. */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Int)],
+      budgetTokens: Long): DataFrame = {
+    val target = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(budgetTokens * w / 1000)).otherwise(acc)
+    }
+    val withPr = docs.withColumn("priority", lcgPriority)
+      .withColumn("hbucket", expr("priority DIV 16777216"))
+    val local = withPr.withColumn("local_cum",
+      sum("n_tokens").over(Window.partitionBy("source", "hbucket")
+        .orderBy("priority", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = withPr.groupBy("source", "hbucket")
+      .agg(sum("n_tokens").as("btot"))
+      .withColumn("offset",
+        coalesce(sum("btot").over(Window.partitionBy("source")
+          .orderBy("hbucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "hbucket", "offset")
+    local.join(broadcast(offsets), Seq("source", "hbucket"))
+      .withColumn("cum_src_tokens", col("local_cum") + col("offset"))
+      .filter(col("cum_src_tokens") <= target)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_src_tokens").cast("long").as("cum_src_tokens"))
+  }
+
+  private def mixtureCaseSql: String =
+    s"CASE source ${MixtureWeights.map { case (s, w) =>
+      s"WHEN '$s' THEN ${2000L * w / 1000}" }.mkString(" ")} ELSE 0 END"
+
+  val d23 = Q("d23_mixture_sample",
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    (((doc_id & 65535) * 2654435761)
+       |      + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+       |      + 1013904223) & 4294967295 AS priority
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY priority, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_src_tokens
+       |  FROM d
+       |)
+       |SELECT doc_id, source, n_tokens, cum_src_tokens
+       |FROM c WHERE cum_src_tokens <= $mixtureCaseSql
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    mixtureSample(
+      T.documents(s, dir).select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens")),
+      MixtureWeights, budgetTokens = 2000L)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- d24
+
+  /** URL canonicalization for dedup keys: lowercase, strip scheme,
+    * leading www., explicit port, query string, fragment, and trailing
+    * slashes — the standard crawl-dedup normalization (two fetches of
+    * the same page under http/https/www/utm variants get one key).
+    * Pure column program: zero shuffle, whole-stage codegen. */
+  def canonicalUrl(u: Column): Column = {
+    val x0 = lower(trim(u))
+    val x1 = regexp_replace(x0, "^[a-z][a-z0-9+.-]*://", "")
+    val x2 = regexp_replace(x1, "^www\\.", "")
+    val x3 = regexp_replace(x2, "#.*$", "")
+    val x4 = regexp_replace(x3, "\\?.*$", "")
+    val x5 = regexp_replace(x4, "^([^/:]+):[0-9]+", "$1")
+    regexp_replace(x5, "/+$", "")
+  }
+
+  /** Host component of a canonical URL key. */
+  def urlHost(key: Column): Column = regexp_extract(key, "^([^/]+)", 1)
+
+  /** URL-level dedup verdicts: canonicalize, group by key, first-seen
+    * (min doc_id) is canonical — the crawl twin of the s04 exact-text
+    * dedup, keyed on where the document came FROM rather than what it
+    * says. The per-key window shuffles only (doc_id, key) — bodies
+    * never move — and the same keys feed Dedup.dupClusters when URL
+    * and content pair graphs are combined. */
+  def urlDedup(docs: DataFrame, urlCol: Column): DataFrame = {
+    val keyed = docs.select(col("doc_id"), canonicalUrl(urlCol).as("url_key"))
+    val w = Window.partitionBy("url_key")
+    keyed.select(col("doc_id"), urlHost(col("url_key")).as("host"),
+        col("url_key"),
+        min("doc_id").over(w).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** Deterministic URL fixture over the documents table: consecutive id
+    * pairs share a page, and the two members render it under different
+    * scheme/www/port/query/slash conventions — so the EQUALITY is
+    * created by the canonicalizer, not by string identity. */
+  private def fixtureUrl: Column = {
+    val host = concat(lit("h"), expr("doc_id DIV 2").cast("string"),
+      lit(".example.com"))
+    when(col("doc_id") % 2 === 0,
+        concat(lit("https://www."), host, lit("/a/b?utm_source=feed#top")))
+      .otherwise(concat(lit("HTTP://"), upper(host), lit(":80/a/b/")))
+  }
+
+  val d24 = Q("d24_url_dedup",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      concat('https://www.h', doc_id // 2, '.example.com/a/b?utm_source=feed#top')
+      |    ELSE
+      |      concat('HTTP://', upper(concat('h', doc_id // 2, '.example.com')), ':80/a/b/')
+      |    END AS url
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(lower(trim(url)),
+      |        '^[a-z][a-z0-9+.-]*://', ''),
+      |        '^www\.', ''),
+      |        '#.*$', ''),
+      |        '\?.*$', ''),
+      |        '^([^/:]+):[0-9]+', '\1'),
+      |        '/+$', '') AS url_key
+      |  FROM u
+      |)
+      |SELECT doc_id, regexp_extract(url_key, '^([^/]+)', 1) AS host,
+      |  url_key,
+      |  min(doc_id) OVER (PARTITION BY url_key) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY url_key) AS is_dup
+      |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    urlDedup(T.documents(s, dir), fixtureUrl).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

@@ -510,7 +510,7 @@ object Similarity {
     // semantic-dedup GROUP coverage: fraction of exact near-dup pairs
     // whose two vectors land in the same duplicate group — the
     // cross-cluster miss mode of the SemDeDup trade, surfaced as data
-    val canon = semanticDedupWith(emb, dedupAssignSilver(s, dir), 0.45)
+    val canon = semanticDedupProbed(emb, dedupProbesSilver(s, dir), 0.45)
       .select(col("vec_id"), col("canonical_id"))
     val sdHits = exactPairs
       .join(canon.select(col("vec_id").as("vec_a"),
@@ -521,7 +521,7 @@ object Similarity {
       .agg(count(lit(1)).as("hits"))
     val sdRow = sdHits.crossJoin(ndTotal).select(
       lit("semdedup_group").as("method"),
-      lit("adaptiveK-x3,minCosine=0.45").as("config"),
+      lit("adaptiveK-x3,probes=3,minCosine=0.45").as("config"),
       col("hits"), col("total"),
       (col("hits").cast("double") / col("total")).as("recall"))
     recallRow("lsh", "tables=8,bits=4,k=5", lshTopK(emb, q, 5))
@@ -584,11 +584,35 @@ object Similarity {
     * assignment — the production entry point, fed from the persisted
     * quantizer silver. */
   def semanticDedupWith(corpus: DataFrame, assign: DataFrame,
-      minCosine: Double): DataFrame = {
-    val withVec = corpus
+      minCosine: Double): DataFrame =
+    dedupFromPairs(corpus,
+      withinClusterPairs(corpus, assign, minCosine))
+
+  /** Multi-probe semantic dedup: pairing runs within the UNION of each
+    * vector's probe clusters (probeRows may carry several rows per
+    * vec_id — see [[probeAssign]]) instead of its single nearest
+    * cluster, recovering the cross-cluster near-dup pairs that sit on
+    * a k-means boundary — SemDeDup's documented miss mode. The pair
+    * set is a strict superset of the single-assignment search whenever
+    * probeRows contains the assignment rows (probeAssign guarantees
+    * it), pairs surfacing from several shared probes dedup before the
+    * contraction, and the canonical/keep semantics are unchanged. Cost:
+    * each vector is scored in p buckets, so the pairing stage is ~p×
+    * (still linear in n for corpus-sized k); the assignment SILVER
+    * stays single — only the transient pairing working set fans out. */
+  def semanticDedupProbed(corpus: DataFrame, probeRows: DataFrame,
+      minCosine: Double): DataFrame =
+    dedupFromPairs(corpus,
+      withinClusterPairs(corpus, probeRows, minCosine).distinct())
+
+  /** Within-bucket exact-cosine pairing: scoring happens inside the
+    * bucket row where both vectors are local; only surviving id pairs
+    * leave the bucket. `rows` = (vec_id, cluster) — one row per probe. */
+  private def withinClusterPairs(corpus: DataFrame, rows: DataFrame,
+      minCosine: Double): DataFrame =
+    corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-      .join(assign.select("vec_id", "cluster"), "vec_id")
-    val pairs = withVec
+      .join(rows.select("vec_id", "cluster"), "vec_id")
       .groupBy("cluster")
       .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
       .filter(size(col("xs")) > 1)
@@ -598,6 +622,9 @@ object Similarity {
                        b -> struct(a, b))))""")).as("p"))
       .filter(cosine(col("p.a.cv"), col("p.b.cv")) >= minCosine)
       .select(col("p.a.vec_id").as("doc_a"), col("p.b.vec_id").as("doc_b"))
+
+  private def dedupFromPairs(corpus: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val groups = Dedup.dupClusters(pairs)
       .withColumnRenamed("doc_id", "vec_id")
     corpus.select(col("vec_id"))
@@ -605,6 +632,39 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
       .withColumn("keep", col("canonical_id") === col("vec_id"))
+  }
+
+  /** Probe rows for multi-probe pairing: the centroid book is
+    * recomputed from the single assignment (sum centroids — cosine is
+    * scale-invariant, the same convention as the training loop), each
+    * vector takes its `probes` nearest clusters under that book, and
+    * the top-1 ASSIGNMENT rows are unioned in so the probe set always
+    * contains the cluster the silver assigns — making multi-probe
+    * pairing a guaranteed superset of single-assignment pairing even
+    * where the post-update book ranks clusters differently than the
+    * book that produced the assignment. One extra O(n·k) broadcast
+    * scan — the same irreducible shape as the assignment pass. */
+  def probeAssign(corpus: DataFrame, assign: DataFrame,
+      probes: Int): DataFrame = {
+    val withVec = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val cents = withVec.join(assign.select("vec_id", "cluster"), "vec_id")
+      .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
+      .groupBy("cluster", "i")
+      .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("x"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
+      .select(col("cluster"),
+        transform(col("ps"), p => p("x")).as("centroid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cluster"))
+    withVec.crossJoin(broadcast(cents))
+      .withColumn("score", cosine(col("cv"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= probes)
+      .select(col("vec_id"), col("cluster"))
+      .unionByName(assign.select("vec_id", "cluster"))
+      .distinct()
   }
 
   /** The corpus-sized dedup quantizer assignment, materialized once per
@@ -619,6 +679,14 @@ object Similarity {
     }
   }
 
+  /** Multi-probe rows (top-3 clusters per vector ∪ the assignment) for
+    * the dedup pairing stage, materialized once per (session, dir). */
+  private def dedupProbesSilver(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SilverStore.table(s, dir, "kmeans_probes_dedup_3") {
+      probeAssign(T.embeddings(s, dir), dedupAssignSilver(s, dir),
+        probes = 3)
+    }
+
   /** Semantic dedup over the gate corpus: corpus-sized k-means (×3
     * Lloyd iterations) + within-cluster cosine ≥ 0.45 (the corpus'
     * planted near-dup regime, same threshold as e04/e05). Iterative
@@ -626,7 +694,7 @@ object Similarity {
     * pins determinism, group consistency against the exact pair scan,
     * and one-keeper-per-group. */
   val e09 = Q.noOracle("e09_semantic_dedup") { (s, dir) =>
-    semanticDedupWith(T.embeddings(s, dir), dedupAssignSilver(s, dir),
+    semanticDedupProbed(T.embeddings(s, dir), dedupProbesSilver(s, dir),
         minCosine = 0.45)
       .orderBy("vec_id")
   }

@@ -272,6 +272,65 @@ class CurationSpec extends SparkSpec {
 
   // ---------------------------------------------------------- d18
 
+  // ---------------------------------------------------------- d23
+
+  test("mixture sample: per-source token budget respected, equal to the " +
+      "plain-Scala greedy prefix over deterministic-hash order") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val out = Curation.mixtureSample(base, Curation.MixtureWeights, 2000L)
+      .collect().sortBy(_.getLong(0))
+    val targets = Curation.MixtureWeights.toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      assert(tot <= 2000L * targets(src) / 1000,
+        s"$src over budget: $tot")
+      assert(rows.map(_.getLong(3)).max == tot,
+        s"$src cumulative column inconsistent")
+    }
+    // exact equality with a sequential greedy reference
+    def lcg(id: Long): Long = {
+      val lo = id & 65535L; val hi = (id >> 16) & 65535L
+      (lo * 2654435761L + ((hi * 2654435761L) & 65535L) * 65536L +
+        1013904223L) & 4294967295L
+    }
+    val inRows = base.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the operator is take-while over the hash-ordered prefix: the first
+    // overflowing document stays in the running total, so everything
+    // after it is excluded too
+    var expect = Set.empty[Long]
+    inRows.groupBy(_._2).foreach { case (src, rows) =>
+      val target = 2000L * targets(src) / 1000
+      var cum = 0L
+      rows.sortBy(r => (lcg(r._1), r._1)).foreach { case (id, _, n) =>
+        cum += n
+        if (cum <= target) expect += id
+      }
+    }
+    assert(out.map(_.getLong(0)).toSet == expect,
+      "mixture membership diverges from the sequential greedy prefix")
+  }
+
+  // ---------------------------------------------------------- d24
+
+  test("url dedup: canonicalization unifies scheme/www/port/query/slash " +
+      "variants into one key; first-seen is canonical") {
+    val rows = Curation.d24.fn(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) == s"h${id / 2}.example.com/a/b",
+        s"canonical key wrong for $id: ${r.getString(2)}")
+      assert(r.getString(1) == s"h${id / 2}.example.com")
+      assert(r.getLong(3) == (id / 2) * 2, s"canonical_id wrong for $id")
+      assert(r.getBoolean(4) == (id % 2 == 1))
+    }
+  }
+
   test("scrub removes every blocklisted token, preserves count and order") {
     val out = Curation.scrub(docs, Curation.Blocklist).collect()
     val orig = docs.collect().map(r =>

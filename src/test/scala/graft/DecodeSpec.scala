@@ -283,4 +283,67 @@ class DecodeSpec extends AnyFunSuite {
     assert(d.name == "dedust_swap_peer" && d.fields.isEmpty)
     assert(graft.functions.OpcodeNames.names.size >= 300)
   }
+
+  test("FieldDecoderOpcodes is exactly the decodeOp case-arm set " +
+      "(source-extraction sync gate)") {
+    // extract every opcode literal that is part of a case PATTERN inside
+    // the decodeOp match — including multi-opcode arms continued across
+    // lines — and require set equality, so a new decoder arm cannot land
+    // without registering its opcode for the pruned dispatch.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/functions/Decode.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val block = src.substring(src.indexOf("private def decodeOp"),
+      src.indexOf("case _ => None"))
+    val lit = "0x([0-9a-fA-F]+)L".r
+    var inPattern = false
+    val found = scala.collection.mutable.Set[Long]()
+    block.linesIterator.foreach { ln =>
+      val s = ln.trim
+      if (s.startsWith("case ") || inPattern) {
+        lit.findAllMatchIn(ln).foreach(m =>
+          found += java.lang.Long.parseLong(m.group(1), 16))
+        inPattern = s.endsWith("|")
+      } else inPattern = false
+    }
+    assert(found.toSet == Decode.FieldDecoderOpcodes,
+      s"out of sync: +${(found.toSet -- Decode.FieldDecoderOpcodes).map(_.toHexString)} " +
+        s"-${(Decode.FieldDecoderOpcodes -- found).map(_.toHexString)}")
+  }
+
+  test("opcode-pruned resolver harvest equals the unpruned harvest") {
+    import graft.functions.TlbDecoders
+    // registered opcode with address fields: jetton transfer
+    val jt = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x0f8a7ea5L), 32).storeUint(BigInt(7), 64)
+      .storeCoins(BigInt(1000)).storeAddress(Some(addr))
+      .storeAddress(Some(addr)).storeBit(false)
+      .storeCoins(BigInt(0)).storeBit(false).build())
+    assert(TlbDecoders.resolverAddressKeys(0x0f8a7ea5L, jt) ==
+      TlbDecoders.resolverAddressKeysUnpruned(jt))
+    assert(TlbDecoders.resolverAddressKeys(0x0f8a7ea5L, jt).nonEmpty)
+    // marker-only opcode (no field decoder): pruned path must equal the
+    // unpruned empty harvest WITHOUT parsing
+    val marker = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0x72aca8aaL), 32).build())
+    assert(TlbDecoders.resolverAddressKeys(0x72aca8aaL, marker) ==
+      TlbDecoders.resolverAddressKeysUnpruned(marker))
+    assert(TlbDecoders.resolverAddressKeys(0x72aca8aaL, marker).isEmpty)
+    // unknown opcode entirely
+    val unknown = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xdeadbeefL), 32).build())
+    assert(TlbDecoders.resolverAddressKeys(0xdeadbeefL, unknown) ==
+      TlbDecoders.resolverAddressKeysUnpruned(unknown))
+    // signed-int32 opcode storage (negative longs) must mask correctly
+    val signedOp = 0x0f8a7ea5L.toInt.toLong // positive here, but the
+    assert(TlbDecoders.resolverAddressKeys(signedOp, jt).nonEmpty)
+    val negOp = 0xf718510fL.toInt.toLong // multisig_new_order < 0 as int
+    assert(negOp < 0)
+    val mn = Boc.serializeBase64(new Boc.Builder()
+      .storeUint(BigInt(0xf718510fL), 32).storeUint(BigInt(7), 64)
+      .storeUint(BigInt(3), 32).storeBit(true).storeUint(BigInt(0), 8)
+      .storeUint(BigInt(1234567), 48).build())
+    assert(TlbDecoders.resolverAddressKeys(negOp, mn) ==
+      TlbDecoders.resolverAddressKeysUnpruned(mn))
+  }
 }

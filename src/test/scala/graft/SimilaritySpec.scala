@@ -103,18 +103,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     // deterministic constants of (sf0.001 corpus, config) — recomputed
     // values must match to the row: (hits, total) per method
-    // semdedup_group 2/7 is the honest cross-cluster miss rate at the
-    // gate corpus's cos ≥ 0.45 regime: pairs this weakly similar sit
-    // far apart and k-means splits them — SemDeDup's own target regime
-    // (cos ≥ 0.9 duplicates) co-clusters; the row exists precisely to
-    // surface this trade as data.
+    // semdedup_group 6/7 (was 2/7 single-probe): multi-probe pairing
+    // (each vector scored in its 3 nearest clusters, assignment silver
+    // still single) recovers the k-means-boundary pairs that the
+    // cos ≥ 0.45 regime scatters across clusters — SemDeDup's
+    // documented miss mode, surfaced here as data; the remaining 1/7
+    // miss is a pair more than 3 probe clusters apart.
     assert(rows == Map(
       "lsh" -> ((23L, 40L)),
       "ivf_label" -> ((11L, 40L)),
       "ivf_kmeans" -> ((38L, 40L)),
       "quantized_int8" -> ((39L, 40L)),
       "neardup_lsh" -> ((7L, 7L)),
-      "semdedup_group" -> ((2L, 7L))), s"recall drifted: $rows")
+      "semdedup_group" -> ((6L, 7L))), s"recall drifted: $rows")
   }
 
   test("int8-quantized scan: exact integer dots, high recall vs full precision") {
