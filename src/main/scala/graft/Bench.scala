@@ -8,11 +8,8 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  def main(args: Array[String]): Unit = {
-    val loadStart = loadavg()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  private def newSession(cpus: String, silverDir: Option[String]): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -25,8 +22,30 @@ object Bench {
       // the session inherit the accumulated heap. One minute matches
       // the session's query cadence.
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    silverDir.foreach { d =>
+      b.config("graft.silver.dir", d).config("graft.silver.reuse", "true")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-family session restart (SCALING.md "JVM residue"): each query
+    // family runs in a fresh SparkSession+SparkContext against a shared
+    // reuse-enabled silver dir, splitting real plan cost from in-session
+    // JVM aging. Default off — the standard recording is one session.
+    val restartPerFamily =
+      sys.env.get("SPARK_GRAFT_RESTART_PER_FAMILY").contains("1")
+    val silverDir =
+      if (restartPerFamily)
+        Some(java.nio.file.Files.createTempDirectory("graft-bench-silver-")
+          .toString)
+      else None
+    var spark = newSession(cpus, silverDir)
     // warm up the session (codegen, parquet footers) outside any timing
     SparkEntry.entry(spark).count()
     // base silver ingest, timed as its own phase: the shared sim/assembly/
@@ -48,7 +67,18 @@ object Bench {
     // above ~1 means the box was already busy); load_max during the run
     // includes our own executors, so compare it against `cpus`, not 0.
     var loadMax = loadStart
+    var family = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (restartPerFamily && name.take(1) != family) {
+        family = name.take(1)
+        spark.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        spark = newSession(cpus, silverDir)
+        // re-warm the fresh JVM-session outside any timing
+        try { SparkEntry.entry(spark).count(); () }
+        catch { case _: Throwable => () }
+      }
       loadMax = math.max(loadMax, loadavg())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -59,7 +89,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ingest + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus,"restart_per_family":$restartPerFamily}""")
     spark.stop()
   }
 }

@@ -24,12 +24,10 @@ object SilverLayer {
       |  row_number() OVER (ORDER BY max(event_id), concat('0:', user_id)) AS id
       |FROM events GROUP BY user_id ORDER BY account""".stripMargin) { (s, dir) =>
     val (txs, _) = ChainSim.simulate(s, dir)
-    val w = Window.partitionBy("account").orderBy(col("lt").desc, col("hash").desc)
-    val latest = txs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("account"), col("lt").as("last_trans_lt"),
-        col("hash").as("last_trans_hash"))
+    // the dedup definition is shared with the incremental refresh path
+    // (IncrementalSilver.refreshLatestStates) so full recompute and
+    // delta merge can never drift
+    val latest = IncrementalSilver.latestStates(txs)
     // §1.4 surrogate id: global dense rank by (last_trans_lt, account)
     // WITHOUT a single-task global window — the zipWithIndex shape
     // (range-repartition + local index + broadcast offsets) survives the

@@ -99,7 +99,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("e05 exact near-dup broadcasts the pair side (no cartesian shuffle)") {
-    val p = plan(Similarity.e05)
+    // the registered e05 reads the materialized silver; the broadcast
+    // shape lives in the BUILD plan
+    val p = Similarity.exactPairsBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"exact pair scan must broadcast one side:\n${p.take(1200)}")
   }
