@@ -110,5 +110,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+  // ---------------------------------------------------------------- d25
+
+  /** Per-language quality-score CALIBRATION: raw quality signals are not
+    * comparable across languages (stopword ratios differ by language
+    * structure), so production filters threshold on the score's
+    * within-language percentile, not its raw value. Output per document:
+    * the integer per-mille score, its dense 1-based rank within (lang)
+    * by (score, doc_id), the per-mille percentile of that rank, and the
+    * decile bucket — all integer math, bit-exact against the oracle.
+    *
+    * Scale shape: a per-LANGUAGE window is a skew trap (5 languages ⇒ 5
+    * window partitions holding the whole corpus), so the rank is the
+    * two-level decomposition: (1) docs-below = per-(lang, score) counts
+    * running-summed over score — a ≤ |langs|·1001-row table at ANY
+    * corpus size, broadcast; (2) the position among same-(lang, score)
+    * docs = per-(lang, score, id-bucket) row_number plus broadcast
+    * bucket offsets — the d17 prefix-sum shape. No corpus-wide window
+    * partition anywhere. */
+  def calibrateQuality(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val below = docs.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+      .withColumn("n_below",
+        coalesce(sum("c").over(Window.partitionBy("lang").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "score", "n_below")
+    val bucketed = docs.withColumn("bucket", expr("doc_id DIV 4096"))
+    val local = bucketed.withColumn("pos",
+      row_number().over(Window.partitionBy("lang", "score", "bucket")
+        .orderBy("doc_id")))
+    val boff = bucketed.groupBy("lang", "score", "bucket")
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("boff",
+        coalesce(sum("bc").over(Window.partitionBy("lang", "score")
+          .orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("lang", "score", "bucket", "boff")
+    local
+      .join(broadcast(boff), Seq("lang", "score", "bucket"))
+      .join(broadcast(below), Seq("lang", "score"))
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("lang_rank", col("n_below") + col("boff") + col("pos"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("lang_rank").cast("long").as("lang_rank"),
+        expr("""CAST(CASE WHEN n_lang > 1
+                  THEN (n_below + boff + pos - 1) * 1000 DIV (n_lang - 1)
+                  ELSE 0 END AS BIGINT)""").as("pct_millis"),
+        expr("CAST(least((n_below + boff + pos - 1) * 10 DIV n_lang, 9) AS BIGINT)")
+          .as("decile"))
+  }
+
+  val d25 = Q("d25_quality_calibration",
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    ((length(text) - length(replace(text, 'the', ''))) // 3) * 1000
+      |      // len(string_split_regex(trim(text), '\s+')) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+      |      AS lang_rank,
+      |    count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, score, CAST(lang_rank AS BIGINT) AS lang_rank,
+      |  CAST(CASE WHEN n_lang > 1
+      |    THEN (lang_rank - 1) * 1000 // (n_lang - 1) ELSE 0 END AS BIGINT)
+      |    AS pct_millis,
+      |  CAST(least((lang_rank - 1) * 10 // n_lang, 9) AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nThe = ((length(col("text")) -
+      length(regexp_replace(col("text"), "the", ""))) / 3).cast("long")
+    calibrateQuality(
+      T.documents(s, dir).select(col("doc_id"), col("lang"),
+        (nThe * 1000).cast("long").as("nt1000"),
+        size(toks).cast("long").as("ntk"))
+        .select(col("doc_id"), col("lang"),
+          expr("nt1000 DIV ntk").as("score")))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d25)
 }
