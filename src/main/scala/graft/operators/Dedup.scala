@@ -443,6 +443,73 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Permuted-table SimHash search — the WEB-SCALE banding for Hamming
+    * search (the block-permutation idea of Manku, Jain & Das Sarma,
+    * WWW'07 "Detecting Near-Duplicates for Web Crawling"): the fixed
+    * 4×16-bit chunking of [[simhashPairsFromToks]] only guarantees a
+    * shared chunk for pairs whose ≤maxHamming differing bits fall into
+    * ≤3 chunks, and its 65,536-key space makes every bucket grow
+    * linearly with the corpus (10⁹ docs ⇒ ~15k-doc buckets ⇒ quadratic
+    * in-bucket work). Here each of `tables` deterministic bit
+    * permutations buckets the signature on its top `prefixBits` bits:
+    * the key space is 2^prefixBits PER TABLE and prefixBits sizes to
+    * the corpus (default n/128 target occupancy, the same adaptive rule
+    * as nearDupPairs' hyperplane bits), so expected bucket size stays
+    * CONSTANT as the corpus grows. A pair within maxHamming shares a
+    * bucket in table t iff none of its differing bits land in t's
+    * prefix — probability ((64−maxHamming)/64)^prefixBits per table,
+    * amplified across tables (8 tables × 12 bits at h ≤ 6 ⇒ ~99.5%
+    * recall). Precision is exact (bucket-local Hamming verify), the
+    * permutations are seed-fixed so output is deterministic, and hot
+    * buckets star-contract under the same `bucketCap` contract. */
+  def simhashPairsPermuted(withToks: DataFrame, maxHamming: Int,
+      tables: Int = 8, prefixBits: Int = 0,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val n = withToks.count()
+    val bits =
+      if (prefixBits > 0) prefixBits
+      else math.min(28, math.max(4,
+        (math.log(n.toDouble / 128.0) / math.log(2)).ceil.toInt))
+    val rnd = new scala.util.Random(20260815L)
+    val perms = Seq.fill(tables)(rnd.shuffle((0 until 64).toVector))
+    val sigs = withToks.select(col("doc_id"),
+      graft.functions.HashSketches.simhash_64(
+        expr_tokens_hashed(col("toks"))).as("sim"))
+    // per-table key: the top `bits` bits of the permuted signature,
+    // assembled as a flat shift-mask-or expression (whole-stage codegen)
+    val keyCols = perms.zipWithIndex.map { case (p, t) =>
+      val key = (0 until bits)
+        .map(j => s"((sim >> ${p(j)}) & 1) << $j")
+        .mkString("(", ") | (", ")")
+      expr(s"named_struct('tbl', $t, 'key', $key)")
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("sim"),
+        explode(array(keyCols: _*)).as("tk"))
+      .groupBy(col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    cappedBucketPairs(buckets, "xs",
+      """flatten(transform(xs, a ->
+           transform(filter(xs, b -> b.doc_id > a.doc_id),
+                     b -> struct(a, b))))""",
+      """transform(filter(xs, x -> x.doc_id > rep.doc_id),
+           x -> named_struct('a', rep, 'b', x))""",
+      bucketCap)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("bit_count(p.a.sim ^ p.b.sim)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Permuted-table SimHash pairs at Hamming ≤ 6 (signature-defined →
+    * rows-only driver check; recall vs the exact Hamming scan and vs
+    * d12's fixed chunking pinned by DedupSpec). */
+  val d26 = Q.noOracle("d26_simhash_permuted") { (s, dir) =>
+    simhashPairsPermuted(shingled(s, dir).select("doc_id", "toks"), 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard pairs at J ≥ 0.3 via the prefix-filtered
     * inverted index — exact by construction, so the quadratic DuckDB scan
     * is a true oracle at any threshold. */
@@ -479,5 +546,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14)
+  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14, d26)
 }

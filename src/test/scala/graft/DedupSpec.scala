@@ -170,6 +170,38 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("permuted-table simhash: deterministic, exact precision, recall " +
+      "at least the fixed 4x16 chunking's on the exact Hamming truth") {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks")).localCheckpoint()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perm = Dedup.simhashPairsPermuted(toks, 6)
+    val permSet = key(perm)
+    assert(permSet == key(Dedup.simhashPairsPermuted(toks, 6)),
+      "permuted banding must be deterministic")
+    // exact Hamming ≤ 6 ground truth from the signatures themselves
+    val sigs = toks.select(col("doc_id"),
+      graft.functions.HashSketches.simhash_64(
+        expr("transform(toks, w -> xxhash64(w))")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "corpus must contain Hamming-6 near-dups")
+    // precision exact by construction
+    assert(permSet.subsetOf(truth))
+    val chunked = key(Dedup.simhashPairsFromToks(toks, 6))
+    val rPerm = permSet.size.toDouble / truth.size
+    val rChunk = chunked.size.toDouble / truth.size
+    // at gate scale prefixBits is small, so the permuted tables should
+    // recall essentially everything the chunking does, and most of truth
+    assert(rPerm >= 0.9, s"permuted recall $rPerm < 0.9 (chunked $rChunk)")
+  }
+
   test("simhash is a pure function of text") {
     val sigs = docs.withColumn("sim", Dedup.simhash(col("text")))
       .select("doc_id", "sim").collect()
