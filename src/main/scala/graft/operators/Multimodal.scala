@@ -165,5 +165,163 @@ object Multimodal {
       .orderBy("media_id", "frame_index")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03)
+  // ------------------------------------------------- real image codecs
+
+  /** REAL image decode (round 11): the container's JDK ships
+    * `javax.imageio` (java.desktop — PNG/JPEG/BMP/GIF, headless-safe),
+    * so the IMAGE arm of the multimodal family runs a real codec, not
+    * the md5 stub: payloads are actual PNG bytes, the decoder is
+    * `ImageIO.read`, features come from decoded pixels, and resize is a
+    * real raster rescale re-encoded to PNG. Audio/video stay stubbed
+    * (no such codecs in the JDK), unchanged above.
+    *
+    * Oracle strategy: the fixture generator writes a w×h gray image
+    * with pixel value g(x,y) = (31·id + 7·x + 13·y) mod 256 and
+    * dimensions w = 4 + id mod 13, h = 3 + id mod 7. PNG is LOSSLESS,
+    * so decode must recover exact pixels — the oracle recomputes
+    * width/height/Σg straight from the formula without touching a
+    * codec, and any decoder/encoder corruption breaks the hash. */
+  case class ImageRow(media_id: Long, payload: Array[Byte])
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+      n_bytes: Int, sum_lum: Long, feature: Array[Float])
+
+  private def imgDims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (3 + id % 7).toInt)
+
+  private[operators] def pngFromSpec(id: Long): Array[Byte] = {
+    val (w, h) = imgDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((31 * id + 7 * x + 13 * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real PNG per document id — the binary-ingest fixture. Encoding
+    * runs per-partition (mapPartitions) exactly like a production
+    * binary-column ingest. */
+  def imagesFromDocuments(s: SparkSession, dir: String): Dataset[ImageRow] = {
+    import s.implicits._
+    T.documents(s, dir).select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        System.setProperty("java.awt.headless", "true")
+        ids.map(id => ImageRow(id, pngFromSpec(id)))
+      }
+  }
+
+  /** Real decode: ImageIO per partition; features from decoded pixels
+    * (Σ luminance as the oracle-checkable scalar, an 8-bin luminance
+    * histogram as the float feature the spec exercises). */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[ImageMeta] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload ${r.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = img.getRGB(x, y) & 0xff // gray: B == G == R
+            sum += lum
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        ImageMeta(r.media_id, w, h, r.payload.length, sum,
+          hist.map(_ / n))
+      }
+    }
+  }
+
+  /** Real resize: scale the longest side to `maxDim` (never upscale),
+    * integer floor dims mirrored by the SQL oracle, bilinear raster
+    * rescale, re-encode to PNG. Returns the new payload plus its
+    * decode-verified dimensions. */
+  def resizeImages(images: Dataset[ImageRow], maxDim: Int): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val mx = math.max(w, h)
+        val (nw, nh) =
+          if (mx <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, nw, nh, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val bytes = bos.toByteArray
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        (r.media_id, back.getWidth, back.getHeight, bytes)
+      }
+    }.toDF("media_id", "width", "height", "payload")
+  }
+
+  /** Real PNG encode → ImageIO decode round trip, oracle-exact: the
+    * oracle recomputes dimensions and the exact pixel-luminance sum
+    * from the generation formula (PNG is lossless — a single wrong
+    * pixel anywhere breaks the hash). */
+  val m04 = Q("m04_image_decode",
+    """SELECT doc_id AS media_id,
+      |  CAST(4 + doc_id % 13 AS INT) AS width,
+      |  CAST(3 + doc_id % 7 AS INT) AS height,
+      |  CAST(list_sum(flatten([[ (31 * doc_id + 7 * x + 13 * y) % 256
+      |        for y in range(0, 3 + doc_id % 7)]
+      |        for x in range(0, 4 + doc_id % 13)])) AS BIGINT) AS sum_lum
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    decodeImages(imagesFromDocuments(s, dir)).toDF()
+      .select("media_id", "width", "height", "sum_lum")
+      .orderBy("media_id")
+  }
+
+  /** Real raster resize, dimension contract oracle-checked (pixel
+    * content of a resample is interpolation-defined, asserted in
+    * MultimodalSpec instead). maxDim 8 downsizes the wider fixtures. */
+  val m05 = Q("m05_image_resize",
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN greatest(4 + doc_id % 13, 3 + doc_id % 7) <= 8
+      |    THEN 4 + doc_id % 13
+      |    ELSE greatest(1, (4 + doc_id % 13) * 8
+      |           // greatest(4 + doc_id % 13, 3 + doc_id % 7)) END AS INT)
+      |    AS width,
+      |  CAST(CASE WHEN greatest(4 + doc_id % 13, 3 + doc_id % 7) <= 8
+      |    THEN 3 + doc_id % 7
+      |    ELSE greatest(1, (3 + doc_id % 7) * 8
+      |           // greatest(4 + doc_id % 13, 3 + doc_id % 7)) END AS INT)
+      |    AS height
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    resizeImages(imagesFromDocuments(s, dir), maxDim = 8)
+      .select("media_id", "width", "height")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }
