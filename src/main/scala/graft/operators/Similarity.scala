@@ -404,6 +404,98 @@ object Similarity {
       kmeansAssign(T.embeddings(s, dir), k = 8, iters = 3)
     }
 
+  /** IVF probing COMPOSED with the int8 code scan — the 100 TB serving
+    * shape: probe the nProbe nearest coarse centroids (full-precision,
+    * decimal-sum deterministic, exactly ivfTopK's probe), then rank
+    * ONLY the probed partitions by exact integer dot over the persisted
+    * int8 codes — nProbe/K of the corpus touched, at 4× fewer bytes per
+    * vector than float32. Both stages are deterministic, so the whole
+    * composite is SQL-expressible and oracle-checked (e10). */
+  def ivfQuantizedTopK(corpus: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("label"),
+      asDouble(col("embedding")).as("cv"))
+    val centroids = c
+      .select(col("label"), posexplode(col("cv")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("x"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p("x")).as("centroid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"),
+      quantize(asDouble(col("embedding"))).as("qq"),
+      scaleOf(asDouble(col("embedding"))).as("qs"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qq", "qs", "label")
+    val labeled = codes.join(
+      corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+      "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    labeled.join(broadcast(probed), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("int_dot", intDot(col("cq"), col("qq")))
+      .withColumn("score", col("int_dot") * col("cs") * col("qs"))
+      .withColumn("n_rank", row_number().over(w))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id", "int_dot")
+  }
+
+  /** IVF(label) + int8 code scan, oracle-exact: the DuckDB mirror
+    * recomputes the decimal-sum centroids (e03's CTE), requantizes
+    * (e06's CTE), probes the top-2 labels and ranks by integer dot
+    * within the probed partitions. */
+  val e10 = Q("e10_ann_ivf_quantized",
+    """WITH dims AS (
+      |  SELECT label, i,
+      |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS c
+      |  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings) t
+      |  GROUP BY label, i),
+      |cents AS (
+      |  SELECT label, list(c ORDER BY i) AS centroid FROM dims GROUP BY label),
+      |probes AS (
+      |  SELECT * FROM (
+      |    SELECT q.vec_id AS query_id, c.label,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        c.centroid) DESC,
+      |                 c.label) AS crank
+      |    FROM embeddings q, cents c WHERE q.vec_id < 8) p
+      |  WHERE crank <= 2),
+      |qv AS (
+      |  SELECT vec_id, label,
+      |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> abs(x))), 1e-30) / 127 AS s,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x / (greatest(list_max(list_transform(
+      |        CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-30) / 127)
+      |        + 0.5)) AS q
+      |  FROM embeddings)
+      |SELECT query_id, n_rank, neighbor_id, int_dot FROM (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(qq.q, e.q) AS BIGINT) AS int_dot,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_dot_product(qq.q, e.q) * e.s * qq.s DESC,
+      |               e.vec_id) AS n_rank
+      |  FROM probes p
+      |  JOIN qv e ON e.label = p.label
+      |  JOIN qv qq ON qq.vec_id = p.query_id
+      |  WHERE e.vec_id <> p.query_id) t
+      |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
+    graft.plans.SilverStore.table(s, dir, "ann_ivf_quantized_top5") {
+      ivfQuantizedTopK(T.embeddings(s, dir), quantizedSilver(s, dir),
+        queriesOf(s, dir), 5)
+    }.orderBy("query_id", "n_rank")
+  }
+
   /** IVF over TRAINED centroids: kmeansAssign relabels the corpus, then
     * the probe-and-scan path is exactly ivfTopK. Approximate by nature
     * (probe misses are possible) → rows-only driver check; determinism
@@ -738,5 +830,5 @@ object Similarity {
     semdedupSilver(s, dir).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }
