@@ -323,5 +323,83 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  // ------------------------------------------------- real audio codec
+
+  /** REAL audio decode (round 11): `javax.sound.sampled` (java.desktop,
+    * same JDK module as imageio) reads WAV — uncompressed 16-bit PCM,
+    * LOSSLESS — so the audio arm gets the same treatment as the image
+    * arm: real encode at ingest, real `AudioSystem` decode in the
+    * operator, and an oracle that recomputes frame count and the exact
+    * sample sum from the generation formula without touching a codec.
+    * Fixture: mono 8 kHz, n = 100 + id mod 50 frames, little-endian
+    * sample s(i) = ((13·id + 7·i) mod 65536) − 32768. */
+  case class AudioRow(media_id: Long, payload: Array[Byte])
+  case class AudioMeta(media_id: Long, n_frames: Long, sample_rate: Int,
+      channels: Int, sum_samples: Long)
+
+  private[operators] def wavFromSpec(id: Long): Array[Byte] = {
+    val n = (100 + id % 50).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((13 * id + 7 * i) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def audioFromDocuments(s: SparkSession, dir: String): Dataset[AudioRow] = {
+    import s.implicits._
+    T.documents(s, dir).select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioRow(id, wavFromSpec(id))))
+  }
+
+  /** Real WAV decode per partition: header-derived format metadata plus
+    * the exact PCM sample sum from the decoded stream. */
+  def decodeAudio(audio: Dataset[AudioRow]): Dataset[AudioMeta] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length / 2) {
+          sum += ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        AudioMeta(r.media_id, in.getFrameLength,
+          fmt.getSampleRate.toInt, fmt.getChannels, sum)
+      }
+    }
+  }
+
+  /** Real WAV encode → AudioSystem decode round trip, oracle-exact (PCM
+    * is lossless; the oracle recomputes the exact sample sum from the
+    * generation formula). */
+  val m06 = Q("m06_audio_decode",
+    """SELECT doc_id AS media_id,
+      |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+      |  8000 AS sample_rate, 1 AS channels,
+      |  CAST(list_sum([ (13 * doc_id + 7 * i) % 65536 - 32768
+      |        for i in range(0, 100 + doc_id % 50)]) AS BIGINT)
+      |    AS sum_samples
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    decodeAudio(audioFromDocuments(s, dir)).toDF()
+      .select(col("media_id"), col("n_frames"),
+        col("sample_rate"), col("channels"), col("sum_samples"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }
