@@ -107,6 +107,30 @@ class PlanSpec extends SparkSpec {
       s"exact pair scan must broadcast one side:\n${p.take(1200)}")
   }
 
+  test("d23 mixture sampling broadcasts the offset table; no corpus-wide " +
+      "window partition") {
+    val p = plan(graft.operators.Curation.d23)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the (source, hbucket) offset table must broadcast:\n${p.take(1500)}")
+    // every window partitions by (source, hbucket) or (source) over the
+    // TINY offset frame — never a corpus window keyed by source alone
+    // in the row-path (detect by requiring hbucket in the row-side spec)
+    assert(p.contains("hbucket"), "expected hash-bucketed window keys")
+  }
+
+  test("e10 IVF+int8 composite broadcasts probes and centroids; the " +
+      "corpus side never shuffles for the probe join") {
+    val p = Similarity.ivfQuantizedTopK(
+      Tables.embeddings(spark, sf),
+      Tables.embeddings(spark, sf).selectExpr("vec_id AS neighbor_id",
+        "transform(embedding, x -> CAST(1 AS BIGINT)) AS cq",
+        "CAST(1.0 AS DOUBLE) AS cs"),
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 8), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed labels must broadcast into the code scan:\n${p.take(1500)}")
+  }
+
   test("d13 exact jaccard is a count-based join, no per-pair array verify") {
     val p = plan(graft.operators.Dedup.d13)
     assert(!p.contains("array_intersect"),
