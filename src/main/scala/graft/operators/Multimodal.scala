@@ -401,5 +401,79 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  // ------------------------------------------------- real video container
+
+  /** REAL video path (round 11): MJPEG-in-AVI — the one video format
+    * expressible with JDK codecs alone. The fixture writes a real RIFF/
+    * AVI container whose frames are real JPEGs (graft.functions.Riff);
+    * the operator walks the container GENERICALLY (idx1 index preferred,
+    * movi chunk scan fallback) and decodes ONLY the sampled frames
+    * through ImageIO — index-driven selective decode, the property that
+    * makes stride sampling of long videos read 1/stride of the payload
+    * through the codec. JPEG is lossy, so the oracle pins structure
+    * (sampled frame indexes + exact dimensions, which JPEG preserves);
+    * pixel-level behavior is spec-asserted with a tolerance. */
+  case class VideoRow(media_id: Long, payload: Array[Byte])
+
+  private[operators] def aviFromSpec(id: Long): Array[Byte] = {
+    val (w, h) = imgDims(id)
+    val n = (1 + id % 12).toInt
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((31 * id + 7 * x + 13 * y + 17 * f) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    graft.functions.Riff.writeAvi(frames, w, h)
+  }
+
+  def videosFromDocuments(s: SparkSession, dir: String): Dataset[VideoRow] = {
+    import s.implicits._
+    T.documents(s, dir).select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        System.setProperty("java.awt.headless", "true")
+        ids.map(id => VideoRow(id, aviFromSpec(id)))
+      }
+  }
+
+  /** Sample every `stride`-th frame of each real AVI: container walk +
+    * per-sampled-frame JPEG decode; emits the decoded dimensions. */
+  def sampleVideoFrames(videos: Dataset[VideoRow], stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val refs = graft.functions.Riff.frameIndex(r.payload)
+        refs.indices.by(stride).iterator.map { i =>
+          val img = graft.functions.Riff.decodeFrame(r.payload, refs(i))
+          (r.media_id, i.toLong, img.getWidth, img.getHeight)
+        }
+      }
+    }.toDF("media_id", "frame_index", "width", "height")
+  }
+
+  /** Real AVI write → generic container walk → per-frame JPEG decode;
+    * oracle pins sampled indexes and the JPEG-exact dimensions. */
+  val m07 = Q("m07_video_frames",
+    """SELECT doc_id AS media_id,
+      |  unnest(range(0, 1 + doc_id % 12, 3)) AS frame_index,
+      |  CAST(4 + doc_id % 13 AS INT) AS width,
+      |  CAST(3 + doc_id % 7 AS INT) AS height
+      |FROM documents ORDER BY media_id, frame_index""".stripMargin) { (s, dir) =>
+    sampleVideoFrames(videosFromDocuments(s, dir), 3)
+      .orderBy("media_id", "frame_index")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

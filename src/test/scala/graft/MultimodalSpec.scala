@@ -70,6 +70,59 @@ class MultimodalSpec extends SparkSpec {
     assert(jpeg != null && jpeg.getWidth > 0)
   }
 
+  test("real video container: RIFF round trip, idx1-driven selective " +
+      "decode, JPEG frames near the generated raster") {
+    import graft.functions.Riff
+    // hand-built container round trip
+    val frames = (0 until 5).map { f =>
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) {
+        val g = (40 * f + 10) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Riff.writeAvi(frames, 6, 4)
+    val refs = Riff.frameIndex(avi)
+    assert(refs.size == 5)
+    assert(refs.map(_.index) == (0 until 5))
+    refs.zipWithIndex.foreach { case (ref, f) =>
+      val img = Riff.decodeFrame(avi, ref)
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      // flat gray frame: JPEG reproduces it closely
+      val got = img.getRGB(3, 2) & 0xff
+      assert(math.abs(got - ((40 * f + 10) % 256)) <= 8,
+        s"frame $f pixel drifted: $got")
+    }
+    // the generic walker also works WITHOUT the idx1 index (movi scan)
+    val idxAt = {
+      val cs = Riff.chunks(avi)
+      cs.collectFirst { case ("idx1", p, _) => p }.get
+    }
+    val noIdx = avi.clone()
+    // corrupt the idx1 fourcc so the reader falls back to the movi scan
+    System.arraycopy("JUNK".getBytes("US-ASCII"), 0, noIdx, idxAt - 8, 4)
+    val refs2 = Riff.frameIndex(noIdx)
+    assert(refs2.map(r => (r.offset, r.size)) ==
+      refs.map(r => (r.offset, r.size)),
+      "movi-scan fallback must find the same frames as idx1")
+
+    // the Spark operator end-to-end on the fixture corpus
+    val out = Multimodal.sampleVideoFrames(
+      Multimodal.videosFromDocuments(spark, sf), 3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == (4 + id % 13).toInt &&
+        r.getInt(3) == (3 + id % 7).toInt)
+      assert(r.getLong(1) % 3 == 0)
+      assert(r.getLong(1) < 1 + id % 12)
+    }
+  }
+
   test("real image resize: longest side bounded, aspect floor-scaled, " +
       "output re-decodes") {
     val out = Multimodal.resizeImages(
