@@ -542,6 +542,41 @@ object Curation {
     merges.result()
   }
 
+  /** ENCODE with a trained merge table: fold the merges in rank order
+    * over each word's symbol array — the exact sequential BPE apply,
+    * expressed as |merges| chained columnar transforms (bpeApplyOne),
+    * whole-stage codegen, NO per-row UDF. The per-document trained
+    * token count is the sum of final symbol-array sizes over its words.
+    *
+    * Scale shape: pure map-side column program over the documents scan
+    * (one groupBy(doc_id) only because the tokenizer explodes words);
+    * the merge table is a driver-side constant folded into the plan —
+    * a 30k-merge production vocabulary would instead broadcast a
+    * rank-keyed map and encode per partition (same output; the fold
+    * form is exact and optimizer-friendly at spec-scale vocabularies). */
+  def bpeEncode(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val syms0 = expr("filter(split(w, ''), x -> x <> '')")
+    val encoded = merges.sortBy(_._1).foldLeft(syms0) {
+      case (c, (_, a, b, _)) => bpeApplyOne(c, a, b)
+    }
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), size(encoded).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bpe_tokens_trained"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Trained-BPE token counts over the corpus, encoded with the d21
+    * merge table (8 merges at gate scale). The merge table is an
+    * engine-computed artifact (iterative training — not
+    * SQL-expressible), so the query is rows-only checked; CurationSpec
+    * pins the encode against a plain-Scala sequential apply. */
+  val d27 = Q.noOracle("d27_bpe_encode") { (s, dir) =>
+    val merges = bpeTrainBatched(T.documents(s, dir), nMerges = 8)
+    bpeEncode(T.documents(s, dir), merges).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- d22
 
   /** Exact duplicate-passage removal (the ExactSubstr shape of Lee et
@@ -787,5 +822,5 @@ object Curation {
     urlDedup(T.documents(s, dir), fixtureUrl).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27)
 }

@@ -251,6 +251,31 @@ class CurationSpec extends SparkSpec {
       Curation.bpeTrain(tricky, 6))
   }
 
+  test("bpe encode applies the trained merges exactly like a sequential " +
+      "plain-Scala tokenizer") {
+    val merges = Curation.bpeTrain(docs, 8)
+    val got = Curation.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: left-to-right non-overlapping merge per rank, per word
+    def applyOne(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    val expect = docs.collect().map { r =>
+      val words = r.getString(1).trim.split("\\s+").toSeq
+      val total = words.map { w =>
+        merges.sortBy(_._1).foldLeft(w.map(_.toString).toVector) {
+          case (syms, (_, a, b, _)) => applyOne(syms, a, b)
+        }.size.toLong
+      }.sum
+      r.getLong(0) -> ((total, words.size.toLong))
+    }.toMap
+    assert(got == expect, "encode diverges from the sequential apply")
+    // merging strictly reduces or preserves token counts vs raw chars
+    assert(got.values.exists { case (n, _) => n > 0 })
+  }
+
   test("batched bpe: a tie hiding behind a filled batch keeps bit-identity") {
     import spark.implicits._
     // Engineered for the batch-fill stop: with batchK=2 the walk selects
