@@ -24,6 +24,50 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // T4 backpressure
       .parquet(dir)
 
+  /** S4 in STORAGE: a silver-maintaining sink that keeps an on-disk
+    * latest-states table current through the incremental delta merge
+    * (IncrementalSilver.mergeLatestStates) — the reference's actual
+    * write path (`ON CONFLICT ... WHERE last_trans_lt <`), with the
+    * state living in the SILVER FILES rather than the streaming state
+    * store. Each micro-batch writes version dir `v{batchId}` computed
+    * from `v{batchId-1}` + the batch delta, so a REPLAYED batch reads
+    * the same predecessor and rewrites its version byte-identically —
+    * the same batch-keyed idempotence contract as the trace-assembly
+    * snapshots. `latest` readers take the max-numbered version; old
+    * versions beyond `keep` are pruned. */
+  def latestStateSilverSink(txs: DataFrame, dir: String,
+      checkpointDir: String, keep: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    txs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prevPath = new org.apache.hadoop.fs.Path(s"$dir/v${batchId - 1}")
+        val merged =
+          if (batchId > 0 && fs.exists(prevPath))
+            graft.plans.IncrementalSilver.mergeLatestStates(
+              spark.read.parquet(prevPath.toString), batch)
+          else graft.plans.IncrementalSilver.latestStates(batch)
+        merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+        val victim = new org.apache.hadoop.fs.Path(s"$dir/v${batchId - keep}")
+        if (batchId >= keep && fs.exists(victim)) { fs.delete(victim, true); () }
+      }
+      .start()
+
+  /** Read the newest version of a [[latestStateSilverSink]] table. */
+  def latestStateSilver(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    require(vs.nonEmpty, s"no silver versions under $dir")
+    spark.read.parquet(s"$dir/v${vs.max}")
+  }
+
   /** S4 streaming upsert: keep the max-lt state per account across
     * micro-batches (ON CONFLICT ... WHERE last_trans_lt < EXCLUDED
     * semantics, InsertManagerPostgres.cpp:2423-2431). Emits the winning

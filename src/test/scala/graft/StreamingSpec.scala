@@ -102,6 +102,47 @@ class StreamingSpec extends SparkSpec {
     assert(done.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("T1"))
   }
 
+  test("silver-maintaining sink: stream-built latest-states table equals " +
+      "the batch recompute, survives restart, prunes old versions") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("silver-sink").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"
+    val ckDir = s"$base/ck"
+    val schema = StructType(Seq(StructField("account", StringType),
+      StructField("lt", LongType), StructField("hash", StringType)))
+    def write(part: Int, rows: Seq[(String, Long, String)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+        schema).coalesce(1).write.mode("append").parquet(srcDir)
+    write(0, Seq(("A", 5L, "T5"), ("B", 1L, "T1"), ("A", 9L, "T9")))
+    write(1, Seq(("A", 7L, "T7"), ("C", 2L, "T2"))) // A stale: must lose
+    // first run: two batches (maxFilesPerTrigger=1 → one file per batch)
+    val stream = StreamOps.fileStream(spark, srcDir, schema)
+    val q = StreamOps.latestStateSilverSink(stream, outDir, ckDir, keep = 2)
+    q.awaitTermination()
+    val afterTwo = StreamOps.latestStateSilver(spark, outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(afterTwo == Set(("A", 9L, "T9"), ("B", 1L, "T1"), ("C", 2L, "T2")))
+    // restart with new data: state comes from the silver files
+    write(2, Seq(("B", 8L, "T8"), ("D", 3L, "T3")))
+    val q2 = StreamOps.latestStateSilverSink(
+      StreamOps.fileStream(spark, srcDir, schema), outDir, ckDir, keep = 2)
+    q2.awaitTermination()
+    val fin = StreamOps.latestStateSilver(spark, outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val batchRecompute = graft.plans.IncrementalSilver.latestStates(
+      spark.read.schema(schema).parquet(srcDir))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(fin == batchRecompute, "stream silver diverges from batch")
+    assert(fin == Set(("A", 9L, "T9"), ("B", 8L, "T8"),
+      ("C", 2L, "T2"), ("D", 3L, "T3")))
+    // pruning: only `keep` most recent versions remain
+    val versions = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(versions.size <= 2, s"pruning failed: $versions")
+  }
+
   test("streaming latest-state upsert keeps max-lt row per account") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
