@@ -48,10 +48,18 @@ object StreamOps {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prevPath = new org.apache.hadoop.fs.Path(s"$dir/v${batchId - 1}")
         val merged =
-          if (batchId > 0 && fs.exists(prevPath))
+          if (batchId == 0L)
+            graft.plans.IncrementalSilver.latestStates(batch)
+          else if (fs.exists(prevPath))
             graft.plans.IncrementalSilver.mergeLatestStates(
               spark.read.parquet(prevPath.toString), batch)
-          else graft.plans.IncrementalSilver.latestStates(batch)
+          else
+            // a replay OLDER than the keep window has no predecessor to
+            // merge against — failing loudly beats silently rebuilding
+            // the silver from one batch's worth of history
+            throw new IllegalStateException(
+              s"latest-states silver: predecessor v${batchId - 1} pruned; " +
+                s"raise `keep` or reset the checkpoint to reprocess")
         merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
         val victim = new org.apache.hadoop.fs.Path(s"$dir/v${batchId - keep}")
         if (batchId >= keep && fs.exists(victim)) { fs.delete(victim, true); () }
