@@ -822,5 +822,224 @@ object Curation {
     urlDedup(T.documents(s, dir), fixtureUrl).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27)
+  // ---------------------------------------------------------------- d28
+
+  /** Deterministic global shuffle + shard assignment — the training-data
+    * ORDERING step: every document gets a pseudo-random but fully
+    * reproducible position (the d16 LCG as sort key, doc_id tie-break),
+    * and fixed-size shards are cut from that order. No RNG state, so the
+    * same corpus always shards identically on any engine — resumable
+    * data loading depends on exactly this property.
+    *
+    * Scale shape: the global position is NOT one row_number window over
+    * the corpus (a single-partition sort). Priorities range-bucket by
+    * their high 8 bits; ranks are computed per bucket in parallel, and
+    * the 256-row bucket-count table is prefix-summed and broadcast back
+    * — the d17 two-level scan applied to ranking instead of token sums.
+    * (A cluster deployment would raise the bucket count with corpus
+    * size; the bucket key is the TOP bits of the sort key, so bucket
+    * order == priority order and offsets compose.) */
+  def shuffleShards(docs: DataFrame, docsPerShard: Long): DataFrame = {
+    val withPr = docs.select(col("doc_id")).withColumn("priority", lcgPriority)
+      .withColumn("hbucket", expr("priority DIV 16777216"))
+    val local = withPr.withColumn("local_rank",
+      row_number().over(Window.partitionBy("hbucket")
+        .orderBy("priority", "doc_id")).cast("long"))
+    val offsets = withPr.groupBy("hbucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum("bn").over(Window.orderBy("hbucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hbucket", "offset")
+    local.join(broadcast(offsets), "hbucket")
+      .withColumn("pos", col("offset") + col("local_rank") - 1L)
+      .select(col("doc_id"), col("priority"), col("pos"),
+        expr(s"pos DIV $docsPerShard").as("shard_id"))
+  }
+
+  val d28 = Q("d28_shuffle_shards",
+    """WITH d AS (
+      |  SELECT doc_id, (((doc_id & 65535) * 2654435761)
+      |    + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+      |    + 1013904223) & 4294967295 AS priority
+      |  FROM documents
+      |)
+      |SELECT doc_id, priority,
+      |  row_number() OVER (ORDER BY priority, doc_id) - 1 AS pos,
+      |  (row_number() OVER (ORDER BY priority, doc_id) - 1) // 64 AS shard_id
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    shuffleShards(T.documents(s, dir), docsPerShard = 64L).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- d29
+
+  /** Cross-source overlap matrix: for every source pair, how many
+    * distinct 3-shingles they share — the corpus-composition diagnostic
+    * run before mixing crawl dumps (a high-overlap pair means one dump
+    * mirrors another and the mixture weights double-count it).
+    *
+    * Scale shape: shingles reduce to 8-byte hashes before any shuffle
+    * (the d15 precedent — intersection-by-hash equals intersection-by-
+    * string barring xxhash64 collisions); the distinct (source, hash)
+    * frame groups BY HASH with collect_set(source) — bounded by the
+    * source count, never by corpus size — and pair counts come off the
+    * exploded combination list. The |sources|² matrix join is a
+    * broadcast of two tiny aggregates. */
+  def sourceOverlap(shingledDocs: DataFrame, srcOf: DataFrame): DataFrame = {
+    val sg = shingledDocs
+      .select(col("doc_id"),
+        explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+      .join(srcOf, "doc_id")
+      .select("source", "g").distinct()
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sg.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, a ->
+             transform(filter(ss, b -> b > a), b -> struct(a, b))))""")).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+    val sb = sizes.select(col("source").as("source_b"), col("n").as("n_b"))
+    sa.crossJoin(sb).filter(col("source_a") < col("source_b"))
+      .join(pairs, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"), col("n_a"), col("n_b"))
+  }
+
+  val d29 = Q("d29_source_overlap",
+    s"""${Dedup.shingleCte},
+       |sg AS (
+       |  SELECT DISTINCT d.source, x.g
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
+       |  JOIN documents d ON x.doc_id = d.doc_id
+       |), sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+       |ov AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT sa.source AS source_a, sb.source AS source_b,
+       |  coalesce(ov.inter, 0) AS inter, sa.n AS n_a, sb.n AS n_b
+       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
+       |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    sourceOverlap(Dedup.shingled(s, dir),
+        T.documents(s, dir).select("doc_id", "source"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---------------------------------------------------------------- d30
+
+  /** The END-TO-END curation pipeline in one call — the composition a
+    * production run actually executes, chained from this family's own
+    * operators: scrub (d18 blocklist) → token-count quality gate →
+    * benchmark decontamination on the SCRUBBED text (d15, bench slice
+    * leaves the corpus) → exact dedup on scrubbed text (d10 shape,
+    * min-doc_id keeper) → stratified language sampling (d16 rates) →
+    * token-budget shard packing (d17) over the survivors. Every stage is
+    * the already-verified operator, so the pipeline's cost is the sum of
+    * its parts and each intermediate could be a silver table; the one
+    * cross-stage subtlety is that dedup/decontamination run on the text
+    * AFTER redaction (two docs differing only in redacted terms ARE
+    * duplicates downstream).
+    *
+    * The shingle build is checkpointed before fan-out for the same
+    * reason as Dedup.shingled: the decontaminate explode would otherwise
+    * inline the tokenizer once per shingle slot. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+    val scrubbed = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scrub(docs, Blocklist).select("doc_id", "scrubbed"), "doc_id")
+    val toksc = split(trim(col("scrubbed")), "\\s+")
+    val gated = scrubbed
+      .withColumn("toks", toksc)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens").between(20, 1000))
+    val withSh = gated
+      .withColumn("sh", array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .otherwise(array(trim(col("scrubbed"))))))
+      .drop("toks")
+      .localCheckpoint()
+    val corpus = withSh.filter(col("doc_id") % 17 =!= 0)
+    val bench = withSh.filter(col("doc_id") % 17 === 0)
+    val cleanIds = decontaminate(corpus.select("doc_id", "sh"),
+        bench.select("sh"))
+      .filter(!col("contaminated")).select("doc_id")
+    val clean = corpus.join(cleanIds, "doc_id")
+    val keyW = Window.partitionBy(md5(col("scrubbed").cast("binary")))
+    val deduped = clean
+      .withColumn("keep", col("doc_id") === min("doc_id").over(keyW))
+      .filter(col("keep"))
+    val sampled = deduped.join(
+      stratifiedSample(deduped, SampleRates).select("doc_id"), "doc_id")
+    packShards(sampled.select("doc_id", "n_tokens"), budget = 2000L)
+      .join(sampled.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_tokens", "cum_tokens", "shard_id")
+  }
+
+  private def blocklistInSql: String =
+    Blocklist.map(t => s"'$t'").mkString(", ")
+
+  val d30 = Q("d30_curation_pipeline",
+    s"""WITH scr AS (
+       |  SELECT doc_id, lang, source,
+       |    array_to_string(list_transform(string_split_regex(trim(text), '\\s+'),
+       |      t -> CASE WHEN t IN ($blocklistInSql)
+       |           THEN '[REDACTED]' ELSE t END), ' ') AS text2
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split_regex(trim(text2), '\\s+') AS w, trim(text2) AS tt
+       |  FROM scr
+       |), gated AS (
+       |  SELECT *, CAST(len(w) AS BIGINT) AS n_tokens
+       |  FROM tok WHERE len(w) BETWEEN 20 AND 1000
+       |), sh2 AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                     for i in range(1, len(w) - 1)])
+       |    ELSE [tt] END AS s
+       |  FROM gated
+       |), bench AS (
+       |  SELECT DISTINCT unnest(s) AS g FROM sh2 WHERE doc_id % 17 = 0
+       |), corp AS (
+       |  SELECT * FROM sh2 WHERE doc_id % 17 <> 0
+       |), hits AS (
+       |  SELECT c.doc_id, count(*) AS n_shared
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM corp) c
+       |  JOIN bench b ON c.g = b.g GROUP BY c.doc_id
+       |), clean AS (
+       |  SELECT corp.* FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+       |  WHERE NOT (len(s) > 0 AND coalesce(n_shared, 0) * 2 >= len(s))
+       |), ded AS (
+       |  SELECT c.* FROM clean c JOIN scr ON c.doc_id = scr.doc_id
+       |  QUALIFY c.doc_id = min(c.doc_id) OVER (PARTITION BY md5(scr.text2))
+       |), samp AS (
+       |  SELECT * FROM ded
+       |  WHERE ((((doc_id & 65535) * 2654435761)
+       |    + ((((doc_id >> 16) & 65535) * 2654435761) & 65535) * 65536
+       |    + 1013904223) & 4294967295) * 1000 // 4294967296
+       |    < CASE lang ${SampleRates.map { case (l, r) =>
+              s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END
+       |)
+       |SELECT doc_id, lang, source, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST((sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000
+       |    AS BIGINT) AS shard_id
+       |FROM samp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    curationPipeline(s, dir).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29, d30)
 }

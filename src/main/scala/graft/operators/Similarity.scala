@@ -830,5 +830,78 @@ object Similarity {
     semdedupSilver(s, dir).orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  /** Two-stage retrieval: a cheap coarse scan over a PREFIX of each
+    * vector (the matryoshka/MRL layout, where the first dimensions carry
+    * a usable coarse embedding) shortlists `shortlist` candidates per
+    * query, then ONLY those rows are re-scored at full dimension for the
+    * final top-k — the standard production rerank shape (coarse pass
+    * touches prefixDim/dim of the bytes; the full-precision fetch is
+    * |queries|·shortlist rows, not the corpus).
+    *
+    * The shortlist stage deliberately carries only (query_id,
+    * neighbor_id, c_rank) — full vectors are re-joined for the rerank,
+    * exactly as a cluster deployment would fetch them from the vector
+    * store, so the wide rows never pass through the coarse window. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, shortlist: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val short = c
+      .select(col("neighbor_id"), slice(col("cv"), 1, prefixDim).as("cp"))
+      .crossJoin(broadcast(q.select(col("query_id"),
+        slice(col("qv"), 1, prefixDim).as("qp"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse", cosine(col("qp"), col("cp")))
+      .withColumn("c_rank", row_number().over(wCoarse))
+      .filter(col("c_rank") <= shortlist)
+      .select("query_id", "neighbor_id", "c_rank")
+    val wFine = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    short.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("n_rank", row_number().over(wFine))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "neighbor_id", "c_rank")
+  }
+
+  /** Matryoshka-prefix coarse scan (first 16 of 64 dims) + exact rerank
+    * of the 20-candidate shortlist. Fully deterministic (double cosine,
+    * unique tie-breaks) → the DuckDB mirror recomputes both stages with
+    * list slicing and is an exact oracle; output carries the coarse rank
+    * alongside the final rank so reranking movement is visible as data. */
+  val e11 = Q("e11_rerank_truncated",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 8
+      |), c AS (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings
+      |), short AS (
+      |  SELECT query_id, neighbor_id, c_rank FROM (
+      |    SELECT q.query_id, c.neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qv[1:16], c.cv[1:16]) DESC,
+      |                 c.neighbor_id) AS c_rank
+      |    FROM q, c WHERE c.neighbor_id <> q.query_id) t
+      |  WHERE c_rank <= 20
+      |)
+      |SELECT query_id, n_rank, neighbor_id, c_rank FROM (
+      |  SELECT s.query_id, s.neighbor_id, s.c_rank,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+      |               s.neighbor_id) AS n_rank
+      |  FROM short s
+      |  JOIN q ON s.query_id = q.query_id
+      |  JOIN c ON s.neighbor_id = c.neighbor_id) t
+      |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
+    rerankTopK(T.embeddings(s, dir), queriesOf(s, dir), 5,
+        prefixDim = 16, shortlist = 20)
+      .orderBy("query_id", "n_rank")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
 }

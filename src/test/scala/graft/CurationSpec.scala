@@ -431,4 +431,96 @@ class CurationSpec extends SparkSpec {
       "fixture should contain at least one duplicated passage")
     corpus.unpersist()
   }
+
+  // ---------------------------------------------------------- d28
+
+  test("shuffle shards: positions are a permutation, shards are the pos cut, " +
+    "and the two-level ranking equals one global sort") {
+    val out = Curation.shuffleShards(docs, 64L).collect()
+    val n = out.length
+    assert(out.map(_.getLong(2)).sorted.toSeq == (0L until n.toLong))
+    out.foreach(r => assert(r.getLong(3) == r.getLong(2) / 64))
+    val byPos = out.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    val byKey = out.sortBy(r => (r.getLong(1), r.getLong(0)))
+      .map(_.getLong(0)).toSeq
+    assert(byPos == byKey,
+      "bucketed two-level ranking diverged from the global (priority, id) sort")
+    val again = Curation.shuffleShards(docs, 64L).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
+
+  // ---------------------------------------------------------- d29
+
+  test("source overlap matrix matches brute-force distinct-shingle intersections") {
+    val base = docs.limit(150).cache()
+    val sh = base.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val got = Curation.sourceOverlap(sh, base.select("doc_id", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val bySrc = base
+      .select(col("source"), explode(Dedup.shingles(col("text"))).as("g"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    for { a <- srcs; b <- srcs if a < b } {
+      val exp = ((bySrc(a) & bySrc(b)).size.toLong,
+        bySrc(a).size.toLong, bySrc(b).size.toLong)
+      assert(got((a, b)) == exp, s"pair ($a, $b)")
+    }
+    assert(got.size == srcs.size * (srcs.size - 1) / 2,
+      "matrix must be complete, including zero-overlap pairs")
+    assert(got.values.exists(_._1 > 0),
+      "fixture should contain at least one overlapping source pair")
+    base.unpersist()
+  }
+
+  // ---------------------------------------------------------- d30
+
+  test("curation pipeline equals its stage-by-stage local recompute") {
+    val out = Curation.curationPipeline(spark, sf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+    val raw = docs.collect().map { r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")),
+        r.getString(r.fieldIndex("source")), r.getString(r.fieldIndex("text")))
+    }
+    def scrubT(t: String): String = t.trim.split("\\s+")
+      .map(w => if (Curation.Blocklist.contains(w)) "[REDACTED]" else w)
+      .mkString(" ")
+    def shing(t: String): Set[String] = {
+      val w = t.trim.split("\\s+")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.trim)
+    }
+    val gated = raw.map { case (id, l, s, t) => (id, l, s, scrubT(t)) }
+      .filter { case (_, _, _, t) =>
+        val n = t.trim.split("\\s+").length; n >= 20 && n <= 1000 }
+    val benchSet = gated.filter(_._1 % 17 == 0).flatMap(x => shing(x._4)).toSet
+    val clean = gated.filter(_._1 % 17 != 0).filter { case (_, _, _, t) =>
+      val sh = shing(t)
+      !(sh.nonEmpty && (sh & benchSet).size * 2 >= sh.size)
+    }
+    val deduped = clean.groupBy(_._4).values.map(_.minBy(_._1)).toSeq
+    def bucket(id: Long): Long = {
+      val lo = id & 65535L; val hi = (id >> 16) & 65535L
+      ((((lo * 2654435761L) + (((hi * 2654435761L) & 65535L) * 65536L)
+        + 1013904223L) & 4294967295L) * 1000L) / 4294967296L
+    }
+    val rates = Curation.SampleRates.toMap
+    val sampled = deduped
+      .filter { case (id, l, _, _) => bucket(id) < rates.getOrElse(l, 0) }
+      .sortBy(_._1)
+    var cum = 0L
+    val exp = sampled.map { case (id, l, s, t) =>
+      val n = t.trim.split("\\s+").length.toLong
+      cum += n
+      (id, l, s, n, cum, (cum - n) / 2000L)
+    }
+    assert(out == exp)
+    assert(exp.nonEmpty, "pipeline output must be non-empty at spec scale")
+    assert(exp.size < raw.length, "pipeline must actually drop documents")
+  }
 }

@@ -184,4 +184,34 @@ class SimilaritySpec extends SparkSpec {
     assert(sameClusterDups.forall { case (i, j) => canonOf(i) == canonOf(j) },
       "a same-cluster near-dup pair escaped its duplicate group")
   }
+
+  // ------------------------------------------------------------- e11
+
+  test("rerank at full prefix with a corpus-wide shortlist equals the exact scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = Similarity
+      .rerankTopK(emb, q, 5, prefixDim = 64, shortlist = emb.count().toInt)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(full == exact)
+  }
+
+  test("truncated-prefix rerank honors the shortlist and ranks 1..k per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val rows = Similarity.rerankTopK(emb, q, 5, prefixDim = 16, shortlist = 20)
+      .collect()
+    assert(rows.forall(_.getInt(3) <= 20), "neighbor outside the shortlist")
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+    }
+    // determinism: same ranks on a second run
+    val again = Similarity.rerankTopK(emb, q, 5, prefixDim = 16, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again ==
+      rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap)
+  }
 }
