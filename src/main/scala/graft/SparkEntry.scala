@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    operators.Relational.all ++ operators.TextOps.all ++
+    operators.Relational.all ++ operators.AsOf.all ++
+      operators.TextOps.all ++
       operators.Dedup.all ++ operators.Curation.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++ operators.ApiQueries.all ++

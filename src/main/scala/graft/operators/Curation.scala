@@ -1040,6 +1040,107 @@ object Curation {
     curationPipeline(s, dir).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d31
+
+  /** Fixed-context sequence packing — the training-example step AFTER
+    * d17's doc-granularity shard cut: concatenate all documents (doc_id
+    * order) into one token stream and cut it into context windows of
+    * exactly `contextLen` tokens, SPLITTING documents across window
+    * boundaries (the GPT-style "concat and chunk"). One output row per
+    * (document, window) span, carrying where the span starts inside the
+    * document and inside the window — exactly what a data loader needs to
+    * reconstruct attention-mask boundaries.
+    *
+    * Scale shape: global token offsets come from the d17 two-level prefix
+    * sum (never a one-partition window); the span fan-out is a per-row
+    * `sequence` explode of size n_tokens/contextLen + 1 — output-bound,
+    * no shuffle beyond the prefix sum's. */
+  def packSequences(docs: DataFrame, contextLen: Long): DataFrame = {
+    packShards(docs, budget = contextLen)
+      .withColumn("start", col("cum_tokens") - col("n_tokens"))
+      .withColumn("window_id", explode(sequence(
+        expr(s"start DIV $contextLen"),
+        expr(s"(cum_tokens - 1) DIV $contextLen"))))
+      .withColumn("ws", greatest(col("window_id") * contextLen, col("start")))
+      .select(col("doc_id"), col("window_id"),
+        (col("ws") - col("start")).as("doc_offset"),
+        (col("ws") - col("window_id") * contextLen).as("window_offset"),
+        (least((col("window_id") + 1) * contextLen, col("cum_tokens"))
+          - col("ws")).as("n_toks"))
+  }
+
+  val d31 = Q("d31_pack_sequences",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n,
+      |    CAST(sum(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM d
+      |), s AS (SELECT doc_id, n, cum, cum - n AS start FROM c)
+      |SELECT doc_id, unnest(range(start // 512, (cum - 1) // 512 + 1))
+      |    AS window_id,
+      |  greatest(window_id * 512, start) - start AS doc_offset,
+      |  greatest(window_id * 512, start) - window_id * 512 AS window_offset,
+      |  least((window_id + 1) * 512, cum)
+      |    - greatest(window_id * 512, start) AS n_toks
+      |FROM s ORDER BY doc_id, window_id""".stripMargin) { (s, dir) =>
+    packSequences(
+      T.documents(s, dir).select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens")),
+      contextLen = 512L)
+      .orderBy("doc_id", "window_id")
+  }
+
+  // ---------------------------------------------------------------- d32
+
+  /** Overlapping window chunking — the retrieval/embedding prep step:
+    * each document's token sequence is cut into chunks of `width` tokens
+    * starting every `stride` tokens (stride < width ⇒ overlap), chunk
+    * text re-joined from the token slice. Unlike d31 this NEVER crosses
+    * document boundaries and overlaps on purpose.
+    *
+    * Pure per-row fan-out: tokenize once, explode the stride grid,
+    * `slice` each chunk out of the cached token array — zero shuffle,
+    * output-bound, and the chunk count per doc is ceil(n/stride) so the
+    * explode factor is corpus-tokens/stride regardless of skew. */
+  def chunkDocs(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    docs
+      .withColumn("w", toks(col("text")))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n - 1) DIV $stride"))))
+      .withColumn("ck",
+        slice(col("w"), (col("chunk_id") * stride + 1).cast("int"), lit(width)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_toks"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+  }
+
+  val d32 = Q("d32_chunk_overlap",
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(0, (len(w) - 1) // 64 + 1)) AS chunk_id
+      |  FROM d
+      |), ck AS (
+      |  SELECT doc_id, chunk_id,
+      |    w[chunk_id * 64 + 1 : least(chunk_id * 64 + 128, len(w))] AS c
+      |  FROM g
+      |)
+      |SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_chunk_toks,
+      |  array_to_string(c, ' ') AS chunk_text
+      |FROM ck ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    chunkDocs(T.documents(s, dir), width = 128, stride = 64)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] =
-    Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29, d30)
+    Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29,
+      d30, d31, d32)
 }

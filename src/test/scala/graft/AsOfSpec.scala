@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf)
+    .select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    .cache()
+
+  test("asofJoin matches a brute-force latest-at-or-before lookup") {
+    val left = events.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val right = events.filter($"event_type" === "click")
+      .select("user_id", "ts_us", "value")
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts_us")
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("event_id")) ->
+        ((Option(r.get(r.fieldIndex("asof_ts_us"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("asof_value")))
+            .map(_.asInstanceOf[Double]))))
+      .toMap
+    val clicks = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val exp = left.collect().map { r =>
+      val (id, u, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val m = clicks.getOrElse(u, Array.empty).filter(_._2 <= t)
+      id -> (if (m.isEmpty) (None, None)
+             else { val best = m.maxBy(_._2); (Some(best._2), Some(best._3)) })
+    }.toMap
+    assert(got == exp)
+    assert(exp.values.exists(_._1.isEmpty), "fixture should have unmatched rows")
+    assert(exp.values.exists(_._1.nonEmpty), "fixture should have matched rows")
+  }
+
+  test("asofJoin is inclusive at equal ts and a null payload FIELD survives") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 150L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "ts_us")
+    // user 10: a right row exactly at ts=100 (must match row 1), whose
+    // payload value is NULL (must come back as a matched-but-null field,
+    // NOT fall through to the earlier ts=40 row); user 20: only later rows.
+    val right = Seq((10L, 40L, Some(7.0)), (10L, 100L, None),
+        (20L, 60L, Some(9.0)))
+      .toDF("user_id", "ts_us", "value")
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts_us")
+      .orderBy("event_id").collect()
+    assert(got(0).getLong(got(0).fieldIndex("asof_ts_us")) == 100L)
+    assert(got(0).isNullAt(got(0).fieldIndex("asof_value")),
+      "the matched row's own null field must survive, not be skipped")
+    assert(got(1).getLong(got(1).fieldIndex("asof_ts_us")) == 100L)
+    assert(got(2).isNullAt(got(2).fieldIndex("asof_ts_us")),
+      "no right row at-or-before ts=50 for user 20")
+  }
+
+  test("intervalPairs equals the brute-force range predicate, each pair once") {
+    val left = events.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val right = events.filter($"event_type" === "click")
+      .select("user_id", "ts_us", "value")
+    val lb = 86400000000L
+    val got = AsOf.intervalPairs(left, right, Seq("user_id"), "ts_us", lb)
+      .select("event_id", "__rts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val clicks = right.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val exp = left.collect().flatMap { r =>
+      val (id, u, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      clicks.getOrElse(u, Array.empty)
+        .filter { case (_, rt) => rt >= t - lb && rt < t }
+        .map { case (_, rt) => (id, rt) }
+    }.toSeq.sorted
+    assert(got == exp)
+    assert(got == got.distinct, "two-bucket probe must not duplicate pairs")
+    assert(exp.nonEmpty, "fixture should produce in-window pairs")
+  }
+}

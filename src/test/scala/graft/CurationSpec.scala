@@ -523,4 +523,58 @@ class CurationSpec extends SparkSpec {
     assert(exp.nonEmpty, "pipeline output must be non-empty at spec scale")
     assert(exp.size < raw.length, "pipeline must actually drop documents")
   }
+  // ---------------------------------------------------------- d31
+
+  test("sequence packing tiles the global token stream exactly") {
+    val withN = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val L = 512L
+    val out = Curation.packSequences(withN, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val nOf = withN.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = nOf.values.sum
+    // every document's spans cover [0, n) contiguously in window order
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.map(_._5).sum == nOf(id), s"doc $id token coverage")
+      var at = 0L
+      sorted.foreach { case (_, _, docOff, _, n) =>
+        assert(docOff == at, s"doc $id spans must be contiguous"); at += n
+      }
+    }
+    // every window is exactly L tokens except the last
+    val lastW = (total - 1) / L
+    out.groupBy(_._2).foreach { case (w, spans) =>
+      val span = spans.map(_._5).sum
+      if (w < lastW) assert(span == L, s"window $w must be full")
+      else assert(span == total - lastW * L)
+      val sorted = spans.sortBy(_._4)
+      var at = 0L
+      sorted.foreach { case (_, _, _, wOff, n) =>
+        assert(wOff == at, s"window $w spans must be contiguous"); at += n
+      }
+    }
+    assert(out.exists(s => s._3 > 0),
+      "fixture must contain a document split across windows")
+  }
+
+  // ---------------------------------------------------------- d32
+
+  test("overlapping chunks equal local token slices at width 128 stride 64") {
+    val out = Curation.chunkDocs(docs.limit(50), width = 128, stride = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    val exp = docs.limit(50).select("doc_id", "text").collect().flatMap { r =>
+      val (id, w) = (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq)
+      (0L to (w.length - 1) / 64).map { c =>
+        val ck = w.slice(c.toInt * 64, c.toInt * 64 + 128)
+        (id, c) -> ((ck.length.toLong, ck.mkString(" ")))
+      }
+    }.toMap
+    assert(out == exp)
+    assert(exp.keys.groupBy(_._1).values.exists(_.size > 1),
+      "fixture must contain multi-chunk documents")
+  }
 }
