@@ -309,4 +309,62 @@ class PlanSpec extends SparkSpec {
       assert(f.contains(want), s"missing pushed filter $want:\n${
         f.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
   }
+  test("asofJoin is one hash shuffle + window: no physical join at all") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    val p = graft.operators.AsOf.asofJoin(
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"as-of must resolve via the union+window trick, not a join:\n${p.take(1500)}")
+    assert(p.contains("Window"), "expected the running-window resolve")
+    // exactly one exchange shape: hashpartitioning on the key
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must partition by the as-of key:\n${p.take(1500)}")
+  }
+
+  test("intervalPairs joins on (key, bucket) — a hash join, never a " +
+      "nested-loop range join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    val p = graft.operators.AsOf.intervalPairs(
+        ev.filter(col("event_type") === "purchase").drop("event_type", "value"),
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us", 86400000000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must ride an equi join:\n${p.take(1500)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on (key, bucket):\n${p.take(1500)}")
+    assert(p.contains("__bkt"), "expected the lookback bucket in the join key")
+  }
+
+  test("d32 chunking is shuffle-free: pure scan-side fan-out") {
+    val p = graft.operators.Curation.chunkDocs(
+        Tables.documents(spark, sf), 128, 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("d28/d31 prefix-sum shapes broadcast their offset tables; windows " +
+      "stay bucket-partitioned") {
+    for ((nm, df) <- Seq(
+        "d28" -> graft.operators.Curation.shuffleShards(
+          Tables.documents(spark, sf), 64L),
+        "d31" -> graft.operators.Curation.packSequences(
+          Tables.documents(spark, sf).select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("n_tokens")), 512L))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$nm offset table must broadcast:\n${p.take(1500)}")
+    }
+  }
 }
