@@ -1140,7 +1140,94 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---------------------------------------------------------------- d33
+
+  /** Vocabulary census: top-k tokens per language by corpus frequency —
+    * the tokenizer-training / stopword-discovery prerequisite, and the
+    * canonical wordcount at 100 TB.
+    *
+    * Scale shape: the explode shuffles ONCE on (lang, tok) with map-side
+    * partial counts (token frequency follows Zipf, so partial aggregation
+    * collapses the head before the wire). The top-k itself is TWO-LEVEL:
+    * a local top-k per (lang, token-hash bucket) — the global top-k is
+    * always contained in the union of per-bucket top-ks — then the final
+    * window ranks only ≤ k·buckets candidate rows per language, so no
+    * single partition ever sees a language's full vocabulary (a
+    * one-window-per-lang plan would put all of English on one task). */
+  def vocabCensus(docs: DataFrame, k: Int, buckets: Int = 64): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val wLocal = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("tok")), lit(buckets)))
+      .orderBy(col("n").desc, col("tok"))
+    val wGlobal = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("tok"))
+    counts
+      .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(wGlobal)).filter(col("rk") <= k)
+      .select("lang", "rk", "tok", "n")
+  }
+
+  val d33 = Q("d33_vocab_census",
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2
+      |), r AS (
+      |  SELECT lang, tok, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      |  FROM c
+      |)
+      |SELECT lang, rk, tok, n FROM r WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+    vocabCensus(T.documents(s, dir), k = 10).orderBy("lang", "rk")
+  }
+
+  // ---------------------------------------------------------------- d34
+
+  /** Per-language corpus length profile — the composition dashboard run
+    * before fixing mixture weights: doc/token counts, extremes, and EXACT
+    * p50/p90/p99 token-count percentiles (R-7 linear interpolation, the
+    * convention Spark's `percentile` and DuckDB's `quantile_cont` share).
+    * Percentiles ship as round(p·1000) integers: the interpolation
+    * fraction is a multiple of 0.01 over integer lengths, so p·1000 is an
+    * exact multiple of 10 on both engines — integer-equal, no float
+    * hashing hazard.
+    *
+    * Scale shape: one shuffle keyed by lang; Spark's exact percentile
+    * aggregates a count-map per (lang, distinct length) — bounded by
+    * distinct document LENGTHS (≤ a few 10⁵ even at web scale), not by
+    * document count. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    def pm(q: Double, name: String): Column =
+      round(percentile(col("n"), lit(q)) * 1000).cast("long").as(name)
+    docs
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n").as("toks"),
+        min("n").as("min_toks"), max("n").as("max_toks"),
+        pm(0.5, "p50_milli"), pm(0.9, "p90_milli"), pm(0.99, "p99_milli"))
+  }
+
+  val d34 = Q("d34_length_profile",
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS docs, CAST(sum(n) AS BIGINT) AS toks,
+      |  min(n) AS min_toks, max(n) AS max_toks,
+      |  CAST(round(quantile_cont(n, 0.5) * 1000) AS BIGINT) AS p50_milli,
+      |  CAST(round(quantile_cont(n, 0.9) * 1000) AS BIGINT) AS p90_milli,
+      |  CAST(round(quantile_cont(n, 0.99) * 1000) AS BIGINT) AS p99_milli
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    lengthProfile(T.documents(s, dir)).orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29,
-      d30, d31, d32)
+      d30, d31, d32, d33, d34)
 }

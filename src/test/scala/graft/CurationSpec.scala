@@ -577,4 +577,53 @@ class CurationSpec extends SparkSpec {
     assert(exp.keys.groupBy(_._1).values.exists(_.size > 1),
       "fixture must contain multi-chunk documents")
   }
+  // ---------------------------------------------------------- d33
+
+  test("two-level vocab top-k equals the one-window global ranking, any bucket count") {
+    def flat(k: Int, buckets: Int) =
+      Curation.vocabCensus(docs, k, buckets).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val global = {
+      val byLang = docs.select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .map { case ((l, t), n) => (l, t, n) }
+        .groupBy(_._1)
+      byLang.flatMap { case (l, ts) =>
+        ts.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((_, t, n), i) => (l, i + 1, t, n) }
+      }.toSet
+    }
+    for (b <- Seq(1, 7, 64))
+      assert(flat(10, b) == global, s"buckets=$b diverged from global top-k")
+  }
+
+  // ---------------------------------------------------------- d34
+
+  test("length profile percentiles are exact R-7 interpolation in milli units") {
+    val out = Curation.lengthProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    val lens = docs.select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def r7(xs: Seq[Long], q: Double): Long = {
+      val pos = q * (xs.length - 1)
+      val lo = math.floor(pos).toInt; val frac = pos - lo
+      val v = if (lo + 1 < xs.length) xs(lo) + frac * (xs(lo + 1) - xs(lo))
+              else xs(lo).toDouble
+      math.round(v * 1000)
+    }
+    lens.foreach { case (l, xs) =>
+      val (d, t, p50, p90, p99) = out(l)
+      assert(d == xs.length && t == xs.sum)
+      assert(p50 == r7(xs, 0.5), s"$l p50")
+      assert(p90 == r7(xs, 0.9), s"$l p90")
+      assert(p99 == r7(xs, 0.99), s"$l p99")
+    }
+    assert(out.keySet == lens.keySet)
+  }
 }
