@@ -663,6 +663,8 @@ object Similarity {
       .unionAll(recallRow("ivf_kmeans", "kmeans=8x3,nProbe=2,k=5",
         annIvfKmeansSilver(s, dir)))
       .unionAll(recallRow("quantized_int8", "k=5", annQuantSilver(s, dir)))
+      .unionAll(recallRow("rerank_trunc", "prefix=16,shortlist=20,k=5",
+        rerankTopK(emb, q, 5, prefixDim = 16, shortlist = 20)))
       .unionAll(ndRow)
       .unionAll(sdRow)
       .orderBy("method")

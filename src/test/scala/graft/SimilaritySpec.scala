@@ -109,11 +109,17 @@ class SimilaritySpec extends SparkSpec {
     // cos ≥ 0.45 regime scatters across clusters — SemDeDup's
     // documented miss mode, surfaced here as data; the remaining 1/7
     // miss is a pair more than 3 probe clusters apart.
+    // rerank_trunc 15/40: the sf0.001 embeddings are near-isotropic, so
+    // a 16-of-64-dim prefix is a weak coarse signal and a 20-candidate
+    // shortlist misses most exact top-5 — an honest audit row (real MRL
+    // embeddings front-load variance; the fixture does not). e11's own
+    // spec proves the mechanism exact when the prefix is the full vector.
     assert(rows == Map(
       "lsh" -> ((23L, 40L)),
       "ivf_label" -> ((11L, 40L)),
       "ivf_kmeans" -> ((38L, 40L)),
       "quantized_int8" -> ((39L, 40L)),
+      "rerank_trunc" -> ((15L, 40L)),
       "neardup_lsh" -> ((7L, 7L)),
       "semdedup_group" -> ((6L, 7L))), s"recall drifted: $rows")
   }
