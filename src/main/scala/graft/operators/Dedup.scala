@@ -154,7 +154,7 @@ object Dedup {
     * neither similar to the representative surfaces only via the other
     * bands. Truncation is surfaced as data, not silently:
     * [[bucketTruncationStats]] reports every contracted bucket. */
-  private def cappedBucketPairs(buckets: DataFrame, idsCol: String,
+  private[operators] def cappedBucketPairs(buckets: DataFrame, idsCol: String,
       pairExpr: String, starExpr: String, cap: Int): DataFrame =
     buckets
       .withColumn("rep", array_min(col(idsCol)))

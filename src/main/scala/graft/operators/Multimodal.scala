@@ -475,5 +475,150 @@ object Multimodal {
       .orderBy("media_id", "frame_index")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  // ---------------------------------------------------------------- m08
+
+  /** Perceptual hash (aHash) from REAL decoded pixels: pool the image
+    * onto a min(8,w)×min(8,h) block grid by exact integer area
+    * averaging, set bit k=j·gw+i when block (i,j)'s mean exceeds the
+    * global mean — compared in cross-multiplied integer form
+    * (blockSum·n > totalSum·blockN), so the hash is bit-reproducible on
+    * any engine, which is what lets a pure-SQL oracle recompute it from
+    * the generation formula without a codec. Area pooling (not the m05
+    * bilinear resample) is deliberate: resample kernels are
+    * implementation-defined, integer block sums are not. */
+  case class ImagePHash(media_id: Long, gw: Int, gh: Int, phash: Long)
+
+  def perceptualHash(images: Dataset[ImageRow]): Dataset[ImagePHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload ${r.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (gw, gh) = (math.min(8, w), math.min(8, h))
+        val bs = Array.ofDim[Long](gh, gw)
+        val bn = Array.ofDim[Long](gh, gw)
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = (img.getRGB(x, y) & 0xff).toLong
+            val (i, j) = (x * gw / w, y * gh / h)
+            bs(j)(i) += lum; bn(j)(i) += 1; tot += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var bits = 0L
+        var k = 0
+        var j = 0
+        while (j < gh) {
+          var i = 0
+          while (i < gw) {
+            if (bs(j)(i) * n > tot * bn(j)(i)) bits |= (1L << k)
+            k += 1; i += 1
+          }
+          j += 1
+        }
+        ImagePHash(r.media_id, gw, gh, bits)
+      }
+    }
+  }
+
+  /** Image near-dup pairs: LSH banding over the perceptual hash —
+    * 4 bands of ceil(gw·gh/4) bits keyed by (grid, band, value), so any
+    * pair within Hamming ≤ 3 shares a band (pigeonhole) and the emitted
+    * set at maxHamming ≤ 3 is EXACT, verified bucket-locally. Buckets
+    * above `bucketCap` star-contract exactly like the text twins
+    * (Dedup.cappedBucketPairs — same no-silent-caps contract). Pairs
+    * only form within a (gw, gh) grid class: hashes of different grids
+    * aren't comparable. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole bound is Hamming <= 3")
+    val buckets = hashes
+      .withColumn("bb", expr("(gw * gh + 3) DIV 4"))
+      .select(col("gw"), col("gh"),
+        struct(col("media_id"), col("phash")).as("mh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), k -> " +
+            "shiftright(phash, CAST(k * bb AS INT)) & (shiftleft(1L, CAST(bb AS INT)) - 1))"))
+          .as(Seq("band", "bkey")))
+      .groupBy("gw", "gh", "band", "bkey")
+      .agg(collect_list(col("mh")).as("xs"))
+      .filter(size(col("xs")) > 1)
+    Dedup.cappedBucketPairs(buckets, "xs",
+      """flatten(transform(xs, a ->
+           transform(filter(xs, b -> b.media_id > a.media_id),
+                     b -> struct(a, b))))""",
+      """transform(filter(xs, x -> x.media_id > rep.media_id),
+           x -> named_struct('a', rep, 'b', x))""",
+      bucketCap)
+      .select(col("p.a.media_id").as("media_a"),
+        col("p.b.media_id").as("media_b"),
+        expr("bit_count(p.a.phash ^ p.b.phash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Real-decode perceptual near-dup — the image twin of d12: the
+    * engine decodes actual PNG bytes and bands the pooled hash; the
+    * oracle recomputes the identical hash from the pixel formula in
+    * pure SQL (integer block sums, cross-multiplied mean test) and
+    * brute-forces Hamming within each grid class. Any codec corruption,
+    * pooling drift, or banding incompleteness breaks the row hash. */
+  val m08 = Q("m08_image_neardup",
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(4 + doc_id % 13 AS INT) AS w, CAST(3 + doc_id % 7 AS INT) AS h,
+      |    CAST(least(8, 4 + doc_id % 13) AS INT) AS gw,
+      |    CAST(least(8, 3 + doc_id % 7) AS INT) AS gh
+      |  FROM documents
+      |), b AS (
+      |  SELECT media_id, gw, gh, w, h,
+      |    CAST(list_sum(flatten([[ (31 * media_id + 7 * x + 13 * y) % 256
+      |      for y in range(0, h)] for x in range(0, w)])) AS BIGINT) AS tot,
+      |    unnest(range(0, gh)) AS j
+      |  FROM g
+      |), blk AS (
+      |  SELECT media_id, gw, gh, w, h, tot, j, unnest(range(0, gw)) AS i
+      |  FROM b
+      |), bit AS (
+      |  SELECT media_id, gw, gh, j * gw + i AS k,
+      |    CAST(list_sum(flatten(
+      |      [[ (31 * media_id + 7 * x + 13 * y) % 256
+      |         for y in range(0, h) if y * gh // h = j]
+      |       for x in range(0, w) if x * gw // w = i])) AS BIGINT) AS bsum,
+      |    CAST(len(flatten(
+      |      [[ 1 for y in range(0, h) if y * gh // h = j]
+      |       for x in range(0, w) if x * gw // w = i])) AS BIGINT) AS bn,
+      |    tot, CAST(w AS BIGINT) * h AS n
+      |  FROM blk
+      |), hsh AS (
+      |  -- bit 63 can't be built as 1<<63 (DuckDB range-checks the
+      |  -- shift); add the two's-complement constant instead, summed in
+      |  -- HUGEINT and cast back — identical to the engine's wrapped Long
+      |  SELECT media_id, gw, gh,
+      |    CAST(sum(CASE WHEN bsum * n <= tot * bn THEN 0
+      |      WHEN k = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |      ELSE CAST(CAST(1 AS BIGINT) << k AS HUGEINT) END)
+      |      AS BIGINT) AS phash
+      |  FROM bit GROUP BY 1, 2, 3
+      |)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM hsh a JOIN hsh b
+      |  ON a.gw = b.gw AND a.gh = b.gh AND a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+    imageNearDupPairs(
+      perceptualHash(imagesFromDocuments(s, dir)).toDF(), maxHamming = 2)
+      .orderBy("media_a", "media_b")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

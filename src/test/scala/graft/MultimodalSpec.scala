@@ -143,4 +143,36 @@ class MultimodalSpec extends SparkSpec {
       assert(back.getWidth == r.getInt(1) && back.getHeight == r.getInt(2))
     }
   }
+  test("perceptual-hash near-dup: banded pairs equal brute-force Hamming; " +
+      "star contraction bounds a saturated bucket") {
+    import org.apache.spark.sql.functions._
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.imagesFromDocuments(spark, sf)).toDF().cache()
+    val hs = hashes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // decoded-pixel hash is deterministic across decodes
+    val again = Multimodal.perceptualHash(
+      Multimodal.imagesFromDocuments(spark, sf)).toDF().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(hs.toSet == again.toSet)
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exp = (for {
+      a <- hs; b <- hs
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      ham = java.lang.Long.bitCount(a._4 ^ b._4)
+      if ham <= 2
+    } yield (a._1, b._1, ham)).toSet
+    assert(got == exp, "banding must be exact for Hamming <= 2 (pigeonhole)")
+    assert(exp.nonEmpty, "fixture must contain perceptual near-dups")
+    // a cap below the largest bucket still returns a connected subset:
+    // every kept pair is real, and each contracted bucket keeps its
+    // representative's pairs (the no-silent-caps star contract)
+    val capped = Multimodal.imageNearDupPairs(hashes, maxHamming = 2,
+        bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(exp), "capped output must stay a subset")
+    hashes.unpersist()
+    ()
+  }
 }
