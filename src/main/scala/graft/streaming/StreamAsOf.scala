@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row entering the streaming as-of: `is_right` marks rows that
+  * UPDATE the per-key state (e.g. purchases) — every row, right or not,
+  * is also a probe that gets the state as of its own timestamp. */
+case class StampedRow(event_id: Long, user_id: Long, ts_us: Long,
+    value: Double, is_right: Boolean)
+
+case class AsOfMatch(event_id: Long, user_id: Long, ts_us: Long,
+    asof_ts_us: Option[Long], asof_value: Option[Double])
+
+/** Streaming as-of join — the online form of `operators.AsOf.asofJoin`:
+  * attach to every arriving event the latest state row (right side) of
+  * the same key with state.ts <= event.ts. The reference maintains
+  * exactly this shape imperatively (latest-state tables upserted per
+  * block, read by point lookups); here it is Structured Streaming keyed
+  * state: per key, ONE (ts, value) pair — O(keys) state total,
+  * independent of stream length, where the batch operator's window
+  * would need the whole history.
+  *
+  * A right row takes effect BEFORE its own probe is answered
+  * (update-then-emit), which is the inclusive <= bound — identical to
+  * the batch operator's (ts, side) ordering and DuckDB's ASOF
+  * semantics. Within a micro-batch rows process in (ts_us, event_id)
+  * order; across batches the per-key monotonic-max guard makes a late
+  * STATE row inert rather than corrupting (state only moves forward),
+  * matching the at-or-before contract as long as each key's rows
+  * arrive in ts order across batches — the same ordered-replay
+  * assumption s04's first-seen dedup documents. */
+object StreamAsOf {
+
+  def latestStateMatches(rows: Dataset[StampedRow]): Dataset[AsOfMatch] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[StampedRow],
+            state: GroupState[(Long, Double)]) =>
+          var cur: Option[(Long, Double)] = state.getOption
+          // rights sort before probes at equal ts (the <= bound), then
+          // event_id for a total order
+          val out = it.toSeq
+            .sortBy(r => (r.ts_us, !r.is_right, r.event_id)).map { r =>
+            if (r.is_right && cur.forall(_._1 <= r.ts_us))
+              cur = Some((r.ts_us, r.value))
+            AsOfMatch(r.event_id, r.user_id, r.ts_us,
+              cur.map(_._1), cur.map(_._2))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -111,5 +111,34 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04)
+  /** Batch unification of `StreamAsOf.latestStateMatches` (streaming
+    * as-of): EVERY event gets the user's latest purchase at-or-before
+    * its own timestamp — a purchase is both state and probe, and matches
+    * itself (the inclusive bound). The batch program is the registered
+    * as-of operator with left = all events and right = purchases; the
+    * spec (StreamAsOfSpec) proves the stateful-stream side equals it
+    * across micro-batch splits; the oracle is DuckDB's native ASOF. */
+  val s05 = Q("s05_stream_asof_state",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, e.ts_us,
+      |  p.ts_us AS asof_ts_us, p.value AS asof_value
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    graft.operators.AsOf.asofJoin(
+        ev.drop("event_type", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us")
+      .select("event_id", "user_id", "ts_us", "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.{AsOfMatch, StampedRow, StreamAsOf}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming as-of must equal the batch as-of operator no matter how
+  * the (ts-ordered) input splits into micro-batches — the invariant that
+  * lets the same query run over the live stream and the backfill. */
+class StreamAsOfSpec extends SparkSpec {
+
+  private lazy val rows: Seq[StampedRow] = Tables.events(spark, sf)
+    .select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    .collect()
+    .map(r => StampedRow(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getString(4) == "purchase"))
+    .sortBy(r => (r.ts_us, r.event_id))
+
+  private lazy val batchExpected: Map[Long, (Option[Long], Option[Double])] = {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    graft.operators.AsOf.asofJoin(
+        ev.drop("event_type", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us")
+      .collect()
+      .map { r =>
+        val i = r.fieldIndex("asof_ts_us"); val j = r.fieldIndex("asof_value")
+        r.getLong(r.fieldIndex("event_id")) ->
+          ((if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            if (r.isNullAt(j)) None else Some(r.getDouble(j))))
+      }.toMap
+  }
+
+  private def runStream(batches: Seq[Seq[StampedRow]], name: String)
+      : Map[Long, (Option[Long], Option[Double])] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StampedRow]
+    val q = StreamAsOf.latestStateMatches(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[AsOfMatch].collect()
+      .map(m => m.event_id -> ((m.asof_ts_us, m.asof_value))).toMap
+  }
+
+  test("one mega-batch equals the batch as-of operator") {
+    assert(runStream(Seq(rows), "asof_one") == batchExpected)
+  }
+
+  test("ts-ordered micro-batch splits leave the result invariant") {
+    for (n <- Seq(3, 17)) {
+      val size = math.max(1, rows.length / n)
+      val batches = rows.grouped(size).toSeq
+      assert(runStream(batches, s"asof_split_$n") == batchExpected,
+        s"split into ${batches.size} micro-batches diverged")
+    }
+  }
+
+  test("a purchase matches itself (inclusive bound) and state persists " +
+      "across batches") {
+    val r = Seq(
+      StampedRow(1L, 7L, 100L, 5.0, is_right = true),
+      StampedRow(2L, 7L, 100L, 0.0, is_right = false), // equal ts: sees it
+      StampedRow(3L, 7L, 250L, 0.0, is_right = false),
+      StampedRow(4L, 8L, 50L, 0.0, is_right = false))  // other key: nothing
+    val got = runStream(Seq(r.take(2), r.drop(2)), "asof_edge")
+    assert(got(1L) == ((Some(100L), Some(5.0))), "right row probes itself")
+    assert(got(2L) == ((Some(100L), Some(5.0))), "equal-ts probe is inclusive")
+    assert(got(3L) == ((Some(100L), Some(5.0))), "state survives the batch cut")
+    assert(got(4L) == ((None, None)))
+  }
+}
