@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     operators.Relational.all ++ operators.AsOf.all ++
-      operators.TextOps.all ++
+      operators.Events.all ++ operators.TextOps.all ++
       operators.Dedup.all ++ operators.Curation.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++ operators.ApiQueries.all ++
