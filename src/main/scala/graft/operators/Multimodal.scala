@@ -571,14 +571,18 @@ object Multimodal {
     * pure SQL (integer block sums, cross-multiplied mean test) and
     * brute-forces Hamming within each grid class. Any codec corruption,
     * pooling drift, or banding incompleteness breaks the row hash. */
-  val m08 = Q("m08_image_neardup",
-    """WITH g AS (
+  /** The perceptual-hash CTE chain (no leading WITH): recomputes the
+    * engine's pooled aHash from the pixel formula in pure SQL, ending in
+    * `hsh(media_id, gw, gh, phash)` and `ipairs(media_a, media_b,
+    * hamming)` at Hamming ≤ 2 — shared by m08 and the m09 composite. */
+  private[operators] val pHashCtes: String =
+    """g AS (
       |  SELECT doc_id AS media_id,
       |    CAST(4 + doc_id % 13 AS INT) AS w, CAST(3 + doc_id % 7 AS INT) AS h,
       |    CAST(least(8, 4 + doc_id % 13) AS INT) AS gw,
       |    CAST(least(8, 3 + doc_id % 7) AS INT) AS gh
       |  FROM documents
-      |), b AS (
+      |), gj AS (
       |  SELECT media_id, gw, gh, w, h,
       |    CAST(list_sum(flatten([[ (31 * media_id + 7 * x + 13 * y) % 256
       |      for y in range(0, h)] for x in range(0, w)])) AS BIGINT) AS tot,
@@ -586,7 +590,7 @@ object Multimodal {
       |  FROM g
       |), blk AS (
       |  SELECT media_id, gw, gh, w, h, tot, j, unnest(range(0, gw)) AS i
-      |  FROM b
+      |  FROM gj
       |), bit AS (
       |  SELECT media_id, gw, gh, j * gw + i AS k,
       |    CAST(list_sum(flatten(
@@ -608,17 +612,70 @@ object Multimodal {
       |      ELSE CAST(CAST(1 AS BIGINT) << k AS HUGEINT) END)
       |      AS BIGINT) AS phash
       |  FROM bit GROUP BY 1, 2, 3
-      |)
-      |SELECT a.media_id AS media_a, b.media_id AS media_b,
-      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-      |FROM hsh a JOIN hsh b
-      |  ON a.gw = b.gw AND a.gh = b.gh AND a.media_id < b.media_id
-      |WHERE bit_count(xor(a.phash, b.phash)) <= 2
-      |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+      |), ipairs AS (
+      |  SELECT ha.media_id AS media_a, hb.media_id AS media_b,
+      |    CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
+      |  FROM hsh ha JOIN hsh hb
+      |    ON ha.gw = hb.gw AND ha.gh = hb.gh AND ha.media_id < hb.media_id
+      |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 2
+      |)""".stripMargin
+
+  val m08 = Q("m08_image_neardup",
+    s"""WITH $pHashCtes
+       |SELECT media_a, media_b, hamming FROM ipairs
+       |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
     imageNearDupPairs(
       perceptualHash(imagesFromDocuments(s, dir)).toDF(), maxHamming = 2)
       .orderBy("media_a", "media_b")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  // ---------------------------------------------------------------- m09
+
+  /** MULTIMODAL duplicate clusters — the composite a production dedup
+    * actually runs: a document is a duplicate if its TEXT is a near-dup
+    * (exact 3-shingle Jaccard ≥ 0.3, the d13/d14 relation) OR its IMAGE
+    * is a perceptual near-dup (m08's banded aHash at Hamming ≤ 2); both
+    * pair streams feed ONE connected-components contraction
+    * (Dedup.dupClusters), so a text chain and an image chain that touch
+    * merge into one group with one canonical keeper. Edge streams stay
+    * narrow (id, id) pairs; the contraction is the same log-round
+    * pointer-doubling machinery every dedup family already shares. */
+  def multimodalClusters(s: SparkSession, dir: String): DataFrame = {
+    val textPairs = Dedup
+      .exactJaccardPairs(s, Dedup.shingled(s, dir), 0.3)
+      .select("doc_a", "doc_b")
+    val imgPairs = imageNearDupPairs(
+        perceptualHash(imagesFromDocuments(s, dir)).toDF(), maxHamming = 2)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Dedup.dupClusters(textPairs.unionByName(imgPairs))
+  }
+
+  val m09 = Q("m09_multimodal_clusters",
+    s"""${graft.operators.Dedup.shingleCte
+          .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$pHashCtes,
+       |tpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.s, b.s)) * 10 >=
+       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM tpairs
+       |  UNION SELECT doc_b, doc_a FROM tpairs
+       |  UNION SELECT media_a, media_b FROM ipairs
+       |  UNION SELECT media_b, media_a FROM ipairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+       |)
+       |SELECT a AS doc_id, min(b) AS canonical_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    multimodalClusters(s, dir).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

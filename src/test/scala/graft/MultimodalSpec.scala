@@ -175,4 +175,40 @@ class MultimodalSpec extends SparkSpec {
     hashes.unpersist()
     ()
   }
+  test("multimodal clusters honor both pair relations and actually merge " +
+      "across modalities") {
+    import org.apache.spark.sql.functions._
+    val canon = Multimodal.multimodalClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val textPairs = graft.operators.Dedup.d13.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val imgPairs = Multimodal.imageNearDupPairs(
+        Multimodal.perceptualHash(
+          Multimodal.imagesFromDocuments(spark, sf)).toDF(), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (textPairs ++ imgPairs).foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"pair ($a, $b) split across clusters")
+    }
+    // cross-modality merge: some text-only pair and image-only pair must
+    // share a cluster through a common member, or the composite adds
+    // nothing over running the two relations separately
+    def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val merged = components(textPairs ++ imgPairs)
+    val textOnly = components(textPairs)
+    val mergedGroups = merged.values.toSet.size
+    assert(canon.nonEmpty && textPairs.nonEmpty && imgPairs.nonEmpty)
+    assert(mergedGroups < textOnly.values.toSet.size + components(imgPairs).values.toSet.size,
+      "union of relations must merge at least one group across modalities")
+  }
 }
