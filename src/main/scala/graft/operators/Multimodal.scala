@@ -644,10 +644,27 @@ object Multimodal {
     val textPairs = Dedup
       .exactJaccardPairs(s, Dedup.shingled(s, dir), 0.3)
       .select("doc_a", "doc_b")
-    val imgPairs = imageNearDupPairs(
-        perceptualHash(imagesFromDocuments(s, dir)).toDF(), maxHamming = 2)
+    // Image edges are CONNECTIVITY-preserving, not the m08 pair list:
+    // an exact-equal (gw, gh, phash) class is a Hamming-0 clique, and
+    // any cross-class pair has the same Hamming as its class
+    // REPRESENTATIVES (equal hashes), so star edges within each class +
+    // banded near-pairs between the min-id representatives reach exactly
+    // the same components as the full O(n²)-per-class clique — with
+    // O(n + repPairs) edges. This is the d10-before-d11 pipeline order
+    // applied to images: exact dedup first, LSH over survivors.
+    val hashes = perceptualHash(imagesFromDocuments(s, dir)).toDF()
+      .localCheckpoint()
+    val reps = hashes.groupBy("gw", "gh", "phash")
+      .agg(min("media_id").as("media_id"))
+    val star = hashes
+      .join(reps.withColumnRenamed("media_id", "rep"),
+        Seq("gw", "gh", "phash"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("media_id").as("doc_b"))
+    val repPairs = imageNearDupPairs(reps, maxHamming = 2)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-    Dedup.dupClusters(textPairs.unionByName(imgPairs))
+    Dedup.dupClusters(
+      textPairs.unionByName(star).unionByName(repPairs))
   }
 
   val m09 = Q("m09_multimodal_clusters",
