@@ -546,5 +546,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14, d26)
+  // ---------------------------------------------------------------- d35
+
+  /** Quality-aware keeper selection — the production rule on top of
+    * d14's clusters: instead of keeping the min-id member, keep the
+    * HIGHEST-QUALITY one (here: most tokens, min doc_id tie-break — an
+    * integer rule, so the verdict is engine-exact). One narrow join of
+    * the cluster table against the quality column and a per-cluster
+    * max_by; the cluster table is |clustered docs| rows, never the
+    * corpus. */
+  def qualityKeepers(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val q = clusters.join(quality, "doc_id")
+    val keepers = q.groupBy("canonical_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), -col("doc_id"))).as("keeper_id"))
+    q.join(keepers, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
+  val d35 = Q("d35_quality_keeper",
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.s, b.s)) * 10 >=
+       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+       |),
+       |cl AS (SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a),
+       |n AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_tokens FROM documents),
+       |k AS (
+       |  SELECT cl.doc_id, cl.canonical_id, n.n_tokens,
+       |    row_number() OVER (PARTITION BY cl.canonical_id
+       |      ORDER BY n.n_tokens DESC, cl.doc_id) AS rk
+       |  FROM cl JOIN n ON cl.doc_id = n.doc_id
+       |),
+       |kk AS (SELECT canonical_id, doc_id AS keeper_id FROM k WHERE rk = 1)
+       |SELECT k.doc_id, k.canonical_id, kk.keeper_id,
+       |  k.doc_id = kk.keeper_id AS keep
+       |FROM k JOIN kk ON k.canonical_id = kk.canonical_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.{size, split, trim}
+    qualityKeepers(
+      dupClusters(exactJaccardPairs(s, shingled(s, dir), 0.3)),
+      graft.Tables.documents(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14, d26, d35)
 }

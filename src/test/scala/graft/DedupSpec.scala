@@ -212,4 +212,34 @@ class DedupSpec extends SparkSpec {
     assert(sigs == again)
     assert(sigs.values.toSet.size > 1, "signatures should not be constant")
   }
+  // ---------------------------------------------------------- d35
+
+  test("quality keeper: exactly one keeper per cluster, and it is the " +
+      "longest member (min-id tie-break)") {
+    val clusters = Dedup.dupClusters(
+      Dedup.exactJaccardPairs(spark,
+        docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")),
+        0.3)).cache()
+    val nTok = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val out = Dedup.qualityKeepers(clusters, nTok).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nOf = nTok.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, "one keeper per cluster")
+      val k = keepers.head
+      assert(k._1 == k._3)
+      val best = members.map(m => (nOf(m._1), -m._1)).max
+      assert((nOf(k._1), -k._1) == best,
+        "keeper must be the longest member, min id on ties")
+    }
+    assert(out.nonEmpty)
+    // the quality rule must actually differ from min-id somewhere, or
+    // the operator is indistinguishable from d14 on this fixture
+    assert(out.exists(r => r._4 && r._1 != r._2),
+      "fixture should contain a cluster whose keeper is not the min id")
+    clusters.unpersist()
+    ()
+  }
 }
