@@ -30,7 +30,51 @@ case class AsOfMatch(event_id: Long, user_id: Long, ts_us: Long,
   * matching the at-or-before contract as long as each key's rows
   * arrive in ts order across batches — the same ordered-replay
   * assumption s04's first-seen dedup documents. */
+case class IntervalMatch(event_id: Long, user_id: Long, ts_us: Long,
+    n_clicks: Long, click_cents: Long, last_gap_us: Option[Long])
+
 object StreamAsOf {
+
+  /** Streaming interval aggregate — the online form of
+    * `operators.AsOf.intervalPairs` + its group-by: every PROBE row
+    * (is_right = false) is answered with the count / cent-exact sum /
+    * most-recent-gap of the key's STATE rows (is_right = true) in the
+    * strictly-before window [probe.ts − lookback, probe.ts). Per-key
+    * state is the (ts, cents) ring of the last `lookback` microseconds
+    * — pruned against the key's max seen ts each batch, so state is
+    * bounded by per-key activity within one window, the exact bound
+    * Structured Streaming's own interval joins hold, NOT stream length.
+    * Probes process BEFORE state rows at equal ts (the strict < bound —
+    * mirror image of the as-of's inclusive ordering). Cents are cast
+    * per click, matching the batch/oracle truncation order. */
+  def windowAggMatches(rows: Dataset[StampedRow], lookback: Long)
+      : Dataset[IntervalMatch] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Vector[(Long, Long)]), IntervalMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[StampedRow],
+            state: GroupState[(Long, Vector[(Long, Long)])]) =>
+          var (maxTs, buf) = state.getOption.getOrElse(
+            (Long.MinValue, Vector.empty[(Long, Long)]))
+          val out = it.toSeq
+            .sortBy(r => (r.ts_us, r.is_right, r.event_id)).flatMap { r =>
+              maxTs = math.max(maxTs, r.ts_us)
+              if (r.is_right) {
+                buf :+= ((r.ts_us, (r.value * 100).toLong)); None
+              } else {
+                val in = buf.filter { case (t, _) =>
+                  t >= r.ts_us - lookback && t < r.ts_us }
+                Some(IntervalMatch(r.event_id, r.user_id, r.ts_us,
+                  in.size.toLong, in.map(_._2).sum,
+                  in.map(_._1).maxOption.map(r.ts_us - _)))
+              }
+            }
+          buf = buf.filter(_._1 >= maxTs - lookback)
+          state.update((maxTs, buf))
+          out.iterator
+      }
+  }
 
   def latestStateMatches(rows: Dataset[StampedRow]): Dataset[AsOfMatch] = {
     import rows.sparkSession.implicits._

@@ -140,5 +140,47 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  /** Batch unification of `StreamAsOf.windowAggMatches` (streaming
+    * interval aggregate): clicks in the day strictly before each
+    * purchase — count, cent-exact sum, and the gap to the most recent
+    * one. The batch program is the bucketed interval join; the spec
+    * (StreamIntervalSpec) proves the ring-buffer stream side equals it
+    * across micro-batch splits. Distinct from q32 by the gap column,
+    * which exercises the buffer's ordering, not just its membership. */
+  val s06 = Q("s06_stream_interval",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  count(c.ts_us) AS n_clicks,
+      |  coalesce(CAST(sum(CAST(trunc(c.value * 100) AS BIGINT)) AS BIGINT),
+      |           0) AS click_cents,
+      |  p.ts_us - max(c.ts_us) AS last_gap_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.ts_us >= p.ts_us - 86400000000 AND c.ts_us < p.ts_us
+      |GROUP BY 1, 2, 3
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val c = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "value")
+    val agg = graft.operators.AsOf
+      .intervalPairs(p, c, Seq("user_id"), "ts_us", lookback = 86400000000L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(expr("CAST(r_value * 100 AS BIGINT)")).as("click_cents"),
+        max(col("__rts")).as("last_rts"))
+    p.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"),
+        (col("ts_us") - col("last_rts")).as("last_gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }
