@@ -503,6 +503,110 @@ object ApiQueries {
     QueryLayer.walletInformation(states, "0:8")
   }
 
+  /** /actions with SHORTCUT input (P8 first half,
+    * action_versioning.go:10-131): `supported_action_types=
+    * ["nft.v3","cocoon"]` runs through [[ActionTypes.expand]] — recursive
+    * resolution (nft.v3 → nft), domain groups, and the always-∪-v1 rule —
+    * before the a03 suppression + O4 sort. The synthetic actions relation
+    * draws `type` from the full 75-type universe and carries ancestors on
+    * both sides of the expanded set (cocoon_client_withdraw ∈ expansion →
+    * suppressed; layerzero_send ∉ → kept), so a wrong expansion breaks
+    * the hash. The oracle's two 47-type lists and the 75-type universe
+    * were transcribed independently from the Go map. */
+  val a22 = Q("a22_actions_shortcut",
+    """WITH bounds AS (SELECT user_id, max(event_id) AS mx
+      |                FROM events GROUP BY user_id),
+      |acts AS (
+      |  SELECT concat('U', e.user_id) AS trace_id, b.mx AS mx,
+      |    concat('A', e.event_id) AS action_id,
+      |    (['auction_bid', 'auction_outbid', 'call_contract', 'change_dns',
+      |      'cocoon_client_change_secret_hash', 'cocoon_client_increase_stake',
+      |      'cocoon_client_register', 'cocoon_client_request_refund',
+      |      'cocoon_client_top_up', 'cocoon_client_withdraw',
+      |      'cocoon_grant_refund', 'cocoon_proxy_charge', 'cocoon_proxy_payout',
+      |      'cocoon_register_proxy', 'cocoon_unregister_proxy',
+      |      'cocoon_worker_payout', 'coffee_create_pool',
+      |      'coffee_create_pool_creator', 'coffee_create_vault',
+      |      'coffee_mev_protect_failed_swap', 'coffee_mev_protect_hold_funds',
+      |      'coffee_staking_claim_rewards', 'coffee_staking_deposit',
+      |      'coffee_staking_withdraw', 'contract_deploy', 'delete_dns',
+      |      'dex_deposit_liquidity', 'dex_withdraw_liquidity', 'dns_purchase',
+      |      'dns_release', 'election_deposit', 'election_recover',
+      |      'evaa_liquidate', 'evaa_supply', 'evaa_withdraw', 'jetton_burn',
+      |      'jetton_mint', 'jetton_swap', 'jetton_transfer', 'jvault_claim',
+      |      'jvault_stake', 'jvault_unstake', 'jvault_unstake_request',
+      |      'layerzero_commit_packet', 'layerzero_dvn_verify',
+      |      'layerzero_receive', 'layerzero_send', 'layerzero_send_tokens',
+      |      'multisig_approve', 'multisig_create_order', 'multisig_execute',
+      |      'nft_cancel_auction', 'nft_cancel_sale', 'nft_discovery',
+      |      'nft_finish_auction', 'nft_mint', 'nft_purchase',
+      |      'nft_put_on_auction', 'nft_put_on_sale', 'nft_transfer',
+      |      'nft_update_sale', 'renew_dns', 'stake_deposit', 'stake_withdrawal',
+      |      'stake_withdrawal_request', 'subscribe', 'teleitem_cancel_auction',
+      |      'teleitem_start_auction', 'tick_tock', 'ton_transfer',
+      |      'tonco_deploy_pool', 'unknown', 'unsubscribe',
+      |      'vesting_add_whitelist', 'vesting_send_message'
+      |     ])[CAST(e.event_id % 75 AS INT) + 1] AS type,
+      |    CASE WHEN e.event_type = 'signup' THEN 'cocoon_client_withdraw'
+      |         WHEN e.event_type = 'purchase' THEN 'layerzero_send'
+      |    END AS anc,
+      |    e.event_id AS end_utime
+      |  FROM events e JOIN bounds b ON e.user_id = b.user_id)
+      |SELECT trace_id, type, end_utime, action_id FROM acts
+      |WHERE type IN ('auction_bid', 'auction_outbid', 'call_contract',
+      |  'change_dns', 'cocoon_client_change_secret_hash',
+      |  'cocoon_client_increase_stake', 'cocoon_client_register',
+      |  'cocoon_client_request_refund', 'cocoon_client_top_up',
+      |  'cocoon_client_withdraw', 'cocoon_grant_refund', 'cocoon_proxy_charge',
+      |  'cocoon_proxy_payout', 'cocoon_register_proxy',
+      |  'cocoon_unregister_proxy', 'cocoon_worker_payout', 'contract_deploy',
+      |  'delete_dns', 'dex_deposit_liquidity', 'dex_withdraw_liquidity',
+      |  'dns_purchase', 'dns_release', 'election_deposit', 'election_recover',
+      |  'jetton_burn', 'jetton_mint', 'jetton_swap', 'jetton_transfer',
+      |  'nft_cancel_auction', 'nft_cancel_sale', 'nft_finish_auction',
+      |  'nft_mint', 'nft_purchase', 'nft_put_on_auction', 'nft_put_on_sale',
+      |  'nft_transfer', 'nft_update_sale', 'renew_dns', 'stake_deposit',
+      |  'stake_withdrawal', 'stake_withdrawal_request', 'subscribe',
+      |  'teleitem_cancel_auction', 'teleitem_start_auction', 'tick_tock',
+      |  'ton_transfer', 'unsubscribe')
+      |  AND (anc IS NULL OR anc NOT IN ('auction_bid', 'auction_outbid',
+      |  'call_contract', 'change_dns', 'cocoon_client_change_secret_hash',
+      |  'cocoon_client_increase_stake', 'cocoon_client_register',
+      |  'cocoon_client_request_refund', 'cocoon_client_top_up',
+      |  'cocoon_client_withdraw', 'cocoon_grant_refund', 'cocoon_proxy_charge',
+      |  'cocoon_proxy_payout', 'cocoon_register_proxy',
+      |  'cocoon_unregister_proxy', 'cocoon_worker_payout', 'contract_deploy',
+      |  'delete_dns', 'dex_deposit_liquidity', 'dex_withdraw_liquidity',
+      |  'dns_purchase', 'dns_release', 'election_deposit', 'election_recover',
+      |  'jetton_burn', 'jetton_mint', 'jetton_swap', 'jetton_transfer',
+      |  'nft_cancel_auction', 'nft_cancel_sale', 'nft_finish_auction',
+      |  'nft_mint', 'nft_purchase', 'nft_put_on_auction', 'nft_put_on_sale',
+      |  'nft_transfer', 'nft_update_sale', 'renew_dns', 'stake_deposit',
+      |  'stake_withdrawal', 'stake_withdrawal_request', 'subscribe',
+      |  'teleitem_cancel_auction', 'teleitem_start_auction', 'tick_tock',
+      |  'ton_transfer', 'unsubscribe'))
+      |ORDER BY mx, trace_id, end_utime, action_id LIMIT 200""".stripMargin) {
+    (s, dir) =>
+    val uni = ActionTypes.universe
+    val ev = T.events(s, dir)
+    val bounds = ev.groupBy("user_id").agg(max("event_id").as("mx"))
+    val acts = ev.join(broadcast(bounds), Seq("user_id"))
+      .select(
+        concat(lit("U"), col("user_id").cast("string")).as("trace_id"),
+        col("mx").cast("long").as("trace_end_utime"),
+        concat(lit("A"), col("event_id").cast("string")).as("action_id"),
+        element_at(typedLit(uni),
+          (col("event_id") % uni.size).cast("int") + lit(1)).as("type"),
+        when(col("event_type") === "signup",
+            array(lit("cocoon_client_withdraw")))
+          .when(col("event_type") === "purchase",
+            array(lit("layerzero_send")))
+          .otherwise(array().cast("array<string>")).as("ancestor_type"),
+        col("event_id").cast("long").as("end_utime"))
+    QueryLayer.actions(acts, ActionTypes.expand(Seq("nft.v3", "cocoon")), 200)
+      .select("trace_id", "type", "end_utime", "action_id")
+  }
+
   val all: Seq[Q] = Seq(a01, a02, a03, a04, a05, a06, a07, a08, a09, a10,
-    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21)
+    a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a22)
 }
