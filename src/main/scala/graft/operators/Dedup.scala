@@ -270,13 +270,52 @@ object Dedup {
   }
 
   /** 64-bit frequency-weighted SimHash over word tokens — native
-    * fused-loop expression over per-token xxhash64 values. */
+    * fused-loop expression over per-token 64-bit hashes. */
   def simhash(c: Column): Column =
     graft.functions.HashSketches.simhash_64(
       expr_tokens_hashed(split(trim(c), "\\s+")))
 
-  private def expr_tokens_hashed(toks: Column): Column =
-    transform(toks, w => xxhash64(w))
+  /** Token → signed 64-bit hash = first 8 bytes (big-endian) of md5.
+    * md5 is bit-identical across engines, so the whole SimHash family is
+    * recomputable in pure SQL and the d12/d26 outputs hash-match a
+    * DuckDB oracle (same move as m08's pixel-math oracle). The split
+    * into two 32-bit `conv` halves avoids the unsigned-top-bit overflow
+    * a single 16-hex conv→long cast would hit under ANSI mode; the
+    * shift-or assembly is exact two's-complement wrapping. */
+  private[graft] def expr_tokens_hashed(toks: Column): Column =
+    transform(toks, w => {
+      val hx = md5(w)
+      shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+    })
+
+  /** The DuckDB mirror of [[expr_tokens_hashed]]+[[simhash]]: a `sims`
+    * CTE body (doc_id, sim) recomputing the md5-based token hashes and
+    * the 64-bit majority vote from the raw documents table. Shared by
+    * the d12 and d26 oracles. */
+  private[operators] val simsSqlCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN v < 9223372036854775808::UBIGINT THEN v::HUGEINT
+      |          ELSE v::HUGEINT - 18446744073709551616::HUGEINT
+      |     END)::BIGINT AS h
+      |  FROM (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS v
+      |        FROM toks) x),
+      |bits AS (
+      |  SELECT doc_id, r.k,
+      |    CASE WHEN sum(CASE WHEN ((h >> r.k) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM th CROSS JOIN range(64) r(k)
+      |  GROUP BY doc_id, r.k),
+      |sims AS (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN b = 0 THEN 0
+      |                WHEN k = 63 THEN (-9223372036854775807 - 1)
+      |                ELSE (1::BIGINT << CAST(k AS INT)) END) AS sim
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding then exact Hamming
     * distance ≤ maxHamming via bit_count(xor). */
@@ -435,10 +474,24 @@ object Dedup {
     minhashPairsFrom(shingled(s, dir), 0.7).orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs at Hamming ≤ 6 (signature distance is defined
-    * on our 64-bit simhash, not SQL-expressible → rows-only driver check;
-    * recall pinned by DedupSpec). */
-  val d12 = Q.noOracle("d12_simhash_pairs") { (s, dir) =>
+  /** SimHash near-dup pairs at Hamming ≤ 6 — oracle-exact: the DuckDB
+    * mirror recomputes the md5-based token hashes, the 64-bit majority
+    * vote, the 4×16-bit chunk-sharing condition AND the Hamming cutoff
+    * from the raw documents table (pure bit math end to end). Oracle
+    * equality relies on no chunk bucket exceeding the 1024 cap, which is
+    * structural at the sf0.01 gate scale (bucket ≤ corpus = 500 docs);
+    * DedupSpec pins the recall contract independently. */
+  val d12 = Q("d12_simhash_pairs",
+    s"""WITH $simsSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    xor(a.sim, b.sim) AS x
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming FROM pairs
+       |WHERE bit_count(x) <= 6
+       |  AND (((x >> 0) & 65535) = 0 OR ((x >> 16) & 65535) = 0
+       |    OR ((x >> 32) & 65535) = 0 OR ((x >> 48) & 65535) = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     simhashPairsFromToks(shingled(s, dir).select("doc_id", "toks"), 6)
       .orderBy("doc_a", "doc_b")
   }
@@ -470,8 +523,7 @@ object Dedup {
       if (prefixBits > 0) prefixBits
       else math.min(28, math.max(4,
         (math.log(n.toDouble / 128.0) / math.log(2)).ceil.toInt))
-    val rnd = new scala.util.Random(20260815L)
-    val perms = Seq.fill(tables)(rnd.shuffle((0 until 64).toVector))
+    val perms = simhashPerms(tables)
     val sigs = withToks.select(col("doc_id"),
       graft.functions.HashSketches.simhash_64(
         expr_tokens_hashed(col("toks"))).as("sim"))
@@ -502,10 +554,37 @@ object Dedup {
       .distinct()
   }
 
-  /** Permuted-table SimHash pairs at Hamming ≤ 6 (signature-defined →
-    * rows-only driver check; recall vs the exact Hamming scan and vs
-    * d12's fixed chunking pinned by DedupSpec). */
-  val d26 = Q.noOracle("d26_simhash_permuted") { (s, dir) =>
+  /** The seed-fixed table permutations shared by [[simhashPairsPermuted]]
+    * and the d26 oracle builder — one RNG stream, so table t's
+    * permutation is identical on both paths. */
+  private[graft] def simhashPerms(tables: Int): Seq[Vector[Int]] = {
+    val rnd = new scala.util.Random(20260815L)
+    Seq.fill(tables)(rnd.shuffle((0 until 64).toVector))
+  }
+
+  /** Permuted-table SimHash pairs at Hamming ≤ 6 — oracle-exact. A pair
+    * shares table t's bucket iff none of its differing bits land in t's
+    * `bits`-bit prefix, i.e. `(xor & mask_t) = 0` where mask_t ORs the
+    * prefix bit positions — so the whole candidate condition compiles to
+    * eight AND-mask tests against constants embedded in the SQL (the
+    * masks come from the same seed-fixed permutations the operator
+    * uses). The oracle hardcodes the adaptive prefix at bits=4, valid
+    * for corpora ≤ 2048 docs — the sf0.01 gate runs 500; the 1024
+    * bucket cap is likewise structural there. DedupSpec pins recall vs
+    * the exact Hamming scan at other parameters. */
+  val d26 = Q("d26_simhash_permuted", {
+    val masks = simhashPerms(8).map(p =>
+      (0 until 4).map(j => 1L << p(j)).reduce(_ | _))
+    val cond = masks.map(m => s"(x & ($m)) = 0").mkString("(", " OR ", ")")
+    s"""WITH $simsSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    xor(a.sim, b.sim) AS x
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming FROM pairs
+       |WHERE bit_count(x) <= 6 AND $cond
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }) { (s, dir) =>
     simhashPairsPermuted(shingled(s, dir).select("doc_id", "toks"), 6)
       .orderBy("doc_a", "doc_b")
   }

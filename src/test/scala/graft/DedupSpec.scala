@@ -185,7 +185,7 @@ class DedupSpec extends SparkSpec {
     // exact Hamming ≤ 6 ground truth from the signatures themselves
     val sigs = toks.select(col("doc_id"),
       graft.functions.HashSketches.simhash_64(
-        expr("transform(toks, w -> xxhash64(w))")).as("sim"))
+        Dedup.expr_tokens_hashed(col("toks"))).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val truth = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
