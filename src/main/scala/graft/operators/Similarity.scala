@@ -220,9 +220,44 @@ object Similarity {
     annTruthSilver(s, dir).orderBy("query_id", "n_rank")
   }
 
-  /** Multi-table hyperplane-LSH ANN (approximate → rows-only driver check;
-    * recall vs e01 pinned by SimilaritySpec). */
-  val e02 = Q.noOracle("e02_ann_lsh") { (s, dir) =>
+  /** Multi-table hyperplane-LSH ANN — oracle-exact: the hyperplanes are
+    * deterministic constants, so the DuckDB mirror embeds all 8×4×64
+    * plane weights as list literals, recomputes every sign bit with
+    * `list_dot_product` (both engines accumulate the 64-term double dot
+    * sequentially → identical IEEE result → identical sign), unions
+    * same-bucket candidates across tables with one OR predicate, and
+    * reranks by exact cosine. Recall vs e01 stays pinned by
+    * SimilaritySpec. */
+  val e02 = Q("e02_ann_lsh", {
+    val ps = planes(8, 4, 64)
+    def sigSelect(prefix: String): String =
+      ps.zipWithIndex.map { case (tbl, t) =>
+        tbl.zipWithIndex.map { case (plane, b) =>
+          val lits = plane.map(java.lang.Double.toString).mkString(", ")
+          s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS ${prefix}$t")
+      }.mkString(",\n    ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    ${sigSelect("s")}
+       |  FROM c),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    q.v AS qv, e.v AS cv
+       |  FROM sig q JOIN sig e
+       |    ON (q.s0 = e.s0 OR q.s1 = e.s1 OR q.s2 = e.s2 OR q.s3 = e.s3
+       |        OR q.s4 = e.s4 OR q.s5 = e.s5 OR q.s6 = e.s6 OR q.s7 = e.s7)
+       |  WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+       |SELECT query_id, n_rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+       |      AS n_rank
+       |  FROM cand) t
+       |WHERE n_rank <= 5 ORDER BY query_id, n_rank""".stripMargin
+  }) { (s, dir) =>
     annLshSilver(s, dir).orderBy("query_id", "n_rank")
   }
 
