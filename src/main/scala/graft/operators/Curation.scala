@@ -567,12 +567,39 @@ object Curation {
         count(lit(1)).as("n_words"))
   }
 
+  /** The merge table `bpeTrainBatched(nMerges = 8)` deterministically
+    * learns on the sf0.01 gate corpus — a transcribed fixture (like the
+    * d26 permutation masks), NOT fed back from the engine at run time.
+    * Valid only for the gate corpus the driver verifies against; a
+    * training divergence there shifts every count and fails the hash. */
+  private val gateMerges8: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
   /** Trained-BPE token counts over the corpus, encoded with the d21
-    * merge table (8 merges at gate scale). The merge table is an
-    * engine-computed artifact (iterative training — not
-    * SQL-expressible), so the query is rows-only checked; CurationSpec
-    * pins the encode against a plain-Scala sequential apply. */
-  val d27 = Q.noOracle("d27_bpe_encode") { (s, dir) =>
+    * merge table (8 merges at gate scale) — oracle-exact: the DuckDB
+    * mirror replays the ENCODE as 8 chained left-to-right
+    * non-overlapping string replaces over separator-joined symbol
+    * strings (single-pass `replace` has exactly the fold's
+    * earliest-match non-overlap semantics; token count = separators+1),
+    * using the committed [[gateMerges8]] fixture. Training itself stays
+    * iterative/engine-side (d21 rows-only); CurationSpec pins both
+    * against a plain-Scala sequential reference. */
+  val d27 = Q("d27_bpe_encode", {
+    val symExpr = gateMerges8.foldLeft(
+      "array_to_string(string_split(w, ''), chr(31))") {
+      case (e, (a, b)) => s"replace($e, '$a'||chr(31)||'$b', '$a$b')"
+    }
+    s"""WITH wt AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |enc AS (SELECT doc_id, $symExpr AS s FROM wt)
+       |SELECT doc_id,
+       |  CAST(sum(length(s) - length(replace(s, chr(31), '')) + 1) AS BIGINT)
+       |    AS n_bpe_tokens_trained,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
     val merges = bpeTrainBatched(T.documents(s, dir), nMerges = 8)
     bpeEncode(T.documents(s, dir), merges).orderBy("doc_id")
   }
