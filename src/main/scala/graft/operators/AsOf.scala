@@ -30,6 +30,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Internal spine/marker columns injected by the two joins — caller
+    * inputs must not collide with them (silent corruption otherwise). */
+  private val ReservedCols = Set("__r", "__side", "__m", "__bkt", "__rts")
+
+  private def requireNoReserved(dfCols: Seq[String], who: String): Unit = {
+    val bad = dfCols.filter(ReservedCols)
+    require(bad.isEmpty,
+      s"$who input carries reserved column name(s) ${bad.mkString(", ")} — " +
+        "rename them before the temporal join")
+  }
+
+  /** Floor division for the bucket math — `DIV` truncates toward zero,
+    * which would put negative timestamps one bucket too high and
+    * silently drop in-window pairs near the boundary. */
+  private def floorDiv(ts: String, d: Long): String =
+    s"(($ts DIV $d) - (CASE WHEN $ts < 0 AND $ts % $d != 0 THEN 1 ELSE 0 END))"
+
   /** As-of join: for each `left` row, the latest `right` row of the same
     * `keys` with `right.tsCol <= left.tsCol` (inclusive). Right columns
     * other than keys/ts come back prefixed `asof_`; unmatched left rows
@@ -46,9 +63,15 @@ object AsOf {
     * zero joins. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String): DataFrame = {
+    requireNoReserved(left.columns ++ right.columns, "asofJoin")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
     require(payload.nonEmpty, "right side carries no payload columns")
     val leftOther = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val clash = leftOther.filter(c =>
+      c == s"asof_$tsCol" || payload.exists(p => c == s"asof_$p"))
+    require(clash.isEmpty,
+      s"left column(s) ${clash.mkString(", ")} collide with generated " +
+        "asof_-prefixed output names")
     val spine = keys.map(col) :+ col(tsCol)
     val rSel = right.select(spine ++
       leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -57,8 +80,14 @@ object AsOf {
     val rType = rSel.schema("__r").dataType
     val lSel = left.select(spine ++ leftOther.map(col) ++
       Seq(lit(null).cast(rType).as("__r"), lit(1).as("__side")): _*)
+    // (ts, side) puts rights before lefts at equal ts (the <= bound);
+    // xxhash64(__r) breaks ties between duplicate right (keys, ts) rows
+    // deterministically — without it, last() picks whichever duplicate
+    // the sort happened to place last and the output can flake against
+    // the oracle's (equally arbitrary but stable) pick. Identical
+    // duplicates hash equal and remain interchangeable.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedCols: Seq[Column] =
       col("__m")(tsCol).as(s"asof_$tsCol") +:
@@ -80,13 +109,20 @@ object AsOf {
     * quadratic on power keys. */
   def intervalPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, lookback: Long): DataFrame = {
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    requireNoReserved(left.columns ++ right.columns, "intervalPairs")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val clash = left.columns.filter(c => payload.exists(p => c == s"r_$p"))
+    require(clash.isEmpty,
+      s"left column(s) ${clash.mkString(", ")} collide with generated " +
+        "r_-prefixed right payload names")
+    val bkt = floorDiv(tsCol, lookback)
     val r = right.select(keys.map(col) ++
-      Seq(col(tsCol).as("__rts"), expr(s"$tsCol DIV $lookback").as("__bkt")) ++
+      Seq(col(tsCol).as("__rts"), expr(bkt).as("__bkt")) ++
       payload.map(c => col(c).as(s"r_$c")): _*)
     left
       .withColumn("__bkt", explode(array(
-        expr(s"$tsCol DIV $lookback"), expr(s"$tsCol DIV $lookback - 1"))))
+        expr(bkt), expr(s"$bkt - 1"))))
       .join(r, keys :+ "__bkt")
       .filter(col("__rts") >= col(tsCol) - lookback &&
         col("__rts") < col(tsCol))

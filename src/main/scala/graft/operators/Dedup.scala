@@ -65,7 +65,7 @@ object Dedup {
   // the regex split into the per-element lambda — ~3 full-text splits per
   // shingle position, ~1000 regex evaluations per document. From a
   // materialized array, each position is three O(1) element_at calls.
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame = {
     // staging checkpoint is dead once the silver table is written —
     // release it (only set when the one-time build lambda actually ran)
     var staged: DataFrame = null
@@ -523,21 +523,7 @@ object Dedup {
       if (prefixBits > 0) prefixBits
       else math.min(28, math.max(4,
         (math.log(n.toDouble / 128.0) / math.log(2)).ceil.toInt))
-    val perms = simhashPerms(tables)
-    val sigs = withToks.select(col("doc_id"),
-      graft.functions.HashSketches.simhash_64(
-        expr_tokens_hashed(col("toks"))).as("sim"))
-    // per-table key: the top `bits` bits of the permuted signature,
-    // assembled as a flat shift-mask-or expression (whole-stage codegen)
-    val keyCols = perms.zipWithIndex.map { case (p, t) =>
-      val key = (0 until bits)
-        .map(j => s"((sim >> ${p(j)}) & 1) << $j")
-        .mkString("(", ") | (", ")")
-      expr(s"named_struct('tbl', $t, 'key', $key)")
-    }
-    val buckets = sigs
-      .select(col("doc_id"), col("sim"),
-        explode(array(keyCols: _*)).as("tk"))
+    val buckets = simhashPermutedKeyRows(withToks, tables, bits)
       .groupBy(col("tk.tbl").as("tbl"), col("tk.key").as("key"))
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
       .filter(size(col("xs")) > 1)
@@ -552,6 +538,27 @@ object Dedup {
         expr("bit_count(p.a.sim ^ p.b.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** One row per (doc, table) of the permuted-prefix banding: (doc_id,
+    * sim, tk.tbl, tk.key) — the per-table key is the top `bits` bits of
+    * the permuted signature, assembled as a flat shift-mask-or
+    * expression (whole-stage codegen). Exposed for the gate-scale cap
+    * guard (OracleCapGuardSpec). */
+  private[graft] def simhashPermutedKeyRows(withToks: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
+    val perms = simhashPerms(tables)
+    val sigs = withToks.select(col("doc_id"),
+      graft.functions.HashSketches.simhash_64(
+        expr_tokens_hashed(col("toks"))).as("sim"))
+    val keyCols = perms.zipWithIndex.map { case (p, t) =>
+      val key = (0 until bits)
+        .map(j => s"((sim >> ${p(j)}) & 1) << $j")
+        .mkString("(", ") | (", ")")
+      expr(s"named_struct('tbl', $t, 'key', $key)")
+    }
+    sigs.select(col("doc_id"), col("sim"),
+      explode(array(keyCols: _*)).as("tk"))
   }
 
   /** The seed-fixed table permutations shared by [[simhashPairsPermuted]]

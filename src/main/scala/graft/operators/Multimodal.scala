@@ -537,17 +537,23 @@ object Multimodal {
     * (Dedup.cappedBucketPairs — same no-silent-caps contract). Pairs
     * only form within a (gw, gh) grid class: hashes of different grids
     * aren't comparable. */
+  /** One row per (image, band) of the 4-band pHash banding — exposed so
+    * the gate-scale cap guard (OracleCapGuardSpec) can audit bucket
+    * sizes against the brute-force oracle's no-contraction assumption,
+    * the same frame contract as Dedup.simhashChunkRows. */
+  private[graft] def imageBandRows(hashes: DataFrame): DataFrame = hashes
+    .withColumn("bb", expr("(gw * gh + 3) DIV 4"))
+    .select(col("gw"), col("gh"),
+      struct(col("media_id"), col("phash")).as("mh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> " +
+          "shiftright(phash, CAST(k * bb AS INT)) & (shiftleft(1L, CAST(bb AS INT)) - 1))"))
+        .as(Seq("band", "bkey")))
+
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
       bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole bound is Hamming <= 3")
-    val buckets = hashes
-      .withColumn("bb", expr("(gw * gh + 3) DIV 4"))
-      .select(col("gw"), col("gh"),
-        struct(col("media_id"), col("phash")).as("mh"),
-        posexplode(expr(
-          "transform(sequence(0, 3), k -> " +
-            "shiftright(phash, CAST(k * bb AS INT)) & (shiftleft(1L, CAST(bb AS INT)) - 1))"))
-          .as(Seq("band", "bkey")))
+    val buckets = imageBandRows(hashes)
       .groupBy("gw", "gh", "band", "bkey")
       .agg(collect_list(col("mh")).as("xs"))
       .filter(size(col("xs")) > 1)

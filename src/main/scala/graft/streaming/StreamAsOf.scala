@@ -29,7 +29,19 @@ case class AsOfMatch(event_id: Long, user_id: Long, ts_us: Long,
   * STATE row inert rather than corrupting (state only moves forward),
   * matching the at-or-before contract as long as each key's rows
   * arrive in ts order across batches — the same ordered-replay
-  * assumption s04's first-seen dedup documents. */
+  * assumption s04's first-seen dedup documents.
+  *
+  * EQUAL-TS TIES ACROSS BATCHES: the ordered-arrival contract must be
+  * read as rights-before-probes at equal ts. Within one batch the sort
+  * enforces that; if a batch boundary splits an equal-ts (probe, state)
+  * pair PROBE-FIRST, the probe is answered with the previous state (the
+  * equal-ts state row was not yet known), diverging from the batch
+  * operator's inclusive bound. Exactly-one-answer-per-probe semantics
+  * (Append mode, no watermark) forbid holding probes for a tie that may
+  * never come, so the divergence is excluded by contract instead:
+  * producers must emit an equal-ts state row in the same or an earlier
+  * batch than its probes — the natural order when both derive from one
+  * upstream event. StreamAsOfSpec pins both sides of the contract. */
 case class IntervalMatch(event_id: Long, user_id: Long, ts_us: Long,
     n_clicks: Long, click_cents: Long, last_gap_us: Option[Long])
 

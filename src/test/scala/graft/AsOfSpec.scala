@@ -77,4 +77,62 @@ class AsOfSpec extends SparkSpec {
     assert(got == got.distinct, "two-bucket probe must not duplicate pairs")
     assert(exp.nonEmpty, "fixture should produce in-window pairs")
   }
+
+  test("intervalPairs buckets negative timestamps with floor division") {
+    // ts -1 and -10 sit in bucket -1 under floor division but bucket 0
+    // under DIV truncation — the truncated form would miss the (-1 left,
+    // -10 right) in-window pair whenever left lands in true bucket 0
+    val left = Seq((1L, 5L, -1L), (2L, 5L, 5L), (3L, 5L, 95L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((5L, -10L, 1.0), (5L, -99L, 2.0), (5L, 4L, 3.0))
+      .toDF("user_id", "ts_us", "value")
+    val got = AsOf.intervalPairs(left, right, Seq("user_id"), "ts_us", 100L)
+      .select("event_id", "__rts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val exp = Seq( // brute force over the strict [t-100, t) window
+      (1L, -10L), (1L, -99L),         // -1: window [-101, -1)
+      (2L, -10L), (2L, -99L), (2L, 4L), // 5: window [-95, 5) — -99 out
+      (3L, 4L)).filter { case (id, rt) =>
+        val t = Map(1L -> -1L, 2L -> 5L, 3L -> 95L)(id)
+        rt >= t - 100L && rt < t
+      }.sorted
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("intervalPairs rejects non-positive lookback; both joins reject " +
+      "reserved column names") {
+    val l = Seq((1L, 5L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq((5L, 5L, 1.0)).toDF("user_id", "ts_us", "value")
+    intercept[IllegalArgumentException] {
+      AsOf.intervalPairs(l, r, Seq("user_id"), "ts_us", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.intervalPairs(l.withColumn("__bkt", lit(1)), r,
+        Seq("user_id"), "ts_us", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, r.withColumn("__side", lit(0)),
+        Seq("user_id"), "ts_us")
+    }
+    intercept[IllegalArgumentException] { // generated-name collision
+      AsOf.asofJoin(l.withColumn("asof_value", lit(1)), r,
+        Seq("user_id"), "ts_us")
+    }
+  }
+
+  test("asofJoin picks a deterministic duplicate at equal right (key, ts)") {
+    val left = Seq((1L, 5L, 100L)).toDF("event_id", "user_id", "ts_us")
+    // two DIFFERENT right rows at the same (key, ts): the xxhash64
+    // tie-break must pick the same one on every run/partitioning
+    val right = Seq((5L, 100L, 1.0), (5L, 100L, 2.0), (5L, 40L, 9.0))
+      .toDF("user_id", "ts_us", "value")
+    def run() = AsOf.asofJoin(left, right, Seq("user_id"), "ts_us")
+      .select("asof_value").head().getDouble(0)
+    val first = run()
+    assert(Seq(1.0, 2.0).contains(first))
+    assert((1 to 3).forall(_ => run() == first), "tie pick must be stable")
+    val rep = AsOf.asofJoin(left, right.repartition(7), Seq("user_id"),
+      "ts_us").select("asof_value").head().getDouble(0)
+    assert(rep == first, "tie pick must not depend on partitioning")
+  }
 }

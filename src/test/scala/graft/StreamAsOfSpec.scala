@@ -75,4 +75,25 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got(3L) == ((Some(100L), Some(5.0))), "state survives the batch cut")
     assert(got(4L) == ((None, None)))
   }
+
+  test("equal-ts tie across a batch cut: state-first order matches batch; " +
+      "probe-first is excluded by contract and pinned") {
+    val state = StampedRow(10L, 9L, 500L, 7.0, is_right = true)
+    val probe = StampedRow(11L, 9L, 500L, 0.0, is_right = false)
+    val later = StampedRow(12L, 9L, 600L, 0.0, is_right = false)
+    // contract-conforming split (state row in the earlier batch): the
+    // equal-ts probe sees it, same as the batch operator's <= bound
+    val ok = runStream(Seq(Seq(state), Seq(probe)), "asof_tie_ok")
+    assert(ok(11L) == ((Some(500L), Some(7.0))))
+    // contract VIOLATION (probe-first split of the tie): the probe is
+    // answered from the prior state — exactly-one-answer Append
+    // semantics cannot hold it for a tie that may never arrive. The
+    // late equal-ts state row still applies to later probes (monotonic
+    // guard keeps it), so the divergence is confined to the tied probe.
+    val v = runStream(Seq(Seq(probe), Seq(state), Seq(later)), "asof_tie_v")
+    assert(v(11L) == ((None, None)),
+      "probe-first tie answers pre-state (documented contract exclusion)")
+    assert(v(12L) == ((Some(500L), Some(7.0))),
+      "late equal-ts state still applies forward")
+  }
 }
