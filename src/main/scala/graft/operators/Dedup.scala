@@ -269,6 +269,34 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni")
   }
 
+  /** CONNECTIVITY-preserving Jaccard edge set — the exact-dup-first
+    * contraction (m08/m09's image-side move applied to text): d10's
+    * exact-dup classes (identical text) contract to their min-doc_id
+    * representative with star edges, and the exact Jaccard pair search
+    * runs over REPRESENTATIVES only. Identical texts have identical
+    * shingle sets, so J(rep_a, rep_b) == J(a, b) for any class members —
+    * the star + rep-pair graph reaches exactly the same connected
+    * components as the full pair list, with O(n + repPairs) edges
+    * instead of inheriting each exact-dup clique's quadratic pair
+    * growth (the d13 output-size tail that made d14/d35/m09 superlinear
+    * on dup-heavy fixtures). Consumers that need the PAIR LIST itself
+    * (d13's oracle contract) keep exactJaccardPairs; consumers that
+    * need components use this. */
+  def jaccardComponentEdges(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    val keyed = T.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__k"))
+    val reps = keyed.groupBy("__k").agg(min("doc_id").as("rep"))
+    val star = keyed.join(reps, Seq("__k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repShingles = shingled(s, dir)
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repPairs = exactJaccardPairs(s, repShingles, minJaccard)
+      .select("doc_a", "doc_b")
+    star.unionByName(repPairs)
+  }
+
   /** 64-bit frequency-weighted SimHash over word tokens — native
     * fused-loop expression over per-token 64-bit hashes. */
   def simhash(c: Column): Column =
@@ -628,7 +656,7 @@ object Dedup {
        |)
        |SELECT a AS doc_id, min(b) AS canonical_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    dupClusters(exactJaccardPairs(s, shingled(s, dir), 0.3))
+    dupClusters(jaccardComponentEdges(s, dir, 0.3))
       .orderBy("doc_id")
   }
 
@@ -686,7 +714,7 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions.{size, split, trim}
     qualityKeepers(
-      dupClusters(exactJaccardPairs(s, shingled(s, dir), 0.3)),
+      dupClusters(jaccardComponentEdges(s, dir, 0.3)),
       graft.Tables.documents(s, dir).select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
       .orderBy("doc_id")

@@ -647,9 +647,12 @@ object Multimodal {
     * narrow (id, id) pairs; the contraction is the same log-round
     * pointer-doubling machinery every dedup family already shares. */
   def multimodalClusters(s: SparkSession, dir: String): DataFrame = {
-    val textPairs = Dedup
-      .exactJaccardPairs(s, Dedup.shingled(s, dir), 0.3)
-      .select("doc_a", "doc_b")
+    // exact-dup-first contraction on BOTH modalities: the text relation
+    // is the star + rep-pair edge set (same components as the full
+    // Jaccard pair list — see Dedup.jaccardComponentEdges), so m09 no
+    // longer inherits d13's quadratic pair-output growth on dup-heavy
+    // fixtures
+    val textPairs = Dedup.jaccardComponentEdges(s, dir, 0.3)
     // Image edges are CONNECTIVITY-preserving, not the m08 pair list:
     // an exact-equal (gw, gh, phash) class is a Hamming-0 clique, and
     // any cross-class pair has the same Hamming as its class

@@ -202,6 +202,26 @@ class DedupSpec extends SparkSpec {
     assert(rPerm >= 0.9, s"permuted recall $rPerm < 0.9 (chunked $rChunk)")
   }
 
+  test("jaccardComponentEdges reaches exactly the full pair list's " +
+      "components (exact-dup-first contraction is lossless)") {
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.dupClusters(edges).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getLong(r.fieldIndex("canonical_id"))).toMap
+    val full = comps(
+      Dedup.exactJaccardPairs(spark, Dedup.shingled(spark, sf), 0.3)
+        .select("doc_a", "doc_b"))
+    val contracted = comps(Dedup.jaccardComponentEdges(spark, sf, 0.3))
+    assert(contracted == full)
+    assert(full.nonEmpty, "fixture should contain near-dup clusters")
+    // and the edge relation itself is smaller or equal, never larger
+    val nFull = Dedup.exactJaccardPairs(spark, Dedup.shingled(spark, sf), 0.3)
+      .count()
+    val nEdges = Dedup.jaccardComponentEdges(spark, sf, 0.3).count()
+    assert(nEdges <= nFull,
+      s"contracted edges $nEdges exceed full pairs $nFull")
+  }
+
   test("simhash is a pure function of text") {
     val sigs = docs.withColumn("sim", Dedup.simhash(col("text")))
       .select("doc_id", "sim").collect()

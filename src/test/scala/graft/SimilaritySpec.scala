@@ -114,12 +114,17 @@ class SimilaritySpec extends SparkSpec {
     // shortlist misses most exact top-5 — an honest audit row (real MRL
     // embeddings front-load variance; the fixture does not). e11's own
     // spec proves the mechanism exact when the prefix is the full vector.
+    // rerank_trained 19/40: the PCA rotation trained on the corpus
+    // sample lifts the same 16-dim coarse budget above the identity
+    // prefix floor (top-16-by-variance SELECTION measures WORSE, 6/40 —
+    // the fixture punishes selection, rewards rotation).
     assert(rows == Map(
       "lsh" -> ((23L, 40L)),
       "ivf_label" -> ((11L, 40L)),
       "ivf_kmeans" -> ((38L, 40L)),
       "quantized_int8" -> ((39L, 40L)),
       "rerank_trunc" -> ((15L, 40L)),
+      "rerank_trained" -> ((19L, 40L)),
       "neardup_lsh" -> ((7L, 7L)),
       "semdedup_group" -> ((6L, 7L))), s"recall drifted: $rows")
   }
