@@ -603,7 +603,7 @@ object ApiQueries {
             array(lit("layerzero_send")))
           .otherwise(array().cast("array<string>")).as("ancestor_type"),
         col("event_id").cast("long").as("end_utime"))
-    QueryLayer.actions(acts, ActionTypes.expand(Seq("nft.v3", "cocoon")), 200)
+    QueryLayer.actionsWithShortcuts(acts, Seq("nft.v3", "cocoon"), 200)
       .select("trace_id", "type", "end_utime", "action_id")
   }
 

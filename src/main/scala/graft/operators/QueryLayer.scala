@@ -107,6 +107,15 @@ object QueryLayer {
       .orderBy(col("end_lt").desc, col("trace_id"))
       .limit(clampLimit(limit))
 
+  /** actions for RAW `supported_action_types` request input — shortcut
+    * names (v1..v4/latest, domain groups) expand through
+    * [[ActionTypes.expand]] (recursive resolution + always-∪-v1,
+    * action_versioning.go:108-131) before the P8 filter, exactly the
+    * reference handler's order of operations. Oracle-checked as a22. */
+  def actionsWithShortcuts(actionsDf: DataFrame, requested: Seq[String],
+      limit: Int = DefaultLimit): DataFrame =
+    actions(actionsDf, ActionTypes.expand(requested), limit)
+
   /** actions with the P8 hierarchical filter + O4 sort contract. */
   def actions(actionsDf: DataFrame, supported: Seq[String],
       limit: Int = DefaultLimit): DataFrame = {
