@@ -62,6 +62,7 @@ object Bench {
       // (previously e08/d11 absorbed whichever built first)
       graft.operators.Similarity.buildSharedSilvers(spark, sfDir)
       graft.operators.Dedup.shingled(spark, sfDir).count()
+      graft.operators.Multimodal.phashSilver(spark, sfDir).count()
       ()
     } catch { case _: Throwable => () }
     val ingest = (System.nanoTime() - tIngest0) / 1e9

@@ -626,12 +626,21 @@ object Multimodal {
       |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 2
       |)""".stripMargin
 
+  /** Perceptual-hash silver — the real PNG decode runs ONCE per
+    * (session, dir) and both consumers (m08 pairs, m09 clusters) read
+    * the persisted (media_id, gw, gh, phash) table, exactly what a
+    * production pipeline persists after the decode pass. Built in
+    * Bench's ingest phase (shared-cost rule). */
+  def phashSilver(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SilverStore.table(s, dir, "image_phash") {
+      perceptualHash(imagesFromDocuments(s, dir)).toDF()
+    }
+
   val m08 = Q("m08_image_neardup",
     s"""WITH $pHashCtes
        |SELECT media_a, media_b, hamming FROM ipairs
        |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
-    imageNearDupPairs(
-      perceptualHash(imagesFromDocuments(s, dir)).toDF(), maxHamming = 2)
+    imageNearDupPairs(phashSilver(s, dir), maxHamming = 2)
       .orderBy("media_a", "media_b")
   }
 
@@ -661,8 +670,7 @@ object Multimodal {
     // the same components as the full O(n²)-per-class clique — with
     // O(n + repPairs) edges. This is the d10-before-d11 pipeline order
     // applied to images: exact dedup first, LSH over survivors.
-    val hashes = perceptualHash(imagesFromDocuments(s, dir)).toDF()
-      .localCheckpoint()
+    val hashes = phashSilver(s, dir)
     val reps = hashes.groupBy("gw", "gh", "phash")
       .agg(min("media_id").as("media_id"))
     val star = hashes
