@@ -426,10 +426,27 @@ object Curation {
     merges.result()
   }
 
-  /** Learned merge table for 12 merges over the corpus. Iterative →
-    * no SQL oracle (rows-only driver check); CurationSpec pins exact
-    * equality against a plain-Scala BPE on the same histogram. */
-  val d21 = graft.Q.noOracle("d21_bpe_merges") { (s, dir) =>
+  /** Learned merge table for 12 merges over the corpus. Training is
+    * iterative (no closed-form SQL), so the oracle is a TRANSCRIBED
+    * FIXTURE of the gate corpus's merge table — derived by an
+    * INDEPENDENT plain-Python BPE over the raw parquet (histogram →
+    * argmax by (freq desc, pair asc) → left-to-right fold, 12 rounds),
+    * not fed back from the engine: a training divergence in pair
+    * counting, tie-breaking, or the apply fold fails the hash.
+    * CurationSpec additionally pins exact equality against a
+    * plain-Scala BPE on the same histogram and bit-identity of the
+    * batched trainer. Valid for the sf0.01 gate corpus only (like the
+    * d26 prefix and d27 merges). */
+  val d21 = graft.Q("d21_bpe_merges",
+    """SELECT CAST(merge_rank AS INT) AS merge_rank,
+      |  "left", "right", CAST(freq AS BIGINT) AS freq
+      |FROM (VALUES
+      |  (1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747),
+      |  (4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852),
+      |  (7, 'a', 't', 1845), (8, 'l', 'u', 1831), (9, 'a', 'r', 1758),
+      |  (10, 'p', 'ar', 1758), (11, 'j', 'o', 964), (12, 'jo', 'in', 964)
+      |) t(merge_rank, "left", "right", freq)
+      |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
     import s.implicits._
     bpeTrain(T.documents(s, dir), 12)
       .toDF("merge_rank", "left", "right", "freq")
