@@ -246,15 +246,23 @@ object Similarity {
     * same-bucket candidates across tables with one OR predicate, and
     * reranks by exact cosine. Recall vs e01 stays pinned by
     * SimilaritySpec. */
+  /** DuckDB mirror of the `planes(8, 4, 64)` sign-bit signatures — the
+    * 2048 plane weights embedded as list literals, one packed word per
+    * table (`<prefix>0`..`<prefix>7`). Both engines accumulate the
+    * 64-term double dot sequentially, so every sign matches bit-for-bit.
+    * Shared by the e02 and e04 oracles (e04's adaptive nBits resolves
+    * to 4 for corpora ≤ 2048 vectors — the gate runs 500, pinned by
+    * OracleCapGuardSpec's sibling assumption checks). */
+  private def sigSqlSelect(prefix: String): String =
+    planes(8, 4, 64).zipWithIndex.map { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (plane, b) =>
+        val lits = plane.map(java.lang.Double.toString).mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS $prefix$t")
+    }.mkString(",\n    ")
+
   val e02 = Q("e02_ann_lsh", {
-    val ps = planes(8, 4, 64)
-    def sigSelect(prefix: String): String =
-      ps.zipWithIndex.map { case (tbl, t) =>
-        tbl.zipWithIndex.map { case (plane, b) =>
-          val lits = plane.map(java.lang.Double.toString).mkString(", ")
-          s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString("(", " + ", s") AS ${prefix}$t")
-      }.mkString(",\n    ")
+    def sigSelect(prefix: String): String = sigSqlSelect(prefix)
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sig AS (
@@ -361,10 +369,27 @@ object Similarity {
 
   /** Embedding near-duplicate pairs (cosine ≥ 0.45 — calibrated to the
     * synthetic corpus, whose max pairwise cosine is ~0.51). Hyperplane-LSH
-    * recall at this low a cosine is < 1 by design (the corpus has no
-    * true near-dups at cos ≈ 1 where the s-curve saturates) → rows-only
-    * driver check; precision is exact by verification (SimilaritySpec). */
-  val e04 = Q.noOracle("e04_embed_neardup") { (s, dir) =>
+    * recall at this low a cosine is < 1 by design, but the whole pipeline
+    * is DETERMINISTIC (fixed planes, exact-cosine verify), so the DuckDB
+    * mirror recomputes the identical sign-bit signatures (same embedded
+    * plane constants as e02 — the adaptive nBits resolves to 4 at any
+    * corpus ≤ 2048 vectors, gate runs 500), unions same-bucket candidates
+    * across tables with one OR predicate, and applies the same cosine
+    * threshold — oracle-exact including every banding MISS. */
+  val e04 = Q("e04_embed_neardup",
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    ${sigSqlSelect("s")}
+       |  FROM c)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM sig a JOIN sig b
+       |  ON a.vec_id < b.vec_id
+       |  AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3
+       |       OR a.s4 = b.s4 OR a.s5 = b.s5 OR a.s6 = b.s6 OR a.s7 = b.s7)
+       |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     nearDupPairs(T.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")
   }
 
