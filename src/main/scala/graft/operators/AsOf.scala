@@ -189,5 +189,84 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q31, q32)
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    * kdb wj's window edge): a match older than `tolerance` microseconds
+    * is treated as no match — every asof_ column nulls together (the
+    * matched-row struct is the unit of matching, same null discipline as
+    * [[asofJoin]]'s payload struct). Composes the plain as-of with one
+    * conditional projection — no extra shuffle. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, tolerance: Long): DataFrame = {
+    require(tolerance > 0, s"tolerance must be positive, got $tolerance")
+    val joined = asofJoin(left, right, keys, tsCol)
+    val within = col(s"asof_$tsCol").isNotNull &&
+      (col(tsCol) - col(s"asof_$tsCol")) <= tolerance
+    val asofCols = joined.columns.filter(_.startsWith("asof_"))
+    asofCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(within, col(c)))
+    }
+  }
+
+  /** Purchases joined to the latest click at-or-before them, but only if
+    * it happened within the last hour — the tolerance variant every
+    * "state must be fresh" lookup needs. Oracle: DuckDB native ASOF plus
+    * the same gap CASE. */
+  val q35 = Q("q35_asof_tolerance",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT event_id, user_id, ts_us, value,
+      |  CASE WHEN gap <= 3600000000 THEN a_ts END AS asof_ts_us,
+      |  CASE WHEN gap <= 3600000000 THEN a_val END AS asof_value
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |    c.ts_us AS a_ts, c.value AS a_val, p.ts_us - c.ts_us AS gap
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.ts_us >= c.ts_us) t
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    asofJoinTolerance(
+      sideOf("purchase")(s, dir),
+      sideOf("click")(s, dir).drop("event_id"),
+      keys = Seq("user_id"), tsCol = "ts_us", tolerance = 3600000000L)
+      .select("event_id", "user_id", "ts_us", "value",
+        "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
+  /** Distinct-cardinality interval aggregate: how many DISTINCT click
+    * values (cent-quantized) in the day before each purchase, plus the
+    * narrowest gap — the dedup-inside-window shape (e.g. distinct
+    * sessions/devices in the lookback). Runs on the same bucketed pair
+    * frame as q32; the distinct is per-purchase-group, bounded by the
+    * window, never global. */
+  val q36 = Q("q36_interval_distinct",
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  count(DISTINCT CAST(trunc(c.value * 100) AS BIGINT))
+      |    AS n_distinct_cents,
+      |  coalesce(min(p.ts_us - c.ts_us), 0) AS min_gap_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.ts_us >= p.ts_us - 86400000000 AND c.ts_us < p.ts_us
+      |GROUP BY 1, 2, 3
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val p = sideOf("purchase")(s, dir).drop("value")
+    val c = sideOf("click")(s, dir).drop("event_id")
+    val agg = intervalPairs(p, c, Seq("user_id"), "ts_us",
+        lookback = 86400000000L)
+      .groupBy("event_id")
+      .agg(countDistinct(expr("CAST(r_value * 100 AS BIGINT)"))
+          .as("n_distinct_cents"),
+        min(col("ts_us") - col("__rts")).as("min_gap_us"))
+    p.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_distinct_cents"), lit(0L)).as("n_distinct_cents"),
+        coalesce(col("min_gap_us"), lit(0L)).as("min_gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q35, q36)
 }

@@ -120,6 +120,24 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinTolerance nulls stale matches as a unit") {
+    val left = Seq((1L, 5L, 100L), (2L, 5L, 500L), (3L, 6L, 100L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((5L, 90L, 7.0)).toDF("user_id", "ts_us", "value")
+    val got = AsOf.asofJoinTolerance(left, right, Seq("user_id"), "ts_us",
+        tolerance = 50L)
+      .orderBy("event_id").collect()
+    def isNull(i: Int, c: String) = got(i).isNullAt(got(i).fieldIndex(c))
+    assert(!isNull(0, "asof_ts_us") && !isNull(0, "asof_value"),
+      "fresh match (gap 10 <= 50) must survive")
+    assert(isNull(1, "asof_ts_us") && isNull(1, "asof_value"),
+      "stale match (gap 410 > 50) must null BOTH asof columns")
+    assert(isNull(2, "asof_ts_us"), "unmatched key stays null")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinTolerance(left, right, Seq("user_id"), "ts_us", 0L)
+    }
+  }
+
   test("asofJoin picks a deterministic duplicate at equal right (key, ts)") {
     val left = Seq((1L, 5L, 100L)).toDF("event_id", "user_id", "ts_us")
     // two DIFFERENT right rows at the same (key, ts): the xxhash64

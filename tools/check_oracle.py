@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--subset]
+
+--subset: only report queries whose spark output exists (for Verify runs
+restricted to a query subset) — missing outputs are counted but silent.
 
 Loads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB with the sfDir tables
@@ -40,6 +43,8 @@ def close(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    subset = "--subset" in sys.argv[3:]
+    n_missing = 0
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -51,8 +56,11 @@ def main():
         try:
             got_tbl = pads.dataset(f"{out_dir}/{name}").to_table()
         except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})")
-            n_fail += 1
+            if subset:
+                n_missing += 1
+            else:
+                print(f"FAIL {name}: no spark output ({e})")
+                n_fail += 1
             continue
         try:
             exp_tbl = con.execute(sql).fetch_arrow_table()
@@ -96,7 +104,8 @@ def main():
             else:
                 print(f"FAIL {name}: row {i}\n  spark : {g}\n  oracle: {e}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_warn} float-tolerance, {n_fail} fail")
+    skipped = f", {n_missing} not dumped (subset)" if n_missing else ""
+    print(f"\n{n_pass} pass, {n_warn} float-tolerance, {n_fail} fail{skipped}")
     sys.exit(1 if n_fail else 0)
 
 
