@@ -88,6 +88,36 @@ object StreamAsOf {
       }
   }
 
+  /** Tolerance-bounded streaming as-of — the online form of
+    * `operators.AsOf.asofJoinTolerance`: identical O(keys) state to
+    * [[latestStateMatches]], but a probe whose state is older than
+    * `tolerance` microseconds answers (None, None), both fields as a
+    * unit. The state itself is still retained un-aged (a fresh state
+    * row may arrive later; only the ANSWER is staleness-gated), so
+    * state size and the ordered-arrival contract are unchanged. */
+  def latestStateMatchesTolerance(rows: Dataset[StampedRow],
+      tolerance: Long): Dataset[AsOfMatch] = {
+    require(tolerance > 0, s"tolerance must be positive, got $tolerance")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[StampedRow],
+            state: GroupState[(Long, Double)]) =>
+          var cur: Option[(Long, Double)] = state.getOption
+          val out = it.toSeq
+            .sortBy(r => (r.ts_us, !r.is_right, r.event_id)).map { r =>
+            if (r.is_right && cur.forall(_._1 <= r.ts_us))
+              cur = Some((r.ts_us, r.value))
+            val fresh = cur.filter { case (t, _) => r.ts_us - t <= tolerance }
+            AsOfMatch(r.event_id, r.user_id, r.ts_us,
+              fresh.map(_._1), fresh.map(_._2))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def latestStateMatches(rows: Dataset[StampedRow]): Dataset[AsOfMatch] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.user_id)

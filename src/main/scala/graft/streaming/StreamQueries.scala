@@ -182,5 +182,37 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Batch unification of `StreamAsOf.latestStateMatchesTolerance` (the
+    * staleness-gated streaming as-of): every event answered with the
+    * latest at-or-before purchase ONLY if it is at most an hour old —
+    * the "state must be fresh" serving rule. The batch program is
+    * asofJoinTolerance; StreamAsOfSpec proves the streaming side equals
+    * it across micro-batch splits. */
+  val s07 = Q("s07_stream_asof_tolerance",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, ts_us,
+      |  CASE WHEN gap <= 3600000000 THEN a_ts END AS asof_ts_us,
+      |  CASE WHEN gap <= 3600000000 THEN a_val END AS asof_value
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts_us,
+      |    p.ts_us AS a_ts, p.value AS a_val, e.ts_us - p.ts_us AS gap
+      |  FROM e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us) t
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    graft.operators.AsOf.asofJoinTolerance(
+        ev.drop("event_type", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us", tolerance = 3600000000L)
+      .select("event_id", "user_id", "ts_us", "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

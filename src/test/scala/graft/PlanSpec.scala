@@ -327,6 +327,37 @@ class PlanSpec extends SparkSpec {
       s"window must partition by the as-of key:\n${p.take(1500)}")
   }
 
+  test("asofJoinTolerance adds zero exchanges over the plain as-of " +
+      "(the staleness guard is a projection, not a recompute)") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    def exchanges(p: String) =
+      p.linesIterator.count(_.contains("Exchange"))
+    val left = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val right = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "value")
+    val base = graft.operators.AsOf
+      .asofJoin(left, right, Seq("user_id"), "ts_us")
+      .queryExecution.executedPlan.toString
+    val tol = graft.operators.AsOf
+      .asofJoinTolerance(left, right, Seq("user_id"), "ts_us", 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(tol) == exchanges(base),
+      s"tolerance added a shuffle: base=${exchanges(base)} tol=${exchanges(tol)}")
+    assert(!tol.contains("Join"), "tolerance variant must stay join-free")
+  }
+
+  test("a22 shortcut expansion folds to a scan predicate + broadcast " +
+      "bounds join (the expansion is driver-side, never a join)") {
+    val f = formatted(graft.operators.ApiQueries.a22)
+    assert(f.contains("BroadcastHashJoin"),
+      "per-user bounds must broadcast against the events fact")
+    // the 47-type isin filter must exist as a plan predicate, not a join
+    assert(f.contains("cocoon_worker_payout") || f.contains("IN ("),
+      s"expanded type set should fold into a filter:\n${f.take(1200)}")
+  }
+
   test("intervalPairs joins on (key, bucket) — a hash join, never a " +
       "nested-loop range join") {
     val ev = Tables.events(spark, sf)

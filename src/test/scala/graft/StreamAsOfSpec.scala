@@ -76,6 +76,64 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got(4L) == ((None, None)))
   }
 
+  test("tolerance twin equals the batch asofJoinTolerance across splits " +
+      "and keeps state beyond the staleness horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tol = 3600000000L
+    val batchTol: Map[Long, (Option[Long], Option[Double])] = {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+      graft.operators.AsOf.asofJoinTolerance(
+          ev.drop("event_type", "value"),
+          ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts_us", "value"),
+          Seq("user_id"), "ts_us", tol)
+        .collect()
+        .map { r =>
+          val i = r.fieldIndex("asof_ts_us"); val j = r.fieldIndex("asof_value")
+          r.getLong(r.fieldIndex("event_id")) ->
+            ((if (r.isNullAt(i)) None else Some(r.getLong(i)),
+              if (r.isNullAt(j)) None else Some(r.getDouble(j))))
+        }.toMap
+    }
+    assert(batchTol.values.exists(_._1.isEmpty) &&
+      batchTol.values.exists(_._1.nonEmpty),
+      "fixture must exercise both fresh and stale answers")
+    for (n <- Seq(1, 13)) {
+      val size = math.max(1, rows.length / n)
+      val input = MemoryStream[StampedRow]
+      val q = StreamAsOf.latestStateMatchesTolerance(input.toDS(), tol)
+        .writeStream.format("memory").queryName(s"asof_tol_$n")
+        .outputMode("append").start()
+      try rows.grouped(size).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"asof_tol_$n").as[AsOfMatch].collect()
+        .map(m => m.event_id -> ((m.asof_ts_us, m.asof_value))).toMap
+      assert(got == batchTol, s"tolerance twin diverged at split $n")
+    }
+    // staleness gates the ANSWER, not the state: a probe inside the
+    // horizon of an old-but-only state still matches after a long gap
+    val r2 = Seq(
+      StampedRow(1L, 42L, 1000L, 9.0, is_right = true),
+      StampedRow(2L, 42L, 1000L + tol + 1, 0.0, is_right = false), // stale
+      StampedRow(3L, 42L, 1000L + tol + 2, 5.0, is_right = true),
+      StampedRow(4L, 42L, 1500L + tol, 0.0, is_right = false))     // fresh
+    val input2 = MemoryStream[StampedRow]
+    val q2 = StreamAsOf.latestStateMatchesTolerance(input2.toDS(), tol)
+      .writeStream.format("memory").queryName("asof_tol_edge")
+      .outputMode("append").start()
+    try r2.grouped(1).foreach { b => input2.addData(b); q2.processAllAvailable() }
+    finally q2.stop()
+    val got2 = spark.table("asof_tol_edge").as[AsOfMatch].collect()
+      .map(m => m.event_id -> ((m.asof_ts_us, m.asof_value))).toMap
+    assert(got2(2L) == ((None, None)), "stale state must answer nulls")
+    assert(got2(4L) == ((Some(1000L + tol + 2), Some(5.0))),
+      "a later state refresh answers fresh again")
+  }
+
   test("equal-ts tie across a batch cut: state-first order matches batch; " +
       "probe-first is excluded by contract and pinned") {
     val state = StampedRow(10L, 9L, 500L, 7.0, is_right = true)
