@@ -54,18 +54,23 @@ object Bench {
     // explicit line instead of inflating whichever query touches it first.
     // Variant-specific silver (per-protocol b-family pipelines) still
     // builds inside its query's timing.
-    val tIngest0 = System.nanoTime()
-    try {
-      graft.plans.ChainSim.classified(spark, sfDir).count()
-      // shared e-family ANN silvers + the tokenization layer: read by
-      // multiple query families, so their one-time build is ingest cost
-      // (previously e08/d11 absorbed whichever built first)
-      graft.operators.Similarity.buildSharedSilvers(spark, sfDir)
-      graft.operators.Dedup.shingled(spark, sfDir).count()
-      graft.operators.Multimodal.phashSilver(spark, sfDir).count()
-      ()
-    } catch { case _: Throwable => () }
-    val ingest = (System.nanoTime() - tIngest0) / 1e9
+    // shared silvers, each timed: the chain sim/classify tables, the
+    // e-family ANN silvers, the tokenization layer and the image hash
+    // table are read by multiple query families, so their one-time
+    // build is ingest cost (previously e08/d11 absorbed whichever built
+    // first); the per-part split keeps the single ingest number
+    // attributable.
+    def part(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try f catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val ingestParts = Seq(
+      part("chain") { graft.plans.ChainSim.classified(spark, sfDir).count(); () },
+      part("ann") { graft.operators.Similarity.buildSharedSilvers(spark, sfDir) },
+      part("shingles") { graft.operators.Dedup.shingled(spark, sfDir).count(); () },
+      part("phash") { graft.operators.Multimodal.phashSilver(spark, sfDir).count(); () })
+    val ingest = ingestParts.map(_._2).sum
     // Load stamps: recorded BENCH files from contended machines carried
     // 4-7x per-query distortions two rounds running — the stamps let a
     // reader reject a contaminated recording instead of grading noise.
@@ -106,7 +111,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ingest + results.map(_._2).sum
     val gatedJson = gated.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus,"restart_per_family":$restartPerFamily,"gated":$gatedJson}""")
+    val ingestJson = ingestParts
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus,"restart_per_family":$restartPerFamily,"gated":$gatedJson,"ingest_detail":$ingestJson}""")
     spark.stop()
   }
 }

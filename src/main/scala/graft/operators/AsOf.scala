@@ -268,5 +268,37 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q35, q36)
+  /** COMPOSITE-key as-of: state is tracked per (user, segment) — the
+    * multi-tenant shape where "latest state" is scoped by more than one
+    * column (account × token, user × device, …). Same union-tag window,
+    * now hash-partitioned on both keys; DuckDB mirrors with a two-
+    * equality ASOF. */
+  val q37 = Q("q37_asof_two_key",
+    """WITH p AS (SELECT event_id, user_id,
+      |    CAST(trunc(value * 100) AS BIGINT) % 2 AS segment,
+      |    epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id,
+      |    CAST(trunc(value * 100) AS BIGINT) % 2 AS segment,
+      |    epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.segment, p.ts_us,
+      |  c.ts_us AS asof_ts_us, c.value AS asof_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.segment = c.segment
+      |  AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    def side(et: String) = T.events(s, dir)
+      .filter(col("event_type") === et)
+      .select(col("event_id"), col("user_id"),
+        (expr("CAST(value * 100 AS BIGINT)") % 2).as("segment"),
+        expr("ts DIV 1000").as("ts_us"), col("value"))
+    asofJoin(side("purchase").drop("value"), side("click").drop("event_id"),
+        keys = Seq("user_id", "segment"), tsCol = "ts_us")
+      .select("event_id", "user_id", "segment", "ts_us",
+        "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q35, q36, q37)
 }
