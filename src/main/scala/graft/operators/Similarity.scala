@@ -574,11 +574,61 @@ object Similarity {
     }.orderBy("query_id", "n_rank")
   }
 
-  /** IVF over TRAINED centroids: kmeansAssign relabels the corpus, then
-    * the probe-and-scan path is exactly ivfTopK. Approximate by nature
-    * (probe misses are possible) → rows-only driver check; determinism
-    * and recall pinned by SimilaritySpec. */
-  val e07 = Q.noOracle("e07_ann_ivf_kmeans") { (s, dir) =>
+  /** Trained-quantizer IVF — oracle-exact via INDEPENDENTLY derived
+    * centroids: a plain-Python k-means replica (same init = first 8
+    * vec_ids, same sequential-double cosine, same decimal(28,10)
+    * half-up sum semantics) reproduces the engine's round-3 assignment
+    * centroids bit-for-bit; the oracle embeds that snapshot and
+    * recomputes ASSIGNMENT, probe centroids (decimal sums), the 2-probe
+    * selection and the exact rerank entirely in SQL — so a divergence
+    * anywhere in the k-means loop, the relabel join, or the probe path
+    * fails the hash. Valid for the sf0.01 gate corpus (like the d21/d27
+    * fixtures). */
+  val e07 = Q("e07_ann_ivf_kmeans",
+    """WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT * FROM (VALUES
+       |  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
+       |  (1, [-1.150803794, -0.880336897, 0.0276532552, 0.1043944099, 0.0519283512, 1.7909676809, -5.4567478813, -0.8692347468, 0.0967980781, 0.4006045861, -3.3996070284, 2.7289332618, 3.9448823147, -4.2054885823, 2.1346700901, 0.1180477681, -0.0673056859, -0.6852271261, 1.9759987873, -2.974103757, 1.352510474, 1.8410362069, 0.4285351738, -2.3002656907, 2.1950388925, 3.6464967803, -0.9710631907, -1.6805831612, -1.0416540759, 1.4899221278, -1.4568111125, 0.5497903564, -0.3444339055, -0.3471158327, 0.4773893815, 0.151620241, -2.7976706377, 0.0738974748, 0.9004891772, -4.4088833759, -0.0106157612, -2.619022553, 1.8694005358, 1.1079401497, 1.5229926879, 0.8576541712, -1.8367924306, -0.484979851, -3.5790310227, -5.5436413072, -0.7278352969, 0.0898853479, -0.0190285398, 0.695612134, -1.2079052189, 2.6484688944, 2.4570122874, 0.1406425265, 2.3971162721, 0.837387255, -1.6901454733, -0.1267535906, -2.5051356268, -1.2043247597]),
+       |  (2, [0.0150665901, 0.0934538947, -2.5488769231, 2.7678947378, 2.4084799539, -0.3095979437, -0.6140942124, 0.7382488084, -0.0390652535, -4.1970126063, -1.2948675669, -1.0799602893, -3.3490496206, 2.9478739802, 0.4235553114, 1.2422548933, -1.8005358778, 2.5567552444, -0.9559418671, -1.4793833999, 0.5152663447, -0.1568495557, 3.5425749089, -0.7953486928, 0.1114120413, -2.2456284274, -0.2720397482, 0.0003840225, 1.0708853813, 0.7561389738, -0.8807087073, -4.5151725562, 0.896199865, 0.2615665774, 0.5021355628, 0.2205062509, 1.1212335674, 3.594344977, 2.848754204, 2.8766083338, 0.0517284087, -0.594928615, 1.7684964209, 0.7867313524, -0.9271945165, -0.4777540664, -1.0200292651, -0.7118809471, 3.0524337794, 2.3641990943, 2.666206497, -3.2959971097, -0.6637426821, -2.195067761, 3.0523473353, 0.5204450321, 1.1142393195, -1.0234490994, 0.4332765016, 2.4634814517, 2.2761900273, 0.2375542488, 0.7265933511, 0.8638609915]),
+       |  (3, [-1.9755098891, 2.4216360492, -0.3599034089, -0.3839707202, -0.6649842074, 0.8206217536, 1.5250682496, 0.6216186094, -2.1374308695, 0.364833435, -0.2478963196, 2.3232060314, 0.9033022481, 5.7426654328, 0.7662757068, 0.0195464013, -2.4285273583, -3.1331750766, 0.6979689471, 1.8948095896, 0.1689687458, -0.1645743653, -1.3593701554, 1.1681177705, -1.1771699933, 1.4537042086, -1.1207965582, -1.1341261003, -3.7295075892, -2.8696571313, -0.464602912, -1.1906526782, 4.676190604, 0.071462189, -0.2303166236, -0.9056877695, 0.6142013424, -1.698892044, -1.7829716913, -1.6648991214, -0.2362656348, -1.6822564737, -4.3568803535, -1.5581894044, -0.0317547193, 0.5134409319, -1.0788237782, -2.0302322391, 4.2758954631, -2.9950840233, 0.4381462619, -0.7230130409, 0.6735834608, 1.4661672425, -2.7041472812, -2.3309888716, 1.1489432628, -0.374315769, 1.4073593389, -3.0636778467, 1.3839707021, 0.1440784176, -0.3806827311, -3.3960823425]),
+       |  (4, [1.2029934207, 0.2708192873, 3.1132755111, -1.3113443728, -2.1244226323, -3.9869951988, 2.0300756133, 0.3357377989, 0.6065918897, 0.8883146867, 0.8244837537, -3.1798783615, 1.442907395, -2.6692518918, 0.9708137943, -1.526665898, 2.393715945, 0.883483684, 0.2147887706, 1.0821277334, -0.438397786, 1.8832153992, -1.0697851543, 0.8699310841, -1.2437050099, -0.0180017397, 1.2799199663, -0.2198893798, 1.8619435503, -2.6881126408, 1.8362658735, -1.4784719519, 0.9295265743, 1.0104252583, 1.5856769319, -3.2638708412, 0.4580838869, -3.5165410921, -1.4472940177, 0.3190829001, 1.3328608833, -0.0482539339, -1.0073246891, 0.0445689453, -1.2766894418, -0.1946681196, -2.3874932895, 3.1712387483, -2.2584522427, -0.3395908202, -0.5620750859, -0.1471110856, 0.9755778629, 0.5638207466, 4.2207230061, -0.9638645075, 0.2823299908, -1.3144990093, 1.4058448605, -0.540497515, -3.0161117801, -0.1459579177, 1.8369929736, 0.294838912]),
+       |  (5, [-1.8088420898, -1.461705086, 2.57241849, 0.2309065326, 3.902351056, -0.6234815288, -3.5344620263, 3.6722956839, -1.3482484502, 1.1489224417, 2.4365272272, -0.8406729364, 0.6832312825, 0.71938857, -1.5280941819, 0.0362155963, 0.2550203817, -3.1242943638, -0.8174541981, 2.5472082056, 0.7570085639, -1.2893984579, 1.9765375708, -0.7224064619, 1.8150334297, 2.2822020925, -1.2799671788, 0.9944727656, 0.7227662574, 1.4035768632, 1.0335467332, -2.371356927, 0.1835339204, -0.3216352844, 0.1870820467, 3.340516695, 0.9446369066, 3.9324358035, -1.8661698599, 0.8139908781, -3.6165768952, 3.5715813294, 0.3318285217, 1.5586618147, -5.3261535055, -3.1638017019, 0.9947793549, -1.7538903191, -1.100773579, 1.320692574, 2.6735639315, 2.8993965021, 0.3391890567, 2.4648906241, -2.3869372463, -5.0119244738, 1.6783428993, -2.8028307415, 0.35025805, 0.1554064678, 0.0376728695, 2.8177807701, -2.5851144, 2.2001742235]),
+       |  (6, [-1.6850868656, -2.4639594239, -0.2576406837, -1.6084660832, 1.989154204, 5.0689878755, -1.7753491581, -3.5809673135, -0.0022271954, 3.837782666, 3.5897670002, 0.7868398618, 0.9791368497, 2.7189448501, -1.1205769187, 2.6602015974, 1.6657668969, 3.5273258765, -3.3455221037, -2.875016375, 0.326038381, -1.5315263878, -0.7625389378, -3.4315929532, -2.9951261065, -0.9380479702, -0.5342985178, 3.4385130834, 2.2462039697, -3.1152909206, -0.3698679748, 0.4010122278, -0.6798705029, -2.4890717172, -1.3194026567, 3.353281974, 1.3357427193, -0.7666740395, -0.3247259933, -0.3443972879, 3.2203522179, -3.3292113428, -0.1465214402, -1.3223263764, 0.181051384, 0.9484237262, 2.2488431637, 3.1819836463, 0.2632642402, 1.2567048296, -2.2155691891, 0.5887330727, 2.7957692094, -0.9135112171, 1.317871464, 2.3240414441, -3.8995330386, 3.3504257665, -1.8357646605, -1.8661718765, 1.0685620941, -0.5757413992, -0.2815087272, 1.3572436334]),
+       |  (7, [5.5485026186, 0.357607612, -2.1623497148, 2.7186120519, -1.694969918, 1.9915531226, -0.7731732331, 2.8432922342, -1.0187469645, -1.2207583061, 1.6844919269, 1.1017838347, -3.9492438639, -4.3218044079, -1.335705678, 0.3300050304, -0.6458913598, 0.7660828687, 0.4612009444, 0.660841328, -1.2344415192, -0.0574198791, -0.2088753467, 1.9081554269, -0.0569600289, -2.4537055711, -1.9381078235, 4.2107623814, -0.4916211124, 1.8902906003, 3.8318516333, 2.0686456066, -1.6707956056, 1.1649289682, 0.4564923412, 0.5874509114, -3.6728242859, -2.7726224783, 0.4810654756, 1.258073455, -1.5445341464, -1.3746656862, 1.7189671994, -0.9936545714, -0.4830812807, 2.1979452272, 1.1033938445, 4.529092922, -3.5006058521, 0.7631334271, 2.3614415902, -0.8008161418, -0.8186929583, -1.023124362, -1.5733473533, 0.7743563623, 0.6929192848, 0.3229802624, -3.9900494925, -0.8100631071, 0.35691526, -1.4207224299, 0.5861206017, -4.0780263326])
+       |) t(cluster, centroid)),
+       |assign AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT c.vec_id, c.v, k.cluster,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC,
+       |                 k.cluster) AS r
+       |    FROM c, cents k) t WHERE r = 1),
+       |dims AS (
+       |  SELECT cluster, i, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+       |    AS cx
+       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       |        FROM assign) t
+       |  GROUP BY cluster, i),
+       |pcents AS (
+       |  SELECT cluster, list(cx ORDER BY i) AS centroid
+       |  FROM dims GROUP BY cluster),
+       |probes AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, k.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, k.centroid) DESC,
+       |                 k.cluster) AS crank
+       |    FROM c q, pcents k WHERE q.vec_id < 8) t WHERE crank <= 2)
+       |SELECT query_id, n_rank, neighbor_id FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(qc.v, a.v) DESC, a.vec_id)
+       |      AS n_rank
+       |  FROM probes p JOIN assign a ON a.cluster = p.cluster
+       |  JOIN c qc ON qc.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id) t WHERE n_rank <= 5
+       |ORDER BY query_id, n_rank""".stripMargin) { (s, dir) =>
     annIvfKmeansSilver(s, dir).orderBy("query_id", "n_rank")
   }
 
