@@ -574,45 +574,50 @@ object Similarity {
     }.orderBy("query_id", "n_rank")
   }
 
-  /** Trained-quantizer IVF — oracle-exact via INDEPENDENTLY derived
-    * centroids: a plain-Python k-means replica (same init = first 8
-    * vec_ids, same sequential-double cosine, same decimal(28,10)
-    * half-up sum semantics) reproduces the engine's round-3 assignment
-    * centroids bit-for-bit; the oracle embeds that snapshot and
-    * recomputes ASSIGNMENT, probe centroids (decimal sums), the 2-probe
-    * selection and the exact rerank entirely in SQL — so a divergence
-    * anywhere in the k-means loop, the relabel join, or the probe path
-    * fails the hash. Valid for the sf0.01 gate corpus (like the d21/d27
-    * fixtures). */
+  /** The k-means snapshot that produced the gate corpus's final
+    * assignment (centroids after two Lloyd updates), RE-DERIVED by an
+    * independent plain-Python replica of the training loop (same
+    * first-8 init, sequential-double cosine, decimal(28,10) half-up
+    * sums) — not read back from the engine. Shared by the e07 and e09
+    * oracles, which recompute assignment / probe book / probes / pairs
+    * from it in pure SQL. Gate-corpus fixture, like d21/d27. */
+  private val gateKmeansCentsSql: String =
+    """cents AS (SELECT * FROM (VALUES
+      |  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
+      |  (1, [-1.150803794, -0.880336897, 0.0276532552, 0.1043944099, 0.0519283512, 1.7909676809, -5.4567478813, -0.8692347468, 0.0967980781, 0.4006045861, -3.3996070284, 2.7289332618, 3.9448823147, -4.2054885823, 2.1346700901, 0.1180477681, -0.0673056859, -0.6852271261, 1.9759987873, -2.974103757, 1.352510474, 1.8410362069, 0.4285351738, -2.3002656907, 2.1950388925, 3.6464967803, -0.9710631907, -1.6805831612, -1.0416540759, 1.4899221278, -1.4568111125, 0.5497903564, -0.3444339055, -0.3471158327, 0.4773893815, 0.151620241, -2.7976706377, 0.0738974748, 0.9004891772, -4.4088833759, -0.0106157612, -2.619022553, 1.8694005358, 1.1079401497, 1.5229926879, 0.8576541712, -1.8367924306, -0.484979851, -3.5790310227, -5.5436413072, -0.7278352969, 0.0898853479, -0.0190285398, 0.695612134, -1.2079052189, 2.6484688944, 2.4570122874, 0.1406425265, 2.3971162721, 0.837387255, -1.6901454733, -0.1267535906, -2.5051356268, -1.2043247597]),
+      |  (2, [0.0150665901, 0.0934538947, -2.5488769231, 2.7678947378, 2.4084799539, -0.3095979437, -0.6140942124, 0.7382488084, -0.0390652535, -4.1970126063, -1.2948675669, -1.0799602893, -3.3490496206, 2.9478739802, 0.4235553114, 1.2422548933, -1.8005358778, 2.5567552444, -0.9559418671, -1.4793833999, 0.5152663447, -0.1568495557, 3.5425749089, -0.7953486928, 0.1114120413, -2.2456284274, -0.2720397482, 0.0003840225, 1.0708853813, 0.7561389738, -0.8807087073, -4.5151725562, 0.896199865, 0.2615665774, 0.5021355628, 0.2205062509, 1.1212335674, 3.594344977, 2.848754204, 2.8766083338, 0.0517284087, -0.594928615, 1.7684964209, 0.7867313524, -0.9271945165, -0.4777540664, -1.0200292651, -0.7118809471, 3.0524337794, 2.3641990943, 2.666206497, -3.2959971097, -0.6637426821, -2.195067761, 3.0523473353, 0.5204450321, 1.1142393195, -1.0234490994, 0.4332765016, 2.4634814517, 2.2761900273, 0.2375542488, 0.7265933511, 0.8638609915]),
+      |  (3, [-1.9755098891, 2.4216360492, -0.3599034089, -0.3839707202, -0.6649842074, 0.8206217536, 1.5250682496, 0.6216186094, -2.1374308695, 0.364833435, -0.2478963196, 2.3232060314, 0.9033022481, 5.7426654328, 0.7662757068, 0.0195464013, -2.4285273583, -3.1331750766, 0.6979689471, 1.8948095896, 0.1689687458, -0.1645743653, -1.3593701554, 1.1681177705, -1.1771699933, 1.4537042086, -1.1207965582, -1.1341261003, -3.7295075892, -2.8696571313, -0.464602912, -1.1906526782, 4.676190604, 0.071462189, -0.2303166236, -0.9056877695, 0.6142013424, -1.698892044, -1.7829716913, -1.6648991214, -0.2362656348, -1.6822564737, -4.3568803535, -1.5581894044, -0.0317547193, 0.5134409319, -1.0788237782, -2.0302322391, 4.2758954631, -2.9950840233, 0.4381462619, -0.7230130409, 0.6735834608, 1.4661672425, -2.7041472812, -2.3309888716, 1.1489432628, -0.374315769, 1.4073593389, -3.0636778467, 1.3839707021, 0.1440784176, -0.3806827311, -3.3960823425]),
+      |  (4, [1.2029934207, 0.2708192873, 3.1132755111, -1.3113443728, -2.1244226323, -3.9869951988, 2.0300756133, 0.3357377989, 0.6065918897, 0.8883146867, 0.8244837537, -3.1798783615, 1.442907395, -2.6692518918, 0.9708137943, -1.526665898, 2.393715945, 0.883483684, 0.2147887706, 1.0821277334, -0.438397786, 1.8832153992, -1.0697851543, 0.8699310841, -1.2437050099, -0.0180017397, 1.2799199663, -0.2198893798, 1.8619435503, -2.6881126408, 1.8362658735, -1.4784719519, 0.9295265743, 1.0104252583, 1.5856769319, -3.2638708412, 0.4580838869, -3.5165410921, -1.4472940177, 0.3190829001, 1.3328608833, -0.0482539339, -1.0073246891, 0.0445689453, -1.2766894418, -0.1946681196, -2.3874932895, 3.1712387483, -2.2584522427, -0.3395908202, -0.5620750859, -0.1471110856, 0.9755778629, 0.5638207466, 4.2207230061, -0.9638645075, 0.2823299908, -1.3144990093, 1.4058448605, -0.540497515, -3.0161117801, -0.1459579177, 1.8369929736, 0.294838912]),
+      |  (5, [-1.8088420898, -1.461705086, 2.57241849, 0.2309065326, 3.902351056, -0.6234815288, -3.5344620263, 3.6722956839, -1.3482484502, 1.1489224417, 2.4365272272, -0.8406729364, 0.6832312825, 0.71938857, -1.5280941819, 0.0362155963, 0.2550203817, -3.1242943638, -0.8174541981, 2.5472082056, 0.7570085639, -1.2893984579, 1.9765375708, -0.7224064619, 1.8150334297, 2.2822020925, -1.2799671788, 0.9944727656, 0.7227662574, 1.4035768632, 1.0335467332, -2.371356927, 0.1835339204, -0.3216352844, 0.1870820467, 3.340516695, 0.9446369066, 3.9324358035, -1.8661698599, 0.8139908781, -3.6165768952, 3.5715813294, 0.3318285217, 1.5586618147, -5.3261535055, -3.1638017019, 0.9947793549, -1.7538903191, -1.100773579, 1.320692574, 2.6735639315, 2.8993965021, 0.3391890567, 2.4648906241, -2.3869372463, -5.0119244738, 1.6783428993, -2.8028307415, 0.35025805, 0.1554064678, 0.0376728695, 2.8177807701, -2.5851144, 2.2001742235]),
+      |  (6, [-1.6850868656, -2.4639594239, -0.2576406837, -1.6084660832, 1.989154204, 5.0689878755, -1.7753491581, -3.5809673135, -0.0022271954, 3.837782666, 3.5897670002, 0.7868398618, 0.9791368497, 2.7189448501, -1.1205769187, 2.6602015974, 1.6657668969, 3.5273258765, -3.3455221037, -2.875016375, 0.326038381, -1.5315263878, -0.7625389378, -3.4315929532, -2.9951261065, -0.9380479702, -0.5342985178, 3.4385130834, 2.2462039697, -3.1152909206, -0.3698679748, 0.4010122278, -0.6798705029, -2.4890717172, -1.3194026567, 3.353281974, 1.3357427193, -0.7666740395, -0.3247259933, -0.3443972879, 3.2203522179, -3.3292113428, -0.1465214402, -1.3223263764, 0.181051384, 0.9484237262, 2.2488431637, 3.1819836463, 0.2632642402, 1.2567048296, -2.2155691891, 0.5887330727, 2.7957692094, -0.9135112171, 1.317871464, 2.3240414441, -3.8995330386, 3.3504257665, -1.8357646605, -1.8661718765, 1.0685620941, -0.5757413992, -0.2815087272, 1.3572436334]),
+      |  (7, [5.5485026186, 0.357607612, -2.1623497148, 2.7186120519, -1.694969918, 1.9915531226, -0.7731732331, 2.8432922342, -1.0187469645, -1.2207583061, 1.6844919269, 1.1017838347, -3.9492438639, -4.3218044079, -1.335705678, 0.3300050304, -0.6458913598, 0.7660828687, 0.4612009444, 0.660841328, -1.2344415192, -0.0574198791, -0.2088753467, 1.9081554269, -0.0569600289, -2.4537055711, -1.9381078235, 4.2107623814, -0.4916211124, 1.8902906003, 3.8318516333, 2.0686456066, -1.6707956056, 1.1649289682, 0.4564923412, 0.5874509114, -3.6728242859, -2.7726224783, 0.4810654756, 1.258073455, -1.5445341464, -1.3746656862, 1.7189671994, -0.9936545714, -0.4830812807, 2.1979452272, 1.1033938445, 4.529092922, -3.5006058521, 0.7631334271, 2.3614415902, -0.8008161418, -0.8186929583, -1.023124362, -1.5733473533, 0.7743563623, 0.6929192848, 0.3229802624, -3.9900494925, -0.8100631071, 0.35691526, -1.4207224299, 0.5861206017, -4.0780263326])
+      |) t(cluster, centroid)),
+      |assign AS (
+      |  SELECT vec_id, v, cluster FROM (
+      |    SELECT c.vec_id, c.v, k.cluster,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC,
+      |                 k.cluster) AS r
+      |    FROM c, cents k) t WHERE r = 1),
+      |dims AS (
+      |  SELECT cluster, i, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+      |    AS cx
+      |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
+      |        FROM assign) t
+      |  GROUP BY cluster, i),
+      |pcents AS (
+      |  SELECT cluster, list(cx ORDER BY i) AS centroid
+      |  FROM dims GROUP BY cluster)""".stripMargin
+
+  /** Trained-quantizer IVF — oracle-exact via the independently derived
+    * [[gateKmeansCentsSql]] snapshot: the oracle recomputes ASSIGNMENT,
+    * probe centroids (decimal sums), 2-probe selection and the exact
+    * rerank entirely in SQL, so a divergence anywhere in the k-means
+    * loop, the relabel join, or the probe path fails the hash. */
   val e07 = Q("e07_ann_ivf_kmeans",
-    """WITH c AS (
+    s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cents AS (SELECT * FROM (VALUES
-       |  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
-       |  (1, [-1.150803794, -0.880336897, 0.0276532552, 0.1043944099, 0.0519283512, 1.7909676809, -5.4567478813, -0.8692347468, 0.0967980781, 0.4006045861, -3.3996070284, 2.7289332618, 3.9448823147, -4.2054885823, 2.1346700901, 0.1180477681, -0.0673056859, -0.6852271261, 1.9759987873, -2.974103757, 1.352510474, 1.8410362069, 0.4285351738, -2.3002656907, 2.1950388925, 3.6464967803, -0.9710631907, -1.6805831612, -1.0416540759, 1.4899221278, -1.4568111125, 0.5497903564, -0.3444339055, -0.3471158327, 0.4773893815, 0.151620241, -2.7976706377, 0.0738974748, 0.9004891772, -4.4088833759, -0.0106157612, -2.619022553, 1.8694005358, 1.1079401497, 1.5229926879, 0.8576541712, -1.8367924306, -0.484979851, -3.5790310227, -5.5436413072, -0.7278352969, 0.0898853479, -0.0190285398, 0.695612134, -1.2079052189, 2.6484688944, 2.4570122874, 0.1406425265, 2.3971162721, 0.837387255, -1.6901454733, -0.1267535906, -2.5051356268, -1.2043247597]),
-       |  (2, [0.0150665901, 0.0934538947, -2.5488769231, 2.7678947378, 2.4084799539, -0.3095979437, -0.6140942124, 0.7382488084, -0.0390652535, -4.1970126063, -1.2948675669, -1.0799602893, -3.3490496206, 2.9478739802, 0.4235553114, 1.2422548933, -1.8005358778, 2.5567552444, -0.9559418671, -1.4793833999, 0.5152663447, -0.1568495557, 3.5425749089, -0.7953486928, 0.1114120413, -2.2456284274, -0.2720397482, 0.0003840225, 1.0708853813, 0.7561389738, -0.8807087073, -4.5151725562, 0.896199865, 0.2615665774, 0.5021355628, 0.2205062509, 1.1212335674, 3.594344977, 2.848754204, 2.8766083338, 0.0517284087, -0.594928615, 1.7684964209, 0.7867313524, -0.9271945165, -0.4777540664, -1.0200292651, -0.7118809471, 3.0524337794, 2.3641990943, 2.666206497, -3.2959971097, -0.6637426821, -2.195067761, 3.0523473353, 0.5204450321, 1.1142393195, -1.0234490994, 0.4332765016, 2.4634814517, 2.2761900273, 0.2375542488, 0.7265933511, 0.8638609915]),
-       |  (3, [-1.9755098891, 2.4216360492, -0.3599034089, -0.3839707202, -0.6649842074, 0.8206217536, 1.5250682496, 0.6216186094, -2.1374308695, 0.364833435, -0.2478963196, 2.3232060314, 0.9033022481, 5.7426654328, 0.7662757068, 0.0195464013, -2.4285273583, -3.1331750766, 0.6979689471, 1.8948095896, 0.1689687458, -0.1645743653, -1.3593701554, 1.1681177705, -1.1771699933, 1.4537042086, -1.1207965582, -1.1341261003, -3.7295075892, -2.8696571313, -0.464602912, -1.1906526782, 4.676190604, 0.071462189, -0.2303166236, -0.9056877695, 0.6142013424, -1.698892044, -1.7829716913, -1.6648991214, -0.2362656348, -1.6822564737, -4.3568803535, -1.5581894044, -0.0317547193, 0.5134409319, -1.0788237782, -2.0302322391, 4.2758954631, -2.9950840233, 0.4381462619, -0.7230130409, 0.6735834608, 1.4661672425, -2.7041472812, -2.3309888716, 1.1489432628, -0.374315769, 1.4073593389, -3.0636778467, 1.3839707021, 0.1440784176, -0.3806827311, -3.3960823425]),
-       |  (4, [1.2029934207, 0.2708192873, 3.1132755111, -1.3113443728, -2.1244226323, -3.9869951988, 2.0300756133, 0.3357377989, 0.6065918897, 0.8883146867, 0.8244837537, -3.1798783615, 1.442907395, -2.6692518918, 0.9708137943, -1.526665898, 2.393715945, 0.883483684, 0.2147887706, 1.0821277334, -0.438397786, 1.8832153992, -1.0697851543, 0.8699310841, -1.2437050099, -0.0180017397, 1.2799199663, -0.2198893798, 1.8619435503, -2.6881126408, 1.8362658735, -1.4784719519, 0.9295265743, 1.0104252583, 1.5856769319, -3.2638708412, 0.4580838869, -3.5165410921, -1.4472940177, 0.3190829001, 1.3328608833, -0.0482539339, -1.0073246891, 0.0445689453, -1.2766894418, -0.1946681196, -2.3874932895, 3.1712387483, -2.2584522427, -0.3395908202, -0.5620750859, -0.1471110856, 0.9755778629, 0.5638207466, 4.2207230061, -0.9638645075, 0.2823299908, -1.3144990093, 1.4058448605, -0.540497515, -3.0161117801, -0.1459579177, 1.8369929736, 0.294838912]),
-       |  (5, [-1.8088420898, -1.461705086, 2.57241849, 0.2309065326, 3.902351056, -0.6234815288, -3.5344620263, 3.6722956839, -1.3482484502, 1.1489224417, 2.4365272272, -0.8406729364, 0.6832312825, 0.71938857, -1.5280941819, 0.0362155963, 0.2550203817, -3.1242943638, -0.8174541981, 2.5472082056, 0.7570085639, -1.2893984579, 1.9765375708, -0.7224064619, 1.8150334297, 2.2822020925, -1.2799671788, 0.9944727656, 0.7227662574, 1.4035768632, 1.0335467332, -2.371356927, 0.1835339204, -0.3216352844, 0.1870820467, 3.340516695, 0.9446369066, 3.9324358035, -1.8661698599, 0.8139908781, -3.6165768952, 3.5715813294, 0.3318285217, 1.5586618147, -5.3261535055, -3.1638017019, 0.9947793549, -1.7538903191, -1.100773579, 1.320692574, 2.6735639315, 2.8993965021, 0.3391890567, 2.4648906241, -2.3869372463, -5.0119244738, 1.6783428993, -2.8028307415, 0.35025805, 0.1554064678, 0.0376728695, 2.8177807701, -2.5851144, 2.2001742235]),
-       |  (6, [-1.6850868656, -2.4639594239, -0.2576406837, -1.6084660832, 1.989154204, 5.0689878755, -1.7753491581, -3.5809673135, -0.0022271954, 3.837782666, 3.5897670002, 0.7868398618, 0.9791368497, 2.7189448501, -1.1205769187, 2.6602015974, 1.6657668969, 3.5273258765, -3.3455221037, -2.875016375, 0.326038381, -1.5315263878, -0.7625389378, -3.4315929532, -2.9951261065, -0.9380479702, -0.5342985178, 3.4385130834, 2.2462039697, -3.1152909206, -0.3698679748, 0.4010122278, -0.6798705029, -2.4890717172, -1.3194026567, 3.353281974, 1.3357427193, -0.7666740395, -0.3247259933, -0.3443972879, 3.2203522179, -3.3292113428, -0.1465214402, -1.3223263764, 0.181051384, 0.9484237262, 2.2488431637, 3.1819836463, 0.2632642402, 1.2567048296, -2.2155691891, 0.5887330727, 2.7957692094, -0.9135112171, 1.317871464, 2.3240414441, -3.8995330386, 3.3504257665, -1.8357646605, -1.8661718765, 1.0685620941, -0.5757413992, -0.2815087272, 1.3572436334]),
-       |  (7, [5.5485026186, 0.357607612, -2.1623497148, 2.7186120519, -1.694969918, 1.9915531226, -0.7731732331, 2.8432922342, -1.0187469645, -1.2207583061, 1.6844919269, 1.1017838347, -3.9492438639, -4.3218044079, -1.335705678, 0.3300050304, -0.6458913598, 0.7660828687, 0.4612009444, 0.660841328, -1.2344415192, -0.0574198791, -0.2088753467, 1.9081554269, -0.0569600289, -2.4537055711, -1.9381078235, 4.2107623814, -0.4916211124, 1.8902906003, 3.8318516333, 2.0686456066, -1.6707956056, 1.1649289682, 0.4564923412, 0.5874509114, -3.6728242859, -2.7726224783, 0.4810654756, 1.258073455, -1.5445341464, -1.3746656862, 1.7189671994, -0.9936545714, -0.4830812807, 2.1979452272, 1.1033938445, 4.529092922, -3.5006058521, 0.7631334271, 2.3614415902, -0.8008161418, -0.8186929583, -1.023124362, -1.5733473533, 0.7743563623, 0.6929192848, 0.3229802624, -3.9900494925, -0.8100631071, 0.35691526, -1.4207224299, 0.5861206017, -4.0780263326])
-       |) t(cluster, centroid)),
-       |assign AS (
-       |  SELECT vec_id, v, cluster FROM (
-       |    SELECT c.vec_id, c.v, k.cluster,
-       |      row_number() OVER (PARTITION BY c.vec_id
-       |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC,
-       |                 k.cluster) AS r
-       |    FROM c, cents k) t WHERE r = 1),
-       |dims AS (
-       |  SELECT cluster, i, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
-       |    AS cx
-       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
-       |        FROM assign) t
-       |  GROUP BY cluster, i),
-       |pcents AS (
-       |  SELECT cluster, list(cx ORDER BY i) AS centroid
-       |  FROM dims GROUP BY cluster),
+       |$gateKmeansCentsSql,
        |probes AS (
        |  SELECT * FROM (
        |    SELECT q.vec_id AS query_id, k.cluster,
@@ -724,21 +729,214 @@ object Similarity {
     annQuantSilver(s, dir).orderBy("query_id", "n_rank")
   }
 
-  /** ANN recall AS DATA: every approximate path's recall@5 against the
-    * exact e01 baseline (and the LSH near-dup path against the e05
-    * exact pair set), one row per (method, config). Every method here
-    * is deterministic on a fixed corpus, so hits/total are CONSTANTS
-    * per (sfDir, config) — a silent recall drop in the LSH/IVF/
-    * quantization paths shows up as a row diff in the driver's
-    * correctness dump instead of passing a ≥-floor spec. Approximate →
-    * no SQL oracle (rows-only driver check); SimilaritySpec pins the
-    * exact sf0.001 values.
+  /** The 16 PCA projection rows the trained-rerank audit leg uses,
+    * RE-DERIVED by a line-by-line Python port of [[jacobiEig]] +
+    * [[trainedRotation]] (same sequential float ops, same sign fix) —
+    * bit-identical to the engine's rotation, independently produced.
+    * Gate-corpus fixture like the k-means snapshot. */
+  private val gateRerankProjSql: String =
+    """[list_dot_product(v, [-0.2096393300202079, -0.12057271532724553, 0.03654785815762015, 0.01181956673368188, 0.07567008238654915, 0.013214628819761043, 0.0905841185253787, 0.28661879235154175, 0.04954696219840432, 0.41405652648110597, 0.06530498182357874, 0.18207885387703554, 0.06513224150018562, -0.03653205474589539, 0.17114897510632338, -0.1853497773155263, 0.08898987448654253, -0.1570265545892313, -0.03013668633727623, 0.03217896951212238, 0.06121320408639076, -0.11068832311425483, -0.08347512785867214, -0.055437468648072454, 0.019550012020336547, 0.19912542853515428, -0.03751725245021375, 0.14950769892189747, -0.17287963096364564, -0.006123114085466474, -0.05871572670347506, 0.062037717979410406, 0.2965385435377704, 0.10616457882139613, -0.0320419388938067, 0.10414385148185465, 0.04453875953671703, 0.06146405309394993, 0.01300669820069596, 0.021771205655908916, -0.1166789877982389, 0.00552458641904109, -0.2408369202837017, 0.09570759064864001, -0.02830770835615952, -0.2251274447351663, 0.00873183591418996, -0.07903750804622381, -0.0836808441498625, -0.11845091153314742, 0.12045949820880301, 0.07248325157918438, -0.01718648215716714, 0.08160437407065883, -0.015031355628739274, -0.06676477469562192, -0.055650636278637464, -0.051376057816995745, 0.06019601767572054, -0.09113914348049353, 0.12198699564215858, 0.050649833878900714, -0.2182114649231664, -0.10201388636255261]),
+      |      list_dot_product(v, [-0.003837127211581993, -0.054430245767012955, -0.01256793348076524, -0.08813365797651045, 0.17485769775040094, 0.02521436579703914, 0.07494656338562687, -0.0699807010859971, 0.07744817020895162, 0.03069605619522647, 0.10575814459049343, -0.017882873012924873, 0.01297565633124387, 0.1336968174275563, 0.014559198307480144, 0.04139191933934768, 0.14841100078750558, 0.3603098511261618, -0.0541886514145757, -0.05076477591726178, 0.032543169734795804, 0.0353911268506755, 0.06533467378092273, -0.3091228055053044, -0.2576821382583802, -0.23906586362939788, -0.020637632793312183, -0.00022331337890521945, -0.08628570371767165, -0.17453292227143882, -0.024067927226897944, -0.21754493603557615, 0.029463935144010245, 0.0615386789084913, 0.03375332841844827, 0.07921967482014872, 0.05946710015970966, 0.036498402573222344, 0.18210698156721677, 0.04667388480869055, 8.626507729722957e-06, 0.046986755640974924, -0.06276704622858646, -0.17918979594374826, 0.17268649020939142, -0.1888352229469569, -0.04694587131588715, 0.14577948211480737, 0.11292397757725275, -0.11328063222737615, -0.15743104350111775, -0.08197501074019356, 0.012979946743257106, -0.01609235374981665, 0.23803515091894767, 0.02338431738854464, -0.3028202755224945, 0.01638284010822573, 0.13543364301206362, -0.12158606610326811, -0.08367049603064655, 0.08483882908902365, -0.0004431848647108862, -0.07861586992416168]),
+      |      list_dot_product(v, [-0.14804403755599788, -0.08512440644804029, -0.06394747372242394, -0.0004575970141786493, -0.20437466508884317, -0.0437417350166794, 0.1177552992559789, -0.28449785349721946, 0.044402396330867656, 0.023717337995785997, -0.051179527614304506, 0.03570203353525218, -0.060179564309038557, -0.03455060720149328, 0.009449519103814035, -0.23454575614196826, 0.1713735271024343, -0.08492758806240842, 0.1160470676906258, 0.0773284031731253, 0.013131626731480505, 0.17530755090022915, -0.10064801517013917, 0.05337470423496319, 0.09255730930450971, 0.10008395002176174, 0.0906373631192774, -0.13414209861497922, 0.010277697050360855, -0.10540482797763205, -0.12285966843393281, 0.0909121081917113, 0.048252166284910074, -0.18066130225250257, -0.02976989042538331, -0.10216258213207541, 0.13907849924246868, -0.21255244175465315, -0.06345652309133594, -0.10392899603892383, 0.18947963434482243, 0.19011010111192872, -0.1258555580702801, -0.20893277874379756, 0.16586568222613066, 0.05283627633705316, 0.042797574747651626, 0.018020015397822116, -0.0683200932314645, -0.0512755129779281, -0.1294984449753259, -0.10645450056137452, 0.22780031589941502, -0.1532947679353639, -0.1791520941573972, -0.0019200152180137873, -0.005381095587565329, 0.10972460099815637, 0.1827952415741804, -0.05268508458798448, -0.06955779386903337, 0.28843060582388197, -0.09008107781606314, -0.07553050141369441]),
+      |      list_dot_product(v, [0.06808659692691903, 0.06269221088036901, 0.008780757117610016, 0.17252698585103318, -0.2579610506306852, 0.10712924747571911, -0.02320920976755962, 0.17754309288315903, -0.11522019045323972, 0.13620195798670792, 0.007640884150608356, 0.2019504757451542, -0.060775444667734706, -0.14021935394080082, -0.09311367890566466, 0.0493080657522068, 0.09682486295850494, 0.07142426949952493, -0.00931947755346662, -0.20316848780461905, -0.22547295140285561, 0.15765898138948406, -0.011856441212560857, 0.07323162375897517, 0.02747074839964306, -0.11908308267730744, 0.11645429213294094, -0.0038352518579658603, 0.12892448335581316, -0.10452312732326186, 0.1521165649372111, 0.20057539618778486, -0.081413181280288, -0.017677469085189267, -0.11650295044827594, 0.31619012196961105, -0.11671862239929295, -0.14843441728739898, -0.010252064348131243, -0.04828886542020025, -0.014507537293033222, -0.00017919674526118605, -0.08565322476936732, -0.01743476170784436, -0.07573379923518071, -0.04152082543973319, -0.013620431372982572, 0.36940447483450806, -0.10851089306162194, -0.1534460994206436, 0.06647233910910633, -0.019778009359073506, 0.009329623098615703, 0.0054010217614196025, -0.021917540538325148, 0.1014729147048064, -0.17091025495863188, 0.09292951416444062, -0.17072042743341, -0.07391767730729568, -0.19206043423512684, -0.0962191857401072, -0.08404634246087159, 0.026296885848694346]),
+      |      list_dot_product(v, [-0.015085347560034651, 0.013517865830451635, -0.17389132048897835, 0.02253742215602077, 0.16896698432930854, 0.30866309206525333, -0.2530950596374295, -0.10693042060664935, -0.01790620038639116, -0.06613281137578353, -0.14284835419897937, 0.36196189580912086, 0.11830375329976602, 0.11743309807998664, 0.11494380703612435, 0.055716544108777084, -0.11872343460255268, -0.11316167148534532, -0.01902053430901372, -0.24534483032738347, 0.03191823604240378, 0.03445191687496352, -0.01109188015587602, -0.10927001970303023, 0.12474957922483891, 0.16616884567664106, 0.03526854805297365, -0.14137833659983196, -0.026189293623945033, -0.1825991578599084, 0.04226625184652264, 0.016172195492783117, -0.062291915357917164, -0.028462604624833056, -0.039868893511910405, -0.053847080149817504, -0.08802504604912549, 0.23525140106969186, 0.049054119817469606, -0.2630745924488895, -0.05655833933531782, -0.10089457052163518, -0.007513654293084169, -0.05056559009206862, 0.11724159722024327, 0.009091732563372739, -0.03499876040730989, -0.020604323539752594, 0.10296227462764167, -0.21235460234923043, -0.13375687694842345, -0.08333561357028366, -0.16669651257716844, 0.09694053145190656, -0.21787743397082124, -0.004216181306503077, -0.005630303030561675, 0.04229455936213906, 0.10565659881448262, -0.004698642661363779, 0.054063487931222676, 0.03249524822808433, 0.07261703252532273, 0.06545658155977771]),
+      |      list_dot_product(v, [-0.08544207411615516, 0.011076242789999828, -0.1744330539463892, 0.1997158227314905, 0.008519457717373006, -0.029354714850358704, 0.1601854472914573, -0.01384658819657827, -0.11290145070207502, -0.04229772769374318, 0.02215837523689581, 0.036050469737645835, -0.18230215303802377, 0.47848072389377294, -0.08551788850060306, -0.017420528275039263, 0.024875500957851418, -0.1966149614776473, -0.2096973240757193, -0.10289007388205201, -0.06340424748855769, 0.034678423619870294, 0.16836503422445132, 0.03422494667689464, 0.006176514506353618, -0.022542977947512324, -0.18434962748020325, -0.025273527795024016, 0.012000127801072524, -0.052428663089463756, 0.16064800817263716, -0.1022565623711983, -0.15891143459829485, -0.18394127656774753, -0.0952229210578061, 0.015104919146872718, 0.1704699084214259, 0.05533662713065261, -0.07520278543602898, 0.2041440699220448, -0.041852518764333345, 0.26939098394286876, -0.17915567165616555, -0.044813125895931304, -0.038453382306685886, -0.11610530059362632, 0.12082475546403323, -0.00704702400162422, 0.030184523346841925, 0.047813095369468574, 0.16379574988151296, 0.014019726448507163, 0.06607626122068973, 0.11155759478333559, -0.09857967354163642, -0.09315850574436878, -0.08969349432091307, -0.10318157108892986, -0.01787651796005002, 0.13658261991657272, 0.076581378924984, -0.0741629120515868, 0.07691180886240863, 0.014380980289340928]),
+      |      list_dot_product(v, [-0.10467703228112352, 0.04334903472954021, 0.3308233466637122, 0.05281115210506782, 0.07154724254493282, -0.2395789342300872, -0.035970206913397466, -0.05025064057456484, 0.005446403012276316, 0.2155901272621879, -0.25725132543123397, 0.08007311349146733, 0.2335296930537292, 0.06344687150245162, 0.10695937206218074, 0.1955439822372235, 0.05497151097487418, -0.15899119528411026, -0.06773789164102631, 0.047291573689071886, -0.04121476172051033, -0.06668512605636627, -0.047789904233432254, 0.027070002087232915, -0.05888062997050346, 0.008833017871900748, -0.1389905885486479, -0.15865816066950472, 0.04030695059485037, -0.1258415271673068, 0.15366276268257456, -0.22586041349482264, -0.11182059620669123, 0.10493781231835228, 0.014503369545627094, -0.18891690793522004, 0.007213009816712077, -0.2040199513943542, -0.1325508590953577, -0.204494317629054, 0.19571794479140064, 0.0872216688935659, 0.024970696634828003, -0.017672627371045836, -0.06601916272001536, -0.06466506768760226, -0.1365952508709043, 0.04433184648912618, -0.13211726951387223, -0.08608364382855625, -0.05007145654957563, 0.21818178555598156, 0.04603151275796958, 0.1494853264762865, 0.10036773912091507, 0.06536654088516361, -0.01421816285616276, -0.011947691292832184, -0.024575671827010075, 0.014622711145269751, -0.158238697969672, -0.045258463894878455, 0.13015213606936415, -0.03712294642286263]),
+      |      list_dot_product(v, [0.28053834556355717, -0.1371590681351505, -0.0412669208630224, 0.07332610324304634, -0.01915856008039949, -0.14848892174411799, -0.11300436697574097, 0.0888973175452768, -0.01738314118597428, 0.09350298185352153, 0.1538433171839001, -0.095338763048301, 0.10336993988982665, 0.022934882234727633, 0.07543842908760733, 0.18178213560832523, -0.16023107869586997, 0.02863289345509315, -0.05134798748134463, -0.017840531441107914, -0.009984333282943498, 0.16671736561201367, -0.003604162377066839, 0.258527241624162, -0.15791550699631157, 0.056127393859254304, -0.09822172385977178, -0.040300239786079266, -0.014822404969700963, 0.04401133554559639, 0.04823681156060674, -0.0801061184545289, 0.029625486988743795, 0.04561400009031291, 0.1034626855222083, -0.20726140108490207, -0.14479500271225082, -0.11211549327599017, -0.03295226754521202, 0.027501799019783297, -0.10105638319819629, -0.1273095652683595, -0.19101634334198037, -0.08899294770757478, 0.11129272032462295, 0.06580293906863663, -0.14256338925759557, 0.21676374381562874, 0.14131254422033543, -0.018008174963365563, 0.23205685634556245, -0.19508721035282625, 0.010139005438346251, 0.016706224487906905, -0.18769487157816858, -0.049311186325321, 0.012939834000132487, -0.04592994271429228, 0.31640769191537305, 0.13303036695188322, 0.003273279894082976, 0.05165375785516667, -0.1585098282380153, -0.2027956805621199]),
+      |      list_dot_product(v, [-0.09400136458148366, -0.17858117972592538, -0.011990174531333508, 0.07855288301142772, 0.25745238791945396, 0.2411135712836205, -0.23700639211078134, -0.032416200018950264, 0.0743921332000754, 0.2091692397066303, 0.022606019518796327, -0.016031192916972595, -0.2223091383778378, -0.0848744680844469, -0.018846414948870245, 0.06048439353910633, 0.1806939398383286, -0.15205994584033475, 0.12095737817998772, 0.021954344680883753, -0.10111875436954063, -0.12187008947828727, -0.029393583669176784, 0.20280486337458042, -0.1719499107560182, -0.12022886778914993, 0.0750674141936809, 0.11793320913647276, 0.12779487236513193, -0.21596573289312318, 0.06635406539363903, 0.0016326357701262073, -0.08158196275136258, -0.030919106320060855, 0.17496070440967906, -0.14906363955306934, -0.1140684337079778, 0.08241686631320357, -0.11469069427018051, 0.16325478198533683, -0.11413046047569315, 0.11082464492946754, 0.18682363696961155, 0.14331843324969157, -0.05864357080033317, -0.10512099756638493, -0.09269594552032963, -0.04524592809390084, -0.021607579955522566, 0.18362780453596136, -0.0006807099919776284, -0.14225924767167375, 0.20595752502782988, -0.059211096690920645, -0.03278847997788835, 0.03578540326019955, -0.06125576031137734, 0.12574104154985416, 0.07371856211153428, -0.027985481650546363, -0.06885857284275726, 0.1011754070087857, 0.01962099673540931, 0.14813583232712707]),
+      |      list_dot_product(v, [-0.07769545645640907, -0.18127723005690785, 0.005521138316715278, -0.030542171160452384, 0.08165672771986955, -0.16634571699200826, -0.13632802778377526, -0.010566521793833756, 0.23758842826611648, -0.020841326003038528, -0.03948370244019947, -0.040297231112348675, -0.08440273360731826, -0.008175670819655746, -0.08537909593419288, 0.037111601059559164, -0.08828119692851352, 0.13326276966971118, -0.03431448879702372, -0.06565016524122783, -0.023746650966625284, 0.1862529393674916, 0.11630224590009343, -0.1210169690827256, -0.10599030730971187, 0.01583455935829907, -0.11129836338959678, -0.18866526157371927, -0.0775164382261846, -0.08841171223425837, -0.03038088249999379, 0.2767244755328377, 0.007948125222618624, -0.09277588342511642, -0.0036589227138493405, 0.0251626788040583, 0.01049253578779439, 0.23436833331822607, -0.1403526849560866, 0.03526081314996727, 0.05787658467714565, -0.09436182537325874, -0.05276383038144768, 0.34796973843402956, -0.023156277748090478, 0.2697525674772837, 0.22380362207350235, 0.06870692773950697, -0.17717108213985355, -0.1043505482517543, 0.021393368418612647, 0.2782403780866255, 0.19778926602649263, 0.07182634073076008, 0.05348334361817466, -0.02215041110340669, -0.06918519111590211, -0.036839102885145796, 0.22113658366138453, 0.011408861854542072, -0.09564106274204524, -0.03211374255517516, -0.05384088093813003, 0.018862317599648598]),
+      |      list_dot_product(v, [-0.06632766695109972, 0.13138091934270787, -0.11082826170061899, 0.12088212886734431, -0.040673551386873584, -0.13403048920606, -0.1591465154845886, 0.13238423675952496, -0.12661093855574795, 0.01964163997972767, -0.18748118277289189, -0.1202587987090588, -0.09122186930436663, -0.18369213753020863, -0.03649962909924255, -0.05260571671937548, 0.1629095102085306, 0.1334442956707977, 0.2366917793370172, -0.03393971141528018, 0.11020713947933437, -0.11902637185493027, 0.25202083316362434, -0.06462929639761458, -0.0205380854560865, -0.13048901620609574, -0.09009929682232602, -0.027405253884444175, -0.1055676410227114, 0.11966326081654374, -0.02636304543773133, 0.08079795753069696, -0.024503073664539844, 0.034922301771536456, 0.049617259471504374, -0.11035955710362642, -0.053621581910422066, 0.09083830413271278, 0.08541741253243973, -0.062103761490818345, -0.12120336944055704, 0.3307145478068485, -0.040937953934862686, -0.08300721532224056, -0.06098710377478903, -0.01919993611226759, -0.08211616266253101, -0.030916856781506293, -0.044914552028951754, -0.22137833730029952, 0.03307413631594784, 0.04985037941523615, -0.2214898069396124, 0.054654479497264534, -0.05788992194313231, -0.2722201846930221, 0.08652417030425727, 0.12489613966439937, 0.07917044773335713, 0.26825673316636295, -0.1902388943346956, 0.12415678843774608, -0.01962730301017076, 0.041022101372321984]),
+      |      list_dot_product(v, [0.05003710684725454, 0.08726899757798748, -0.08660603870531383, 0.02928007877846513, -0.07927236009983699, -0.024337302879373187, -0.0937982471192726, -0.16079924020985725, -0.07827827298415858, 0.2195384263972595, 0.16035950352210265, 0.1307531444487244, 0.050449294659002414, 0.08115458245919616, 0.01961634431125075, 0.09280055381296856, -0.045493353038427796, 0.261570774579599, 0.1791997984873225, -0.06490017633385381, -0.0035156417142961174, -0.15449151161474803, -0.14393405735305426, 0.022717027949752205, 0.12668127250769903, -0.28337655954673957, -0.1743487028067561, 0.1613838359966331, -0.15243906262885168, 0.03480087405707912, -0.05752965773299833, 0.029939483690196833, 0.07686295693159355, -0.14766651006340678, -0.12522941145539873, -0.15155252377443537, 0.11097281713549877, -0.06585287709588071, -0.12876287748566043, -0.10139964554609866, 0.08563219783750213, 0.03121012334023449, 0.06738638570853346, 0.0565689952072189, 0.0764804814683832, 0.04290494609777322, 0.04428952646271362, -0.030505309848440052, 0.09093067603610029, -0.09741919746999865, 0.24306615284585212, 0.12957385628821633, 0.08018285254255861, 0.03839579430284308, 0.03592750972156349, 0.24942474468630307, -0.016478875987680486, 0.22490456206253215, 0.014060077581946415, 0.07429570727954488, 0.3126180373736632, -0.004576145428863094, -0.008375018503743377, 0.18819498621912992]),
+      |      list_dot_product(v, [-0.10947141936503235, -0.001695265520920519, 0.0006269961998386323, -0.03165281756907946, 0.00542872624816072, -0.04108426446637966, 0.06070853976481691, 0.18211286055273243, -0.16469955195526545, 0.03432687803319679, -0.11228885346847454, 0.12116237774055594, -0.049611300142132664, 0.005339225366660854, -0.20885084817126906, 0.289720639931844, -0.21244828893638196, 0.04215025848259546, 0.1915150973929429, 0.05284002727377277, 0.02681636604748077, 0.0022051073128859723, 0.004420278819879942, -0.0017134705165790126, -0.18874270722680658, 0.0431101345237436, -0.13709798764040665, -0.16143906475071354, 0.10462007037654751, -0.1392135063485011, -0.08694611825822271, -0.03711153188341015, 0.15170978830340331, 0.12840345104215437, 0.005550688395904674, 0.1847202821766065, 0.21366004015143247, -0.018179942766191164, 0.01607373485217027, -0.06651371397010368, 0.21966242816860512, -0.08598467315820196, 0.1050555434698451, -0.08457265817505537, -0.09786783432610036, -0.06922148074380782, 0.11720380044875349, -0.11187878320535588, 0.29214429702382305, 0.07689978710568517, 0.040185078629529664, -0.08344126712733686, 0.1397936452502167, -0.04516800059146774, -0.15324638847860375, -0.2035260696081425, 0.03713433341757267, -0.00024769365384094287, -0.040631171955382094, -0.027043132270677592, -0.06227787510458921, 0.07333479694988958, -0.23469113369749514, 0.24671597674597665]),
+      |      list_dot_product(v, [-0.19689398729687926, 0.0025371253476960667, 0.12186596622731882, 0.10240890339143037, 0.07814494103715228, 0.008582812298398778, -0.03697645859283238, -0.0654223144118319, -0.13586728616362395, 0.073889089580517, 0.005304964276599628, 0.12485301398950345, -0.22373664616240127, -0.1518616616989201, -0.07588235547762631, -0.25109613170831796, -0.1845439750152196, 0.023710670646982797, -0.027515990216360402, -0.011616457703952917, 0.14755753348859352, 0.2047893482582204, -0.10973315026104742, -0.06187126028501506, -0.05170370444662244, -0.21094538913453947, 0.03796198148586537, -0.11524746631101586, 0.1860915649371119, 0.22845919210839175, 0.04409501117008903, -0.2351569876555825, 0.019183070901736266, 0.23805100711594254, 0.08483299696342042, -0.06620368420035648, 0.13600229992510668, 0.1793791453701174, -0.08327559808364757, -0.004914166500734551, -0.07491932060185062, -0.142027821679224, -0.03459721244231828, -0.043704380328126465, 0.09497222602038619, 0.0014658981234671154, -0.005785213585900156, 0.12656037009025756, -0.13852383562057827, -0.018141168483205242, 0.016382282933249375, 0.049370335728708206, 0.012264512777994488, -0.07142289464207618, -0.12395801017071026, 0.20032238036856584, -0.06539487424520152, -0.1701408666960604, -0.13580431137062157, 0.27893682282179255, 0.09043245526258728, 0.14260758172664872, 0.010443356821881425, 0.016220262522254322]),
+      |      list_dot_product(v, [-0.051457829342982965, 0.15977307682954664, 0.0057563812520295896, -0.02486662124868624, 0.0982834266941977, -0.11045200343644708, -0.04182570618590566, 0.024825768963033772, 0.1748549738191018, -0.1467819957622011, 0.06339335870686, -0.15941090991078866, -0.011650873020037061, -0.06738937936665758, 0.28109298558602636, 0.06449050027399678, 0.15898610847202008, -0.034370261484076216, -0.11197097329701766, 0.11317424621363964, 0.11887340732885511, -0.05994054828861898, -0.10192081413214435, 0.33293747858226214, -0.06916865629870418, -0.16351599090129013, -0.029357926806338707, -0.12018017272003202, 0.1855956029301421, -0.06282698283341157, -0.2203059524783688, 0.037660871734168634, 0.008169536801723302, 0.020932420048914293, -0.16789152975087868, 0.03721068448399125, 0.17389907513430597, 0.22704470913250646, -0.18137821304896593, -0.046314938591171605, -0.07759387447590897, -0.03697600468890057, -0.2795463541352076, -0.04790387488523304, -0.022600303484065744, -0.026633713481903604, 0.03306528589233208, 0.005796772624616948, 0.13081857328776494, -0.26657059310342324, 0.021535267604761658, -0.08729660257822289, -0.043298234026275785, -0.10654810166281671, -0.08474862832681779, 0.030074854119725176, -0.03435788390872839, 0.06107898547958866, -0.1406149809074584, -0.13650280439569298, -0.06261950169574919, -0.1566239168006758, 0.07477946820850997, 0.13997871723174352]),
+      |      list_dot_product(v, [-0.02562159892156312, -0.030266443107176216, 0.21928698263481897, 0.19162058436401846, 0.06122416122069387, -0.09679150625425414, 0.06952195703768357, -0.06002996806841933, -0.08105065077475491, -0.21512503919577877, 0.2527628598571763, 0.043319423184811814, -0.038379079586308235, -0.15035564776435897, -0.10899872987645134, -0.03152526638333196, -0.0019850806834813568, -0.07803740421685147, 0.009312607526370406, -0.1990995856430563, -0.0543343828952432, -0.07006575253770575, -0.09127304745075208, -0.10606251240669488, -0.04624308228949808, 0.21416199923558754, 0.014354867080355483, 0.0010018303588272492, 0.24532941247704812, 0.06122894994258977, -0.13122543202316006, -0.18039681945482647, -0.0161178858641742, -0.032721801578286684, -0.2159838236373285, -0.2364830438097681, -0.154596058034602, 0.09896183911637525, 0.20709395172075395, 0.04122284054762607, 0.13982556603424343, 0.05336750101260884, -0.12637116798913806, 0.03367387760405464, -0.10357330374627655, -0.05124726127041375, 0.05414001500531185, 0.13333565733237487, -0.09150752694878979, -0.004929535783529304, 0.11552794863004541, -0.0019265330902418286, -0.07437573824729005, 0.06809734801714627, 0.152734022398316, -0.09299799412886679, 0.03211690474877431, 0.19558580713061496, 0.1759491128997997, -0.1594144744918404, 0.08324609980154422, 0.04723444486885188, -0.08211948949603423, 0.26480779740661])]""".stripMargin
+
+  /** ANN recall AS DATA — now ORACLE-EXACT end to end: every leg of
+    * the audit table (exact truth, hyperplane-LSH, label-IVF,
+    * trained-k-means IVF, int8 scan, identity-prefix rerank,
+    * PCA-trained rerank, near-dup LSH vs the exact pair set, and the
+    * semantic-dedup group closure) recomputes in one DuckDB program
+    * from the raw embeddings plus the independently derived constants
+    * (embedded planes, the k-means snapshot, the Python-ported Jacobi
+    * rotation). A recall change anywhere — banding recall, probe
+    * selection, quantization, shortlist, clustering — is a hash
+    * mismatch, not a passed floor. SimilaritySpec still pins the
+    * sf0.001 values for fast in-suite regression.
     *
     * Scale shape: truth is k·|queries| narrow rows per method (a
     * left-semi join against each candidate set), and each count is a
     * single tiny agg — the expensive inputs are the ANN scans
-    * themselves, unchanged from e02/e03/e06/e07. */
-  val e08 = Q.noOracle("e08_ann_recall") { (s, dir) =>
+    * themselves, read from their shared silvers. */
+  val e08 = Q("e08_ann_recall",
+    s"""WITH RECURSIVE c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS n_rank
+       |    FROM c q, c e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE n_rank <= 5),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    ${sigSqlSelect("s")}
+       |  FROM c),
+       |lsh5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS n_rank
+       |    FROM sig q JOIN sig e
+       |      ON (q.s0 = e.s0 OR q.s1 = e.s1 OR q.s2 = e.s2 OR q.s3 = e.s3
+       |          OR q.s4 = e.s4 OR q.s5 = e.s5 OR q.s6 = e.s6 OR q.s7 = e.s7)
+       |    WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE n_rank <= 5),
+       |ldims AS (
+       |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS cx
+       |  FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM c) t
+       |  GROUP BY label, i),
+       |lcents AS (SELECT label, list(cx ORDER BY i) AS centroid
+       |  FROM ldims GROUP BY label),
+       |lprobes AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, k.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, k.centroid) DESC,
+       |                 k.label) AS crank
+       |    FROM c q, lcents k WHERE q.vec_id < 8) t WHERE crank <= 2),
+       |ivf5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, e.v) DESC, e.vec_id)
+       |        AS n_rank
+       |    FROM lprobes p JOIN c e ON e.label = p.label
+       |    JOIN c qc ON qc.vec_id = p.query_id
+       |    WHERE e.vec_id <> p.query_id) t WHERE n_rank <= 5),
+       |$gateKmeansCentsSql,
+       |kprobes AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, k.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, k.centroid) DESC, k.cluster) AS crank
+       |    FROM c q, pcents k WHERE q.vec_id < 8) t WHERE crank <= 2),
+       |kivf5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, a.v) DESC, a.vec_id) AS n_rank
+       |    FROM kprobes p JOIN assign a ON a.cluster = p.cluster
+       |    JOIN c qc ON qc.vec_id = p.query_id
+       |    WHERE a.vec_id <> p.query_id) t WHERE n_rank <= 5),
+       |qv AS (
+       |  SELECT vec_id,
+       |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127 AS s,
+       |    list_transform(v, x -> floor(x / (greatest(list_max(list_transform(v,
+       |      y -> abs(y))), 1e-30) / 127) + 0.5)) AS q
+       |  FROM c),
+       |qz5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.q, e.q) * e.s * q.s DESC, e.vec_id) AS n_rank
+       |    FROM qv q, qv e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE n_rank <= 5),
+       |rshort AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v[1:16], e.v[1:16]) DESC, e.vec_id) AS c_rank
+       |    FROM c q, c e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE c_rank <= 20),
+       |rt5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, e.v) DESC, s.neighbor_id) AS n_rank
+       |    FROM rshort s JOIN c e ON e.vec_id = s.neighbor_id
+       |    JOIN c qc ON qc.vec_id = s.query_id) t WHERE n_rank <= 5),
+       |cproj AS (SELECT vec_id, v, $gateRerankProjSql AS pv FROM c),
+       |trshort AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.pv, e.pv) DESC, e.vec_id) AS c_rank
+       |    FROM cproj q, cproj e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE c_rank <= 20),
+       |tr5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, e.v) DESC, s.neighbor_id) AS n_rank
+       |    FROM trshort s JOIN c e ON e.vec_id = s.neighbor_id
+       |    JOIN c qc ON qc.vec_id = s.query_id) t WHERE n_rank <= 5),
+       |ep AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM c a, c b
+       |  WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+       |    AND list_cosine_similarity(a.v, b.v) >= 0.45),
+       |ndp AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b
+       |    ON a.vec_id < b.vec_id
+       |    AND (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3
+       |         OR a.s4 = b.s4 OR a.s5 = b.s5 OR a.s6 = b.s6 OR a.s7 = b.s7)
+       |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
+       |    AND list_cosine_similarity(a.v, b.v) >= 0.45),
+       |sprobes AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT c.vec_id, k.cluster,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC, k.cluster) AS r
+       |    FROM c, pcents k) t WHERE r <= 3
+       |  UNION SELECT vec_id, cluster FROM assign),
+       |spairs AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM sprobes pa JOIN sprobes pb ON pa.cluster = pb.cluster
+       |  JOIN c a ON a.vec_id = pa.vec_id JOIN c b ON b.vec_id = pb.vec_id
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_cosine_similarity(a.v, b.v) >= 0.45),
+       |sedges AS (SELECT u, w FROM spairs UNION SELECT w, u FROM spairs),
+       |reach(a, b) AS (
+       |  SELECT u, u FROM sedges
+       |  UNION
+       |  SELECT r.a, e.w FROM reach r JOIN sedges e ON r.b = e.u),
+       |canon AS (SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a),
+       |tt AS (SELECT count(*) AS total FROM truth),
+       |et AS (SELECT count(*) AS total FROM ep)
+       |SELECT method, config, hits, total,
+       |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+       |FROM (
+       |  SELECT 'lsh' AS method, 'tables=8,bits=4,k=5' AS config,
+       |    (SELECT count(*) FROM truth t JOIN lsh5 m USING (query_id, neighbor_id)) AS hits,
+       |    (SELECT total FROM tt) AS total
+       |  UNION ALL SELECT 'ivf_label', 'nProbe=2,k=5',
+       |    (SELECT count(*) FROM truth t JOIN ivf5 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'ivf_kmeans', 'kmeans=8x3,nProbe=2,k=5',
+       |    (SELECT count(*) FROM truth t JOIN kivf5 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'quantized_int8', 'k=5',
+       |    (SELECT count(*) FROM truth t JOIN qz5 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'rerank_trunc', 'prefix=16,shortlist=20,k=5',
+       |    (SELECT count(*) FROM truth t JOIN rt5 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'rerank_trained', 'pca-rot16,shortlist=20,k=5',
+       |    (SELECT count(*) FROM truth t JOIN tr5 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'neardup_lsh', 'minCosine=0.45,adaptive-bits',
+       |    (SELECT count(*) FROM ep JOIN ndp USING (vec_a, vec_b)),
+       |    (SELECT total FROM et)
+       |  UNION ALL SELECT 'semdedup_group', 'adaptiveK-x3,probes=3,minCosine=0.45',
+       |    (SELECT count(*) FROM ep
+       |     JOIN canon ca ON ca.vec_id = ep.vec_a
+       |     JOIN canon cb ON cb.vec_id = ep.vec_b
+       |     WHERE ca.canonical_id = cb.canonical_id),
+       |    (SELECT total FROM et)
+       |) rows
+       |ORDER BY method""".stripMargin) { (s, dir) =>
     val emb = T.embeddings(s, dir)
     val q = queriesOf(s, dir)
     val truth = annTruthSilver(s, dir)
@@ -952,13 +1150,42 @@ object Similarity {
         probes = 3)
     }
 
-  /** Semantic dedup over the gate corpus: corpus-sized k-means (×3
-    * Lloyd iterations) + within-cluster cosine ≥ 0.45 (the corpus'
-    * planted near-dup regime, same threshold as e04/e05). Iterative
-    * k-means → no SQL oracle (rows-only driver check); SimilaritySpec
-    * pins determinism, group consistency against the exact pair scan,
-    * and one-keeper-per-group. */
-  val e09 = Q.noOracle("e09_semantic_dedup") { (s, dir) =>
+  /** Semantic dedup over the gate corpus — oracle-exact via the same
+    * independently derived centroid snapshot: the SQL recomputes the
+    * single assignment, the post-update probe book, the top-3 probe
+    * rows ∪ assignment, the within-probe-cluster cosine ≥ 0.45 pairs,
+    * and the connected-components closure (recursive CTE), then keeps
+    * the min-id canonical per group — the full SemDeDup composite
+    * checked end to end. SimilaritySpec still pins determinism and the
+    * one-keeper contract. */
+  val e09 = Q("e09_semantic_dedup",
+    s"""WITH RECURSIVE c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$gateKmeansCentsSql,
+       |probes AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT c.vec_id, k.cluster,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC,
+       |                 k.cluster) AS r
+       |    FROM c, pcents k) t WHERE r <= 3
+       |  UNION SELECT vec_id, cluster FROM assign),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM probes pa JOIN probes pb ON pa.cluster = pb.cluster
+       |  JOIN c a ON a.vec_id = pa.vec_id JOIN c b ON b.vec_id = pb.vec_id
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_cosine_similarity(a.v, b.v) >= 0.45),
+       |edges AS (SELECT u, w FROM pairs UNION SELECT w, u FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.a, e.w FROM reach r JOIN edges e ON r.b = e.u),
+       |cl AS (SELECT a AS vec_id, min(b) AS canonical_id FROM reach GROUP BY a)
+       |SELECT c.vec_id, coalesce(cl.canonical_id, c.vec_id) AS canonical_id,
+       |  coalesce(cl.canonical_id, c.vec_id) = c.vec_id AS keep
+       |FROM c LEFT JOIN cl ON cl.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
     semdedupSilver(s, dir).orderBy("vec_id")
   }
 
