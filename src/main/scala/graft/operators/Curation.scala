@@ -1271,7 +1271,85 @@ object Curation {
     lengthProfile(T.documents(s, dir)).orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- d36
+
+  /** SPAN-LEVEL contamination report — the audit companion to d15's
+    * filter: for every (corpus doc, benchmark doc) pair sharing 3-gram
+    * shingles, WHERE the overlap sits (first/last matching shingle
+    * position) and how long its longest CONSECUTIVE run is (the
+    * verbatim-quote length signal reviewers act on — 40 scattered
+    * matches and one 40-shingle block are different findings). Runs
+    * come from the gaps-and-islands trick (pos − row_number per
+    * (doc, bench) is constant within a consecutive run), so the whole
+    * report is two hash aggregates over the matched positions — the
+    * corpus side streams positional 8-byte hashes through the same
+    * broadcast benchmark join as d15, nothing corpus-sized shuffles
+    * beyond the matches themselves. */
+  def contaminationSpans(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val cpos = corpus.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => xxhash64(concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3)))))
+        .otherwise(expr("CAST(array() AS array<bigint>)")))
+        .as(Seq("pos", "g")))
+    val bg = bench.select(col("doc_id").as("bench_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bench_id").orderBy("pos")
+    cpos.join(broadcast(bg), Seq("g"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "bench_id", "island")
+      .agg(count(lit(1)).as("rl"), min("pos").as("mn"), max("pos").as("mx"))
+      .groupBy("doc_id", "bench_id")
+      .agg(sum("rl").as("n_pos"),
+        min("mn").as("first_pos"), max("mx").as("last_pos"),
+        max("rl").as("max_run"))
+  }
+
+  /** Contamination provenance over the d15 benchmark split. A corpus
+    * 3-gram position can match several benchmark docs — every pair
+    * reports independently, which is the review contract. */
+  val d36 = Q("d36_contamination_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |cpos AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 3 AND doc_id % 17 <> 0) t),
+      |bg AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 3 AND doc_id % 17 = 0) t),
+      |m AS (
+      |  SELECT c.doc_id, b.bench_id, c.pos
+      |  FROM cpos c JOIN bg b ON c.g = b.g),
+      |isl AS (
+      |  SELECT doc_id, bench_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id, bench_id
+      |                             ORDER BY pos) AS island
+      |  FROM m),
+      |runs AS (
+      |  SELECT doc_id, bench_id, island, count(*) AS rl,
+      |    min(pos) AS mn, max(pos) AS mx
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT doc_id, bench_id, CAST(sum(rl) AS BIGINT) AS n_pos,
+      |  CAST(min(mn) AS INT) AS first_pos, CAST(max(mx) AS INT) AS last_pos,
+      |  CAST(max(rl) AS BIGINT) AS max_run
+      |FROM runs GROUP BY 1, 2
+      |ORDER BY doc_id, bench_id""".stripMargin) { (s, dir) =>
+    val base = Dedup.shingled(s, dir)
+    contaminationSpans(
+        base.filter(col("doc_id") % 17 =!= 0),
+        base.filter(col("doc_id") % 17 === 0))
+      .orderBy("doc_id", "bench_id")
+  }
+
   val all: Seq[Q] =
     Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29,
-      d30, d31, d32, d33, d34)
+      d30, d31, d32, d33, d34, d36)
 }

@@ -7,6 +7,40 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  // ---------------------------------------------------------- d36
+
+  test("contamination spans: positions, pair fan-out, and the longest " +
+      "consecutive run on a constructed fixture") {
+    import spark.implicits._
+    // bench doc 0: "a b c d e"  → shingles "a b c","b c d","c d e"
+    // bench doc 1: "x y z"      → shingle  "x y z"
+    // corpus doc 10: "a b c d e q x y z a b c"
+    //   vs bench 0: positions 0,1,2 match (run of 3) and position 9
+    //     ("a b c" again) → n_pos 4, first 0, last 9, max_run 3
+    //   vs bench 1: position 6 only
+    // corpus doc 11: "q w e" → no matches, absent from the report
+    val mk = (id: Long, t: String) => (id, t)
+    val base = Seq(
+      mk(0L, "a b c d e"), mk(1L, "x y z"),
+      mk(10L, "a b c d e q x y z a b c"), mk(11L, "q w e"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), trim(col("text")).as("tt"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("sh", array_distinct(
+        when(size(col("toks")) >= 3,
+          expr("""transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+          .otherwise(array(col("tt")))))
+    val got = Curation.contaminationSpans(
+        base.filter(col("doc_id") >= 10), base.filter(col("doc_id") < 10))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      (10L, 0L) -> ((4L, 0, 9, 3L)),
+      (10L, 1L) -> ((1L, 6, 6, 1L))), s"got $got")
+  }
+
   // ---------------------------------------------------------- d15
 
   test("decontamination matches a per-doc brute-force shingle intersect") {
