@@ -214,5 +214,50 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** Batch unification of `StreamCuration.verdicts` (the streaming
+    * scrub → token-gate → first-seen-dedup composite): dedup key = md5
+    * of the SCRUBBED text, canonical = min doc_id among GATED members
+    * only (a short fragment never shadows the full document), every
+    * document verdicted. StreamCurationSpec proves the stateful stream
+    * equals this across micro-batch splits. */
+  val s08 = Q("s08_stream_curation", {
+    val bl = graft.operators.Curation.Blocklist
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+       |      AS n_tokens,
+       |    md5(array_to_string(list_transform(
+       |      string_split_regex(trim(text), '\\s+'),
+       |      t -> CASE WHEN t IN ($bl) THEN '[REDACTED]' ELSE t END), ' '))
+       |      AS h
+       |  FROM documents),
+       |canon AS (
+       |  SELECT h, min(doc_id) AS canonical FROM s
+       |  WHERE n_tokens >= 40 GROUP BY h)
+       |SELECT s.doc_id, s.n_tokens,
+       |  s.n_tokens >= 40 AS passed_gate,
+       |  s.n_tokens >= 40 AND s.doc_id <> canon.canonical AS is_dup,
+       |  s.n_tokens >= 40 AND s.doc_id = canon.canonical AS kept
+       |FROM s LEFT JOIN canon ON s.h = canon.h
+       |ORDER BY s.doc_id""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val terms = graft.operators.Curation.Blocklist
+    val scrubbed = array_join(transform(split(trim(col("text")), "\\s+"),
+      t => when(t.isin(terms.map(lit(_)): _*), "[REDACTED]").otherwise(t)),
+      " ")
+    val base = T.documents(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"),
+      md5(scrubbed.cast("binary")).as("h"))
+    val canon = min(when(col("n_tokens") >= 40, col("doc_id")))
+      .over(Window.partitionBy("h"))
+    base.select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 40).as("passed_gate"),
+        (col("n_tokens") >= 40 && col("doc_id") =!= canon).as("is_dup"),
+        (col("n_tokens") >= 40 && col("doc_id") === canon).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }
