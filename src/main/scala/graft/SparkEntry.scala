@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.AsOf.all ++
       operators.Events.all ++ operators.TextOps.all ++
       operators.Dedup.all ++ operators.Curation.all ++
+      operators.CorpusOps.all ++ operators.Retrieval.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++ operators.ApiQueries.all ++
       plans.GraphOps.all ++ plans.ChainSim.all ++ plans.SilverLayer.all ++

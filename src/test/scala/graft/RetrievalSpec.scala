@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def queryDf = {
+    import spark.implicits._
+    Retrieval.queryTerms.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }.toDF("query_id", "term_idx", "term")
+  }
+
+  test("scan-scoring and inverted-index BM25 agree bitwise") {
+    val a = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    val b = Retrieval.bm25PostingsTopK(docs, queryDf, 10)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b, "the two BM25 plan shapes must produce identical rows")
+  }
+
+  test("two-level top-k is lossless: buckets=1 == buckets=16") {
+    val one = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10, buckets = 1)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    val many = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10, buckets = 16)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    assert(one == many)
+  }
+
+  test("rare term dominates: every doc containing 'dup' outranks every " +
+      "dup-free doc on query 1") {
+    val dupDocs = docs
+      .filter(array_contains(split(trim(col("text")), "\\s+"), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupDocs.nonEmpty, "fixture should contain the rare token")
+    val ranked = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
+      .filter(col("query_id") === 1).orderBy("n_rank")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val firstNonDup = ranked.indexWhere(id => !dupDocs.contains(id))
+    val lastDup = ranked.lastIndexWhere(dupDocs.contains)
+    assert(lastDup >= 0, "at least one dup doc must surface in the top-k")
+    assert(firstNonDup == -1 || lastDup < firstNonDup,
+      s"dup docs must form the ranking prefix: $ranked vs dup set $dupDocs")
+  }
+
+  test("ranks are contiguous, scores positive and non-increasing per query") {
+    val rows = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
+      .orderBy("query_id", "n_rank")
+      .select("query_id", "n_rank", "score").collect()
+    rows.groupBy(_.getInt(0)).foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to ranks.size), s"query $qid ranks not contiguous")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      assert(scores.forall(_ > 0))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+        s"query $qid scores must be non-increasing: $scores")
+    }
+  }
+
+  test("deterministic across runs") {
+    val a = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    val b = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
+      .orderBy("query_id", "n_rank").collect().toSeq
+    assert(a == b)
+  }
+}

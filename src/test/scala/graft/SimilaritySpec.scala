@@ -125,6 +125,10 @@ class SimilaritySpec extends SparkSpec {
       "quantized_int8" -> ((39L, 40L)),
       "rerank_trunc" -> ((15L, 40L)),
       "rerank_trained" -> ((19L, 40L)),
+      // the second point of the trade curve: +8 dims of coarse budget
+      // buys +8 hits (16->19/40, 24->27/40) — the audit row a capacity
+      // decision would read
+      "rerank_trained24" -> ((27L, 40L)),
       "neardup_lsh" -> ((7L, 7L)),
       "semdedup_group" -> ((6L, 7L))), s"recall drifted: $rows")
   }
