@@ -20,20 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def toksOf(c: Column): Column = split(trim(c), "\\s+")
+  private[graft] def toksOf(c: Column): Column = split(trim(c), "\\s+")
 
   /** alpha_256 — computed (not hand-pasted) so Scala and the interpolated
     * SQL literal are the same IEEE double by construction. */
-  private val Alpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
+  private[graft] val Alpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
 
-  private val RegBits = 8         // m = 256 registers
-  private val WBits = 44          // 52-bit hash = 8 register + 44 rho bits
-  private val WMask = (1L << WBits) - 1            // 17592186044415
-  private val Pow2W = 1L << (WBits + 1)            // 2^45, the rho=0 numerator
+  private[graft] val RegBits = 8         // m = 256 registers
+  private[graft] val WBits = 44          // 52-bit hash = 8 register + 44 rho bits
+  private[graft] val WMask = (1L << WBits) - 1            // 17592186044415
+  private[graft] val Pow2W = 1L << (WBits + 1)            // 2^45, the rho=0 numerator
 
   /** Token bigrams per row — engine-portable (1-based indexing both sides;
     * DuckDB mirror: list_transform(range(1, len(toks)), i -> ...)). */
-  private def bigrams(toksCol: String): Column =
+  private[graft] def bigrams(toksCol: String): Column =
     when(size(col(toksCol)) >= 2,
       expr(s"transform(sequence(1, size($toksCol) - 1), " +
         s"i -> concat(element_at($toksCol, i), ' ', element_at($toksCol, i + 1)))"))
@@ -41,18 +41,9 @@ object CorpusOps {
 
   /** 52-bit hash = first 13 hex chars of md5 — exact in int64 AND in a
     * double mantissa, same basis as the SimHash token hash (Dedup). */
-  private def h52(c: Column): Column =
+  private[graft] def h52(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 13), 16, 10).cast("long")
 
-  /** Deterministic HLL over distinct token bigrams, per language plus a
-    * merged ALL row (register merge = max of maxes — the mergeability that
-    * makes the sketch a one-pass map-side-combinable aggregate at 100 TB;
-    * the exact-distinct audit column is gate-scale-only luxury and would be
-    * dropped in production, which is the sketch's whole point).
-    *
-    * No small/large-range corrections: both need `ln`, the one op that is
-    * not exactly rounded across engines; raw-estimate bias at n >> m is
-    * negligible and the audit column shows the real error as data. */
   /** Per-language HLL register relation (scope, reg, mx) — the mergeable
     * sub-sketch: merging = max per register, which [[distinctSketch]]
     * exercises structurally by deriving the ALL row from these rows
@@ -71,6 +62,15 @@ object CorpusOps {
       .groupBy(col("lang").as("scope"), col("reg"))
       .agg(max("rho").as("mx"))
 
+  /** Deterministic HLL over distinct token bigrams, per language plus a
+    * merged ALL row (register merge = max of maxes — the mergeability that
+    * makes the sketch a one-pass map-side-combinable aggregate at 100 TB;
+    * the exact-distinct audit column is gate-scale-only luxury and would be
+    * dropped in production, which is the sketch's whole point).
+    *
+    * No small/large-range corrections: both need `ln`, the one op that is
+    * not exactly rounded across engines; raw-estimate bias at n >> m is
+    * negligible and the audit column shows the real error as data. */
   def distinctSketch(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("lang"), toksOf(col("text")).as("toks"))

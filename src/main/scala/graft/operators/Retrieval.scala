@@ -233,5 +233,107 @@ object Retrieval {
         .orderBy("query_id", "n_rank")
   }
 
-  val all: Seq[Q] = Seq(t01, t02)
+  /** Hybrid retrieval: fuse the BM25 ranking with an exact-cosine vector
+    * ranking by reciprocal-rank fusion (Cormack et al. 2009: score =
+    * Σ 1/(60 + rank)). RRF is the production hybrid-search default
+    * precisely because it consumes RANKS, not scores — integers survive
+    * any engine bit-for-bit, so the fused ranking is oracle-exact even
+    * though the two source scores live on incomparable scales.
+    *
+    * Scale shape: each side is its own top-poolK (lexical: the t01 plan;
+    * vector: brute-force here, swap in the IVF/LSH scan at corpus scale —
+    * fusion only sees ranks, so the swap is free); the fusion join and
+    * re-rank touch ≤ 2·poolK rows per query. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int, poolK: Int): DataFrame = {
+    val qids = queries.map(_._1)
+    val lex = bm25ScanTopK(docs, queries, poolK)
+      .select(col("query_id"), col("doc_id"), col("n_rank").as("lex_rank"))
+    val qv = emb.filter(col("vec_id").isin(qids.map(Integer.valueOf): _*))
+      .select(col("vec_id").cast("int").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val cv = emb.select(col("vec_id").as("doc_id"),
+      transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = cv.crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= poolK)
+      .select("query_id", "doc_id", "vec_rank")
+    val wFused = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")),
+            lit(0.0)))
+      .withColumn("n_rank", row_number().over(wFused))
+      .filter(col("n_rank") <= k)
+      .select("query_id", "n_rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+  }
+
+  val t03 = Q("t03_hybrid_rrf",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    ${allTerms.map(tfSql).mkString(",\n    ")}
+       |  FROM d),
+       |st AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    ${allTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n    ")}
+       |  FROM f),
+       |sc0 AS (
+       |  SELECT f.*, st.*,
+       |    CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |  FROM f, st),
+       |sc AS (SELECT *, CAST(dl AS DOUBLE) / avgdl AS dlr FROM sc0),
+       |scored AS (
+       |  ${queryTerms.map { case (qid, ts) =>
+      s"""SELECT $qid AS query_id, doc_id,
+         |   ${scoreSumSql(ts)} AS score FROM sc""".stripMargin }
+      .mkString("\n  UNION ALL\n  ")}),
+       |lex AS (
+       |  SELECT query_id, doc_id, n_rank AS lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS n_rank
+       |    FROM scored WHERE score > 0) t
+       |  WHERE n_rank <= 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |vec AS (
+       |  SELECT query_id, doc_id, n_rank AS vec_rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+       |        AS n_rank
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN (${queryTerms.map(_._1).mkString(", ")})) t
+       |  WHERE n_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |    COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+       |SELECT query_id, n_rank, doc_id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS n_rank
+       |  FROM fused) t
+       |WHERE n_rank <= 10 ORDER BY query_id, n_rank""".stripMargin) {
+    (s, dir) =>
+      hybridRrf(T.documents(s, dir), T.embeddings(s, dir), queryTerms,
+        10, 20).orderBy("query_id", "n_rank")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03)
 }

