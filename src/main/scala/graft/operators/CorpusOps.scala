@@ -236,5 +236,79 @@ object CorpusOps {
     ppsSample(T.documents(s, dir), 64).orderBy("priority", "doc_id")
   }
 
-  val all: Seq[Q] = Seq(d37, d38, d39)
+  /** Incremental cross-snapshot dedup — the corpus-side analogue of the
+    * chain side's IncrementalSilver: re-deduplicating 100 TB because 1%
+    * changed is the thing a production pipeline must never do.
+    *
+    * Semantics (v1 canonicals are FROZEN — group identity is stable
+    * across snapshots, even if the canonical doc was itself removed):
+    *  - rows unchanged in v2 (same doc_id + content hash) carry their
+    *    v1 group: a key-equi semi join, no re-hashing of content;
+    *  - delta rows (new or changed) first probe v1's hash→canonical
+    *    index — delta-sized build side, broadcastable;
+    *  - delta rows matching nothing form new groups first-seen
+    *    (min doc_id) WITHIN the delta.
+    * Equivalent closed form (what the oracle recomputes):
+    * canonical(h) = coalesce(min_v1(h), min_delta(h)). */
+  def incrementalDedup(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val v1h = v1.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val v1canon = v1h.groupBy("h").agg(min("doc_id").as("v1_canonical"))
+    val v2h = v2.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val carried = v2h.join(v1h, Seq("doc_id", "h"), "left_semi")
+      .join(v1canon, "h")
+      .select(col("doc_id"), col("h"),
+        col("v1_canonical").as("canonical"), lit("carried").as("src"))
+    val delta = v2h.join(v1h, Seq("doc_id", "h"), "left_anti")
+    val deltaCanon = delta.groupBy("h").agg(min("doc_id").as("delta_min"))
+    val deltaOut = delta
+      .join(broadcast(v1canon), Seq("h"), "left")
+      .join(broadcast(deltaCanon), "h")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("v1_canonical"), col("delta_min")).as("canonical"),
+        when(col("v1_canonical").isNotNull, "matched_v1")
+          .otherwise("new_group").as("src"))
+    carried.unionByName(deltaOut)
+  }
+
+  /** Registered over the same simulated snapshots as d38, so all four
+    * verdict sources are populated (carried, matched_v1 via re-adds,
+    * new_group via revisions and adds). */
+  val d41 = Q("d41_incremental_dedup",
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+      |      AS h
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |v1c AS (SELECT h, min(doc_id) AS v1_canonical FROM v1 GROUP BY h),
+      |carried AS (
+      |  SELECT v2.doc_id, v2.h FROM v2
+      |  JOIN v1 ON v1.doc_id = v2.doc_id AND v1.h = v2.h),
+      |delta AS (
+      |  SELECT v2.doc_id, v2.h FROM v2
+      |  ANTI JOIN v1 ON v1.doc_id = v2.doc_id AND v1.h = v2.h),
+      |dc AS (SELECT h, min(doc_id) AS delta_min FROM delta GROUP BY h)
+      |SELECT doc_id, h, canonical, src FROM (
+      |  SELECT c.doc_id, c.h, v1c.v1_canonical AS canonical,
+      |    'carried' AS src
+      |  FROM carried c JOIN v1c USING (h)
+      |  UNION ALL
+      |  SELECT d.doc_id, d.h,
+      |    COALESCE(v1c.v1_canonical, dc.delta_min) AS canonical,
+      |    CASE WHEN v1c.v1_canonical IS NOT NULL THEN 'matched_v1'
+      |         ELSE 'new_group' END AS src
+      |  FROM delta d LEFT JOIN v1c USING (h) JOIN dc USING (h)) t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = T.documents(s, dir)
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    incrementalDedup(v1, v2).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d37, d38, d39, d41)
 }

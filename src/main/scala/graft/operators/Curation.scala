@@ -1349,7 +1349,94 @@ object Curation {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Named-rules quality REPORT (Gopher-shape composite): every rule's
+    * signal AND its verdict per document, with machine-readable failure
+    * reasons — what a production filter emits so curation reviews can
+    * audit WHY a document was dropped, not just that it was. Signals are
+    * per-row column programs except the repetition rule's per-doc top
+    * bigram (one hash aggregate); every float is a fixed-order ratio of
+    * exact integers, so the whole report is oracle-exact. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("sum_tok_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x))
+      .withColumn("n_the",
+        size(filter(col("toks"), x => x === lit("the"))))
+    val topGram = base
+      .select(col("doc_id"), explode(CorpusOps.bigrams("toks")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_gram"))
+    val m = base.join(topGram, Seq("doc_id"), "left")
+      .withColumn("mean_tok_len",
+        col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_the").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2,
+          coalesce(col("top_gram"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+    val rLen = col("n_tokens") >= 40 && col("n_tokens") <= 100000
+    val rMean = col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 12.0
+    val rStop = col("stop_ratio") >= 0.005
+    val rRep = col("top_bigram_frac") <= 0.1
+    m.select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+      col("stop_ratio"), col("top_bigram_frac"),
+      concat_ws(",",
+        when(!rLen, "len"), when(!rMean, "mean_len"),
+        when(!rStop, "stopword"), when(!rRep, "repetition"))
+        .as("failed_rules"),
+      (rLen && rMean && rStop && rRep).as("kept"))
+  }
+
+  val d40 = Q("d40_quality_rules",
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+      |      AS sum_tok_len,
+      |    len(list_filter(toks, x -> x = 'the')) AS n_the,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, max(cnt) AS top_gram FROM (
+      |    SELECT doc_id, gram, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(grams) AS gram FROM b)
+      |    GROUP BY doc_id, gram) t
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT b.doc_id, n_tokens,
+      |    CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |      AS mean_tok_len,
+      |    CAST(n_the AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |    CASE WHEN n_tokens >= 2
+      |         THEN CAST(COALESCE(top_gram, 0) AS DOUBLE)
+      |           / CAST(n_tokens - 1 AS DOUBLE)
+      |         ELSE 0.0 END AS top_bigram_frac
+      |  FROM b LEFT JOIN g USING (doc_id))
+      |SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, top_bigram_frac,
+      |  concat_ws(',',
+      |    CASE WHEN NOT (n_tokens >= 40 AND n_tokens <= 100000)
+      |         THEN 'len' END,
+      |    CASE WHEN NOT (mean_tok_len >= 3.0 AND mean_tok_len <= 12.0)
+      |         THEN 'mean_len' END,
+      |    CASE WHEN NOT (stop_ratio >= 0.005) THEN 'stopword' END,
+      |    CASE WHEN NOT (top_bigram_frac <= 0.1) THEN 'repetition' END)
+      |    AS failed_rules,
+      |  (n_tokens >= 40 AND n_tokens <= 100000)
+      |    AND (mean_tok_len >= 3.0 AND mean_tok_len <= 12.0)
+      |    AND stop_ratio >= 0.005 AND top_bigram_frac <= 0.1 AS kept
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityRules(T.documents(s, dir)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d27, d28, d29,
-      d30, d31, d32, d33, d34, d36)
+      d30, d31, d32, d33, d34, d36, d40)
 }

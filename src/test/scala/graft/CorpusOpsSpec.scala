@@ -95,4 +95,51 @@ class CorpusOpsSpec extends SparkSpec {
     val b = CorpusOps.ppsSample(docs, 32).collect().toSeq
     assert(a == b)
   }
+
+  test("incremental dedup: carried/matched/new verdicts on a constructed " +
+      "fixture; v1 canonicals are frozen") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "a"), (5L, "b"), (10L, "x"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "a"),   // unchanged -> carried, group 1
+      (3L, "a"),              // new doc, v1 content -> matched_v1, group 1
+      (4L, "c"),              // new content -> new_group, canonical 4
+      (5L, "b2"),             // changed -> new_group, canonical 5
+      (0L, "x")               // smaller id than v1's 10 -> STILL group 10
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.incrementalDedup(v1, v2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      2L -> ((1L, "carried")),
+      3L -> ((1L, "matched_v1")),
+      4L -> ((4L, "new_group")),
+      5L -> ((5L, "new_group")),
+      0L -> ((10L, "matched_v1"))))
+  }
+
+  test("incremental dedup equals the closed-form priority rule on the " +
+      "corpus snapshots") {
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val inc = CorpusOps.incrementalDedup(v1, v2)
+      .select("doc_id", "canonical").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closed form: canonical(h) = coalesce(min over v1, min over delta)
+    val v1h = v1.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val v2h = v2.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val v1min = v1h.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val v1set = v1h.toSet
+    val deltaMin = v2h.filterNot(v1set.contains).groupBy(_._2)
+      .map { case (h, xs) => h -> xs.map(_._1).min }
+    val expected = v2h.map { case (id, h) =>
+      id -> v1min.getOrElse(h, deltaMin(h))
+    }.toMap
+    assert(inc == expected)
+    assert(inc.size == v2h.length)
+  }
 }

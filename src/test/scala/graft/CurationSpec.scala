@@ -660,4 +660,35 @@ class CurationSpec extends SparkSpec {
     }
     assert(out.keySet == lens.keySet)
   }
+
+  test("d40 quality report: verdicts recompute from raw signals, reasons " +
+      "name exactly the failed rules") {
+    val rows = graft.operators.Curation.qualityRules(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, stop, rep) = (r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      val expected = Seq(
+        "len" -> !(n >= 40 && n <= 100000),
+        "mean_len" -> !(mean >= 3.0 && mean <= 12.0),
+        "stopword" -> !(stop >= 0.005),
+        "repetition" -> !(rep <= 0.1)).filter(_._2).map(_._1)
+      assert(r.getString(5) == expected.mkString(","), s"reasons on $r")
+      assert(r.getBoolean(6) == expected.isEmpty, s"kept on $r")
+    }
+    assert(rows.exists(!_.getBoolean(6)), "fixture should fail some docs")
+    assert(rows.exists(_.getBoolean(6)), "fixture should keep some docs")
+  }
+
+  test("d40 repetition rule fires on a constructed degenerate doc") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Seq.fill(50)("spam ham").mkString(" ")),
+      (2L, (1 to 100).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation.qualityRules(fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got(1L).contains("repetition"), s"degenerate doc: ${got(1L)}")
+    assert(!got(2L).contains("repetition"))
+  }
 }
