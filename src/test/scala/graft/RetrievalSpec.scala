@@ -86,6 +86,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phrase/proximity signals recompute from raw token positions") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "hash join x hash join y join"),
+      (2L, "hash x x x join"),
+      (3L, "join only here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseProximityTopK(fixture,
+        Seq((1, "hash", "join")), 10)
+      .collect().map(r => r.getLong(2) -> ((r.getInt(3), r.getInt(4))))
+      .toMap
+    // doc 1: hash@{1,4}, join@{2,5,7} -> adjacency x2, min |1-2| = 1
+    // doc 2: hash@1, join@5 -> no phrase, distance 4
+    // doc 3: no 'hash' -> absent
+    assert(got == Map(1L -> ((2, 1)), 2L -> ((0, 4))))
+  }
+
+  test("t04 ranking agrees with a brute-force positional recompute") {
+    val textById = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Retrieval.phraseProximityTopK(docs, Retrieval.phrasePairs, 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getInt(0)
+      val id = r.getLong(2)
+      val (_, a, b) = Retrieval.phrasePairs.find(_._1 == qid).get
+      val toks = textById(id).trim.split("\\s+")
+      val pa = toks.zipWithIndex.collect { case (t, i) if t == a => i + 1 }
+      val pb = toks.zipWithIndex.collect { case (t, i) if t == b => i + 1 }
+      val phrase = pa.count(x => pb.contains(x + 1))
+      val dist = (for (x <- pa; y <- pb) yield math.abs(x - y)).min
+      assert(r.getInt(3) == phrase && r.getInt(4) == dist,
+        s"positional signals diverged on query $qid doc $id")
+    }
+  }
+
   test("deterministic across runs") {
     val a = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
       .orderBy("query_id", "n_rank").collect().toSeq
