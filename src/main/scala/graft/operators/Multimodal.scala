@@ -646,6 +646,48 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m09
 
+  /** The audio-fingerprint CTE chain (no leading WITH): recomputes the
+    * engine's windowed fingerprint from the generation formula in pure
+    * SQL, ending in `afp(media_id, n, fp)` and `apairs(media_a, media_b,
+    * hamming)` at Hamming <= 2 — shared by m10 and the m09 composite. */
+  private[operators] val audioFpCtes: String =
+    """ab AS (
+      |  SELECT doc_id AS media_id, doc_id - doc_id % 3 AS g,
+      |    doc_id % 3 AS m, CAST(100 + (doc_id - doc_id % 3) % 50 AS INT)
+      |      AS n
+      |  FROM documents),
+      |atot AS (
+      |  SELECT media_id, n, g, m,
+      |    CAST(list_sum([ (13 * g + 7 * i
+      |        + CASE WHEN i % 17 = 0 THEN 97 * m ELSE 0 END) % 65536
+      |        - 32768 for i in range(0, n)]) AS BIGINT) AS tot
+      |  FROM ab),
+      |abitk AS (
+      |  SELECT media_id, n, g, m, tot, unnest(range(0, 64)) AS k
+      |  FROM atot),
+      |abits AS (
+      |  SELECT media_id, n, k, tot,
+      |    CAST(list_sum([ (13 * g + 7 * i
+      |        + CASE WHEN i % 17 = 0 THEN 97 * m ELSE 0 END) % 65536
+      |        - 32768 for i in range(0, n) if (i * 64) // n = k])
+      |      AS BIGINT) AS wsum,
+      |    CAST(len([1 for i in range(0, n) if (i * 64) // n = k])
+      |      AS BIGINT) AS wn
+      |  FROM abitk),
+      |afp AS (
+      |  SELECT media_id, n,
+      |    CAST(sum(CASE WHEN wsum * n <= tot * wn THEN 0
+      |      WHEN k = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |      ELSE CAST(CAST(1 AS BIGINT) << k AS HUGEINT) END)
+      |      AS BIGINT) AS fp
+      |  FROM abits GROUP BY media_id, n),
+      |apairs AS (
+      |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      |  FROM afp a JOIN afp b
+      |    ON a.n = b.n AND a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 2)""".stripMargin
+
   /** MULTIMODAL duplicate clusters — the composite a production dedup
     * actually runs: a document is a duplicate if its TEXT is a near-dup
     * (exact 3-shingle Jaccard ≥ 0.3, the d13/d14 relation) OR its IMAGE
@@ -680,14 +722,30 @@ object Multimodal {
       .select(col("rep").as("doc_a"), col("media_id").as("doc_b"))
     val repPairs = imageNearDupPairs(reps, maxHamming = 2)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    // Audio arm (round 12): same contraction — exact-fingerprint classes
+    // become stars, banding runs over the representatives only. This is
+    // what keeps the composite linear when the m10 pair SET is
+    // quadratic in class sizes (24.1M pairs at sf1 vs ~n edges here).
+    val fps = audioFpSilver(s, dir)
+    val areps = fps.groupBy("n_frames", "fp")
+      .agg(min("media_id").as("media_id"))
+    val astar = fps
+      .join(areps.withColumnRenamed("media_id", "rep"),
+        Seq("n_frames", "fp"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("media_id").as("doc_b"))
+    val aPairs = audioNearDupPairs(areps, maxHamming = 2)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     Dedup.dupClusters(
-      textPairs.unionByName(star).unionByName(repPairs))
+      textPairs.unionByName(star).unionByName(repPairs)
+        .unionByName(astar).unionByName(aPairs))
   }
 
   val m09 = Q("m09_multimodal_clusters",
     s"""${graft.operators.Dedup.shingleCte
           .replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$pHashCtes,
+       |$audioFpCtes,
        |tpairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a, sh b
@@ -700,6 +758,8 @@ object Multimodal {
        |  UNION SELECT doc_b, doc_a FROM tpairs
        |  UNION SELECT media_a, media_b FROM ipairs
        |  UNION SELECT media_b, media_a FROM ipairs
+       |  UNION SELECT media_a, media_b FROM apairs
+       |  UNION SELECT media_b, media_a FROM apairs
        |),
        |reach(a, b) AS (
        |  SELECT u, u FROM edges
@@ -711,5 +771,147 @@ object Multimodal {
     multimodalClusters(s, dir).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  // ---------------------------------------------------------------- m10
+
+  /** Audio fingerprint + near-dup — the AUDIO twin of m08, closing the
+    * near-dup family across all three media arms (text d11-d13, image
+    * m08, audio m10). Fingerprint = 64 windows of exact integer
+    * area-pooled PCM means, bit k set by the cross-multiplied mean test
+    * (wsum·n > tot·wn) — the same integer trick that makes the image
+    * hash engine-reproducible, applied to the REAL AudioSystem-decoded
+    * sample stream. The fixture plants near-dup groups: triples of ids
+    * share a base sawtooth with a sparse per-member perturbation (every
+    * 17th sample bumped), so fingerprints collide closely within a
+    * group and the banded LSH must find them (bump constant 97 chosen
+    * so within-group pairs land at Hamming 0-2 with a thin tail just
+    * past the band — the boundary the oracle exercises). */
+  case class AudioFp(media_id: Long, n_frames: Int, fp: Long)
+
+  private def pcmWav(pcm: Array[Byte], frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Near-dup audio fixture: group g = id − id%3 fixes length and base
+    * signal; member m = id%3 bumps every 17th sample by 97·m (mod
+    * wrap), a sparse perturbation that moves a few window means. */
+  private[operators] def wavGroupFromSpec(id: Long): Array[Byte] = {
+    val g = id - id % 3
+    val m = id % 3
+    val n = (100 + g % 50).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val bump = if (i % 17 == 0) 97L * m else 0L
+      val s = (((13 * g + 7 * i + bump) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcmWav(pcm, n)
+  }
+
+  def audioGroupsFromDocuments(s: SparkSession, dir: String)
+      : Dataset[AudioRow] = {
+    import s.implicits._
+    T.documents(s, dir).select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioRow(id, wavGroupFromSpec(id))))
+  }
+
+  /** Real WAV decode → 64-window integer area pooling → 64-bit
+    * fingerprint. Window k of a clip with n frames covers samples i with
+    * i·64/n == k (integer division), mirroring m08's block pooling. */
+  def audioFingerprint(audio: Dataset[AudioRow]): Dataset[AudioFp] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val ws = new Array[Long](64)
+        val wn = new Array[Long](64)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+            .toShort.toLong
+          val k = i * 64 / n
+          ws(k) += v; wn(k) += 1; tot += v
+          i += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (ws(k) * n > tot * wn(k)) bits |= (1L << k)
+          k += 1
+        }
+        AudioFp(r.media_id, n, bits)
+      }
+    }
+  }
+
+  /** One row per (clip, band) of the 4×16-bit banding — same frame
+    * contract as imageBandRows for the gate-scale cap guard. */
+  private[graft] def audioBandRows(fps: DataFrame): DataFrame = fps
+    .select(col("n_frames"),
+      struct(col("media_id"), col("fp")).as("mh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> " +
+          "shiftright(fp, k * 16) & 65535)"))
+        .as(Seq("band", "bkey")))
+
+  /** Audio near-dup pairs: 4-band LSH over the fingerprint within each
+    * frame-length class (fingerprints of different lengths pool
+    * different sample counts per window and are not comparable — the
+    * audio analogue of m08's grid classes). Exact for Hamming ≤ 3 by
+    * pigeonhole; hot buckets star-contract under the shared
+    * no-silent-caps contract. */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int,
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole bound is Hamming <= 3")
+    val buckets = audioBandRows(fps)
+      .groupBy("n_frames", "band", "bkey")
+      .agg(collect_list(col("mh")).as("xs"))
+      .filter(size(col("xs")) > 1)
+    Dedup.cappedBucketPairs(buckets, "xs",
+      """flatten(transform(xs, a ->
+           transform(filter(xs, b -> b.media_id > a.media_id),
+                     b -> struct(a, b))))""",
+      """transform(filter(xs, x -> x.media_id > rep.media_id),
+           x -> named_struct('a', rep, 'b', x))""",
+      bucketCap)
+      .select(col("p.a.media_id").as("media_a"),
+        col("p.b.media_id").as("media_b"),
+        expr("bit_count(p.a.fp ^ p.b.fp)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Audio-fingerprint silver: one real decode pass per (session, dir). */
+  def audioFpSilver(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SilverStore.table(s, dir, "audio_fp") {
+      audioFingerprint(audioGroupsFromDocuments(s, dir)).toDF()
+    }
+
+  /** Pair-set semantics are Θ(Σ class²) BY DEFINITION when exact-equal
+    * fingerprint classes are large (the fixture's sawtooth collides
+    * heavily at sf1: 24.1M pairs). Cluster consumers take the
+    * star-contracted relation instead — multimodalClusters feeds the
+    * class stars plus representative pairs, the same exact-dup-first
+    * contraction as the text and image arms. */
+  val m10 = Q("m10_audio_neardup",
+    s"""WITH $audioFpCtes
+       |SELECT media_a, media_b, hamming FROM apairs
+       |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+    audioNearDupPairs(audioFpSilver(s, dir), maxHamming = 2)
+      .orderBy("media_a", "media_b")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

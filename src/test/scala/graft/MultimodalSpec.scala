@@ -186,9 +186,14 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.perceptualHash(
           Multimodal.imagesFromDocuments(spark, sf)).toDF(), 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    (textPairs ++ imgPairs).foreach { case (a, b) =>
+    val audioPairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.audioGroupsFromDocuments(spark, sf)).toDF(), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (textPairs ++ imgPairs ++ audioPairs).foreach { case (a, b) =>
       assert(canon(a) == canon(b), s"pair ($a, $b) split across clusters")
     }
+    assert(audioPairs.nonEmpty, "audio arm should contribute pairs")
     // cross-modality merge: some text-only pair and image-only pair must
     // share a cluster through a common member, or the composite adds
     // nothing over running the two relations separately
@@ -210,5 +215,47 @@ class MultimodalSpec extends SparkSpec {
     assert(canon.nonEmpty && textPairs.nonEmpty && imgPairs.nonEmpty)
     assert(mergedGroups < textOnly.values.toSet.size + components(imgPairs).values.toSet.size,
       "union of relations must merge at least one group across modalities")
+  }
+
+  test("audio fingerprint near-dup: real-decode fingerprints recompute " +
+      "from the generation formula; banded pairs equal brute force") {
+    import org.apache.spark.sql.functions._
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.audioGroupsFromDocuments(spark, sf)).toDF().cache()
+    val got = fps.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Scala-side recompute straight from the fixture formula — no codec
+    val exp = got.map { case (id, _, _) =>
+      val g = id - id % 3
+      val m = id % 3
+      val n = (100 + g % 50).toInt
+      val s = (0 until n).map(i =>
+        ((13 * g + 7 * i + (if (i % 17 == 0) 97L * m else 0L)) % 65536)
+          - 32768)
+      val tot = s.sum
+      val ws = new Array[Long](64); val wn = new Array[Long](64)
+      s.zipWithIndex.foreach { case (v, i) =>
+        val k = i * 64 / n; ws(k) += v; wn(k) += 1 }
+      var bits = 0L
+      (0 until 64).foreach(k =>
+        if (ws(k) * n > tot * wn(k)) bits |= (1L << k))
+      (id, n, bits)
+    }
+    assert(got.toSet == exp.toSet,
+      "decoded fingerprints must equal the formula recompute")
+    val pairs = Multimodal.audioNearDupPairs(fps, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- got; b <- got
+      if a._1 < b._1 && a._2 == b._2
+      ham = java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham <= 2
+    } yield (a._1, b._1, ham)).toSet
+    assert(pairs == brute, "banding must be exact for Hamming <= 2")
+    assert(brute.nonEmpty, "fixture must plant audio near-dups")
+    assert(brute.exists(_._3 > 0),
+      "perturbed group members should produce nonzero Hamming pairs")
+    fps.unpersist()
+    ()
   }
 }

@@ -50,4 +50,13 @@ class OracleCapGuardSpec extends SparkSpec {
     assert(m <= Dedup.DefaultBucketCap,
       s"saturated image band bucket ($m) desyncs the m08 oracle")
   }
+
+  test("m10 audio band buckets at gate scale stay below the cap") {
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.audioGroupsFromDocuments(spark, gate)).toDF()
+    val m = maxBucket(Multimodal.audioBandRows(fps),
+      Seq("n_frames", "band", "bkey"))
+    assert(m <= Dedup.DefaultBucketCap,
+      s"saturated audio band bucket ($m) desyncs the m10 oracle")
+  }
 }
