@@ -159,9 +159,26 @@ object CorpusOps {
           .otherwise("unchanged"))
   }
 
+  /** The simulated snapshot pair shared by d38/d41/s10: v1 drops
+    * doc_id%10==0; v2 drops %13==0, revises %7==0, and RE-ADDS the
+    * %50==3 survivors under shifted ids with identical text — so the
+    * content-match path (an add whose text already exists in v1) is
+    * exercised at gate scale, not just in constructed specs. */
+  def simulatedV1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 0)
+
+  def simulatedV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+
   /** Registered diff over two deterministic simulated snapshots of the
     * documents table: v1 drops doc_id%10==0, v2 drops doc_id%13==0 and
-    * revises doc_id%7==0 — so all three verdict classes are populated. */
+    * revises doc_id%7==0, re-adds %50==3 under shifted ids — so every
+    * verdict class including content-matching adds is populated. */
   val d38 = Q("d38_snapshot_diff",
     """WITH v1 AS (
       |  SELECT doc_id, md5(text) AS old_hash FROM documents
@@ -170,7 +187,10 @@ object CorpusOps {
       |  SELECT doc_id,
       |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
       |      AS new_hash
-      |  FROM documents WHERE doc_id % 13 <> 0)
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents
+      |  WHERE doc_id % 50 = 3)
       |SELECT doc_id, status, old_hash, new_hash FROM (
       |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
       |    CASE WHEN v1.doc_id IS NULL THEN 'added'
@@ -182,12 +202,7 @@ object CorpusOps {
       |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
       val docs = T.documents(s, dir)
-      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")))
-      snapshotDiff(v1, v2)
+      snapshotDiff(simulatedV1(docs), simulatedV2(docs))
         .filter(col("status") =!= "unchanged")
         .select("doc_id", "status", "old_hash", "new_hash")
         .orderBy("doc_id")
@@ -281,7 +296,10 @@ object CorpusOps {
       |  SELECT doc_id,
       |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
       |      AS h
-      |  FROM documents WHERE doc_id % 13 <> 0),
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents
+      |  WHERE doc_id % 50 = 3),
       |v1c AS (SELECT h, min(doc_id) AS v1_canonical FROM v1 GROUP BY h),
       |carried AS (
       |  SELECT v2.doc_id, v2.h FROM v2
@@ -302,12 +320,8 @@ object CorpusOps {
       |  FROM delta d LEFT JOIN v1c USING (h) JOIN dc USING (h)) t
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = T.documents(s, dir)
-    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
-    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")))
-    incrementalDedup(v1, v2).orderBy("doc_id")
+    incrementalDedup(simulatedV1(docs), simulatedV2(docs))
+      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(d37, d38, d39, d41)

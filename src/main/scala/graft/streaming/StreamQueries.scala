@@ -380,5 +380,69 @@ object StreamQueries {
       .orderBy("phase", "scope")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Batch twin of StreamIncDedup: the snapshot-delta dedup verdicts
+    * (same simulated v1/v2 as d41) summarized per arrival phase — the
+    * progress report a streaming delta ingest emits: how many documents
+    * per phase carried their group, joined a v1 group, or formed new
+    * groups, and how many distinct groups each class touched.
+    * StreamIncDedupSpec proves the stream (v1 index as INITIAL STATE,
+    * phases as micro-batches) emits verdicts that aggregate to exactly
+    * these rows. */
+  val s10 = Q("s10_stream_inc_dedup",
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+      |      AS h
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents
+      |  WHERE doc_id % 50 = 3),
+      |v1c AS (SELECT h, min(doc_id) AS v1_canonical FROM v1 GROUP BY h),
+      |carried AS (
+      |  SELECT v2.doc_id, v2.h FROM v2
+      |  JOIN v1 ON v1.doc_id = v2.doc_id AND v1.h = v2.h),
+      |delta AS (
+      |  SELECT v2.doc_id, v2.h FROM v2
+      |  ANTI JOIN v1 ON v1.doc_id = v2.doc_id AND v1.h = v2.h),
+      |dc AS (SELECT h, min(doc_id) AS delta_min FROM delta GROUP BY h),
+      |verdicts AS (
+      |  SELECT c.doc_id, v1c.v1_canonical AS canonical, 'carried' AS src
+      |  FROM carried c JOIN v1c USING (h)
+      |  UNION ALL
+      |  SELECT d.doc_id,
+      |    COALESCE(v1c.v1_canonical, dc.delta_min) AS canonical,
+      |    CASE WHEN v1c.v1_canonical IS NOT NULL THEN 'matched_v1'
+      |         ELSE 'new_group' END AS src
+      |  FROM delta d LEFT JOIN v1c USING (h) JOIN dc USING (h)),
+      |mxn AS (SELECT max(doc_id) + 1 AS n FROM documents)
+      |SELECT phase, src, count(*) AS n_docs,
+      |  count(DISTINCT canonical) AS n_groups
+      |FROM (
+      |  SELECT v.*,
+      |    CASE WHEN doc_id * 4 < n THEN 1
+      |         WHEN doc_id * 4 < n * 2 THEN 2
+      |         WHEN doc_id * 4 < n * 3 THEN 3 ELSE 4 END AS phase
+      |  FROM verdicts v, mxn) t
+      |GROUP BY phase, src ORDER BY phase, src""".stripMargin) { (s, dir) =>
+    val docs = T.documents(s, dir)
+    val n = docs.agg((max("doc_id") + 1).as("n"))
+    graft.operators.CorpusOps.incrementalDedup(
+        graft.operators.CorpusOps.simulatedV1(docs),
+        graft.operators.CorpusOps.simulatedV2(docs))
+      .crossJoin(broadcast(n))
+      .withColumn("phase",
+        when(col("doc_id") * 4 < col("n"), 1)
+          .when(col("doc_id") * 4 < col("n") * 2, 2)
+          .when(col("doc_id") * 4 < col("n") * 3, 3)
+          .otherwise(4))
+      .groupBy("phase", "src")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_groups"))
+      .orderBy("phase", "src")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

@@ -119,11 +119,8 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("incremental dedup equals the closed-form priority rule on the " +
       "corpus snapshots") {
-    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
-    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")))
+    val v1 = CorpusOps.simulatedV1(docs)
+    val v2 = CorpusOps.simulatedV2(docs)
     val inc = CorpusOps.incrementalDedup(v1, v2)
       .select("doc_id", "canonical").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
