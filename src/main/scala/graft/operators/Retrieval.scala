@@ -262,6 +262,13 @@ object Retrieval {
       .withColumn("vec_rank", row_number().over(wVec))
       .filter(col("vec_rank") <= poolK)
       .select("query_id", "doc_id", "vec_rank")
+    fuseRrf(lex, vec, k)
+  }
+
+  /** RRF fusion proper: consumes two (query_id, doc_id, *_rank)
+    * relations — ANY ranker slots in (t03 brute-force cosine, t05
+    * trained-IVF) without touching the fusion or its oracle shape. */
+  def fuseRrf(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val wFused = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -408,5 +415,94 @@ object Retrieval {
         .orderBy("query_id", "n_rank")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+  /** Hybrid fusion with the PRODUCTION vector leg: the trained-IVF
+    * probe scan (e07's machinery — shared k-means silver, nProbe=2)
+    * replaces t03's brute-force cosine. Because RRF consumes only
+    * ranks, the swap changes nothing in the fusion — this query IS the
+    * 100 TB shape, and diffing it against t03 shows exactly which fused
+    * results the approximate leg moved (recall trade as data).
+    * Oracle scale contract: like e07/e08/e09, the SQL embeds the
+    * sf0.01-derived k-means snapshot, so the oracle is exact AT THE
+    * GATE CORPUS (sf0.1+ would need that scale's snapshot). */
+  val t05 = Q("t05_hybrid_ivf",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    ${allTerms.map(tfSql).mkString(",\n    ")}
+       |  FROM d),
+       |st AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    ${allTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n    ")}
+       |  FROM f),
+       |sc0 AS (
+       |  SELECT f.*, st.*,
+       |    CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |  FROM f, st),
+       |sc AS (SELECT *, CAST(dl AS DOUBLE) / avgdl AS dlr FROM sc0),
+       |scored AS (
+       |  ${queryTerms.map { case (qid, ts) =>
+      s"""SELECT $qid AS query_id, doc_id,
+         |   ${scoreSumSql(ts)} AS score FROM sc""".stripMargin }
+      .mkString("\n  UNION ALL\n  ")}),
+       |lex AS (
+       |  SELECT query_id, doc_id, n_rank AS lex_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS n_rank
+       |    FROM scored WHERE score > 0) t
+       |  WHERE n_rank <= 20),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |${Similarity.gateKmeansCentsSql},
+       |kprobes AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, k.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, k.centroid) DESC,
+       |                 k.cluster) AS crank
+       |    FROM c q, pcents k
+       |    WHERE q.vec_id IN (${queryTerms.map(_._1).mkString(", ")})) t
+       |  WHERE crank <= 2),
+       |vec AS (
+       |  SELECT query_id, doc_id, n_rank AS vec_rank FROM (
+       |    SELECT p.query_id, a.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, a.v) DESC, a.vec_id)
+       |        AS n_rank
+       |    FROM kprobes p JOIN assign a ON a.cluster = p.cluster
+       |    JOIN c qc ON qc.vec_id = p.query_id
+       |    WHERE a.vec_id <> p.query_id) t
+       |  WHERE n_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+       |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |    COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+       |SELECT query_id, n_rank, doc_id, rrf, lex_rank, vec_rank FROM (
+       |  SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS n_rank
+       |  FROM fused) t
+       |WHERE n_rank <= 10 ORDER BY query_id, n_rank""".stripMargin) {
+    (s, dir) =>
+      val lex = bm25ScanTopK(T.documents(s, dir), queryTerms, 20)
+        .select(col("query_id"), col("doc_id"),
+          col("n_rank").as("lex_rank"))
+      val qids = queryTerms.map(_._1)
+      val vec = Similarity.trainedIvfTopK(s, dir,
+          T.embeddings(s, dir)
+            .filter(col("vec_id").isin(qids.map(Integer.valueOf): _*)), 20)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"),
+          col("n_rank").as("vec_rank"))
+      fuseRrf(lex, vec, 10).orderBy("query_id", "n_rank")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
 }

@@ -477,6 +477,17 @@ object Similarity {
     * dedup) share the same coarse book, exactly as a production corpus
     * trains its quantizer once and serves every consumer from the
     * persisted assignment. */
+  /** Trained-quantizer IVF scan for arbitrary query sets — the e07
+    * machinery (shared k-means assignment silver + decimal-sum
+    * centroids) exposed for composites like the t05 hybrid fusion. */
+  def trainedIvfTopK(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val relabeled = T.embeddings(s, dir).drop("label")
+      .join(kmeansAssignSilver(s, dir)
+        .withColumnRenamed("cluster", "label"), "vec_id")
+    ivfTopK(relabeled, queries, k)
+  }
+
   private def kmeansAssignSilver(s: SparkSession, dir: String): DataFrame =
     graft.plans.SilverStore.table(s, dir, "kmeans_assign_8x3") {
       kmeansAssign(T.embeddings(s, dir), k = 8, iters = 3)
@@ -581,7 +592,7 @@ object Similarity {
     * sums) — not read back from the engine. Shared by the e07 and e09
     * oracles, which recompute assignment / probe book / probes / pairs
     * from it in pure SQL. Gate-corpus fixture, like d21/d27. */
-  private val gateKmeansCentsSql: String =
+  private[operators] val gateKmeansCentsSql: String =
     """cents AS (SELECT * FROM (VALUES
       |  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
       |  (1, [-1.150803794, -0.880336897, 0.0276532552, 0.1043944099, 0.0519283512, 1.7909676809, -5.4567478813, -0.8692347468, 0.0967980781, 0.4006045861, -3.3996070284, 2.7289332618, 3.9448823147, -4.2054885823, 2.1346700901, 0.1180477681, -0.0673056859, -0.6852271261, 1.9759987873, -2.974103757, 1.352510474, 1.8410362069, 0.4285351738, -2.3002656907, 2.1950388925, 3.6464967803, -0.9710631907, -1.6805831612, -1.0416540759, 1.4899221278, -1.4568111125, 0.5497903564, -0.3444339055, -0.3471158327, 0.4773893815, 0.151620241, -2.7976706377, 0.0738974748, 0.9004891772, -4.4088833759, -0.0106157612, -2.619022553, 1.8694005358, 1.1079401497, 1.5229926879, 0.8576541712, -1.8367924306, -0.484979851, -3.5790310227, -5.5436413072, -0.7278352969, 0.0898853479, -0.0190285398, 0.695612134, -1.2079052189, 2.6484688944, 2.4570122874, 0.1406425265, 2.3971162721, 0.837387255, -1.6901454733, -0.1267535906, -2.5051356268, -1.2043247597]),

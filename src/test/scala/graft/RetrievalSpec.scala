@@ -123,6 +123,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid-IVF fusion: rrf recomputes from ranks; the approximate " +
+      "leg is visible as a diff against the brute-force hybrid") {
+    val rows = Retrieval.t05.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val vec = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      val expected =
+        lex.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"rrf mismatch on $r")
+    }
+    val bf = Retrieval.t03.fn(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = rows.map(r => r.getInt(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == bf.keySet)
+    // positional agreement cascades after one divergence, so compare the
+    // fused top-10 DOC SETS: the lexical leg is identical in both, and
+    // at sf0.001 the IVF leg sees ~nProbe/K of 50 vectors, so overlap is
+    // substantial but not total — the recall trade, visible as data
+    val overlap = ivf.keySet.toSeq.sorted
+      .map(q => (bf(q) & ivf(q)).size)
+    assert(overlap.forall(_ >= 4),
+      s"hybrids diverged implausibly: per-query overlaps $overlap")
+    assert(bf != ivf,
+      "the approximate leg should move at least one fused result")
+  }
+
   test("deterministic across runs") {
     val a = Retrieval.bm25ScanTopK(docs, Retrieval.queryTerms, 10)
       .orderBy("query_id", "n_rank").collect().toSeq
