@@ -793,6 +793,42 @@ object Similarity {
       |      list_dot_product(v, [0.17412728345359393, -0.10213663372535034, -0.06225322225897731, 0.2213775833243391, 0.04033376590859294, 0.07702302538748175, 0.012136898027532851, -0.16332548412343936, 0.21696989386832344, 0.014097541776689091, -0.08110171580925099, 0.17458872107071238, -0.14982567986757597, -0.13468358427572813, -0.15086633950133896, 0.17027262283541533, -0.05766106904668996, -0.12178127260328118, -0.14167657722372676, 0.2587954057557318, 0.18400402785472744, -0.09587778669351335, -0.16581064683322644, -0.08787495496988343, -0.09293597023250906, -0.1492408902127112, -0.12597357708736867, 0.15539417898068264, 0.07200118534483133, 0.1744149387692538, 0.1063233346542466, -0.0045006738664399104, 0.04007610174265797, 0.09784219419185568, -0.15977922584052806, 0.1263664872197002, 0.11318054378244889, -0.17692916461528, 0.023640403910821114, -0.0663788716477001, -0.11747237893285653, 0.1487646326246905, 0.009713041729765583, 0.07340754179583751, -0.009947284750451044, 0.2022570387832034, 0.1884649962235344, 0.015556154863730144, 0.002736878696557995, -0.09607675372338242, -0.06364286458383704, -0.15107490669661341, -0.11375929976315932, 0.23376875512508327, 0.004867211743324782, -0.0726984641408549, 0.07204952702096457, 0.016171477520096122, 0.07918766889538276, -0.15483393659710382, -0.03634858586815243, 0.10734058671651965, 0.05544916150957679, -0.11585213171408212]),
       |      list_dot_product(v, [-0.19060229846519086, -0.002839127065387114, -0.012652694579965715, -0.16591103868220142, -0.029372191953458526, -0.01594582019532487, 0.07430932959371425, -0.13006824517163448, -0.005232655405848818, 0.021351772419570925, 0.10969259152782557, -0.01892725933417791, -0.17253433760844133, -0.020000005819826368, 0.11672927306073032, -0.04794116998125617, -0.07718572174041549, 0.05118997786345801, 0.19677269383033907, -0.04855341806241129, -0.016401931626292523, 0.14602697378630028, -0.021980737971471757, 0.2343468654547012, 0.10293041221958556, -0.14446492869509114, 0.10388757996124694, -0.14500079572273608, -0.1351985070455307, -0.12059961267213187, 0.14529585003392403, -0.1835621761948694, -0.19016002134279783, 0.12015879933531955, -0.1914207983928005, 0.037701627923060164, -0.04928388797761472, 0.032544191410658035, 0.08643017919022333, -0.22943885837760136, -0.038702066337673244, -0.0013759618556726811, -0.11083630993543166, 0.20058682274223824, -0.14886583404343587, 0.025838362412359945, 0.09085278408065356, -0.17705880629564852, 0.06963750167897298, 0.16987362025691605, 0.006595176178619174, -0.17281104396083846, -0.0825160210025661, 0.26915225065191484, 0.2047366912355851, -0.05352186903233294, 0.01089471292194324, 0.10978205277186631, 0.003174408093386418, 0.06411724859366602, -0.04247395575584424, -0.05284546225336045, -0.2204493295272768, -0.2237048728934984])]""".stripMargin
 
+  /** 32-row extension — third point of the trained-rerank capacity
+    * curve (rows 1-24 identical to [[gateRerankProj24Sql]]). */
+  private val gateRerankProj32Sql: String =
+    """[list_dot_product(v, [-0.2096393300202079, -0.12057271532724553, 0.03654785815762015, 0.01181956673368188, 0.07567008238654915, 0.013214628819761043, 0.0905841185253787, 0.28661879235154175, 0.04954696219840432, 0.41405652648110597, 0.06530498182357874, 0.18207885387703554, 0.06513224150018562, -0.03653205474589539, 0.17114897510632338, -0.1853497773155263, 0.08898987448654253, -0.1570265545892313, -0.03013668633727623, 0.03217896951212238, 0.06121320408639076, -0.11068832311425483, -0.08347512785867214, -0.055437468648072454, 0.019550012020336547, 0.19912542853515428, -0.03751725245021375, 0.14950769892189747, -0.17287963096364564, -0.006123114085466474, -0.05871572670347506, 0.062037717979410406, 0.2965385435377704, 0.10616457882139613, -0.0320419388938067, 0.10414385148185465, 0.04453875953671703, 0.06146405309394993, 0.01300669820069596, 0.021771205655908916, -0.1166789877982389, 0.00552458641904109, -0.2408369202837017, 0.09570759064864001, -0.02830770835615952, -0.2251274447351663, 0.00873183591418996, -0.07903750804622381, -0.0836808441498625, -0.11845091153314742, 0.12045949820880301, 0.07248325157918438, -0.01718648215716714, 0.08160437407065883, -0.015031355628739274, -0.06676477469562192, -0.055650636278637464, -0.051376057816995745, 0.06019601767572054, -0.09113914348049353, 0.12198699564215858, 0.050649833878900714, -0.2182114649231664, -0.10201388636255261]),
+      |      list_dot_product(v, [-0.003837127211581993, -0.054430245767012955, -0.01256793348076524, -0.08813365797651045, 0.17485769775040094, 0.02521436579703914, 0.07494656338562687, -0.0699807010859971, 0.07744817020895162, 0.03069605619522647, 0.10575814459049343, -0.017882873012924873, 0.01297565633124387, 0.1336968174275563, 0.014559198307480144, 0.04139191933934768, 0.14841100078750558, 0.3603098511261618, -0.0541886514145757, -0.05076477591726178, 0.032543169734795804, 0.0353911268506755, 0.06533467378092273, -0.3091228055053044, -0.2576821382583802, -0.23906586362939788, -0.020637632793312183, -0.00022331337890521945, -0.08628570371767165, -0.17453292227143882, -0.024067927226897944, -0.21754493603557615, 0.029463935144010245, 0.0615386789084913, 0.03375332841844827, 0.07921967482014872, 0.05946710015970966, 0.036498402573222344, 0.18210698156721677, 0.04667388480869055, 8.626507729722957e-06, 0.046986755640974924, -0.06276704622858646, -0.17918979594374826, 0.17268649020939142, -0.1888352229469569, -0.04694587131588715, 0.14577948211480737, 0.11292397757725275, -0.11328063222737615, -0.15743104350111775, -0.08197501074019356, 0.012979946743257106, -0.01609235374981665, 0.23803515091894767, 0.02338431738854464, -0.3028202755224945, 0.01638284010822573, 0.13543364301206362, -0.12158606610326811, -0.08367049603064655, 0.08483882908902365, -0.0004431848647108862, -0.07861586992416168]),
+      |      list_dot_product(v, [-0.14804403755599788, -0.08512440644804029, -0.06394747372242394, -0.0004575970141786493, -0.20437466508884317, -0.0437417350166794, 0.1177552992559789, -0.28449785349721946, 0.044402396330867656, 0.023717337995785997, -0.051179527614304506, 0.03570203353525218, -0.060179564309038557, -0.03455060720149328, 0.009449519103814035, -0.23454575614196826, 0.1713735271024343, -0.08492758806240842, 0.1160470676906258, 0.0773284031731253, 0.013131626731480505, 0.17530755090022915, -0.10064801517013917, 0.05337470423496319, 0.09255730930450971, 0.10008395002176174, 0.0906373631192774, -0.13414209861497922, 0.010277697050360855, -0.10540482797763205, -0.12285966843393281, 0.0909121081917113, 0.048252166284910074, -0.18066130225250257, -0.02976989042538331, -0.10216258213207541, 0.13907849924246868, -0.21255244175465315, -0.06345652309133594, -0.10392899603892383, 0.18947963434482243, 0.19011010111192872, -0.1258555580702801, -0.20893277874379756, 0.16586568222613066, 0.05283627633705316, 0.042797574747651626, 0.018020015397822116, -0.0683200932314645, -0.0512755129779281, -0.1294984449753259, -0.10645450056137452, 0.22780031589941502, -0.1532947679353639, -0.1791520941573972, -0.0019200152180137873, -0.005381095587565329, 0.10972460099815637, 0.1827952415741804, -0.05268508458798448, -0.06955779386903337, 0.28843060582388197, -0.09008107781606314, -0.07553050141369441]),
+      |      list_dot_product(v, [0.06808659692691903, 0.06269221088036901, 0.008780757117610016, 0.17252698585103318, -0.2579610506306852, 0.10712924747571911, -0.02320920976755962, 0.17754309288315903, -0.11522019045323972, 0.13620195798670792, 0.007640884150608356, 0.2019504757451542, -0.060775444667734706, -0.14021935394080082, -0.09311367890566466, 0.0493080657522068, 0.09682486295850494, 0.07142426949952493, -0.00931947755346662, -0.20316848780461905, -0.22547295140285561, 0.15765898138948406, -0.011856441212560857, 0.07323162375897517, 0.02747074839964306, -0.11908308267730744, 0.11645429213294094, -0.0038352518579658603, 0.12892448335581316, -0.10452312732326186, 0.1521165649372111, 0.20057539618778486, -0.081413181280288, -0.017677469085189267, -0.11650295044827594, 0.31619012196961105, -0.11671862239929295, -0.14843441728739898, -0.010252064348131243, -0.04828886542020025, -0.014507537293033222, -0.00017919674526118605, -0.08565322476936732, -0.01743476170784436, -0.07573379923518071, -0.04152082543973319, -0.013620431372982572, 0.36940447483450806, -0.10851089306162194, -0.1534460994206436, 0.06647233910910633, -0.019778009359073506, 0.009329623098615703, 0.0054010217614196025, -0.021917540538325148, 0.1014729147048064, -0.17091025495863188, 0.09292951416444062, -0.17072042743341, -0.07391767730729568, -0.19206043423512684, -0.0962191857401072, -0.08404634246087159, 0.026296885848694346]),
+      |      list_dot_product(v, [-0.015085347560034651, 0.013517865830451635, -0.17389132048897835, 0.02253742215602077, 0.16896698432930854, 0.30866309206525333, -0.2530950596374295, -0.10693042060664935, -0.01790620038639116, -0.06613281137578353, -0.14284835419897937, 0.36196189580912086, 0.11830375329976602, 0.11743309807998664, 0.11494380703612435, 0.055716544108777084, -0.11872343460255268, -0.11316167148534532, -0.01902053430901372, -0.24534483032738347, 0.03191823604240378, 0.03445191687496352, -0.01109188015587602, -0.10927001970303023, 0.12474957922483891, 0.16616884567664106, 0.03526854805297365, -0.14137833659983196, -0.026189293623945033, -0.1825991578599084, 0.04226625184652264, 0.016172195492783117, -0.062291915357917164, -0.028462604624833056, -0.039868893511910405, -0.053847080149817504, -0.08802504604912549, 0.23525140106969186, 0.049054119817469606, -0.2630745924488895, -0.05655833933531782, -0.10089457052163518, -0.007513654293084169, -0.05056559009206862, 0.11724159722024327, 0.009091732563372739, -0.03499876040730989, -0.020604323539752594, 0.10296227462764167, -0.21235460234923043, -0.13375687694842345, -0.08333561357028366, -0.16669651257716844, 0.09694053145190656, -0.21787743397082124, -0.004216181306503077, -0.005630303030561675, 0.04229455936213906, 0.10565659881448262, -0.004698642661363779, 0.054063487931222676, 0.03249524822808433, 0.07261703252532273, 0.06545658155977771]),
+      |      list_dot_product(v, [-0.08544207411615516, 0.011076242789999828, -0.1744330539463892, 0.1997158227314905, 0.008519457717373006, -0.029354714850358704, 0.1601854472914573, -0.01384658819657827, -0.11290145070207502, -0.04229772769374318, 0.02215837523689581, 0.036050469737645835, -0.18230215303802377, 0.47848072389377294, -0.08551788850060306, -0.017420528275039263, 0.024875500957851418, -0.1966149614776473, -0.2096973240757193, -0.10289007388205201, -0.06340424748855769, 0.034678423619870294, 0.16836503422445132, 0.03422494667689464, 0.006176514506353618, -0.022542977947512324, -0.18434962748020325, -0.025273527795024016, 0.012000127801072524, -0.052428663089463756, 0.16064800817263716, -0.1022565623711983, -0.15891143459829485, -0.18394127656774753, -0.0952229210578061, 0.015104919146872718, 0.1704699084214259, 0.05533662713065261, -0.07520278543602898, 0.2041440699220448, -0.041852518764333345, 0.26939098394286876, -0.17915567165616555, -0.044813125895931304, -0.038453382306685886, -0.11610530059362632, 0.12082475546403323, -0.00704702400162422, 0.030184523346841925, 0.047813095369468574, 0.16379574988151296, 0.014019726448507163, 0.06607626122068973, 0.11155759478333559, -0.09857967354163642, -0.09315850574436878, -0.08969349432091307, -0.10318157108892986, -0.01787651796005002, 0.13658261991657272, 0.076581378924984, -0.0741629120515868, 0.07691180886240863, 0.014380980289340928]),
+      |      list_dot_product(v, [-0.10467703228112352, 0.04334903472954021, 0.3308233466637122, 0.05281115210506782, 0.07154724254493282, -0.2395789342300872, -0.035970206913397466, -0.05025064057456484, 0.005446403012276316, 0.2155901272621879, -0.25725132543123397, 0.08007311349146733, 0.2335296930537292, 0.06344687150245162, 0.10695937206218074, 0.1955439822372235, 0.05497151097487418, -0.15899119528411026, -0.06773789164102631, 0.047291573689071886, -0.04121476172051033, -0.06668512605636627, -0.047789904233432254, 0.027070002087232915, -0.05888062997050346, 0.008833017871900748, -0.1389905885486479, -0.15865816066950472, 0.04030695059485037, -0.1258415271673068, 0.15366276268257456, -0.22586041349482264, -0.11182059620669123, 0.10493781231835228, 0.014503369545627094, -0.18891690793522004, 0.007213009816712077, -0.2040199513943542, -0.1325508590953577, -0.204494317629054, 0.19571794479140064, 0.0872216688935659, 0.024970696634828003, -0.017672627371045836, -0.06601916272001536, -0.06466506768760226, -0.1365952508709043, 0.04433184648912618, -0.13211726951387223, -0.08608364382855625, -0.05007145654957563, 0.21818178555598156, 0.04603151275796958, 0.1494853264762865, 0.10036773912091507, 0.06536654088516361, -0.01421816285616276, -0.011947691292832184, -0.024575671827010075, 0.014622711145269751, -0.158238697969672, -0.045258463894878455, 0.13015213606936415, -0.03712294642286263]),
+      |      list_dot_product(v, [0.28053834556355717, -0.1371590681351505, -0.0412669208630224, 0.07332610324304634, -0.01915856008039949, -0.14848892174411799, -0.11300436697574097, 0.0888973175452768, -0.01738314118597428, 0.09350298185352153, 0.1538433171839001, -0.095338763048301, 0.10336993988982665, 0.022934882234727633, 0.07543842908760733, 0.18178213560832523, -0.16023107869586997, 0.02863289345509315, -0.05134798748134463, -0.017840531441107914, -0.009984333282943498, 0.16671736561201367, -0.003604162377066839, 0.258527241624162, -0.15791550699631157, 0.056127393859254304, -0.09822172385977178, -0.040300239786079266, -0.014822404969700963, 0.04401133554559639, 0.04823681156060674, -0.0801061184545289, 0.029625486988743795, 0.04561400009031291, 0.1034626855222083, -0.20726140108490207, -0.14479500271225082, -0.11211549327599017, -0.03295226754521202, 0.027501799019783297, -0.10105638319819629, -0.1273095652683595, -0.19101634334198037, -0.08899294770757478, 0.11129272032462295, 0.06580293906863663, -0.14256338925759557, 0.21676374381562874, 0.14131254422033543, -0.018008174963365563, 0.23205685634556245, -0.19508721035282625, 0.010139005438346251, 0.016706224487906905, -0.18769487157816858, -0.049311186325321, 0.012939834000132487, -0.04592994271429228, 0.31640769191537305, 0.13303036695188322, 0.003273279894082976, 0.05165375785516667, -0.1585098282380153, -0.2027956805621199]),
+      |      list_dot_product(v, [-0.09400136458148366, -0.17858117972592538, -0.011990174531333508, 0.07855288301142772, 0.25745238791945396, 0.2411135712836205, -0.23700639211078134, -0.032416200018950264, 0.0743921332000754, 0.2091692397066303, 0.022606019518796327, -0.016031192916972595, -0.2223091383778378, -0.0848744680844469, -0.018846414948870245, 0.06048439353910633, 0.1806939398383286, -0.15205994584033475, 0.12095737817998772, 0.021954344680883753, -0.10111875436954063, -0.12187008947828727, -0.029393583669176784, 0.20280486337458042, -0.1719499107560182, -0.12022886778914993, 0.0750674141936809, 0.11793320913647276, 0.12779487236513193, -0.21596573289312318, 0.06635406539363903, 0.0016326357701262073, -0.08158196275136258, -0.030919106320060855, 0.17496070440967906, -0.14906363955306934, -0.1140684337079778, 0.08241686631320357, -0.11469069427018051, 0.16325478198533683, -0.11413046047569315, 0.11082464492946754, 0.18682363696961155, 0.14331843324969157, -0.05864357080033317, -0.10512099756638493, -0.09269594552032963, -0.04524592809390084, -0.021607579955522566, 0.18362780453596136, -0.0006807099919776284, -0.14225924767167375, 0.20595752502782988, -0.059211096690920645, -0.03278847997788835, 0.03578540326019955, -0.06125576031137734, 0.12574104154985416, 0.07371856211153428, -0.027985481650546363, -0.06885857284275726, 0.1011754070087857, 0.01962099673540931, 0.14813583232712707]),
+      |      list_dot_product(v, [-0.07769545645640907, -0.18127723005690785, 0.005521138316715278, -0.030542171160452384, 0.08165672771986955, -0.16634571699200826, -0.13632802778377526, -0.010566521793833756, 0.23758842826611648, -0.020841326003038528, -0.03948370244019947, -0.040297231112348675, -0.08440273360731826, -0.008175670819655746, -0.08537909593419288, 0.037111601059559164, -0.08828119692851352, 0.13326276966971118, -0.03431448879702372, -0.06565016524122783, -0.023746650966625284, 0.1862529393674916, 0.11630224590009343, -0.1210169690827256, -0.10599030730971187, 0.01583455935829907, -0.11129836338959678, -0.18866526157371927, -0.0775164382261846, -0.08841171223425837, -0.03038088249999379, 0.2767244755328377, 0.007948125222618624, -0.09277588342511642, -0.0036589227138493405, 0.0251626788040583, 0.01049253578779439, 0.23436833331822607, -0.1403526849560866, 0.03526081314996727, 0.05787658467714565, -0.09436182537325874, -0.05276383038144768, 0.34796973843402956, -0.023156277748090478, 0.2697525674772837, 0.22380362207350235, 0.06870692773950697, -0.17717108213985355, -0.1043505482517543, 0.021393368418612647, 0.2782403780866255, 0.19778926602649263, 0.07182634073076008, 0.05348334361817466, -0.02215041110340669, -0.06918519111590211, -0.036839102885145796, 0.22113658366138453, 0.011408861854542072, -0.09564106274204524, -0.03211374255517516, -0.05384088093813003, 0.018862317599648598]),
+      |      list_dot_product(v, [-0.06632766695109972, 0.13138091934270787, -0.11082826170061899, 0.12088212886734431, -0.040673551386873584, -0.13403048920606, -0.1591465154845886, 0.13238423675952496, -0.12661093855574795, 0.01964163997972767, -0.18748118277289189, -0.1202587987090588, -0.09122186930436663, -0.18369213753020863, -0.03649962909924255, -0.05260571671937548, 0.1629095102085306, 0.1334442956707977, 0.2366917793370172, -0.03393971141528018, 0.11020713947933437, -0.11902637185493027, 0.25202083316362434, -0.06462929639761458, -0.0205380854560865, -0.13048901620609574, -0.09009929682232602, -0.027405253884444175, -0.1055676410227114, 0.11966326081654374, -0.02636304543773133, 0.08079795753069696, -0.024503073664539844, 0.034922301771536456, 0.049617259471504374, -0.11035955710362642, -0.053621581910422066, 0.09083830413271278, 0.08541741253243973, -0.062103761490818345, -0.12120336944055704, 0.3307145478068485, -0.040937953934862686, -0.08300721532224056, -0.06098710377478903, -0.01919993611226759, -0.08211616266253101, -0.030916856781506293, -0.044914552028951754, -0.22137833730029952, 0.03307413631594784, 0.04985037941523615, -0.2214898069396124, 0.054654479497264534, -0.05788992194313231, -0.2722201846930221, 0.08652417030425727, 0.12489613966439937, 0.07917044773335713, 0.26825673316636295, -0.1902388943346956, 0.12415678843774608, -0.01962730301017076, 0.041022101372321984]),
+      |      list_dot_product(v, [0.05003710684725454, 0.08726899757798748, -0.08660603870531383, 0.02928007877846513, -0.07927236009983699, -0.024337302879373187, -0.0937982471192726, -0.16079924020985725, -0.07827827298415858, 0.2195384263972595, 0.16035950352210265, 0.1307531444487244, 0.050449294659002414, 0.08115458245919616, 0.01961634431125075, 0.09280055381296856, -0.045493353038427796, 0.261570774579599, 0.1791997984873225, -0.06490017633385381, -0.0035156417142961174, -0.15449151161474803, -0.14393405735305426, 0.022717027949752205, 0.12668127250769903, -0.28337655954673957, -0.1743487028067561, 0.1613838359966331, -0.15243906262885168, 0.03480087405707912, -0.05752965773299833, 0.029939483690196833, 0.07686295693159355, -0.14766651006340678, -0.12522941145539873, -0.15155252377443537, 0.11097281713549877, -0.06585287709588071, -0.12876287748566043, -0.10139964554609866, 0.08563219783750213, 0.03121012334023449, 0.06738638570853346, 0.0565689952072189, 0.0764804814683832, 0.04290494609777322, 0.04428952646271362, -0.030505309848440052, 0.09093067603610029, -0.09741919746999865, 0.24306615284585212, 0.12957385628821633, 0.08018285254255861, 0.03839579430284308, 0.03592750972156349, 0.24942474468630307, -0.016478875987680486, 0.22490456206253215, 0.014060077581946415, 0.07429570727954488, 0.3126180373736632, -0.004576145428863094, -0.008375018503743377, 0.18819498621912992]),
+      |      list_dot_product(v, [-0.10947141936503235, -0.001695265520920519, 0.0006269961998386323, -0.03165281756907946, 0.00542872624816072, -0.04108426446637966, 0.06070853976481691, 0.18211286055273243, -0.16469955195526545, 0.03432687803319679, -0.11228885346847454, 0.12116237774055594, -0.049611300142132664, 0.005339225366660854, -0.20885084817126906, 0.289720639931844, -0.21244828893638196, 0.04215025848259546, 0.1915150973929429, 0.05284002727377277, 0.02681636604748077, 0.0022051073128859723, 0.004420278819879942, -0.0017134705165790126, -0.18874270722680658, 0.0431101345237436, -0.13709798764040665, -0.16143906475071354, 0.10462007037654751, -0.1392135063485011, -0.08694611825822271, -0.03711153188341015, 0.15170978830340331, 0.12840345104215437, 0.005550688395904674, 0.1847202821766065, 0.21366004015143247, -0.018179942766191164, 0.01607373485217027, -0.06651371397010368, 0.21966242816860512, -0.08598467315820196, 0.1050555434698451, -0.08457265817505537, -0.09786783432610036, -0.06922148074380782, 0.11720380044875349, -0.11187878320535588, 0.29214429702382305, 0.07689978710568517, 0.040185078629529664, -0.08344126712733686, 0.1397936452502167, -0.04516800059146774, -0.15324638847860375, -0.2035260696081425, 0.03713433341757267, -0.00024769365384094287, -0.040631171955382094, -0.027043132270677592, -0.06227787510458921, 0.07333479694988958, -0.23469113369749514, 0.24671597674597665]),
+      |      list_dot_product(v, [-0.19689398729687926, 0.0025371253476960667, 0.12186596622731882, 0.10240890339143037, 0.07814494103715228, 0.008582812298398778, -0.03697645859283238, -0.0654223144118319, -0.13586728616362395, 0.073889089580517, 0.005304964276599628, 0.12485301398950345, -0.22373664616240127, -0.1518616616989201, -0.07588235547762631, -0.25109613170831796, -0.1845439750152196, 0.023710670646982797, -0.027515990216360402, -0.011616457703952917, 0.14755753348859352, 0.2047893482582204, -0.10973315026104742, -0.06187126028501506, -0.05170370444662244, -0.21094538913453947, 0.03796198148586537, -0.11524746631101586, 0.1860915649371119, 0.22845919210839175, 0.04409501117008903, -0.2351569876555825, 0.019183070901736266, 0.23805100711594254, 0.08483299696342042, -0.06620368420035648, 0.13600229992510668, 0.1793791453701174, -0.08327559808364757, -0.004914166500734551, -0.07491932060185062, -0.142027821679224, -0.03459721244231828, -0.043704380328126465, 0.09497222602038619, 0.0014658981234671154, -0.005785213585900156, 0.12656037009025756, -0.13852383562057827, -0.018141168483205242, 0.016382282933249375, 0.049370335728708206, 0.012264512777994488, -0.07142289464207618, -0.12395801017071026, 0.20032238036856584, -0.06539487424520152, -0.1701408666960604, -0.13580431137062157, 0.27893682282179255, 0.09043245526258728, 0.14260758172664872, 0.010443356821881425, 0.016220262522254322]),
+      |      list_dot_product(v, [-0.051457829342982965, 0.15977307682954664, 0.0057563812520295896, -0.02486662124868624, 0.0982834266941977, -0.11045200343644708, -0.04182570618590566, 0.024825768963033772, 0.1748549738191018, -0.1467819957622011, 0.06339335870686, -0.15941090991078866, -0.011650873020037061, -0.06738937936665758, 0.28109298558602636, 0.06449050027399678, 0.15898610847202008, -0.034370261484076216, -0.11197097329701766, 0.11317424621363964, 0.11887340732885511, -0.05994054828861898, -0.10192081413214435, 0.33293747858226214, -0.06916865629870418, -0.16351599090129013, -0.029357926806338707, -0.12018017272003202, 0.1855956029301421, -0.06282698283341157, -0.2203059524783688, 0.037660871734168634, 0.008169536801723302, 0.020932420048914293, -0.16789152975087868, 0.03721068448399125, 0.17389907513430597, 0.22704470913250646, -0.18137821304896593, -0.046314938591171605, -0.07759387447590897, -0.03697600468890057, -0.2795463541352076, -0.04790387488523304, -0.022600303484065744, -0.026633713481903604, 0.03306528589233208, 0.005796772624616948, 0.13081857328776494, -0.26657059310342324, 0.021535267604761658, -0.08729660257822289, -0.043298234026275785, -0.10654810166281671, -0.08474862832681779, 0.030074854119725176, -0.03435788390872839, 0.06107898547958866, -0.1406149809074584, -0.13650280439569298, -0.06261950169574919, -0.1566239168006758, 0.07477946820850997, 0.13997871723174352]),
+      |      list_dot_product(v, [-0.02562159892156312, -0.030266443107176216, 0.21928698263481897, 0.19162058436401846, 0.06122416122069387, -0.09679150625425414, 0.06952195703768357, -0.06002996806841933, -0.08105065077475491, -0.21512503919577877, 0.2527628598571763, 0.043319423184811814, -0.038379079586308235, -0.15035564776435897, -0.10899872987645134, -0.03152526638333196, -0.0019850806834813568, -0.07803740421685147, 0.009312607526370406, -0.1990995856430563, -0.0543343828952432, -0.07006575253770575, -0.09127304745075208, -0.10606251240669488, -0.04624308228949808, 0.21416199923558754, 0.014354867080355483, 0.0010018303588272492, 0.24532941247704812, 0.06122894994258977, -0.13122543202316006, -0.18039681945482647, -0.0161178858641742, -0.032721801578286684, -0.2159838236373285, -0.2364830438097681, -0.154596058034602, 0.09896183911637525, 0.20709395172075395, 0.04122284054762607, 0.13982556603424343, 0.05336750101260884, -0.12637116798913806, 0.03367387760405464, -0.10357330374627655, -0.05124726127041375, 0.05414001500531185, 0.13333565733237487, -0.09150752694878979, -0.004929535783529304, 0.11552794863004541, -0.0019265330902418286, -0.07437573824729005, 0.06809734801714627, 0.152734022398316, -0.09299799412886679, 0.03211690474877431, 0.19558580713061496, 0.1759491128997997, -0.1594144744918404, 0.08324609980154422, 0.04723444486885188, -0.08211948949603423, 0.26480779740661]),
+      |      list_dot_product(v, [0.06805053030082923, -0.11544219195172115, 0.13693209177091348, -0.1379709289526741, 0.017721944764220707, -0.2699616226461792, -0.20929989825833759, 0.06919396911751183, -0.07569920671228085, -0.08538622417770769, 0.030461799561331403, 0.11407006826671519, 0.04084957852828077, 0.07285466652041725, -0.16486611249908237, -0.03938052387253722, 0.015228307490124916, 0.030689635955110355, 0.02334160216610122, 0.1427809798039794, -0.24903013467656965, 0.028249055920998974, 0.06499874761014582, 0.16213192459497927, 0.13120548923981673, -0.10886499731772603, 0.02592014598859011, -0.015061101275735626, 0.028074228002876844, 0.09005863161122393, 0.06271000325935537, -0.002150304632627787, -0.04551478759370242, 0.04009534138861217, -0.013385959260239982, 0.07215909198257323, -0.21690467095949578, 0.07798069810109422, 0.2125904814331498, -0.11199238957557205, -0.12443995909602554, 0.1745151236933408, -0.07121026193011785, 0.01060797560890303, 0.0636161120713056, 0.010897100653909026, 0.012100804356975033, -0.22569238505623604, 0.07442909743603625, -0.17911932462030192, 0.02937604851009171, 0.0012919147227513467, 0.19540107223739958, 0.012134038701017251, -0.046129259439889006, 0.01298087420434433, -0.10819733054535247, -0.25964510149561365, -0.10827075936088407, -0.25732582834266726, 0.16530644662181232, 0.3097747898405109, 0.1105102292169987, 0.05990892355944624]),
+      |      list_dot_product(v, [0.05259349445113837, 0.11360631665914374, -0.07402780156126845, -0.08575965397541106, 0.16487536903170438, 0.05464093838042233, 0.31243734351307023, 0.0831372715473323, -0.06718331547028208, 0.05533107215879355, 0.009527110356883093, 0.04895098519978947, -0.14143284456236396, -0.030094180111712287, 0.03557309330146817, 0.04110271056828514, -0.012777629659685975, 0.11708177004752662, 0.15709247505449725, -0.002542903328332098, -0.16435812825920756, -0.24287844300704012, -0.10541014691220274, 0.024090746346919177, -0.1443944000262817, 0.005344929411037466, 0.08403024090221048, -0.22789054887844518, 0.03755322057033313, 0.05934380371042398, 0.37344286130923554, 0.040846571434768254, 0.12366182696700395, -0.053994945037191135, 0.015517578564334505, -0.2658909157678702, -0.07889074973912538, 0.016816722448078265, 0.034311837780570766, -0.06007585322163498, -0.02529907151379307, 0.06558988642034735, -0.06647966100126718, 0.10121793088339937, 0.31659480001299656, 0.03187923452279334, 0.22407305827939114, 0.07918581820763217, -0.04054988074480329, -0.06095174175178279, -0.03602904054835392, 0.08073492808644665, 0.014222502930030422, -0.1901336577232731, -0.08469619129328164, -0.11944484713966864, 0.15613712986688583, -0.05237705740577853, -0.09387359716402201, -0.1364068109304023, 0.005504021435990392, -0.1518648266386311, 0.04468346746738345, -0.11094925933158678]),
+      |      list_dot_product(v, [-0.10787103908085413, -0.03250233399875143, -0.08832367552141952, 0.0661938216471537, -0.04158695793228232, 0.0890954791020835, -0.038867211364585416, 0.09351235254328555, -0.06386701716295644, -0.05185928215113789, 0.21863027793735104, -0.1705889807672236, 0.10167183983528667, -0.2309943499489921, -0.08296533400866443, -0.17665597408568415, -0.09911587804126037, -0.05671770642086456, -0.22724403182828048, 0.05799879843503005, -0.045022522397617296, -0.11560867396692366, 0.10560003034065263, -0.06851579156048462, 0.1864816710486761, -0.15593255438449194, -0.061180831569331615, -0.048382562491158944, -0.10990405719619599, -0.14427273805229218, 0.282324794167206, -0.23428069102526045, 0.3444072582603782, -0.09489044524946584, 0.020858365502683465, 0.05801766939010199, -0.004186227685600154, 0.0046672914410810255, -0.1472601346753568, -0.20749561127745125, 0.08910181808436868, 0.027494353893372226, -0.06950349071516913, 0.036206453245467826, -0.08469312009282533, 0.22393161092848973, -0.20360008584645464, 0.051950295827600176, 0.07192513540922137, 0.03646382411034725, -0.08531356265310604, -0.07017623594840175, 0.12942736441915303, -0.026334352784595862, -0.009666486976762692, -0.17792423492877762, -0.06961127476525938, -0.0018506553551699465, 0.07997575375846298, -0.030962441583853306, -0.010198160214625999, -0.07535838336265967, 0.12860638199529528, 0.1512177251655652]),
+      |      list_dot_product(v, [-0.11908276962493783, 0.15445334906138883, 0.19015599975396422, -0.05645122718380883, 0.09382814855250074, 0.15814948777317678, -0.2020729982306298, -0.09216812152123716, -0.01305901520736222, 0.17620246704772402, -0.008733713680208388, -0.13624218422682813, 0.08346561030097305, -0.015736916625241133, -0.13120813032907755, 0.09466327930764362, 0.04990260284037251, 0.04734032679823618, -0.20012358961177462, -0.009944494531162163, -0.014774645148833048, 0.030586319084562042, -0.042739119884317604, 0.003321073089857367, -0.03525469339427857, 0.10083683178809826, 0.35896631391894224, -0.1730899744164844, -0.07682328689566714, 0.2156287379472287, 0.02794412423807954, -0.010673913226779663, 0.1826933985059342, -0.148997224628076, -0.15881995426081902, 0.03698484959157923, 0.12229599386605228, -0.06845905208173218, 0.31785193134668166, 0.1398775982254905, 0.0195501281834015, 0.09301085102096837, 0.0041471795603675865, 0.07165875545304222, -0.08361568269237793, -0.019158721424771753, 0.08654690430890344, -0.06989197097801128, 0.19123034998989402, -0.12499926307585535, 0.13754202962763978, -0.06696415805633495, 0.16763365456895582, 0.05296155369036356, -0.09192530395039666, 0.11740313293213919, 0.06102455426702234, 0.03397128391542194, 0.08684365688790431, 0.20300173758480694, -0.12817513068213704, -0.11037444934456939, 0.1193160303210743, -0.05741206543583373]),
+      |      list_dot_product(v, [-0.05208839328597896, -0.1305025396529574, -0.07968820832675301, 0.0558847945390069, 0.06114093982806349, 0.01318234422497456, -0.13670782297921016, 0.04743323096460176, 0.013051104711571643, 0.024646474232885136, 0.19861337746444144, -0.279503574645302, 0.02236565778223658, -0.19950067654571085, 0.13448742928569973, 0.037493960090246574, -0.11419727248483513, -0.008147343842602729, 0.035175825699362964, -0.2677372167014199, 0.3014287175611386, 0.03602252632494524, 0.08329559447638993, 0.1511931051097063, -0.023830203977289747, 0.17169018904658992, -0.20498750882166827, 0.004813503958212209, -0.043868726181225816, -0.0434551524460205, 0.13771841489670503, 0.05589874655492353, -0.006898628289448425, 0.009954886998662506, 0.034863979430491236, -0.040294523994922005, 0.0028545044057633373, -0.16590666481379382, 0.19491868909047755, 0.02015698935467601, 0.12113881854654632, 0.16620271008606208, 0.12071307659962946, -0.15237542419252095, 0.07538154299497465, -0.03415232600855571, 0.2839618498420188, -0.02541147373790488, -0.099252828444278, -0.06378173144276768, -0.1678482472240402, -0.01044828674636086, 0.05063298456980236, 0.16055900057154304, -0.07787516782614207, 0.17039792480888677, -0.14360229686516057, -0.11025604221994036, -0.2725218089838734, -0.06816093287955258, 0.06548773653296652, -0.02779115659238171, -0.017100790264081057, 0.04462230722878406]),
+      |      list_dot_product(v, [-0.17568372121502276, -0.12211655424559814, -0.05258202190785629, -0.07469182355438819, -0.13818571756248457, 0.08703864809709073, 0.19953462982537903, -0.03454289356277214, -0.08331400363688961, -0.13168989905337516, 0.021298410730124853, 0.14827032877014598, -0.0882201561109691, 0.05028255808094979, 0.02306540559308655, -0.048383052238746053, 0.15428206112078907, 0.042277793603909625, -0.13280691362671893, -0.06051502420023885, 0.11353696139999982, -0.030351006054328694, -0.10037434103733694, 0.3103784750163683, -0.10471414581833385, 0.010301741961303007, -0.1633615135145059, 0.13620270332507528, 0.04282819879161665, 0.08917892477727897, 0.05967293529965091, -0.07529115661801847, 0.07412226493473398, 0.07420067844382411, -0.023635308180289298, 0.05036811759048412, -0.254452321656378, -0.06788265340398277, 0.10068634172750336, -0.01829676549322115, 0.0782978965696685, -0.13797715673453947, 0.2573109882173517, 0.013471839971871302, -0.028912072618376947, 0.07420703840946122, 0.04062357085540288, -0.23003008517816786, 0.03978731499456199, -0.23214384503952598, 0.07981930206857814, 0.19076740453491348, -0.07002870519353634, -0.1724368234395151, -0.033524250633825664, -0.008728446290200908, -0.22424380268978017, -0.02323341732266475, 0.26912452847226986, 0.12399104949274059, -0.2029667534573797, -0.07563482664340886, 0.0983432238256605, 0.01342607612384277]),
+      |      list_dot_product(v, [0.17412728345359393, -0.10213663372535034, -0.06225322225897731, 0.2213775833243391, 0.04033376590859294, 0.07702302538748175, 0.012136898027532851, -0.16332548412343936, 0.21696989386832344, 0.014097541776689091, -0.08110171580925099, 0.17458872107071238, -0.14982567986757597, -0.13468358427572813, -0.15086633950133896, 0.17027262283541533, -0.05766106904668996, -0.12178127260328118, -0.14167657722372676, 0.2587954057557318, 0.18400402785472744, -0.09587778669351335, -0.16581064683322644, -0.08787495496988343, -0.09293597023250906, -0.1492408902127112, -0.12597357708736867, 0.15539417898068264, 0.07200118534483133, 0.1744149387692538, 0.1063233346542466, -0.0045006738664399104, 0.04007610174265797, 0.09784219419185568, -0.15977922584052806, 0.1263664872197002, 0.11318054378244889, -0.17692916461528, 0.023640403910821114, -0.0663788716477001, -0.11747237893285653, 0.1487646326246905, 0.009713041729765583, 0.07340754179583751, -0.009947284750451044, 0.2022570387832034, 0.1884649962235344, 0.015556154863730144, 0.002736878696557995, -0.09607675372338242, -0.06364286458383704, -0.15107490669661341, -0.11375929976315932, 0.23376875512508327, 0.004867211743324782, -0.0726984641408549, 0.07204952702096457, 0.016171477520096122, 0.07918766889538276, -0.15483393659710382, -0.03634858586815243, 0.10734058671651965, 0.05544916150957679, -0.11585213171408212]),
+      |      list_dot_product(v, [-0.19060229846519086, -0.002839127065387114, -0.012652694579965715, -0.16591103868220142, -0.029372191953458526, -0.01594582019532487, 0.07430932959371425, -0.13006824517163448, -0.005232655405848818, 0.021351772419570925, 0.10969259152782557, -0.01892725933417791, -0.17253433760844133, -0.020000005819826368, 0.11672927306073032, -0.04794116998125617, -0.07718572174041549, 0.05118997786345801, 0.19677269383033907, -0.04855341806241129, -0.016401931626292523, 0.14602697378630028, -0.021980737971471757, 0.2343468654547012, 0.10293041221958556, -0.14446492869509114, 0.10388757996124694, -0.14500079572273608, -0.1351985070455307, -0.12059961267213187, 0.14529585003392403, -0.1835621761948694, -0.19016002134279783, 0.12015879933531955, -0.1914207983928005, 0.037701627923060164, -0.04928388797761472, 0.032544191410658035, 0.08643017919022333, -0.22943885837760136, -0.038702066337673244, -0.0013759618556726811, -0.11083630993543166, 0.20058682274223824, -0.14886583404343587, 0.025838362412359945, 0.09085278408065356, -0.17705880629564852, 0.06963750167897298, 0.16987362025691605, 0.006595176178619174, -0.17281104396083846, -0.0825160210025661, 0.26915225065191484, 0.2047366912355851, -0.05352186903233294, 0.01089471292194324, 0.10978205277186631, 0.003174408093386418, 0.06411724859366602, -0.04247395575584424, -0.05284546225336045, -0.2204493295272768, -0.2237048728934984]),
+      |      list_dot_product(v, [0.24442448741553888, -0.08220661621891656, 0.10862244736055426, 0.02661935415306399, 0.049736621801290584, -0.11982936286393751, 0.11001213695703545, 0.028355308479828853, -0.07984506558727082, 0.1715170096415493, -0.18621153093426765, -0.0359907119361818, -0.21423187942296068, -0.13508814666516225, -0.07684542102141317, -0.16275139960714455, 0.05849946439860758, -0.1609674683717736, -0.21986459463958696, 0.02653178828458477, 0.1251490505085519, 0.08639642058193288, 0.013512471817463888, 0.06332642394146437, 0.13132205385366233, -0.012479816736136174, -0.041125980001169266, 0.008188928960660284, -0.09149463050552534, -0.26290112558779255, -0.05379117825024168, -0.024286353010675266, -0.11245437646088545, -0.020840563377164698, 0.25915331724411816, 0.06737161137243132, 0.06878190501098898, 0.1437070504620926, 0.3154150919575458, -0.17931415297362824, -0.0056661331324527235, 0.051669647027067576, 0.04265342290328824, -0.023780070820009214, 0.18839098220028838, 0.07495637605306624, 0.08397284742117195, 0.06042411306219145, 0.22483290776895518, 0.021633881541199777, 0.17020680129978144, 0.10553885793816692, -0.029932909002232493, -0.09552280839122093, 0.10419369021530495, 0.1282183011410479, 0.14052951123134377, 0.15765007131313824, 0.048627397038272985, -0.03208251547198217, 0.0369280845057687, -0.18136566499673468, -0.017636945433340163, 0.08610556505733498]),
+      |      list_dot_product(v, [-0.010416287341954027, -0.1809306798108604, -0.05436404104306072, 0.14070873924234722, 0.20616921575056996, -0.1534886730998389, -0.01992895463337878, -0.10158894611878967, -0.2618332741938141, 0.06761770782117328, 0.052391901339537236, -0.09529041709057816, -0.08268263935112408, 0.030312814242685296, 0.09565910017912363, -0.10000861303728821, 0.12599919322587275, 0.21146484721874803, -0.14289988867833023, 0.0877566237689013, -0.05041817234249535, -0.09313523148052515, 0.017433013390082654, -0.025053613408844898, 0.05827649266256389, 0.1918861841389302, 0.07778765380477073, -0.030035686830029478, 0.07441981975065445, 0.10699625595354868, 0.06876446084951965, 0.06938383938050845, -0.09771911510416514, 0.09808676878494553, -0.12189987703356057, 0.21994363099960934, -0.1486136072117401, -0.05966129064315119, -0.29108933145134136, 0.052178691716628, 0.13815529166393115, 0.07952919877715858, 0.03338664127654729, 0.12656941597594698, 0.09483536461483154, -0.036321508034923275, -0.05757290356954909, 0.03947850123313089, 0.33426652327462536, -0.02822650002752662, -0.2729309493290189, 0.06813634226875946, -0.12218613001165708, 0.07558992943549225, -0.03728010306496154, 0.16892639167066018, 0.18528365078325718, -0.041240779758970746, 0.06374659160762149, 0.047599717376404414, -0.003639686851804137, 0.02082692276477481, -0.1846441010940114, 0.09393275336360198]),
+      |      list_dot_product(v, [0.07659205791122115, 0.0882866800140336, -0.01343873152132408, 0.19186130610969168, -0.05854392746162904, -0.02172457252675644, 0.025369761695507056, -0.018516629518614717, 0.13065500953386813, -0.20848118088529766, -0.23318200919919602, -0.0923983601127213, -0.012720711007417998, 0.08161625773219469, 0.04623951029302998, -0.10194094043982167, -0.11135898967379512, 0.048600731324686154, 0.14266858885259515, -0.13377573945745966, -0.0796076071295516, 0.07703624490929561, -0.12565992863805148, 0.12662380988806843, 0.11963322511600617, 0.0565485945507742, 0.13014556273151046, -0.045659649540659125, -0.14244492589806754, -0.05039218031308634, -0.004518967715164068, -0.15703519794496845, 0.18629901710926386, 0.28044206966935203, 0.09314349736570016, 0.09027233156157234, 0.056807398373699754, -0.19712864055498067, -0.08838626508015243, 0.12845546275673084, -0.2302377176375217, 0.08174251645494397, 0.09248187063599442, 0.12690733359295156, 0.20447558616352116, -0.16839577956956883, 0.02781760945880962, -0.011540922253199712, -0.09194395634717743, -0.1718175623690015, -0.0008778959794484827, -0.08269751782878594, 0.15456476601737976, 0.11951811074113108, 0.13969017604317596, -0.02362793046112977, 0.04482765464069616, -0.0651470319452994, 0.1846622240823839, -0.01280184827310852, 0.0168632355260725, -0.14292575047377926, -0.012626579261702311, 0.3225777695906126]),
+      |      list_dot_product(v, [0.10693871913304144, 0.015276267546023008, -0.05319884217789178, 0.2671451176029066, 0.01343395576143447, -0.041658643720294215, -0.11927030986436302, 0.03712800425608107, 0.05667712340795878, -0.06802718699636819, -0.15107142030748646, 0.18670939421751903, -0.06140901500809572, -0.2107483894837267, 0.1870510605623894, -0.2322321999207397, -0.1324993969284131, 0.03994128687185036, -0.023594957883958913, 0.02581445473198701, -0.15149359505429322, 0.0031026305515077348, 0.0643645164716107, 0.02999161818820001, -0.21256542767827424, -0.08006025222136666, -0.10969418494274247, -0.25341390236938, -0.20807029685574155, 0.14882058492344022, -0.04124324902748979, -0.12094185487668592, -0.04192732972847734, -0.11854359567346037, -0.09138641973292765, 0.10021428675413305, -0.05677029955710192, 0.07654316965181468, -0.0020653579105501555, 0.20215268992097724, 0.2353674371337226, 0.01714455822355886, 0.1633474360474333, -0.11203312430889652, -0.06662815232823435, -0.10501284839121942, -0.11315051261586906, -0.19834194969449603, -0.01599729361093228, 0.019577643083257802, 0.04660429282072507, -0.03169897860843118, 0.08376499339977374, -0.04960291456718338, -0.05520798737015936, 0.036036985191916365, -0.006295895369581259, 0.14090015137885176, 0.008727142219170576, -0.21499465999289574, 0.12548282805010763, -0.1701402169223854, -0.019869844495511806, -0.24573111309630657]),
+      |      list_dot_product(v, [0.24017223575294244, 0.0036533548104071495, -0.013009098370014644, 0.022697191859447217, 0.24134276729347967, -0.041754791240757545, 0.0899357061202483, 0.18179627864640485, -0.06501235920783424, -0.08894402448183823, -0.0361027195627553, 0.0798184005132774, -0.07577828324285268, -0.011461436398363249, 0.34524777613201474, 0.007150839651774576, 0.16679874703695793, -0.13902181861118396, 0.09635763295821394, -0.19444623209342463, 0.10366508200585971, 0.12503153909963785, -0.07873850287819438, -0.06723814773063246, 0.18064402563033496, -0.27407311200442985, 0.005035413600429976, 0.008413331254847852, 0.051233818091770564, 0.06777272048593971, 0.12121108744738252, 0.20345967095285789, 0.08787665126290153, -0.035853623158558445, -0.06255104422018828, -0.014492937749871657, 0.08678361730809715, -0.06714853045278238, 0.12666456248836172, 0.04109721744382346, 0.2887318225474556, -0.11358640252159147, -0.0019732616185983935, 0.06972871405020904, -0.17854574027337308, -0.041455465285636504, -0.03483189574311612, 0.010103843752671789, 0.06059298980344367, 0.011279492442299442, -0.01640624238940706, -0.09717119008548629, 0.16373721962129936, -0.0035241739165041554, 0.15106628530831423, -0.04545229546124197, 0.11174124574001568, -0.21774311867377452, 0.1323605271497859, 0.13327925432801804, -0.016943266527055655, 0.19126748924780346, 0.12580058871295197, 0.03191484914475864]),
+      |      list_dot_product(v, [-0.2331668728588131, 0.03220032254396904, -0.15196719573210551, -0.10494070174501584, -0.15045763728656006, -0.17676017161951232, 0.07753365606086542, -0.01329965862816477, 0.24288398655111654, 0.09348044210843146, -0.08449144986130125, 0.09269523491298855, -0.17578859562852953, 0.005394636722217437, 0.24858020766398578, -0.012913630296407169, -0.11324273981790545, 0.039416576079251635, -0.12366381359348745, -0.06325896607174918, -0.14566415337646613, -0.07168620033040896, 0.1047685727140139, -0.06284517549547751, 0.09519532749960319, 0.12616038355297002, -0.13431991445904395, -0.026147458618330528, -0.04540947601353912, 0.13210870285755838, -0.07171505316390772, -0.04846946730769696, 0.10708783657114429, -0.019522444392431237, -0.033742259563220064, -0.14735493765962682, -0.07982362898081499, 0.05615368989972779, 0.0683703220046998, -0.020087997756368214, -0.122395846654651, 0.042256090230364265, 0.25944782281957374, 0.025415970437369397, -0.10648325327937624, 0.012492663292520838, 0.009289199835159105, 0.3401442559952028, 0.23358535090281682, 0.08570026363733774, 0.12602465293845289, -0.1808047365921465, 0.013124996687686392, 0.007987154492711087, 0.04218095169878303, 0.14754546869570037, 0.06860562940651393, -0.08647440729360678, -0.11239809083703538, -0.10548425376119183, -0.2134684626574936, 0.1801564125746872, 0.09739258169657651, 0.09681688298217359]),
+      |      list_dot_product(v, [-0.14620857100286413, 0.13496323321310652, -0.12569282865632764, 0.14574040653960935, 0.09877835277077328, -0.03355850103327607, 0.050659410326905394, -0.1370173663282456, -0.2313113829722868, 0.033048979030818146, -0.00881950479065895, -0.07966545890004728, 0.15404896254094896, 0.10020830354641545, 0.15990225323731722, -0.07816487954050004, -0.06799789390676327, 0.08862466397102754, -0.08408757673514224, 0.03087809612490308, 0.004208226211770881, -0.11332208696889416, -0.015500763892151857, 0.08317383558712318, -0.20864783203020584, -0.14586857146193066, 0.002061630527823463, 0.03443480393377245, 0.0524083644488134, -0.24317421075659487, -0.20329659475519612, -0.11198726839650894, -0.01926042038401641, -0.2080841754780464, 0.08902820834786147, 0.2212775429616836, -0.0763633983925988, -0.10805374331121874, 0.25751772989644894, -0.01691644624468584, -0.05761912257702017, -0.11691060622410777, 0.06403072767308504, 0.19023023139054443, -0.03607457301353904, 0.14521002445381773, -0.0032245708198242137, 0.08744566313268605, -0.29232513331113735, -0.07889337301787239, 0.05974934754024276, -0.035898935108840485, 0.01645125429448975, 0.05151863066933877, -0.10800882734092172, -0.027762683839921882, 0.3145628110309236, -0.14912875840875028, -0.03986598474511883, -0.054644636707231124, 0.013483403708668707, 0.1694861547454739, -0.06175143855693319, -0.0053361127377590314]),
+      |      list_dot_product(v, [-0.08390340316134845, -0.22673714838301806, 0.0012822062253944303, 0.010259203487853271, -0.045499018126628175, 0.04500101977095614, 0.03657847838324214, 0.21109399484343122, -0.15386832922803667, -0.13777419104250896, -0.06456177550302053, -0.12055531028295, -0.022109367545847476, 0.11612852347428036, -0.019599038173733662, -0.0016113660637852862, -0.10967981766773814, -0.29660605638783394, -0.04303674385974818, 0.046641151748076724, -0.07272062234762335, -0.13678494136747701, 0.013333781431119964, -0.00515026828012216, -0.11615690699550545, -0.1350793080733895, 0.08558435992801068, -0.01899665752329878, -0.1581928724630812, 0.16260304194048408, -0.2036070474807502, 0.09308191760677703, -0.043290091020945096, -0.0571236762652905, -0.06870870070871732, -0.11455011639490802, 0.057048304454155846, -0.05139783241911591, 0.04578823951699377, -0.05863925524509716, 0.17545477785991812, -0.10484647053751713, 0.04277839087849161, 0.2616455916977324, 0.403673809252741, 0.02329457850960629, -0.13665019086061972, 0.05452155394702137, 0.01649853117430292, -0.12890530311402315, -0.016579361741594672, -0.1542608997576252, -0.021417598330378176, 0.15478585332994996, 0.08858542052187467, 0.018611000164667935, -0.20992671407798533, 0.17519333008297738, -0.20336091687482863, 0.08290540048219598, -0.1063574796949375, 0.07331955210444027, -0.040214233905362204, -0.0005389168153888502])]""".stripMargin
+
   /** ANN recall AS DATA — now ORACLE-EXACT end to end: every leg of
     * the audit table (exact truth, hyperplane-LSH, label-IVF,
     * trained-k-means IVF, int8 scan, identity-prefix rerank,
@@ -927,6 +963,21 @@ object Similarity {
        |        ORDER BY list_cosine_similarity(qc.v, e.v) DESC, s.neighbor_id) AS n_rank
        |    FROM trshort24 s JOIN c e ON e.vec_id = s.neighbor_id
        |    JOIN c qc ON qc.vec_id = s.query_id) t WHERE n_rank <= 5),
+       |cproj32 AS (SELECT vec_id, v, $gateRerankProj32Sql AS pv FROM c),
+       |trshort32 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.pv, e.pv) DESC, e.vec_id) AS c_rank
+       |    FROM cproj32 q, cproj32 e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) t
+       |  WHERE c_rank <= 20),
+       |tr32 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY list_cosine_similarity(qc.v, e.v) DESC, s.neighbor_id) AS n_rank
+       |    FROM trshort32 s JOIN c e ON e.vec_id = s.neighbor_id
+       |    JOIN c qc ON qc.vec_id = s.query_id) t WHERE n_rank <= 5),
        |ep AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM c a, c b
@@ -984,6 +1035,9 @@ object Similarity {
        |    (SELECT total FROM tt)
        |  UNION ALL SELECT 'rerank_trained24', 'pca-rot24,shortlist=20,k=5',
        |    (SELECT count(*) FROM truth t JOIN tr24 m USING (query_id, neighbor_id)),
+       |    (SELECT total FROM tt)
+       |  UNION ALL SELECT 'rerank_trained32', 'pca-rot32,shortlist=20,k=5',
+       |    (SELECT count(*) FROM truth t JOIN tr32 m USING (query_id, neighbor_id)),
        |    (SELECT total FROM tt)
        |  UNION ALL SELECT 'neardup_lsh', 'minCosine=0.45,adaptive-bits',
        |    (SELECT count(*) FROM ep JOIN ndp USING (vec_a, vec_b)),
@@ -1054,6 +1108,8 @@ object Similarity {
         rerankTopKTrained(emb, q, 5, prefixDim = 16, shortlist = 20)))
       .unionAll(recallRow("rerank_trained24", "pca-rot24,shortlist=20,k=5",
         rerankTopKTrained(emb, q, 5, prefixDim = 24, shortlist = 20)))
+      .unionAll(recallRow("rerank_trained32", "pca-rot32,shortlist=20,k=5",
+        rerankTopKTrained(emb, q, 5, prefixDim = 32, shortlist = 20)))
       .unionAll(ndRow)
       .unionAll(sdRow)
       .orderBy("method")

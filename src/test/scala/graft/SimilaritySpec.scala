@@ -129,6 +129,7 @@ class SimilaritySpec extends SparkSpec {
       // buys +8 hits (16->19/40, 24->27/40) — the audit row a capacity
       // decision would read
       "rerank_trained24" -> ((27L, 40L)),
+      "rerank_trained32" -> ((37L, 40L)),
       "neardup_lsh" -> ((7L, 7L)),
       "semdedup_group" -> ((6L, 7L))), s"recall drifted: $rows")
   }
