@@ -736,9 +736,23 @@ object Multimodal {
       .select(col("rep").as("doc_a"), col("media_id").as("doc_b"))
     val aPairs = audioNearDupPairs(areps, maxHamming = 2)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    // Video arm (round 13): the fourth modality, same exact-dup-first
+    // contraction — exact-fingerprint classes become stars, banding runs
+    // over the representatives only.
+    val vfps = videoFpSilver(s, dir)
+    val vreps = vfps.groupBy("gw", "gh", "phash")
+      .agg(min("media_id").as("media_id"))
+    val vstar = vfps
+      .join(vreps.withColumnRenamed("media_id", "rep"),
+        Seq("gw", "gh", "phash"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("media_id").as("doc_b"))
+    val vPairs = imageNearDupPairs(vreps, maxHamming = 2)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     Dedup.dupClusters(
       textPairs.unionByName(star).unionByName(repPairs)
-        .unionByName(astar).unionByName(aPairs))
+        .unionByName(astar).unionByName(aPairs)
+        .unionByName(vstar).unionByName(vPairs))
   }
 
   val m09 = Q("m09_multimodal_clusters",
@@ -746,6 +760,7 @@ object Multimodal {
           .replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$pHashCtes,
        |$audioFpCtes,
+       |$videoFpCtes,
        |tpairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a, sh b
@@ -760,6 +775,8 @@ object Multimodal {
        |  UNION SELECT media_b, media_a FROM ipairs
        |  UNION SELECT media_a, media_b FROM apairs
        |  UNION SELECT media_b, media_a FROM apairs
+       |  UNION SELECT media_a, media_b FROM vpairs
+       |  UNION SELECT media_b, media_a FROM vpairs
        |),
        |reach(a, b) AS (
        |  SELECT u, u FROM edges
@@ -899,19 +916,326 @@ object Multimodal {
       audioFingerprint(audioGroupsFromDocuments(s, dir)).toDF()
     }
 
-  /** Pair-set semantics are Θ(Σ class²) BY DEFINITION when exact-equal
-    * fingerprint classes are large (the fixture's sawtooth collides
-    * heavily at sf1: 24.1M pairs). Cluster consumers take the
-    * star-contracted relation instead — multimodalClusters feeds the
-    * class stars plus representative pairs, the same exact-dup-first
-    * contraction as the text and image arms. */
-  val m10 = Q("m10_audio_neardup",
-    s"""WITH $audioFpCtes
-       |SELECT media_a, media_b, hamming FROM apairs
-       |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
-    audioNearDupPairs(audioFpSilver(s, dir), maxHamming = 2)
-      .orderBy("media_a", "media_b")
+  /** Contracted near-dup REPORT — the scale-safe default form of a pair
+    * query whose full listing is Θ(Σ class²) in exact-fingerprint class
+    * sizes (m10's measured 24.1M rows at sf1). Three row kinds over one
+    * (kind, media_a, media_b, hamming, n_pairs) schema:
+    *   'star'  — (class rep, member, 0, NULL): exact-equal fingerprint
+    *             membership, one row per non-rep member;
+    *   'near'  — (rep_a, rep_b, hamming, |A|·|B|): banded near-pair
+    *             between class REPRESENTATIVES, carrying the full-listing
+    *             pair count it stands for (every cross-class member pair
+    *             has the representatives' Hamming — equal fingerprints);
+    *   'class' — (rep, NULL, NULL, C(sz,2)): per-class within-class pair
+    *             count, so the full listing's cardinality is Σ n_pairs
+    *             without materializing it.
+    * The report is a LOSSLESS compression: the full pair listing
+    * reconstructs exactly (MultimodalSpec pins it), and output is
+    * O(members of dup classes + rep pairs) instead of Θ(Σ class²).
+    * `classCols` are the comparability-class keys (fingerprints across
+    * classes are not comparable); `repPairs` receives the one-row-per-
+    * class representative relation and returns its banded near pairs. */
+  private[operators] def nearDupReport(fps: DataFrame, idCol: String,
+      classCols: Seq[String], fpCol: String,
+      repPairs: DataFrame => DataFrame): DataFrame = {
+    val keyCols = classCols :+ fpCol
+    val classes = fps.groupBy(keyCols.map(col): _*)
+      .agg(min(idCol).as("rep"), count(lit(1)).as("sz"))
+    val stars = fps.join(classes, keyCols)
+      .filter(col(idCol) =!= col("rep"))
+      .select(lit("star").as("kind"), col("rep").as("media_a"),
+        col(idCol).as("media_b"), lit(0).as("hamming"),
+        lit(null).cast("long").as("n_pairs"))
+    val reps = classes.select(
+      (col("rep").as(idCol) +: keyCols.map(col)): _*)
+    val sizes = classes.select(col("rep"), col("sz"))
+    val near = repPairs(reps)
+      .join(sizes.select(col("rep").as("media_a"), col("sz").as("sa")),
+        "media_a")
+      .join(sizes.select(col("rep").as("media_b"), col("sz").as("sb")),
+        "media_b")
+      .select(lit("near").as("kind"), col("media_a"), col("media_b"),
+        col("hamming"), (col("sa") * col("sb")).as("n_pairs"))
+    val classRows = classes.filter(col("sz") > 1)
+      .select(lit("class").as("kind"), col("rep").as("media_a"),
+        lit(null).cast("long").as("media_b"),
+        lit(null).cast("int").as("hamming"),
+        expr("sz * (sz - 1) DIV 2").as("n_pairs"))
+    stars.unionByName(near).unionByName(classRows)
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  /** Audio near-dup report: [[nearDupReport]] over the fingerprint
+    * silver, rep pairs from the banded LSH. Class key = frame length
+    * (the comparability class). */
+  def audioNearDupReport(fps: DataFrame, maxHamming: Int): DataFrame =
+    nearDupReport(fps, "media_id", Seq("n_frames"), "fp",
+      reps => audioNearDupPairs(reps, maxHamming))
+
+  /** m10 DEFAULT = the contracted report (r12 verdict item 1): the full
+    * pair listing is Θ(Σ class²) BY DEFINITION when exact-equal
+    * fingerprint classes are large (the fixture's sawtooth collides
+    * heavily at sf1: 24.1M pairs, the round-12 bench's heaviest entry),
+    * so the registered query emits class stars + representative pairs +
+    * per-class counts — same information, output linear in the dup
+    * structure. [[audioNearDupPairs]] remains the full-listing API
+    * (spec-pinned equal to the report's reconstruction); cluster
+    * consumers (m09) already take the star-contracted edges. */
+  val m10 = Q("m10_audio_neardup",
+    s"""WITH $audioFpCtes,
+       |acls AS (
+       |  SELECT n, fp, min(media_id) AS rep, count(*) AS sz
+       |  FROM afp GROUP BY n, fp),
+       |astars AS (
+       |  SELECT 'star' AS kind, a.rep AS media_a, f.media_id AS media_b,
+       |    0 AS hamming, CAST(NULL AS BIGINT) AS n_pairs
+       |  FROM afp f JOIN acls a ON f.n = a.n AND f.fp = a.fp
+       |  WHERE f.media_id <> a.rep),
+       |anear AS (
+       |  SELECT 'near' AS kind, a.rep AS media_a, b.rep AS media_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming,
+       |    a.sz * b.sz AS n_pairs
+       |  FROM acls a JOIN acls b ON a.n = b.n AND a.rep < b.rep
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 2),
+       |aclsrows AS (
+       |  SELECT 'class' AS kind, rep AS media_a,
+       |    CAST(NULL AS BIGINT) AS media_b, CAST(NULL AS INT) AS hamming,
+       |    sz * (sz - 1) // 2 AS n_pairs
+       |  FROM acls WHERE sz > 1)
+       |SELECT * FROM (SELECT * FROM astars UNION ALL SELECT * FROM anear
+       |  UNION ALL SELECT * FROM aclsrows)
+       |ORDER BY kind, media_a, media_b""".stripMargin) { (s, dir) =>
+    audioNearDupReport(audioFpSilver(s, dir), maxHamming = 2)
+      .orderBy("kind", "media_a", "media_b")
+  }
+
+  // ---------------------------------------------------------------- m11
+
+  /** VIDEO near-dup (round 13) — the fourth and last modality of the
+    * near-dup family (text d11-d13, image m08, audio m10). Fingerprint =
+    * frame-sampled perceptual hash: walk the real AVI container via the
+    * idx1 index (m07's machinery, `graft.functions.Riff`), decode ONLY
+    * every `stride`-th frame, and pool the decoded pixels of the sampled
+    * frames onto one min(8,w)×min(8,h) block grid with exact integer
+    * area sums — bit k = j·gw+i set by the cross-multiplied mean test
+    * (blockSum·N > totalSum·blockN over the sampled pixels), the same
+    * integer trick that makes the image and audio hashes
+    * engine-reproducible. Selective decode means 1/stride of the frame
+    * payload passes through the codec — the property that makes the
+    * fingerprint affordable on long videos.
+    *
+    * FIXTURE CODEC NOTE: m07's production path stays MJPEG (JPEG is the
+    * JDK's only video-frame codec with hardware-realistic lossy
+    * behavior), but JPEG pixel output is decoder-defined, so a lossy
+    * fixture cannot back a pure-SQL oracle. The near-dup fixture
+    * therefore writes PNG frames into the SAME RIFF/AVI container
+    * (Riff.writeAvi is codec-agnostic; ImageIO sniffs the frame bytes) —
+    * the container walk, idx1 selective decode, and pooling path are
+    * identical, and PNG's losslessness lets the oracle recompute the
+    * fingerprint from the generation formula exactly (the m04/m08
+    * pattern: lossless codec where the oracle needs pixel exactness). */
+  private[operators] def aviGroupFromSpec(id: Long): Array[Byte] = {
+    val g = id - id % 3
+    val m = id % 3
+    val (w, h) = imgDims(g)
+    val n = (1 + g % 12).toInt
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // sparse per-member perturbation (every 23rd diagonal cell):
+          // group members share the base signal, so fingerprints land at
+          // Hamming 0-2 with a thin tail past the band — the boundary
+          // the oracle exercises, like m10's bump constant
+          val bump = if ((x + y + f) % 23 == 0) 101L * m else 0L
+          val gv = ((31 * g + 7 * x + 13 * y + 17 * f + bump) % 256).toInt
+          img.setRGB(x, y, (gv << 16) | (gv << 8) | gv)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    graft.functions.Riff.writeAvi(frames, w, h)
+  }
+
+  def videoGroupsFromDocuments(s: SparkSession, dir: String)
+      : Dataset[VideoRow] = {
+    import s.implicits._
+    T.documents(s, dir).select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        System.setProperty("java.awt.headless", "true")
+        ids.map(id => VideoRow(id, aviGroupFromSpec(id)))
+      }
+  }
+
+  /** Container walk + stride-sampled selective decode + exact integer
+    * block pooling across the sampled frames → one 64-bit fingerprint
+    * per video, emitted in the image-hash frame (media_id, gw, gh,
+    * phash) so the banding/report machinery is shared with m08. */
+  def videoFingerprint(videos: Dataset[VideoRow], stride: Int)
+      : Dataset[ImagePHash] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val refs = graft.functions.Riff.frameIndex(r.payload)
+        val sampled = refs.indices.by(stride)
+          .map(i => graft.functions.Riff.decodeFrame(r.payload, refs(i)))
+        val (w, h) = (sampled.head.getWidth, sampled.head.getHeight)
+        val (gw, gh) = (math.min(8, w), math.min(8, h))
+        val bs = Array.ofDim[Long](gh, gw)
+        val bn = Array.ofDim[Long](gh, gw)
+        var tot = 0L
+        sampled.foreach { img =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val lum = (img.getRGB(x, y) & 0xff).toLong
+              val (i, j) = (x * gw / w, y * gh / h)
+              bs(j)(i) += lum; bn(j)(i) += 1; tot += lum
+              x += 1
+            }
+            y += 1
+          }
+        }
+        val n = w.toLong * h * sampled.size
+        var bits = 0L
+        var k = 0
+        var j = 0
+        while (j < gh) {
+          var i = 0
+          while (i < gw) {
+            if (bs(j)(i) * n > tot * bn(j)(i)) bits |= (1L << k)
+            k += 1; i += 1
+          }
+          j += 1
+        }
+        ImagePHash(r.media_id, gw, gh, bits)
+      }
+    }
+  }
+
+  /** Video-fingerprint silver: one selective-decode pass per
+    * (session, dir), shared by m11 and the m09 composite. */
+  def videoFpSilver(s: SparkSession, dir: String): DataFrame =
+    graft.plans.SilverStore.table(s, dir, "video_vhash") {
+      videoFingerprint(videoGroupsFromDocuments(s, dir), stride = 2).toDF()
+    }
+
+  /** Video near-dup report — same contracted shape as m10 (class stars +
+    * representative pairs + per-class counts); banding and classes reuse
+    * the image machinery (grid classes, 4-band pigeonhole). */
+  def videoNearDupReport(fps: DataFrame, maxHamming: Int): DataFrame =
+    nearDupReport(fps, "media_id", Seq("gw", "gh"), "phash",
+      reps => imageNearDupPairs(reps, maxHamming))
+
+  /** The video-fingerprint CTE chain (no leading WITH): recomputes the
+    * stride-2 frame-sampled fingerprint from the generation formula in
+    * pure SQL, ending in `vhsh(media_id, gw, gh, phash)` and
+    * `vpairs(media_a, media_b, hamming)` at Hamming ≤ 2 — shared by m11
+    * and the m09 composite. */
+  // lazy: referenced by m09 (declared ABOVE this section) during object
+  // init — a strict val would still be null there
+  private[operators] lazy val videoFpCtes: String =
+    """vg AS (
+      |  SELECT doc_id AS media_id, doc_id - doc_id % 3 AS g, doc_id % 3 AS m
+      |  FROM documents
+      |), vd AS (
+      |  SELECT media_id, g, m,
+      |    CAST(4 + g % 13 AS INT) AS w, CAST(3 + g % 7 AS INT) AS h,
+      |    CAST(least(8, 4 + g % 13) AS INT) AS gw,
+      |    CAST(least(8, 3 + g % 7) AS INT) AS gh,
+      |    CAST(1 + g % 12 AS INT) AS nf
+      |  FROM vg
+      |), vtot AS (
+      |  SELECT media_id, g, m, w, h, gw, gh,
+      |    CAST(list_sum(flatten(flatten(
+      |      [[[ (31 * g + 7 * x + 13 * y + 17 * f
+      |           + CASE WHEN (x + y + f) % 23 = 0 THEN 101 * m ELSE 0 END)
+      |          % 256
+      |          for f in range(0, nf) if f % 2 = 0]
+      |         for y in range(0, h)] for x in range(0, w)])))
+      |      AS BIGINT) AS tot,
+      |    CAST(w AS BIGINT) * h * len([1 for f in range(0, nf)
+      |                                 if f % 2 = 0]) AS n,
+      |    nf
+      |  FROM vd
+      |), vgj AS (
+      |  SELECT media_id, g, m, w, h, gw, gh, tot, n, nf,
+      |    unnest(range(0, gh)) AS j
+      |  FROM vtot
+      |), vblk AS (
+      |  SELECT media_id, g, m, w, h, gw, gh, tot, n, nf, j,
+      |    unnest(range(0, gw)) AS i
+      |  FROM vgj
+      |), vbit AS (
+      |  SELECT media_id, gw, gh, j * gw + i AS k, tot, n,
+      |    CAST(list_sum(flatten(flatten(
+      |      [[[ (31 * g + 7 * x + 13 * y + 17 * f
+      |           + CASE WHEN (x + y + f) % 23 = 0 THEN 101 * m ELSE 0 END)
+      |          % 256
+      |          for f in range(0, nf) if f % 2 = 0]
+      |         for y in range(0, h) if y * gh // h = j]
+      |        for x in range(0, w) if x * gw // w = i])))
+      |      AS BIGINT) AS bsum,
+      |    CAST(len(flatten(flatten(
+      |      [[[ 1 for f in range(0, nf) if f % 2 = 0]
+      |         for y in range(0, h) if y * gh // h = j]
+      |        for x in range(0, w) if x * gw // w = i])))
+      |      AS BIGINT) AS bn
+      |  FROM vblk
+      |), vhsh AS (
+      |  SELECT media_id, gw, gh,
+      |    CAST(sum(CASE WHEN bsum * n <= tot * bn THEN 0
+      |      WHEN k = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |      ELSE CAST(CAST(1 AS BIGINT) << k AS HUGEINT) END)
+      |      AS BIGINT) AS phash
+      |  FROM vbit GROUP BY 1, 2, 3
+      |), vpairs AS (
+      |  SELECT va.media_id AS media_a, vb.media_id AS media_b,
+      |    CAST(bit_count(xor(va.phash, vb.phash)) AS INT) AS hamming
+      |  FROM vhsh va JOIN vhsh vb
+      |    ON va.gw = vb.gw AND va.gh = vb.gh
+      |    AND va.media_id < vb.media_id
+      |  WHERE bit_count(xor(va.phash, vb.phash)) <= 2
+      |)""".stripMargin
+
+  val m11 = Q("m11_video_neardup",
+    s"""WITH $videoFpCtes,
+       |vcls AS (
+       |  SELECT gw, gh, phash, min(media_id) AS rep, count(*) AS sz
+       |  FROM vhsh GROUP BY gw, gh, phash),
+       |vstars AS (
+       |  SELECT 'star' AS kind, c.rep AS media_a, f.media_id AS media_b,
+       |    0 AS hamming, CAST(NULL AS BIGINT) AS n_pairs
+       |  FROM vhsh f JOIN vcls c
+       |    ON f.gw = c.gw AND f.gh = c.gh AND f.phash = c.phash
+       |  WHERE f.media_id <> c.rep),
+       |vnear AS (
+       |  SELECT 'near' AS kind, a.rep AS media_a, b.rep AS media_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+       |    a.sz * b.sz AS n_pairs
+       |  FROM vcls a JOIN vcls b
+       |    ON a.gw = b.gw AND a.gh = b.gh AND a.rep < b.rep
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+       |vclsrows AS (
+       |  SELECT 'class' AS kind, rep AS media_a,
+       |    CAST(NULL AS BIGINT) AS media_b, CAST(NULL AS INT) AS hamming,
+       |    sz * (sz - 1) // 2 AS n_pairs
+       |  FROM vcls WHERE sz > 1)
+       |SELECT * FROM (SELECT * FROM vstars UNION ALL SELECT * FROM vnear
+       |  UNION ALL SELECT * FROM vclsrows)
+       |ORDER BY kind, media_a, media_b""".stripMargin) { (s, dir) =>
+    videoNearDupReport(videoFpSilver(s, dir), maxHamming = 2)
+      .orderBy("kind", "media_a", "media_b")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
+    m11)
 }

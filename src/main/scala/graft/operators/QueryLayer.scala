@@ -116,6 +116,72 @@ object QueryLayer {
       limit: Int = DefaultLimit): DataFrame =
     actions(actionsDf, ActionTypes.expand(requested), limit)
 
+  /** Typed actions request (crud_actions.go:78-198 analogue): the O4
+    * four-key sort with its two switch axes — clock (order_by_now flips
+    * utime↔lt keys when a utime filter is present) and site (the
+    * account filter reroutes through the `action_accounts` bridge and
+    * sorts on ITS denormalized copies). */
+  case class ActionsRequest(
+      account: Option[String] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      includeTypes: Seq[String] = Nil, excludeTypes: Seq[String] = Nil,
+      descending: Boolean = true,
+      limit: Int = DefaultLimit, offset: Int = 0)
+
+  /** GET /api/v3/actions (crud_actions.go:60-198): time-range filters
+    * land on the join site the reference uses (AA.* when the account
+    * bridge is joined, A.* otherwise), the 4-key sort follows the
+    * order_by_now switch with ONE direction on all four keys, the
+    * bridge join dedups on (trace_id, action_id) (the reference's
+    * `distinct on` over the sort keys), and `end_lt is not NULL` is
+    * always appended. limit+offset stays one TakeOrderedAndProject. */
+  def actionsByRequest(actionsDf: DataFrame, actionAccounts: DataFrame,
+      r: ActionsRequest): DataFrame = {
+    val orderByNow = r.utimeMin.isDefined || r.utimeMax.isDefined
+    val dir: Column => Column = c => if (r.descending) c.desc else c.asc
+    val base = r.account match {
+      case Some(a) =>
+        // sort/filter site = the bridge's denormalized copies
+        val aa = actionAccounts.filter(col("account") === a)
+          .select(col("trace_id"), col("action_id"),
+            col("trace_end_utime").as("s_trace_end_utime"),
+            col("trace_end_lt").as("s_trace_end_lt"),
+            col("action_end_utime").as("s_end_utime"),
+            col("action_end_lt").as("s_end_lt"))
+        actionsDf.drop("trace_end_utime", "trace_end_lt")
+          .join(aa, Seq("trace_id", "action_id"))
+          .dropDuplicates("trace_id", "action_id")
+      case None => actionsDf
+        .withColumn("s_trace_end_utime", col("trace_end_utime"))
+        .withColumn("s_trace_end_lt", col("trace_end_lt"))
+        .withColumn("s_end_utime", col("end_utime"))
+        .withColumn("s_end_lt", col("end_lt"))
+    }
+    val conds: Seq[Column] = Seq(
+      r.utimeMin.map(v => col("s_trace_end_utime") >= v),
+      r.utimeMax.map(v => col("s_trace_end_utime") <= v),
+      r.ltMin.map(v => col("s_trace_end_lt") >= v),
+      r.ltMax.map(v => col("s_trace_end_lt") <= v),
+      if (r.includeTypes.nonEmpty) Some(col("type").isin(r.includeTypes: _*))
+      else None,
+      if (r.excludeTypes.nonEmpty) Some(!col("type").isin(r.excludeTypes: _*))
+      else None,
+      Some(col("end_lt").isNotNull)).flatten
+    val sortKeys =
+      if (orderByNow)
+        Seq(dir(col("s_trace_end_utime")), dir(col("trace_id")),
+          dir(col("s_end_utime")), dir(col("action_id")))
+      else
+        Seq(dir(col("s_trace_end_lt")), dir(col("trace_id")),
+          dir(col("s_end_lt")), dir(col("action_id")))
+    val off = clampOffset(r.offset)
+    conds.foldLeft(base)(_ filter _)
+      .orderBy(sortKeys: _*)
+      .limit(off + clampLimit(r.limit))
+      .offset(off)
+  }
+
   /** actions with the P8 hierarchical filter + O4 sort contract. */
   def actions(actionsDf: DataFrame, supported: Seq[String],
       limit: Int = DefaultLimit): DataFrame = {

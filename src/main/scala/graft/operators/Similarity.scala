@@ -427,9 +427,32 @@ object Similarity {
     * small coarse book; a billion-centroid book would be a different
     * index). Iterations are a driver LOOP (k-means is inherently
     * round-synchronous), each materialized so lineage stays flat. */
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters))
+
+  /** SAMPLE-TRAINED coarse-quantizer book (r12 verdict item 5): Lloyd
+    * iterates over a bounded deterministic sample — the first
+    * min(n, max(sampleN, 8k)) vectors by vec_id — instead of the full
+    * corpus, the documented web-scale mitigation now built: training
+    * cost is O(sample·k·iters) regardless of corpus size, and the full
+    * corpus is touched exactly ONCE by the final assignment pass
+    * ([[kmeansAssignWith]]). At the sf0.01 gate corpus (n=500 ≤ sample
+    * bound) the sample IS the corpus, so the trained snapshot — and
+    * every oracle that embeds it (e07/e08/e09/t05) — is unchanged from
+    * the full-corpus trainer; SimilaritySpec pins that equivalence.
+    * (A production deployment with a skew-prone id order would swap the
+    * vec_id prefix for a deterministic hash sample — the prefix is kept
+    * here because it is what the oracle replica can re-derive exactly.)
+    *
+    * Returns the (cluster, centroid) book after iters-1 updates — the
+    * book the final assignment pass scores against, identical to what
+    * the previous full-loop implementation used for its last round. */
+  def kmeansTrain(corpus: DataFrame, k: Int, iters: Int,
+      sampleN: Int = 4096): DataFrame = {
+    val bound = math.max(sampleN, 8 * k)
     val c = checkpointFresh(
-      corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv")))
+      corpus.filter(col("vec_id") < bound)
+        .select(col("vec_id"), asDouble(col("embedding")).as("cv")))
     val init = c.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("cv")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
@@ -444,19 +467,13 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType)))))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("score").desc, col("cluster"))
-    var assign: DataFrame = null
-    for (_ <- 0 until iters) {
-      val prevAssign = assign
+    for (_ <- 0 until iters - 1) {
       val prevCents = cents
-      assign = checkpointFresh(c.crossJoin(broadcast(prevCents))
+      val assign = checkpointFresh(c.crossJoin(broadcast(prevCents))
         .withColumn("score", cosine(col("cv"), col("centroid")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") === 1)
-        .select(col("vec_id"), col("cluster"), col("cv")))
-      // new assignment is materialized: the previous round's state can
-      // never be read again — release its blocks instead of pinning
-      // every round for the session
-      if (prevAssign != null) unpersistCheckpoints(prevAssign)
+        .select(col("cluster"), col("cv")))
       unpersistCheckpoints(prevCents)
       cents = checkpointFresh(assign
         .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
@@ -466,10 +483,27 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ps"))
         .select(col("cluster"),
           transform(col("ps"), p => p("x")).as("centroid")))
+      // the new book is materialized; the round's assignment is dead
+      unpersistCheckpoints(assign)
     }
-    unpersistCheckpoints(cents) // the return value reads `assign` only
     unpersistCheckpoints(c)
-    assign.select("vec_id", "cluster")
+    val out = cents.localCheckpoint() // detach from the unpersisted chain
+    unpersistCheckpoints(cents)
+    out
+  }
+
+  /** The one full-corpus pass: nearest-centroid assignment against a
+    * broadcast book — embarrassingly parallel, corpus never shuffled
+    * (the irreducible O(n·k) scan every IVF/SemDeDup index pays). */
+  def kmeansAssignWith(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cluster"))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", cosine(col("cv"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("vec_id", "cluster")
   }
 
   /** The 8×3 trained quantizer assignment over the gate corpus,
@@ -592,33 +626,48 @@ object Similarity {
     * sums) — not read back from the engine. Shared by the e07 and e09
     * oracles, which recompute assignment / probe book / probes / pairs
     * from it in pure SQL. Gate-corpus fixture, like d21/d27. */
-  private[operators] val gateKmeansCentsSql: String =
-    """cents AS (SELECT * FROM (VALUES
-      |  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
+  /** The gate snapshot's VALUES rows, shared by every book
+    * instantiation; re-derived independently by tools/derive_kmeans.py
+    * (bit-identical replica of the training loop). */
+  private[operators] val gateKmeansRows: String =
+    """  (0, [0.9360349355, -0.6114126122, 1.5805006658, -4.9146270851, 1.1040014253, -0.8657892853, -0.5169951985, 0.8476864698, 2.6286270587, -1.531626466, -0.3748599586, -0.1632450112, -1.9846122531, 0.0946878997, -0.4182212395, 0.075519233, 2.2948673913, 2.1221097316, 1.5383225352, 1.7593744344, -3.3665227261, 0.6266090727, -0.4629455042, -0.7238835444, 0.4058940447, 4.6770519644, 4.037820573, -0.2963702009, -1.2156546684, 3.3283148135, -0.7273127931, 3.6398631417, 0.1772991704, -2.6882500787, 0.9187568915, -2.8952277592, -0.6710692708, 0.3571531125, 0.7075018671, 0.5799332512, -0.069054826, 0.1596998935, -0.0212070955, 0.0946896069, 0.5805483788, 1.2350665853, 1.6770922467, -2.9561828656, 0.9724386322, -1.9586160826, 0.0546975241, 0.6479263614, 0.6023659376, -3.0175690481, 1.6362866017, 0.2508204048, -1.087320582, 0.4658641126, -2.5902983226, -1.5364553073, -0.5576365465, 1.5718542542, 2.0232032605, -2.67079559]),
       |  (1, [-1.150803794, -0.880336897, 0.0276532552, 0.1043944099, 0.0519283512, 1.7909676809, -5.4567478813, -0.8692347468, 0.0967980781, 0.4006045861, -3.3996070284, 2.7289332618, 3.9448823147, -4.2054885823, 2.1346700901, 0.1180477681, -0.0673056859, -0.6852271261, 1.9759987873, -2.974103757, 1.352510474, 1.8410362069, 0.4285351738, -2.3002656907, 2.1950388925, 3.6464967803, -0.9710631907, -1.6805831612, -1.0416540759, 1.4899221278, -1.4568111125, 0.5497903564, -0.3444339055, -0.3471158327, 0.4773893815, 0.151620241, -2.7976706377, 0.0738974748, 0.9004891772, -4.4088833759, -0.0106157612, -2.619022553, 1.8694005358, 1.1079401497, 1.5229926879, 0.8576541712, -1.8367924306, -0.484979851, -3.5790310227, -5.5436413072, -0.7278352969, 0.0898853479, -0.0190285398, 0.695612134, -1.2079052189, 2.6484688944, 2.4570122874, 0.1406425265, 2.3971162721, 0.837387255, -1.6901454733, -0.1267535906, -2.5051356268, -1.2043247597]),
       |  (2, [0.0150665901, 0.0934538947, -2.5488769231, 2.7678947378, 2.4084799539, -0.3095979437, -0.6140942124, 0.7382488084, -0.0390652535, -4.1970126063, -1.2948675669, -1.0799602893, -3.3490496206, 2.9478739802, 0.4235553114, 1.2422548933, -1.8005358778, 2.5567552444, -0.9559418671, -1.4793833999, 0.5152663447, -0.1568495557, 3.5425749089, -0.7953486928, 0.1114120413, -2.2456284274, -0.2720397482, 0.0003840225, 1.0708853813, 0.7561389738, -0.8807087073, -4.5151725562, 0.896199865, 0.2615665774, 0.5021355628, 0.2205062509, 1.1212335674, 3.594344977, 2.848754204, 2.8766083338, 0.0517284087, -0.594928615, 1.7684964209, 0.7867313524, -0.9271945165, -0.4777540664, -1.0200292651, -0.7118809471, 3.0524337794, 2.3641990943, 2.666206497, -3.2959971097, -0.6637426821, -2.195067761, 3.0523473353, 0.5204450321, 1.1142393195, -1.0234490994, 0.4332765016, 2.4634814517, 2.2761900273, 0.2375542488, 0.7265933511, 0.8638609915]),
       |  (3, [-1.9755098891, 2.4216360492, -0.3599034089, -0.3839707202, -0.6649842074, 0.8206217536, 1.5250682496, 0.6216186094, -2.1374308695, 0.364833435, -0.2478963196, 2.3232060314, 0.9033022481, 5.7426654328, 0.7662757068, 0.0195464013, -2.4285273583, -3.1331750766, 0.6979689471, 1.8948095896, 0.1689687458, -0.1645743653, -1.3593701554, 1.1681177705, -1.1771699933, 1.4537042086, -1.1207965582, -1.1341261003, -3.7295075892, -2.8696571313, -0.464602912, -1.1906526782, 4.676190604, 0.071462189, -0.2303166236, -0.9056877695, 0.6142013424, -1.698892044, -1.7829716913, -1.6648991214, -0.2362656348, -1.6822564737, -4.3568803535, -1.5581894044, -0.0317547193, 0.5134409319, -1.0788237782, -2.0302322391, 4.2758954631, -2.9950840233, 0.4381462619, -0.7230130409, 0.6735834608, 1.4661672425, -2.7041472812, -2.3309888716, 1.1489432628, -0.374315769, 1.4073593389, -3.0636778467, 1.3839707021, 0.1440784176, -0.3806827311, -3.3960823425]),
       |  (4, [1.2029934207, 0.2708192873, 3.1132755111, -1.3113443728, -2.1244226323, -3.9869951988, 2.0300756133, 0.3357377989, 0.6065918897, 0.8883146867, 0.8244837537, -3.1798783615, 1.442907395, -2.6692518918, 0.9708137943, -1.526665898, 2.393715945, 0.883483684, 0.2147887706, 1.0821277334, -0.438397786, 1.8832153992, -1.0697851543, 0.8699310841, -1.2437050099, -0.0180017397, 1.2799199663, -0.2198893798, 1.8619435503, -2.6881126408, 1.8362658735, -1.4784719519, 0.9295265743, 1.0104252583, 1.5856769319, -3.2638708412, 0.4580838869, -3.5165410921, -1.4472940177, 0.3190829001, 1.3328608833, -0.0482539339, -1.0073246891, 0.0445689453, -1.2766894418, -0.1946681196, -2.3874932895, 3.1712387483, -2.2584522427, -0.3395908202, -0.5620750859, -0.1471110856, 0.9755778629, 0.5638207466, 4.2207230061, -0.9638645075, 0.2823299908, -1.3144990093, 1.4058448605, -0.540497515, -3.0161117801, -0.1459579177, 1.8369929736, 0.294838912]),
       |  (5, [-1.8088420898, -1.461705086, 2.57241849, 0.2309065326, 3.902351056, -0.6234815288, -3.5344620263, 3.6722956839, -1.3482484502, 1.1489224417, 2.4365272272, -0.8406729364, 0.6832312825, 0.71938857, -1.5280941819, 0.0362155963, 0.2550203817, -3.1242943638, -0.8174541981, 2.5472082056, 0.7570085639, -1.2893984579, 1.9765375708, -0.7224064619, 1.8150334297, 2.2822020925, -1.2799671788, 0.9944727656, 0.7227662574, 1.4035768632, 1.0335467332, -2.371356927, 0.1835339204, -0.3216352844, 0.1870820467, 3.340516695, 0.9446369066, 3.9324358035, -1.8661698599, 0.8139908781, -3.6165768952, 3.5715813294, 0.3318285217, 1.5586618147, -5.3261535055, -3.1638017019, 0.9947793549, -1.7538903191, -1.100773579, 1.320692574, 2.6735639315, 2.8993965021, 0.3391890567, 2.4648906241, -2.3869372463, -5.0119244738, 1.6783428993, -2.8028307415, 0.35025805, 0.1554064678, 0.0376728695, 2.8177807701, -2.5851144, 2.2001742235]),
       |  (6, [-1.6850868656, -2.4639594239, -0.2576406837, -1.6084660832, 1.989154204, 5.0689878755, -1.7753491581, -3.5809673135, -0.0022271954, 3.837782666, 3.5897670002, 0.7868398618, 0.9791368497, 2.7189448501, -1.1205769187, 2.6602015974, 1.6657668969, 3.5273258765, -3.3455221037, -2.875016375, 0.326038381, -1.5315263878, -0.7625389378, -3.4315929532, -2.9951261065, -0.9380479702, -0.5342985178, 3.4385130834, 2.2462039697, -3.1152909206, -0.3698679748, 0.4010122278, -0.6798705029, -2.4890717172, -1.3194026567, 3.353281974, 1.3357427193, -0.7666740395, -0.3247259933, -0.3443972879, 3.2203522179, -3.3292113428, -0.1465214402, -1.3223263764, 0.181051384, 0.9484237262, 2.2488431637, 3.1819836463, 0.2632642402, 1.2567048296, -2.2155691891, 0.5887330727, 2.7957692094, -0.9135112171, 1.317871464, 2.3240414441, -3.8995330386, 3.3504257665, -1.8357646605, -1.8661718765, 1.0685620941, -0.5757413992, -0.2815087272, 1.3572436334]),
-      |  (7, [5.5485026186, 0.357607612, -2.1623497148, 2.7186120519, -1.694969918, 1.9915531226, -0.7731732331, 2.8432922342, -1.0187469645, -1.2207583061, 1.6844919269, 1.1017838347, -3.9492438639, -4.3218044079, -1.335705678, 0.3300050304, -0.6458913598, 0.7660828687, 0.4612009444, 0.660841328, -1.2344415192, -0.0574198791, -0.2088753467, 1.9081554269, -0.0569600289, -2.4537055711, -1.9381078235, 4.2107623814, -0.4916211124, 1.8902906003, 3.8318516333, 2.0686456066, -1.6707956056, 1.1649289682, 0.4564923412, 0.5874509114, -3.6728242859, -2.7726224783, 0.4810654756, 1.258073455, -1.5445341464, -1.3746656862, 1.7189671994, -0.9936545714, -0.4830812807, 2.1979452272, 1.1033938445, 4.529092922, -3.5006058521, 0.7631334271, 2.3614415902, -0.8008161418, -0.8186929583, -1.023124362, -1.5733473533, 0.7743563623, 0.6929192848, 0.3229802624, -3.9900494925, -0.8100631071, 0.35691526, -1.4207224299, 0.5861206017, -4.0780263326])
+      |  (7, [5.5485026186, 0.357607612, -2.1623497148, 2.7186120519, -1.694969918, 1.9915531226, -0.7731732331, 2.8432922342, -1.0187469645, -1.2207583061, 1.6844919269, 1.1017838347, -3.9492438639, -4.3218044079, -1.335705678, 0.3300050304, -0.6458913598, 0.7660828687, 0.4612009444, 0.660841328, -1.2344415192, -0.0574198791, -0.2088753467, 1.9081554269, -0.0569600289, -2.4537055711, -1.9381078235, 4.2107623814, -0.4916211124, 1.8902906003, 3.8318516333, 2.0686456066, -1.6707956056, 1.1649289682, 0.4564923412, 0.5874509114, -3.6728242859, -2.7726224783, 0.4810654756, 1.258073455, -1.5445341464, -1.3746656862, 1.7189671994, -0.9936545714, -0.4830812807, 2.1979452272, 1.1033938445, 4.529092922, -3.5006058521, 0.7631334271, 2.3614415902, -0.8008161418, -0.8186929583, -1.023124362, -1.5733473533, 0.7743563623, 0.6929192848, 0.3229802624, -3.9900494925, -0.8100631071, 0.35691526, -1.4207224299, 0.5861206017, -4.0780263326])""".stripMargin
+
+  /** One k-means snapshot CTE chain (cents/assign/dims/pcents), CTE
+    * names prefixed with `p` so one oracle program can instantiate TWO
+    * independently-sized books (e08 needs the 8x3 IVF book AND the
+    * adaptiveK dedup book - identical at the gate corpus, different at
+    * sf0.1+, which is what lets tools/patch_oracle_scale.py substitute
+    * each block independently for larger-scale oracle runs). */
+  private[operators] def kmeansSnapshotSql(p: String, rows: String): String =
+    s"""${p}cents AS (SELECT * FROM (VALUES
+      |$rows
       |) t(cluster, centroid)),
-      |assign AS (
+      |${p}assign AS (
       |  SELECT vec_id, v, cluster FROM (
       |    SELECT c.vec_id, c.v, k.cluster,
       |      row_number() OVER (PARTITION BY c.vec_id
       |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC,
       |                 k.cluster) AS r
-      |    FROM c, cents k) t WHERE r = 1),
-      |dims AS (
+      |    FROM c, ${p}cents k) t WHERE r = 1),
+      |${p}dims AS (
       |  SELECT cluster, i, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
       |    AS cx
       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
-      |        FROM assign) t
+      |        FROM ${p}assign) t
       |  GROUP BY cluster, i),
-      |pcents AS (
+      |${p}pcents AS (
       |  SELECT cluster, list(cx ORDER BY i) AS centroid
-      |  FROM dims GROUP BY cluster)""".stripMargin
+      |  FROM ${p}dims GROUP BY cluster)""".stripMargin
+
+  private[operators] val gateKmeansCentsSql: String =
+    kmeansSnapshotSql("", gateKmeansRows)
 
   /** Trained-quantizer IVF — oracle-exact via the independently derived
     * [[gateKmeansCentsSql]] snapshot: the oracle recomputes ASSIGNMENT,
@@ -746,88 +795,88 @@ object Similarity {
     * bit-identical to the engine's rotation, independently produced.
     * Gate-corpus fixture like the k-means snapshot. */
   private val gateRerankProjSql: String =
-    """[list_dot_product(v, [-0.2096393300202079, -0.12057271532724553, 0.03654785815762015, 0.01181956673368188, 0.07567008238654915, 0.013214628819761043, 0.0905841185253787, 0.28661879235154175, 0.04954696219840432, 0.41405652648110597, 0.06530498182357874, 0.18207885387703554, 0.06513224150018562, -0.03653205474589539, 0.17114897510632338, -0.1853497773155263, 0.08898987448654253, -0.1570265545892313, -0.03013668633727623, 0.03217896951212238, 0.06121320408639076, -0.11068832311425483, -0.08347512785867214, -0.055437468648072454, 0.019550012020336547, 0.19912542853515428, -0.03751725245021375, 0.14950769892189747, -0.17287963096364564, -0.006123114085466474, -0.05871572670347506, 0.062037717979410406, 0.2965385435377704, 0.10616457882139613, -0.0320419388938067, 0.10414385148185465, 0.04453875953671703, 0.06146405309394993, 0.01300669820069596, 0.021771205655908916, -0.1166789877982389, 0.00552458641904109, -0.2408369202837017, 0.09570759064864001, -0.02830770835615952, -0.2251274447351663, 0.00873183591418996, -0.07903750804622381, -0.0836808441498625, -0.11845091153314742, 0.12045949820880301, 0.07248325157918438, -0.01718648215716714, 0.08160437407065883, -0.015031355628739274, -0.06676477469562192, -0.055650636278637464, -0.051376057816995745, 0.06019601767572054, -0.09113914348049353, 0.12198699564215858, 0.050649833878900714, -0.2182114649231664, -0.10201388636255261]),
-      |      list_dot_product(v, [-0.003837127211581993, -0.054430245767012955, -0.01256793348076524, -0.08813365797651045, 0.17485769775040094, 0.02521436579703914, 0.07494656338562687, -0.0699807010859971, 0.07744817020895162, 0.03069605619522647, 0.10575814459049343, -0.017882873012924873, 0.01297565633124387, 0.1336968174275563, 0.014559198307480144, 0.04139191933934768, 0.14841100078750558, 0.3603098511261618, -0.0541886514145757, -0.05076477591726178, 0.032543169734795804, 0.0353911268506755, 0.06533467378092273, -0.3091228055053044, -0.2576821382583802, -0.23906586362939788, -0.020637632793312183, -0.00022331337890521945, -0.08628570371767165, -0.17453292227143882, -0.024067927226897944, -0.21754493603557615, 0.029463935144010245, 0.0615386789084913, 0.03375332841844827, 0.07921967482014872, 0.05946710015970966, 0.036498402573222344, 0.18210698156721677, 0.04667388480869055, 8.626507729722957e-06, 0.046986755640974924, -0.06276704622858646, -0.17918979594374826, 0.17268649020939142, -0.1888352229469569, -0.04694587131588715, 0.14577948211480737, 0.11292397757725275, -0.11328063222737615, -0.15743104350111775, -0.08197501074019356, 0.012979946743257106, -0.01609235374981665, 0.23803515091894767, 0.02338431738854464, -0.3028202755224945, 0.01638284010822573, 0.13543364301206362, -0.12158606610326811, -0.08367049603064655, 0.08483882908902365, -0.0004431848647108862, -0.07861586992416168]),
-      |      list_dot_product(v, [-0.14804403755599788, -0.08512440644804029, -0.06394747372242394, -0.0004575970141786493, -0.20437466508884317, -0.0437417350166794, 0.1177552992559789, -0.28449785349721946, 0.044402396330867656, 0.023717337995785997, -0.051179527614304506, 0.03570203353525218, -0.060179564309038557, -0.03455060720149328, 0.009449519103814035, -0.23454575614196826, 0.1713735271024343, -0.08492758806240842, 0.1160470676906258, 0.0773284031731253, 0.013131626731480505, 0.17530755090022915, -0.10064801517013917, 0.05337470423496319, 0.09255730930450971, 0.10008395002176174, 0.0906373631192774, -0.13414209861497922, 0.010277697050360855, -0.10540482797763205, -0.12285966843393281, 0.0909121081917113, 0.048252166284910074, -0.18066130225250257, -0.02976989042538331, -0.10216258213207541, 0.13907849924246868, -0.21255244175465315, -0.06345652309133594, -0.10392899603892383, 0.18947963434482243, 0.19011010111192872, -0.1258555580702801, -0.20893277874379756, 0.16586568222613066, 0.05283627633705316, 0.042797574747651626, 0.018020015397822116, -0.0683200932314645, -0.0512755129779281, -0.1294984449753259, -0.10645450056137452, 0.22780031589941502, -0.1532947679353639, -0.1791520941573972, -0.0019200152180137873, -0.005381095587565329, 0.10972460099815637, 0.1827952415741804, -0.05268508458798448, -0.06955779386903337, 0.28843060582388197, -0.09008107781606314, -0.07553050141369441]),
-      |      list_dot_product(v, [0.06808659692691903, 0.06269221088036901, 0.008780757117610016, 0.17252698585103318, -0.2579610506306852, 0.10712924747571911, -0.02320920976755962, 0.17754309288315903, -0.11522019045323972, 0.13620195798670792, 0.007640884150608356, 0.2019504757451542, -0.060775444667734706, -0.14021935394080082, -0.09311367890566466, 0.0493080657522068, 0.09682486295850494, 0.07142426949952493, -0.00931947755346662, -0.20316848780461905, -0.22547295140285561, 0.15765898138948406, -0.011856441212560857, 0.07323162375897517, 0.02747074839964306, -0.11908308267730744, 0.11645429213294094, -0.0038352518579658603, 0.12892448335581316, -0.10452312732326186, 0.1521165649372111, 0.20057539618778486, -0.081413181280288, -0.017677469085189267, -0.11650295044827594, 0.31619012196961105, -0.11671862239929295, -0.14843441728739898, -0.010252064348131243, -0.04828886542020025, -0.014507537293033222, -0.00017919674526118605, -0.08565322476936732, -0.01743476170784436, -0.07573379923518071, -0.04152082543973319, -0.013620431372982572, 0.36940447483450806, -0.10851089306162194, -0.1534460994206436, 0.06647233910910633, -0.019778009359073506, 0.009329623098615703, 0.0054010217614196025, -0.021917540538325148, 0.1014729147048064, -0.17091025495863188, 0.09292951416444062, -0.17072042743341, -0.07391767730729568, -0.19206043423512684, -0.0962191857401072, -0.08404634246087159, 0.026296885848694346]),
-      |      list_dot_product(v, [-0.015085347560034651, 0.013517865830451635, -0.17389132048897835, 0.02253742215602077, 0.16896698432930854, 0.30866309206525333, -0.2530950596374295, -0.10693042060664935, -0.01790620038639116, -0.06613281137578353, -0.14284835419897937, 0.36196189580912086, 0.11830375329976602, 0.11743309807998664, 0.11494380703612435, 0.055716544108777084, -0.11872343460255268, -0.11316167148534532, -0.01902053430901372, -0.24534483032738347, 0.03191823604240378, 0.03445191687496352, -0.01109188015587602, -0.10927001970303023, 0.12474957922483891, 0.16616884567664106, 0.03526854805297365, -0.14137833659983196, -0.026189293623945033, -0.1825991578599084, 0.04226625184652264, 0.016172195492783117, -0.062291915357917164, -0.028462604624833056, -0.039868893511910405, -0.053847080149817504, -0.08802504604912549, 0.23525140106969186, 0.049054119817469606, -0.2630745924488895, -0.05655833933531782, -0.10089457052163518, -0.007513654293084169, -0.05056559009206862, 0.11724159722024327, 0.009091732563372739, -0.03499876040730989, -0.020604323539752594, 0.10296227462764167, -0.21235460234923043, -0.13375687694842345, -0.08333561357028366, -0.16669651257716844, 0.09694053145190656, -0.21787743397082124, -0.004216181306503077, -0.005630303030561675, 0.04229455936213906, 0.10565659881448262, -0.004698642661363779, 0.054063487931222676, 0.03249524822808433, 0.07261703252532273, 0.06545658155977771]),
-      |      list_dot_product(v, [-0.08544207411615516, 0.011076242789999828, -0.1744330539463892, 0.1997158227314905, 0.008519457717373006, -0.029354714850358704, 0.1601854472914573, -0.01384658819657827, -0.11290145070207502, -0.04229772769374318, 0.02215837523689581, 0.036050469737645835, -0.18230215303802377, 0.47848072389377294, -0.08551788850060306, -0.017420528275039263, 0.024875500957851418, -0.1966149614776473, -0.2096973240757193, -0.10289007388205201, -0.06340424748855769, 0.034678423619870294, 0.16836503422445132, 0.03422494667689464, 0.006176514506353618, -0.022542977947512324, -0.18434962748020325, -0.025273527795024016, 0.012000127801072524, -0.052428663089463756, 0.16064800817263716, -0.1022565623711983, -0.15891143459829485, -0.18394127656774753, -0.0952229210578061, 0.015104919146872718, 0.1704699084214259, 0.05533662713065261, -0.07520278543602898, 0.2041440699220448, -0.041852518764333345, 0.26939098394286876, -0.17915567165616555, -0.044813125895931304, -0.038453382306685886, -0.11610530059362632, 0.12082475546403323, -0.00704702400162422, 0.030184523346841925, 0.047813095369468574, 0.16379574988151296, 0.014019726448507163, 0.06607626122068973, 0.11155759478333559, -0.09857967354163642, -0.09315850574436878, -0.08969349432091307, -0.10318157108892986, -0.01787651796005002, 0.13658261991657272, 0.076581378924984, -0.0741629120515868, 0.07691180886240863, 0.014380980289340928]),
-      |      list_dot_product(v, [-0.10467703228112352, 0.04334903472954021, 0.3308233466637122, 0.05281115210506782, 0.07154724254493282, -0.2395789342300872, -0.035970206913397466, -0.05025064057456484, 0.005446403012276316, 0.2155901272621879, -0.25725132543123397, 0.08007311349146733, 0.2335296930537292, 0.06344687150245162, 0.10695937206218074, 0.1955439822372235, 0.05497151097487418, -0.15899119528411026, -0.06773789164102631, 0.047291573689071886, -0.04121476172051033, -0.06668512605636627, -0.047789904233432254, 0.027070002087232915, -0.05888062997050346, 0.008833017871900748, -0.1389905885486479, -0.15865816066950472, 0.04030695059485037, -0.1258415271673068, 0.15366276268257456, -0.22586041349482264, -0.11182059620669123, 0.10493781231835228, 0.014503369545627094, -0.18891690793522004, 0.007213009816712077, -0.2040199513943542, -0.1325508590953577, -0.204494317629054, 0.19571794479140064, 0.0872216688935659, 0.024970696634828003, -0.017672627371045836, -0.06601916272001536, -0.06466506768760226, -0.1365952508709043, 0.04433184648912618, -0.13211726951387223, -0.08608364382855625, -0.05007145654957563, 0.21818178555598156, 0.04603151275796958, 0.1494853264762865, 0.10036773912091507, 0.06536654088516361, -0.01421816285616276, -0.011947691292832184, -0.024575671827010075, 0.014622711145269751, -0.158238697969672, -0.045258463894878455, 0.13015213606936415, -0.03712294642286263]),
-      |      list_dot_product(v, [0.28053834556355717, -0.1371590681351505, -0.0412669208630224, 0.07332610324304634, -0.01915856008039949, -0.14848892174411799, -0.11300436697574097, 0.0888973175452768, -0.01738314118597428, 0.09350298185352153, 0.1538433171839001, -0.095338763048301, 0.10336993988982665, 0.022934882234727633, 0.07543842908760733, 0.18178213560832523, -0.16023107869586997, 0.02863289345509315, -0.05134798748134463, -0.017840531441107914, -0.009984333282943498, 0.16671736561201367, -0.003604162377066839, 0.258527241624162, -0.15791550699631157, 0.056127393859254304, -0.09822172385977178, -0.040300239786079266, -0.014822404969700963, 0.04401133554559639, 0.04823681156060674, -0.0801061184545289, 0.029625486988743795, 0.04561400009031291, 0.1034626855222083, -0.20726140108490207, -0.14479500271225082, -0.11211549327599017, -0.03295226754521202, 0.027501799019783297, -0.10105638319819629, -0.1273095652683595, -0.19101634334198037, -0.08899294770757478, 0.11129272032462295, 0.06580293906863663, -0.14256338925759557, 0.21676374381562874, 0.14131254422033543, -0.018008174963365563, 0.23205685634556245, -0.19508721035282625, 0.010139005438346251, 0.016706224487906905, -0.18769487157816858, -0.049311186325321, 0.012939834000132487, -0.04592994271429228, 0.31640769191537305, 0.13303036695188322, 0.003273279894082976, 0.05165375785516667, -0.1585098282380153, -0.2027956805621199]),
-      |      list_dot_product(v, [-0.09400136458148366, -0.17858117972592538, -0.011990174531333508, 0.07855288301142772, 0.25745238791945396, 0.2411135712836205, -0.23700639211078134, -0.032416200018950264, 0.0743921332000754, 0.2091692397066303, 0.022606019518796327, -0.016031192916972595, -0.2223091383778378, -0.0848744680844469, -0.018846414948870245, 0.06048439353910633, 0.1806939398383286, -0.15205994584033475, 0.12095737817998772, 0.021954344680883753, -0.10111875436954063, -0.12187008947828727, -0.029393583669176784, 0.20280486337458042, -0.1719499107560182, -0.12022886778914993, 0.0750674141936809, 0.11793320913647276, 0.12779487236513193, -0.21596573289312318, 0.06635406539363903, 0.0016326357701262073, -0.08158196275136258, -0.030919106320060855, 0.17496070440967906, -0.14906363955306934, -0.1140684337079778, 0.08241686631320357, -0.11469069427018051, 0.16325478198533683, -0.11413046047569315, 0.11082464492946754, 0.18682363696961155, 0.14331843324969157, -0.05864357080033317, -0.10512099756638493, -0.09269594552032963, -0.04524592809390084, -0.021607579955522566, 0.18362780453596136, -0.0006807099919776284, -0.14225924767167375, 0.20595752502782988, -0.059211096690920645, -0.03278847997788835, 0.03578540326019955, -0.06125576031137734, 0.12574104154985416, 0.07371856211153428, -0.027985481650546363, -0.06885857284275726, 0.1011754070087857, 0.01962099673540931, 0.14813583232712707]),
-      |      list_dot_product(v, [-0.07769545645640907, -0.18127723005690785, 0.005521138316715278, -0.030542171160452384, 0.08165672771986955, -0.16634571699200826, -0.13632802778377526, -0.010566521793833756, 0.23758842826611648, -0.020841326003038528, -0.03948370244019947, -0.040297231112348675, -0.08440273360731826, -0.008175670819655746, -0.08537909593419288, 0.037111601059559164, -0.08828119692851352, 0.13326276966971118, -0.03431448879702372, -0.06565016524122783, -0.023746650966625284, 0.1862529393674916, 0.11630224590009343, -0.1210169690827256, -0.10599030730971187, 0.01583455935829907, -0.11129836338959678, -0.18866526157371927, -0.0775164382261846, -0.08841171223425837, -0.03038088249999379, 0.2767244755328377, 0.007948125222618624, -0.09277588342511642, -0.0036589227138493405, 0.0251626788040583, 0.01049253578779439, 0.23436833331822607, -0.1403526849560866, 0.03526081314996727, 0.05787658467714565, -0.09436182537325874, -0.05276383038144768, 0.34796973843402956, -0.023156277748090478, 0.2697525674772837, 0.22380362207350235, 0.06870692773950697, -0.17717108213985355, -0.1043505482517543, 0.021393368418612647, 0.2782403780866255, 0.19778926602649263, 0.07182634073076008, 0.05348334361817466, -0.02215041110340669, -0.06918519111590211, -0.036839102885145796, 0.22113658366138453, 0.011408861854542072, -0.09564106274204524, -0.03211374255517516, -0.05384088093813003, 0.018862317599648598]),
-      |      list_dot_product(v, [-0.06632766695109972, 0.13138091934270787, -0.11082826170061899, 0.12088212886734431, -0.040673551386873584, -0.13403048920606, -0.1591465154845886, 0.13238423675952496, -0.12661093855574795, 0.01964163997972767, -0.18748118277289189, -0.1202587987090588, -0.09122186930436663, -0.18369213753020863, -0.03649962909924255, -0.05260571671937548, 0.1629095102085306, 0.1334442956707977, 0.2366917793370172, -0.03393971141528018, 0.11020713947933437, -0.11902637185493027, 0.25202083316362434, -0.06462929639761458, -0.0205380854560865, -0.13048901620609574, -0.09009929682232602, -0.027405253884444175, -0.1055676410227114, 0.11966326081654374, -0.02636304543773133, 0.08079795753069696, -0.024503073664539844, 0.034922301771536456, 0.049617259471504374, -0.11035955710362642, -0.053621581910422066, 0.09083830413271278, 0.08541741253243973, -0.062103761490818345, -0.12120336944055704, 0.3307145478068485, -0.040937953934862686, -0.08300721532224056, -0.06098710377478903, -0.01919993611226759, -0.08211616266253101, -0.030916856781506293, -0.044914552028951754, -0.22137833730029952, 0.03307413631594784, 0.04985037941523615, -0.2214898069396124, 0.054654479497264534, -0.05788992194313231, -0.2722201846930221, 0.08652417030425727, 0.12489613966439937, 0.07917044773335713, 0.26825673316636295, -0.1902388943346956, 0.12415678843774608, -0.01962730301017076, 0.041022101372321984]),
-      |      list_dot_product(v, [0.05003710684725454, 0.08726899757798748, -0.08660603870531383, 0.02928007877846513, -0.07927236009983699, -0.024337302879373187, -0.0937982471192726, -0.16079924020985725, -0.07827827298415858, 0.2195384263972595, 0.16035950352210265, 0.1307531444487244, 0.050449294659002414, 0.08115458245919616, 0.01961634431125075, 0.09280055381296856, -0.045493353038427796, 0.261570774579599, 0.1791997984873225, -0.06490017633385381, -0.0035156417142961174, -0.15449151161474803, -0.14393405735305426, 0.022717027949752205, 0.12668127250769903, -0.28337655954673957, -0.1743487028067561, 0.1613838359966331, -0.15243906262885168, 0.03480087405707912, -0.05752965773299833, 0.029939483690196833, 0.07686295693159355, -0.14766651006340678, -0.12522941145539873, -0.15155252377443537, 0.11097281713549877, -0.06585287709588071, -0.12876287748566043, -0.10139964554609866, 0.08563219783750213, 0.03121012334023449, 0.06738638570853346, 0.0565689952072189, 0.0764804814683832, 0.04290494609777322, 0.04428952646271362, -0.030505309848440052, 0.09093067603610029, -0.09741919746999865, 0.24306615284585212, 0.12957385628821633, 0.08018285254255861, 0.03839579430284308, 0.03592750972156349, 0.24942474468630307, -0.016478875987680486, 0.22490456206253215, 0.014060077581946415, 0.07429570727954488, 0.3126180373736632, -0.004576145428863094, -0.008375018503743377, 0.18819498621912992]),
-      |      list_dot_product(v, [-0.10947141936503235, -0.001695265520920519, 0.0006269961998386323, -0.03165281756907946, 0.00542872624816072, -0.04108426446637966, 0.06070853976481691, 0.18211286055273243, -0.16469955195526545, 0.03432687803319679, -0.11228885346847454, 0.12116237774055594, -0.049611300142132664, 0.005339225366660854, -0.20885084817126906, 0.289720639931844, -0.21244828893638196, 0.04215025848259546, 0.1915150973929429, 0.05284002727377277, 0.02681636604748077, 0.0022051073128859723, 0.004420278819879942, -0.0017134705165790126, -0.18874270722680658, 0.0431101345237436, -0.13709798764040665, -0.16143906475071354, 0.10462007037654751, -0.1392135063485011, -0.08694611825822271, -0.03711153188341015, 0.15170978830340331, 0.12840345104215437, 0.005550688395904674, 0.1847202821766065, 0.21366004015143247, -0.018179942766191164, 0.01607373485217027, -0.06651371397010368, 0.21966242816860512, -0.08598467315820196, 0.1050555434698451, -0.08457265817505537, -0.09786783432610036, -0.06922148074380782, 0.11720380044875349, -0.11187878320535588, 0.29214429702382305, 0.07689978710568517, 0.040185078629529664, -0.08344126712733686, 0.1397936452502167, -0.04516800059146774, -0.15324638847860375, -0.2035260696081425, 0.03713433341757267, -0.00024769365384094287, -0.040631171955382094, -0.027043132270677592, -0.06227787510458921, 0.07333479694988958, -0.23469113369749514, 0.24671597674597665]),
-      |      list_dot_product(v, [-0.19689398729687926, 0.0025371253476960667, 0.12186596622731882, 0.10240890339143037, 0.07814494103715228, 0.008582812298398778, -0.03697645859283238, -0.0654223144118319, -0.13586728616362395, 0.073889089580517, 0.005304964276599628, 0.12485301398950345, -0.22373664616240127, -0.1518616616989201, -0.07588235547762631, -0.25109613170831796, -0.1845439750152196, 0.023710670646982797, -0.027515990216360402, -0.011616457703952917, 0.14755753348859352, 0.2047893482582204, -0.10973315026104742, -0.06187126028501506, -0.05170370444662244, -0.21094538913453947, 0.03796198148586537, -0.11524746631101586, 0.1860915649371119, 0.22845919210839175, 0.04409501117008903, -0.2351569876555825, 0.019183070901736266, 0.23805100711594254, 0.08483299696342042, -0.06620368420035648, 0.13600229992510668, 0.1793791453701174, -0.08327559808364757, -0.004914166500734551, -0.07491932060185062, -0.142027821679224, -0.03459721244231828, -0.043704380328126465, 0.09497222602038619, 0.0014658981234671154, -0.005785213585900156, 0.12656037009025756, -0.13852383562057827, -0.018141168483205242, 0.016382282933249375, 0.049370335728708206, 0.012264512777994488, -0.07142289464207618, -0.12395801017071026, 0.20032238036856584, -0.06539487424520152, -0.1701408666960604, -0.13580431137062157, 0.27893682282179255, 0.09043245526258728, 0.14260758172664872, 0.010443356821881425, 0.016220262522254322]),
-      |      list_dot_product(v, [-0.051457829342982965, 0.15977307682954664, 0.0057563812520295896, -0.02486662124868624, 0.0982834266941977, -0.11045200343644708, -0.04182570618590566, 0.024825768963033772, 0.1748549738191018, -0.1467819957622011, 0.06339335870686, -0.15941090991078866, -0.011650873020037061, -0.06738937936665758, 0.28109298558602636, 0.06449050027399678, 0.15898610847202008, -0.034370261484076216, -0.11197097329701766, 0.11317424621363964, 0.11887340732885511, -0.05994054828861898, -0.10192081413214435, 0.33293747858226214, -0.06916865629870418, -0.16351599090129013, -0.029357926806338707, -0.12018017272003202, 0.1855956029301421, -0.06282698283341157, -0.2203059524783688, 0.037660871734168634, 0.008169536801723302, 0.020932420048914293, -0.16789152975087868, 0.03721068448399125, 0.17389907513430597, 0.22704470913250646, -0.18137821304896593, -0.046314938591171605, -0.07759387447590897, -0.03697600468890057, -0.2795463541352076, -0.04790387488523304, -0.022600303484065744, -0.026633713481903604, 0.03306528589233208, 0.005796772624616948, 0.13081857328776494, -0.26657059310342324, 0.021535267604761658, -0.08729660257822289, -0.043298234026275785, -0.10654810166281671, -0.08474862832681779, 0.030074854119725176, -0.03435788390872839, 0.06107898547958866, -0.1406149809074584, -0.13650280439569298, -0.06261950169574919, -0.1566239168006758, 0.07477946820850997, 0.13997871723174352]),
-      |      list_dot_product(v, [-0.02562159892156312, -0.030266443107176216, 0.21928698263481897, 0.19162058436401846, 0.06122416122069387, -0.09679150625425414, 0.06952195703768357, -0.06002996806841933, -0.08105065077475491, -0.21512503919577877, 0.2527628598571763, 0.043319423184811814, -0.038379079586308235, -0.15035564776435897, -0.10899872987645134, -0.03152526638333196, -0.0019850806834813568, -0.07803740421685147, 0.009312607526370406, -0.1990995856430563, -0.0543343828952432, -0.07006575253770575, -0.09127304745075208, -0.10606251240669488, -0.04624308228949808, 0.21416199923558754, 0.014354867080355483, 0.0010018303588272492, 0.24532941247704812, 0.06122894994258977, -0.13122543202316006, -0.18039681945482647, -0.0161178858641742, -0.032721801578286684, -0.2159838236373285, -0.2364830438097681, -0.154596058034602, 0.09896183911637525, 0.20709395172075395, 0.04122284054762607, 0.13982556603424343, 0.05336750101260884, -0.12637116798913806, 0.03367387760405464, -0.10357330374627655, -0.05124726127041375, 0.05414001500531185, 0.13333565733237487, -0.09150752694878979, -0.004929535783529304, 0.11552794863004541, -0.0019265330902418286, -0.07437573824729005, 0.06809734801714627, 0.152734022398316, -0.09299799412886679, 0.03211690474877431, 0.19558580713061496, 0.1759491128997997, -0.1594144744918404, 0.08324609980154422, 0.04723444486885188, -0.08211948949603423, 0.26480779740661])]""".stripMargin
+    """[list_dot_product(v, [-0.2096393298887029, -0.12057271530460328, 0.03654785829099375, 0.01181956705207999, 0.07567008221654345, 0.013214628527288186, 0.09058411826856812, 0.2866187923432374, 0.04954696200812782, 0.4140565265568779, 0.0653049813495429, 0.18207885414308053, 0.06513224154456904, -0.03653205454058415, 0.17114897511870436, -0.18534977721254273, 0.08898987401709364, -0.1570265554534968, -0.030136686338868745, 0.03217896964106663, 0.06121320421931407, -0.11068832310461507, -0.08347512790974954, -0.05543746810299688, 0.01955001247293548, 0.199125429101352, -0.03751725273394648, 0.14950769890198098, -0.1728796307730548, -0.0061231136919325056, -0.05871572670446115, 0.06203771800325117, 0.29653854323357254, 0.10616457886972945, -0.03204193889844021, 0.10414385120144753, 0.04453875945639852, 0.06146405307635499, 0.013006697593051642, 0.0217712055199728, -0.11667898800999403, 0.0055245863932987666, -0.24083692018991473, 0.09570759089248622, -0.02830770871376086, -0.22512744449721753, 0.00873183574219243, -0.07903750844473234, -0.08368084425577953, -0.1184509112478963, 0.12045949856582461, 0.07248325171851451, -0.017186482327944893, 0.0816043743090242, -0.015031356046457896, -0.06676477470729585, -0.05565063579441348, -0.05137605787848301, 0.0601960176213444, -0.09113914308767156, 0.121986995952936, 0.05064983370857072, -0.21821146481626008, -0.10201388625038872]),
+      |      list_dot_product(v, [-0.0038371279617273185, -0.0544302462823619, -0.012567933982260658, -0.08813365806325192, 0.17485769809344773, 0.02521436661842459, 0.07494656315169955, -0.06998070122115854, 0.07744817056372585, 0.0306960564936196, 0.10575814447888733, -0.017882871949512658, 0.012975656704351014, 0.13369681740864628, 0.014559198672458721, 0.041391918626085066, 0.14841100081548175, 0.3603098505373251, -0.05418865139534617, -0.050764776404989116, 0.03254316995693874, 0.03539112722241993, 0.06533467356515074, -0.30912280610523757, -0.2576821378373395, -0.23906586244665406, -0.020637632543040293, -0.00022331397267936454, -0.08628570417537818, -0.17453292264876824, -0.024067927535326557, -0.21754493564306318, 0.029463935901408604, 0.06153867869300636, 0.033753328092335666, 0.0792196747089228, 0.0594671001842065, 0.03649840314960093, 0.1821069815633818, 0.04667388411136273, 8.62660749631475e-06, 0.04698675544039907, -0.06276704708795283, -0.17918979603487012, 0.17268649054818383, -0.18883522299222677, -0.04694587122780484, 0.1457794818853693, 0.11292397747408493, -0.11328063295411481, -0.1574310439224033, -0.08197501102737904, 0.012979946675149045, -0.016092353814505328, 0.2380351499186687, 0.023384317110773288, -0.30282027565730096, 0.01638284028535263, 0.13543364401259417, -0.12158606640794313, -0.08367049587761356, 0.08483882960712978, -0.00044318531741244466, -0.07861587027401377]),
+      |      list_dot_product(v, [-0.1480440376166867, -0.08512440683182432, -0.06394747392221323, -0.00045759766154713447, -0.20437466447815603, -0.043741735322772785, 0.11775529986009056, -0.28449785383575205, 0.04440239625350731, 0.023717337421497328, -0.05117952731173255, 0.035702032580539944, -0.06017956428660729, -0.03455060652140849, 0.009449519530006438, -0.23454575665525335, 0.17137352630281838, -0.08492758911964332, 0.11604706755579587, 0.07732840398964902, 0.013131627408544804, 0.17530755042876156, -0.10064801525288623, 0.05337470463075121, 0.09255730984555612, 0.10008395088098784, 0.09063736269590784, -0.13414209829345178, 0.01027769679436893, -0.10540482716914787, -0.1228596688774243, 0.09091210800723112, 0.04825216647449696, -0.1806613024742493, -0.029769890053288117, -0.10216258317025517, 0.139078499674634, -0.21255244137229035, -0.06345652317087329, -0.10392899552393761, 0.18947963438646775, 0.19011010093130634, -0.12585555780151772, -0.20893277847828234, 0.16586568212498556, 0.052836276545896566, 0.042797575089323976, 0.018020013799672673, -0.0683200926687484, -0.05127551197754947, -0.129498444617984, -0.10645450076880321, 0.22780031621678434, -0.15329476801869799, -0.17915209442332675, -0.0019200155656372096, -0.005381094449715372, 0.10972460046809979, 0.1827952418076938, -0.052685084379371146, -0.06955779264431118, 0.28843060606803783, -0.0900810775591765, -0.07553050152074066]),
+      |      list_dot_product(v, [0.06808659617107013, 0.06269221034507544, 0.008780756291902829, 0.17252698629724822, -0.25796105142377507, 0.10712924678340989, -0.02320920865339409, 0.1775430920778206, -0.11522019032648376, 0.1362019581887693, 0.007640884616088507, 0.2019504752264874, -0.06077544603931797, -0.1402193530299735, -0.09311367930173033, 0.04930806442413942, 0.09682486376301348, 0.07142426922661867, -0.00931947753795057, -0.20316848738697266, -0.22547295142110013, 0.1576589824909524, -0.01185644101976479, 0.07323162442468027, 0.02747074840432716, -0.11908308279569853, 0.11645429190009153, -0.003835251879435034, 0.128924483280504, -0.10452312753727482, 0.15211656450619318, 0.20057539672429608, -0.08141318120622575, -0.01767747009308199, -0.11650295068092, 0.3161901219352154, -0.11671862126847647, -0.14843441785803368, -0.010252064972907794, -0.0482888647136251, -0.014507536911966358, -0.0001791954993268919, -0.08565322573537927, -0.017434762364318124, -0.07573379886438383, -0.041520825710729424, -0.013620430642481383, 0.36940447497223333, -0.10851089330440519, -0.15344609910846213, 0.06647233936408717, -0.019778009747410476, 0.009329624288528838, 0.005401021117891712, -0.02191754120141075, 0.10147291451921545, -0.17091025548621483, 0.09292951419066811, -0.1707204267750972, -0.07391767705582912, -0.1920604341731429, -0.09621918482076991, -0.08404634309155423, 0.026296885437333755]),
+      |      list_dot_product(v, [-0.015085348120897488, 0.013517866322738688, -0.1738913215105934, 0.022537423699724543, 0.1689669835338632, 0.308663092373941, -0.25309505887395906, -0.10693042050185084, -0.017906201683455584, -0.06613281151068452, -0.1428483543962177, 0.36196189641526677, 0.1183037518455793, 0.11743309986423989, 0.11494380609248271, 0.055716543655892334, -0.11872343465207409, -0.11316167307071197, -0.019020534821124317, -0.24534483108957608, 0.03191823557688075, 0.03445191726855629, -0.011091879502073425, -0.1092700186485836, 0.1247495802276556, 0.1661688457648067, 0.035268547683974735, -0.14137833669818928, -0.026189293123713906, -0.18259915776827232, 0.04226625299184844, 0.01617219600339077, -0.062291916307996, -0.028462605745763862, -0.03986889430500577, -0.05384707971138738, -0.08802504523973873, 0.23525140078205894, 0.04905411909364538, -0.2630745915620057, -0.05655833960087571, -0.10089456889856754, -0.007513654901444103, -0.05056559020281365, 0.11724159660229803, 0.00909173231963109, -0.034998759630067135, -0.020604323600056505, 0.1029622744082804, -0.2123546020760255, -0.13375687582477258, -0.08333561323277253, -0.16669651241892552, 0.09694053178981965, -0.21787743523093225, -0.004216181382370467, -0.0056303030828844, 0.04229455916136345, 0.10565659774872106, -0.004698641778361815, 0.054063488227313584, 0.032495247709906444, 0.07261703283515797, 0.06545658210433099]),
+      |      list_dot_product(v, [-0.08544207432204978, 0.011076242603358691, -0.17443305265590983, 0.19971582219041994, 0.008519457881276431, -0.02935471695924241, 0.1601854483282556, -0.013846588231743935, -0.11290145026925524, -0.04229772763615404, 0.02215837592954279, 0.03605046737492949, -0.18230215326263874, 0.47848072382344314, -0.0855178890359329, -0.01742052828909408, 0.02487550136526526, -0.19661496092675998, -0.2096973241956091, -0.1028900721601691, -0.06340424722110032, 0.03467842317456618, 0.16836503443235823, 0.034224946986031214, 0.006176513540205398, -0.022542978784031265, -0.18434962804948762, -0.025273527110866747, 0.012000127541373187, -0.05242866214814738, 0.16064800774641338, -0.1022565629201026, -0.15891143437992122, -0.18394127625248274, -0.09522292030690598, 0.01510491834256832, 0.17046990904157036, 0.05533662662323694, -0.07520278585507517, 0.20414407134629228, -0.04185251864322473, 0.2693909843068852, -0.17915567132796956, -0.04481312533100017, -0.03845338275380937, -0.11610530015711702, 0.12082475552926904, -0.007047024621070887, 0.03018452289435541, 0.04781309681074078, 0.16379575044319056, 0.014019727572107586, 0.06607626189729801, 0.11155759428852742, -0.09857967214015743, -0.09315850580605163, -0.08969349412055531, -0.10318157153595685, -0.017876518045730608, 0.13658262044638106, 0.07658137886368489, -0.0741629121973258, 0.07691180919317583, 0.01438097973016509]),
+      |      list_dot_product(v, [-0.10467703292507023, 0.04334903504221634, 0.3308233470650587, 0.05281115184473054, 0.07154724205472202, -0.23957893360351684, -0.03597020654015932, -0.050250641132589514, 0.005446402804742112, 0.21559012668165944, -0.25725132561638314, 0.08007311442449916, 0.23352969284526776, 0.06344687098257198, 0.10695937191677082, 0.1955439817106363, 0.054971511275471986, -0.15899119512125737, -0.06773789116001962, 0.047291573436234725, -0.04121476186754304, -0.06668512581500982, -0.047789904603888364, 0.027070001394115525, -0.058880629419696254, 0.008833017756778553, -0.13899058812701734, -0.15865816065046964, 0.04030695091311882, -0.12584152749887786, 0.1536627623941165, -0.2258604132968827, -0.1118205963995829, 0.10493781265704775, 0.014503369082983258, -0.1889169071945566, 0.007213010192439393, -0.20401995155304276, -0.1325508587703797, -0.20449431805030832, 0.19571794539837029, 0.08722166916767601, 0.02497069736099032, -0.017672627704236707, -0.0660191626253017, -0.06466506782848237, -0.1365952505069631, 0.04433184641562781, -0.13211726964580775, -0.08608364415165777, -0.05007145762415633, 0.2181817858199934, 0.04603151283336087, 0.14948532624137512, 0.10036773938087057, 0.06536654155335096, -0.014218163474809297, -0.011947691048657918, -0.02457567329760616, 0.014622710123163086, -0.1582386980748425, -0.04525846368862706, 0.13015213654991284, -0.03712294567746925]),
+      |      list_dot_product(v, [0.2805383455034073, -0.137159068274947, -0.04126691983842415, 0.07332610272758885, -0.01915856015041477, -0.1484889228798103, -0.11300436632177575, 0.08889731712752802, -0.01738314096039128, 0.09350298159624965, 0.15384331628023665, -0.09533876249483555, 0.10336994119057698, 0.022934883350988755, 0.07543842933934827, 0.1817821364596508, -0.16023107995157695, 0.02863289313541672, -0.05134798832161909, -0.01784053143187217, -0.009984333282282983, 0.16671736641528406, -0.003604162613596266, 0.25852724072784683, -0.15791550663271547, 0.056127394883355226, -0.09822172443260359, -0.04030024118148526, -0.014822405091699622, 0.04401133537695877, 0.048236812101427204, -0.08010611885247772, 0.02962548663678636, 0.04561400074531209, 0.10346268534199121, -0.20726140058828002, -0.1447950019983398, -0.11211549391802472, -0.032952267830433264, 0.027501797591824816, -0.10105638215459326, -0.1273095663983796, -0.1910163434443146, -0.08899294753872994, 0.11129272034438159, 0.06580293967408658, -0.14256338903430027, 0.21676374415790195, 0.14131254412166414, -0.018008175161939765, 0.23205685573787285, -0.1950872094033455, 0.010139005554459976, 0.016706225205014275, -0.18769487116240152, -0.0493111858663107, 0.012939834186746622, -0.045929943712831614, 0.31640769168013066, 0.13303036667096454, 0.003273279793939948, 0.05165375718695988, -0.15850982818782847, -0.20279568139216406]),
+      |      list_dot_product(v, [-0.09400136406134635, -0.17858118026823094, -0.011990174422561898, 0.07855288335767155, 0.25745238779668916, 0.24111357070859718, -0.2370063927223251, -0.032416200048377676, 0.07439213289719844, 0.20916924037256493, 0.022606019693383883, -0.016031193470633837, -0.22230913787162276, -0.08487446828698016, -0.0188464150481108, 0.06048439349583417, 0.1806939397745643, -0.152059945711867, 0.12095737785505364, 0.021954344705071877, -0.10111875432768386, -0.1218700890795787, -0.029393583350761084, 0.20280486379521262, -0.17194991139378263, -0.12022886759734018, 0.075067414300294, 0.11793320902028198, 0.12779487223746278, -0.21596573220307994, 0.06635406584041018, 0.0016326354306457189, -0.08158196264898313, -0.03091910613214687, 0.17496070507544081, -0.14906364063458252, -0.11406843466361918, 0.0824168659991194, -0.11469069379838656, 0.16325478216602032, -0.11413046098876155, 0.11082464502198774, 0.18682363657071838, 0.14331843274791287, -0.05864357030559064, -0.10512099736626394, -0.09269594620154757, -0.045245927346829, -0.02160757996094417, 0.18362780431974673, -0.0006807095965764162, -0.14225924791260292, 0.20595752443822185, -0.05921109658737278, -0.03278848042257651, 0.03578540291816122, -0.06125576036431634, 0.1257410413083171, 0.0737185635350656, -0.02798548043569417, -0.06885857308792959, 0.10117540731846857, 0.019620996654309896, 0.14813583121822133]),
+      |      list_dot_product(v, [-0.07769545710948746, -0.18127723002272458, 0.005521138596168852, -0.030542171595549547, 0.08165672799380982, -0.16634571681937174, -0.1363280277010479, -0.010566521998359257, 0.23758842834858857, -0.020841326036543047, -0.03948370321555947, -0.04029723087567861, -0.08440273356746149, -0.00817567111657084, -0.0853790959271549, 0.037111601070557464, -0.08828119708596073, 0.13326276894242708, -0.03431448888704631, -0.06565016468433305, -0.023746650381736185, 0.18625293929527814, 0.11630224564749535, -0.12101696891115782, -0.10599030714929376, 0.015834559794443943, -0.11129836309693665, -0.1886652621602717, -0.07751643786370158, -0.08841171240511599, -0.030380882866962913, 0.2767244756123536, 0.007948125205059374, -0.09277588279766351, -0.003658922812019594, 0.025162678996863422, 0.01049253586828065, 0.234368333669906, -0.14035268483713573, 0.03526081266322076, 0.05787658499801702, -0.09436182545392294, -0.05276382993392728, 0.34796973849820917, -0.02315627809811819, 0.2697525674300845, 0.2238036223739356, 0.0687069271315806, -0.17717108223484515, -0.10435054830887631, 0.021393367538072756, 0.2782403781539413, 0.1977892662585688, 0.0718263405759096, 0.053483343420581336, -0.02215041112870231, -0.0691851909071283, -0.03683910291256836, 0.2211365831970071, 0.011408861552017749, -0.09564106318238327, -0.03211374240474151, -0.053840881119338754, 0.018862317850668973]),
+      |      list_dot_product(v, [-0.06632766747763331, 0.1313809180411261, -0.1108282606385717, 0.1208821284499155, -0.040673550967224394, -0.13403048976529447, -0.1591465143226239, 0.13238423886522546, -0.12661093786812277, 0.019641637496928727, -0.187481184240348, -0.12025880051969981, -0.09122186934339789, -0.18369213818587798, -0.036499629207933613, -0.05260571734753703, 0.1629095104594081, 0.1334442929845821, 0.2366917771877396, -0.033939710857111206, 0.11020713965984279, -0.11902636942988888, 0.2520208345768142, -0.06462929646705562, -0.02053808701978451, -0.13048901271567118, -0.09009929531130906, -0.027405256332144422, -0.10556763923873559, 0.1196632605210045, -0.026363044844634826, 0.08079795677915748, -0.02450307421625312, 0.034922303555901014, 0.04961726094071068, -0.11035955569850758, -0.053621583402698084, 0.0908383040613553, 0.08541741384469925, -0.062103760575860485, -0.12120336981768148, 0.33071454713825027, -0.04093795544097512, -0.08300721638191355, -0.06098710451828418, -0.019199936069804243, -0.08211616349072666, -0.030916856023136177, -0.04491455292328511, -0.2213783364602069, 0.03307413385641652, 0.04985037788136047, -0.22148980788474032, 0.05465447895987568, -0.05788992279509937, -0.27222018764962747, 0.0865241705743037, 0.12489613659920981, 0.07917044827818082, 0.26825673282026485, -0.19023889820532391, 0.1241567888641089, -0.019627303432728196, 0.04102209833994513]),
+      |      list_dot_product(v, [0.05003710591151538, 0.08726899861175451, -0.08660603989489009, 0.02928008028278539, -0.0792723604435672, -0.024337304437313367, -0.09379824927033316, -0.16079923892819165, -0.07827827416611104, 0.21953842684999467, 0.1603595017109873, 0.13075314296493537, 0.05044929338393101, 0.08115458007297398, 0.019616343590176645, 0.0928005528199348, -0.04549335164444196, 0.2615707764883349, 0.1791998012958293, -0.06490017702478365, -0.0035156404059955185, -0.15449151232275732, -0.14393405424422873, 0.02271702719119439, 0.1266812721126732, -0.2833765615179294, -0.17434870397924063, 0.16138383573791096, -0.15243906387024098, 0.03480087577584583, -0.05752965741751008, 0.02993948437269438, 0.07686295694498026, -0.1476665093323185, -0.12522941045618324, -0.15155252574098033, 0.11097281618348698, -0.06585287596661532, -0.12876287650123144, -0.10139964586094598, 0.08563219596761018, 0.031210127269826155, 0.06738638521596356, 0.05656899481507609, 0.0764804812281481, 0.04290494629751998, 0.04428952556500077, -0.030505309676842632, 0.09093067454643752, -0.09741919995029803, 0.24306615312347635, 0.12957385676679173, 0.08018285042893529, 0.03839579517201452, 0.03592750930270206, 0.24942474170820314, -0.01647887547160015, 0.22490456282933116, 0.014060078943620507, 0.0742957106975249, 0.3126180354195202, -0.004576143303239876, -0.008375018474654414, 0.18819498652488204]),
+      |      list_dot_product(v, [-0.10947141972764758, -0.0016952657300114864, 0.000626996665021595, -0.03165281682074804, 0.005428726496680334, -0.041084264407123046, 0.06070853947336476, 0.18211286013718747, -0.16469955253768886, 0.03432687837509851, -0.11228885349753219, 0.12116237851728424, -0.04961130136275198, 0.005339225046258029, -0.20885084892740377, 0.2897206386904462, -0.2124482891499997, 0.04215025813125414, 0.1915150976015177, 0.052840027578610525, 0.026816366077064495, 0.0022051078124579603, 0.004420278143045, -0.001713470617042255, -0.18874270691886016, 0.04311013295471919, -0.13709798748907248, -0.1614390647959489, 0.10462007109311422, -0.13921350577805455, -0.08694611848009885, -0.037111533281235044, 0.15170978790351589, 0.12840345209754347, 0.005550688956452556, 0.18472028215579905, 0.21366004094817198, -0.018179941827563526, 0.016073734193005708, -0.06651371393882569, 0.2196624273186203, -0.0859846734944447, 0.10505554349601193, -0.08457265824213005, -0.09786783371839984, -0.06922148126876126, 0.1172038002186873, -0.11187878318343811, 0.2921442966823453, 0.07689978727529719, 0.04018507906003979, -0.08344126726994357, 0.13979364549617979, -0.04516800105388613, -0.15324638877470337, -0.20352606840626164, 0.03713433298650906, -0.00024769397832989887, -0.0406311730028915, -0.027043131646227174, -0.0622778737911749, 0.07333479790138524, -0.2346911335276097, 0.24671597769197454]),
+      |      list_dot_product(v, [-0.19689398700817617, 0.0025371265311852037, 0.12186596636562562, 0.10240890271650518, 0.07814494185798103, 0.008582810626444505, -0.03697645974550576, -0.06542231481390687, -0.13586728357179953, 0.07388908722530156, 0.0053049650856987155, 0.12485301168515417, -0.22373664591493303, -0.15186166219383734, -0.07588235160813901, -0.2510961326103161, -0.18454397247066281, 0.02371067027644102, -0.027515992176765793, -0.011616456010000067, 0.14755753465981772, 0.20478934859439513, -0.10973315083024392, -0.06187125616612763, -0.05170370408961863, -0.21094539091596812, 0.03796198170997332, -0.11524746696834422, 0.1860915666231519, 0.22845919235057127, 0.04409500845940704, -0.23515698676318694, 0.019183069651032975, 0.23805100751094244, 0.08483299521194985, -0.06620368351607497, 0.13600230087898052, 0.17937914789543769, -0.08327560009515234, -0.004914166516078895, -0.07491932266068634, -0.14202782144180975, -0.03459721559610937, -0.04370438083793603, 0.0949722260805846, 0.0014658976480054497, -0.005785214062767768, 0.12656036964071243, -0.13852383554749412, -0.018141171208210956, 0.016382282072574843, 0.04937033474995374, 0.01226451153669905, -0.07142289534469688, -0.1239580105464764, 0.20032238156421311, -0.06539487513671083, -0.1701408667969809, -0.13580431328684425, 0.278936821127855, 0.09043245503619458, 0.14260758019106298, 0.010443358104778675, 0.016220262121011023]),
+      |      list_dot_product(v, [-0.051457827187467636, 0.15977307622921563, 0.005756379682962818, -0.024866621886749204, 0.09828342600326256, -0.11045200384249787, -0.04182570577877159, 0.0248257694806527, 0.17485497509427303, -0.14678199656786461, 0.06339335923327208, -0.15941091133720964, -0.011650871116009393, -0.06738937790734327, 0.2810929865627124, 0.06449050274424478, 0.15898611034754725, -0.03437026177694379, -0.1119709725374098, 0.11317424559563329, 0.11887340567409645, -0.05994055125246724, -0.10192081326152708, 0.33293747966673937, -0.06916865567169937, -0.16351598856174918, -0.029357927565058985, -0.12018017094517029, 0.1855956013679997, -0.0628269855268284, -0.2203059528362397, 0.0376608736924009, 0.008169536317786573, 0.020932417915671662, -0.16789153074873198, 0.03721068409538705, 0.1738990731357094, 0.22704470721575384, -0.18137821205386248, -0.046314938701612365, -0.0775938734653261, -0.03697600293689926, -0.2795463539912775, -0.04790387432448614, -0.022600304153480397, -0.02663371368761775, 0.03306528595295859, 0.005796771381911172, 0.1308185746798335, -0.2665705927832332, 0.021535267609141144, -0.08729660337506741, -0.04329823454430094, -0.10654810092471605, -0.08474862676900095, 0.030074852245366584, -0.03435788332325232, 0.061078988114918284, -0.14061497892028935, -0.13650280777663373, -0.0626195021217009, -0.15662391819533206, 0.07477946763477863, 0.1399787178894721]),
+      |      list_dot_product(v, [-0.02562159860751807, -0.03026644306349051, 0.21928698265730043, 0.19162058497071055, 0.0612241612451374, -0.09679150549103827, 0.06952195725926845, -0.060029967911578185, -0.08105065132517715, -0.2151250390930884, 0.2527628596078477, 0.04331942362595786, -0.038379079729809994, -0.15035564753567526, -0.10899873017506238, -0.031525266632877955, -0.001985081069268935, -0.07803740414904776, 0.009312608151338829, -0.19909958593543262, -0.05433438324156491, -0.070065751851181, -0.09127304781842052, -0.10606251337303402, -0.04624308235077267, 0.2141619993182913, 0.01435486772971217, 0.001001830191205151, 0.24532941231054645, 0.061228950167275864, -0.13122543152011298, -0.1803968195625525, -0.016117885487245836, -0.03272180143509729, -0.21598382318578094, -0.236483044120189, -0.15459605783656527, 0.09896183894508379, 0.2070939513578071, 0.04122284108075342, 0.13982556607190855, 0.0533675005465786, -0.12637116797948914, 0.03367387771684497, -0.10357330337966286, -0.05124726133679262, 0.05414001474884274, 0.13333565804872652, -0.09150752762630167, -0.0049295351594076916, 0.11552794886512475, -0.001926532779859254, -0.07437573824616812, 0.06809734800999229, 0.15273402230606176, -0.09299799431814602, 0.03211690532028537, 0.1955858069110934, 0.17594911357045132, -0.1594144732475997, 0.083246099941025, 0.047234444675553086, -0.08211948990579204, 0.2648077971350644])]""".stripMargin
 
   /** The 24-row extension of the same derivation (rows 1-16 are
     * identical to [[gateRerankProjSql]] by construction - one
     * eigendecomposition, larger prefix), for the second trained-rerank
     * audit row. Re-derived by tools/derive_rot.py. */
   private val gateRerankProj24Sql: String =
-    """[list_dot_product(v, [-0.2096393300202079, -0.12057271532724553, 0.03654785815762015, 0.01181956673368188, 0.07567008238654915, 0.013214628819761043, 0.0905841185253787, 0.28661879235154175, 0.04954696219840432, 0.41405652648110597, 0.06530498182357874, 0.18207885387703554, 0.06513224150018562, -0.03653205474589539, 0.17114897510632338, -0.1853497773155263, 0.08898987448654253, -0.1570265545892313, -0.03013668633727623, 0.03217896951212238, 0.06121320408639076, -0.11068832311425483, -0.08347512785867214, -0.055437468648072454, 0.019550012020336547, 0.19912542853515428, -0.03751725245021375, 0.14950769892189747, -0.17287963096364564, -0.006123114085466474, -0.05871572670347506, 0.062037717979410406, 0.2965385435377704, 0.10616457882139613, -0.0320419388938067, 0.10414385148185465, 0.04453875953671703, 0.06146405309394993, 0.01300669820069596, 0.021771205655908916, -0.1166789877982389, 0.00552458641904109, -0.2408369202837017, 0.09570759064864001, -0.02830770835615952, -0.2251274447351663, 0.00873183591418996, -0.07903750804622381, -0.0836808441498625, -0.11845091153314742, 0.12045949820880301, 0.07248325157918438, -0.01718648215716714, 0.08160437407065883, -0.015031355628739274, -0.06676477469562192, -0.055650636278637464, -0.051376057816995745, 0.06019601767572054, -0.09113914348049353, 0.12198699564215858, 0.050649833878900714, -0.2182114649231664, -0.10201388636255261]),
-      |      list_dot_product(v, [-0.003837127211581993, -0.054430245767012955, -0.01256793348076524, -0.08813365797651045, 0.17485769775040094, 0.02521436579703914, 0.07494656338562687, -0.0699807010859971, 0.07744817020895162, 0.03069605619522647, 0.10575814459049343, -0.017882873012924873, 0.01297565633124387, 0.1336968174275563, 0.014559198307480144, 0.04139191933934768, 0.14841100078750558, 0.3603098511261618, -0.0541886514145757, -0.05076477591726178, 0.032543169734795804, 0.0353911268506755, 0.06533467378092273, -0.3091228055053044, -0.2576821382583802, -0.23906586362939788, -0.020637632793312183, -0.00022331337890521945, -0.08628570371767165, -0.17453292227143882, -0.024067927226897944, -0.21754493603557615, 0.029463935144010245, 0.0615386789084913, 0.03375332841844827, 0.07921967482014872, 0.05946710015970966, 0.036498402573222344, 0.18210698156721677, 0.04667388480869055, 8.626507729722957e-06, 0.046986755640974924, -0.06276704622858646, -0.17918979594374826, 0.17268649020939142, -0.1888352229469569, -0.04694587131588715, 0.14577948211480737, 0.11292397757725275, -0.11328063222737615, -0.15743104350111775, -0.08197501074019356, 0.012979946743257106, -0.01609235374981665, 0.23803515091894767, 0.02338431738854464, -0.3028202755224945, 0.01638284010822573, 0.13543364301206362, -0.12158606610326811, -0.08367049603064655, 0.08483882908902365, -0.0004431848647108862, -0.07861586992416168]),
-      |      list_dot_product(v, [-0.14804403755599788, -0.08512440644804029, -0.06394747372242394, -0.0004575970141786493, -0.20437466508884317, -0.0437417350166794, 0.1177552992559789, -0.28449785349721946, 0.044402396330867656, 0.023717337995785997, -0.051179527614304506, 0.03570203353525218, -0.060179564309038557, -0.03455060720149328, 0.009449519103814035, -0.23454575614196826, 0.1713735271024343, -0.08492758806240842, 0.1160470676906258, 0.0773284031731253, 0.013131626731480505, 0.17530755090022915, -0.10064801517013917, 0.05337470423496319, 0.09255730930450971, 0.10008395002176174, 0.0906373631192774, -0.13414209861497922, 0.010277697050360855, -0.10540482797763205, -0.12285966843393281, 0.0909121081917113, 0.048252166284910074, -0.18066130225250257, -0.02976989042538331, -0.10216258213207541, 0.13907849924246868, -0.21255244175465315, -0.06345652309133594, -0.10392899603892383, 0.18947963434482243, 0.19011010111192872, -0.1258555580702801, -0.20893277874379756, 0.16586568222613066, 0.05283627633705316, 0.042797574747651626, 0.018020015397822116, -0.0683200932314645, -0.0512755129779281, -0.1294984449753259, -0.10645450056137452, 0.22780031589941502, -0.1532947679353639, -0.1791520941573972, -0.0019200152180137873, -0.005381095587565329, 0.10972460099815637, 0.1827952415741804, -0.05268508458798448, -0.06955779386903337, 0.28843060582388197, -0.09008107781606314, -0.07553050141369441]),
-      |      list_dot_product(v, [0.06808659692691903, 0.06269221088036901, 0.008780757117610016, 0.17252698585103318, -0.2579610506306852, 0.10712924747571911, -0.02320920976755962, 0.17754309288315903, -0.11522019045323972, 0.13620195798670792, 0.007640884150608356, 0.2019504757451542, -0.060775444667734706, -0.14021935394080082, -0.09311367890566466, 0.0493080657522068, 0.09682486295850494, 0.07142426949952493, -0.00931947755346662, -0.20316848780461905, -0.22547295140285561, 0.15765898138948406, -0.011856441212560857, 0.07323162375897517, 0.02747074839964306, -0.11908308267730744, 0.11645429213294094, -0.0038352518579658603, 0.12892448335581316, -0.10452312732326186, 0.1521165649372111, 0.20057539618778486, -0.081413181280288, -0.017677469085189267, -0.11650295044827594, 0.31619012196961105, -0.11671862239929295, -0.14843441728739898, -0.010252064348131243, -0.04828886542020025, -0.014507537293033222, -0.00017919674526118605, -0.08565322476936732, -0.01743476170784436, -0.07573379923518071, -0.04152082543973319, -0.013620431372982572, 0.36940447483450806, -0.10851089306162194, -0.1534460994206436, 0.06647233910910633, -0.019778009359073506, 0.009329623098615703, 0.0054010217614196025, -0.021917540538325148, 0.1014729147048064, -0.17091025495863188, 0.09292951416444062, -0.17072042743341, -0.07391767730729568, -0.19206043423512684, -0.0962191857401072, -0.08404634246087159, 0.026296885848694346]),
-      |      list_dot_product(v, [-0.015085347560034651, 0.013517865830451635, -0.17389132048897835, 0.02253742215602077, 0.16896698432930854, 0.30866309206525333, -0.2530950596374295, -0.10693042060664935, -0.01790620038639116, -0.06613281137578353, -0.14284835419897937, 0.36196189580912086, 0.11830375329976602, 0.11743309807998664, 0.11494380703612435, 0.055716544108777084, -0.11872343460255268, -0.11316167148534532, -0.01902053430901372, -0.24534483032738347, 0.03191823604240378, 0.03445191687496352, -0.01109188015587602, -0.10927001970303023, 0.12474957922483891, 0.16616884567664106, 0.03526854805297365, -0.14137833659983196, -0.026189293623945033, -0.1825991578599084, 0.04226625184652264, 0.016172195492783117, -0.062291915357917164, -0.028462604624833056, -0.039868893511910405, -0.053847080149817504, -0.08802504604912549, 0.23525140106969186, 0.049054119817469606, -0.2630745924488895, -0.05655833933531782, -0.10089457052163518, -0.007513654293084169, -0.05056559009206862, 0.11724159722024327, 0.009091732563372739, -0.03499876040730989, -0.020604323539752594, 0.10296227462764167, -0.21235460234923043, -0.13375687694842345, -0.08333561357028366, -0.16669651257716844, 0.09694053145190656, -0.21787743397082124, -0.004216181306503077, -0.005630303030561675, 0.04229455936213906, 0.10565659881448262, -0.004698642661363779, 0.054063487931222676, 0.03249524822808433, 0.07261703252532273, 0.06545658155977771]),
-      |      list_dot_product(v, [-0.08544207411615516, 0.011076242789999828, -0.1744330539463892, 0.1997158227314905, 0.008519457717373006, -0.029354714850358704, 0.1601854472914573, -0.01384658819657827, -0.11290145070207502, -0.04229772769374318, 0.02215837523689581, 0.036050469737645835, -0.18230215303802377, 0.47848072389377294, -0.08551788850060306, -0.017420528275039263, 0.024875500957851418, -0.1966149614776473, -0.2096973240757193, -0.10289007388205201, -0.06340424748855769, 0.034678423619870294, 0.16836503422445132, 0.03422494667689464, 0.006176514506353618, -0.022542977947512324, -0.18434962748020325, -0.025273527795024016, 0.012000127801072524, -0.052428663089463756, 0.16064800817263716, -0.1022565623711983, -0.15891143459829485, -0.18394127656774753, -0.0952229210578061, 0.015104919146872718, 0.1704699084214259, 0.05533662713065261, -0.07520278543602898, 0.2041440699220448, -0.041852518764333345, 0.26939098394286876, -0.17915567165616555, -0.044813125895931304, -0.038453382306685886, -0.11610530059362632, 0.12082475546403323, -0.00704702400162422, 0.030184523346841925, 0.047813095369468574, 0.16379574988151296, 0.014019726448507163, 0.06607626122068973, 0.11155759478333559, -0.09857967354163642, -0.09315850574436878, -0.08969349432091307, -0.10318157108892986, -0.01787651796005002, 0.13658261991657272, 0.076581378924984, -0.0741629120515868, 0.07691180886240863, 0.014380980289340928]),
-      |      list_dot_product(v, [-0.10467703228112352, 0.04334903472954021, 0.3308233466637122, 0.05281115210506782, 0.07154724254493282, -0.2395789342300872, -0.035970206913397466, -0.05025064057456484, 0.005446403012276316, 0.2155901272621879, -0.25725132543123397, 0.08007311349146733, 0.2335296930537292, 0.06344687150245162, 0.10695937206218074, 0.1955439822372235, 0.05497151097487418, -0.15899119528411026, -0.06773789164102631, 0.047291573689071886, -0.04121476172051033, -0.06668512605636627, -0.047789904233432254, 0.027070002087232915, -0.05888062997050346, 0.008833017871900748, -0.1389905885486479, -0.15865816066950472, 0.04030695059485037, -0.1258415271673068, 0.15366276268257456, -0.22586041349482264, -0.11182059620669123, 0.10493781231835228, 0.014503369545627094, -0.18891690793522004, 0.007213009816712077, -0.2040199513943542, -0.1325508590953577, -0.204494317629054, 0.19571794479140064, 0.0872216688935659, 0.024970696634828003, -0.017672627371045836, -0.06601916272001536, -0.06466506768760226, -0.1365952508709043, 0.04433184648912618, -0.13211726951387223, -0.08608364382855625, -0.05007145654957563, 0.21818178555598156, 0.04603151275796958, 0.1494853264762865, 0.10036773912091507, 0.06536654088516361, -0.01421816285616276, -0.011947691292832184, -0.024575671827010075, 0.014622711145269751, -0.158238697969672, -0.045258463894878455, 0.13015213606936415, -0.03712294642286263]),
-      |      list_dot_product(v, [0.28053834556355717, -0.1371590681351505, -0.0412669208630224, 0.07332610324304634, -0.01915856008039949, -0.14848892174411799, -0.11300436697574097, 0.0888973175452768, -0.01738314118597428, 0.09350298185352153, 0.1538433171839001, -0.095338763048301, 0.10336993988982665, 0.022934882234727633, 0.07543842908760733, 0.18178213560832523, -0.16023107869586997, 0.02863289345509315, -0.05134798748134463, -0.017840531441107914, -0.009984333282943498, 0.16671736561201367, -0.003604162377066839, 0.258527241624162, -0.15791550699631157, 0.056127393859254304, -0.09822172385977178, -0.040300239786079266, -0.014822404969700963, 0.04401133554559639, 0.04823681156060674, -0.0801061184545289, 0.029625486988743795, 0.04561400009031291, 0.1034626855222083, -0.20726140108490207, -0.14479500271225082, -0.11211549327599017, -0.03295226754521202, 0.027501799019783297, -0.10105638319819629, -0.1273095652683595, -0.19101634334198037, -0.08899294770757478, 0.11129272032462295, 0.06580293906863663, -0.14256338925759557, 0.21676374381562874, 0.14131254422033543, -0.018008174963365563, 0.23205685634556245, -0.19508721035282625, 0.010139005438346251, 0.016706224487906905, -0.18769487157816858, -0.049311186325321, 0.012939834000132487, -0.04592994271429228, 0.31640769191537305, 0.13303036695188322, 0.003273279894082976, 0.05165375785516667, -0.1585098282380153, -0.2027956805621199]),
-      |      list_dot_product(v, [-0.09400136458148366, -0.17858117972592538, -0.011990174531333508, 0.07855288301142772, 0.25745238791945396, 0.2411135712836205, -0.23700639211078134, -0.032416200018950264, 0.0743921332000754, 0.2091692397066303, 0.022606019518796327, -0.016031192916972595, -0.2223091383778378, -0.0848744680844469, -0.018846414948870245, 0.06048439353910633, 0.1806939398383286, -0.15205994584033475, 0.12095737817998772, 0.021954344680883753, -0.10111875436954063, -0.12187008947828727, -0.029393583669176784, 0.20280486337458042, -0.1719499107560182, -0.12022886778914993, 0.0750674141936809, 0.11793320913647276, 0.12779487236513193, -0.21596573289312318, 0.06635406539363903, 0.0016326357701262073, -0.08158196275136258, -0.030919106320060855, 0.17496070440967906, -0.14906363955306934, -0.1140684337079778, 0.08241686631320357, -0.11469069427018051, 0.16325478198533683, -0.11413046047569315, 0.11082464492946754, 0.18682363696961155, 0.14331843324969157, -0.05864357080033317, -0.10512099756638493, -0.09269594552032963, -0.04524592809390084, -0.021607579955522566, 0.18362780453596136, -0.0006807099919776284, -0.14225924767167375, 0.20595752502782988, -0.059211096690920645, -0.03278847997788835, 0.03578540326019955, -0.06125576031137734, 0.12574104154985416, 0.07371856211153428, -0.027985481650546363, -0.06885857284275726, 0.1011754070087857, 0.01962099673540931, 0.14813583232712707]),
-      |      list_dot_product(v, [-0.07769545645640907, -0.18127723005690785, 0.005521138316715278, -0.030542171160452384, 0.08165672771986955, -0.16634571699200826, -0.13632802778377526, -0.010566521793833756, 0.23758842826611648, -0.020841326003038528, -0.03948370244019947, -0.040297231112348675, -0.08440273360731826, -0.008175670819655746, -0.08537909593419288, 0.037111601059559164, -0.08828119692851352, 0.13326276966971118, -0.03431448879702372, -0.06565016524122783, -0.023746650966625284, 0.1862529393674916, 0.11630224590009343, -0.1210169690827256, -0.10599030730971187, 0.01583455935829907, -0.11129836338959678, -0.18866526157371927, -0.0775164382261846, -0.08841171223425837, -0.03038088249999379, 0.2767244755328377, 0.007948125222618624, -0.09277588342511642, -0.0036589227138493405, 0.0251626788040583, 0.01049253578779439, 0.23436833331822607, -0.1403526849560866, 0.03526081314996727, 0.05787658467714565, -0.09436182537325874, -0.05276383038144768, 0.34796973843402956, -0.023156277748090478, 0.2697525674772837, 0.22380362207350235, 0.06870692773950697, -0.17717108213985355, -0.1043505482517543, 0.021393368418612647, 0.2782403780866255, 0.19778926602649263, 0.07182634073076008, 0.05348334361817466, -0.02215041110340669, -0.06918519111590211, -0.036839102885145796, 0.22113658366138453, 0.011408861854542072, -0.09564106274204524, -0.03211374255517516, -0.05384088093813003, 0.018862317599648598]),
-      |      list_dot_product(v, [-0.06632766695109972, 0.13138091934270787, -0.11082826170061899, 0.12088212886734431, -0.040673551386873584, -0.13403048920606, -0.1591465154845886, 0.13238423675952496, -0.12661093855574795, 0.01964163997972767, -0.18748118277289189, -0.1202587987090588, -0.09122186930436663, -0.18369213753020863, -0.03649962909924255, -0.05260571671937548, 0.1629095102085306, 0.1334442956707977, 0.2366917793370172, -0.03393971141528018, 0.11020713947933437, -0.11902637185493027, 0.25202083316362434, -0.06462929639761458, -0.0205380854560865, -0.13048901620609574, -0.09009929682232602, -0.027405253884444175, -0.1055676410227114, 0.11966326081654374, -0.02636304543773133, 0.08079795753069696, -0.024503073664539844, 0.034922301771536456, 0.049617259471504374, -0.11035955710362642, -0.053621581910422066, 0.09083830413271278, 0.08541741253243973, -0.062103761490818345, -0.12120336944055704, 0.3307145478068485, -0.040937953934862686, -0.08300721532224056, -0.06098710377478903, -0.01919993611226759, -0.08211616266253101, -0.030916856781506293, -0.044914552028951754, -0.22137833730029952, 0.03307413631594784, 0.04985037941523615, -0.2214898069396124, 0.054654479497264534, -0.05788992194313231, -0.2722201846930221, 0.08652417030425727, 0.12489613966439937, 0.07917044773335713, 0.26825673316636295, -0.1902388943346956, 0.12415678843774608, -0.01962730301017076, 0.041022101372321984]),
-      |      list_dot_product(v, [0.05003710684725454, 0.08726899757798748, -0.08660603870531383, 0.02928007877846513, -0.07927236009983699, -0.024337302879373187, -0.0937982471192726, -0.16079924020985725, -0.07827827298415858, 0.2195384263972595, 0.16035950352210265, 0.1307531444487244, 0.050449294659002414, 0.08115458245919616, 0.01961634431125075, 0.09280055381296856, -0.045493353038427796, 0.261570774579599, 0.1791997984873225, -0.06490017633385381, -0.0035156417142961174, -0.15449151161474803, -0.14393405735305426, 0.022717027949752205, 0.12668127250769903, -0.28337655954673957, -0.1743487028067561, 0.1613838359966331, -0.15243906262885168, 0.03480087405707912, -0.05752965773299833, 0.029939483690196833, 0.07686295693159355, -0.14766651006340678, -0.12522941145539873, -0.15155252377443537, 0.11097281713549877, -0.06585287709588071, -0.12876287748566043, -0.10139964554609866, 0.08563219783750213, 0.03121012334023449, 0.06738638570853346, 0.0565689952072189, 0.0764804814683832, 0.04290494609777322, 0.04428952646271362, -0.030505309848440052, 0.09093067603610029, -0.09741919746999865, 0.24306615284585212, 0.12957385628821633, 0.08018285254255861, 0.03839579430284308, 0.03592750972156349, 0.24942474468630307, -0.016478875987680486, 0.22490456206253215, 0.014060077581946415, 0.07429570727954488, 0.3126180373736632, -0.004576145428863094, -0.008375018503743377, 0.18819498621912992]),
-      |      list_dot_product(v, [-0.10947141936503235, -0.001695265520920519, 0.0006269961998386323, -0.03165281756907946, 0.00542872624816072, -0.04108426446637966, 0.06070853976481691, 0.18211286055273243, -0.16469955195526545, 0.03432687803319679, -0.11228885346847454, 0.12116237774055594, -0.049611300142132664, 0.005339225366660854, -0.20885084817126906, 0.289720639931844, -0.21244828893638196, 0.04215025848259546, 0.1915150973929429, 0.05284002727377277, 0.02681636604748077, 0.0022051073128859723, 0.004420278819879942, -0.0017134705165790126, -0.18874270722680658, 0.0431101345237436, -0.13709798764040665, -0.16143906475071354, 0.10462007037654751, -0.1392135063485011, -0.08694611825822271, -0.03711153188341015, 0.15170978830340331, 0.12840345104215437, 0.005550688395904674, 0.1847202821766065, 0.21366004015143247, -0.018179942766191164, 0.01607373485217027, -0.06651371397010368, 0.21966242816860512, -0.08598467315820196, 0.1050555434698451, -0.08457265817505537, -0.09786783432610036, -0.06922148074380782, 0.11720380044875349, -0.11187878320535588, 0.29214429702382305, 0.07689978710568517, 0.040185078629529664, -0.08344126712733686, 0.1397936452502167, -0.04516800059146774, -0.15324638847860375, -0.2035260696081425, 0.03713433341757267, -0.00024769365384094287, -0.040631171955382094, -0.027043132270677592, -0.06227787510458921, 0.07333479694988958, -0.23469113369749514, 0.24671597674597665]),
-      |      list_dot_product(v, [-0.19689398729687926, 0.0025371253476960667, 0.12186596622731882, 0.10240890339143037, 0.07814494103715228, 0.008582812298398778, -0.03697645859283238, -0.0654223144118319, -0.13586728616362395, 0.073889089580517, 0.005304964276599628, 0.12485301398950345, -0.22373664616240127, -0.1518616616989201, -0.07588235547762631, -0.25109613170831796, -0.1845439750152196, 0.023710670646982797, -0.027515990216360402, -0.011616457703952917, 0.14755753348859352, 0.2047893482582204, -0.10973315026104742, -0.06187126028501506, -0.05170370444662244, -0.21094538913453947, 0.03796198148586537, -0.11524746631101586, 0.1860915649371119, 0.22845919210839175, 0.04409501117008903, -0.2351569876555825, 0.019183070901736266, 0.23805100711594254, 0.08483299696342042, -0.06620368420035648, 0.13600229992510668, 0.1793791453701174, -0.08327559808364757, -0.004914166500734551, -0.07491932060185062, -0.142027821679224, -0.03459721244231828, -0.043704380328126465, 0.09497222602038619, 0.0014658981234671154, -0.005785213585900156, 0.12656037009025756, -0.13852383562057827, -0.018141168483205242, 0.016382282933249375, 0.049370335728708206, 0.012264512777994488, -0.07142289464207618, -0.12395801017071026, 0.20032238036856584, -0.06539487424520152, -0.1701408666960604, -0.13580431137062157, 0.27893682282179255, 0.09043245526258728, 0.14260758172664872, 0.010443356821881425, 0.016220262522254322]),
-      |      list_dot_product(v, [-0.051457829342982965, 0.15977307682954664, 0.0057563812520295896, -0.02486662124868624, 0.0982834266941977, -0.11045200343644708, -0.04182570618590566, 0.024825768963033772, 0.1748549738191018, -0.1467819957622011, 0.06339335870686, -0.15941090991078866, -0.011650873020037061, -0.06738937936665758, 0.28109298558602636, 0.06449050027399678, 0.15898610847202008, -0.034370261484076216, -0.11197097329701766, 0.11317424621363964, 0.11887340732885511, -0.05994054828861898, -0.10192081413214435, 0.33293747858226214, -0.06916865629870418, -0.16351599090129013, -0.029357926806338707, -0.12018017272003202, 0.1855956029301421, -0.06282698283341157, -0.2203059524783688, 0.037660871734168634, 0.008169536801723302, 0.020932420048914293, -0.16789152975087868, 0.03721068448399125, 0.17389907513430597, 0.22704470913250646, -0.18137821304896593, -0.046314938591171605, -0.07759387447590897, -0.03697600468890057, -0.2795463541352076, -0.04790387488523304, -0.022600303484065744, -0.026633713481903604, 0.03306528589233208, 0.005796772624616948, 0.13081857328776494, -0.26657059310342324, 0.021535267604761658, -0.08729660257822289, -0.043298234026275785, -0.10654810166281671, -0.08474862832681779, 0.030074854119725176, -0.03435788390872839, 0.06107898547958866, -0.1406149809074584, -0.13650280439569298, -0.06261950169574919, -0.1566239168006758, 0.07477946820850997, 0.13997871723174352]),
-      |      list_dot_product(v, [-0.02562159892156312, -0.030266443107176216, 0.21928698263481897, 0.19162058436401846, 0.06122416122069387, -0.09679150625425414, 0.06952195703768357, -0.06002996806841933, -0.08105065077475491, -0.21512503919577877, 0.2527628598571763, 0.043319423184811814, -0.038379079586308235, -0.15035564776435897, -0.10899872987645134, -0.03152526638333196, -0.0019850806834813568, -0.07803740421685147, 0.009312607526370406, -0.1990995856430563, -0.0543343828952432, -0.07006575253770575, -0.09127304745075208, -0.10606251240669488, -0.04624308228949808, 0.21416199923558754, 0.014354867080355483, 0.0010018303588272492, 0.24532941247704812, 0.06122894994258977, -0.13122543202316006, -0.18039681945482647, -0.0161178858641742, -0.032721801578286684, -0.2159838236373285, -0.2364830438097681, -0.154596058034602, 0.09896183911637525, 0.20709395172075395, 0.04122284054762607, 0.13982556603424343, 0.05336750101260884, -0.12637116798913806, 0.03367387760405464, -0.10357330374627655, -0.05124726127041375, 0.05414001500531185, 0.13333565733237487, -0.09150752694878979, -0.004929535783529304, 0.11552794863004541, -0.0019265330902418286, -0.07437573824729005, 0.06809734801714627, 0.152734022398316, -0.09299799412886679, 0.03211690474877431, 0.19558580713061496, 0.1759491128997997, -0.1594144744918404, 0.08324609980154422, 0.04723444486885188, -0.08211948949603423, 0.26480779740661]),
-      |      list_dot_product(v, [0.06805053030082923, -0.11544219195172115, 0.13693209177091348, -0.1379709289526741, 0.017721944764220707, -0.2699616226461792, -0.20929989825833759, 0.06919396911751183, -0.07569920671228085, -0.08538622417770769, 0.030461799561331403, 0.11407006826671519, 0.04084957852828077, 0.07285466652041725, -0.16486611249908237, -0.03938052387253722, 0.015228307490124916, 0.030689635955110355, 0.02334160216610122, 0.1427809798039794, -0.24903013467656965, 0.028249055920998974, 0.06499874761014582, 0.16213192459497927, 0.13120548923981673, -0.10886499731772603, 0.02592014598859011, -0.015061101275735626, 0.028074228002876844, 0.09005863161122393, 0.06271000325935537, -0.002150304632627787, -0.04551478759370242, 0.04009534138861217, -0.013385959260239982, 0.07215909198257323, -0.21690467095949578, 0.07798069810109422, 0.2125904814331498, -0.11199238957557205, -0.12443995909602554, 0.1745151236933408, -0.07121026193011785, 0.01060797560890303, 0.0636161120713056, 0.010897100653909026, 0.012100804356975033, -0.22569238505623604, 0.07442909743603625, -0.17911932462030192, 0.02937604851009171, 0.0012919147227513467, 0.19540107223739958, 0.012134038701017251, -0.046129259439889006, 0.01298087420434433, -0.10819733054535247, -0.25964510149561365, -0.10827075936088407, -0.25732582834266726, 0.16530644662181232, 0.3097747898405109, 0.1105102292169987, 0.05990892355944624]),
-      |      list_dot_product(v, [0.05259349445113837, 0.11360631665914374, -0.07402780156126845, -0.08575965397541106, 0.16487536903170438, 0.05464093838042233, 0.31243734351307023, 0.0831372715473323, -0.06718331547028208, 0.05533107215879355, 0.009527110356883093, 0.04895098519978947, -0.14143284456236396, -0.030094180111712287, 0.03557309330146817, 0.04110271056828514, -0.012777629659685975, 0.11708177004752662, 0.15709247505449725, -0.002542903328332098, -0.16435812825920756, -0.24287844300704012, -0.10541014691220274, 0.024090746346919177, -0.1443944000262817, 0.005344929411037466, 0.08403024090221048, -0.22789054887844518, 0.03755322057033313, 0.05934380371042398, 0.37344286130923554, 0.040846571434768254, 0.12366182696700395, -0.053994945037191135, 0.015517578564334505, -0.2658909157678702, -0.07889074973912538, 0.016816722448078265, 0.034311837780570766, -0.06007585322163498, -0.02529907151379307, 0.06558988642034735, -0.06647966100126718, 0.10121793088339937, 0.31659480001299656, 0.03187923452279334, 0.22407305827939114, 0.07918581820763217, -0.04054988074480329, -0.06095174175178279, -0.03602904054835392, 0.08073492808644665, 0.014222502930030422, -0.1901336577232731, -0.08469619129328164, -0.11944484713966864, 0.15613712986688583, -0.05237705740577853, -0.09387359716402201, -0.1364068109304023, 0.005504021435990392, -0.1518648266386311, 0.04468346746738345, -0.11094925933158678]),
-      |      list_dot_product(v, [-0.10787103908085413, -0.03250233399875143, -0.08832367552141952, 0.0661938216471537, -0.04158695793228232, 0.0890954791020835, -0.038867211364585416, 0.09351235254328555, -0.06386701716295644, -0.05185928215113789, 0.21863027793735104, -0.1705889807672236, 0.10167183983528667, -0.2309943499489921, -0.08296533400866443, -0.17665597408568415, -0.09911587804126037, -0.05671770642086456, -0.22724403182828048, 0.05799879843503005, -0.045022522397617296, -0.11560867396692366, 0.10560003034065263, -0.06851579156048462, 0.1864816710486761, -0.15593255438449194, -0.061180831569331615, -0.048382562491158944, -0.10990405719619599, -0.14427273805229218, 0.282324794167206, -0.23428069102526045, 0.3444072582603782, -0.09489044524946584, 0.020858365502683465, 0.05801766939010199, -0.004186227685600154, 0.0046672914410810255, -0.1472601346753568, -0.20749561127745125, 0.08910181808436868, 0.027494353893372226, -0.06950349071516913, 0.036206453245467826, -0.08469312009282533, 0.22393161092848973, -0.20360008584645464, 0.051950295827600176, 0.07192513540922137, 0.03646382411034725, -0.08531356265310604, -0.07017623594840175, 0.12942736441915303, -0.026334352784595862, -0.009666486976762692, -0.17792423492877762, -0.06961127476525938, -0.0018506553551699465, 0.07997575375846298, -0.030962441583853306, -0.010198160214625999, -0.07535838336265967, 0.12860638199529528, 0.1512177251655652]),
-      |      list_dot_product(v, [-0.11908276962493783, 0.15445334906138883, 0.19015599975396422, -0.05645122718380883, 0.09382814855250074, 0.15814948777317678, -0.2020729982306298, -0.09216812152123716, -0.01305901520736222, 0.17620246704772402, -0.008733713680208388, -0.13624218422682813, 0.08346561030097305, -0.015736916625241133, -0.13120813032907755, 0.09466327930764362, 0.04990260284037251, 0.04734032679823618, -0.20012358961177462, -0.009944494531162163, -0.014774645148833048, 0.030586319084562042, -0.042739119884317604, 0.003321073089857367, -0.03525469339427857, 0.10083683178809826, 0.35896631391894224, -0.1730899744164844, -0.07682328689566714, 0.2156287379472287, 0.02794412423807954, -0.010673913226779663, 0.1826933985059342, -0.148997224628076, -0.15881995426081902, 0.03698484959157923, 0.12229599386605228, -0.06845905208173218, 0.31785193134668166, 0.1398775982254905, 0.0195501281834015, 0.09301085102096837, 0.0041471795603675865, 0.07165875545304222, -0.08361568269237793, -0.019158721424771753, 0.08654690430890344, -0.06989197097801128, 0.19123034998989402, -0.12499926307585535, 0.13754202962763978, -0.06696415805633495, 0.16763365456895582, 0.05296155369036356, -0.09192530395039666, 0.11740313293213919, 0.06102455426702234, 0.03397128391542194, 0.08684365688790431, 0.20300173758480694, -0.12817513068213704, -0.11037444934456939, 0.1193160303210743, -0.05741206543583373]),
-      |      list_dot_product(v, [-0.05208839328597896, -0.1305025396529574, -0.07968820832675301, 0.0558847945390069, 0.06114093982806349, 0.01318234422497456, -0.13670782297921016, 0.04743323096460176, 0.013051104711571643, 0.024646474232885136, 0.19861337746444144, -0.279503574645302, 0.02236565778223658, -0.19950067654571085, 0.13448742928569973, 0.037493960090246574, -0.11419727248483513, -0.008147343842602729, 0.035175825699362964, -0.2677372167014199, 0.3014287175611386, 0.03602252632494524, 0.08329559447638993, 0.1511931051097063, -0.023830203977289747, 0.17169018904658992, -0.20498750882166827, 0.004813503958212209, -0.043868726181225816, -0.0434551524460205, 0.13771841489670503, 0.05589874655492353, -0.006898628289448425, 0.009954886998662506, 0.034863979430491236, -0.040294523994922005, 0.0028545044057633373, -0.16590666481379382, 0.19491868909047755, 0.02015698935467601, 0.12113881854654632, 0.16620271008606208, 0.12071307659962946, -0.15237542419252095, 0.07538154299497465, -0.03415232600855571, 0.2839618498420188, -0.02541147373790488, -0.099252828444278, -0.06378173144276768, -0.1678482472240402, -0.01044828674636086, 0.05063298456980236, 0.16055900057154304, -0.07787516782614207, 0.17039792480888677, -0.14360229686516057, -0.11025604221994036, -0.2725218089838734, -0.06816093287955258, 0.06548773653296652, -0.02779115659238171, -0.017100790264081057, 0.04462230722878406]),
-      |      list_dot_product(v, [-0.17568372121502276, -0.12211655424559814, -0.05258202190785629, -0.07469182355438819, -0.13818571756248457, 0.08703864809709073, 0.19953462982537903, -0.03454289356277214, -0.08331400363688961, -0.13168989905337516, 0.021298410730124853, 0.14827032877014598, -0.0882201561109691, 0.05028255808094979, 0.02306540559308655, -0.048383052238746053, 0.15428206112078907, 0.042277793603909625, -0.13280691362671893, -0.06051502420023885, 0.11353696139999982, -0.030351006054328694, -0.10037434103733694, 0.3103784750163683, -0.10471414581833385, 0.010301741961303007, -0.1633615135145059, 0.13620270332507528, 0.04282819879161665, 0.08917892477727897, 0.05967293529965091, -0.07529115661801847, 0.07412226493473398, 0.07420067844382411, -0.023635308180289298, 0.05036811759048412, -0.254452321656378, -0.06788265340398277, 0.10068634172750336, -0.01829676549322115, 0.0782978965696685, -0.13797715673453947, 0.2573109882173517, 0.013471839971871302, -0.028912072618376947, 0.07420703840946122, 0.04062357085540288, -0.23003008517816786, 0.03978731499456199, -0.23214384503952598, 0.07981930206857814, 0.19076740453491348, -0.07002870519353634, -0.1724368234395151, -0.033524250633825664, -0.008728446290200908, -0.22424380268978017, -0.02323341732266475, 0.26912452847226986, 0.12399104949274059, -0.2029667534573797, -0.07563482664340886, 0.0983432238256605, 0.01342607612384277]),
-      |      list_dot_product(v, [0.17412728345359393, -0.10213663372535034, -0.06225322225897731, 0.2213775833243391, 0.04033376590859294, 0.07702302538748175, 0.012136898027532851, -0.16332548412343936, 0.21696989386832344, 0.014097541776689091, -0.08110171580925099, 0.17458872107071238, -0.14982567986757597, -0.13468358427572813, -0.15086633950133896, 0.17027262283541533, -0.05766106904668996, -0.12178127260328118, -0.14167657722372676, 0.2587954057557318, 0.18400402785472744, -0.09587778669351335, -0.16581064683322644, -0.08787495496988343, -0.09293597023250906, -0.1492408902127112, -0.12597357708736867, 0.15539417898068264, 0.07200118534483133, 0.1744149387692538, 0.1063233346542466, -0.0045006738664399104, 0.04007610174265797, 0.09784219419185568, -0.15977922584052806, 0.1263664872197002, 0.11318054378244889, -0.17692916461528, 0.023640403910821114, -0.0663788716477001, -0.11747237893285653, 0.1487646326246905, 0.009713041729765583, 0.07340754179583751, -0.009947284750451044, 0.2022570387832034, 0.1884649962235344, 0.015556154863730144, 0.002736878696557995, -0.09607675372338242, -0.06364286458383704, -0.15107490669661341, -0.11375929976315932, 0.23376875512508327, 0.004867211743324782, -0.0726984641408549, 0.07204952702096457, 0.016171477520096122, 0.07918766889538276, -0.15483393659710382, -0.03634858586815243, 0.10734058671651965, 0.05544916150957679, -0.11585213171408212]),
-      |      list_dot_product(v, [-0.19060229846519086, -0.002839127065387114, -0.012652694579965715, -0.16591103868220142, -0.029372191953458526, -0.01594582019532487, 0.07430932959371425, -0.13006824517163448, -0.005232655405848818, 0.021351772419570925, 0.10969259152782557, -0.01892725933417791, -0.17253433760844133, -0.020000005819826368, 0.11672927306073032, -0.04794116998125617, -0.07718572174041549, 0.05118997786345801, 0.19677269383033907, -0.04855341806241129, -0.016401931626292523, 0.14602697378630028, -0.021980737971471757, 0.2343468654547012, 0.10293041221958556, -0.14446492869509114, 0.10388757996124694, -0.14500079572273608, -0.1351985070455307, -0.12059961267213187, 0.14529585003392403, -0.1835621761948694, -0.19016002134279783, 0.12015879933531955, -0.1914207983928005, 0.037701627923060164, -0.04928388797761472, 0.032544191410658035, 0.08643017919022333, -0.22943885837760136, -0.038702066337673244, -0.0013759618556726811, -0.11083630993543166, 0.20058682274223824, -0.14886583404343587, 0.025838362412359945, 0.09085278408065356, -0.17705880629564852, 0.06963750167897298, 0.16987362025691605, 0.006595176178619174, -0.17281104396083846, -0.0825160210025661, 0.26915225065191484, 0.2047366912355851, -0.05352186903233294, 0.01089471292194324, 0.10978205277186631, 0.003174408093386418, 0.06411724859366602, -0.04247395575584424, -0.05284546225336045, -0.2204493295272768, -0.2237048728934984])]""".stripMargin
+    """[list_dot_product(v, [-0.2096393298887029, -0.12057271530460328, 0.03654785829099375, 0.01181956705207999, 0.07567008221654345, 0.013214628527288186, 0.09058411826856812, 0.2866187923432374, 0.04954696200812782, 0.4140565265568779, 0.0653049813495429, 0.18207885414308053, 0.06513224154456904, -0.03653205454058415, 0.17114897511870436, -0.18534977721254273, 0.08898987401709364, -0.1570265554534968, -0.030136686338868745, 0.03217896964106663, 0.06121320421931407, -0.11068832310461507, -0.08347512790974954, -0.05543746810299688, 0.01955001247293548, 0.199125429101352, -0.03751725273394648, 0.14950769890198098, -0.1728796307730548, -0.0061231136919325056, -0.05871572670446115, 0.06203771800325117, 0.29653854323357254, 0.10616457886972945, -0.03204193889844021, 0.10414385120144753, 0.04453875945639852, 0.06146405307635499, 0.013006697593051642, 0.0217712055199728, -0.11667898800999403, 0.0055245863932987666, -0.24083692018991473, 0.09570759089248622, -0.02830770871376086, -0.22512744449721753, 0.00873183574219243, -0.07903750844473234, -0.08368084425577953, -0.1184509112478963, 0.12045949856582461, 0.07248325171851451, -0.017186482327944893, 0.0816043743090242, -0.015031356046457896, -0.06676477470729585, -0.05565063579441348, -0.05137605787848301, 0.0601960176213444, -0.09113914308767156, 0.121986995952936, 0.05064983370857072, -0.21821146481626008, -0.10201388625038872]),
+      |      list_dot_product(v, [-0.0038371279617273185, -0.0544302462823619, -0.012567933982260658, -0.08813365806325192, 0.17485769809344773, 0.02521436661842459, 0.07494656315169955, -0.06998070122115854, 0.07744817056372585, 0.0306960564936196, 0.10575814447888733, -0.017882871949512658, 0.012975656704351014, 0.13369681740864628, 0.014559198672458721, 0.041391918626085066, 0.14841100081548175, 0.3603098505373251, -0.05418865139534617, -0.050764776404989116, 0.03254316995693874, 0.03539112722241993, 0.06533467356515074, -0.30912280610523757, -0.2576821378373395, -0.23906586244665406, -0.020637632543040293, -0.00022331397267936454, -0.08628570417537818, -0.17453292264876824, -0.024067927535326557, -0.21754493564306318, 0.029463935901408604, 0.06153867869300636, 0.033753328092335666, 0.0792196747089228, 0.0594671001842065, 0.03649840314960093, 0.1821069815633818, 0.04667388411136273, 8.62660749631475e-06, 0.04698675544039907, -0.06276704708795283, -0.17918979603487012, 0.17268649054818383, -0.18883522299222677, -0.04694587122780484, 0.1457794818853693, 0.11292397747408493, -0.11328063295411481, -0.1574310439224033, -0.08197501102737904, 0.012979946675149045, -0.016092353814505328, 0.2380351499186687, 0.023384317110773288, -0.30282027565730096, 0.01638284028535263, 0.13543364401259417, -0.12158606640794313, -0.08367049587761356, 0.08483882960712978, -0.00044318531741244466, -0.07861587027401377]),
+      |      list_dot_product(v, [-0.1480440376166867, -0.08512440683182432, -0.06394747392221323, -0.00045759766154713447, -0.20437466447815603, -0.043741735322772785, 0.11775529986009056, -0.28449785383575205, 0.04440239625350731, 0.023717337421497328, -0.05117952731173255, 0.035702032580539944, -0.06017956428660729, -0.03455060652140849, 0.009449519530006438, -0.23454575665525335, 0.17137352630281838, -0.08492758911964332, 0.11604706755579587, 0.07732840398964902, 0.013131627408544804, 0.17530755042876156, -0.10064801525288623, 0.05337470463075121, 0.09255730984555612, 0.10008395088098784, 0.09063736269590784, -0.13414209829345178, 0.01027769679436893, -0.10540482716914787, -0.1228596688774243, 0.09091210800723112, 0.04825216647449696, -0.1806613024742493, -0.029769890053288117, -0.10216258317025517, 0.139078499674634, -0.21255244137229035, -0.06345652317087329, -0.10392899552393761, 0.18947963438646775, 0.19011010093130634, -0.12585555780151772, -0.20893277847828234, 0.16586568212498556, 0.052836276545896566, 0.042797575089323976, 0.018020013799672673, -0.0683200926687484, -0.05127551197754947, -0.129498444617984, -0.10645450076880321, 0.22780031621678434, -0.15329476801869799, -0.17915209442332675, -0.0019200155656372096, -0.005381094449715372, 0.10972460046809979, 0.1827952418076938, -0.052685084379371146, -0.06955779264431118, 0.28843060606803783, -0.0900810775591765, -0.07553050152074066]),
+      |      list_dot_product(v, [0.06808659617107013, 0.06269221034507544, 0.008780756291902829, 0.17252698629724822, -0.25796105142377507, 0.10712924678340989, -0.02320920865339409, 0.1775430920778206, -0.11522019032648376, 0.1362019581887693, 0.007640884616088507, 0.2019504752264874, -0.06077544603931797, -0.1402193530299735, -0.09311367930173033, 0.04930806442413942, 0.09682486376301348, 0.07142426922661867, -0.00931947753795057, -0.20316848738697266, -0.22547295142110013, 0.1576589824909524, -0.01185644101976479, 0.07323162442468027, 0.02747074840432716, -0.11908308279569853, 0.11645429190009153, -0.003835251879435034, 0.128924483280504, -0.10452312753727482, 0.15211656450619318, 0.20057539672429608, -0.08141318120622575, -0.01767747009308199, -0.11650295068092, 0.3161901219352154, -0.11671862126847647, -0.14843441785803368, -0.010252064972907794, -0.0482888647136251, -0.014507536911966358, -0.0001791954993268919, -0.08565322573537927, -0.017434762364318124, -0.07573379886438383, -0.041520825710729424, -0.013620430642481383, 0.36940447497223333, -0.10851089330440519, -0.15344609910846213, 0.06647233936408717, -0.019778009747410476, 0.009329624288528838, 0.005401021117891712, -0.02191754120141075, 0.10147291451921545, -0.17091025548621483, 0.09292951419066811, -0.1707204267750972, -0.07391767705582912, -0.1920604341731429, -0.09621918482076991, -0.08404634309155423, 0.026296885437333755]),
+      |      list_dot_product(v, [-0.015085348120897488, 0.013517866322738688, -0.1738913215105934, 0.022537423699724543, 0.1689669835338632, 0.308663092373941, -0.25309505887395906, -0.10693042050185084, -0.017906201683455584, -0.06613281151068452, -0.1428483543962177, 0.36196189641526677, 0.1183037518455793, 0.11743309986423989, 0.11494380609248271, 0.055716543655892334, -0.11872343465207409, -0.11316167307071197, -0.019020534821124317, -0.24534483108957608, 0.03191823557688075, 0.03445191726855629, -0.011091879502073425, -0.1092700186485836, 0.1247495802276556, 0.1661688457648067, 0.035268547683974735, -0.14137833669818928, -0.026189293123713906, -0.18259915776827232, 0.04226625299184844, 0.01617219600339077, -0.062291916307996, -0.028462605745763862, -0.03986889430500577, -0.05384707971138738, -0.08802504523973873, 0.23525140078205894, 0.04905411909364538, -0.2630745915620057, -0.05655833960087571, -0.10089456889856754, -0.007513654901444103, -0.05056559020281365, 0.11724159660229803, 0.00909173231963109, -0.034998759630067135, -0.020604323600056505, 0.1029622744082804, -0.2123546020760255, -0.13375687582477258, -0.08333561323277253, -0.16669651241892552, 0.09694053178981965, -0.21787743523093225, -0.004216181382370467, -0.0056303030828844, 0.04229455916136345, 0.10565659774872106, -0.004698641778361815, 0.054063488227313584, 0.032495247709906444, 0.07261703283515797, 0.06545658210433099]),
+      |      list_dot_product(v, [-0.08544207432204978, 0.011076242603358691, -0.17443305265590983, 0.19971582219041994, 0.008519457881276431, -0.02935471695924241, 0.1601854483282556, -0.013846588231743935, -0.11290145026925524, -0.04229772763615404, 0.02215837592954279, 0.03605046737492949, -0.18230215326263874, 0.47848072382344314, -0.0855178890359329, -0.01742052828909408, 0.02487550136526526, -0.19661496092675998, -0.2096973241956091, -0.1028900721601691, -0.06340424722110032, 0.03467842317456618, 0.16836503443235823, 0.034224946986031214, 0.006176513540205398, -0.022542978784031265, -0.18434962804948762, -0.025273527110866747, 0.012000127541373187, -0.05242866214814738, 0.16064800774641338, -0.1022565629201026, -0.15891143437992122, -0.18394127625248274, -0.09522292030690598, 0.01510491834256832, 0.17046990904157036, 0.05533662662323694, -0.07520278585507517, 0.20414407134629228, -0.04185251864322473, 0.2693909843068852, -0.17915567132796956, -0.04481312533100017, -0.03845338275380937, -0.11610530015711702, 0.12082475552926904, -0.007047024621070887, 0.03018452289435541, 0.04781309681074078, 0.16379575044319056, 0.014019727572107586, 0.06607626189729801, 0.11155759428852742, -0.09857967214015743, -0.09315850580605163, -0.08969349412055531, -0.10318157153595685, -0.017876518045730608, 0.13658262044638106, 0.07658137886368489, -0.0741629121973258, 0.07691180919317583, 0.01438097973016509]),
+      |      list_dot_product(v, [-0.10467703292507023, 0.04334903504221634, 0.3308233470650587, 0.05281115184473054, 0.07154724205472202, -0.23957893360351684, -0.03597020654015932, -0.050250641132589514, 0.005446402804742112, 0.21559012668165944, -0.25725132561638314, 0.08007311442449916, 0.23352969284526776, 0.06344687098257198, 0.10695937191677082, 0.1955439817106363, 0.054971511275471986, -0.15899119512125737, -0.06773789116001962, 0.047291573436234725, -0.04121476186754304, -0.06668512581500982, -0.047789904603888364, 0.027070001394115525, -0.058880629419696254, 0.008833017756778553, -0.13899058812701734, -0.15865816065046964, 0.04030695091311882, -0.12584152749887786, 0.1536627623941165, -0.2258604132968827, -0.1118205963995829, 0.10493781265704775, 0.014503369082983258, -0.1889169071945566, 0.007213010192439393, -0.20401995155304276, -0.1325508587703797, -0.20449431805030832, 0.19571794539837029, 0.08722166916767601, 0.02497069736099032, -0.017672627704236707, -0.0660191626253017, -0.06466506782848237, -0.1365952505069631, 0.04433184641562781, -0.13211726964580775, -0.08608364415165777, -0.05007145762415633, 0.2181817858199934, 0.04603151283336087, 0.14948532624137512, 0.10036773938087057, 0.06536654155335096, -0.014218163474809297, -0.011947691048657918, -0.02457567329760616, 0.014622710123163086, -0.1582386980748425, -0.04525846368862706, 0.13015213654991284, -0.03712294567746925]),
+      |      list_dot_product(v, [0.2805383455034073, -0.137159068274947, -0.04126691983842415, 0.07332610272758885, -0.01915856015041477, -0.1484889228798103, -0.11300436632177575, 0.08889731712752802, -0.01738314096039128, 0.09350298159624965, 0.15384331628023665, -0.09533876249483555, 0.10336994119057698, 0.022934883350988755, 0.07543842933934827, 0.1817821364596508, -0.16023107995157695, 0.02863289313541672, -0.05134798832161909, -0.01784053143187217, -0.009984333282282983, 0.16671736641528406, -0.003604162613596266, 0.25852724072784683, -0.15791550663271547, 0.056127394883355226, -0.09822172443260359, -0.04030024118148526, -0.014822405091699622, 0.04401133537695877, 0.048236812101427204, -0.08010611885247772, 0.02962548663678636, 0.04561400074531209, 0.10346268534199121, -0.20726140058828002, -0.1447950019983398, -0.11211549391802472, -0.032952267830433264, 0.027501797591824816, -0.10105638215459326, -0.1273095663983796, -0.1910163434443146, -0.08899294753872994, 0.11129272034438159, 0.06580293967408658, -0.14256338903430027, 0.21676374415790195, 0.14131254412166414, -0.018008175161939765, 0.23205685573787285, -0.1950872094033455, 0.010139005554459976, 0.016706225205014275, -0.18769487116240152, -0.0493111858663107, 0.012939834186746622, -0.045929943712831614, 0.31640769168013066, 0.13303036667096454, 0.003273279793939948, 0.05165375718695988, -0.15850982818782847, -0.20279568139216406]),
+      |      list_dot_product(v, [-0.09400136406134635, -0.17858118026823094, -0.011990174422561898, 0.07855288335767155, 0.25745238779668916, 0.24111357070859718, -0.2370063927223251, -0.032416200048377676, 0.07439213289719844, 0.20916924037256493, 0.022606019693383883, -0.016031193470633837, -0.22230913787162276, -0.08487446828698016, -0.0188464150481108, 0.06048439349583417, 0.1806939397745643, -0.152059945711867, 0.12095737785505364, 0.021954344705071877, -0.10111875432768386, -0.1218700890795787, -0.029393583350761084, 0.20280486379521262, -0.17194991139378263, -0.12022886759734018, 0.075067414300294, 0.11793320902028198, 0.12779487223746278, -0.21596573220307994, 0.06635406584041018, 0.0016326354306457189, -0.08158196264898313, -0.03091910613214687, 0.17496070507544081, -0.14906364063458252, -0.11406843466361918, 0.0824168659991194, -0.11469069379838656, 0.16325478216602032, -0.11413046098876155, 0.11082464502198774, 0.18682363657071838, 0.14331843274791287, -0.05864357030559064, -0.10512099736626394, -0.09269594620154757, -0.045245927346829, -0.02160757996094417, 0.18362780431974673, -0.0006807095965764162, -0.14225924791260292, 0.20595752443822185, -0.05921109658737278, -0.03278848042257651, 0.03578540291816122, -0.06125576036431634, 0.1257410413083171, 0.0737185635350656, -0.02798548043569417, -0.06885857308792959, 0.10117540731846857, 0.019620996654309896, 0.14813583121822133]),
+      |      list_dot_product(v, [-0.07769545710948746, -0.18127723002272458, 0.005521138596168852, -0.030542171595549547, 0.08165672799380982, -0.16634571681937174, -0.1363280277010479, -0.010566521998359257, 0.23758842834858857, -0.020841326036543047, -0.03948370321555947, -0.04029723087567861, -0.08440273356746149, -0.00817567111657084, -0.0853790959271549, 0.037111601070557464, -0.08828119708596073, 0.13326276894242708, -0.03431448888704631, -0.06565016468433305, -0.023746650381736185, 0.18625293929527814, 0.11630224564749535, -0.12101696891115782, -0.10599030714929376, 0.015834559794443943, -0.11129836309693665, -0.1886652621602717, -0.07751643786370158, -0.08841171240511599, -0.030380882866962913, 0.2767244756123536, 0.007948125205059374, -0.09277588279766351, -0.003658922812019594, 0.025162678996863422, 0.01049253586828065, 0.234368333669906, -0.14035268483713573, 0.03526081266322076, 0.05787658499801702, -0.09436182545392294, -0.05276382993392728, 0.34796973849820917, -0.02315627809811819, 0.2697525674300845, 0.2238036223739356, 0.0687069271315806, -0.17717108223484515, -0.10435054830887631, 0.021393367538072756, 0.2782403781539413, 0.1977892662585688, 0.0718263405759096, 0.053483343420581336, -0.02215041112870231, -0.0691851909071283, -0.03683910291256836, 0.2211365831970071, 0.011408861552017749, -0.09564106318238327, -0.03211374240474151, -0.053840881119338754, 0.018862317850668973]),
+      |      list_dot_product(v, [-0.06632766747763331, 0.1313809180411261, -0.1108282606385717, 0.1208821284499155, -0.040673550967224394, -0.13403048976529447, -0.1591465143226239, 0.13238423886522546, -0.12661093786812277, 0.019641637496928727, -0.187481184240348, -0.12025880051969981, -0.09122186934339789, -0.18369213818587798, -0.036499629207933613, -0.05260571734753703, 0.1629095104594081, 0.1334442929845821, 0.2366917771877396, -0.033939710857111206, 0.11020713965984279, -0.11902636942988888, 0.2520208345768142, -0.06462929646705562, -0.02053808701978451, -0.13048901271567118, -0.09009929531130906, -0.027405256332144422, -0.10556763923873559, 0.1196632605210045, -0.026363044844634826, 0.08079795677915748, -0.02450307421625312, 0.034922303555901014, 0.04961726094071068, -0.11035955569850758, -0.053621583402698084, 0.0908383040613553, 0.08541741384469925, -0.062103760575860485, -0.12120336981768148, 0.33071454713825027, -0.04093795544097512, -0.08300721638191355, -0.06098710451828418, -0.019199936069804243, -0.08211616349072666, -0.030916856023136177, -0.04491455292328511, -0.2213783364602069, 0.03307413385641652, 0.04985037788136047, -0.22148980788474032, 0.05465447895987568, -0.05788992279509937, -0.27222018764962747, 0.0865241705743037, 0.12489613659920981, 0.07917044827818082, 0.26825673282026485, -0.19023889820532391, 0.1241567888641089, -0.019627303432728196, 0.04102209833994513]),
+      |      list_dot_product(v, [0.05003710591151538, 0.08726899861175451, -0.08660603989489009, 0.02928008028278539, -0.0792723604435672, -0.024337304437313367, -0.09379824927033316, -0.16079923892819165, -0.07827827416611104, 0.21953842684999467, 0.1603595017109873, 0.13075314296493537, 0.05044929338393101, 0.08115458007297398, 0.019616343590176645, 0.0928005528199348, -0.04549335164444196, 0.2615707764883349, 0.1791998012958293, -0.06490017702478365, -0.0035156404059955185, -0.15449151232275732, -0.14393405424422873, 0.02271702719119439, 0.1266812721126732, -0.2833765615179294, -0.17434870397924063, 0.16138383573791096, -0.15243906387024098, 0.03480087577584583, -0.05752965741751008, 0.02993948437269438, 0.07686295694498026, -0.1476665093323185, -0.12522941045618324, -0.15155252574098033, 0.11097281618348698, -0.06585287596661532, -0.12876287650123144, -0.10139964586094598, 0.08563219596761018, 0.031210127269826155, 0.06738638521596356, 0.05656899481507609, 0.0764804812281481, 0.04290494629751998, 0.04428952556500077, -0.030505309676842632, 0.09093067454643752, -0.09741919995029803, 0.24306615312347635, 0.12957385676679173, 0.08018285042893529, 0.03839579517201452, 0.03592750930270206, 0.24942474170820314, -0.01647887547160015, 0.22490456282933116, 0.014060078943620507, 0.0742957106975249, 0.3126180354195202, -0.004576143303239876, -0.008375018474654414, 0.18819498652488204]),
+      |      list_dot_product(v, [-0.10947141972764758, -0.0016952657300114864, 0.000626996665021595, -0.03165281682074804, 0.005428726496680334, -0.041084264407123046, 0.06070853947336476, 0.18211286013718747, -0.16469955253768886, 0.03432687837509851, -0.11228885349753219, 0.12116237851728424, -0.04961130136275198, 0.005339225046258029, -0.20885084892740377, 0.2897206386904462, -0.2124482891499997, 0.04215025813125414, 0.1915150976015177, 0.052840027578610525, 0.026816366077064495, 0.0022051078124579603, 0.004420278143045, -0.001713470617042255, -0.18874270691886016, 0.04311013295471919, -0.13709798748907248, -0.1614390647959489, 0.10462007109311422, -0.13921350577805455, -0.08694611848009885, -0.037111533281235044, 0.15170978790351589, 0.12840345209754347, 0.005550688956452556, 0.18472028215579905, 0.21366004094817198, -0.018179941827563526, 0.016073734193005708, -0.06651371393882569, 0.2196624273186203, -0.0859846734944447, 0.10505554349601193, -0.08457265824213005, -0.09786783371839984, -0.06922148126876126, 0.1172038002186873, -0.11187878318343811, 0.2921442966823453, 0.07689978727529719, 0.04018507906003979, -0.08344126726994357, 0.13979364549617979, -0.04516800105388613, -0.15324638877470337, -0.20352606840626164, 0.03713433298650906, -0.00024769397832989887, -0.0406311730028915, -0.027043131646227174, -0.0622778737911749, 0.07333479790138524, -0.2346911335276097, 0.24671597769197454]),
+      |      list_dot_product(v, [-0.19689398700817617, 0.0025371265311852037, 0.12186596636562562, 0.10240890271650518, 0.07814494185798103, 0.008582810626444505, -0.03697645974550576, -0.06542231481390687, -0.13586728357179953, 0.07388908722530156, 0.0053049650856987155, 0.12485301168515417, -0.22373664591493303, -0.15186166219383734, -0.07588235160813901, -0.2510961326103161, -0.18454397247066281, 0.02371067027644102, -0.027515992176765793, -0.011616456010000067, 0.14755753465981772, 0.20478934859439513, -0.10973315083024392, -0.06187125616612763, -0.05170370408961863, -0.21094539091596812, 0.03796198170997332, -0.11524746696834422, 0.1860915666231519, 0.22845919235057127, 0.04409500845940704, -0.23515698676318694, 0.019183069651032975, 0.23805100751094244, 0.08483299521194985, -0.06620368351607497, 0.13600230087898052, 0.17937914789543769, -0.08327560009515234, -0.004914166516078895, -0.07491932266068634, -0.14202782144180975, -0.03459721559610937, -0.04370438083793603, 0.0949722260805846, 0.0014658976480054497, -0.005785214062767768, 0.12656036964071243, -0.13852383554749412, -0.018141171208210956, 0.016382282072574843, 0.04937033474995374, 0.01226451153669905, -0.07142289534469688, -0.1239580105464764, 0.20032238156421311, -0.06539487513671083, -0.1701408667969809, -0.13580431328684425, 0.278936821127855, 0.09043245503619458, 0.14260758019106298, 0.010443358104778675, 0.016220262121011023]),
+      |      list_dot_product(v, [-0.051457827187467636, 0.15977307622921563, 0.005756379682962818, -0.024866621886749204, 0.09828342600326256, -0.11045200384249787, -0.04182570577877159, 0.0248257694806527, 0.17485497509427303, -0.14678199656786461, 0.06339335923327208, -0.15941091133720964, -0.011650871116009393, -0.06738937790734327, 0.2810929865627124, 0.06449050274424478, 0.15898611034754725, -0.03437026177694379, -0.1119709725374098, 0.11317424559563329, 0.11887340567409645, -0.05994055125246724, -0.10192081326152708, 0.33293747966673937, -0.06916865567169937, -0.16351598856174918, -0.029357927565058985, -0.12018017094517029, 0.1855956013679997, -0.0628269855268284, -0.2203059528362397, 0.0376608736924009, 0.008169536317786573, 0.020932417915671662, -0.16789153074873198, 0.03721068409538705, 0.1738990731357094, 0.22704470721575384, -0.18137821205386248, -0.046314938701612365, -0.0775938734653261, -0.03697600293689926, -0.2795463539912775, -0.04790387432448614, -0.022600304153480397, -0.02663371368761775, 0.03306528595295859, 0.005796771381911172, 0.1308185746798335, -0.2665705927832332, 0.021535267609141144, -0.08729660337506741, -0.04329823454430094, -0.10654810092471605, -0.08474862676900095, 0.030074852245366584, -0.03435788332325232, 0.061078988114918284, -0.14061497892028935, -0.13650280777663373, -0.0626195021217009, -0.15662391819533206, 0.07477946763477863, 0.1399787178894721]),
+      |      list_dot_product(v, [-0.02562159860751807, -0.03026644306349051, 0.21928698265730043, 0.19162058497071055, 0.0612241612451374, -0.09679150549103827, 0.06952195725926845, -0.060029967911578185, -0.08105065132517715, -0.2151250390930884, 0.2527628596078477, 0.04331942362595786, -0.038379079729809994, -0.15035564753567526, -0.10899873017506238, -0.031525266632877955, -0.001985081069268935, -0.07803740414904776, 0.009312608151338829, -0.19909958593543262, -0.05433438324156491, -0.070065751851181, -0.09127304781842052, -0.10606251337303402, -0.04624308235077267, 0.2141619993182913, 0.01435486772971217, 0.001001830191205151, 0.24532941231054645, 0.061228950167275864, -0.13122543152011298, -0.1803968195625525, -0.016117885487245836, -0.03272180143509729, -0.21598382318578094, -0.236483044120189, -0.15459605783656527, 0.09896183894508379, 0.2070939513578071, 0.04122284108075342, 0.13982556607190855, 0.0533675005465786, -0.12637116797948914, 0.03367387771684497, -0.10357330337966286, -0.05124726133679262, 0.05414001474884274, 0.13333565804872652, -0.09150752762630167, -0.0049295351594076916, 0.11552794886512475, -0.001926532779859254, -0.07437573824616812, 0.06809734800999229, 0.15273402230606176, -0.09299799431814602, 0.03211690532028537, 0.1955858069110934, 0.17594911357045132, -0.1594144732475997, 0.083246099941025, 0.047234444675553086, -0.08211948990579204, 0.2648077971350644]),
+      |      list_dot_product(v, [0.06805053117751811, -0.11544219185568803, 0.1369320923478017, -0.13797092922024232, 0.01772194461626603, -0.2699616226934985, -0.2092998988605669, 0.06919396892744023, -0.0756992056626217, -0.08538622435548314, 0.030461799759204, 0.11407006770401505, 0.04084957887645519, 0.07285466672361647, -0.1648661122119325, -0.03938052327807341, 0.015228307881569321, 0.030689635366171867, 0.02334160238346561, 0.14278097908914214, -0.24903013429175722, 0.028249056210067444, 0.06499874811871446, 0.16213192417715008, 0.1312054893934375, -0.10886499645434544, 0.02592014627135319, -0.015061100785358961, 0.028074228211359926, 0.0900586312249159, 0.06271000204826531, -0.002150303763967744, -0.04551478869597588, 0.040095341036132354, -0.013385959518167035, 0.0721590915159958, -0.2169046709675678, 0.07798069826951307, 0.21259048331102529, -0.11199238903367968, -0.1244399594543401, 0.17451512421349424, -0.0712102625365952, 0.010607975296832283, 0.06361611142388608, 0.01089710012583785, 0.012100804909140513, -0.22569238474254832, 0.07442909700243833, -0.17911932415437826, 0.029376049063303045, 0.001291914065959066, 0.19540107197635223, 0.012134039437372115, -0.046129258717065295, 0.012980874711973088, -0.10819733036519928, -0.25964510101019356, -0.10827075985035066, -0.25732582858340597, 0.16530644682554924, 0.30977479011388653, 0.11051022895212165, 0.05990892315815736]),
+      |      list_dot_product(v, [0.052593493667023095, 0.11360631704425828, -0.07402780062272511, -0.08575965496948756, 0.16487536921068857, 0.05464093824537975, 0.3124373426219571, 0.08313727093473652, -0.06718331519681303, 0.05533107314034348, 0.009527109830763951, 0.048950985789187385, -0.1414328447324759, -0.03009417934037621, 0.03557309306180405, 0.041102711468380806, -0.012777629821550555, 0.11708177093062253, 0.15709247591531245, -0.0025429036986065437, -0.1643581282499366, -0.2428784421010984, -0.10541014723809111, 0.024090747286022486, -0.14439440070143408, 0.00534492999430136, 0.0840302418169494, -0.22789054933063987, 0.03755322115747772, 0.05934380526369349, 0.3734428609036541, 0.04084657183219356, 0.12366182609983982, -0.05399494425015901, 0.015517577881241076, -0.26589091567301193, -0.07889074955484389, 0.016816722274819115, 0.03431183917665056, -0.06007585240003902, -0.025299072224203085, 0.06558988667435407, -0.06647966070029221, 0.101217930744492, 0.31659480007428875, 0.031879233247107175, 0.22407305996776966, 0.079185817318645, -0.040549881385763445, -0.06095174210558638, -0.036029040060733, 0.0807349281305109, 0.014222503027202084, -0.19013365723135564, -0.0846961920242704, -0.11944484626298738, 0.15613712945980296, -0.052377058413183596, -0.09387359787024506, -0.13640681000306695, 0.0055040211596505, -0.15186482589880815, 0.04468346668890832, -0.11094926024697088]),
+      |      list_dot_product(v, [-0.10787103982484096, -0.03250233166150209, -0.08832367289534691, 0.06619382025178297, -0.041586956106049, 0.08909548077590371, -0.03886721246171471, 0.09351235175208178, -0.06386701772036543, -0.05185927948529816, 0.21863027747715905, -0.17058898090717695, 0.1016718402946563, -0.2309943501653401, -0.08296533639681315, -0.17665597265890504, -0.0991158772841154, -0.056717705792772674, -0.227244033929629, 0.057998799307976835, -0.045022523725664176, -0.1156086740987907, 0.10560002950674684, -0.06851579153493845, 0.18648167058598825, -0.15593255365371436, -0.06118082673743356, -0.0483825654405542, -0.10990405698358488, -0.14427273520977218, 0.28232479572539093, -0.23428069121122724, 0.34440726124655946, -0.09489044697697041, 0.020858363843744364, 0.05801766901116757, -0.004186226730627027, 0.004667291393547143, -0.1472601302922624, -0.2074956103264373, 0.0891018171868308, 0.027494355392110294, -0.06950349141108483, 0.03620645476332798, -0.0846931200239981, 0.22393161110340107, -0.203600084041873, 0.05195029587397822, 0.07192513747674555, 0.0364638221234156, -0.08531356048589943, -0.07017623595013768, 0.12942736689672668, -0.02633435362498124, -0.009666488690266413, -0.17792423410787211, -0.06961127284007429, -0.0018506564719176037, 0.07997575492366175, -0.030962440002029145, -0.01019816144319695, -0.07535838423232324, 0.12860638444889355, 0.1512177243910959]),
+      |      list_dot_product(v, [-0.11908276955939832, 0.1544533491643649, 0.19015600071424077, -0.05645122767481035, 0.09382814861545302, 0.15814948661609468, -0.2020729993528114, -0.09216812257718851, -0.013059014390418287, 0.17620246718570748, -0.008733715329563616, -0.1362421836469, 0.08346561014875438, -0.01573691458329522, -0.13120812833892762, 0.09466328179955039, 0.049902602980613, 0.04734032752763539, -0.20012358648512948, -0.009944496381128065, -0.014774642931970084, 0.030586321258019133, -0.04273912094281035, 0.0033210747408777383, -0.03525469569927321, 0.10083683460145339, 0.35896631354138314, -0.1730899738063606, -0.07682328556064964, 0.2156287396565476, 0.02794412048536156, -0.010673910251098786, 0.182693394619778, -0.14899722267994386, -0.15881995472914767, 0.03698484915877048, 0.12229599501591266, -0.06845905324850808, 0.317851932849784, 0.13987760124078197, 0.01955012735780476, 0.09301085098928061, 0.004147180393234246, 0.07165875384306658, -0.08361568209836, -0.01915872460553624, 0.08654690737298298, -0.06989197155960546, 0.19123034845052025, -0.12499926389646382, 0.13754202993022918, -0.06696415772005425, 0.16763365331833388, 0.052961555483843105, -0.09192530415237876, 0.11740313585477188, 0.061024553691164815, 0.03397128345184025, 0.08684365422451663, 0.20300173837290733, -0.12817513038767434, -0.11037444852126525, 0.11931602818050635, -0.05741206633051526]),
+      |      list_dot_product(v, [-0.05208839275281022, -0.13050253993046043, -0.07968820903330058, 0.055884795586629156, 0.06114093966690773, 0.013182343748192205, -0.1367078223338193, 0.04743323210339242, 0.013051104150672246, 0.024646472959109024, 0.1986133786002083, -0.2795035747960826, 0.02236565863498211, -0.19950067691377563, 0.13448742950362674, 0.0374939593009954, -0.11419727286197924, -0.008147344203780172, 0.03517582653440748, -0.2677372172495607, 0.3014287172971226, 0.03602252651668692, 0.08329559576200812, 0.15119310383221252, -0.023830203841039725, 0.17169018934644584, -0.20498751010812458, 0.0048135043196877204, -0.043868726115094264, -0.04345515405005485, 0.1377184142706809, 0.05589874636541001, -0.0068986282275238595, 0.009954886878367139, 0.03486398062530267, -0.040294524002889645, 0.002854504375469458, -0.1659066644142595, 0.1949186866414483, 0.020156989627387264, 0.12113881887447968, 0.16620270951041322, 0.12071307642537478, -0.15237542494606965, 0.07538154279652864, -0.03415232638488226, 0.28396184804442326, -0.025411473123384633, -0.09925282962428644, -0.06378172985966848, -0.16784824815887558, -0.010448286639952174, 0.05063298427567901, 0.1605590000935177, -0.0778751675099602, 0.17039792351616742, -0.14360229714537856, -0.11025604215849737, -0.27252180960575795, -0.06816093379112279, 0.06548773783136394, -0.02779115626877266, -0.01710079124875672, 0.04462230843036494]),
+      |      list_dot_product(v, [-0.17568372254424677, -0.12211655429415227, -0.05258202170826292, -0.07469182489387761, -0.13818571750971798, 0.08703864764934836, 0.19953462933030242, -0.03454289344294349, -0.08331400494515803, -0.13168989885355412, 0.021298412076829587, 0.1482703274764822, -0.08822015569669531, 0.05028255849841164, 0.02306540592667673, -0.04838305249994385, 0.1542820605835008, 0.042277794199077914, -0.13280691250740143, -0.06051502502882461, 0.11353696157833121, -0.030351005158916, -0.10037434100316056, 0.3103784762147309, -0.10471414507076292, 0.010301742340461217, -0.1633615131147704, 0.13620270275480192, 0.04282819870306619, 0.08917892464120862, 0.05967293585681635, -0.0752911568872097, 0.07412226425541099, 0.07420067879427047, -0.023635308796836105, 0.050368117641390826, -0.254452322687109, -0.06788265350675221, 0.10068634274189199, -0.018296766341699577, 0.07829789720883772, -0.13797715708948055, 0.25731098748440373, 0.013471840241666599, -0.028912072976493435, 0.07420703775623749, 0.040623571468397776, -0.23003008572584985, 0.039787315171640955, -0.23214384466914736, 0.07981930184981281, 0.19076740386916746, -0.07002870442571285, -0.17243682269409263, -0.03352425007486669, -0.00872844626958117, -0.2242438031668938, -0.023233418265251292, 0.26912452799896186, 0.12399104994347232, -0.20296675304984746, -0.07563482608593802, 0.09834322332369218, 0.01342607651300232]),
+      |      list_dot_product(v, [0.17412728361989077, -0.10213663389653538, -0.062253222117119526, 0.22137758354309814, 0.04033376531888296, 0.07702302601940562, 0.012136897746002928, -0.1633254837569183, 0.21696989447764625, 0.0140975407721971, -0.08110171573455087, 0.17458872129344713, -0.14982567982601308, -0.13468358481319712, -0.15086633923664533, 0.17027262285407602, -0.057661069247814785, -0.12178127295087818, -0.1416765766133739, 0.2587954047137041, 0.18400402865470905, -0.09587778641795196, -0.16581064738875942, -0.0878749539001395, -0.09293597087904658, -0.14924089035184407, -0.1259735774835687, 0.15539417877156703, 0.0720011852523835, 0.17441493935099403, 0.10632333522661636, -0.004500674004080613, 0.0400761020802268, 0.09784219420255738, -0.1597792263058883, 0.12636648688974308, 0.11318054348640731, -0.17692916497787495, 0.02364040488066004, -0.06637887088969631, -0.11747237836699484, 0.1487646330559176, 0.009713042373178786, 0.07340754076616385, -0.009947284972485667, 0.20225703782505097, 0.1884649971935993, 0.015556153486001527, 0.002736877722186056, -0.09607675438402159, -0.06364286461883206, -0.15107490627027378, -0.11375929952854565, 0.23376875466856176, 0.004867211591574048, -0.07269846436232745, 0.07204952536476941, 0.016171477462420814, 0.07918766930666771, -0.15483393622395594, -0.03634858607905077, 0.10734058613987904, 0.05544916213942951, -0.11585213202837708]),
+      |      list_dot_product(v, [-0.19060229744532345, -0.0028391270831949894, -0.01265269380110024, -0.16591103851771347, -0.0293721923260438, -0.01594582044308896, 0.0743093288484112, -0.1300682450094597, -0.005232654309656512, 0.02135177290648818, 0.10969259130433198, -0.01892726022045898, -0.17253433764417567, -0.020000006456255694, 0.11672927277442384, -0.04794117040945936, -0.07718572249390072, 0.051189976699694315, 0.19677269376539466, -0.0485534188401776, -0.01640193121330505, 0.14602697357898048, -0.02198073751343474, 0.23434686469334176, 0.10293041354780037, -0.14446492855362425, 0.10388757957146263, -0.14500079606284375, -0.13519850771509076, -0.12059961376410842, 0.145295849716633, -0.1835621763355366, -0.19016002127295256, 0.12015879929913141, -0.1914207973740019, 0.03770162812581218, -0.049283886747923965, 0.03254419129307255, 0.08643018004800841, -0.22943885882322523, -0.038702067063482504, -0.0013759609549472177, -0.11083631000540405, 0.20058682228594366, -0.1488658335912809, 0.025838361993070536, 0.09085278438651948, -0.17705880553510342, 0.06963750171970075, 0.16987362167820294, 0.006595176089186593, -0.17281104488408383, -0.08251602035200378, 0.26915225160595174, 0.2047366919041596, -0.05352186913452125, 0.010894713064456454, 0.10978205326064054, 0.0031744075828747313, 0.06411724819241373, -0.04247395529006682, -0.0528454629218704, -0.2204493294655504, -0.2237048716489411])]""".stripMargin
 
   /** 32-row extension — third point of the trained-rerank capacity
     * curve (rows 1-24 identical to [[gateRerankProj24Sql]]). */
   private val gateRerankProj32Sql: String =
-    """[list_dot_product(v, [-0.2096393300202079, -0.12057271532724553, 0.03654785815762015, 0.01181956673368188, 0.07567008238654915, 0.013214628819761043, 0.0905841185253787, 0.28661879235154175, 0.04954696219840432, 0.41405652648110597, 0.06530498182357874, 0.18207885387703554, 0.06513224150018562, -0.03653205474589539, 0.17114897510632338, -0.1853497773155263, 0.08898987448654253, -0.1570265545892313, -0.03013668633727623, 0.03217896951212238, 0.06121320408639076, -0.11068832311425483, -0.08347512785867214, -0.055437468648072454, 0.019550012020336547, 0.19912542853515428, -0.03751725245021375, 0.14950769892189747, -0.17287963096364564, -0.006123114085466474, -0.05871572670347506, 0.062037717979410406, 0.2965385435377704, 0.10616457882139613, -0.0320419388938067, 0.10414385148185465, 0.04453875953671703, 0.06146405309394993, 0.01300669820069596, 0.021771205655908916, -0.1166789877982389, 0.00552458641904109, -0.2408369202837017, 0.09570759064864001, -0.02830770835615952, -0.2251274447351663, 0.00873183591418996, -0.07903750804622381, -0.0836808441498625, -0.11845091153314742, 0.12045949820880301, 0.07248325157918438, -0.01718648215716714, 0.08160437407065883, -0.015031355628739274, -0.06676477469562192, -0.055650636278637464, -0.051376057816995745, 0.06019601767572054, -0.09113914348049353, 0.12198699564215858, 0.050649833878900714, -0.2182114649231664, -0.10201388636255261]),
-      |      list_dot_product(v, [-0.003837127211581993, -0.054430245767012955, -0.01256793348076524, -0.08813365797651045, 0.17485769775040094, 0.02521436579703914, 0.07494656338562687, -0.0699807010859971, 0.07744817020895162, 0.03069605619522647, 0.10575814459049343, -0.017882873012924873, 0.01297565633124387, 0.1336968174275563, 0.014559198307480144, 0.04139191933934768, 0.14841100078750558, 0.3603098511261618, -0.0541886514145757, -0.05076477591726178, 0.032543169734795804, 0.0353911268506755, 0.06533467378092273, -0.3091228055053044, -0.2576821382583802, -0.23906586362939788, -0.020637632793312183, -0.00022331337890521945, -0.08628570371767165, -0.17453292227143882, -0.024067927226897944, -0.21754493603557615, 0.029463935144010245, 0.0615386789084913, 0.03375332841844827, 0.07921967482014872, 0.05946710015970966, 0.036498402573222344, 0.18210698156721677, 0.04667388480869055, 8.626507729722957e-06, 0.046986755640974924, -0.06276704622858646, -0.17918979594374826, 0.17268649020939142, -0.1888352229469569, -0.04694587131588715, 0.14577948211480737, 0.11292397757725275, -0.11328063222737615, -0.15743104350111775, -0.08197501074019356, 0.012979946743257106, -0.01609235374981665, 0.23803515091894767, 0.02338431738854464, -0.3028202755224945, 0.01638284010822573, 0.13543364301206362, -0.12158606610326811, -0.08367049603064655, 0.08483882908902365, -0.0004431848647108862, -0.07861586992416168]),
-      |      list_dot_product(v, [-0.14804403755599788, -0.08512440644804029, -0.06394747372242394, -0.0004575970141786493, -0.20437466508884317, -0.0437417350166794, 0.1177552992559789, -0.28449785349721946, 0.044402396330867656, 0.023717337995785997, -0.051179527614304506, 0.03570203353525218, -0.060179564309038557, -0.03455060720149328, 0.009449519103814035, -0.23454575614196826, 0.1713735271024343, -0.08492758806240842, 0.1160470676906258, 0.0773284031731253, 0.013131626731480505, 0.17530755090022915, -0.10064801517013917, 0.05337470423496319, 0.09255730930450971, 0.10008395002176174, 0.0906373631192774, -0.13414209861497922, 0.010277697050360855, -0.10540482797763205, -0.12285966843393281, 0.0909121081917113, 0.048252166284910074, -0.18066130225250257, -0.02976989042538331, -0.10216258213207541, 0.13907849924246868, -0.21255244175465315, -0.06345652309133594, -0.10392899603892383, 0.18947963434482243, 0.19011010111192872, -0.1258555580702801, -0.20893277874379756, 0.16586568222613066, 0.05283627633705316, 0.042797574747651626, 0.018020015397822116, -0.0683200932314645, -0.0512755129779281, -0.1294984449753259, -0.10645450056137452, 0.22780031589941502, -0.1532947679353639, -0.1791520941573972, -0.0019200152180137873, -0.005381095587565329, 0.10972460099815637, 0.1827952415741804, -0.05268508458798448, -0.06955779386903337, 0.28843060582388197, -0.09008107781606314, -0.07553050141369441]),
-      |      list_dot_product(v, [0.06808659692691903, 0.06269221088036901, 0.008780757117610016, 0.17252698585103318, -0.2579610506306852, 0.10712924747571911, -0.02320920976755962, 0.17754309288315903, -0.11522019045323972, 0.13620195798670792, 0.007640884150608356, 0.2019504757451542, -0.060775444667734706, -0.14021935394080082, -0.09311367890566466, 0.0493080657522068, 0.09682486295850494, 0.07142426949952493, -0.00931947755346662, -0.20316848780461905, -0.22547295140285561, 0.15765898138948406, -0.011856441212560857, 0.07323162375897517, 0.02747074839964306, -0.11908308267730744, 0.11645429213294094, -0.0038352518579658603, 0.12892448335581316, -0.10452312732326186, 0.1521165649372111, 0.20057539618778486, -0.081413181280288, -0.017677469085189267, -0.11650295044827594, 0.31619012196961105, -0.11671862239929295, -0.14843441728739898, -0.010252064348131243, -0.04828886542020025, -0.014507537293033222, -0.00017919674526118605, -0.08565322476936732, -0.01743476170784436, -0.07573379923518071, -0.04152082543973319, -0.013620431372982572, 0.36940447483450806, -0.10851089306162194, -0.1534460994206436, 0.06647233910910633, -0.019778009359073506, 0.009329623098615703, 0.0054010217614196025, -0.021917540538325148, 0.1014729147048064, -0.17091025495863188, 0.09292951416444062, -0.17072042743341, -0.07391767730729568, -0.19206043423512684, -0.0962191857401072, -0.08404634246087159, 0.026296885848694346]),
-      |      list_dot_product(v, [-0.015085347560034651, 0.013517865830451635, -0.17389132048897835, 0.02253742215602077, 0.16896698432930854, 0.30866309206525333, -0.2530950596374295, -0.10693042060664935, -0.01790620038639116, -0.06613281137578353, -0.14284835419897937, 0.36196189580912086, 0.11830375329976602, 0.11743309807998664, 0.11494380703612435, 0.055716544108777084, -0.11872343460255268, -0.11316167148534532, -0.01902053430901372, -0.24534483032738347, 0.03191823604240378, 0.03445191687496352, -0.01109188015587602, -0.10927001970303023, 0.12474957922483891, 0.16616884567664106, 0.03526854805297365, -0.14137833659983196, -0.026189293623945033, -0.1825991578599084, 0.04226625184652264, 0.016172195492783117, -0.062291915357917164, -0.028462604624833056, -0.039868893511910405, -0.053847080149817504, -0.08802504604912549, 0.23525140106969186, 0.049054119817469606, -0.2630745924488895, -0.05655833933531782, -0.10089457052163518, -0.007513654293084169, -0.05056559009206862, 0.11724159722024327, 0.009091732563372739, -0.03499876040730989, -0.020604323539752594, 0.10296227462764167, -0.21235460234923043, -0.13375687694842345, -0.08333561357028366, -0.16669651257716844, 0.09694053145190656, -0.21787743397082124, -0.004216181306503077, -0.005630303030561675, 0.04229455936213906, 0.10565659881448262, -0.004698642661363779, 0.054063487931222676, 0.03249524822808433, 0.07261703252532273, 0.06545658155977771]),
-      |      list_dot_product(v, [-0.08544207411615516, 0.011076242789999828, -0.1744330539463892, 0.1997158227314905, 0.008519457717373006, -0.029354714850358704, 0.1601854472914573, -0.01384658819657827, -0.11290145070207502, -0.04229772769374318, 0.02215837523689581, 0.036050469737645835, -0.18230215303802377, 0.47848072389377294, -0.08551788850060306, -0.017420528275039263, 0.024875500957851418, -0.1966149614776473, -0.2096973240757193, -0.10289007388205201, -0.06340424748855769, 0.034678423619870294, 0.16836503422445132, 0.03422494667689464, 0.006176514506353618, -0.022542977947512324, -0.18434962748020325, -0.025273527795024016, 0.012000127801072524, -0.052428663089463756, 0.16064800817263716, -0.1022565623711983, -0.15891143459829485, -0.18394127656774753, -0.0952229210578061, 0.015104919146872718, 0.1704699084214259, 0.05533662713065261, -0.07520278543602898, 0.2041440699220448, -0.041852518764333345, 0.26939098394286876, -0.17915567165616555, -0.044813125895931304, -0.038453382306685886, -0.11610530059362632, 0.12082475546403323, -0.00704702400162422, 0.030184523346841925, 0.047813095369468574, 0.16379574988151296, 0.014019726448507163, 0.06607626122068973, 0.11155759478333559, -0.09857967354163642, -0.09315850574436878, -0.08969349432091307, -0.10318157108892986, -0.01787651796005002, 0.13658261991657272, 0.076581378924984, -0.0741629120515868, 0.07691180886240863, 0.014380980289340928]),
-      |      list_dot_product(v, [-0.10467703228112352, 0.04334903472954021, 0.3308233466637122, 0.05281115210506782, 0.07154724254493282, -0.2395789342300872, -0.035970206913397466, -0.05025064057456484, 0.005446403012276316, 0.2155901272621879, -0.25725132543123397, 0.08007311349146733, 0.2335296930537292, 0.06344687150245162, 0.10695937206218074, 0.1955439822372235, 0.05497151097487418, -0.15899119528411026, -0.06773789164102631, 0.047291573689071886, -0.04121476172051033, -0.06668512605636627, -0.047789904233432254, 0.027070002087232915, -0.05888062997050346, 0.008833017871900748, -0.1389905885486479, -0.15865816066950472, 0.04030695059485037, -0.1258415271673068, 0.15366276268257456, -0.22586041349482264, -0.11182059620669123, 0.10493781231835228, 0.014503369545627094, -0.18891690793522004, 0.007213009816712077, -0.2040199513943542, -0.1325508590953577, -0.204494317629054, 0.19571794479140064, 0.0872216688935659, 0.024970696634828003, -0.017672627371045836, -0.06601916272001536, -0.06466506768760226, -0.1365952508709043, 0.04433184648912618, -0.13211726951387223, -0.08608364382855625, -0.05007145654957563, 0.21818178555598156, 0.04603151275796958, 0.1494853264762865, 0.10036773912091507, 0.06536654088516361, -0.01421816285616276, -0.011947691292832184, -0.024575671827010075, 0.014622711145269751, -0.158238697969672, -0.045258463894878455, 0.13015213606936415, -0.03712294642286263]),
-      |      list_dot_product(v, [0.28053834556355717, -0.1371590681351505, -0.0412669208630224, 0.07332610324304634, -0.01915856008039949, -0.14848892174411799, -0.11300436697574097, 0.0888973175452768, -0.01738314118597428, 0.09350298185352153, 0.1538433171839001, -0.095338763048301, 0.10336993988982665, 0.022934882234727633, 0.07543842908760733, 0.18178213560832523, -0.16023107869586997, 0.02863289345509315, -0.05134798748134463, -0.017840531441107914, -0.009984333282943498, 0.16671736561201367, -0.003604162377066839, 0.258527241624162, -0.15791550699631157, 0.056127393859254304, -0.09822172385977178, -0.040300239786079266, -0.014822404969700963, 0.04401133554559639, 0.04823681156060674, -0.0801061184545289, 0.029625486988743795, 0.04561400009031291, 0.1034626855222083, -0.20726140108490207, -0.14479500271225082, -0.11211549327599017, -0.03295226754521202, 0.027501799019783297, -0.10105638319819629, -0.1273095652683595, -0.19101634334198037, -0.08899294770757478, 0.11129272032462295, 0.06580293906863663, -0.14256338925759557, 0.21676374381562874, 0.14131254422033543, -0.018008174963365563, 0.23205685634556245, -0.19508721035282625, 0.010139005438346251, 0.016706224487906905, -0.18769487157816858, -0.049311186325321, 0.012939834000132487, -0.04592994271429228, 0.31640769191537305, 0.13303036695188322, 0.003273279894082976, 0.05165375785516667, -0.1585098282380153, -0.2027956805621199]),
-      |      list_dot_product(v, [-0.09400136458148366, -0.17858117972592538, -0.011990174531333508, 0.07855288301142772, 0.25745238791945396, 0.2411135712836205, -0.23700639211078134, -0.032416200018950264, 0.0743921332000754, 0.2091692397066303, 0.022606019518796327, -0.016031192916972595, -0.2223091383778378, -0.0848744680844469, -0.018846414948870245, 0.06048439353910633, 0.1806939398383286, -0.15205994584033475, 0.12095737817998772, 0.021954344680883753, -0.10111875436954063, -0.12187008947828727, -0.029393583669176784, 0.20280486337458042, -0.1719499107560182, -0.12022886778914993, 0.0750674141936809, 0.11793320913647276, 0.12779487236513193, -0.21596573289312318, 0.06635406539363903, 0.0016326357701262073, -0.08158196275136258, -0.030919106320060855, 0.17496070440967906, -0.14906363955306934, -0.1140684337079778, 0.08241686631320357, -0.11469069427018051, 0.16325478198533683, -0.11413046047569315, 0.11082464492946754, 0.18682363696961155, 0.14331843324969157, -0.05864357080033317, -0.10512099756638493, -0.09269594552032963, -0.04524592809390084, -0.021607579955522566, 0.18362780453596136, -0.0006807099919776284, -0.14225924767167375, 0.20595752502782988, -0.059211096690920645, -0.03278847997788835, 0.03578540326019955, -0.06125576031137734, 0.12574104154985416, 0.07371856211153428, -0.027985481650546363, -0.06885857284275726, 0.1011754070087857, 0.01962099673540931, 0.14813583232712707]),
-      |      list_dot_product(v, [-0.07769545645640907, -0.18127723005690785, 0.005521138316715278, -0.030542171160452384, 0.08165672771986955, -0.16634571699200826, -0.13632802778377526, -0.010566521793833756, 0.23758842826611648, -0.020841326003038528, -0.03948370244019947, -0.040297231112348675, -0.08440273360731826, -0.008175670819655746, -0.08537909593419288, 0.037111601059559164, -0.08828119692851352, 0.13326276966971118, -0.03431448879702372, -0.06565016524122783, -0.023746650966625284, 0.1862529393674916, 0.11630224590009343, -0.1210169690827256, -0.10599030730971187, 0.01583455935829907, -0.11129836338959678, -0.18866526157371927, -0.0775164382261846, -0.08841171223425837, -0.03038088249999379, 0.2767244755328377, 0.007948125222618624, -0.09277588342511642, -0.0036589227138493405, 0.0251626788040583, 0.01049253578779439, 0.23436833331822607, -0.1403526849560866, 0.03526081314996727, 0.05787658467714565, -0.09436182537325874, -0.05276383038144768, 0.34796973843402956, -0.023156277748090478, 0.2697525674772837, 0.22380362207350235, 0.06870692773950697, -0.17717108213985355, -0.1043505482517543, 0.021393368418612647, 0.2782403780866255, 0.19778926602649263, 0.07182634073076008, 0.05348334361817466, -0.02215041110340669, -0.06918519111590211, -0.036839102885145796, 0.22113658366138453, 0.011408861854542072, -0.09564106274204524, -0.03211374255517516, -0.05384088093813003, 0.018862317599648598]),
-      |      list_dot_product(v, [-0.06632766695109972, 0.13138091934270787, -0.11082826170061899, 0.12088212886734431, -0.040673551386873584, -0.13403048920606, -0.1591465154845886, 0.13238423675952496, -0.12661093855574795, 0.01964163997972767, -0.18748118277289189, -0.1202587987090588, -0.09122186930436663, -0.18369213753020863, -0.03649962909924255, -0.05260571671937548, 0.1629095102085306, 0.1334442956707977, 0.2366917793370172, -0.03393971141528018, 0.11020713947933437, -0.11902637185493027, 0.25202083316362434, -0.06462929639761458, -0.0205380854560865, -0.13048901620609574, -0.09009929682232602, -0.027405253884444175, -0.1055676410227114, 0.11966326081654374, -0.02636304543773133, 0.08079795753069696, -0.024503073664539844, 0.034922301771536456, 0.049617259471504374, -0.11035955710362642, -0.053621581910422066, 0.09083830413271278, 0.08541741253243973, -0.062103761490818345, -0.12120336944055704, 0.3307145478068485, -0.040937953934862686, -0.08300721532224056, -0.06098710377478903, -0.01919993611226759, -0.08211616266253101, -0.030916856781506293, -0.044914552028951754, -0.22137833730029952, 0.03307413631594784, 0.04985037941523615, -0.2214898069396124, 0.054654479497264534, -0.05788992194313231, -0.2722201846930221, 0.08652417030425727, 0.12489613966439937, 0.07917044773335713, 0.26825673316636295, -0.1902388943346956, 0.12415678843774608, -0.01962730301017076, 0.041022101372321984]),
-      |      list_dot_product(v, [0.05003710684725454, 0.08726899757798748, -0.08660603870531383, 0.02928007877846513, -0.07927236009983699, -0.024337302879373187, -0.0937982471192726, -0.16079924020985725, -0.07827827298415858, 0.2195384263972595, 0.16035950352210265, 0.1307531444487244, 0.050449294659002414, 0.08115458245919616, 0.01961634431125075, 0.09280055381296856, -0.045493353038427796, 0.261570774579599, 0.1791997984873225, -0.06490017633385381, -0.0035156417142961174, -0.15449151161474803, -0.14393405735305426, 0.022717027949752205, 0.12668127250769903, -0.28337655954673957, -0.1743487028067561, 0.1613838359966331, -0.15243906262885168, 0.03480087405707912, -0.05752965773299833, 0.029939483690196833, 0.07686295693159355, -0.14766651006340678, -0.12522941145539873, -0.15155252377443537, 0.11097281713549877, -0.06585287709588071, -0.12876287748566043, -0.10139964554609866, 0.08563219783750213, 0.03121012334023449, 0.06738638570853346, 0.0565689952072189, 0.0764804814683832, 0.04290494609777322, 0.04428952646271362, -0.030505309848440052, 0.09093067603610029, -0.09741919746999865, 0.24306615284585212, 0.12957385628821633, 0.08018285254255861, 0.03839579430284308, 0.03592750972156349, 0.24942474468630307, -0.016478875987680486, 0.22490456206253215, 0.014060077581946415, 0.07429570727954488, 0.3126180373736632, -0.004576145428863094, -0.008375018503743377, 0.18819498621912992]),
-      |      list_dot_product(v, [-0.10947141936503235, -0.001695265520920519, 0.0006269961998386323, -0.03165281756907946, 0.00542872624816072, -0.04108426446637966, 0.06070853976481691, 0.18211286055273243, -0.16469955195526545, 0.03432687803319679, -0.11228885346847454, 0.12116237774055594, -0.049611300142132664, 0.005339225366660854, -0.20885084817126906, 0.289720639931844, -0.21244828893638196, 0.04215025848259546, 0.1915150973929429, 0.05284002727377277, 0.02681636604748077, 0.0022051073128859723, 0.004420278819879942, -0.0017134705165790126, -0.18874270722680658, 0.0431101345237436, -0.13709798764040665, -0.16143906475071354, 0.10462007037654751, -0.1392135063485011, -0.08694611825822271, -0.03711153188341015, 0.15170978830340331, 0.12840345104215437, 0.005550688395904674, 0.1847202821766065, 0.21366004015143247, -0.018179942766191164, 0.01607373485217027, -0.06651371397010368, 0.21966242816860512, -0.08598467315820196, 0.1050555434698451, -0.08457265817505537, -0.09786783432610036, -0.06922148074380782, 0.11720380044875349, -0.11187878320535588, 0.29214429702382305, 0.07689978710568517, 0.040185078629529664, -0.08344126712733686, 0.1397936452502167, -0.04516800059146774, -0.15324638847860375, -0.2035260696081425, 0.03713433341757267, -0.00024769365384094287, -0.040631171955382094, -0.027043132270677592, -0.06227787510458921, 0.07333479694988958, -0.23469113369749514, 0.24671597674597665]),
-      |      list_dot_product(v, [-0.19689398729687926, 0.0025371253476960667, 0.12186596622731882, 0.10240890339143037, 0.07814494103715228, 0.008582812298398778, -0.03697645859283238, -0.0654223144118319, -0.13586728616362395, 0.073889089580517, 0.005304964276599628, 0.12485301398950345, -0.22373664616240127, -0.1518616616989201, -0.07588235547762631, -0.25109613170831796, -0.1845439750152196, 0.023710670646982797, -0.027515990216360402, -0.011616457703952917, 0.14755753348859352, 0.2047893482582204, -0.10973315026104742, -0.06187126028501506, -0.05170370444662244, -0.21094538913453947, 0.03796198148586537, -0.11524746631101586, 0.1860915649371119, 0.22845919210839175, 0.04409501117008903, -0.2351569876555825, 0.019183070901736266, 0.23805100711594254, 0.08483299696342042, -0.06620368420035648, 0.13600229992510668, 0.1793791453701174, -0.08327559808364757, -0.004914166500734551, -0.07491932060185062, -0.142027821679224, -0.03459721244231828, -0.043704380328126465, 0.09497222602038619, 0.0014658981234671154, -0.005785213585900156, 0.12656037009025756, -0.13852383562057827, -0.018141168483205242, 0.016382282933249375, 0.049370335728708206, 0.012264512777994488, -0.07142289464207618, -0.12395801017071026, 0.20032238036856584, -0.06539487424520152, -0.1701408666960604, -0.13580431137062157, 0.27893682282179255, 0.09043245526258728, 0.14260758172664872, 0.010443356821881425, 0.016220262522254322]),
-      |      list_dot_product(v, [-0.051457829342982965, 0.15977307682954664, 0.0057563812520295896, -0.02486662124868624, 0.0982834266941977, -0.11045200343644708, -0.04182570618590566, 0.024825768963033772, 0.1748549738191018, -0.1467819957622011, 0.06339335870686, -0.15941090991078866, -0.011650873020037061, -0.06738937936665758, 0.28109298558602636, 0.06449050027399678, 0.15898610847202008, -0.034370261484076216, -0.11197097329701766, 0.11317424621363964, 0.11887340732885511, -0.05994054828861898, -0.10192081413214435, 0.33293747858226214, -0.06916865629870418, -0.16351599090129013, -0.029357926806338707, -0.12018017272003202, 0.1855956029301421, -0.06282698283341157, -0.2203059524783688, 0.037660871734168634, 0.008169536801723302, 0.020932420048914293, -0.16789152975087868, 0.03721068448399125, 0.17389907513430597, 0.22704470913250646, -0.18137821304896593, -0.046314938591171605, -0.07759387447590897, -0.03697600468890057, -0.2795463541352076, -0.04790387488523304, -0.022600303484065744, -0.026633713481903604, 0.03306528589233208, 0.005796772624616948, 0.13081857328776494, -0.26657059310342324, 0.021535267604761658, -0.08729660257822289, -0.043298234026275785, -0.10654810166281671, -0.08474862832681779, 0.030074854119725176, -0.03435788390872839, 0.06107898547958866, -0.1406149809074584, -0.13650280439569298, -0.06261950169574919, -0.1566239168006758, 0.07477946820850997, 0.13997871723174352]),
-      |      list_dot_product(v, [-0.02562159892156312, -0.030266443107176216, 0.21928698263481897, 0.19162058436401846, 0.06122416122069387, -0.09679150625425414, 0.06952195703768357, -0.06002996806841933, -0.08105065077475491, -0.21512503919577877, 0.2527628598571763, 0.043319423184811814, -0.038379079586308235, -0.15035564776435897, -0.10899872987645134, -0.03152526638333196, -0.0019850806834813568, -0.07803740421685147, 0.009312607526370406, -0.1990995856430563, -0.0543343828952432, -0.07006575253770575, -0.09127304745075208, -0.10606251240669488, -0.04624308228949808, 0.21416199923558754, 0.014354867080355483, 0.0010018303588272492, 0.24532941247704812, 0.06122894994258977, -0.13122543202316006, -0.18039681945482647, -0.0161178858641742, -0.032721801578286684, -0.2159838236373285, -0.2364830438097681, -0.154596058034602, 0.09896183911637525, 0.20709395172075395, 0.04122284054762607, 0.13982556603424343, 0.05336750101260884, -0.12637116798913806, 0.03367387760405464, -0.10357330374627655, -0.05124726127041375, 0.05414001500531185, 0.13333565733237487, -0.09150752694878979, -0.004929535783529304, 0.11552794863004541, -0.0019265330902418286, -0.07437573824729005, 0.06809734801714627, 0.152734022398316, -0.09299799412886679, 0.03211690474877431, 0.19558580713061496, 0.1759491128997997, -0.1594144744918404, 0.08324609980154422, 0.04723444486885188, -0.08211948949603423, 0.26480779740661]),
-      |      list_dot_product(v, [0.06805053030082923, -0.11544219195172115, 0.13693209177091348, -0.1379709289526741, 0.017721944764220707, -0.2699616226461792, -0.20929989825833759, 0.06919396911751183, -0.07569920671228085, -0.08538622417770769, 0.030461799561331403, 0.11407006826671519, 0.04084957852828077, 0.07285466652041725, -0.16486611249908237, -0.03938052387253722, 0.015228307490124916, 0.030689635955110355, 0.02334160216610122, 0.1427809798039794, -0.24903013467656965, 0.028249055920998974, 0.06499874761014582, 0.16213192459497927, 0.13120548923981673, -0.10886499731772603, 0.02592014598859011, -0.015061101275735626, 0.028074228002876844, 0.09005863161122393, 0.06271000325935537, -0.002150304632627787, -0.04551478759370242, 0.04009534138861217, -0.013385959260239982, 0.07215909198257323, -0.21690467095949578, 0.07798069810109422, 0.2125904814331498, -0.11199238957557205, -0.12443995909602554, 0.1745151236933408, -0.07121026193011785, 0.01060797560890303, 0.0636161120713056, 0.010897100653909026, 0.012100804356975033, -0.22569238505623604, 0.07442909743603625, -0.17911932462030192, 0.02937604851009171, 0.0012919147227513467, 0.19540107223739958, 0.012134038701017251, -0.046129259439889006, 0.01298087420434433, -0.10819733054535247, -0.25964510149561365, -0.10827075936088407, -0.25732582834266726, 0.16530644662181232, 0.3097747898405109, 0.1105102292169987, 0.05990892355944624]),
-      |      list_dot_product(v, [0.05259349445113837, 0.11360631665914374, -0.07402780156126845, -0.08575965397541106, 0.16487536903170438, 0.05464093838042233, 0.31243734351307023, 0.0831372715473323, -0.06718331547028208, 0.05533107215879355, 0.009527110356883093, 0.04895098519978947, -0.14143284456236396, -0.030094180111712287, 0.03557309330146817, 0.04110271056828514, -0.012777629659685975, 0.11708177004752662, 0.15709247505449725, -0.002542903328332098, -0.16435812825920756, -0.24287844300704012, -0.10541014691220274, 0.024090746346919177, -0.1443944000262817, 0.005344929411037466, 0.08403024090221048, -0.22789054887844518, 0.03755322057033313, 0.05934380371042398, 0.37344286130923554, 0.040846571434768254, 0.12366182696700395, -0.053994945037191135, 0.015517578564334505, -0.2658909157678702, -0.07889074973912538, 0.016816722448078265, 0.034311837780570766, -0.06007585322163498, -0.02529907151379307, 0.06558988642034735, -0.06647966100126718, 0.10121793088339937, 0.31659480001299656, 0.03187923452279334, 0.22407305827939114, 0.07918581820763217, -0.04054988074480329, -0.06095174175178279, -0.03602904054835392, 0.08073492808644665, 0.014222502930030422, -0.1901336577232731, -0.08469619129328164, -0.11944484713966864, 0.15613712986688583, -0.05237705740577853, -0.09387359716402201, -0.1364068109304023, 0.005504021435990392, -0.1518648266386311, 0.04468346746738345, -0.11094925933158678]),
-      |      list_dot_product(v, [-0.10787103908085413, -0.03250233399875143, -0.08832367552141952, 0.0661938216471537, -0.04158695793228232, 0.0890954791020835, -0.038867211364585416, 0.09351235254328555, -0.06386701716295644, -0.05185928215113789, 0.21863027793735104, -0.1705889807672236, 0.10167183983528667, -0.2309943499489921, -0.08296533400866443, -0.17665597408568415, -0.09911587804126037, -0.05671770642086456, -0.22724403182828048, 0.05799879843503005, -0.045022522397617296, -0.11560867396692366, 0.10560003034065263, -0.06851579156048462, 0.1864816710486761, -0.15593255438449194, -0.061180831569331615, -0.048382562491158944, -0.10990405719619599, -0.14427273805229218, 0.282324794167206, -0.23428069102526045, 0.3444072582603782, -0.09489044524946584, 0.020858365502683465, 0.05801766939010199, -0.004186227685600154, 0.0046672914410810255, -0.1472601346753568, -0.20749561127745125, 0.08910181808436868, 0.027494353893372226, -0.06950349071516913, 0.036206453245467826, -0.08469312009282533, 0.22393161092848973, -0.20360008584645464, 0.051950295827600176, 0.07192513540922137, 0.03646382411034725, -0.08531356265310604, -0.07017623594840175, 0.12942736441915303, -0.026334352784595862, -0.009666486976762692, -0.17792423492877762, -0.06961127476525938, -0.0018506553551699465, 0.07997575375846298, -0.030962441583853306, -0.010198160214625999, -0.07535838336265967, 0.12860638199529528, 0.1512177251655652]),
-      |      list_dot_product(v, [-0.11908276962493783, 0.15445334906138883, 0.19015599975396422, -0.05645122718380883, 0.09382814855250074, 0.15814948777317678, -0.2020729982306298, -0.09216812152123716, -0.01305901520736222, 0.17620246704772402, -0.008733713680208388, -0.13624218422682813, 0.08346561030097305, -0.015736916625241133, -0.13120813032907755, 0.09466327930764362, 0.04990260284037251, 0.04734032679823618, -0.20012358961177462, -0.009944494531162163, -0.014774645148833048, 0.030586319084562042, -0.042739119884317604, 0.003321073089857367, -0.03525469339427857, 0.10083683178809826, 0.35896631391894224, -0.1730899744164844, -0.07682328689566714, 0.2156287379472287, 0.02794412423807954, -0.010673913226779663, 0.1826933985059342, -0.148997224628076, -0.15881995426081902, 0.03698484959157923, 0.12229599386605228, -0.06845905208173218, 0.31785193134668166, 0.1398775982254905, 0.0195501281834015, 0.09301085102096837, 0.0041471795603675865, 0.07165875545304222, -0.08361568269237793, -0.019158721424771753, 0.08654690430890344, -0.06989197097801128, 0.19123034998989402, -0.12499926307585535, 0.13754202962763978, -0.06696415805633495, 0.16763365456895582, 0.05296155369036356, -0.09192530395039666, 0.11740313293213919, 0.06102455426702234, 0.03397128391542194, 0.08684365688790431, 0.20300173758480694, -0.12817513068213704, -0.11037444934456939, 0.1193160303210743, -0.05741206543583373]),
-      |      list_dot_product(v, [-0.05208839328597896, -0.1305025396529574, -0.07968820832675301, 0.0558847945390069, 0.06114093982806349, 0.01318234422497456, -0.13670782297921016, 0.04743323096460176, 0.013051104711571643, 0.024646474232885136, 0.19861337746444144, -0.279503574645302, 0.02236565778223658, -0.19950067654571085, 0.13448742928569973, 0.037493960090246574, -0.11419727248483513, -0.008147343842602729, 0.035175825699362964, -0.2677372167014199, 0.3014287175611386, 0.03602252632494524, 0.08329559447638993, 0.1511931051097063, -0.023830203977289747, 0.17169018904658992, -0.20498750882166827, 0.004813503958212209, -0.043868726181225816, -0.0434551524460205, 0.13771841489670503, 0.05589874655492353, -0.006898628289448425, 0.009954886998662506, 0.034863979430491236, -0.040294523994922005, 0.0028545044057633373, -0.16590666481379382, 0.19491868909047755, 0.02015698935467601, 0.12113881854654632, 0.16620271008606208, 0.12071307659962946, -0.15237542419252095, 0.07538154299497465, -0.03415232600855571, 0.2839618498420188, -0.02541147373790488, -0.099252828444278, -0.06378173144276768, -0.1678482472240402, -0.01044828674636086, 0.05063298456980236, 0.16055900057154304, -0.07787516782614207, 0.17039792480888677, -0.14360229686516057, -0.11025604221994036, -0.2725218089838734, -0.06816093287955258, 0.06548773653296652, -0.02779115659238171, -0.017100790264081057, 0.04462230722878406]),
-      |      list_dot_product(v, [-0.17568372121502276, -0.12211655424559814, -0.05258202190785629, -0.07469182355438819, -0.13818571756248457, 0.08703864809709073, 0.19953462982537903, -0.03454289356277214, -0.08331400363688961, -0.13168989905337516, 0.021298410730124853, 0.14827032877014598, -0.0882201561109691, 0.05028255808094979, 0.02306540559308655, -0.048383052238746053, 0.15428206112078907, 0.042277793603909625, -0.13280691362671893, -0.06051502420023885, 0.11353696139999982, -0.030351006054328694, -0.10037434103733694, 0.3103784750163683, -0.10471414581833385, 0.010301741961303007, -0.1633615135145059, 0.13620270332507528, 0.04282819879161665, 0.08917892477727897, 0.05967293529965091, -0.07529115661801847, 0.07412226493473398, 0.07420067844382411, -0.023635308180289298, 0.05036811759048412, -0.254452321656378, -0.06788265340398277, 0.10068634172750336, -0.01829676549322115, 0.0782978965696685, -0.13797715673453947, 0.2573109882173517, 0.013471839971871302, -0.028912072618376947, 0.07420703840946122, 0.04062357085540288, -0.23003008517816786, 0.03978731499456199, -0.23214384503952598, 0.07981930206857814, 0.19076740453491348, -0.07002870519353634, -0.1724368234395151, -0.033524250633825664, -0.008728446290200908, -0.22424380268978017, -0.02323341732266475, 0.26912452847226986, 0.12399104949274059, -0.2029667534573797, -0.07563482664340886, 0.0983432238256605, 0.01342607612384277]),
-      |      list_dot_product(v, [0.17412728345359393, -0.10213663372535034, -0.06225322225897731, 0.2213775833243391, 0.04033376590859294, 0.07702302538748175, 0.012136898027532851, -0.16332548412343936, 0.21696989386832344, 0.014097541776689091, -0.08110171580925099, 0.17458872107071238, -0.14982567986757597, -0.13468358427572813, -0.15086633950133896, 0.17027262283541533, -0.05766106904668996, -0.12178127260328118, -0.14167657722372676, 0.2587954057557318, 0.18400402785472744, -0.09587778669351335, -0.16581064683322644, -0.08787495496988343, -0.09293597023250906, -0.1492408902127112, -0.12597357708736867, 0.15539417898068264, 0.07200118534483133, 0.1744149387692538, 0.1063233346542466, -0.0045006738664399104, 0.04007610174265797, 0.09784219419185568, -0.15977922584052806, 0.1263664872197002, 0.11318054378244889, -0.17692916461528, 0.023640403910821114, -0.0663788716477001, -0.11747237893285653, 0.1487646326246905, 0.009713041729765583, 0.07340754179583751, -0.009947284750451044, 0.2022570387832034, 0.1884649962235344, 0.015556154863730144, 0.002736878696557995, -0.09607675372338242, -0.06364286458383704, -0.15107490669661341, -0.11375929976315932, 0.23376875512508327, 0.004867211743324782, -0.0726984641408549, 0.07204952702096457, 0.016171477520096122, 0.07918766889538276, -0.15483393659710382, -0.03634858586815243, 0.10734058671651965, 0.05544916150957679, -0.11585213171408212]),
-      |      list_dot_product(v, [-0.19060229846519086, -0.002839127065387114, -0.012652694579965715, -0.16591103868220142, -0.029372191953458526, -0.01594582019532487, 0.07430932959371425, -0.13006824517163448, -0.005232655405848818, 0.021351772419570925, 0.10969259152782557, -0.01892725933417791, -0.17253433760844133, -0.020000005819826368, 0.11672927306073032, -0.04794116998125617, -0.07718572174041549, 0.05118997786345801, 0.19677269383033907, -0.04855341806241129, -0.016401931626292523, 0.14602697378630028, -0.021980737971471757, 0.2343468654547012, 0.10293041221958556, -0.14446492869509114, 0.10388757996124694, -0.14500079572273608, -0.1351985070455307, -0.12059961267213187, 0.14529585003392403, -0.1835621761948694, -0.19016002134279783, 0.12015879933531955, -0.1914207983928005, 0.037701627923060164, -0.04928388797761472, 0.032544191410658035, 0.08643017919022333, -0.22943885837760136, -0.038702066337673244, -0.0013759618556726811, -0.11083630993543166, 0.20058682274223824, -0.14886583404343587, 0.025838362412359945, 0.09085278408065356, -0.17705880629564852, 0.06963750167897298, 0.16987362025691605, 0.006595176178619174, -0.17281104396083846, -0.0825160210025661, 0.26915225065191484, 0.2047366912355851, -0.05352186903233294, 0.01089471292194324, 0.10978205277186631, 0.003174408093386418, 0.06411724859366602, -0.04247395575584424, -0.05284546225336045, -0.2204493295272768, -0.2237048728934984]),
-      |      list_dot_product(v, [0.24442448741553888, -0.08220661621891656, 0.10862244736055426, 0.02661935415306399, 0.049736621801290584, -0.11982936286393751, 0.11001213695703545, 0.028355308479828853, -0.07984506558727082, 0.1715170096415493, -0.18621153093426765, -0.0359907119361818, -0.21423187942296068, -0.13508814666516225, -0.07684542102141317, -0.16275139960714455, 0.05849946439860758, -0.1609674683717736, -0.21986459463958696, 0.02653178828458477, 0.1251490505085519, 0.08639642058193288, 0.013512471817463888, 0.06332642394146437, 0.13132205385366233, -0.012479816736136174, -0.041125980001169266, 0.008188928960660284, -0.09149463050552534, -0.26290112558779255, -0.05379117825024168, -0.024286353010675266, -0.11245437646088545, -0.020840563377164698, 0.25915331724411816, 0.06737161137243132, 0.06878190501098898, 0.1437070504620926, 0.3154150919575458, -0.17931415297362824, -0.0056661331324527235, 0.051669647027067576, 0.04265342290328824, -0.023780070820009214, 0.18839098220028838, 0.07495637605306624, 0.08397284742117195, 0.06042411306219145, 0.22483290776895518, 0.021633881541199777, 0.17020680129978144, 0.10553885793816692, -0.029932909002232493, -0.09552280839122093, 0.10419369021530495, 0.1282183011410479, 0.14052951123134377, 0.15765007131313824, 0.048627397038272985, -0.03208251547198217, 0.0369280845057687, -0.18136566499673468, -0.017636945433340163, 0.08610556505733498]),
-      |      list_dot_product(v, [-0.010416287341954027, -0.1809306798108604, -0.05436404104306072, 0.14070873924234722, 0.20616921575056996, -0.1534886730998389, -0.01992895463337878, -0.10158894611878967, -0.2618332741938141, 0.06761770782117328, 0.052391901339537236, -0.09529041709057816, -0.08268263935112408, 0.030312814242685296, 0.09565910017912363, -0.10000861303728821, 0.12599919322587275, 0.21146484721874803, -0.14289988867833023, 0.0877566237689013, -0.05041817234249535, -0.09313523148052515, 0.017433013390082654, -0.025053613408844898, 0.05827649266256389, 0.1918861841389302, 0.07778765380477073, -0.030035686830029478, 0.07441981975065445, 0.10699625595354868, 0.06876446084951965, 0.06938383938050845, -0.09771911510416514, 0.09808676878494553, -0.12189987703356057, 0.21994363099960934, -0.1486136072117401, -0.05966129064315119, -0.29108933145134136, 0.052178691716628, 0.13815529166393115, 0.07952919877715858, 0.03338664127654729, 0.12656941597594698, 0.09483536461483154, -0.036321508034923275, -0.05757290356954909, 0.03947850123313089, 0.33426652327462536, -0.02822650002752662, -0.2729309493290189, 0.06813634226875946, -0.12218613001165708, 0.07558992943549225, -0.03728010306496154, 0.16892639167066018, 0.18528365078325718, -0.041240779758970746, 0.06374659160762149, 0.047599717376404414, -0.003639686851804137, 0.02082692276477481, -0.1846441010940114, 0.09393275336360198]),
-      |      list_dot_product(v, [0.07659205791122115, 0.0882866800140336, -0.01343873152132408, 0.19186130610969168, -0.05854392746162904, -0.02172457252675644, 0.025369761695507056, -0.018516629518614717, 0.13065500953386813, -0.20848118088529766, -0.23318200919919602, -0.0923983601127213, -0.012720711007417998, 0.08161625773219469, 0.04623951029302998, -0.10194094043982167, -0.11135898967379512, 0.048600731324686154, 0.14266858885259515, -0.13377573945745966, -0.0796076071295516, 0.07703624490929561, -0.12565992863805148, 0.12662380988806843, 0.11963322511600617, 0.0565485945507742, 0.13014556273151046, -0.045659649540659125, -0.14244492589806754, -0.05039218031308634, -0.004518967715164068, -0.15703519794496845, 0.18629901710926386, 0.28044206966935203, 0.09314349736570016, 0.09027233156157234, 0.056807398373699754, -0.19712864055498067, -0.08838626508015243, 0.12845546275673084, -0.2302377176375217, 0.08174251645494397, 0.09248187063599442, 0.12690733359295156, 0.20447558616352116, -0.16839577956956883, 0.02781760945880962, -0.011540922253199712, -0.09194395634717743, -0.1718175623690015, -0.0008778959794484827, -0.08269751782878594, 0.15456476601737976, 0.11951811074113108, 0.13969017604317596, -0.02362793046112977, 0.04482765464069616, -0.0651470319452994, 0.1846622240823839, -0.01280184827310852, 0.0168632355260725, -0.14292575047377926, -0.012626579261702311, 0.3225777695906126]),
-      |      list_dot_product(v, [0.10693871913304144, 0.015276267546023008, -0.05319884217789178, 0.2671451176029066, 0.01343395576143447, -0.041658643720294215, -0.11927030986436302, 0.03712800425608107, 0.05667712340795878, -0.06802718699636819, -0.15107142030748646, 0.18670939421751903, -0.06140901500809572, -0.2107483894837267, 0.1870510605623894, -0.2322321999207397, -0.1324993969284131, 0.03994128687185036, -0.023594957883958913, 0.02581445473198701, -0.15149359505429322, 0.0031026305515077348, 0.0643645164716107, 0.02999161818820001, -0.21256542767827424, -0.08006025222136666, -0.10969418494274247, -0.25341390236938, -0.20807029685574155, 0.14882058492344022, -0.04124324902748979, -0.12094185487668592, -0.04192732972847734, -0.11854359567346037, -0.09138641973292765, 0.10021428675413305, -0.05677029955710192, 0.07654316965181468, -0.0020653579105501555, 0.20215268992097724, 0.2353674371337226, 0.01714455822355886, 0.1633474360474333, -0.11203312430889652, -0.06662815232823435, -0.10501284839121942, -0.11315051261586906, -0.19834194969449603, -0.01599729361093228, 0.019577643083257802, 0.04660429282072507, -0.03169897860843118, 0.08376499339977374, -0.04960291456718338, -0.05520798737015936, 0.036036985191916365, -0.006295895369581259, 0.14090015137885176, 0.008727142219170576, -0.21499465999289574, 0.12548282805010763, -0.1701402169223854, -0.019869844495511806, -0.24573111309630657]),
-      |      list_dot_product(v, [0.24017223575294244, 0.0036533548104071495, -0.013009098370014644, 0.022697191859447217, 0.24134276729347967, -0.041754791240757545, 0.0899357061202483, 0.18179627864640485, -0.06501235920783424, -0.08894402448183823, -0.0361027195627553, 0.0798184005132774, -0.07577828324285268, -0.011461436398363249, 0.34524777613201474, 0.007150839651774576, 0.16679874703695793, -0.13902181861118396, 0.09635763295821394, -0.19444623209342463, 0.10366508200585971, 0.12503153909963785, -0.07873850287819438, -0.06723814773063246, 0.18064402563033496, -0.27407311200442985, 0.005035413600429976, 0.008413331254847852, 0.051233818091770564, 0.06777272048593971, 0.12121108744738252, 0.20345967095285789, 0.08787665126290153, -0.035853623158558445, -0.06255104422018828, -0.014492937749871657, 0.08678361730809715, -0.06714853045278238, 0.12666456248836172, 0.04109721744382346, 0.2887318225474556, -0.11358640252159147, -0.0019732616185983935, 0.06972871405020904, -0.17854574027337308, -0.041455465285636504, -0.03483189574311612, 0.010103843752671789, 0.06059298980344367, 0.011279492442299442, -0.01640624238940706, -0.09717119008548629, 0.16373721962129936, -0.0035241739165041554, 0.15106628530831423, -0.04545229546124197, 0.11174124574001568, -0.21774311867377452, 0.1323605271497859, 0.13327925432801804, -0.016943266527055655, 0.19126748924780346, 0.12580058871295197, 0.03191484914475864]),
-      |      list_dot_product(v, [-0.2331668728588131, 0.03220032254396904, -0.15196719573210551, -0.10494070174501584, -0.15045763728656006, -0.17676017161951232, 0.07753365606086542, -0.01329965862816477, 0.24288398655111654, 0.09348044210843146, -0.08449144986130125, 0.09269523491298855, -0.17578859562852953, 0.005394636722217437, 0.24858020766398578, -0.012913630296407169, -0.11324273981790545, 0.039416576079251635, -0.12366381359348745, -0.06325896607174918, -0.14566415337646613, -0.07168620033040896, 0.1047685727140139, -0.06284517549547751, 0.09519532749960319, 0.12616038355297002, -0.13431991445904395, -0.026147458618330528, -0.04540947601353912, 0.13210870285755838, -0.07171505316390772, -0.04846946730769696, 0.10708783657114429, -0.019522444392431237, -0.033742259563220064, -0.14735493765962682, -0.07982362898081499, 0.05615368989972779, 0.0683703220046998, -0.020087997756368214, -0.122395846654651, 0.042256090230364265, 0.25944782281957374, 0.025415970437369397, -0.10648325327937624, 0.012492663292520838, 0.009289199835159105, 0.3401442559952028, 0.23358535090281682, 0.08570026363733774, 0.12602465293845289, -0.1808047365921465, 0.013124996687686392, 0.007987154492711087, 0.04218095169878303, 0.14754546869570037, 0.06860562940651393, -0.08647440729360678, -0.11239809083703538, -0.10548425376119183, -0.2134684626574936, 0.1801564125746872, 0.09739258169657651, 0.09681688298217359]),
-      |      list_dot_product(v, [-0.14620857100286413, 0.13496323321310652, -0.12569282865632764, 0.14574040653960935, 0.09877835277077328, -0.03355850103327607, 0.050659410326905394, -0.1370173663282456, -0.2313113829722868, 0.033048979030818146, -0.00881950479065895, -0.07966545890004728, 0.15404896254094896, 0.10020830354641545, 0.15990225323731722, -0.07816487954050004, -0.06799789390676327, 0.08862466397102754, -0.08408757673514224, 0.03087809612490308, 0.004208226211770881, -0.11332208696889416, -0.015500763892151857, 0.08317383558712318, -0.20864783203020584, -0.14586857146193066, 0.002061630527823463, 0.03443480393377245, 0.0524083644488134, -0.24317421075659487, -0.20329659475519612, -0.11198726839650894, -0.01926042038401641, -0.2080841754780464, 0.08902820834786147, 0.2212775429616836, -0.0763633983925988, -0.10805374331121874, 0.25751772989644894, -0.01691644624468584, -0.05761912257702017, -0.11691060622410777, 0.06403072767308504, 0.19023023139054443, -0.03607457301353904, 0.14521002445381773, -0.0032245708198242137, 0.08744566313268605, -0.29232513331113735, -0.07889337301787239, 0.05974934754024276, -0.035898935108840485, 0.01645125429448975, 0.05151863066933877, -0.10800882734092172, -0.027762683839921882, 0.3145628110309236, -0.14912875840875028, -0.03986598474511883, -0.054644636707231124, 0.013483403708668707, 0.1694861547454739, -0.06175143855693319, -0.0053361127377590314]),
-      |      list_dot_product(v, [-0.08390340316134845, -0.22673714838301806, 0.0012822062253944303, 0.010259203487853271, -0.045499018126628175, 0.04500101977095614, 0.03657847838324214, 0.21109399484343122, -0.15386832922803667, -0.13777419104250896, -0.06456177550302053, -0.12055531028295, -0.022109367545847476, 0.11612852347428036, -0.019599038173733662, -0.0016113660637852862, -0.10967981766773814, -0.29660605638783394, -0.04303674385974818, 0.046641151748076724, -0.07272062234762335, -0.13678494136747701, 0.013333781431119964, -0.00515026828012216, -0.11615690699550545, -0.1350793080733895, 0.08558435992801068, -0.01899665752329878, -0.1581928724630812, 0.16260304194048408, -0.2036070474807502, 0.09308191760677703, -0.043290091020945096, -0.0571236762652905, -0.06870870070871732, -0.11455011639490802, 0.057048304454155846, -0.05139783241911591, 0.04578823951699377, -0.05863925524509716, 0.17545477785991812, -0.10484647053751713, 0.04277839087849161, 0.2616455916977324, 0.403673809252741, 0.02329457850960629, -0.13665019086061972, 0.05452155394702137, 0.01649853117430292, -0.12890530311402315, -0.016579361741594672, -0.1542608997576252, -0.021417598330378176, 0.15478585332994996, 0.08858542052187467, 0.018611000164667935, -0.20992671407798533, 0.17519333008297738, -0.20336091687482863, 0.08290540048219598, -0.1063574796949375, 0.07331955210444027, -0.040214233905362204, -0.0005389168153888502])]""".stripMargin
+    """[list_dot_product(v, [-0.2096393298887029, -0.12057271530460328, 0.03654785829099375, 0.01181956705207999, 0.07567008221654345, 0.013214628527288186, 0.09058411826856812, 0.2866187923432374, 0.04954696200812782, 0.4140565265568779, 0.0653049813495429, 0.18207885414308053, 0.06513224154456904, -0.03653205454058415, 0.17114897511870436, -0.18534977721254273, 0.08898987401709364, -0.1570265554534968, -0.030136686338868745, 0.03217896964106663, 0.06121320421931407, -0.11068832310461507, -0.08347512790974954, -0.05543746810299688, 0.01955001247293548, 0.199125429101352, -0.03751725273394648, 0.14950769890198098, -0.1728796307730548, -0.0061231136919325056, -0.05871572670446115, 0.06203771800325117, 0.29653854323357254, 0.10616457886972945, -0.03204193889844021, 0.10414385120144753, 0.04453875945639852, 0.06146405307635499, 0.013006697593051642, 0.0217712055199728, -0.11667898800999403, 0.0055245863932987666, -0.24083692018991473, 0.09570759089248622, -0.02830770871376086, -0.22512744449721753, 0.00873183574219243, -0.07903750844473234, -0.08368084425577953, -0.1184509112478963, 0.12045949856582461, 0.07248325171851451, -0.017186482327944893, 0.0816043743090242, -0.015031356046457896, -0.06676477470729585, -0.05565063579441348, -0.05137605787848301, 0.0601960176213444, -0.09113914308767156, 0.121986995952936, 0.05064983370857072, -0.21821146481626008, -0.10201388625038872]),
+      |      list_dot_product(v, [-0.0038371279617273185, -0.0544302462823619, -0.012567933982260658, -0.08813365806325192, 0.17485769809344773, 0.02521436661842459, 0.07494656315169955, -0.06998070122115854, 0.07744817056372585, 0.0306960564936196, 0.10575814447888733, -0.017882871949512658, 0.012975656704351014, 0.13369681740864628, 0.014559198672458721, 0.041391918626085066, 0.14841100081548175, 0.3603098505373251, -0.05418865139534617, -0.050764776404989116, 0.03254316995693874, 0.03539112722241993, 0.06533467356515074, -0.30912280610523757, -0.2576821378373395, -0.23906586244665406, -0.020637632543040293, -0.00022331397267936454, -0.08628570417537818, -0.17453292264876824, -0.024067927535326557, -0.21754493564306318, 0.029463935901408604, 0.06153867869300636, 0.033753328092335666, 0.0792196747089228, 0.0594671001842065, 0.03649840314960093, 0.1821069815633818, 0.04667388411136273, 8.62660749631475e-06, 0.04698675544039907, -0.06276704708795283, -0.17918979603487012, 0.17268649054818383, -0.18883522299222677, -0.04694587122780484, 0.1457794818853693, 0.11292397747408493, -0.11328063295411481, -0.1574310439224033, -0.08197501102737904, 0.012979946675149045, -0.016092353814505328, 0.2380351499186687, 0.023384317110773288, -0.30282027565730096, 0.01638284028535263, 0.13543364401259417, -0.12158606640794313, -0.08367049587761356, 0.08483882960712978, -0.00044318531741244466, -0.07861587027401377]),
+      |      list_dot_product(v, [-0.1480440376166867, -0.08512440683182432, -0.06394747392221323, -0.00045759766154713447, -0.20437466447815603, -0.043741735322772785, 0.11775529986009056, -0.28449785383575205, 0.04440239625350731, 0.023717337421497328, -0.05117952731173255, 0.035702032580539944, -0.06017956428660729, -0.03455060652140849, 0.009449519530006438, -0.23454575665525335, 0.17137352630281838, -0.08492758911964332, 0.11604706755579587, 0.07732840398964902, 0.013131627408544804, 0.17530755042876156, -0.10064801525288623, 0.05337470463075121, 0.09255730984555612, 0.10008395088098784, 0.09063736269590784, -0.13414209829345178, 0.01027769679436893, -0.10540482716914787, -0.1228596688774243, 0.09091210800723112, 0.04825216647449696, -0.1806613024742493, -0.029769890053288117, -0.10216258317025517, 0.139078499674634, -0.21255244137229035, -0.06345652317087329, -0.10392899552393761, 0.18947963438646775, 0.19011010093130634, -0.12585555780151772, -0.20893277847828234, 0.16586568212498556, 0.052836276545896566, 0.042797575089323976, 0.018020013799672673, -0.0683200926687484, -0.05127551197754947, -0.129498444617984, -0.10645450076880321, 0.22780031621678434, -0.15329476801869799, -0.17915209442332675, -0.0019200155656372096, -0.005381094449715372, 0.10972460046809979, 0.1827952418076938, -0.052685084379371146, -0.06955779264431118, 0.28843060606803783, -0.0900810775591765, -0.07553050152074066]),
+      |      list_dot_product(v, [0.06808659617107013, 0.06269221034507544, 0.008780756291902829, 0.17252698629724822, -0.25796105142377507, 0.10712924678340989, -0.02320920865339409, 0.1775430920778206, -0.11522019032648376, 0.1362019581887693, 0.007640884616088507, 0.2019504752264874, -0.06077544603931797, -0.1402193530299735, -0.09311367930173033, 0.04930806442413942, 0.09682486376301348, 0.07142426922661867, -0.00931947753795057, -0.20316848738697266, -0.22547295142110013, 0.1576589824909524, -0.01185644101976479, 0.07323162442468027, 0.02747074840432716, -0.11908308279569853, 0.11645429190009153, -0.003835251879435034, 0.128924483280504, -0.10452312753727482, 0.15211656450619318, 0.20057539672429608, -0.08141318120622575, -0.01767747009308199, -0.11650295068092, 0.3161901219352154, -0.11671862126847647, -0.14843441785803368, -0.010252064972907794, -0.0482888647136251, -0.014507536911966358, -0.0001791954993268919, -0.08565322573537927, -0.017434762364318124, -0.07573379886438383, -0.041520825710729424, -0.013620430642481383, 0.36940447497223333, -0.10851089330440519, -0.15344609910846213, 0.06647233936408717, -0.019778009747410476, 0.009329624288528838, 0.005401021117891712, -0.02191754120141075, 0.10147291451921545, -0.17091025548621483, 0.09292951419066811, -0.1707204267750972, -0.07391767705582912, -0.1920604341731429, -0.09621918482076991, -0.08404634309155423, 0.026296885437333755]),
+      |      list_dot_product(v, [-0.015085348120897488, 0.013517866322738688, -0.1738913215105934, 0.022537423699724543, 0.1689669835338632, 0.308663092373941, -0.25309505887395906, -0.10693042050185084, -0.017906201683455584, -0.06613281151068452, -0.1428483543962177, 0.36196189641526677, 0.1183037518455793, 0.11743309986423989, 0.11494380609248271, 0.055716543655892334, -0.11872343465207409, -0.11316167307071197, -0.019020534821124317, -0.24534483108957608, 0.03191823557688075, 0.03445191726855629, -0.011091879502073425, -0.1092700186485836, 0.1247495802276556, 0.1661688457648067, 0.035268547683974735, -0.14137833669818928, -0.026189293123713906, -0.18259915776827232, 0.04226625299184844, 0.01617219600339077, -0.062291916307996, -0.028462605745763862, -0.03986889430500577, -0.05384707971138738, -0.08802504523973873, 0.23525140078205894, 0.04905411909364538, -0.2630745915620057, -0.05655833960087571, -0.10089456889856754, -0.007513654901444103, -0.05056559020281365, 0.11724159660229803, 0.00909173231963109, -0.034998759630067135, -0.020604323600056505, 0.1029622744082804, -0.2123546020760255, -0.13375687582477258, -0.08333561323277253, -0.16669651241892552, 0.09694053178981965, -0.21787743523093225, -0.004216181382370467, -0.0056303030828844, 0.04229455916136345, 0.10565659774872106, -0.004698641778361815, 0.054063488227313584, 0.032495247709906444, 0.07261703283515797, 0.06545658210433099]),
+      |      list_dot_product(v, [-0.08544207432204978, 0.011076242603358691, -0.17443305265590983, 0.19971582219041994, 0.008519457881276431, -0.02935471695924241, 0.1601854483282556, -0.013846588231743935, -0.11290145026925524, -0.04229772763615404, 0.02215837592954279, 0.03605046737492949, -0.18230215326263874, 0.47848072382344314, -0.0855178890359329, -0.01742052828909408, 0.02487550136526526, -0.19661496092675998, -0.2096973241956091, -0.1028900721601691, -0.06340424722110032, 0.03467842317456618, 0.16836503443235823, 0.034224946986031214, 0.006176513540205398, -0.022542978784031265, -0.18434962804948762, -0.025273527110866747, 0.012000127541373187, -0.05242866214814738, 0.16064800774641338, -0.1022565629201026, -0.15891143437992122, -0.18394127625248274, -0.09522292030690598, 0.01510491834256832, 0.17046990904157036, 0.05533662662323694, -0.07520278585507517, 0.20414407134629228, -0.04185251864322473, 0.2693909843068852, -0.17915567132796956, -0.04481312533100017, -0.03845338275380937, -0.11610530015711702, 0.12082475552926904, -0.007047024621070887, 0.03018452289435541, 0.04781309681074078, 0.16379575044319056, 0.014019727572107586, 0.06607626189729801, 0.11155759428852742, -0.09857967214015743, -0.09315850580605163, -0.08969349412055531, -0.10318157153595685, -0.017876518045730608, 0.13658262044638106, 0.07658137886368489, -0.0741629121973258, 0.07691180919317583, 0.01438097973016509]),
+      |      list_dot_product(v, [-0.10467703292507023, 0.04334903504221634, 0.3308233470650587, 0.05281115184473054, 0.07154724205472202, -0.23957893360351684, -0.03597020654015932, -0.050250641132589514, 0.005446402804742112, 0.21559012668165944, -0.25725132561638314, 0.08007311442449916, 0.23352969284526776, 0.06344687098257198, 0.10695937191677082, 0.1955439817106363, 0.054971511275471986, -0.15899119512125737, -0.06773789116001962, 0.047291573436234725, -0.04121476186754304, -0.06668512581500982, -0.047789904603888364, 0.027070001394115525, -0.058880629419696254, 0.008833017756778553, -0.13899058812701734, -0.15865816065046964, 0.04030695091311882, -0.12584152749887786, 0.1536627623941165, -0.2258604132968827, -0.1118205963995829, 0.10493781265704775, 0.014503369082983258, -0.1889169071945566, 0.007213010192439393, -0.20401995155304276, -0.1325508587703797, -0.20449431805030832, 0.19571794539837029, 0.08722166916767601, 0.02497069736099032, -0.017672627704236707, -0.0660191626253017, -0.06466506782848237, -0.1365952505069631, 0.04433184641562781, -0.13211726964580775, -0.08608364415165777, -0.05007145762415633, 0.2181817858199934, 0.04603151283336087, 0.14948532624137512, 0.10036773938087057, 0.06536654155335096, -0.014218163474809297, -0.011947691048657918, -0.02457567329760616, 0.014622710123163086, -0.1582386980748425, -0.04525846368862706, 0.13015213654991284, -0.03712294567746925]),
+      |      list_dot_product(v, [0.2805383455034073, -0.137159068274947, -0.04126691983842415, 0.07332610272758885, -0.01915856015041477, -0.1484889228798103, -0.11300436632177575, 0.08889731712752802, -0.01738314096039128, 0.09350298159624965, 0.15384331628023665, -0.09533876249483555, 0.10336994119057698, 0.022934883350988755, 0.07543842933934827, 0.1817821364596508, -0.16023107995157695, 0.02863289313541672, -0.05134798832161909, -0.01784053143187217, -0.009984333282282983, 0.16671736641528406, -0.003604162613596266, 0.25852724072784683, -0.15791550663271547, 0.056127394883355226, -0.09822172443260359, -0.04030024118148526, -0.014822405091699622, 0.04401133537695877, 0.048236812101427204, -0.08010611885247772, 0.02962548663678636, 0.04561400074531209, 0.10346268534199121, -0.20726140058828002, -0.1447950019983398, -0.11211549391802472, -0.032952267830433264, 0.027501797591824816, -0.10105638215459326, -0.1273095663983796, -0.1910163434443146, -0.08899294753872994, 0.11129272034438159, 0.06580293967408658, -0.14256338903430027, 0.21676374415790195, 0.14131254412166414, -0.018008175161939765, 0.23205685573787285, -0.1950872094033455, 0.010139005554459976, 0.016706225205014275, -0.18769487116240152, -0.0493111858663107, 0.012939834186746622, -0.045929943712831614, 0.31640769168013066, 0.13303036667096454, 0.003273279793939948, 0.05165375718695988, -0.15850982818782847, -0.20279568139216406]),
+      |      list_dot_product(v, [-0.09400136406134635, -0.17858118026823094, -0.011990174422561898, 0.07855288335767155, 0.25745238779668916, 0.24111357070859718, -0.2370063927223251, -0.032416200048377676, 0.07439213289719844, 0.20916924037256493, 0.022606019693383883, -0.016031193470633837, -0.22230913787162276, -0.08487446828698016, -0.0188464150481108, 0.06048439349583417, 0.1806939397745643, -0.152059945711867, 0.12095737785505364, 0.021954344705071877, -0.10111875432768386, -0.1218700890795787, -0.029393583350761084, 0.20280486379521262, -0.17194991139378263, -0.12022886759734018, 0.075067414300294, 0.11793320902028198, 0.12779487223746278, -0.21596573220307994, 0.06635406584041018, 0.0016326354306457189, -0.08158196264898313, -0.03091910613214687, 0.17496070507544081, -0.14906364063458252, -0.11406843466361918, 0.0824168659991194, -0.11469069379838656, 0.16325478216602032, -0.11413046098876155, 0.11082464502198774, 0.18682363657071838, 0.14331843274791287, -0.05864357030559064, -0.10512099736626394, -0.09269594620154757, -0.045245927346829, -0.02160757996094417, 0.18362780431974673, -0.0006807095965764162, -0.14225924791260292, 0.20595752443822185, -0.05921109658737278, -0.03278848042257651, 0.03578540291816122, -0.06125576036431634, 0.1257410413083171, 0.0737185635350656, -0.02798548043569417, -0.06885857308792959, 0.10117540731846857, 0.019620996654309896, 0.14813583121822133]),
+      |      list_dot_product(v, [-0.07769545710948746, -0.18127723002272458, 0.005521138596168852, -0.030542171595549547, 0.08165672799380982, -0.16634571681937174, -0.1363280277010479, -0.010566521998359257, 0.23758842834858857, -0.020841326036543047, -0.03948370321555947, -0.04029723087567861, -0.08440273356746149, -0.00817567111657084, -0.0853790959271549, 0.037111601070557464, -0.08828119708596073, 0.13326276894242708, -0.03431448888704631, -0.06565016468433305, -0.023746650381736185, 0.18625293929527814, 0.11630224564749535, -0.12101696891115782, -0.10599030714929376, 0.015834559794443943, -0.11129836309693665, -0.1886652621602717, -0.07751643786370158, -0.08841171240511599, -0.030380882866962913, 0.2767244756123536, 0.007948125205059374, -0.09277588279766351, -0.003658922812019594, 0.025162678996863422, 0.01049253586828065, 0.234368333669906, -0.14035268483713573, 0.03526081266322076, 0.05787658499801702, -0.09436182545392294, -0.05276382993392728, 0.34796973849820917, -0.02315627809811819, 0.2697525674300845, 0.2238036223739356, 0.0687069271315806, -0.17717108223484515, -0.10435054830887631, 0.021393367538072756, 0.2782403781539413, 0.1977892662585688, 0.0718263405759096, 0.053483343420581336, -0.02215041112870231, -0.0691851909071283, -0.03683910291256836, 0.2211365831970071, 0.011408861552017749, -0.09564106318238327, -0.03211374240474151, -0.053840881119338754, 0.018862317850668973]),
+      |      list_dot_product(v, [-0.06632766747763331, 0.1313809180411261, -0.1108282606385717, 0.1208821284499155, -0.040673550967224394, -0.13403048976529447, -0.1591465143226239, 0.13238423886522546, -0.12661093786812277, 0.019641637496928727, -0.187481184240348, -0.12025880051969981, -0.09122186934339789, -0.18369213818587798, -0.036499629207933613, -0.05260571734753703, 0.1629095104594081, 0.1334442929845821, 0.2366917771877396, -0.033939710857111206, 0.11020713965984279, -0.11902636942988888, 0.2520208345768142, -0.06462929646705562, -0.02053808701978451, -0.13048901271567118, -0.09009929531130906, -0.027405256332144422, -0.10556763923873559, 0.1196632605210045, -0.026363044844634826, 0.08079795677915748, -0.02450307421625312, 0.034922303555901014, 0.04961726094071068, -0.11035955569850758, -0.053621583402698084, 0.0908383040613553, 0.08541741384469925, -0.062103760575860485, -0.12120336981768148, 0.33071454713825027, -0.04093795544097512, -0.08300721638191355, -0.06098710451828418, -0.019199936069804243, -0.08211616349072666, -0.030916856023136177, -0.04491455292328511, -0.2213783364602069, 0.03307413385641652, 0.04985037788136047, -0.22148980788474032, 0.05465447895987568, -0.05788992279509937, -0.27222018764962747, 0.0865241705743037, 0.12489613659920981, 0.07917044827818082, 0.26825673282026485, -0.19023889820532391, 0.1241567888641089, -0.019627303432728196, 0.04102209833994513]),
+      |      list_dot_product(v, [0.05003710591151538, 0.08726899861175451, -0.08660603989489009, 0.02928008028278539, -0.0792723604435672, -0.024337304437313367, -0.09379824927033316, -0.16079923892819165, -0.07827827416611104, 0.21953842684999467, 0.1603595017109873, 0.13075314296493537, 0.05044929338393101, 0.08115458007297398, 0.019616343590176645, 0.0928005528199348, -0.04549335164444196, 0.2615707764883349, 0.1791998012958293, -0.06490017702478365, -0.0035156404059955185, -0.15449151232275732, -0.14393405424422873, 0.02271702719119439, 0.1266812721126732, -0.2833765615179294, -0.17434870397924063, 0.16138383573791096, -0.15243906387024098, 0.03480087577584583, -0.05752965741751008, 0.02993948437269438, 0.07686295694498026, -0.1476665093323185, -0.12522941045618324, -0.15155252574098033, 0.11097281618348698, -0.06585287596661532, -0.12876287650123144, -0.10139964586094598, 0.08563219596761018, 0.031210127269826155, 0.06738638521596356, 0.05656899481507609, 0.0764804812281481, 0.04290494629751998, 0.04428952556500077, -0.030505309676842632, 0.09093067454643752, -0.09741919995029803, 0.24306615312347635, 0.12957385676679173, 0.08018285042893529, 0.03839579517201452, 0.03592750930270206, 0.24942474170820314, -0.01647887547160015, 0.22490456282933116, 0.014060078943620507, 0.0742957106975249, 0.3126180354195202, -0.004576143303239876, -0.008375018474654414, 0.18819498652488204]),
+      |      list_dot_product(v, [-0.10947141972764758, -0.0016952657300114864, 0.000626996665021595, -0.03165281682074804, 0.005428726496680334, -0.041084264407123046, 0.06070853947336476, 0.18211286013718747, -0.16469955253768886, 0.03432687837509851, -0.11228885349753219, 0.12116237851728424, -0.04961130136275198, 0.005339225046258029, -0.20885084892740377, 0.2897206386904462, -0.2124482891499997, 0.04215025813125414, 0.1915150976015177, 0.052840027578610525, 0.026816366077064495, 0.0022051078124579603, 0.004420278143045, -0.001713470617042255, -0.18874270691886016, 0.04311013295471919, -0.13709798748907248, -0.1614390647959489, 0.10462007109311422, -0.13921350577805455, -0.08694611848009885, -0.037111533281235044, 0.15170978790351589, 0.12840345209754347, 0.005550688956452556, 0.18472028215579905, 0.21366004094817198, -0.018179941827563526, 0.016073734193005708, -0.06651371393882569, 0.2196624273186203, -0.0859846734944447, 0.10505554349601193, -0.08457265824213005, -0.09786783371839984, -0.06922148126876126, 0.1172038002186873, -0.11187878318343811, 0.2921442966823453, 0.07689978727529719, 0.04018507906003979, -0.08344126726994357, 0.13979364549617979, -0.04516800105388613, -0.15324638877470337, -0.20352606840626164, 0.03713433298650906, -0.00024769397832989887, -0.0406311730028915, -0.027043131646227174, -0.0622778737911749, 0.07333479790138524, -0.2346911335276097, 0.24671597769197454]),
+      |      list_dot_product(v, [-0.19689398700817617, 0.0025371265311852037, 0.12186596636562562, 0.10240890271650518, 0.07814494185798103, 0.008582810626444505, -0.03697645974550576, -0.06542231481390687, -0.13586728357179953, 0.07388908722530156, 0.0053049650856987155, 0.12485301168515417, -0.22373664591493303, -0.15186166219383734, -0.07588235160813901, -0.2510961326103161, -0.18454397247066281, 0.02371067027644102, -0.027515992176765793, -0.011616456010000067, 0.14755753465981772, 0.20478934859439513, -0.10973315083024392, -0.06187125616612763, -0.05170370408961863, -0.21094539091596812, 0.03796198170997332, -0.11524746696834422, 0.1860915666231519, 0.22845919235057127, 0.04409500845940704, -0.23515698676318694, 0.019183069651032975, 0.23805100751094244, 0.08483299521194985, -0.06620368351607497, 0.13600230087898052, 0.17937914789543769, -0.08327560009515234, -0.004914166516078895, -0.07491932266068634, -0.14202782144180975, -0.03459721559610937, -0.04370438083793603, 0.0949722260805846, 0.0014658976480054497, -0.005785214062767768, 0.12656036964071243, -0.13852383554749412, -0.018141171208210956, 0.016382282072574843, 0.04937033474995374, 0.01226451153669905, -0.07142289534469688, -0.1239580105464764, 0.20032238156421311, -0.06539487513671083, -0.1701408667969809, -0.13580431328684425, 0.278936821127855, 0.09043245503619458, 0.14260758019106298, 0.010443358104778675, 0.016220262121011023]),
+      |      list_dot_product(v, [-0.051457827187467636, 0.15977307622921563, 0.005756379682962818, -0.024866621886749204, 0.09828342600326256, -0.11045200384249787, -0.04182570577877159, 0.0248257694806527, 0.17485497509427303, -0.14678199656786461, 0.06339335923327208, -0.15941091133720964, -0.011650871116009393, -0.06738937790734327, 0.2810929865627124, 0.06449050274424478, 0.15898611034754725, -0.03437026177694379, -0.1119709725374098, 0.11317424559563329, 0.11887340567409645, -0.05994055125246724, -0.10192081326152708, 0.33293747966673937, -0.06916865567169937, -0.16351598856174918, -0.029357927565058985, -0.12018017094517029, 0.1855956013679997, -0.0628269855268284, -0.2203059528362397, 0.0376608736924009, 0.008169536317786573, 0.020932417915671662, -0.16789153074873198, 0.03721068409538705, 0.1738990731357094, 0.22704470721575384, -0.18137821205386248, -0.046314938701612365, -0.0775938734653261, -0.03697600293689926, -0.2795463539912775, -0.04790387432448614, -0.022600304153480397, -0.02663371368761775, 0.03306528595295859, 0.005796771381911172, 0.1308185746798335, -0.2665705927832332, 0.021535267609141144, -0.08729660337506741, -0.04329823454430094, -0.10654810092471605, -0.08474862676900095, 0.030074852245366584, -0.03435788332325232, 0.061078988114918284, -0.14061497892028935, -0.13650280777663373, -0.0626195021217009, -0.15662391819533206, 0.07477946763477863, 0.1399787178894721]),
+      |      list_dot_product(v, [-0.02562159860751807, -0.03026644306349051, 0.21928698265730043, 0.19162058497071055, 0.0612241612451374, -0.09679150549103827, 0.06952195725926845, -0.060029967911578185, -0.08105065132517715, -0.2151250390930884, 0.2527628596078477, 0.04331942362595786, -0.038379079729809994, -0.15035564753567526, -0.10899873017506238, -0.031525266632877955, -0.001985081069268935, -0.07803740414904776, 0.009312608151338829, -0.19909958593543262, -0.05433438324156491, -0.070065751851181, -0.09127304781842052, -0.10606251337303402, -0.04624308235077267, 0.2141619993182913, 0.01435486772971217, 0.001001830191205151, 0.24532941231054645, 0.061228950167275864, -0.13122543152011298, -0.1803968195625525, -0.016117885487245836, -0.03272180143509729, -0.21598382318578094, -0.236483044120189, -0.15459605783656527, 0.09896183894508379, 0.2070939513578071, 0.04122284108075342, 0.13982556607190855, 0.0533675005465786, -0.12637116797948914, 0.03367387771684497, -0.10357330337966286, -0.05124726133679262, 0.05414001474884274, 0.13333565804872652, -0.09150752762630167, -0.0049295351594076916, 0.11552794886512475, -0.001926532779859254, -0.07437573824616812, 0.06809734800999229, 0.15273402230606176, -0.09299799431814602, 0.03211690532028537, 0.1955858069110934, 0.17594911357045132, -0.1594144732475997, 0.083246099941025, 0.047234444675553086, -0.08211948990579204, 0.2648077971350644]),
+      |      list_dot_product(v, [0.06805053117751811, -0.11544219185568803, 0.1369320923478017, -0.13797092922024232, 0.01772194461626603, -0.2699616226934985, -0.2092998988605669, 0.06919396892744023, -0.0756992056626217, -0.08538622435548314, 0.030461799759204, 0.11407006770401505, 0.04084957887645519, 0.07285466672361647, -0.1648661122119325, -0.03938052327807341, 0.015228307881569321, 0.030689635366171867, 0.02334160238346561, 0.14278097908914214, -0.24903013429175722, 0.028249056210067444, 0.06499874811871446, 0.16213192417715008, 0.1312054893934375, -0.10886499645434544, 0.02592014627135319, -0.015061100785358961, 0.028074228211359926, 0.0900586312249159, 0.06271000204826531, -0.002150303763967744, -0.04551478869597588, 0.040095341036132354, -0.013385959518167035, 0.0721590915159958, -0.2169046709675678, 0.07798069826951307, 0.21259048331102529, -0.11199238903367968, -0.1244399594543401, 0.17451512421349424, -0.0712102625365952, 0.010607975296832283, 0.06361611142388608, 0.01089710012583785, 0.012100804909140513, -0.22569238474254832, 0.07442909700243833, -0.17911932415437826, 0.029376049063303045, 0.001291914065959066, 0.19540107197635223, 0.012134039437372115, -0.046129258717065295, 0.012980874711973088, -0.10819733036519928, -0.25964510101019356, -0.10827075985035066, -0.25732582858340597, 0.16530644682554924, 0.30977479011388653, 0.11051022895212165, 0.05990892315815736]),
+      |      list_dot_product(v, [0.052593493667023095, 0.11360631704425828, -0.07402780062272511, -0.08575965496948756, 0.16487536921068857, 0.05464093824537975, 0.3124373426219571, 0.08313727093473652, -0.06718331519681303, 0.05533107314034348, 0.009527109830763951, 0.048950985789187385, -0.1414328447324759, -0.03009417934037621, 0.03557309306180405, 0.041102711468380806, -0.012777629821550555, 0.11708177093062253, 0.15709247591531245, -0.0025429036986065437, -0.1643581282499366, -0.2428784421010984, -0.10541014723809111, 0.024090747286022486, -0.14439440070143408, 0.00534492999430136, 0.0840302418169494, -0.22789054933063987, 0.03755322115747772, 0.05934380526369349, 0.3734428609036541, 0.04084657183219356, 0.12366182609983982, -0.05399494425015901, 0.015517577881241076, -0.26589091567301193, -0.07889074955484389, 0.016816722274819115, 0.03431183917665056, -0.06007585240003902, -0.025299072224203085, 0.06558988667435407, -0.06647966070029221, 0.101217930744492, 0.31659480007428875, 0.031879233247107175, 0.22407305996776966, 0.079185817318645, -0.040549881385763445, -0.06095174210558638, -0.036029040060733, 0.0807349281305109, 0.014222503027202084, -0.19013365723135564, -0.0846961920242704, -0.11944484626298738, 0.15613712945980296, -0.052377058413183596, -0.09387359787024506, -0.13640681000306695, 0.0055040211596505, -0.15186482589880815, 0.04468346668890832, -0.11094926024697088]),
+      |      list_dot_product(v, [-0.10787103982484096, -0.03250233166150209, -0.08832367289534691, 0.06619382025178297, -0.041586956106049, 0.08909548077590371, -0.03886721246171471, 0.09351235175208178, -0.06386701772036543, -0.05185927948529816, 0.21863027747715905, -0.17058898090717695, 0.1016718402946563, -0.2309943501653401, -0.08296533639681315, -0.17665597265890504, -0.0991158772841154, -0.056717705792772674, -0.227244033929629, 0.057998799307976835, -0.045022523725664176, -0.1156086740987907, 0.10560002950674684, -0.06851579153493845, 0.18648167058598825, -0.15593255365371436, -0.06118082673743356, -0.0483825654405542, -0.10990405698358488, -0.14427273520977218, 0.28232479572539093, -0.23428069121122724, 0.34440726124655946, -0.09489044697697041, 0.020858363843744364, 0.05801766901116757, -0.004186226730627027, 0.004667291393547143, -0.1472601302922624, -0.2074956103264373, 0.0891018171868308, 0.027494355392110294, -0.06950349141108483, 0.03620645476332798, -0.0846931200239981, 0.22393161110340107, -0.203600084041873, 0.05195029587397822, 0.07192513747674555, 0.0364638221234156, -0.08531356048589943, -0.07017623595013768, 0.12942736689672668, -0.02633435362498124, -0.009666488690266413, -0.17792423410787211, -0.06961127284007429, -0.0018506564719176037, 0.07997575492366175, -0.030962440002029145, -0.01019816144319695, -0.07535838423232324, 0.12860638444889355, 0.1512177243910959]),
+      |      list_dot_product(v, [-0.11908276955939832, 0.1544533491643649, 0.19015600071424077, -0.05645122767481035, 0.09382814861545302, 0.15814948661609468, -0.2020729993528114, -0.09216812257718851, -0.013059014390418287, 0.17620246718570748, -0.008733715329563616, -0.1362421836469, 0.08346561014875438, -0.01573691458329522, -0.13120812833892762, 0.09466328179955039, 0.049902602980613, 0.04734032752763539, -0.20012358648512948, -0.009944496381128065, -0.014774642931970084, 0.030586321258019133, -0.04273912094281035, 0.0033210747408777383, -0.03525469569927321, 0.10083683460145339, 0.35896631354138314, -0.1730899738063606, -0.07682328556064964, 0.2156287396565476, 0.02794412048536156, -0.010673910251098786, 0.182693394619778, -0.14899722267994386, -0.15881995472914767, 0.03698484915877048, 0.12229599501591266, -0.06845905324850808, 0.317851932849784, 0.13987760124078197, 0.01955012735780476, 0.09301085098928061, 0.004147180393234246, 0.07165875384306658, -0.08361568209836, -0.01915872460553624, 0.08654690737298298, -0.06989197155960546, 0.19123034845052025, -0.12499926389646382, 0.13754202993022918, -0.06696415772005425, 0.16763365331833388, 0.052961555483843105, -0.09192530415237876, 0.11740313585477188, 0.061024553691164815, 0.03397128345184025, 0.08684365422451663, 0.20300173837290733, -0.12817513038767434, -0.11037444852126525, 0.11931602818050635, -0.05741206633051526]),
+      |      list_dot_product(v, [-0.05208839275281022, -0.13050253993046043, -0.07968820903330058, 0.055884795586629156, 0.06114093966690773, 0.013182343748192205, -0.1367078223338193, 0.04743323210339242, 0.013051104150672246, 0.024646472959109024, 0.1986133786002083, -0.2795035747960826, 0.02236565863498211, -0.19950067691377563, 0.13448742950362674, 0.0374939593009954, -0.11419727286197924, -0.008147344203780172, 0.03517582653440748, -0.2677372172495607, 0.3014287172971226, 0.03602252651668692, 0.08329559576200812, 0.15119310383221252, -0.023830203841039725, 0.17169018934644584, -0.20498751010812458, 0.0048135043196877204, -0.043868726115094264, -0.04345515405005485, 0.1377184142706809, 0.05589874636541001, -0.0068986282275238595, 0.009954886878367139, 0.03486398062530267, -0.040294524002889645, 0.002854504375469458, -0.1659066644142595, 0.1949186866414483, 0.020156989627387264, 0.12113881887447968, 0.16620270951041322, 0.12071307642537478, -0.15237542494606965, 0.07538154279652864, -0.03415232638488226, 0.28396184804442326, -0.025411473123384633, -0.09925282962428644, -0.06378172985966848, -0.16784824815887558, -0.010448286639952174, 0.05063298427567901, 0.1605590000935177, -0.0778751675099602, 0.17039792351616742, -0.14360229714537856, -0.11025604215849737, -0.27252180960575795, -0.06816093379112279, 0.06548773783136394, -0.02779115626877266, -0.01710079124875672, 0.04462230843036494]),
+      |      list_dot_product(v, [-0.17568372254424677, -0.12211655429415227, -0.05258202170826292, -0.07469182489387761, -0.13818571750971798, 0.08703864764934836, 0.19953462933030242, -0.03454289344294349, -0.08331400494515803, -0.13168989885355412, 0.021298412076829587, 0.1482703274764822, -0.08822015569669531, 0.05028255849841164, 0.02306540592667673, -0.04838305249994385, 0.1542820605835008, 0.042277794199077914, -0.13280691250740143, -0.06051502502882461, 0.11353696157833121, -0.030351005158916, -0.10037434100316056, 0.3103784762147309, -0.10471414507076292, 0.010301742340461217, -0.1633615131147704, 0.13620270275480192, 0.04282819870306619, 0.08917892464120862, 0.05967293585681635, -0.0752911568872097, 0.07412226425541099, 0.07420067879427047, -0.023635308796836105, 0.050368117641390826, -0.254452322687109, -0.06788265350675221, 0.10068634274189199, -0.018296766341699577, 0.07829789720883772, -0.13797715708948055, 0.25731098748440373, 0.013471840241666599, -0.028912072976493435, 0.07420703775623749, 0.040623571468397776, -0.23003008572584985, 0.039787315171640955, -0.23214384466914736, 0.07981930184981281, 0.19076740386916746, -0.07002870442571285, -0.17243682269409263, -0.03352425007486669, -0.00872844626958117, -0.2242438031668938, -0.023233418265251292, 0.26912452799896186, 0.12399104994347232, -0.20296675304984746, -0.07563482608593802, 0.09834322332369218, 0.01342607651300232]),
+      |      list_dot_product(v, [0.17412728361989077, -0.10213663389653538, -0.062253222117119526, 0.22137758354309814, 0.04033376531888296, 0.07702302601940562, 0.012136897746002928, -0.1633254837569183, 0.21696989447764625, 0.0140975407721971, -0.08110171573455087, 0.17458872129344713, -0.14982567982601308, -0.13468358481319712, -0.15086633923664533, 0.17027262285407602, -0.057661069247814785, -0.12178127295087818, -0.1416765766133739, 0.2587954047137041, 0.18400402865470905, -0.09587778641795196, -0.16581064738875942, -0.0878749539001395, -0.09293597087904658, -0.14924089035184407, -0.1259735774835687, 0.15539417877156703, 0.0720011852523835, 0.17441493935099403, 0.10632333522661636, -0.004500674004080613, 0.0400761020802268, 0.09784219420255738, -0.1597792263058883, 0.12636648688974308, 0.11318054348640731, -0.17692916497787495, 0.02364040488066004, -0.06637887088969631, -0.11747237836699484, 0.1487646330559176, 0.009713042373178786, 0.07340754076616385, -0.009947284972485667, 0.20225703782505097, 0.1884649971935993, 0.015556153486001527, 0.002736877722186056, -0.09607675438402159, -0.06364286461883206, -0.15107490627027378, -0.11375929952854565, 0.23376875466856176, 0.004867211591574048, -0.07269846436232745, 0.07204952536476941, 0.016171477462420814, 0.07918766930666771, -0.15483393622395594, -0.03634858607905077, 0.10734058613987904, 0.05544916213942951, -0.11585213202837708]),
+      |      list_dot_product(v, [-0.19060229744532345, -0.0028391270831949894, -0.01265269380110024, -0.16591103851771347, -0.0293721923260438, -0.01594582044308896, 0.0743093288484112, -0.1300682450094597, -0.005232654309656512, 0.02135177290648818, 0.10969259130433198, -0.01892726022045898, -0.17253433764417567, -0.020000006456255694, 0.11672927277442384, -0.04794117040945936, -0.07718572249390072, 0.051189976699694315, 0.19677269376539466, -0.0485534188401776, -0.01640193121330505, 0.14602697357898048, -0.02198073751343474, 0.23434686469334176, 0.10293041354780037, -0.14446492855362425, 0.10388757957146263, -0.14500079606284375, -0.13519850771509076, -0.12059961376410842, 0.145295849716633, -0.1835621763355366, -0.19016002127295256, 0.12015879929913141, -0.1914207973740019, 0.03770162812581218, -0.049283886747923965, 0.03254419129307255, 0.08643018004800841, -0.22943885882322523, -0.038702067063482504, -0.0013759609549472177, -0.11083631000540405, 0.20058682228594366, -0.1488658335912809, 0.025838361993070536, 0.09085278438651948, -0.17705880553510342, 0.06963750171970075, 0.16987362167820294, 0.006595176089186593, -0.17281104488408383, -0.08251602035200378, 0.26915225160595174, 0.2047366919041596, -0.05352186913452125, 0.010894713064456454, 0.10978205326064054, 0.0031744075828747313, 0.06411724819241373, -0.04247395529006682, -0.0528454629218704, -0.2204493294655504, -0.2237048716489411]),
+      |      list_dot_product(v, [0.2444244873764672, -0.08220661591095899, 0.10862244743647519, 0.026619353319951924, 0.04973662244662739, -0.11982936171573996, 0.11001213696834004, 0.0283553081720156, -0.07984506637196806, 0.17151701063376243, -0.18621153014601985, -0.03599071186452033, -0.2142318789339354, -0.135088147376485, -0.07684542241165063, -0.16275139898006247, 0.05849946476790447, -0.16096746880304783, -0.21986459531135527, 0.026531788628114214, 0.12514905129152432, 0.08639641947947571, 0.01351247123149385, 0.06332642321776501, 0.13132205175023712, -0.012479816750905768, -0.041125980623181735, 0.008188929546522724, -0.09149462995083862, -0.2629011247533472, -0.05379117861198717, -0.024286352051663004, -0.11245437650882738, -0.020840565215078464, 0.2591533172521671, 0.06737161053886953, 0.0687819050107759, 0.14370705034598247, 0.31541509353444097, -0.17931415279583687, -0.005666132571594147, 0.05166964711152843, 0.04265342274601771, -0.02378007145197643, 0.1883909827391054, 0.074956376691299, 0.0839728477731171, 0.0604241134141576, 0.2248329068943772, 0.021633880673971227, 0.17020680187015214, 0.10553885881221978, -0.02993290956975034, -0.09552280872098963, 0.10419368928627122, 0.1282183014830906, 0.14052951099925554, 0.15765007120810798, 0.04862739632044867, -0.032082514753062064, 0.036928084232444834, -0.18136566508797625, -0.017636944167217516, 0.0861055640171929]),
+      |      list_dot_product(v, [-0.010416286706607974, -0.18093068066620066, -0.054364041438023925, 0.14070873966359168, 0.20616921565628485, -0.15348867396638793, -0.01992895452068485, -0.10158894594859752, -0.26183327351159263, 0.06761770799969462, 0.05239190069631168, -0.0952904156860961, -0.0826826411258552, 0.030312813119843234, 0.09565910069190144, -0.10000861364498807, 0.12599919228208306, 0.21146484668901058, -0.14289988970355672, 0.08775662418041577, -0.050418173483145645, -0.09313523206223837, 0.017433014026972178, -0.025053613480393203, 0.05827649259159987, 0.19188618321363346, 0.07778765267317944, -0.030035688196639387, 0.07441981845669128, 0.10699625738149916, 0.06876446082957448, 0.06938383927602747, -0.09771911494092343, 0.09808676816762889, -0.12189987809171182, 0.21994363086799942, -0.14861360742245347, -0.059661290225716375, -0.2910893304034758, 0.052178690986834, 0.13815529233597176, 0.0795291996042814, 0.033386642425683774, 0.12656941606607053, 0.09483536422235844, -0.03632150797051608, -0.05757290397281288, 0.03947850079873428, 0.33426652481930336, -0.02822649951053893, -0.27293094907356535, 0.06813634119916522, -0.12218612933262803, 0.07558993028353414, -0.03728010236779328, 0.16892639220275002, 0.1852836509095603, -0.041240778623649464, 0.06374659092835355, 0.047599715772663094, -0.0036396865948091065, 0.020826922743636234, -0.1846441006544324, 0.0939327517970931]),
+      |      list_dot_product(v, [0.07659205877227288, 0.08828667953868814, -0.013438731579867741, 0.19186130514671287, -0.05854392674929725, -0.021724572839792382, 0.02536976271519518, -0.01851662915120975, 0.13065500818737008, -0.20848118010443936, -0.23318201007353262, -0.09239836161077321, -0.012720711360963593, 0.08161625854826719, 0.04623950927832745, -0.1019409410886137, -0.11135898866281095, 0.04860073065312569, 0.14266858802471147, -0.1337757391405497, -0.07960760637972489, 0.07703624494844336, -0.1256599284587522, 0.12662380986850194, 0.11963322666121101, 0.05654859467277879, 0.13014556246408102, -0.04565964815738436, -0.14244492520598204, -0.05039218182321032, -0.004518967217593921, -0.15703519677363062, 0.1862990167054435, 0.28044206990440806, 0.0931434990426939, 0.09027233157035316, 0.056807398150377705, -0.19712864028468693, -0.08838626435969212, 0.1284554622396086, -0.23023771836197987, 0.08174251601376788, 0.09248186981416112, 0.12690733350555825, 0.20447558727029072, -0.16839577899704025, 0.027817609431539173, -0.0115409210991307, -0.09194395569521036, -0.17181756273905646, -0.0008778962809145156, -0.0826975169341758, 0.15456476601344837, 0.1195181105692871, 0.1396901765681837, -0.023627929650565916, 0.044827655294687054, -0.06514703240328072, 0.18466222448729847, -0.012801847708489184, 0.0168632349079748, -0.14292574951261952, -0.012626578919638486, 0.32257777125104775]),
+      |      list_dot_product(v, [0.10693871889434925, 0.015276268785640503, -0.05319884217031299, 0.2671451169485218, 0.013433953756114255, -0.04165864275144235, -0.11927030977473049, 0.037128003935288846, 0.056677124263260825, -0.06802718738539475, -0.15107142112197033, 0.18670939362154113, -0.06140901397226743, -0.2107483889912893, 0.1870510592186833, -0.23223220075309448, -0.1324993983707927, 0.039941287086645606, -0.023594957191351608, 0.02581445422147362, -0.15149359605507248, 0.0031026307547429148, 0.06436451632831651, 0.029991619993889006, -0.2125654278415903, -0.08006025177257137, -0.10969418496737084, -0.2534139026370306, -0.20807029791845016, 0.14882058386805905, -0.04124324932744845, -0.12094185676297846, -0.041927328818269806, -0.11854359523583366, -0.09138641870871862, 0.10021428632801559, -0.056770299548142424, 0.07654317002893915, -0.0020653574372284573, 0.20215268949989454, 0.23536743452594275, 0.01714455882652576, 0.1633474361197346, -0.11203312478619382, -0.06662815193642146, -0.10501284866922651, -0.11315051225246564, -0.19834195048601622, -0.015997295323482045, 0.01957764230837355, 0.04660429433384599, -0.03169897836207041, 0.08376499458733153, -0.04960291513339238, -0.05520798698337496, 0.036036984286431574, -0.006295896366793376, 0.14090015209626464, 0.008727143378303914, -0.2149946606218417, 0.12548282780052405, -0.17014021883567143, -0.01986984395514703, -0.24573111182589966]),
+      |      list_dot_product(v, [0.24017223564588613, 0.0036533550866186602, -0.013009099069123271, 0.02269719303526065, 0.24134276732167848, -0.04175479215601547, 0.08993570582676055, 0.18179627894431424, -0.0650123587090974, -0.08894402343145581, -0.03610272076705571, 0.07981840077281019, -0.0757782838900414, -0.011461436245615512, 0.3452477777812953, 0.007150838681042602, 0.16679874662221014, -0.13902181836010463, 0.09635763236437704, -0.1944462323647225, 0.10366508125226262, 0.12503153868365335, -0.07873850224016396, -0.0672381478550166, 0.1806440234456739, -0.2740731125810573, 0.0050354141900984814, 0.008413329889138238, 0.05123381753526669, 0.06777272024773634, 0.12121108720974952, 0.2034596702128077, 0.08787665125011698, -0.035853624573338766, -0.06255104383391356, -0.014492937497175428, 0.0867836173117376, -0.06714853037615635, 0.12666456384788133, 0.04109721782372483, 0.2887318233900466, -0.11358640354240084, -0.001973261093284916, 0.06972871449004885, -0.17854574088625605, -0.04145546465807622, -0.03483189597489059, 0.010103843091148392, 0.06059298953966982, 0.011279492918855553, -0.016406241641612015, -0.09717119069820948, 0.16373721912894834, -0.0035241742277993984, 0.15106628444345718, -0.04545229500222999, 0.11174124595101799, -0.21774311829878654, 0.13236052580684993, 0.13327925354963316, -0.01694326573694344, 0.19126748921549824, 0.12580058875856692, 0.031914848739978165]),
+      |      list_dot_product(v, [-0.2331668724455825, 0.032200321588134226, -0.15196719463357478, -0.10494070269291861, -0.15045763848808275, -0.17676017022513335, 0.07753365589303494, -0.013299657072211866, 0.24288398817716061, 0.09348044108282197, -0.08449145042489135, 0.09269523508866379, -0.17578859734115496, 0.005394635571864005, 0.24858020526815583, -0.012913629524001501, -0.11324274040824504, 0.03941657369603356, -0.12366381294236621, -0.06325896609616843, -0.1456641526944805, -0.07168619977634964, 0.1047685726062981, -0.06284517635258224, 0.09519532787147536, 0.12616038427577222, -0.13431991535772023, -0.026147458640243062, -0.04540947692928395, 0.1321087046060969, -0.07171505252185888, -0.048469466630471365, 0.10708783643195419, -0.01952244330500109, -0.033742260040432334, -0.14735493995257384, -0.07982362807488881, 0.05615369065686223, 0.06837032149181878, -0.020087997701606904, -0.12239584700304057, 0.042256090747243395, 0.259447822663882, 0.025415968497802602, -0.10648325203340582, 0.012492662401929656, 0.00928919994776607, 0.34014425573358165, 0.2335853521449206, 0.08570026330858474, 0.12602465353350759, -0.1808047365406378, 0.013124997033984103, 0.007987154768575628, 0.04218095276569692, 0.14754546944785474, 0.06860562667828965, -0.08647440558350933, -0.11239809076398029, -0.105484254215172, -0.21346846286630133, 0.18015641107891506, 0.09739258223594285, 0.0968168828283392]),
+      |      list_dot_product(v, [-0.14620857410755564, 0.13496323017792067, -0.12569282984443533, 0.1457404060538402, 0.09877835101795454, -0.033558501848163926, 0.05065941098599951, -0.1370173649492731, -0.23131138261391648, 0.033048978798853997, -0.008819505976475317, -0.07966545967760758, 0.1540489614778576, 0.10020830559879479, 0.15990225367601824, -0.07816487919545559, -0.06799789588850004, 0.08862466158172765, -0.0840875783055038, 0.03087809682990439, 0.004208224429432348, -0.11332208968898991, -0.015500762806232873, 0.08317383512223664, -0.20864783316642568, -0.14586857160924904, 0.002061630884520172, 0.03443480299966427, 0.052408362901001634, -0.2431742074884484, -0.20329659747060955, -0.11198726842066432, -0.01926042034186358, -0.20808417531385015, 0.08902820668657367, 0.2212775410676141, -0.0763633983395489, -0.1080537432887597, 0.257517730205964, -0.01691644735314649, -0.05761912176304789, -0.11691060665405242, 0.06403072989952803, 0.190230235039136, -0.03607456931003682, 0.1452100249615331, -0.003224571998280011, 0.08744566613302249, -0.29232513195930543, -0.07889337398976878, 0.05974934787738988, -0.03589893878688266, 0.016451253198033568, 0.051518632731348254, -0.10800882679508556, -0.027762682238195016, 0.3145628089960259, -0.14912875626675573, -0.03986598838152908, -0.054644636991821954, 0.013483401244356152, 0.1694861566503457, -0.06175143917020527, -0.005336112794623202]),
+      |      list_dot_product(v, [-0.08390340094113034, -0.2267371496857079, 0.0012822070433701834, 0.01025920204138206, -0.04549901930434793, 0.04500101997470544, 0.036578477500159925, 0.211093996906551, -0.15386832672653858, -0.13777419100253258, -0.06456177499808981, -0.12055530988844483, -0.02210936948174555, 0.11612852257192131, -0.019599041269722162, -0.001611366290142894, -0.10967981740767738, -0.29660605719409905, -0.04303674313261721, 0.046641150846948025, -0.07272062304611687, -0.13678494071547803, 0.013333780781951033, -0.005150269352692955, -0.11615690582960839, -0.13507930712600094, 0.085584360608796, -0.018996658055993293, -0.15819287332885154, 0.1626030447127311, -0.20360704460378076, 0.09308191906845281, -0.043290090654983085, -0.05712367384780884, -0.06870870086671729, -0.11455011946433671, 0.05704830561481602, -0.051397831616099225, 0.045788236442677425, -0.05863925552560958, 0.17545477895402026, -0.10484647031993924, 0.04277838922118694, 0.26164558845890723, 0.40367380860628554, 0.023294577246180517, -0.1366501907535222, 0.0545215512618137, 0.01649853286664688, -0.12890530245181875, -0.01657936308844695, -0.1542608997335158, -0.02141759878138973, 0.15478585365816055, 0.0885854210062148, 0.01861099968062397, -0.20992671853323733, 0.17519333260847292, -0.20336091621242003, 0.08290540032698242, -0.10635747912867029, 0.07331954942134844, -0.040214232267793026, -0.0005389169067859228])]""".stripMargin
 
   /** ANN recall AS DATA — now ORACLE-EXACT end to end: every leg of
     * the audit table (exact truth, hyperplane-LSH, label-IVF,
@@ -991,13 +1040,14 @@ object Similarity {
        |         OR a.s4 = b.s4 OR a.s5 = b.s5 OR a.s6 = b.s6 OR a.s7 = b.s7)
        |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
        |    AND list_cosine_similarity(a.v, b.v) >= 0.45),
+       |${kmeansSnapshotSql("d", gateKmeansRows)},
        |sprobes AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT c.vec_id, k.cluster,
        |      row_number() OVER (PARTITION BY c.vec_id
        |        ORDER BY list_cosine_similarity(c.v, k.centroid) DESC, k.cluster) AS r
-       |    FROM c, pcents k) t WHERE r <= 3
-       |  UNION SELECT vec_id, cluster FROM assign),
+       |    FROM c, dpcents k) t WHERE r <= 3
+       |  UNION SELECT vec_id, cluster FROM dassign),
        |spairs AS (
        |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
        |  FROM sprobes pa JOIN sprobes pb ON pa.cluster = pb.cluster
@@ -1104,12 +1154,17 @@ object Similarity {
       .unionAll(recallRow("quantized_int8", "k=5", annQuantSilver(s, dir)))
       .unionAll(recallRow("rerank_trunc", "prefix=16,shortlist=20,k=5",
         rerankTopK(emb, q, 5, prefixDim = 16, shortlist = 20)))
-      .unionAll(recallRow("rerank_trained", "pca-rot16,shortlist=20,k=5",
-        rerankTopKTrained(emb, q, 5, prefixDim = 16, shortlist = 20)))
-      .unionAll(recallRow("rerank_trained24", "pca-rot24,shortlist=20,k=5",
-        rerankTopKTrained(emb, q, 5, prefixDim = 24, shortlist = 20)))
-      .unionAll(recallRow("rerank_trained32", "pca-rot32,shortlist=20,k=5",
-        rerankTopKTrained(emb, q, 5, prefixDim = 32, shortlist = 20)))
+      .unionAll({
+        // one Gramian + eigendecomposition for the whole capacity curve:
+        // rot32's leading 16/24 rows are exactly rot16/rot24
+        val rot32 = trainedRotation(emb, 32)
+        recallRow("rerank_trained", "pca-rot16,shortlist=20,k=5",
+            rerankTopKTrainedWith(emb, q, 5, rot32.take(16), shortlist = 20))
+          .unionAll(recallRow("rerank_trained24", "pca-rot24,shortlist=20,k=5",
+            rerankTopKTrainedWith(emb, q, 5, rot32.take(24), shortlist = 20)))
+          .unionAll(recallRow("rerank_trained32", "pca-rot32,shortlist=20,k=5",
+            rerankTopKTrainedWith(emb, q, 5, rot32, shortlist = 20)))
+      })
       .unionAll(ndRow)
       .unionAll(sdRow)
       .orderBy("method")
@@ -1406,43 +1461,60 @@ object Similarity {
 
   /** TRAINED matryoshka rotation: top-`m` principal directions of the
     * embedding covariance, learned from a bounded deterministic sample
-    * (vec_id < sampleN, collected in vec_id order so double summation is
-    * reproducible). Returns `m` projection rows of length d. The fixture
-    * is near-isotropic by construction, so dimension SELECTION cannot
-    * help (top-16-by-variance carries 27% of energy vs 25% uniform —
-    * measured WORSE than the identity prefix); a learned ROTATION
-    * concentrates energy the way real MRL training front-loads it. At
-    * 100 TB the sample collect becomes a distributed Gramian
-    * treeAggregate (only the d×d matrix reaches the driver — same
-    * driver-bounded contract as the k-means init); the eigensolve is
-    * dim-sized either way. Sign-fixed (largest-|component| positive) so
-    * the rotation is unique, not just the subspace. */
+    * (vec_id < sampleN). Returns `m` projection rows of length d. The
+    * fixture is near-isotropic by construction, so dimension SELECTION
+    * cannot help (top-16-by-variance carries 27% of energy vs 25%
+    * uniform — measured WORSE than the identity prefix); a learned
+    * ROTATION concentrates energy the way real MRL training front-loads
+    * it.
+    *
+    * DISTRIBUTED GRAMIAN (r12 verdict item 4, replacing the 4096-row
+    * driver collect): the first and second moments are computed in the
+    * cluster — per-element double products cast to decimal(28,10)
+    * (half-up) and summed EXACTLY, so the sums are order-independent
+    * and any partitioning yields the same bits — and only the d sums
+    * plus the d(d+1)/2 upper-triangle Gramian cells reach the driver
+    * (the same driver-bounded contract as the k-means init; a
+    * treeAggregate of raw doubles would be partition-order-dependent,
+    * which is why the decimal hash-aggregate is the right distributed
+    * form). cov_ij := G_ij/n − mean_i·mean_j by definition; the
+    * dim-sized Jacobi eigensolve stays on the driver. Sign-fixed
+    * (largest-|component| positive) so the rotation is unique, not just
+    * the subspace. Re-derived independently by tools/derive_rot.py
+    * (same decimal math in plain Python) for the e08 oracle. */
   private[graft] def trainedRotation(corpus: DataFrame, m: Int,
       sampleN: Int = 4096): Array[Array[Double]] = {
-    val sample = corpus.filter(col("vec_id") < sampleN).orderBy("vec_id")
-      .select(asDouble(col("embedding")).as("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty training sample for the rotation")
-    val d = sample.head.length
-    val n = sample.length
-    val mean = new Array[Double](d)
-    sample.foreach { r => var i = 0; while (i < d) { mean(i) += r(i); i += 1 } }
-    var i = 0
-    while (i < d) { mean(i) /= n; i += 1 }
+    val sample = corpus.filter(col("vec_id") < sampleN)
+      .select(asDouble(col("embedding")).as("v"))
+    val n = sample.count()
+    require(n > 0, "empty training sample for the rotation")
+    // one scan, one shuffle: each row fans out to its d first-moment
+    // cells (j = -1) plus its d(d+1)/2 upper-triangle product cells —
+    // a single hash aggregate over 2144 keys at d = 64
+    val cells = sample.select(explode(expr(
+      """flatten(transform(sequence(0, size(v) - 1), i ->
+        |  concat(array(named_struct('i', i, 'j', -1, 'p', v[i])),
+        |    transform(sequence(i, size(v) - 1), j ->
+        |      named_struct('i', i, 'j', j, 'p', v[i] * v[j])))))"""
+        .stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(28,10)")).cast("double").as("g"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val d = cells.keys.map(_._1).max + 1
+    val sums = (0 until d).map(i => i -> cells((i, -1))).toMap
+    val gram = cells.filter(_._1._2 >= 0)
+    val mean = Array.tabulate(d)(i => sums(i) / n)
     val cov = Array.ofDim[Double](d, d)
-    sample.foreach { r =>
-      var i = 0
-      while (i < d) {
-        val di = r(i) - mean(i)
-        var j = i
-        while (j < d) { cov(i)(j) += di * (r(j) - mean(j)); j += 1 }
-        i += 1
-      }
-    }
-    i = 0
+    var i = 0
     while (i < d) {
       var j = i
-      while (j < d) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+      while (j < d) {
+        val c = gram((i, j)) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
       i += 1
     }
     val (w, v) = jacobiEig(cov)
@@ -1469,8 +1541,17 @@ object Similarity {
     * (15/40); the trained rotation lifts it with the identical coarse
     * budget (prefixDim of dim floats per row). */
   def rerankTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
-      prefixDim: Int, shortlist: Int): DataFrame = {
-    val rot = trainedRotation(corpus, prefixDim)
+      prefixDim: Int, shortlist: Int): DataFrame =
+    rerankTopKTrainedWith(corpus, queries, k,
+      trainedRotation(corpus, prefixDim), shortlist)
+
+  /** Same scan with a PRE-TRAINED rotation: one eigendecomposition
+    * serves every prefix budget (rot32's first 16/24 rows ARE rot16/
+    * rot24 by construction — one sort order, larger prefix), so a
+    * capacity-curve audit like e08 trains ONCE and slices instead of
+    * re-running the Gramian per budget. */
+  def rerankTopKTrainedWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      rot: Array[Array[Double]], shortlist: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),

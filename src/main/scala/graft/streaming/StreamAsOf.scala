@@ -118,6 +118,60 @@ object StreamAsOf {
       }
   }
 
+  /** Structural equal-ts hold-back variant (r12 verdict item 7): the
+    * frontier rows of each key — those whose ts equals the key's max
+    * seen ts, where an equal-ts state row could still arrive in a later
+    * batch — are HELD in state un-answered and un-applied, and released
+    * the first time a strictly-later row (state or probe) of the same
+    * key arrives: under per-key ts-ordered arrival, a strictly-later row
+    * proves no ts ≤ probe.ts state row remains upstream, so the answer
+    * is final. This REMOVES [[latestStateMatches]]'s producer-ordering
+    * contract for equal-ts ties (rights-before-probes across batches)
+    * at the cost of answer latency: a frontier probe emits one batch
+    * late, and a key's final probes emit only when a later row (or an
+    * explicit sentinel flush — in production, a watermark-driven
+    * timeout) advances its frontier. Held probes re-enter the ordered
+    * replay each batch, so a tie split probe-first across batches is
+    * answered WITH the late equal-ts state row — identical to the batch
+    * operator's inclusive bound. State: O(keys) for the latest pair plus
+    * the held frontier probes (bounded by per-key probes within one
+    * frontier timestamp). */
+  def latestStateMatchesHoldback(rows: Dataset[StampedRow])
+      : Dataset[AsOfMatch] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Option[(Long, Double)], Vector[StampedRow]), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[StampedRow],
+            state: GroupState[(Option[(Long, Double)], Vector[StampedRow])]) =>
+          var (cur, held) = state.getOption
+            .getOrElse((Option.empty[(Long, Double)],
+              Vector.empty[StampedRow]))
+          // ALL frontier rows (rights and probes) are held un-applied and
+          // re-enter the replay: their ts <= every new row's ts (ordered
+          // arrival), so the (ts, rights-first, event_id) sort replays
+          // them in the batch operator's order against any late
+          // equal-ts arrivals — including re-sequencing equal-ts rights
+          // by event_id across the batch cut
+          val merged = (held ++ it.toSeq)
+            .sortBy(r => (r.ts_us, !r.is_right, r.event_id))
+          val maxTs = merged.lastOption.map(_.ts_us).getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[AsOfMatch]
+          var nextHeld = Vector.empty[StampedRow]
+          merged.foreach { r =>
+            if (r.ts_us < maxTs) { // final: no ts <= r.ts row can follow
+              if (r.is_right && cur.forall(_._1 <= r.ts_us))
+                cur = Some((r.ts_us, r.value))
+              out += AsOfMatch(r.event_id, r.user_id, r.ts_us,
+                cur.map(_._1), cur.map(_._2))
+            } else nextHeld :+= r // frontier: an equal-ts tie may follow
+          }
+          state.update((cur, nextHeld))
+          out.result().iterator
+      }
+  }
+
   def latestStateMatches(rows: Dataset[StampedRow]): Dataset[AsOfMatch] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.user_id)

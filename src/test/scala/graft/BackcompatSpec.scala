@@ -197,4 +197,204 @@ class BackcompatSpec extends SparkSpec {
     }
     assert(nonEmpty > 8, s"fuzz draws too empty ($nonEmpty/30) — widen ranges")
   }
+
+  test("randomized nft-transfer draws: QueryLayer == reference-shaped SQL " +
+      "(direction over new/old owner, no aborted filter)") {
+    import spark.implicits._
+    import QueryLayer.TokenEventRequest
+    val rnd = new Random(777L)
+    val transfers = (1 to 400).map { i =>
+      (s"N$i", (i * 11 % 700).toLong, i * 5 % 600,
+        s"0:${rnd.nextInt(8)}", s"0:${rnd.nextInt(8)}",
+        s"item${rnd.nextInt(12)}", s"col${rnd.nextInt(4)}")
+    }.toDF("tx_hash", "tx_lt", "tx_now", "new_owner", "old_owner",
+      "nft_item_address", "nft_collection_address")
+    transfers.createOrReplaceTempView("nt")
+
+    // reference WHERE/ORDER BY shape (crud_nft.go:134-215) restated
+    def sqlOf(r: TokenEventRequest): String = {
+      val ownerCond =
+        if (r.owner.isEmpty) None
+        else {
+          val ins = r.owner.map(o => s"'$o'").mkString("(", ",", ")")
+          r.direction match {
+            case Some("in") => Some(s"new_owner IN $ins")
+            case Some(_) => Some(s"old_owner IN $ins")
+            case None => Some(s"(new_owner IN $ins OR old_owner IN $ins)")
+          }
+        }
+      val conds = Seq(ownerCond,
+        if (r.wallet.nonEmpty)
+          Some(r.wallet.map(w => s"'$w'")
+            .mkString("nft_item_address IN (", ",", ")")) else None,
+        r.master.map(m => s"nft_collection_address = '$m'"),
+        r.utimeMin.map(v => s"tx_now >= $v"),
+        r.utimeMax.map(v => s"tx_now <= $v"),
+        r.ltMin.map(v => s"tx_lt >= $v"),
+        r.ltMax.map(v => s"tx_lt <= $v")).flatten
+      val where =
+        if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val orderCol =
+        if (r.utimeMin.isDefined || r.utimeMax.isDefined) "tx_now" else "tx_lt"
+      val dir = if (r.descending) "DESC" else "ASC"
+      val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+        else math.min(r.limit, QueryLayer.MaxLimit)
+      s"""SELECT tx_hash FROM nt$where
+         |ORDER BY $orderCol $dir, tx_hash $dir
+         |LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+    }
+
+    var nonEmpty = 0
+    (1 to 30).foreach { i =>
+      val r = TokenEventRequest(
+        owner = if (rnd.nextBoolean()) Seq(s"0:${rnd.nextInt(8)}") else Nil,
+        direction = rnd.nextInt(3) match {
+          case 0 => Some("in"); case 1 => Some("out"); case _ => None
+        },
+        wallet = if (rnd.nextInt(4) == 0) Seq(s"item${rnd.nextInt(12)}") else Nil,
+        master = if (rnd.nextInt(3) == 0) Some(s"col${rnd.nextInt(4)}") else None,
+        utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(300).toLong) else None,
+        utimeMax = if (rnd.nextInt(3) == 0) Some((150 + rnd.nextInt(450)).toLong) else None,
+        ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(400).toLong) else None,
+        ltMax = if (rnd.nextInt(3) == 0) Some((100 + rnd.nextInt(600)).toLong) else None,
+        descending = rnd.nextBoolean(),
+        limit = rnd.nextInt(600) - 40,
+        offset = rnd.nextInt(15) - 2)
+      val viaLayer = QueryLayer.nftTransfers(transfers, r)
+        .select("tx_hash").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(sqlOf(r)).collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 8, s"fuzz draws too empty ($nonEmpty/30) — widen ranges")
+  }
+
+  // ------------------------------------------------------------ actions
+
+  import QueryLayer.ActionsRequest
+
+  /** Synthetic actions + action_accounts bridge with denormalized copies
+    * — ties planted on every sort key so a wrong key order misorders. */
+  private def actionsFixture(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val rnd = new Random(99L)
+    val acts = (1 to 300).map { i =>
+      val traceLt = (i % 40) * 10L            // ties across traces
+      val traceUtime = (i % 25) * 7L          // DIFFERENT tie structure
+      (s"tr${i % 60}", s"a$i", s"t${rnd.nextInt(6)}",
+        traceUtime, traceLt, traceUtime + i % 3, traceLt + i % 5)
+    }.toDF("trace_id", "action_id", "type",
+      "trace_end_utime", "trace_end_lt", "end_utime", "end_lt")
+    val accounts = (1 to 300).flatMap { i =>
+      val traceLt = (i % 40) * 10L
+      val traceUtime = (i % 25) * 7L
+      (0 until 1 + rnd.nextInt(3)).map { a =>
+        (s"0:${(i + a) % 15}", s"tr${i % 60}", s"a$i",
+          traceUtime, traceLt, traceUtime + i % 3, traceLt + i % 5)
+      }
+    }.toDF("account", "trace_id", "action_id",
+      "trace_end_utime", "trace_end_lt", "action_end_utime", "action_end_lt")
+    (acts, accounts)
+  }
+
+  /** The reference orderby decision restated (crud_actions.go:85-105
+    * order_by_now, 184-198 four-key switch). `mutateClock` flips the
+    * switch — used by the canary below to prove the fuzz would catch a
+    * sort-contract regression. */
+  private def actionsSqlOf(r: ActionsRequest,
+      mutateClock: Boolean = false): String = {
+    val joinAccounts = r.account.isDefined
+    val orderByNow =
+      (r.utimeMin.isDefined || r.utimeMax.isDefined) != mutateClock
+    val (from, pfx) =
+      if (joinAccounts)
+        ("""(SELECT DISTINCT AA.account, AA.trace_id, AA.action_id,
+           |  AA.trace_end_utime, AA.trace_end_lt,
+           |  AA.action_end_utime AS end_utime,
+           |  AA.action_end_lt AS end_lt, A.type
+           |  FROM aa_view AA JOIN act_view A
+           |  ON A.trace_id = AA.trace_id AND A.action_id = AA.action_id)
+           |  t""".stripMargin, "")
+      else ("act_view", "")
+    val conds = Seq(
+      r.account.map(a => s"account = '$a'"),
+      r.utimeMin.map(v => s"trace_end_utime >= $v"),
+      r.utimeMax.map(v => s"trace_end_utime <= $v"),
+      r.ltMin.map(v => s"trace_end_lt >= $v"),
+      r.ltMax.map(v => s"trace_end_lt <= $v"),
+      if (r.includeTypes.nonEmpty)
+        Some(r.includeTypes.map(t => s"'$t'").mkString("type IN (", ",", ")"))
+      else None,
+      if (r.excludeTypes.nonEmpty)
+        Some(r.excludeTypes.map(t => s"'$t'")
+          .mkString("type NOT IN (", ",", ")"))
+      else None,
+      Some("end_lt IS NOT NULL")).flatten
+    val dir = if (r.descending) "DESC" else "ASC"
+    val keys =
+      if (orderByNow) Seq("trace_end_utime", "trace_id", "end_utime", "action_id")
+      else Seq("trace_end_lt", "trace_id", "end_lt", "action_id")
+    val order = keys.map(k => s"$pfx$k $dir").mkString(" ORDER BY ", ", ", "")
+    val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+      else math.min(r.limit, QueryLayer.MaxLimit)
+    s"""SELECT action_id FROM $from WHERE ${conds.mkString(" AND ")}
+       |$order LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+  }
+
+  private def actionsDraw(rnd: Random): ActionsRequest = ActionsRequest(
+    account = if (rnd.nextBoolean()) Some(s"0:${rnd.nextInt(15)}") else None,
+    utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(100).toLong) else None,
+    utimeMax = if (rnd.nextInt(3) == 0) Some((40 + rnd.nextInt(140)).toLong) else None,
+    ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(250).toLong) else None,
+    ltMax = if (rnd.nextInt(3) == 0) Some((100 + rnd.nextInt(300)).toLong) else None,
+    includeTypes = if (rnd.nextInt(3) == 0)
+      (0 until 1 + rnd.nextInt(3)).map(_ => s"t${rnd.nextInt(6)}").distinct
+    else Nil,
+    excludeTypes = if (rnd.nextInt(4) == 0) Seq(s"t${rnd.nextInt(6)}") else Nil,
+    descending = rnd.nextBoolean(),
+    limit = rnd.nextInt(400) - 30,
+    offset = rnd.nextInt(12) - 2)
+
+  test("randomized actions draws: QueryLayer == reference-shaped SQL " +
+      "(order_by_now clock switch + action_accounts site switch)") {
+    val (acts, accounts) = actionsFixture()
+    acts.createOrReplaceTempView("act_view")
+    accounts.createOrReplaceTempView("aa_view")
+    val rnd = new Random(20260816L)
+    var nonEmpty = 0
+    var clockSwitched = 0
+    (1 to 40).foreach { i =>
+      val r = actionsDraw(rnd)
+      val viaLayer = QueryLayer.actionsByRequest(acts, accounts, r)
+        .select("action_id").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(actionsSqlOf(r))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+      if (r.utimeMin.isDefined || r.utimeMax.isDefined) clockSwitched += 1
+    }
+    assert(nonEmpty > 12, s"fuzz draws too empty ($nonEmpty/40)")
+    assert(clockSwitched > 5 && clockSwitched < 35,
+      "draws must exercise both sides of the order_by_now switch")
+  }
+
+  test("mutation canary: a flipped order_by_now sort contract is CAUGHT " +
+      "by the actions fuzz") {
+    val (acts, accounts) = actionsFixture()
+    acts.createOrReplaceTempView("act_view")
+    accounts.createOrReplaceTempView("aa_view")
+    val rnd = new Random(20260816L) // same seed → same draws as above
+    val diverged = (1 to 40).count { _ =>
+      val r = actionsDraw(rnd)
+      val viaLayer = QueryLayer.actionsByRequest(acts, accounts, r)
+        .select("action_id").collect().map(_.getString(0)).toSeq
+      val mutated = spark.sql(actionsSqlOf(r, mutateClock = true))
+        .collect().map(_.getString(0)).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0,
+      "the fuzz must be able to catch a sort-contract mutation — " +
+        "fixture ties are too weak if every mutated draw still matches")
+  }
 }

@@ -258,4 +258,111 @@ class MultimodalSpec extends SparkSpec {
     fps.unpersist()
     ()
   }
+
+  test("audio near-dup report: lossless contraction — stars + rep pairs " +
+      "+ counts reconstruct the full pair listing exactly") {
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.audioGroupsFromDocuments(spark, sf)).toDF().cache()
+    val report = Multimodal.audioNearDupReport(fps, maxHamming = 2)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+    val full = Multimodal.audioNearDupPairs(fps, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // class membership from the star rows: rep -> all members (incl rep)
+    val members = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefault(r => Set(r))
+    report.collect { case ("star", rep, Some(m), Some(0), None) =>
+      members(rep) = members(rep) + rep + m
+    }
+    // reconstruct: within-class pairs are Hamming 0; each 'near' row
+    // expands to all cross-class member pairs at the reps' Hamming
+    val within = members.values.flatMap { ms =>
+      val s = ms.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j), 0)
+    }.toSet
+    val cross = report.collect {
+      case ("near", a, Some(b), Some(h), Some(np)) =>
+        val pairs = for (x <- members(a); y <- members(b))
+          yield (math.min(x, y), math.max(x, y), h)
+        assert(pairs.size.toLong == np,
+          s"near row ($a,$b) n_pairs=$np but expands to ${pairs.size}")
+        pairs
+    }.flatten.toSet
+    assert(within.union(cross) == full,
+      "report reconstruction must equal the full pair listing")
+    // per-class counts: C(sz, 2), and the report's total pair ledger
+    // equals the full listing's cardinality without materializing it
+    val classCounts = report.collect {
+      case ("class", rep, None, None, Some(np)) => rep -> np
+    }.toMap
+    classCounts.foreach { case (rep, np) =>
+      val sz = members(rep).size.toLong
+      assert(np == sz * (sz - 1) / 2, s"class $rep count off: $np vs $sz")
+    }
+    val ledger = report.flatMap(_._5).sum
+    assert(ledger == full.size.toLong,
+      s"sum(n_pairs)=$ledger must equal full listing ${full.size}")
+    // wherever exact-fp classes exist the contraction is strictly
+    // smaller: a class of sz contributes sz-1 star rows for C(sz,2) pairs
+    val dupClassSizes = members.values.map(_.size).filter(_ > 2)
+    dupClassSizes.foreach { sz =>
+      assert(sz - 1 < sz * (sz - 1) / 2, s"contraction not smaller at $sz")
+    }
+    fps.unpersist()
+    ()
+  }
+
+  test("video fingerprint: selective-decode fingerprints recompute from " +
+      "the generation formula; banded pairs equal brute force") {
+    val fps = Multimodal.videoFingerprint(
+      Multimodal.videoGroupsFromDocuments(spark, sf), stride = 2)
+      .toDF().cache()
+    val got = fps.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // Scala-side recompute straight from the fixture formula — no
+    // container, no codec: any corruption in the RIFF walk, the PNG
+    // round trip, the stride sampling, or the pooling breaks this
+    val exp = got.map { case (id, _, _, _) =>
+      val g = id - id % 3
+      val m = id % 3
+      val w = (4 + g % 13).toInt; val h = (3 + g % 7).toInt
+      val nf = (1 + g % 12).toInt
+      val gw = math.min(8, w); val gh = math.min(8, h)
+      val bs = Array.ofDim[Long](gh, gw)
+      val bn = Array.ofDim[Long](gh, gw)
+      var tot = 0L
+      for (f <- 0 until nf by 2; y <- 0 until h; x <- 0 until w) {
+        val bump = if ((x + y + f) % 23 == 0) 101L * m else 0L
+        val lum = (31 * g + 7 * x + 13 * y + 17 * f + bump) % 256
+        bs(y * gh / h)(x * gw / w) += lum
+        bn(y * gh / h)(x * gw / w) += 1
+        tot += lum
+      }
+      val n = w.toLong * h * ((nf + 1) / 2)
+      var bits = 0L
+      for (j <- 0 until gh; i <- 0 until gw)
+        if (bs(j)(i) * n > tot * bn(j)(i)) bits |= (1L << (j * gw + i))
+      (id, gw, gh, bits)
+    }
+    assert(got.toSet == exp.toSet,
+      "decoded video fingerprints must equal the formula recompute")
+    val pairs = Multimodal.imageNearDupPairs(fps, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- got; b <- got
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      ham = java.lang.Long.bitCount(a._4 ^ b._4)
+      if ham <= 2
+    } yield (a._1, b._1, ham)).toSet
+    assert(pairs == brute, "banding must be exact for Hamming <= 2")
+    assert(brute.nonEmpty, "fixture must plant video near-dups")
+    assert(brute.exists(_._3 > 0),
+      "perturbed group members should produce nonzero Hamming pairs")
+    fps.unpersist()
+    ()
+  }
 }

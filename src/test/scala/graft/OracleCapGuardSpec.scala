@@ -59,4 +59,17 @@ class OracleCapGuardSpec extends SparkSpec {
     assert(m <= Dedup.DefaultBucketCap,
       s"saturated audio band bucket ($m) desyncs the m10 oracle")
   }
+
+  // m10/m11's contracted reports band over class REPRESENTATIVES, a
+  // subset of the full fingerprint relation — the fps-level bounds above
+  // and below therefore imply the rep-level no-contraction assumption
+  // their 'near' oracles rely on.
+  test("m11 video band buckets at gate scale stay below the cap") {
+    val fps = Multimodal.videoFingerprint(
+      Multimodal.videoGroupsFromDocuments(spark, gate), stride = 2).toDF()
+    val m = maxBucket(Multimodal.imageBandRows(fps),
+      Seq("gw", "gh", "band", "bkey"))
+    assert(m <= Dedup.DefaultBucketCap,
+      s"saturated video band bucket ($m) desyncs the m11 oracle")
+  }
 }

@@ -87,6 +87,78 @@ class SimilaritySpec extends SparkSpec {
     assert(q3 >= q1 - 1e-9, s"3-iter quality $q3 below 1-iter $q1")
   }
 
+  test("sample-trained quantizer: the book ignores vectors beyond the " +
+      "deterministic sample bound; the assignment pass still covers them") {
+    import spark.implicits._
+    // rows ABOVE the vec_id sample bound (max(4096, 8k)) must not move
+    // the trained book — training is sample-bounded by contract, which
+    // is exactly why the gate-corpus oracle snapshots (n=500, sample ==
+    // corpus) survive the web-scale trainer unchanged
+    val extra = (0 until 30).map { i =>
+      (100000L + i,
+        Array.tabulate(64)(j => (((i * 37 + j * 11) % 97) / 97.0f) - 0.5f),
+        i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val big = emb.select("vec_id", "embedding", "label")
+      .unionByName(extra)
+    def book(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      Similarity.kmeansTrain(df, 8, 3).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(book(emb) == book(big),
+      "out-of-sample rows must not change the trained book")
+    val assigned = Similarity.kmeansAssignWith(big,
+      Similarity.kmeansTrain(big, 8, 3))
+    assert(assigned.count() == big.count(),
+      "the assignment pass must cover the whole corpus")
+    assert(assigned.filter(col("vec_id") >= 100000L).count() == 30)
+  }
+
+  test("distributed-Gramian rotation equals a driver-collected replica " +
+      "of the same decimal definition, bit for bit") {
+    // the engine computes the moments as distributed decimal(28,10)
+    // hash aggregates; this replica collects the raw sample and applies
+    // the identical definition driver-side with java BigDecimal — if
+    // the distributed path were order-dependent (e.g. a double
+    // treeAggregate) this would flake across partitionings
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val sample = emb.filter(col("vec_id") < 4096)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = sample.head.length
+    val n = sample.length
+    def dec(x: Double): JBD =
+      JBD.valueOf(x).setScale(10, RoundingMode.HALF_UP)
+    val sums = Array.fill(d)(JBD.ZERO)
+    val gram = Array.fill(d, d)(JBD.ZERO)
+    sample.foreach { r =>
+      var i = 0
+      while (i < d) {
+        sums(i) = sums(i).add(dec(r(i)))
+        var j = i
+        while (j < d) {
+          gram(i)(j) = gram(i)(j).add(dec(r(i) * r(j))); j += 1
+        }
+        i += 1
+      }
+    }
+    val mean = Array.tabulate(d)(i => sums(i).doubleValue() / n)
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = gram(i)(j).doubleValue() / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (w, v) = Similarity.jacobiEig(cov)
+    val expected = (0 until d).sortBy(c => (-w(c), c)).take(16).map { c =>
+      val row = Array.tabulate(d)(r => v(r)(c))
+      val pivot = row.indices.maxBy(r => (math.abs(row(r)), -r))
+      (if (row(pivot) < 0) row.map(x => -x) else row).toSeq
+    }
+    val got = Similarity.trainedRotation(emb, 16).map(_.toSeq).toSeq
+    assert(got == expected,
+      "distributed Gramian rotation must be bit-identical to the " +
+        "driver-collected replica")
+  }
+
   test("IVF over trained centroids returns complete ranked neighbors") {
     val rows = Similarity.e07.fn(spark, sf).collect()
     assert(rows.length == 8 * 5)

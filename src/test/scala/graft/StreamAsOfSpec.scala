@@ -154,4 +154,52 @@ class StreamAsOfSpec extends SparkSpec {
     assert(v(12L) == ((Some(500L), Some(7.0))),
       "late equal-ts state still applies forward")
   }
+
+  private def runHoldback(batches: Seq[Seq[StampedRow]], name: String)
+      : Map[Long, (Option[Long], Option[Double])] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StampedRow]
+    val q = StreamAsOf.latestStateMatchesHoldback(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[AsOfMatch].collect()
+      .map(m => m.event_id -> ((m.asof_ts_us, m.asof_value))).toMap
+  }
+
+  test("hold-back variant: the probe-first equal-ts split matches the " +
+      "batch operator WITHOUT the producer-ordering contract") {
+    val state = StampedRow(10L, 9L, 500L, 7.0, is_right = true)
+    val probe = StampedRow(11L, 9L, 500L, 0.0, is_right = false)
+    val later = StampedRow(12L, 9L, 600L, 0.0, is_right = false)
+    val flush = StampedRow(99L, 9L, 700L, 0.0, is_right = false)
+    // the contract-violating split: probe lands a batch BEFORE its
+    // equal-ts state row — held at the frontier, it is answered only
+    // after the tie resolves, now WITH the state row (inclusive bound)
+    val got = runHoldback(
+      Seq(Seq(probe), Seq(state), Seq(later), Seq(flush)), "asof_hb_tie")
+    assert(got(11L) == ((Some(500L), Some(7.0))),
+      "held probe must see the late equal-ts state row")
+    assert(got(10L) == ((Some(500L), Some(7.0))),
+      "the state row's own probe answers itself")
+    assert(got(12L) == ((Some(500L), Some(7.0))))
+    assert(!got.contains(99L),
+      "the frontier probe stays held until a later row arrives")
+    // corpus-wide: any ts-ordered split equals the batch operator once a
+    // per-key sentinel advances every frontier (production: watermark
+    // timeout). Sentinels are excluded from the comparison.
+    val maxTs = rows.map(_.ts_us).max
+    val sentinels = rows.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => StampedRow(-1000L - i, u, maxTs + 1, 0.0,
+        is_right = false)
+    }
+    for (n <- Seq(1, 11)) {
+      val size = math.max(1, rows.length / n)
+      val batches = rows.grouped(size).toSeq :+ sentinels
+      val hb = runHoldback(batches, s"asof_hb_$n").filter(_._1 >= 0)
+      assert(hb == batchExpected, s"hold-back diverged at split $n")
+    }
+  }
 }

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Independently re-derive the trained k-means snapshot (centroids after
+iters-1 Lloyd updates) used by the e07/e08/e09/t05 oracles: a line-by-line
+plain-Python port of graft's deterministic k-means training loop
+(Similarity.scala kmeansTrain) — first-k init over the deterministic
+vec_id-ordered training sample, sequential-double cosine (dot/na/nb
+accumulated in one pass, CosineExpr order), per-dimension decimal(28,10)
+half-up sums — run over any corpus directory. Every float op used
+(+,-,*,/, sqrt) is exactly rounded in both CPython and the JVM, and the
+decimal sums are order-independent, so the result is bit-identical to the
+engine's snapshot while being produced by a different implementation.
+
+Training sample (mirrors the engine's web-scale contract): the first
+min(n, max(4096, 8*k)) vectors by vec_id. At the sf0.01 gate corpus
+(n=500) the sample is the whole corpus, so gate snapshots are unchanged
+by the sample bound.
+
+Usage: python3 tools/derive_kmeans.py <sfDir> <k> [iters=3]
+Prints the `(cluster, [centroid...])` VALUES rows the oracle embeds.
+"""
+import sys
+from decimal import Decimal, ROUND_HALF_UP
+
+import duckdb
+
+Q10 = Decimal("1E-10")
+
+
+def dec(x):
+    # Spark Cast(double -> decimal(28,10)): BigDecimal.valueOf(d)
+    # (Double.toString shortest form) then setScale(10, HALF_UP).
+    # CPython repr() is the same shortest-roundtrip string.
+    return Decimal(repr(x)).quantize(Q10, rounding=ROUND_HALF_UP)
+
+
+def cosine(a, b):
+    # CosineSimilarity.compute: one fused sequential pass
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    import math
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return 0.0 if denom == 0.0 else dot / denom
+
+
+def assign(vs, cents):
+    # row_number over (score desc, cluster asc): first strict max wins
+    out = []
+    for v in vs:
+        best_c, best_s = None, None
+        for c, cent in enumerate(cents):
+            s = cosine(v, cent)
+            if best_s is None or s > best_s:
+                best_c, best_s = c, s
+        out.append(best_c)
+    return out
+
+
+def update(vs, labels, k, d):
+    sums = [[Decimal(0)] * d for _ in range(k)]
+    for v, c in zip(vs, labels):
+        row = sums[c]
+        for i, x in enumerate(v):
+            row[i] += dec(x)
+    # decimal -> double cast is correctly rounded on both engines
+    return [[float(s) for s in row] for row in sums]
+
+
+def train(vs, k, iters):
+    cents = [list(vs[i]) for i in range(k)]
+    d = len(vs[0])
+    for _ in range(iters - 1):
+        labels = assign(vs, cents)
+        cents = update(vs, labels, k, d)
+    return cents
+
+
+def fmt(x):
+    # the oracle embeds the decimal(28,10) value, trailing zeros stripped
+    return format(dec(x).normalize(), "f")
+
+
+def main():
+    sf_dir = sys.argv[1]
+    k = int(sys.argv[2])
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    n = len(rows)
+    cap = min(n, max(4096, 8 * k))
+    vs = [r[0] for r in rows[:cap]]
+    cents = train(vs, k, iters)
+    lines = []
+    for c, cent in enumerate(cents):
+        lines.append(f"  ({c}, [" + ", ".join(fmt(x) for x in cent) + "])")
+    print(",\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

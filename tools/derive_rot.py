@@ -60,25 +60,41 @@ def jacobi_eig(a0):
     return [a[i][i] for i in range(d)], v
 
 
+def _dec(x):
+    # Spark Cast(double -> decimal(28,10)): shortest-roundtrip string then
+    # setScale(10, HALF_UP); CPython repr is the same shortest form
+    from decimal import Decimal, ROUND_HALF_UP
+    return Decimal(repr(x)).quantize(Decimal("1E-10"),
+                                     rounding=ROUND_HALF_UP)
+
+
 def trained_rotation(sample, m):
+    # Mirrors graft's DISTRIBUTED-GRAMIAN definition (Similarity.scala
+    # trainedRotation, round 13): first/second moments are per-element
+    # decimal(28,10) half-up sums (order-independent, exactly what the
+    # engine's hash aggregate computes), cast back to double, then
+    # cov_ij := G_ij/n - mean_i*mean_j in doubles.
     d = len(sample[0])
     n = len(sample)
-    mean = [0.0] * d
+    from decimal import Decimal
+    sums = [Decimal(0)] * d
     for r in sample:
         for i in range(d):
-            mean[i] += r[i]
-    for i in range(d):
-        mean[i] /= n
-    cov = [[0.0] * d for _ in range(d)]
+            sums[i] += _dec(r[i])
+    mean = [float(sums[i]) / n for i in range(d)]
+    gram = [[Decimal(0)] * d for _ in range(d)]
     for r in sample:
         for i in range(d):
-            di = r[i] - mean[i]
+            xi = r[i]
+            row = gram[i]
             for j in range(i, d):
-                cov[i][j] += di * (r[j] - mean[j])
+                row[j] += _dec(xi * r[j])
+    cov = [[0.0] * d for _ in range(d)]
     for i in range(d):
         for j in range(i, d):
-            cov[i][j] /= n
-            cov[j][i] = cov[i][j]
+            c = float(gram[i][j]) / n - mean[i] * mean[j]
+            cov[i][j] = c
+            cov[j][i] = c
     w, v = jacobi_eig(cov)
     order = sorted(range(d), key=lambda c: (-w[c], c))[:m]
     rows = []
