@@ -456,6 +456,9 @@ object Similarity {
     val init = c.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("cv")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    require(init.length == k,
+      s"training sample (${init.length} rows under bound $bound) smaller " +
+        s"than k=$k — widen sampleN")
     var cents = c.sparkSession.createDataFrame(
       c.sparkSession.sparkContext.parallelize(init.toSeq, 1)
         .map { case (i, v) => org.apache.spark.sql.Row(i, v) },
@@ -1484,28 +1487,73 @@ object Similarity {
     * (same decimal math in plain Python) for the e08 oracle. */
   private[graft] def trainedRotation(corpus: DataFrame, m: Int,
       sampleN: Int = 4096): Array[Array[Double]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sample = corpus.filter(col("vec_id") < sampleN)
-      .select(asDouble(col("embedding")).as("v"))
-    val n = sample.count()
-    require(n > 0, "empty training sample for the rotation")
-    // one scan, one shuffle: each row fans out to its d first-moment
-    // cells (j = -1) plus its d(d+1)/2 upper-triangle product cells —
-    // a single hash aggregate over 2144 keys at d = 64
-    val cells = sample.select(explode(expr(
-      """flatten(transform(sequence(0, size(v) - 1), i ->
-        |  concat(array(named_struct('i', i, 'j', -1, 'p', v[i])),
-        |    transform(sequence(i, size(v) - 1), j ->
-        |      named_struct('i', i, 'j', j, 'p', v[i] * v[j])))))"""
-        .stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(28,10)")).cast("double").as("g"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
-      .toMap
-    val d = cells.keys.map(_._1).max + 1
-    val sums = (0 until d).map(i => i -> cells((i, -1))).toMap
-    val gram = cells.filter(_._1._2 >= 0)
-    val mean = Array.tabulate(d)(i => sums(i) / n)
+      .select(asDouble(col("embedding")).as("v")).as[Array[Double]]
+    // Per-partition moment accumulation — the classic one-pass Gramian
+    // shape (cf. RowMatrix.computeGramianMatrix's treeAggregate), with
+    // decimal(28,10) accumulators instead of BLAS doubles because the
+    // result must be ORDER-INDEPENDENT: each element rounds to decimal
+    // exactly as Spark's Cast would (BigDecimal.valueOf + HALF_UP),
+    // decimal addition is exact and associative, so any partitioning —
+    // and the driver-side partial merge in any order — yields the same
+    // bits. No row inflation: one (count, d sums, d(d+1)/2 cells)
+    // partial per partition, serialized as plain decimal strings.
+    // mapPartitions is deliberate here (not a column program): the
+    // d²-per-row fan-out through higher-order lambdas measured ~4x the
+    // whole e08 query at sf0.1, while this pass is one multiply + one
+    // BigDecimal add per cell.
+    val partials = sample.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val d = first.length
+        var cnt = 0L
+        val acc = new Array[JBD](d + d * (d + 1) / 2)
+        java.util.Arrays.fill(acc.asInstanceOf[Array[AnyRef]], JBD.ZERO)
+        def add(r: Array[Double]): Unit = {
+          cnt += 1
+          var i = 0
+          var cell = d
+          while (i < d) {
+            acc(i) = acc(i).add(
+              JBD.valueOf(r(i)).setScale(10, RoundingMode.HALF_UP))
+            var j = i
+            while (j < d) {
+              acc(cell) = acc(cell).add(JBD.valueOf(r(i) * r(j))
+                .setScale(10, RoundingMode.HALF_UP))
+              cell += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        add(first)
+        it.foreach(add)
+        Iterator.single((cnt, d, acc.map(_.toPlainString)))
+      }
+    }.collect()
+    require(partials.nonEmpty, "empty training sample for the rotation")
+    val d = partials.head._2
+    val n = partials.map(_._1).sum
+    val total = Array.fill(d + d * (d + 1) / 2)(JBD.ZERO)
+    partials.foreach { case (_, pd, cells) =>
+      require(pd == d, "ragged embedding dimensions in the sample")
+      var c = 0
+      while (c < total.length) {
+        total(c) = total(c).add(new JBD(cells(c))); c += 1
+      }
+    }
+    val mean = Array.tabulate(d)(i => total(i).doubleValue() / n)
+    val gram = {
+      val m = collection.mutable.Map.empty[(Int, Int), Double]
+      var cell = d
+      for (i <- 0 until d; j <- i until d) {
+        m((i, j)) = total(cell).doubleValue(); cell += 1
+      }
+      m
+    }
     val cov = Array.ofDim[Double](d, d)
     var i = 0
     while (i < d) {
