@@ -70,6 +70,7 @@ object Bench {
       part("ann") { graft.operators.Similarity.buildSharedSilvers(spark, sfDir) },
       part("shingles") { graft.operators.Dedup.shingled(spark, sfDir).count(); () },
       part("phash") { graft.operators.Multimodal.phashSilver(spark, sfDir).count(); () },
+      part("audio") { graft.operators.Multimodal.audioFpSilver(spark, sfDir).count(); () },
       part("video") { graft.operators.Multimodal.videoFpSilver(spark, sfDir).count(); () })
     val ingest = ingestParts.map(_._2).sum
     // Load stamps: recorded BENCH files from contended machines carried
