@@ -59,6 +59,54 @@ def rot_sql(sf_dir, m):
         for row in rot) + "]"
 
 
+class JavaRandom:
+    """java.util.Random LCG — what scala.util.Random(seed) wraps."""
+    M48 = (1 << 48) - 1
+
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & self.M48
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & self.M48
+        return self.seed >> (48 - bits)
+
+    def next_int(self, bound):
+        if bound & (bound - 1) == 0:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) < (1 << 31):
+                return val
+
+
+def scala_shuffle(xs, rnd):
+    """scala.util.Random.shuffle: Fisher-Yates from the tail."""
+    buf = list(xs)
+    for n in range(len(buf), 1, -1):
+        k = rnd.next_int(n)
+        buf[n - 1], buf[k] = buf[k], buf[n - 1]
+    return buf
+
+
+def simhash_masks(bits, tables=8, seed=20260815):
+    """Mirror of Dedup.simhashPerms + the d26 prefix-mask fold — one RNG
+    stream across tables, top-`bits` positions of each permutation."""
+    rnd = JavaRandom(seed)
+    perms = [scala_shuffle(range(64), rnd) for _ in range(tables)]
+    return [sum(1 << p[j] for j in range(bits)) for p in perms]
+
+
+def simhash_cond(bits):
+    return "(" + " OR ".join(
+        f"(x & ({m})) = 0" for m in simhash_masks(bits)) + ")"
+
+
+def adaptive_prefix_bits(n_docs):
+    import math
+    return min(28, max(4, math.ceil(math.log2(n_docs / 128.0))))
+
+
 CENTS = re.compile(
     r"(?<![a-z])cents AS \(SELECT \* FROM \(VALUES\n.*?\n\) "
     r"t\(cluster, centroid\)\)", re.S)
@@ -87,6 +135,22 @@ def main():
     kd = max(8, n // 256)
     kd_rows, _ = kmeans_rows(sf_dir, kd)
     print(f"target corpus n={n}, adaptiveK={kd}")
+
+    # d26: the oracle's candidate condition embeds the top-`prefixBits`
+    # masks of the seed-fixed permutations; the engine adapts prefixBits
+    # to the corpus (n/128 occupancy), the committed SQL hardcodes the
+    # gate's 4. Re-derive the masks (validated below against the gate
+    # SQL's own constants) at the target corpus's adaptive width.
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    gate_cond = simhash_cond(4)
+    d26 = oracle["d26_simhash_permuted"]
+    assert d26.count(gate_cond) == 1, \
+        "d26: gate prefix-mask condition not found (RNG replica drifted?)"
+    tgt_bits = adaptive_prefix_bits(n_docs)
+    oracle["d26_simhash_permuted"] = d26.replace(
+        gate_cond, simhash_cond(tgt_bits))
+    print(f"d26 prefixBits {4} -> {tgt_bits} (n_docs={n_docs})")
 
     for q in ("e07_ann_ivf_kmeans", "t05_hybrid_ivf"):
         oracle[q] = sub_block(oracle[q], CENTS, k8_rows, q)
