@@ -636,12 +636,38 @@ object Multimodal {
       perceptualHash(imagesFromDocuments(s, dir)).toDF()
     }
 
+  /** m08 DEFAULT = the contracted report (same shape as m10/m11; the
+    * image listing measured 162k rows at sf0.1 / ~2.4M at sf1, a 13×
+    * scale ratio purely from output cardinality). Full listing stays
+    * the [[imageNearDupPairs]] API. */
   val m08 = Q("m08_image_neardup",
-    s"""WITH $pHashCtes
-       |SELECT media_a, media_b, hamming FROM ipairs
-       |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
-    imageNearDupPairs(phashSilver(s, dir), maxHamming = 2)
-      .orderBy("media_a", "media_b")
+    s"""WITH $pHashCtes,
+       |icls AS (
+       |  SELECT gw, gh, phash, min(media_id) AS rep, count(*) AS sz
+       |  FROM hsh GROUP BY gw, gh, phash),
+       |istars AS (
+       |  SELECT 'star' AS kind, c.rep AS media_a, f.media_id AS media_b,
+       |    0 AS hamming, CAST(NULL AS BIGINT) AS n_pairs
+       |  FROM hsh f JOIN icls c
+       |    ON f.gw = c.gw AND f.gh = c.gh AND f.phash = c.phash
+       |  WHERE f.media_id <> c.rep),
+       |inear AS (
+       |  SELECT 'near' AS kind, a.rep AS media_a, b.rep AS media_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+       |    a.sz * b.sz AS n_pairs
+       |  FROM icls a JOIN icls b
+       |    ON a.gw = b.gw AND a.gh = b.gh AND a.rep < b.rep
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+       |iclsrows AS (
+       |  SELECT 'class' AS kind, rep AS media_a,
+       |    CAST(NULL AS BIGINT) AS media_b, CAST(NULL AS INT) AS hamming,
+       |    sz * (sz - 1) // 2 AS n_pairs
+       |  FROM icls WHERE sz > 1)
+       |SELECT * FROM (SELECT * FROM istars UNION ALL SELECT * FROM inear
+       |  UNION ALL SELECT * FROM iclsrows)
+       |ORDER BY kind, media_a, media_b""".stripMargin) { (s, dir) =>
+    gridNearDupReport(phashSilver(s, dir), maxHamming = 2)
+      .orderBy("kind", "media_a", "media_b")
   }
 
   // ---------------------------------------------------------------- m09
@@ -1128,10 +1154,12 @@ object Multimodal {
       videoFingerprint(videoGroupsFromDocuments(s, dir), stride = 2).toDF()
     }
 
-  /** Video near-dup report — same contracted shape as m10 (class stars +
-    * representative pairs + per-class counts); banding and classes reuse
-    * the image machinery (grid classes, 4-band pigeonhole). */
-  def videoNearDupReport(fps: DataFrame, maxHamming: Int): DataFrame =
+  /** Grid-class near-dup report — the contracted shape (class stars +
+    * representative pairs + per-class counts) for any (media_id, gw,
+    * gh, phash) fingerprint relation: serves BOTH the image hashes
+    * (m08) and the video fingerprints (m11), which share the grid
+    * comparability classes and the 4-band pigeonhole. */
+  def gridNearDupReport(fps: DataFrame, maxHamming: Int): DataFrame =
     nearDupReport(fps, "media_id", Seq("gw", "gh"), "phash",
       reps => imageNearDupPairs(reps, maxHamming))
 
@@ -1232,7 +1260,7 @@ object Multimodal {
        |SELECT * FROM (SELECT * FROM vstars UNION ALL SELECT * FROM vnear
        |  UNION ALL SELECT * FROM vclsrows)
        |ORDER BY kind, media_a, media_b""".stripMargin) { (s, dir) =>
-    videoNearDupReport(videoFpSilver(s, dir), maxHamming = 2)
+    gridNearDupReport(videoFpSilver(s, dir), maxHamming = 2)
       .orderBy("kind", "media_a", "media_b")
   }
 
