@@ -66,8 +66,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val ingestParts = Seq(
-      part("chain") { graft.plans.ChainSim.classified(spark, sfDir).count(); () },
-      part("ann") { graft.operators.Similarity.buildSharedSilvers(spark, sfDir) },
+      part("chain") { graft.plans.ChainSim.classified(spark, sfDir).count(); () }) ++
+      // ann silvers itemized (truth/LSH/IVF/kmeans-train/…): each index
+      // build's scaling is visible in isolation (r13 verdict item 5)
+      graft.operators.Similarity.sharedSilverParts.map { case (n, f) =>
+        part(n) { f(spark, sfDir) }
+      } ++ Seq(
       part("shingles") { graft.operators.Dedup.shingled(spark, sfDir).count(); () },
       part("phash") { graft.operators.Multimodal.phashSilver(spark, sfDir).count(); () },
       part("audio") { graft.operators.Multimodal.audioFpSilver(spark, sfDir).count(); () },
@@ -121,12 +125,16 @@ object Bench {
     val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"cpus":$cpus,"restart_per_family":$restartPerFamily,"gated":$gatedJson,"ingest_detail":$ingestJson}"""
     // Self-contained artifact (r12 verdict item 8): the driver's stdout
     // tail capture truncated the (>4 KB) JSON line mid-object, so the
-    // full record also lands at a fixed path, and the stdout line prints
-    // AFTER spark.stop() so no executor-shutdown logging follows it.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), json)
+    // FULL record lands at a fixed path and stdout gets a SHORT final
+    // line (r13 item 4) — no per-query map, so any tail-bounded capture
+    // holds one complete JSON object. Printed AFTER spark.stop() so no
+    // executor-shutdown logging follows it.
+    val artifact =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json)
+    val shortJson =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"load_start":$loadStart,"load_max":$loadMax,"load_end":$loadEnd,"restart_per_family":$restartPerFamily,"artifact":"$artifact"}"""
     spark.stop()
-    println(json)
+    println(shortJson)
   }
 }

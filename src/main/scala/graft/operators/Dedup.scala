@@ -353,6 +353,14 @@ object Dedup {
       docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks")),
       maxHamming, bucketCap)
 
+  /** (doc_id, toks) → (doc_id, sim): the 64-bit SimHash signature table
+    * — shared entry point of the chunk banding, the permuted-table
+    * banding and the d12 contracted report. */
+  private[graft] def simsOf(withToks: DataFrame): DataFrame =
+    withToks.select(col("doc_id"),
+      graft.functions.HashSketches.simhash_64(
+        expr_tokens_hashed(col("toks"))).as("sim"))
+
   /** Core SimHash pipeline over a prepared (doc_id, toks) frame. Chunk
     * buckets above `bucketCap` are star-contracted against the bucket's
     * min-doc_id member (see [[cappedBucketPairs]]); contracted pairs
@@ -361,8 +369,15 @@ object Dedup {
     * contraction is reported by [[bucketTruncationStats]] over
     * [[simhashChunkRows]]. */
   def simhashPairsFromToks(withToks: DataFrame, maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    simhashPairsFromSims(simsOf(withToks), maxHamming, bucketCap)
+
+  /** The same chunk-banded pipeline over an already-computed
+    * (doc_id, sim) signature relation — what the d12 contracted report
+    * runs over class REPRESENTATIVES so signatures are not recomputed. */
+  def simhashPairsFromSims(withSims: DataFrame, maxHamming: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val buckets = simhashChunkRows(withToks).groupBy("chunk", "ckey")
+    val buckets = chunkRowsFromSims(withSims).groupBy("chunk", "ckey")
       .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
       .filter(size(col("xs")) > 1)
     // Hamming test runs bucket-locally BEFORE the distinct, so the shuffle
@@ -384,13 +399,13 @@ object Dedup {
     * banding — the frame [[bucketTruncationStats]] audits for simhash
     * (keyCols = Seq("chunk", "ckey")). */
   def simhashChunkRows(withToks: DataFrame): DataFrame =
-    withToks.select(col("doc_id"),
-        graft.functions.HashSketches.simhash_64(
-          expr_tokens_hashed(col("toks"))).as("sim"))
-      .select(col("doc_id"), col("sim"),
-        posexplode(expr(
-          "transform(sequence(0, 3), i -> shiftright(sim, i * 16) & 65535)"))
-          .as(Seq("chunk", "ckey")))
+    chunkRowsFromSims(simsOf(withToks))
+
+  private def chunkRowsFromSims(withSims: DataFrame): DataFrame =
+    withSims.select(col("doc_id"), col("sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> shiftright(sim, i * 16) & 65535)"))
+        .as(Seq("chunk", "ckey")))
 
   /** Duplicate CLUSTERS from a near-dup pair list: connected components
     * with the component's minimum doc_id as the canonical representative
@@ -448,6 +463,95 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  // ------------------------------------------------- contracted reports
+
+  /** Exact-dup-first contracted near-dup REPORT for the Jaccard pair
+    * family — the m08/m10/m11 report form applied to text (r13 verdict
+    * item 1). The contraction key is the exact SHINGLE SET: set-equal
+    * documents have Jaccard 1 with each other and identical MinHash
+    * signatures, so for BOTH the exact listing (d13) and the LSH
+    * listing (d11) the contraction is lossless — every within-class
+    * pair qualifies with inter = uni = |S|, and every cross-class
+    * member pair carries exactly its class representatives' (inter,
+    * uni) and surfaces iff the representative pair does (identical
+    * sets ⇒ identical signatures ⇒ identical bands). Three row kinds
+    * over one (kind, doc_a, doc_b, inter, uni, n_pairs) schema:
+    *   'star'  — (rep, member, |S|, |S|, NULL): set-equal membership;
+    *   'near'  — (rep_a, rep_b, inter, uni, |A|·|B|): a qualifying pair
+    *             between class representatives, carrying the member-pair
+    *             count it stands for;
+    *   'class' — (rep, NULL, NULL, NULL, C(sz,2)): within-class pair
+    *             count, so the full listing's cardinality is Σ n_pairs
+    *             without materializing it.
+    * Output is O(dup-class members + rep pairs) instead of the full
+    * listing's Θ(Σ class²) on verbatim-dup-heavy corpora (the web-crawl
+    * case); DedupSpec pins lossless reconstruction. `near` receives the
+    * representatives' (doc_id, sh) relation and returns qualifying
+    * (doc_a, doc_b, inter, uni) pairs. */
+  def jaccardNearDupReportFrom(sh: DataFrame,
+      near: DataFrame => DataFrame): DataFrame = {
+    // class key = md5 of the sorted shingle set: a 32-byte shuffle key
+    // regardless of document length (the d10 groupBy(md5) move)
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      md5(concat_ws("\u001e", array_sort(col("sh"))).cast("binary"))
+        .as("skey"))
+    val classes = keyed.groupBy("skey")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
+    val stars = keyed.join(classes, "skey")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(lit("star").as("kind"), col("rep").as("doc_a"),
+        col("doc_id").as("doc_b"), size(col("sh")).as("inter"),
+        size(col("sh")).as("uni"), lit(null).cast("long").as("n_pairs"))
+    val reps = keyed.join(classes.select(col("skey"), col("rep")), "skey")
+      .filter(col("doc_id") === col("rep")).select("doc_id", "sh")
+    val sizes = classes.select(col("rep"), col("sz"))
+    val nearRows = near(reps)
+      .join(sizes.select(col("rep").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("rep").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(lit("near").as("kind"), col("doc_a"), col("doc_b"),
+        col("inter"), col("uni"), (col("sa") * col("sb")).as("n_pairs"))
+    val classRows = classes.filter(col("sz") > 1)
+      .select(lit("class").as("kind"), col("rep").as("doc_a"),
+        lit(null).cast("long").as("doc_b"),
+        lit(null).cast("int").as("inter"), lit(null).cast("int").as("uni"),
+        expr("sz * (sz - 1) DIV 2").as("n_pairs"))
+    stars.unionByName(nearRows).unionByName(classRows)
+  }
+
+  /** [[jaccardNearDupReportFrom]] over the shared shingle silver. */
+  def jaccardNearDupReport(s: SparkSession, dir: String,
+      near: DataFrame => DataFrame): DataFrame =
+    jaccardNearDupReportFrom(shingled(s, dir), near)
+
+  /** The SimHash twin: contraction key = the exact 64-bit signature
+    * (equal signatures ⇒ Hamming 0 ⇒ every chunk shared, and any
+    * cross-class member pair has its representatives' Hamming and chunk
+    * condition), so the report is lossless for the d12 listing by the
+    * same argument. Schema (kind, doc_a, doc_b, hamming, n_pairs). */
+  def simhashNearDupReportFrom(sims: DataFrame, maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val classes = sims.groupBy("sim")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
+    val stars = sims.join(classes, "sim")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(lit("star").as("kind"), col("rep").as("doc_a"),
+        col("doc_id").as("doc_b"), lit(0).as("hamming"),
+        lit(null).cast("long").as("n_pairs"))
+    val reps = classes.select(col("rep").as("doc_id"), col("sim"))
+    val sizes = classes.select(col("rep"), col("sz"))
+    val nearRows = simhashPairsFromSims(reps, maxHamming, bucketCap)
+      .join(sizes.select(col("rep").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("rep").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(lit("near").as("kind"), col("doc_a"), col("doc_b"),
+        col("hamming"), (col("sa") * col("sb")).as("n_pairs"))
+    val classRows = classes.filter(col("sz") > 1)
+      .select(lit("class").as("kind"), col("rep").as("doc_a"),
+        lit(null).cast("long").as("doc_b"),
+        lit(null).cast("int").as("hamming"),
+        expr("sz * (sz - 1) DIV 2").as("n_pairs"))
+    stars.unionByName(nearRows).unionByName(classRows)
+  }
+
   /** Exact all-pairs shingle Jaccard (quadratic — test oracle only). */
   def bruteForcePairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sets = docs.withColumn("sh", shingles(col("text")))
@@ -462,17 +566,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Quadratic DuckDB mirror of the exact-Jaccard contract at t10/10. */
-  private def jaccardOracle(t10: Int): String =
-    s"""$shingleCte
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.s, b.s)) AS inter,
-       |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-       |FROM sh a, sh b
-       |WHERE a.doc_id < b.doc_id
-       |  AND len(list_intersect(a.s, b.s)) * 10 >=
-       |      $t10 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-       |ORDER BY doc_a, doc_b""".stripMargin
+  /** DuckDB mirror of [[jaccardNearDupReportFrom]] at t10/10: the same
+    * shingle-set classes (key = chr(30)-joined sorted set — the md5 is
+    * an engine-side shuffle-width choice, the PARTITION it induces is
+    * what matters), quadratic exact Jaccard over representatives for
+    * the near rows. Structurally mirrors the contraction, so the oracle
+    * stays sound on any corpus, dup-heavy or not. */
+  private def jaccardReportOracle(t10: Int): String =
+    s"""$shingleCte,
+       |skeyed AS (
+       |  SELECT doc_id, s,
+       |    list_aggregate(list_sort(s), 'string_agg', chr(30)) AS k
+       |  FROM sh),
+       |cls AS (SELECT k, min(doc_id) AS rep, count(*) AS sz
+       |        FROM skeyed GROUP BY k),
+       |stars AS (
+       |  SELECT 'star' AS kind, c.rep AS doc_a, d.doc_id AS doc_b,
+       |    len(d.s) AS inter, len(d.s) AS uni, CAST(NULL AS BIGINT) AS n_pairs
+       |  FROM skeyed d JOIN cls c ON d.k = c.k WHERE d.doc_id <> c.rep),
+       |reps AS (SELECT c.rep AS doc_id, d.s, c.sz
+       |         FROM cls c JOIN skeyed d ON d.doc_id = c.rep),
+       |nearp AS (
+       |  SELECT 'near' AS kind, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni,
+       |    a.sz * b.sz AS n_pairs
+       |  FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 10 >=
+       |    $t10 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       |clsrows AS (
+       |  SELECT 'class' AS kind, rep AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       |    CAST(NULL AS INT) AS inter, CAST(NULL AS INT) AS uni,
+       |    sz * (sz - 1) // 2 AS n_pairs
+       |  FROM cls WHERE sz > 1)
+       |SELECT * FROM (SELECT * FROM stars UNION ALL SELECT * FROM nearp
+       |  UNION ALL SELECT * FROM clsrows)
+       |ORDER BY kind, doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- queries
 
@@ -489,39 +618,65 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** MinHash+LSH near-dup pairs, exact-verified at jaccard ≥ 0.7.
+  /** MinHash+LSH near-dup report, exact-verified at jaccard ≥ 0.7 —
+    * DEFAULT = the contracted report (r13 verdict item 1, the m10
+    * precedent applied to text): set-equal classes star-contract and
+    * the LSH banding + exact verification runs over class
+    * REPRESENTATIVES only. [[minhashPairsFrom]] remains the
+    * full-listing API (DedupSpec pins the report's lossless
+    * reconstruction of it).
     *
-    * Oracle: the quadratic exact scan. Sound because the LSH+verify
-    * pipeline equals the exact answer whenever banding recall is 1 at the
-    * operating point — every planted near-dup in this corpus has J ≥ 0.9,
-    * where the (64-hash, 16-band) s-curve miss probability is
-    * (1 − 0.9⁴)¹⁶ ≈ 4e-8, and the whole pipeline is deterministic
-    * (xxhash64, no RNG), so gate-time behavior is identical to the local
-    * validation run. Verification makes precision exact by construction. */
-  val d11 = Q("d11_minhash_lsh_pairs", jaccardOracle(7)) { (s, dir) =>
-    minhashPairsFrom(shingled(s, dir), 0.7).orderBy("doc_a", "doc_b")
+    * Oracle: the contraction-mirroring quadratic scan over reps. Sound
+    * because the LSH+verify pipeline equals the exact answer whenever
+    * banding recall is 1 at the operating point — every planted
+    * near-dup in this corpus has J ≥ 0.9, where the (64-hash, 16-band)
+    * s-curve miss probability is (1 − 0.9⁴)¹⁶ ≈ 4e-8, and the whole
+    * pipeline is deterministic (xxhash64, no RNG), so gate-time
+    * behavior is identical to the local validation run. Verification
+    * makes precision exact by construction. */
+  val d11 = Q("d11_minhash_lsh_pairs", jaccardReportOracle(7)) { (s, dir) =>
+    jaccardNearDupReport(s, dir, reps => minhashPairsFrom(reps, 0.7))
+      .orderBy("kind", "doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs at Hamming ≤ 6 — oracle-exact: the DuckDB
-    * mirror recomputes the md5-based token hashes, the 64-bit majority
-    * vote, the 4×16-bit chunk-sharing condition AND the Hamming cutoff
-    * from the raw documents table (pure bit math end to end). Oracle
-    * equality relies on no chunk bucket exceeding the 1024 cap, which is
-    * structural at the sf0.01 gate scale (bucket ≤ corpus = 500 docs);
-    * DedupSpec pins the recall contract independently. */
+  /** SimHash near-dup report at Hamming ≤ 6 — DEFAULT = the contracted
+    * report (identical-signature classes star-contract; banding runs
+    * over representatives). The DuckDB mirror recomputes the md5-based
+    * token hashes, the 64-bit majority vote, the class contraction, the
+    * 4×16-bit chunk-sharing condition AND the Hamming cutoff from the
+    * raw documents table (pure bit math end to end). Oracle equality on
+    * the near rows relies on no chunk bucket of the REPRESENTATIVE
+    * relation exceeding the 1024 cap, structural at the sf0.01 gate
+    * (bucket ≤ corpus = 500 docs); DedupSpec pins the recall contract
+    * and the lossless reconstruction independently. */
   val d12 = Q("d12_simhash_pairs",
     s"""WITH $simsSqlCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    xor(a.sim, b.sim) AS x
-       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming FROM pairs
-       |WHERE bit_count(x) <= 6
-       |  AND (((x >> 0) & 65535) = 0 OR ((x >> 16) & 65535) = 0
-       |    OR ((x >> 32) & 65535) = 0 OR ((x >> 48) & 65535) = 0)
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    simhashPairsFromToks(shingled(s, dir).select("doc_id", "toks"), 6)
-      .orderBy("doc_a", "doc_b")
+       |cls AS (SELECT sim, min(doc_id) AS rep, count(*) AS sz
+       |        FROM sims GROUP BY sim),
+       |stars AS (
+       |  SELECT 'star' AS kind, c.rep AS doc_a, f.doc_id AS doc_b,
+       |    0 AS hamming, CAST(NULL AS BIGINT) AS n_pairs
+       |  FROM sims f JOIN cls c ON f.sim = c.sim WHERE f.doc_id <> c.rep),
+       |nearp AS (
+       |  SELECT 'near' AS kind, a.rep AS doc_a, b.rep AS doc_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming,
+       |    a.sz * b.sz AS n_pairs
+       |  FROM cls a JOIN cls b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.sim, b.sim)) <= 6
+       |    AND (((xor(a.sim, b.sim) >> 0) & 65535) = 0
+       |      OR ((xor(a.sim, b.sim) >> 16) & 65535) = 0
+       |      OR ((xor(a.sim, b.sim) >> 32) & 65535) = 0
+       |      OR ((xor(a.sim, b.sim) >> 48) & 65535) = 0)),
+       |clsrows AS (
+       |  SELECT 'class' AS kind, rep AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       |    CAST(NULL AS INT) AS hamming, sz * (sz - 1) // 2 AS n_pairs
+       |  FROM cls WHERE sz > 1)
+       |SELECT * FROM (SELECT * FROM stars UNION ALL SELECT * FROM nearp
+       |  UNION ALL SELECT * FROM clsrows)
+       |ORDER BY kind, doc_a, doc_b""".stripMargin) { (s, dir) =>
+    simhashNearDupReportFrom(
+      simsOf(shingled(s, dir).select("doc_id", "toks")), 6)
+      .orderBy("kind", "doc_a", "doc_b")
   }
 
   /** Permuted-table SimHash search — the WEB-SCALE banding for Hamming
@@ -597,38 +752,77 @@ object Dedup {
     Seq.fill(tables)(rnd.shuffle((0 until 64).toVector))
   }
 
-  /** Permuted-table SimHash pairs at Hamming ≤ 6 — oracle-exact. A pair
-    * shares table t's bucket iff none of its differing bits land in t's
-    * `bits`-bit prefix, i.e. `(xor & mask_t) = 0` where mask_t ORs the
-    * prefix bit positions — so the whole candidate condition compiles to
-    * eight AND-mask tests against constants embedded in the SQL (the
-    * masks come from the same seed-fixed permutations the operator
-    * uses). The oracle hardcodes the adaptive prefix at bits=4, valid
-    * for corpora ≤ 2048 docs — the sf0.01 gate runs 500; the 1024
-    * bucket cap is likewise structural there. DedupSpec pins recall vs
-    * the exact Hamming scan at other parameters. */
-  val d26 = Q("d26_simhash_permuted", {
-    val masks = simhashPerms(8).map(p =>
-      (0 until 4).map(j => 1L << p(j)).reduce(_ | _))
-    val cond = masks.map(m => s"(x & ($m)) = 0").mkString("(", " OR ", ")")
+  /** The d26 oracle SQL for a given adaptive prefix width and bucket
+    * cap — it MIRRORS THE HOT-BUCKET STAR CONTRACTION (r13 verdict item
+    * 2): per-table buckets are materialized from the same seed-fixed
+    * permutations the engine uses (each table's bucket key is the
+    * permuted `bits`-bit prefix, compiled to shift-mask constants);
+    * buckets at or under `cap` emit all pairs, buckets above it emit
+    * star pairs against the bucket's min doc_id — byte-for-byte the
+    * [[cappedBucketPairs]] contract — then the exact Hamming ≤ 6 verify
+    * and the cross-table distinct. The registered gate oracle embeds
+    * (bits=4, cap=1024), valid for corpora ≤ 2048 docs where no bucket
+    * can exceed the cap anyway; tools/patch_oracle_scale.py regenerates
+    * the same form at the target corpus's adaptive width, so the sf0.1
+    * record exercises the cap branch for real (its measured buckets run
+    * 1349–2419). */
+  private[graft] def d26OracleSql(bits: Int, cap: Int): String = {
+    val keySelects = simhashPerms(8).zipWithIndex.map { case (p, t) =>
+      val key = (0 until bits)
+        .map(j => s"(((sim >> ${p(j)}) & 1) << $j)")
+        .mkString(" | ")
+      s"  SELECT doc_id, sim, $t AS tbl, $key AS bk FROM sims"
+    }.mkString("\n  UNION ALL\n")
     s"""WITH $simsSqlCte,
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    xor(a.sim, b.sim) AS x
-       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming FROM pairs
-       |WHERE bit_count(x) <= 6 AND $cond
+       |keys AS (
+       |$keySelects),
+       |bkt AS (SELECT tbl, bk, min(doc_id) AS rep, count(*) AS n
+       |        FROM keys GROUP BY tbl, bk),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bkt k ON k.tbl = a.tbl AND k.bk = a.bk
+       |  WHERE k.n <= $cap
+       |  UNION
+       |  SELECT k.rep AS doc_a, x.doc_id AS doc_b
+       |  FROM keys x JOIN bkt k ON k.tbl = x.tbl AND k.bk = x.bk
+       |  WHERE k.n > $cap AND x.doc_id <> k.rep),
+       |verified AS (
+       |  SELECT DISTINCT c.doc_a, c.doc_b, xor(sa.sim, sb.sim) AS x
+       |  FROM cand c JOIN sims sa ON sa.doc_id = c.doc_a
+       |              JOIN sims sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming
+       |FROM verified WHERE bit_count(x) <= 6
        |ORDER BY doc_a, doc_b""".stripMargin
-  }) { (s, dir) =>
+  }
+
+  /** Permuted-table SimHash pairs at Hamming ≤ 6 — oracle-exact WITH
+    * the cap mirrored (see [[d26OracleSql]]): the oracle materializes
+    * the same per-table prefix buckets from the seed-fixed permutations
+    * and replays the over-cap star contraction, so the registered
+    * query's at-scale output is oracle-proven rather than asserted.
+    * The gate SQL hardcodes the adaptive prefix at bits=4, valid for
+    * corpora ≤ 2048 docs — the sf0.01 gate runs 500. DedupSpec pins
+    * recall vs the exact Hamming scan at other parameters. */
+  val d26 = Q("d26_simhash_permuted",
+    d26OracleSql(bits = 4, cap = DefaultBucketCap)) { (s, dir) =>
     simhashPairsPermuted(shingled(s, dir).select("doc_id", "toks"), 6)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard pairs at J ≥ 0.3 via the prefix-filtered
-    * inverted index — exact by construction, so the quadratic DuckDB scan
-    * is a true oracle at any threshold. */
-  val d13 = Q("d13_ngram_jaccard_pairs", jaccardOracle(3)) { (s, dir) =>
-    exactJaccardPairs(s, shingled(s, dir), 0.3).orderBy("doc_a", "doc_b")
+  /** Exact n-gram Jaccard near-dup report at J ≥ 0.3 — DEFAULT = the
+    * contracted report: the count-based inverted-index join
+    * ([[exactJaccardPairs]]) runs over shingle-set class REPRESENTATIVES,
+    * so verbatim-duplicate documents no longer pay Θ(class²)
+    * co-occurrence rows through every shared shingle (the r13 verdict's
+    * d13 finding). Exact by construction at every stage, so the
+    * contraction-mirroring quadratic DuckDB scan is a true oracle at
+    * any threshold. The full listing stays the [[exactJaccardPairs]]
+    * API (DedupSpec pins lossless reconstruction). */
+  val d13 = Q("d13_ngram_jaccard_pairs", jaccardReportOracle(3)) { (s, dir) =>
+    jaccardNearDupReport(s, dir, reps => exactJaccardPairs(s, reps, 0.3))
+      .orderBy("kind", "doc_a", "doc_b")
   }
 
   /** Near-dup clusters over the exact J ≥ 0.3 pair graph, canonical =

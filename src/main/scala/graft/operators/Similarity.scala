@@ -150,16 +150,25 @@ object Similarity {
     * first — in the r11 driver round e08 absorbed ~55 s of builds that
     * belong to the ingest ledger. Verify is unaffected (silvers still
     * build lazily on first touch there). */
-  def buildSharedSilvers(s: SparkSession, dir: String): Unit = {
-    annTruthSilver(s, dir).count()
-    annLshSilver(s, dir).count()
-    annIvfLabelSilver(s, dir).count()
-    annIvfKmeansSilver(s, dir).count()
-    annQuantSilver(s, dir).count()
-    exactPairsSilver(s, dir).count()
-    semdedupSilver(s, dir).count()
-    ()
-  }
+  /** The one-time ANN silver builds, NAMED so Bench can time each one
+    * as its own ingest part (r13 verdict item 5 — the bundled `ann`
+    * line hid which index build moved when training changed). Order
+    * matters: `ann_kmeans_train` materializes the shared assignment
+    * silver that `ann_ivf_kmeans` and the e09 semdedup silver read, so
+    * the training pass and its consumers are attributed separately. */
+  def sharedSilverParts: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "ann_truth" -> ((s, d) => { annTruthSilver(s, d).count(); () }),
+    "ann_lsh" -> ((s, d) => { annLshSilver(s, d).count(); () }),
+    "ann_ivf" -> ((s, d) => { annIvfLabelSilver(s, d).count(); () }),
+    "ann_kmeans_train" ->
+      ((s, d) => { kmeansAssignSilver(s, d).count(); () }),
+    "ann_ivf_kmeans" -> ((s, d) => { annIvfKmeansSilver(s, d).count(); () }),
+    "ann_quantize" -> ((s, d) => { annQuantSilver(s, d).count(); () }),
+    "ann_exact_pairs" -> ((s, d) => { exactPairsSilver(s, d).count(); () }),
+    "ann_semdedup" -> ((s, d) => { semdedupSilver(s, d).count(); () }))
+
+  def buildSharedSilvers(s: SparkSession, dir: String): Unit =
+    sharedSilverParts.foreach { case (_, f) => f(s, dir) }
 
   private def annTruthSilver(s: SparkSession, dir: String): DataFrame =
     graft.plans.SilverStore.table(s, dir, "ann_truth_top5") {

@@ -262,4 +262,121 @@ class DedupSpec extends SparkSpec {
     clusters.unpersist()
     ()
   }
+
+  // ------------------------------------------- contracted reports (r14)
+
+  /** Dup-heavy corpus for the report pins: verbatim-dup classes of
+    * sizes 1..30 over three distinct base texts (two of them near-dups
+    * of each other at J in [0.3, 0.7) and SimHash-close), plus filler.
+    * Exercises stars, class rows, near rows AND their interaction. */
+  private def dupHeavyCorpus = {
+    import spark.implicits._
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // shares 7 of 10 words with baseA -> near (J between the sets ~0.3-0.5)
+    val baseB = "alpha beta gamma delta epsilon zeta eta psi chi omega"
+    val baseC = "one two three four five six seven eight nine ten"
+    val classes = Seq((baseA, 30, 0L), (baseB, 12, 100L), (baseC, 1, 200L),
+      (baseA + " extraword", 5, 300L))
+    val dups = classes.flatMap { case (text, sz, base) =>
+      (0 until sz).map(i => (base + i, text))
+    }
+    val filler = (0 until 20).map(i =>
+      ((500 + i).toLong, s"fill${i}a fill${i}b fill${i}c fill${i}d"))
+    (dups ++ filler).toDF("doc_id", "text")
+  }
+
+  private def pairKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  /** Expand a (kind, doc_a, doc_b, inter, uni, n_pairs) report back into
+    * the full pair listing: within-class all-pairs at (|S|, |S|) from
+    * the stars, cross-class member-pair expansion from the near rows. */
+  private def reconstructJaccard(
+      report: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Int, Int)] = {
+    val stars = report.filter(_.getString(0) == "star")
+    val members = stars.groupBy(_.getLong(1))
+      .map { case (rep, rs) => rep -> rs.map(_.getLong(2)).toSet }
+    def cls(rep: Long) = members.getOrElse(rep, Set.empty) + rep
+    val sizeOf = stars.map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val within = members.toSeq.flatMap { case (rep, ms) =>
+      val all = (ms + rep).toSeq.sorted
+      for (i <- all.indices; j <- (i + 1) until all.size)
+        yield (all(i), all(j), sizeOf(rep), sizeOf(rep))
+    }
+    val cross = report.filter(_.getString(0) == "near").toSeq.flatMap { r =>
+      for (a <- cls(r.getLong(1)).toSeq; b <- cls(r.getLong(2)).toSeq)
+        yield (math.min(a, b), math.max(a, b), r.getInt(3), r.getInt(4))
+    }
+    (within ++ cross).toSet
+  }
+
+  test("jaccard near-dup report reconstructs the exact full listing " +
+      "losslessly and is linear in dup structure (d13 form)") {
+    val sh = dupHeavyCorpus.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("sh")).localCheckpoint()
+    // dfCapEpsilon high on BOTH sides: the tiny corpus makes the default
+    // df-cap bind (N·t·ε ≈ 2), and the cap is a separate, separately
+    // pinned approximation — this test pins the CONTRACTION alone
+    val report = Dedup.jaccardNearDupReportFrom(sh,
+      reps => Dedup.exactJaccardPairs(spark, reps, 0.3,
+        dfCapEpsilon = 100)).collect()
+    val full = pairKey(Dedup.exactJaccardPairs(spark, sh, 0.3,
+      dfCapEpsilon = 100))
+    assert(reconstructJaccard(report) == full,
+      "report must reconstruct the full listing exactly")
+    // row-kind accounting: n_pairs sums to the listing cardinality
+    val nPairs = report.filter(r => !r.isNullAt(5)).map(_.getLong(5)).sum +
+      report.count(_.getString(0) == "near") -
+      report.filter(_.getString(0) == "near").map(_.getLong(5)).sum
+    assert(report.filter(_.getString(0) == "class").map(_.getLong(5)).sum +
+      report.filter(_.getString(0) == "near").map(_.getLong(5)).sum ==
+      full.size.toLong, s"n_pairs must account for the full listing; $nPairs")
+    // the scale contract: output linear in dup structure, not pair count
+    assert(report.length < full.size / 3,
+      s"report (${report.length}) must compress the listing (${full.size})")
+  }
+
+  test("minhash LSH report reconstructs the full LSH listing (d11 form: " +
+      "identical sets share signatures, so banding commutes with " +
+      "contraction)") {
+    val sh = dupHeavyCorpus.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("sh")).localCheckpoint()
+    // thresholds 0.3: baseA~baseB near rows qualify; big caps both sides
+    val report = Dedup.jaccardNearDupReportFrom(sh,
+      reps => Dedup.minhashPairsFrom(reps, 0.3, bucketCap = 100000))
+      .collect()
+    val full = pairKey(Dedup.minhashPairsFrom(sh, 0.3, bucketCap = 100000))
+    assert(reconstructJaccard(report) == full)
+    assert(report.count(_.getString(0) == "near") > 0,
+      "fixture must exercise cross-class near rows")
+  }
+
+  test("simhash report reconstructs the full chunk-banded listing " +
+      "(d12 form: identical signatures share every chunk)") {
+    import spark.implicits._
+    val toks = dupHeavyCorpus.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks")).localCheckpoint()
+    val sims = Dedup.simsOf(toks).localCheckpoint()
+    val report = Dedup.simhashNearDupReportFrom(sims, 6,
+      bucketCap = 100000).collect()
+    val full = Dedup.simhashPairsFromToks(toks, 6, bucketCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reconstruct: within-class pairs at Hamming 0, cross via near rows
+    val stars = report.filter(_.getString(0) == "star")
+    val members = stars.groupBy(_.getLong(1))
+      .map { case (rep, rs) => rep -> rs.map(_.getLong(2)).toSet }
+    def cls(rep: Long) = members.getOrElse(rep, Set.empty) + rep
+    val within = members.toSeq.flatMap { case (rep, ms) =>
+      val all = (ms + rep).toSeq.sorted
+      for (i <- all.indices; j <- (i + 1) until all.size)
+        yield (all(i), all(j), 0)
+    }
+    val cross = report.filter(_.getString(0) == "near").toSeq.flatMap { r =>
+      for (a <- cls(r.getLong(1)).toSeq; b <- cls(r.getLong(2)).toSeq)
+        yield (math.min(a, b), math.max(a, b), r.getInt(3))
+    }
+    assert((within ++ cross).toSet == full)
+    assert(stars.nonEmpty && report.exists(_.getString(0) == "class"))
+  }
 }

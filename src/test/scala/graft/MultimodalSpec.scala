@@ -180,7 +180,9 @@ class MultimodalSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val canon = Multimodal.multimodalClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val textPairs = graft.operators.Dedup.d13.fn(spark, sf)
+    // full J >= 0.3 listing (the d13 report's underlying relation)
+    val textPairs = graft.operators.Dedup.exactJaccardPairs(spark,
+        graft.operators.Dedup.shingled(spark, sf), 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val imgPairs = Multimodal.imageNearDupPairs(
         Multimodal.perceptualHash(

@@ -48,11 +48,13 @@ def cosine(a, b):
 
 
 def assign(vs, cents):
-    # row_number over (score desc, cluster asc): first strict max wins
+    # row_number over (score desc, cluster asc): first strict max wins.
+    # cents is a list of (cluster_id, centroid) in cluster_id order —
+    # ids survive empty-cluster drops, mirroring the engine's groupBy.
     out = []
     for v in vs:
         best_c, best_s = None, None
-        for c, cent in enumerate(cents):
+        for c, cent in cents:
             s = cosine(v, cent)
             if best_s is None or s > best_s:
                 best_c, best_s = c, s
@@ -60,22 +62,29 @@ def assign(vs, cents):
     return out
 
 
-def update(vs, labels, k, d):
-    sums = [[Decimal(0)] * d for _ in range(k)]
+def update(vs, labels, d):
+    # keyed by cluster id; clusters that receive NO members this round
+    # simply do not appear — exactly the engine's groupBy over
+    # assignments (kmeansTrain), whose book drops empty clusters. An
+    # all-zero placeholder centroid would instead WIN assignments
+    # (cosine 0 beats all-negative scores) and silently desync the
+    # embedded oracle VALUES.
+    sums = {}
     for v, c in zip(vs, labels):
-        row = sums[c]
+        row = sums.setdefault(c, [Decimal(0)] * d)
         for i, x in enumerate(v):
             row[i] += dec(x)
     # decimal -> double cast is correctly rounded on both engines
-    return [[float(s) for s in row] for row in sums]
+    return [(c, [float(s) for s in row]) for c, row in sorted(sums.items())]
 
 
 def train(vs, k, iters):
-    cents = [list(vs[i]) for i in range(k)]
+    # returns [(cluster_id, centroid)] — ids are stable across rounds
+    cents = [(i, list(vs[i])) for i in range(k)]
     d = len(vs[0])
     for _ in range(iters - 1):
         labels = assign(vs, cents)
-        cents = update(vs, labels, k, d)
+        cents = update(vs, labels, d)
     return cents
 
 
@@ -97,7 +106,7 @@ def main():
     vs = [r[0] for r in rows[:cap]]
     cents = train(vs, k, iters)
     lines = []
-    for c, cent in enumerate(cents):
+    for c, cent in cents:
         lines.append(f"  ({c}, [" + ", ".join(fmt(x) for x in cent) + "])")
     print(",\n".join(lines))
 

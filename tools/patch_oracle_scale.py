@@ -43,8 +43,8 @@ def kmeans_rows(sf_dir, k, iters=3):
     cents = derive_kmeans.train(vs, k, iters)
     return "\n".join(
         f"  ({c}, [" + ", ".join(derive_kmeans.fmt(x) for x in cent) + "])"
-        + ("," if c < len(cents) - 1 else "")
-        for c, cent in enumerate(cents)), n
+        + ("," if i < len(cents) - 1 else "")
+        for i, (c, cent) in enumerate(cents)), n
 
 
 def rot_sql(sf_dir, m):
@@ -89,17 +89,106 @@ def scala_shuffle(xs, rnd):
     return buf
 
 
-def simhash_masks(bits, tables=8, seed=20260815):
-    """Mirror of Dedup.simhashPerms + the d26 prefix-mask fold — one RNG
-    stream across tables, top-`bits` positions of each permutation."""
+def simhash_perms(tables=8, seed=20260815):
+    """Mirror of Dedup.simhashPerms — one RNG stream across tables."""
     rnd = JavaRandom(seed)
-    perms = [scala_shuffle(range(64), rnd) for _ in range(tables)]
-    return [sum(1 << p[j] for j in range(bits)) for p in perms]
+    return [scala_shuffle(range(64), rnd) for _ in range(tables)]
 
 
-def simhash_cond(bits):
-    return "(" + " OR ".join(
-        f"(x & ({m})) = 0" for m in simhash_masks(bits)) + ")"
+def d26_tail(bits, cap=1024):
+    """Byte-for-byte mirror of the tail of Dedup.d26OracleSql from
+    `keys AS (` on — the per-table permuted-prefix buckets, the hot-
+    bucket star contraction at `cap`, the exact Hamming verify. The
+    gate rendering (bits=4) is asserted against the committed SQL, so
+    RNG or text drift fails loudly before any substitution."""
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sim, {t} AS tbl, "
+        + " | ".join(f"(((sim >> {p[j]}) & 1) << {j})" for j in range(bits))
+        + " AS bk FROM sims"
+        for t, p in enumerate(simhash_perms()))
+    return (
+        "keys AS (\n"
+        f"{selects}),\n"
+        "bkt AS (SELECT tbl, bk, min(doc_id) AS rep, count(*) AS n\n"
+        "        FROM keys GROUP BY tbl, bk),\n"
+        "cand AS (\n"
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk\n"
+        "    AND a.doc_id < b.doc_id\n"
+        "  JOIN bkt k ON k.tbl = a.tbl AND k.bk = a.bk\n"
+        f"  WHERE k.n <= {cap}\n"
+        "  UNION\n"
+        "  SELECT k.rep AS doc_a, x.doc_id AS doc_b\n"
+        "  FROM keys x JOIN bkt k ON k.tbl = x.tbl AND k.bk = x.bk\n"
+        f"  WHERE k.n > {cap} AND x.doc_id <> k.rep),\n"
+        "verified AS (\n"
+        "  SELECT DISTINCT c.doc_a, c.doc_b, xor(sa.sim, sb.sim) AS x\n"
+        "  FROM cand c JOIN sims sa ON sa.doc_id = c.doc_a\n"
+        "              JOIN sims sb ON sb.doc_id = c.doc_b)\n"
+        "SELECT doc_a, doc_b, CAST(bit_count(x) AS INT) AS hamming\n"
+        "FROM verified WHERE bit_count(x) <= 6\n"
+        "ORDER BY doc_a, doc_b")
+
+
+def bpe_merges(sf_dir, n_merges):
+    """Plain-Python mirror of Curation.bpeTrain (itself bit-identical to
+    the batched trainer per CurationSpec): word histogram over
+    split(trim(text), '\\s+'), per-round adjacent-pair counts weighted
+    by word frequency, argmax by (freq DESC, left ASC, right ASC), one
+    left-to-right non-overlapping fold per merge. Deterministic; the
+    gate rendering is asserted against the committed d21/d27 SQL."""
+    import re as _re
+    from collections import Counter
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    hist = Counter()
+    for (t,) in texts:
+        for w in _re.split(r"\s+", t.strip()):
+            hist[w] += 1
+    vocab = [[list(w), c] for w, c in hist.items()]
+    out = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, c in vocab:
+            for i in range(1, len(syms)):
+                pc[(syms[i - 1], syms[i])] += c
+        if not pc:
+            break
+        (a, b), f = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, f))
+        m = a + b
+        for entry in vocab:
+            syms = entry[0]
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = m
+                else:
+                    acc.append(s)
+            entry[0] = acc
+    return out
+
+
+def sq(s):
+    return s.replace("'", "''")
+
+
+def d21_values(merges):
+    """The d21 VALUES rows in the committed layout: 3 tuples per line,
+    two-space indent."""
+    tuples = [f"({r}, '{sq(a)}', '{sq(b)}', {f})" for r, a, b, f in merges]
+    lines = [", ".join(tuples[i:i + 3]) for i in range(0, len(tuples), 3)]
+    return ",\n".join("  " + ln for ln in lines)
+
+
+def d27_expr(merges8):
+    """The d27 chained-replace encode expression for a merge table."""
+    e = "array_to_string(string_split(w, ''), chr(31))"
+    for _, a, b, _f in merges8:
+        e = f"replace({e}, '{sq(a)}'||chr(31)||'{sq(b)}', '{sq(a)}{sq(b)}')"
+    return e
 
 
 def adaptive_prefix_bits(n_docs):
@@ -136,21 +225,45 @@ def main():
     kd_rows, _ = kmeans_rows(sf_dir, kd)
     print(f"target corpus n={n}, adaptiveK={kd}")
 
-    # d26: the oracle's candidate condition embeds the top-`prefixBits`
-    # masks of the seed-fixed permutations; the engine adapts prefixBits
-    # to the corpus (n/128 occupancy), the committed SQL hardcodes the
-    # gate's 4. Re-derive the masks (validated below against the gate
-    # SQL's own constants) at the target corpus's adaptive width.
+    # d26: the oracle embeds per-table permuted-prefix bucket keys AND
+    # the hot-bucket star contraction; the engine adapts prefixBits to
+    # the corpus (n/128 occupancy), the committed SQL hardcodes the
+    # gate's 4. Regenerate the whole tail (validated byte-for-byte
+    # against the gate SQL) at the target corpus's adaptive width — the
+    # cap stays 1024, so the re-derived oracle REPLAYS the engine's
+    # over-cap contraction instead of listing uncapped pairs (the r13
+    # d26 sf0.1 divergence).
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
-    gate_cond = simhash_cond(4)
     d26 = oracle["d26_simhash_permuted"]
-    assert d26.count(gate_cond) == 1, \
-        "d26: gate prefix-mask condition not found (RNG replica drifted?)"
+    gate_tail = d26_tail(4)
+    assert d26.endswith(gate_tail), \
+        "d26: gate bucket/cap tail not found (RNG or text replica drifted?)"
     tgt_bits = adaptive_prefix_bits(n_docs)
-    oracle["d26_simhash_permuted"] = d26.replace(
-        gate_cond, simhash_cond(tgt_bits))
+    oracle["d26_simhash_permuted"] = \
+        d26[: len(d26) - len(gate_tail)] + d26_tail(tgt_bits)
     print(f"d26 prefixBits {4} -> {tgt_bits} (n_docs={n_docs})")
+
+    # d21/d27: re-derive the BPE merge table on the target corpus (r13
+    # verdict item 3) — the committed oracles embed the GATE corpus's
+    # merges. The gate rendering of both blocks is asserted against the
+    # committed SQL first, validating the python replica.
+    gate_merges = bpe_merges(gate, 12)
+    tgt_merges = bpe_merges(sf_dir, 12)
+    d21 = oracle["d21_bpe_merges"]
+    gate_vals = d21_values(gate_merges)
+    assert d21.count(gate_vals) == 1, \
+        "d21: gate merge VALUES not found (BPE replica drifted?)"
+    oracle["d21_bpe_merges"] = d21.replace(gate_vals,
+                                           d21_values(tgt_merges))
+    d27 = oracle["d27_bpe_encode"]
+    gate_expr = d27_expr(gate_merges[:8])
+    assert d27.count(gate_expr) == 1, \
+        "d27: gate encode expression not found (BPE replica drifted?)"
+    oracle["d27_bpe_encode"] = d27.replace(gate_expr,
+                                           d27_expr(tgt_merges[:8]))
+    print(f"d21/d27 merges re-derived: gate {gate_merges[:2]}... -> "
+          f"target {tgt_merges[:2]}...")
 
     for q in ("e07_ann_ivf_kmeans", "t05_hybrid_ivf"):
         oracle[q] = sub_block(oracle[q], CENTS, k8_rows, q)
