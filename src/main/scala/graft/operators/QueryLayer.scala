@@ -132,10 +132,15 @@ object QueryLayer {
   /** GET /api/v3/actions (crud_actions.go:60-198): time-range filters
     * land on the join site the reference uses (AA.* when the account
     * bridge is joined, A.* otherwise), the 4-key sort follows the
-    * order_by_now switch with ONE direction on all four keys, the
-    * bridge join dedups on (trace_id, action_id) (the reference's
-    * `distinct on` over the sort keys), and `end_lt is not NULL` is
-    * always appended. limit+offset stays one TakeOrderedAndProject. */
+    * order_by_now switch with ONE direction on all four keys, and
+    * `end_lt is not NULL` is always appended. The bridge join mirrors
+    * the reference's DISTINCT ON exactly: the WHERE applies to ALL
+    * bridge rows first, then one row per (trace_id, action_id) survives
+    * — the copy that sorts FIRST under the four active sort keys (a
+    * row_number window), so duplicate bridge rows with divergent
+    * denormalized stamps resolve deterministically and
+    * reference-identically. limit+offset stays one
+    * TakeOrderedAndProject. */
   def actionsByRequest(actionsDf: DataFrame, actionAccounts: DataFrame,
       r: ActionsRequest): DataFrame = {
     val orderByNow = r.utimeMin.isDefined || r.utimeMax.isDefined
@@ -151,7 +156,6 @@ object QueryLayer {
             col("action_end_lt").as("s_end_lt"))
         actionsDf.drop("trace_end_utime", "trace_end_lt")
           .join(aa, Seq("trace_id", "action_id"))
-          .dropDuplicates("trace_id", "action_id")
       case None => actionsDf
         .withColumn("s_trace_end_utime", col("trace_end_utime"))
         .withColumn("s_trace_end_lt", col("trace_end_lt"))
@@ -175,8 +179,18 @@ object QueryLayer {
       else
         Seq(dir(col("s_trace_end_lt")), dir(col("trace_id")),
           dir(col("s_end_lt")), dir(col("action_id")))
+    val filtered = conds.foldLeft(base)(_ filter _)
+    val deduped = r.account match {
+      case Some(_) =>
+        // DISTINCT ON after WHERE: keep the first-sorting copy per key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("trace_id", "action_id").orderBy(sortKeys: _*)
+        filtered.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+      case None => filtered
+    }
     val off = clampOffset(r.offset)
-    conds.foldLeft(base)(_ filter _)
+    deduped
       .orderBy(sortKeys: _*)
       .limit(off + clampLimit(r.limit))
       .offset(off)

@@ -449,19 +449,39 @@ object Similarity {
     * bound) the sample IS the corpus, so the trained snapshot — and
     * every oracle that embeds it (e07/e08/e09/t05) — is unchanged from
     * the full-corpus trainer; SimilaritySpec pins that equivalence.
-    * (A production deployment with a skew-prone id order would swap the
-    * vec_id prefix for a deterministic hash sample — the prefix is kept
-    * here because it is what the oracle replica can re-derive exactly.)
+    *
+    * Two deterministic samplers, `hashSample` selecting between them:
+    *  - prefix (default): vec_id < bound — a pure pushed-down filter,
+    *    no pre-count. The oracle replicas (tools/derive_kmeans.py,
+    *    patch_oracle_scale.py) apply the SAME `vec_id < bound` filter,
+    *    so engine and replica see identical samples at ANY id
+    *    distribution (gappy ids shrink the sample on both sides
+    *    together; the init `require` still guards sample ≥ k).
+    *  - hash (production path for skew-prone or sparse id orders):
+    *    accept rows by xxhash64(vec_id) threshold sized to the corpus —
+    *    content- and order-independent, ~bound rows in expectation at
+    *    any id distribution, at the cost of one corpus count. When the
+    *    corpus fits the bound, both samplers see the same rows and
+    *    train the SAME book (SimilaritySpec pins it), which is why the
+    *    gate snapshots are sampler-agnostic.
     *
     * Returns the (cluster, centroid) book after iters-1 updates — the
     * book the final assignment pass scores against, identical to what
     * the previous full-loop implementation used for its last round. */
   def kmeansTrain(corpus: DataFrame, k: Int, iters: Int,
-      sampleN: Int = 4096): DataFrame = {
+      sampleN: Int = 4096, hashSample: Boolean = false): DataFrame = {
     val bound = math.max(sampleN, 8 * k)
-    val c = checkpointFresh(
-      corpus.filter(col("vec_id") < bound)
-        .select(col("vec_id"), asDouble(col("embedding")).as("cv")))
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val sampled =
+      if (!hashSample) base.filter(col("vec_id") < bound)
+      else {
+        val n = corpus.count()
+        if (n <= bound) base
+        else base.filter(
+          pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+            bound * 1000000L / n)
+      }
+    val c = checkpointFresh(sampled)
     val init = c.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("cv")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }

@@ -379,6 +379,44 @@ class BackcompatSpec extends SparkSpec {
       "draws must exercise both sides of the order_by_now switch")
   }
 
+  test("bridge DISTINCT ON: the WHERE applies to every bridge copy and " +
+      "the first-sorting survivor wins — a filtered-out copy cannot " +
+      "suppress a passing one, and the kept stamps are deterministic") {
+    import spark.implicits._
+    val acts = Seq(("tr1", "a1", "t0", 0L, 0L, 0L, 5L),
+      ("tr2", "a2", "t0", 0L, 0L, 0L, 6L))
+      .toDF("trace_id", "action_id", "type",
+        "trace_end_utime", "trace_end_lt", "end_utime", "end_lt")
+    // three copies of (acc, tr1, a1) with DIVERGENT denormalized stamps:
+    // utime 10 (fails the filter), 30 and 50 (both pass); one copy of
+    // (acc, tr2, a2) at utime 40
+    val bridge = Seq(
+      ("0:1", "tr1", "a1", 10L, 1L, 10L, 1L),
+      ("0:1", "tr1", "a1", 30L, 3L, 30L, 3L),
+      ("0:1", "tr1", "a1", 50L, 5L, 50L, 5L),
+      ("0:1", "tr2", "a2", 40L, 4L, 40L, 4L))
+      .toDF("account", "trace_id", "action_id",
+        "trace_end_utime", "trace_end_lt", "action_end_utime",
+        "action_end_lt")
+    val got = QueryLayer.actionsByRequest(acts, bridge,
+      ActionsRequest(account = Some("0:1"), utimeMin = Some(20L),
+        descending = true))
+      .select("action_id", "s_trace_end_utime").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a1 SURVIVES (dedup-before-filter could have kept the 10-stamp copy
+    // and dropped it); its surviving stamp is the first-sorting one (50
+    // under DESC); a2 passes on its only copy; order: 50 before 40
+    assert(got == Seq(("a1", 50L), ("a2", 40L)), s"got $got")
+    // ascending flips the surviving copy to the 30-stamp one AND the
+    // output order
+    val asc = QueryLayer.actionsByRequest(acts, bridge,
+      ActionsRequest(account = Some("0:1"), utimeMin = Some(20L),
+        descending = false))
+      .select("action_id", "s_trace_end_utime").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(asc == Seq(("a1", 30L), ("a2", 40L)), s"got $asc")
+  }
+
   test("mutation canary: a flipped order_by_now sort contract is CAUGHT " +
       "by the actions fuzz") {
     val (acts, accounts) = actionsFixture()

@@ -261,6 +261,47 @@ class MultimodalSpec extends SparkSpec {
     ()
   }
 
+  test("image and video near-dup reports: lossless contraction — stars " +
+      "+ rep pairs + counts reconstruct the full pair listing exactly " +
+      "(the audio pin, applied to both gridNearDupReport consumers)") {
+    for ((label, fps) <- Seq(
+        "image" -> Multimodal.phashSilver(spark, sf),
+        "video" -> Multimodal.videoFpSilver(spark, sf))) {
+      val cached = fps.cache()
+      val report = Multimodal.gridNearDupReport(cached, maxHamming = 2)
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))
+        }
+      val full = Multimodal.imageNearDupPairs(cached, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val members = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefault(r => Set(r))
+      report.collect { case ("star", rep, Some(m), Some(0), None) =>
+        members(rep) = members(rep) + rep + m
+      }
+      val within = members.values.flatMap { ms =>
+        val s = ms.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j), 0)
+      }.toSet
+      val cross = report.collect {
+        case ("near", a, Some(b), Some(h), Some(np)) =>
+          val pairs = for (x <- members(a); y <- members(b))
+            yield (math.min(x, y), math.max(x, y), h)
+          assert(pairs.size.toLong == np,
+            s"$label near row ($a,$b) n_pairs=$np expands to ${pairs.size}")
+          pairs
+      }.flatten.toSet
+      assert(within.union(cross) == full,
+        s"$label report reconstruction must equal the full pair listing")
+      assert(report.exists(_._1 == "star") && full.nonEmpty,
+        s"$label fixture must exercise the contraction")
+      cached.unpersist()
+    }
+  }
+
   test("audio near-dup report: lossless contraction — stars + rep pairs " +
       "+ counts reconstruct the full pair listing exactly") {
     val fps = Multimodal.audioFingerprint(

@@ -113,6 +113,36 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.filter(col("vec_id") >= 100000L).count() == 30)
   }
 
+  test("hash-sampled training: equals the prefix sampler when the bound " +
+      "covers the corpus, trains where the prefix sampler cannot, and " +
+      "is deterministic under a binding bound") {
+    def book(df: org.apache.spark.sql.DataFrame,
+        hash: Boolean): Map[Int, Seq[Double]] =
+      Similarity.kmeansTrain(df, 8, 3, hashSample = hash).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // gate corpus (n=500 <= 4096): both samplers see the same rows, so
+    // the books — and every oracle snapshot — are sampler-agnostic
+    assert(book(emb, hash = false) == book(emb, hash = true))
+    // gappy id space (ids shifted by 1e6): the prefix sampler sees ZERO
+    // rows and fails LOUDLY at init (never a silent replica divergence)
+    val gappy = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("label"))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(gappy, 8, 3).collect()
+    }
+    // ...while the hash sampler trains: n <= bound degenerates to the
+    // whole corpus, and order-preserving id shift -> identical init ->
+    // identical book
+    assert(book(gappy, hash = true) == book(emb, hash = false),
+      "hash sampler must train the dense corpus's book on shifted ids")
+    // binding bound (n=500 > bound=32): deterministic across runs
+    val b1 = Similarity.kmeansTrain(emb, 2, 2, sampleN = 32,
+      hashSample = true).collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val b2 = Similarity.kmeansTrain(emb, 2, 2, sampleN = 32,
+      hashSample = true).collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(b1.toSeq == b2.toSeq, "hash sampling must be deterministic")
+  }
+
   test("distributed-Gramian rotation equals a driver-collected replica " +
       "of the same decimal definition, bit for bit") {
     // the engine computes the moments as distributed decimal(28,10)

@@ -10,10 +10,12 @@ half-up sums — run over any corpus directory. Every float op used
 decimal sums are order-independent, so the result is bit-identical to the
 engine's snapshot while being produced by a different implementation.
 
-Training sample (mirrors the engine's web-scale contract): the first
-min(n, max(4096, 8*k)) vectors by vec_id. At the sf0.01 gate corpus
-(n=500) the sample is the whole corpus, so gate snapshots are unchanged
-by the sample bound.
+Training sample (mirrors the engine's web-scale contract): rows with
+vec_id < max(4096, 8*k) — the SAME pushed-down filter the engine
+applies, so engine and replica see identical samples at any id
+distribution. At the sf0.01 gate corpus (n=500, dense 0-based ids) the
+sample is the whole corpus, so gate snapshots are unchanged by the
+sample bound.
 
 Usage: python3 tools/derive_kmeans.py <sfDir> <k> [iters=3]
 Prints the `(cluster, [centroid...])` VALUES rows the oracle embeds.
@@ -98,12 +100,12 @@ def main():
     k = int(sys.argv[2])
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = duckdb.connect()
+    bound = max(4096, 8 * k)
     rows = con.execute(
         "SELECT CAST(embedding AS DOUBLE[]) FROM "
-        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
-    n = len(rows)
-    cap = min(n, max(4096, 8 * k))
-    vs = [r[0] for r in rows[:cap]]
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id < {bound} "
+        "ORDER BY vec_id").fetchall()
+    vs = [r[0] for r in rows]
     cents = train(vs, k, iters)
     lines = []
     for c, cent in cents:

@@ -34,12 +34,14 @@ import duckdb
 
 def kmeans_rows(sf_dir, k, iters=3):
     con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    bound = max(4096, 8 * k)
     rows = con.execute(
         "SELECT CAST(embedding AS DOUBLE[]) FROM "
-        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
-    n = len(rows)
-    cap = min(n, max(4096, 8 * k))
-    vs = [r[0] for r in rows[:cap]]
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id < {bound} "
+        "ORDER BY vec_id").fetchall()
+    vs = [r[0] for r in rows]
     cents = derive_kmeans.train(vs, k, iters)
     return "\n".join(
         f"  ({c}, [" + ", ".join(derive_kmeans.fmt(x) for x in cent) + "])"
