@@ -107,6 +107,59 @@ object QueryLayer {
       .orderBy(col("end_lt").desc, col("trace_id"))
       .limit(clampLimit(limit))
 
+  /** Typed traces request (crud_traces.go:13-115): the full GET
+    * /api/v3/traces switch surface — end_utime range flips the sort
+    * clock to (end_utime, trace_id) exactly like actions' order_by_now
+    * (a LT range does NOT flip it), account / tx-hash / msg-hash
+    * filters are EXISTS subqueries (left-semi joins — never fan-out
+    * JOINs), msg hashes match msg_hash OR msg_hash_norm, and mc_seqno
+    * implies state = 'complete'. BackcompatSpec fuzzes this against
+    * reference-shaped SQL with a mutation canary. */
+  case class TraceRequest(
+      account: Option[String] = None,
+      txHashes: Seq[String] = Nil,
+      msgHashes: Seq[String] = Nil,
+      traceIds: Seq[String] = Nil,
+      mcSeqno: Option[Long] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
+      ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      descending: Boolean = true,
+      limit: Int = DefaultLimit, offset: Int = 0)
+
+  def tracesByRequest(traces: DataFrame, txs: DataFrame, msgs: DataFrame,
+      r: TraceRequest): DataFrame = {
+    val orderByNow = r.utimeMin.isDefined || r.utimeMax.isDefined
+    var df = traces
+    r.utimeMin.foreach(v => df = df.filter(col("end_utime") >= v))
+    r.utimeMax.foreach(v => df = df.filter(col("end_utime") <= v))
+    r.ltMin.foreach(v => df = df.filter(col("end_lt") >= v))
+    r.ltMax.foreach(v => df = df.filter(col("end_lt") <= v))
+    r.account.foreach(a => df = df.join(
+      txs.filter(col("account") === a).select("trace_id"),
+      Seq("trace_id"), "left_semi"))
+    if (r.txHashes.nonEmpty) df = df.join(
+      txs.filter(col("hash").isin(r.txHashes: _*)).select("trace_id"),
+      Seq("trace_id"), "left_semi")
+    if (r.msgHashes.nonEmpty) df = df.join(
+      msgs.filter(col("msg_hash").isin(r.msgHashes: _*) ||
+          col("msg_hash_norm").isin(r.msgHashes: _*))
+        .select("trace_id"),
+      Seq("trace_id"), "left_semi")
+    if (r.traceIds.nonEmpty) df = df.filter(col("trace_id").isin(r.traceIds: _*))
+    r.mcSeqno.foreach(v => df = df.filter(
+      col("state") === "complete" && col("mc_seqno_end") === v))
+    // postgres null placement (DESC = NULLS FIRST, ASC = NULLS LAST):
+    // pending traces can carry NULL end stamps, and Spark's defaults
+    // are the opposite — spelled out so the reference order is exact
+    val dir: Column => Column =
+      c => if (r.descending) c.desc_nulls_first else c.asc_nulls_last
+    val keys =
+      if (orderByNow) Seq(dir(col("end_utime")), dir(col("trace_id")))
+      else Seq(dir(col("end_lt")), dir(col("trace_id")))
+    val off = clampOffset(r.offset)
+    df.orderBy(keys: _*).limit(off + clampLimit(r.limit)).offset(off)
+  }
+
   /** actions for RAW `supported_action_types` request input — shortcut
     * names (v1..v4/latest, domain groups) expand through
     * [[ActionTypes.expand]] (recursive resolution + always-∪-v1,
@@ -269,16 +322,25 @@ object QueryLayer {
   }
 
   /** GET /api/v3/messages (crud_messages.go:14-105): filters on
-    * direction/source/destination/opcode + created_lt window, then the
-    * A1 dedup contract — the in and out copies of one message collapse
-    * to a single row carrying both tx hashes (group by msg_hash,
-    * max-case per direction, crud_messages.go:22-29). "null" source/
-    * destination selects externals like the reference's sentinel. */
+    * direction/source/destination/opcode, msg-hash IN matching msg_hash
+    * OR msg_hash_norm, body_hash, created_at and created_lt windows,
+    * then the A1 dedup contract — the in and out copies of one message
+    * collapse to a single row carrying both tx hashes (group by
+    * msg_hash + every non-collapsed column, max-case per direction,
+    * crud_messages.go:22-29). "null" source/destination selects
+    * externals like the reference's sentinel. Two reference quirks
+    * pinned by the BackcompatSpec fuzz: a utime filter flips the sort
+    * clock created_lt → created_at (msg_hash stays the tie-break), and
+    * the exclude/only-externals NULL test applies to the ACTIVE clock
+    * column, whichever it is (crud_messages.go:67-87). */
   case class MessageRequest(
       direction: Option[String] = None,
       source: Option[String] = None, destination: Option[String] = None,
       opcode: Option[Long] = None,
+      msgHashes: Seq[String] = Nil, bodyHash: Option[String] = None,
+      utimeMin: Option[Long] = None, utimeMax: Option[Long] = None,
       ltMin: Option[Long] = None, ltMax: Option[Long] = None,
+      excludeExternals: Boolean = false, onlyExternals: Boolean = false,
       descending: Boolean = true, limit: Int = DefaultLimit)
 
   def messages(messagesDf: DataFrame, r: MessageRequest): DataFrame = {
@@ -291,16 +353,38 @@ object QueryLayer {
       if (v == "null") df.filter(col("destination").isNull)
       else df.filter(col("destination") === v))
     r.opcode.foreach(v => df = df.filter(col("opcode") === v))
+    if (r.msgHashes.nonEmpty)
+      df = df.filter(col("msg_hash").isin(r.msgHashes: _*) ||
+        col("msg_hash_norm").isin(r.msgHashes: _*))
+    r.bodyHash.foreach(v => df = df.filter(col("body_hash") === v))
+    val orderCol =
+      if (r.utimeMin.isDefined || r.utimeMax.isDefined) "created_at"
+      else "created_lt"
+    r.utimeMin.foreach(v => df = df.filter(col("created_at") >= v))
+    r.utimeMax.foreach(v => df = df.filter(col("created_at") <= v))
     r.ltMin.foreach(v => df = df.filter(col("created_lt") >= v))
     r.ltMax.foreach(v => df = df.filter(col("created_lt") <= v))
-    val dir: Column => Column = c => if (r.descending) c.desc else c.asc
-    df.groupBy("msg_hash", "source", "destination", "value", "opcode",
-        "created_lt")
+    if (r.excludeExternals) df = df.filter(col(orderCol).isNotNull)
+    if (r.onlyExternals) df = df.filter(col(orderCol).isNull)
+    // postgres null placement: externals carry NULL clock stamps and
+    // sort NULLS FIRST under DESC there, opposite Spark's default
+    val dir: Column => Column =
+      c => if (r.descending) c.desc_nulls_first else c.asc_nulls_last
+    // group by msg_hash + the reference's SELECTED rest columns
+    // (crud_messages.go:22-29) present in the input frame — never
+    // carrier columns like trace_id that the endpoint doesn't project
+    val restAllow = Set("msg_hash", "source", "destination", "value",
+      "value_extra_currencies", "fwd_fee", "ihr_fee", "extra_flags",
+      "created_lt", "created_at", "opcode", "ihr_disabled", "bounce",
+      "bounced", "import_fee", "body_hash", "init_state_hash",
+      "msg_hash_norm")
+    val restCols = messagesDf.columns.toSeq.filter(restAllow)
+    df.groupBy(restCols.map(col): _*)
       .agg(max(when(col("direction") === "in", col("tx_hash")))
           .as("in_tx_hash"),
         max(when(col("direction") === "out", col("tx_hash")))
           .as("out_tx_hash"))
-      .orderBy(dir(col("created_lt")), dir(col("msg_hash")))
+      .orderBy(dir(col(orderCol)), dir(col("msg_hash")))
       .limit(clampLimit(r.limit))
   }
 

@@ -444,5 +444,49 @@ object StreamQueries {
       .orderBy("phase", "src")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** Batch unification of `StreamAsOf.latestStateMatchesHoldback` (the
+    * CONTRACT-FREE streaming as-of, r13 verdict item 9): the hold-back
+    * variant answers a probe only once a strictly-later row of its key
+    * proves no equal-ts state row remains upstream, so without a
+    * sentinel flush it emits exactly the FINALIZED PREFIX — every row
+    * strictly below its key's frontier timestamp, matched at the
+    * inclusive as-of bound. The batch program is s05's as-of join with
+    * the per-key frontier rows filtered out (window max); the spec
+    * (StreamAsOfSpec) proves the stream emits exactly this set across
+    * arbitrary ts-ordered micro-batch splits WITHOUT the
+    * rights-before-probes producer contract s05's operator needs. */
+  val s11 = Q("s11_stream_asof_holdback",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |aj AS (
+      |  SELECT e.event_id, e.user_id, e.ts_us,
+      |    p.ts_us AS asof_ts_us, p.value AS asof_value
+      |  FROM e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us),
+      |mx AS (SELECT user_id, max(ts_us) AS mx FROM e GROUP BY user_id)
+      |SELECT aj.event_id, aj.user_id, aj.ts_us, aj.asof_ts_us,
+      |  aj.asof_value
+      |FROM aj JOIN mx ON mx.user_id = aj.user_id
+      |WHERE aj.ts_us < mx.mx
+      |ORDER BY aj.event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    graft.operators.AsOf.asofJoin(
+        ev.drop("event_type", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us")
+      .withColumn("__mx",
+        max(col("ts_us")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("ts_us") < col("__mx"))
+      .select("event_id", "user_id", "ts_us", "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -417,6 +417,348 @@ class BackcompatSpec extends SparkSpec {
     assert(asc == Seq(("a1", 30L), ("a2", 40L)), s"got $asc")
   }
 
+  // ------------------------------------------------------------- traces
+
+  import QueryLayer.TraceRequest
+
+  /** traces + transactions + messages with ties on both sort clocks,
+    * NULL end stamps on pending traces, and msg_hash/norm aliasing. */
+  private def tracesFixture(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val rnd = new Random(7L)
+    val traces = (1 to 240).map { i =>
+      val pending = i % 11 == 0
+      (f"tr$i%03d",
+        if (pending) None else Some((i % 30) * 10L),
+        if (pending) None else Some((i % 17) * 7L),
+        if (pending) "pending" else "complete",
+        (i % 9).toLong)
+    }.toDF("trace_id", "end_lt", "end_utime", "state", "mc_seqno_end")
+    val txs = (1 to 240).flatMap { i =>
+      (0 until 1 + rnd.nextInt(2)).map(t =>
+        (f"tr$i%03d", s"0:${(i + t) % 12}", s"h${i}_$t"))
+    }.toDF("trace_id", "account", "hash")
+    val msgs = (1 to 240).map { i =>
+      (f"tr$i%03d", s"m$i", s"n${i % 50}")
+    }.toDF("trace_id", "msg_hash", "msg_hash_norm")
+    (traces, txs, msgs)
+  }
+
+  /** crud_traces.go:13-115 restated; `mutateClock` flips order_by_now. */
+  private def tracesSqlOf(r: TraceRequest,
+      mutateClock: Boolean = false): String = {
+    val orderByNow =
+      (r.utimeMin.isDefined || r.utimeMax.isDefined) != mutateClock
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+    val conds = Seq(
+      r.utimeMin.map(v => s"end_utime >= $v"),
+      r.utimeMax.map(v => s"end_utime <= $v"),
+      r.ltMin.map(v => s"end_lt >= $v"),
+      r.ltMax.map(v => s"end_lt <= $v"),
+      r.account.map(a => s"""EXISTS (SELECT 1 FROM trtx_view T
+        WHERE T.trace_id = E.trace_id AND T.account = '$a')"""),
+      if (r.txHashes.nonEmpty) Some(s"""EXISTS (SELECT 1 FROM trtx_view T
+        WHERE T.trace_id = E.trace_id AND T.hash IN ${inList(r.txHashes)})""")
+      else None,
+      if (r.msgHashes.nonEmpty) Some(s"""EXISTS (SELECT 1 FROM trmsg_view M
+        WHERE M.trace_id = E.trace_id AND (M.msg_hash IN ${inList(r.msgHashes)}
+        OR M.msg_hash_norm IN ${inList(r.msgHashes)}))""")
+      else None,
+      if (r.traceIds.nonEmpty) Some(s"trace_id IN ${inList(r.traceIds)}")
+      else None,
+      r.mcSeqno.map(v => s"state = 'complete' AND mc_seqno_end = $v")
+    ).flatten
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val (d, n) = if (r.descending) ("DESC", "NULLS FIRST")
+      else ("ASC", "NULLS LAST")
+    val key = if (orderByNow) "end_utime" else "end_lt"
+    val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+      else math.min(r.limit, QueryLayer.MaxLimit)
+    s"""SELECT trace_id FROM tr_view E$where
+       |ORDER BY $key $d $n, trace_id $d
+       |LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+  }
+
+  private def tracesDraw(rnd: Random): TraceRequest = TraceRequest(
+    account = if (rnd.nextInt(3) == 0) Some(s"0:${rnd.nextInt(12)}") else None,
+    txHashes = if (rnd.nextInt(4) == 0)
+      (0 until 1 + rnd.nextInt(3)).map(_ => s"h${1 + rnd.nextInt(240)}_0")
+    else Nil,
+    msgHashes = if (rnd.nextInt(4) == 0) {
+      // half the draws hit the NORMALIZED hash alias
+      if (rnd.nextBoolean()) Seq(s"m${1 + rnd.nextInt(240)}")
+      else Seq(s"n${rnd.nextInt(50)}")
+    } else Nil,
+    traceIds = if (rnd.nextInt(5) == 0)
+      (0 until 2).map(_ => f"tr${1 + rnd.nextInt(240)}%03d")
+    else Nil,
+    mcSeqno = if (rnd.nextInt(4) == 0) Some(rnd.nextInt(9).toLong) else None,
+    utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(80).toLong) else None,
+    utimeMax = if (rnd.nextInt(3) == 0) Some((30 + rnd.nextInt(90)).toLong) else None,
+    ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(200).toLong) else None,
+    ltMax = if (rnd.nextInt(3) == 0) Some((80 + rnd.nextInt(250)).toLong) else None,
+    descending = rnd.nextBoolean(),
+    limit = rnd.nextInt(300) - 20,
+    offset = rnd.nextInt(10) - 2)
+
+  test("randomized traces draws: QueryLayer == reference-shaped SQL " +
+      "(EXISTS filter surface + order_by_now clock + NULL end stamps)") {
+    val (traces, txs, msgs) = tracesFixture()
+    traces.createOrReplaceTempView("tr_view")
+    txs.createOrReplaceTempView("trtx_view")
+    msgs.createOrReplaceTempView("trmsg_view")
+    val rnd = new Random(20260817L)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val r = tracesDraw(rnd)
+      val viaLayer = QueryLayer.tracesByRequest(traces, txs, msgs, r)
+        .select("trace_id").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(tracesSqlOf(r))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 12, s"fuzz draws too empty ($nonEmpty/40)")
+  }
+
+  test("mutation canary: a flipped traces order_by_now contract is " +
+      "CAUGHT by the traces fuzz") {
+    val (traces, txs, msgs) = tracesFixture()
+    traces.createOrReplaceTempView("tr_view")
+    txs.createOrReplaceTempView("trtx_view")
+    msgs.createOrReplaceTempView("trmsg_view")
+    val rnd = new Random(20260817L) // same seed → same draws
+    val diverged = (1 to 40).count { _ =>
+      val r = tracesDraw(rnd)
+      val viaLayer = QueryLayer.tracesByRequest(traces, txs, msgs, r)
+        .select("trace_id").collect().map(_.getString(0)).toSeq
+      val mutated = spark.sql(tracesSqlOf(r, mutateClock = true))
+        .collect().map(_.getString(0)).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0, "traces fixture ties too weak to catch a " +
+      "sort-contract mutation")
+  }
+
+  // ----------------------------------------------------------- messages
+
+  import QueryLayer.MessageRequest
+
+  /** in/out message copies with msg_hash/norm aliasing, NULL clock
+    * stamps on externals, and ties on both clock columns. */
+  private def messagesFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (1 to 200).flatMap { i =>
+      val external = i % 7 == 0
+      val lt: Option[Long] = if (external) None else Some((i % 25) * 4L)
+      val at: Option[Long] = if (external) None else Some((i % 13) * 9L)
+      val row = (f"m$i%03d", s"n${i % 40}",
+        if (i % 5 == 0) None else Some(s"0:${i % 8}"),
+        Some(s"0:${(i + 3) % 8}"), (i % 50).toLong,
+        (i % 6).toLong, lt, at, s"b${i % 30}")
+      Seq(("in", s"ti$i") -> row) ++
+        (if (external) Nil else Seq(("out", s"to$i") -> row))
+    }.map { case ((d, tx), (mh, mhn, src, dst, v, op, lt, at, bh)) =>
+      (mh, mhn, src, dst, v, op, lt, at, bh, d, tx)
+    }.toDF("msg_hash", "msg_hash_norm", "source", "destination", "value",
+      "opcode", "created_lt", "created_at", "body_hash", "direction",
+      "tx_hash")
+  }
+
+  /** crud_messages.go:14-105 restated: the group-by dedup, the
+    * clock-switching order column AND the clock-switching externals
+    * NULL test; `mutateClock` flips the switch. */
+  private def messagesSqlOf(r: MessageRequest,
+      mutateClock: Boolean = false): String = {
+    val orderCol0 =
+      if (r.utimeMin.isDefined || r.utimeMax.isDefined) "created_at"
+      else "created_lt"
+    val orderCol = if (!mutateClock) orderCol0
+      else if (orderCol0 == "created_at") "created_lt" else "created_at"
+    val conds = Seq(
+      r.direction.map(v => s"direction = '$v'"),
+      r.source.map(v =>
+        if (v == "null") "source IS NULL" else s"source = '$v'"),
+      r.destination.map(v =>
+        if (v == "null") "destination IS NULL" else s"destination = '$v'"),
+      r.opcode.map(v => s"opcode = $v"),
+      if (r.msgHashes.nonEmpty) {
+        val in = r.msgHashes.map(x => s"'$x'").mkString("(", ",", ")")
+        Some(s"(msg_hash IN $in OR msg_hash_norm IN $in)")
+      } else None,
+      r.bodyHash.map(v => s"body_hash = '$v'"),
+      r.utimeMin.map(v => s"created_at >= $v"),
+      r.utimeMax.map(v => s"created_at <= $v"),
+      r.ltMin.map(v => s"created_lt >= $v"),
+      r.ltMax.map(v => s"created_lt <= $v"),
+      if (r.excludeExternals) Some(s"$orderCol0 IS NOT NULL") else None,
+      if (r.onlyExternals) Some(s"$orderCol0 IS NULL") else None).flatten
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val (d, n) = if (r.descending) ("DESC", "NULLS FIRST")
+      else ("ASC", "NULLS LAST")
+    val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+      else math.min(r.limit, QueryLayer.MaxLimit)
+    s"""SELECT msg_hash,
+       |  max(CASE WHEN direction = 'in' THEN tx_hash END) AS in_tx_hash,
+       |  max(CASE WHEN direction = 'out' THEN tx_hash END) AS out_tx_hash
+       |FROM msg_view$where
+       |GROUP BY msg_hash, msg_hash_norm, source, destination, value,
+       |  opcode, created_lt, created_at, body_hash
+       |ORDER BY $orderCol $d $n, msg_hash $d
+       |LIMIT $lim""".stripMargin
+  }
+
+  private def messagesDraw(rnd: Random): MessageRequest = MessageRequest(
+    direction = if (rnd.nextInt(4) == 0)
+      Some(if (rnd.nextBoolean()) "in" else "out") else None,
+    source = if (rnd.nextInt(4) == 0)
+      Some(if (rnd.nextInt(4) == 0) "null" else s"0:${rnd.nextInt(8)}")
+    else None,
+    destination = if (rnd.nextInt(4) == 0) Some(s"0:${rnd.nextInt(8)}")
+    else None,
+    opcode = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(6).toLong) else None,
+    msgHashes = if (rnd.nextInt(4) == 0) {
+      if (rnd.nextBoolean()) Seq(f"m${1 + rnd.nextInt(200)}%03d")
+      else Seq(s"n${rnd.nextInt(40)}")
+    } else Nil,
+    bodyHash = if (rnd.nextInt(5) == 0) Some(s"b${rnd.nextInt(30)}") else None,
+    utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(60).toLong) else None,
+    utimeMax = if (rnd.nextInt(3) == 0) Some((20 + rnd.nextInt(100)).toLong)
+    else None,
+    ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(60).toLong) else None,
+    ltMax = if (rnd.nextInt(3) == 0) Some((20 + rnd.nextInt(80)).toLong)
+    else None,
+    excludeExternals = rnd.nextInt(5) == 0,
+    onlyExternals = rnd.nextInt(8) == 0,
+    descending = rnd.nextBoolean(),
+    limit = rnd.nextInt(300) - 20)
+
+  test("randomized messages draws: QueryLayer == reference-shaped SQL " +
+      "(group-by dedup + clock-switching order col + externals NULL " +
+      "test on the ACTIVE clock)") {
+    val msgs = messagesFixture()
+    msgs.createOrReplaceTempView("msg_view")
+    val rnd = new Random(20260818L)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val r = messagesDraw(rnd)
+      val viaLayer = QueryLayer.messages(msgs, r)
+        .select("msg_hash", "in_tx_hash", "out_tx_hash").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+      val viaSql = spark.sql(messagesSqlOf(r)).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 12, s"fuzz draws too empty ($nonEmpty/40)")
+  }
+
+  test("mutation canary: a flipped messages clock contract is CAUGHT " +
+      "by the messages fuzz") {
+    val msgs = messagesFixture()
+    msgs.createOrReplaceTempView("msg_view")
+    val rnd = new Random(20260818L) // same seed → same draws
+    val diverged = (1 to 40).count { _ =>
+      val r = messagesDraw(rnd)
+      val viaLayer = QueryLayer.messages(msgs, r)
+        .select("msg_hash", "in_tx_hash", "out_tx_hash").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+      val mutated = spark.sql(messagesSqlOf(r, mutateClock = true))
+        .collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0, "messages fixture ties too weak to catch a " +
+      "clock mutation")
+  }
+
+  // ------------------------------------------------------------- blocks
+
+  import QueryLayer.BlockRequest
+
+  private def blocksFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (1 to 250).map { i =>
+      ((i % 3), (i % 10).toLong, i.toLong, (i % 20).toLong,
+        (i % 15) * 6L, (i % 22) * 11L)
+    }.toDF("workchain", "shard", "seqno", "mc_block_seqno",
+      "gen_utime", "start_lt")
+  }
+
+  /** crud_blocks.go:14-80 restated (order col gen_utime; the seqno +
+    * workchain tie keys are the engine's documented determinism
+    * extension, mirrored here so the compare is total). `mutateKey`
+    * swaps the order column for start_lt — the canary. */
+  private def blocksSqlOf(r: BlockRequest,
+      mutateKey: Boolean = false): String = {
+    val conds = Seq(
+      r.workchain.map(v => s"workchain = $v"),
+      r.shard.map(v => s"shard = $v"),
+      r.seqno.map(v => s"seqno = $v"),
+      r.mcSeqno.map(v => s"mc_block_seqno = $v"),
+      r.utimeMin.map(v => s"gen_utime >= $v"),
+      r.utimeMax.map(v => s"gen_utime <= $v"),
+      r.ltMin.map(v => s"start_lt >= $v"),
+      r.ltMax.map(v => s"start_lt <= $v")).flatten
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val d = if (r.descending) "DESC" else "ASC"
+    val key = if (mutateKey) "start_lt" else "gen_utime"
+    val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+      else math.min(r.limit, QueryLayer.MaxLimit)
+    s"""SELECT seqno FROM blk_view$where
+       |ORDER BY $key $d, seqno $d, workchain $d LIMIT $lim""".stripMargin
+  }
+
+  private def blocksDraw(rnd: Random): BlockRequest = BlockRequest(
+    workchain = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(3)) else None,
+    shard = if (rnd.nextInt(4) == 0) Some(rnd.nextInt(10).toLong) else None,
+    seqno = if (rnd.nextInt(6) == 0) Some((1 + rnd.nextInt(250)).toLong)
+    else None,
+    mcSeqno = if (rnd.nextInt(5) == 0) Some(rnd.nextInt(20).toLong) else None,
+    utimeMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(50).toLong) else None,
+    utimeMax = if (rnd.nextInt(3) == 0) Some((20 + rnd.nextInt(80)).toLong)
+    else None,
+    ltMin = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(120).toLong) else None,
+    ltMax = if (rnd.nextInt(3) == 0) Some((60 + rnd.nextInt(200)).toLong)
+    else None,
+    descending = rnd.nextBoolean(),
+    limit = rnd.nextInt(300) - 20)
+
+  test("randomized blocks draws: QueryLayer == reference-shaped SQL") {
+    val blks = blocksFixture()
+    blks.createOrReplaceTempView("blk_view")
+    val rnd = new Random(20260819L)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val r = blocksDraw(rnd)
+      val viaLayer = QueryLayer.blocks(blks, r)
+        .select("seqno").collect().map(_.getLong(0)).toSeq
+      val viaSql = spark.sql(blocksSqlOf(r))
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 12, s"fuzz draws too empty ($nonEmpty/40)")
+  }
+
+  test("mutation canary: a swapped blocks order column is CAUGHT by " +
+      "the blocks fuzz") {
+    val blks = blocksFixture()
+    blks.createOrReplaceTempView("blk_view")
+    val rnd = new Random(20260819L) // same seed → same draws
+    val diverged = (1 to 40).count { _ =>
+      val r = blocksDraw(rnd)
+      val viaLayer = QueryLayer.blocks(blks, r)
+        .select("seqno").collect().map(_.getLong(0)).toSeq
+      val mutated = spark.sql(blocksSqlOf(r, mutateKey = true))
+        .collect().map(_.getLong(0)).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0, "blocks fixture ties too weak to catch an " +
+      "order-column mutation")
+  }
+
   test("mutation canary: a flipped order_by_now sort contract is CAUGHT " +
       "by the actions fuzz") {
     val (acts, accounts) = actionsFixture()

@@ -202,4 +202,23 @@ class StreamAsOfSpec extends SparkSpec {
       assert(hb == batchExpected, s"hold-back diverged at split $n")
     }
   }
+
+  test("hold-back stream WITHOUT a sentinel emits exactly the finalized " +
+      "prefix — the registered s11 batch program — at any split") {
+    val s11 = graft.streaming.StreamQueries.s11.fn(spark, sf).collect()
+      .map { r =>
+        val i = r.fieldIndex("asof_ts_us"); val j = r.fieldIndex("asof_value")
+        r.getLong(r.fieldIndex("event_id")) ->
+          ((if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            if (r.isNullAt(j)) None else Some(r.getDouble(j))))
+      }.toMap
+    for (n <- Seq(1, 7)) {
+      val size = math.max(1, rows.length / n)
+      val hb = runHoldback(rows.grouped(size).toSeq, s"asof_hb_fin_$n")
+      assert(hb == s11, s"finalized prefix diverged at split $n")
+    }
+    // the prefix is a strict subset: the per-key frontier rows are held
+    assert(s11.size < rows.length,
+      "fixture must leave frontier rows held (else the pin is vacuous)")
+  }
 }
