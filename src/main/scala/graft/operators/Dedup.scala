@@ -491,19 +491,25 @@ object Dedup {
   def jaccardNearDupReportFrom(sh: DataFrame,
       near: DataFrame => DataFrame): DataFrame = {
     // class key = md5 of the sorted shingle set: a 32-byte shuffle key
-    // regardless of document length (the d10 groupBy(md5) move)
-    val keyed = sh.select(col("doc_id"), col("sh"),
+    // regardless of document length (the d10 groupBy(md5) move). The
+    // keyed frame is materialized ONCE and NARROW — (doc_id, |S|, key),
+    // never the shingle arrays — so the sort+hash pass runs once and
+    // the checkpoint stays O(rows), not O(corpus text); the `near`
+    // callback re-reads the shingle relation through a doc_id semi-join
+    // (columnar scan, pruned to representatives).
+    val keyed = sh.select(col("doc_id"), size(col("sh")).as("n"),
       md5(concat_ws("\u001e", array_sort(col("sh"))).cast("binary"))
         .as("skey"))
+      .localCheckpoint()
     val classes = keyed.groupBy("skey")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
     val stars = keyed.join(classes, "skey")
       .filter(col("doc_id") =!= col("rep"))
       .select(lit("star").as("kind"), col("rep").as("doc_a"),
-        col("doc_id").as("doc_b"), size(col("sh")).as("inter"),
-        size(col("sh")).as("uni"), lit(null).cast("long").as("n_pairs"))
-    val reps = keyed.join(classes.select(col("skey"), col("rep")), "skey")
-      .filter(col("doc_id") === col("rep")).select("doc_id", "sh")
+        col("doc_id").as("doc_b"), col("n").as("inter"),
+        col("n").as("uni"), lit(null).cast("long").as("n_pairs"))
+    val reps = sh.join(classes.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi").select("doc_id", "sh")
     val sizes = classes.select(col("rep"), col("sz"))
     val nearRows = near(reps)
       .join(sizes.select(col("rep").as("doc_a"), col("sz").as("sa")), "doc_a")
@@ -528,8 +534,11 @@ object Dedup {
     * cross-class member pair has its representatives' Hamming and chunk
     * condition), so the report is lossless for the d12 listing by the
     * same argument. Schema (kind, doc_a, doc_b, hamming, n_pairs). */
-  def simhashNearDupReportFrom(sims: DataFrame, maxHamming: Int,
+  def simhashNearDupReportFrom(simsIn: DataFrame, maxHamming: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
+    // materialized once: classes and stars would otherwise each
+    // recompute the md5-per-token signature pass
+    val sims = simsIn.localCheckpoint()
     val classes = sims.groupBy("sim")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
     val stars = sims.join(classes, "sim")

@@ -2,17 +2,20 @@
 # Full scaling sweep at one commit: 3x sf0.1 + 3x sf1 + decode share.
 # Outputs land in bench_runs/; run from a quiet machine, never edit
 # src/main while this is running (each sbt invocation recompiles).
+# Bench prints only a SHORT stdout line (driver tail-capture contract);
+# the full per-query record is the SPARK_GRAFT_BENCH_OUT artifact.
 cd /root/repo
+R=${SPARK_GRAFT_ROUND:-r14}
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' | sed 's/^\[info\] //' > bench_runs/sf0.1_run$i.json
+    SPARK_GRAFT_BENCH_OUT=bench_runs/sf0.1_${R}_run$i.json \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
   echo "=== sf0.1 run $i done: $(date)"
 done
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' | sed 's/^\[info\] //' > bench_runs/sf1_run$i.json
+    SPARK_GRAFT_BENCH_OUT=bench_runs/sf1_${R}_run$i.json \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
   echo "=== sf1 run $i done: $(date)"
 done
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.DecodeShareBench /tmp/sf1" 2>/dev/null \
