@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver tail-parse contract: graft.Bench's final act is printing ONE
+// bare JSON line, and the driver reads the LAST stdout line. Two sbt
+// defaults broke that in r13/r14 (`parsed: null`): the logger prefixes
+// forked-run stdout with "[info] ", and sbt prints "[success] Total
+// time…" AFTER the program exits. Route forked output straight to
+// stdout and drop the success banner so the JSON is genuinely last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by settings — the
+// lintUnused heuristic can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

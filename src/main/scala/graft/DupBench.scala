@@ -48,7 +48,8 @@ object DupBench {
     }
     val (repSec, repRows) = timed {
       Dedup.jaccardNearDupReportFrom(sh,
-        reps => Dedup.exactJaccardPairs(spark, reps, 0.3)).count()
+        reps => Dedup.exactJaccardPairs(spark, reps, 0.3, dfCapEpsilon = 0))
+        .count()
     }
     val (fullSec, fullRows) = timed {
       Dedup.exactJaccardPairs(spark, sh, 0.3).count()

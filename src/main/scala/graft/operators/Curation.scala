@@ -1308,23 +1308,114 @@ object Curation {
         max("rl").as("max_run"))
   }
 
-  /** Contamination provenance over the d15 benchmark split. A corpus
-    * 3-gram position can match several benchmark docs — every pair
-    * reports independently, which is the review contract. */
+  /** CONTRACTED span report — d36's default registration (r14 verdict
+    * item 2: the d13 recipe applied to the last listing-form default).
+    * Exact-duplicate classes contract on BOTH sides of the pair space:
+    *   corpus key = the exact TOKEN STREAM (equal streams ⇒ identical
+    *     matched-position sets against any benchmark shingle set, so
+    *     every span stat is identical);
+    *   bench  key = the distinct SHINGLE SET (the bench side joins on
+    *     deduplicated shingles, so set-equal benchmark docs match the
+    *     same corpus positions).
+    * Three row kinds over one (kind, doc_id, other_id, n_pos, first_pos,
+    * last_pos, max_run, n_docs, n_bench) schema:
+    *   'star'  — (corpus rep, corpus member): token-stream membership;
+    *   'bstar' — (bench rep, bench member): shingle-set membership;
+    *   'span'  — (corpus rep, bench rep, span stats, |C|, |B|): the
+    *     representative pair's spans, standing for |C|·|B| identical
+    *     full-listing rows.
+    * Output is O(members + rep-pair spans) instead of the listing's
+    * Θ(Σ |C|·|B|) on verbatim-dup-heavy corpora (graft.DupBench measures
+    * the counterfactual; the driver fixture is recombined and dup-free,
+    * so its rep relation ≈ the corpus). CurationSpec pins lossless
+    * reconstruction of [[contaminationSpans]], which stays the
+    * full-listing API. The class-key frames are narrow (doc_id + 32-byte
+    * md5) and materialized once — the jaccardNearDupReportFrom recipe. */
+  def contaminationSpanReport(corpus: DataFrame, bench: DataFrame)
+      : DataFrame = {
+    val nullStats = Seq(
+      lit(null).cast("long").as("n_pos"),
+      lit(null).cast("int").as("first_pos"),
+      lit(null).cast("int").as("last_pos"),
+      lit(null).cast("long").as("max_run"),
+      lit(null).cast("long").as("n_docs"),
+      lit(null).cast("long").as("n_bench"))
+    val ck = corpus.select(col("doc_id").as("member"),
+      md5(concat_ws(" ", col("toks")).cast("binary")).as("k"))
+      .localCheckpoint()
+    val bk = bench.select(col("doc_id").as("member"),
+      md5(concat_ws("\u001e", array_sort(col("sh"))).cast("binary")).as("k"))
+      .localCheckpoint()
+    val ccls = ck.groupBy("k")
+      .agg(min("member").as("rep"), count(lit(1)).as("sz"))
+    val bcls = bk.groupBy("k")
+      .agg(min("member").as("rep"), count(lit(1)).as("sz"))
+    def stars(keyed: DataFrame, cls: DataFrame, kind: String) =
+      keyed.join(cls, "k").filter(col("member") =!= col("rep"))
+        .select(lit(kind).as("kind") +: col("rep").as("doc_id") +:
+          col("member").as("other_id") +: nullStats: _*)
+    val creps = corpus.join(ccls.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val breps = bench.join(bcls.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val spans = contaminationSpans(creps, breps)
+      .join(ccls.select(col("rep").as("doc_id"), col("sz").as("n_docs")),
+        "doc_id")
+      .join(bcls.select(col("rep").as("bench_id"), col("sz").as("n_bench")),
+        "bench_id")
+      .select(lit("span").as("kind"), col("doc_id"),
+        col("bench_id").as("other_id"), col("n_pos"), col("first_pos"),
+        col("last_pos"), col("max_run"), col("n_docs"), col("n_bench"))
+    stars(ck, ccls, "star")
+      .unionByName(stars(bk, bcls, "bstar"))
+      .unionByName(spans)
+  }
+
+  /** Contamination provenance over the d15 benchmark split, as the
+    * contracted report. The DuckDB mirror replays BOTH contractions from
+    * the raw documents table (corpus classes keyed on the raw joined
+    * token stream, bench classes on the chr(30)-joined sorted shingle
+    * set — the engine's md5 is a shuffle-width choice, the PARTITION it
+    * induces is what matters) and recomputes the representative-pair
+    * spans with the same gaps-and-islands window. */
   val d36 = Q("d36_contamination_spans",
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+      |         trim(text) AS tt
       |  FROM documents),
+      |ck AS (
+      |  SELECT doc_id, array_to_string(w, ' ') AS k
+      |  FROM toks WHERE doc_id % 17 <> 0),
+      |ccls AS (SELECT k, min(doc_id) AS rep, count(*) AS sz
+      |         FROM ck GROUP BY k),
+      |bsh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                     for i in range(1, len(w) - 1)])
+      |    ELSE [tt] END AS s
+      |  FROM toks WHERE doc_id % 17 = 0),
+      |bk AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_sort(s), 'string_agg', chr(30)) AS k
+      |  FROM bsh),
+      |bcls AS (SELECT k, min(doc_id) AS rep, count(*) AS sz
+      |         FROM bk GROUP BY k),
+      |cstars AS (
+      |  SELECT 'star' AS kind, c.rep AS doc_id, d.doc_id AS other_id
+      |  FROM ck d JOIN ccls c ON d.k = c.k WHERE d.doc_id <> c.rep),
+      |bstars AS (
+      |  SELECT 'bstar' AS kind, c.rep AS doc_id, d.doc_id AS other_id
+      |  FROM bk d JOIN bcls c ON d.k = c.k WHERE d.doc_id <> c.rep),
       |cpos AS (
-      |  SELECT doc_id, i - 1 AS pos,
+      |  SELECT t.doc_id, i - 1 AS pos,
       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-      |        FROM toks WHERE len(w) >= 3 AND doc_id % 17 <> 0) t),
+      |        FROM toks WHERE len(w) >= 3 AND doc_id % 17 <> 0) t
+      |  JOIN ccls c ON c.rep = t.doc_id),
       |bg AS (
-      |  SELECT DISTINCT doc_id AS bench_id,
-      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-      |        FROM toks WHERE len(w) >= 3 AND doc_id % 17 = 0) t),
+      |  SELECT b.doc_id AS bench_id, unnest(b.s) AS g
+      |  FROM bsh b JOIN bcls c ON c.rep = b.doc_id),
       |m AS (
       |  SELECT c.doc_id, b.bench_id, c.pos
       |  FROM cpos c JOIN bg b ON c.g = b.g),
@@ -1336,17 +1427,35 @@ object Curation {
       |runs AS (
       |  SELECT doc_id, bench_id, island, count(*) AS rl,
       |    min(pos) AS mn, max(pos) AS mx
-      |  FROM isl GROUP BY 1, 2, 3)
-      |SELECT doc_id, bench_id, CAST(sum(rl) AS BIGINT) AS n_pos,
-      |  CAST(min(mn) AS INT) AS first_pos, CAST(max(mx) AS INT) AS last_pos,
-      |  CAST(max(rl) AS BIGINT) AS max_run
-      |FROM runs GROUP BY 1, 2
-      |ORDER BY doc_id, bench_id""".stripMargin) { (s, dir) =>
+      |  FROM isl GROUP BY 1, 2, 3),
+      |spans AS (
+      |  SELECT 'span' AS kind, r.doc_id, r.bench_id AS other_id,
+      |    CAST(sum(rl) AS BIGINT) AS n_pos,
+      |    CAST(min(mn) AS INT) AS first_pos,
+      |    CAST(max(mx) AS INT) AS last_pos,
+      |    CAST(max(rl) AS BIGINT) AS max_run,
+      |    cc.sz AS n_docs, bc.sz AS n_bench
+      |  FROM runs r
+      |  JOIN ccls cc ON cc.rep = r.doc_id
+      |  JOIN bcls bc ON bc.rep = r.bench_id
+      |  GROUP BY r.doc_id, r.bench_id, cc.sz, bc.sz)
+      |SELECT * FROM (
+      |  SELECT kind, doc_id, other_id, CAST(NULL AS BIGINT) AS n_pos,
+      |    CAST(NULL AS INT) AS first_pos, CAST(NULL AS INT) AS last_pos,
+      |    CAST(NULL AS BIGINT) AS max_run, CAST(NULL AS BIGINT) AS n_docs,
+      |    CAST(NULL AS BIGINT) AS n_bench
+      |  FROM cstars
+      |  UNION ALL
+      |  SELECT kind, doc_id, other_id, NULL, NULL, NULL, NULL, NULL, NULL
+      |  FROM bstars
+      |  UNION ALL
+      |  SELECT * FROM spans)
+      |ORDER BY kind, doc_id, other_id""".stripMargin) { (s, dir) =>
     val base = Dedup.shingled(s, dir)
-    contaminationSpans(
+    contaminationSpanReport(
         base.filter(col("doc_id") % 17 =!= 0),
         base.filter(col("doc_id") % 17 === 0))
-      .orderBy("doc_id", "bench_id")
+      .orderBy("kind", "doc_id", "other_id")
   }
 
   /** Named-rules quality REPORT (Gopher-shape composite): every rule's

@@ -238,7 +238,17 @@ object Dedup {
     * natural shingle frequency (bench corpus max df is 0.5-1.4% of N;
     * the default cap is t·10% of N), so results are exact unless the
     * corpus contains true stop-shingles — exactly the case where
-    * dropping boilerplate is the intended behavior. */
+    * dropping boilerplate is the intended behavior.
+    *
+    * `dfCapEpsilon <= 0` DISABLES the cap (no anti-join in the plan at
+    * all): the contracted-report path (d13) runs over class
+    * representatives, where N is the rep count, not the corpus count —
+    * a cap relative to that smaller N could bind on stop-shingle-heavy
+    * corpora while the report's oracle applies none, so the report
+    * passes 0 and keeps "exact at any threshold" unconditional (the
+    * contraction itself already removes the verbatim-dup blowup the cap
+    * guards against; callers wanting boilerplate dropping at web scale
+    * pass an explicit ε through the `near` callback). */
   def exactJaccardPairs(s: SparkSession, base: DataFrame,
       minJaccard: Double, dfCapEpsilon: Double = 0.1): DataFrame = {
     val t10 = math.round(minJaccard * 10).toInt
@@ -249,13 +259,15 @@ object Dedup {
       .localCheckpoint() // joined against itself: materialize one side
     // df-cap: N from a 1-row aggregate folded into the plan (no separate
     // driver-side count job); hot keys broadcast into an anti-join.
-    val nDocs = base.select(count(lit(1)).as("n_docs"))
-    val hotKeys = allPostings.groupBy("hkey")
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") > col("n_docs") * minJaccard * dfCapEpsilon)
-      .select("hkey")
-    val posting = allPostings.join(broadcast(hotKeys), Seq("hkey"), "left_anti")
+    val posting = if (dfCapEpsilon <= 0) allPostings else {
+      val nDocs = base.select(count(lit(1)).as("n_docs"))
+      val hotKeys = allPostings.groupBy("hkey")
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .filter(col("df") > col("n_docs") * minJaccard * dfCapEpsilon)
+        .select("hkey")
+      allPostings.join(broadcast(hotKeys), Seq("hkey"), "left_anti")
+    }
     val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
     val co = posting.select(col("doc_id").as("doc_a"), col("hkey"))
       .join(posting.select(col("doc_id").as("doc_b"), col("hkey")), "hkey")
@@ -827,10 +839,15 @@ object Dedup {
     * co-occurrence rows through every shared shingle (the r13 verdict's
     * d13 finding). Exact by construction at every stage, so the
     * contraction-mirroring quadratic DuckDB scan is a true oracle at
-    * any threshold. The full listing stays the [[exactJaccardPairs]]
-    * API (DedupSpec pins lossless reconstruction). */
+    * any threshold — unconditionally, because the report path DISABLES
+    * the df-cap (ε = 0): over representatives the cap's N would be the
+    * rep count while the oracle applies none, so on a stop-shingle-heavy
+    * corpus a binding cap would silently diverge (r14 advisor). The full
+    * listing stays the [[exactJaccardPairs]] API (DedupSpec pins
+    * lossless reconstruction). */
   val d13 = Q("d13_ngram_jaccard_pairs", jaccardReportOracle(3)) { (s, dir) =>
-    jaccardNearDupReport(s, dir, reps => exactJaccardPairs(s, reps, 0.3))
+    jaccardNearDupReport(s, dir,
+      reps => exactJaccardPairs(s, reps, 0.3, dfCapEpsilon = 0))
       .orderBy("kind", "doc_a", "doc_b")
   }
 

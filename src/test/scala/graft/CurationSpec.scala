@@ -41,6 +41,50 @@ class CurationSpec extends SparkSpec {
       (10L, 1L) -> ((1L, 6, 6, 1L))), s"got $got")
   }
 
+  test("contamination span report reconstructs the full span listing " +
+      "losslessly (d36 form: both-side exact-dup contraction)") {
+    import spark.implicits._
+    // corpus dups (10 ≡ 12: identical token stream → 'star'),
+    // bench dups (0 ≡ 2: identical shingle set → 'bstar');
+    // span rows over the rep pair stand for n_docs·n_bench listing rows
+    val base = Seq(
+      (0L, "a b c d e"), (1L, "x y z"), (2L, "a b c d e"),
+      (10L, "a b c d e q x y z a b c"), (11L, "q w e"),
+      (12L, "a b c d e q x y z a b c"), (13L, "a b c d e"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), trim(col("text")).as("tt"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("sh", array_distinct(
+        when(size(col("toks")) >= 3,
+          expr("""transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+          .otherwise(array(col("tt")))))
+    val corpus = base.filter(col("doc_id") >= 10)
+    val bench = base.filter(col("doc_id") < 10)
+    val report = Curation.contaminationSpanReport(corpus, bench).collect()
+    val cm = report.filter(_.getString(0) == "star")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val bm = report.filter(_.getString(0) == "bstar")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(cm == Map(10L -> Set(12L)) && bm == Map(0L -> Set(2L)),
+      s"membership rows: $cm / $bm")
+    val spans = report.filter(_.getString(0) == "span")
+    val reconstructed = spans.flatMap { r =>
+      for (a <- (cm.getOrElse(r.getLong(1), Set.empty) + r.getLong(1)).toSeq;
+           b <- (bm.getOrElse(r.getLong(2), Set.empty) + r.getLong(2)).toSeq)
+        yield (a, b) ->
+          ((r.getLong(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+    }.toMap
+    val full = Curation.contaminationSpans(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(reconstructed == full,
+      s"report must reconstruct the listing; got $reconstructed vs $full")
+    // cardinality accounting: Σ n_docs·n_bench = listing row count
+    assert(spans.map(r => r.getLong(7) * r.getLong(8)).sum == full.size,
+      "span multiplicities must account for the full listing")
+  }
+
   // ---------------------------------------------------------- d15
 
   test("decontamination matches a per-doc brute-force shingle intersect") {
