@@ -188,12 +188,14 @@ object QueryLayer {
     * order_by_now switch with ONE direction on all four keys, and
     * `end_lt is not NULL` is always appended. The bridge join mirrors
     * the reference's DISTINCT ON exactly: the WHERE applies to ALL
-    * bridge rows first, then one row per (trace_id, action_id) survives
-    * — the copy that sorts FIRST under the four active sort keys (a
-    * row_number window), so duplicate bridge rows with divergent
-    * denormalized stamps resolve deterministically and
-    * reference-identically. limit+offset stays one
-    * TakeOrderedAndProject. */
+    * bridge rows first, then one row per DISTINCT ON key survives — and
+    * that key is the full active 4-tuple (trace_end_utime/lt, trace_id,
+    * action_end_utime/lt, action_id), crud_actions.go:127-129, so
+    * duplicate bridge copies with DIVERGENT denormalized stamps each
+    * form their own group and ALL survive (r14 advisor); only
+    * 4-tuple-equal copies collapse. Postgres leaves the survivor pick
+    * among those arbitrary; we pin it by the inactive-clock stamps for
+    * determinism. limit+offset stays one TakeOrderedAndProject. */
   def actionsByRequest(actionsDf: DataFrame, actionAccounts: DataFrame,
       r: ActionsRequest): DataFrame = {
     val orderByNow = r.utimeMin.isDefined || r.utimeMax.isDefined
@@ -235,9 +237,22 @@ object QueryLayer {
     val filtered = conds.foldLeft(base)(_ filter _)
     val deduped = r.account match {
       case Some(_) =>
-        // DISTINCT ON after WHERE: keep the first-sorting copy per key
+        // DISTINCT ON after WHERE, keyed by the full active 4-tuple:
+        // stamp-divergent copies are distinct groups and all survive
+        val activeKeys =
+          if (orderByNow)
+            Seq(col("s_trace_end_utime"), col("trace_id"),
+              col("s_end_utime"), col("action_id"))
+          else
+            Seq(col("s_trace_end_lt"), col("trace_id"),
+              col("s_end_lt"), col("action_id"))
+        val tieBreak =
+          if (orderByNow)
+            Seq(dir(col("s_trace_end_lt")), dir(col("s_end_lt")))
+          else
+            Seq(dir(col("s_trace_end_utime")), dir(col("s_end_utime")))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("trace_id", "action_id").orderBy(sortKeys: _*)
+          .partitionBy(activeKeys: _*).orderBy(tieBreak: _*)
         filtered.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1).drop("__rk")
       case None => filtered

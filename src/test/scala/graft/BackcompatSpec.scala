@@ -307,16 +307,16 @@ class BackcompatSpec extends SparkSpec {
     val joinAccounts = r.account.isDefined
     val orderByNow =
       (r.utimeMin.isDefined || r.utimeMax.isDefined) != mutateClock
-    val (from, pfx) =
+    val from =
       if (joinAccounts)
-        ("""(SELECT DISTINCT AA.account, AA.trace_id, AA.action_id,
-           |  AA.trace_end_utime, AA.trace_end_lt,
-           |  AA.action_end_utime AS end_utime,
-           |  AA.action_end_lt AS end_lt, A.type
-           |  FROM aa_view AA JOIN act_view A
-           |  ON A.trace_id = AA.trace_id AND A.action_id = AA.action_id)
-           |  t""".stripMargin, "")
-      else ("act_view", "")
+        """(SELECT AA.account, AA.trace_id, AA.action_id,
+          |  AA.trace_end_utime, AA.trace_end_lt,
+          |  AA.action_end_utime AS end_utime,
+          |  AA.action_end_lt AS end_lt, A.type
+          |  FROM aa_view AA JOIN act_view A
+          |  ON A.trace_id = AA.trace_id AND A.action_id = AA.action_id)
+          |  t""".stripMargin
+      else "act_view"
     val conds = Seq(
       r.account.map(a => s"account = '$a'"),
       r.utimeMin.map(v => s"trace_end_utime >= $v"),
@@ -335,11 +335,20 @@ class BackcompatSpec extends SparkSpec {
     val keys =
       if (orderByNow) Seq("trace_end_utime", "trace_id", "end_utime", "action_id")
       else Seq("trace_end_lt", "trace_id", "end_lt", "action_id")
-    val order = keys.map(k => s"$pfx$k $dir").mkString(" ORDER BY ", ", ", "")
+    val order = keys.map(k => s"$k $dir").mkString(" ORDER BY ", ", ", "")
     val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
       else math.min(r.limit, QueryLayer.MaxLimit)
-    s"""SELECT action_id FROM $from WHERE ${conds.mkString(" AND ")}
-       |$order LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+    if (joinAccounts)
+      // postgres DISTINCT ON (k1..k4) with action_id inside the key:
+      // WHERE over every bridge copy, then one row per distinct active
+      // 4-tuple — DISTINCT over exactly those four columns
+      s"""SELECT action_id FROM (
+         |  SELECT DISTINCT ${keys.mkString(", ")}
+         |  FROM $from WHERE ${conds.mkString(" AND ")})
+         |$order LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+    else
+      s"""SELECT action_id FROM $from WHERE ${conds.mkString(" AND ")}
+         |$order LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
   }
 
   private def actionsDraw(rnd: Random): ActionsRequest = ActionsRequest(
@@ -379,9 +388,9 @@ class BackcompatSpec extends SparkSpec {
       "draws must exercise both sides of the order_by_now switch")
   }
 
-  test("bridge DISTINCT ON: the WHERE applies to every bridge copy and " +
-      "the first-sorting survivor wins — a filtered-out copy cannot " +
-      "suppress a passing one, and the kept stamps are deterministic") {
+  test("bridge DISTINCT ON: the WHERE applies to every bridge copy, and " +
+      "the key is the full active 4-tuple (crud_actions.go:127-129) — " +
+      "stamp-divergent copies ALL survive as their own groups") {
     import spark.implicits._
     val acts = Seq(("tr1", "a1", "t0", 0L, 0L, 0L, 5L),
       ("tr2", "a2", "t0", 0L, 0L, 0L, 6L))
@@ -403,18 +412,28 @@ class BackcompatSpec extends SparkSpec {
         descending = true))
       .select("action_id", "s_trace_end_utime").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    // a1 SURVIVES (dedup-before-filter could have kept the 10-stamp copy
-    // and dropped it); its surviving stamp is the first-sorting one (50
-    // under DESC); a2 passes on its only copy; order: 50 before 40
-    assert(got == Seq(("a1", 50L), ("a2", 40L)), s"got $got")
-    // ascending flips the surviving copy to the 30-stamp one AND the
-    // output order
+    // the 10-stamp copy fails the WHERE (dedup-before-filter could have
+    // kept it and suppressed a1 entirely); the 30- and 50-stamp copies
+    // are DISTINCT 4-tuples, so BOTH survive — the reference returns the
+    // action once per divergent stamp copy; DESC order: 50, 40, 30
+    assert(got == Seq(("a1", 50L), ("a2", 40L), ("a1", 30L)), s"got $got")
+    // ascending flips only the output order
     val asc = QueryLayer.actionsByRequest(acts, bridge,
       ActionsRequest(account = Some("0:1"), utimeMin = Some(20L),
         descending = false))
       .select("action_id", "s_trace_end_utime").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(asc == Seq(("a1", 30L), ("a2", 40L)), s"got $asc")
+    assert(asc == Seq(("a1", 30L), ("a2", 40L), ("a1", 50L)), s"got $asc")
+    // 4-tuple-equal copies DO collapse: duplicate the 30-stamp row
+    // byte-identically and the output must not change
+    val dupBridge = bridge.unionAll(bridge.filter(
+      org.apache.spark.sql.functions.col("trace_end_utime") === 30L))
+    val dedup = QueryLayer.actionsByRequest(acts, dupBridge,
+      ActionsRequest(account = Some("0:1"), utimeMin = Some(20L),
+        descending = true))
+      .select("action_id", "s_trace_end_utime").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dedup == got, s"got $dedup")
   }
 
   // ------------------------------------------------------------- traces
