@@ -17,11 +17,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * generation formula and hashes identically (r13 verdict item 6).
   *
   * `version` is part of the key: bump it whenever the generator
-  * formula changes, or a stale cache would silently serve old bytes.
-  * Publication is atomic (write to a temp dir, rename): a concurrent
-  * builder losing the race discards its copy and reads the winner's.
+  * formula changes. A corpus dir REGENERATED IN PLACE with a different
+  * doc_id set (a rescaled /tmp/sf1, a testdata rebuild) is caught
+  * WITHOUT a version bump (r14 advisor): every generator emits exactly
+  * one row per documents doc_id with the id as its FIRST column, so a
+  * cache hit is validated against the corpus's documents table by
+  * (count, min id, max id) — footer-stat-cheap — and rebuilt on
+  * mismatch.
+  *
+  * Publication is atomic (write to a temp dir, rename). If the rename
+  * fails, discarding our copy is only justified when a COMPLETE winner
+  * exists (target/_SUCCESS): an unsupported-ATOMIC_MOVE filesystem or
+  * a partial target from a crashed earlier builder instead falls back
+  * to replace-and-move (r14 advisor). Stale .tmp-* dirs leaked by
+  * crashed builders are swept opportunistically after 24 h.
   */
 object MediaFixtures {
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  private def sweepStale(base: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(base.listFiles).foreach(_.foreach { f =>
+      if (f.getName.startsWith(".tmp-") && f.lastModified < cutoff) rm(f)
+    })
+  }
+
+  /** One row per documents doc_id (the generator contract): the cached
+    * table's (count, min, max) of its first column must equal the
+    * documents table's doc_id stats for THIS corpus dir. */
+  private def valid(s: SparkSession, dir: String,
+      target: java.io.File): Boolean = {
+    import org.apache.spark.sql.functions._
+    def probe(df: DataFrame, idCol: String): (Long, Any, Any) = {
+      val r = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head()
+      (r.getLong(0), r.get(1), r.get(2))
+    }
+    try {
+      val cached = s.read.parquet(target.toString)
+      probe(cached, cached.columns.head) ==
+        probe(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   def table(s: SparkSession, dir: String, name: String, version: Int)(
       build: => DataFrame): DataFrame = synchronized {
@@ -30,7 +69,11 @@ object MediaFixtures {
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir", "/tmp"), "graft-media-fixtures")
     val target = new java.io.File(base, s"$name-v$version-$canon")
-    if (!new java.io.File(target, "_SUCCESS").exists()) {
+    sweepStale(base)
+    val hit = new java.io.File(target, "_SUCCESS").exists() &&
+      valid(s, dir, target)
+    if (!hit) {
+      rm(target)
       base.mkdirs()
       val tmp = new java.io.File(base,
         s".tmp-${java.util.UUID.randomUUID()}-$name")
@@ -40,11 +83,15 @@ object MediaFixtures {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileSystemException =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          // a lost publication race leaves a COMPLETE winner; anything
+          // else (ATOMIC_MOVE unsupported, partial target from a crash)
+          // must not orphan our good copy
+          if (!new java.io.File(target, "_SUCCESS").exists()) {
+            rm(target)
+            java.nio.file.Files.move(tmp.toPath, target.toPath)
           }
-          rm(tmp)
       }
+      if (tmp.exists()) rm(tmp)
     }
     s.read.parquet(target.toString)
   }
