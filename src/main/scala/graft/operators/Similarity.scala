@@ -437,7 +437,13 @@ object Similarity {
     * index). Iterations are a driver LOOP (k-means is inherently
     * round-synchronous), each materialized so lineage stays flat. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters))
+    // the REGISTERED paths (e07/e08/e09/t05 and their sf0.1
+    // re-derivations) pin the prefix sampler: the committed oracle
+    // VALUES and the tools/derive_kmeans.py replica both embed the
+    // `vec_id < bound` book. Library callers get kmeansTrain's hash
+    // default; both coincide whenever n ≤ bound (SimilaritySpec).
+    kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters,
+      hashSample = false))
 
   /** SAMPLE-TRAINED coarse-quantizer book (r12 verdict item 5): Lloyd
     * iterates over a bounded deterministic sample — the first
@@ -451,25 +457,27 @@ object Similarity {
     * the full-corpus trainer; SimilaritySpec pins that equivalence.
     *
     * Two deterministic samplers, `hashSample` selecting between them:
-    *  - prefix (default): vec_id < bound — a pure pushed-down filter,
-    *    no pre-count. The oracle replicas (tools/derive_kmeans.py,
-    *    patch_oracle_scale.py) apply the SAME `vec_id < bound` filter,
-    *    so engine and replica see identical samples at ANY id
-    *    distribution (gappy ids shrink the sample on both sides
-    *    together; the init `require` still guards sample ≥ k).
-    *  - hash (production path for skew-prone or sparse id orders):
+    *  - hash (DEFAULT — the production path, r14 verdict item 8):
     *    accept rows by xxhash64(vec_id) threshold sized to the corpus —
     *    content- and order-independent, ~bound rows in expectation at
-    *    any id distribution, at the cost of one corpus count. When the
-    *    corpus fits the bound, both samplers see the same rows and
-    *    train the SAME book (SimilaritySpec pins it), which is why the
-    *    gate snapshots are sampler-agnostic.
+    *    any id distribution (skewed, gappy, sparse), at the cost of one
+    *    corpus count. When the corpus fits the bound, both samplers see
+    *    the same rows and train the SAME book (SimilaritySpec pins it),
+    *    which is why the gate snapshots are sampler-agnostic.
+    *  - prefix (hashSample = false): vec_id < bound — a pure
+    *    pushed-down filter, no pre-count. The REGISTERED queries pin
+    *    this sampler ([[kmeansAssign]]) because their committed oracle
+    *    VALUES and the replicas (tools/derive_kmeans.py,
+    *    patch_oracle_scale.py) embed the `vec_id < bound` book: engine
+    *    and replica see identical samples at ANY id distribution
+    *    (gappy ids shrink the sample on both sides together; the init
+    *    `require` still guards sample ≥ k).
     *
     * Returns the (cluster, centroid) book after iters-1 updates — the
     * book the final assignment pass scores against, identical to what
     * the previous full-loop implementation used for its last round. */
   def kmeansTrain(corpus: DataFrame, k: Int, iters: Int,
-      sampleN: Int = 4096, hashSample: Boolean = false): DataFrame = {
+      sampleN: Int = 4096, hashSample: Boolean = true): DataFrame = {
     val bound = math.max(sampleN, 8 * k)
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
     val sampled =

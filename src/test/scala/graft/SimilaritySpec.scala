@@ -101,13 +101,15 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val big = emb.select("vec_id", "embedding", "label")
       .unionByName(extra)
+    // the PREFIX sampler (the registered-query pin): ids beyond the
+    // bound are out of sample by construction
     def book(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
-      Similarity.kmeansTrain(df, 8, 3).collect()
+      Similarity.kmeansTrain(df, 8, 3, hashSample = false).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(book(emb) == book(big),
       "out-of-sample rows must not change the trained book")
     val assigned = Similarity.kmeansAssignWith(big,
-      Similarity.kmeansTrain(big, 8, 3))
+      Similarity.kmeansTrain(big, 8, 3, hashSample = false))
     assert(assigned.count() == big.count(),
       "the assignment pass must cover the whole corpus")
     assert(assigned.filter(col("vec_id") >= 100000L).count() == 30)
@@ -128,13 +130,17 @@ class SimilaritySpec extends SparkSpec {
     val gappy = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       col("embedding"), col("label"))
     intercept[IllegalArgumentException] {
-      Similarity.kmeansTrain(gappy, 8, 3).collect()
+      Similarity.kmeansTrain(gappy, 8, 3, hashSample = false).collect()
     }
-    // ...while the hash sampler trains: n <= bound degenerates to the
-    // whole corpus, and order-preserving id shift -> identical init ->
-    // identical book
+    // ...while the hash sampler — the DEFAULT (r14 verdict item 8) —
+    // trains: n <= bound degenerates to the whole corpus, and
+    // order-preserving id shift -> identical init -> identical book
     assert(book(gappy, hash = true) == book(emb, hash = false),
       "hash sampler must train the dense corpus's book on shifted ids")
+    val defaultBook = Similarity.kmeansTrain(gappy, 8, 3).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(defaultBook == book(gappy, hash = true),
+      "the production default must be the hash sampler")
     // binding bound (n=500 > bound=32): deterministic across runs
     val b1 = Similarity.kmeansTrain(emb, 2, 2, sampleN = 32,
       hashSample = true).collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
