@@ -12,6 +12,11 @@ case class StampedRow(event_id: Long, user_id: Long, ts_us: Long,
 case class AsOfMatch(event_id: Long, user_id: Long, ts_us: Long,
     asof_ts_us: Option[Long], asof_value: Option[Double])
 
+/** [[StampedRow]] plus the event-time column the watermark rides on —
+  * the input shape of the watermark-flushed hold-back variant. */
+case class StampedRowT(event_id: Long, user_id: Long, ts_us: Long,
+    value: Double, is_right: Boolean, event_time: java.sql.Timestamp)
+
 /** Streaming as-of join — the online form of `operators.AsOf.asofJoin`:
   * attach to every arriving event the latest state row (right side) of
   * the same key with state.ts <= event.ts. The reference maintains
@@ -168,6 +173,77 @@ object StreamAsOf {
             } else nextHeld :+= r // frontier: an equal-ts tie may follow
           }
           state.update((cur, nextHeld))
+          out.result().iterator
+      }
+  }
+
+  /** Watermark-driven production flush for [[latestStateMatchesHoldback]]
+    * (r14 verdict item 4): the same hold-back state machine, but the
+    * frontier releases on `GroupStateTimeout.EventTimeTimeout` instead
+    * of an explicit per-key sentinel. Once the watermark passes a key's
+    * frontier timestamp, no ts ≤ frontier row can arrive anymore (the
+    * stateful operator drops input older than the watermark), so the
+    * held rows are FINAL: the timeout invocation replays them in the
+    * batch operator's (ts, rights-first, event_id) order, applies the
+    * rights, and emits the answers. Output = the sentinel-free mode's
+    * finalized prefix PLUS the timed-out frontier (StreamAsOfSpec pins
+    * both, including the frontier-only tail the sentinel-free mode
+    * never emits). `delay` is the watermark delay (e.g. "10 seconds"):
+    * the lateness allowance within which the contract-free equal-ts tie
+    * repair still works — rows later than that are dropped, the
+    * standard watermark trade every Structured Streaming operator
+    * makes. Timeout fires when the watermark moves STRICTLY past
+    * frontier_ms + 1 (frontier floored to ms — Spark tracks watermarks
+    * in milliseconds; the +1 covers equal-ms ties under the floor). */
+  def latestStateMatchesHoldbackFlush(rows: Dataset[StampedRow],
+      delay: String): Dataset[AsOfMatch] = {
+    val sess = rows.sparkSession
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val stamped = rows
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", delay)
+      .as[StampedRowT]
+    stamped.groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Option[(Long, Double)], Vector[StampedRow]), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[StampedRowT],
+            state: GroupState[(Option[(Long, Double)], Vector[StampedRow])]) =>
+          var (cur, held) = state.getOption
+            .getOrElse((Option.empty[(Long, Double)],
+              Vector.empty[StampedRow]))
+          val out = Vector.newBuilder[AsOfMatch]
+          def replay(r: StampedRow): Unit = {
+            if (r.is_right && cur.forall(_._1 <= r.ts_us))
+              cur = Some((r.ts_us, r.value))
+            out += AsOfMatch(r.event_id, r.user_id, r.ts_us,
+              cur.map(_._1), cur.map(_._2))
+          }
+          if (state.hasTimedOut) {
+            // the watermark passed the frontier: the held rows are final
+            held.sortBy(r => (r.ts_us, !r.is_right, r.event_id))
+              .foreach(replay)
+            state.update((cur, Vector.empty))
+          } else {
+            val merged = (held ++ it.map(t => StampedRow(t.event_id,
+              t.user_id, t.ts_us, t.value, t.is_right)))
+              .sortBy(r => (r.ts_us, !r.is_right, r.event_id))
+            val maxTs =
+              merged.lastOption.map(_.ts_us).getOrElse(Long.MinValue)
+            var nextHeld = Vector.empty[StampedRow]
+            merged.foreach { r =>
+              if (r.ts_us < maxTs) replay(r)
+              else nextHeld :+= r
+            }
+            state.update((cur, nextHeld))
+            if (nextHeld.nonEmpty)
+              // strictly-past-frontier fire point; a watermark already
+              // beyond it flushes on the next (possibly no-data) batch
+              state.setTimeoutTimestamp(
+                math.max(nextHeld.head.ts_us / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1))
+          }
           out.result().iterator
       }
   }

@@ -487,6 +487,56 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Batch unification of `StreamAsOf.latestStateMatchesHoldbackFlush`
+    * (the watermark-flushed production mode of the contract-free as-of,
+    * r14 verdict item 4): the EventTimeTimeout flush emits, beyond
+    * s11's finalized prefix, every key's held frontier whose timeout
+    * (frontier_ms + 1, Spark tracks watermarks in ms) sits STRICTLY
+    * below the stream-end watermark (global max event-time ms − delay).
+    * The emitted set is the finalized prefix ∪ the flushed frontiers,
+    * each answered at the inclusive as-of bound — precisely this batch
+    * program. Delay = 8 h: the fixture's per-key frontier lag straddles
+    * it at every committed scale (median ≈ 7.2 h), so both the flushed
+    * and the still-held sides are exercised. StreamAsOfSpec proves the
+    * stream emits exactly this set across arbitrary ts-ordered splits,
+    * including a frontier-only tail no sentinel ever advances. */
+  val s12 = Q("s12_stream_asof_flush",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |aj AS (
+      |  SELECT e.event_id, e.user_id, e.ts_us,
+      |    p.ts_us AS asof_ts_us, p.value AS asof_value
+      |  FROM e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us),
+      |mx AS (SELECT user_id, max(ts_us) AS mx FROM e GROUP BY user_id),
+      |g AS (SELECT max(ts_us) AS gmx FROM e)
+      |SELECT aj.event_id, aj.user_id, aj.ts_us, aj.asof_ts_us,
+      |  aj.asof_value
+      |FROM aj JOIN mx ON mx.user_id = aj.user_id, g
+      |WHERE aj.ts_us < mx.mx
+      |   OR mx.mx // 1000 + 1 < g.gmx // 1000 - 28800000
+      |ORDER BY aj.event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_type"))
+    graft.operators.AsOf.asofJoin(
+        ev.drop("event_type", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us")
+      .withColumn("__fr",
+        max(col("ts_us")).over(Window.partitionBy(col("user_id"))))
+      .crossJoin(broadcast(
+        T.events(s, dir).agg(expr("max(ts DIV 1000)").as("__gmx"))))
+      .filter(col("ts_us") < col("__fr") ||
+        expr("__fr DIV 1000 + 1 < __gmx DIV 1000 - 28800000"))
+      .select("event_id", "user_id", "ts_us", "asof_ts_us", "asof_value")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

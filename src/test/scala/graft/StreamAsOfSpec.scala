@@ -203,6 +203,79 @@ class StreamAsOfSpec extends SparkSpec {
     }
   }
 
+  private def runFlush(batches: Seq[Seq[StampedRow]], delay: String,
+      name: String): Map[Long, (Option[Long], Option[Double])] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StampedRow]
+    val q = StreamAsOf.latestStateMatchesHoldbackFlush(input.toDS(), delay)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[AsOfMatch].collect()
+      .map(m => m.event_id -> ((m.asof_ts_us, m.asof_value))).toMap
+  }
+
+  test("watermark-flushed hold-back: the frontier-only tail the " +
+      "sentinel-free mode never emits flushes on EventTimeTimeout, " +
+      "with the tie repair intact") {
+    val state = StampedRow(10L, 9L, 500000L, 7.0, is_right = true)
+    val probe = StampedRow(11L, 9L, 500000L, 0.0, is_right = false)
+    val later = StampedRow(12L, 9L, 600000L, 0.0, is_right = false)
+    val mover = StampedRow(20L, 8L, 100000000L, 0.0, is_right = false)
+    val batches = Seq(Seq(probe), Seq(state), Seq(later), Seq(mover))
+    // sentinel-free mode: key 9's frontier row (12) is never emitted
+    val noFlush = runHoldback(batches, "asof_fl_red")
+    assert(!noFlush.contains(12L),
+      "red half: sentinel-free mode must hold the frontier-only tail")
+    // watermark mode: key 8's far-later row advances the watermark past
+    // key 9's frontier; the timeout flushes it — and the probe-first
+    // equal-ts tie is still repaired (the contract-free guarantee)
+    val got = runFlush(batches, "1 millisecond", "asof_fl_tail")
+    assert(got(11L) == ((Some(500000L), Some(7.0))),
+      "held probe must still see the late equal-ts state row")
+    assert(got(12L) == ((Some(500000L), Some(7.0))),
+      "green half: the frontier-only tail must flush on timeout")
+    assert(!got.contains(20L),
+      "the watermark-driving key's own frontier stays held")
+  }
+
+  test("watermark-flushed hold-back equals the batch program — as-of " +
+      "join over finalized prefix ∪ watermark-flushed frontier — at " +
+      "any ts-ordered split") {
+    val delayMs = 8L * 3600 * 1000 // 8h: splits the fixture's frontiers
+    val gmaxMs = rows.map(_.ts_us).max / 1000
+    val frontier = rows.groupBy(_.user_id).view
+      .mapValues(_.map(_.ts_us).max).toMap
+    // fire condition pinned by the engine: timeout (frontier_ms + 1)
+    // strictly below the final watermark (gmax_ms - delay_ms)
+    val flushed = frontier.filter {
+      case (_, f) => f / 1000 + 1 < gmaxMs - delayMs
+    }.keySet
+    assert(flushed.nonEmpty && flushed.size < frontier.size,
+      s"fixture must exercise both flushed and held keys ($flushed)")
+    val expIds = rows.filter(r =>
+      r.ts_us < frontier(r.user_id) || flushed(r.user_id))
+      .map(_.event_id).toSet
+    val exp = batchExpected.view.filterKeys(expIds).toMap
+    // the registered s12 batch program IS this set
+    val s12 = graft.streaming.StreamQueries.s12.fn(spark, sf).collect()
+      .map { r =>
+        val i = r.fieldIndex("asof_ts_us"); val j = r.fieldIndex("asof_value")
+        r.getLong(r.fieldIndex("event_id")) ->
+          ((if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            if (r.isNullAt(j)) None else Some(r.getDouble(j))))
+      }.toMap
+    assert(s12 == exp, "registered s12 must equal the flush set")
+    for (n <- Seq(1, 7)) {
+      val size = math.max(1, rows.length / n)
+      val got = runFlush(rows.grouped(size).toSeq, "8 hours",
+        s"asof_fl_split_$n")
+      assert(got == exp, s"watermark flush diverged at split $n")
+    }
+  }
+
   test("hold-back stream WITHOUT a sentinel emits exactly the finalized " +
       "prefix — the registered s11 batch program — at any split") {
     val s11 = graft.streaming.StreamQueries.s11.fn(spark, sf).collect()
