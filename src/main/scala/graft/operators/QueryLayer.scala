@@ -586,6 +586,161 @@ object QueryLayer {
       .orderBy(length(col("domain")), col("domain"))
       .limit(clampLimit(limit))
 
+  /** GET /api/v3/dns/records, BOTH arms (crud_dns.go:31-40): the wallet
+    * arm when present, else the domain arm — an XOR the route enforces.
+    * Order: LENGTH(domain), domain (both arms), with nft_item_address
+    * appended as the deterministic tie-break the reference leaves to
+    * postgres heap order. */
+  def dnsByRequest(dns: DataFrame, wallet: Option[String],
+      domain: Option[String], limit: Int = DefaultLimit,
+      offset: Int = 0): DataFrame = {
+    val filtered = wallet match {
+      case Some(w) => dns.filter(col("dns_wallet") === w)
+      case None => dns.filter(col("domain") ===
+        domain.getOrElse(sys.error("dns request needs wallet or domain")))
+    }
+    val off = clampOffset(offset)
+    filtered
+      .orderBy(length(col("domain")), col("domain"), col("nft_item_address"))
+      .limit(off + clampLimit(limit)).offset(off)
+  }
+
+  /** GET /api/v3/multisig/wallets, full switch surface
+    * (crud_multisig.go:13-59): address IN-list AND the signers/proposers
+    * array-overlap, ordered by the insert serial `id` (the reference's
+    * ORDER BY m.id) in the requested direction. The frame must carry
+    * that serial; [[multisigByWallet]] stays the surrogate-ordered form
+    * for dumps that lack it. */
+  def multisigByRequest(multisig: DataFrame, addresses: Seq[String] = Nil,
+      wallets: Seq[String] = Nil, descending: Boolean = true,
+      limit: Int = DefaultLimit, offset: Int = 0): DataFrame = {
+    var df = multisig
+    if (addresses.nonEmpty) df = df.filter(col("address").isin(addresses: _*))
+    if (wallets.nonEmpty) {
+      val ws = array(wallets.map(lit): _*)
+      df = df.filter(arrays_overlap(col("signers"), ws) ||
+        arrays_overlap(col("proposers"), ws))
+    }
+    val off = clampOffset(offset)
+    df.orderBy(if (descending) col("id").desc else col("id").asc)
+      .limit(off + clampLimit(limit)).offset(off)
+  }
+
+  /** GET /api/v3/vesting, full switch surface (crud_vesting.go:75-120):
+    * contract-address IN-list AND the wallet disjunction — owner IN ws
+    * OR sender IN ws OR, when check_whitelist, EXISTS a whitelist row of
+    * the contract with wallet IN ws. The EXISTS arm joins the DISTINCT
+    * whitelisted contract keys as a boolean flag (left join on the
+    * contract key), never an inner join — one row per contract, no
+    * fan-out (J4). Ordered by the insert serial `id` ASC (ORDER BY
+    * V.id). */
+  def vestingByRequest(contracts: DataFrame, whitelist: DataFrame,
+      addresses: Seq[String] = Nil, wallets: Seq[String] = Nil,
+      checkWhitelist: Boolean = false, limit: Int = DefaultLimit,
+      offset: Int = 0): DataFrame = {
+    var df = contracts
+    if (addresses.nonEmpty) df = df.filter(col("address").isin(addresses: _*))
+    if (wallets.nonEmpty) {
+      val ownerOrSender = col("owner_address").isin(wallets: _*) ||
+        col("vesting_sender_address").isin(wallets: _*)
+      df =
+        if (!checkWhitelist) df.filter(ownerOrSender)
+        else df.join(
+            whitelist.filter(col("wallet_address").isin(wallets: _*))
+              .select(col("vesting_contract_address").as("address"))
+              .distinct().withColumn("__wl", lit(true)),
+            Seq("address"), "left")
+          .filter(ownerOrSender || col("__wl"))
+          .drop("__wl")
+    }
+    val off = clampOffset(offset)
+    df.orderBy(col("id")).limit(off + clampLimit(limit)).offset(off)
+  }
+
+  /** Typed request for GET /api/v3/nft/items (crud_nft.go:52-124). */
+  case class NftItemsRequest(
+      addresses: Seq[String] = Nil, owners: Seq[String] = Nil,
+      includeOnSale: Boolean = false, collections: Seq[String] = Nil,
+      indexIn: Seq[String] = Nil, sortByLastTransactionLt: Boolean = false,
+      limit: Int = DefaultLimit, offset: Int = 0)
+
+  /** GET /api/v3/nft/items, full switch surface (crud_nft.go:52-124) on
+    * top of [[nftItems]]'s dimension joins:
+    *  - owner filter site switches on include_on_sale (crud_nft.go:80-86):
+    *    N.real_owner (the live getgems sale/auction owner, which the
+    *    reference stores denormalized and this engine derives as
+    *    coalesce(sale, auction, owner)) when true, N.owner_address
+    *    otherwise;
+    *  - ORDER BY resolves in the builder's statement order, later
+    *    switches overriding earlier (crud_nft.go:66-124): id ASC by
+    *    default, cleared by an address filter, (owner_address,
+    *    collection_address, index) under an owner filter,
+    *    (collection_address, index) under a SINGLE collection,
+    *    last_transaction_lt DESC under sort_by_last_transaction_lt;
+    *  - index IN-list only with a collection filter (422 otherwise);
+    *  - `address` appended as the deterministic tie-break everywhere
+    *    (the reference leaves ties to postgres heap order; a Spark sort
+    *    must be total for stable pagination).
+    * The frame must carry the insert serial `id` for the default order;
+    * [[nftItems]] stays the surrogate-ordered form. */
+  def nftItemsByRequest(items: DataFrame, collections: DataFrame,
+      sales: DataFrame, auctions: DataFrame,
+      r: NftItemsRequest): DataFrame = {
+    require(r.indexIn.isEmpty || r.collections.nonEmpty,
+      "index parameter is not allowed without the collection_address")
+    val collsF = (if (r.collections.size == 1)
+        collections.filter(col("address") === r.collections.head)
+      else collections)
+      .select(col("address").as("collection_address"),
+        col("owner_address").as("collection_owner"),
+        col("collection_content"))
+    val itemsF0 = if (r.collections.size == 1)
+      items.filter(col("collection_address") === r.collections.head)
+    else items
+    // the reference joins the sale/auction dims on BOTH keys — the item
+    // owner must BE the contract AND the contract must point back at the
+    // item (crud_nft.go:61-63) — so a contract listing a different NFT
+    // never lends its real owner
+    val saleDim = broadcast(sales.filter(!col("is_complete"))
+      .select(col("address").as("__s_addr"), col("nft_address").as("__s_nft"),
+        col("nft_owner_address").as("sale_real_owner")))
+    val aucDim = broadcast(auctions.filter(!col("end_flag"))
+      .select(col("address").as("__a_addr"), col("nft_addr").as("__a_nft"),
+        col("nft_owner").as("auction_real_owner")))
+    val withDims = itemsF0
+      .join(collsF, Seq("collection_address"), "left")
+      .join(saleDim, col("owner_address") === col("__s_addr") &&
+        col("address") === col("__s_nft"), "left")
+      .join(aucDim, col("owner_address") === col("__a_addr") &&
+        col("address") === col("__a_nft"), "left")
+      .drop("__s_addr", "__s_nft", "__a_addr", "__a_nft")
+      .withColumn("real_owner", coalesce(col("sale_real_owner"),
+        col("auction_real_owner"), col("owner_address")))
+    var df = withDims
+    if (r.addresses.nonEmpty) df = df.filter(col("address").isin(r.addresses: _*))
+    if (r.owners.nonEmpty) {
+      val site = if (r.includeOnSale) col("real_owner")
+        else col("owner_address")
+      df = df.filter(site.isin(r.owners: _*))
+    }
+    if (r.collections.size > 1)
+      df = df.filter(col("collection_address").isin(r.collections: _*))
+    if (r.indexIn.nonEmpty) df = df.filter(col("index").isin(r.indexIn: _*))
+    // ORDER BY resolution in builder statement order (later wins)
+    var order: Seq[Column] = Seq(col("id").asc)
+    if (r.addresses.nonEmpty) order = Nil
+    if (r.owners.nonEmpty)
+      order = Seq(col("owner_address"), col("collection_address"),
+        col("index"))
+    if (r.collections.size == 1)
+      order = Seq(col("collection_address"), col("index"))
+    if (r.sortByLastTransactionLt)
+      order = Seq(col("last_transaction_lt").desc)
+    val off = clampOffset(r.offset)
+    df.orderBy(order :+ col("address"): _*)
+      .limit(off + clampLimit(r.limit)).offset(off)
+  }
+
   /** Typed request shared by the token-event endpoint families
     * (models JettonTransferRequest / JettonBurnRequest /
     * NFTTransferRequest with their Utime/Lt/Limit companions). */
