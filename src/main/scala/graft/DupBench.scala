@@ -60,13 +60,33 @@ object DupBench {
     val (simFullSec, simFullRows) = timed {
       Dedup.simhashPairsFromToks(toks, 6).count()
     }
+    // d36 arm (r14 verdict item 2): span report vs span listing on the
+    // same dup-heavy corpus — both sides of the (corpus, bench) pair
+    // space carry K verbatim copies, so the listing pays K_c·K_b rows
+    // per contaminated pair while the report pays one + membership
+    val spanBase = union
+      .select(col("doc_id"), trim(col("text")).as("tt"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        graft.operators.Dedup.shingles(col("text")).as("sh"))
+      .localCheckpoint()
+    val corpus = spanBase.filter(col("doc_id") % 17 =!= 0)
+    val bench = spanBase.filter(col("doc_id") % 17 === 0)
+    val (spanRepSec, spanRepRows) = timed {
+      graft.operators.Curation.contaminationSpanReport(corpus, bench)
+        .count()
+    }
+    val (spanFullSec, spanFullRows) = timed {
+      graft.operators.Curation.contaminationSpans(corpus, bench).count()
+    }
     def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json = s"""{"metric":"dup_counterfactual","k":$k,"sf":"$sfDir",""" +
       s""""docs":${k * docs.count()},""" +
       s""""jaccard_report_sec":${r3(repSec)},"jaccard_report_rows":$repRows,""" +
       s""""jaccard_full_sec":${r3(fullSec)},"jaccard_full_rows":$fullRows,""" +
       s""""simhash_report_sec":${r3(simRepSec)},"simhash_report_rows":$simRepRows,""" +
-      s""""simhash_full_sec":${r3(simFullSec)},"simhash_full_rows":$simFullRows}"""
+      s""""simhash_full_sec":${r3(simFullSec)},"simhash_full_rows":$simFullRows,""" +
+      s""""span_report_sec":${r3(spanRepSec)},"span_report_rows":$spanRepRows,""" +
+      s""""span_full_sec":${r3(spanFullSec)},"span_full_rows":$spanFullRows}"""
     spark.stop()
     println(json)
   }

@@ -20,4 +20,10 @@ for i in 1 2 3; do
 done
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.DecodeShareBench /tmp/sf1" 2>/dev/null \
   | grep '"metric"' | sed 's/^\[info\] //' > bench_runs/decode_share_sf1.json
+# standing dup-heavy counterfactual (r14 verdict item 6): the recombined
+# driver fixture has no verbatim dups, so the contracted reports' win
+# only shows on this synthetic 10x-dup corpus — commit it per round
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_DUP_K=10 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.DupBench" 2>/dev/null \
+  | grep '"metric"' | sed 's/^\[info\] //' > bench_runs/dup_counterfactual_${R}.json
 echo "=== SWEEP COMPLETE: $(date)"
