@@ -1344,7 +1344,7 @@ object Curation {
       md5(concat_ws(" ", col("toks")).cast("binary")).as("k"))
       .localCheckpoint()
     val bk = bench.select(col("doc_id").as("member"),
-      md5(concat_ws("\u001e", array_sort(col("sh"))).cast("binary")).as("k"))
+      Dedup.shingleSetKey(col("sh")).as("k"))
       .localCheckpoint()
     val ccls = ck.groupBy("k")
       .agg(min("member").as("rep"), count(lit(1)).as("sz"))

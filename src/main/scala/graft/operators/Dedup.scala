@@ -304,7 +304,12 @@ object Dedup {
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val repShingles = shingled(s, dir)
       .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val repPairs = exactJaccardPairs(s, repShingles, minJaccard)
+    // ε = 0: same reasoning as d13's report path (r15 review) — over
+    // REPRESENTATIVES the cap's N is the rep count while the d14/d35/m09
+    // oracles apply none, so a binding cap on a stop-shingle-heavy
+    // corpus would silently drop edges and split components
+    val repPairs = exactJaccardPairs(s, repShingles, minJaccard,
+        dfCapEpsilon = 0)
       .select("doc_a", "doc_b")
     star.unionByName(repPairs)
   }
@@ -510,8 +515,7 @@ object Dedup {
     // callback re-reads the shingle relation through a doc_id semi-join
     // (columnar scan, pruned to representatives).
     val keyed = sh.select(col("doc_id"), size(col("sh")).as("n"),
-      md5(concat_ws("\u001e", array_sort(col("sh"))).cast("binary"))
-        .as("skey"))
+      shingleSetKey(col("sh")).as("skey"))
       .localCheckpoint()
     val classes = keyed.groupBy("skey")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
@@ -535,6 +539,14 @@ object Dedup {
         expr("sz * (sz - 1) DIV 2").as("n_pairs"))
     stars.unionByName(nearRows).unionByName(classRows)
   }
+
+  /** Sorted-shingle-set class key: a 32-byte md5 of the chr(30)-joined
+    * sorted set — THE contraction key, shared by the d11/d13 report
+    * ([[jaccardNearDupReportFrom]]) and d36's bench-side contraction
+    * (Curation.contaminationSpanReport) so the class partitions can
+    * never silently de-synchronize (r15 review). */
+  private[graft] def shingleSetKey(sh: Column): Column =
+    md5(concat_ws("\u001e", array_sort(sh)).cast("binary"))
 
   /** [[jaccardNearDupReportFrom]] over the shared shingle silver. */
   def jaccardNearDupReport(s: SparkSession, dir: String,

@@ -877,16 +877,24 @@ object QueryLayer {
         col("owner_address").as("collection_owner"),
         col("collection_content")))((d, c) =>
       d.filter(col("collection_address") === c))
+    // two-key dim joins, same contract as [[nftItemsByRequest]]
+    // (crud_nft.go:61-63): the owner must BE the contract AND the
+    // contract must point back at THIS item
     val withDims = itemsF
       .join(collsF, Seq("collection_address"), "left")
       .join(broadcast(sales.filter(!col("is_complete"))
-        .select(col("address").as("owner_address"),
+        .select(col("address").as("__s_addr"),
+          col("nft_address").as("__s_nft"),
           col("nft_owner_address").as("sale_real_owner"))),
-        Seq("owner_address"), "left")
+        col("owner_address") === col("__s_addr") &&
+          col("address") === col("__s_nft"), "left")
       .join(broadcast(auctions.filter(!col("end_flag"))
-        .select(col("address").as("owner_address"),
+        .select(col("address").as("__a_addr"),
+          col("nft_addr").as("__a_nft"),
           col("nft_owner").as("auction_real_owner"))),
-        Seq("owner_address"), "left")
+        col("owner_address") === col("__a_addr") &&
+          col("address") === col("__a_nft"), "left")
+      .drop("__s_addr", "__s_nft", "__a_addr", "__a_nft")
       .withColumn("real_owner", coalesce(col("sale_real_owner"),
         col("auction_real_owner"), col("owner_address")))
     var df = withDims

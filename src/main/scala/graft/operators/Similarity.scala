@@ -441,7 +441,10 @@ object Similarity {
     // re-derivations) pin the prefix sampler: the committed oracle
     // VALUES and the tools/derive_kmeans.py replica both embed the
     // `vec_id < bound` book. Library callers get kmeansTrain's hash
-    // default; both coincide whenever n ≤ bound (SimilaritySpec).
+    // default; the two samplers coincide only when every id sits under
+    // the bound (dense 0-based ids with n ≤ bound — the gate corpora),
+    // NOT for gappy ids, where prefix fails loudly and hash trains
+    // (SimilaritySpec pins both sides).
     kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters,
       hashSample = false))
 

@@ -47,19 +47,44 @@ object MediaFixtures {
 
   /** One row per documents doc_id (the generator contract): the cached
     * table's (count, min, max) of its first column must equal the
-    * documents table's doc_id stats for THIS corpus dir. */
+    * documents table's doc_id stats for THIS corpus dir. A PASSING
+    * validation is memoized per (session, target, corpus fingerprint) —
+    * the m-family calls each generator many times per run and would
+    * otherwise re-pay two aggregate jobs per call. The fingerprint is a
+    * stat-only walk of the documents.parquet files (names, lengths,
+    * mtimes), so an IN-PLACE corpus regeneration still invalidates the
+    * memo without a Spark job. Failures are never memoized. */
+  private val validated =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), Unit]
+
+  private def docsFingerprint(dir: String): String = {
+    val d = new java.io.File(dir, "documents.parquet")
+    Option(d.listFiles).map(_.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|"))
+      .getOrElse(s"${d.length}:${d.lastModified}")
+  }
+
   private def valid(s: SparkSession, dir: String,
       target: java.io.File): Boolean = {
-    import org.apache.spark.sql.functions._
-    def probe(df: DataFrame, idCol: String): (Long, Any, Any) = {
-      val r = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head()
-      (r.getLong(0), r.get(1), r.get(2))
+    val key = (s, target.toString, docsFingerprint(dir))
+    validated.contains(key) || {
+      import org.apache.spark.sql.functions._
+      def probe(df: DataFrame, idCol: String): (Long, Any, Any) = {
+        val r = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol)))
+          .head()
+        (r.getLong(0), r.get(1), r.get(2))
+      }
+      val ok =
+        try {
+          val cached = s.read.parquet(target.toString)
+          probe(cached, cached.columns.head) ==
+            probe(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) validated.put(key, ())
+      ok
     }
-    try {
-      val cached = s.read.parquet(target.toString)
-      probe(cached, cached.columns.head) ==
-        probe(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
-    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   def table(s: SparkSession, dir: String, name: String, version: Int)(
@@ -85,10 +110,20 @@ object MediaFixtures {
         case _: java.nio.file.FileSystemException =>
           // a lost publication race leaves a COMPLETE winner; anything
           // else (ATOMIC_MOVE unsupported, partial target from a crash)
-          // must not orphan our good copy
+          // must not orphan our good copy. The fallback move can itself
+          // race a concurrent builder — only rethrow when NO complete
+          // winner exists afterwards (then the cache is truly broken).
           if (!new java.io.File(target, "_SUCCESS").exists()) {
-            rm(target)
-            java.nio.file.Files.move(tmp.toPath, target.toPath)
+            try {
+              rm(target)
+              java.nio.file.Files.move(tmp.toPath, target.toPath)
+            } catch {
+              case e: java.nio.file.FileSystemException =>
+                if (!new java.io.File(target, "_SUCCESS").exists()) {
+                  if (tmp.exists()) rm(tmp)
+                  throw e
+                }
+            }
           }
       }
       if (tmp.exists()) rm(tmp)

@@ -45,10 +45,10 @@ class PlanSpec extends SparkSpec {
       .toDF("address", "collection_address", "index", "owner_address")
     val collections = Seq(("c1", "0:CO", "{}"))
       .toDF("address", "owner_address", "collection_content")
-    val sales = Seq(("0:SALE", false, "0:REAL_S"))
-      .toDF("address", "is_complete", "nft_owner_address")
-    val auctions = Seq(("0:AUCTION", false, "0:REAL_A"))
-      .toDF("address", "end_flag", "nft_owner")
+    val sales = Seq(("0:SALE", false, "0:REAL_S", "n2"))
+      .toDF("address", "is_complete", "nft_owner_address", "nft_address")
+    val auctions = Seq(("0:AUCTION", false, "0:REAL_A", "n3"))
+      .toDF("address", "end_flag", "nft_owner", "nft_addr")
     // kill auto-broadcast so only HINTED broadcasts survive planning —
     // the hinted live sales/auctions subsets must broadcast, the
     // collections join must not

@@ -187,18 +187,24 @@ class QueryLayerSpec extends SparkSpec {
     val items = Seq(
       ("n1", "c1", "1", "0:HOLDER"),
       ("n2", "c1", "2", "0:SALE"),
-      ("n3", "c1", "3", "0:AUCTION"))
+      ("n3", "c1", "3", "0:AUCTION"),
+      ("n4", "c1", "4", "0:SALEX")) // held by a sale listing a DIFFERENT nft
       .toDF("address", "collection_address", "index", "owner_address")
     val collections = Seq(("c1", "0:CO", "{}"))
       .toDF("address", "owner_address", "collection_content")
-    val sales = Seq(("0:SALE", false, "0:REAL_S"))
-      .toDF("address", "is_complete", "nft_owner_address")
-    val auctions = Seq(("0:AUCTION", false, "0:REAL_A"))
-      .toDF("address", "end_flag", "nft_owner")
+    val sales = Seq(("0:SALE", false, "0:REAL_S", "n2"),
+        ("0:SALEX", false, "0:REAL_X", "nOTHER"))
+      .toDF("address", "is_complete", "nft_owner_address", "nft_address")
+    val auctions = Seq(("0:AUCTION", false, "0:REAL_A", "n3"))
+      .toDF("address", "end_flag", "nft_owner", "nft_addr")
     val all = QueryLayer.nftItems(items, collections, sales, auctions)
       .collect().map(r => r.getAs[String]("address") -> r.getAs[String]("real_owner"))
       .toMap
-    assert(all == Map("n1" -> "0:HOLDER", "n2" -> "0:REAL_S", "n3" -> "0:REAL_A"))
+    assert(all == Map("n1" -> "0:HOLDER", "n2" -> "0:REAL_S",
+      "n3" -> "0:REAL_A",
+      // two-key contract (crud_nft.go:61-63): a sale pointing at a
+      // DIFFERENT nft lends nothing — the holder contract stays
+      "n4" -> "0:SALEX"))
     val byOwner = QueryLayer.nftItems(items, collections, sales, auctions,
       owner = Some("0:REAL_S")).collect().map(_.getAs[String]("address"))
     assert(byOwner.toSeq == Seq("n2"))

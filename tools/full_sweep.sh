@@ -5,7 +5,9 @@
 # Bench prints only a SHORT stdout line (driver tail-capture contract);
 # the full per-query record is the SPARK_GRAFT_BENCH_OUT artifact.
 cd /root/repo
-R=${SPARK_GRAFT_ROUND:-r14}
+# no default round tag: a stale default silently overwrites a committed
+# round's artifacts (r15 review)
+R=${SPARK_GRAFT_ROUND:?"set SPARK_GRAFT_ROUND (e.g. r15)"}
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=bench_runs/sf0.1_${R}_run$i.json \

@@ -29,7 +29,9 @@ split() { # name queries...
   local d="$OUT-$1"; shift
   rm -rf "$d"; mkdir -p "$d"
   cp "$OUT/oracle_sql.json" "$d/"
-  for q in "$@"; do [ -e "$OUT/$q" ] && cp -al "$OUT/$q" "$d/$q"; done
+  for q in "$@"; do
+    if [ -e "$OUT/$q" ]; then cp -al "$OUT/$q" "$d/$q"; fi
+  done
 }
 GRINDERS="d14_dedup_clusters d35_quality_keeper m09_multimodal_clusters"
 split g1 d14_dedup_clusters
