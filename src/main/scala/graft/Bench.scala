@@ -8,6 +8,43 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Known heavy co-tenants of the bench window: the DuckDB oracle
+    * grinders and a Verify dump (r15 verdict item 5 — the driver-visible
+    * r15 headline carried the m09 oracle grind's contention). Scans
+    * /proc cmdlines; never matches this JVM (its cmdline says
+    * graft.Bench, none of the markers). */
+  private def contenders(): Seq[String] = {
+    val markers = Seq("check_oracle", "duckdb", "patch_oracle_scale",
+      "graft.Verify")
+    try new java.io.File("/proc").listFiles.toSeq
+      .filter(f => f.getName.forall(_.isDigit))
+      .flatMap { f =>
+        val cl = try new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(f, "cmdline").toPath)).replace('\u0000', ' ')
+          catch { case _: Throwable => "" }
+        markers.find(cl.contains).map(m => s"${f.getName}:$m")
+      }
+    catch { case _: Throwable => Nil }
+  }
+
+  /** Bounded wait for a quiet machine: polls until no oracle/Verify
+    * co-tenant is alive, giving up after `maxWaitSec` so a stuck grinder
+    * can never wedge the driver's bench. Progress goes to stderr — the
+    * stdout contract (bare JSON as the last line) stays intact. */
+  private def awaitQuiet(maxWaitSec: Int = 900): Unit = {
+    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+    var busy = contenders()
+    while (busy.nonEmpty && System.nanoTime() < deadline) {
+      System.err.println(
+        s"[bench] waiting for quiet machine: ${busy.mkString(", ")}")
+      Thread.sleep(15000)
+      busy = contenders()
+    }
+    if (busy.nonEmpty)
+      System.err.println(s"[bench] proceeding despite co-tenants after " +
+        s"${maxWaitSec}s: ${busy.mkString(", ")}")
+  }
+
   private def newSession(cpus: String, silverDir: Option[String]): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +68,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    awaitQuiet()
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

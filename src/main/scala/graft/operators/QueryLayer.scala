@@ -627,7 +627,9 @@ object QueryLayer {
   }
 
   /** GET /api/v3/vesting, full switch surface (crud_vesting.go:75-120):
-    * contract-address IN-list AND the wallet disjunction — owner IN ws
+    * EXACTLY ONE of contract-address IN-list or the wallet disjunction
+    * (the route 422s on both-or-neither, crud_vesting.go:17-23).
+    * Wallet arm: owner IN ws
     * OR sender IN ws OR, when check_whitelist, EXISTS a whitelist row of
     * the contract with wallet IN ws. The EXISTS arm joins the DISTINCT
     * whitelisted contract keys as a boolean flag (left join on the
@@ -638,6 +640,12 @@ object QueryLayer {
       addresses: Seq[String] = Nil, wallets: Seq[String] = Nil,
       checkWhitelist: Boolean = false, limit: Int = DefaultLimit,
       offset: Int = 0): DataFrame = {
+    // the reference 422s unless EXACTLY one of contract_address /
+    // wallet_address is given (crud_vesting.go:17-23)
+    require(addresses.nonEmpty || wallets.nonEmpty,
+      "at least one of contract_address or wallet_address is required")
+    require(addresses.isEmpty || wallets.isEmpty,
+      "only one of contract_address or wallet_address should be specified")
     var df = contracts
     if (addresses.nonEmpty) df = df.filter(col("address").isin(addresses: _*))
     if (wallets.nonEmpty) {
@@ -725,17 +733,25 @@ object QueryLayer {
     }
     if (r.collections.size > 1)
       df = df.filter(col("collection_address").isin(r.collections: _*))
-    if (r.indexIn.nonEmpty) df = df.filter(col("index").isin(r.indexIn: _*))
-    // ORDER BY resolution in builder statement order (later wins)
+    // the reference drops empty-string index values and applies NO
+    // filter when none remain (crud_nft.go:103-117) — only the 422 on a
+    // missing collection fires on the RAW list
+    val indexVals = r.indexIn.filter(_.nonEmpty)
+    if (indexVals.nonEmpty) df = df.filter(col("index").isin(indexVals: _*))
+    // ORDER BY resolution in builder statement order (later wins);
+    // Postgres null placement (ASC nulls LAST, DESC nulls FIRST) on the
+    // nullable keys — collection_address and last_transaction_lt
     var order: Seq[Column] = Seq(col("id").asc)
     if (r.addresses.nonEmpty) order = Nil
     if (r.owners.nonEmpty)
-      order = Seq(col("owner_address"), col("collection_address"),
-        col("index"))
+      order = Seq(col("owner_address").asc_nulls_last,
+        col("collection_address").asc_nulls_last,
+        col("index").asc_nulls_last)
     if (r.collections.size == 1)
-      order = Seq(col("collection_address"), col("index"))
+      order = Seq(col("collection_address").asc_nulls_last,
+        col("index").asc_nulls_last)
     if (r.sortByLastTransactionLt)
-      order = Seq(col("last_transaction_lt").desc)
+      order = Seq(col("last_transaction_lt").desc_nulls_first)
     val off = clampOffset(r.offset)
     df.orderBy(order :+ col("address"): _*)
       .limit(off + clampLimit(r.limit)).offset(off)

@@ -23,7 +23,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one row per documents doc_id with the id as its FIRST column, so a
   * cache hit is validated against the corpus's documents table by
   * (count, min id, max id) — footer-stat-cheap — and rebuilt on
-  * mismatch.
+  * mismatch. A passing validation is stamped on disk
+  * (`_GRAFT_VALIDATED`, holding the corpus fingerprint), so warm hits
+  * in later sessions skip even the footer-stat probes (r15 verdict
+  * item 4): a warm run pays zero Spark jobs for validation.
   *
   * Publication is atomic (write to a temp dir, rename). If the rename
   * fails, discarding our copy is only justified when a COMPLETE winner
@@ -48,15 +51,40 @@ object MediaFixtures {
   /** One row per documents doc_id (the generator contract): the cached
     * table's (count, min, max) of its first column must equal the
     * documents table's doc_id stats for THIS corpus dir. A PASSING
-    * validation is memoized per (session, target, corpus fingerprint) —
-    * the m-family calls each generator many times per run and would
-    * otherwise re-pay two aggregate jobs per call. The fingerprint is a
-    * stat-only walk of the documents.parquet files (names, lengths,
-    * mtimes), so an IN-PLACE corpus regeneration still invalidates the
-    * memo without a Spark job. Failures are never memoized. */
+    * validation is persisted as a stamp file next to `_SUCCESS`
+    * recording the corpus fingerprint it validated against, so a warm
+    * hit in a LATER session re-validates with zero Spark jobs (r15
+    * verdict item 4); it is additionally memoized in-process per
+    * (target, corpus fingerprint) — validation is session-independent,
+    * so the memo holds no session reference (r15 advisor). The
+    * fingerprint is a stat-only walk of the documents.parquet files
+    * (names, lengths, mtimes), so an IN-PLACE corpus regeneration still
+    * invalidates both stamp and memo without a Spark job. Failures are
+    * never memoized or stamped. */
   private val validated =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  private val StampName = "_GRAFT_VALIDATED"
+
+  /** Test hook: drops the in-process memo so specs can exercise the
+    * on-disk stamp path a fresh session would take. */
+  private[graft] def clearValidationMemo(): Unit = validated.clear()
+
+  private def readStamp(target: java.io.File): Option[String] =
+    try {
+      val p = new java.io.File(target, StampName).toPath
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeStamp(target: java.io.File, fp: String): Unit =
+    try
+      java.nio.file.Files.write(
+        new java.io.File(target, StampName).toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort
 
   private def docsFingerprint(dir: String): String = {
     val d = new java.io.File(dir, "documents.parquet")
@@ -68,8 +96,10 @@ object MediaFixtures {
 
   private def valid(s: SparkSession, dir: String,
       target: java.io.File): Boolean = {
-    val key = (s, target.toString, docsFingerprint(dir))
-    validated.contains(key) || {
+    val fp = docsFingerprint(dir)
+    val key = (target.toString, fp)
+    validated.contains(key) ||
+    (readStamp(target).contains(fp) && { validated.put(key, ()); true }) || {
       import org.apache.spark.sql.functions._
       def probe(df: DataFrame, idCol: String): (Long, Any, Any) = {
         val r = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol)))
@@ -82,7 +112,7 @@ object MediaFixtures {
           probe(cached, cached.columns.head) ==
             probe(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
         } catch { case scala.util.control.NonFatal(_) => false }
-      if (ok) validated.put(key, ())
+      if (ok) { writeStamp(target, fp); validated.put(key, ()) }
       ok
     }
   }
@@ -102,7 +132,12 @@ object MediaFixtures {
       base.mkdirs()
       val tmp = new java.io.File(base,
         s".tmp-${java.util.UUID.randomUUID()}-$name")
+      // fingerprint BEFORE the build: the payload matches the corpus as
+      // it was at build start; a mid-build rewrite leaves a stale stamp
+      // that mismatches and falls back to the probe path
+      val fpAtBuild = docsFingerprint(dir)
       build.write.mode("overwrite").parquet(tmp.toString)
+      writeStamp(tmp, fpAtBuild)
       try
         java.nio.file.Files.move(tmp.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

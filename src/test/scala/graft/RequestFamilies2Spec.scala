@@ -64,7 +64,14 @@ class RequestFamilies2Spec extends SparkSpec {
       includeOnSale = rnd.nextBoolean(),
       collections = collections,
       indexIn = if (collections.nonEmpty && rnd.nextInt(3) == 0)
-        Seq(rnd.nextInt(20).toString) else Nil,
+        // empty strings mixed in: the reference DROPS them, and applies
+        // no filter at all when only empties remain (crud_nft.go:103-117)
+        rnd.nextInt(3) match {
+          case 0 => Seq(rnd.nextInt(20).toString)
+          case 1 => Seq("", rnd.nextInt(20).toString)
+          case _ => Seq("")
+        }
+      else Nil,
       sortByLastTransactionLt = rnd.nextInt(4) == 0,
       limit = rnd.nextInt(250) - 20,
       offset = rnd.nextInt(8) - 2)
@@ -93,16 +100,26 @@ class RequestFamilies2Spec extends SparkSpec {
         Some(r.collections.map(c => s"'$c'")
           .mkString("collection_address IN (", ",", ")"))
       else None,
-      if (r.indexIn.nonEmpty)
-        Some(r.indexIn.map(i => s"'$i'").mkString("index IN (", ",", ")"))
-      else None).flatten
+      {
+        // empty index values are dropped; no filter if none remain
+        // (crud_nft.go:103-117)
+        val idx = r.indexIn.filter(_.nonEmpty)
+        if (idx.nonEmpty)
+          Some(idx.map(i => s"'$i'").mkString("index IN (", ",", ")"))
+        else None
+      }).flatten
+    // Postgres null placement spelled out (ASC nulls LAST, DESC nulls
+    // FIRST) — the Spark-SQL restatement must not inherit Spark's
+    // opposite defaults on the nullable collection_address / lt keys
     var order = Seq("id ASC")
     if (r.addresses.nonEmpty) order = Nil
     if (r.owners.nonEmpty)
-      order = Seq("owner_address", "collection_address", "index")
+      order = Seq("owner_address NULLS LAST",
+        "collection_address NULLS LAST", "index NULLS LAST")
     if (r.collections.size == 1)
-      order = Seq("collection_address", "index")
-    if (r.sortByLastTransactionLt) order = Seq("last_transaction_lt DESC")
+      order = Seq("collection_address NULLS LAST", "index NULLS LAST")
+    if (r.sortByLastTransactionLt)
+      order = Seq("last_transaction_lt DESC NULLS FIRST")
     val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
       else math.min(r.limit, QueryLayer.MaxLimit)
     val where =
@@ -163,6 +180,59 @@ class RequestFamilies2Spec extends SparkSpec {
     }
     assert(diverged > 0, "fixture must make the owner-site switch " +
       "observable (sale/auction-held items with distinct real owners)")
+  }
+
+  test("nft/items null placement follows Postgres (ASC nulls LAST on " +
+      "collection_address, DESC nulls FIRST on last_transaction_lt) — " +
+      "not Spark's defaults") {
+    import spark.implicits._
+    val items = Seq( // lt = -1 is a null sentinel restored below
+      (0L, "nA", true, "0", null.asInstanceOf[String], "w0", "m", 100L),
+      (1L, "nB", true, "1", "c0", "w0", "m", 200L),
+      (2L, "nC", true, "2", "c0", "w0", "m", -1L))
+      .toDF("id", "address", "init", "index", "collection_address",
+        "owner_address", "content", "last_transaction_lt")
+      .withColumn("last_transaction_lt",
+        when(col("last_transaction_lt") === -1L, lit(null))
+          .otherwise(col("last_transaction_lt")))
+    val colls = Seq(("c0", "co", "cc"))
+      .toDF("address", "owner_address", "collection_content")
+    val sales = Seq.empty[(String, String, String, Boolean)]
+      .toDF("address", "nft_address", "nft_owner_address", "is_complete")
+    val aucs = Seq.empty[(String, String, String, Boolean)]
+      .toDF("address", "nft_addr", "nft_owner", "end_flag")
+    // owner arm: ORDER BY owner, collection, index — the null-collection
+    // item must sort AFTER both c0 items (Spark's default would put it
+    // first)
+    val byOwner = QueryLayer.nftItemsByRequest(items, colls, sales, aucs,
+        NftItemsRequest(owners = Seq("w0")))
+      .select("address").collect().map(_.getString(0)).toSeq
+    assert(byOwner == Seq("nB", "nC", "nA"),
+      s"ASC nulls must sort last (got $byOwner)")
+    // lt arm: ORDER BY last_transaction_lt DESC — the null-lt item must
+    // sort FIRST (Spark's DESC default would put it last)
+    val byLt = QueryLayer.nftItemsByRequest(items, colls, sales, aucs,
+        NftItemsRequest(sortByLastTransactionLt = true))
+      .select("address").collect().map(_.getString(0)).toSeq
+    assert(byLt == Seq("nC", "nB", "nA"),
+      s"DESC nulls must sort first (got $byLt)")
+  }
+
+  test("nft/items empty index values are dropped; all-empty applies no " +
+      "filter (crud_nft.go:103-117)") {
+    val (items, colls, sales, aucs) = nftFixture()
+    val unfiltered = QueryLayer.nftItemsByRequest(items, colls, sales,
+        aucs, NftItemsRequest(collections = Seq("c0"))).count()
+    val allEmpty = QueryLayer.nftItemsByRequest(items, colls, sales,
+        aucs, NftItemsRequest(collections = Seq("c0"),
+          indexIn = Seq("", ""))).count()
+    assert(allEmpty == unfiltered && unfiltered > 0,
+      "an all-empty index list must return the unfiltered set")
+    val mixed = QueryLayer.nftItemsByRequest(items, colls, sales, aucs,
+        NftItemsRequest(collections = Seq("c0"), indexIn = Seq("", "0")))
+    assert(mixed.select("index").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("0"),
+      "non-empty values still filter after empties are dropped")
   }
 
   // ------------------------------------------------------- multisig/wallets
@@ -269,16 +339,21 @@ class RequestFamilies2Spec extends SparkSpec {
   private case class VestDraw(addresses: Seq[String], wallets: Seq[String],
       checkWhitelist: Boolean, limit: Int, offset: Int)
 
-  private def vestDraw(rnd: Random): VestDraw = VestDraw(
-    addresses = if (rnd.nextInt(4) == 0)
-      (0 until 1 + rnd.nextInt(2)).map(_ => s"v${rnd.nextInt(50)}").distinct
-    else Nil,
-    wallets = if (rnd.nextInt(4) != 0)
-      (0 until 1 + rnd.nextInt(2)).map(_ => s"w${rnd.nextInt(13)}").distinct
-    else Nil,
-    checkWhitelist = rnd.nextBoolean(),
-    limit = rnd.nextInt(70) - 5,
-    offset = rnd.nextInt(5) - 1)
+  // the reference 422s unless exactly one arm is present
+  // (crud_vesting.go:17-23) — draws pick ONE arm, wallet-heavy
+  private def vestDraw(rnd: Random): VestDraw = {
+    val addressArm = rnd.nextInt(4) == 0
+    VestDraw(
+      addresses = if (addressArm)
+        (0 until 1 + rnd.nextInt(2)).map(_ => s"v${rnd.nextInt(50)}").distinct
+      else Nil,
+      wallets = if (!addressArm)
+        (0 until 1 + rnd.nextInt(2)).map(_ => s"w${rnd.nextInt(13)}").distinct
+      else Nil,
+      checkWhitelist = rnd.nextBoolean(),
+      limit = rnd.nextInt(70) - 5,
+      offset = rnd.nextInt(5) - 1)
+  }
 
   /** crud_vesting.go:75-120 restated — the wallet disjunction as the
     * reference writes it (owner OR sender OR EXISTS whitelist);

@@ -8,6 +8,14 @@ cd /root/repo
 # no default round tag: a stale default silently overwrites a committed
 # round's artifacts (r15 review)
 R=${SPARK_GRAFT_ROUND:?"set SPARK_GRAFT_ROUND (e.g. r15)"}
+# refuse to start while oracle grinders or another bench/verify JVM is
+# alive (r15 verdict item 5) — sweep numbers from a contended box are
+# noise; Bench itself also waits, making the exclusion mutual
+while pgrep -f 'check_oracle|patch_oracle_scale|graft\.(Bench|Verify)' >/dev/null 2>&1 \
+   || pgrep -x duckdb >/dev/null 2>&1; do
+  echo "=== machine busy (oracle/bench/verify co-tenant); sweep waits: $(date)"
+  sleep 30
+done
 for i in 1 2 3; do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=bench_runs/sf0.1_${R}_run$i.json \

@@ -16,8 +16,23 @@ R=${1:?round tag}
 OUT=${2:-/tmp/verify_sf01_$R}
 SF=/root/testdata/sf0.1
 
+# never contend with a live bench window (r15 verdict item 5): the
+# driver's BENCH_r{N}.json is the number in the record, and r15's
+# headline carried this script's m09 grind
+while pgrep -f 'graft\.Bench' >/dev/null 2>&1; do
+  echo "=== bench JVM alive; oracle record waits: $(date)"; sleep 30
+done
+
+# the record is one-HEAD by definition: a verify dir left by an earlier
+# HEAD must not silently mix old engine dumps into it (r15 advisor)
+HEAD_NOW=$(git rev-parse HEAD)
+if [ -f "$OUT/oracle_sql.json" ] && [ "$(cat "$OUT/_HEAD" 2>/dev/null)" != "$HEAD_NOW" ]; then
+  echo "=== stale verify dir (HEAD mismatch) — regenerating: $OUT"
+  rm -rf "$OUT"
+fi
 if [ ! -f "$OUT/oracle_sql.json" ]; then
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF $OUT"
+  echo "$HEAD_NOW" > "$OUT/_HEAD"
 fi
 # re-derive the trained-constant oracles (k-means books, rotations,
 # BPE merges, d26 prefix bits) for THIS corpus, in place
