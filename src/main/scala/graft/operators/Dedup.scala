@@ -39,22 +39,28 @@ object Dedup {
         .otherwise(array(trim(c))))
   }
 
-  /** DuckDB mirror of `shingles` — CTE fragment producing (doc_id, s).
-    * Shared by the d11/d13 oracles (and Curation's d15) so all stay in
-    * lock-step with the Spark tokenizer. */
+  /** DuckDB mirror of `shingles` — CTE fragment producing (doc_id, s)
+    * from any (doc_id, text) base relation (d42 shingles the derived
+    * dup-heavy corpus). */
+  private[operators] def shingleCteBody(base: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+       |         trim(text) AS tt
+       |  FROM $base
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                     for i in range(1, len(w) - 1)])
+       |    ELSE [tt] END AS s
+       |  FROM toks
+       |)""".stripMargin
+
+  /** The documents-table instance of [[shingleCteBody]]. Shared by the
+    * d11/d13 oracles (and Curation's d15) so all stay in lock-step with
+    * the Spark tokenizer. */
   private[operators] val shingleCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-      |         trim(text) AS tt
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(w) >= 3 THEN
-      |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                     for i in range(1, len(w) - 1)])
-      |    ELSE [tt] END AS s
-      |  FROM toks
-      |)""".stripMargin
+    "WITH " + shingleCteBody("documents")
 
   // silver shingle table: d11/d12/d13 share one Parquet-materialized
   // (doc_id, shingles, toks) table per (session, dir) — written once and
@@ -606,7 +612,13 @@ object Dedup {
     * the near rows. Structurally mirrors the contraction, so the oracle
     * stays sound on any corpus, dup-heavy or not. */
   private def jaccardReportOracle(t10: Int): String =
-    s"""$shingleCte,
+    jaccardReportOracleFrom(t10, shingleCte)
+
+  /** The d11/d13 contracted-report oracle over any shingle CTE chain
+    * ending in `sh(doc_id, s)` — d42 passes the dup-heavy corpus's
+    * chain. */
+  private def jaccardReportOracleFrom(t10: Int, shCte: String): String =
+    s"""$shCte,
        |skeyed AS (
        |  SELECT doc_id, s,
        |    list_aggregate(list_sort(s), 'string_agg', chr(30)) AS k
@@ -952,5 +964,103 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14, d26, d35)
+  // ------------------------------------------- d42/d43: dup-heavy corpus
+
+  /** Deterministic DUP-HEAVY corpus derived from the documents table:
+    * copy c of source doc d (c ∈ 0..d%10) gets doc_id = d·16 + c and
+    * d's verbatim text, so exact shingle-set classes have sizes 1–10
+    * (mean 5.5) BY CONSTRUCTION — the class structure the driver
+    * fixture lacks (4,992/5,000 distinct texts at sf0.1, SCALING.md),
+    * which until now left the contracted reports' class-merge machinery
+    * hash-proven only where contraction barely binds (r15 verdict
+    * item 1). The derivation is pure arithmetic over (doc_id, text), so
+    * the DuckDB oracle regenerates the corpus in SQL and replays the
+    * contraction where stars, rep pairs and class counts are all
+    * non-trivial. */
+  def dupHeavyDocuments(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 10)))
+      .select((col("doc_id") * 16 + col("c")).as("doc_id"), col("text"))
+
+  /** DuckDB mirror of [[dupHeavyDocuments]] — `dup(doc_id, text)`. */
+  private[operators] val dupHeavyCte: String =
+    """dup AS (
+      |  SELECT doc_id * 16 + c AS doc_id, text
+      |  FROM (SELECT doc_id, text, unnest(range(0, 1 + doc_id % 10)) AS c
+      |        FROM documents))""".stripMargin
+
+  /** d42: the d13 contracted report replayed on the dup-heavy corpus —
+    * the oracle's star rows have classes of size up to 10·(verbatim
+    * source multiplicity), near rows carry n_pairs = |A|·|B| > 1, and
+    * class rows count C(sz,2) pairs, so the contraction machinery is
+    * hash-checked where it actually binds. */
+  val d42 = Q("d42_dupheavy_report",
+    jaccardReportOracleFrom(3,
+      s"WITH $dupHeavyCte,\n${shingleCteBody("dup")}")) { (s, dir) =>
+    val sh = dupHeavyDocuments(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .localCheckpoint()
+    jaccardNearDupReportFrom(sh,
+      reps => exactJaccardPairs(s, reps, 0.3, dfCapEpsilon = 0))
+      .orderBy("kind", "doc_a", "doc_b")
+  }
+
+  /** d43: the d14 clusters replayed on the dup-heavy corpus — exact
+    * text classes contract to stars, Jaccard runs over representatives
+    * (the [[jaccardComponentEdges]] pipeline on the derived frame), and
+    * the doc-level listing is emitted, so the cluster contraction is
+    * hash-checked with non-trivial class merges. The oracle clusters
+    * the contracted rep graph with the closure seeded at local minima
+    * (m09's recipe) and expands members through their text class. */
+  val d43 = Q("d43_dupheavy_clusters",
+    s"""WITH RECURSIVE $dupHeavyCte,
+       |tcls AS MATERIALIZED (
+       |  SELECT text, min(doc_id) AS rep, count(*) AS sz
+       |  FROM dup GROUP BY text),
+       |keyed AS MATERIALIZED (
+       |  SELECT d.doc_id, t.rep FROM dup d JOIN tcls t USING (text)),
+       |repdocs AS (SELECT rep AS doc_id, text FROM tcls),
+       |${shingleCteBody("repdocs")},
+       |rpair AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.s, b.s)) * 10 >=
+       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM rpair UNION SELECT v, u FROM rpair),
+       |seeds AS (
+       |  SELECT u FROM (SELECT u, min(v) AS mn FROM sym GROUP BY u)
+       |  WHERE mn > u),
+       |reach(root, v) AS (
+       |  SELECT u, u FROM seeds
+       |  UNION
+       |  SELECT r.root, e.v FROM reach r JOIN sym e ON r.v = e.u),
+       |comp AS MATERIALIZED (
+       |  SELECT v AS rep, min(root) AS canonical FROM reach GROUP BY v),
+       |repassign AS (
+       |  SELECT rep, canonical FROM comp
+       |  UNION ALL
+       |  SELECT rep, rep FROM tcls
+       |  WHERE sz > 1 AND rep NOT IN (SELECT rep FROM comp))
+       |SELECT k.doc_id, a.canonical AS canonical_id
+       |FROM keyed k JOIN repassign a USING (rep)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = dupHeavyDocuments(s, dir)
+    val keyed = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("__k"))
+    val reps = keyed.groupBy("__k").agg(min("doc_id").as("rep"))
+    val star = keyed.join(reps, Seq("__k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val repSh = docs
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .localCheckpoint()
+    val repPairs = exactJaccardPairs(s, repSh, 0.3, dfCapEpsilon = 0)
+      .select("doc_a", "doc_b")
+    dupClusters(star.unionByName(repPairs)).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d10, d11, d12, d13, d14, d26, d35, d42, d43)
 }

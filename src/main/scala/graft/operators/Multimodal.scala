@@ -790,37 +790,213 @@ object Multimodal {
         .unionByName(vstar).unionByName(vPairs))
   }
 
+  /** Contracted multimodal cluster REPORT — m09's registered form (r15
+    * verdict item 2), the m08/m10/m11 report recipe applied to the
+    * CLUSTER output. Every edge the composite uses is determined by the
+    * doc's multimodal SIGNATURE (text bytes, image (gw,gh,phash), audio
+    * (n_frames,fp), video (gw,gh,phash)): signature-identical docs are
+    * interchangeable in every modality's exact class and every banded
+    * near-pair, so clustering runs over signature classes, not docs.
+    * Three row kinds over one (kind, doc_a, doc_b, n_docs) schema:
+    *   'assign' — (class rep, canonical, NULL): connected-component
+    *              assignment over signature representatives. canonical
+    *              = min doc_id of the full doc-level cluster (each
+    *              class rep is the min of its class, so the rep-level
+    *              min IS the doc-level min). A size-≥2 class whose rep
+    *              touches no rep-level edge is its own cluster
+    *              (rep, rep) — its members are still duplicates of each
+    *              other;
+    *   'size'   — (canonical, NULL, total docs): per-cluster doc count
+    *              over FULL class sizes;
+    *   'star'   — (class rep, member, NULL): signature-exact class
+    *              membership, one row per non-rep member.
+    * Lossless: the doc-level listing is exactly assign ∪ (star ⋈
+    * assign) — members inherit their rep's canonical — and
+    * MultimodalSpec pins that reconstruction against
+    * [[multimodalClusters]], which stays the full-listing API. Work AND
+    * output are O(signature classes + rep pairs) instead of O(docs) on
+    * dup-heavy corpora, and the DuckDB oracle's transitive closure runs
+    * over the contracted rep graph seeded at local minima (rows =
+    * Σ minima×component instead of Σ component² — the all-pairs reach
+    * that made the previous listing-form oracle a ~75-min grinder per
+    * sf0.1 record, SCALING.md). */
+  def multimodalClusterReport(s: SparkSession, dir: String): DataFrame = {
+    val sig = T.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("tkey"))
+      .join(phashSilver(s, dir).select(col("media_id").as("doc_id"),
+        col("gw").as("igw"), col("gh").as("igh"), col("phash").as("iph")),
+        "doc_id")
+      .join(audioFpSilver(s, dir).select(col("media_id").as("doc_id"),
+        col("n_frames").as("an"), col("fp").as("afp")), "doc_id")
+      .join(videoFpSilver(s, dir).select(col("media_id").as("doc_id"),
+        col("gw").as("vgw"), col("gh").as("vgh"), col("phash").as("vph")),
+        "doc_id")
+      .localCheckpoint() // narrow (id + keys); read by stars AND classes
+    val sigCols = Seq("tkey", "igw", "igh", "iph", "an", "afp", "vgw",
+      "vgh", "vph")
+    val classes = sig.groupBy(sigCols.map(col): _*)
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("sz"))
+      .localCheckpoint() // read by all four modality arms + sizes
+    val stars = sig.join(classes.select((col("rep") +: col("sz") +:
+        sigCols.map(col)): _*), sigCols)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(lit("star").as("kind"), col("rep").as("doc_a"),
+        col("doc_id").as("doc_b"), lit(null).cast("long").as("n_docs"))
+    // Per-modality contraction over signature reps: the modality rep =
+    // min class rep per modality key = the global min doc with that key
+    // — the SAME vertex the doc-level composite bands, so the rep-level
+    // near pairs are literally the composite's pair sets and the
+    // rep-level components expand (via the signature stars) to exactly
+    // the doc-level components.
+    def arm(keys: Seq[String], near: DataFrame => DataFrame): DataFrame = {
+      val mreps = classes.groupBy(keys.map(col): _*)
+        .agg(min("rep").as("mrep"))
+      val star = classes.join(mreps, keys)
+        .filter(col("rep") =!= col("mrep"))
+        .select(col("mrep").as("doc_a"), col("rep").as("doc_b"))
+      star.unionByName(near(mreps))
+    }
+    val tEdges = arm(Seq("tkey"), mreps => {
+      val repSh = Dedup.shingled(s, dir)
+        .join(mreps.select(col("mrep").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      // ε = 0 like every representative path (r15 review): a binding
+      // df-cap over the rep count would drop edges the oracle keeps
+      Dedup.exactJaccardPairs(s, repSh, 0.3, dfCapEpsilon = 0)
+        .select("doc_a", "doc_b")
+    })
+    val iEdges = arm(Seq("igw", "igh", "iph"), mreps =>
+      imageNearDupPairs(mreps.select(col("mrep").as("media_id"),
+          col("igw").as("gw"), col("igh").as("gh"),
+          col("iph").as("phash")), maxHamming = 2)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+    val aEdges = arm(Seq("an", "afp"), mreps =>
+      audioNearDupPairs(mreps.select(col("mrep").as("media_id"),
+          col("an").as("n_frames"), col("afp").as("fp")), maxHamming = 2)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+    val vEdges = arm(Seq("vgw", "vgh", "vph"), mreps =>
+      imageNearDupPairs(mreps.select(col("mrep").as("media_id"),
+          col("vgw").as("gw"), col("vgh").as("gh"),
+          col("vph").as("phash")), maxHamming = 2)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+    val comp = Dedup.dupClusters(
+      tEdges.unionByName(iEdges).unionByName(aEdges).unionByName(vEdges))
+    val lone = classes.filter(col("sz") > 1)
+      .select(col("rep"))
+      .join(comp.select(col("doc_id").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("rep").as("canonical_id"))
+    val assign = comp.unionByName(lone).localCheckpoint()
+    val assignRows = assign.select(lit("assign").as("kind"),
+      col("doc_id").as("doc_a"), col("canonical_id").as("doc_b"),
+      lit(null).cast("long").as("n_docs"))
+    val sizeRows = assign
+      .join(classes.select(col("rep").as("doc_id"), col("sz")), "doc_id")
+      .groupBy("canonical_id").agg(sum("sz").as("n_docs"))
+      .select(lit("size").as("kind"), col("canonical_id").as("doc_a"),
+        lit(null).cast("long").as("doc_b"), col("n_docs"))
+    stars.unionByName(assignRows).unionByName(sizeRows)
+  }
+
+  /** m09 DEFAULT = the contracted cluster report; the oracle clusters
+    * the SAME contracted rep graph the engine does, with the closure
+    * seeded at local minima only (a component's canonical is its min
+    * id, which is always a local minimum and reaches every member), so
+    * reach rows are Σ minima×component instead of the all-pairs
+    * Σ component² that ground ~75 min per sf0.1 record. */
   val m09 = Q("m09_multimodal_clusters",
     s"""${graft.operators.Dedup.shingleCte
           .replaceFirst("WITH ", "WITH RECURSIVE ")},
        |$pHashCtes,
        |$audioFpCtes,
        |$videoFpCtes,
-       |tpairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a, sh b
+       |sig AS MATERIALIZED (
+       |  SELECT d.doc_id, md5(d.text) AS tkey,
+       |    h.gw AS igw, h.gh AS igh, h.phash AS iph,
+       |    a.n AS an, a.fp AS afp,
+       |    v.gw AS vgw, v.gh AS vgh, v.phash AS vph
+       |  FROM documents d
+       |  JOIN hsh h ON h.media_id = d.doc_id
+       |  JOIN afp a ON a.media_id = d.doc_id
+       |  JOIN vhsh v ON v.media_id = d.doc_id),
+       |cls AS MATERIALIZED (
+       |  SELECT tkey, igw, igh, iph, an, afp, vgw, vgh, vph,
+       |    min(doc_id) AS rep, count(*) AS sz
+       |  FROM sig GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |starrows AS (
+       |  SELECT 'star' AS kind, c.rep AS doc_a, s.doc_id AS doc_b,
+       |    CAST(NULL AS BIGINT) AS n_docs
+       |  FROM sig s JOIN cls c
+       |    USING (tkey, igw, igh, iph, an, afp, vgw, vgh, vph)
+       |  WHERE s.doc_id <> c.rep),
+       |tcls AS MATERIALIZED (
+       |  SELECT tkey, min(rep) AS mrep FROM cls GROUP BY tkey),
+       |tstar AS (SELECT t.mrep AS u, c.rep AS v
+       |  FROM cls c JOIN tcls t USING (tkey) WHERE c.rep <> t.mrep),
+       |tsh AS MATERIALIZED (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN tcls t ON sh.doc_id = t.mrep),
+       |tpair AS (SELECT a.doc_id AS u, b.doc_id AS v FROM tsh a, tsh b
        |  WHERE a.doc_id < b.doc_id
        |    AND len(list_intersect(a.s, b.s)) * 10 >=
-       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-       |),
-       |edges AS (
-       |  SELECT doc_a AS u, doc_b AS v FROM tpairs
-       |  UNION SELECT doc_b, doc_a FROM tpairs
-       |  UNION SELECT media_a, media_b FROM ipairs
-       |  UNION SELECT media_b, media_a FROM ipairs
-       |  UNION SELECT media_a, media_b FROM apairs
-       |  UNION SELECT media_b, media_a FROM apairs
-       |  UNION SELECT media_a, media_b FROM vpairs
-       |  UNION SELECT media_b, media_a FROM vpairs
-       |),
-       |reach(a, b) AS (
-       |  SELECT u, u FROM edges
+       |        3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+       |icls AS MATERIALIZED (
+       |  SELECT igw, igh, iph, min(rep) AS mrep
+       |  FROM cls GROUP BY 1, 2, 3),
+       |istar AS (SELECT i.mrep AS u, c.rep AS v
+       |  FROM cls c JOIN icls i USING (igw, igh, iph)
+       |  WHERE c.rep <> i.mrep),
+       |ipair AS (SELECT a.mrep AS u, b.mrep AS v FROM icls a JOIN icls b
+       |  ON a.igw = b.igw AND a.igh = b.igh AND a.mrep < b.mrep
+       |  WHERE bit_count(xor(a.iph, b.iph)) <= 2),
+       |acls AS MATERIALIZED (
+       |  SELECT an, afp, min(rep) AS mrep FROM cls GROUP BY 1, 2),
+       |astar AS (SELECT x.mrep AS u, c.rep AS v
+       |  FROM cls c JOIN acls x USING (an, afp) WHERE c.rep <> x.mrep),
+       |apair AS (SELECT a.mrep AS u, b.mrep AS v FROM acls a JOIN acls b
+       |  ON a.an = b.an AND a.mrep < b.mrep
+       |  WHERE bit_count(xor(a.afp, b.afp)) <= 2),
+       |vcls AS MATERIALIZED (
+       |  SELECT vgw, vgh, vph, min(rep) AS mrep
+       |  FROM cls GROUP BY 1, 2, 3),
+       |vstar AS (SELECT x.mrep AS u, c.rep AS v
+       |  FROM cls c JOIN vcls x USING (vgw, vgh, vph)
+       |  WHERE c.rep <> x.mrep),
+       |vpair AS (SELECT a.mrep AS u, b.mrep AS v FROM vcls a JOIN vcls b
+       |  ON a.vgw = b.vgw AND a.vgh = b.vgh AND a.mrep < b.mrep
+       |  WHERE bit_count(xor(a.vph, b.vph)) <= 2),
+       |redges AS MATERIALIZED (
+       |  SELECT u, v FROM tstar UNION SELECT u, v FROM tpair
+       |  UNION SELECT u, v FROM istar UNION SELECT u, v FROM ipair
+       |  UNION SELECT u, v FROM astar UNION SELECT u, v FROM apair
+       |  UNION SELECT u, v FROM vstar UNION SELECT u, v FROM vpair),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM redges UNION SELECT v, u FROM redges),
+       |seeds AS (
+       |  SELECT u FROM (SELECT u, min(v) AS mn FROM sym GROUP BY u)
+       |  WHERE mn > u),
+       |reach(root, v) AS (
+       |  SELECT u, u FROM seeds
        |  UNION
-       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
-       |)
-       |SELECT a AS doc_id, min(b) AS canonical_id
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    multimodalClusters(s, dir).orderBy("doc_id")
+       |  SELECT r.root, e.v FROM reach r JOIN sym e ON r.v = e.u),
+       |comp AS MATERIALIZED (
+       |  SELECT v AS rep, min(root) AS canonical FROM reach GROUP BY v),
+       |assign AS MATERIALIZED (
+       |  SELECT rep, canonical FROM comp
+       |  UNION ALL
+       |  SELECT rep, rep FROM cls
+       |  WHERE sz > 1 AND rep NOT IN (SELECT rep FROM comp)),
+       |assignrows AS (
+       |  SELECT 'assign' AS kind, rep AS doc_a, canonical AS doc_b,
+       |    CAST(NULL AS BIGINT) AS n_docs
+       |  FROM assign),
+       |sizerows AS (
+       |  SELECT 'size' AS kind, canonical AS doc_a,
+       |    CAST(NULL AS BIGINT) AS doc_b, CAST(sum(sz) AS BIGINT) AS n_docs
+       |  FROM assign JOIN cls USING (rep) GROUP BY canonical)
+       |SELECT * FROM (SELECT * FROM starrows
+       |  UNION ALL SELECT * FROM assignrows
+       |  UNION ALL SELECT * FROM sizerows)
+       |ORDER BY kind, doc_a, doc_b""".stripMargin) { (s, dir) =>
+    multimodalClusterReport(s, dir).orderBy("kind", "doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------- m10

@@ -379,4 +379,34 @@ class DedupSpec extends SparkSpec {
     assert((within ++ cross).toSet == full)
     assert(stars.nonEmpty && report.exists(_.getString(0) == "class"))
   }
+
+  test("d42/d43 dup-heavy corpus has the class structure the driver " +
+      "fixture lacks, and the contracted d43 clusters equal the " +
+      "uncontracted doc-level ground truth (r15 verdict item 1)") {
+    val docs = Dedup.dupHeavyDocuments(spark, sf).localCheckpoint()
+    // non-trivial classes: sizes 1..10 by construction (verbatim source
+    // dups can push higher); the mean must sit well above 1
+    val hist = docs.groupBy("text").count()
+      .groupBy("count").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keys.max >= 10, s"class sizes must reach 10 ($hist)")
+    assert(hist.filter(_._1 > 1).values.sum > hist.getOrElse(1L, 0L),
+      "most classes must be non-singleton")
+    // ground truth: doc-level Jaccard pairs on the FULL dup corpus (the
+    // quadratic path the contraction replaces), clustered by the same
+    // CC machinery
+    val full = Dedup.dupClusters(
+      Dedup.bruteForcePairs(docs, 0.3).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contracted = graft.operators.Dedup.d43.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contracted == full,
+      "contracted cluster path must equal doc-level ground truth")
+    // the contraction must actually bind: rep pairs run over class
+    // representatives, a fraction of the corpus
+    val nDocs = docs.count()
+    val nReps = docs.select("text").distinct().count()
+    assert(nReps * 2 < nDocs,
+      s"corpus must be dup-heavy (reps $nReps of $nDocs docs)")
+  }
 }

@@ -408,4 +408,32 @@ class MultimodalSpec extends SparkSpec {
     fps.unpersist()
     ()
   }
+
+  test("m09 contracted cluster report reconstructs the full doc-level " +
+      "listing exactly, with a consistent size ledger (r15 verdict " +
+      "item 2)") {
+    val report = Multimodal.multimodalClusterReport(spark, sf).collect()
+    val full = Multimodal.multimodalClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assign = report.filter(_.getString(0) == "assign")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val stars = report.filter(_.getString(0) == "star")
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // reconstruction: reps carry their own assignment; members inherit
+    // their signature rep's canonical
+    val rec = assign.toSet.map((kv: (Long, Long)) => (kv._1, kv._2)) ++
+      stars.map { case (rep, member) => (member, assign(rep)) }
+    assert(rec == full,
+      s"report must reconstruct the listing (rec ${rec.size}, " +
+        s"full ${full.size})")
+    // size ledger: per-cluster n_docs sums class sizes, so Σ sizes ==
+    // clustered docs == reconstruction cardinality
+    val sizes = report.filter(_.getString(0) == "size")
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(sizes.values.sum == rec.size.toLong,
+      "size rows must account for every clustered doc")
+    // every canonical referenced by assign has a size row and vice versa
+    assert(assign.values.toSet == sizes.keySet,
+      "size rows must cover exactly the assign canonicals")
+  }
 }

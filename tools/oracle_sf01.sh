@@ -48,10 +48,13 @@ split() { # name queries...
     if [ -e "$OUT/$q" ]; then cp -al "$OUT/$q" "$d/$q"; fi
   done
 }
-GRINDERS="d14_dedup_clusters d35_quality_keeper m09_multimodal_clusters"
+GRINDERS="d14_dedup_clusters d35_quality_keeper m09_multimodal_clusters d42_dupheavy_report d43_dupheavy_clusters"
 split g1 d14_dedup_clusters
 split g2 d35_quality_keeper
-split g3 m09_multimodal_clusters
+# m09 is contracted since r16 (local-minima closure, ~10 min, was ~75);
+# it shares a process with the two dup-heavy oracles, whose quadratic
+# rep Jaccard is the same ~10-min shape
+split g3 m09_multimodal_clusters d42_dupheavy_report d43_dupheavy_clusters
 rm -rf "$OUT-rest"; mkdir -p "$OUT-rest"
 cp "$OUT/oracle_sql.json" "$OUT-rest/"
 for q in "$OUT"/*/; do
