@@ -928,6 +928,9 @@ object QueryLayer {
   def nftSales(sales: DataFrame, auctions: DataFrame,
       items: DataFrame, collections: DataFrame,
       addresses: Seq[String]): DataFrame = {
+    // the route 422s outside 1..1000 addresses (crud_sales.go:377-383)
+    require(addresses.nonEmpty, "at least 1 address required")
+    require(addresses.size <= 1000, "maximum 1000 addresses allowed")
     val saleSide = sales.select(
       lit("getgems_sale").as("sale_type"), col("address"),
       col("nft_address"), col("nft_owner_address"),
@@ -983,6 +986,32 @@ object QueryLayer {
     var df = orders.filter(col("multisig_address") === multisigAddress)
     if (pendingOnly) df = df.filter(!col("sent_for_execution"))
     df.orderBy(col("order_seqno"), col("address")).limit(clampLimit(limit))
+  }
+
+  /** GET /api/v3/multisig/orders, full switch surface
+    * (crud_multisig.go:61-108 + the handler's 422): order-address
+    * IN-list AND multisig-address IN-list (at least one required —
+    * main.go's GetMultisigOrders rejects the unfiltered scan), ordered
+    * by the insert serial `id` in the requested direction (default
+    * DESC — crud_multisig.go:84), `address` as the deterministic
+    * tie-break. The frame must carry the serial; [[multisigOrders]]
+    * stays the legacy seqno-ordered form for dumps that lack it. */
+  def multisigOrdersByRequest(orders: DataFrame,
+      addresses: Seq[String] = Nil, multisigs: Seq[String] = Nil,
+      descending: Boolean = true, limit: Int = DefaultLimit,
+      offset: Int = 0): DataFrame = {
+    require(addresses.nonEmpty || multisigs.nonEmpty,
+      "At least one of address or multisig_address should be specified")
+    var df = orders
+    if (addresses.nonEmpty)
+      df = df.filter(col("address").isin(addresses: _*))
+    if (multisigs.nonEmpty)
+      df = df.filter(col("multisig_address").isin(multisigs: _*))
+    val off = clampOffset(offset)
+    df.orderBy(
+        (if (descending) col("id").desc else col("id").asc),
+        col("address"))
+      .limit(off + clampLimit(limit)).offset(off)
   }
 
   /** GET /api/v3/vesting (crud_vesting.go:75-111): contracts filtered by

@@ -437,16 +437,15 @@ object Similarity {
     * index). Iterations are a driver LOOP (k-means is inherently
     * round-synchronous), each materialized so lineage stays flat. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    // the REGISTERED paths (e07/e08/e09/t05 and their sf0.1
-    // re-derivations) pin the prefix sampler: the committed oracle
-    // VALUES and the tools/derive_kmeans.py replica both embed the
-    // `vec_id < bound` book. Library callers get kmeansTrain's hash
-    // default; the two samplers coincide only when every id sits under
-    // the bound (dense 0-based ids with n ≤ bound — the gate corpora),
-    // NOT for gappy ids, where prefix fails loudly and hash trains
-    // (SimilaritySpec pins both sides).
-    kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters,
-      hashSample = false))
+    // the registered paths (e07/e08/e09/t05 and their sf0.1
+    // re-derivations) now train through the HASH sampler — the library
+    // default users get (r15 verdict item 3). The committed sf0.01
+    // oracle VALUES are sampler-agnostic (n=500 ≤ bound: both samplers
+    // see the whole corpus — SimilaritySpec pins the coincidence); the
+    // sf0.1 replicas (tools/derive_kmeans.py, patch_oracle_scale.py)
+    // mirror the xxhash64 threshold bit-exactly, so the path the oracle
+    // proves IS the production path at every recorded scale.
+    kmeansAssignWith(corpus, kmeansTrain(corpus, k, iters))
 
   /** SAMPLE-TRAINED coarse-quantizer book (r12 verdict item 5): Lloyd
     * iterates over a bounded deterministic sample — the first
@@ -468,13 +467,12 @@ object Similarity {
     *    the same rows and train the SAME book (SimilaritySpec pins it),
     *    which is why the gate snapshots are sampler-agnostic.
     *  - prefix (hashSample = false): vec_id < bound — a pure
-    *    pushed-down filter, no pre-count. The REGISTERED queries pin
-    *    this sampler ([[kmeansAssign]]) because their committed oracle
-    *    VALUES and the replicas (tools/derive_kmeans.py,
-    *    patch_oracle_scale.py) embed the `vec_id < bound` book: engine
-    *    and replica see identical samples at ANY id distribution
-    *    (gappy ids shrink the sample on both sides together; the init
-    *    `require` still guards sample ≥ k).
+    *    pushed-down filter, no pre-count. Kept as the cheap option for
+    *    dense 0-based id spaces; since r16 the registered queries train
+    *    through the hash default too ([[kmeansAssign]]), with the
+    *    replicas (tools/derive_kmeans.py, patch_oracle_scale.py)
+    *    mirroring the xxhash64 threshold bit-exactly (the Spark
+    *    XxHash64 long path is a public, fixed algorithm).
     *
     * Returns the (cluster, centroid) book after iters-1 updates — the
     * book the final assignment pass scores against, identical to what

@@ -1140,18 +1140,27 @@ object ChainSim {
       |FROM rows_
       |GROUP BY fid, start_lt, account, asset
       |ORDER BY trace_id, start_lt, account, asset""".stripMargin) { (s, dir) =>
-    val (acts, txs, msgs) = b16Parts(s, dir)
-    val wallets = chainedEvents(s, dir)
-      .select(col("user_id").cast("long").as("user_id")).distinct()
-      .select(explode(array(
-        concat(lit("0:"), col("user_id").cast("string")),
-        concat(lit("1:"), col("user_id").cast("string")))).as("wallet"),
-        concat(lit("0:"), lpad(hex(col("user_id") + 7000000L), 64, "0"))
-          .as("master"))
-    SilverLayer.actionBalanceChanges(acts, txs, msgs, wallets)
-      .select(col("trace_id"), col("start_lt"), col("account"),
-        col("asset"), col("delta").cast("long").as("delta"))
-      .orderBy("trace_id", "start_lt", "account", "asset")
+    // the balance walk is deterministic per corpus, so its OUTPUT is a
+    // silver table too (r15 verdict item 8): the one b1x entry with real
+    // per-query work (~2.2 s — the per-action slice explode) becomes
+    // ingest-shaped like its siblings, and repeat queries are a
+    // columnar read + sort. The group keys are unique, so the final
+    // orderBy restores a byte-identical dump after the parquet
+    // round-trip.
+    val bal = SilverStore.table(s, dir, "b16_balance") {
+      val (acts, txs, msgs) = b16Parts(s, dir)
+      val wallets = chainedEvents(s, dir)
+        .select(col("user_id").cast("long").as("user_id")).distinct()
+        .select(explode(array(
+          concat(lit("0:"), col("user_id").cast("string")),
+          concat(lit("1:"), col("user_id").cast("string")))).as("wallet"),
+          concat(lit("0:"), lpad(hex(col("user_id") + 7000000L), 64, "0"))
+            .as("master"))
+      SilverLayer.actionBalanceChanges(acts, txs, msgs, wallets)
+        .select(col("trace_id"), col("start_lt"), col("account"),
+          col("asset"), col("delta").cast("long").as("delta"))
+    }
+    bal.orderBy("trace_id", "start_lt", "account", "asset")
   }
 
   /** b17 opcode mapping — the cocoon detail family: click → proxy charge

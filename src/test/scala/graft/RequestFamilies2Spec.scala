@@ -422,6 +422,215 @@ class RequestFamilies2Spec extends SparkSpec {
     assert(diverged > 0, "fixture must have whitelist-only matches")
   }
 
+  // --------------------------------------------------------- multisig/orders
+
+  /** crud_multisig.go:61-108 + the handler's at-least-one-arm 422:
+    * address IN-list AND multisig IN-list, ORDER BY id in the requested
+    * direction (default DESC). */
+  private def msOrdersFixture() = {
+    import spark.implicits._
+    (0 until 80).map { i =>
+      (i.toLong, s"o$i", s"m${i % 12}", (i % 7).toString, i % 2 == 0)
+    }.toDF("id", "address", "multisig_address", "order_seqno",
+      "sent_for_execution")
+  }
+
+  private case class MsoDraw(addresses: Seq[String], multisigs: Seq[String],
+      descending: Boolean, limit: Int, offset: Int)
+
+  private def msoDraw(rnd: Random): MsoDraw = {
+    val a = rnd.nextInt(3) == 0
+    val m = rnd.nextInt(3) != 0
+    MsoDraw(
+      addresses = if (a)
+        (0 until 1 + rnd.nextInt(4)).map(_ => s"o${rnd.nextInt(80)}").distinct
+      else Nil,
+      multisigs = if (m || !a)
+        (0 until 1 + rnd.nextInt(2)).map(_ => s"m${rnd.nextInt(12)}").distinct
+      else Nil,
+      descending = rnd.nextBoolean(),
+      limit = rnd.nextInt(90) - 5,
+      offset = rnd.nextInt(5) - 1)
+  }
+
+  /** The builder restated; `mutateArm` ignores the multisig filter
+    * whenever an address filter is present — the seeded either/or
+    * regression the AND contract forbids. */
+  private def msoSqlOf(r: MsoDraw, mutateArm: Boolean = false): String = {
+    val conds = Seq(
+      if (r.addresses.nonEmpty)
+        Some(r.addresses.map(a => s"'$a'")
+          .mkString("address IN (", ",", ")"))
+      else None,
+      if (r.multisigs.nonEmpty && !(mutateArm && r.addresses.nonEmpty))
+        Some(r.multisigs.map(m => s"'$m'")
+          .mkString("multisig_address IN (", ",", ")"))
+      else None).flatten
+    val where =
+      if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val dir = if (r.descending) "DESC" else "ASC"
+    val lim = if (r.limit <= 0) QueryLayer.DefaultLimit
+      else math.min(r.limit, QueryLayer.MaxLimit)
+    s"""SELECT address FROM mso_view $where
+       |ORDER BY id $dir, address
+       |LIMIT $lim OFFSET ${math.max(r.offset, 0)}""".stripMargin
+  }
+
+  test("randomized multisig/orders draws: QueryLayer == reference-shaped " +
+      "SQL (AND-combined arms, ORDER BY id direction, at-least-one-arm " +
+      "422)") {
+    val orders = msOrdersFixture()
+    orders.createOrReplaceTempView("mso_view")
+    val rnd = new Random(20260817L)
+    var bothArms = 0
+    (1 to 40).foreach { i =>
+      val r = msoDraw(rnd)
+      val viaLayer = QueryLayer.multisigOrdersByRequest(orders,
+          r.addresses, r.multisigs, r.descending, r.limit, r.offset)
+        .select("address").collect().map(_.getString(0)).toSeq
+      val viaSql = spark.sql(msoSqlOf(r))
+        .collect().map(_.getString(0)).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $r")
+      if (r.addresses.nonEmpty && r.multisigs.nonEmpty) bothArms += 1
+    }
+    assert(bothArms > 3, "draws must exercise the AND-combined arms")
+    intercept[IllegalArgumentException] {
+      QueryLayer.multisigOrdersByRequest(orders)
+    }
+  }
+
+  test("mutation canary: treating multisig/orders arms as either/or is " +
+      "CAUGHT by the fuzz") {
+    val orders = msOrdersFixture()
+    orders.createOrReplaceTempView("mso_view")
+    val rnd = new Random(20260817L) // same seed → same draws
+    val diverged = (1 to 40).count { _ =>
+      val r = msoDraw(rnd)
+      val viaLayer = QueryLayer.multisigOrdersByRequest(orders,
+          r.addresses, r.multisigs, r.descending, r.limit, r.offset)
+        .select("address").collect().map(_.getString(0)).toSeq
+      val mutated = spark.sql(msoSqlOf(r, mutateArm = true))
+        .collect().map(_.getString(0)).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0,
+      "fixture must have draws where both arms filter jointly")
+  }
+
+  // -------------------------------------------------------------- nft/sales
+
+  /** crud_sales.go:20-170 hazards: completed sales and ended auctions
+    * STILL list (nft/sales has no completeness filter — unlike the
+    * nft/items real-owner dims), sales pointing at nfts missing from
+    * the items dim (left-join nulls), items with null collections. */
+  private def nftSalesFixture() = {
+    import spark.implicits._
+    val sales = (0 until 30).map { s =>
+      (s"s$s", s % 3 == 0, 100 + s, "0:MP",
+        if (s % 11 == 10) s"missing$s" else s"n${s * 5}",
+        s"w${s % 12}", BigDecimal(1000 + s), "0:FEE", BigDecimal(50),
+        "0:ROY", BigDecimal(25), s.toLong)
+    }.toDF("address", "is_complete", "created_at", "marketplace_address",
+      "nft_address", "nft_owner_address", "full_price",
+      "marketplace_fee_address", "marketplace_fee", "royalty_address",
+      "royalty_amount", "last_transaction_lt")
+    val aucs = (0 until 20).map { a =>
+      (s"a$a", a % 4 == 0, 200 + a, "0:MP", s"n${a * 9 + 2}",
+        s"w${(a + 5) % 12}", BigDecimal(777), BigDecimal(9999),
+        BigDecimal(111), 999, "0:FEE", "0:ROY", (100 + a).toLong)
+    }.toDF("address", "end_flag", "created_at", "mp_addr", "nft_addr",
+      "nft_owner", "last_bid", "max_bid", "min_bid", "end_time",
+      "mp_fee_addr", "royalty_fee_addr", "last_transaction_lt")
+    val items = (0 until 200).map { i =>
+      (s"n$i", i.toString.reverse,
+        if (i % 7 == 6) null else s"c${i % 5}", s"w${i % 12}")
+    }.toDF("address", "index", "collection_address", "owner_address")
+    val colls = (0 until 5).map(c => (s"c$c", s"co$c"))
+      .toDF("address", "owner_address")
+    (sales, aucs, items, colls)
+  }
+
+  private def salesDraw(rnd: Random): Seq[String] =
+    (0 until 1 + rnd.nextInt(4)).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => s"s${rnd.nextInt(30)}"
+        case 1 => s"a${rnd.nextInt(20)}"
+        case _ => s"zz${rnd.nextInt(5)}" // unknown contract → no rows
+      }
+    }.distinct
+
+  /** The two-source union + dim hydration restated
+    * (crud_sales.go:53-56: LEFT JOIN items ON s.nft_address =
+    * N.address, LEFT JOIN collections ON N.collection_address);
+    * `mutateComplete` seeds the completeness filter nft/sales must NOT
+    * have. Ordered by the engine's documented (sale_type, address)
+    * normalization — the reference's concat order is heap-dependent. */
+  private def salesSqlOf(addrs: Seq[String],
+      mutateComplete: Boolean = false): String = {
+    val in = addrs.map(a => s"'$a'").mkString("(", ",", ")")
+    val saleWhere = if (mutateComplete) " WHERE NOT is_complete" else ""
+    s"""SELECT u.sale_type, u.address, u.nft_address,
+       |  N.index AS nft_item_index, N.collection_address,
+       |  C.owner_address AS collection_owner_address
+       |FROM (
+       |  SELECT 'getgems_sale' AS sale_type, address, nft_address
+       |  FROM nsales_view$saleWhere
+       |  UNION ALL
+       |  SELECT 'getgems_auction', address, nft_addr
+       |  FROM nauc_view) u
+       |LEFT JOIN nitems_view N ON u.nft_address = N.address
+       |LEFT JOIN ncolls_view C ON N.collection_address = C.address
+       |WHERE u.address IN $in
+       |ORDER BY u.sale_type, u.address""".stripMargin
+  }
+
+  test("randomized nft/sales draws: QueryLayer == reference-shaped SQL " +
+      "(two-source union, single-key dim hydration, no completeness " +
+      "filter)") {
+    val (sales, aucs, items, colls) = nftSalesFixture()
+    sales.createOrReplaceTempView("nsales_view")
+    aucs.createOrReplaceTempView("nauc_view")
+    items.createOrReplaceTempView("nitems_view")
+    colls.createOrReplaceTempView("ncolls_view")
+    val rnd = new Random(20260818L)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val addrs = salesDraw(rnd)
+      val viaLayer = QueryLayer.nftSales(sales, aucs, items, colls, addrs)
+        .select("sale_type", "address", "nft_address", "nft_item_index",
+          "collection_address", "collection_owner_address")
+        .collect().map(_.toString).toSeq
+      val viaSql = spark.sql(salesSqlOf(addrs))
+        .collect().map(_.toString).toSeq
+      assert(viaLayer == viaSql, s"draw $i diverged for $addrs")
+      if (viaLayer.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 12, s"fuzz draws too empty ($nonEmpty/40)")
+    intercept[IllegalArgumentException] {
+      QueryLayer.nftSales(sales, aucs, items, colls, Nil)
+    }
+  }
+
+  test("mutation canary: filtering completed sales out of nft/sales is " +
+      "CAUGHT by the fuzz (the route lists them — no real-owner dim " +
+      "semantics here)") {
+    val (sales, aucs, items, colls) = nftSalesFixture()
+    sales.createOrReplaceTempView("nsales_view")
+    aucs.createOrReplaceTempView("nauc_view")
+    items.createOrReplaceTempView("nitems_view")
+    colls.createOrReplaceTempView("ncolls_view")
+    val rnd = new Random(20260818L) // same seed → same draws
+    val diverged = (1 to 40).count { _ =>
+      val addrs = salesDraw(rnd)
+      val viaLayer = QueryLayer.nftSales(sales, aucs, items, colls, addrs)
+        .select("sale_type", "address").collect().map(_.toString).toSeq
+      val mutated = spark.sql(salesSqlOf(addrs, mutateComplete = true))
+        .select("sale_type", "address").collect().map(_.toString).toSeq
+      viaLayer != mutated
+    }
+    assert(diverged > 0, "draws must hit completed sales")
+  }
+
   // ------------------------------------------------------------ dns/records
 
   private def dnsFixture() = {

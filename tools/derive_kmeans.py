@@ -10,12 +10,14 @@ half-up sums — run over any corpus directory. Every float op used
 decimal sums are order-independent, so the result is bit-identical to the
 engine's snapshot while being produced by a different implementation.
 
-Training sample (mirrors the engine's web-scale contract): rows with
-vec_id < max(4096, 8*k) — the SAME pushed-down filter the engine
-applies, so engine and replica see identical samples at any id
-distribution. At the sf0.01 gate corpus (n=500, dense 0-based ids) the
-sample is the whole corpus, so gate snapshots are unchanged by the
-sample bound.
+Training sample (mirrors the engine's web-scale contract, the HASH
+sampler that is kmeansTrain's library default since r16): with bound =
+max(4096, 8*k), all rows when n <= bound, else rows where
+pmod(xxhash64(vec_id), 1e6) < bound*1e6 // n — a bit-exact replica of
+Spark's XxHash64 long path (seed 42; a public, fixed algorithm, ported
+below and verified value-for-value against the engine). At the sf0.01
+gate corpus (n=500 <= bound) the sample is the whole corpus, so the
+committed gate snapshots are sampler-agnostic.
 
 Usage: python3 tools/derive_kmeans.py <sfDir> <k> [iters=3]
 Prints the `(cluster, [centroid...])` VALUES rows the oracle embeds.
@@ -26,6 +28,51 @@ from decimal import Decimal, ROUND_HALF_UP
 import duckdb
 
 Q10 = Decimal("1E-10")
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_long(l, seed=42):
+    """Spark XxHash64 of one LongType value (signed result)."""
+    h = (seed + _P5 + 8) & _M64
+    k1 = ((l & _M64) * _P2) & _M64
+    k1 = (_rotl64(k1, 31) * _P1) & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def in_hash_sample(vec_id, bound, n):
+    """kmeansTrain's hash sampler: pmod(xxhash64(id), 1e6) < bound*1e6/n
+    (Long integer division, like the engine's `bound * 1000000L / n`)."""
+    if n <= bound:
+        return True
+    return xxhash64_long(vec_id) % 1000000 < bound * 1000000 // n
+
+
+def sample_rows(con, sf_dir, k):
+    """The engine's training sample for (corpus, k), vec_id-ordered."""
+    bound = max(4096, 8 * k)
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    return [r[1] for r in rows if in_hash_sample(r[0], bound, n)], n
 
 
 def dec(x):
@@ -100,12 +147,7 @@ def main():
     k = int(sys.argv[2])
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = duckdb.connect()
-    bound = max(4096, 8 * k)
-    rows = con.execute(
-        "SELECT CAST(embedding AS DOUBLE[]) FROM "
-        f"'{sf_dir}/embeddings.parquet' WHERE vec_id < {bound} "
-        "ORDER BY vec_id").fetchall()
-    vs = [r[0] for r in rows]
+    vs, _ = sample_rows(con, sf_dir, k)
     cents = train(vs, k, iters)
     lines = []
     for c, cent in cents:

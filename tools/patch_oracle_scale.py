@@ -33,15 +33,10 @@ import duckdb
 
 
 def kmeans_rows(sf_dir, k, iters=3):
+    # hash-sampled training rows — the engine's kmeansTrain default
+    # since r16 (bit-exact XxHash64 replica in derive_kmeans)
     con = duckdb.connect()
-    n = con.execute(
-        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
-    bound = max(4096, 8 * k)
-    rows = con.execute(
-        "SELECT CAST(embedding AS DOUBLE[]) FROM "
-        f"'{sf_dir}/embeddings.parquet' WHERE vec_id < {bound} "
-        "ORDER BY vec_id").fetchall()
-    vs = [r[0] for r in rows]
+    vs, n = derive_kmeans.sample_rows(con, sf_dir, k)
     cents = derive_kmeans.train(vs, k, iters)
     return "\n".join(
         f"  ({c}, [" + ", ".join(derive_kmeans.fmt(x) for x in cent) + "])"
