@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off stage profiler for the round-16 optimization targets (d42,
+  * d43, ann_semdedup) — not part of the driver contract. Times each
+  * suspected stage so optimization goes after measured cost. */
+object Profile16 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("PROFILE16_GC", "30min"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"STAGE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    SparkEntry.entry(spark).count()
+
+    if (sys.env.get("PROFILE16_INGEST").contains("1")) {
+      // replicate Bench's ingest part sequence exactly
+      time("ingest.chain")(graft.plans.ChainSim.classified(spark, sfDir).count())
+      graft.operators.Similarity.sharedSilverParts.foreach { case (nm, f) =>
+        time(s"ingest.$nm")(f(spark, sfDir))
+      }
+      time("ingest.shingles")(graft.operators.Dedup.shingled(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
+    // --- d42 stages
+    val dup = graft.operators.Dedup.dupHeavyDocuments(spark, sfDir)
+    time("d42.dupDocs.count")(dup.count())
+    time("d42.shingles.inline")(noop(
+      dup.select(col("doc_id"),
+        graft.operators.Dedup.shingles(col("text")).as("sh"))))
+    time("d42.full")(SparkEntry.queries("d42_dupheavy_report")(spark, sfDir).count())
+    time("d43.full")(SparkEntry.queries("d43_dupheavy_clusters")(spark, sfDir).count())
+
+    // --- semdedup stages (shared silvers build lazily on first touch)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = time("emb.count")(emb.count())
+    val k = graft.operators.Similarity.adaptiveK(n)
+    println(s"adaptiveK = $k")
+    val assign = time("semdedup.kmeansAssign(train+assign)")(
+      graft.operators.Similarity.kmeansAssign(emb, k, 3).localCheckpoint())
+    val hist = assign.groupBy("cluster").count()
+      .orderBy(col("count").desc).collect()
+    println("cluster histogram (top 10): " +
+      hist.take(10).map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(", "))
+    val probes = time("semdedup.probeAssign")(
+      graft.operators.Similarity.probeAssign(emb, assign, 3).localCheckpoint())
+    val phist = probes.groupBy("cluster").count()
+      .orderBy(col("count").desc).collect()
+    println("probe histogram (top 10): " +
+      phist.take(10).map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(", "))
+    println("probe rows total: " + phist.map(_.getLong(1)).sum)
+    time("semdedup.pairs+cc (full)")(noop(
+      graft.operators.Similarity.semanticDedupProbed(emb, probes, 0.45)))
+    spark.stop()
+  }
+}

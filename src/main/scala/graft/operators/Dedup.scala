@@ -982,6 +982,28 @@ object Dedup {
       .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 10)))
       .select((col("doc_id") * 16 + col("c")).as("doc_id"), col("text"))
 
+  /** Copy-id explosion of a per-SOURCE-doc frame: one row per dup-heavy
+    * doc_id carrying its source row's columns. Because every copy holds
+    * its source's VERBATIM text, any text-derived column (shingle set,
+    * md5 class key) is computed once per source and replicated here —
+    * instead of once per copy (5.5× the rows), and, for shingles,
+    * instead of through the inline [[shingles]] column whose
+    * split-in-lambda shape costs ~1000 regex evaluations per document
+    * (the exact pathology the [[shingled]] silver exists to avoid —
+    * measured 38.8 s of d42's 42 s at sf0.1, guide §1/§4). */
+  private def explodeDupCopies(perSource: DataFrame): DataFrame =
+    perSource
+      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 10)))
+      .withColumn("doc_id", col("doc_id") * 16 + col("c"))
+      .drop("c")
+
+  /** (doc_id, sh) of the dup-heavy corpus, from the shared shingle
+    * silver: identical output to shingling each copy's text (copies are
+    * verbatim), with the shingle pass paid once per SOURCE doc in the
+    * ingest-phase silver build. */
+  def dupHeavyShingled(s: SparkSession, dir: String): DataFrame =
+    explodeDupCopies(shingled(s, dir).select(col("doc_id"), col("sh")))
+
   /** DuckDB mirror of [[dupHeavyDocuments]] — `dup(doc_id, text)`. */
   private[operators] val dupHeavyCte: String =
     """dup AS (
@@ -997,10 +1019,10 @@ object Dedup {
   val d42 = Q("d42_dupheavy_report",
     jaccardReportOracleFrom(3,
       s"WITH $dupHeavyCte,\n${shingleCteBody("dup")}")) { (s, dir) =>
-    val sh = dupHeavyDocuments(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .localCheckpoint()
-    jaccardNearDupReportFrom(sh,
+    // silver-backed shingles (no localCheckpoint needed: both readers —
+    // the keyed pass and the rep semi-join — re-scan a pruned parquet
+    // silver plus a narrow explode)
+    jaccardNearDupReportFrom(dupHeavyShingled(s, dir),
       reps => exactJaccardPairs(s, reps, 0.3, dfCapEpsilon = 0))
       .orderBy("kind", "doc_a", "doc_b")
   }
@@ -1045,17 +1067,17 @@ object Dedup {
        |SELECT k.doc_id, a.canonical AS canonical_id
        |FROM keyed k JOIN repassign a USING (rep)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = dupHeavyDocuments(s, dir)
-    val keyed = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("__k"))
+    // md5 once per SOURCE doc, replicated over copies (verbatim text ⇒
+    // identical key) — the dup corpus's text column never materializes
+    val keyed = explodeDupCopies(T.documents(s, dir).select(col("doc_id"),
+      md5(col("text").cast("binary")).as("__k")))
     val reps = keyed.groupBy("__k").agg(min("doc_id").as("rep"))
     val star = keyed.join(reps, Seq("__k"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repSh = docs
+    val repSh = dupHeavyShingled(s, dir)
       .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"),
         "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .localCheckpoint()
     val repPairs = exactJaccardPairs(s, repSh, 0.3, dfCapEpsilon = 0)
       .select("doc_a", "doc_b")

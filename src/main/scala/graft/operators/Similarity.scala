@@ -1281,23 +1281,39 @@ object Similarity {
     dedupFromPairs(corpus,
       withinClusterPairs(corpus, probeRows, minCosine).distinct())
 
-  /** Within-bucket exact-cosine pairing: scoring happens inside the
-    * bucket row where both vectors are local; only surviving id pairs
-    * leave the bucket. `rows` = (vec_id, cluster) — one row per probe. */
+  /** Within-bucket exact-cosine pairing. `rows` = (vec_id, cluster) —
+    * one row per probe. Candidate id pairs come from a narrow self-join
+    * of the probe rows on cluster, de-duplicated BEFORE scoring (a pair
+    * sharing p probe clusters would otherwise pay its 64-dim cosine p
+    * times), then vectors attach through two equi-joins and the cosine
+    * filter runs per pair row, spread over ordinary shuffle partitions.
+    *
+    * This replaces a collect_list-per-cluster + in-row nested-transform
+    * pair expansion, which materialized the full m²/2 array of
+    * struct(vec, vec) pairs (each struct a BYTE COPY of both 64-double
+    * vectors in Tungsten) inside ONE row per cluster — ~280 MB of
+    * transient allocation per 750-member cluster, one task per cluster
+    * (parallelism = k, a straggler cliff at bench scale and a per-task
+    * memory cliff at any scale), and GC pauses that Bench's 1-min
+    * periodic-GC turned into 2-3× swings on this stage (measured:
+    * ann_semdedup 7.7 s quiet / 16.9-24 s with the GC tick landing in
+    * it). The join form shuffles only (cluster, vec_id) probe rows plus
+    * the corpus once (guide §2.3 "shuffle keys, not payloads"; §8) —
+    * identical output pair set. */
   private def withinClusterPairs(corpus: DataFrame, rows: DataFrame,
-      minCosine: Double): DataFrame =
-    corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-      .join(rows.select("vec_id", "cluster"), "vec_id")
-      .groupBy("cluster")
-      .agg(collect_list(struct(col("vec_id"), col("cv"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs, a ->
-             transform(filter(xs, b -> b.vec_id > a.vec_id),
-                       b -> struct(a, b))))""")).as("p"))
-      .filter(cosine(col("p.a.cv"), col("p.b.cv")) >= minCosine)
-      .select(col("p.a.vec_id").as("doc_a"), col("p.b.vec_id").as("doc_b"))
+      minCosine: Double): DataFrame = {
+    val ids = rows.select("vec_id", "cluster")
+    val cand = ids.select(col("cluster"), col("vec_id").as("doc_a"))
+      .join(ids.select(col("cluster"), col("vec_id").as("doc_b")), "cluster")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val vecs = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    cand
+      .join(vecs.select(col("vec_id").as("doc_a"), col("cv").as("cva")), "doc_a")
+      .join(vecs.select(col("vec_id").as("doc_b"), col("cv").as("cvb")), "doc_b")
+      .filter(cosine(col("cva"), col("cvb")) >= minCosine)
+      .select("doc_a", "doc_b")
+  }
 
   private def dedupFromPairs(corpus: DataFrame,
       pairs: DataFrame): DataFrame = {
