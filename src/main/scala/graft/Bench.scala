@@ -111,6 +111,13 @@ object Bench {
         part(n) { f(spark, sfDir) }
       } ++ Seq(
       part("shingles") { graft.operators.Dedup.shingled(spark, sfDir).count(); () },
+      // shared rep-level Jaccard pair relation (d13 near arm, d14/d35
+      // component edges, d42/d43 ×16-mapped rep pairs — r16): one-time
+      // build attributed here instead of to whichever query runs first
+      part("jacc_pairs") {
+        graft.operators.Dedup.repJaccardPairsSilver(spark, sfDir, 0.3)
+          .count(); ()
+      },
       part("phash") { graft.operators.Multimodal.phashSilver(spark, sfDir).count(); () },
       part("audio") { graft.operators.Multimodal.audioFpSilver(spark, sfDir).count(); () },
       part("video") { graft.operators.Multimodal.videoFpSilver(spark, sfDir).count(); () })

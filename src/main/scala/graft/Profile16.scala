@@ -43,6 +43,34 @@ object Profile16 {
       return
     }
 
+    if (sys.env.get("PROFILE16_CLASSIFY").contains("1")) {
+      time("roots")(graft.plans.ChainSim.chainRootsPublic(spark, sfDir).count())
+      val (txs, msgs) = graft.plans.ChainSim.b15SimPublic(spark, sfDir)
+      val (_, _, txw0) = graft.plans.TraceAssembly.assemble(
+        txs, msgs, Some(graft.plans.ChainSim.chainRootsPublic(spark, sfDir)))
+      val txw = txw0.localCheckpoint()
+      time("joinProbe.1")(
+        graft.classifier.ClassifyJob.runJoinProbe(spark, txw, msgs))
+      time("joinProbe.2")(
+        graft.classifier.ClassifyJob.runJoinProbe(spark, txw, msgs))
+      time("shuffleProbe.1")(
+        graft.classifier.ClassifyJob.runShuffleProbe(spark, txw, msgs))
+      time("shuffleProbe.2")(
+        graft.classifier.ClassifyJob.runShuffleProbe(spark, txw, msgs))
+      time("classifyCount.1")(
+        graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
+      time("classifyCount.2")(
+        graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
+      val dim = graft.plans.ChainSim.b15WalletDimPublic(spark, sfDir)
+      val cd = graft.classifier.ClassifyDims(jettonWallets = Some(dim))
+      time("traceDims.1")(
+        graft.classifier.ClassifyJob.traceDimsProbe(spark, txw, msgs, cd))
+      time("traceDims.2")(
+        graft.classifier.ClassifyJob.traceDimsProbe(spark, txw, msgs, cd))
+      spark.stop()
+      return
+    }
+
     // --- d42 stages
     val dup = graft.operators.Dedup.dupHeavyDocuments(spark, sfDir)
     time("d42.dupDocs.count")(dup.count())

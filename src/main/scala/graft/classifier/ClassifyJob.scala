@@ -174,11 +174,19 @@ object ClassifyJob {
         Seq("hash"), "left")
       .as[ClassifyInputRow]
 
+    // column-keyed grouping (groupBy(col).as[K, V]), NOT
+    // groupByKey(_.trace_id): the lambda keyer plans an AppendColumns
+    // that deserializes EVERY row into a 25-field ClassifyInputRow
+    // object (Options boxed per field) just to read one string — a full
+    // extra object pass per variant before the real per-group
+    // deserialization (guide §4; measured: the shuffle+group probe
+    // drops ~35-40% at sf0.1 with the column key).
     if (dims.isEmpty)
-      joined.groupByKey(_.trace_id).flatMapGroups { (traceId, rows) =>
-        classifyGroup(traceId, rows, ProtocolMatchers.registry)
-          .map(emit.tupled)
-      }
+      joined.groupBy(col("trace_id")).as[String, ClassifyInputRow]
+        .flatMapGroups { (traceId, rows) =>
+          classifyGroup(traceId, rows, ProtocolMatchers.registry)
+            .map(emit.tupled)
+        }
     else {
       // dims mode: one extra shuffle pair (accounts→dims join, then the
       // per-trace maps cogroup back on trace_id). The provided-dim flag
@@ -188,8 +196,9 @@ object ClassifyJob {
       val hasJw = dims.jettonWallets.isDefined
       val hasNft = dims.nftItems.isDefined
       val perTrace = traceDims(spark, txs, messages, dims)
-      joined.groupByKey(_.trace_id)
-        .cogroup(perTrace.groupByKey(_.trace_id)) { (traceId, rows, ds) =>
+      joined.groupBy(col("trace_id")).as[String, ClassifyInputRow]
+        .cogroup(perTrace.groupBy(col("trace_id")).as[String, TraceDims]) {
+          (traceId, rows, ds) =>
           val d =
             if (ds.hasNext) ds.next()
             else TraceDims(traceId, Map.empty, Map.empty, Map.empty, Map.empty)
@@ -314,10 +323,62 @@ object ClassifyJob {
          else lit(null).cast("long")).as("created_at")),
         Seq("hash"), "left")
       .as[ClassifyInputRow]
-    joined.groupByKey(_.trace_id).mapGroups { (traceId, rows) =>
-      classifyGroup(traceId, rows, ProtocolMatchers.registry).size
-    }.reduce(_ + _).toLong
+    joined.groupBy(col("trace_id")).as[String, ClassifyInputRow]
+      .mapGroups { (traceId, rows) =>
+        classifyGroup(traceId, rows, ProtocolMatchers.registry).size
+      }.reduce(_ + _).toLong
   }
+
+  /** Profiling probe: the same wide join + trace_id shuffle + group
+    * materialization as the classify sweep, but the group body only
+    * counts rows — isolates shuffle/grouping cost from matcher CPU. */
+  def runShuffleProbe(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame): Long = {
+    import spark.implicits._
+    classifyFlatProbeJoined(txs, messages)(spark)
+      .groupBy(col("trace_id")).as[String, ClassifyInputRow]
+      .mapGroups { (_, rows) => rows.size }
+      .reduce(_ + _).toLong
+  }
+
+  /** Profiling probe: just the wide tx⟕msg join, no grouping. */
+  def runJoinProbe(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame): Long =
+    classifyFlatProbeJoined(txs, messages)(spark).count()
+
+  private def classifyFlatProbeJoined(txs: DataFrame, messages: DataFrame)(
+      spark: SparkSession): Dataset[ClassifyInputRow] = {
+    import spark.implicits._
+    txs.select(
+        col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
+        coalesce(col("orig_status"), lit("active")).as("orig_status"),
+        coalesce(col("end_status"), lit("active")).as("end_status"),
+        coalesce(col("aborted"), lit(false)).as("aborted"),
+        col("compute_exit_code"), col("action_result_code"),
+        coalesce(col("total_fees"), lit(0L)).as("total_fees"),
+        coalesce(col("descr"), lit("ord")).as("descr"),
+        (if (txs.columns.contains("mc_block_seqno")) col("mc_block_seqno")
+         else lit(null).cast("int")).as("mc_block_seqno"))
+      .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
+        col("direction"), col("source"), col("destination"), col("value"),
+        col("opcode"), col("bounce"), col("bounced"), col("created_lt"),
+        (if (messages.columns.contains("body")) col("body")
+         else lit(null).cast("string")).as("body"),
+        (if (messages.columns.contains("init_state")) col("init_state")
+         else lit(null).cast("string")).as("init_state"),
+        (if (messages.columns.contains("msg_seq")) col("msg_seq")
+         else lit(null).cast("int")).as("msg_seq"),
+        (if (messages.columns.contains("created_at"))
+          col("created_at").cast("long")
+         else lit(null).cast("long")).as("created_at")),
+        Seq("hash"), "left")
+      .as[ClassifyInputRow]
+  }
+
+  /** Profiling probe: the per-trace dim-map branch alone. */
+  def traceDimsProbe(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame, dims: ClassifyDims): Long =
+    traceDims(spark, txs, messages, dims).count()
 
   /** One-pass decode-for-keys column: every address-shaped field the
     * registered decode surface extracts from a message body
@@ -366,11 +427,6 @@ object ClassifyJob {
           array(col("source"), col("destination")),
           keysCol)).as("account"))
       .filter(col("account").isNotNull)
-      .join(txs.select(col("hash"), col("trace_id")), Seq("hash"))
-      .select("trace_id", "account")
-    val accounts = txs.select(col("trace_id"), col("account"))
-      .unionByName(msgAccounts)
-      .distinct()
     val nullStr = lit(null).cast("string")
     // Tagged dim rows join on `key` but carry the dim row's real account
     // in `acct` — a row can be delivered under more than one key. Jetton
@@ -403,10 +459,26 @@ object ClassifyJob {
         col("item_index").cast("string").as("v1"),
         col("collection").cast("string").as("v2")))
     ).flatten.reduce(_ unionByName _)
-    // array_distinct before map_from_entries: a wallet reached through
-    // both its own address and its owner arrives twice with an identical
-    // entry struct (dim tables are unique per account by invariant)
-    accounts.join(tagged, accounts("account") === tagged("key"))
+    // Join ORDER (r16, guide §3.2): the dim relation is the selective
+    // side — filter the exploded candidates against it FIRST (the
+    // planner broadcasts a small dim; a web-scale dim shuffles both
+    // sides by account), and only the HITS pay the hash→trace_id
+    // attach. The previous flow attached trace_id to every candidate,
+    // ran a full (trace_id, account) DISTINCT exchange over ~10× the
+    // final row count, and only then met the dims; the distinct was
+    // redundant for correctness all along — the agg's array_distinct
+    // dedups identical entry structs (a wallet reached through both its
+    // own address and its owner, or the same endpoint repeated across a
+    // trace's messages, all collapse there; dim tables are unique per
+    // account by invariant, so equal keys ⇒ equal entries).
+    val msgHits = msgAccounts
+      .join(tagged, msgAccounts("account") === tagged("key"))
+      .join(txs.select(col("hash"), col("trace_id")), Seq("hash"))
+      .select("trace_id", "kind", "acct", "v1", "v2")
+    val txHits = txs.select(col("trace_id"), col("account"))
+      .join(tagged, col("account") === tagged("key"))
+      .select("trace_id", "kind", "acct", "v1", "v2")
+    msgHits.unionByName(txHits)
       .groupBy("trace_id")
       .agg(
         map_from_entries(array_distinct(collect_list(when(col("kind") === "i",

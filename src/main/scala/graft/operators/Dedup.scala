@@ -287,35 +287,56 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni")
   }
 
+  /** Exact Jaccard ≥ t pairs over the documents corpus's SHINGLE-SET
+    * class representatives, silver-materialized once per (session,
+    * dir). One relation serves every consumer that was recomputing it
+    * identically each query (r16 measurement: ~2 s apiece at sf0.1):
+    * d13's near arm, d14/d35's component edges, and — through the ×16
+    * id map the dup-heavy corpus's construction guarantees (copy ids =
+    * source·16 + c, verbatim text ⇒ rep_dup = 16·rep_src and identical
+    * (inter, uni)) — d42/d43's rep pairs. ε = 0: over representatives
+    * the df-cap's N is the rep count while the consumers' oracles apply
+    * none (r15 review). */
+  private[graft] def repJaccardPairsSilver(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    val t10 = math.round(minJaccard * 10).toInt
+    graft.plans.SilverStore.table(s, dir, s"jacc_rep_pairs_t$t10") {
+      val keyed = shingled(s, dir)
+        .select(col("doc_id"), shingleSetKey(col("sh")).as("skey"))
+      val reps = keyed.groupBy("skey").agg(min("doc_id").as("rep"))
+      val repSh = shingled(s, dir)
+        .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select("doc_id", "sh")
+      exactJaccardPairs(s, repSh, minJaccard, dfCapEpsilon = 0)
+    }
+  }
+
   /** CONNECTIVITY-preserving Jaccard edge set — the exact-dup-first
-    * contraction (m08/m09's image-side move applied to text): d10's
-    * exact-dup classes (identical text) contract to their min-doc_id
-    * representative with star edges, and the exact Jaccard pair search
-    * runs over REPRESENTATIVES only. Identical texts have identical
-    * shingle sets, so J(rep_a, rep_b) == J(a, b) for any class members —
-    * the star + rep-pair graph reaches exactly the same connected
-    * components as the full pair list, with O(n + repPairs) edges
-    * instead of inheriting each exact-dup clique's quadratic pair
-    * growth (the d13 output-size tail that made d14/d35/m09 superlinear
-    * on dup-heavy fixtures). Consumers that need the PAIR LIST itself
-    * (d13's oracle contract) keep exactJaccardPairs; consumers that
-    * need components use this. */
+    * contraction (m08/m09's image-side move applied to text): exact
+    * shingle-SET classes (the d13 report's key — set-equal documents
+    * are pairwise J = 1, a contraction at least as coarse as equal
+    * text) contract to their min-doc_id representative with star
+    * edges, and the exact Jaccard pair search runs over
+    * REPRESENTATIVES only, read from the shared
+    * [[repJaccardPairsSilver]]. Set-equal documents have J 1 with each
+    * other and identical Jaccard to everything else, so the star +
+    * rep-pair graph reaches exactly the same connected components as
+    * the full pair list — switching the class key from equal-text to
+    * equal-set (r16) left every component, and hence every (doc_id,
+    * canonical) row, identical (oracle-checked) while letting d13/d14/
+    * d35/d42/d43 share ONE materialized pair relation. Consumers that
+    * need the PAIR LIST itself (d13's oracle contract) keep
+    * exactJaccardPairs; consumers that need components use this. */
   def jaccardComponentEdges(s: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
-    val keyed = T.documents(s, dir)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("__k"))
+    val keyed = shingled(s, dir)
+      .select(col("doc_id"), shingleSetKey(col("sh")).as("__k"))
     val reps = keyed.groupBy("__k").agg(min("doc_id").as("rep"))
     val star = keyed.join(reps, Seq("__k"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repShingles = shingled(s, dir)
-      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    // ε = 0: same reasoning as d13's report path (r15 review) — over
-    // REPRESENTATIVES the cap's N is the rep count while the d14/d35/m09
-    // oracles apply none, so a binding cap on a stop-shingle-heavy
-    // corpus would silently drop edges and split components
-    val repPairs = exactJaccardPairs(s, repShingles, minJaccard,
-        dfCapEpsilon = 0)
+    val repPairs = repJaccardPairsSilver(s, dir, minJaccard)
       .select("doc_a", "doc_b")
     star.unionByName(repPairs)
   }
@@ -870,8 +891,10 @@ object Dedup {
     * listing stays the [[exactJaccardPairs]] API (DedupSpec pins
     * lossless reconstruction). */
   val d13 = Q("d13_ngram_jaccard_pairs", jaccardReportOracle(3)) { (s, dir) =>
+    // near arm = the shared rep-pair silver: the report's classes use
+    // the same shingle-set key, so its reps ARE the silver's basis
     jaccardNearDupReport(s, dir,
-      reps => exactJaccardPairs(s, reps, 0.3, dfCapEpsilon = 0))
+      _ => repJaccardPairsSilver(s, dir, 0.3))
       .orderBy("kind", "doc_a", "doc_b")
   }
 
@@ -1021,9 +1044,13 @@ object Dedup {
       s"WITH $dupHeavyCte,\n${shingleCteBody("dup")}")) { (s, dir) =>
     // silver-backed shingles (no localCheckpoint needed: both readers —
     // the keyed pass and the rep semi-join — re-scan a pruned parquet
-    // silver plus a narrow explode)
+    // silver plus a narrow explode). Near arm = the shared rep-pair
+    // silver under the ×16 id map (copies are verbatim ⇒ rep_dup =
+    // 16·rep_src with identical (inter, uni) — see repJaccardPairsSilver)
     jaccardNearDupReportFrom(dupHeavyShingled(s, dir),
-      reps => exactJaccardPairs(s, reps, 0.3, dfCapEpsilon = 0))
+      _ => repJaccardPairsSilver(s, dir, 0.3).select(
+        (col("doc_a") * 16).as("doc_a"), (col("doc_b") * 16).as("doc_b"),
+        col("inter"), col("uni")))
       .orderBy("kind", "doc_a", "doc_b")
   }
 
@@ -1067,20 +1094,20 @@ object Dedup {
        |SELECT k.doc_id, a.canonical AS canonical_id
        |FROM keyed k JOIN repassign a USING (rep)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // md5 once per SOURCE doc, replicated over copies (verbatim text ⇒
-    // identical key) — the dup corpus's text column never materializes
-    val keyed = explodeDupCopies(T.documents(s, dir).select(col("doc_id"),
-      md5(col("text").cast("binary")).as("__k")))
+    // exact classes keyed by SHINGLE SET (computed once per source doc
+    // and exploded over copies — verbatim text ⇒ identical key): a
+    // contraction at least as coarse as the oracle's equal-text classes
+    // and still component-lossless (set-equal docs are pairwise J = 1),
+    // so every (doc_id, canonical) row is identical while the rep pairs
+    // come from the shared silver under the ×16 id map
+    val keyed = explodeDupCopies(shingled(s, dir)
+      .select(col("doc_id"), shingleSetKey(col("sh")).as("__k")))
     val reps = keyed.groupBy("__k").agg(min("doc_id").as("rep"))
     val star = keyed.join(reps, Seq("__k"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repSh = dupHeavyShingled(s, dir)
-      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .localCheckpoint()
-    val repPairs = exactJaccardPairs(s, repSh, 0.3, dfCapEpsilon = 0)
-      .select("doc_a", "doc_b")
+    val repPairs = repJaccardPairsSilver(s, dir, 0.3)
+      .select((col("doc_a") * 16).as("doc_a"), (col("doc_b") * 16).as("doc_b"))
     dupClusters(star.unionByName(repPairs)).orderBy("doc_id")
   }
 

@@ -80,10 +80,18 @@ object Retrieval {
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("dlr", col("dl").cast("double") / col("avgdl"))
-    val perQuery = queries.map { case (qid, ts) =>
-      scored0.select(lit(qid).as("query_id"), col("doc_id"),
-        ts.map(termScore).reduce(_ + _).as("score"))
-    }.reduce(_ unionAll _).filter(col("score") > 0)
+    // one scan for ALL queries: the per-query score expressions ride one
+    // exploded struct array instead of a unionAll of per-query branches,
+    // each of which re-ran the full scan + tokenize + tf pass (3 passes
+    // over the corpus → 1; same rows, same per-branch double arithmetic)
+    val perQuery = scored0.select(col("doc_id"),
+        explode(array(queries.map { case (qid, ts) =>
+          struct(lit(qid).as("query_id"),
+            ts.map(termScore).reduce(_ + _).as("score"))
+        }: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score").as("score"))
+      .filter(col("score") > 0)
     val wLocal = Window
       .partitionBy(col("query_id"), pmod(col("doc_id"), lit(buckets)))
       .orderBy(col("score").desc, col("doc_id"))
@@ -360,17 +368,20 @@ object Retrieval {
       filter(transform(col("toks"),
           (x, i) => when(x === lit(t), i + 1).otherwise(0)),
         p => p > 0)
-    val perQuery = pairs.map { case (qid, a, b) =>
-      base
-        .withColumn("pa", posOf(a))
-        .withColumn("pb", posOf(b))
-        .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
-        .select(lit(qid).as("query_id"), col("doc_id"),
-          size(filter(col("pa"),
-            x => array_contains(col("pb"), x + 1))).as("phrase_tf"),
-          array_min(flatten(transform(col("pa"),
-            x => transform(col("pb"), y => abs(x - y))))).as("min_dist"))
-    }.reduce(_ unionAll _)
+    // one scan for ALL query pairs (same move as bm25ScanTopK): position
+    // arrays for every pair ride one exploded struct array instead of a
+    // unionAll that re-scanned and re-tokenized the corpus per pair
+    val perQuery = base.select(col("doc_id"),
+        explode(array(pairs.map { case (qid, a, b) =>
+          struct(lit(qid).as("query_id"), posOf(a).as("pa"),
+            posOf(b).as("pb"))
+        }: _*)).as("q"))
+      .filter(size(col("q.pa")) > 0 && size(col("q.pb")) > 0)
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        size(filter(col("q.pa"),
+          x => array_contains(col("q.pb"), x + 1))).as("phrase_tf"),
+        array_min(flatten(transform(col("q.pa"),
+          x => transform(col("q.pb"), y => abs(x - y))))).as("min_dist"))
     perQuery
       .withColumn("n_rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("phrase_tf").desc, col("min_dist"), col("doc_id"))))

@@ -60,19 +60,30 @@ object GraphOps {
     // grows ×(hops+1) per round. Under a broadcast jump table extra hops
     // are nearly free (one more broadcast hash join in the same codegen
     // pipeline), so go wide — depth 10⁴ converges in 4 rounds at ×9.
-    // On the shuffle path (the 100 TB shape) each hop is a shuffle join,
-    // so stay at 2 hops (×3) — fewer, cheaper rounds dominate there.
+    // 16 hops was tried in r16 and measured SLOWER (7.6 vs 5.9 s on the
+    // depth-99 bench chain: the longer codegen pipeline costs more than
+    // the round it saves), so 8 stays. On the shuffle path (the 100 TB
+    // shape) each hop is a shuffle join, so stay at 2 hops (×3) —
+    // fewer, cheaper rounds dominate there.
     val hops = if (useBroadcast) 8 else 2
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val jt0 = cur.select(col("id").as("anc"), col("anc").as("anc2"))
       val jt = if (useBroadcast) broadcast(jt0) else jt0
+      // anc0 tracks the value BEFORE THE FINAL HOP, not the round start:
+      // the final hop moves nothing ⟺ every anc was already a root when
+      // it ran (jt(x) = x only for roots), which is the fixpoint — so
+      // convergence is detected IN the round that finishes the work
+      // instead of costing one extra full no-op round (r16; with ×9
+      // rounds and depth ~100 that extra round was 1/4 of every
+      // forestRoots call — chain/event roots, every dupClusters round).
       var hopped = cur.select(col("id"), col("anc").as("anc0"), col("anc"))
-      for (_ <- 1 to hops)
+      for (i <- 1 to hops)
         hopped = hopped
           .join(jt, Seq("anc"), "left")
-          .select(col("id"), col("anc0"),
+          .select(col("id"),
+            (if (i == hops) col("anc") else col("anc0")).as("anc0"),
             coalesce(col("anc2"), col("anc")).as("anc"))
       // checkpointFresh, not plain localCheckpoint: a checkpoint
       // truncates the plan but FORWARDS the computed stats
