@@ -506,15 +506,18 @@ object Similarity {
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("cluster"))
     for (_ <- 0 until iters - 1) {
       val prevCents = cents
+      // argmax via partial aggregate, not a window — kmeansAssignWith's
+      // move applied to the training loop (cv rides the min struct;
+      // (-score, cluster) is unique per vec_id so the array field is
+      // never compared)
       val assign = checkpointFresh(c.crossJoin(broadcast(prevCents))
         .withColumn("score", cosine(col("cv"), col("centroid")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("cluster"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(negate(col("score")).as("ns"),
+          col("cluster").as("cluster"), col("cv").as("cv"))).as("best"))
+        .select(col("best.cluster").as("cluster"), col("best.cv").as("cv")))
       unpersistCheckpoints(prevCents)
       cents = checkpointFresh(assign
         .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "x")))
@@ -535,17 +538,25 @@ object Similarity {
 
   /** The one full-corpus pass: nearest-centroid assignment against a
     * broadcast book — embarrassingly parallel, corpus never shuffled
-    * (the irreducible O(n·k) scan every IVF/SemDeDup index pays). */
-  def kmeansAssignWith(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("cluster"))
+    * (the irreducible O(n·k) scan every IVF/SemDeDup index pays).
+    *
+    * Argmax as a PARTIAL AGGREGATE, not a window (r16, guide §2.3): a
+    * Window.partitionBy(vec_id) shuffles all n·k scored candidate rows
+    * and sorts them per vector; min(struct(-score, cluster)) reduces
+    * each vector's k candidates to one row MAP-SIDE (the broadcast
+    * cross join keeps a vector's candidates in its own partition), so
+    * only n narrow rows cross the exchange. Identical selection: the
+    * struct order (-score asc, cluster asc) is exactly (score desc,
+    * cluster asc), double negation is exact, and Spark's double
+    * ordering treats -0.0 < 0.0 consistently on both paths. */
+  def kmeansAssignWith(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .crossJoin(broadcast(cents))
       .withColumn("score", cosine(col("cv"), col("centroid")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select("vec_id", "cluster")
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("score")).as("ns"),
+        col("cluster").as("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
 
   /** The 8×3 trained quantizer assignment over the gate corpus,
     * materialized ONCE per (session, dir): e07 (IVF) and e09 (semantic

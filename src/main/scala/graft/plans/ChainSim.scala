@@ -303,9 +303,25 @@ object ChainSim {
       dims: => graft.classifier.ClassifyDims = graft.classifier.ClassifyDims(),
       keep: Seq[String] = Nil): DataFrame =
     SilverStore.table(spark, dir, s"proto_$variant") {
-      val (txs, msgs) = protocolSim(spark, dir, opcodeOf, bodyOf)
+      val (txs, msgs0) = protocolSim(spark, dir, opcodeOf, bodyOf)
+      val d = dims
+      // dims variants evaluate the messages frame TWICE (the classify
+      // branch and the traceDims branch) — including the per-message
+      // body synthesis UDF and, in traceDims, the body→resolver-key
+      // decode. Persist the variant's messages ONCE with the decoded
+      // body_keys column (the ChainSim.simulate sim_msgs pattern):
+      // bodies build once, the decode runs once at write, and the dims
+      // branch reads a narrow array column instead of re-parsing BOCs
+      // (r16; ClassifyJob.traceDims consumes body_keys when present).
+      // Dim-less variants consume msgs exactly once — a silver write
+      // would be pure added IO, so they keep the inline frame.
+      val msgs =
+        if (d.isEmpty) msgs0
+        else SilverStore.table(spark, dir, s"proto_${variant}_msgs")(
+          msgs0.withColumn("body_keys",
+            ClassifyJob.bodyKeysCol(col("opcode"), col("body"))))
       val (_, _, txsWithTrace) =
-        TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
+        TraceAssembly.assemble(txs, msgs0, Some(chainRoots(spark, dir)))
       // txsWithTrace = txs ⋈ roots — both identical across every
       // protocol variant (only the MESSAGE opcodes/bodies differ), so
       // one shared silver table serves all ~11 variant pipelines
@@ -315,7 +331,7 @@ object ChainSim {
       // narrow-output classify: only the columns the variant's queries
       // read materialize through the encoder — the wide 60-field
       // ActionRow encoder was HALF the classify cost (Profile15)
-      ClassifyJob.runProjected(spark, txw, msgs, dims,
+      ClassifyJob.runProjected(spark, txw, msgs, d,
         (protoBaseCols ++ keep).distinct)
     }
 
