@@ -301,22 +301,25 @@ object ChainSim {
       variant: String, opcodeOf: => Column,
       bodyOf: => Column = lit(null).cast("string"),
       dims: => graft.classifier.ClassifyDims = graft.classifier.ClassifyDims(),
-      keep: Seq[String] = Nil): DataFrame =
+      keep: Seq[String] = Nil,
+      persistMsgs: Boolean = false): DataFrame =
     SilverStore.table(spark, dir, s"proto_$variant") {
       val (txs, msgs0) = protocolSim(spark, dir, opcodeOf, bodyOf)
       val d = dims
-      // dims variants evaluate the messages frame TWICE (the classify
-      // branch and the traceDims branch) — including the per-message
-      // body synthesis UDF and, in traceDims, the body→resolver-key
-      // decode. Persist the variant's messages ONCE with the decoded
-      // body_keys column (the ChainSim.simulate sim_msgs pattern):
-      // bodies build once, the decode runs once at write, and the dims
-      // branch reads a narrow array column instead of re-parsing BOCs
-      // (r16; ClassifyJob.traceDims consumes body_keys when present).
-      // Dim-less variants consume msgs exactly once — a silver write
-      // would be pure added IO, so they keep the inline frame.
+      // BODIED dims variants evaluate the messages frame TWICE (the
+      // classify branch and the traceDims branch) — including the
+      // per-message body synthesis UDF and, in traceDims, the
+      // body→resolver-key BOC decode. Persist the variant's messages
+      // ONCE with the decoded body_keys column (the ChainSim.simulate
+      // sim_msgs pattern): bodies build once, the decode runs once at
+      // write, and the dims branch reads a narrow array column instead
+      // of re-parsing BOCs (r16; ClassifyJob.traceDims consumes
+      // body_keys when present). Opt-in per variant: for body-less
+      // variants (b19) and dim-less variants the silver write is pure
+      // added IO — measured a small net LOSS at sf0.1 when applied to
+      // b19 — so only bodied dims variants (b15) pass persistMsgs.
       val msgs =
-        if (d.isEmpty) msgs0
+        if (!persistMsgs || d.isEmpty) msgs0
         else SilverStore.table(spark, dir, s"proto_${variant}_msgs")(
           msgs0.withColumn("body_keys",
             ClassifyJob.bodyKeysCol(col("opcode"), col("body"))))
@@ -983,7 +986,7 @@ object ChainSim {
       |ORDER BY swap_lt, hop""".stripMargin) { (s, dir) =>
     protocolClassified(s, dir, "b15", b15Opcodes, b15Bodies,
       graft.classifier.ClassifyDims(jettonWallets = Some(b15WalletDim(s, dir))),
-      keep = Seq("jetton_swap_data"))
+      keep = Seq("jetton_swap_data"), persistMsgs = true)
       .filter(col("type") === "jetton_swap")
       .select(col("trace_id"), col("start_lt").as("swap_lt"),
         posexplode(col("jetton_swap_data.peer_swaps")))

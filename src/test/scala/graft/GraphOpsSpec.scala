@@ -27,6 +27,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(roots.length == n && roots.forall(_.getLong(1) == 1L))
   }
 
+  test("forestRoots converges at round-boundary depths (r16 " +
+      "finishing-round detection: the final hop of a round moving " +
+      "nothing IS the fixpoint)") {
+    import spark.implicits._
+    // depths straddling the ×9-per-round boundaries (hops = 8 on the
+    // broadcast path): 9/10 around round 1's reach, 81/82 around
+    // round 2's — off-by-one in the final-hop test would either stop
+    // early (wrong roots) or fail the maxIters require
+    for (n <- Seq(2, 9, 10, 81, 82)) {
+      val nodes = (1 to n)
+        .map(i => (i.toLong, if (i == 1) None else Some(i - 1L)))
+        .toDF("id", "parent")
+      val roots = GraphOps.forestRoots(nodes, maxIters = 6).collect()
+      assert(roots.length == n && roots.forall(_.getLong(1) == 1L),
+        s"depth $n")
+    }
+  }
+
   test("g01 trace ids agree with per-user first-event semantics") {
     val got = GraphOps.g01.fn(spark, sf)
     val events = Tables.events(spark, sf)
