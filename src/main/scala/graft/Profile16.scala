@@ -43,6 +43,38 @@ object Profile16 {
       return
     }
 
+    if (sys.env.get("PROFILE16_JACC").contains("1")) {
+      import graft.operators.Dedup
+      val sh = Dedup.shingled(spark, sfDir)
+      time("jacc.shingled")(sh.count())
+      val keyed = sh.select(col("doc_id"),
+        expr("md5(cast(concat_ws('', array_sort(sh)) as binary))")
+          .as("skey"))
+      time("jacc.keyed+classes") {
+        keyed.groupBy("skey").agg(min("doc_id").as("rep")).count()
+      }
+      val reps = keyed.groupBy("skey").agg(min("doc_id").as("rep"))
+      val repSh = sh.join(reps.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi").select("doc_id", "sh")
+      time("jacc.repSh")(repSh.count())
+      val postings = repSh.select(col("doc_id"),
+        explode(expr("transform(sh, s -> xxhash64(s))")).as("hkey"))
+        .localCheckpoint()
+      time("jacc.postings")(postings.count())
+      time("jacc.cojoin") {
+        postings.select(col("doc_id").as("doc_a"), col("hkey"))
+          .join(postings.select(col("doc_id").as("doc_b"), col("hkey")),
+            "hkey")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).cast("int").as("inter")).count()
+      }
+      time("jacc.fullSilver")(
+        Dedup.repJaccardPairsSilver(spark, sfDir, 0.3).count())
+      spark.stop()
+      return
+    }
+
     if (sys.env.get("PROFILE16_CLASSIFY").contains("1")) {
       time("roots")(graft.plans.ChainSim.chainRootsPublic(spark, sfDir).count())
       val (txs, msgs) = graft.plans.ChainSim.b15SimPublic(spark, sfDir)
