@@ -85,6 +85,12 @@ object Profile16 {
         graft.classifier.ClassifyJob.runJoinProbe(spark, txw, msgs))
       time("joinProbe.2")(
         graft.classifier.ClassifyJob.runJoinProbe(spark, txw, msgs))
+      // count() prunes the body column — noop forces EVERY msg column,
+      // including the per-variant body synthesis UDF and the window
+      time("msgsNoop.1")(noop(msgs))
+      time("msgsNoop.2")(noop(msgs))
+      time("msgsNoBodyNoop")(noop(msgs.drop("body")))
+      time("txwNoop")(noop(txw))
       time("shuffleProbe.1")(
         graft.classifier.ClassifyJob.runShuffleProbe(spark, txw, msgs))
       time("shuffleProbe.2")(
@@ -93,6 +99,14 @@ object Profile16 {
         graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
       time("classifyCount.2")(
         graft.classifier.ClassifyJob.runCountProbe(spark, txw, msgs))
+      time("shuffleProbeChain.1")(
+        graft.classifier.ClassifyJob.runShuffleProbeChain(spark, txw, msgs))
+      time("shuffleProbeChain.2")(
+        graft.classifier.ClassifyJob.runShuffleProbeChain(spark, txw, msgs))
+      time("classifyCountChain.1")(
+        graft.classifier.ClassifyJob.runCountProbeChain(spark, txw, msgs))
+      time("classifyCountChain.2")(
+        graft.classifier.ClassifyJob.runCountProbeChain(spark, txw, msgs))
       val dim = graft.plans.ChainSim.b15WalletDimPublic(spark, sfDir)
       val cd = graft.classifier.ClassifyDims(jettonWallets = Some(dim))
       time("traceDims.1")(

@@ -28,6 +28,26 @@ case class ClassifyInputRow(
     msg_seq: Option[Int] = None,
     created_at: Option[Long] = None)
 
+/** Narrow tx⟕msg row for the CHAIN-SIM classify shape (r17, guide §4):
+  * every ChainSim-built frame (protocolSim, simulate, b16Build) holds
+  * end_status='active', aborted=false, compute/action result codes NULL,
+  * total_fees=0, descr='ord', bounce=bounced=false and carries no
+  * init_state/msg_seq/created_at columns BY CONSTRUCTION — so the group
+  * stage deserializes 15 fields instead of 25 and allocates no Option
+  * wrappers (nullable leaves are boxed Java types), and the upstream
+  * silver scan prunes the constant columns entirely. classifyGroupChain
+  * re-injects the constants, producing byte-identical TxLite/MsgLite
+  * inputs to the matcher sweep (asserted equal to the wide path in
+  * ClassifySpec). Callers outside ChainSim keep [[ClassifyInputRow]].
+  * Must be visible to Catalyst codegen — do not make private. */
+case class ChainInputRow(
+    trace_id: String, hash: String, account: String, lt: Long, now: Int,
+    mc_block_seqno: Int, orig_status: String,
+    msg_hash: String, direction: String,
+    source: String, destination: String,
+    value: java.lang.Long, opcode: java.lang.Long,
+    created_lt: java.lang.Long, body: String)
+
 /** DataFrame-backed dimension feed for the classifier (SURVEY §2.9 G6;
   * the reference's Redis interface repository,
   * interface_repository.py:512-533). Each frame keys on an account
@@ -145,10 +165,13 @@ object ClassifyJob {
     * narrow outputs can carry the per-trace classify outcome without a
     * second sweep. */
   private def classifyFlat[T](spark: SparkSession, txs: DataFrame,
-      messages: DataFrame, dims: ClassifyDims)(
+      messages: DataFrame, dims: ClassifyDims,
+      chainShape: Boolean = false)(
       emit: (ActionRow, String) => T)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import spark.implicits._
+    if (chainShape)
+      return classifyFlatChain(spark, txs, messages, dims)(emit)
     val joined = txs.select(
         col("trace_id"), col("hash"), col("account"), col("lt"), col("now"),
         coalesce(col("orig_status"), lit("active")).as("orig_status"),
@@ -238,12 +261,100 @@ object ClassifyJob {
     actions.iterator.map(a => (a, state))
   }
 
+  /** The narrow-row twin of [[classifyFlat]] for ChainSim-shaped inputs
+    * (see [[ChainInputRow]]): 15-field deserialization, constants
+    * re-injected in [[classifyGroupChain]]. Identical matcher inputs ⇒
+    * identical output (ClassifySpec asserts equality with the wide
+    * path on the protocol sim). */
+  private def classifyFlatChain[T](spark: SparkSession, txs: DataFrame,
+      messages: DataFrame, dims: ClassifyDims)(
+      emit: (ActionRow, String) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import spark.implicits._
+    val joined = chainJoined(txs, messages)(spark)
+    if (dims.isEmpty)
+      joined.groupBy(col("trace_id")).as[String, ChainInputRow]
+        .flatMapGroups { (traceId, rows) =>
+          classifyGroupChain(traceId, rows, ProtocolMatchers.registry)
+            .map(emit.tupled)
+        }
+    else {
+      val hasIface = dims.interfaces.isDefined
+      val hasJw = dims.jettonWallets.isDefined
+      val hasNft = dims.nftItems.isDefined
+      val perTrace = traceDims(spark, txs, messages, dims)
+      joined.groupBy(col("trace_id")).as[String, ChainInputRow]
+        .cogroup(perTrace.groupBy(col("trace_id")).as[String, TraceDims]) {
+          (traceId, rows, ds) =>
+          val d =
+            if (ds.hasNext) ds.next()
+            else TraceDims(traceId, Map.empty, Map.empty, Map.empty, Map.empty)
+          val registry = ProtocolMatchers.registryForDims(
+            if (hasIface) Some(d.ifaces) else None,
+            if (hasJw) Some(d.jw) else None,
+            if (hasNft) Some(d.nft) else None,
+            walletOwners = d.owners)
+          classifyGroupChain(traceId, rows, registry).map(emit.tupled)
+        }
+    }
+  }
+
+  /** The narrow join: only the 7 varying tx columns and 8 varying msg
+    * columns — the silver scan prunes the constant ones. */
+  private def chainJoined(txs: DataFrame, messages: DataFrame)(
+      spark: SparkSession): Dataset[ChainInputRow] = {
+    import spark.implicits._
+    txs.select(col("trace_id"), col("hash"), col("account"), col("lt"),
+        col("now"), col("mc_block_seqno"),
+        coalesce(col("orig_status"), lit("active")).as("orig_status"))
+      .join(messages.select(col("tx_hash").as("hash"), col("msg_hash"),
+        col("direction"), col("source"), col("destination"), col("value"),
+        col("opcode"), col("created_lt"),
+        (if (messages.columns.contains("body")) col("body")
+         else lit(null).cast("string")).as("body")),
+        Seq("hash"), "left")
+      .as[ChainInputRow]
+  }
+
+  /** [[classifyGroup]] over the narrow chain row: the dropped columns
+    * come back as the constants the ChainSim frames guarantee, so
+    * TxLite/MsgLite — and hence the sweep — are identical to the wide
+    * path's. The wide path's per-field coalesce defaults (direction
+    * 'in', value 0) are mirrored on the nullable leaves. */
+  private def classifyGroupChain(traceId: String,
+      rows: Iterator[ChainInputRow],
+      registry: Seq[Matching.BlockMatcher])
+      : Iterator[(ActionRow, String)] = {
+    val buf = rows.toSeq
+    val txsOf = buf.groupBy(_.hash).map { case (h, rs) =>
+      val r = rs.head
+      TxLite(h, r.account, r.lt, r.now, r.orig_status, "active",
+        aborted = false, None, None, 0L, "ord", Some(r.mc_block_seqno))
+    }.toSeq
+    val msgsByTx: Map[String, Seq[MsgLite]] = buf
+      .filter(_.msg_hash != null)
+      .groupBy(_.hash)
+      .map { case (h, rs) =>
+        h -> rs.map(r => MsgLite(r.msg_hash,
+          if (r.direction == null) "in" else r.direction,
+          Option(r.source), Option(r.destination),
+          if (r.value == null) 0L else r.value.longValue(),
+          Option(r.opcode).map(_.longValue()),
+          bounce = false, bounced = false,
+          Option(r.created_lt).map(_.longValue()), Option(r.body), None))
+      }
+    val (actions, state) =
+      Classifier.classifyStatedWith(traceId, txsOf, msgsByTx, registry)
+    actions.iterator.map(a => (a, state))
+  }
+
   /** Narrow-output classify: the same sweep, but rows materialize ONLY
     * the requested columns through a reduced Row encoder instead of the
     * full 60-field ActionRow encoder. The detail structs are converted
     * recursively (case class → Row) just for the kept columns. */
   def runProjected(spark: SparkSession, txs: DataFrame, messages: DataFrame,
-      dims: ClassifyDims, cols: Seq[String]): DataFrame = {
+      dims: ClassifyDims, cols: Seq[String],
+      chainShape: Boolean = false): DataFrame = {
     // ActionRow-only columns that the DDL schema does not carry (the
     // involved-accounts list is exploded into action_accounts
     // downstream), plus classification_state — a TRACES column the
@@ -288,10 +399,32 @@ object ClassifyJob {
     }
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(schema)
-    classifyFlat(spark, txs, messages, dims)((a, state) =>
+    classifyFlat(spark, txs, messages, dims, chainShape)((a, state) =>
       org.apache.spark.sql.Row(idxs.map(i =>
         if (i < 0) state else conv(a.productElement(i))): _*))
       .toDF()
+  }
+
+  /** Profiling probe: the chain-shape classify sweep, count only. */
+  def runCountProbeChain(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame): Long = {
+    import spark.implicits._
+    chainJoined(txs, messages)(spark)
+      .groupBy(col("trace_id")).as[String, ChainInputRow]
+      .mapGroups { (traceId, rows) =>
+        classifyGroupChain(traceId, rows, ProtocolMatchers.registry).size
+      }.reduce(_ + _).toLong
+  }
+
+  /** Profiling probe: chain-shape join + shuffle + group materialization
+    * without matcher work. */
+  def runShuffleProbeChain(spark: SparkSession, txs: DataFrame,
+      messages: DataFrame): Long = {
+    import spark.implicits._
+    chainJoined(txs, messages)(spark)
+      .groupBy(col("trace_id")).as[String, ChainInputRow]
+      .mapGroups { (_, rows) => rows.size }
+      .reduce(_ + _).toLong
   }
 
   /** Profiling probe: the same classify sweep but emitting only a count

@@ -24,6 +24,24 @@ object Dedup {
   private val BANDS = 16
   private val ROWS_PER_BAND = NUM_HASHES / BANDS // r=4 → s-curve ~0.5 @ j=0.7
 
+  /** THE shared rep-pair Jaccard threshold: Bench's `jacc_pairs` ingest
+    * part warms [[repJaccardPairsSilver]] at this value, and every
+    * consumer (d13's near arm, d14/d35's component edges, d42/d43's
+    * ×stride-mapped rep pairs, m09's text edges) reads the same silver —
+    * one constant so a consumer can never drift from the warm-up and
+    * silently shift the build cost back into whichever query runs first
+    * (r16 advisor). */
+  val RepPairThreshold: Double = 0.3
+
+  /** Dup-heavy corpus construction constants (d42/d43): copy c of source
+    * doc d carries doc_id = d·DupCopyStride + c with c ∈ 0..d%DupCopyMod.
+    * Named ONCE and referenced by [[dupHeavyDocuments]],
+    * [[explodeDupCopies]], [[dupHeavyCte]] and both queries' rep-pair id
+    * maps (rep_dup = DupCopyStride·rep_src), so the id arithmetic cannot
+    * be re-encoded inconsistently across sites (r16 advisor). */
+  private[operators] val DupCopyStride = 16L
+  private[operators] val DupCopyMod = 10L
+
   /** Word tokens of trimmed text. */
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
@@ -256,7 +274,19 @@ object Dedup {
     * guards against; callers wanting boilerplate dropping at web scale
     * pass an explicit ε through the `near` callback). */
   def exactJaccardPairs(s: SparkSession, base: DataFrame,
-      minJaccard: Double, dfCapEpsilon: Double = 0.1): DataFrame = {
+      minJaccard: Double, dfCapEpsilon: Double = 0.1): DataFrame =
+    exactJaccardPairsStaged(s, base, minJaccard, dfCapEpsilon)._1
+
+  /** [[exactJaccardPairs]] plus a handle on its internal postings
+    * checkpoint, so one-shot builders (the rep-pair silver) can release
+    * the blocks once the result is materialized — a leaked checkpoint
+    * per ingest part is exactly the session-heap residue that inflated
+    * the sf1 in-run readings 2.5-5× over isolated (r16 verdict item 5,
+    * guide §5). Callers that keep the RESULT lazy (d13's report re-reads
+    * the pair relation) must not unpersist until done. */
+  private[operators] def exactJaccardPairsStaged(s: SparkSession,
+      base: DataFrame, minJaccard: Double,
+      dfCapEpsilon: Double = 0.1): (DataFrame, DataFrame) = {
     val t10 = math.round(minJaccard * 10).toInt
     require(t10 / 10.0 == minJaccard, "threshold must be a multiple of 0.1")
     val allPostings = base
@@ -280,11 +310,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("int").as("inter"))
-    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+    (co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * t10)
-      .select("doc_a", "doc_b", "inter", "uni")
+      .select("doc_a", "doc_b", "inter", "uni"), allPostings)
   }
 
   /** Exact Jaccard ≥ t pairs over the documents corpus's SHINGLE-SET
@@ -300,7 +330,10 @@ object Dedup {
   private[graft] def repJaccardPairsSilver(s: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
     val t10 = math.round(minJaccard * 10).toInt
-    graft.plans.SilverStore.table(s, dir, s"jacc_rep_pairs_t$t10") {
+    // the build's postings checkpoint is dead once the silver table is
+    // written — release its blocks (only set when the build lambda ran)
+    var staged: DataFrame = null
+    val out = graft.plans.SilverStore.table(s, dir, s"jacc_rep_pairs_t$t10") {
       val keyed = shingled(s, dir)
         .select(col("doc_id"), shingleSetKey(col("sh")).as("skey"))
       val reps = keyed.groupBy("skey").agg(min("doc_id").as("rep"))
@@ -308,8 +341,13 @@ object Dedup {
         .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"),
           "left_semi")
         .select("doc_id", "sh")
-      exactJaccardPairs(s, repSh, minJaccard, dfCapEpsilon = 0)
+      val (pairs, postings) =
+        exactJaccardPairsStaged(s, repSh, minJaccard, dfCapEpsilon = 0)
+      staged = postings
+      pairs
     }
+    if (staged != null) unpersistCheckpoints(staged)
+    out
   }
 
   /** CONNECTIVITY-preserving Jaccard edge set — the exact-dup-first
@@ -894,7 +932,7 @@ object Dedup {
     // near arm = the shared rep-pair silver: the report's classes use
     // the same shingle-set key, so its reps ARE the silver's basis
     jaccardNearDupReport(s, dir,
-      _ => repJaccardPairsSilver(s, dir, 0.3))
+      _ => repJaccardPairsSilver(s, dir, RepPairThreshold))
       .orderBy("kind", "doc_a", "doc_b")
   }
 
@@ -923,7 +961,7 @@ object Dedup {
        |)
        |SELECT a AS doc_id, min(b) AS canonical_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    dupClusters(jaccardComponentEdges(s, dir, 0.3))
+    dupClusters(jaccardComponentEdges(s, dir, RepPairThreshold))
       .orderBy("doc_id")
   }
 
@@ -981,7 +1019,7 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions.{size, split, trim}
     qualityKeepers(
-      dupClusters(jaccardComponentEdges(s, dir, 0.3)),
+      dupClusters(jaccardComponentEdges(s, dir, RepPairThreshold)),
       graft.Tables.documents(s, dir).select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
       .orderBy("doc_id")
@@ -1002,8 +1040,10 @@ object Dedup {
     * non-trivial. */
   def dupHeavyDocuments(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir).select(col("doc_id"), col("text"))
-      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 10)))
-      .select((col("doc_id") * 16 + col("c")).as("doc_id"), col("text"))
+      .withColumn("c",
+        explode(sequence(lit(0L), col("doc_id") % DupCopyMod)))
+      .select((col("doc_id") * DupCopyStride + col("c")).as("doc_id"),
+        col("text"))
 
   /** Copy-id explosion of a per-SOURCE-doc frame: one row per dup-heavy
     * doc_id carrying its source row's columns. Because every copy holds
@@ -1016,9 +1056,20 @@ object Dedup {
     * measured 38.8 s of d42's 42 s at sf0.1, guide §1/§4). */
   private def explodeDupCopies(perSource: DataFrame): DataFrame =
     perSource
-      .withColumn("c", explode(sequence(lit(0L), col("doc_id") % 10)))
-      .withColumn("doc_id", col("doc_id") * 16 + col("c"))
+      .withColumn("c",
+        explode(sequence(lit(0L), col("doc_id") % DupCopyMod)))
+      .withColumn("doc_id", col("doc_id") * DupCopyStride + col("c"))
       .drop("c")
+
+  /** The rep-pair silver mapped through the dup-heavy id arithmetic:
+    * copies are verbatim, so rep_dup = DupCopyStride·rep_src with
+    * identical (inter, uni) — the ONE place the ×stride map is applied
+    * for both d42 and d43. */
+  private def dupHeavyRepPairs(s: SparkSession, dir: String): DataFrame =
+    repJaccardPairsSilver(s, dir, RepPairThreshold).select(
+      (col("doc_a") * DupCopyStride).as("doc_a"),
+      (col("doc_b") * DupCopyStride).as("doc_b"),
+      col("inter"), col("uni"))
 
   /** (doc_id, sh) of the dup-heavy corpus, from the shared shingle
     * silver: identical output to shingling each copy's text (copies are
@@ -1029,10 +1080,11 @@ object Dedup {
 
   /** DuckDB mirror of [[dupHeavyDocuments]] — `dup(doc_id, text)`. */
   private[operators] val dupHeavyCte: String =
-    """dup AS (
-      |  SELECT doc_id * 16 + c AS doc_id, text
-      |  FROM (SELECT doc_id, text, unnest(range(0, 1 + doc_id % 10)) AS c
-      |        FROM documents))""".stripMargin
+    s"""dup AS (
+       |  SELECT doc_id * $DupCopyStride + c AS doc_id, text
+       |  FROM (SELECT doc_id, text,
+       |               unnest(range(0, 1 + doc_id % $DupCopyMod)) AS c
+       |        FROM documents))""".stripMargin
 
   /** d42: the d13 contracted report replayed on the dup-heavy corpus —
     * the oracle's star rows have classes of size up to 10·(verbatim
@@ -1048,9 +1100,7 @@ object Dedup {
     // silver under the ×16 id map (copies are verbatim ⇒ rep_dup =
     // 16·rep_src with identical (inter, uni) — see repJaccardPairsSilver)
     jaccardNearDupReportFrom(dupHeavyShingled(s, dir),
-      _ => repJaccardPairsSilver(s, dir, 0.3).select(
-        (col("doc_a") * 16).as("doc_a"), (col("doc_b") * 16).as("doc_b"),
-        col("inter"), col("uni")))
+      _ => dupHeavyRepPairs(s, dir))
       .orderBy("kind", "doc_a", "doc_b")
   }
 
@@ -1106,8 +1156,7 @@ object Dedup {
     val star = keyed.join(reps, Seq("__k"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val repPairs = repJaccardPairsSilver(s, dir, 0.3)
-      .select((col("doc_a") * 16).as("doc_a"), (col("doc_b") * 16).as("doc_b"))
+    val repPairs = dupHeavyRepPairs(s, dir).select("doc_a", "doc_b")
     dupClusters(star.unionByName(repPairs)).orderBy("doc_id")
   }
 

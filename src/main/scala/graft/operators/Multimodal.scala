@@ -738,7 +738,8 @@ object Multimodal {
     // Jaccard pair list — see Dedup.jaccardComponentEdges), so m09 no
     // longer inherits d13's quadratic pair-output growth on dup-heavy
     // fixtures
-    val textPairs = Dedup.jaccardComponentEdges(s, dir, 0.3)
+    val textPairs = Dedup.jaccardComponentEdges(s, dir,
+      Dedup.RepPairThreshold)
     // Image edges are CONNECTIVITY-preserving, not the m08 pair list:
     // an exact-equal (gw, gh, phash) class is a Hamming-0 clique, and
     // any cross-class pair has the same Hamming as its class

@@ -548,7 +548,16 @@ object Similarity {
     * only n narrow rows cross the exchange. Identical selection: the
     * struct order (-score asc, cluster asc) is exactly (score desc,
     * cluster asc), double negation is exact, and Spark's double
-    * ordering treats -0.0 < 0.0 consistently on both paths. */
+    * ordering treats -0.0 < 0.0 consistently on both paths.
+    *
+    * PRECONDITION (r16 advisor): scores must be NaN-free — under a NaN
+    * score the two forms diverge (NaN sorts GREATEST, so a window on
+    * score desc would pick it first while min(-score) picks it last).
+    * Holds here unconditionally: cosine (CosineExpr) guards the
+    * zero-denominator case and the embeddings fixtures are finite
+    * doubles, so no score is ever NaN; a corpus with non-finite
+    * embedding values must sanitize them upstream of every index
+    * operator, not just this one. */
   def kmeansAssignWith(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .crossJoin(broadcast(cents))

@@ -97,12 +97,17 @@ object ChainSim {
       // prune to the columns its consumers (a03/b02/b07/b08, Silver)
       // read BEFORE writing — the unread wide detail structs would
       // otherwise bloat the silver files
+      // chainShape: simulate's frames guarantee the ChainInputRow
+      // constants (end_status 'active', aborted false, no codes/fees,
+      // bounce/bounced false, no init_state/msg_seq/created_at) —
+      // the narrow 15-field group encoder applies (r17, guide §4)
       ClassifyJob.runProjected(spark, txsWithTrace, msgs,
           graft.classifier.ClassifyDims(),
           Seq("trace_id", "action_id", "type", "start_lt", "end_lt",
             "start_utime", "end_utime", "source", "destination", "success",
             "ancestor_type", "ton_transfer_data", "accounts",
-            "classification_state"))
+            "classification_state"),
+          chainShape = true)
         .join(meta, Seq("trace_id"), "left") // traces is a fact table — shuffle join, never broadcast
     }
 
@@ -175,34 +180,20 @@ object ChainSim {
       commentBocUdf(concat(lit("note "), col("event_id").cast("string"))))
       .otherwise(lit(null).cast("string"))
 
-    val inMsgs = ev.select(
-      concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
-      concat(lit("T"), col("event_id").cast("string")).as("tx_hash"),
-      lit("in").as("direction"),
-      when(col("prev_id").isNull, lit(null).cast("string"))
-        .otherwise(col("acct")).as("source"),
-      col("acct").as("destination"),
-      (col("value") * 100).cast("long").as("value"),
-      opcode.as("opcode"),
-      lit(false).as("bounce"), lit(false).as("bounced"),
-      col("event_id").as("created_lt"),
-      body.as("body"))
-
-    val outMsgs = ev.filter(col("prev_id").isNotNull).select(
-      concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
-      concat(lit("T"), col("prev_id").cast("string")).as("tx_hash"),
-      lit("out").as("direction"),
-      col("acct").as("source"),
-      col("acct").as("destination"),
-      (col("value") * 100).cast("long").as("value"),
-      opcode.as("opcode"),
-      lit(false).as("bounce"), lit(false).as("bounced"),
-      col("event_id").as("created_lt"),
-      // only IN-message bodies are ever decoded (Seeder reads the
-      // consuming side) — skip the BOC build on the out copy
-      lit(null).cast("string").as("body"))
-
-    (txs, inMsgs.unionByName(outMsgs))
+    // one scan + one comment-BOC build per event (r17 — see
+    // explodeInOutMsgs); bodyOnOut = false keeps the out copy body-less
+    // (only IN-message bodies are ever decoded — Seeder reads the
+    // consuming side). The repartition spreads the comment-BOC build and
+    // the sim_msgs body_keys decode across the configured parallelism —
+    // chained_events is a KB-scale parquet (one scan split), so without
+    // it the whole synthesis stage runs on one core (see protocolSim).
+    (txs, explodeInOutMsgs(ev
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("event_id"))
+      .select(
+        col("event_id"), col("prev_id"), col("value"),
+        col("acct").as("dest"), col("acct").as("src"),
+        opcode.as("op"), body.as("b")), bodyOnOut = false))
   }
 
   /** Full pipeline stage 1: trace assembly over the simulated chain.
@@ -260,10 +251,23 @@ object ChainSim {
     * error → DNS change-record 0x4eb1f0f9 (change_dns). */
   private def protocolSim(spark: SparkSession, dir: String,
       opcodeOf: Column,
-      bodyOf: Column = lit(null).cast("string")): (DataFrame, DataFrame) = {
-    val ev = chainedEvents(spark, dir).withColumn("pos",
+      bodyOf: Column = null): (DataFrame, DataFrame) = {
+    val ev0 = chainedEvents(spark, dir).withColumn("pos",
       row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
-    val txs = ev.select(
+    // BODIED variants: spread the BOC-synthesis stage explicitly. AQE
+    // coalesces the pos-window's shuffle read by BYTES, and a KB-scale
+    // sim collapses to ONE partition — which serializes the per-message
+    // body UDF (and, for persisted variants, the body_keys decode) onto
+    // a single core. The stage's cost is CPU-per-row, not bytes, so pin
+    // its width to the configured shuffle parallelism (cpus locally;
+    // sized to the cluster in a deployment — an explicit N is exempt
+    // from AQE coalescing). Body-less variants skip the exchange.
+    val ev =
+      if (bodyOf == null) ev0
+      else ev0.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("event_id"))
+    val body = if (bodyOf == null) lit(null).cast("string") else bodyOf
+    val txs = ev0.select(
       concat(lit("T"), col("event_id").cast("string")).as("hash"),
       col("acct").as("account"),
       col("event_id").as("lt"),
@@ -274,23 +278,68 @@ object ChainSim {
       lit(null).cast("int").as("compute_exit_code"),
       lit(null).cast("int").as("action_result_code"),
       lit(0L).as("total_fees"), lit("ord").as("descr"))
-    val opcode = opcodeOf
-    def msgs(dirLit: String, txCol: Column, srcCol: Column) = ev
-      .filter(if (dirLit == "out") col("prev_id").isNotNull else lit(true))
+    // ONE scan + ONE body/opcode evaluation per event (r17, guide §6/§4):
+    // the previous in/out unionByName was two scans of chained_events,
+    // each paying the pos-window AND the per-message BOC body-synthesis
+    // UDF — the body built TWICE per event (measured 1.5-2.0 s of each
+    // bodied variant's classify stage at sf0.1 vs 0.33 s body-less).
+    // Here body/opcode are computed in their own projection (CollapseProject
+    // will not inline a non-cheap expression referenced by both structs)
+    // and the in/out copies explode from the same row. Within-group msg
+    // order is free — TxTree.build sorts by (lt, account)/seqNo/createdLt.
+    (txs, explodeInOutMsgs(ev.select(
+      col("event_id"), col("prev_id"), col("value"),
+      col("acct").as("dest"), col("acct").as("src"),
+      opcodeOf.as("op"), body.as("b"))))
+  }
+
+  /** (event_id, prev_id, value, dest, src, op, b) → the message frame:
+    * every event's in-copy, plus — when the event has a parent — the
+    * out-copy attached to the parent tx, both sharing the ONE computed
+    * body/opcode. `src` is the source an event with a parent reports
+    * (the in-copy of a root keeps source NULL). Row set identical to
+    * the former inMsgs.unionByName(outMsgs) two-scan form.
+    *
+    * Layout matters (measured): the copy-INVARIANT columns — above all
+    * the UDF-synthesized body — stay TOP-LEVEL in the Generate's child,
+    * and only the tiny per-copy (tx_hash, direction, source, has_body)
+    * struct explodes. Packing body inside the exploded structs defeated
+    * column pruning (nested-field pruning does not reach through the
+    * CaseWhen-of-arrays generator input), so body-LESS consumers — the
+    * dims candidate branch, count probes — paid the full BOC synthesis:
+    * the body-less msgs scan measured 1.60 s that way vs 0.33 s with the
+    * body as a prunable top-level column. */
+  private def explodeInOutMsgs(withCols: DataFrame,
+      bodyOnOut: Boolean = true): DataFrame = {
+    def copyStruct(dirLit: String, txCol: Column, srcCol: Column,
+        hasBody: Boolean): Column =
+      struct(txCol.as("tx_hash"), lit(dirLit).as("direction"),
+        srcCol.as("source"), lit(hasBody).as("has_body"))
+    val inS = copyStruct("in",
+      concat(lit("T"), col("event_id").cast("string")),
+      when(col("prev_id").isNull, lit(null).cast("string"))
+        .otherwise(col("src")),
+      hasBody = true)
+    val outS = copyStruct("out",
+      concat(lit("T"), col("prev_id").cast("string")),
+      col("src"),
+      hasBody = bodyOnOut)
+    withCols
       .select(
         concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
-        txCol.as("tx_hash"), lit(dirLit).as("direction"),
-        srcCol.as("source"), col("acct").as("destination"),
+        col("dest").as("destination"),
         (col("value") * 100).cast("long").as("value"),
-        opcode.as("opcode"),
+        col("op").as("opcode"),
         lit(false).as("bounce"), lit(false).as("bounced"),
         col("event_id").as("created_lt"),
-        bodyOf.as("body"))
-    val inMsgs = msgs("in", concat(lit("T"), col("event_id").cast("string")),
-      when(col("prev_id").isNull, lit(null).cast("string")).otherwise(col("acct")))
-    val outMsgs = msgs("out", concat(lit("T"), col("prev_id").cast("string")),
-      col("acct"))
-    (txs, inMsgs.unionByName(outMsgs))
+        col("b").as("body0"),
+        explode(when(col("prev_id").isNull, array(inS))
+          .otherwise(array(inS, outS))).as("m"))
+      .select(col("msg_hash"), col("m.tx_hash").as("tx_hash"),
+        col("m.direction").as("direction"), col("m.source").as("source"),
+        col("destination"), col("value"), col("opcode"),
+        col("bounce"), col("bounced"), col("created_lt"),
+        when(col("m.has_body"), col("body0")).as("body"))
   }
 
   /** Columns every protocol-variant query reads. */
@@ -299,7 +348,9 @@ object ChainSim {
 
   private def protocolClassified(spark: SparkSession, dir: String,
       variant: String, opcodeOf: => Column,
-      bodyOf: => Column = lit(null).cast("string"),
+      // null (not a null LITERAL column) = body-less variant — the
+      // distinction drives protocolSim's bodied-stage repartition
+      bodyOf: => Column = null,
       dims: => graft.classifier.ClassifyDims = graft.classifier.ClassifyDims(),
       keep: Seq[String] = Nil,
       persistMsgs: Boolean = false): DataFrame =
@@ -334,8 +385,10 @@ object ChainSim {
       // narrow-output classify: only the columns the variant's queries
       // read materialize through the encoder — the wide 60-field
       // ActionRow encoder was HALF the classify cost (Profile15)
+      // chainShape: protocolSim constructs exactly the ChainInputRow
+      // constants — the narrow group encoder (r17, guide §4)
       ClassifyJob.runProjected(spark, txw, msgs, d,
-        (protoBaseCols ++ keep).distinct)
+        (protoBaseCols ++ keep).distinct, chainShape = true)
     }
 
   /** b06 opcode mapping (see protocolSim doc). */
@@ -1032,9 +1085,11 @@ object ChainSim {
     // the encoder — the full 60-field ActionRow encoder measured 2× on
     // the sweep (Profile15)
     val acts = SilverStore.table(spark, dir, "b16_acts")(
+      // chainShape: b16Build mirrors protocolSim's constant columns
       ClassifyJob.runProjected(spark, txw, msgs,
         graft.classifier.ClassifyDims(),
-        Seq("trace_id", "start_lt", "type", "tx_hashes")))
+        Seq("trace_id", "start_lt", "type", "tx_hashes"),
+        chainShape = true))
     (acts, txw, msgs)
   }
 
@@ -1068,25 +1123,18 @@ object ChainSim {
         lit(null).cast("int").as("compute_exit_code"),
         lit(null).cast("int").as("action_result_code"),
         lit(0L).as("total_fees"), lit("ord").as("descr"))
-      def msgCols(dirLit: String, txCol: Column, srcCol: Column) = ev
-        .filter(if (dirLit == "out") col("prev_id").isNotNull else lit(true))
+      // one scan + one jetton-BOC build per event (r17 — see
+      // explodeInOutMsgs); b16's endpoints are parity accounts, so dest/
+      // src are the acctOf projections of this/parent event; the
+      // repartition spreads the jetton-BOC build (see protocolSim)
+      val msgs = explodeInOutMsgs(ev
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("event_id"))
         .select(
-          concat(lit("m"), col("event_id").cast("string")).as("msg_hash"),
-          txCol.as("tx_hash"), lit(dirLit).as("direction"),
-          srcCol.as("source"), acctOf(col("event_id")).as("destination"),
-          (col("value") * 100).cast("long").as("value"),
-          opcode.as("opcode"),
-          lit(false).as("bounce"), lit(false).as("bounced"),
-          col("event_id").as("created_lt"),
-          body.as("body"))
-      val inMsgs = msgCols("in",
-        concat(lit("T"), col("event_id").cast("string")),
-        when(col("prev_id").isNull, lit(null).cast("string"))
-          .otherwise(acctOf(col("prev_id"))))
-      val outMsgs = msgCols("out",
-        concat(lit("T"), col("prev_id").cast("string")),
-        acctOf(col("prev_id")))
-      val msgs = inMsgs.unionByName(outMsgs)
+          col("event_id"), col("prev_id"), col("value"),
+          acctOf(col("event_id")).as("dest"),
+          acctOf(col("prev_id")).as("src"),
+          opcode.as("op"), body.as("b")))
       val (_, _, txsWithTrace) =
         TraceAssembly.assemble(txs, msgs, Some(chainRoots(spark, dir)))
       (txsWithTrace, msgs)

@@ -408,11 +408,21 @@ class PlanSpec extends SparkSpec {
       s"stats row must broadcast:\n${p.take(1500)}")
     // the only Generate allowed is the constant-width per-query struct
     // array (one corpus scan for all queries, r16) — never an explode of
-    // the token/postings arrays (split(...) would appear in its input)
+    // the token/postings arrays. Discriminate by the explode INPUT, not
+    // by whether 'split(' is inlined into it (column pruning can hoist
+    // the split into an upstream Project and the old check passed a
+    // regressed postings explode — r16 advisor): exactly one Generate,
+    // and its input must be the literal query-struct array.
     val explodeLines = p.linesIterator
       .filter(l => l.contains("Generate explode")).toSeq
-    assert(explodeLines.forall(!_.contains("split(")),
-      s"fixed-query BM25 must not explode to postings:\n${p.take(1500)}")
+    assert(explodeLines.size == 1,
+      s"fixed-query BM25 must have exactly ONE Generate " +
+        s"(the constant query array), got ${explodeLines.size}:\n" +
+        p.take(1500))
+    assert(explodeLines.head.contains("query_id"),
+      s"the one Generate must explode the constant query-struct array " +
+        s"(named fields incl. query_id), not a token/postings column:\n" +
+        s"${explodeLines.head}\n${p.take(1500)}")
   }
 
   test("d39 PPS sample compiles to TakeOrderedAndProject (distributed " +
